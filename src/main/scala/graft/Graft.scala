@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.engine._
+
+/** Public entry points — the Spark-native analog of the reference's exported
+  * API surface (/root/reference/rbql-py/rbql/__init__.py:1-11: query,
+  * query_table, query_csv, query_pandas_dataframe).
+  *
+  * Dialect: RBQL clause grammar (SELECT/UPDATE/WHERE/GROUP BY/ORDER BY/
+  * LIMIT/TOP/DISTINCT [COUNT]/EXCEPT/JOINs/UNNEST, pipe chaining) with
+  * Spark SQL as the expression language — the Scala-native counterpart of
+  * RBQL embedding Python/JS expressions (SURVEY §7.1). Everything codegens;
+  * no per-row interpreter.
+  */
+object Graft {
+
+  /** Run a query against an input DataFrame (the `A` table). `tables`
+    * resolves FROM/JOIN table ids; ids not found there are treated as file
+    * paths (parquet/csv/jsonl by extension) or temp-view names. */
+  def query(
+      spark: SparkSession,
+      queryStr: String,
+      input: DataFrame,
+      tables: Map[String, DataFrame] = Map.empty): DataFrame = {
+    val masked = Lexer.mask(Lexer.cleanup(queryStr))
+    val stages = Lexer.splitStages(masked.text)
+    // pipe chaining: each stage's output is the next stage's input
+    // (reference split_query_to_stages + TablePipe,
+    // rbql_engine.py:1577-1602); Spark chains lazily — no materialization
+    stages.foldLeft(input) { (df, stageText) =>
+      PlanBuilder.build(spark, stageText, masked, df,
+        resolveTable(spark, tables))
+    }
+  }
+
+  /** FROM-first form: the query must name its input via FROM. */
+  def query(spark: SparkSession, queryStr: String,
+      tables: Map[String, DataFrame]): DataFrame = {
+    val masked = Lexer.mask(Lexer.cleanup(queryStr))
+    val stages = Lexer.splitStages(masked.text)
+    val first = PlanBuilder.build(spark, stages.head, masked,
+      errorNoInput(spark), resolveTable(spark, tables))
+    stages.tail.foldLeft(first) { (df, stageText) =>
+      PlanBuilder.build(spark, stageText, masked, df,
+        resolveTable(spark, tables))
+    }
+  }
+
+  private def errorNoInput(spark: SparkSession): DataFrame = {
+    // placeholder that fails only if actually used without FROM
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("__graft_no_input", StringType))))
+  }
+
+  /** Resolve a FROM/JOIN table id: registered DataFrame > file path by
+    * extension > Spark temp view. (reference table registry,
+    * rbql_engine.py:1634-1644 + rbql_csv.py:508-540) */
+  private def resolveTable(
+      spark: SparkSession,
+      tables: Map[String, DataFrame])(id: String): DataFrame = {
+    val key = id.trim
+    tables.get(key)
+      .orElse(tables.find(_._1.equalsIgnoreCase(key)).map(_._2))
+      .getOrElse {
+        val lower = key.toLowerCase
+        if (lower.endsWith(".parquet")) spark.read.parquet(key)
+        else if (lower.endsWith(".csv")) sources.CsvSource.read(spark, key)
+        else if (lower.endsWith(".tsv")) sources.CsvSource.read(spark, key, delim = "\t")
+        else if (lower.endsWith(".jsonl") || lower.endsWith(".ndjson"))
+          sources.JsonLinesSource.read(spark, key)
+        else
+          try spark.table(key)
+          catch {
+            case _: Exception =>
+              Errors.io(s"Unable to find table: '$key' (not a registered table, file path, or temp view)")
+          }
+      }
+  }
+
+  /** In-memory convenience: query a local Seq of rows (reference
+    * query_table, rbql_engine.py:1747-1756). */
+  def queryTable(
+      spark: SparkSession,
+      queryStr: String,
+      rows: Seq[Seq[String]],
+      columnNames: Option[Seq[String]] = None,
+      joinRows: Option[(Seq[Seq[String]], Option[Seq[String]])] = None): Seq[Seq[Any]] = {
+    val df = localDf(spark, rows, columnNames)
+    val tables = joinRows match {
+      case Some((jr, jn)) =>
+        val j = localDf(spark, jr, jn)
+        Map("b" -> j, "B" -> j)
+      case None => Map.empty[String, DataFrame]
+    }
+    query(spark, queryStr, df, tables).collect().toSeq.map(_.toSeq)
+  }
+
+  private def localDf(spark: SparkSession, rows: Seq[Seq[String]],
+      names: Option[Seq[String]]): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val width = if (rows.isEmpty) names.map(_.length).getOrElse(0)
+      else rows.map(_.length).max
+    val cols = names.getOrElse((1 to width).map(i => s"a$i"))
+    val schema = StructType(cols.map(c => StructField(c, StringType, nullable = true)))
+    // ragged rows padded with null (reference safe_get → None,
+    // rbql_engine.py:249-250)
+    val padded = rows.map(r => Row.fromSeq(r.padTo(width, null)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(padded.toIndexedSeq), schema)
+  }
+}

@@ -1,0 +1,119 @@
+package graft.engine
+
+import org.apache.spark.sql.types.StructType
+import scala.util.matching.Regex
+
+/** Translates RBQL variable references embedded in (masked) Spark-SQL
+  * expression text into qualified column references.
+  *
+  * Variable forms (reference parsers, /root/reference/rbql-py/rbql/
+  * rbql_engine.py:1048-1115):
+  *   a1..aN, b1..bN          positional
+  *   a[3], b[3]              positional (bracket)
+  *   a.name, b.name          header/name-based (identifier-like)
+  *   a["some name"]          header/name-based (arbitrary)
+  *   NR                      1-based record number
+  *   NF                      per-record field count
+  *
+  * The A side is aliased `graft_a`, the B (join) side `graft_b`; rewritten
+  * references are fully qualified + backtick-quoted so arbitrary header
+  * names survive and A/B name collisions stay unambiguous.
+  */
+final class ExprTranslator(
+    aSchema: StructType,
+    bSchema: Option[StructType],
+    masked: Lexer.Masked) {
+
+  import ExprTranslator._
+
+  val nrCol = "__graft_nr"
+
+  /** Set true by translate() when the expression referenced NR. */
+  private var _usedNr = false
+  def usedNr: Boolean = _usedNr
+
+  private def colByPos(side: Char, n: Int): String = {
+    val schema = sideSchema(side)
+    if (n < 1 || n > schema.length)
+      Errors.parsing(s"Variable ${side}$n is out of range: table ${side.toUpper} has ${schema.length} columns")
+    qualify(side, schema.fields(n - 1).name)
+  }
+
+  private def sideSchema(side: Char): StructType = side match {
+    case 'a' => aSchema
+    case 'b' =>
+      bSchema.getOrElse(Errors.parsing("Variable with 'b' prefix used without JOIN"))
+  }
+
+  private def colByName(side: Char, name: String): String = {
+    val schema = sideSchema(side)
+    val exact = schema.fields.find(_.name == name)
+    val field = exact.orElse(schema.fields.find(_.name.equalsIgnoreCase(name)))
+      .getOrElse(Errors.parsing(
+        s"Column '$name' not found in table ${side.toUpper}; available: ${schema.fieldNames.mkString(", ")}"))
+    qualify(side, field.name)
+  }
+
+  private def qualify(side: Char, col: String): String = {
+    val alias = if (side == 'a') "graft_a" else "graft_b"
+    s"$alias.`${col.replace("`", "``")}`"
+  }
+
+  /** Name of the source column a positional/named var refers to (for output
+    * header inference). */
+  def sourceName(side: Char, n: Int): String = sideSchema(side).fields(n - 1).name
+
+  /** Translate one expression fragment (masked). Returns Spark SQL text with
+    * literals restored. */
+  def translate(fragment: String): String = {
+    var s = fragment
+    // a["literal name"] / b['literal name'] — placeholder inside brackets
+    s = BracketNameRe.replaceAllIn(s, m => {
+      val side = m.group(1).charAt(0)
+      val lit = masked.literals(m.group(2).toInt)
+      Regex.quoteReplacement(colByName(side, unquote(lit)))
+    })
+    // a[3] / b[3]
+    s = BracketPosRe.replaceAllIn(s, m =>
+      Regex.quoteReplacement(colByPos(m.group(1).charAt(0), m.group(2).toInt)))
+    // a.NR (accepted join-key spelling, reference rbql_engine.py:1030-1031)
+    s = DotNrRe.replaceAllIn(s, _ => { _usedNr = true; Regex.quoteReplacement(s"`$nrCol`") })
+    // a.name / b.name
+    s = DotNameRe.replaceAllIn(s, m =>
+      Regex.quoteReplacement(colByName(m.group(1).charAt(0), m.group(2))))
+    // a1 / b1
+    s = PosRe.replaceAllIn(s, m =>
+      Regex.quoteReplacement(colByPos(m.group(1).charAt(0), m.group(2).toInt)))
+    // NR / NF (case-sensitive, like the reference)
+    s = NrRe.replaceAllIn(s, _ => { _usedNr = true; Regex.quoteReplacement(s"`$nrCol`") })
+    s = NfRe.replaceAllIn(s, _ => Regex.quoteReplacement(aSchema.length.toString))
+    masked.restore(s)
+  }
+
+  /** Does the masked stage text reference NR anywhere? (decides whether the
+    * row-number column must be materialized before planning) */
+  def stageUsesNr(stageText: String): Boolean =
+    NrRe.findFirstIn(stageText).isDefined || DotNrRe.findFirstIn(stageText).isDefined
+}
+
+object ExprTranslator {
+  // word-boundary guards: no letter/digit/_/. immediately before the var
+  private val Pre = """(?<![A-Za-z0-9_.`])"""
+  val BracketNameRe: Regex = (Pre + """([ab])\[###GRAFT_S(\d+)E###\]""").r
+  val BracketPosRe: Regex = (Pre + """([ab])\[(\d+)\]""").r
+  val PosRe: Regex = (Pre + """([ab])(\d+)(?![A-Za-z0-9_])""").r
+  val DotNameRe: Regex = (Pre + """([ab])\.([A-Za-z_][A-Za-z0-9_]*)""").r
+  val DotNrRe: Regex = (Pre + """[ab]\.NR(?![A-Za-z0-9_])""").r
+  val NrRe: Regex = (Pre + """NR(?![A-Za-z0-9_])""").r
+  val NfRe: Regex = (Pre + """NF(?![A-Za-z0-9_])""").r
+
+  def unquote(lit: String): String = {
+    if (lit.length >= 2 && (lit.head == '\'' || lit.head == '"') && lit.last == lit.head) {
+      val q = lit.head
+      lit.substring(1, lit.length - 1)
+        .replace("\\" + q, q.toString)
+        .replace(s"$q$q", q.toString)
+        .replace("\\\\", "\\")
+    } else lit
+  }
+}

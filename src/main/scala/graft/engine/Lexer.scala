@@ -1,0 +1,85 @@
+package graft.engine
+
+import scala.collection.mutable.ArrayBuffer
+
+/** String-literal masking, so clause/keyword scanning never fires inside a
+  * quoted literal. Semantics follow the reference's
+  * separate_string_literals (/root/reference/rbql-py/rbql/rbql_engine.py:1222-1238):
+  * replace every literal with an indexed placeholder, parse the masked text,
+  * then restore literals inside each extracted clause.
+  *
+  * Our expression dialect is Spark SQL, so literals are single- or
+  * double-quoted with backslash escapes and doubled-quote escapes.
+  */
+object Lexer {
+
+  final case class Masked(text: String, literals: IndexedSeq[String]) {
+    /** Restore literals in a fragment of the masked text. */
+    def restore(fragment: String): String = {
+      var out = fragment
+      var i = 0
+      while (i < literals.length) {
+        out = out.replace(placeholder(i), literals(i))
+        i += 1
+      }
+      out
+    }
+    def hasLiterals(fragment: String): Boolean = fragment.contains("###GRAFT_S")
+  }
+
+  def placeholder(i: Int): String = s"###GRAFT_S${i}E###"
+
+  /** Mask string literals. Handles \-escapes and doubled quotes ('' / "")
+    * inside literals. Unterminated literal → parsing error. */
+  def mask(query: String): Masked = {
+    val sb = new StringBuilder
+    val lits = ArrayBuffer.empty[String]
+    var i = 0
+    val n = query.length
+    while (i < n) {
+      val c = query.charAt(i)
+      if (c == '\'' || c == '"') {
+        val quote = c
+        val start = i
+        i += 1
+        var done = false
+        while (!done) {
+          if (i >= n) Errors.parsing(s"Unterminated string literal starting at position $start")
+          val ch = query.charAt(i)
+          if (ch == '\\' && i + 1 < n) i += 2
+          else if (ch == quote && i + 1 < n && query.charAt(i + 1) == quote) i += 2 // doubled-quote escape
+          else if (ch == quote) { i += 1; done = true }
+          else i += 1
+        }
+        sb.append(placeholder(lits.length))
+        lits += query.substring(start, i)
+      } else {
+        sb.append(c)
+        i += 1
+      }
+    }
+    Masked(sb.toString, lits.toIndexedSeq)
+  }
+
+  /** Strip trailing semicolon + collapse whitespace at the ends.
+    * (reference cleanup_query, rbql_engine.py:1398-1402) */
+  def cleanup(query: String): String = {
+    val t = query.trim
+    if (t.endsWith(";")) t.dropRight(1).trim else t
+  }
+
+  private val StageSplit =
+    """(?i)\|\>?\s*(?=(select|update)\b)""".r
+
+  /** Split a masked query into pipe stages at top-level `| select` /
+    * `| update` / `|> select` boundaries (reference split_query_to_stages,
+    * rbql_engine.py:1577-1580). `||` (SQL concat) never matches because the
+    * lookahead requires a SELECT/UPDATE keyword. */
+  def splitStages(maskedText: String): Seq[String] = {
+    val parts = StageSplit.split(maskedText).toSeq.map(_.trim)
+    parts.filter(_.nonEmpty) match {
+      case Nil => Seq(maskedText.trim)
+      case ps  => ps
+    }
+  }
+}

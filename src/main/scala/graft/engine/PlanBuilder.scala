@@ -1,0 +1,446 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField}
+
+/** Builds the DataFrame transform chain for one parsed pipe stage.
+  *
+  * Observable data flow matches the reference writer chain
+  * (/root/reference/rbql-py/rbql/rbql_engine.py:1554-1563):
+  * join → where → (aggregate | select/update) → distinct → sort → limit.
+  * (The reference sorts before dedup; since its dedup is first-seen-stable,
+  * sorting after dedup is observably identical and lets Catalyst push the
+  * dedup below the global sort.)
+  *
+  * Everything stays declarative: filters/projections are Catalyst
+  * expressions (predicate pushdown + whole-stage codegen apply); the only
+  * imperative escape is NR materialization via zipWithIndex, done ONLY when
+  * the query references NR.
+  */
+object PlanBuilder {
+
+  val NrCol = "__graft_nr"
+
+  /** 1-based stable record number, assigned in source order BEFORE any
+    * shuffle (SURVEY §7.4 hard-part 1). zipWithIndex is distributed
+    * (per-partition offsets via one count job) — never a single-partition
+    * window. */
+  def withNr(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema.add(StructField(NrCol, LongType, nullable = false))
+    val rdd = df.rdd.zipWithIndex().map { case (row, idx) =>
+      Row.fromSeq(row.toSeq :+ (idx + 1L))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  def build(
+      spark: SparkSession,
+      stageMaskedText: String,
+      masked: Lexer.Masked,
+      inputDf: DataFrame,
+      resolveTable: String => DataFrame): DataFrame = {
+
+    val ast = ClauseParser.parse(masked.copy(text = stageMaskedText))
+    val fromDf = ast.from match {
+      case Some(tid) => resolveTable(masked.restore(tid))
+      case None => inputDf
+    }
+
+    val bDfRaw = ast.join.map(j => resolveTable(masked.restore(j.tableId)))
+
+    val usesNr = ExprTranslator.NrRe.findFirstIn(stageMaskedText).isDefined ||
+      ExprTranslator.DotNrRe.findFirstIn(stageMaskedText).isDefined
+
+    val aDf0 = if (usesNr) withNr(fromDf) else fromDf
+    val tr = new ExprTranslator(aDf0.schema, bDfRaw.map(_.schema), masked)
+    val aDf = aDf0.alias("graft_a")
+
+    // ---- UPDATE path (projection-as-mutation, README.md:82-84) -------
+    ast.update.foreach { upd =>
+      return buildUpdate(aDf, aDf0, bDfRaw, ast, upd, tr)
+    }
+
+    // ---- join --------------------------------------------------------
+    val joined = ast.join match {
+      case None => aDf
+      case Some(j) =>
+        val bDf = bDfRaw.get.alias("graft_b")
+        val cond = joinCondition(j.onRaw, tr)
+        j.kind match {
+          case JoinKind.Inner => aDf.join(bDf, cond, "inner")
+          case JoinKind.Left => aDf.join(bDf, cond, "left_outer")
+          case JoinKind.StrictLeft => strictLeftJoin(aDf, bDf, cond)
+        }
+    }
+
+    val sel = ast.select.get
+
+    // ---- WHERE -------------------------------------------------------
+    if (ast.where.exists(w => Aggregates.containsAggCall(w)))
+      Errors.parsing("Aggregate functions are not allowed in WHERE")
+    val filtered = ast.where match {
+      case Some(w) => joined.filter(expr(tr.translate(w)))
+      case None => joined
+    }
+
+    // ---- classify select items --------------------------------------
+    val aCols = aDf0.schema.fieldNames.toSeq
+    val bCols = bDfRaw.map(_.schema.fieldNames.toSeq).getOrElse(Seq.empty)
+
+    val isStar: String => Option[Seq[(String, Column)]] = raw => raw.trim match {
+      case "*" =>
+        val a = starCols("graft_a", aCols)
+        val b = starCols("graft_b", bCols, aCols.toSet)
+        Some(a ++ b)
+      case "a.*" => Some(starCols("graft_a", aCols))
+      case "b.*" =>
+        if (bCols.isEmpty) Errors.parsing("b.* used without JOIN")
+        Some(starCols("graft_b", bCols, aCols.toSet))
+      case _ => None
+    }
+
+    sel.exceptCols.foreach { exc =>
+      return buildExcept(filtered, ast, sel, exc, tr, aCols)
+    }
+
+    val classified = sel.items.map { it =>
+      (it, if (isStar(it.rawExpr).isDefined) None
+      else Some(Aggregates.classify(it.rawExpr, tr.translate)))
+    }
+    val hasAgg = ast.groupBy.isDefined ||
+      classified.exists(_._2.exists(_.agg.isDefined))
+
+    val result =
+      if (hasAgg) buildAggregate(filtered, ast, sel, classified, tr)
+      else buildProjection(filtered, ast, sel, classified, isStar, tr)
+
+    // ---- limit -------------------------------------------------------
+    val limited = (sel.topN, ast.limit) match {
+      case (Some(_), Some(_)) => Errors.parsing("Use either TOP or LIMIT, not both")
+      case (Some(n), None) => result.limit(checkInt(n))
+      case (None, Some(n)) => result.limit(checkInt(n))
+      case _ => result
+    }
+    limited
+  }
+
+  private def checkInt(n: Long): Int = {
+    if (n < 0 || n > Int.MaxValue) Errors.parsing(s"LIMIT/TOP out of range: $n")
+    n.toInt
+  }
+
+  private def starCols(
+      alias: String, cols: Seq[String],
+      clashWith: Set[String] = Set.empty): Seq[(String, Column)] =
+    cols.filterNot(_ == NrCol).map { c =>
+      val outName = if (clashWith.contains(c)) s"b_$c" else c
+      (outName, col(s"$alias.`${c.replace("`", "``")}`"))
+    }
+
+  /** ON: conjunction of equalities (reference parse_join_expression,
+    * rbql_engine.py:991-1013 — equi-only). Qualified translated sides keep
+    * this an equi-join for Catalyst (broadcast/SMJ eligible). */
+  private def joinCondition(onRaw: String, tr: ExprTranslator): Column = {
+    val conjuncts = splitTopLevelKeyword(onRaw, "and").map { piece =>
+      val sides = piece.split("==") match {
+        case Array(l, r) => (l, r)
+        case _ =>
+          ClauseParser.splitTopLevel(piece, '=') match {
+            case Seq(l, r) => (l, r)
+            case _ => Errors.parsing(
+              s"JOIN ON expects equality conditions joined by AND, got: '${piece.trim}'")
+          }
+      }
+      expr(tr.translate(sides._1)) === expr(tr.translate(sides._2))
+    }
+    conjuncts.reduce(_ && _)
+  }
+
+  private def splitTopLevelKeyword(s: String, kw: String): Seq[String] = {
+    val re = ("""(?i)(?<![A-Za-z0-9_])""" + kw + """(?![A-Za-z0-9_])""").r
+    // split only at paren-depth 0
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var last = 0
+    val ms = re.findAllMatchIn(s).toSeq
+    for (m <- ms) {
+      val before = s.substring(0, m.start)
+      depth = before.count(_ == '(') - before.count(_ == ')')
+      if (depth == 0) { parts += s.substring(last, m.start); last = m.end }
+    }
+    parts += s.substring(last)
+    parts.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** STRICT LEFT JOIN: error unless every A row has exactly one B match
+    * (reference StrictLeftJoiner, rbql_engine.py:595-603). Implemented as a
+    * left join + per-A-row match count via a window over a stable row id —
+    * fails fast inside the job via assert_true (no driver collect). */
+  private def strictLeftJoin(aDf: DataFrame, bDf: DataFrame, cond: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idCol = "__graft_sid"
+    val aId = aDf.withColumn(idCol, monotonically_increasing_id())
+    val marked = bDf.withColumn("__graft_bhit", lit(1))
+    val joined = aId.join(marked, cond, "left_outer")
+    val w = Window.partitionBy(col(idCol))
+    joined
+      .withColumn("__graft_cnt", count(col("__graft_bhit")).over(w))
+      .where(assert_true(col("__graft_cnt") === 1,
+        lit("STRICT LEFT JOIN requires exactly one match for every record")).isNull)
+      .drop(idCol, "__graft_bhit", "__graft_cnt")
+  }
+
+  // ---- UPDATE ---------------------------------------------------------
+  /** UPDATE emits every input row, with assigned columns replaced where the
+    * WHERE predicate holds (README.md:82-84 — "a special type of SELECT").
+    * With JOIN: at most one B match allowed per A row (error if more), zero
+    * matches ⇒ predicate treated as false (reference PROCESS_UPDATE_JOIN,
+    * rbql_engine.py:682-697). */
+  private def buildUpdate(
+      aDf: DataFrame,
+      aDf0: DataFrame,
+      bDfRaw: Option[DataFrame],
+      ast: StageAst,
+      upd: UpdateSpec,
+      tr: ExprTranslator): DataFrame = {
+    val pred: Column = ast.where.map(w => expr(tr.translate(w))).getOrElse(lit(true))
+    val (base, effPred) = ast.join match {
+      case None => (aDf, pred)
+      case Some(j) =>
+        import org.apache.spark.sql.expressions.Window
+        val bDf = bDfRaw.get.withColumn("__graft_bhit", lit(1)).alias("graft_b")
+        val cond = joinCondition(j.onRaw, tr)
+        val idCol = "__graft_uid"
+        val joined = aDf.withColumn(idCol, monotonically_increasing_id())
+          .join(bDf, cond, "left_outer")
+        val w = Window.partitionBy(col(idCol))
+        val guarded = joined
+          .withColumn("__graft_cnt", count(col("__graft_bhit")).over(w))
+          .where(assert_true(col("__graft_cnt") <= 1,
+            lit("UPDATE with JOIN requires at most one match for every record")).isNull)
+        (guarded, pred && col("__graft_bhit").isNotNull)
+    }
+    val assignTargets: Seq[(String, Column)] = upd.assignments.map {
+      case (varRef, valueExpr) =>
+        (resolveAssignTargetName(varRef, tr), expr(tr.translate(valueExpr)))
+    }
+    val outCols = aDf0.schema.fieldNames.filterNot(_ == NrCol).map { c =>
+      val q = col(s"graft_a.`${c.replace("`", "``")}`")
+      assignTargets.find(_._1 == c) match {
+        case Some((_, v)) => when(effPred, v).otherwise(q).alias(c)
+        case None => q.alias(c)
+      }
+    }
+    base.select(outCols.toIndexedSeq: _*)
+  }
+
+  // ---- SELECT EXCEPT --------------------------------------------------
+  private def buildExcept(
+      filtered: DataFrame,
+      ast: StageAst,
+      sel: SelectSpec,
+      exc: Seq[String],
+      tr: ExprTranslator,
+      aCols: Seq[String]): DataFrame = {
+    val dropNames = exc.map(v => resolveAssignTargetName(v, tr))
+    dropNames.find(n => !aCols.contains(n)).foreach(n =>
+      Errors.parsing(s"EXCEPT column '$n' not found"))
+    val kept = aCols.filterNot(c => dropNames.contains(c) || c == NrCol)
+    var out = filtered.select(kept.map(c =>
+      col(s"graft_a.`${c.replace("`", "``")}`").alias(c)).toIndexedSeq: _*)
+    if (sel.distinct) out = out.dropDuplicates()
+    out = applyOrderBySimple(out, ast, tr)
+    (sel.topN orElse ast.limit).map(n => out.limit(checkInt(n))).getOrElse(out)
+  }
+
+  private def resolveAssignTargetName(varRef: String, tr: ExprTranslator): String = {
+    val translated = tr.translate(varRef).trim
+    """^graft_a\.`(.*)`$""".r.findFirstMatchIn(translated)
+      .map(_.group(1).replace("``", "`"))
+      .getOrElse(Errors.parsing(s"EXCEPT entries must be input-column variables, got '$varRef'"))
+  }
+
+  // ---- aggregate path -------------------------------------------------
+  private def buildAggregate(
+      filtered: DataFrame,
+      ast: StageAst,
+      sel: SelectSpec,
+      classified: Seq[(SelectItem, Option[Aggregates.Item])],
+      tr: ExprTranslator): DataFrame = {
+    if (ast.orderBy.isDefined)
+      Errors.parsing("ORDER BY is not allowed in aggregate queries (group keys define the output order)")
+    if (sel.distinct || sel.distinctCount)
+      Errors.parsing("DISTINCT is not allowed in aggregate queries")
+
+    val groupKeys: Seq[Column] =
+      ast.groupBy.getOrElse(Seq.empty).map(k => expr(tr.translate(k)))
+
+    // name each output column (alias > source passthrough > colN)
+    val named = classified.zipWithIndex.map { case ((item, cls), idx) =>
+      val outName = outputName(item, idx, tr)
+      val c = cls match {
+        case Some(Aggregates.Item(_, Some(aggSql))) => expr(aggSql)
+        case Some(Aggregates.Item(_, None)) =>
+          // non-aggregate column in an aggregate query must be
+          // group-constant (ConstGroupVerifier, rbql_engine.py:461-474)
+          val e = expr(tr.translate(item.rawExpr))
+          when(count_distinct(e) > 1,
+            raise_error(lit(s"Non-constant values in output column $idx detected in aggregate query (column must be group-constant)")))
+            .otherwise(first(e, ignoreNulls = false))
+        case None => Errors.parsing("Star expansion is not allowed in aggregate queries")
+      }
+      c.alias(outName)
+    }
+
+    if (groupKeys.nonEmpty) {
+      // alias keys to reserved names so key/output name collisions are
+      // impossible; result rows sorted by group key
+      // (AggregateWriter.finish, rbql_engine.py:566-572), keys dropped after
+      val aliasedKeys = groupKeys.zipWithIndex.map { case (k, i) =>
+        k.alias(s"__graft_gk$i")
+      }
+      filtered.groupBy(aliasedKeys.toIndexedSeq: _*)
+        .agg(named.head, named.tail.toIndexedSeq: _*)
+        .orderBy(groupKeys.indices.map(i => col(s"__graft_gk$i").asc).toIndexedSeq: _*)
+        .drop(groupKeys.indices.map(i => s"__graft_gk$i").toIndexedSeq: _*)
+    } else filtered.agg(named.head, named.tail.toIndexedSeq: _*)
+  }
+
+  // ---- plain projection ----------------------------------------------
+  private def buildProjection(
+      filtered: DataFrame,
+      ast: StageAst,
+      sel: SelectSpec,
+      classified: Seq[(SelectItem, Option[Aggregates.Item])],
+      isStar: String => Option[Seq[(String, Column)]],
+      tr: ExprTranslator): DataFrame = {
+
+    // UNNEST: exactly one per query (rbql_engine.py:843)
+    var unnestSeen = false
+
+    val outPairs: Seq[(String, Column)] = classified.zipWithIndex.flatMap {
+      case ((item, cls), idx) =>
+        isStar(item.rawExpr) match {
+          case Some(cols) => cols
+          case None =>
+            // use the polymorphic-rewritten text (min/max 2+args → least/
+            // greatest) from classification, not the original raw
+            val itemText = cls.map(_.raw).getOrElse(item.rawExpr)
+            val (colExpr, fromUnnest) = buildItemColumn(itemText, tr)
+            if (fromUnnest) {
+              if (unnestSeen) Errors.parsing("Only one UNNEST is allowed per query")
+              unnestSeen = true
+            }
+            Seq((outputName(item, idx, tr), colExpr))
+        }
+    }
+    // uniquify duplicate output names (select a1, a1) — suffix
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val uniq = outPairs.map { case (n, c) =>
+      val k = seen.getOrElse(n, 0)
+      seen(n) = k + 1
+      if (k == 0) c.alias(n) else c.alias(s"${n}_$k")
+    }
+
+    // hidden sort keys (ORDER BY may reference input variables that are not
+    // selected — compute them pre-projection)
+    val sortKeys = ast.orderBy.getOrElse(Seq.empty)
+    val needHidden = sortKeys.nonEmpty && !sel.distinct && !sel.distinctCount
+    val hiddenCols = if (needHidden) sortKeys.zipWithIndex.map { case (k, i) =>
+      expr(tr.translate(k.expr)).alias(s"__graft_ord$i")
+    } else Seq.empty
+    val nrTie: Seq[Column] =
+      if (needHidden && filtered.columns.contains(NrCol)) Seq(col(NrCol).alias("__graft_ordnr"))
+      else Seq.empty
+
+    var out = filtered.select((uniq ++ hiddenCols ++ nrTie).toIndexedSeq: _*)
+
+    if (sel.distinctCount) {
+      // SELECT DISTINCT COUNT: occurrence count prepended as first column
+      // (UniqCountWriter, rbql_engine.py:518-537)
+      val outs = out.columns.toSeq
+      out = out.groupBy(outs.map(c => col(s"`$c`")): _*).agg(count(lit(1)).alias("count"))
+        .select((col("count") +: outs.map(c => col(s"`$c`"))).toIndexedSeq: _*)
+    } else if (sel.distinct) {
+      out = out.dropDuplicates()
+    }
+
+    if (sortKeys.nonEmpty) {
+      if (needHidden) {
+        val ordCols = sortKeys.zipWithIndex.map { case (k, i) =>
+          val c = col(s"__graft_ord$i"); if (k.asc) c.asc else c.desc
+        } ++ nrTie.headOption.map { _ =>
+          // stable sort: reference reverses the stably-sorted list for DESC
+          // (rbql_engine.py:550-557) → tiebreaker follows the direction
+          val c = col("__graft_ordnr")
+          if (sortKeys.forall(_.asc)) c.asc else c.desc
+        }
+        out = out.orderBy(ordCols.toIndexedSeq: _*)
+          .drop(sortKeys.indices.map(i => s"__graft_ord$i"): _*)
+          .drop("__graft_ordnr")
+      } else {
+        // distinct mode: sort keys must be output columns
+        val ordCols = sortKeys.map { k =>
+          val name = k.expr.trim
+          if (!out.columns.contains(name))
+            Errors.parsing(
+              s"With DISTINCT, ORDER BY keys must be output column names; '$name' is not. Use a pipe stage instead.")
+          if (k.asc) col(s"`$name`").asc else col(s"`$name`").desc
+        }
+        out = out.orderBy(ordCols.toIndexedSeq: _*)
+      }
+    }
+    out
+  }
+
+  /** Build the Column for a non-star select item; returns (col, isUnnest). */
+  private def buildItemColumn(raw: String, tr: ExprTranslator): (Column, Boolean) = {
+    val t = raw.trim
+    val m = """(?i)^unnest\s*\(""".r.findFirstMatchIn(t)
+    if (m.isDefined) {
+      val open = m.get.end - 1
+      var depth = 0; var i = open; var end = -1
+      while (i < t.length && end < 0) {
+        val c = t.charAt(i)
+        if (c == '(') depth += 1
+        else if (c == ')') { depth -= 1; if (depth == 0) end = i + 1 }
+        i += 1
+      }
+      if (end == t.length) {
+        val inner = t.substring(open + 1, end - 1)
+        return (explode(expr(tr.translate(inner))), true)
+      }
+    }
+    (expr(tr.translate(t)), false)
+  }
+
+  /** Output header inference (select_output_header,
+    * rbql_engine.py:1411-1454): alias > passthrough source name > colN. */
+  private def outputName(item: SelectItem, idx: Int, tr: ExprTranslator): String = {
+    item.alias.getOrElse {
+      passthroughName(item.rawExpr, tr).getOrElse(s"col${idx + 1}")
+    }
+  }
+
+  private def passthroughName(raw: String, tr: ExprTranslator): Option[String] = {
+    val t = raw.trim
+    val translated =
+      try tr.translate(t)
+      catch { case _: GraftError => return None }
+    """^graft_[ab]\.`(.*)`$""".r.findFirstMatchIn(translated.trim)
+      .map(_.group(1).replace("``", "`"))
+  }
+
+  private def applyOrderBySimple(df: DataFrame, ast: StageAst, tr: ExprTranslator): DataFrame =
+    ast.orderBy match {
+      case Some(keys) =>
+        df.orderBy(keys.map { k =>
+          val name = k.expr.trim
+          val c = if (df.columns.contains(name)) col(s"`$name`") else expr(tr.translate(k.expr))
+          if (k.asc) c.asc else c.desc
+        }.toIndexedSeq: _*)
+      case None => df
+    }
+}

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+class EngineSmokeSpec extends SparkSpec {
+
+  test("select with where, order by, top") {
+    val out = Graft.query(spark,
+      "SELECT TOP 3 a.n_name, a.n_regionkey WHERE a.n_regionkey == 1 ORDER BY a.n_name DESC",
+      sf("nation"))
+    val rows = out.collect()
+    assert(rows.length <= 3)
+    assert(out.columns.toSeq == Seq("n_name", "n_regionkey"))
+    val names = rows.map(_.getString(0)).toSeq
+    assert(names == names.sorted.reverse)
+  }
+
+  test("positional variables and computed column naming") {
+    val out = Graft.query(spark, "SELECT a2, a1 * 2, a1 AS rk", sf("region"))
+    assert(out.columns.toSeq == Seq("r_name", "col2", "rk"))
+    assert(out.count() == sf("region").count())
+  }
+
+  test("star expansion") {
+    val out = Graft.query(spark, "SELECT *", sf("region"))
+    assert(out.columns.toSeq == sf("region").columns.toSeq)
+  }
+
+  test("group by with aggregates") {
+    val out = Graft.query(spark,
+      "SELECT COUNT(*) AS cnt, SUM(a.l_quantity) AS sq, a.l_returnflag GROUP BY a.l_returnflag",
+      sf("lineitem"))
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(out.columns.toSeq == Seq("cnt", "sq", "l_returnflag"))
+    // sorted by group key
+    val flags = rows.map(_.getString(2)).toSeq
+    assert(flags == flags.sorted)
+  }
+
+  test("global aggregate without group by") {
+    val out = Graft.query(spark, "SELECT COUNT(*) AS n, MAX(a.l_quantity) AS mx", sf("lineitem"))
+    val r = out.collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) > 0)
+  }
+
+  test("join inner") {
+    val out = Graft.query(spark,
+      "SELECT a.n_name, b.r_name JOIN region ON a.n_regionkey == b.r_regionkey",
+      sf("nation"), Map("region" -> sf("region")))
+    assert(out.count() == sf("nation").count())
+  }
+
+  test("left join keeps unmatched") {
+    val out = Graft.query(spark,
+      "SELECT a.c_name, b.o_orderkey LEFT JOIN orders ON a.c_custkey == b.o_custkey",
+      sf("customer"), Map("orders" -> sf("orders")))
+    assert(out.count() >= sf("customer").count())
+  }
+
+  test("distinct") {
+    val out = Graft.query(spark, "SELECT DISTINCT a.l_returnflag", sf("lineitem"))
+    val n = out.count()
+    assert(n > 0 && n <= 3)
+  }
+
+  test("distinct count prepends count column") {
+    val out = Graft.query(spark, "SELECT DISTINCT COUNT a.l_returnflag", sf("lineitem"))
+    assert(out.columns.head == "count")
+    assert(out.count() <= 3)
+  }
+
+  test("update is conditional projection over all rows") {
+    val out = Graft.query(spark,
+      "UPDATE a.r_name = 'EU' WHERE a.r_regionkey == 1", sf("region"))
+    assert(out.count() == sf("region").count())
+    assert(out.columns.toSeq == sf("region").columns.toSeq)
+    val updated = out.filter("r_name = 'EU'").count()
+    assert(updated == 1)
+  }
+
+  test("except with unknown column errors") {
+    intercept[graft.engine.ParsingError] {
+      Graft.query(spark, "SELECT EXCEPT a.n_comment_missing_ok, a.n_regionkey", sf("nation"))
+    }
+  }
+
+  test("except with real columns") {
+    val out = Graft.query(spark, "SELECT EXCEPT a.n_regionkey", sf("nation"))
+    assert(out.columns.toSeq == Seq("n_nationkey", "n_name"))
+  }
+
+  test("NR variable") {
+    val out = Graft.query(spark, "SELECT NR, a.r_name WHERE NR <= 2", sf("region"))
+    val rows = out.collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("NF variable") {
+    val out = Graft.query(spark, "SELECT NF LIMIT 1", sf("region"))
+    assert(out.collect()(0).getInt(0) == 2)
+  }
+
+  test("unnest explodes") {
+    val out = Graft.query(spark,
+      "SELECT a.r_name, UNNEST(split(a.r_name, 'A')) AS piece", sf("region"))
+    assert(out.count() >= sf("region").count())
+  }
+
+  test("pipe chaining") {
+    val out = Graft.query(spark,
+      "SELECT a.l_returnflag, a.l_quantity WHERE a.l_quantity > 10 " +
+        "| SELECT COUNT(*) AS c, a.l_returnflag GROUP BY a.l_returnflag",
+      sf("lineitem"))
+    assert(out.columns.toSeq == Seq("c", "l_returnflag"))
+    assert(out.count() > 0)
+  }
+
+  test("nested aggregate is rejected") {
+    val e = intercept[graft.engine.ParsingError] {
+      Graft.query(spark, "SELECT MAX(a.l_quantity) / 1000 GROUP BY a.l_returnflag", sf("lineitem")).collect()
+    }
+    assert(e.getMessage.contains("Aggregate"))
+  }
+
+  test("polymorphic max with two args is scalar") {
+    val out = Graft.query(spark, "SELECT max(a.l_quantity, a.l_discount) AS m", sf("lineitem"))
+    assert(out.count() == sf("lineitem").count())
+  }
+
+  test("where with single = is rejected") {
+    intercept[graft.engine.ParsingError] {
+      Graft.query(spark, "SELECT a1 WHERE a.r_name = 'AFRICA'", sf("region"))
+    }
+  }
+
+  test("like operator works") {
+    val out = Graft.query(spark, "SELECT a.r_name WHERE a.r_name LIKE 'A%'", sf("region"))
+    assert(out.count() == 3) // AFRICA, AMERICA, ASIA
+  }
+
+  test("strict left join fails on missing match") {
+    val e = intercept[Exception] {
+      Graft.query(spark,
+        "SELECT a.c_name, b.o_orderkey STRICT LEFT JOIN orders ON a.c_custkey == b.o_custkey",
+        sf("customer"), Map("orders" -> sf("orders"))).collect()
+    }
+  }
+
+  test("in-memory queryTable") {
+    val rows = Graft.queryTable(spark,
+      "SELECT a1, a2 WHERE a2 == 'x' ORDER BY a1",
+      Seq(Seq("3", "x"), Seq("1", "x"), Seq("2", "y")))
+    assert(rows == Seq(Seq("1", "x"), Seq("3", "x")))
+  }
+}
