@@ -1,13 +1,418 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry routes through the graft engine (RBQL clause grammar with
+  * Spark SQL expressions) against the driver-generated parquet tables;
+  * `oracleSql` holds the DuckDB-equivalent ANSI SQL for the hash compare.
+  * All queries are deterministically ordered on both sides, and
+  * order-sensitive float aggregates are rounded identically on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def all(s: SparkSession, dir: String): Map[String, DataFrame] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings")
+      .map(n => n -> t(s, dir, n)).toMap
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Graft.query(spark,
+      "SELECT a.l_returnflag, a.l_linestatus, COUNT(*) AS cnt, " +
+        "SUM(a.l_quantity) AS sum_qty GROUP BY a.l_returnflag, a.l_linestatus",
+      t(spark, "/root/testdata/sf0.001", "lineitem"))
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.3 projection + §2.4 WHERE + §2.7 ORDER BY
+    "q_select_where" -> ((s, dir) => Graft.query(s,
+      "SELECT a.l_orderkey, a.l_linenumber, a.l_quantity, a.l_extendedprice " +
+        "WHERE a.l_quantity > 45 ORDER BY a.l_orderkey, a.l_linenumber",
+      t(s, dir, "lineitem"))),
+
+    // §2.7 TOP with multi-key mixed-direction sort
+    "q_top" -> ((s, dir) => Graft.query(s,
+      "SELECT TOP 100 a.l_orderkey, a.l_linenumber, a.l_extendedprice " +
+        "ORDER BY a.l_extendedprice DESC, a.l_orderkey, a.l_linenumber",
+      t(s, dir, "lineitem"))),
+
+    // §2.6 GROUP BY + COUNT/SUM/MIN/MAX/AVG (output sorted by group key)
+    "q_agg_group" -> ((s, dir) => Graft.query(s,
+      "SELECT a.l_returnflag, a.l_linestatus, COUNT(*) AS cnt, " +
+        "SUM(a.l_quantity) AS sum_qty, MIN(a.l_extendedprice) AS min_price, " +
+        "MAX(a.l_extendedprice) AS max_price, AVG(a.l_discount) AS avg_disc " +
+        "GROUP BY a.l_returnflag, a.l_linestatus",
+      t(s, dir, "lineitem"))
+      .withColumn("avg_disc", round(col("avg_disc"), 6))),
+
+    // §2.6 global aggregation (no GROUP BY)
+    "q_agg_global" -> ((s, dir) => Graft.query(s,
+      "SELECT COUNT(*) AS n_rows, MAX(a.o_totalprice) AS max_price, " +
+        "MIN(a.o_custkey) AS min_cust",
+      t(s, dir, "orders"))),
+
+    // §2.6 MEDIAN (exact) + VARIANCE (population)
+    "q_median_var" -> ((s, dir) => Graft.query(s,
+      "SELECT a.l_returnflag, MEDIAN(a.l_quantity) AS med_qty, " +
+        "VARIANCE(a.l_discount) AS var_disc GROUP BY a.l_returnflag",
+      t(s, dir, "lineitem"))
+      .withColumn("var_disc", round(col("var_disc"), 8))),
+
+    // §2.6 ANY_VALUE (deterministic: single-row groups)
+    "q_any_value" -> ((s, dir) => Graft.query(s,
+      "SELECT a.n_nationkey, ANY_VALUE(a.n_name) AS name GROUP BY a.n_nationkey",
+      t(s, dir, "nation"))),
+
+    // §2.6 ARRAY_AGG (sorted on both sides for determinism)
+    "q_array_agg" -> ((s, dir) => Graft.query(s,
+      "SELECT a.n_regionkey, ARRAY_AGG(a.n_name) AS names GROUP BY a.n_regionkey",
+      t(s, dir, "nation"))
+      .withColumn("names", sort_array(col("names")))),
+
+    // §2.5 inner JOIN
+    "q_join_inner" -> ((s, dir) => Graft.query(s,
+      "SELECT a.s_suppkey, a.s_name, b.n_name JOIN nation " +
+        "ON a.s_nationkey == b.n_nationkey ORDER BY a.s_suppkey",
+      t(s, dir, "supplier"), all(s, dir))),
+
+    // §2.5 LEFT JOIN (unmatched A rows null-padded)
+    "q_join_left" -> ((s, dir) => Graft.query(s,
+      "SELECT a.c_custkey, b.o_orderkey LEFT JOIN orders " +
+        "ON a.c_custkey == b.o_custkey ORDER BY a.c_custkey, b.o_orderkey",
+      t(s, dir, "customer"), all(s, dir))),
+
+    // §2.5 STRICT LEFT JOIN (cardinality-checked; every supplier has
+    // exactly one nation)
+    "q_strict_left" -> ((s, dir) => Graft.query(s,
+      "SELECT a.s_suppkey, b.n_name STRICT LEFT JOIN nation " +
+        "ON a.s_nationkey == b.n_nationkey ORDER BY a.s_suppkey",
+      t(s, dir, "supplier"), all(s, dir))),
+
+    // §2.3 UPDATE (projection-as-mutation; all rows emitted, input order)
+    "q_update" -> ((s, dir) => Graft.query(s,
+      "UPDATE a.p_retailprice = a.p_retailprice * 1.1 WHERE a.p_size > 30",
+      t(s, dir, "part"))),
+
+    // §2.3 SELECT EXCEPT (column exclusion)
+    "q_except" -> ((s, dir) => Graft.query(s,
+      "SELECT EXCEPT a.o_orderdate, a.o_orderpriority ORDER BY o_orderkey",
+      t(s, dir, "orders"))),
+
+    // §2.7 SELECT DISTINCT
+    "q_distinct" -> ((s, dir) => Graft.query(s,
+      "SELECT DISTINCT a.l_returnflag, a.l_linestatus " +
+        "ORDER BY l_returnflag, l_linestatus",
+      t(s, dir, "lineitem"))),
+
+    // §2.7 SELECT DISTINCT COUNT (occurrence count prepended)
+    "q_distinct_count" -> ((s, dir) => Graft.query(s,
+      "SELECT DISTINCT COUNT a.o_orderpriority ORDER BY o_orderpriority",
+      t(s, dir, "orders"))),
+
+    // §2.8 UNNEST (lateral explode) + pipe for deterministic order
+    "q_unnest" -> ((s, dir) => Graft.query(s,
+      "SELECT a.p_partkey, UNNEST(split(a.p_type, ' ')) AS word " +
+        "WHERE a.p_partkey <= 200 | SELECT a.p_partkey, a.word " +
+        "ORDER BY a.p_partkey, a.word",
+      t(s, dir, "part"))),
+
+    // §2.8 pipe chaining (filter stage | aggregate stage)
+    "q_pipe" -> ((s, dir) => Graft.query(s,
+      "SELECT a.l_returnflag, a.l_quantity WHERE a.l_quantity > 30 " +
+        "| SELECT a.l_returnflag, COUNT(*) AS cnt GROUP BY a.l_returnflag",
+      t(s, dir, "lineitem"))),
+
+    // §2.4 LIKE
+    "q_like" -> ((s, dir) => Graft.query(s,
+      "SELECT a.p_partkey, a.p_type WHERE a.p_type LIKE '%COPPER' " +
+        "ORDER BY a.p_partkey",
+      t(s, dir, "part"))),
+
+    // host-language expressions: scalar functions + CASE
+    "q_scalar_case" -> ((s, dir) => Graft.query(s,
+      "SELECT a.o_orderkey, upper(a.o_orderstatus) AS status_u, " +
+        "CASE WHEN a.o_totalprice > 200000 THEN 'big' " +
+        "WHEN a.o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS bucket " +
+        "ORDER BY a.o_orderkey",
+      t(s, dir, "orders"))),
+
+    // §1.1 NR record-number variable (assigned in file order, pre-shuffle)
+    "q_nr" -> ((s, dir) => Graft.query(s,
+      "SELECT NR AS rn, a.l_orderkey, a.l_linenumber WHERE NR <= 1000 ORDER BY NR",
+      t(s, dir, "lineitem"))),
+
+    // events table aggregation
+    "q_events_agg" -> ((s, dir) => Graft.query(s,
+      "SELECT a.event_type, COUNT(*) AS cnt, SUM(a.value) AS sv " +
+        "GROUP BY a.event_type",
+      t(s, dir, "events"))
+      .withColumn("sv", round(col("sv"), 4))),
+
+    // JSON extraction from the events props column
+    "q_json" -> ((s, dir) => Graft.query(s,
+      "SELECT a.event_id, get_json_object(a.props, '$.k') AS k " +
+        "WHERE a.event_id < 100 ORDER BY a.event_id",
+      t(s, dir, "events"))),
+
+    // ---- LLM-pipeline operators (graft.pipeline) ---------------------
+    // exact dedup groups (hash-groupBy, keep lowest id)
+    "q_dedup_exact" -> ((s, dir) =>
+      pipeline.Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("h")),
+
+    // token-set-normalized dedup key (near-dup grouping key)
+    "q_dedup_tokenset" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(pipeline.TextAnalysis.tokenSetKey(col("text")).alias("h"))
+        .agg(count(lit(1)).alias("cnt"), min(col("doc_id")).alias("keep_id"))
+        .orderBy("h")),
+
+    // text analysis: token count, quality score, language id, fingerprint
+    "q_text_stats" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        pipeline.TextAnalysis.tokenCount(col("text")).alias("n_tokens"),
+        pipeline.TextAnalysis.qualityScore(col("text")).alias("quality"),
+        pipeline.TextAnalysis.langId(col("text")).alias("lang_pred"),
+        pipeline.TextAnalysis.fingerprint(col("text")).alias("fp"))
+        .orderBy("doc_id")),
+
+    // MinHash-LSH near-dup pairs, exact-Jaccard verified (k=3 shingles)
+    "q_minhash_pairs" -> ((s, dir) =>
+      pipeline.Dedup.minhashDupPairs(t(s, dir, "documents"), "text", "doc_id",
+        k = 3, bands = 16, rows = 4, jaccardThreshold = 0.7)
+        .orderBy("id_a", "id_b")),
+
+    // inverted-index n-gram Jaccard pairs (k=2, no frequency cutoff so the
+    // duckdb oracle can replicate exactly)
+    "q_ngram_pairs" -> ((s, dir) =>
+      pipeline.Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+        k = 2, threshold = 0.8, maxShingleFreq = 1000000)
+        .orderBy("id_a", "id_b")),
+
+    // SimHash fingerprints (xxhash64 bit-votes — no SQL oracle, rows-only)
+    "q_simhash" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        pipeline.Dedup.simhash64(col("text")).alias("sh"))
+        .orderBy("doc_id")),
+
+    // embedding cosine scores vs the vec_id=0 vector (brute-force baseline)
+    "q_embed_scores" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      pipeline.Similarity.scoreAll(emb, "embedding", q)
+        .filter(col("vec_id") < 200)
+        .select(col("vec_id"), round(col("score"), 6).alias("score"))
+        .orderBy("vec_id")
+    }),
+
+    // embedding near-dup pairs via multi-table hyperplane LSH + exact
+    // cosine ≥ 0.95 (none exist in this corpus — empty on both sides)
+    "q_embed_dups" -> ((s, dir) =>
+      pipeline.Dedup.embeddingDupPairs(t(s, dir, "embeddings"),
+        "embedding", "vec_id", threshold = 0.95)
+        .orderBy("id_a", "id_b")),
+
+    // ANN top-k (LSH multiprobe; approximate by design — rows-only check)
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      pipeline.Similarity.lshTopK(emb, "embedding", "vec_id", q, k = 10)
+    })
+  )
+
+  /** DuckDB-equivalent SQL per query (same column names + order). */
+  def oracleSql: Map[String, String] = Map(
+    "q_select_where" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         FROM lineitem WHERE l_quantity > 45
+         ORDER BY l_orderkey, l_linenumber""",
+    "q_top" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""",
+    "q_agg_group" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+         sum(l_quantity) AS sum_qty, min(l_extendedprice) AS min_price,
+         max(l_extendedprice) AS max_price,
+         round(avg(l_discount), 6) AS avg_disc
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_agg_global" ->
+      """SELECT count(*) AS n_rows, max(o_totalprice) AS max_price,
+         min(o_custkey) AS min_cust FROM orders""",
+    "q_median_var" ->
+      """SELECT l_returnflag, median(l_quantity) AS med_qty,
+         round(var_pop(l_discount), 8) AS var_disc
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_any_value" ->
+      """SELECT n_nationkey, min(n_name) AS name FROM nation
+         GROUP BY n_nationkey ORDER BY n_nationkey""",
+    "q_array_agg" ->
+      """SELECT n_regionkey, list_sort(list(n_name)) AS names FROM nation
+         GROUP BY n_regionkey ORDER BY n_regionkey""",
+    "q_join_inner" ->
+      """SELECT s_suppkey, s_name, n_name FROM supplier
+         JOIN nation ON s_nationkey = n_nationkey ORDER BY s_suppkey""",
+    "q_join_left" ->
+      """SELECT c_custkey, o_orderkey FROM customer
+         LEFT JOIN orders ON c_custkey = o_custkey
+         ORDER BY c_custkey, o_orderkey NULLS FIRST""",
+    "q_strict_left" ->
+      """SELECT s_suppkey, n_name FROM supplier
+         JOIN nation ON s_nationkey = n_nationkey ORDER BY s_suppkey""",
+    "q_update" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size,
+         CASE WHEN p_size > 30 THEN p_retailprice * 1.1
+         ELSE p_retailprice END AS p_retailprice FROM part""",
+    "q_except" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         FROM orders ORDER BY o_orderkey""",
+    "q_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_distinct_count" ->
+      """SELECT count(*) AS count, o_orderpriority FROM orders
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_unnest" ->
+      """SELECT p_partkey, unnest(string_split(p_type, ' ')) AS word
+         FROM part WHERE p_partkey <= 200 ORDER BY p_partkey, word""",
+    "q_pipe" ->
+      """SELECT l_returnflag, count(*) AS cnt FROM
+         (SELECT l_returnflag, l_quantity FROM lineitem WHERE l_quantity > 30)
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_like" ->
+      """SELECT p_partkey, p_type FROM part WHERE p_type LIKE '%COPPER'
+         ORDER BY p_partkey""",
+    "q_scalar_case" ->
+      """SELECT o_orderkey, upper(o_orderstatus) AS status_u,
+         CASE WHEN o_totalprice > 200000 THEN 'big'
+         WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS bucket
+         FROM orders ORDER BY o_orderkey""",
+    "q_nr" ->
+      """SELECT rn, l_orderkey, l_linenumber FROM
+         (SELECT row_number() OVER () AS rn, l_orderkey, l_linenumber
+          FROM lineitem) WHERE rn <= 1000 ORDER BY rn""",
+    "q_events_agg" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sv
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_json" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k
+         FROM events WHERE event_id < 100 ORDER BY event_id""",
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keep_id
+         FROM documents GROUP BY md5(text) ORDER BY h""",
+    "q_dedup_tokenset" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(
+           string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS h,
+         count(*) AS cnt, min(doc_id) AS keep_id
+         FROM documents GROUP BY 1 ORDER BY h""",
+    "q_text_stats" ->
+      """WITH b AS (
+           SELECT doc_id, trim(text) AS tx,
+             string_split_regex(trim(text), '\s+') AS toks,
+             string_split_regex(trim(lower(text)), '\s+') AS ltoks
+           FROM documents),
+         m AS (
+           SELECT doc_id, tx, toks,
+             len(toks)::DOUBLE AS n,
+             len(list_distinct(toks))::DOUBLE AS nd,
+             length(regexp_replace(tx, '\s+', '', 'g'))::DOUBLE AS nc,
+             (CASE WHEN list_contains(ltoks,'der') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(ltoks,'die') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(ltoks,'und') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(ltoks,'das') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(ltoks,'ist') THEN 1 ELSE 0 END) AS s_de,
+             (CASE WHEN list_contains(ltoks,'the') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(ltoks,'a') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(ltoks,'of') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(ltoks,'and') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(ltoks,'is') THEN 1 ELSE 0 END) AS s_en,
+             (CASE WHEN list_contains(ltoks,'el') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(ltoks,'la') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(ltoks,'de') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(ltoks,'los') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(ltoks,'que') THEN 1 ELSE 0 END) AS s_es,
+             (CASE WHEN list_contains(ltoks,'le') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(ltoks,'la') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(ltoks,'et') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(ltoks,'les') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(ltoks,'des') THEN 1 ELSE 0 END) AS s_fr
+           FROM b)
+         SELECT doc_id, n::BIGINT AS n_tokens,
+           floor((0.4 * least(1.0, n/100.0) + 0.3 * (nd/n)
+                 + 0.3 * least(1.0, (nc/n)/8.0)) * 1e6 + 0.5) / 1e6 AS quality,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred,
+           md5(regexp_replace(lower(tx), '\s+', ' ', 'g')) AS fp
+         FROM m ORDER BY doc_id""",
+    "q_minhash_pairs" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(tk) < 3
+             THEN [array_to_string(tk, ' ')]
+             ELSE list_transform(generate_series(1, len(tk)-2),
+                    i -> array_to_string(tk[i:i+2], ' ')) END) AS s
+           FROM toks)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.s, b.s))::DOUBLE /
+             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+           (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
+         ORDER BY id_a, id_b""",
+    "q_ngram_pairs" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(tk) < 2
+             THEN [array_to_string(tk, ' ')]
+             ELSE list_transform(generate_series(1, len(tk)-1),
+                    i -> array_to_string(tk[i:i+1], ' ')) END) AS s
+           FROM toks)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.s, b.s))::DOUBLE /
+             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+           (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+         ORDER BY id_a, id_b""",
+    "q_embed_scores" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id, round(
+           list_sum(list_transform(generate_series(1, len(embedding)),
+             i -> embedding[i]::DOUBLE * qe[i]::DOUBLE)) /
+           (sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+             i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) *
+            sqrt(list_sum(list_transform(generate_series(1, len(qe)),
+             i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))), 6) AS score
+         FROM embeddings, q WHERE vec_id < 200 ORDER BY vec_id""",
+    "q_embed_dups" ->
+      """WITH n AS (SELECT vec_id, embedding,
+           sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+             i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+           FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_sum(list_transform(generate_series(1, len(a.embedding)),
+             i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+             / (a.nrm * b.nrm), 6) AS cosine
+         FROM n a JOIN n b ON a.vec_id < b.vec_id
+         WHERE list_sum(list_transform(generate_series(1, len(a.embedding)),
+             i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+             / (a.nrm * b.nrm) >= 0.95
+         ORDER BY id_a, id_b"""
+  )
 }

@@ -426,6 +426,7 @@ object PlanBuilder {
 
   private def passthroughName(raw: String, tr: ExprTranslator): Option[String] = {
     val t = raw.trim
+    if (t == "NR" || t == "NF") return Some(t)
     val translated =
       try tr.translate(t)
       catch { case _: GraftError => return None }

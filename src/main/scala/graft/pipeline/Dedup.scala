@@ -1,0 +1,212 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-scale corpora.
+  *
+  * Scale design: every variant is one-or-two hash-partitioned shuffles on a
+  * compact key (never a cross join). Candidate generation is LSH-banded so
+  * the pairwise work is confined to same-bucket groups; exact verification
+  * runs only on candidates. All hashing is Spark's codegen'd xxhash64 /
+  * murmur3 — no UDFs anywhere.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash, keep the lowest id.
+    * One shuffle on a 128-bit key; at 100 TB this is the cheapest possible
+    * formulation (hash first, never shuffle the full text twice). */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).alias("h"))
+      .agg(count(lit(1)).alias("cnt"), min(col(idCol)).alias("keep_id"))
+
+  /** Exact dedup returning the surviving rows only. */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Word k-shingles of the whitespace-tokenized text. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(lower(text))
+    when(size(toks) < k, array(array_join(toks, " ")))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - k),
+        i => array_join(slice(toks, i + 1, lit(k)), " ")))
+  }
+
+  /** MinHash signature: `n` independent min-hashes over the shingle set.
+    * hash(shingle, seed) via murmur3 with per-function seed column — all
+    * inside one codegen'd projection, no explode. */
+  def minhashSignature(shingleCol: Column, n: Int = 64): Column =
+    transform(sequence(lit(0), lit(n - 1)),
+      i => array_min(transform(shingleCol, s => hash(s, i))))
+
+  /** LSH banding: split the signature into `bands` bands and hash each —
+    * docs sharing any band hash become candidates. */
+  def bandHashes(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.alias("band"),
+        hash(array_join(slice(sig, b * rows + 1, lit(rows)), ",")).alias("bh")))
+
+  /** MinHash-LSH candidate pairs with exact Jaccard verification.
+    *
+    * numHashes = bands·rows. Threshold t ≈ (1/bands)^(1/rows).
+    * Pipeline: signature (map-only) → explode bands (×bands) → shuffle on
+    * (band, bandhash) → same-bucket pairing → exact Jaccard on shingle
+    * sets → distinct pairs. Bucket join replaces the O(n²) cross join.
+    */
+  def minhashDupPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 3,
+      bands: Int = 16,
+      rows: Int = 4,
+      jaccardThreshold: Double = 0.7): DataFrame = {
+    val n = bands * rows
+    // Shingle/signature expressions are higher-order functions (interpreted,
+    // not codegen'd) — every reuse below goes through a shuffle barrier so
+    // CollapseProject can never inline them into a join condition or pair
+    // projection (which would re-evaluate them per candidate pair).
+    val shDf = df.select(col(idCol).alias("id"),
+      shingles(col(textCol), k).alias("sh"))
+      .repartition(col("id"))
+    val buckets = shDf
+      .select(col("id"),
+        explode(bandHashes(minhashSignature(col("sh"), n), bands, rows))
+          .alias("b"))
+      .select(col("id"), col("b.band").alias("band"), col("b.bh").alias("bh"))
+      .repartition(col("band"), col("bh"))
+    // candidate pairs carry ids only — the heavy shingle arrays are joined
+    // back by id afterwards (one extra shuffle of (id, sh), not an inline)
+    val l = buckets.alias("l")
+    val r = buckets.alias("r")
+    val candidates = l.join(r,
+      col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").alias("id_a"), col("r.id").alias("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val shA = shDf.select(col("id").alias("id_a"), col("sh").alias("sh_a"))
+    val shB = shDf.select(col("id").alias("id_b"), col("sh").alias("sh_b"))
+    candidates.join(shA, "id_a").join(shB, "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).alias("jaccard"))
+  }
+
+  /** Exact Jaccard over two shingle arrays (set semantics). */
+  def jaccard(a: Column, b: Column): Column = {
+    val ad = array_distinct(a)
+    val bd = array_distinct(b)
+    val inter = size(array_intersect(ad, bd)).cast("double")
+    inter / (size(ad) + size(bd) - inter)
+  }
+
+  /** 64-bit SimHash fingerprint: per-token xxhash64, bit-majority vote.
+    * Pure fold over the token array (aggregate + zip_with) — codegen'd,
+    * no explode, no shuffle. */
+  def simhash64(text: Column): Column = {
+    val toks = array_distinct(TextAnalysis.tokens(lower(text)))
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (a, k) => a + when(call_function("shiftright", h, k).bitwiseAND(1) === 1, 1).otherwise(-1))
+      })
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, k) => when(v > 0, call_function("shiftleft", lit(1L), k)).otherwise(lit(0L))),
+      lit(0L), (acc, bit) => acc.bitwiseOR(bit))
+  }
+
+  /** SimHash near-dup pairs: pigeonhole-banded on 4×16-bit chunks (any
+    * pair at Hamming distance ≤ 3 must agree on at least one chunk), then
+    * exact Hamming verification via bit_count(xor). */
+  def simhashDupPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val base = df.select(col(idCol).alias("id"),
+      simhash64(col(textCol)).alias("sh"))
+    val chunked = base.withColumn("chunk",
+      explode(transform(sequence(lit(0), lit(3)),
+        c => struct(c.alias("ci"),
+          call_function("shiftright", col("sh"), c * 16).bitwiseAND(0xFFFF).alias("cv")))))
+      .select(col("id"), col("sh"),
+        col("chunk.ci").alias("ci"), col("chunk.cv").alias("cv"))
+      // barrier: simhash64 is an interpreted fold — materialize before the
+      // self-join so it is never re-evaluated per candidate pair
+      .repartition(col("ci"), col("cv"))
+    val l = chunked.alias("l")
+    val r = chunked.alias("r")
+    l.join(r, col("l.ci") === col("r.ci") && col("l.cv") === col("r.cv") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").alias("id_a"), col("r.id").alias("id_b"),
+        bit_count(col("l.sh").bitwiseXOR(col("r.sh"))).alias("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** N-gram-Jaccard dup pairs via inverted-index join: explode shingles,
+    * join on shared shingle (with a hot-shingle frequency cutoff so a
+    * stop-shingle can't quadratically blow up a bucket), count shared,
+    * compute exact Jaccard. The standard scalable formulation. */
+  def ngramJaccardPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, threshold: Double = 0.8,
+      maxShingleFreq: Int = 1000): DataFrame = {
+    val base = df.select(col(idCol).alias("id"),
+      array_distinct(shingles(col(textCol), k)).alias("sh"))
+      .withColumn("nsh", size(col("sh")))
+    val inv = base.select(col("id"), col("nsh"), explode(col("sh")).alias("s"))
+    val rare = inv.groupBy("s").agg(count(lit(1)).alias("f"))
+      .filter(col("f") <= maxShingleFreq)
+    val invR = inv.join(rare, "s")
+    val l = invR.alias("l")
+    val r = invR.alias("r")
+    l.join(r, col("l.s") === col("r.s") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").alias("id_a"), col("r.id").alias("id_b"),
+        col("l.nsh").alias("na"), col("r.nsh").alias("nb"))
+      .agg(count(lit(1)).alias("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).alias("jaccard"))
+  }
+
+  /** Embedding near-dup pairs: cosine ≥ threshold, LSH-bucketed by random
+    * hyperplane signs (deterministic seeded planes), verified by exact
+    * cosine. Uses `tables` independent hash tables of `planes` planes each
+    * (union of bucket joins) — for cosine ≥ 0.95 and 4×4 the candidate
+    * recall is ≈0.99; raise `tables` for stricter recall targets. */
+  def embeddingDupPairs(
+      df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double = 0.95, planes: Int = 4, tables: Int = 4,
+      seed: Long = 42): DataFrame = {
+    val base = df.select(col(idCol).alias("id"), col(vecCol).alias("v"))
+      .withColumn("tsig", explode(transform(
+        sequence(lit(0), lit(tables - 1)),
+        t => struct(t.alias("tbl"),
+          Similarity.hyperplaneSignature(col("v"), planes, seed, t)
+            .alias("sig")))))
+      .select(col("id"), col("v"),
+        col("tsig.tbl").alias("tbl"), col("tsig.sig").alias("sig"))
+      // barrier: hyperplane signatures are interpreted folds — materialize
+      // before the self-join (same shuffle the bucket join needs anyway)
+      .repartition(col("tbl"), col("sig"))
+    val l = base.alias("l")
+    val r = base.alias("r")
+    l.join(r, col("l.tbl") === col("r.tbl") && col("l.sig") === col("r.sig") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").alias("id_a"), col("r.id").alias("id_b"),
+        col("l.v").alias("va"), col("r.v").alias("vb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).alias("cosine"))
+  }
+}

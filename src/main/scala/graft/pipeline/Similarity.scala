@@ -1,0 +1,96 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k — a single scan + TakeOrdered, the
+  * right shape for one-off queries at any scale.
+  * Scale path: LSH (random hyperplanes) bucketing so repeated queries and
+  * all-pairs workloads only touch matching buckets (an IVF-style coarse
+  * quantization would slot in the same way: replace the signature with a
+  * centroid id).
+  * All math is codegen'd column expressions (zip_with/aggregate) — no UDFs.
+  */
+object Similarity {
+
+  /** Dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic pseudo-random hyperplane component: plane p, dim i,
+    * derived from a seeded hash, mapped to [-1, 1). */
+  private def planeComponent(p: Column, i: Column, seed: Long): Column =
+    (hash(p, i, lit(seed)).cast("double") / lit(Int.MaxValue.toDouble))
+
+  /** Signature under a specific hash table id (independent plane set). */
+  def hyperplaneSignature(vec: Column, planes: Int, seed: Long, table: Column): Column = {
+    val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(p + table * planes, i, seed)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, call_function("shiftleft", lit(1), p)).otherwise(lit(0))
+    })
+    aggregate(bits, lit(0), (acc, b) => acc.bitwiseOR(b))
+  }
+
+  /** Sign signature under `planes` random hyperplanes → one integer bucket
+    * id. Buckets split the corpus ~2^planes ways; cosine-close vectors
+    * land in the same bucket with high probability. */
+  def hyperplaneSignature(vec: Column, planes: Int, seed: Long): Column = {
+    val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(p, i, seed)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, call_function("shiftleft", lit(1), p)).otherwise(lit(0))
+    })
+    aggregate(bits, lit(0), (acc, b) => acc.bitwiseOR(b))
+  }
+
+  /** Brute-force cosine scores of every row against one query vector.
+    * Filter/top-k compose on the result (Catalyst turns orderBy+limit into
+    * TakeOrdered — no global sort materialization). */
+  def scoreAll(df: DataFrame, vecCol: String, query: Seq[Float]): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    df.withColumn("score", cosine(col(vecCol), q))
+  }
+
+  /** Brute-force exact top-k neighbors. */
+  def bruteForceTopK(
+      df: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Float], k: Int): DataFrame =
+    scoreAll(df, vecCol, query)
+      .select(col(idCol), round(col("score"), 6).alias("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+
+  /** LSH-bucketed ANN top-k: probe only the query's bucket (plus
+    * multiprobe neighbors at Hamming distance 1 for recall). Falls back to
+    * the full scan only within matching buckets — the 100 TB path. */
+  def lshTopK(
+      df: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Float], k: Int,
+      planes: Int = 8, seed: Long = 42): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    val qSigCol = hyperplaneSignature(q, planes, seed)
+    // multiprobe: query signature plus all 1-bit flips
+    val probes = explode(concat(array(qSigCol),
+      transform(sequence(lit(0), lit(planes - 1)),
+        p => qSigCol.bitwiseXOR(call_function("shiftleft", lit(1), p)))))
+    val probeDf = df.sparkSession.range(1).select(probes.alias("sig"))
+    df.withColumn("sig", hyperplaneSignature(col(vecCol), planes, seed))
+      .join(broadcast(probeDf), "sig")
+      .withColumn("score", cosine(col(vecCol), q))
+      .select(col(idCol), round(col("score"), 6).alias("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

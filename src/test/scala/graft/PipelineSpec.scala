@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline._
+
+class PipelineSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+      (3L, "completely different content about spark catalyst optimizer internals and codegen"),
+      (4L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+      (5L, "unrelated text mentioning embeddings vectors and similarity search topics")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps lowest id per content group") {
+    val groups = Dedup.exactGroups(docs, "text", "doc_id").collect()
+    assert(groups.length == 4) // 1&4 collapse
+    val dupGroup = groups.find(_.getLong(1) == 2).get
+    assert(dupGroup.getLong(2) == 1L) // keep_id = min id
+    val survivors = Dedup.exactDedup(docs, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 2L, 3L, 5L))
+  }
+
+  test("minhash LSH finds planted near-dup and exact-dup pairs") {
+    val pairs = Dedup.minhashDupPairs(docs, "text", "doc_id",
+      k = 3, bands = 16, rows = 4, jaccardThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((1L, 2L))) // near dup
+    assert(pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash hamming distance separates dups from distinct docs") {
+    val fp = docs.select(col("doc_id"), Dedup.simhash64(col("text")).alias("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(1L), fp(4L)) == 0) // identical text
+    assert(ham(fp(1L), fp(2L)) <= 16) // near dup: close
+    assert(ham(fp(1L), fp(3L)) > 16) // unrelated: far
+    val pairs = Dedup.simhashDupPairs(docs, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("ngram jaccard inverted-index join matches brute-force") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      k = 2, threshold = 0.5, maxShingleFreq = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val asSet = pairs.map(p => (p._1, p._2)).toSet
+    assert(asSet.contains((1L, 4L)))
+    assert(pairs.find(p => p._1 == 1L && p._2 == 4L).get._3 == 1.0)
+  }
+
+  test("embedding dup pairs finds identical and near-identical vectors") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.5f)),
+      (2L, Array(1.0f, 0.01f, 0.0f, 0.5f)), // near-dup of 1
+      (3L, Array(-1.0f, 0.2f, 0.9f, -0.5f)),
+      (4L, Array(1.0f, 0.0f, 0.0f, 0.5f)) // exact dup of 1
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingDupPairs(vecs, "embedding", "vec_id",
+      threshold = 0.99).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("brute force topk returns query vector first") {
+    val emb = sf("embeddings")
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0)
+    val top = Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, 5).collect()
+    assert(top.head.getLong(0) == 0L) // self-match, score 1.0
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-6)
+    val scores = top.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("lsh topk self-match recall") {
+    val emb = sf("embeddings")
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0)
+    val top = Similarity.lshTopK(emb, "embedding", "vec_id", q, 5).collect()
+    assert(top.nonEmpty)
+    assert(top.head.getLong(0) == 0L) // same bucket as itself always
+  }
+
+  test("text analysis measures") {
+    val out = TextAnalysis.annotate(docs, "text").collect()
+    val r1 = out.find(_.getLong(0) == 1L).get
+    assert(r1.getAs[Int]("n_tokens") == 14)
+    assert(r1.getAs[String]("lang_pred") == "en")
+    val q = r1.getAs[Double]("quality")
+    assert(q > 0 && q <= 1)
+    // identical docs → identical fingerprints
+    val fp1 = r1.getAs[String]("fp")
+    val fp4 = out.find(_.getLong(0) == 4L).get.getAs[String]("fp")
+    assert(fp1 == fp4)
+  }
+
+  test("multimodal plumbing: binary payload, metadata, stub features, frames") {
+    val media = Multimodal.attachFakeMedia(docs, "text")
+    assert(media.schema("media").dataType.typeName == "binary")
+    val feats = Multimodal.extractFeatures(media)
+    val row = feats.filter(col("doc_id") === 1).head()
+    val f1 = row.getSeq[Float](feats.schema.fieldIndex("media_feat"))
+    assert(f1.length == 8)
+    // deterministic: same text → same features
+    val f4 = feats.filter(col("doc_id") === 4).head()
+      .getSeq[Float](feats.schema.fieldIndex("media_feat"))
+    assert(f1 == f4)
+    val frames = Multimodal.sampleFrames(media, everyNBytes = 16)
+    assert(frames.count() > docs.count())
+  }
+}

@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check_oracle.py <sfdir> <verify_outdir>
+
+Reads each <outdir>/<query>/ parquet (Spark output) and runs the
+corresponding SQL from <outdir>/oracle_sql.json in DuckDB over the same
+parquet tables; compares row count, column names (sorted), and a
+value-normalized hash. This is test tooling only, never shipped code.
+"""
+import sys, json, glob, os, math
+
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.10g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm(x) for x in v) + "]"
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return str(v)
+
+
+def table_rows(tbl, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    rows = []
+    data = [tbl.column(i).to_pylist() for i in range(len(cols))]
+    for r in range(tbl.num_rows):
+        rows.append(tuple(norm(data[i][r]) for i in order))
+    return rows
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        qdir = f"{outdir}/{name}"
+        files = glob.glob(f"{qdir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        spark_tbl = pq.read_table(qdir)
+        try:
+            duck = con.sql(sql).fetch_arrow_table()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        scols, dcols = spark_tbl.column_names, duck.column_names
+        if sorted(scols) != sorted(c.lower() for c in dcols) and \
+           sorted(scols) != sorted(dcols):
+            print(f"FAIL {name}: columns {sorted(scols)} vs {sorted(dcols)}")
+            n_fail += 1
+            continue
+        srows = table_rows(spark_tbl, scols)
+        drows = table_rows(duck, dcols)
+        if len(srows) != len(drows):
+            print(f"FAIL {name}: rows {len(srows)} vs {len(drows)}")
+            n_fail += 1
+            continue
+        if srows != drows:
+            # find first diff
+            diff = next(i for i, (a, b) in enumerate(zip(srows, drows)) if a != b)
+            print(f"FAIL {name}: first diff at row {diff}:")
+            print(f"  spark: {srows[diff]}")
+            print(f"  duck : {drows[diff]}")
+            n_fail += 1
+            continue
+        print(f"PASS {name} ({len(srows)} rows)")
+        n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
