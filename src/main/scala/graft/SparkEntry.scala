@@ -189,11 +189,11 @@ object SparkEntry {
         k = 3, bands = 16, rows = 4, jaccardThreshold = 0.7)
         .orderBy("id_a", "id_b")),
 
-    // inverted-index n-gram Jaccard pairs (k=2, no frequency cutoff so the
-    // duckdb oracle can replicate exactly)
+    // prefix-filtered n-gram Jaccard pairs (k=2; exact — oracle replicates
+    // with a brute-force pairwise join)
     "q_ngram_pairs" -> ((s, dir) =>
       pipeline.Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
-        k = 2, threshold = 0.8, maxShingleFreq = 1000000)
+        k = 2, threshold = 0.8)
         .orderBy("id_a", "id_b")),
 
     // SimHash fingerprints (xxhash64 bit-votes — no SQL oracle, rows-only)

@@ -38,18 +38,25 @@ object Dedup {
   }
 
   /** MinHash signature: `n` independent min-hashes over the shingle set.
-    * hash(shingle, seed) via murmur3 with per-function seed column — all
-    * inside one codegen'd projection, no explode. */
+    * Each shingle is string-hashed ONCE (xxhash64); the n hash functions
+    * are a linear family h_i(x) = (2i+1)·x + i·φ over the 64-bit ring —
+    * per-element cost drops from n string hashes to n long mul-adds
+    * (higher-order funcs evaluate interpreted, so constant factors here
+    * dominate the whole LSH pipeline). */
   def minhashSignature(shingleCol: Column, n: Int = 64): Column =
-    transform(sequence(lit(0), lit(n - 1)),
-      i => array_min(transform(shingleCol, s => hash(s, i))))
+    // native Catalyst expression (graft.functions.MinHashSignature): one
+    // tight primitive loop per row — the composable aggregate/zip_with
+    // formulation evaluates interpreted per lambda call and was the
+    // dominant cost of the whole LSH pipeline
+    org.apache.spark.sql.graft.sketch.minhash_signature(shingleCol, n)
 
   /** LSH banding: split the signature into `bands` bands and hash each —
-    * docs sharing any band hash become candidates. */
+    * docs sharing any band hash become candidates. Static unroll (Scala
+    * loop, not sequence+transform) keeps it codegen-able. */
   def bandHashes(sig: Column, bands: Int, rows: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => struct(b.alias("band"),
-        hash(array_join(slice(sig, b * rows + 1, lit(rows)), ",")).alias("bh")))
+    array((0 until bands).map(b =>
+      struct(lit(b).alias("band"),
+        hash(slice(sig, b * rows + 1, rows)).alias("bh"))): _*)
 
   /** MinHash-LSH candidate pairs with exact Jaccard verification.
     *
@@ -106,23 +113,11 @@ object Dedup {
   }
 
   /** 64-bit SimHash fingerprint: per-token xxhash64, bit-majority vote.
-    * Pure fold over the token array (aggregate + zip_with) — codegen'd,
-    * no explode, no shuffle. */
-  def simhash64(text: Column): Column = {
-    val toks = array_distinct(TextAnalysis.tokens(lower(text)))
-    val votes = aggregate(
-      toks,
-      array_repeat(lit(0), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc, sequence(lit(0), lit(63)),
-          (a, k) => a + when(call_function("shiftright", h, k).bitwiseAND(1) === 1, 1).otherwise(-1))
-      })
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, k) => when(v > 0, call_function("shiftleft", lit(1L), k)).otherwise(lit(0L))),
-      lit(0L), (acc, bit) => acc.bitwiseOR(bit))
-  }
+    * Native expression (graft.functions.SimHash64) — one primitive loop
+    * per row, no per-bit lambda interpretation. */
+  def simhash64(text: Column): Column =
+    org.apache.spark.sql.graft.sketch.simhash64(
+      array_distinct(TextAnalysis.tokens(lower(text))))
 
   /** SimHash near-dup pairs: pigeonhole-banded on 4×16-bit chunks (any
     * pair at Hamming distance ≤ 3 must agree on at least one chunk), then
@@ -151,29 +146,45 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** N-gram-Jaccard dup pairs via inverted-index join: explode shingles,
-    * join on shared shingle (with a hot-shingle frequency cutoff so a
-    * stop-shingle can't quadratically blow up a bucket), count shared,
-    * compute exact Jaccard. The standard scalable formulation. */
+  /** Exact n-gram-Jaccard dup pairs via a prefix-filtered inverted-index
+    * join (AllPairs/PPJoin-style).
+    *
+    * Canonical order = ascending global shingle frequency. Each doc indexes
+    * only its `n − ⌈t·n⌉ + 1` rarest shingles (the "prefix"); any pair with
+    * Jaccard ≥ t must share a prefix shingle of the smaller side, so
+    * probing prefix × full-postings loses nothing — while hot shingles
+    * (freq ≫) almost never appear in prefixes, killing the quadratic
+    * stop-shingle blowup a plain shingle-join suffers. Exact Jaccard
+    * verification runs only on the candidates. */
   def ngramJaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
-      k: Int = 3, threshold: Double = 0.8,
-      maxShingleFreq: Int = 1000): DataFrame = {
-    val base = df.select(col(idCol).alias("id"),
+      k: Int = 3, threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shDf = df.select(col(idCol).alias("id"),
       array_distinct(shingles(col(textCol), k)).alias("sh"))
-      .withColumn("nsh", size(col("sh")))
-    val inv = base.select(col("id"), col("nsh"), explode(col("sh")).alias("s"))
-    val rare = inv.groupBy("s").agg(count(lit(1)).alias("f"))
-      .filter(col("f") <= maxShingleFreq)
-    val invR = inv.join(rare, "s")
-    val l = invR.alias("l")
-    val r = invR.alias("r")
-    l.join(r, col("l.s") === col("r.s") && col("l.id") < col("r.id"))
-      .groupBy(col("l.id").alias("id_a"), col("r.id").alias("id_b"),
-        col("l.nsh").alias("na"), col("r.nsh").alias("nb"))
-      .agg(count(lit(1)).alias("inter"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .repartition(col("id"))
+    val inv = shDf.select(col("id"), size(col("sh")).alias("nsh"),
+      explode(col("sh")).alias("s"))
+    val freq = inv.groupBy("s").agg(count(lit(1)).alias("f"))
+    val invF = inv.join(freq, "s")
+    val w = Window.partitionBy(col("id")).orderBy(col("f").asc, col("s").asc)
+    val prefix = invF.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("nsh") - ceil(lit(threshold) * col("nsh")) + 1)
+      .select(col("id").alias("id_p"), col("nsh").alias("nsh_p"), col("s"))
+    // length filter: J ≥ t forces t·max(na,nb) ≤ min(na,nb)
+    val candidates = prefix
+      .join(invF.select(col("id").alias("id_f"), col("nsh").alias("nsh_f"),
+        col("s")), "s")
+      .filter(col("id_p") =!= col("id_f") &&
+        greatest(col("nsh_p"), col("nsh_f")) * threshold <=
+          least(col("nsh_p"), col("nsh_f")))
+      .select(least(col("id_p"), col("id_f")).alias("id_a"),
+        greatest(col("id_p"), col("id_f")).alias("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val shA = shDf.select(col("id").alias("id_a"), col("sh").alias("sh_a"))
+    val shB = shDf.select(col("id").alias("id_b"), col("sh").alias("sh_b"))
+    candidates.join(shA, "id_a").join(shB, "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).alias("jaccard"))
   }
@@ -185,14 +196,13 @@ object Dedup {
     * recall is ≈0.99; raise `tables` for stricter recall targets. */
   def embeddingDupPairs(
       df: DataFrame, vecCol: String, idCol: String,
-      threshold: Double = 0.95, planes: Int = 4, tables: Int = 4,
+      threshold: Double = 0.95, planes: Int = 8, tables: Int = 8,
       seed: Long = 42): DataFrame = {
     val base = df.select(col(idCol).alias("id"), col(vecCol).alias("v"))
-      .withColumn("tsig", explode(transform(
-        sequence(lit(0), lit(tables - 1)),
-        t => struct(t.alias("tbl"),
-          Similarity.hyperplaneSignature(col("v"), planes, seed, t)
-            .alias("sig")))))
+      .withColumn("tsig", explode(array((0 until tables).map(t =>
+        struct(lit(t).alias("tbl"),
+          org.apache.spark.sql.graft.sketch.hyperplane_signature(col("v"), planes, seed, t)
+            .alias("sig"))): _*)))
       .select(col("id"), col("v"),
         col("tsig.tbl").alias("tbl"), col("tsig.sig").alias("sig"))
       // barrier: hyperplane signatures are interpreted folds — materialize

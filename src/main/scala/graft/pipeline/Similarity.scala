@@ -22,38 +22,23 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Native expression (graft CosineSimilarity): double accumulation in
+    * array order — bit-identical to the composable dot/norm formulation
+    * but one primitive loop per row. Inputs must be array<float>. */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.sketch.cosine(a, b)
 
   /** Deterministic pseudo-random hyperplane component: plane p, dim i,
     * derived from a seeded hash, mapped to [-1, 1). */
   private def planeComponent(p: Column, i: Column, seed: Long): Column =
     (hash(p, i, lit(seed)).cast("double") / lit(Int.MaxValue.toDouble))
 
-  /** Signature under a specific hash table id (independent plane set). */
-  def hyperplaneSignature(vec: Column, planes: Int, seed: Long, table: Column): Column = {
-    val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(p + table * planes, i, seed)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, call_function("shiftleft", lit(1), p)).otherwise(lit(0))
-    })
-    aggregate(bits, lit(0), (acc, b) => acc.bitwiseOR(b))
-  }
-
   /** Sign signature under `planes` random hyperplanes → one integer bucket
     * id. Buckets split the corpus ~2^planes ways; cosine-close vectors
-    * land in the same bucket with high probability. */
-  def hyperplaneSignature(vec: Column, planes: Int, seed: Long): Column = {
-    val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(p, i, seed)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, call_function("shiftleft", lit(1), p)).otherwise(lit(0))
-    })
-    aggregate(bits, lit(0), (acc, b) => acc.bitwiseOR(b))
-  }
+    * land in the same bucket with high probability. Native expression
+    * (graft.functions.HyperplaneSignature) — tight primitive loop. */
+  def hyperplaneSignature(vec: Column, planes: Int, seed: Long): Column =
+    org.apache.spark.sql.graft.sketch.hyperplane_signature(vec, planes, seed, 0)
 
   /** Brute-force cosine scores of every row against one query vector.
     * Filter/top-k compose on the result (Catalyst turns orderBy+limit into

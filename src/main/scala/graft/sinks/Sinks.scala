@@ -1,0 +1,78 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Output writers with the reference's normalization semantics
+  * (/root/reference/rbql-py/rbql/rbql_csv.py:146-315 CSVWriter,
+  * rbql_json.py:17-70 JsonWriter).
+  */
+object Sinks {
+
+  /** CSV output normalization (rbql_csv.py:258-277): numbers/bools → text,
+    * null → '' (reference emits a warning), arrays → '|'-joined
+    * recursively. */
+  def normalizeForCsv(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      val c = col(s"`${f.name.replace("`", "``")}`")
+      normalizeCol(c, f.dataType).alias(f.name)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  private def normalizeCol(c: Column, dt: DataType): Column = dt match {
+    case ArrayType(inner, _) =>
+      coalesce(array_join(transform(c, e => normalizeCol(e, inner)), "|"), lit(""))
+    case StringType => coalesce(c, lit(""))
+    case _ => coalesce(c.cast(StringType), lit(""))
+  }
+
+  /** Distributed CSV write: header row, delimiter + policy-matched quoting
+    * via Spark's writer (univocity quotes only when needed — matching the
+    * reference's quote_field). */
+  def writeCsv(df: DataFrame, path: String, delim: String = ",",
+      header: Boolean = true): Unit =
+    normalizeForCsv(df).write
+      .option("sep", delim)
+      .option("header", header)
+      .option("quoteAll", value = false)
+      .option("emptyValue", "")
+      .mode("overwrite")
+      .csv(path)
+
+  /** JSON-lines write with the reference's single-column unwrap rule:
+    * one output column → bare value per line; N columns → object
+    * (rbql_json.py:17-70). */
+  def writeJsonLines(df: DataFrame, path: String): Unit = {
+    if (df.schema.length == 1) {
+      df.select(to_json(struct(df.columns.map(c => col(s"`$c`")).toIndexedSeq: _*),
+        java.util.Map.of("ignoreNullFields", "false")).alias("j"))
+        .select(
+          // strip the single-key object wrapper → bare value per line
+          expr(s"substring(j, ${df.columns.head.length + 5}, length(j) - ${df.columns.head.length + 5})")
+            .alias("value"))
+        .write.mode("overwrite").text(path)
+    } else {
+      df.write.mode("overwrite").json(path)
+    }
+  }
+
+  /** Driver-side collect for stdout-style output (the reference's default
+    * CLI sink); only for interactive / small results. */
+  def collectCsvLines(df: DataFrame, delim: String = ",",
+      header: Boolean = true): Seq[String] = {
+    val norm = normalizeForCsv(df)
+    val rows = norm.collect().map(_.toSeq.map(v => quoteField(String.valueOf(v), delim))
+      .mkString(delim))
+    if (header) norm.columns.map(c => quoteField(c, delim)).mkString(delim) +: rows.toSeq
+    else rows.toSeq
+  }
+
+  /** quote_field semantics (csv_utils.py:93-107): quote only when the field
+    * contains the delimiter, a quote, or a newline. */
+  def quoteField(s: String, delim: String): String =
+    if (s.contains(delim) || s.contains("\"") || s.contains("\n") || s.contains("\r"))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
+}

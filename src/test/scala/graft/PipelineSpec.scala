@@ -50,7 +50,7 @@ class PipelineSpec extends SparkSpec {
 
   test("ngram jaccard inverted-index join matches brute-force") {
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
-      k = 2, threshold = 0.5, maxShingleFreq = 1000)
+      k = 2, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val asSet = pairs.map(p => (p._1, p._2)).toSet
     assert(asSet.contains((1L, 4L)))

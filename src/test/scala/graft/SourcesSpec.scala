@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources._
+import graft.sinks.Sinks
+
+/** Source/sink specs over the reference's own CSV fixture files
+  * (/root/reference/test/csv_files — test DATA, not code). */
+class SourcesSpec extends SparkSpec {
+
+  private val fixtures = "/root/reference/test/csv_files"
+
+  test("quoted csv with header: countries.csv") {
+    val df = CsvSource.read(spark, s"$fixtures/countries.csv",
+      delim = ",", policy = "quoted", hasHeader = true)
+    assert(df.columns.toSeq == Seq("country", "Region", "Population",
+      "Area square miles", "GDP per capita"))
+    assert(df.count() > 100)
+    // name-based access incl. spaces via the engine
+    val out = Graft.query(spark,
+      """SELECT a.country, a["GDP per capita"] AS gdp WHERE a.Region == 'EASTERN EUROPE' ORDER BY a.country LIMIT 3""",
+      df)
+    assert(out.columns.toSeq == Seq("country", "gdp"))
+    assert(out.count() == 3)
+  }
+
+  test("tab simple: movies.tsv positional access") {
+    val df = CsvSource.read(spark, s"$fixtures/movies.tsv",
+      delim = "\t", policy = "simple", hasHeader = false)
+    assert(df.columns.head == "a1")
+    val out = Graft.query(spark,
+      "SELECT a1, a7 WHERE a2 == 'United States' LIMIT 5", df)
+    assert(out.count() == 5)
+  }
+
+  test("quoted_rfc multiline fields") {
+    val df = CsvSource.read(spark, s"$fixtures/synthetic_rfc_newline_data.csv",
+      delim = ",", policy = "quoted_rfc", hasHeader = false)
+    assert(df.count() > 0)
+  }
+
+  test("monocolumn: whole line as a1") {
+    val df = CsvSource.read(spark, s"$fixtures/universities.monocolumn",
+      policy = "monocolumn")
+    assert(df.columns.toSeq == Seq("a1"))
+    assert(df.count() > 0)
+  }
+
+  test("whitespace policy splits runs of spaces") {
+    val df = CsvSource.read(spark, s"$fixtures/whitespace_separated_pids.txt",
+      policy = "whitespace", hasHeader = false)
+    assert(df.columns.length > 1)
+    assert(df.count() > 0)
+  }
+
+  test("unnest on pipe-joined genre column (movies)") {
+    val df = CsvSource.read(spark, s"$fixtures/movies.tsv",
+      delim = "\t", policy = "simple", hasHeader = false)
+    val out = Graft.query(spark,
+      """SELECT a1, UNNEST(split(a7, '\\|')) AS genre LIMIT 50""", df)
+    assert(out.count() == 50)
+  }
+
+  test("jsonl: whole object lands in a1, nested access") {
+    val df = JsonLinesSource.read(spark,
+      "/root/reference/test/json_files/nested_names_10.jsonl")
+    assert(df.columns.toSeq == Seq("a1"))
+    val out = df.selectExpr("variant_get(a1, '$.address.city', 'string') AS city")
+    assert(out.filter(col("city").isNotNull).count() > 0)
+  }
+
+  test("csv roundtrip with normalization") {
+    import spark.implicits._
+    val df = Seq((1, "plain"), (2, "has,comma"), (3, "has\"quote"))
+      .toDF("id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graftcsv").toString
+    Sinks.writeCsv(df, s"$dir/out")
+    val back = CsvSource.read(spark, s"$dir/out", hasHeader = true)
+    assert(back.count() == 3)
+    assert(back.filter(col("v") === "has,comma").count() == 1)
+    assert(back.filter(col("v") === "has\"quote").count() == 1)
+  }
+
+  test("csv null and array normalization") {
+    import spark.implicits._
+    val df = Seq((1, Some("x"), Seq("a", "b")), (2, None, Seq.empty[String]))
+      .toDF("id", "v", "arr")
+    val lines = Sinks.collectCsvLines(df)
+    assert(lines.head == "id,v,arr")
+    assert(lines.contains("1,x,a|b"))
+    assert(lines.contains("2,,"))
+  }
+
+  test("quoteField quotes only when needed") {
+    assert(Sinks.quoteField("plain", ",") == "plain")
+    assert(Sinks.quoteField("a,b", ",") == "\"a,b\"")
+    assert(Sinks.quoteField("a\"b", ",") == "\"a\"\"b\"")
+  }
+}
