@@ -37,9 +37,28 @@ object Aggregates {
 
   final case class Item(
       raw: String, // masked original
-      /** None = plain (group-constant) expression; Some = spark agg SQL with
-        * `{0}`-filled translated arg */
-      agg: Option[String])
+      /** None = plain (group-constant) expression; Some = (aggregate
+        * function name, translated argument SQL) */
+      agg: Option[(String, String)])
+
+  /** Aggregates that numeric-coerce string inputs (NumHandler,
+    * rbql_engine.py:293-314). ANSI cast errors on non-numeric garbage —
+    * matching the reference's error-on-bad-value semantics (ints come out
+    * as doubles; the int-preserving sticky switch is intentionally not
+    * replicated). */
+  private val NumericCoercing = Set("sum", "avg", "mean", "variance", "median", "min", "max")
+
+  /** Build the Spark aggregate Column; `argType` is the resolved input type
+    * (None when resolution was skipped). */
+  def toColumn(fname: String, argSql: String,
+      argType: Option[org.apache.spark.sql.types.DataType]): org.apache.spark.sql.Column = {
+    val arg =
+      if (NumericCoercing(fname) &&
+        argType.contains(org.apache.spark.sql.types.StringType))
+        s"cast(($argSql) as double)"
+      else argSql
+    org.apache.spark.sql.functions.expr(SparkFn(fname).replace("{0}", arg))
+  }
 
   /** Find the balanced-paren span starting at the '(' at `open`. Returns the
     * index just past the matching ')'. */
@@ -102,7 +121,7 @@ object Aggregates {
         val arg =
           if (fname == "count" && (inner == "*" || inner.isEmpty)) "1"
           else translate(inner)
-        Item(item, Some(SparkFn(fname).replace("{0}", arg)))
+        Item(item, Some((fname, arg)))
     }
   }
 

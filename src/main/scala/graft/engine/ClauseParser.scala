@@ -158,7 +158,8 @@ object ClauseParser {
   private val TopRe = """(?is)^top\s+(\S+)\s+(.*)$""".r
   private val DistinctCountRe = """(?is)^distinct\s+count\s+(.*)$""".r
   private val DistinctRe = """(?is)^distinct\s+(.*)$""".r
-  private val ExceptRe = """(?is)^except\s+(.*)$""".r
+  // `SELECT * EXCEPT cols` (reference form) or bare `SELECT EXCEPT cols`
+  private val ExceptRe = """(?is)^(?:\*\s+)?except\s+(.*)$""".r
   private val AsRe = """(?is)^(.*\S)\s+as\s+([A-Za-z_][A-Za-z0-9_]*|`[^`]+`)\s*$""".r
 
   private def parseSelect(bodyIn: String): SelectSpec = {

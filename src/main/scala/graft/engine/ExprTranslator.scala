@@ -27,6 +27,7 @@ final class ExprTranslator(
   import ExprTranslator._
 
   val nrCol = "__graft_nr"
+  val bNrCol = "__graft_bnr"
 
   /** Set true by translate() when the expression referenced NR. */
   private var _usedNr = false
@@ -76,8 +77,11 @@ final class ExprTranslator(
     // a[3] / b[3]
     s = BracketPosRe.replaceAllIn(s, m =>
       Regex.quoteReplacement(colByPos(m.group(1).charAt(0), m.group(2).toInt)))
-    // a.NR (accepted join-key spelling, reference rbql_engine.py:1030-1031)
-    s = DotNrRe.replaceAllIn(s, _ => { _usedNr = true; Regex.quoteReplacement(s"`$nrCol`") })
+    // b.NR / bNR — record number of the JOIN table (reference
+    // rbql_engine.py:1030-1031 allows NR as a join key on either side)
+    s = BNrRe.replaceAllIn(s, _ => Regex.quoteReplacement(s"graft_b.`$bNrCol`"))
+    // a.NR / aNR (accepted join-key spelling)
+    s = DotNrRe.replaceAllIn(s, _ => { _usedNr = true; Regex.quoteReplacement(s"graft_a.`$nrCol`") })
     // a.name / b.name
     s = DotNameRe.replaceAllIn(s, m =>
       Regex.quoteReplacement(colByName(m.group(1).charAt(0), m.group(2))))
@@ -85,7 +89,7 @@ final class ExprTranslator(
     s = PosRe.replaceAllIn(s, m =>
       Regex.quoteReplacement(colByPos(m.group(1).charAt(0), m.group(2).toInt)))
     // NR / NF (case-sensitive, like the reference)
-    s = NrRe.replaceAllIn(s, _ => { _usedNr = true; Regex.quoteReplacement(s"`$nrCol`") })
+    s = NrRe.replaceAllIn(s, _ => { _usedNr = true; Regex.quoteReplacement(s"graft_a.`$nrCol`") })
     s = NfRe.replaceAllIn(s, _ => Regex.quoteReplacement(aSchema.length.toString))
     masked.restore(s)
   }
@@ -103,7 +107,8 @@ object ExprTranslator {
   val BracketPosRe: Regex = (Pre + """([ab])\[(\d+)\]""").r
   val PosRe: Regex = (Pre + """([ab])(\d+)(?![A-Za-z0-9_])""").r
   val DotNameRe: Regex = (Pre + """([ab])\.([A-Za-z_][A-Za-z0-9_]*)""").r
-  val DotNrRe: Regex = (Pre + """[ab]\.NR(?![A-Za-z0-9_])""").r
+  val BNrRe: Regex = (Pre + """b(?:\.NR|NR)(?![A-Za-z0-9_])""").r
+  val DotNrRe: Regex = (Pre + """a(?:\.NR|NR)(?![A-Za-z0-9_])""").r
   val NrRe: Regex = (Pre + """NR(?![A-Za-z0-9_])""").r
   val NfRe: Regex = (Pre + """NF(?![A-Za-z0-9_])""").r
 

@@ -21,6 +21,7 @@ import org.apache.spark.sql.types.{LongType, StructField}
 object PlanBuilder {
 
   val NrCol = "__graft_nr"
+  val BNrCol = "__graft_bnr"
 
   /** 1-based stable record number, assigned in source order BEFORE any
     * shuffle (SURVEY §7.4 hard-part 1). zipWithIndex is distributed
@@ -48,10 +49,17 @@ object PlanBuilder {
       case None => inputDf
     }
 
-    val bDfRaw = ast.join.map(j => resolveTable(masked.restore(j.tableId)))
+    val bDfRaw0 = ast.join.map(j => resolveTable(masked.restore(j.tableId)))
 
     val usesNr = ExprTranslator.NrRe.findFirstIn(stageMaskedText).isDefined ||
       ExprTranslator.DotNrRe.findFirstIn(stageMaskedText).isDefined
+    val usesBNr = ExprTranslator.BNrRe.findFirstIn(stageMaskedText).isDefined
+
+    // B-side record number (join key `bNR`/`b.NR`): materialized on the
+    // join table the same way as A's
+    val bDfRaw =
+      if (usesBNr) bDfRaw0.map(b => withNr(b).withColumnRenamed(NrCol, BNrCol))
+      else bDfRaw0
 
     val aDf0 = if (usesNr) withNr(fromDf) else fromDf
     val tr = new ExprTranslator(aDf0.schema, bDfRaw.map(_.schema), masked)
@@ -134,7 +142,7 @@ object PlanBuilder {
   private def starCols(
       alias: String, cols: Seq[String],
       clashWith: Set[String] = Set.empty): Seq[(String, Column)] =
-    cols.filterNot(_ == NrCol).map { c =>
+    cols.filterNot(c => c == NrCol || c == BNrCol).map { c =>
       val outName = if (clashWith.contains(c)) s"b_$c" else c
       (outName, col(s"$alias.`${c.replace("`", "``")}`"))
     }
@@ -274,38 +282,73 @@ object PlanBuilder {
     if (sel.distinct || sel.distinctCount)
       Errors.parsing("DISTINCT is not allowed in aggregate queries")
 
-    val groupKeys: Seq[Column] =
-      ast.groupBy.getOrElse(Seq.empty).map(k => expr(tr.translate(k)))
+    val groupKeyTexts: Seq[String] =
+      ast.groupBy.getOrElse(Seq.empty).map(k => tr.translate(k))
+    val groupKeys: Seq[Column] = groupKeyTexts.map(expr)
 
-    // name each output column (alias > source passthrough > colN)
-    val named = classified.zipWithIndex.map { case ((item, cls), idx) =>
-      val outName = outputName(item, idx, tr)
-      val c = cls match {
-        case Some(Aggregates.Item(_, Some(aggSql))) => expr(aggSql)
-        case Some(Aggregates.Item(_, None)) =>
-          // non-aggregate column in an aggregate query must be
-          // group-constant (ConstGroupVerifier, rbql_engine.py:461-474)
-          val e = expr(tr.translate(item.rawExpr))
-          when(count_distinct(e) > 1,
-            raise_error(lit(s"Non-constant values in output column $idx detected in aggregate query (column must be group-constant)")))
-            .otherwise(first(e, ignoreNulls = false))
-        case None => Errors.parsing("Star expansion is not allowed in aggregate queries")
-      }
-      c.alias(outName)
+    // Classify each output: aggregate | group-key passthrough | other
+    // group-constant expression. Key passthroughs reference the grouping
+    // attribute directly — no string min/first aggregation, so the plan
+    // stays HashAggregate (immutable agg buffers would force SortAggregate
+    // + an extra per-partition sort of the full input).
+    sealed trait Out
+    case class AggOut(c: Column) extends Out
+    case class KeyOut(keyIdx: Int) extends Out
+    case class ConstOut(c: Column) extends Out
+
+    val outs: Seq[(String, Out)] = classified.zipWithIndex.map {
+      case ((item, cls), idx) =>
+        val outName = outputName(item, idx, tr)
+        val out = cls match {
+          case Some(Aggregates.Item(_, Some((fname, argSql)))) =>
+            AggOut(Aggregates.toColumn(fname, argSql, resolveType(filtered, argSql)))
+          case Some(Aggregates.Item(_, None)) =>
+            val text = tr.translate(item.rawExpr)
+            val ki = groupKeyTexts.indexOf(text)
+            if (ki >= 0) KeyOut(ki)
+            else {
+              // non-key group-constant expression: verified via min==max
+              // (partial-aggregatable — no Expand/second shuffle like
+              // count_distinct; ConstGroupVerifier, rbql_engine.py:461-474)
+              val e = expr(text)
+              ConstOut(when(min(e) =!= max(e),
+                raise_error(lit(s"Non-constant values in output column ${idx + 1} detected in aggregate query (column must be group-constant)")))
+                .otherwise(min(e)))
+            }
+          case None => Errors.parsing("Star expansion is not allowed in aggregate queries")
+        }
+        (outName, out)
     }
+
+    val aggCols = outs.collect {
+      case (n, AggOut(c)) => c.alias(n)
+      case (n, ConstOut(c)) => c.alias(n)
+    }
+    // agg() needs at least one aggregate: pure GROUP BY passthrough gets a
+    // dummy that is dropped by the final projection
+    val aggList = if (aggCols.nonEmpty) aggCols else Seq(count(lit(1)).alias("__graft_dummy"))
 
     if (groupKeys.nonEmpty) {
       // alias keys to reserved names so key/output name collisions are
       // impossible; result rows sorted by group key
-      // (AggregateWriter.finish, rbql_engine.py:566-572), keys dropped after
+      // (AggregateWriter.finish, rbql_engine.py:566-572)
       val aliasedKeys = groupKeys.zipWithIndex.map { case (k, i) =>
         k.alias(s"__graft_gk$i")
       }
+      val finalCols = outs.map {
+        case (n, KeyOut(ki)) => col(s"__graft_gk$ki").alias(n)
+        case (n, _) => col(s"`${n.replace("`", "``")}`")
+      }
       filtered.groupBy(aliasedKeys.toIndexedSeq: _*)
-        .agg(named.head, named.tail.toIndexedSeq: _*)
+        .agg(aggList.head, aggList.tail.toIndexedSeq: _*)
         .orderBy(groupKeys.indices.map(i => col(s"__graft_gk$i").asc).toIndexedSeq: _*)
-        .drop(groupKeys.indices.map(i => s"__graft_gk$i").toIndexedSeq: _*)
-    } else filtered.agg(named.head, named.tail.toIndexedSeq: _*)
+        .select(finalCols.toIndexedSeq: _*)
+    } else {
+      outs.collectFirst { case (_, KeyOut(_)) => () }.foreach { _ =>
+        Errors.parsing("Non-aggregate column in a global aggregate query")
+      }
+      filtered.agg(aggList.head, aggList.tail.toIndexedSeq: _*)
+    }
   }
 
   // ---- plain projection ----------------------------------------------
@@ -415,6 +458,12 @@ object PlanBuilder {
     }
     (expr(tr.translate(t)), false)
   }
+
+  /** Resolve the data type an expression would have against `df` (driver-
+    * side analysis only — no job). None if analysis fails (the real error
+    * surfaces later with better context). */
+  private def resolveType(df: DataFrame, sql: String): Option[org.apache.spark.sql.types.DataType] =
+    scala.util.Try(df.select(expr(sql)).schema.head.dataType).toOption
 
   /** Output header inference (select_output_header,
     * rbql_engine.py:1411-1454): alias > passthrough source name > colN. */
