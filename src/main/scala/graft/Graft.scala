@@ -80,6 +80,52 @@ object Graft {
       }
   }
 
+  /** CSV entry point (reference query_csv, rbql_csv.py:543-580): loads the
+    * input with the given dialect, honoring a WITH (header)/(noheader)
+    * modifier in the query over the `hasHeader` default, runs the query,
+    * and returns the result (write it with graft.sinks.Sinks). */
+  def queryCsv(
+      spark: SparkSession,
+      queryStr: String,
+      path: String,
+      delim: String = ",",
+      policy: String = "quoted",
+      hasHeader: Boolean = false,
+      encoding: String = "UTF-8",
+      commentPrefix: Option[String] = None,
+      tables: Map[String, DataFrame] = Map.empty): DataFrame = {
+    val masked = Lexer.mask(Lexer.cleanup(queryStr))
+    val stages = Lexer.splitStages(masked.text)
+    val mods = ClauseParser.parse(masked.copy(text = stages.head)).withMods
+    val header =
+      if (mods.contains("header")) true
+      else if (mods.contains("noheader")) false
+      else hasHeader
+    val input = sources.CsvSource.read(spark, path, delim, policy, header,
+      encoding, commentPrefix)
+    query(spark, queryStr, input, tables)
+  }
+
+  /** JSON-lines entry point: whole object lands in a single VARIANT column
+    * a1 (reference rbql_json.py:73-156); access nested fields with
+    * variant_get(a1, '$.path', 'type'). */
+  def queryJsonLines(spark: SparkSession, queryStr: String, path: String,
+      tables: Map[String, DataFrame] = Map.empty): DataFrame =
+    query(spark, queryStr, sources.JsonLinesSource.read(spark, path), tables)
+
+  /** Error classification for front-ends (reference exception_to_error_info,
+    * rbql_engine.py:950-975): (category, message). */
+  def exceptionToErrorInfo(e: Throwable): (String, String) = e match {
+    case g: GraftError => (g.category, g.getMessage)
+    case p: org.apache.spark.sql.catalyst.parser.ParseException =>
+      ("query parsing", p.getMessage)
+    case a: org.apache.spark.sql.AnalysisException =>
+      ("query parsing", a.getMessage)
+    case other =>
+      val msg = Option(other.getMessage).getOrElse(other.toString)
+      ("query execution", msg)
+  }
+
   /** In-memory convenience: query a local Seq of rows (reference
     * query_table, rbql_engine.py:1747-1756). */
   def queryTable(

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators for the `events` stream shape
+  * (event_id, ts, user_id, event_type, value).
+  *
+  * The reference is strictly batch (SURVEY §2.9) — this is part of the
+  * beyond-reference pipeline surface: the same transforms run identically
+  * on a batch DataFrame or a readStream DataFrame, the streaming-specific
+  * parts being watermarks (bounded state under lateness) and keyed state
+  * (sessionization). State is partitioned by key — scales with executor
+  * count, never driver-bound.
+  */
+object EventStream {
+
+  /** Tumbling-window counts + value sums per event type with a watermark
+    * bounding state for late data. Works on both batch and streaming
+    * inputs. */
+  def windowedCounts(
+      events: DataFrame,
+      windowLen: String = "1 minute",
+      watermark: String = "5 minutes"): DataFrame = {
+    val withTs =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    withTs
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).alias("cnt"), sum(col("value")).alias("sv"))
+      .select(col("window.start").alias("win_start"), col("event_type"),
+        col("cnt"), col("sv"))
+  }
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(count: Long, totalValue: Double, lastTs: Long)
+  case class Session(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Keyed sessionization via mapGroupsWithState: per-user running session
+    * closed after `gapMs` of inactivity (processing-time timeout). Pass
+    * GroupStateTimeout.NoTimeout for a pure running-aggregate session
+    * (no timer-driven micro-batches — deterministic in tests). */
+  def sessionize(events: Dataset[Event], gapMs: Long = 60000,
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, Session](timeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Session(userId, s.count, s.totalValue)
+          } else {
+            val evs = batch.toSeq
+            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+            val next = SessionState(
+              prev.count + evs.size,
+              prev.totalValue + evs.map(_.value).sum,
+              math.max(prev.lastTs, evs.map(_.ts.getTime).foldLeft(0L)(math.max)))
+            state.update(next)
+            if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
+              state.setTimeoutDuration(gapMs)
+            Session(userId, next.count, next.totalValue)
+          }
+      }
+  }
+
+  /** Wire a streaming query to an in-memory sink (testing / demo). */
+  def startToMemory(df: DataFrame, name: String,
+      outputMode: OutputMode = OutputMode.Update()): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.format("memory").queryName(name).outputMode(outputMode).start()
+}
