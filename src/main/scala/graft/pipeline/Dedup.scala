@@ -78,8 +78,12 @@ object Dedup {
     // not codegen'd) — every reuse below goes through a shuffle barrier so
     // CollapseProject can never inline them into a join condition or pair
     // projection (which would re-evaluate them per candidate pair).
+    // hashed distinct shingles: Jaccard verification intersects long
+    // arrays, not strings (same values modulo ~2^-64 collision odds)
     val shDf = df.select(col(idCol).alias("id"),
       shingles(col(textCol), k).alias("sh"))
+      .select(col("id"), col("sh"),
+        array_distinct(transform(col("sh"), s => xxhash64(s))).alias("shh"))
       .repartition(col("id"))
     val buckets = shDf
       .select(col("id"),
@@ -96,18 +100,20 @@ object Dedup {
         col("l.id") < col("r.id"))
       .select(col("l.id").alias("id_a"), col("r.id").alias("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val shA = shDf.select(col("id").alias("id_a"), col("sh").alias("sh_a"))
-    val shB = shDf.select(col("id").alias("id_b"), col("sh").alias("sh_b"))
+    val shA = shDf.select(col("id").alias("id_a"), col("shh").alias("sh_a"))
+    val shB = shDf.select(col("id").alias("id_b"), col("shh").alias("sh_b"))
     candidates.join(shA, "id_a").join(shB, "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", jaccardPreDistinct(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).alias("jaccard"))
   }
 
   /** Exact Jaccard over two shingle arrays (set semantics). */
-  def jaccard(a: Column, b: Column): Column = {
-    val ad = array_distinct(a)
-    val bd = array_distinct(b)
+  def jaccard(a: Column, b: Column): Column =
+    jaccardPreDistinct(array_distinct(a), array_distinct(b))
+
+  /** Jaccard when inputs are already distinct. */
+  def jaccardPreDistinct(ad: Column, bd: Column): Column = {
     val inter = size(array_intersect(ad, bd)).cast("double")
     inter / (size(ad) + size(bd) - inter)
   }
@@ -160,8 +166,11 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       k: Int = 3, threshold: Double = 0.8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // hashed distinct shingles throughout: postings join + Jaccard
+    // intersect run on longs, not strings
     val shDf = df.select(col(idCol).alias("id"),
-      array_distinct(shingles(col(textCol), k)).alias("sh"))
+      array_distinct(transform(shingles(col(textCol), k), s => xxhash64(s)))
+        .alias("sh"))
       .repartition(col("id"))
     val inv = shDf.select(col("id"), size(col("sh")).alias("nsh"),
       explode(col("sh")).alias("s"))
@@ -184,7 +193,7 @@ object Dedup {
     val shA = shDf.select(col("id").alias("id_a"), col("sh").alias("sh_a"))
     val shB = shDf.select(col("id").alias("id_b"), col("sh").alias("sh_b"))
     candidates.join(shA, "id_a").join(shB, "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", jaccardPreDistinct(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).alias("jaccard"))
   }

@@ -96,4 +96,28 @@ class SourcesSpec extends SparkSpec {
     assert(Sinks.quoteField("a,b", ",") == "\"a,b\"")
     assert(Sinks.quoteField("a\"b", ",") == "\"a\"\"b\"")
   }
+
+  test("autodetect dialects") {
+    assert(CsvSource.autodetect(spark, s"$fixtures/countries.csv") == (",", "quoted"))
+    assert(CsvSource.autodetect(spark, s"$fixtures/movies.tsv") == ("\t", "simple"))
+    val df = CsvSource.readAuto(spark, s"$fixtures/countries.csv", hasHeader = true)
+    assert(df.columns.length == 5)
+  }
+
+  test("ragged rows null-pad") {
+    val df = CsvSource.read(spark, s"$fixtures/movies_variable_width.tsv",
+      delim = "\t", policy = "simple", hasHeader = false)
+    assert(df.count() > 0)
+    // short rows have nulls in trailing columns, long rows have values
+    val lastCol = df.columns.last
+    assert(df.filter(org.apache.spark.sql.functions.col(lastCol).isNull).count() > 0)
+  }
+
+  test("multichar separator via text-split path") {
+    val df = CsvSource.read(spark,
+      s"$fixtures/movies_multichar_separator.txt",
+      delim = "~#~", policy = "simple", hasHeader = false)
+    assert(df.columns.length > 1)
+    assert(df.count() > 0)
+  }
 }
