@@ -88,6 +88,8 @@ final class ExprTranslator(
     // a1 / b1
     s = PosRe.replaceAllIn(s, m =>
       Regex.quoteReplacement(colByPos(m.group(1).charAt(0), m.group(2).toInt)))
+    // engine version variable (reference rbql_engine.py:49)
+    s = VersionRe.replaceAllIn(s, _ => Regex.quoteReplacement("'0.1.0-graft'"))
     // NR / NF (case-sensitive, like the reference)
     s = NrRe.replaceAllIn(s, _ => { _usedNr = true; Regex.quoteReplacement(s"graft_a.`$nrCol`") })
     s = NfRe.replaceAllIn(s, _ => Regex.quoteReplacement(aSchema.length.toString))
@@ -111,6 +113,7 @@ object ExprTranslator {
   val DotNrRe: Regex = (Pre + """a(?:\.NR|NR)(?![A-Za-z0-9_])""").r
   val NrRe: Regex = (Pre + """NR(?![A-Za-z0-9_])""").r
   val NfRe: Regex = (Pre + """NF(?![A-Za-z0-9_])""").r
+  val VersionRe: Regex = (Pre + """RBQL_VERSION(?![A-Za-z0-9_])""").r
 
   def unquote(lit: String): String = {
     if (lit.length >= 2 && (lit.head == '\'' || lit.head == '"') && lit.last == lit.head) {

@@ -1,0 +1,77 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.sinks.Sinks
+import graft.sources.CsvSource
+
+/** Property-based layer mirroring the reference's randomized testing
+  * (/root/reference/test/test_csv_utils.py:70-260 random tables,
+  * test_rbql.py:326-339 a1 ↔ a[1] style rewrites). Uses raw ScalaCheck
+  * generators with fixed seeds (scalatestplus bridge is not on the
+  * offline classpath). */
+class PropertySpec extends SparkSpec {
+
+  private val fieldGen: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(8)),
+    Gen.oneOf("", "a,b", "x\"y", "has space", "ключ", "0", "-5", "3.14"))
+
+  private val tableGen: Gen[Seq[Seq[String]]] = for {
+    rows <- Gen.choose(1, 6)
+    cols <- Gen.choose(1, 4)
+    data <- Gen.listOfN(rows, Gen.listOfN(cols, fieldGen))
+  } yield data.map(_.toSeq).toSeq
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("property: a1 and a[1] variable styles are equivalent") {
+    samples(tableGen, 10).foreach { table =>
+      val q1 = Graft.queryTable(spark, "select a1, NR where a1 != 'zz9'", table)
+      val q2 = Graft.queryTable(spark, "select a[1], NR where a[1] != 'zz9'", table)
+      assert(q1 == q2, s"style mismatch on $table")
+    }
+  }
+
+  test("property: quoteField quotes exactly when needed") {
+    samples(fieldGen, 40).foreach { f =>
+      val quoted = Sinks.quoteField(f, ",")
+      if (f.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+        assert(quoted.startsWith("\"") && quoted.endsWith("\""))
+      else assert(quoted == f)
+    }
+  }
+
+  test("property: csv write/read roundtrip preserves values") {
+    samples(tableGen, 6).foreach { table =>
+      val w = table.map(_.length).max
+      val uniform = table.zipWithIndex.map { case (r, i) =>
+        i.toString +: r.padTo(w, "pad")
+      }
+      val schema = org.apache.spark.sql.types.StructType(
+        (0 to w).map(i => org.apache.spark.sql.types.StructField(s"c$i",
+          org.apache.spark.sql.types.StringType)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(uniform.map(r =>
+          org.apache.spark.sql.Row.fromSeq(r))), schema)
+      val dir = java.nio.file.Files.createTempDirectory("graftprop").toString
+      Sinks.writeCsv(df, s"$dir/t")
+      val back = CsvSource.read(spark, s"$dir/t", hasHeader = true)
+        .collect().map(_.toSeq.map(v => Option(v).map(_.toString).getOrElse("")))
+        .sortBy(_.head).map(_.toSeq).toSeq
+      val orig = uniform.sortBy(_.head).map(_.toSeq)
+      assert(back == orig, s"roundtrip mismatch on $table")
+    }
+  }
+
+  test("RBQL_VERSION variable") {
+    val out = Graft.queryTable(spark, "select RBQL_VERSION, a1 limit 1", Seq(Seq("x")))
+    assert(out == Seq(Seq("0.1.0-graft", "x")))
+  }
+
+  test("bracket positional access out of range errors") {
+    intercept[graft.engine.ParsingError] {
+      Graft.queryTable(spark, "select a[9]", Seq(Seq("x")))
+    }
+  }
+}
