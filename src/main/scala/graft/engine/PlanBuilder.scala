@@ -75,11 +75,11 @@ object PlanBuilder {
       case None => aDf
       case Some(j) =>
         val bDf = bDfRaw.get.alias("graft_b")
-        val cond = joinCondition(j.onRaw, tr)
         j.kind match {
-          case JoinKind.Inner => aDf.join(bDf, cond, "inner")
-          case JoinKind.Left => aDf.join(bDf, cond, "left_outer")
-          case JoinKind.StrictLeft => strictLeftJoin(aDf, bDf, cond)
+          case JoinKind.Inner => aDf.join(bDf, joinCondition(j.onRaw, tr), "inner")
+          case JoinKind.Left => aDf.join(bDf, joinCondition(j.onRaw, tr), "left_outer")
+          case JoinKind.StrictLeft =>
+            strictLeftJoin(aDf, bDfRaw.get, joinPairs(j.onRaw, tr))
         }
     }
 
@@ -148,10 +148,12 @@ object PlanBuilder {
     }
 
   /** ON: conjunction of equalities (reference parse_join_expression,
-    * rbql_engine.py:991-1013 — equi-only). Qualified translated sides keep
-    * this an equi-join for Catalyst (broadcast/SMJ eligible). */
-  private def joinCondition(onRaw: String, tr: ExprTranslator): Column = {
-    val conjuncts = splitTopLevelKeyword(onRaw, "and").map { piece =>
+    * rbql_engine.py:991-1013 — equi-only). Returns (aSide, bSide) SQL text
+    * per conjunct, normalized so the graft_b-referencing side is second.
+    * Qualified translated sides keep this an equi-join for Catalyst
+    * (broadcast/SMJ eligible). */
+  private def joinPairs(onRaw: String, tr: ExprTranslator): Seq[(String, String)] =
+    splitTopLevelKeyword(onRaw, "and").map { piece =>
       val sides = piece.split("==") match {
         case Array(l, r) => (l, r)
         case _ =>
@@ -161,10 +163,14 @@ object PlanBuilder {
               s"JOIN ON expects equality conditions joined by AND, got: '${piece.trim}'")
           }
       }
-      expr(tr.translate(sides._1)) === expr(tr.translate(sides._2))
+      val lt = tr.translate(sides._1)
+      val rt = tr.translate(sides._2)
+      if (lt.contains("graft_b.")) (rt, lt) else (lt, rt)
     }
-    conjuncts.reduce(_ && _)
-  }
+
+  private def joinCondition(onRaw: String, tr: ExprTranslator): Column =
+    joinPairs(onRaw, tr).map { case (a, b) => expr(a) === expr(b) }
+      .reduce(_ && _)
 
   private def splitTopLevelKeyword(s: String, kw: String): Seq[String] = {
     val re = ("""(?i)(?<![A-Za-z0-9_])""" + kw + """(?![A-Za-z0-9_])""").r
@@ -183,21 +189,28 @@ object PlanBuilder {
   }
 
   /** STRICT LEFT JOIN: error unless every A row has exactly one B match
-    * (reference StrictLeftJoiner, rbql_engine.py:595-603). Implemented as a
-    * left join + per-A-row match count via a window over a stable row id —
-    * fails fast inside the job via assert_true (no driver collect). */
-  private def strictLeftJoin(aDf: DataFrame, bDf: DataFrame, cond: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val idCol = "__graft_sid"
-    val aId = aDf.withColumn(idCol, monotonically_increasing_id())
-    val marked = bDf.withColumn("__graft_bhit", lit(1))
-    val joined = aId.join(marked, cond, "left_outer")
-    val w = Window.partitionBy(col(idCol))
-    joined
-      .withColumn("__graft_cnt", count(col("__graft_bhit")).over(w))
+    * (reference StrictLeftJoiner, rbql_engine.py:595-603). Cardinality is
+    * checked by joining B against its own per-key counts — an aggregation
+    * of the (small) build side that broadcasts, instead of re-shuffling
+    * the full joined result by a per-row id. Fails inside the job via
+    * assert_true (no driver collect). */
+  private def strictLeftJoin(aDf: DataFrame, bDfUnaliased: DataFrame,
+      pairs: Seq[(String, String)]): DataFrame = {
+    val keyAliases = pairs.indices.map(i => s"__graft_sk$i")
+    val cnt = bDfUnaliased.alias("graft_b")
+      .groupBy(pairs.zip(keyAliases).map { case ((_, b), n) => expr(b).alias(n) }: _*)
+      .agg(count(lit(1)).alias("__graft_cnt"))
+    val bPlus = bDfUnaliased.alias("graft_b")
+      .join(cnt, pairs.zip(keyAliases).map { case ((_, b), n) =>
+        expr(b) === col(n)
+      }.reduce(_ && _))
+      .drop(keyAliases: _*)
+      .alias("graft_b")
+    val cond = pairs.map { case (a, b) => expr(a) === expr(b) }.reduce(_ && _)
+    aDf.join(bPlus, cond, "left_outer")
       .where(assert_true(col("__graft_cnt") === 1,
         lit("STRICT LEFT JOIN requires exactly one match for every record")).isNull)
-      .drop(idCol, "__graft_bhit", "__graft_cnt")
+      .drop("__graft_cnt")
   }
 
   // ---- UPDATE ---------------------------------------------------------
@@ -214,21 +227,28 @@ object PlanBuilder {
       upd: UpdateSpec,
       tr: ExprTranslator): DataFrame = {
     val pred: Column = ast.where.map(w => expr(tr.translate(w))).getOrElse(lit(true))
+    // UPDATE+JOIN cardinality (≤1 match; 0 ⇒ predicate false): per-key
+    // counts joined onto B — aggregation of the build side, no full-result
+    // re-shuffle (same shape as strictLeftJoin)
     val (base, effPred) = ast.join match {
       case None => (aDf, pred)
       case Some(j) =>
-        import org.apache.spark.sql.expressions.Window
-        val bDf = bDfRaw.get.withColumn("__graft_bhit", lit(1)).alias("graft_b")
-        val cond = joinCondition(j.onRaw, tr)
-        val idCol = "__graft_uid"
-        val joined = aDf.withColumn(idCol, monotonically_increasing_id())
-          .join(bDf, cond, "left_outer")
-        val w = Window.partitionBy(col(idCol))
-        val guarded = joined
-          .withColumn("__graft_cnt", count(col("__graft_bhit")).over(w))
-          .where(assert_true(col("__graft_cnt") <= 1,
+        val pairs = joinPairs(j.onRaw, tr)
+        val keyAliases = pairs.indices.map(i => s"__graft_uk$i")
+        val cnt = bDfRaw.get.alias("graft_b")
+          .groupBy(pairs.zip(keyAliases).map { case ((_, b), n) => expr(b).alias(n) }: _*)
+          .agg(count(lit(1)).alias("__graft_cnt"))
+        val bPlus = bDfRaw.get.alias("graft_b")
+          .join(cnt, pairs.zip(keyAliases).map { case ((_, b), n) =>
+            expr(b) === col(n)
+          }.reduce(_ && _))
+          .drop(keyAliases: _*)
+          .alias("graft_b")
+        val cond = pairs.map { case (a, b) => expr(a) === expr(b) }.reduce(_ && _)
+        val guarded = aDf.join(bPlus, cond, "left_outer")
+          .where(assert_true(col("__graft_cnt").isNull || col("__graft_cnt") <= 1,
             lit("UPDATE with JOIN requires at most one match for every record")).isNull)
-        (guarded, pred && col("__graft_bhit").isNotNull)
+        (guarded, pred && col("__graft_cnt").isNotNull)
     }
     val assignTargets: Seq[(String, Column)] = upd.assignments.map {
       case (varRef, valueExpr) =>
