@@ -35,6 +35,10 @@ final class ExprTranslator(
 
   private def colByPos(side: Char, n: Int): String = {
     val schema = sideSchema(side)
+    // empty table (e.g. empty CSV file): variables never bind in the
+    // reference's loop — any reference resolves to null and the query
+    // returns empty rather than erroring
+    if (schema.isEmpty) return "cast(null as string)"
     if (n < 1 || n > schema.length)
       Errors.parsing(s"Variable ${side}$n is out of range: table ${side.toUpper} has ${schema.length} columns")
     qualify(side, schema.fields(n - 1).name)
