@@ -410,50 +410,58 @@ object PlanBuilder {
     // hidden sort keys (ORDER BY may reference input variables that are not
     // selected — compute them pre-projection)
     val sortKeys = ast.orderBy.getOrElse(Seq.empty)
-    val needHidden = sortKeys.nonEmpty && !sel.distinct && !sel.distinctCount
-    val hiddenCols = if (needHidden) sortKeys.zipWithIndex.map { case (k, i) =>
+    val hiddenCols = sortKeys.zipWithIndex.map { case (k, i) =>
       expr(tr.translate(k.expr)).alias(s"__graft_ord$i")
-    } else Seq.empty
+    }
+    val plainMode = !sel.distinct && !sel.distinctCount
     val nrTie: Seq[Column] =
-      if (needHidden && filtered.columns.contains(NrCol)) Seq(col(NrCol).alias("__graft_ordnr"))
+      if (sortKeys.nonEmpty && plainMode && filtered.columns.contains(NrCol))
+        Seq(col(NrCol).alias("__graft_ordnr"))
       else Seq.empty
 
     var out = filtered.select((uniq ++ hiddenCols ++ nrTie).toIndexedSeq: _*)
+    val outNames = uniq.indices.map(i => out.columns(i))
 
-    if (sel.distinctCount) {
-      // SELECT DISTINCT COUNT: occurrence count prepended as first column
-      // (UniqCountWriter, rbql_engine.py:518-537)
-      val outs = out.columns.toSeq
-      out = out.groupBy(outs.map(c => col(s"`$c`")): _*).agg(count(lit(1)).alias("count"))
-        .select((col("count") +: outs.map(c => col(s"`$c`"))).toIndexedSeq: _*)
-    } else if (sel.distinct) {
-      out = out.dropDuplicates()
-    }
-
-    if (sortKeys.nonEmpty) {
-      if (needHidden) {
-        val ordCols = sortKeys.zipWithIndex.map { case (k, i) =>
-          val c = col(s"__graft_ord$i"); if (k.asc) c.asc else c.desc
-        } ++ nrTie.headOption.map { _ =>
-          // stable sort: reference reverses the stably-sorted list for DESC
-          // (rbql_engine.py:550-557) → tiebreaker follows the direction
-          val c = col("__graft_ordnr")
-          if (sortKeys.forall(_.asc)) c.asc else c.desc
-        }
-        out = out.orderBy(ordCols.toIndexedSeq: _*)
-          .drop(sortKeys.indices.map(i => s"__graft_ord$i"): _*)
-          .drop("__graft_ordnr")
-      } else {
-        // distinct mode: sort keys must be output columns
-        val ordCols = sortKeys.map { k =>
-          val name = k.expr.trim
-          if (!out.columns.contains(name))
-            Errors.parsing(
-              s"With DISTINCT, ORDER BY keys must be output column names; '$name' is not. Use a pipe stage instead.")
-          if (k.asc) col(s"`$name`").asc else col(s"`$name`").desc
-        }
-        out = out.orderBy(ordCols.toIndexedSeq: _*)
+    if (sel.distinct || sel.distinctCount) {
+      // Reference data flow: sort → first-seen dedup (writer chain,
+      // rbql_engine.py:1554-1563) ⇒ each distinct tuple is represented by
+      // its extreme sort key: min(struct(keys)) ascending, max descending
+      // (DESC reverses the stably-sorted stream before dedup). Mixed
+      // per-key directions are not expressible this way.
+      if (sortKeys.nonEmpty && sortKeys.map(_.asc).distinct.size > 1)
+        Errors.parsing("With DISTINCT, ORDER BY must use a single direction; use a pipe stage instead")
+      val asc = sortKeys.forall(_.asc)
+      val grouped = out.groupBy(outNames.map(c => col(s"`$c`")): _*)
+      val aggs: Seq[Column] =
+        (if (sel.distinctCount) Seq(count(lit(1)).alias("count")) else Seq.empty) ++
+          (if (sortKeys.nonEmpty) {
+            val keyStruct = struct(sortKeys.indices.map(i => col(s"__graft_ord$i")): _*)
+            Seq((if (asc) min(keyStruct) else max(keyStruct)).alias("__graft_ordk"))
+          } else Seq.empty)
+      out =
+        if (aggs.nonEmpty) grouped.agg(aggs.head, aggs.tail: _*)
+        else out.dropDuplicates(outNames)
+      if (sortKeys.nonEmpty) {
+        out = out.orderBy(if (asc) col("__graft_ordk").asc else col("__graft_ordk").desc)
+          .drop("__graft_ordk")
       }
+      // occurrence count prepended as first column (UniqCountWriter,
+      // rbql_engine.py:518-537)
+      if (sel.distinctCount)
+        out = out.select((col("count") +: outNames.map(c => col(s"`$c`"))).toIndexedSeq: _*)
+      else out = out.select(outNames.map(c => col(s"`$c`")).toIndexedSeq: _*)
+    } else if (sortKeys.nonEmpty) {
+      val ordCols = sortKeys.zipWithIndex.map { case (k, i) =>
+        val c = col(s"__graft_ord$i"); if (k.asc) c.asc else c.desc
+      } ++ nrTie.headOption.map { _ =>
+        // stable sort: reference reverses the stably-sorted list for DESC
+        // (rbql_engine.py:550-557) → tiebreaker follows the direction
+        val c = col("__graft_ordnr")
+        if (sortKeys.forall(_.asc)) c.asc else c.desc
+      }
+      out = out.orderBy(ordCols.toIndexedSeq: _*)
+        .drop(sortKeys.indices.map(i => s"__graft_ord$i"): _*)
+        .drop("__graft_ordnr")
     }
     out
   }

@@ -120,4 +120,14 @@ class SourcesSpec extends SparkSpec {
     assert(df.columns.length > 1)
     assert(df.count() > 0)
   }
+
+  test("warnings scan reports nulls and delimiter-in-field") {
+    import spark.implicits._
+    val df = Seq((Some("a,b"), Some("x")), (None, Some("y"))).toDF("v", "w")
+    val ws = graft.sinks.Warnings.scan(df)
+    assert(ws.exists(_.contains("null values")))
+    assert(ws.exists(_.contains("separator")))
+    val clean = Seq(("a", "b")).toDF("v", "w")
+    assert(graft.sinks.Warnings.scan(clean).isEmpty)
+  }
 }
