@@ -57,6 +57,44 @@ object Similarity {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
 
+  /** IVF-style ANN: coarse quantization by nearest sampled centroid.
+    *
+    * `buildIvf` samples `nCentroids` corpus vectors deterministically (by
+    * lowest id — a stand-in for k-means; centroid quality affects recall,
+    * not correctness) and assigns every vector to its nearest centroid via
+    * a broadcast of the tiny centroid table. The assignment column
+    * partitions the corpus; `ivfTopK` scores only the `nProbe` centroids
+    * closest to the query — the classic inverted-file search shape, where
+    * scan cost drops from O(corpus) to O(corpus · nProbe / nCentroids). */
+  def buildIvf(df: DataFrame, vecCol: String, idCol: String,
+      nCentroids: Int = 16): DataFrame = {
+    val centroids = df.orderBy(col(idCol).asc).limit(nCentroids)
+      .select(col(idCol).alias("cid"), col(vecCol).alias("cvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__sim").desc, col("cid").asc)
+    df.crossJoin(broadcast(centroids))
+      .withColumn("__sim", cosine(col(vecCol), col("cvec")))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(df.columns.map(c => col(s"`$c`")).toIndexedSeq :+ col("cid").alias("ivf_cell"): _*)
+  }
+
+  /** Search an IVF-assigned corpus: probe the nProbe nearest cells. */
+  def ivfTopK(ivf: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Float], k: Int, nProbe: Int = 4): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    val cells = ivf.select(col("ivf_cell")).distinct()
+      .join(ivf.select(col(idCol).alias("ivf_cell"), col(vecCol).alias("cvec")), "ivf_cell")
+      .withColumn("__csim", cosine(col("cvec"), q))
+      .orderBy(col("__csim").desc).limit(nProbe)
+      .select(col("ivf_cell"))
+    ivf.join(broadcast(cells), "ivf_cell")
+      .withColumn("score", cosine(col(vecCol), q))
+      .select(col(idCol), round(col("score"), 6).alias("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** LSH-bucketed ANN top-k: probe only the query's bucket (plus
     * multiprobe neighbors at Hamming distance 1 for recall). Falls back to
     * the full scan only within matching buckets — the 100 TB path. */

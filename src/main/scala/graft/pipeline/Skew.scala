@@ -1,0 +1,44 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling join utilities.
+  *
+  * AQE's skew-join splitting (on by default) handles most cases at
+  * runtime; explicit salting remains the tool when one hot key dominates
+  * a shuffle so badly that even split partitions overwhelm single tasks,
+  * or when the small side is too big to broadcast but cheap to replicate
+  * `saltFactor` ways.
+  */
+object Skew {
+
+  /** Salted equi-join: the big side gets a deterministic per-row salt in
+    * [0, saltFactor); the small side is replicated once per salt value.
+    * Correct for inner and left joins on the big side. */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      bigKey: String,
+      smallKey: String,
+      saltFactor: Int = 8,
+      joinType: String = "inner"): DataFrame = {
+    // deterministic row salt: hash of the key + a uniform spreader — rows
+    // of the same hot key scatter across saltFactor sub-partitions
+    val salted = big.withColumn("__graft_salt",
+      pmod(hash(col(bigKey), spark_partition_id(),
+        monotonically_increasing_id()), lit(saltFactor)))
+    val saltValues = explode(sequence(lit(0), lit(saltFactor - 1)))
+    val expanded = small.withColumn("__graft_salt", saltValues)
+    val cond: Column = salted(bigKey) === expanded(smallKey) &&
+      salted("__graft_salt") === expanded("__graft_salt")
+    salted.join(expanded, cond, joinType)
+      .drop("__graft_salt")
+  }
+
+  /** Top-N heaviest keys of a column — the diagnostic used to decide
+    * whether salting is worth it. One aggregation pass. */
+  def keyHistogram(df: DataFrame, key: String, topN: Int = 20): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).alias("cnt"))
+      .orderBy(col("cnt").desc).limit(topN)
+}

@@ -120,4 +120,28 @@ class PipelineSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(media, everyNBytes = 16)
     assert(frames.count() > docs.count())
   }
+
+  test("ivf build + probe finds the query vector") {
+    val emb = sf("embeddings")
+    val ivf = Similarity.buildIvf(emb, "embedding", "vec_id", nCentroids = 8)
+    assert(ivf.columns.contains("ivf_cell"))
+    assert(ivf.count() == emb.count())
+    assert(ivf.select("ivf_cell").distinct().count() <= 8)
+    val q = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val top = Similarity.ivfTopK(ivf, "embedding", "vec_id", q, k = 5, nProbe = 3)
+      .collect()
+    assert(top.nonEmpty)
+    assert(top.head.getLong(0) == 0L) // self-match lives in its own probed cell
+  }
+
+  test("salted join matches plain join result") {
+    val li = sf("lineitem").select("l_orderkey", "l_quantity")
+    val orders = sf("orders").select("o_orderkey", "o_totalprice")
+    val plain = li.join(orders, li("l_orderkey") === orders("o_orderkey")).count()
+    val salted = Skew.saltedJoin(li, orders, "l_orderkey", "o_orderkey",
+      saltFactor = 4).count()
+    assert(salted == plain)
+    val hist = Skew.keyHistogram(li, "l_orderkey", topN = 5).collect()
+    assert(hist.length == 5)
+  }
 }
