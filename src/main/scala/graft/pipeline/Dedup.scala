@@ -78,17 +78,20 @@ object Dedup {
     // not codegen'd) — every reuse below goes through a shuffle barrier so
     // CollapseProject can never inline them into a join condition or pair
     // projection (which would re-evaluate them per candidate pair).
-    // hashed distinct shingles: Jaccard verification intersects long
-    // arrays, not strings (same values modulo ~2^-64 collision odds)
+    // native one-pass tokenize→shingle→hash (no intermediate strings);
+    // Jaccard verification intersects long arrays (same values modulo
+    // ~2^-64 collision odds)
+    // barrier kept here: shDf feeds three consumers (signature chain + two
+    // verify sides) — materializing the hashed shingles once through the
+    // id-shuffle measured faster than three source re-scans
     val shDf = df.select(col(idCol).alias("id"),
-      shingles(col(textCol), k).alias("sh"))
-      .select(col("id"), col("sh"),
-        array_distinct(transform(col("sh"), s => xxhash64(s))).alias("shh"))
+      org.apache.spark.sql.graft.sketch.shingle_hashes(col(textCol), k).alias("shh"))
       .repartition(col("id"))
     val buckets = shDf
       .select(col("id"),
-        explode(bandHashes(minhashSignature(col("sh"), n), bands, rows))
-          .alias("b"))
+        explode(bandHashes(
+          org.apache.spark.sql.graft.sketch.minhash_signature_longs(col("shh"), n),
+          bands, rows)).alias("b"))
       .select(col("id"), col("b.band").alias("band"), col("b.bh").alias("bh"))
       .repartition(col("band"), col("bh"))
     // candidate pairs carry ids only — the heavy shingle arrays are joined
@@ -166,12 +169,11 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       k: Int = 3, threshold: Double = 0.8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // hashed distinct shingles throughout: postings join + Jaccard
-    // intersect run on longs, not strings
+    // native one-pass hashed distinct shingles: postings join + Jaccard
+    // intersect run on longs, not strings; no barrier — the native
+    // expression is cheap to recompute per use
     val shDf = df.select(col(idCol).alias("id"),
-      array_distinct(transform(shingles(col(textCol), k), s => xxhash64(s)))
-        .alias("sh"))
-      .repartition(col("id"))
+      org.apache.spark.sql.graft.sketch.shingle_hashes(col(textCol), k).alias("sh"))
     val inv = shDf.select(col("id"), size(col("sh")).alias("nsh"),
       explode(col("sh")).alias("s"))
     val freq = inv.groupBy("s").agg(count(lit(1)).alias("f"))

@@ -136,6 +136,89 @@ case class HyperplaneSignature(child: Expression, planes: Int, seed: Long, table
     copy(child = newChild)
 }
 
+/** Hashed distinct k-shingles straight from text: lowercase, whitespace-
+  * tokenize, and hash each k-token window by chaining per-token xxHash64 —
+  * one pass, no intermediate shingle strings (the composable
+  * split+transform+array_join formulation costs ~150 interpreted
+  * array_joins per row and dominated the LSH pipelines).
+  * Input: string; output: array<long> (distinct). Fewer than k tokens →
+  * one shingle over all tokens (matching Dedup.shingles). */
+case class ShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString.toLowerCase
+    val toks = text.trim.split("\\s+")
+    val tokHashes = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      tokHashes(i) = XxHash64Function.hash(UTF8String.fromString(toks(i)), StringType, 42L)
+      i += 1
+    }
+    val set = new java.util.LinkedHashSet[java.lang.Long]()
+    if (toks.length < k) {
+      var h = 17L
+      var j = 0
+      while (j < tokHashes.length) { h = XxHash64Function.hash(tokHashes(j), LongType, h); j += 1 }
+      set.add(h)
+    } else {
+      var s = 0
+      while (s <= toks.length - k) {
+        var h = 17L
+        var j = 0
+        while (j < k) { h = XxHash64Function.hash(tokHashes(s + j), LongType, h); j += 1 }
+        set.add(h)
+        s += 1
+      }
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** MinHash signature over pre-hashed shingles (array<long>). */
+case class MinHashSignatureLongs(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_minhash_signature_longs"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = new Array[Long](n)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var e = 0
+    val len = arr.numElements()
+    while (e < len) {
+      val h = arr.getLong(e)
+      var i = 0
+      while (i < n) {
+        val hi = XxHash64Function.hash(h, LongType, i.toLong)
+        if (hi < sig(i)) sig(i) = hi
+        i += 1
+      }
+      e += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignatureLongs =
+    copy(child = newChild)
+}
+
 /** Cosine similarity of two float vectors, accumulated in double in array
   * order (bit-identical to the SQL formulation
   * Σ aᵢ·bᵢ / (√Σ aᵢ² · √Σ bᵢ²) — required for oracle parity). */
@@ -181,4 +264,8 @@ object sketch {
     column(HyperplaneSignature(expression(c), planes, seed, table))
   def cosine(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))
+  def shingle_hashes(c: Column, k: Int): Column =
+    column(ShingleHashes(expression(c), k))
+  def minhash_signature_longs(c: Column, n: Int): Column =
+    column(MinHashSignatureLongs(expression(c), n))
 }
