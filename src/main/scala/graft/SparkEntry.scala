@@ -226,6 +226,15 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0)
       pipeline.Similarity.lshTopK(emb, "embedding", "vec_id", q, k = 10)
+    }),
+
+    // IVF ANN: coarse cells + nProbe search (approximate — rows-only)
+    "q_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      val ivf = pipeline.Similarity.buildIvf(emb, "embedding", "vec_id", nCentroids = 16)
+      pipeline.Similarity.ivfTopK(ivf, "embedding", "vec_id", q, k = 10, nProbe = 4)
     })
   )
 

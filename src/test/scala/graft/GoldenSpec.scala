@@ -231,6 +231,52 @@ class GoldenSpec extends SparkSpec {
       e.getMessage.contains("CAST_INVALID_INPUT"))
   }
 
+  // -- more ported cases --------------------------------------------------
+  test("golden: regex filter (re.search → rlike)") {
+    val out = run("select * where a2 rlike 'a +ze'",
+      Seq(Seq("1", "alpha   zeta"), Seq("2", "alpha beta"), Seq("3", "a ze")))
+    assert(out.map(_(0)) == Seq("1", "3"))
+  }
+
+  test("golden: unicode update") {
+    val out = run("update a2 = 'Наполеон'",
+      Seq(Seq("5", "Пётр Первый"), Seq("50", "Екатерина")))
+    assert(out.map(_(1)).distinct == Seq("Наполеон"))
+  }
+
+  test("golden: single-column join table with null filter") {
+    val out = run(
+      "select a1, a2 left outer join b on a2 == b1 where b1 is not null",
+      Seq(Seq("100", "magic carpet"), Seq("5", "car"), Seq("50", "plane")),
+      Some(Seq(Seq("bicycle"), Seq("car"), Seq("plane"))))
+    assert(out.map(_(1)).toSet == Set("car", "plane"))
+  }
+
+  test("golden: missing join-table field errors") {
+    intercept[ParsingError] {
+      run("select a1 inner join b on a2 == b5", vehicles, Some(joinB))
+    }
+  }
+
+  test("golden: join with bracket/name variable styles in where") {
+    // reference 'join with normalized column names' — our named access
+    // works against real column names; bracket-literal resolves by name
+    val out = Graft.queryTable(spark,
+      """select a["speed"], b.propulsion inner join b on a.vehicle == b.vehicle where length(b["propulsion"]) > 3""",
+      Seq(Seq("5", "car"), Seq("50", "plane")), Some(Seq("speed", "vehicle")),
+      Some((Seq(Seq("car", "gas"), Seq("plane", "wings")),
+        Some(Seq("vehicle", "propulsion")))))
+    assert(out.toSet == Set(Seq("50", "wings")))
+  }
+
+  test("golden: aggregate without conversion on typed expressions") {
+    val out = run(
+      "select MAX(cast(a3 as int) + 5), MIN(cast(a2 as double) * 2), MEDIAN(cast(a4 as int) + 1)",
+      Seq(Seq("car", "1", "100", "1"), Seq("car", "2", "100", "1"),
+        Seq("dog", "3", "100", "2")))
+    assert(out == Seq(Seq(105, 2.0, 2.0)))
+  }
+
   // -- distinct count -----------------------------------------------------
   test("golden: distinct count with non-output order key and limit") {
     // reference case distinct_count_order_asc_limit: ORDER BY int(a2) asc
