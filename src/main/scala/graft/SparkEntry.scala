@@ -49,7 +49,7 @@ object SparkEntry {
         "MAX(a.l_extendedprice) AS max_price, AVG(a.l_discount) AS avg_disc " +
         "GROUP BY a.l_returnflag, a.l_linestatus",
       t(s, dir, "lineitem"))
-      .withColumn("avg_disc", round(col("avg_disc"), 6))),
+      .withColumn("avg_disc", pipeline.Rounding.halfUp(col("avg_disc"), 6))),
 
     // §2.6 global aggregation (no GROUP BY)
     "q_agg_global" -> ((s, dir) => Graft.query(s,
@@ -62,7 +62,7 @@ object SparkEntry {
       "SELECT a.l_returnflag, MEDIAN(a.l_quantity) AS med_qty, " +
         "VARIANCE(a.l_discount) AS var_disc GROUP BY a.l_returnflag",
       t(s, dir, "lineitem"))
-      .withColumn("var_disc", round(col("var_disc"), 8))),
+      .withColumn("var_disc", pipeline.Rounding.halfUp(col("var_disc"), 8))),
 
     // §2.6 ANY_VALUE (deterministic: single-row groups)
     "q_any_value" -> ((s, dir) => Graft.query(s,
@@ -152,7 +152,7 @@ object SparkEntry {
       "SELECT a.event_type, COUNT(*) AS cnt, SUM(a.value) AS sv " +
         "GROUP BY a.event_type",
       t(s, dir, "events"))
-      .withColumn("sv", round(col("sv"), 4))),
+      .withColumn("sv", pipeline.Rounding.halfUp(col("sv"), 4))),
 
     // JSON extraction from the events props column
     "q_json" -> ((s, dir) => Graft.query(s,
@@ -209,7 +209,7 @@ object SparkEntry {
         .select("embedding").head().getSeq[Float](0)
       pipeline.Similarity.scoreAll(emb, "embedding", q)
         .filter(col("vec_id") < 200)
-        .select(col("vec_id"), round(col("score"), 6).alias("score"))
+        .select(col("vec_id"), pipeline.Rounding.halfUp(col("score"), 6).alias("score"))
         .orderBy("vec_id")
     }),
 
@@ -251,7 +251,7 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
          sum(l_quantity) AS sum_qty, min(l_extendedprice) AS min_price,
          max(l_extendedprice) AS max_price,
-         round(avg(l_discount), 6) AS avg_disc
+         floor((avg(l_discount)) * 1e6 + 0.5) / 1e6 AS avg_disc
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
     "q_agg_global" ->
@@ -259,7 +259,7 @@ object SparkEntry {
          min(o_custkey) AS min_cust FROM orders""",
     "q_median_var" ->
       """SELECT l_returnflag, median(l_quantity) AS med_qty,
-         round(var_pop(l_discount), 8) AS var_disc
+         floor((var_pop(l_discount)) * 1e8 + 0.5) / 1e8 AS var_disc
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_any_value" ->
       """SELECT n_nationkey, min(n_name) AS name FROM nation
@@ -310,7 +310,7 @@ object SparkEntry {
          (SELECT row_number() OVER () AS rn, l_orderkey, l_linenumber
           FROM lineitem) WHERE rn <= 1000 ORDER BY rn""",
     "q_events_agg" ->
-      """SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sv
+      """SELECT event_type, count(*) AS cnt, floor((sum(value)) * 1e4 + 0.5) / 1e4 AS sv
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q_json" ->
       """SELECT event_id, json_extract_string(props, '$.k') AS k
@@ -376,8 +376,8 @@ object SparkEntry {
                     i -> array_to_string(tk[i:i+2], ' ')) END) AS s
            FROM toks)
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(len(list_intersect(a.s, b.s))::DOUBLE /
-             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+           floor((len(list_intersect(a.s, b.s))::DOUBLE /
+             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))) * 1e6 + 0.5) / 1e6 AS jaccard
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE len(list_intersect(a.s, b.s))::DOUBLE /
            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
@@ -393,21 +393,21 @@ object SparkEntry {
                     i -> array_to_string(tk[i:i+1], ' ')) END) AS s
            FROM toks)
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(len(list_intersect(a.s, b.s))::DOUBLE /
-             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+           floor((len(list_intersect(a.s, b.s))::DOUBLE /
+             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))) * 1e6 + 0.5) / 1e6 AS jaccard
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE len(list_intersect(a.s, b.s))::DOUBLE /
            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
          ORDER BY id_a, id_b""",
     "q_embed_scores" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-         SELECT vec_id, round(
+         SELECT vec_id, floor((
            list_sum(list_transform(generate_series(1, len(embedding)),
              i -> embedding[i]::DOUBLE * qe[i]::DOUBLE)) /
            (sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
              i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) *
             sqrt(list_sum(list_transform(generate_series(1, len(qe)),
-             i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))), 6) AS score
+             i -> qe[i]::DOUBLE * qe[i]::DOUBLE))))) * 1e6 + 0.5) / 1e6 AS score
          FROM embeddings, q WHERE vec_id < 200 ORDER BY vec_id""",
     "q_embed_dups" ->
       """WITH n AS (SELECT vec_id, embedding,
@@ -415,9 +415,9 @@ object SparkEntry {
              i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
            FROM embeddings)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_sum(list_transform(generate_series(1, len(a.embedding)),
+           floor((list_sum(list_transform(generate_series(1, len(a.embedding)),
              i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
-             / (a.nrm * b.nrm), 6) AS cosine
+             / (a.nrm * b.nrm)) * 1e6 + 0.5) / 1e6 AS cosine
          FROM n a JOIN n b ON a.vec_id < b.vec_id
          WHERE list_sum(list_transform(generate_series(1, len(a.embedding)),
              i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))

@@ -108,7 +108,7 @@ object Dedup {
     candidates.join(shA, "id_a").join(shB, "id_b")
       .withColumn("jaccard", jaccardPreDistinct(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= jaccardThreshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).alias("jaccard"))
+      .select(col("id_a"), col("id_b"), Rounding.halfUp(col("jaccard"), 6).alias("jaccard"))
   }
 
   /** Exact Jaccard over two shingle arrays (set semantics). */
@@ -197,7 +197,7 @@ object Dedup {
     candidates.join(shA, "id_a").join(shB, "id_b")
       .withColumn("jaccard", jaccardPreDistinct(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).alias("jaccard"))
+      .select(col("id_a"), col("id_b"), Rounding.halfUp(col("jaccard"), 6).alias("jaccard"))
   }
 
   /** Embedding near-dup pairs: cosine ≥ threshold, LSH-bucketed by random
@@ -228,6 +228,6 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
       .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 6).alias("cosine"))
+      .select(col("id_a"), col("id_b"), Rounding.halfUp(col("cos"), 6).alias("cosine"))
   }
 }

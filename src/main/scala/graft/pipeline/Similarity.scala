@@ -53,7 +53,7 @@ object Similarity {
       df: DataFrame, vecCol: String, idCol: String,
       query: Seq[Float], k: Int): DataFrame =
     scoreAll(df, vecCol, query)
-      .select(col(idCol), round(col("score"), 6).alias("score"))
+      .select(col(idCol), Rounding.halfUp(col("score"), 6).alias("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
 
@@ -90,7 +90,7 @@ object Similarity {
       .select(col("ivf_cell"))
     ivf.join(broadcast(cells), "ivf_cell")
       .withColumn("score", cosine(col(vecCol), q))
-      .select(col(idCol), round(col("score"), 6).alias("score"))
+      .select(col(idCol), Rounding.halfUp(col("score"), 6).alias("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
@@ -112,7 +112,7 @@ object Similarity {
     df.withColumn("sig", hyperplaneSignature(col(vecCol), planes, seed))
       .join(broadcast(probeDf), "sig")
       .withColumn("score", cosine(col(vecCol), q))
-      .select(col(idCol), round(col("score"), 6).alias("score"))
+      .select(col(idCol), Rounding.halfUp(col("score"), 6).alias("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
