@@ -6,10 +6,10 @@ import org.apache.spark.sql.functions._
 /** Deduplication operators for web-scale corpora.
   *
   * Scale design: every variant is one-or-two hash-partitioned shuffles on a
-  * compact key (never a cross join). Candidate generation is LSH-banded so
-  * the pairwise work is confined to same-bucket groups; exact verification
-  * runs only on candidates. All hashing is Spark's codegen'd xxhash64 /
-  * murmur3 — no UDFs anywhere.
+  * compact key (never a cross join). Candidate generation is LSH-banded or
+  * prefix-filtered so pairwise work is confined to same-bucket groups;
+  * exact verification runs only on candidates. Sketch hot paths are native
+  * Catalyst expressions (org.apache.spark.sql.graft) — no UDFs anywhere.
   */
 object Dedup {
 
@@ -37,17 +37,10 @@ object Dedup {
         i => array_join(slice(toks, i + 1, lit(k)), " ")))
   }
 
-  /** MinHash signature: `n` independent min-hashes over the shingle set.
-    * Each shingle is string-hashed ONCE (xxhash64); the n hash functions
-    * are a linear family h_i(x) = (2i+1)·x + i·φ over the 64-bit ring —
-    * per-element cost drops from n string hashes to n long mul-adds
-    * (higher-order funcs evaluate interpreted, so constant factors here
-    * dominate the whole LSH pipeline). */
+  /** MinHash signature: `n` independent min-hashes over a string shingle
+    * array (native MinHashSignature expression — one primitive loop per
+    * row; each shingle string-hashed once, then re-hashed per index). */
   def minhashSignature(shingleCol: Column, n: Int = 64): Column =
-    // native Catalyst expression (graft.functions.MinHashSignature): one
-    // tight primitive loop per row — the composable aggregate/zip_with
-    // formulation evaluates interpreted per lambda call and was the
-    // dominant cost of the whole LSH pipeline
     org.apache.spark.sql.graft.sketch.minhash_signature(shingleCol, n)
 
   /** LSH banding: split the signature into `bands` bands and hash each —
@@ -74,16 +67,14 @@ object Dedup {
       rows: Int = 4,
       jaccardThreshold: Double = 0.7): DataFrame = {
     val n = bands * rows
-    // Shingle/signature expressions are higher-order functions (interpreted,
-    // not codegen'd) — every reuse below goes through a shuffle barrier so
-    // CollapseProject can never inline them into a join condition or pair
-    // projection (which would re-evaluate them per candidate pair).
-    // native one-pass tokenize→shingle→hash (no intermediate strings);
-    // Jaccard verification intersects long arrays (same values modulo
-    // ~2^-64 collision odds)
-    // barrier kept here: shDf feeds three consumers (signature chain + two
-    // verify sides) — materializing the hashed shingles once through the
-    // id-shuffle measured faster than three source re-scans
+    // Native one-pass tokenize→shingle→hash (ShingleHashes — no
+    // intermediate shingle strings); Jaccard verification intersects long
+    // arrays (same values modulo ~2^-64 collision odds). The repartition
+    // is a deliberate shuffle barrier: shDf feeds three consumers
+    // (signature chain + both verify sides) — materializing the hashed
+    // shingles once measured faster than three source re-scans, and it
+    // stops CollapseProject from inlining expensive expressions into join
+    // projections (re-evaluation per candidate pair).
     val shDf = df.select(col(idCol).alias("id"),
       org.apache.spark.sql.graft.sketch.shingle_hashes(col(textCol), k).alias("shh"))
       .repartition(col("id"))
@@ -142,8 +133,8 @@ object Dedup {
           call_function("shiftright", col("sh"), c * 16).bitwiseAND(0xFFFF).alias("cv")))))
       .select(col("id"), col("sh"),
         col("chunk.ci").alias("ci"), col("chunk.cv").alias("cv"))
-      // barrier: simhash64 is an interpreted fold — materialize before the
-      // self-join so it is never re-evaluated per candidate pair
+      // barrier: materialize fingerprints before the self-join so the
+      // simhash expression is never re-evaluated per candidate pair
       .repartition(col("ci"), col("cv"))
     val l = chunked.alias("l")
     val r = chunked.alias("r")
