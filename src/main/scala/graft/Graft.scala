@@ -106,6 +106,18 @@ object Graft {
     query(spark, queryStr, input, tables)
   }
 
+  /** Ragged-model CSV entry point: records are variable-length fields
+    * arrays, NF is per-record, reads past a row's end are null (the
+    * reference's faithful data model for inconsistent-width input —
+    * SURVEY §1.1/§7.4). Positional addressing only. */
+  def queryRaggedCsv(
+      spark: SparkSession,
+      queryStr: String,
+      path: String,
+      delim: String = ",",
+      tables: Map[String, DataFrame] = Map.empty): DataFrame =
+    query(spark, queryStr, sources.CsvSource.readRagged(spark, path, delim), tables)
+
   /** JSON-lines entry point: whole object lands in a single VARIANT column
     * a1 (reference rbql_json.py:73-156); access nested fields with
     * variant_get(a1, '$.path', 'type'). */

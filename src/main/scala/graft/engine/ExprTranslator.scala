@@ -24,6 +24,13 @@ final class ExprTranslator(
     bSchema: Option[StructType],
     masked: Lexer.Masked) {
 
+  /** Ragged mode: the A table is a single `__graft_fields` array<string>
+    * column (faithful model of the reference's list-of-fields records,
+    * SURVEY §1.4). Positional vars become element_at (null past the end —
+    * safe_get semantics, rbql_engine.py:249-250) and NF is per-record. */
+  private val raggedA: Boolean =
+    aSchema.fieldNames.contains(ExprTranslator.FieldsCol)
+
   import ExprTranslator._
 
   val nrCol = "__graft_nr"
@@ -34,6 +41,8 @@ final class ExprTranslator(
   def usedNr: Boolean = _usedNr
 
   private def colByPos(side: Char, n: Int): String = {
+    if (side == 'a' && raggedA)
+      return s"try_element_at(graft_a.`${ExprTranslator.FieldsCol}`, $n)"
     val schema = sideSchema(side)
     // empty table (e.g. empty CSV file): variables never bind in the
     // reference's loop — any reference resolves to null and the query
@@ -96,7 +105,9 @@ final class ExprTranslator(
     s = VersionRe.replaceAllIn(s, _ => Regex.quoteReplacement("'0.1.0-graft'"))
     // NR / NF (case-sensitive, like the reference)
     s = NrRe.replaceAllIn(s, _ => { _usedNr = true; Regex.quoteReplacement(s"graft_a.`$nrCol`") })
-    s = NfRe.replaceAllIn(s, _ => Regex.quoteReplacement(aSchema.length.toString))
+    s = NfRe.replaceAllIn(s, _ => Regex.quoteReplacement(
+      if (raggedA) s"size(graft_a.`${ExprTranslator.FieldsCol}`)"
+      else aSchema.count(_.name != nrCol).toString))
     masked.restore(s)
   }
 
@@ -107,6 +118,9 @@ final class ExprTranslator(
 }
 
 object ExprTranslator {
+  /** Column name marking the ragged (fields-array) table model. */
+  val FieldsCol = "__graft_fields"
+
   // word-boundary guards: no letter/digit/_/. immediately before the var
   private val Pre = """(?<![A-Za-z0-9_.`])"""
   val BracketNameRe: Regex = (Pre + """([ab])\[###GRAFT_S(\d+)E###\]""").r

@@ -143,7 +143,10 @@ object PlanBuilder {
       alias: String, cols: Seq[String],
       clashWith: Set[String] = Set.empty): Seq[(String, Column)] =
     cols.filterNot(c => c == NrCol || c == BNrCol).map { c =>
-      val outName = if (clashWith.contains(c)) s"b_$c" else c
+      val outName =
+        if (c == ExprTranslator.FieldsCol) "fields" // ragged star: the record
+        else if (clashWith.contains(c)) s"b_$c"
+        else c
       (outName, col(s"$alias.`${c.replace("`", "``")}`"))
     }
 

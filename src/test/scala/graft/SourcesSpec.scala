@@ -130,4 +130,24 @@ class SourcesSpec extends SparkSpec {
     val clean = Seq(("a", "b")).toDF("v", "w")
     assert(graft.sinks.Warnings.scan(clean).isEmpty)
   }
+
+  test("ragged model: per-record NF, null past row end, star") {
+    val df = CsvSource.readRagged(spark,
+      s"$fixtures/movies_variable_width.tsv", delim = "\t")
+    // NF varies per record
+    val nfs = Graft.query(spark, "SELECT DISTINCT NF ORDER BY NF", df)
+      .collect().map(_.getInt(0)).toSeq
+    assert(nfs.length > 1)
+    // reading past a short row's end gives null, not an error
+    val out = Graft.query(spark,
+      "SELECT NR, a1, a8 WHERE a8 IS NULL AND NF < 8", df)
+    assert(out.count() > 0)
+    // star emits the record as a fields array
+    val star = Graft.query(spark, "SELECT * LIMIT 1", df)
+    assert(star.columns.toSeq == Seq("fields"))
+    // filter + aggregate over positional vars still work
+    val agg = Graft.query(spark,
+      "SELECT NF, COUNT(*) AS cnt GROUP BY NF", df)
+    assert(agg.count() == nfs.length)
+  }
 }
