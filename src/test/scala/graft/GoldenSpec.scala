@@ -102,6 +102,23 @@ class GoldenSpec extends SparkSpec {
     assert(out.toSet == Set(Seq("r2", "b2v"), Seq("r3", "b3v")))
   }
 
+  test("golden: aNR and bNR as output columns") {
+    val out = run(
+      "select aNR, bNR, a1, b1 inner join b on a1 == b1",
+      Seq(Seq("x"), Seq("y")),
+      Some(Seq(Seq("y"), Seq("x"))))
+    assert(out.toSet == Set(Seq(1L, 2L, "x", "x"), Seq(2L, 1L, "y", "y")))
+  }
+
+  test("golden: empty join table — inner drops all, left null-pads") {
+    val inner = run("select a1, b2 inner join b on a1 == b1",
+      Seq(Seq("x", "1")), Some(Seq.empty))
+    assert(inner.isEmpty)
+    val left = run("select a1, b2 left join b on a1 == b1",
+      Seq(Seq("x", "1")), Some(Seq.empty))
+    assert(left == Seq(Seq("x", null)))
+  }
+
   test("golden: two key join") {
     val out = run(
       "select a1, a2, b1 join b on a1 == b2 and a2 == b3",

@@ -150,4 +150,18 @@ class SourcesSpec extends SparkSpec {
       "SELECT NF, COUNT(*) AS cnt GROUP BY NF", df)
     assert(agg.count() == nfs.length)
   }
+
+  test("ragged reader comment prefix and regex skip") {
+    val dir = java.nio.file.Files.createTempDirectory("graftcmt").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/t.csv"),
+      "#skipme,1\na,1\nREM note,2\nb,2\n")
+    val byPrefix = CsvSource.readRagged(spark, s"$dir/t.csv", ",",
+      commentPrefix = Some("#"))
+    assert(byPrefix.count() == 3)
+    val byRegex = CsvSource.readRagged(spark, s"$dir/t.csv", ",",
+      commentPrefix = Some("#"), commentRegex = Some("^REM "))
+    val rows = Graft.query(spark, "SELECT a1 ORDER BY a1", byRegex)
+      .collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("a", "b"))
+  }
 }
