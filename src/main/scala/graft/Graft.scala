@@ -132,7 +132,11 @@ object Graft {
     case p: org.apache.spark.sql.catalyst.parser.ParseException =>
       ("query parsing", p.getMessage)
     case a: org.apache.spark.sql.AnalysisException =>
-      ("query parsing", a.getMessage)
+      val cat =
+        if (a.getMessage.contains("PATH_NOT_FOUND") ||
+          a.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND")) "IO handling"
+        else "query parsing"
+      (cat, a.getMessage)
     case other =>
       val msg = Option(other.getMessage).getOrElse(other.toString)
       ("query execution", msg)

@@ -248,6 +248,15 @@ class GoldenSpec extends SparkSpec {
       e.getMessage.contains("CAST_INVALID_INPUT"))
   }
 
+  test("golden: NR resets per pipe stage and follows stage-1 order") {
+    // reference: NR = 0 restarts each stage (rbql_engine.py:743); stage 2
+    // numbers records in the order stage 1 emitted them
+    val out = run(
+      "select a1, a2 where a2 != 'drop' order by a1 desc | select NR, a1",
+      Seq(Seq("b", "keep"), Seq("c", "drop"), Seq("a", "keep"), Seq("d", "keep")))
+    assert(out == Seq(Seq(1L, "d"), Seq(2L, "b"), Seq(3L, "a")))
+  }
+
   // -- more ported cases --------------------------------------------------
   test("golden: regex filter (re.search → rlike)") {
     val out = run("select * where a2 rlike 'a +ze'",
