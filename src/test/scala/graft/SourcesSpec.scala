@@ -164,4 +164,27 @@ class SourcesSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(rows == Seq("a", "b"))
   }
+
+  test("latin-1 encoded csv reads") {
+    val dir = java.nio.file.Files.createTempDirectory("graftenc").toString
+    val bytes = "caf\u00e9,1\nna\u00efve,2\n".getBytes("ISO-8859-1")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/l1.csv"), bytes)
+    val df = CsvSource.read(spark, s"$dir/l1.csv", ",", "simple",
+      hasHeader = false, encoding = "ISO-8859-1")
+    val vals = df.collect().map(_.getString(0)).toSet
+    assert(vals == Set("caf\u00e9", "na\u00efve"))
+  }
+
+  test("jsonl sink: single column unwraps to bare values") {
+    import spark.implicits._
+    val df = Seq("x", "y").toDF("v")
+    val dir = java.nio.file.Files.createTempDirectory("graftjs").toString
+    Sinks.writeJsonLines(df, s"$dir/out")
+    val lines = spark.read.text(s"$dir/out").collect().map(_.getString(0)).toSet
+    assert(lines == Set("\"x\"", "\"y\""))
+    val df2 = Seq(("x", 1)).toDF("v", "n")
+    Sinks.writeJsonLines(df2, s"$dir/out2")
+    val l2 = spark.read.text(s"$dir/out2").collect().map(_.getString(0))
+    assert(l2.head.startsWith("{") && l2.head.contains("\"v\":\"x\""))
+  }
 }
