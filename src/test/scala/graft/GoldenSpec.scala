@@ -331,4 +331,11 @@ class GoldenSpec extends SparkSpec {
       Seq(Seq("cde", "1234"), Seq("abc", "1234"), Seq("abc", "1234"), Seq("zzz", "5")))
     assert(out.toSet == Set(Seq(1L, "cde"), Seq(2L, "abc")))
   }
+
+  test("golden: limit applies after aggregation") {
+    val out = run("select COUNT(*), a2 group by a2 limit 2",
+      Seq(Seq("1", "x"), Seq("2", "y"), Seq("3", "z"), Seq("4", "x")))
+    assert(out.length == 2)
+    assert(out.head == Seq(2L, "x")) // sorted by group key, x first
+  }
 }
