@@ -21,6 +21,20 @@ object SparkEntry {
       "lineitem", "events", "documents", "embeddings")
       .map(n => n -> t(s, dir, n)).toMap
 
+  /** Embeddings plus 10 planted near-duplicates (vec_id+10000, every
+    * component shifted by +0.01 in double then rounded back to float —
+    * bit-reproducible in DuckDB as list_transform(e, x -> (x::DOUBLE +
+    * 0.01)::FLOAT)). The synthetic corpus has no natural near-dups, so the
+    * dedup/LSH recall path needs these to be non-vacuous. */
+  private def plantedEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val clones = emb.filter(col("vec_id") < 10).select(
+      (col("vec_id") + 10000).alias("vec_id"),
+      transform(col("embedding"),
+        x => (x.cast("double") + lit(0.01)).cast("float")).alias("embedding"))
+    emb.unionByName(clones)
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Graft.query(spark,
@@ -69,11 +83,34 @@ object SparkEntry {
       "SELECT a.n_nationkey, ANY_VALUE(a.n_name) AS name GROUP BY a.n_nationkey",
       t(s, dir, "nation"))),
 
-    // §2.6 ARRAY_AGG (sorted on both sides for determinism)
+    // §2.6 ANY_VALUE with multi-row groups: first-seen value in record
+    // order (min_by NR — rbql_engine.py:317-325)
+    "q_any_value_multi" -> ((s, dir) => Graft.query(s,
+      "SELECT a.l_returnflag, ANY_VALUE(a.l_orderkey) AS first_key " +
+        "GROUP BY a.l_returnflag",
+      t(s, dir, "lineitem"))),
+
+    // §2.6 ARRAY_AGG — insertion (NR) order, emitted as a joined string
+    // (the oracle harness cannot hash list columns)
     "q_array_agg" -> ((s, dir) => Graft.query(s,
       "SELECT a.n_regionkey, ARRAY_AGG(a.n_name) AS names GROUP BY a.n_regionkey",
       t(s, dir, "nation"))
-      .withColumn("names", sort_array(col("names")))),
+      .withColumn("names", array_join(col("names"), "|"))),
+
+    // §2.6 ARRAY_AGG with post-processing lambda (README.md:91-92)
+    "q_array_agg_cb" -> ((s, dir) => Graft.query(s,
+      "SELECT a.n_regionkey, ARRAY_AGG(a.n_name, v -> slice(v, 1, 3)) AS top3 " +
+        "GROUP BY a.n_regionkey",
+      t(s, dir, "nation"))
+      .withColumn("top3", array_join(col("top3"), "|"))),
+
+    // §2.6 aggregate int-preservation: sum/min/max of int-strings come
+    // back integral (NumHandler, rbql_engine.py:293-314)
+    "q_sum_int" -> ((s, dir) => Graft.query(s,
+      "SELECT a.l_returnflag, SUM(a.ln_s) AS s_ln, MIN(a.ln_s) AS min_ln, " +
+        "MAX(a.ln_s) AS max_ln GROUP BY a.l_returnflag",
+      t(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_linenumber").cast("string").alias("ln_s")))),
 
     // §2.5 inner JOIN
     "q_join_inner" -> ((s, dir) => Graft.query(s,
@@ -128,9 +165,9 @@ object SparkEntry {
         "| SELECT a.l_returnflag, COUNT(*) AS cnt GROUP BY a.l_returnflag",
       t(s, dir, "lineitem"))),
 
-    // §2.4 LIKE
+    // §2.4 LIKE (suffix wildcard; '%ARD' matches STANDARD — non-empty)
     "q_like" -> ((s, dir) => Graft.query(s,
-      "SELECT a.p_partkey, a.p_type WHERE a.p_type LIKE '%COPPER' " +
+      "SELECT a.p_partkey, a.p_type WHERE a.p_type LIKE '%ARD' " +
         "ORDER BY a.p_partkey",
       t(s, dir, "part"))),
 
@@ -214,11 +251,43 @@ object SparkEntry {
     }),
 
     // embedding near-dup pairs via multi-table hyperplane LSH + exact
-    // cosine ≥ 0.95 (none exist in this corpus — empty on both sides)
+    // cosine ≥ 0.95. The raw corpus has no near-dups (max pairwise cosine
+    // ≈0.51), so 10 deterministic near-duplicate vectors are planted —
+    // identically on the oracle side — to exercise the LSH recall path.
     "q_embed_dups" -> ((s, dir) =>
-      pipeline.Dedup.embeddingDupPairs(t(s, dir, "embeddings"),
+      pipeline.Dedup.embeddingDupPairs(plantedEmbeddings(s, dir),
         "embedding", "vec_id", threshold = 0.95)
         .orderBy("id_a", "id_b")),
+
+    // ANN recall gates: overlap@10 of the approximate result vs the exact
+    // brute-force top-k, emitted as a quality boolean the oracle pins —
+    // turns the approximate operators into checked signals
+    "q_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      val brute = pipeline.Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, k = 10)
+        .select(col("vec_id"))
+      val ann = pipeline.Similarity.lshTopK(emb, "embedding", "vec_id", q, k = 10)
+        .select(col("vec_id"))
+      ann.join(brute, "vec_id")
+        .agg((count(lit(1)) >= 8).alias("recall_ok"))
+        .select(lit(10).alias("k"), col("recall_ok"))
+    }),
+
+    "q_ivf_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      val brute = pipeline.Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, k = 10)
+        .select(col("vec_id"))
+      val ivf = pipeline.Similarity.buildIvf(emb, "embedding", "vec_id", nCentroids = 16)
+      val approx = pipeline.Similarity.ivfTopK(ivf, "embedding", "vec_id", q, k = 10, nProbe = 4)
+        .select(col("vec_id"))
+      approx.join(brute, "vec_id")
+        .agg((count(lit(1)) >= 8).alias("recall_ok"))
+        .select(lit(10).alias("k"), col("recall_ok"))
+    }),
 
     // ANN top-k (LSH multiprobe; approximate by design — rows-only check)
     "q_ann_topk" -> ((s, dir) => {
@@ -264,9 +333,24 @@ object SparkEntry {
     "q_any_value" ->
       """SELECT n_nationkey, min(n_name) AS name FROM nation
          GROUP BY n_nationkey ORDER BY n_nationkey""",
+    "q_any_value_multi" ->
+      """SELECT l_returnflag, arg_min(l_orderkey, rn) AS first_key FROM
+         (SELECT l_returnflag, l_orderkey, row_number() OVER () AS rn
+          FROM lineitem)
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_array_agg" ->
-      """SELECT n_regionkey, list_sort(list(n_name)) AS names FROM nation
-         GROUP BY n_regionkey ORDER BY n_regionkey""",
+      """SELECT n_regionkey,
+         array_to_string(list(n_name ORDER BY n_nationkey), '|') AS names
+         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    "q_array_agg_cb" ->
+      """SELECT n_regionkey,
+         array_to_string((list(n_name ORDER BY n_nationkey))[1:3], '|') AS top3
+         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    "q_sum_int" ->
+      """SELECT l_returnflag, cast(sum(l_linenumber) AS varchar) AS s_ln,
+         cast(min(l_linenumber) AS varchar) AS min_ln,
+         cast(max(l_linenumber) AS varchar) AS max_ln
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_join_inner" ->
       """SELECT s_suppkey, s_name, n_name FROM supplier
          JOIN nation ON s_nationkey = n_nationkey ORDER BY s_suppkey""",
@@ -298,7 +382,7 @@ object SparkEntry {
          (SELECT l_returnflag, l_quantity FROM lineitem WHERE l_quantity > 30)
          GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_like" ->
-      """SELECT p_partkey, p_type FROM part WHERE p_type LIKE '%COPPER'
+      """SELECT p_partkey, p_type FROM part WHERE p_type LIKE '%ARD'
          ORDER BY p_partkey""",
     "q_scalar_case" ->
       """SELECT o_orderkey, upper(o_orderstatus) AS status_u,
@@ -409,11 +493,21 @@ object SparkEntry {
             sqrt(list_sum(list_transform(generate_series(1, len(qe)),
              i -> qe[i]::DOUBLE * qe[i]::DOUBLE))))) * 1e6 + 0.5) / 1e6 AS score
          FROM embeddings, q WHERE vec_id < 200 ORDER BY vec_id""",
+    "q_ann_recall" ->
+      """SELECT 10 AS k, CAST(true AS BOOLEAN) AS recall_ok""",
+    "q_ivf_recall" ->
+      """SELECT 10 AS k, CAST(true AS BOOLEAN) AS recall_ok""",
     "q_embed_dups" ->
-      """WITH n AS (SELECT vec_id, embedding,
+      """WITH aug AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 10000 AS vec_id,
+             list_transform(embedding, x -> ((x::DOUBLE + 0.01)::FLOAT)) AS embedding
+           FROM embeddings WHERE vec_id < 10),
+         n AS (SELECT vec_id, embedding,
            sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
              i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
-           FROM embeddings)
+           FROM aug)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            floor((list_sum(list_transform(generate_series(1, len(a.embedding)),
              i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))

@@ -23,6 +23,9 @@ object PlanBuilder {
   val NrCol = "__graft_nr"
   val BNrCol = "__graft_bnr"
 
+  private val OrderedAggRe =
+    ("""(?i)(?<![A-Za-z0-9_.])(""" + Aggregates.OrderSensitive.mkString("|") + """)\s*\(""").r
+
   /** 1-based stable record number, assigned in source order BEFORE any
     * shuffle (SURVEY §7.4 hard-part 1). zipWithIndex is distributed
     * (per-partition offsets via one count job) — never a single-partition
@@ -51,8 +54,15 @@ object PlanBuilder {
 
     val bDfRaw0 = ast.join.map(j => resolveTable(masked.restore(j.tableId)))
 
+    // Order-sensitive aggregates (ARRAY_AGG/ANY_VALUE) read NR even when
+    // the query text doesn't: their per-group semantics are pinned to
+    // record order (first-seen / insertion order, rbql_engine.py:317-325,
+    // 446-458) — without the pin, collect_list/first order would be
+    // partition-dependent in a distributed plan.
+    val usesOrderedAgg = OrderedAggRe.findFirstMatchIn(stageMaskedText).isDefined
     val usesNr = ExprTranslator.NrRe.findFirstIn(stageMaskedText).isDefined ||
-      ExprTranslator.DotNrRe.findFirstIn(stageMaskedText).isDefined
+      ExprTranslator.DotNrRe.findFirstIn(stageMaskedText).isDefined ||
+      usesOrderedAgg
     val usesBNr = ExprTranslator.BNrRe.findFirstIn(stageMaskedText).isDefined
 
     // B-side record number (join key `bNR`/`b.NR`): materialized on the
@@ -323,8 +333,8 @@ object PlanBuilder {
       case ((item, cls), idx) =>
         val outName = outputName(item, idx, tr)
         val out = cls match {
-          case Some(Aggregates.Item(_, Some((fname, argSql)))) =>
-            AggOut(Aggregates.toColumn(fname, argSql, resolveType(filtered, argSql)))
+          case Some(Aggregates.Item(_, Some(call))) =>
+            AggOut(Aggregates.toColumn(call, resolveType(filtered, call.argSql), NrCol))
           case Some(Aggregates.Item(_, None)) =>
             val text = tr.translate(item.rawExpr)
             val ki = groupKeyTexts.indexOf(text)

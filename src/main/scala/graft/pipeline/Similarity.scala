@@ -95,22 +95,39 @@ object Similarity {
       .limit(k)
   }
 
-  /** LSH-bucketed ANN top-k: probe only the query's bucket (plus
-    * multiprobe neighbors at Hamming distance 1 for recall). Falls back to
-    * the full scan only within matching buckets — the 100 TB path. */
+  /** LSH-bucketed ANN top-k over `tables` independent hyperplane tables:
+    * per table, probe the query's bucket plus all 1-bit (Hamming-1) flips;
+    * candidates are the union across tables, exact-cosine-scored, top-k.
+    *
+    * Multi-table is what makes the recall dial real: per-table collision
+    * probability for a neighbor at angle θ is Binom(planes, θ/π ≤ 1 flip),
+    * and T independent tables turn recall r into 1-(1-r)^T. Scan cost stays
+    * proportional to probed buckets (tables × (planes+1) buckets), not the
+    * corpus — the 100 TB path (signatures would be precomputed/bucketed
+    * once for a production index; this computes them in-plan). */
   def lshTopK(
       df: DataFrame, vecCol: String, idCol: String,
       query: Seq[Float], k: Int,
-      planes: Int = 8, seed: Long = 42): DataFrame = {
+      planes: Int = 6, tables: Int = 8, seed: Long = 42): DataFrame = {
     val q = array(query.map(v => lit(v)): _*)
-    val qSigCol = hyperplaneSignature(q, planes, seed)
-    // multiprobe: query signature plus all 1-bit flips
-    val probes = explode(concat(array(qSigCol),
-      transform(sequence(lit(0), lit(planes - 1)),
-        p => qSigCol.bitwiseXOR(call_function("shiftleft", lit(1), p)))))
-    val probeDf = df.sparkSession.range(1).select(probes.alias("sig"))
-    df.withColumn("sig", hyperplaneSignature(col(vecCol), planes, seed))
-      .join(broadcast(probeDf), "sig")
+    val spark = df.sparkSession
+    // probe set: per table, the query signature and its 1-bit flips
+    val probeDf = (0 until tables).map { tbl =>
+      val qSig = org.apache.spark.sql.graft.sketch.hyperplane_signature(q, planes, seed, tbl)
+      spark.range(1).select(lit(tbl).alias("tbl"),
+        explode(concat(array(qSig),
+          transform(sequence(lit(0), lit(planes - 1)),
+            p => qSig.bitwiseXOR(call_function("shiftleft", lit(1), p))))).alias("sig"))
+    }.reduce(_ unionByName _)
+    val sigs = df.withColumn("tsig",
+      explode(array((0 until tables).map(tbl =>
+        struct(lit(tbl).alias("tbl"),
+          org.apache.spark.sql.graft.sketch.hyperplane_signature(col(vecCol), planes, seed, tbl)
+            .alias("sig"))): _*)))
+      .select(col(idCol), col(vecCol),
+        col("tsig.tbl").alias("tbl"), col("tsig.sig").alias("sig"))
+    sigs.join(broadcast(probeDf), Seq("tbl", "sig"))
+      .dropDuplicates(idCol)
       .withColumn("score", cosine(col(vecCol), q))
       .select(col(idCol), Rounding.halfUp(col("score"), 6).alias("score"))
       .orderBy(col("score").desc, col(idCol).asc)

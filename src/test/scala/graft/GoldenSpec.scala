@@ -203,19 +203,61 @@ class GoldenSpec extends SparkSpec {
       tbl)
     assert(out.length == 1)
     val r = out.head
-    assert(r(0) == 10.0) // min over coerced
-    assert(r(1) == 4.0) // max numeric-coerced like the reference
+    assert(r(0) == 10) // min over an already-int expression stays int
+    // int-preservation (NumHandler, rbql_engine.py:293-314): all-int
+    // string inputs to MIN/MAX/SUM come back integral, as strings (the
+    // reference's CSV-boundary observable)
+    assert(r(1) == "4")
     assert(r(2) == 4L && r(3) == 4L)
-    assert(r(4) == 400.0)
+    assert(r(4) == "400")
     assert(r(5) == 2.5)
     assert(r(6) == 1.25) // population variance
     assert(r(7) == 1.5) // exact median, mean of middle two
   }
 
+  test("golden: sum/min/max switch to float when any value is non-integral") {
+    val out = run("select SUM(a1), MIN(a1), MAX(a1)",
+      Seq(Seq("1"), Seq("2.5"), Seq("3")))
+    assert(out == Seq(Seq("6.5", "1.0", "3.0")))
+  }
+
+  test("golden: ARRAY_AGG collects in record (NR) order") {
+    val out = run("select a2, ARRAY_AGG(a3) group by a2", vehicles)
+    assert(out == Seq(
+      Seq("boat", Seq("destroyer", "yacht")),
+      Seq("car", Seq("lada", "Ferrari")),
+      Seq("plane", Seq("tu-134"))))
+    // order pin survives many partitions: 1 group, 200 rows, insertion order
+    val big = (1 to 200).map(i => Seq("g", i.toString))
+    val o2 = run("select ARRAY_AGG(a2) group by a1", big)
+    assert(o2 == Seq(Seq((1 to 200).map(_.toString))))
+  }
+
+  test("golden: ARRAY_AGG with post-processing lambda") {
+    val out = run(
+      "select a2, ARRAY_AGG(a3, v -> slice(v, 1, 1)) group by a2", vehicles)
+    assert(out == Seq(
+      Seq("boat", Seq("destroyer")),
+      Seq("car", Seq("lada")),
+      Seq("plane", Seq("tu-134"))))
+    val o2 = run(
+      "select ARRAY_AGG(a1, v -> array_join(sort_array(v), ',')) group by a2",
+      Seq(Seq("3", "x"), Seq("1", "x"), Seq("2", "x")))
+    assert(o2 == Seq(Seq("1,2,3")))
+  }
+
+  test("golden: ANY_VALUE keeps the first-seen value per group") {
+    val out = run("select a2, ANY_VALUE(a3) group by a2", vehicles)
+    assert(out == Seq(
+      Seq("boat", "destroyer"),
+      Seq("car", "lada"),
+      Seq("plane", "tu-134")))
+  }
+
   test("golden: case-insensitive aggregate names") {
     val out = run("select Count(*), mAx(a1) group by a2",
       Seq(Seq("1", "x"), Seq("2", "x")))
-    assert(out == Seq(Seq(2L, 2.0)))
+    assert(out == Seq(Seq(2L, "2")))
   }
 
   test("golden: group by single column is distinct-like") {
