@@ -68,24 +68,28 @@ object Similarity {
     * scan cost drops from O(corpus) to O(corpus · nProbe / nCentroids). */
   def buildIvf(df: DataFrame, vecCol: String, idCol: String,
       nCentroids: Int = 16): DataFrame = {
-    val centroids = df.orderBy(col(idCol).asc).limit(nCentroids)
-      .select(col(idCol).alias("cid"), col(vecCol).alias("cvec"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("__sim").desc, col("cid").asc)
-    df.crossJoin(broadcast(centroids))
-      .withColumn("__sim", cosine(col(vecCol), col("cvec")))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1)
-      .select(df.columns.map(c => col(s"`$c`")).toIndexedSeq :+ col("cid").alias("ivf_cell"): _*)
+    // the centroid table is tiny by construction — fetch it driver-side
+    // (one nCentroids-row job) and ship it inside a native argmax
+    // expression: assignment becomes a single map-side pass over the
+    // corpus, with no ×nCentroids expansion, no shuffle, no window
+    val cRows = df.orderBy(col(idCol).asc).limit(nCentroids)
+      .select(col(idCol), col(vecCol)).collect()
+    val cids = cRows.map(_.get(0))
+    val cvecs: Seq[Seq[Float]] = cRows.map(_.getSeq[Float](1)).toSeq
+    val idx = org.apache.spark.sql.graft.sketch.nearest_centroid(col(vecCol), cvecs)
+    df.withColumn("ivf_cell",
+      element_at(array(cids.map(c => lit(c)).toIndexedSeq: _*), idx + 1))
   }
 
-  /** Search an IVF-assigned corpus: probe the nProbe nearest cells. */
+  /** Search an IVF-assigned corpus: probe the nProbe nearest cells.
+    * Centroid rows are self-assigned (their nearest centroid is
+    * themselves), so the probe-cell choice is a map-side filter + top-n —
+    * no distinct/self-join shuffle of the corpus. */
   def ivfTopK(ivf: DataFrame, vecCol: String, idCol: String,
       query: Seq[Float], k: Int, nProbe: Int = 4): DataFrame = {
     val q = array(query.map(v => lit(v)): _*)
-    val cells = ivf.select(col("ivf_cell")).distinct()
-      .join(ivf.select(col(idCol).alias("ivf_cell"), col(vecCol).alias("cvec")), "ivf_cell")
-      .withColumn("__csim", cosine(col("cvec"), q))
+    val cells = ivf.filter(col(idCol) === col("ivf_cell"))
+      .withColumn("__csim", cosine(col(vecCol), q))
       .orderBy(col("__csim").desc).limit(nProbe)
       .select(col("ivf_cell"))
     ivf.join(broadcast(cells), "ivf_cell")

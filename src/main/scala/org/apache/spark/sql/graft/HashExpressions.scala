@@ -254,6 +254,55 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Index of the nearest centroid by cosine similarity (double accumulation
+  * in array order, same arithmetic as CosineSimilarity); ties keep the
+  * lowest index. Centroids ride along in the expression (a handful of
+  * small vectors — broadcast with the serialized plan), so cell assignment
+  * is one map-side pass: no corpus expansion, no shuffle, no window. */
+case class NearestCentroidIndex(child: Expression, centroids: Seq[Seq[Float]])
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_nearest_centroid"
+
+  @transient private lazy val cs: Array[Array[Float]] = centroids.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dims = v.numElements()
+    var vn = 0.0
+    var i = 0
+    while (i < dims) { val x = v.getFloat(i).toDouble; vn += x * x; i += 1 }
+    val vNorm = math.sqrt(vn)
+    var best = -1
+    var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < cs.length) {
+      val cv = cs(c)
+      val n = math.min(dims, cv.length)
+      var dot = 0.0
+      var cn = 0.0
+      var j = 0
+      while (j < n) {
+        val x = v.getFloat(j).toDouble
+        val y = cv(j).toDouble
+        dot += x * y
+        cn += y * y
+        j += 1
+      }
+      val sim = dot / (vNorm * math.sqrt(cn))
+      if (sim > bestSim) { bestSim = sim; best = c }
+      c += 1
+    }
+    java.lang.Integer.valueOf(best)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidIndex =
+    copy(child = newChild)
+}
+
 /** Column-level wrappers. */
 object sketch {
   import org.apache.spark.sql.classic.ExpressionUtils.{column, expression}
@@ -268,4 +317,6 @@ object sketch {
     column(ShingleHashes(expression(c), k))
   def minhash_signature_longs(c: Column, n: Int): Column =
     column(MinHashSignatureLongs(expression(c), n))
+  def nearest_centroid(c: Column, centroids: Seq[Seq[Float]]): Column =
+    column(NearestCentroidIndex(expression(c), centroids))
 }
