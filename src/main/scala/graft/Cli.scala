@@ -44,6 +44,12 @@ object Cli {
           hasHeader = opts.contains("with-headers"),
           encoding = opts.getOrElse("encoding", "UTF-8"),
           commentPrefix = opts.get("comment-prefix"))
+      // read-side warnings (BOM, inconsistent field counts) — reference
+      // CSVRecordIterator.get_warnings, rbql_csv.py:496-504
+      sources.CsvSource.inputWarnings(spark, input, delim,
+        if (opts.contains("ragged")) "simple" else policy,
+        opts.getOrElse("encoding", "UTF-8"), opts.get("comment-prefix"))
+        .foreach(w => System.err.println(s"Warning: $w"))
       opts.get("output") match {
         case Some(out) =>
           sinks.Sinks.writeCsv(result, out, delim,

@@ -53,6 +53,65 @@ class SourcesSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("text-split path: header skipped by position, header-identical data row survives") {
+    val dir = java.nio.file.Files.createTempDirectory("grafthdr").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/t.txt"),
+      "name  age\nalice  30\nname  age\nbob  41\n")
+    val df = CsvSource.read(spark, s"$dir/t.txt",
+      policy = "whitespace", hasHeader = true)
+    assert(df.columns.toSeq == Seq("name", "age"))
+    // exactly ONE line (the first) is treated as header; the identical
+    // data row on line 3 survives (reference rbql_csv.py:353-360)
+    assert(df.count() == 3)
+    assert(df.collect().map(_.getString(0)).sorted.toSeq == Seq("alice", "bob", "name"))
+  }
+
+  test("text-split path: wider-than-header rows are not truncated") {
+    val dir = java.nio.file.Files.createTempDirectory("graftwide").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/t.txt"),
+      "x y\n1 2\n3 4 5\n")
+    val df = CsvSource.read(spark, s"$dir/t.txt",
+      policy = "whitespace", hasHeader = true)
+    assert(df.columns.toSeq == Seq("x", "y", "a3"))
+    val rows = df.orderBy("x").collect()
+    assert(rows(1).getString(2) == "5") // extra field is addressable
+    assert(rows(0).isNullAt(2)) // short row null-pads
+  }
+
+  test("utf-8 BOM stripped from first line; header name clean") {
+    val dir = java.nio.file.Files.createTempDirectory("graftbom").toString
+    val bom = "\ufeff"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/t.csv"),
+      s"${bom}id,name\n1,ada\n")
+    val df = CsvSource.read(spark, s"$dir/t.csv", hasHeader = true)
+    assert(df.columns.toSeq == Seq("id", "name"))
+    // text-split path too
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/w.txt"),
+      s"${bom}id name\n1 ada\n")
+    val dfw = CsvSource.read(spark, s"$dir/w.txt",
+      policy = "whitespace", hasHeader = true)
+    assert(dfw.columns.toSeq == Seq("id", "name"))
+    val warns = CsvSource.inputWarnings(spark, s"$dir/t.csv")
+    assert(warns.exists(_.contains("Byte Order Mark")))
+  }
+
+  test("inputWarnings flags inconsistent field counts with record numbers") {
+    val dir = java.nio.file.Files.createTempDirectory("graftnf").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/t.csv"),
+      "a,b,c\n1,2,3\n4,5\n6,7,8\n")
+    val warns = CsvSource.inputWarnings(spark, s"$dir/t.csv")
+    assert(warns.exists(w => w.contains("not consistent") &&
+      w.contains("record 1 -> 3 fields") && w.contains("record 3 -> 2 fields")))
+    // quoted delimiters do not count as separators
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/q.csv"),
+      "a,b\n\"x,y\",2\n")
+    assert(CsvSource.inputWarnings(spark, s"$dir/q.csv").isEmpty)
+    // consistent file: no warning
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/ok.csv"),
+      "a,b\n1,2\n")
+    assert(CsvSource.inputWarnings(spark, s"$dir/ok.csv").isEmpty)
+  }
+
   test("unnest on pipe-joined genre column (movies)") {
     val df = CsvSource.read(spark, s"$fixtures/movies.tsv",
       delim = "\t", policy = "simple", hasHeader = false)
