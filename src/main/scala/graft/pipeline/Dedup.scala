@@ -94,9 +94,14 @@ object Dedup {
         col("l.id") < col("r.id"))
       .select(col("l.id").alias("id_a"), col("r.id").alias("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // verify: shuffle-hash joins (NOT broadcast) so both probes reuse the
+    // one materialized shingle exchange — a BroadcastExchange build cannot
+    // reuse a shuffle exchange and would re-run the sketch pipeline per
+    // join; the candidate side is tiny, so its shuffles are free
     val shA = shDf.select(col("id").alias("id_a"), col("shh").alias("sh_a"))
     val shB = shDf.select(col("id").alias("id_b"), col("shh").alias("sh_b"))
-    candidates.join(shA, "id_a").join(shB, "id_b")
+    candidates.join(shA.hint("shuffle_hash"), "id_a")
+      .join(shB.hint("shuffle_hash"), "id_b")
       .withColumn("jaccard", jaccardPreDistinct(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"), Rounding.halfUp(col("jaccard"), 6).alias("jaccard"))
@@ -150,21 +155,28 @@ object Dedup {
     * join (AllPairs/PPJoin-style).
     *
     * Canonical order = ascending global shingle frequency. Each doc indexes
-    * only its `n − ⌈t·n⌉ + 1` rarest shingles (the "prefix"); any pair with
-    * Jaccard ≥ t must share a prefix shingle of the smaller side, so
-    * probing prefix × full-postings loses nothing — while hot shingles
-    * (freq ≫) almost never appear in prefixes, killing the quadratic
-    * stop-shingle blowup a plain shingle-join suffers. Exact Jaccard
+    * only its `n − ⌈t·n⌉ + 1` rarest shingles (the "prefix"). With this
+    * symmetric prefix length, any pair with Jaccard ≥ t must share a
+    * PREFIX shingle on both sides (if the prefixes were disjoint, all
+    * common shingles would sit in one side's suffix of length
+    * ⌈t·n⌉ − 1 < t·n ≤ required overlap) — so the candidate join is
+    * prefix ⋈ prefix, not prefix ⋈ full-postings: ~5× less join input,
+    * hot shingles almost never in prefixes (no stop-shingle blowup), and
+    * both join sides share one lineage, so Catalyst reuses the shuffle
+    * (ReusedExchange) instead of recomputing the postings. Exact Jaccard
     * verification runs only on the candidates. */
   def ngramJaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
       k: Int = 3, threshold: Double = 0.8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // native one-pass hashed distinct shingles: postings join + Jaccard
-    // intersect run on longs, not strings; no barrier — the native
-    // expression is cheap to recompute per use
+    // intersect run on longs, not strings. The repartition is a shuffle
+    // barrier shared by all four consumers (freq, postings, both verify
+    // sides) — one ReusedExchange instead of re-shingling the corpus per
+    // branch
     val shDf = df.select(col(idCol).alias("id"),
       org.apache.spark.sql.graft.sketch.shingle_hashes(col(textCol), k).alias("sh"))
+      .repartition(col("id"))
     val inv = shDf.select(col("id"), size(col("sh")).alias("nsh"),
       explode(col("sh")).alias("s"))
     val freq = inv.groupBy("s").agg(count(lit(1)).alias("f"))
@@ -172,20 +184,25 @@ object Dedup {
     val w = Window.partitionBy(col("id")).orderBy(col("f").asc, col("s").asc)
     val prefix = invF.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= col("nsh") - ceil(lit(threshold) * col("nsh")) + 1)
-      .select(col("id").alias("id_p"), col("nsh").alias("nsh_p"), col("s"))
+      .select(col("id"), col("nsh"), col("s"))
+    // no explicit barrier: both self-join sides share this exact lineage,
+    // so the join's own shuffle-by-s is planned once and ReusedExchange
+    // serves the other side
     // length filter: J ≥ t forces t·max(na,nb) ≤ min(na,nb)
-    val candidates = prefix
-      .join(invF.select(col("id").alias("id_f"), col("nsh").alias("nsh_f"),
-        col("s")), "s")
-      .filter(col("id_p") =!= col("id_f") &&
+    val pl = prefix.select(col("id").alias("id_p"), col("nsh").alias("nsh_p"), col("s"))
+    val pr = prefix.select(col("id").alias("id_f"), col("nsh").alias("nsh_f"), col("s"))
+    val candidates = pl.join(pr, "s")
+      .filter(col("id_p") < col("id_f") &&
         greatest(col("nsh_p"), col("nsh_f")) * threshold <=
           least(col("nsh_p"), col("nsh_f")))
-      .select(least(col("id_p"), col("id_f")).alias("id_a"),
-        greatest(col("id_p"), col("id_f")).alias("id_b"))
+      .select(col("id_p").alias("id_a"), col("id_f").alias("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // verify: shuffle-hash joins so both probes reuse the materialized
+    // shingle exchange (see minhashDupPairs)
     val shA = shDf.select(col("id").alias("id_a"), col("sh").alias("sh_a"))
     val shB = shDf.select(col("id").alias("id_b"), col("sh").alias("sh_b"))
-    candidates.join(shA, "id_a").join(shB, "id_b")
+    candidates.join(shA.hint("shuffle_hash"), "id_a")
+      .join(shB.hint("shuffle_hash"), "id_b")
       .withColumn("jaccard", jaccardPreDistinct(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), Rounding.halfUp(col("jaccard"), 6).alias("jaccard"))

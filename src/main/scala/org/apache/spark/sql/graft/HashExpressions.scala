@@ -1,12 +1,10 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.hash.Murmur3_x86_32
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -16,143 +14,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * interpreted per lambda call with boxing — fine for one-off columns,
   * dominant cost when executed 64× per token per row. These expressions
   * run one tight primitive loop per row instead (10–50× on the LSH
-  * stages). Interpreted eval via CodegenFallback is still ~free relative
-  * to the loop body; doGenCode can come later if profiles demand it.
-  */
+  * stages), and participate in whole-stage codegen: doGenCode emits a
+  * direct static call on the already-generated child value (no
+  * InternalRow materialization, no span break — the CodegenFallback
+  * versions were the dominant cost of the n-gram pair stage). */
 
-/** xxHash64 of each string element, then an n-way min-sketch:
-  * sig[i] = min over elements of xxh64(elementHash, seed=i).
-  * Input: array<string>; output: array<long> of length n. */
-case class MinHashSignature(child: Expression, n: Int)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+/** Shared primitive kernels. Top-level object ⇒ Java static forwarders, so
+  * generated code can call `GraftHashOps.method(...)` directly. */
+object GraftHashOps {
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
-  override def nullable: Boolean = child.nullable
-  override def prettyName: String = "graft_minhash_signature"
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val sig = new Array[Long](n)
-    java.util.Arrays.fill(sig, Long.MaxValue)
-    var e = 0
-    val len = arr.numElements()
-    while (e < len) {
-      val s = arr.getUTF8String(e)
-      val h = XxHash64Function.hash(s, StringType, 42L)
-      var i = 0
-      while (i < n) {
-        val hi = XxHash64Function.hash(h, LongType, i.toLong)
-        if (hi < sig(i)) sig(i) = hi
-        i += 1
-      }
-      e += 1
-    }
-    new GenericArrayData(sig)
-  }
-
-  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
-    copy(child = newChild)
-}
-
-/** 64-bit SimHash over string elements: per-element xxHash64, bit-majority
-  * vote. Input: array<string>; output: long. */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
-
-  override def dataType: DataType = LongType
-  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
-  override def nullable: Boolean = child.nullable
-  override def prettyName: String = "graft_simhash64"
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val votes = new Array[Int](64)
-    var e = 0
-    val len = arr.numElements()
-    while (e < len) {
-      val h = XxHash64Function.hash(arr.getUTF8String(e), StringType, 42L)
-      var k = 0
-      while (k < 64) {
-        if (((h >>> k) & 1L) == 1L) votes(k) += 1 else votes(k) -= 1
-        k += 1
-      }
-      e += 1
-    }
-    var fp = 0L
-    var k = 0
-    while (k < 64) {
-      if (votes(k) > 0) fp |= (1L << k)
-      k += 1
-    }
-    java.lang.Long.valueOf(fp)
-  }
-
-  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
-    copy(child = newChild)
-}
-
-/** Hyperplane sign signature: project the float vector onto `planes`
-  * deterministic pseudo-random hyperplanes (murmur3-derived components in
-  * [-1,1)), pack signs into an int bucket id. Input: array<float>. */
-case class HyperplaneSignature(child: Expression, planes: Int, seed: Long, table: Int)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
-
-  override def dataType: DataType = IntegerType
-  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
-  override def nullable: Boolean = child.nullable
-  override def prettyName: String = "graft_hyperplane_signature"
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val dims = arr.numElements()
-    var sig = 0
-    var p = 0
-    while (p < planes) {
-      val pid = table * planes + p
-      var proj = 0.0
-      var i = 0
-      while (i < dims) {
-        // matches Similarity.planeComponent: murmur3(hash(p', i, seed))/MaxInt
-        val comp = hashInt3(pid, i, seed) / Int.MaxValue.toDouble
-        proj += arr.getFloat(i).toDouble * comp
-        i += 1
-      }
-      if (proj >= 0) sig |= (1 << p)
-      p += 1
-    }
-    java.lang.Integer.valueOf(sig)
-  }
-
-  /** murmur3 of (int, int, long) matching functions.hash(p, i, lit(seed)). */
-  private def hashInt3(p: Int, i: Int, seed: Long): Int = {
-    var h = Murmur3_x86_32.hashInt(p, 42)
-    h = Murmur3_x86_32.hashInt(i, h)
-    h = Murmur3_x86_32.hashLong(seed, h)
-    h
-  }
-
-  override protected def withNewChildInternal(newChild: Expression): HyperplaneSignature =
-    copy(child = newChild)
-}
-
-/** Hashed distinct k-shingles straight from text: lowercase, whitespace-
-  * tokenize, and hash each k-token window by chaining per-token xxHash64 —
-  * one pass, no intermediate shingle strings (the composable
-  * split+transform+array_join formulation costs ~150 interpreted
-  * array_joins per row and dominated the LSH pipelines).
-  * Input: string; output: array<long> (distinct). Fewer than k tokens →
-  * one shingle over all tokens (matching Dedup.shingles). */
-case class ShingleHashes(child: Expression, k: Int)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
-  override def nullable: Boolean = child.nullable
-  override def prettyName: String = "graft_shingle_hashes"
-
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString.toLowerCase
+  def shingleHashes(input: UTF8String, k: Int): ArrayData = {
+    val text = input.toString.toLowerCase
     val toks = text.trim.split("\\s+")
     val tokHashes = new Array[Long](toks.length)
     var i = 0
@@ -183,21 +55,7 @@ case class ShingleHashes(child: Expression, k: Int)
     new GenericArrayData(out)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
-    copy(child = newChild)
-}
-
-/** MinHash signature over pre-hashed shingles (array<long>). */
-case class MinHashSignatureLongs(child: Expression, n: Int)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
-  override def nullable: Boolean = child.nullable
-  override def prettyName: String = "graft_minhash_signature_longs"
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def minhashLongs(arr: ArrayData, n: Int): ArrayData = {
     val sig = new Array[Long](n)
     java.util.Arrays.fill(sig, Long.MaxValue)
     var e = 0
@@ -215,24 +73,77 @@ case class MinHashSignatureLongs(child: Expression, n: Int)
     new GenericArrayData(sig)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): MinHashSignatureLongs =
-    copy(child = newChild)
-}
+  def minhashStrings(arr: ArrayData, n: Int): ArrayData = {
+    val sig = new Array[Long](n)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var e = 0
+    val len = arr.numElements()
+    while (e < len) {
+      val h = XxHash64Function.hash(arr.getUTF8String(e), StringType, 42L)
+      var i = 0
+      while (i < n) {
+        val hi = XxHash64Function.hash(h, LongType, i.toLong)
+        if (hi < sig(i)) sig(i) = hi
+        i += 1
+      }
+      e += 1
+    }
+    new GenericArrayData(sig)
+  }
 
-/** Cosine similarity of two float vectors, accumulated in double in array
-  * order (bit-identical to the SQL formulation
-  * Σ aᵢ·bᵢ / (√Σ aᵢ² · √Σ bᵢ²) — required for oracle parity). */
-case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+  def simhash64(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    var e = 0
+    val len = arr.numElements()
+    while (e < len) {
+      val h = XxHash64Function.hash(arr.getUTF8String(e), StringType, 42L)
+      var k = 0
+      while (k < 64) {
+        if (((h >>> k) & 1L) == 1L) votes(k) += 1 else votes(k) -= 1
+        k += 1
+      }
+      e += 1
+    }
+    var fp = 0L
+    var k = 0
+    while (k < 64) {
+      if (votes(k) > 0) fp |= (1L << k)
+      k += 1
+    }
+    fp
+  }
 
-  override def dataType: DataType = DoubleType
-  override def inputTypes: Seq[AbstractDataType] =
-    Seq(ArrayType(FloatType), ArrayType(FloatType))
-  override def prettyName: String = "graft_cosine"
+  /** murmur3 of (int, int, long) matching functions.hash(p, i, lit(seed)). */
+  private def hashInt3(p: Int, i: Int, seed: Long): Int = {
+    var h = Murmur3_x86_32.hashInt(p, 42)
+    h = Murmur3_x86_32.hashInt(i, h)
+    h = Murmur3_x86_32.hashLong(seed, h)
+    h
+  }
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
+  def hyperplaneSignature(arr: ArrayData, planes: Int, seed: Long, table: Int): Int = {
+    val dims = arr.numElements()
+    var sig = 0
+    var p = 0
+    while (p < planes) {
+      val pid = table * planes + p
+      var proj = 0.0
+      var i = 0
+      while (i < dims) {
+        // matches Similarity.planeComponent: murmur3(hash(p', i, seed))/MaxInt
+        val comp = hashInt3(pid, i, seed) / Int.MaxValue.toDouble
+        proj += arr.getFloat(i).toDouble * comp
+        i += 1
+      }
+      if (proj >= 0) sig |= (1 << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** Cosine accumulated in double in array order — bit-identical to the
+    * SQL formulation Σ aᵢ·bᵢ / (√Σ aᵢ² · √Σ bᵢ²) (oracle parity). */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0
     var na = 0.0
@@ -246,31 +157,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
       nb += y * y
       i += 1
     }
-    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+    dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): CosineSimilarity =
-    copy(left = newLeft, right = newRight)
-}
-
-/** Index of the nearest centroid by cosine similarity (double accumulation
-  * in array order, same arithmetic as CosineSimilarity); ties keep the
-  * lowest index. Centroids ride along in the expression (a handful of
-  * small vectors — broadcast with the serialized plan), so cell assignment
-  * is one map-side pass: no corpus expansion, no shuffle, no window. */
-case class NearestCentroidIndex(child: Expression, centroids: Seq[Seq[Float]])
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
-
-  override def dataType: DataType = IntegerType
-  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
-  override def nullable: Boolean = child.nullable
-  override def prettyName: String = "graft_nearest_centroid"
-
-  @transient private lazy val cs: Array[Array[Float]] = centroids.map(_.toArray).toArray
-
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  /** Argmax-cosine centroid index; ties keep the lowest index. */
+  def nearestCentroid(v: ArrayData, cs: Array[Array[Float]]): Int = {
     val dims = v.numElements()
     var vn = 0.0
     var i = 0
@@ -296,7 +187,173 @@ case class NearestCentroidIndex(child: Expression, centroids: Seq[Seq[Float]])
       if (sim > bestSim) { bestSim = sim; best = c }
       c += 1
     }
-    java.lang.Integer.valueOf(best)
+    best
+  }
+}
+
+private object Gen {
+  val Ops = "org.apache.spark.sql.graft.GraftHashOps"
+}
+
+/** xxHash64 of each string element, then an n-way min-sketch:
+  * sig[i] = min over elements of xxh64(elementHash, seed=i).
+  * Input: array<string>; output: array<long> of length n. */
+case class MinHashSignature(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_minhash_signature"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.minhashStrings(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${Gen.Ops}.minhashStrings($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash over string elements: per-element xxHash64, bit-majority
+  * vote. Input: array<string>; output: long. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(GraftHashOps.simhash64(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${Gen.Ops}.simhash64($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Hyperplane sign signature: project the float vector onto `planes`
+  * deterministic pseudo-random hyperplanes (murmur3-derived components in
+  * [-1,1)), pack signs into an int bucket id. Input: array<float>. */
+case class HyperplaneSignature(child: Expression, planes: Int, seed: Long, table: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = IntegerType
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_hyperplane_signature"
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Integer.valueOf(GraftHashOps.hyperplaneSignature(
+      input.asInstanceOf[ArrayData], planes, seed, table))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${Gen.Ops}.hyperplaneSignature($c, $planes, ${seed}L, $table);")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSignature =
+    copy(child = newChild)
+}
+
+/** Hashed distinct k-shingles straight from text: lowercase, whitespace-
+  * tokenize, and hash each k-token window by chaining per-token xxHash64 —
+  * one pass, no intermediate shingle strings (the composable
+  * split+transform+array_join formulation costs ~150 interpreted
+  * array_joins per row and dominated the LSH pipelines).
+  * Input: string; output: array<long> (distinct). Fewer than k tokens →
+  * one shingle over all tokens (matching Dedup.shingles). */
+case class ShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.shingleHashes(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${Gen.Ops}.shingleHashes($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** MinHash signature over pre-hashed shingles (array<long>). */
+case class MinHashSignatureLongs(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_minhash_signature_longs"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.minhashLongs(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${Gen.Ops}.minhashLongs($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignatureLongs =
+    copy(child = newChild)
+}
+
+/** Cosine similarity of two float vectors, accumulated in double in array
+  * order (bit-identical to the SQL formulation — required for oracle
+  * parity). */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def prettyName: String = "graft_cosine"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Double.valueOf(GraftHashOps.cosine(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = ${Gen.Ops}.cosine($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Index of the nearest centroid by cosine similarity (double accumulation
+  * in array order, same arithmetic as CosineSimilarity); ties keep the
+  * lowest index. Centroids ride along in the expression (a handful of
+  * small vectors — broadcast with the serialized plan), so cell assignment
+  * is one map-side pass: no corpus expansion, no shuffle, no window. */
+case class NearestCentroidIndex(child: Expression, centroids: Seq[Seq[Float]])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = IntegerType
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_nearest_centroid"
+
+  @transient private lazy val cs: Array[Array[Float]] = centroids.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Integer.valueOf(GraftHashOps.nearestCentroid(
+      input.asInstanceOf[ArrayData], cs))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val csRef = ctx.addReferenceObj("centroids", cs, "float[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${Gen.Ops}.nearestCentroid($c, $csRef);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroidIndex =
