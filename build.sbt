@@ -15,6 +15,9 @@ run / fork := true
 // sbt's [info]/[error] line prefixes — the driver parses graft.Bench's
 // single JSON line from stdout, which must arrive bare.
 run / outputStrategy := Some(StdoutOutput)
+// Forward this process's stdin to forked runMain (graft.Cli reads the
+// input table from stdin when --input is absent).
+run / connectInput := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

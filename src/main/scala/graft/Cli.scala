@@ -4,23 +4,35 @@ import org.apache.spark.sql.SparkSession
 
 /** Command-line entry point — the counterpart of the reference CLI
   * (/root/reference/rbql-py/rbql/rbql_main.py: `rbql --query ... --delim
-  * ...`). Reads a CSV (dialect flags or autodetected), runs the query,
-  * writes CSV to --output or prints to stdout, and reports errors with the
+  * ...`). Reads a CSV (dialect flags or autodetected; stdin when no
+  * --input), runs the query, writes CSV to --output or prints to stdout —
+  * optionally converting the output dialect — and reports errors with the
   * reference's category labels.
   *
   * Usage:
-  *   graft.Cli --query "SELECT a1, a2 WHERE a2 == 'x'" --input in.csv
+  *   graft.Cli --query "SELECT a1, a2 WHERE a2 == 'x'" [--input in.csv]
   *     [--delim ,] [--policy quoted] [--with-headers] [--encoding UTF-8]
-  *     [--comment-prefix '#'] [--output outdir] [--ragged]
+  *     [--comment-prefix '#'] [--comment-regex '^;'] [--strip-whitespaces]
+  *     [--out-format csv|tsv|input] [--output-delim D] [--output-policy P]
+  *     [--init-source-file prelude.sql] [--output outdir] [--ragged]
+  *
+  * `--init-source-file` (default `~/.graft_init_source.sql` when present,
+  * reference rbql_main.py:76 + rbql_csv.py:22-24) is a file of
+  * semicolon-separated Spark SQL statements run against the session before
+  * the query — e.g. SQL UDFs: `CREATE TEMPORARY FUNCTION double_it(x INT)
+  * RETURNS INT RETURN x * 2`.
   */
 object Cli {
+
+  private val OutFormats = Map(
+    // reference interpret_named_csv_format + rbql_main.py:73-74
+    "csv" -> (",", "quoted"),
+    "tsv" -> ("\t", "simple"))
 
   def main(args: Array[String]): Unit = {
     val opts = parseArgs(args.toList, Map.empty)
     val query = opts.getOrElse("query",
       fail("query parsing", "--query is required"))
-    val input = opts.getOrElse("input",
-      fail("IO handling", "--input is required"))
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft")
@@ -31,35 +43,57 @@ object Cli {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
+      // stdin input when --input is absent (reference rbql_main.py:373)
+      val input = opts.get("input").getOrElse(readStdinToTemp())
       val (delim, policy) = (opts.get("delim"), opts.get("policy")) match {
         case (Some(d), Some(p)) => (unescapeDelim(d), p)
         case (Some(d), None) => (unescapeDelim(d), "quoted")
         case _ => sources.CsvSource.autodetect(spark, input,
           opts.getOrElse("encoding", "UTF-8"))
       }
+      // output dialect: --output-delim/--output-policy > --out-format
+      // (csv/tsv) > same as input (reference rbql_main.py:73-74)
+      val (outDelim, outPolicy) = (opts.get("output-delim"), opts.get("output-policy")) match {
+        case (Some(d), p) => (unescapeDelim(d), p.getOrElse(policy))
+        case (None, Some(p)) => (delim, p)
+        case _ => opts.get("out-format") match {
+          case Some("input") | None => (delim, policy)
+          case Some(f) => OutFormats.getOrElse(f,
+            fail("query parsing", s"Unknown --out-format: '$f' (csv, tsv, input)"))
+        }
+      }
+      runInitSource(spark, opts.get("init-source-file"))
       val result =
         if (opts.contains("ragged"))
           Graft.queryRaggedCsv(spark, query, input, delim)
         else Graft.queryCsv(spark, query, input, delim, policy,
           hasHeader = opts.contains("with-headers"),
           encoding = opts.getOrElse("encoding", "UTF-8"),
-          commentPrefix = opts.get("comment-prefix"))
+          commentPrefix = opts.get("comment-prefix"),
+          stripWhitespaces = opts.contains("strip-whitespaces"),
+          commentRegex = opts.get("comment-regex"))
+      // persist: the sink write and the warnings scan share one execution
+      // instead of running the query twice
+      result.persist()
+      try {
+        opts.get("output") match {
+          case Some(out) =>
+            sinks.Sinks.writeCsv(result, out, outDelim,
+              header = opts.contains("with-headers"), policy = outPolicy)
+          case None =>
+            sinks.Sinks.collectCsvLines(result, outDelim,
+              header = opts.contains("with-headers"), policy = outPolicy)
+              .foreach(println)
+        }
+        sinks.Warnings.scan(result, outDelim)
+          .foreach(w => System.err.println(s"Warning: $w"))
+      } finally result.unpersist()
       // read-side warnings (BOM, inconsistent field counts) — reference
       // CSVRecordIterator.get_warnings, rbql_csv.py:496-504
       sources.CsvSource.inputWarnings(spark, input, delim,
         if (opts.contains("ragged")) "simple" else policy,
         opts.getOrElse("encoding", "UTF-8"), opts.get("comment-prefix"))
         .foreach(w => System.err.println(s"Warning: $w"))
-      opts.get("output") match {
-        case Some(out) =>
-          sinks.Sinks.writeCsv(result, out, delim,
-            header = opts.contains("with-headers"))
-          sinks.Warnings.scan(result, delim)
-            .foreach(w => System.err.println(s"Warning: $w"))
-        case None =>
-          sinks.Sinks.collectCsvLines(result, delim,
-            header = opts.contains("with-headers")).foreach(println)
-      }
     } catch {
       case e: Throwable =>
         val (cat, msg) = Graft.exceptionToErrorInfo(e)
@@ -70,6 +104,50 @@ object Cli {
     spark.stop()
   }
 
+  /** Execute the SQL prelude: --init-source-file, or the default
+    * `~/.graft_init_source.sql` when it exists. Statements are split on
+    * semicolons at top level (quotes respected). */
+  private def runInitSource(spark: SparkSession, explicit: Option[String]): Unit = {
+    val path = explicit.orElse {
+      val default = new java.io.File(
+        System.getProperty("user.home"), ".graft_init_source.sql")
+      if (default.isFile) Some(default.getPath) else None
+    }
+    path.foreach { p =>
+      val text =
+        try scala.io.Source.fromFile(p).mkString
+        catch {
+          case e: Exception =>
+            fail("IO handling", s"Unable to read init source file '$p': ${e.getMessage}")
+        }
+      splitSqlStatements(text).foreach(spark.sql(_))
+    }
+  }
+
+  private def splitSqlStatements(text: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var quote: Char = 0
+    for (c <- text) {
+      if (quote != 0) { cur.append(c); if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '"') { quote = c; cur.append(c) }
+      else if (c == ';') { out += cur.toString; cur.clear() }
+      else cur.append(c)
+    }
+    out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Spool stdin to a temp file so Spark can scan it (reference reads the
+    * table from stdin when --input is absent, rbql_main.py:373). */
+  private def readStdinToTemp(): String = {
+    val tmp = java.nio.file.Files.createTempFile("graft_stdin", ".csv")
+    java.nio.file.Files.copy(System.in, tmp,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    tmp.toFile.deleteOnExit()
+    tmp.toString
+  }
+
   private def unescapeDelim(d: String): String =
     d.replace("\\t", "\t").replace("TAB", "\t")
 
@@ -77,7 +155,7 @@ object Cli {
   private def parseArgs(args: List[String], acc: Map[String, String]): Map[String, String] =
     args match {
       case Nil => acc
-      case ("--with-headers" | "--ragged") :: rest =>
+      case ("--with-headers" | "--ragged" | "--strip-whitespaces") :: rest =>
         parseArgs(rest, acc + (args.head.stripPrefix("--") -> "true"))
       case flag :: value :: rest if flag.startsWith("--") =>
         parseArgs(rest, acc + (flag.stripPrefix("--") -> value))

@@ -22,7 +22,8 @@ object Graft {
       spark: SparkSession,
       queryStr: String,
       input: DataFrame,
-      tables: Map[String, DataFrame] = Map.empty): DataFrame = {
+      tables: Map[String, DataFrame] = Map.empty,
+      tableFallback: String => Option[DataFrame] = _ => None): DataFrame = {
     val masked = Lexer.mask(Lexer.cleanup(queryStr))
     val stages = Lexer.splitStages(masked.text)
     // pipe chaining: each stage's output is the next stage's input
@@ -30,7 +31,7 @@ object Graft {
     // rbql_engine.py:1577-1602); Spark chains lazily — no materialization
     stages.foldLeft(input) { (df, stageText) =>
       PlanBuilder.build(spark, stageText, masked, df,
-        resolveTable(spark, tables))
+        resolveTable(spark, tables, tableFallback))
     }
   }
 
@@ -55,15 +56,18 @@ object Graft {
       StructType(Seq(StructField("__graft_no_input", StringType))))
   }
 
-  /** Resolve a FROM/JOIN table id: registered DataFrame > file path by
-    * extension > Spark temp view. (reference table registry,
+  /** Resolve a FROM/JOIN table id: registered DataFrame > caller-provided
+    * fallback (e.g. CSV dialect-aware / registry-aware resolution) > file
+    * path by extension > Spark temp view. (reference table registry,
     * rbql_engine.py:1634-1644 + rbql_csv.py:508-540) */
   private def resolveTable(
       spark: SparkSession,
-      tables: Map[String, DataFrame])(id: String): DataFrame = {
+      tables: Map[String, DataFrame],
+      fallback: String => Option[DataFrame] = _ => None)(id: String): DataFrame = {
     val key = id.trim
     tables.get(key)
       .orElse(tables.find(_._1.equalsIgnoreCase(key)).map(_._2))
+      .orElse(fallback(key))
       .getOrElse {
         val lower = key.toLowerCase
         if (lower.endsWith(".parquet")) spark.read.parquet(key)
@@ -80,6 +84,36 @@ object Graft {
       }
   }
 
+  /** JOIN-table path resolution for file-backed queries (reference
+    * find_table_path, rbql_csv.py:101-115): literal path (with ~ expansion)
+    * > main-table-relative path > the `~/.graft_table_names` index — a
+    * tab-separated `name<TAB>path` file, the analog of the reference's
+    * `~/.rbql_table_names`. Override the index location with the
+    * GRAFT_TABLE_NAMES environment variable. */
+  def findTablePath(mainTablePath: Option[String], tableId: String): Option[String] = {
+    val home = System.getProperty("user.home")
+    def expand(p: String): String =
+      if (p.startsWith("~")) home + p.substring(1) else p
+    val literal = new java.io.File(expand(tableId))
+    if (literal.exists()) return Some(literal.getPath)
+    if (!literal.isAbsolute) {
+      mainTablePath.flatMap(m => Option(new java.io.File(m).getParentFile))
+        .map(dir => new java.io.File(dir, tableId))
+        .filter(_.exists())
+        .foreach(f => return Some(f.getPath))
+    }
+    val indexPath = sys.props.get("graft.table.names")
+      .orElse(sys.env.get("GRAFT_TABLE_NAMES"))
+      .getOrElse(s"$home/.graft_table_names")
+    try {
+      scala.io.Source.fromFile(indexPath).getLines()
+        .map(_.stripLineEnd.split('\t'))
+        .collectFirst { case rec if rec.length > 1 && rec(0) == tableId => rec(1) }
+        .filter(p => new java.io.File(expand(p)).exists())
+        .map(expand)
+    } catch { case _: Exception => None }
+  }
+
   /** CSV entry point (reference query_csv, rbql_csv.py:543-580): loads the
     * input with the given dialect, honoring a WITH (header)/(noheader)
     * modifier in the query over the `hasHeader` default, runs the query,
@@ -93,7 +127,9 @@ object Graft {
       hasHeader: Boolean = false,
       encoding: String = "UTF-8",
       commentPrefix: Option[String] = None,
-      tables: Map[String, DataFrame] = Map.empty): DataFrame = {
+      tables: Map[String, DataFrame] = Map.empty,
+      stripWhitespaces: Boolean = false,
+      commentRegex: Option[String] = None): DataFrame = {
     val masked = Lexer.mask(Lexer.cleanup(queryStr))
     val stages = Lexer.splitStages(masked.text)
     val mods = ClauseParser.parse(masked.copy(text = stages.head)).withMods
@@ -102,8 +138,15 @@ object Graft {
       else if (mods.contains("noheader")) false
       else hasHeader
     val input = sources.CsvSource.read(spark, path, delim, policy, header,
-      encoding, commentPrefix)
-    query(spark, queryStr, input, tables)
+      encoding, commentPrefix, stripWhitespaces, commentRegex)
+    // JOIN tables resolve like the reference's FileSystemCSVRegistry
+    // (rbql_csv.py:508-540): same dialect as the input, paths relative to
+    // the input file, name aliases from the table-names index
+    val fallback: String => Option[DataFrame] = id =>
+      findTablePath(Some(path), id).map(p =>
+        sources.CsvSource.read(spark, p, delim, policy, header,
+          encoding, commentPrefix, stripWhitespaces, commentRegex))
+    query(spark, queryStr, input, tables, fallback)
   }
 
   /** Ragged-model CSV entry point: records are variable-length fields

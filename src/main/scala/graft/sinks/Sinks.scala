@@ -30,16 +30,19 @@ object Sinks {
 
   /** Distributed CSV write: header row, delimiter + policy-matched quoting
     * via Spark's writer (univocity quotes only when needed — matching the
-    * reference's quote_field). */
+    * reference's quote_field). `simple` policy writes raw fields without
+    * quoting, like the reference's simple writer (fields containing the
+    * delimiter surface through Warnings.scan). */
   def writeCsv(df: DataFrame, path: String, delim: String = ",",
-      header: Boolean = true): Unit =
-    normalizeForCsv(df).write
+      header: Boolean = true, policy: String = "quoted"): Unit = {
+    var w = normalizeForCsv(df).write
       .option("sep", delim)
       .option("header", header)
       .option("quoteAll", value = false)
       .option("emptyValue", "")
-      .mode("overwrite")
-      .csv(path)
+    if (policy == "simple" || policy == "whitespace") w = w.option("quote", "")
+    w.mode("overwrite").csv(path)
+  }
 
   /** JSON-lines write with the reference's single-column unwrap rule:
     * one output column → bare value per line; N columns → object
@@ -61,11 +64,14 @@ object Sinks {
   /** Driver-side collect for stdout-style output (the reference's default
     * CLI sink); only for interactive / small results. */
   def collectCsvLines(df: DataFrame, delim: String = ",",
-      header: Boolean = true): Seq[String] = {
+      header: Boolean = true, policy: String = "quoted"): Seq[String] = {
     val norm = normalizeForCsv(df)
-    val rows = norm.collect().map(_.toSeq.map(v => quoteField(String.valueOf(v), delim))
+    val q: String => String =
+      if (policy == "simple" || policy == "whitespace") identity
+      else quoteField(_, delim)
+    val rows = norm.collect().map(_.toSeq.map(v => q(String.valueOf(v)))
       .mkString(delim))
-    if (header) norm.columns.map(c => quoteField(c, delim)).mkString(delim) +: rows.toSeq
+    if (header) norm.columns.map(q).mkString(delim) +: rows.toSeq
     else rows.toSeq
   }
 

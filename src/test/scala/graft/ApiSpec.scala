@@ -54,6 +54,49 @@ class ApiSpec extends SparkSpec {
     assert(c3 == "query execution" && m3 == "boom")
   }
 
+  test("queryCsv strip-whitespaces and comment-regex") {
+    val dir = java.nio.file.Files.createTempDirectory("graftcli").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/t.csv"),
+      "; a comment\n 1 , ada \n 2 , grace \n")
+    val out = Graft.queryCsv(spark, "SELECT a1, a2", s"$dir/t.csv",
+      stripWhitespaces = true, commentRegex = Some("^;"))
+      .collect().map(_.toSeq)
+    assert(out.toSeq == Seq(Seq("1", "ada"), Seq("2", "grace")))
+    // quoted fields survive the comment-regex text path, delims inside
+    // quotes intact, doubled quotes unescaped
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/q.csv"),
+      "# skip\n\"x,y\",\"he said \"\"hi\"\"\"\n")
+    val out2 = Graft.queryCsv(spark, "SELECT a1, a2", s"$dir/q.csv",
+      commentRegex = Some("^#"))
+      .collect().map(_.toSeq)
+    assert(out2.toSeq == Seq(Seq("x,y", "he said \"hi\"")))
+  }
+
+  test("JOIN table resolution: input-relative path and table-names index") {
+    val dir = java.nio.file.Files.createTempDirectory("graftreg").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/main.csv"),
+      "id,name\n1,ada\n2,grace\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/side.csv"),
+      "id,city\n1,london\n2,ny\n")
+    // relative to the main table's directory (reference rbql_csv.py:101-115)
+    val rel = Graft.queryCsv(spark,
+      "SELECT a.id, b.city JOIN side.csv ON a.id == b.id ORDER BY a.id",
+      s"$dir/main.csv", hasHeader = true)
+      .collect().map(_.toSeq)
+    assert(rel.toSeq == Seq(Seq("1", "london"), Seq("2", "ny")))
+    // name alias via the table-names index
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/idx"),
+      s"cities\t$dir/side.csv\n")
+    System.setProperty("graft.table.names", s"$dir/idx")
+    try {
+      val byName = Graft.queryCsv(spark,
+        "SELECT a.id, b.city JOIN cities ON a.id == b.id ORDER BY a.id",
+        s"$dir/main.csv", hasHeader = true)
+        .collect().map(_.toSeq)
+      assert(byName.toSeq == Seq(Seq("1", "london"), Seq("2", "ny")))
+    } finally System.clearProperty("graft.table.names")
+  }
+
   test("FROM temp view resolution") {
     sf("region").createOrReplaceTempView("regions_v")
     val out = Graft.query(spark,
