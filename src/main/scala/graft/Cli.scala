@@ -31,8 +31,11 @@ object Cli {
 
   def main(args: Array[String]): Unit = {
     val opts = parseArgs(args.toList, Map.empty)
-    val query = opts.getOrElse("query",
-      fail("query parsing", "--query is required"))
+    // no --query with a file input → interactive loop
+    // (reference run_interactive_loop, rbql_main.py:207-238)
+    val interactive = !opts.contains("query")
+    if (interactive && !opts.contains("input"))
+      fail("query parsing", "--query is required when reading from stdin")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft")
@@ -63,37 +66,51 @@ object Cli {
         }
       }
       runInitSource(spark, opts.get("init-source-file"))
-      val result =
-        if (opts.contains("ragged"))
-          Graft.queryRaggedCsv(spark, query, input, delim)
-        else Graft.queryCsv(spark, query, input, delim, policy,
-          hasHeader = opts.contains("with-headers"),
-          encoding = opts.getOrElse("encoding", "UTF-8"),
-          commentPrefix = opts.get("comment-prefix"),
-          stripWhitespaces = opts.contains("strip-whitespaces"),
-          commentRegex = opts.get("comment-regex"))
-      // persist: the sink write and the warnings scan share one execution
-      // instead of running the query twice
-      result.persist()
-      try {
-        opts.get("output") match {
-          case Some(out) =>
-            sinks.Sinks.writeCsv(result, out, outDelim,
-              header = opts.contains("with-headers"), policy = outPolicy)
-          case None =>
-            sinks.Sinks.collectCsvLines(result, outDelim,
-              header = opts.contains("with-headers"), policy = outPolicy)
-              .foreach(println)
-        }
-        sinks.Warnings.scan(result, outDelim)
+
+      def runOne(query: String): Unit = {
+        val result =
+          if (opts.contains("ragged"))
+            Graft.queryRaggedCsv(spark, query, input, delim)
+          else Graft.queryCsv(spark, query, input, delim, policy,
+            hasHeader = opts.contains("with-headers"),
+            encoding = opts.getOrElse("encoding", "UTF-8"),
+            commentPrefix = opts.get("comment-prefix"),
+            stripWhitespaces = opts.contains("strip-whitespaces"),
+            commentRegex = opts.get("comment-regex"))
+        // persist: the sink write and the warnings scan share one
+        // execution instead of running the query twice
+        result.persist()
+        try {
+          opts.get("output") match {
+            case Some(out) =>
+              sinks.Sinks.writeCsv(result, out, outDelim,
+                header = opts.contains("with-headers"), policy = outPolicy)
+            case None if interactive =>
+              println("\nOutput table preview:")
+              println("====================================")
+              sinks.Sinks.collectCsvLines(result.limit(10), outDelim,
+                header = false, policy = "simple")
+                .map(colorizeLine(_, outDelim))
+                .foreach(println)
+              println("====================================")
+            case None =>
+              sinks.Sinks.collectCsvLines(result, outDelim,
+                header = opts.contains("with-headers"), policy = outPolicy)
+                .foreach(println)
+          }
+          sinks.Warnings.scan(result, outDelim)
+            .foreach(w => System.err.println(s"Warning: $w"))
+        } finally result.unpersist()
+        // read-side warnings (BOM, inconsistent field counts) — reference
+        // CSVRecordIterator.get_warnings, rbql_csv.py:496-504
+        sources.CsvSource.inputWarnings(spark, input, delim,
+          if (opts.contains("ragged")) "simple" else policy,
+          opts.getOrElse("encoding", "UTF-8"), opts.get("comment-prefix"))
           .foreach(w => System.err.println(s"Warning: $w"))
-      } finally result.unpersist()
-      // read-side warnings (BOM, inconsistent field counts) — reference
-      // CSVRecordIterator.get_warnings, rbql_csv.py:496-504
-      sources.CsvSource.inputWarnings(spark, input, delim,
-        if (opts.contains("ragged")) "simple" else policy,
-        opts.getOrElse("encoding", "UTF-8"), opts.get("comment-prefix"))
-        .foreach(w => System.err.println(s"Warning: $w"))
+      }
+
+      if (interactive) interactiveLoop(spark, input, delim, policy, opts, runOne)
+      else runOne(opts("query"))
     } catch {
       case e: Throwable =>
         val (cat, msg) = Graft.exceptionToErrorInfo(e)
@@ -102,6 +119,55 @@ object Cli {
         sys.exit(1)
     }
     spark.stop()
+  }
+
+  // ANSI palette from the reference's print_colorized (rbql_main.py:177-198)
+  private val ColorCodes = Seq("0m", "31m", "32m", "33m", "34m", "35m",
+    "36m", "31;1m", "32;1m", "33;1m").map(c => s"\u001b[$c")
+
+  /** Cycle a color per field of an already-joined CSV line. */
+  private def colorizeLine(line: String, delim: String,
+      labels: Boolean = false): String = {
+    val fields = line.split(java.util.regex.Pattern.quote(delim), -1)
+    fields.zipWithIndex.map { case (f, i) =>
+      val c = ColorCodes(i % ColorCodes.length)
+      if (labels) s"${c}a${i + 1}:$f" else s"$c$f"
+    }.mkString(delim) + "\u001b[0m"
+  }
+
+  /** Interactive query loop (reference run_interactive_loop,
+    * rbql_main.py:207-238): show a colorized input preview with aN column
+    * labels, then read-run-preview until an empty line or EOF. */
+  private def interactiveLoop(spark: SparkSession, input: String,
+      delim: String, policy: String, opts: Map[String, String],
+      runOne: String => Unit): Unit = {
+    println("Input table preview:")
+    println("====================================")
+    val preview = sources.CsvSource.read(spark, input, delim, policy,
+      hasHeader = false, // preview shows raw records, header included
+      encoding = opts.getOrElse("encoding", "UTF-8"),
+      commentPrefix = opts.get("comment-prefix")).limit(10)
+    val withHeaders = opts.contains("with-headers")
+    sinks.Sinks.collectCsvLines(preview, delim, header = false, policy = "simple")
+      .zipWithIndex
+      .map { case (l, i) => colorizeLine(l, delim, labels = !(withHeaders && i == 0)) }
+      .foreach(println)
+    println("====================================")
+    var done = false
+    while (!done) {
+      print("Input SQL-like RBQL query and press Enter:\n> ")
+      Console.flush()
+      val line = scala.io.StdIn.readLine()
+      if (line == null || line.trim.isEmpty) { println(); done = true }
+      else {
+        try runOne(line.trim)
+        catch {
+          case e: Throwable =>
+            val (cat, msg) = Graft.exceptionToErrorInfo(e)
+            System.err.println(s"Error [$cat]: $msg")
+        }
+      }
+    }
   }
 
   /** Execute the SQL prelude: --init-source-file, or the default
