@@ -27,16 +27,27 @@ object PlanBuilder {
     ("""(?i)(?<![A-Za-z0-9_.])(""" + Aggregates.OrderSensitive.mkString("|") + """)\s*\(""").r
 
   /** 1-based stable record number, assigned in source order BEFORE any
-    * shuffle (SURVEY §7.4 hard-part 1). zipWithIndex is distributed
-    * (per-partition offsets via one count job) — never a single-partition
-    * window. */
+    * shuffle (SURVEY §7.4 hard-part 1). Two passes like zipWithIndex —
+    * per-partition counts, then offset + in-partition counter — but fully
+    * declarative: monotonically_increasing_id is (partitionId << 33) +
+    * rowInPartition, so NR = offset(pid) + low-33-bits + 1. Stays inside
+    * Tungsten/whole-stage codegen (the old rdd.zipWithIndex round-trip
+    * deserialized every row and severed the columnar scan). Both jobs scan
+    * with identical deterministic partitioning, the same assumption
+    * zipWithIndex itself makes. */
   def withNr(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val schema = df.schema.add(StructField(NrCol, LongType, nullable = false))
-    val rdd = df.rdd.zipWithIndex().map { case (row, idx) =>
-      Row.fromSeq(row.toSeq :+ (idx + 1L))
-    }
-    spark.createDataFrame(rdd, schema)
+    val counts = df.groupBy(spark_partition_id().alias("__p"))
+      .agg(count(lit(1)).alias("__c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val maxPid = counts.lastOption.map(_._1).getOrElse(0)
+    val offsets = new Array[Long](maxPid + 1)
+    var acc = 0L
+    counts.foreach { case (pid, c) => offsets(pid) = acc; acc += c }
+    val offsetCol = element_at(
+      array(offsets.map(o => lit(o)).toIndexedSeq: _*),
+      spark_partition_id() + 1)
+    df.withColumn(NrCol,
+      offsetCol + monotonically_increasing_id().bitwiseAND((1L << 33) - 1) + 1L)
   }
 
   def build(
