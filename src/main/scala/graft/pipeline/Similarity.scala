@@ -115,23 +115,22 @@ object Similarity {
       planes: Int = 6, tables: Int = 8, seed: Long = 42): DataFrame = {
     val q = array(query.map(v => lit(v)): _*)
     val spark = df.sparkSession
-    // probe set: per table, the query signature and its 1-bit flips
-    val probeDf = (0 until tables).map { tbl =>
-      val qSig = org.apache.spark.sql.graft.sketch.hyperplane_signature(q, planes, seed, tbl)
-      spark.range(1).select(lit(tbl).alias("tbl"),
-        explode(concat(array(qSig),
-          transform(sequence(lit(0), lit(planes - 1)),
-            p => qSig.bitwiseXOR(call_function("shiftleft", lit(1), p))))).alias("sig"))
-    }.reduce(_ unionByName _)
-    val sigs = df.withColumn("tsig",
-      explode(array((0 until tables).map(tbl =>
-        struct(lit(tbl).alias("tbl"),
-          org.apache.spark.sql.graft.sketch.hyperplane_signature(col(vecCol), planes, seed, tbl)
-            .alias("sig"))): _*)))
-      .select(col(idCol), col(vecCol),
-        col("tsig.tbl").alias("tbl"), col("tsig.sig").alias("sig"))
-    sigs.join(broadcast(probeDf), Seq("tbl", "sig"))
-      .dropDuplicates(idCol)
+    // the probe set (query signature + 1-bit flips, per table) is tiny and
+    // known up front — fetch it with one 1-row job and push it into a
+    // map-side isin filter: no corpus × tables explode, no join, no
+    // shuffle. The OR short-circuits in codegen, so most rows compute one
+    // signature. (A standing index would precompute/bucket signatures;
+    // this is the one-off-query path.)
+    val sigRow = spark.range(1).select((0 until tables).map(t =>
+      org.apache.spark.sql.graft.sketch.hyperplane_signature(q, planes, seed, t)
+        .alias(s"s$t")): _*).head()
+    val keep = (0 until tables).map { t =>
+      val s = sigRow.getInt(t)
+      val probes = s +: (0 until planes).map(p => s ^ (1 << p))
+      org.apache.spark.sql.graft.sketch.hyperplane_signature(col(vecCol), planes, seed, t)
+        .isin(probes.map(Int.box): _*)
+    }.reduce(_ || _)
+    df.filter(keep)
       .withColumn("score", cosine(col(vecCol), q))
       .select(col(idCol), Rounding.halfUp(col("score"), 6).alias("score"))
       .orderBy(col("score").desc, col(idCol).asc)
