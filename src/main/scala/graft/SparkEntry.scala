@@ -239,6 +239,21 @@ object SparkEntry {
         pipeline.Dedup.simhash64(col("text")).alias("sh"))
         .orderBy("doc_id")),
 
+    // SimHash quality gate: pairs at Hamming ≤ 7 must recover ≥ 70% of
+    // the exact Jaccard ≥ 0.9 near-dup pairs — pins the approximate
+    // operator to an oracle-checkable recall bound
+    "q_simhash_recall" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sim = pipeline.Dedup.simhashDupPairs(docs, "text", "doc_id", maxHamming = 7)
+        .select("id_a", "id_b")
+      val exact = pipeline.Dedup.ngramJaccardPairs(docs, "text", "doc_id", k = 3, threshold = 0.9)
+        .select("id_a", "id_b")
+      sim.join(exact, Seq("id_a", "id_b"))
+        .agg(count(lit(1)).cast("double").alias("n_found"))
+        .join(exact.agg(count(lit(1)).cast("double").alias("n_exact")))
+        .select((col("n_found") >= col("n_exact") * 0.7).alias("recall_ok"))
+    }),
+
     // embedding cosine scores vs the vec_id=0 vector (brute-force baseline)
     "q_embed_scores" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -495,6 +510,8 @@ object SparkEntry {
          FROM embeddings, q WHERE vec_id < 200 ORDER BY vec_id""",
     "q_ann_recall" ->
       """SELECT 10 AS k, CAST(true AS BOOLEAN) AS recall_ok""",
+    "q_simhash_recall" ->
+      """SELECT CAST(true AS BOOLEAN) AS recall_ok""",
     "q_ivf_recall" ->
       """SELECT 10 AS k, CAST(true AS BOOLEAN) AS recall_ok""",
     "q_embed_dups" ->

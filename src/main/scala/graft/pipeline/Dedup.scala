@@ -125,18 +125,29 @@ object Dedup {
     org.apache.spark.sql.graft.sketch.simhash64(
       array_distinct(TextAnalysis.tokens(lower(text))))
 
-  /** SimHash near-dup pairs: pigeonhole-banded on 4×16-bit chunks (any
-    * pair at Hamming distance ≤ 3 must agree on at least one chunk), then
-    * exact Hamming verification via bit_count(xor). */
+  /** SimHash near-dup pairs: pigeonhole-banded on `maxHamming + 1` chunks
+    * covering all 64 bits (any pair at Hamming distance ≤ maxHamming must
+    * agree on at least one chunk — ≤ maxHamming bits differ, so some chunk
+    * holds none of them), then exact Hamming verification via
+    * bit_count(xor). maxHamming=3 → 4×16-bit chunks; 7 → 8×8-bit. */
   def simhashDupPairs(
       df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 1 && maxHamming < 64, "maxHamming must be in [1, 63]")
+    val chunks = maxHamming + 1
+    // chunk c covers bits [c*64/chunks, (c+1)*64/chunks) — a partition of
+    // the 64 bits even when chunks does not divide 64
+    val bounds = (0 to chunks).map(c => c * 64 / chunks)
     val base = df.select(col(idCol).alias("id"),
       simhash64(col(textCol)).alias("sh"))
-    val chunked = base.withColumn("chunk",
-      explode(transform(sequence(lit(0), lit(3)),
-        c => struct(c.alias("ci"),
-          call_function("shiftright", col("sh"), c * 16).bitwiseAND(0xFFFF).alias("cv")))))
+    val chunkStructs = (0 until chunks).map { c =>
+      val lo = bounds(c)
+      val width = bounds(c + 1) - bounds(c)
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      struct(lit(c).alias("ci"),
+        call_function("shiftright", col("sh"), lit(lo)).bitwiseAND(mask).alias("cv"))
+    }
+    val chunked = base.withColumn("chunk", explode(array(chunkStructs: _*)))
       .select(col("id"), col("sh"),
         col("chunk.ci").alias("ci"), col("chunk.cv").alias("cv"))
       // barrier: materialize fingerprints before the self-join so the
