@@ -211,6 +211,7 @@ object CsvSource {
     var txt = spark.read.option("encoding", encoding).text(path)
       .withColumn("__pos", monotonically_increasing_id())
     commentPrefix.foreach(p => txt = txt.filter(!col("value").startsWith(p)))
+    def recordNum(pos: Long): Long = txt.filter(col("__pos") <= pos).count()
     if (policy != "monocolumn") {
       val nf: org.apache.spark.sql.Column = policy match {
         case "whitespace" => size(split(trim(col("value")), "\\s+"))
@@ -225,12 +226,23 @@ object CsvSource {
         .agg(min(col("__pos")).alias("__p"))
         .orderBy(col("__p").asc).limit(2).collect()
       if (groups.length > 1) {
-        def recordNum(pos: Long): Long = txt.filter(col("__pos") <= pos).count()
         val Seq((nf1, r1), (nf2, r2)) = groups.toSeq.map(r =>
           (r.getInt(0), recordNum(r.getLong(1))))
         warnings += s"""Number of fields in "$tableName" table is not consistent: """ +
           s"e.g. record $r1 -> $nf1 fields, record $r2 -> $nf2 fields"
       }
+    }
+    // unbalanced (odd-count) double quotes on a line ⇒ defective escaping
+    // (reference first_defective_line, rbql_csv.py:500-501). Only for the
+    // line-based quoted policy — quoted_rfc legitimately spreads quoted
+    // fields across lines.
+    if (policy == "quoted") {
+      val oddQuotes = (length(col("value")) -
+        length(regexp_replace(col("value"), "\"", ""))) % 2 === 1
+      val bad = txt.filter(oddQuotes).orderBy(col("__pos").asc).limit(1).collect()
+      if (bad.nonEmpty)
+        warnings += s"Inconsistent double quote escaping in $tableName table. " +
+          s"E.g. at line ${recordNum(bad(0).getLong(1))}"
     }
     warnings.toSeq
   }

@@ -110,6 +110,11 @@ class SourcesSpec extends SparkSpec {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/ok.csv"),
       "a,b\n1,2\n")
     assert(CsvSource.inputWarnings(spark, s"$dir/ok.csv").isEmpty)
+    // defective double-quote escaping is reported with its line number
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/dq.csv"),
+      "a,b\n\"ok\",2\nbro\"ken,3\n")
+    val dq = CsvSource.inputWarnings(spark, s"$dir/dq.csv")
+    assert(dq.exists(w => w.contains("double quote") && w.contains("line 3")))
   }
 
   test("unnest on pipe-joined genre column (movies)") {
