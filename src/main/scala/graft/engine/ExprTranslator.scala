@@ -103,6 +103,9 @@ final class ExprTranslator(
       Regex.quoteReplacement(colByPos(m.group(1).charAt(0), m.group(2).toInt)))
     // engine version variable (reference rbql_engine.py:49)
     s = VersionRe.replaceAllIn(s, _ => Regex.quoteReplacement("'0.1.0-graft'"))
+    // NU — number of updated records so far (reference rbql_engine.py:693,
+    // 704, 744; UPDATE-only, validated in PlanBuilder)
+    s = ExprTranslator.NuRe.replaceAllIn(s, _ => Regex.quoteReplacement(s"`${ExprTranslator.NuCol}`"))
     // NR / NF (case-sensitive, like the reference)
     s = NrRe.replaceAllIn(s, _ => { _usedNr = true; Regex.quoteReplacement(s"graft_a.`$nrCol`") })
     s = NfRe.replaceAllIn(s, _ => Regex.quoteReplacement(
@@ -130,6 +133,9 @@ object ExprTranslator {
   val BNrRe: Regex = (Pre + """b(?:\.NR|NR)(?![A-Za-z0-9_])""").r
   val DotNrRe: Regex = (Pre + """a(?:\.NR|NR)(?![A-Za-z0-9_])""").r
   val NrRe: Regex = (Pre + """NR(?![A-Za-z0-9_])""").r
+  val NuRe: Regex = (Pre + """NU(?![A-Za-z0-9_])""").r
+  /** Column carrying the NU (updated-so-far) counter in UPDATE plans. */
+  val NuCol = "__graft_nu_upd"
   val NfRe: Regex = (Pre + """NF(?![A-Za-z0-9_])""").r
   val VersionRe: Regex = (Pre + """RBQL_VERSION(?![A-Za-z0-9_])""").r
 

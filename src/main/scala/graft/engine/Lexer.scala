@@ -58,7 +58,10 @@ object Lexer {
         i += 1
       }
     }
-    Masked(sb.toString, lits.toIndexedSeq)
+    // JS-dialect equality spellings (reference accepts === / !== in the
+    // JS twin): normalize on the MASKED text, so literals are untouched
+    val normalized = sb.toString.replace("===", "==").replace("!==", "!=")
+    Masked(normalized, lits.toIndexedSeq)
   }
 
   /** Strip trailing semicolon + collapse whitespace at the ends.

@@ -50,6 +50,33 @@ object PlanBuilder {
       offsetCol + monotonically_increasing_id().bitwiseAND((1L << 33) - 1) + 1L)
   }
 
+  /** NU — running count (1-based, record order) of rows matching the
+    * UPDATE's WHERE predicate (reference rbql_engine.py:693,704,744: the
+    * counter increments before the assignments run, so the first updated
+    * row reads 1). Distributed: per-partition matched counts → cumulative
+    * offsets (one small job), plus a per-source-partition running-sum
+    * window — parallelism stays one task per input partition, no global
+    * sort. Only evaluated when the predicate holds, so values on
+    * unmatched rows are irrelevant. */
+  private def withNu(df: DataFrame, predSql: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val matched = when(expr(predSql), 1L).otherwise(0L)
+    val base = df.withColumn("__graft_pid", spark_partition_id())
+      .withColumn("__graft_mid", monotonically_increasing_id())
+    val counts = base.groupBy(col("__graft_pid")).agg(sum(matched).alias("__c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val maxPid = counts.lastOption.map(_._1).getOrElse(0)
+    val offsets = new Array[Long](maxPid + 1)
+    var acc = 0L
+    counts.foreach { case (p, c) => offsets(p) = acc; acc += c }
+    val w = Window.partitionBy(col("__graft_pid")).orderBy(col("__graft_mid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.withColumn(ExprTranslator.NuCol,
+      element_at(array(offsets.map(o => lit(o)).toIndexedSeq: _*),
+        col("__graft_pid") + 1) + sum(matched).over(w))
+      .drop("__graft_pid", "__graft_mid")
+  }
+
   def build(
       spark: SparkSession,
       stageMaskedText: String,
@@ -87,8 +114,20 @@ object PlanBuilder {
     val aDf = aDf0.alias("graft_a")
 
     // ---- UPDATE path (projection-as-mutation, README.md:82-84) -------
+    val usesNu = ExprTranslator.NuRe.findFirstIn(stageMaskedText).isDefined
+    if (usesNu && ast.update.isEmpty)
+      Errors.parsing("NU (number of updated records) is only defined in UPDATE queries")
     ast.update.foreach { upd =>
-      return buildUpdate(aDf, aDf0, bDfRaw, ast, upd, tr)
+      if (usesNu && ast.join.isDefined)
+        Errors.parsing("NU is not supported in UPDATE with JOIN; use NR instead")
+      if (ast.where.exists(w => ExprTranslator.NuRe.findFirstIn(w).isDefined))
+        Errors.parsing("NU cannot be used in WHERE (it counts rows the WHERE already matched)")
+      val aDfU =
+        if (usesNu)
+          withNu(aDf, ast.where.map(w => tr.translate(w)).getOrElse("true"))
+            .alias("graft_a")
+        else aDf
+      return buildUpdate(aDfU, aDf0, bDfRaw, ast, upd, tr)
     }
 
     // ---- join --------------------------------------------------------
@@ -492,7 +531,11 @@ object PlanBuilder {
 
   /** Build the Column for a non-star select item; returns (col, isUnnest). */
   private def buildItemColumn(raw: String, tr: ExprTranslator): (Column, Boolean) = {
-    val t = raw.trim
+    var t = raw.trim
+    // unpack operator `*expr` (reference python dialect `select *a2.split()`,
+    // test 'unpack operator') — sugar for UNNEST(expr). Plain stars were
+    // already consumed by the caller's isStar.
+    if (t.startsWith("*") && t.length > 1) t = s"UNNEST(${t.substring(1)})"
     val m = """(?i)^unnest\s*\(""".r.findFirstMatchIn(t)
     if (m.isDefined) {
       val open = m.get.end - 1

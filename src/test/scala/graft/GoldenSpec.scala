@@ -246,6 +246,59 @@ class GoldenSpec extends SparkSpec {
     assert(o2 == Seq(Seq("1,2,3")))
   }
 
+  test("golden: LIKE function form (reference like())") {
+    val out = run("select a1 where LIKE(a3, '%ta')",
+      Seq(Seq("5", "alpha", "beta"), Seq("-20", "alpha", "gamma"),
+        Seq("50", "alpha", "delta")))
+    assert(out == Seq(Seq("5"), Seq("50")))
+  }
+
+  test("golden: JS-style === and !== equality spellings") {
+    val out = run("select NR where a3 === 'gamma'", t1)
+    assert(out == Seq(Seq(2L)))
+    val out2 = run("select count(*) where a2 !== 'alpha'", t1)
+    assert(out2 == Seq(Seq(0L)))
+  }
+
+  test("golden: unpack operator *expr is UNNEST sugar") {
+    val out = run("select *split(a2, '\\\\|')",
+      Seq(Seq("1", "alpha"), Seq("2", "alpha|beta|gamma"), Seq("3", "")))
+    assert(out.map(_(0)) == Seq("alpha", "alpha", "beta", "gamma", ""))
+  }
+
+  test("golden: NU counts updated records in record order") {
+    val out = run(
+      "update a2 = concat(a2, ' ', NU), a1 = '100' where cast(a1 as int) > 10",
+      Seq(Seq("5", "alpha", "beta"), Seq("20", "zeta", "delta"),
+        Seq("50", "eta", "epsilon"), Seq("8", "iota", "theta"),
+        Seq("30", "mu", "nu")))
+    assert(out == Seq(
+      Seq("5", "alpha", "beta"),
+      Seq("100", "zeta 1", "delta"),
+      Seq("100", "eta 2", "epsilon"),
+      Seq("8", "iota", "theta"),
+      Seq("100", "mu 3", "nu")))
+    // larger input across many partitions: NU matches filtered NR rank
+    val big = (1 to 300).map(i => Seq(i.toString, "x"))
+    val o2 = run("update a2 = cast(NU as string) where cast(a1 as int) % 3 == 0", big)
+    val updated = o2.filter(_(1) != "x").map(_(1).asInstanceOf[String].toInt)
+    assert(updated == (1 to 100).toList)
+  }
+
+  test("golden: NU misuse errors") {
+    intercept[ParsingError] { run("select NU", t1) }
+    intercept[ParsingError] {
+      run("update a1 = '1' where NU > 0", t1)
+    }
+  }
+
+  test("golden: HAVING is rejected with a hint") {
+    val e = intercept[Exception] {
+      run("select a1, count(*) group by a1 HAVING count(*) > 1", t1)
+    }
+    assert(e.getMessage.toLowerCase.contains("having"))
+  }
+
   test("golden: ANY_VALUE keeps the first-seen value per group") {
     val out = run("select a2, ANY_VALUE(a3) group by a2", vehicles)
     assert(out == Seq(
