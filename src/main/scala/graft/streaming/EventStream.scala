@@ -67,6 +67,22 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup on a key column: keeps the first event per key,
+    * with state bounded by the watermark (dropDuplicatesWithinWatermark —
+    * a key's state is dropped once it is older than the watermark, so the
+    * store never grows unboundedly; re-arrivals inside the window are
+    * suppressed, the training-data contract). Batch inputs fall back to
+    * plain dropDuplicates. */
+  def dedupStream(
+      events: DataFrame,
+      keyCols: Seq[String],
+      watermark: String = "10 minutes",
+      tsCol: String = "ts"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark(keyCols)
+    else events.dropDuplicates(keyCols)
+
   /** Wire a streaming query to an in-memory sink (testing / demo). */
   def startToMemory(df: DataFrame, name: String,
       outputMode: OutputMode = OutputMode.Update()): org.apache.spark.sql.streaming.StreamingQuery =

@@ -34,6 +34,29 @@ class StreamingSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("win_start", "event_type", "cnt", "sv"))
   }
 
+  test("streaming dedup keeps first arrival per key within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "payload")
+    val q = EventStream.startToMemory(
+      EventStream.dedupStream(df, Seq("event_id"), "10 minutes"), "dd",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:10")
+    mem.addData((1L, t, "first"), (2L, t, "two"))
+    q.processAllAvailable()
+    mem.addData((1L, t, "dup-suppressed"), (3L, t, "three"))
+    q.processAllAvailable()
+    val rows = spark.table("dd").collect()
+    q.stop()
+    assert(rows.length == 3)
+    assert(rows.find(_.getLong(0) == 1L).get.getString(2) == "first")
+    // batch fallback
+    val b = EventStream.dedupStream(
+      Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("event_id", "x"), Seq("event_id"))
+    assert(b.count() == 2)
+  }
+
   test("sessionization accumulates per-user state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
