@@ -292,6 +292,44 @@ class GoldenSpec extends SparkSpec {
     }
   }
 
+  test("golden: duplicate WHERE clauses error") {
+    val e = intercept[Exception] {
+      run("select NR, a1 where cast(a1 as int) > 5 where cast(a1 as int) > 6", t1)
+    }
+    assert(e.getMessage.toLowerCase.contains("where"))
+  }
+
+  test("golden: empty SELECT expression errors") {
+    intercept[Exception] { run("select   where a3 == 'beta'", t1) }
+  }
+
+  test("golden: empty input table returns empty, not an error") {
+    val out = run("select NR, a1 where cast(a1 as int) > 5", Seq.empty)
+    assert(out.isEmpty)
+  }
+
+  test("golden: EXCEPT of an unknown field errors with the field name") {
+    val e = intercept[Exception] {
+      run("select except a2, a9", t1)
+    }
+    assert(e.getMessage.contains("a9") || e.getMessage.contains("out of range"))
+  }
+
+  test("golden: join key beyond join-table width errors") {
+    val e = intercept[Exception] {
+      run("select a1 join b on a2 == b5", vehicles, Some(joinB))
+    }
+    assert(e.getMessage.contains("b5") || e.getMessage.contains("out of range"))
+  }
+
+  test("golden: aggregate over non-numeric strings errors at runtime") {
+    val e = intercept[Exception] {
+      run("select SUM(a2)", Seq(Seq("1", "car"), Seq("2", "dog")))
+    }
+    assert(e.getMessage.contains("CAST_INVALID_INPUT") ||
+      e.getMessage.toLowerCase.contains("cannot be cast"))
+  }
+
   test("golden: HAVING is rejected with a hint") {
     val e = intercept[Exception] {
       run("select a1, count(*) group by a1 HAVING count(*) > 1", t1)
