@@ -69,6 +69,40 @@ object Multimodal {
     }(enc)
   }
 
+  /** STUB resize: deterministic byte subsampling standing in for a real
+    * image rescale — output payload length scales with the target pixel
+    * count and the metadata reflects the new dimensions. Same narrow
+    * partition-wise contract as extractFeatures: swapping in a real codec
+    * changes no plan shape. */
+  def resizeMedia(df: DataFrame, newWidth: Int, newHeight: Int,
+      mediaCol: String = "media", metaCol: String = "media_meta"): DataFrame = {
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val metaIdx = df.schema.fieldIndex(metaCol)
+    val enc = org.apache.spark.sql.Encoders.row(df.schema)
+    df.mapPartitions { rows =>
+      // per-partition codec init would go here
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](mediaIdx)
+        val meta = row.getStruct(metaIdx)
+        val oldPixels = math.max(1, meta.getInt(1) * meta.getInt(2))
+        val newPixels = newWidth * newHeight
+        val outLen = math.max(1,
+          (bytes.length.toLong * newPixels / oldPixels).toInt)
+        val out = new Array[Byte](outLen)
+        var i = 0
+        while (i < outLen) {
+          out(i) = bytes(((i.toLong * bytes.length) / outLen).toInt)
+          i += 1
+        }
+        val newMeta = Row(meta.getString(0), newWidth, newHeight, outLen.toLong)
+        val seq = row.toSeq.toArray
+        seq(mediaIdx) = out
+        seq(metaIdx) = newMeta
+        Row.fromSeq(seq.toIndexedSeq)
+      }
+    }(enc)
+  }
+
   /** Deterministic frame-sampling plan for video-like payloads: emit one
     * row per sampled frame offset (explode — narrow, no shuffle). */
   def sampleFrames(df: DataFrame, metaCol: String = "media_meta",

@@ -119,6 +119,18 @@ class PipelineSpec extends SparkSpec {
     assert(f1 == f4)
     val frames = Multimodal.sampleFrames(media, everyNBytes = 16)
     assert(frames.count() > docs.count())
+    // stub resize: payload length scales with the target pixel count and
+    // the metadata tracks the new dimensions
+    val resized = Multimodal.resizeMedia(media, newWidth = 8, newHeight = 6)
+    val r = resized.filter(col("doc_id") === 1).head()
+    val meta = r.getStruct(resized.schema.fieldIndex("media_meta"))
+    assert(meta.getInt(1) == 8 && meta.getInt(2) == 6)
+    assert(meta.getLong(3) ==
+      r.getAs[Array[Byte]](resized.schema.fieldIndex("media")).length.toLong)
+    // deterministic
+    val r2 = Multimodal.resizeMedia(media, 8, 6).filter(col("doc_id") === 1).head()
+    assert(r.getAs[Array[Byte]](resized.schema.fieldIndex("media")).toSeq ==
+      r2.getAs[Array[Byte]](resized.schema.fieldIndex("media")).toSeq)
   }
 
   test("ivf build + probe finds the query vector") {
