@@ -486,27 +486,53 @@ object PlanBuilder {
     val outNames = uniq.indices.map(i => out.columns(i))
 
     if (sel.distinct || sel.distinctCount) {
-      // Reference data flow: sort → first-seen dedup (writer chain,
-      // rbql_engine.py:1554-1563) ⇒ each distinct tuple is represented by
-      // its extreme sort key: min(struct(keys)) ascending, max descending
-      // (DESC reverses the stably-sorted stream before dedup). Mixed
-      // per-key directions are not expressible this way.
-      if (sortKeys.nonEmpty && sortKeys.map(_.asc).distinct.size > 1)
-        Errors.parsing("With DISTINCT, ORDER BY must use a single direction; use a pipe stage instead")
-      val asc = sortKeys.forall(_.asc)
-      val grouped = out.groupBy(outNames.map(c => col(s"`$c`")): _*)
-      val aggs: Seq[Column] =
-        (if (sel.distinctCount) Seq(count(lit(1)).alias("count")) else Seq.empty) ++
-          (if (sortKeys.nonEmpty) {
-            val keyStruct = struct(sortKeys.indices.map(i => col(s"__graft_ord$i")): _*)
-            Seq((if (asc) min(keyStruct) else max(keyStruct)).alias("__graft_ordk"))
-          } else Seq.empty)
-      out =
-        if (aggs.nonEmpty) grouped.agg(aggs.head, aggs.tail: _*)
-        else out.dropDuplicates(outNames)
-      if (sortKeys.nonEmpty) {
-        out = out.orderBy(if (asc) col("__graft_ordk").asc else col("__graft_ordk").desc)
-          .drop("__graft_ordk")
+      // When every ORDER BY key is itself a selected expression, the key
+      // is constant within each distinct tuple — dedup + a direct sort is
+      // exactly the reference's sort-then-first-seen-dedup result, stays
+      // HashAggregate (no immutable struct agg buffer forcing
+      // SortAggregate), and supports mixed per-key directions.
+      val outTexts: Set[String] = classified.flatMap { case (item, cls) =>
+        if (isStar(item.rawExpr).isDefined) Nil
+        else scala.util.Try(
+          tr.translate(cls.map(_.raw).getOrElse(item.rawExpr))).toOption.toList
+      }.toSet
+      val covered = sortKeys.forall(k =>
+        outNames.contains(k.expr.trim) ||
+          scala.util.Try(tr.translate(k.expr)).toOption.exists(outTexts.contains))
+      if (covered) {
+        val ordNames = sortKeys.indices.map(i => s"__graft_ord$i")
+        val groupCols = (outNames ++ ordNames).map(c => col(s"`$c`"))
+        out =
+          if (sel.distinctCount)
+            out.groupBy(groupCols: _*).agg(count(lit(1)).alias("count"))
+          else out.dropDuplicates(outNames ++ ordNames)
+        if (sortKeys.nonEmpty)
+          out = out.orderBy(sortKeys.zipWithIndex.map { case (k, i) =>
+            val c = col(s"__graft_ord$i"); if (k.asc) c.asc else c.desc
+          }.toIndexedSeq: _*).drop(ordNames: _*)
+      } else {
+        // Reference data flow: sort → first-seen dedup (writer chain,
+        // rbql_engine.py:1554-1563) ⇒ each distinct tuple is represented
+        // by its extreme sort key: min(struct(keys)) ascending, max
+        // descending (DESC reverses the stably-sorted stream before
+        // dedup). Mixed per-key directions are not expressible this way.
+        if (sortKeys.map(_.asc).distinct.size > 1)
+          Errors.parsing("With DISTINCT, ORDER BY keys outside the SELECT list must use a single direction; use a pipe stage instead")
+        val asc = sortKeys.forall(_.asc)
+        val grouped = out.groupBy(outNames.map(c => col(s"`$c`")): _*)
+        val aggs: Seq[Column] =
+          (if (sel.distinctCount) Seq(count(lit(1)).alias("count")) else Seq.empty) ++
+            (if (sortKeys.nonEmpty) {
+              val keyStruct = struct(sortKeys.indices.map(i => col(s"__graft_ord$i")): _*)
+              Seq((if (asc) min(keyStruct) else max(keyStruct)).alias("__graft_ordk"))
+            } else Seq.empty)
+        out =
+          if (aggs.nonEmpty) grouped.agg(aggs.head, aggs.tail: _*)
+          else out.dropDuplicates(outNames)
+        if (sortKeys.nonEmpty) {
+          out = out.orderBy(if (asc) col("__graft_ordk").asc else col("__graft_ordk").desc)
+            .drop("__graft_ordk")
+        }
       }
       // occurrence count prepended as first column (UniqCountWriter,
       // rbql_engine.py:518-537)

@@ -292,6 +292,18 @@ class GoldenSpec extends SparkSpec {
     }
   }
 
+  test("golden: DISTINCT with mixed-direction ORDER BY over selected columns") {
+    val out = run(
+      "select distinct a2, a1 order by a2 asc, a1 desc",
+      Seq(Seq("1", "x"), Seq("2", "x"), Seq("1", "x"), Seq("9", "a")))
+    assert(out == Seq(Seq("a", "9"), Seq("x", "2"), Seq("x", "1")))
+    // keys outside the SELECT list still require a single direction
+    intercept[ParsingError] {
+      run("select distinct a2 order by a2 asc, a1 desc",
+        Seq(Seq("1", "x")))
+    }
+  }
+
   test("golden: duplicate WHERE clauses error") {
     val e = intercept[Exception] {
       run("select NR, a1 where cast(a1 as int) > 5 where cast(a1 as int) > 6", t1)
