@@ -68,6 +68,7 @@ object Cli {
       runInitSource(spark, opts.get("init-source-file"))
 
       def runOne(query: String): Unit = {
+        val joinFiles = scala.collection.mutable.ArrayBuffer.empty[String]
         val result =
           if (opts.contains("ragged"))
             Graft.queryRaggedCsv(spark, query, input, delim)
@@ -76,7 +77,12 @@ object Cli {
             encoding = opts.getOrElse("encoding", "UTF-8"),
             commentPrefix = opts.get("comment-prefix"),
             stripWhitespaces = opts.contains("strip-whitespaces"),
-            commentRegex = opts.get("comment-regex"))
+            commentRegex = opts.get("comment-regex"),
+            onJoinFileRead = joinFiles += _)
+        // reference FileSystemCSVRegistry.get_warnings (rbql_csv.py:552-557)
+        if (opts.contains("with-headers"))
+          joinFiles.foreach(p => System.err.println(
+            s"Warning: The first record in JOIN file ${new java.io.File(p).getName} was also treated as header (and skipped)"))
         // persist: the sink write and the warnings scan share one
         // execution instead of running the query twice
         result.persist()

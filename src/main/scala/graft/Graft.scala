@@ -129,7 +129,11 @@ object Graft {
       commentPrefix: Option[String] = None,
       tables: Map[String, DataFrame] = Map.empty,
       stripWhitespaces: Boolean = false,
-      commentRegex: Option[String] = None): DataFrame = {
+      commentRegex: Option[String] = None,
+      /** invoked with each JOIN-table file path resolved through the
+        * registry (reference FileSystemCSVRegistry warns per join file,
+        * rbql_csv.py:552-557) */
+      onJoinFileRead: String => Unit = _ => ()): DataFrame = {
     val masked = Lexer.mask(Lexer.cleanup(queryStr))
     val stages = Lexer.splitStages(masked.text)
     val mods = ClauseParser.parse(masked.copy(text = stages.head)).withMods
@@ -143,9 +147,11 @@ object Graft {
     // (rbql_csv.py:508-540): same dialect as the input, paths relative to
     // the input file, name aliases from the table-names index
     val fallback: String => Option[DataFrame] = id =>
-      findTablePath(Some(path), id).map(p =>
+      findTablePath(Some(path), id).map { p =>
+        onJoinFileRead(p)
         sources.CsvSource.read(spark, p, delim, policy, header,
-          encoding, commentPrefix, stripWhitespaces, commentRegex))
+          encoding, commentPrefix, stripWhitespaces, commentRegex)
+      }
     query(spark, queryStr, input, tables, fallback)
   }
 
