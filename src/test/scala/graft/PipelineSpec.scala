@@ -106,6 +106,25 @@ class PipelineSpec extends SparkSpec {
     assert(fp1 == fp4)
   }
 
+  test("token and subword counting pin their semantics") {
+    import spark.implicits._
+    val df = Seq(
+      ("hello world", 2),
+      ("  padded   out  ", 2),
+      ("one", 1)).toDF("text", "expected")
+    val got = df.select(col("expected"),
+      TextAnalysis.tokenCount(col("text")).alias("n")).collect()
+    got.foreach(r => assert(r.getInt(1) == r.getInt(0), r.toString))
+    // BPE-ish subword count: split before punctuation, which sticks to
+    // what follows, GPT-2-style ("can't stop" -> can | 't | stop)
+    val sw = Seq("can't stop").toDF("text")
+      .select(TextAnalysis.subwordCount(col("text"))).head().getInt(0)
+    assert(sw == 3)
+    val sw2 = Seq("abc123 x").toDF("text")
+      .select(TextAnalysis.subwordCount(col("text"))).head().getInt(0)
+    assert(sw2 >= 2) // word+digits boundary plus the second token
+  }
+
   test("multimodal plumbing: binary payload, metadata, stub features, frames") {
     val media = Multimodal.attachFakeMedia(docs, "text")
     assert(media.schema("media").dataType.typeName == "binary")
