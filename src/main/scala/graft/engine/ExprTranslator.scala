@@ -95,6 +95,11 @@ final class ExprTranslator(
     s = BNrRe.replaceAllIn(s, _ => Regex.quoteReplacement(s"graft_b.`$bNrCol`"))
     // a.NR / aNR (accepted join-key spelling)
     s = DotNrRe.replaceAllIn(s, _ => { _usedNr = true; Regex.quoteReplacement(s"graft_a.`$nrCol`") })
+    // b.NF / bNF — join table field count (reference binds bNF per join
+    // match, rbql_engine.py:674-689; constant for our fixed-schema B)
+    s = BNfRe.replaceAllIn(s, _ => Regex.quoteReplacement(nfText('b')))
+    // a.NF / aNF (alias of NF on the input table)
+    s = ANfRe.replaceAllIn(s, _ => Regex.quoteReplacement(nfText('a')))
     // a.name / b.name
     s = DotNameRe.replaceAllIn(s, m =>
       Regex.quoteReplacement(colByName(m.group(1).charAt(0), m.group(2))))
@@ -108,10 +113,18 @@ final class ExprTranslator(
     s = ExprTranslator.NuRe.replaceAllIn(s, _ => Regex.quoteReplacement(s"`${ExprTranslator.NuCol}`"))
     // NR / NF (case-sensitive, like the reference)
     s = NrRe.replaceAllIn(s, _ => { _usedNr = true; Regex.quoteReplacement(s"graft_a.`$nrCol`") })
-    s = NfRe.replaceAllIn(s, _ => Regex.quoteReplacement(
-      if (raggedA) s"size(graft_a.`${ExprTranslator.FieldsCol}`)"
-      else aSchema.count(_.name != nrCol).toString))
+    s = NfRe.replaceAllIn(s, _ => Regex.quoteReplacement(nfText('a')))
     masked.restore(s)
+  }
+
+  /** SQL text for the field count of one side: per-record for a ragged A,
+    * a constant for fixed schemas (internal NR columns excluded). */
+  private def nfText(side: Char): String = {
+    if (side == 'a' && raggedA) s"size(graft_a.`${ExprTranslator.FieldsCol}`)"
+    else {
+      val internal = Set(nrCol, bNrCol)
+      sideSchema(side).count(f => !internal.contains(f.name)).toString
+    }
   }
 
   /** Does the masked stage text reference NR anywhere? (decides whether the
@@ -132,6 +145,8 @@ object ExprTranslator {
   val DotNameRe: Regex = (Pre + """([ab])\.([A-Za-z_][A-Za-z0-9_]*)""").r
   val BNrRe: Regex = (Pre + """b(?:\.NR|NR)(?![A-Za-z0-9_])""").r
   val DotNrRe: Regex = (Pre + """a(?:\.NR|NR)(?![A-Za-z0-9_])""").r
+  val BNfRe: Regex = (Pre + """b(?:\.NF|NF)(?![A-Za-z0-9_])""").r
+  val ANfRe: Regex = (Pre + """a(?:\.NF|NF)(?![A-Za-z0-9_])""").r
   val NrRe: Regex = (Pre + """NR(?![A-Za-z0-9_])""").r
   val NuRe: Regex = (Pre + """NU(?![A-Za-z0-9_])""").r
   /** Column carrying the NU (updated-so-far) counter in UPDATE plans. */

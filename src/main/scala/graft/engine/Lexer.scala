@@ -64,11 +64,23 @@ object Lexer {
     Masked(normalized, lits.toIndexedSeq)
   }
 
-  /** Strip trailing semicolon + collapse whitespace at the ends.
-    * (reference cleanup_query, rbql_engine.py:1398-1402) */
+  /** Normalize the raw query text the way the reference's cleanup_query does
+    * (rbql_engine.py:1398-1402 + strip_comments at :978-982): split on
+    * newlines, trim each line, drop full-line `#` comments and empty lines,
+    * join with single spaces, then strip trailing semicolons.
+    *
+    * Comment stripping runs BEFORE literal masking — same as the reference,
+    * so a `#` at the start of a line inside a multi-line string literal is
+    * treated as a comment there too (documented reference behavior, not a
+    * divergence). */
   def cleanup(query: String): String = {
-    val t = query.trim
-    if (t.endsWith(";")) t.dropRight(1).trim else t
+    val joined = query
+      .split("\n", -1)
+      .iterator
+      .map(_.trim)
+      .filterNot(l => l.isEmpty || l.startsWith("#"))
+      .mkString(" ")
+    joined.reverse.dropWhile(_ == ';').reverse.trim
   }
 
   private val StageSplit =

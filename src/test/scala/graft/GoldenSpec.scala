@@ -477,6 +477,43 @@ class GoldenSpec extends SparkSpec {
     assert(out.toSet == Set(Seq(1L, "cde"), Seq(2L, "abc")))
   }
 
+  // -- query-text normalization (cleanup_query parity) --------------------
+  test("golden: full-line # comments are stripped before parsing") {
+    // reference strip_comments (rbql_engine.py:978-982) via cleanup_query
+    // (rbql_engine.py:1398-1402): multi-line query with commented lines
+    val out = run(
+      "# leading comment\nselect NR, a1\n  # indented comment\nwhere cast(a1 as int) > 5\n#order by a3",
+      t1)
+    assert(out.map(_(1)) == Seq("50", "20"))
+    // '#' mid-line is NOT a comment (only full lines are stripped)
+    val out2 = run("select a2 || '#' || a3 where NR == 1", t1)
+    assert(out2 == Seq(Seq("alpha#beta")))
+  }
+
+  test("golden: repeated trailing semicolons and blank lines tolerated") {
+    val out = run("select NR, a1\n\nwhere cast(a1 as int) > 5 ;;\n", t1)
+    assert(out.map(_(1)) == Seq("50", "20"))
+  }
+
+  // -- NF family ----------------------------------------------------------
+  test("golden: aNF and bNF field counts") {
+    // reference binds bNF per join match (rbql_engine.py:674-689); for our
+    // fixed-schema tables both are constants (internal NR cols excluded)
+    val out = run(
+      "select NF, aNF, a.NF, bNF, b.NF inner join b on a2 == b1 where NR == 1",
+      vehicles, Some(joinB))
+    assert(out == Seq(Seq(3, 3, 3, 2, 2)))
+    // usable in WHERE too
+    val out2 = run("select a1 where NF == 3 and bNF == 2 inner join b on a2 == b1 order by cast(a1 as int) limit 1",
+      vehicles, Some(joinB))
+    assert(out2 == Seq(Seq("-20")))
+  }
+
+  test("golden: bNF without JOIN errors") {
+    val e = intercept[ParsingError] { run("select bNF", t1) }
+    assert(e.getMessage.toLowerCase.contains("join"))
+  }
+
   test("golden: limit applies after aggregation") {
     val out = run("select COUNT(*), a2 group by a2 limit 2",
       Seq(Seq("1", "x"), Seq("2", "y"), Seq("3", "z"), Seq("4", "x")))
