@@ -18,12 +18,19 @@ object Graft {
   /** Run a query against an input DataFrame (the `A` table). `tables`
     * resolves FROM/JOIN table ids; ids not found there are treated as file
     * paths (parquet/csv/jsonl by extension) or temp-view names. */
+  /** `ordered = true` (the RBQL-parity surfaces: queryTable/queryCsv/CLI)
+    * additionally pins the reference's sequential output order — input
+    * order, A-then-B-insertion order for joins, stable sorts, first-seen
+    * DISTINCT. The DataFrame surface defaults to `ordered = false`: same
+    * rows, order unspecified unless ORDER BY — at 100 TB an implicit global
+    * order pin would serialize every query on a single sort. */
   def query(
       spark: SparkSession,
       queryStr: String,
       input: DataFrame,
       tables: Map[String, DataFrame] = Map.empty,
-      tableFallback: String => Option[DataFrame] = _ => None): DataFrame = {
+      tableFallback: String => Option[DataFrame] = _ => None,
+      ordered: Boolean = false): DataFrame = {
     val masked = Lexer.mask(Lexer.cleanup(queryStr))
     val stages = Lexer.splitStages(masked.text)
     // pipe chaining: each stage's output is the next stage's input
@@ -31,7 +38,7 @@ object Graft {
     // rbql_engine.py:1577-1602); Spark chains lazily — no materialization
     stages.foldLeft(input) { (df, stageText) =>
       PlanBuilder.build(spark, stageText, masked, df,
-        resolveTable(spark, tables, tableFallback))
+        resolveTable(spark, tables, tableFallback), ordered)
     }
   }
 
@@ -152,7 +159,7 @@ object Graft {
         sources.CsvSource.read(spark, p, delim, policy, header,
           encoding, commentPrefix, stripWhitespaces, commentRegex)
       }
-    query(spark, queryStr, input, tables, fallback)
+    query(spark, queryStr, input, tables, fallback, ordered = true)
   }
 
   /** Ragged-model CSV entry point: records are variable-length fields
@@ -165,14 +172,16 @@ object Graft {
       path: String,
       delim: String = ",",
       tables: Map[String, DataFrame] = Map.empty): DataFrame =
-    query(spark, queryStr, sources.CsvSource.readRagged(spark, path, delim), tables)
+    query(spark, queryStr, sources.CsvSource.readRagged(spark, path, delim),
+      tables, ordered = true)
 
   /** JSON-lines entry point: whole object lands in a single VARIANT column
     * a1 (reference rbql_json.py:73-156); access nested fields with
     * variant_get(a1, '$.path', 'type'). */
   def queryJsonLines(spark: SparkSession, queryStr: String, path: String,
       tables: Map[String, DataFrame] = Map.empty): DataFrame =
-    query(spark, queryStr, sources.JsonLinesSource.read(spark, path), tables)
+    query(spark, queryStr, sources.JsonLinesSource.read(spark, path), tables,
+      ordered = true)
 
   /** Error classification for front-ends (reference exception_to_error_info,
     * rbql_engine.py:950-975): (category, message). */
@@ -199,28 +208,80 @@ object Graft {
       rows: Seq[Seq[String]],
       columnNames: Option[Seq[String]] = None,
       joinRows: Option[(Seq[Seq[String]], Option[Seq[String]])] = None): Seq[Seq[Any]] = {
+    val df = queryTableDf(spark, queryStr, rows, columnNames, joinRows)
+    spreadRagged(df)
+  }
+
+  /** Collect, spreading ragged output (single `__graft_fields` array column,
+    * produced by the `*expr` unpack operator) into per-record field lists —
+    * the reference's output records are plain Python lists of the spread
+    * values (translate_select_expression star-unpacking). */
+  private[graft] def spreadRagged(df: DataFrame): Seq[Seq[Any]] = {
+    val ragged = df.columns.toSeq == Seq(ExprTranslator.FieldsCol)
+    df.collect().toSeq.map { r =>
+      if (ragged) r.getSeq[Any](0).toSeq else r.toSeq
+    }
+  }
+
+  /** Like queryTable but returns the DataFrame (schema = output header). */
+  def queryTableDf(
+      spark: SparkSession,
+      queryStr: String,
+      rows: Seq[Seq[String]],
+      columnNames: Option[Seq[String]] = None,
+      joinRows: Option[(Seq[Seq[String]], Option[Seq[String]])] = None): DataFrame = {
     val df = localDf(spark, rows, columnNames)
     val tables = joinRows match {
       case Some((jr, jn)) =>
-        val j = localDf(spark, jr, jn)
+        // header presence must agree between A and B (reference engine check,
+        // rbql_engine.py:1509-1511)
+        if (columnNames.isEmpty && jn.isDefined)
+          Errors.io("Inconsistent modes: Input table doesn't have a header while the Join table has a header")
+        if (columnNames.isDefined && jn.isEmpty)
+          Errors.io("Inconsistent modes: Input table has a header while the Join table doesn't have a header")
+        // B stays fixed-width (padded): the join side has no ragged record
+        // model — bNF is its max record width, like the reference's
+        // LeftJoiner null_record (rbql_engine.py:583-593)
+        val j = localDf(spark, jr, jn, allowRagged = false)
         Map("b" -> j, "B" -> j)
       case None => Map.empty[String, DataFrame]
     }
-    query(spark, queryStr, df, tables).collect().toSeq.map(_.toSeq)
+    query(spark, queryStr, df, tables, ordered = true)
   }
 
   private def localDf(spark: SparkSession, rows: Seq[Seq[String]],
-      names: Option[Seq[String]]): DataFrame = {
+      names: Option[Seq[String]], allowRagged: Boolean = true): DataFrame = {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.Row
+    // headerless tables get synthetic positional names, tagged so header
+    // generation can tell them from a real header (reference input_header
+    // = None mode, select_output_header rbql_engine.py:1411-1424)
+    val meta =
+      if (names.isDefined) Metadata.empty
+      else new MetadataBuilder().putBoolean(Graft.SyntheticNameKey, true).build()
+    val ragged = allowRagged && names.isEmpty &&
+      rows.map(_.length).distinct.size > 1
+    if (ragged) {
+      // inconsistent record widths: keep the reference's record-as-list
+      // model (per-record NF, reads past the end → null, UPDATE preserves
+      // each record's own length) instead of padding to a fixed schema
+      val schema = StructType(Seq(StructField(ExprTranslator.FieldsCol,
+        ArrayType(StringType, containsNull = true), nullable = false, metadata = meta)))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r => Row(r)).toIndexedSeq), schema)
+    }
     val width = if (rows.isEmpty) names.map(_.length).getOrElse(0)
       else rows.map(_.length).max
     val cols = names.getOrElse((1 to width).map(i => s"a$i"))
-    val schema = StructType(cols.map(c => StructField(c, StringType, nullable = true)))
+    val schema = StructType(cols.map(c =>
+      StructField(c, StringType, nullable = true, metadata = meta)))
     // ragged rows padded with null (reference safe_get → None,
     // rbql_engine.py:249-250)
     val padded = rows.map(r => Row.fromSeq(r.padTo(width, null)))
     spark.createDataFrame(
       spark.sparkContext.parallelize(padded.toIndexedSeq), schema)
   }
+
+  /** StructField metadata key marking synthetic (headerless) column names. */
+  val SyntheticNameKey = "graft_synthetic_name"
 }

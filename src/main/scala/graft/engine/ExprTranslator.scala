@@ -31,6 +31,9 @@ final class ExprTranslator(
   private val raggedA: Boolean =
     aSchema.fieldNames.contains(ExprTranslator.FieldsCol)
 
+  /** Whether the A table uses the ragged (fields-array) record model. */
+  def isRaggedA: Boolean = raggedA
+
   import ExprTranslator._
 
   val nrCol = "__graft_nr"
@@ -43,15 +46,20 @@ final class ExprTranslator(
   private def colByPos(side: Char, n: Int): String = {
     if (side == 'a' && raggedA)
       return s"try_element_at(graft_a.`${ExprTranslator.FieldsCol}`, $n)"
-    val schema = sideSchema(side)
+    // positional variables address user columns only — the materialized
+    // NR columns are appended internals and must not shift/extend the range
+    val user = userFields(side)
     // empty table (e.g. empty CSV file): variables never bind in the
     // reference's loop — any reference resolves to null and the query
     // returns empty rather than erroring
-    if (schema.isEmpty) return "cast(null as string)"
-    if (n < 1 || n > schema.length)
-      Errors.parsing(s"Variable ${side}$n is out of range: table ${side.toUpper} has ${schema.length} columns")
-    qualify(side, schema.fields(n - 1).name)
+    if (user.isEmpty) return "cast(null as string)"
+    if (n < 1 || n > user.length)
+      Errors.parsing(s"Variable ${side}$n is out of range: table ${side.toUpper} has ${user.length} columns")
+    qualify(side, user(n - 1).name)
   }
+
+  private def userFields(side: Char): Array[org.apache.spark.sql.types.StructField] =
+    sideSchema(side).fields.filterNot(f => f.name == nrCol || f.name == bNrCol)
 
   private def sideSchema(side: Char): StructType = side match {
     case 'a' => aSchema
@@ -75,7 +83,7 @@ final class ExprTranslator(
 
   /** Name of the source column a positional/named var refers to (for output
     * header inference). */
-  def sourceName(side: Char, n: Int): String = sideSchema(side).fields(n - 1).name
+  def sourceName(side: Char, n: Int): String = userFields(side)(n - 1).name
 
   /** Translate one expression fragment (masked). Returns Spark SQL text with
     * literals restored. */

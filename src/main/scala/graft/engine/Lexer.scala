@@ -80,7 +80,12 @@ object Lexer {
       .map(_.trim)
       .filterNot(l => l.isEmpty || l.startsWith("#"))
       .mkString(" ")
-    joined.reverse.dropWhile(_ == ';').reverse.trim
+    val noSemi = joined.reverse.dropWhile(_ == ';').reverse.trim
+    // `UPDATE a SET …` names the input table redundantly — strip it, like
+    // the reference's remove_redundant_input_table_name
+    // (rbql_engine.py:1405-1408; the FROM-a half is handled structurally
+    // in PlanBuilder)
+    "(?i)^update\\s+a\\s+set\\s".r.replaceFirstIn(noSemi, "update ")
   }
 
   private val StageSplit =

@@ -1,8 +1,8 @@
 package graft.engine
 
-import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField}
+import org.apache.spark.sql.graft.PyEq
 
 /** Builds the DataFrame transform chain for one parsed pipe stage.
   *
@@ -10,13 +10,27 @@ import org.apache.spark.sql.types.{LongType, StructField}
   * (/root/reference/rbql-py/rbql/rbql_engine.py:1554-1563):
   * join → where → (aggregate | select/update) → distinct → sort → limit.
   * (The reference sorts before dedup; since its dedup is first-seen-stable,
-  * sorting after dedup is observably identical and lets Catalyst push the
-  * dedup below the global sort.)
+  * sorting after dedup with a first-seen-pinned position is observably
+  * identical and lets Catalyst push the dedup below the global sort.)
   *
   * Everything stays declarative: filters/projections are Catalyst
   * expressions (predicate pushdown + whole-stage codegen apply); the only
-  * imperative escape is NR materialization via zipWithIndex, done ONLY when
-  * the query references NR.
+  * imperative escape is NR materialization, done ONLY when the query
+  * references NR or the result order requires it (see `ordered` below).
+  *
+  * == Ordered parity mode ==
+  * The reference is a sequential engine: its output row order (input order;
+  * for joins, A-order with B-matches in B-insertion order; stable sort for
+  * ORDER BY; first-seen order for DISTINCT) is part of its observable
+  * contract. A distributed engine cannot preserve input order for free once
+  * a shuffle (join/dedup/sort) is involved, so that contract is paid for
+  * only where it is part of the API: the RBQL-parity surfaces
+  * (Graft.queryTable / queryCsv / the CLI) pass `ordered = true`, which
+  * materializes NR (and bNR for joins) and pins the output order exactly.
+  * The DataFrame surface (Graft.query on big tables) defaults to
+  * `ordered = false`: same rows, order unspecified unless ORDER BY — the
+  * right contract at 100 TB where a global order pin would serialize the
+  * job on a single sort.
   */
 object PlanBuilder {
 
@@ -60,7 +74,7 @@ object PlanBuilder {
     * unmatched rows are irrelevant. */
   private def withNu(df: DataFrame, predSql: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val matched = when(expr(predSql), 1L).otherwise(0L)
+    val matched = when(PyEq.expr(predSql), 1L).otherwise(0L)
     val base = df.withColumn("__graft_pid", spark_partition_id())
       .withColumn("__graft_mid", monotonically_increasing_id())
     val counts = base.groupBy(col("__graft_pid")).agg(sum(matched).alias("__c"))
@@ -82,10 +96,17 @@ object PlanBuilder {
       stageMaskedText: String,
       masked: Lexer.Masked,
       inputDf: DataFrame,
-      resolveTable: String => DataFrame): DataFrame = {
+      resolveTable: String => DataFrame,
+      ordered: Boolean = false): DataFrame = {
 
     val ast = ClauseParser.parse(masked.copy(text = stageMaskedText))
     val fromDf = ast.from match {
+      // `FROM a` names the input table itself (reference
+      // remove_redundant_input_table_name, rbql_engine.py:1405-1407);
+      // only falls through to the registry when no input was provided
+      // (FROM-first form, where the placeholder carries a sentinel column)
+      case Some(tid) if masked.restore(tid).equalsIgnoreCase("a") &&
+          !inputDf.columns.contains("__graft_no_input") => inputDf
       case Some(tid) => resolveTable(masked.restore(tid))
       case None => inputDf
     }
@@ -98,13 +119,21 @@ object PlanBuilder {
     // 446-458) — without the pin, collect_list/first order would be
     // partition-dependent in a distributed plan.
     val usesOrderedAgg = OrderedAggRe.findFirstMatchIn(stageMaskedText).isDefined
+    val distinctMode = ast.select.exists(s => s.distinct || s.distinctCount)
+    // ordered mode: narrow plans (no join/sort/dedup) keep input order for
+    // free (collect concatenates partitions in order); only shuffling
+    // operators need the NR pin
+    val orderPin = ordered &&
+      (ast.join.isDefined || ast.orderBy.isDefined || distinctMode)
     val usesNr = ExprTranslator.NrRe.findFirstIn(stageMaskedText).isDefined ||
       ExprTranslator.DotNrRe.findFirstIn(stageMaskedText).isDefined ||
-      usesOrderedAgg
-    val usesBNr = ExprTranslator.BNrRe.findFirstIn(stageMaskedText).isDefined
+      usesOrderedAgg || orderPin
+    val usesBNr = ExprTranslator.BNrRe.findFirstIn(stageMaskedText).isDefined ||
+      (ordered && ast.join.isDefined)
 
-    // B-side record number (join key `bNR`/`b.NR`): materialized on the
-    // join table the same way as A's
+    // B-side record number (join key `bNR`/`b.NR`, and the within-A-record
+    // output order pin: the reference emits a record's B matches in B
+    // insertion order, rbql_engine.py:1380-1388 hash_map append order)
     val bDfRaw =
       if (usesBNr) bDfRaw0.map(b => withNr(b).withColumnRenamed(NrCol, BNrCol))
       else bDfRaw0
@@ -127,7 +156,7 @@ object PlanBuilder {
           withNu(aDf, ast.where.map(w => tr.translate(w)).getOrElse("true"))
             .alias("graft_a")
         else aDf
-      return buildUpdate(aDfU, aDf0, bDfRaw, ast, upd, tr)
+      return buildUpdate(aDfU, aDf0, bDfRaw, ast, upd, tr, ordered)
     }
 
     // ---- join --------------------------------------------------------
@@ -149,7 +178,7 @@ object PlanBuilder {
     if (ast.where.exists(w => Aggregates.containsAggCall(w)))
       Errors.parsing("Aggregate functions are not allowed in WHERE")
     val filtered = ast.where match {
-      case Some(w) => joined.filter(expr(tr.translate(w)))
+      case Some(w) => joined.filter(PyEq.expr(tr.translate(w)))
       case None => joined
     }
 
@@ -160,17 +189,17 @@ object PlanBuilder {
     val isStar: String => Option[Seq[(String, Column)]] = raw => raw.trim match {
       case "*" =>
         val a = starCols("graft_a", aCols)
-        val b = starCols("graft_b", bCols, aCols.toSet)
+        val b = starCols("graft_b", bCols)
         Some(a ++ b)
       case "a.*" => Some(starCols("graft_a", aCols))
       case "b.*" =>
         if (bCols.isEmpty) Errors.parsing("b.* used without JOIN")
-        Some(starCols("graft_b", bCols, aCols.toSet))
+        Some(starCols("graft_b", bCols))
       case _ => None
     }
 
     sel.exceptCols.foreach { exc =>
-      return buildExcept(filtered, ast, sel, exc, tr, aCols)
+      return buildExcept(filtered, ast, sel, exc, tr, aCols, ordered)
     }
 
     val classified = sel.items.map { it =>
@@ -180,9 +209,16 @@ object PlanBuilder {
     val hasAgg = ast.groupBy.isDefined ||
       classified.exists(_._2.exists(_.agg.isDefined))
 
+    val headerCtx = HeaderCtx(
+      aHasHeader = hasRealHeader(aDf0.schema),
+      bHasHeader = bDfRaw.exists(b => hasRealHeader(b.schema)),
+      aUserCols = userCols(aDf0.schema),
+      bUserCols = bDfRaw.map(b => userCols(b.schema)).getOrElse(Seq.empty),
+      masked = masked)
+
     val result =
-      if (hasAgg) buildAggregate(filtered, ast, sel, classified, tr)
-      else buildProjection(filtered, ast, sel, classified, isStar, tr)
+      if (hasAgg) buildAggregate(filtered, ast, sel, classified, tr, headerCtx)
+      else buildProjection(filtered, ast, sel, classified, isStar, tr, ordered, headerCtx)
 
     // ---- limit -------------------------------------------------------
     val limited = (sel.topN, ast.limit) match {
@@ -199,20 +235,35 @@ object PlanBuilder {
     n.toInt
   }
 
+  private def isInternalCol(c: String): Boolean =
+    c == NrCol || c == BNrCol || c == ExprTranslator.NuCol
+
+  private def userCols(schema: org.apache.spark.sql.types.StructType): Seq[String] =
+    schema.fieldNames.toSeq.filterNot(isInternalCol)
+
+  /** True when the side's column names come from a real header (parquet /
+    * CSV-with-header / user-provided names) rather than being synthetic
+    * a1..aN positional names (reference input_header = None mode). */
+  private def hasRealHeader(schema: org.apache.spark.sql.types.StructType): Boolean =
+    schema.fields.filterNot(f => isInternalCol(f.name)).forall { f =>
+      !(f.metadata.contains(graft.Graft.SyntheticNameKey) &&
+        f.metadata.getBoolean(graft.Graft.SyntheticNameKey))
+    }
+
   private def starCols(
-      alias: String, cols: Seq[String],
-      clashWith: Set[String] = Set.empty): Seq[(String, Column)] =
-    cols.filterNot(c => c == NrCol || c == BNrCol).map { c =>
-      val outName =
-        if (c == ExprTranslator.FieldsCol) "fields" // ragged star: the record
-        else if (clashWith.contains(c)) s"b_$c"
-        else c
-      (outName, col(s"$alias.`${c.replace("`", "``")}`"))
+      alias: String, cols: Seq[String]): Seq[(String, Column)] =
+    cols.filterNot(isInternalCol).map { c =>
+      // output header keeps source names verbatim — duplicates across A/B
+      // are allowed, like the reference (select_output_header,
+      // rbql_engine.py:1431-1438 concatenates headers with no renaming)
+      (c, col(s"$alias.`${c.replace("`", "``")}`"))
     }
 
   /** ON: conjunction of equalities (reference parse_join_expression,
-    * rbql_engine.py:991-1013 — equi-only). Returns (aSide, bSide) SQL text
-    * per conjunct, normalized so the graft_b-referencing side is second.
+    * rbql_engine.py:991-1013 — equi-only, each side a plain variable).
+    * Returns (aSide, bSide) SQL text per conjunct, normalized so the
+    * graft_b-referencing side is second; validates sides like the
+    * reference's resolve_join_variables (rbql_engine.py:1016-1046).
     * Qualified translated sides keep this an equi-join for Catalyst
     * (broadcast/SMJ eligible). */
   private def joinPairs(onRaw: String, tr: ExprTranslator): Seq[(String, String)] =
@@ -226,13 +277,53 @@ object PlanBuilder {
               s"JOIN ON expects equality conditions joined by AND, got: '${piece.trim}'")
           }
       }
-      val lt = tr.translate(sides._1)
-      val rt = tr.translate(sides._2)
-      if (lt.contains("graft_b.")) (rt, lt) else (lt, rt)
+      val validSyntax =
+        "Valid JOIN syntax: <JOIN> /path/to/B/table on a... == b... [and a... == b... [and ... ]]"
+      // classification is SYNTACTIC, like the reference's variable maps
+      // (parse_basic_variables & co. scan the query text, not the schema) —
+      // an empty join table must still accept `on a2 == b1` and simply
+      // produce no matches
+      def sideKind(raw: String): (Char, String) = {
+        val r = raw.trim
+        val aVar = r == "NR" || r == "aNR" || r == "a.NR" ||
+          r.matches("""a\d+""") || r.matches("""a\[.*\]""") ||
+          r.matches("""a\.[A-Za-z_][A-Za-z0-9_]*""")
+        val bVar = r == "bNR" || r == "b.NR" ||
+          r.matches("""b\d+""") || r.matches("""b\[.*\]""") ||
+          r.matches("""b\.[A-Za-z_][A-Za-z0-9_]*""")
+        // syntactically-valid vars translate strictly: out-of-range or
+        // missing-name errors surface from the translator (an empty join
+        // table is NOT an error — positional vars resolve to null there)
+        if (aVar) ('a', tr.translate(r))
+        else if (bVar) ('b', tr.translate(r))
+        else {
+          val t = (try tr.translate(raw) catch { case _: GraftError => "" }).trim
+          if (t.startsWith("graft_a.`")) ('a', t)
+          else if (t.startsWith("graft_b.`")) ('b', t)
+          else ('?', t)
+        }
+      }
+      val (k1, t1) = sideKind(sides._1)
+      val (k2, t2) = sideKind(sides._2)
+      // reference resolve_join_variables (rbql_engine.py:1016-1046): if the
+      // second var is an input-table var, swap; then the first must be an
+      // input var and the second a join var
+      val ((ka, ta, ra), (kb, tb, rb)) =
+        if (k2 == 'a') ((k2, t2, sides._2), (k1, t1, sides._1))
+        else ((k1, t1, sides._1), (k2, t2, sides._2))
+      if (ka != 'a') Errors.parsing(
+        s"""Unable to parse JOIN expression: Input table does not have field "${ra.trim}"\n$validSyntax""")
+      if (kb != 'b') Errors.parsing(
+        s"""Unable to parse JOIN expression: Join table does not have field "${rb.trim}"\n$validSyntax""")
+      (ta, tb)
     }
 
+  /** Join keys compare null-safely (`<=>`): the reference's join map is a
+    * Python dict, where a None key matches a None key (rbql_engine.py:
+    * 1371-1392). EqualNullSafe is still extracted as an equi-join key by
+    * Catalyst, so broadcast/shuffle-hash planning is unaffected. */
   private def joinCondition(onRaw: String, tr: ExprTranslator): Column =
-    joinPairs(onRaw, tr).map { case (a, b) => expr(a) === expr(b) }
+    joinPairs(onRaw, tr).map { case (a, b) => expr(a) <=> expr(b) }
       .reduce(_ && _)
 
   private def splitTopLevelKeyword(s: String, kw: String): Seq[String] = {
@@ -251,12 +342,12 @@ object PlanBuilder {
     parts.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
-  /** STRICT LEFT JOIN: error unless every A row has exactly one B match
-    * (reference StrictLeftJoiner, rbql_engine.py:595-603). Cardinality is
-    * checked by joining B against its own per-key counts — an aggregation
-    * of the (small) build side that broadcasts, instead of re-shuffling
-    * the full joined result by a per-row id. Fails inside the job via
-    * assert_true (no driver collect). */
+  /** STRICT LEFT JOIN: error unless every A row has exactly one B match —
+    * zero matches is an error too (reference StrictLeftJoiner,
+    * rbql_engine.py:595-603). Cardinality is checked by joining B against
+    * its own per-key counts — an aggregation of the (small) build side that
+    * broadcasts, instead of re-shuffling the full joined result by a
+    * per-row id. Fails inside the job via assert_true (no driver collect). */
   private def strictLeftJoin(aDf: DataFrame, bDfUnaliased: DataFrame,
       pairs: Seq[(String, String)]): DataFrame = {
     val keyAliases = pairs.indices.map(i => s"__graft_sk$i")
@@ -265,14 +356,15 @@ object PlanBuilder {
       .agg(count(lit(1)).alias("__graft_cnt"))
     val bPlus = bDfUnaliased.alias("graft_b")
       .join(cnt, pairs.zip(keyAliases).map { case ((_, b), n) =>
-        expr(b) === col(n)
+        expr(b) <=> col(n)
       }.reduce(_ && _))
       .drop(keyAliases: _*)
       .alias("graft_b")
-    val cond = pairs.map { case (a, b) => expr(a) === expr(b) }.reduce(_ && _)
+    val cond = pairs.map { case (a, b) => expr(a) <=> expr(b) }.reduce(_ && _)
     aDf.join(bPlus, cond, "left_outer")
-      .where(assert_true(col("__graft_cnt") === 1,
-        lit("STRICT LEFT JOIN requires exactly one match for every record")).isNull)
+      // unmatched rows carry a null count — that is the zero-match error case
+      .where(assert_true(coalesce(col("__graft_cnt"), lit(0L)) === 1,
+        lit("In \"STRICT LEFT JOIN\" each key in A must have exactly one match in B")).isNull)
       .drop("__graft_cnt")
   }
 
@@ -281,15 +373,18 @@ object PlanBuilder {
     * WHERE predicate holds (README.md:82-84 — "a special type of SELECT").
     * With JOIN: at most one B match allowed per A row (error if more), zero
     * matches ⇒ predicate treated as false (reference PROCESS_UPDATE_JOIN,
-    * rbql_engine.py:682-697). */
+    * rbql_engine.py:682-697). RHS expressions read the ORIGINAL record
+    * (reference binds a-vars from record_a before the assignments run), so
+    * `update set a1 = a2, a2 = a1` swaps. */
   private def buildUpdate(
       aDf: DataFrame,
       aDf0: DataFrame,
       bDfRaw: Option[DataFrame],
       ast: StageAst,
       upd: UpdateSpec,
-      tr: ExprTranslator): DataFrame = {
-    val pred: Column = ast.where.map(w => expr(tr.translate(w))).getOrElse(lit(true))
+      tr: ExprTranslator,
+      ordered: Boolean): DataFrame = {
+    val pred: Column = ast.where.map(w => PyEq.expr(tr.translate(w))).getOrElse(lit(true))
     // UPDATE+JOIN cardinality (≤1 match; 0 ⇒ predicate false): per-key
     // counts joined onto B — aggregation of the build side, no full-result
     // re-shuffle (same shape as strictLeftJoin)
@@ -303,28 +398,71 @@ object PlanBuilder {
           .agg(count(lit(1)).alias("__graft_cnt"))
         val bPlus = bDfRaw.get.alias("graft_b")
           .join(cnt, pairs.zip(keyAliases).map { case ((_, b), n) =>
-            expr(b) === col(n)
+            expr(b) <=> col(n)
           }.reduce(_ && _))
           .drop(keyAliases: _*)
           .alias("graft_b")
-        val cond = pairs.map { case (a, b) => expr(a) === expr(b) }.reduce(_ && _)
+        val cond = pairs.map { case (a, b) => expr(a) <=> expr(b) }.reduce(_ && _)
         val guarded = aDf.join(bPlus, cond, "left_outer")
           .where(assert_true(col("__graft_cnt").isNull || col("__graft_cnt") <= 1,
-            lit("UPDATE with JOIN requires at most one match for every record")).isNull)
-        (guarded, pred && col("__graft_cnt").isNotNull)
+            lit("More than one record in UPDATE query matched a key from the input table in the join table")).isNull)
+        // join-kind semantics on unmatched A rows (reference get_rhs):
+        //   INNER  → no match list ⇒ predicate false, row passes unchanged
+        //   LEFT   → one null record ⇒ predicate runs with null b-vars
+        //            (update_left_join: unmatched rows DO update, with null)
+        //   STRICT → exactly-one required ⇒ error on zero matches
+        j.kind match {
+          case JoinKind.Inner => (guarded, pred && col("__graft_cnt").isNotNull)
+          case JoinKind.Left => (guarded, pred)
+          case JoinKind.StrictLeft =>
+            val g = guarded.where(assert_true(
+              coalesce(col("__graft_cnt"), lit(0L)) === 1,
+              lit("In \"STRICT LEFT JOIN\" each key in A must have exactly one match in B")).isNull)
+            (g, pred)
+        }
     }
-    val assignTargets: Seq[(String, Column)] = upd.assignments.map {
-      case (varRef, valueExpr) =>
-        (resolveAssignTargetName(varRef, tr), expr(tr.translate(valueExpr)))
-    }
-    val outCols = aDf0.schema.fieldNames.filterNot(_ == NrCol).map { c =>
-      val q = col(s"graft_a.`${c.replace("`", "``")}`")
-      assignTargets.find(_._1 == c) match {
-        case Some((_, v)) => when(effPred, v).otherwise(q).alias(c)
-        case None => q.alias(c)
+
+    val raggedA = aDf0.columns.contains(ExprTranslator.FieldsCol)
+    val keepNr = ordered && ast.join.isDefined && aDf0.columns.contains(NrCol)
+
+    val projected =
+      if (raggedA) {
+        // ragged records: positional assignment inside the fields array;
+        // unassigned positions and the record's own length are untouched
+        // (reference up_fields = record_a[:], PROCESS_UPDATE_SIMPLE)
+        val positions: Seq[(Int, Column)] = upd.assignments.map {
+          case (varRef, valueExpr) =>
+            (resolveAssignPos(varRef), PyEq.expr(tr.translate(valueExpr)))
+        }
+        var f = col(s"graft_a.`${ExprTranslator.FieldsCol}`")
+        positions.foreach { case (pos, v) =>
+          // i is the 0-based index inside transform; RHS reads the original
+          // record because the value expr references graft_a columns, not `f`
+          f = transform(f,
+            (x, i) => when(i === (pos - 1) && effPred, v.cast("string")).otherwise(x))
+        }
+        val outCols = Seq(f.alias(ExprTranslator.FieldsCol)) ++
+          (if (keepNr) Seq(col(s"graft_a.`$NrCol`").alias("__graft_ordnr")) else Seq.empty)
+        base.select(outCols: _*)
+      } else {
+        val assignTargets: Seq[(String, Column)] = upd.assignments.map {
+          case (varRef, valueExpr) =>
+            (resolveAssignTargetName(varRef, tr), PyEq.expr(tr.translate(valueExpr)))
+        }
+        val outCols = aDf0.schema.fieldNames.filterNot(isInternalCol).map { c =>
+          val q = col(s"graft_a.`${c.replace("`", "``")}`")
+          assignTargets.find(_._1 == c) match {
+            case Some((_, v)) => when(effPred, v).otherwise(q).alias(c)
+            case None => q.alias(c)
+          }
+        }.toSeq ++ (if (keepNr) Seq(col(s"graft_a.`$NrCol`").alias("__graft_ordnr")) else Seq.empty)
+        base.select(outCols.toIndexedSeq: _*)
       }
-    }
-    base.select(outCols.toIndexedSeq: _*)
+
+    // UPDATE with JOIN shuffles; parity mode restores the input order
+    // (reference PROCESS_UPDATE_JOIN iterates A records sequentially)
+    if (keepNr) projected.orderBy(col("__graft_ordnr").asc).drop("__graft_ordnr")
+    else projected
   }
 
   // ---- SELECT EXCEPT --------------------------------------------------
@@ -334,15 +472,28 @@ object PlanBuilder {
       sel: SelectSpec,
       exc: Seq[String],
       tr: ExprTranslator,
-      aCols: Seq[String]): DataFrame = {
+      aCols: Seq[String],
+      ordered: Boolean): DataFrame = {
     val dropNames = exc.map(v => resolveAssignTargetName(v, tr))
     dropNames.find(n => !aCols.contains(n)).foreach(n =>
       Errors.parsing(s"EXCEPT column '$n' not found"))
-    val kept = aCols.filterNot(c => dropNames.contains(c) || c == NrCol)
-    var out = filtered.select(kept.map(c =>
-      col(s"graft_a.`${c.replace("`", "``")}`").alias(c)).toIndexedSeq: _*)
-    if (sel.distinct) out = out.dropDuplicates()
+    val kept = aCols.filterNot(c => dropNames.contains(c) || isInternalCol(c))
+    val pinNames =
+      if (ordered && ast.join.isDefined && ast.orderBy.isEmpty && !sel.distinct)
+        Seq("__graft_ordnr") ++
+          (if (filtered.columns.contains(BNrCol)) Seq("__graft_ordbnr") else Seq.empty)
+      else Seq.empty
+    val pinCols = pinNames.map {
+      case "__graft_ordnr" => col(s"graft_a.`$NrCol`").alias("__graft_ordnr")
+      case n => col(s"graft_b.`$BNrCol`").alias(n)
+    }
+    var out = filtered.select((kept.map(c =>
+      col(s"graft_a.`${c.replace("`", "``")}`").alias(c)) ++ pinCols).toIndexedSeq: _*)
+    if (sel.distinct) out = out.dropDuplicates(kept)
+    if (pinNames.nonEmpty)
+      out = out.orderBy(pinNames.map(col(_).asc): _*)
     out = applyOrderBySimple(out, ast, tr)
+    out = out.drop("__graft_ordnr", "__graft_ordbnr")
     (sel.topN orElse ast.limit).map(n => out.limit(checkInt(n))).getOrElse(out)
   }
 
@@ -350,7 +501,57 @@ object PlanBuilder {
     val translated = tr.translate(varRef).trim
     """^graft_a\.`(.*)`$""".r.findFirstMatchIn(translated)
       .map(_.group(1).replace("``", "`"))
-      .getOrElse(Errors.parsing(s"EXCEPT entries must be input-column variables, got '$varRef'"))
+      .getOrElse(Errors.parsing(s"UPDATE/EXCEPT entries must be input-column variables, got '$varRef'"))
+  }
+
+  /** 1-based field position of an assignment target on a ragged table
+    * (positional addressing only — there are no names to assign through). */
+  private def resolveAssignPos(varRef: String): Int = {
+    val t = varRef.trim
+    """^a(\d+)$""".r.findFirstMatchIn(t).map(_.group(1).toInt)
+      .orElse("""^a\[(\d+)\]$""".r.findFirstMatchIn(t).map(_.group(1).toInt))
+      .getOrElse(Errors.parsing(
+        s"UPDATE on a ragged (variable-width) table requires positional targets (aN), got '$varRef'"))
+  }
+
+  // ---- output header --------------------------------------------------
+  /** Context for output-header inference (reference select_output_header,
+    * rbql_engine.py:1411-1454). */
+  private case class HeaderCtx(
+      aHasHeader: Boolean,
+      bHasHeader: Boolean,
+      aUserCols: Seq[String],
+      bUserCols: Seq[String],
+      masked: Lexer.Masked)
+
+  private val HdrPosVar = """^([ab])(\d+)$""".r
+  private val HdrBracketPos = """^([ab])\[(\d+)\]$""".r
+  private val HdrDotName = """^([ab])\.([A-Za-z_][A-Za-z0-9_]*)$""".r
+  private val HdrBracketName = """^([ab])\[###GRAFT_S(\d+)E###\]$""".r
+  private val HdrBareIdent = """^[A-Za-z_][A-Za-z0-9_]*$""".r
+
+  /** Output column name at 1-based output position `pos` (position counts
+    * previously-expanded stars, reference len(output_header)+1). */
+  private def headerName(item: SelectItem, pos: Int, ctx: HeaderCtx): String = {
+    item.alias.getOrElse {
+      val t = item.rawExpr.trim
+      def posName(side: String, n: Int): String = {
+        val (has, cols) =
+          if (side == "a") (ctx.aHasHeader, ctx.aUserCols)
+          else (ctx.bHasHeader, ctx.bUserCols)
+        if (has && n >= 1 && n <= cols.length) cols(n - 1) else s"col$pos"
+      }
+      t match {
+        case HdrPosVar(s, n) => posName(s, n.toInt)
+        case HdrBracketPos(s, n) => posName(s, n.toInt)
+        case HdrDotName(_, name) => name // a.vehicle → "vehicle" (no prefix)
+        case HdrBracketName(_, idx) =>
+          ExprTranslator.unquote(ctx.masked.literals(idx.toInt))
+        case HdrBareIdent() if !Set("true", "false", "null").contains(t.toLowerCase) =>
+          t // NR, NF, aNR, bNR, NU, RBQL_VERSION, ... keep the variable name
+        case _ => s"col$pos"
+      }
+    }
   }
 
   // ---- aggregate path -------------------------------------------------
@@ -359,7 +560,8 @@ object PlanBuilder {
       ast: StageAst,
       sel: SelectSpec,
       classified: Seq[(SelectItem, Option[Aggregates.Item])],
-      tr: ExprTranslator): DataFrame = {
+      tr: ExprTranslator,
+      headerCtx: HeaderCtx): DataFrame = {
     if (ast.orderBy.isDefined)
       Errors.parsing("ORDER BY is not allowed in aggregate queries (group keys define the output order)")
     if (sel.distinct || sel.distinctCount)
@@ -367,7 +569,7 @@ object PlanBuilder {
 
     val groupKeyTexts: Seq[String] =
       ast.groupBy.getOrElse(Seq.empty).map(k => tr.translate(k))
-    val groupKeys: Seq[Column] = groupKeyTexts.map(expr)
+    val groupKeys: Seq[Column] = groupKeyTexts.map(t => PyEq.expr(t))
 
     // Classify each output: aggregate | group-key passthrough | other
     // group-constant expression. Key passthroughs reference the grouping
@@ -381,7 +583,7 @@ object PlanBuilder {
 
     val outs: Seq[(String, Out)] = classified.zipWithIndex.map {
       case ((item, cls), idx) =>
-        val outName = outputName(item, idx, tr)
+        val outName = headerName(item, idx + 1, headerCtx)
         val out = cls match {
           case Some(Aggregates.Item(_, Some(call))) =>
             AggOut(Aggregates.toColumn(call, resolveType(filtered, call.argSql), NrCol))
@@ -393,7 +595,7 @@ object PlanBuilder {
               // non-key group-constant expression: verified via min==max
               // (partial-aggregatable — no Expand/second shuffle like
               // count_distinct; ConstGroupVerifier, rbql_engine.py:461-474)
-              val e = expr(text)
+              val e = PyEq.expr(text)
               ConstOut(when(min(e) =!= max(e),
                 raise_error(lit(s"Non-constant values in output column ${idx + 1} detected in aggregate query (column must be group-constant)")))
                 .otherwise(min(e)))
@@ -403,9 +605,10 @@ object PlanBuilder {
         (outName, out)
     }
 
-    val aggCols = outs.collect {
-      case (n, AggOut(c)) => c.alias(n)
-      case (n, ConstOut(c)) => c.alias(n)
+    val internalNames = outs.indices.map(i => s"__graft_c$i")
+    val aggCols = outs.zip(internalNames).collect {
+      case ((_, AggOut(c)), n) => c.alias(n)
+      case ((_, ConstOut(c)), n) => c.alias(n)
     }
     // agg() needs at least one aggregate: pure GROUP BY passthrough gets a
     // dummy that is dropped by the final projection
@@ -418,19 +621,21 @@ object PlanBuilder {
       val aliasedKeys = groupKeys.zipWithIndex.map { case (k, i) =>
         k.alias(s"__graft_gk$i")
       }
-      val finalCols = outs.map {
-        case (n, KeyOut(ki)) => col(s"__graft_gk$ki").alias(n)
-        case (n, _) => col(s"`${n.replace("`", "``")}`")
+      val finalCols = outs.zip(internalNames).map {
+        case ((_, KeyOut(ki)), _) => col(s"__graft_gk$ki")
+        case ((_, _), n) => col(n)
       }
       filtered.groupBy(aliasedKeys.toIndexedSeq: _*)
         .agg(aggList.head, aggList.tail.toIndexedSeq: _*)
         .orderBy(groupKeys.indices.map(i => col(s"__graft_gk$i").asc).toIndexedSeq: _*)
         .select(finalCols.toIndexedSeq: _*)
+        .toDF(outs.map(_._1): _*)
     } else {
       outs.collectFirst { case (_, KeyOut(_)) => () }.foreach { _ =>
         Errors.parsing("Non-aggregate column in a global aggregate query")
       }
       filtered.agg(aggList.head, aggList.tail.toIndexedSeq: _*)
+        .toDF(outs.map(_._1): _*)
     }
   }
 
@@ -441,127 +646,260 @@ object PlanBuilder {
       sel: SelectSpec,
       classified: Seq[(SelectItem, Option[Aggregates.Item])],
       isStar: String => Option[Seq[(String, Column)]],
-      tr: ExprTranslator): DataFrame = {
+      tr: ExprTranslator,
+      ordered: Boolean,
+      headerCtx: HeaderCtx): DataFrame = {
+
+    val raggedA = tr.isRaggedA
+    // unpack operator `*expr` (reference Python star-unpacking in the select
+    // tuple, `select *a2.split('|')` — 'unpack operator' corpus case):
+    // spreads a list INTO the output record, producing ragged output rows.
+    // Distinct from UNNEST, which emits one output record per element.
+    val hasUnpack = classified.exists { case (item, _) =>
+      val t = item.rawExpr.trim
+      t.startsWith("*") && t.length > 1 && isStar(t).isEmpty
+    }
+    if (hasUnpack || (raggedA && classified.exists(c => isStar(c._1.rawExpr).isDefined)))
+      return buildRaggedProjection(filtered, ast, sel, classified, isStar, tr, ordered)
+
+    // headerless input: star + AS alias cannot be combined (reference
+    // select_output_header, rbql_engine.py:1421-1423)
+    val anyStar = classified.exists(c => isStar(c._1.rawExpr).isDefined)
+    val anyAlias = classified.exists(_._1.alias.isDefined)
+    if (!headerCtx.aHasHeader && anyStar && anyAlias)
+      Errors.parsing("Using both * (star) and AS alias in the same query is not allowed for input tables without header")
 
     // UNNEST: exactly one per query (rbql_engine.py:843)
-    var unnestSeen = false
+    var unnestIdx: Option[Int] = None
 
-    val outPairs: Seq[(String, Column)] = classified.zipWithIndex.flatMap {
-      case ((item, cls), idx) =>
-        isStar(item.rawExpr) match {
-          case Some(cols) => cols
-          case None =>
-            // use the polymorphic-rewritten text (min/max 2+args → least/
-            // greatest) from classification, not the original raw
-            val itemText = cls.map(_.raw).getOrElse(item.rawExpr)
-            val (colExpr, fromUnnest) = buildItemColumn(itemText, tr)
-            if (fromUnnest) {
-              if (unnestSeen) Errors.parsing("Only one UNNEST is allowed per query")
-              unnestSeen = true
-            }
-            Seq((outputName(item, idx, tr), colExpr))
-        }
+    val outPairs = scala.collection.mutable.ArrayBuffer.empty[(String, Column)]
+    classified.foreach { case (item, cls) =>
+      isStar(item.rawExpr) match {
+        case Some(cols) => outPairs ++= cols
+        case None =>
+          // use the polymorphic-rewritten text (min/max 2+args → least/
+          // greatest) from classification, not the original raw
+          val itemText = cls.map(_.raw).getOrElse(item.rawExpr)
+          val (colExpr, fromUnnest) = buildItemColumn(itemText, tr,
+            deferExplode = ordered && !sel.distinct && !sel.distinctCount)
+          if (fromUnnest) {
+            if (unnestIdx.isDefined) Errors.parsing("Only one UNNEST is allowed per query")
+            unnestIdx = Some(outPairs.length)
+          }
+          outPairs += ((headerName(item, outPairs.length + 1, headerCtx), colExpr))
+      }
     }
-    // uniquify duplicate output names (select a1, a1) — suffix
-    val seen = scala.collection.mutable.Map.empty[String, Int]
-    val uniq = outPairs.map { case (n, c) =>
-      val k = seen.getOrElse(n, 0)
-      seen(n) = k + 1
-      if (k == 0) c.alias(n) else c.alias(s"${n}_$k")
-    }
+
+    val finalNames = outPairs.map(_._1).toSeq
+    val internalNames = outPairs.indices.map(i => s"__graft_c$i")
+    val internal = outPairs.zip(internalNames).map { case ((_, c), n) => c.alias(n) }
 
     // hidden sort keys (ORDER BY may reference input variables that are not
     // selected — compute them pre-projection)
     val sortKeys = ast.orderBy.getOrElse(Seq.empty)
+    // ORDER BY may also name an output alias (graft extension — the
+    // reference evaluates sort keys against input variables only); aliases
+    // resolve to the already-computed output column
     val hiddenCols = sortKeys.zipWithIndex.map { case (k, i) =>
-      expr(tr.translate(k.expr)).alias(s"__graft_ord$i")
+      val keyCol = finalNames.indexOf(k.expr.trim) match {
+        case -1 => PyEq.expr(tr.translate(k.expr))
+        case oi => col(s"__graft_c$oi")
+      }
+      keyCol.alias(s"__graft_ord$i")
     }
-    val plainMode = !sel.distinct && !sel.distinctCount
+    val distinctMode = sel.distinct || sel.distinctCount
+    val hasNr = filtered.columns.contains(NrCol)
+    val hasBNr = filtered.columns.contains(BNrCol)
+    // stream-position tie/pin columns: NR, and bNR for joins (the reference
+    // emits each A record's B matches in B insertion order)
+    val pinNeeded = ordered && (sortKeys.nonEmpty || ast.join.isDefined || distinctMode)
     val nrTie: Seq[Column] =
-      if (sortKeys.nonEmpty && plainMode && filtered.columns.contains(NrCol))
+      if (pinNeeded && hasNr)
+        Seq(col(NrCol).alias("__graft_ordnr")) ++
+          (if (hasBNr) Seq(col(BNrCol).alias("__graft_ordbnr")) else Seq.empty)
+      else if (sortKeys.nonEmpty && !distinctMode && hasNr)
         Seq(col(NrCol).alias("__graft_ordnr"))
       else Seq.empty
+    val tieNames = nrTie.indices.map(i => if (i == 0) "__graft_ordnr" else "__graft_ordbnr")
 
-    var out = filtered.select((uniq ++ hiddenCols ++ nrTie).toIndexedSeq: _*)
-    val outNames = uniq.indices.map(i => out.columns(i))
+    var out = filtered.select((internal ++ hiddenCols ++ nrTie).toIndexedSeq: _*)
 
-    if (sel.distinct || sel.distinctCount) {
-      // When every ORDER BY key is itself a selected expression, the key
-      // is constant within each distinct tuple — dedup + a direct sort is
-      // exactly the reference's sort-then-first-seen-dedup result, stays
-      // HashAggregate (no immutable struct agg buffer forcing
-      // SortAggregate), and supports mixed per-key directions.
-      val outTexts: Set[String] = classified.flatMap { case (item, cls) =>
-        if (isStar(item.rawExpr).isDefined) Nil
-        else scala.util.Try(
-          tr.translate(cls.map(_.raw).getOrElse(item.rawExpr))).toOption.toList
-      }.toSet
-      val covered = sortKeys.forall(k =>
-        outNames.contains(k.expr.trim) ||
-          scala.util.Try(tr.translate(k.expr)).toOption.exists(outTexts.contains))
-      if (covered) {
-        val ordNames = sortKeys.indices.map(i => s"__graft_ord$i")
-        val groupCols = (outNames ++ ordNames).map(c => col(s"`$c`"))
-        out =
-          if (sel.distinctCount)
-            out.groupBy(groupCols: _*).agg(count(lit(1)).alias("count"))
-          else out.dropDuplicates(outNames ++ ordNames)
-        if (sortKeys.nonEmpty)
-          out = out.orderBy(sortKeys.zipWithIndex.map { case (k, i) =>
-            val c = col(s"__graft_ord$i"); if (k.asc) c.asc else c.desc
-          }.toIndexedSeq: _*).drop(ordNames: _*)
-      } else {
-        // Reference data flow: sort → first-seen dedup (writer chain,
-        // rbql_engine.py:1554-1563) ⇒ each distinct tuple is represented
-        // by its extreme sort key: min(struct(keys)) ascending, max
-        // descending (DESC reverses the stably-sorted stream before
-        // dedup). Mixed per-key directions are not expressible this way.
-        if (sortKeys.map(_.asc).distinct.size > 1)
-          Errors.parsing("With DISTINCT, ORDER BY keys outside the SELECT list must use a single direction; use a pipe stage instead")
+    if (distinctMode) {
+      val singleDirection = sortKeys.map(_.asc).distinct.size <= 1
+      if (ordered && singleDirection) {
+        // Reference data flow: stable sort → first-seen dedup (writer
+        // chain, rbql_engine.py:1554-1563). Each distinct tuple's output
+        // position is its first occurrence in the (sorted) stream =
+        // min(struct(sortKeys, NR, bNR)) ascending; DESC reverses the
+        // stably-sorted stream, making it max(...) descending (ties
+        // reverse too — Python list.reverse after stable sort).
         val asc = sortKeys.forall(_.asc)
-        val grouped = out.groupBy(outNames.map(c => col(s"`$c`")): _*)
+        val posParts = sortKeys.indices.map(i => col(s"__graft_ord$i")) ++
+          tieNames.map(col(_))
+        val posStruct = struct(posParts: _*)
+        val grouped = out.groupBy(internalNames.map(col(_)): _*)
         val aggs: Seq[Column] =
-          (if (sel.distinctCount) Seq(count(lit(1)).alias("count")) else Seq.empty) ++
-            (if (sortKeys.nonEmpty) {
-              val keyStruct = struct(sortKeys.indices.map(i => col(s"__graft_ord$i")): _*)
-              Seq((if (asc) min(keyStruct) else max(keyStruct)).alias("__graft_ordk"))
-            } else Seq.empty)
-        out =
-          if (aggs.nonEmpty) grouped.agg(aggs.head, aggs.tail: _*)
-          else out.dropDuplicates(outNames)
-        if (sortKeys.nonEmpty) {
-          out = out.orderBy(if (asc) col("__graft_ordk").asc else col("__graft_ordk").desc)
-            .drop("__graft_ordk")
+          (if (sel.distinctCount) Seq(count(lit(1)).alias("count")) else Seq.empty) :+
+            (if (asc) min(posStruct) else max(posStruct)).alias("__graft_ordk")
+        out = grouped.agg(aggs.head, aggs.tail: _*)
+          .orderBy(if (asc) col("__graft_ordk").asc else col("__graft_ordk").desc)
+          .drop("__graft_ordk")
+      } else {
+        // unordered mode (scale surface): same rows, order pinned only by
+        // the ORDER BY keys themselves
+        val outTexts: Set[String] = classified.flatMap { case (item, cls) =>
+          if (isStar(item.rawExpr).isDefined) Nil
+          else scala.util.Try(
+            tr.translate(cls.map(_.raw).getOrElse(item.rawExpr))).toOption.toList
+        }.toSet
+        val covered = sortKeys.forall(k =>
+          finalNames.contains(k.expr.trim) ||
+            scala.util.Try(tr.translate(k.expr)).toOption.exists(outTexts.contains))
+        if (covered) {
+          val ordNames = sortKeys.indices.map(i => s"__graft_ord$i")
+          val groupCols = (internalNames ++ ordNames).map(col(_))
+          out =
+            if (sel.distinctCount)
+              out.groupBy(groupCols: _*).agg(count(lit(1)).alias("count"))
+            else out.dropDuplicates((internalNames ++ ordNames).toSeq)
+          if (sortKeys.nonEmpty)
+            out = out.orderBy(sortKeys.zipWithIndex.map { case (k, i) =>
+              val c = col(s"__graft_ord$i"); if (k.asc) c.asc else c.desc
+            }.toIndexedSeq: _*).drop(ordNames: _*)
+        } else {
+          if (sortKeys.map(_.asc).distinct.size > 1)
+            Errors.parsing("With DISTINCT, ORDER BY keys outside the SELECT list must use a single direction; use a pipe stage instead")
+          val asc = sortKeys.forall(_.asc)
+          val grouped = out.groupBy(internalNames.map(col(_)): _*)
+          val aggs: Seq[Column] =
+            (if (sel.distinctCount) Seq(count(lit(1)).alias("count")) else Seq.empty) ++
+              (if (sortKeys.nonEmpty) {
+                val keyStruct = struct(sortKeys.indices.map(i => col(s"__graft_ord$i")): _*)
+                Seq((if (asc) min(keyStruct) else max(keyStruct)).alias("__graft_ordk"))
+              } else Seq.empty)
+          out =
+            if (aggs.nonEmpty) grouped.agg(aggs.head, aggs.tail: _*)
+            else out.dropDuplicates(internalNames.toSeq)
+          if (sortKeys.nonEmpty) {
+            out = out.orderBy(if (asc) col("__graft_ordk").asc else col("__graft_ordk").desc)
+              .drop("__graft_ordk")
+          }
         }
       }
       // occurrence count prepended as first column (UniqCountWriter,
       // rbql_engine.py:518-537)
-      if (sel.distinctCount)
-        out = out.select((col("count") +: outNames.map(c => col(s"`$c`"))).toIndexedSeq: _*)
-      else out = out.select(outNames.map(c => col(s"`$c`")).toIndexedSeq: _*)
-    } else if (sortKeys.nonEmpty) {
+      if (sel.distinctCount) {
+        out = out.select((col("count") +: internalNames.map(col(_))).toIndexedSeq: _*)
+        return out.toDF(("count" +: finalNames): _*)
+      }
+      out = out.select(internalNames.map(col(_)).toIndexedSeq: _*)
+      return out.toDF(finalNames: _*)
+    }
+
+    if (sortKeys.nonEmpty) {
       val ordCols = sortKeys.zipWithIndex.map { case (k, i) =>
         val c = col(s"__graft_ord$i"); if (k.asc) c.asc else c.desc
-      } ++ nrTie.headOption.map { _ =>
+      } ++ tieNames.map { n =>
         // stable sort: reference reverses the stably-sorted list for DESC
         // (rbql_engine.py:550-557) → tiebreaker follows the direction
-        val c = col("__graft_ordnr")
+        val c = col(n)
         if (sortKeys.forall(_.asc)) c.asc else c.desc
       }
       out = out.orderBy(ordCols.toIndexedSeq: _*)
-        .drop(sortKeys.indices.map(i => s"__graft_ord$i"): _*)
-        .drop("__graft_ordnr")
+    } else if (pinNeeded && tieNames.nonEmpty) {
+      // join without ORDER BY: restore the reference's stream order
+      // (A record order, B matches in B insertion order)
+      out = out.orderBy(tieNames.map(col(_).asc): _*)
     }
-    out
+    out = out.drop(sortKeys.indices.map(i => s"__graft_ord$i"): _*)
+      .drop(tieNames: _*)
+
+    // deferred UNNEST explode (ordered mode): explode AFTER the sort so the
+    // array's own element order survives — sorted output is range-
+    // partitioned and the subsequent narrow explode preserves intra-
+    // partition order (Spark's sort is not stable, so exploding first would
+    // scramble elements that share all sort keys)
+    unnestIdx.foreach { ui =>
+      if (ordered && !sel.distinct && !sel.distinctCount) {
+        val cols = internalNames.zipWithIndex.map { case (n, i) =>
+          if (i == ui) explode(col(n)).alias(n) else col(n)
+        }
+        out = out.select(cols.toIndexedSeq: _*)
+      }
+    }
+
+    out.toDF(finalNames: _*)
   }
 
-  /** Build the Column for a non-star select item; returns (col, isUnnest). */
-  private def buildItemColumn(raw: String, tr: ExprTranslator): (Column, Boolean) = {
-    var t = raw.trim
-    // unpack operator `*expr` (reference python dialect `select *a2.split()`,
-    // test 'unpack operator') — sugar for UNNEST(expr). Plain stars were
-    // already consumed by the caller's isStar.
-    if (t.startsWith("*") && t.length > 1) t = s"UNNEST(${t.substring(1)})"
+  /** Ragged output: any `*expr` unpack (or a star over a ragged table)
+    * spreads a list inline into the record, so the output is a single
+    * fields-array column (the reference's record-as-list model). The
+    * in-memory / CLI surfaces spread it back into per-record field lists. */
+  private def buildRaggedProjection(
+      filtered: DataFrame,
+      ast: StageAst,
+      sel: SelectSpec,
+      classified: Seq[(SelectItem, Option[Aggregates.Item])],
+      isStar: String => Option[Seq[(String, Column)]],
+      tr: ExprTranslator,
+      ordered: Boolean): DataFrame = {
+    if (sel.distinct || sel.distinctCount)
+      Errors.parsing("DISTINCT is not supported with ragged (unpacked) output")
+    val parts: Seq[Column] = classified.map { case (item, cls) =>
+      val t = item.rawExpr.trim
+      isStar(t) match {
+        case Some(cols) =>
+          // star over ragged A yields the fields array itself; fixed-width
+          // sides contribute their columns as strings
+          concat(cols.map { case (n, c) =>
+            if (n == ExprTranslator.FieldsCol) c else array(c.cast("string"))
+          }: _*)
+        case None if t.startsWith("*") && t.length > 1 =>
+          expr(tr.translate(cls.map(_.raw).getOrElse(item.rawExpr).trim.substring(1)))
+            .cast("array<string>")
+        case None =>
+          val itemText = cls.map(_.raw).getOrElse(item.rawExpr)
+          array(PyEq.expr(tr.translate(itemText)).cast("string"))
+      }
+    }
+    val fieldsCol = (if (parts.length == 1) parts.head else concat(parts: _*))
+      .alias(ExprTranslator.FieldsCol)
+
+    val sortKeys = ast.orderBy.getOrElse(Seq.empty)
+    val hiddenCols = sortKeys.zipWithIndex.map { case (k, i) =>
+      PyEq.expr(tr.translate(k.expr)).alias(s"__graft_ord$i")
+    }
+    val hasNr = filtered.columns.contains(NrCol)
+    val hasBNr = filtered.columns.contains(BNrCol)
+    val pinNeeded = ordered && (sortKeys.nonEmpty || ast.join.isDefined)
+    val nrTie: Seq[Column] =
+      if (pinNeeded && hasNr)
+        Seq(col(NrCol).alias("__graft_ordnr")) ++
+          (if (hasBNr) Seq(col(BNrCol).alias("__graft_ordbnr")) else Seq.empty)
+      else Seq.empty
+    val tieNames = nrTie.indices.map(i => if (i == 0) "__graft_ordnr" else "__graft_ordbnr")
+
+    var out = filtered.select((Seq(fieldsCol) ++ hiddenCols ++ nrTie).toIndexedSeq: _*)
+    if (sortKeys.nonEmpty) {
+      val ordCols = sortKeys.zipWithIndex.map { case (k, i) =>
+        val c = col(s"__graft_ord$i"); if (k.asc) c.asc else c.desc
+      } ++ tieNames.map { n =>
+        val c = col(n); if (sortKeys.forall(_.asc)) c.asc else c.desc
+      }
+      out = out.orderBy(ordCols.toIndexedSeq: _*)
+    } else if (tieNames.nonEmpty) {
+      out = out.orderBy(tieNames.map(col(_).asc): _*)
+    }
+    out.drop(sortKeys.indices.map(i => s"__graft_ord$i"): _*)
+      .drop(tieNames: _*)
+  }
+
+  /** Build the Column for a non-star select item; returns (col, isUnnest).
+    * With deferExplode the UNNEST item stays an array column — the caller
+    * explodes it after sorting (ordered-mode element-order preservation). */
+  private def buildItemColumn(raw: String, tr: ExprTranslator,
+      deferExplode: Boolean): (Column, Boolean) = {
+    val t = raw.trim
     val m = """(?i)^unnest\s*\(""".r.findFirstMatchIn(t)
     if (m.isDefined) {
       val open = m.get.end - 1
@@ -574,10 +912,11 @@ object PlanBuilder {
       }
       if (end == t.length) {
         val inner = t.substring(open + 1, end - 1)
-        return (explode(expr(tr.translate(inner))), true)
+        val arrCol = PyEq.expr(tr.translate(inner))
+        return (if (deferExplode) arrCol else explode(arrCol), true)
       }
     }
-    (expr(tr.translate(t)), false)
+    (PyEq.expr(tr.translate(t)), false)
   }
 
   /** Resolve the data type an expression would have against `df` (driver-
@@ -586,30 +925,12 @@ object PlanBuilder {
   private def resolveType(df: DataFrame, sql: String): Option[org.apache.spark.sql.types.DataType] =
     scala.util.Try(df.select(expr(sql)).schema.head.dataType).toOption
 
-  /** Output header inference (select_output_header,
-    * rbql_engine.py:1411-1454): alias > passthrough source name > colN. */
-  private def outputName(item: SelectItem, idx: Int, tr: ExprTranslator): String = {
-    item.alias.getOrElse {
-      passthroughName(item.rawExpr, tr).getOrElse(s"col${idx + 1}")
-    }
-  }
-
-  private def passthroughName(raw: String, tr: ExprTranslator): Option[String] = {
-    val t = raw.trim
-    if (t == "NR" || t == "NF") return Some(t)
-    val translated =
-      try tr.translate(t)
-      catch { case _: GraftError => return None }
-    """^graft_[ab]\.`(.*)`$""".r.findFirstMatchIn(translated.trim)
-      .map(_.group(1).replace("``", "`"))
-  }
-
   private def applyOrderBySimple(df: DataFrame, ast: StageAst, tr: ExprTranslator): DataFrame =
     ast.orderBy match {
       case Some(keys) =>
         df.orderBy(keys.map { k =>
           val name = k.expr.trim
-          val c = if (df.columns.contains(name)) col(s"`$name`") else expr(tr.translate(k.expr))
+          val c = if (df.columns.contains(name)) col(s"`$name`") else PyEq.expr(tr.translate(k.expr))
           if (k.asc) c.asc else c.desc
         }.toIndexedSeq: _*)
       case None => df

@@ -119,7 +119,7 @@ object CsvSource {
     // matching the pattern — a pushdown-friendly rlike filter
     commentRegex.foreach(r => txt = txt.filter(!col("value").rlike(r)))
     txt.select(split(col("value"), java.util.regex.Pattern.quote(delim))
-      .alias(graft.engine.ExprTranslator.FieldsCol))
+      .as(graft.engine.ExprTranslator.FieldsCol, syntheticMeta))
   }
 
   /** Dialect autodetection (reference autodetect_delim_policy,
@@ -178,6 +178,12 @@ object CsvSource {
     read(spark, path, d, p, hasHeader, encoding)
   }
 
+  /** Metadata marking synthetic positional names, so output-header
+    * inference can distinguish them from a real header (reference
+    * input_header = None mode, rbql_engine.py:1411-1424). */
+  private val syntheticMeta = new org.apache.spark.sql.types.MetadataBuilder()
+    .putBoolean(graft.Graft.SyntheticNameKey, true).build()
+
   /** Headerless tables are addressed positionally in the RBQL model —
     * rename Spark's _c0.._cN to a1..aN. A UTF-8 BOM that survived into the
     * first header name is stripped (reference rbql_csv.py:309-315). */
@@ -187,7 +193,9 @@ object CsvSource {
       if (h.nonEmpty && h(0).startsWith(Bom))
         df.withColumnRenamed(h(0), h(0).substring(1))
       else df
-    } else df.toDF(df.columns.indices.map(i => s"a${i + 1}"): _*)
+    } else df.select(df.columns.zipWithIndex.map { case (c, i) =>
+      col(s"`${c.replace("`", "``")}`").as(s"a${i + 1}", syntheticMeta)
+    }.toIndexedSeq: _*)
 
   /** Read-side warnings scan (reference CSVRecordIterator.get_warnings,
     * rbql_csv.py:496-504): UTF-8 BOM presence and inconsistent
@@ -295,9 +303,12 @@ object CsvSource {
         withFields.filter(col("__pos") =!= headerPos)
       case None => withFields
     }
+    val realHeaderLen = headerFields.map(_.length).getOrElse(0)
     body.select(names.zipWithIndex.map { case (name, i) =>
-      // try_element_at: null past a short row's end (safe_get semantics)
-      try_element_at(col("__fields"), lit(i + 1)).alias(name)
+      // try_element_at: null past a short row's end (safe_get semantics);
+      // names past the real header (or all, when headerless) are synthetic
+      val c = try_element_at(col("__fields"), lit(i + 1))
+      if (i < realHeaderLen) c.alias(name) else c.as(name, syntheticMeta)
     }.toIndexedSeq: _*)
   }
 

@@ -128,14 +128,15 @@ class GoldenSpec extends SparkSpec {
     assert(out == Seq(Seq("Russia", "Moscow", "Red Square")))
   }
 
-  test("golden: alias with join and star in middle") {
-    val out = run(
-      "select 'lala' as something, *, 'foo' as The_foo " +
+  test("golden: alias with join and star on headerless input errors") {
+    // reference select_output_header (rbql_engine.py:1421-1423): star + AS
+    // alias cannot be combined when the input table has no header
+    val e = intercept[ParsingError] {
+      run("select 'lala' as something, *, 'foo' as The_foo " +
         "inner join b on a2 == b1 where a2 == 'car' order by cast(a1 as int) desc",
-      vehicles, Some(joinB))
-    assert(out == Seq(
-      Seq("lala", "5", "car", "lada", "car", "gas", "foo"),
-      Seq("lala", "-20", "car", "Ferrari", "car", "gas", "foo")))
+        vehicles, Some(joinB))
+    }
+    assert(e.getMessage.contains("star"))
   }
 
   // -- except -------------------------------------------------------------
@@ -184,12 +185,15 @@ class GoldenSpec extends SparkSpec {
   }
 
   test("golden: update left join null-safe assignment") {
+    // LEFT join: an unmatched A row acts as ONE null B match (reference
+    // LeftJoiner null_record) — the WHERE runs with null b-vars (Python
+    // None != "wings" is True), so the assignment applies with b2 = null
     val out = run(
       "update set a3 = b2 left join b on a2 == b1 where b2 != 'wings'",
       Seq(Seq("100", "magic carpet", "nimbus"), Seq("5", "car", "lada")),
       Some(joinB))
-    assert(out.toSet == Set(
-      Seq("100", "magic carpet", "nimbus"),
+    assert(out == Seq(
+      Seq("100", "magic carpet", null),
       Seq("5", "car", "gas")))
   }
 
@@ -260,10 +264,12 @@ class GoldenSpec extends SparkSpec {
     assert(out2 == Seq(Seq(0L)))
   }
 
-  test("golden: unpack operator *expr is UNNEST sugar") {
+  test("golden: unpack operator *expr spreads the list into the record") {
+    // reference Python star-unpacking in the select tuple ('unpack
+    // operator' corpus case): ragged output rows, NOT one row per element
     val out = run("select *split(a2, '\\\\|')",
       Seq(Seq("1", "alpha"), Seq("2", "alpha|beta|gamma"), Seq("3", "")))
-    assert(out.map(_(0)) == Seq("alpha", "alpha", "beta", "gamma", ""))
+    assert(out == Seq(Seq("alpha"), Seq("alpha", "beta", "gamma"), Seq("")))
   }
 
   test("golden: NU counts updated records in record order") {

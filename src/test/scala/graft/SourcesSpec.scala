@@ -206,9 +206,10 @@ class SourcesSpec extends SparkSpec {
     val out = Graft.query(spark,
       "SELECT NR, a1, a8 WHERE a8 IS NULL AND NF < 8", df)
     assert(out.count() > 0)
-    // star emits the record as a fields array
+    // star emits the record as the ragged fields array (spread back into
+    // per-record field lists by the collect-side surfaces)
     val star = Graft.query(spark, "SELECT * LIMIT 1", df)
-    assert(star.columns.toSeq == Seq("fields"))
+    assert(star.columns.toSeq == Seq(graft.engine.ExprTranslator.FieldsCol))
     // filter + aggregate over positional vars still work
     val agg = Graft.query(spark,
       "SELECT NF, COUNT(*) AS cnt GROUP BY NF", df)
