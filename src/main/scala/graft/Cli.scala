@@ -48,12 +48,19 @@ object Cli {
     try {
       // stdin input when --input is absent (reference rbql_main.py:373)
       val input = opts.get("input").getOrElse(readStdinToTemp())
+      // --policy without --delim is an error; monocolumn forces an empty
+      // delim (reference rbql_main.py:402-407)
+      if (opts.contains("policy") && !opts.contains("delim"))
+        fail("generic", "Using \"--policy\" without \"--delim\" is not allowed")
       val (delim, policy) = (opts.get("delim"), opts.get("policy")) match {
+        case (_, Some("monocolumn")) => ("", "monocolumn")
         case (Some(d), Some(p)) => (unescapeDelim(d), p)
         case (Some(d), None) => (unescapeDelim(d), "quoted")
         case _ => sources.CsvSource.autodetect(spark, input,
           opts.getOrElse("encoding", "UTF-8"))
       }
+      sources.CsvSource.validateDialect(delim, policy,
+        opts.getOrElse("encoding", "UTF-8"), opts.getOrElse("query", ""))
       // output dialect: --output-delim/--output-policy > --out-format
       // (csv/tsv) > same as input (reference rbql_main.py:73-74)
       val (outDelim, outPolicy) = (opts.get("output-delim"), opts.get("output-policy")) match {
@@ -104,7 +111,7 @@ object Cli {
                 header = opts.contains("with-headers"), policy = outPolicy)
                 .foreach(println)
           }
-          sinks.Warnings.scan(result, outDelim)
+          sinks.Warnings.scan(result, outDelim, outPolicy)
             .foreach(w => System.err.println(s"Warning: $w"))
         } finally result.unpersist()
         // read-side warnings (BOM, inconsistent field counts) — reference

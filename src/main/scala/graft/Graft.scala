@@ -141,6 +141,9 @@ object Graft {
         * registry (reference FileSystemCSVRegistry warns per join file,
         * rbql_csv.py:552-557) */
       onJoinFileRead: String => Unit = _ => ()): DataFrame = {
+    // invalid delim/policy/encoding combinations are rejected up front
+    // with the reference's messages (rbql_csv.py:551-560)
+    sources.CsvSource.validateDialect(delim, policy, encoding, queryStr)
     val masked = Lexer.mask(Lexer.cleanup(queryStr))
     val stages = Lexer.splitStages(masked.text)
     val mods = ClauseParser.parse(masked.copy(text = stages.head)).withMods

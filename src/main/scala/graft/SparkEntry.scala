@@ -21,6 +21,13 @@ object SparkEntry {
       "lineitem", "events", "documents", "embeddings")
       .map(n => n -> t(s, dir, n)).toMap
 
+  /** Query points for the ANN/IVF recall gates — three spread-out vector
+    * ids so a recall regression can't hide behind one lucky point (round-2
+    * verdict #8). Must match the VALUES lists in `oracleSql`. */
+  private object RecallGate {
+    val queryPoints: Seq[Int] = Seq(0, 7, 42)
+  }
+
   /** Embeddings plus 10 planted near-duplicates (vec_id+10000, every
     * component shifted by +0.01 in double then rounded back to float —
     * bit-reproducible in DuckDB as list_transform(e, x -> (x::DOUBLE +
@@ -281,31 +288,38 @@ object SparkEntry {
     // ANN recall gates: overlap@10 of the approximate result vs the exact
     // brute-force top-k, emitted as a quality boolean the oracle pins —
     // turns the approximate operators into checked signals
+    // Multi-point gates (round-2 verdict #8): three query vectors, each
+    // must individually reach overlap@10 ≥ 8 — a regression on any one
+    // point flips its row and fails the oracle compare.
     "q_ann_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") === 0)
-        .select("embedding").head().getSeq[Float](0)
-      val brute = pipeline.Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, k = 10)
-        .select(col("vec_id"))
-      val ann = pipeline.Similarity.lshTopK(emb, "embedding", "vec_id", q, k = 10)
-        .select(col("vec_id"))
-      ann.join(brute, "vec_id")
-        .agg((count(lit(1)) >= 8).alias("recall_ok"))
-        .select(lit(10).alias("k"), col("recall_ok"))
+      RecallGate.queryPoints.map { qid =>
+        val q = emb.filter(col("vec_id") === qid)
+          .select("embedding").head().getSeq[Float](0)
+        val brute = pipeline.Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, k = 10)
+          .select(col("vec_id"))
+        val ann = pipeline.Similarity.lshTopK(emb, "embedding", "vec_id", q, k = 10)
+          .select(col("vec_id"))
+        ann.join(brute, "vec_id")
+          .agg((count(lit(1)) >= 8).alias("recall_ok"))
+          .select(lit(qid).alias("query_id"), lit(10).alias("k"), col("recall_ok"))
+      }.reduce(_.unionAll(_)).orderBy("query_id")
     }),
 
     "q_ivf_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") === 0)
-        .select("embedding").head().getSeq[Float](0)
-      val brute = pipeline.Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, k = 10)
-        .select(col("vec_id"))
       val ivf = pipeline.Similarity.buildIvf(emb, "embedding", "vec_id", nCentroids = 16)
-      val approx = pipeline.Similarity.ivfTopK(ivf, "embedding", "vec_id", q, k = 10, nProbe = 4)
-        .select(col("vec_id"))
-      approx.join(brute, "vec_id")
-        .agg((count(lit(1)) >= 8).alias("recall_ok"))
-        .select(lit(10).alias("k"), col("recall_ok"))
+      RecallGate.queryPoints.map { qid =>
+        val q = emb.filter(col("vec_id") === qid)
+          .select("embedding").head().getSeq[Float](0)
+        val brute = pipeline.Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, k = 10)
+          .select(col("vec_id"))
+        val approx = pipeline.Similarity.ivfTopK(ivf, "embedding", "vec_id", q, k = 10, nProbe = 4)
+          .select(col("vec_id"))
+        approx.join(brute, "vec_id")
+          .agg((count(lit(1)) >= 8).alias("recall_ok"))
+          .select(lit(qid).alias("query_id"), lit(10).alias("k"), col("recall_ok"))
+      }.reduce(_.unionAll(_)).orderBy("query_id")
     }),
 
     // ANN top-k (LSH multiprobe; approximate by design — rows-only check)
@@ -513,11 +527,17 @@ object SparkEntry {
              i -> qe[i]::DOUBLE * qe[i]::DOUBLE))))) * 1e6 + 0.5) / 1e6 AS score
          FROM embeddings, q WHERE vec_id < 200 ORDER BY vec_id""",
     "q_ann_recall" ->
-      """SELECT 10 AS k, CAST(true AS BOOLEAN) AS recall_ok""",
+      """SELECT * FROM (VALUES (0, 10, CAST(true AS BOOLEAN)),
+                              (7, 10, CAST(true AS BOOLEAN)),
+                              (42, 10, CAST(true AS BOOLEAN)))
+         AS t(query_id, k, recall_ok) ORDER BY query_id""",
     "q_simhash_recall" ->
       """SELECT CAST(true AS BOOLEAN) AS recall_ok""",
     "q_ivf_recall" ->
-      """SELECT 10 AS k, CAST(true AS BOOLEAN) AS recall_ok""",
+      """SELECT * FROM (VALUES (0, 10, CAST(true AS BOOLEAN)),
+                              (7, 10, CAST(true AS BOOLEAN)),
+                              (42, 10, CAST(true AS BOOLEAN)))
+         AS t(query_id, k, recall_ok) ORDER BY query_id""",
     "q_embed_dups" ->
       """WITH aug AS (
            SELECT vec_id, embedding FROM embeddings

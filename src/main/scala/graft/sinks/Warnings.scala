@@ -4,14 +4,26 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Reference-style non-fatal warnings (rbql_csv.py:309-315, 496-504):
-  * nulls replaced in output, output fields containing the delimiter.
+/** Reference-style non-fatal write warnings, byte-exact with
+  * CSVWriter.get_warnings (rbql_csv.py:309-315):
+  *   'None values in output were replaced by empty strings'
+  *   'Some output fields contain separator'
+  * The separator warning only applies to unquoted output policies
+  * (simple/whitespace/monocolumn) — quoted policies escape the delimiter,
+  * so the reference never flags it there (check_separators_in_fields_
+  * before_join is installed only for the simple join, rbql_csv.py:159-171).
   * Computed in ONE aggregate pass over the result (no per-row driver
   * work); call before/with a sink write. */
 object Warnings {
 
-  def scan(df: DataFrame, delim: String = ","): Seq[String] = {
-    val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
+  def scan(df: DataFrame, delim: String = ",",
+      policy: String = "simple"): Seq[String] = {
+    val unquotedPolicy =
+      policy == "simple" || policy == "whitespace" || policy == "monocolumn"
+    val strCols =
+      if (unquotedPolicy && delim.nonEmpty)
+        df.schema.fields.filter(_.dataType == StringType).map(_.name)
+      else Array.empty[String]
     val nullChecks = df.schema.fieldNames.map(c =>
       sum(when(col(s"`$c`").isNull, 1).otherwise(0)).alias(s"__n_$c"))
     val delimChecks = strCols.map(c =>
@@ -22,12 +34,12 @@ object Warnings {
     val nNull = df.schema.fieldNames.indices
       .map(i => if (row.isNullAt(i)) 0L else row.getLong(i)).sum
     if (nNull > 0)
-      buf += s"null values in $nNull output field(s) were written as empty strings"
+      buf += "None values in output were replaced by empty strings"
     val offset = df.schema.fieldNames.length
     val nDelim = strCols.indices
       .map(i => if (row.isNullAt(offset + i)) 0L else row.getLong(offset + i)).sum
     if (nDelim > 0)
-      buf += s"$nDelim output field(s) contain the separator and were quoted"
+      buf += "Some output fields contain separator"
     buf.toSeq
   }
 }

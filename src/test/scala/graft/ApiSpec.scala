@@ -104,4 +104,30 @@ class ApiSpec extends SparkSpec {
       spark.emptyDataFrame)
     assert(out.count() == 2)
   }
+
+  test("invalid CSV dialect combinations error with the reference messages") {
+    val dir = java.nio.file.Files.createTempDirectory("graftdialect").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/t.csv"), "1,2\n")
+    def err(f: => Any): String =
+      intercept[graft.engine.IoError](f).getMessage
+    // double-quote delim + quoted policy (rbql_csv.py:551-552)
+    assert(err(Graft.queryCsv(spark, "select a1", s"$dir/t.csv",
+      delim = "\"", policy = "quoted"))
+      .contains("Double quote delimiter is incompatible"))
+    // non-space delim + whitespace policy (rbql_csv.py:553-554)
+    assert(err(Graft.queryCsv(spark, "select a1", s"$dir/t.csv",
+      delim = ",", policy = "whitespace"))
+      .contains("Only whitespace \" \" delim is supported"))
+    // non-ascii query text under latin-1 (rbql_csv.py:556-557)
+    assert(err(Graft.queryCsv(spark, "select a1 || 'ü'", s"$dir/t.csv",
+      encoding = "latin-1"))
+      .contains("enable UTF-8 encoding instead of latin-1"))
+    // non-ascii separator under latin-1 (rbql_csv.py:559-560)
+    assert(err(Graft.queryCsv(spark, "select a1", s"$dir/t.csv",
+      delim = "¦", encoding = "latin-1"))
+      .contains("non-ascii separators"))
+    // unknown policy name
+    assert(err(Graft.queryCsv(spark, "select a1", s"$dir/t.csv",
+      policy = "nope")).contains("Unknown CSV policy"))
+  }
 }

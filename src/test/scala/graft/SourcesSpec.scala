@@ -117,6 +117,26 @@ class SourcesSpec extends SparkSpec {
     assert(dq.exists(w => w.contains("double quote") && w.contains("line 3")))
   }
 
+  test("inputWarnings runs exactly one Spark job") {
+    val dir = java.nio.file.Files.createTempDirectory("graft1job").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/t.csv"),
+      "a,b,c\n1,2,3\n4,5\nbro\"ken,2,3\n")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val warns = CsvSource.inputWarnings(spark, s"$dir/t.csv")
+      // listener events are async — give the bus a moment to drain
+      Thread.sleep(500)
+      assert(warns.exists(_.contains("not consistent")))
+      assert(warns.exists(_.contains("double quote")))
+      assert(jobs.get() == 1, s"expected 1 Spark job, saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("unnest on pipe-joined genre column (movies)") {
     val df = CsvSource.read(spark, s"$fixtures/movies.tsv",
       delim = "\t", policy = "simple", hasHeader = false)
@@ -185,14 +205,18 @@ class SourcesSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
-  test("warnings scan reports nulls and delimiter-in-field") {
+  test("warnings scan reports nulls and delimiter-in-field, reference texts") {
     import spark.implicits._
     val df = Seq((Some("a,b"), Some("x")), (None, Some("y"))).toDF("v", "w")
-    val ws = graft.sinks.Warnings.scan(df)
-    assert(ws.exists(_.contains("null values")))
-    assert(ws.exists(_.contains("separator")))
+    // byte-exact reference strings (rbql_csv.py:309-315)
+    val ws = graft.sinks.Warnings.scan(df, ",", policy = "simple")
+    assert(ws.contains("None values in output were replaced by empty strings"))
+    assert(ws.contains("Some output fields contain separator"))
     val clean = Seq(("a", "b")).toDF("v", "w")
     assert(graft.sinks.Warnings.scan(clean).isEmpty)
+    // quoted output escapes the delimiter — no separator warning
+    val quoted = graft.sinks.Warnings.scan(df, ",", policy = "quoted")
+    assert(!quoted.exists(_.contains("separator")))
   }
 
   test("ragged model: per-record NF, null past row end, star") {
