@@ -29,7 +29,18 @@ object Cli {
     "csv" -> (",", "quoted"),
     "tsv" -> ("\t", "simple"))
 
-  def main(args: Array[String]): Unit = {
+  /** Thrown instead of exiting so `run` is testable in-JVM. */
+  private final case class CliExit(code: Int) extends RuntimeException
+
+  def main(args: Array[String]): Unit = sys.exit(run(args))
+
+  /** CLI body; returns the exit code. `stopSpark = false` keeps the
+    * (shared) session alive for in-JVM tests. */
+  def run(args: Array[String], stopSpark: Boolean = true): Int =
+    try { realMain(args, stopSpark); 0 }
+    catch { case CliExit(code) => code }
+
+  private def realMain(args: Array[String], stopSpark: Boolean): Unit = {
     val opts = parseArgs(args.toList, Map.empty)
     // no --query with a file input → interactive loop
     // (reference run_interactive_loop, rbql_main.py:207-238)
@@ -125,13 +136,14 @@ object Cli {
       if (interactive) interactiveLoop(spark, input, delim, policy, opts, runOne)
       else runOne(opts("query"))
     } catch {
+      case e: CliExit => throw e
       case e: Throwable =>
         val (cat, msg) = Graft.exceptionToErrorInfo(e)
         System.err.println(s"Error [$cat]: $msg")
-        spark.stop()
-        sys.exit(1)
+        if (stopSpark) spark.stop()
+        throw CliExit(1)
     }
-    spark.stop()
+    if (stopSpark) spark.stop()
   }
 
   // ANSI palette from the reference's print_colorized (rbql_main.py:177-198)
@@ -244,6 +256,6 @@ object Cli {
 
   private def fail(cat: String, msg: String): Nothing = {
     System.err.println(s"Error [$cat]: $msg")
-    sys.exit(1)
+    throw CliExit(1)
   }
 }

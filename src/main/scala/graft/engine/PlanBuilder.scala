@@ -50,7 +50,19 @@ object PlanBuilder {
     * with identical deterministic partitioning, the same assumption
     * zipWithIndex itself makes. */
   def withNr(df: DataFrame): DataFrame = {
-    val counts = df.groupBy(spark_partition_id().alias("__p"))
+    // The two passes must see identical per-partition contents AND order.
+    // That holds for file scans / local data under narrow deterministic
+    // operators (same split planning, same in-split order — the same
+    // assumption zipWithIndex makes). Anything else — a shuffle in the
+    // lineage (pipe stage over a join/agg), a JDBC read with no ORDER, a
+    // sample — can legally reorder between jobs, which would silently
+    // corrupt NR; those inputs are persisted first so both passes read the
+    // materialized blocks. (Storage is LRU-evicted; only the parity/CLI
+    // surfaces take this path at meaningful sizes.)
+    val src =
+      if (deterministicTwoPassScan(df)) df
+      else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = src.groupBy(spark_partition_id().alias("__p"))
       .agg(count(lit(1)).alias("__c"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val maxPid = counts.lastOption.map(_._1).getOrElse(0)
@@ -60,8 +72,28 @@ object PlanBuilder {
     val offsetCol = element_at(
       array(offsets.map(o => lit(o)).toIndexedSeq: _*),
       spark_partition_id() + 1)
-    df.withColumn(NrCol,
+    src.withColumn(NrCol,
       offsetCol + monotonically_increasing_id().bitwiseAND((1L << 33) - 1) + 1L)
+  }
+
+  /** True when two separate jobs over `df` are guaranteed to see the same
+    * rows in the same per-partition order: deterministic narrow operators
+    * over file scans or local data. A shuffle (join/agg/repartition/sort
+    * feeding a pipe stage), a JDBC scan, or a sample can reorder between
+    * jobs. */
+  private def deterministicTwoPassScan(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def ok(p: LogicalPlan): Boolean = p match {
+      case l: LogicalRelation => l.relation.isInstanceOf[HadoopFsRelation]
+      case _: LocalRelation => true
+      // parallelize'd local data (queryTable) — fixed slices, stable order
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case n @ (_: Project | _: Filter | _: SubqueryAlias | _: Generate) =>
+        n.expressions.forall(_.deterministic) && n.children.forall(ok)
+      case _ => false
+    }
+    ok(df.queryExecution.analyzed)
   }
 
   /** NU — running count (1-based, record order) of rows matching the

@@ -155,4 +155,19 @@ class EngineSmokeSpec extends SparkSpec {
       Seq(Seq("3", "x"), Seq("1", "x"), Seq("2", "y")))
     assert(rows == Seq(Seq("1", "x"), Seq("3", "x")))
   }
+
+  test("NR over a shuffled (pipe) source is consistent across jobs") {
+    import spark.implicits._
+    // stage 1 aggregates (shuffle) — stage 2's NR runs two jobs over that
+    // shuffled output, which withNr must persist to keep both passes
+    // aligned (round-2 verdict #9)
+    val df = (1 to 500).map(i => (s"k${i % 50}", i)).toDF("k", "v")
+    val q = "SELECT a.k, SUM(a.v) AS s GROUP BY a.k | SELECT NR, a.k, a.s"
+    val r1 = Graft.query(spark, q, df).collect().map(_.toSeq).toSet
+    val r2 = Graft.query(spark, q, df).collect().map(_.toSeq).toSet
+    // NR must be a permutation-free 1..n assignment, stable per key set
+    assert(r1.map(_.head).toSeq.map(_.asInstanceOf[Long]).sorted == (1L to 50L))
+    assert(r1.map(r => (r(1), r(0))).groupBy(_._1).forall(_._2.size == 1))
+    assert(r1 == r2)
+  }
 }
