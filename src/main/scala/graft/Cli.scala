@@ -87,6 +87,19 @@ object Cli {
 
       def runOne(query: String): Unit = {
         val joinFiles = scala.collection.mutable.ArrayBuffer.empty[String]
+        // a WITH (header)/(noheader) modifier in the query overrides the
+        // --with-headers flag for BOTH input reading (queryCsv) and output
+        // header emission (reference rbql_csv.py:374-380)
+        val headerMode = {
+          val mods = try engine.ClauseParser.parse(
+            engine.Lexer.mask(engine.Lexer.cleanup(query))
+              .copy(text = engine.Lexer.splitStages(
+                engine.Lexer.mask(engine.Lexer.cleanup(query)).text).head)).withMods
+          catch { case _: Throwable => Seq.empty[String] }
+          if (mods.contains("header")) true
+          else if (mods.contains("noheader")) false
+          else opts.contains("with-headers")
+        }
         val result =
           if (opts.contains("ragged"))
             Graft.queryRaggedCsv(spark, query, input, delim)
@@ -98,7 +111,7 @@ object Cli {
             commentRegex = opts.get("comment-regex"),
             onJoinFileRead = joinFiles += _)
         // reference FileSystemCSVRegistry.get_warnings (rbql_csv.py:552-557)
-        if (opts.contains("with-headers"))
+        if (headerMode)
           joinFiles.foreach(p => System.err.println(
             s"Warning: The first record in JOIN file ${new java.io.File(p).getName} was also treated as header (and skipped)"))
         // persist: the sink write and the warnings scan share one
@@ -107,8 +120,13 @@ object Cli {
         try {
           opts.get("output") match {
             case Some(out) =>
+              // the reference fails on a nonexistent output directory
+              // (open() ENOENT); Spark would silently create it
+              val parent = new java.io.File(out).getAbsoluteFile.getParentFile
+              if (parent != null && !parent.exists())
+                fail("IO handling", s"No such file or directory: '$out'")
               sinks.Sinks.writeCsv(result, out, outDelim,
-                header = opts.contains("with-headers"), policy = outPolicy)
+                header = headerMode, policy = outPolicy)
             case None if interactive =>
               println("\nOutput table preview:")
               println("====================================")
@@ -119,7 +137,7 @@ object Cli {
               println("====================================")
             case None =>
               sinks.Sinks.collectCsvLines(result, outDelim,
-                header = opts.contains("with-headers"), policy = outPolicy)
+                header = headerMode, policy = outPolicy)
                 .foreach(println)
           }
           sinks.Warnings.scan(result, outDelim, outPolicy)

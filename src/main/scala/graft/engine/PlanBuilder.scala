@@ -210,7 +210,7 @@ object PlanBuilder {
     if (ast.where.exists(w => Aggregates.containsAggCall(w)))
       Errors.parsing("Aggregate functions are not allowed in WHERE")
     val filtered = ast.where match {
-      case Some(w) => joined.filter(PyEq.expr(tr.translate(w)))
+      case Some(w) => joined.filter(pyTruthy(joined, tr.translate(w)))
       case None => joined
     }
 
@@ -416,7 +416,7 @@ object PlanBuilder {
       upd: UpdateSpec,
       tr: ExprTranslator,
       ordered: Boolean): DataFrame = {
-    val pred: Column = ast.where.map(w => PyEq.expr(tr.translate(w))).getOrElse(lit(true))
+    val pred: Column = ast.where.map(w => pyTruthy(aDf, tr.translate(w))).getOrElse(lit(true))
     // UPDATE+JOIN cardinality (≤1 match; 0 ⇒ predicate false): per-key
     // counts joined onto B — aggregation of the build side, no full-result
     // re-shuffle (same shape as strictLeftJoin)
@@ -956,6 +956,24 @@ object PlanBuilder {
     * surfaces later with better context). */
   private def resolveType(df: DataFrame, sql: String): Option[org.apache.spark.sql.types.DataType] =
     scala.util.Try(df.select(expr(sql)).schema.head.dataType).toOption
+
+  /** WHERE predicates follow Python truthiness (the reference evaluates
+    * the expression as host-language code: `where len(a5)` keeps rows with
+    * non-empty a5, 0/''/None are falsy). Non-boolean predicate types are
+    * mapped to their truthiness; null stays null (→ row dropped), exactly
+    * Python's None-is-falsy. */
+  private def pyTruthy(df: DataFrame, predSql: String): Column = {
+    import org.apache.spark.sql.types._
+    val c = PyEq.expr(predSql)
+    resolveType(df, predSql) match {
+      case Some(BooleanType) | None => c
+      case Some(_: NumericType) => c =!= 0
+      case Some(StringType) => length(c) > 0
+      case Some(_: ArrayType) => size(c) > 0
+      case Some(NullType) => lit(false)
+      case Some(_) => c // let analysis report the real error
+    }
+  }
 
   private def applyOrderBySimple(df: DataFrame, ast: StageAst, tr: ExprTranslator): DataFrame =
     ast.orderBy match {

@@ -14,11 +14,16 @@ object Sinks {
     * null → '' (reference emits a warning), arrays → '|'-joined
     * recursively. */
   def normalizeForCsv(df: DataFrame): DataFrame = {
-    val cols = df.schema.fields.map { f =>
-      val c = col(s"`${f.name.replace("`", "``")}`")
-      normalizeCol(c, f.dataType).alias(f.name)
+    // position-based: output headers may legally contain duplicates (e.g.
+    // `select *` over a headerless join — both sides named a1..aN), so
+    // rename to unique internals, transform, and restore the names
+    val names = df.columns.toSeq
+    val uniq = names.indices.map(i => s"__graft_sink_c$i")
+    val renamed = df.toDF(uniq: _*)
+    val cols = renamed.schema.fields.zipWithIndex.map { case (f, i) =>
+      normalizeCol(col(f.name), f.dataType).alias(uniq(i))
     }
-    df.select(cols.toIndexedSeq: _*)
+    renamed.select(cols.toIndexedSeq: _*).toDF(names: _*)
   }
 
   private def normalizeCol(c: Column, dt: DataType): Column = dt match {
@@ -36,11 +41,14 @@ object Sinks {
   def writeCsv(df: DataFrame, path: String, delim: String = ",",
       header: Boolean = true, policy: String = "quoted"): Unit = {
     var w = normalizeForCsv(df).write
-      .option("sep", delim)
+      .option("sep", if (policy == "monocolumn" && delim.isEmpty) "," else delim)
       .option("header", header)
       .option("quoteAll", value = false)
+      // RFC-4180 doubled-quote escaping (Spark's default is backslash)
+      .option("escape", "\"")
       .option("emptyValue", "")
-    if (policy == "simple" || policy == "whitespace") w = w.option("quote", "")
+    if (policy == "simple" || policy == "whitespace" || policy == "monocolumn")
+      w = w.option("quote", "")
     w.mode("overwrite").csv(path)
   }
 
@@ -67,7 +75,8 @@ object Sinks {
       header: Boolean = true, policy: String = "quoted"): Seq[String] = {
     val norm = normalizeForCsv(df)
     val q: String => String =
-      if (policy == "simple" || policy == "whitespace") identity
+      if (policy == "simple" || policy == "whitespace" || policy == "monocolumn")
+        identity
       else quoteField(_, delim)
     val rows = norm.collect().map(_.toSeq.map(v => q(String.valueOf(v)))
       .mkString(delim))

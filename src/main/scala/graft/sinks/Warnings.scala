@@ -16,8 +16,10 @@ import org.apache.spark.sql.types._
   * work); call before/with a sink write. */
 object Warnings {
 
-  def scan(df: DataFrame, delim: String = ",",
+  def scan(df0: DataFrame, delim: String = ",",
       policy: String = "simple"): Seq[String] = {
+    // position-based access: output headers may contain duplicate names
+    val df = df0.toDF(df0.columns.indices.map(i => s"__graft_w$i"): _*)
     val unquotedPolicy =
       policy == "simple" || policy == "whitespace" || policy == "monocolumn"
     val strCols =
@@ -25,9 +27,9 @@ object Warnings {
         df.schema.fields.filter(_.dataType == StringType).map(_.name)
       else Array.empty[String]
     val nullChecks = df.schema.fieldNames.map(c =>
-      sum(when(col(s"`$c`").isNull, 1).otherwise(0)).alias(s"__n_$c"))
+      sum(when(col(c).isNull, 1).otherwise(0)).alias(s"__n_$c"))
     val delimChecks = strCols.map(c =>
-      sum(when(col(s"`$c`").contains(delim), 1).otherwise(0)).alias(s"__d_$c"))
+      sum(when(col(c).contains(delim), 1).otherwise(0)).alias(s"__d_$c"))
     if (nullChecks.isEmpty) return Seq.empty
     val row = df.agg(nullChecks.head, (nullChecks.tail ++ delimChecks).toIndexedSeq: _*).head()
     val buf = scala.collection.mutable.ArrayBuffer.empty[String]

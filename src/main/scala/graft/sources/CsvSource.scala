@@ -17,6 +17,14 @@ object CsvSource {
 
   val Policies = Set("simple", "quoted", "quoted_rfc", "whitespace", "monocolumn")
 
+  /** Map the reference's encoding spellings to Java charset names
+    * ("latin-1"/"binary" → ISO-8859-1, reference rbql_csv.py encoding
+    * handling). */
+  def normEncoding(encoding: String): String =
+    if (encoding.equalsIgnoreCase("latin-1") || encoding.equalsIgnoreCase("binary"))
+      "ISO-8859-1"
+    else encoding
+
   /** Dialect-combination validation (reference query_csv,
     * rbql_csv.py:551-560, and rbql_main.py:402-407): rejects invalid
     * delim/policy/encoding combinations with the reference's messages and
@@ -63,18 +71,24 @@ object CsvSource {
           line => split(line, java.util.regex.Pattern.quote(delim), -1),
           commentRegex, stripWhitespaces)
 
-      case "quoted" | "quoted_rfc" =>
+      case "quoted_rfc" =>
+        // faithful RFC-4180 path (reference get_row_rfc + split_quoted_str):
+        // physical lines are comment-filtered, assembled into records by
+        // quote parity, then split with the reference's field regex —
+        // Spark's native multiLine reader differs on space-before-quote
+        // fields and cannot comment-filter physical lines
+        rfcRead(spark, path, delim, hasHeader, encoding, commentPrefix,
+          stripWhitespaces, commentRegex)
+
+      case "quoted" =>
         var r = spark.read
           .option("sep", delim)
           .option("header", hasHeader)
-          .option("encoding", encoding)
+          .option("encoding", normEncoding(encoding))
+          // RFC-4180 doubled-quote escaping (Spark's default is backslash,
+          // which mis-parses `""` inside quoted fields)
+          .option("escape", "\"")
           .option("inferSchema", value = false)
-        if (policy == "quoted_rfc") {
-          r = r.option("multiLine", value = true)
-          if (commentRegex.isDefined)
-            graft.engine.Errors.io(
-              "comment-regex is not supported with the quoted_rfc (multiline) policy")
-        }
         if (stripWhitespaces) r = r
           .option("ignoreLeadingWhiteSpace", value = true)
           .option("ignoreTrailingWhiteSpace", value = true)
@@ -85,7 +99,7 @@ object CsvSource {
         var r = spark.read
           .option("sep", delim)
           .option("header", hasHeader)
-          .option("encoding", encoding)
+          .option("encoding", normEncoding(encoding))
           .option("quote", " ") // no quoting in simple policy
           .option("inferSchema", value = false)
         if (stripWhitespaces) r = r
@@ -104,10 +118,94 @@ object CsvSource {
           line => split(trim(line), "\\s+"), commentRegex, stripWhitespaces)
 
       case "monocolumn" =>
-        var txt = spark.read.option("encoding", encoding).text(path)
+        var txt = spark.read.option("encoding", normEncoding(encoding)).text(path)
         commentRegex.foreach(re => txt = txt.filter(!col("value").rlike(re)))
         txt.select(col("value").alias("a1"))
     }
+  }
+
+  /** RFC-4180 (quoted_rfc) scan with the reference's exact semantics
+    * (rbql_csv.py get_row_rfc + csv_utils.py split_quoted_str): physical
+    * lines accumulate into one record until the cumulative double-quote
+    * count is even; each record splits on delimiters outside quotes; a
+    * field fully matching ` *"((?:[^"]*"")*[^"]*)" *` unwraps (doubled
+    * quotes unescape), anything else is kept verbatim — including the
+    * reference's tolerance for spaces around quoted fields, which Spark's
+    * native multiLine reader does not share.
+    *
+    * Scale note: record assembly is a running quote-parity sum — a global
+    * window, i.e. sequential. That is inherent to the format (a record
+    * boundary depends on every preceding byte); Spark's own multiLine CSV
+    * reader is equally non-splittable (one task per file). This path backs
+    * the CLI/parity surface; columnar formats are the scale path. */
+  private def rfcRead(
+      spark: SparkSession,
+      path: String,
+      delim: String,
+      hasHeader: Boolean,
+      encoding: String,
+      commentPrefix: Option[String],
+      stripWhitespaces: Boolean,
+      commentRegex: Option[String]): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val txt = spark.read.option("encoding", normEncoding(encoding)).text(path)
+      .withColumn("__pos", monotonically_increasing_id())
+      .orderBy(col("__pos"))
+      .select(col("value"))
+      // record boundaries depend on every preceding line (quote parity +
+      // comment-at-boundary rule), so assembly is one sequential pass —
+      // the same execution shape as Spark's own non-splittable multiLine
+      // CSV reader (one task per file)
+      .coalesce(1)
+    val delim0 = delim
+    val prefix0 = commentPrefix
+    val regex0 = commentRegex.map(_.r)
+    val strip0 = stripWhitespaces
+    val schema = StructType(Seq(
+      StructField("__fields", ArrayType(StringType, containsNull = true)),
+      StructField("__pos", LongType)))
+    val assembled = txt.mapPartitions { it =>
+      val lines = it.map(_.getString(0))
+      def isComment(l: String): Boolean =
+        prefix0.exists(l.startsWith) || regex0.exists(_.findFirstIn(l).isDefined)
+      def quotes(l: String): Int = l.count(_ == '"')
+      var idx = -1L
+      new scala.collection.AbstractIterator[Row] {
+        private var nextRec: Row = _
+        private def advance(): Unit = {
+          nextRec = null
+          while (nextRec == null && lines.hasNext) {
+            val first = lines.next()
+            // a comment is only a comment when it STARTS a record; lines
+            // inside an open multiline record accumulate even if they look
+            // like comments (reference get_row_rfc, rbql_csv.py:420-440)
+            if (!isComment(first)) {
+              val record =
+                if (quotes(first) % 2 == 0) first
+                else {
+                  val buf = new StringBuilder(first)
+                  var closed = false
+                  while (!closed && lines.hasNext) {
+                    val l = lines.next()
+                    buf.append('\n').append(l)
+                    if (quotes(l) % 2 == 1) closed = true
+                  }
+                  buf.toString
+                }
+              idx += 1
+              var fields = RfcSplit.splitQuoted(record, delim0)
+              if (strip0) fields = fields.map(_.trim)
+              nextRec = Row(fields, idx)
+            }
+          }
+        }
+        advance()
+        override def hasNext: Boolean = nextRec != null
+        override def next(): Row = { val r = nextRec; advance(); r }
+      }
+    }(Encoders.row(schema))
+    projectFields(assembled.toDF(), hasHeader)
   }
 
   /** Quote-aware line split for the text path: split on delimiters outside
@@ -133,7 +231,7 @@ object CsvSource {
       encoding: String = "UTF-8",
       commentPrefix: Option[String] = None,
       commentRegex: Option[String] = None): DataFrame = {
-    var txt = spark.read.option("encoding", encoding).text(path)
+    var txt = spark.read.option("encoding", normEncoding(encoding)).text(path)
     commentPrefix.foreach(p => txt = txt.filter(!col("value").startsWith(p)))
     // comment-regex skip (reference rbql_csv.py comment_regex): drop lines
     // matching the pattern — a pushdown-friendly rlike filter
@@ -149,7 +247,7 @@ object CsvSource {
     * (delim, policy). */
   def autodetect(spark: SparkSession, path: String,
       encoding: String = "UTF-8"): (String, String) = {
-    val sample = spark.read.option("encoding", encoding).text(path)
+    val sample = spark.read.option("encoding", normEncoding(encoding)).text(path)
       .limit(10).collect().map(_.getString(0)).toSeq
     val candidates = Seq(("\t", "simple"), (",", "quoted"), (";", "quoted"), ("|", "simple"))
     def fieldCount(line: String, delim: String, policy: String): Int =
@@ -237,7 +335,7 @@ object CsvSource {
     // invisible at the row level)
     if (hasUtf8Bom(spark, path))
       warnings += s"UTF-8 Byte Order Mark (BOM) was found and skipped in $tableName table"
-    var txt = spark.read.option("encoding", encoding).text(path)
+    var txt = spark.read.option("encoding", normEncoding(encoding)).text(path)
     commentPrefix.foreach(p => txt = txt.filter(!col("value").startsWith(p)))
     // ONE aggregate job computes every warning input: grouped by
     // (partition, field-count) with per-group counts, first position, and
@@ -337,7 +435,7 @@ object CsvSource {
       splitter: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
       commentRegex: Option[String] = None,
       stripWhitespaces: Boolean = false): DataFrame = {
-    var txt = spark.read.option("encoding", encoding).text(path)
+    var txt = spark.read.option("encoding", normEncoding(encoding)).text(path)
       .withColumn("__pos", monotonically_increasing_id())
     commentPrefix.foreach(p => txt = txt.filter(!col("value").startsWith(p)))
     commentRegex.foreach(r => txt = txt.filter(!col("value").rlike(r)))
@@ -346,6 +444,12 @@ object CsvSource {
       if (stripWhitespaces) transform(rawFields, f => trim(f)) else rawFields
     val withFields =
       txt.select(fields.alias("__fields"), col("__pos"))
+    projectFields(withFields, hasHeader)
+  }
+
+  /** Project a (`__fields` array, `__pos`) frame into named columns with
+    * header-by-position skip and max-width null-padding. */
+  private def projectFields(withFields: DataFrame, hasHeader: Boolean): DataFrame = {
     val firstRow = withFields.orderBy(col("__pos").asc).limit(1).collect()
     val headerFields: Option[Seq[String]] =
       if (hasHeader && firstRow.nonEmpty) Some(firstRow(0).getSeq[String](0).toSeq)

@@ -1,0 +1,54 @@
+package graft.sources
+
+/** Port of the reference's quoted-field splitter semantics
+  * (/root/reference/rbql-py/rbql/csv_utils.py:6-50 split_quoted_str /
+  * extract_next_field): newline-agnostic, doubled-quote unescaping,
+  * external whitespace tolerated around quoted fields (unless the
+  * delimiter itself is a space), malformed quoting falls back to a raw
+  * delimiter split for that field. */
+object RfcSplit {
+
+  private val FieldCore = "\"((?:[^\"]*\"\")*[^\"]*)\""
+  private val FieldRe = java.util.regex.Pattern.compile(FieldCore)
+  private val FieldReWs = java.util.regex.Pattern.compile(" *" + FieldCore + " *")
+
+  /** Split one (possibly multiline) record into fields. */
+  def splitQuoted(src: String, delim: String): Seq[String] = {
+    require(delim != "\"")
+    val dlm = if (delim.isEmpty) ',' else delim.charAt(0)
+    if (!src.contains('"')) return split(src, dlm)
+    val allowWs = dlm != ' '
+    val rgx = if (allowWs) FieldReWs else FieldRe
+    val result = scala.collection.mutable.ArrayBuffer.empty[String]
+    var cidx = 0
+    while (cidx < src.length) {
+      val m = rgx.matcher(src)
+      m.region(cidx, src.length)
+      // Matcher.lookingAt anchors at the region start (Python re.match)
+      if (m.lookingAt() &&
+        (m.end == src.length || src.charAt(m.end) == dlm)) {
+        result += m.group(1).replace("\"\"", "\"")
+        cidx = m.end + 1
+      } else {
+        val uidx0 = src.indexOf(dlm, cidx)
+        val uidx = if (uidx0 == -1) src.length else uidx0
+        result += src.substring(cidx, uidx)
+        cidx = uidx + 1
+      }
+    }
+    if (src.nonEmpty && src.last == dlm) result += ""
+    result.toSeq
+  }
+
+  private def split(src: String, dlm: Char): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0
+    var i = 0
+    while (i < src.length) {
+      if (src.charAt(i) == dlm) { out += src.substring(start, i); start = i + 1 }
+      i += 1
+    }
+    out += src.substring(start)
+    out.toSeq
+  }
+}

@@ -333,6 +333,67 @@ object PyDialect {
       util.matching.Regex.quoteReplacement(s"split(${m.group(1)}, ${addLit(s"'$quoted'")})")
     })
 
+    // string methods → Spark functions (receiver may be a var or a.name)
+    val Recv = """([A-Za-z0-9_\]\[.]+)"""
+    s = (Recv + """\.upper\(\s*\)""").r.replaceAllIn(s, m =>
+      util.matching.Regex.quoteReplacement(s"upper(${m.group(1)})"))
+    s = (Recv + """\.lower\(\s*\)""").r.replaceAllIn(s, m =>
+      util.matching.Regex.quoteReplacement(s"lower(${m.group(1)})"))
+    s = (Recv + s"""\\.replace\\(\\s*($PH\\d+$PH)\\s*,\\s*($PH\\d+$PH)\\s*\\)""").r
+      .replaceAllIn(s, m => util.matching.Regex.quoteReplacement(
+        s"replace(${m.group(1)}, ${m.group(2)}, ${m.group(3)})"))
+    // Python str.find → instr - 1 (both use -1/0 for "not found")
+    s = (Recv + s"""\\.find\\(\\s*($PH\\d+$PH)\\s*\\)""").r.replaceAllIn(s, m =>
+      util.matching.Regex.quoteReplacement(
+        s"(instr(${m.group(1)}, ${m.group(2)}) - 1)"))
+    s = (Recv + s"""\\.startswith\\(\\s*($PH\\d+$PH)\\s*\\)""").r.replaceAllIn(s, m =>
+      util.matching.Regex.quoteReplacement(
+        s"startswith(${m.group(1)}, ${m.group(2)})"))
+    s = (Recv + s"""\\.endswith\\(\\s*($PH\\d+$PH)\\s*\\)""").r.replaceAllIn(s, m =>
+      util.matching.Regex.quoteReplacement(
+        s"endswith(${m.group(1)}, ${m.group(2)})"))
+
+    // Python membership over a split list: `LIT in split(x, sep)` →
+    // array_contains(split(x, sep), LIT)
+    s = (s"""($PH\\d+$PH)\\s+in\\s+(split\\([^()]*\\))""").r.replaceAllIn(s, m =>
+      util.matching.Regex.quoteReplacement(
+        s"array_contains(${m.group(2)}, ${m.group(1)})"))
+
+    // format(expr, '.2f') → format_string('%.2f', expr). NOTE: never
+    // String.trim here — the  placeholder marker is below U+0020 and
+    // trim would strip it. The unrecognized-shape fallback uses a 
+    // marker so rewriteCalls can't re-match it (restored below).
+    s = rewriteCalls(s, "format") { inner =>
+      val lastComma = {
+        var depth = 0; var idx = -1
+        inner.zipWithIndex.foreach { case (ch, i) =>
+          if (ch == '(') depth += 1
+          else if (ch == ')') depth -= 1
+          else if (ch == ',' && depth == 0) idx = i
+        }
+        idx
+      }
+      def keep = s"format($inner)"
+      if (lastComma < 0) keep
+      else {
+        val argT = inner.substring(0, lastComma)
+        val fmtPh = inner.substring(lastComma + 1)
+        PhRe.findFirstMatchIn(fmtPh) match {
+          case Some(mm) =>
+            val fmt = unquote(lits(mm.group(1).toInt))
+            // float conversions need a DOUBLE arg (a DECIMAL would throw
+            // IllegalFormatConversionException in Java's Formatter)
+            val arg =
+              if ("[efg]$".r.findFirstIn(fmt.toLowerCase).isDefined)
+                s"cast(($argT) as double)"
+              else argT
+            s"format_string(${addLit(s"'%$fmt'")}, $arg)"
+          case None => keep
+        }
+      }
+    }
+    s = s.replace("format(", "format(")
+
     // "…{}…".format(args) → format_string('…%s…', args)
     s = {
       val fmtRe = (s"""($PH\\d+$PH)\\.format\\(""").r
