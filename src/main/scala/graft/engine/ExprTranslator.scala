@@ -98,6 +98,19 @@ final class ExprTranslator(
     // a[3] / b[3]
     s = BracketPosRe.replaceAllIn(s, m =>
       Regex.quoteReplacement(colByPos(m.group(1).charAt(0), m.group(2).toInt)))
+    // a1['name']['nested'] — string subscripts on a positional var are
+    // JSON-object access on a VARIANT column (the JSON-lines data model,
+    // reference rbql_json.py record = parsed object): chained keys become
+    // one variant_get path
+    s = VarSubscriptRe.replaceAllIn(s, m => {
+      val base = colByPos(m.group(1).charAt(0), m.group(2).toInt)
+      val keys = """###GRAFT_S(\d+)E###""".r.findAllMatchIn(m.group(3))
+        .map(mm => unquote(masked.literals(mm.group(1).toInt))).toList
+      val rawPath = "$" + keys.map(k => s"['$k']").mkString
+      // escape for embedding in a SQL string literal
+      val sqlLit = "'" + rawPath.replace("\\", "\\\\").replace("'", "\\'") + "'"
+      Regex.quoteReplacement(s"variant_get($base, $sqlLit)")
+    })
     // b.NR / bNR — record number of the JOIN table (reference
     // rbql_engine.py:1030-1031 allows NR as a join key on either side)
     s = BNrRe.replaceAllIn(s, _ => Regex.quoteReplacement(s"graft_b.`$bNrCol`"))
@@ -149,6 +162,8 @@ object ExprTranslator {
   private val Pre = """(?<![A-Za-z0-9_.`])"""
   val BracketNameRe: Regex = (Pre + """([ab])\[###GRAFT_S(\d+)E###\]""").r
   val BracketPosRe: Regex = (Pre + """([ab])\[(\d+)\]""").r
+  /** a1['k'] / a1['k']['k2'] — variant path access on a positional var. */
+  val VarSubscriptRe: Regex = (Pre + """([ab])(\d+)((?:\[###GRAFT_S\d+E###\])+)""").r
   val PosRe: Regex = (Pre + """([ab])(\d+)(?![A-Za-z0-9_])""").r
   val DotNameRe: Regex = (Pre + """([ab])\.([A-Za-z_][A-Za-z0-9_]*)""").r
   val BNrRe: Regex = (Pre + """b(?:\.NR|NR)(?![A-Za-z0-9_])""").r
