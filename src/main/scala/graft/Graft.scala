@@ -287,4 +287,10 @@ object Graft {
 
   /** StructField metadata key marking synthetic (headerless) column names. */
   val SyntheticNameKey = "graft_synthetic_name"
+
+  /** StructField metadata key carrying a column's original (user-facing)
+    * name when it had to be renamed internally — duplicate or empty header
+    * names are legal in the reference's model but not addressable in
+    * Spark; variables resolve against this and output headers restore it. */
+  val OriginalNameKey = "graft_original_name"
 }

@@ -67,12 +67,21 @@ final class ExprTranslator(
       bSchema.getOrElse(Errors.parsing("Variable with 'b' prefix used without JOIN"))
   }
 
+  private def originalName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(graft.Graft.OriginalNameKey))
+      f.metadata.getString(graft.Graft.OriginalNameKey)
+    else f.name
+
   private def colByName(side: Char, name: String): String = {
     val schema = sideSchema(side)
-    val exact = schema.fields.find(_.name == name)
-    val field = exact.orElse(schema.fields.find(_.name.equalsIgnoreCase(name)))
+    // duplicate header names resolve to the LAST occurrence (reference
+    // parse_attribute_variables / parse_dictionary_variables build a
+    // name→index dict in header order, rbql_engine.py:1048-1075)
+    val exact = schema.fields.filter(f => originalName(f) == name).lastOption
+    val field = exact
+      .orElse(schema.fields.filter(f => originalName(f).equalsIgnoreCase(name)).lastOption)
       .getOrElse(Errors.parsing(
-        s"Column '$name' not found in table ${side.toUpper}; available: ${schema.fieldNames.mkString(", ")}"))
+        s"Column '$name' not found in table ${side.toUpper}; available: ${schema.fields.map(originalName).mkString(", ")}"))
     qualify(side, field.name)
   }
 

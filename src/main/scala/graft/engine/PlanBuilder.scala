@@ -132,7 +132,7 @@ object PlanBuilder {
       ordered: Boolean = false): DataFrame = {
 
     val ast = ClauseParser.parse(masked.copy(text = stageMaskedText))
-    val fromDf = ast.from match {
+    val fromDf0 = ast.from match {
       // `FROM a` names the input table itself (reference
       // remove_redundant_input_table_name, rbql_engine.py:1405-1407);
       // only falls through to the registry when no input was provided
@@ -142,8 +142,9 @@ object PlanBuilder {
       case Some(tid) => resolveTable(masked.restore(tid))
       case None => inputDf
     }
+    val fromDf = dedupColumns(fromDf0)
 
-    val bDfRaw0 = ast.join.map(j => resolveTable(masked.restore(j.tableId)))
+    val bDfRaw0 = ast.join.map(j => dedupColumns(resolveTable(masked.restore(j.tableId))))
 
     // Order-sensitive aggregates (ARRAY_AGG/ANY_VALUE) read NR even when
     // the query text doesn't: their per-group semantics are pinned to
@@ -220,13 +221,13 @@ object PlanBuilder {
 
     val isStar: String => Option[Seq[(String, Column)]] = raw => raw.trim match {
       case "*" =>
-        val a = starCols("graft_a", aCols)
-        val b = starCols("graft_b", bCols)
+        val a = starCols("graft_a", aDf0.schema)
+        val b = bDfRaw.map(b0 => starCols("graft_b", b0.schema)).getOrElse(Seq.empty)
         Some(a ++ b)
-      case "a.*" => Some(starCols("graft_a", aCols))
+      case "a.*" => Some(starCols("graft_a", aDf0.schema))
       case "b.*" =>
         if (bCols.isEmpty) Errors.parsing("b.* used without JOIN")
-        Some(starCols("graft_b", bCols))
+        Some(starCols("graft_b", bDfRaw.get.schema))
       case _ => None
     }
 
@@ -270,8 +271,35 @@ object PlanBuilder {
   private def isInternalCol(c: String): Boolean =
     c == NrCol || c == BNrCol || c == ExprTranslator.NuCol
 
+  /** User-facing name of a field (original header name when the column was
+    * renamed for internal addressability). */
+  def originalName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(graft.Graft.OriginalNameKey))
+      f.metadata.getString(graft.Graft.OriginalNameKey)
+    else f.name
+
+  /** Duplicate or empty column names (legal headers in the reference's
+    * model) are renamed to unique internals, with the original name kept
+    * in metadata for variable resolution and output headers. */
+  private def dedupColumns(df: DataFrame): DataFrame = {
+    val names = df.columns
+    val bad = names.diff(names.distinct).toSet
+    if (bad.isEmpty && !names.contains("")) return df
+    // toDF renames positionally (duplicate names can't be referenced);
+    // original metadata is reattached from the pre-rename schema
+    val tmp = df.toDF(names.indices.map(i => s"__graft_t$i"): _*)
+    tmp.select(df.schema.fields.zipWithIndex.map { case (f, i) =>
+      if (bad.contains(f.name) || f.name.isEmpty) {
+        val meta = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putString(graft.Graft.OriginalNameKey, f.name).build()
+        col(s"__graft_t$i").as(s"__graft_col$i", meta)
+      } else col(s"__graft_t$i").as(f.name, f.metadata)
+    }.toIndexedSeq: _*)
+  }
+
   private def userCols(schema: org.apache.spark.sql.types.StructType): Seq[String] =
-    schema.fieldNames.toSeq.filterNot(isInternalCol)
+    schema.fields.toSeq.filterNot(f => isInternalCol(f.name)).map(originalName)
 
   /** True when the side's column names come from a real header (parquet /
     * CSV-with-header / user-provided names) rather than being synthetic
@@ -283,12 +311,12 @@ object PlanBuilder {
     }
 
   private def starCols(
-      alias: String, cols: Seq[String]): Seq[(String, Column)] =
-    cols.filterNot(isInternalCol).map { c =>
+      alias: String, schema: org.apache.spark.sql.types.StructType): Seq[(String, Column)] =
+    schema.fields.toSeq.filterNot(f => isInternalCol(f.name)).map { f =>
       // output header keeps source names verbatim — duplicates across A/B
-      // are allowed, like the reference (select_output_header,
-      // rbql_engine.py:1431-1438 concatenates headers with no renaming)
-      (c, col(s"$alias.`${c.replace("`", "``")}`"))
+      // (and within a bad header) are allowed, like the reference
+      // (select_output_header, rbql_engine.py:1431-1438, no renaming)
+      (originalName(f), col(s"$alias.`${f.name.replace("`", "``")}`"))
     }
 
   /** ON: conjunction of equalities (reference parse_join_expression,

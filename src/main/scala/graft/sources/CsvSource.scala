@@ -194,8 +194,14 @@ object CsvSource {
                   buf.toString
                 }
               idx += 1
-              var fields = RfcSplit.splitQuoted(record, delim0)
-              if (strip0) fields = fields.map(_.trim)
+              val (fields0, defective) = RfcSplit.splitQuotedWithWarning(record, delim0)
+              // the reference FAILS a quoted_rfc read on defective double-
+              // quote escaping (rbql_csv.py:463-467) — a mis-assembled
+              // multiline record would silently corrupt every later record
+              if (defective)
+                throw new IllegalStateException(
+                  s"Inconsistent double quote escaping in input table at record ${idx + 1}")
+              val fields = if (strip0) fields0.map(_.trim) else fields0
               nextRec = Row(fields, idx)
             }
           }

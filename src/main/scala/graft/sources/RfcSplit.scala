@@ -13,13 +13,20 @@ object RfcSplit {
   private val FieldReWs = java.util.regex.Pattern.compile(" *" + FieldCore + " *")
 
   /** Split one (possibly multiline) record into fields. */
-  def splitQuoted(src: String, delim: String): Seq[String] = {
+  def splitQuoted(src: String, delim: String): Seq[String] =
+    splitQuotedWithWarning(src, delim)._1
+
+  /** Split plus the reference's defective-escaping warning flag: set when a
+    * quoted field is not followed by a delimiter, or an unquoted field
+    * contains a double quote (extract_next_field, csv_utils.py:11-30). */
+  def splitQuotedWithWarning(src: String, delim: String): (Seq[String], Boolean) = {
     require(delim != "\"")
     val dlm = if (delim.isEmpty) ',' else delim.charAt(0)
-    if (!src.contains('"')) return split(src, dlm)
+    if (!src.contains('"')) return (split(src, dlm), false)
     val allowWs = dlm != ' '
     val rgx = if (allowWs) FieldReWs else FieldRe
     val result = scala.collection.mutable.ArrayBuffer.empty[String]
+    var warning = false
     var cidx = 0
     while (cidx < src.length) {
       val m = rgx.matcher(src)
@@ -30,14 +37,17 @@ object RfcSplit {
         result += m.group(1).replace("\"\"", "\"")
         cidx = m.end + 1
       } else {
+        if (m.lookingAt()) warning = true // quoted match not delimiter-bounded
         val uidx0 = src.indexOf(dlm, cidx)
         val uidx = if (uidx0 == -1) src.length else uidx0
-        result += src.substring(cidx, uidx)
+        val field = src.substring(cidx, uidx)
+        warning = warning || field.contains('"')
+        result += field
         cidx = uidx + 1
       }
     }
     if (src.nonEmpty && src.last == dlm) result += ""
-    result.toSeq
+    (result.toSeq, warning)
   }
 
   private def split(src: String, dlm: Char): Seq[String] = {

@@ -178,18 +178,9 @@ object CsvCorpusSpec {
     // charset decode); there is no decode-failure surface to error from
     "test_utf-8_error" -> Skip(
       "Spark's readers replace undecodable bytes instead of erroring"),
-    // defective double-quote escaping is a warnings-level signal in graft
-    // (inputWarnings); the native reader parses such files permissively
-    "RFC-4180 dialect: corrupted file, bad double quote placement" -> Skip(
-      "defective quoting is reported as a warning, not a read error"),
-    "RFC-4180 dialect: corrupted file, unbalanced double quote at the end" -> Skip(
-      "defective quoting is reported as a warning, not a read error"),
     // output-header/record width consistency check is write-side in the
     // reference; graft's padded model gives every record the full width
     "inconsistent header length" -> Skip(
       "graft pads short records to the header width instead of erroring"),
-    // Spark's CSV reader dedups duplicate header names (appends indices),
-    // so a.Dup_header / a[''] can't resolve the reference way
-    "Bad header: empty strings and duplicate values in header" -> Skip(
-      "Spark's CSV reader renames duplicate/empty header names on read"))
+    )
 }
