@@ -64,6 +64,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: RfcSplit round-trips quoted joins, including multiline fields") {
+    // reference invariant (test_csv_utils.py random round-trip): fields →
+    // quote_field-join → split_quoted_str → the same fields
+    val rnd = new scala.util.Random(42)
+    val alphabet = "ab,\"\n '\t;x".toCharArray
+    def randField(): String =
+      (0 until rnd.nextInt(8)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    (1 to 500).foreach { _ =>
+      val fields = (0 until (1 + rnd.nextInt(6))).map(_ => randField())
+      val joined = fields.map(f => sinks.Sinks.quoteField(f, ",")).mkString(",")
+      val (back, warn) = sources.RfcSplit.splitQuotedWithWarning(joined, ",")
+      assert(!warn, s"unexpected warning on [$joined]")
+      assert(back == fields, s"roundtrip mismatch: $fields via [$joined] -> $back")
+    }
+  }
+
+  test("RfcSplit flags defective escaping like the reference") {
+    // unquoted field containing a quote
+    assert(sources.RfcSplit.splitQuotedWithWarning("""a,br"oken,c""", ",")._2)
+    // quoted field not followed by a delimiter
+    assert(sources.RfcSplit.splitQuotedWithWarning("""a,"x"y,c""", ",")._2)
+    // well-formed: no warning
+    assert(!sources.RfcSplit.splitQuotedWithWarning("""a,"x,""y",c""", ",")._2)
+  }
+
   test("RBQL_VERSION variable") {
     val out = Graft.queryTable(spark, "select RBQL_VERSION, a1 limit 1", Seq(Seq("x")))
     assert(out == Seq(Seq("0.1.0-graft", "x")))
