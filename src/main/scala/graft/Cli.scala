@@ -42,6 +42,12 @@ object Cli {
 
   private def realMain(args: Array[String], stopSpark: Boolean): Unit = {
     val opts = parseArgs(args.toList, Map.empty)
+    // --version prints and exits (reference rbql_main.py:390-392)
+    if (opts.contains("version")) { println("0.1.0-graft"); return }
+    // --output captures to a file; colorizing it would corrupt the data
+    // (reference rbql_main.py:398-400)
+    if (opts.contains("output") && opts.contains("color"))
+      fail("generic", "\"--output\" is not compatible with \"--color\" option")
     // no --query with a file input → interactive loop
     // (reference run_interactive_loop, rbql_main.py:207-238)
     val interactive = !opts.contains("query")
@@ -136,9 +142,15 @@ object Cli {
                 .foreach(println)
               println("====================================")
             case None =>
-              sinks.Sinks.collectCsvLines(result, outDelim,
+              val lines = sinks.Sinks.collectCsvLines(result, outDelim,
                 header = headerMode, policy = outPolicy)
-                .foreach(println)
+              // --color cycles an ANSI color per field, with aN labels on
+              // headerless output (reference print_colorized,
+              // rbql_main.py:177-198)
+              if (opts.contains("color"))
+                lines.foreach(l =>
+                  println(colorizeLine(l, outDelim, labels = !headerMode)))
+              else lines.foreach(println)
           }
           sinks.Warnings.scan(result, outDelim, outPolicy)
             .foreach(w => System.err.println(s"Warning: $w"))
@@ -264,7 +276,8 @@ object Cli {
   private def parseArgs(args: List[String], acc: Map[String, String]): Map[String, String] =
     args match {
       case Nil => acc
-      case ("--with-headers" | "--ragged" | "--strip-whitespaces") :: rest =>
+      case ("--with-headers" | "--ragged" | "--strip-whitespaces" |
+            "--color" | "--version") :: rest =>
         parseArgs(rest, acc + (args.head.stripPrefix("--") -> "true"))
       case flag :: value :: rest if flag.startsWith("--") =>
         parseArgs(rest, acc + (flag.stripPrefix("--") -> value))

@@ -112,6 +112,29 @@ class CliSpec extends SparkSpec {
     assert(out == "one,1\ntwo,2\n")
   }
 
+  test("cli: --version prints and exits") {
+    val (code, out, _) = runCli(Seq("--version"))
+    assert(code == 0)
+    assert(out.trim == "0.1.0-graft")
+  }
+
+  test("cli: --color labels and colorizes headerless stdout output") {
+    val in = writeCsv("color.csv", "x,1\ny,2\n")
+    val (code, out, _) = runCli(Seq(
+      "--query", "select a1, a2", "--input", in, "--delim", ",", "--color"))
+    assert(code == 0)
+    assert(out.contains("[") && out.contains("a1:x") && out.contains("a2:1"))
+  }
+
+  test("cli: --output with --color errors") {
+    val in = writeCsv("oc.csv", "1\n")
+    val (code, _, err) = runCli(Seq(
+      "--query", "select a1", "--input", in, "--delim", ",",
+      "--color", "--output", s"$dir/outdir"))
+    assert(code == 1)
+    assert(err.contains("not compatible"))
+  }
+
   test("cli: interactive mode previews the table and runs queries") {
     val in = writeCsv("inter.csv", "a,1\nb,2\n")
     val (code, out, _) = runCli(
