@@ -106,7 +106,8 @@ object PlanBuilder {
     * unmatched rows are irrelevant. */
   private def withNu(df: DataFrame, predSql: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val matched = when(PyEq.expr(predSql), 1L).otherwise(0L)
+    // same truthiness rules as the UPDATE predicate itself
+    val matched = when(pyTruthy(df, predSql), 1L).otherwise(0L)
     val base = df.withColumn("__graft_pid", spark_partition_id())
       .withColumn("__graft_mid", monotonically_increasing_id())
     val counts = base.groupBy(col("__graft_pid")).agg(sum(matched).alias("__c"))
