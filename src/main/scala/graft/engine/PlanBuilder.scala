@@ -97,17 +97,17 @@ object PlanBuilder {
   }
 
   /** NU — running count (1-based, record order) of rows matching the
-    * UPDATE's WHERE predicate (reference rbql_engine.py:693,704,744: the
-    * counter increments before the assignments run, so the first updated
-    * row reads 1). Distributed: per-partition matched counts → cumulative
-    * offsets (one small job), plus a per-source-partition running-sum
-    * window — parallelism stays one task per input partition, no global
-    * sort. Only evaluated when the predicate holds, so values on
+    * UPDATE's effective predicate (reference rbql_engine.py:693,704,744:
+    * the counter increments before the assignments run, so the first
+    * updated row reads 1). Distributed: per-partition matched counts →
+    * cumulative offsets (one small job), plus a per-source-partition
+    * running-sum window — parallelism stays one task per input partition.
+    * The input must already be in record order (UPDATE+JOIN callers sort
+    * by NR first). Only evaluated when the predicate holds, so values on
     * unmatched rows are irrelevant. */
-  private def withNu(df: DataFrame, predSql: String): DataFrame = {
+  private def withNu(df: DataFrame, matchedPred: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // same truthiness rules as the UPDATE predicate itself
-    val matched = when(pyTruthy(df, predSql), 1L).otherwise(0L)
+    val matched = when(matchedPred, 1L).otherwise(0L)
     val base = df.withColumn("__graft_pid", spark_partition_id())
       .withColumn("__graft_mid", monotonically_increasing_id())
     val counts = base.groupBy(col("__graft_pid")).agg(sum(matched).alias("__c"))
@@ -159,9 +159,12 @@ object PlanBuilder {
     // operators need the NR pin
     val orderPin = ordered &&
       (ast.join.isDefined || ast.orderBy.isDefined || distinctMode)
+    val usesNuEarly = ExprTranslator.NuRe.findFirstIn(stageMaskedText).isDefined
     val usesNr = ExprTranslator.NrRe.findFirstIn(stageMaskedText).isDefined ||
       ExprTranslator.DotNrRe.findFirstIn(stageMaskedText).isDefined ||
-      usesOrderedAgg || orderPin
+      usesOrderedAgg || orderPin ||
+      // NU over a join needs the record-order sort key
+      (usesNuEarly && ast.join.isDefined)
     val usesBNr = ExprTranslator.BNrRe.findFirstIn(stageMaskedText).isDefined ||
       (ordered && ast.join.isDefined)
 
@@ -177,20 +180,13 @@ object PlanBuilder {
     val aDf = aDf0.alias("graft_a")
 
     // ---- UPDATE path (projection-as-mutation, README.md:82-84) -------
-    val usesNu = ExprTranslator.NuRe.findFirstIn(stageMaskedText).isDefined
+    val usesNu = usesNuEarly
     if (usesNu && ast.update.isEmpty)
       Errors.parsing("NU (number of updated records) is only defined in UPDATE queries")
     ast.update.foreach { upd =>
-      if (usesNu && ast.join.isDefined)
-        Errors.parsing("NU is not supported in UPDATE with JOIN; use NR instead")
       if (ast.where.exists(w => ExprTranslator.NuRe.findFirstIn(w).isDefined))
         Errors.parsing("NU cannot be used in WHERE (it counts rows the WHERE already matched)")
-      val aDfU =
-        if (usesNu)
-          withNu(aDf, ast.where.map(w => tr.translate(w)).getOrElse("true"))
-            .alias("graft_a")
-        else aDf
-      return buildUpdate(aDfU, aDf0, bDfRaw, ast, upd, tr, ordered)
+      return buildUpdate(aDf, aDf0, bDfRaw, ast, upd, tr, ordered, usesNu)
     }
 
     // ---- join --------------------------------------------------------
@@ -438,13 +434,22 @@ object PlanBuilder {
     * (reference binds a-vars from record_a before the assignments run), so
     * `update set a1 = a2, a2 = a1` swaps. */
   private def buildUpdate(
-      aDf: DataFrame,
+      aDf0Aliased: DataFrame,
       aDf0: DataFrame,
       bDfRaw: Option[DataFrame],
       ast: StageAst,
       upd: UpdateSpec,
       tr: ExprTranslator,
-      ordered: Boolean): DataFrame = {
+      ordered: Boolean,
+      usesNu: Boolean): DataFrame = {
+    // NU without a join counts over the raw record stream (already in
+    // record order — narrow scan)
+    val aDf =
+      if (usesNu && ast.join.isEmpty)
+        withNu(aDf0Aliased,
+          ast.where.map(w => pyTruthy(aDf0Aliased, tr.translate(w))).getOrElse(lit(true)))
+          .alias("graft_a")
+      else aDf0Aliased
     val pred: Column = ast.where.map(w => pyTruthy(aDf, tr.translate(w))).getOrElse(lit(true))
     // UPDATE+JOIN cardinality (≤1 match; 0 ⇒ predicate false): per-key
     // counts joined onto B — aggregation of the build side, no full-result
@@ -472,7 +477,7 @@ object PlanBuilder {
         //   LEFT   → one null record ⇒ predicate runs with null b-vars
         //            (update_left_join: unmatched rows DO update, with null)
         //   STRICT → exactly-one required ⇒ error on zero matches
-        j.kind match {
+        val (g0, p0) = j.kind match {
           case JoinKind.Inner => (guarded, pred && col("__graft_cnt").isNotNull)
           case JoinKind.Left => (guarded, pred)
           case JoinKind.StrictLeft =>
@@ -481,6 +486,11 @@ object PlanBuilder {
               lit("In \"STRICT LEFT JOIN\" each key in A must have exactly one match in B")).isNull)
             (g, pred)
         }
+        // NU over a join: the shuffle destroyed record order, so restore it
+        // by NR before the running count (reference PROCESS_UPDATE_JOIN
+        // increments NU per matched A record in input order)
+        if (usesNu) (withNu(g0.orderBy(col(NrCol)), p0), p0)
+        else (g0, p0)
     }
 
     val raggedA = aDf0.columns.contains(ExprTranslator.FieldsCol)

@@ -291,6 +291,26 @@ class GoldenSpec extends SparkSpec {
     assert(updated == (1 to 100).toList)
   }
 
+  test("golden: NU counts matched records in record order under UPDATE+JOIN") {
+    // reference PROCESS_UPDATE_JOIN increments NU per A record with a join
+    // match satisfying WHERE, in input order (rbql_engine.py:682-697)
+    val out = run(
+      "update set a3 = cast(NU as string) inner join b on a2 == b1 where b2 != 'wings'",
+      Seq(
+        Seq("100", "magic carpet", "x"), // no match → not updated
+        Seq("5", "car", "x"),            // match (gas) → NU 1
+        Seq("50", "plane", "x"),         // match but b2 == wings → no update
+        Seq("20", "boat", "x"),          // match (wind) → NU 2
+        Seq("-20", "car", "x")),         // match (gas) → NU 3
+      Some(joinB))
+    assert(out == Seq(
+      Seq("100", "magic carpet", "x"),
+      Seq("5", "car", "1"),
+      Seq("50", "plane", "x"),
+      Seq("20", "boat", "2"),
+      Seq("-20", "car", "3")))
+  }
+
   test("golden: NU misuse errors") {
     intercept[ParsingError] { run("select NU", t1) }
     intercept[ParsingError] {
