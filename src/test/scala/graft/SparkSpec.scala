@@ -12,11 +12,14 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object SparkSpec {
+  // override parallelism to stress partition-count-sensitive behavior
+  // (e.g. GRAFT_TEST_CPUS=16 sbt test)
+  private val cpus = sys.env.getOrElse("GRAFT_TEST_CPUS", "4")
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master(s"local[$cpus]")
       .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
