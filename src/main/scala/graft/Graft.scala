@@ -187,9 +187,16 @@ object Graft {
       ordered = true)
 
   /** Error classification for front-ends (reference exception_to_error_info,
-    * rbql_engine.py:950-975): (category, message). */
+    * rbql_engine.py:950-975): (category, message). A GraftError raised
+    * inside an executor task reaches the driver wrapped in a SparkException
+    * — the cause chain is walked so the user sees the original category and
+    * message, not Spark's stage-failure noise. */
   def exceptionToErrorInfo(e: Throwable): (String, String) = e match {
     case g: GraftError => (g.category, g.getMessage)
+    case s: org.apache.spark.SparkException
+        if unwrapGraftError(s).isDefined =>
+      val g = unwrapGraftError(s).get
+      (g.category, g.getMessage)
     case p: org.apache.spark.sql.catalyst.parser.ParseException =>
       ("query parsing", p.getMessage)
     case a: org.apache.spark.sql.AnalysisException =>
@@ -203,6 +210,20 @@ object Graft {
       ("query execution", msg)
   }
 
+  /** First GraftError in the cause chain (bounded walk — cause chains can
+    * be cyclic). */
+  private def unwrapGraftError(e: Throwable): Option[GraftError] = {
+    var cur: Throwable = e.getCause
+    var depth = 0
+    while (cur != null && depth < 16) {
+      cur match {
+        case g: GraftError => return Some(g)
+        case _ => cur = cur.getCause; depth += 1
+      }
+    }
+    None
+  }
+
   /** In-memory convenience: query a local Seq of rows (reference
     * query_table, rbql_engine.py:1747-1756). */
   def queryTable(
@@ -211,8 +232,14 @@ object Graft {
       rows: Seq[Seq[String]],
       columnNames: Option[Seq[String]] = None,
       joinRows: Option[(Seq[Seq[String]], Option[Seq[String]])] = None): Seq[Seq[Any]] = {
-    val df = queryTableDf(spark, queryStr, rows, columnNames, joinRows)
-    spreadRagged(df)
+    // inputs persisted for NR's two-pass assignment are released after the
+    // collect — queryTableDf alone returns a lazy plan, so its callers own
+    // that lifecycle themselves
+    val (df, persisted) = PlanBuilder.trackPersists {
+      queryTableDf(spark, queryStr, rows, columnNames, joinRows)
+    }
+    try spreadRagged(df)
+    finally persisted.foreach(_.unpersist(false))
   }
 
   /** Collect, spreading ragged output (single `__graft_fields` array column,

@@ -37,6 +37,30 @@ object PlanBuilder {
   val NrCol = "__graft_nr"
   val BNrCol = "__graft_bnr"
 
+  // Inputs persisted by withNr (two-pass NR over reorderable lineage) must
+  // stay cached until the query's terminal action — but not FOREVER: the
+  // interactive CLI loop / a long-lived session would otherwise leak one
+  // cached plan per NR query until LRU eviction. Plan construction runs on
+  // the caller's thread, so a ThreadLocal collector lets terminal surfaces
+  // (Cli.runOne, Graft.queryTable) unpersist exactly what their own query
+  // pinned, without racing concurrent queries on the same session.
+  private val persistTracker =
+    new ThreadLocal[scala.collection.mutable.Buffer[DataFrame]]
+
+  /** Run `body` (plan construction) collecting every DataFrame it persists;
+    * the caller unpersists them after its terminal action. */
+  def trackPersists[T](body: => T): (T, Seq[DataFrame]) = {
+    val buf = scala.collection.mutable.Buffer.empty[DataFrame]
+    val prev = persistTracker.get()
+    persistTracker.set(buf)
+    try {
+      val r = body
+      (r, buf.toSeq)
+    } finally {
+      if (prev == null) persistTracker.remove() else persistTracker.set(prev)
+    }
+  }
+
   private val OrderedAggRe =
     ("""(?i)(?<![A-Za-z0-9_.])(""" + Aggregates.OrderSensitive.mkString("|") + """)\s*\(""").r
 
@@ -61,7 +85,11 @@ object PlanBuilder {
     // surfaces take this path at meaningful sizes.)
     val src =
       if (deterministicTwoPassScan(df)) df
-      else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else {
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Option(persistTracker.get()).foreach(_ += p)
+        p
+      }
     val counts = src.groupBy(spark_partition_id().alias("__p"))
       .agg(count(lit(1)).alias("__c"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
@@ -242,8 +270,12 @@ object PlanBuilder {
     val headerCtx = HeaderCtx(
       aHasHeader = hasRealHeader(aDf0.schema),
       bHasHeader = bDfRaw.exists(b => hasRealHeader(b.schema)),
-      aUserCols = userCols(aDf0.schema),
-      bUserCols = bDfRaw.map(b => userCols(b.schema)).getOrElse(Seq.empty),
+      // positional output names resolve against the REAL header only
+      // (reference select_output_header: column_index < len(input_header)
+      // → header name, else colN — rbql_engine.py:1445-1451); synthetic
+      // past-header padding columns never name an output
+      aUserCols = realHeader(aDf0.schema),
+      bUserCols = bDfRaw.map(b => realHeader(b.schema)).getOrElse(Seq.empty),
       masked = masked)
 
     val result =
@@ -295,17 +327,24 @@ object PlanBuilder {
     }.toIndexedSeq: _*)
   }
 
-  private def userCols(schema: org.apache.spark.sql.types.StructType): Seq[String] =
-    schema.fields.toSeq.filterNot(f => isInternalCol(f.name)).map(originalName)
+  private def isSynthetic(f: org.apache.spark.sql.types.StructField): Boolean =
+    f.metadata.contains(graft.Graft.SyntheticNameKey) &&
+      f.metadata.getBoolean(graft.Graft.SyntheticNameKey)
+
+  /** The side's real header: the leading non-synthetic field names. A
+    * headered CSV whose widest data row exceeds the header keeps its header
+    * — the past-header columns are synthetic padding (projectFields), not
+    * evidence of headerlessness. Fully-synthetic schema ⇒ empty (reference
+    * input_header = None mode). */
+  private def realHeader(schema: org.apache.spark.sql.types.StructType): Seq[String] =
+    schema.fields.toSeq.filterNot(f => isInternalCol(f.name))
+      .takeWhile(!isSynthetic(_)).map(originalName)
 
   /** True when the side's column names come from a real header (parquet /
     * CSV-with-header / user-provided names) rather than being synthetic
     * a1..aN positional names (reference input_header = None mode). */
   private def hasRealHeader(schema: org.apache.spark.sql.types.StructType): Boolean =
-    schema.fields.filterNot(f => isInternalCol(f.name)).forall { f =>
-      !(f.metadata.contains(graft.Graft.SyntheticNameKey) &&
-        f.metadata.getBoolean(graft.Graft.SyntheticNameKey))
-    }
+    realHeader(schema).nonEmpty
 
   private def starCols(
       alias: String, schema: org.apache.spark.sql.types.StructType): Seq[(String, Column)] =

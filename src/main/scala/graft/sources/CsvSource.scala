@@ -62,10 +62,17 @@ object CsvSource {
     policy match {
       // comment-regex has no native reader support: route line-based
       // policies through the text-split path (the reference applies the
-      // regex per physical line before parsing, rbql_main.py:81)
+      // regex per physical line before parsing, rbql_main.py:81). The split
+      // itself is the exact reference splitter (RfcSplit) as a UDF — a
+      // lookahead-regex split would mis-handle a stray quote inside an
+      // unquoted field and go quadratic on heavily-quoted lines; this path
+      // is comment-regex-only (parity surface), so the UDF is off any hot
+      // path.
       case "quoted" if commentRegex.isDefined =>
+        val d = delim
+        val exactSplit = udf((line: String) => RfcSplit.splitQuoted(line, d))
         splitText(spark, path, encoding, commentPrefix, hasHeader,
-          line => quotedSplit(line, delim), commentRegex, stripWhitespaces)
+          line => exactSplit(line), commentRegex, stripWhitespaces)
       case "simple" if commentRegex.isDefined =>
         splitText(spark, path, encoding, commentPrefix, hasHeader,
           line => split(line, java.util.regex.Pattern.quote(delim), -1),
@@ -166,7 +173,9 @@ object CsvSource {
       StructField("__fields", ArrayType(StringType, containsNull = true)),
       StructField("__pos", LongType)))
     val assembled = txt.mapPartitions { it =>
-      val lines = it.map(_.getString(0))
+      val lines0 = it.map(_.getString(0))
+      var lineNo = 0L // physical line counter (reference NL, comments included)
+      def nextLine(): String = { lineNo += 1; lines0.next() }
       def isComment(l: String): Boolean =
         prefix0.exists(l.startsWith) || regex0.exists(_.findFirstIn(l).isDefined)
       def quotes(l: String): Int = l.count(_ == '"')
@@ -175,8 +184,8 @@ object CsvSource {
         private var nextRec: Row = _
         private def advance(): Unit = {
           nextRec = null
-          while (nextRec == null && lines.hasNext) {
-            val first = lines.next()
+          while (nextRec == null && lines0.hasNext) {
+            val first = nextLine()
             // a comment is only a comment when it STARTS a record; lines
             // inside an open multiline record accumulate even if they look
             // like comments (reference get_row_rfc, rbql_csv.py:420-440)
@@ -186,8 +195,8 @@ object CsvSource {
                 else {
                   val buf = new StringBuilder(first)
                   var closed = false
-                  while (!closed && lines.hasNext) {
-                    val l = lines.next()
+                  while (!closed && lines0.hasNext) {
+                    val l = nextLine()
                     buf.append('\n').append(l)
                     if (quotes(l) % 2 == 1) closed = true
                   }
@@ -197,10 +206,13 @@ object CsvSource {
               val (fields0, defective) = RfcSplit.splitQuotedWithWarning(record, delim0)
               // the reference FAILS a quoted_rfc read on defective double-
               // quote escaping (rbql_csv.py:463-467) — a mis-assembled
-              // multiline record would silently corrupt every later record
+              // multiline record would silently corrupt every later record.
+              // IoError (serializable) survives the executor boundary, so
+              // the driver can classify it as 'IO handling' with the
+              // reference's message shape (rbql_csv.py:465: record + line)
               if (defective)
-                throw new IllegalStateException(
-                  s"Inconsistent double quote escaping in input table at record ${idx + 1}")
+                throw new graft.engine.IoError(
+                  s"Inconsistent double quote escaping in input table at record ${idx + 1}, line $lineNo")
               val fields = if (strip0) fields0.map(_.trim) else fields0
               nextRec = Row(fields, idx)
             }
@@ -213,18 +225,6 @@ object CsvSource {
     }(Encoders.row(schema))
     projectFields(assembled.toDF(), hasHeader)
   }
-
-  /** Quote-aware line split for the text path: split on delimiters outside
-    * double quotes (well-formed single-line fields), then unwrap outer
-    * quotes and unescape doubled quotes per field. */
-  private def quotedSplit(line: org.apache.spark.sql.Column,
-      delim: String): org.apache.spark.sql.Column =
-    transform(
-      split(line, java.util.regex.Pattern.quote(delim) +
-        "(?=(?:[^\"]*\"[^\"]*\")*[^\"]*$)", -1),
-      f => when(f.rlike("^\".*\"$"),
-        regexp_replace(f.substr(lit(2), length(f) - 2), "\"\"", "\""))
-        .otherwise(f))
 
   /** Ragged (faithful) model: every record is a variable-length fields
     * array — the reference's list-of-fields records (SURVEY §1.1). NF is
@@ -341,7 +341,12 @@ object CsvSource {
     // invisible at the row level)
     if (hasUtf8Bom(spark, path))
       warnings += s"UTF-8 Byte Order Mark (BOM) was found and skipped in $tableName table"
-    var txt = spark.read.option("encoding", normEncoding(encoding)).text(path)
+    // isolated session (shared context + cache, private conf): AQE is
+    // disabled for this one scan only — toggling it on the caller's
+    // session would silently de-AQE any query planned concurrently
+    val scanSession = spark.newSession()
+    scanSession.conf.set("spark.sql.adaptive.enabled", "false")
+    var txt = scanSession.read.option("encoding", normEncoding(encoding)).text(path)
     commentPrefix.foreach(p => txt = txt.filter(!col("value").startsWith(p)))
     // ONE aggregate job computes every warning input: grouped by
     // (partition, field-count) with per-group counts, first position, and
@@ -369,28 +374,23 @@ object CsvSource {
       if (policy == "quoted")
         (length(col("value")) - length(regexp_replace(col("value"), "\"", ""))) % 2 === 1
       else lit(false)
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqeWas = spark.conf.get(aqeKey, "true")
+    // AQE would split the tiny (pid,nf) shuffle into separate jobs; with
+    // it off (on the isolated session) the whole scan+partial-agg+final-agg
+    // is ONE job (two stages, one pass over the input)
     val stats =
-      try {
-        // AQE would split the tiny (pid,nf) shuffle into separate jobs;
-        // without it the whole scan+partial-agg+final-agg is ONE job (two
-        // stages, one pass over the input)
-        spark.conf.set(aqeKey, "false")
-        txt
-          // the nondeterministic id must be projected before aggregation,
-          // and BEFORE the when() guard — CASE short-circuits, which would
-          // make the id count only matching rows
-          .select(col("value"), spark_partition_id().alias("__pid"),
-            pos.alias("__pos"))
-          .select(col("__pid"), nf.alias("__nf"), col("__pos"),
-            when(oddQuotes, col("__pos")).alias("__badpos"))
-          .groupBy(col("__pid"), col("__nf"))
-          .agg(count(lit(1)).alias("__c"),
-            min(col("__pos")).alias("__first"),
-            min(col("__badpos")).alias("__firstBad"))
-          .collect()
-      } finally spark.conf.set(aqeKey, aqeWas)
+      txt
+        // the nondeterministic id must be projected before aggregation,
+        // and BEFORE the when() guard — CASE short-circuits, which would
+        // make the id count only matching rows
+        .select(col("value"), spark_partition_id().alias("__pid"),
+          pos.alias("__pos"))
+        .select(col("__pid"), nf.alias("__nf"), col("__pos"),
+          when(oddQuotes, col("__pos")).alias("__badpos"))
+        .groupBy(col("__pid"), col("__nf"))
+        .agg(count(lit(1)).alias("__c"),
+          min(col("__pos")).alias("__first"),
+          min(col("__badpos")).alias("__firstBad"))
+        .collect()
     val partCounts: Map[Int, Long] =
       stats.groupBy(_.getInt(0)).view.mapValues(_.map(_.getLong(2)).sum).toMap
     val sortedPids = partCounts.keys.toSeq.sorted

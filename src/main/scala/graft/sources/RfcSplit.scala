@@ -18,12 +18,17 @@ object RfcSplit {
 
   /** Split plus the reference's defective-escaping warning flag: set when a
     * quoted field is not followed by a delimiter, or an unquoted field
-    * contains a double quote (extract_next_field, csv_utils.py:11-30). */
+    * contains a double quote (extract_next_field, csv_utils.py:11-30).
+    *
+    * The delimiter is matched as a full string — the reference's
+    * split_quoted_str locates it with `str.find(dlm)` (csv_utils.py:24) but
+    * then resumes at `uidx + 1`, mis-stepping multi-character delimiters;
+    * here the scan resumes past the whole delimiter. */
   def splitQuotedWithWarning(src: String, delim: String): (Seq[String], Boolean) = {
     require(delim != "\"")
-    val dlm = if (delim.isEmpty) ',' else delim.charAt(0)
+    val dlm = if (delim.isEmpty) "," else delim
     if (!src.contains('"')) return (split(src, dlm), false)
-    val allowWs = dlm != ' '
+    val allowWs = dlm != " "
     val rgx = if (allowWs) FieldReWs else FieldRe
     val result = scala.collection.mutable.ArrayBuffer.empty[String]
     var warning = false
@@ -33,9 +38,9 @@ object RfcSplit {
       m.region(cidx, src.length)
       // Matcher.lookingAt anchors at the region start (Python re.match)
       if (m.lookingAt() &&
-        (m.end == src.length || src.charAt(m.end) == dlm)) {
+        (m.end == src.length || src.startsWith(dlm, m.end))) {
         result += m.group(1).replace("\"\"", "\"")
-        cidx = m.end + 1
+        cidx = m.end + dlm.length
       } else {
         if (m.lookingAt()) warning = true // quoted match not delimiter-bounded
         val uidx0 = src.indexOf(dlm, cidx)
@@ -43,20 +48,21 @@ object RfcSplit {
         val field = src.substring(cidx, uidx)
         warning = warning || field.contains('"')
         result += field
-        cidx = uidx + 1
+        cidx = uidx + dlm.length
       }
     }
-    if (src.nonEmpty && src.last == dlm) result += ""
+    if (src.nonEmpty && src.endsWith(dlm)) result += ""
     (result.toSeq, warning)
   }
 
-  private def split(src: String, dlm: Char): Seq[String] = {
+  private def split(src: String, dlm: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var start = 0
-    var i = 0
-    while (i < src.length) {
-      if (src.charAt(i) == dlm) { out += src.substring(start, i); start = i + 1 }
-      i += 1
+    var i = src.indexOf(dlm)
+    while (i >= 0) {
+      out += src.substring(start, i)
+      start = i + dlm.length
+      i = src.indexOf(dlm, start)
     }
     out += src.substring(start)
     out.toSeq

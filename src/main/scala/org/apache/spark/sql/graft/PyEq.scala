@@ -1,8 +1,10 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+import org.apache.spark.sql.catalyst.expressions.{BinaryComparison, Cast, EqualNullSafe, EqualTo, Expression, Literal}
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.StringType
 
 /** Python-semantics equality for the RBQL dialect.
   *
@@ -23,8 +25,39 @@ import org.apache.spark.sql.classic.ExpressionUtils
   */
 object PyEq {
 
+  /** A `variant_get(...)` call — the translator's sugar for `a1['k']` JSON
+    * access. Spark defines no ordering on VARIANT, so any comparison on the
+    * raw call fails analysis; the reference's JSON model compares the
+    * extracted host value (a dict lookup is a str/int/None). The variant
+    * side is cast to the comparand's type (string for non-literals — the
+    * dialect's tables are stringly anyway), matching that semantics. */
+  private def isVariantGet(e: Expression): Boolean = e match {
+    case f: UnresolvedFunction =>
+      f.nameParts.last.equalsIgnoreCase("variant_get") && f.arguments.length == 2
+    case _ => false
+  }
+
+  private def castVariant(v: Expression, other: Expression): Expression =
+    other match {
+      case lit: Literal => Cast(v, lit.dataType)
+      case _ => Cast(v, StringType)
+    }
+
+  private def coerceVariant(l: Expression, r: Expression): (Expression, Expression) =
+    (isVariantGet(l), isVariantGet(r)) match {
+      case (true, true) => (Cast(l, StringType), Cast(r, StringType))
+      case (true, false) => (castVariant(l, r), r)
+      case (false, true) => (l, castVariant(r, l))
+      case _ => (l, r)
+    }
+
   private def rewrite(e: Expression): Expression = e.transform {
-    case EqualTo(l, r) => EqualNullSafe(l, r)
+    case cmp: BinaryComparison =>
+      val (l, r) = coerceVariant(cmp.left, cmp.right)
+      cmp.withNewChildren(Seq(l, r)) match {
+        case EqualTo(a, b) => EqualNullSafe(a, b)
+        case other => other
+      }
   }
 
   def nullSafe(c: Column): Column =

@@ -89,6 +89,44 @@ class PropertySpec extends SparkSpec {
     assert(!sources.RfcSplit.splitQuotedWithWarning("""a,"x,""y",c""", ",")._2)
   }
 
+  test("RfcSplit matches the full multi-character delimiter") {
+    // the reference's split_quoted_str locates dlm with str.find (full
+    // string, csv_utils.py:24); a charAt(0) truncation would split on the
+    // '#' inside fields
+    assert(sources.RfcSplit.splitQuotedWithWarning("a#b###c###d", "###") ==
+      (Seq("a#b", "c", "d"), false))
+    assert(sources.RfcSplit.splitQuotedWithWarning(""""x###y"###z""", "###") ==
+      (Seq("x###y", "z"), false))
+    // quoted field followed by a full multi-char delimiter, trailing empty
+    assert(sources.RfcSplit.splitQuotedWithWarning(""""q""uoted"###""", "###") ==
+      (Seq("q\"uoted", ""), false))
+    // multiline field under a multi-char delimiter
+    assert(sources.RfcSplit.splitQuotedWithWarning("\"multi\nline\"###tail", "###") ==
+      (Seq("multi\nline", "tail"), false))
+  }
+
+  test("property: RfcSplit round-trips under a multi-char delimiter") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "ab#\"\n x".toCharArray
+    def randField(): String =
+      (0 until rnd.nextInt(8)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    (1 to 300).foreach { _ =>
+      val fields = (0 until (1 + rnd.nextInt(5))).map(_ => randField())
+      // quote when the field contains a quote or the delimiter
+      // any '#' must be quoted: adjacent field-final '#' + delimiter '##'
+      // would be ambiguous at split time (same lossiness as Python's
+      // str.split on overlapping delimiters)
+      val joined = fields.map { f =>
+        if (f.contains('"')) "\"" + f.replace("\"", "\"\"") + "\""
+        else if (f.contains("#") || f.contains('\n')) "\"" + f + "\""
+        else f
+      }.mkString("##")
+      val (back, warn) = sources.RfcSplit.splitQuotedWithWarning(joined, "##")
+      assert(!warn, s"unexpected warning on [$joined]")
+      assert(back == fields, s"roundtrip mismatch: $fields via [$joined] -> $back")
+    }
+  }
+
   test("RBQL_VERSION variable") {
     val out = Graft.queryTable(spark, "select RBQL_VERSION, a1 limit 1", Seq(Seq("x")))
     assert(out == Seq(Seq("0.1.0-graft", "x")))

@@ -254,6 +254,53 @@ class SourcesSpec extends SparkSpec {
     assert(rows == Seq("a", "b"))
   }
 
+  test("quoted policy with comment-regex uses the exact reference splitter") {
+    // stray quote inside an unquoted field: the old lookahead-regex split
+    // dropped the delimiter after it; the reference splitter raw-splits the
+    // field (extract_next_field fallback, csv_utils.py:24-30)
+    val dir = java.nio.file.Files.createTempDirectory("graftqre").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/q.csv"),
+      "REM comment,0\na\"b,1,\"qu,oted\"\nplain,2,\"do\"\"ubled\"\n")
+    val df = CsvSource.read(spark, s"$dir/q.csv", ",", "quoted",
+      hasHeader = false, commentRegex = Some("^REM "))
+    val rows = df.collect().map(_.toSeq.map(String.valueOf)).sortBy(_(1))
+    // reference ground truth via RfcSplit (property-tested against
+    // csv_utils.split_quoted_str semantics)
+    assert(rows(0) == RfcSplit.splitQuoted("a\"b,1,\"qu,oted\"", ","))
+    assert(rows(0) == Seq("a\"b", "1", "qu,oted"))
+    assert(rows(1) == Seq("plain", "2", "do\"ubled"))
+  }
+
+  test("one ragged wider row does not flip a headered side to headerless") {
+    // whitespace policy (text-scan path): header has 2 names, one data row
+    // has 3 fields. The side stays headered: a2 names to the header name,
+    // a3 (past the header) names to colN (reference select_output_header,
+    // rbql_engine.py:1445-1451), and star+alias is legal (the reference
+    // only rejects it when input_header is None)
+    val dir = java.nio.file.Files.createTempDirectory("graftwideh").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/w.csv"),
+      "name val\nx 1\ny 2 extra\n")
+    val df = CsvSource.read(spark, s"$dir/w.csv", " ", "whitespace",
+      hasHeader = true)
+    val out = Graft.query(spark, "SELECT a2, a3", df, ordered = true)
+    assert(out.columns.toSeq == Seq("val", "col2"))
+    val aliased = Graft.query(spark, "SELECT *, a1 AS again", df, ordered = true)
+    assert(aliased.columns.toSeq == Seq("name", "val", "a3", "again"))
+  }
+
+  test("defective quoted_rfc escaping classifies as IO handling with record+line") {
+    val dir = java.nio.file.Files.createTempDirectory("graftdefq").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/bad.csv"),
+      "ok,1\nbr\"oken,2\n")
+    val e = intercept[Throwable] {
+      Graft.queryCsv(spark, "SELECT a1", s"$dir/bad.csv", ",", "quoted_rfc")
+        .collect()
+    }
+    val (cat, msg) = Graft.exceptionToErrorInfo(e)
+    assert(cat == "IO handling", s"category was $cat: $msg")
+    assert(msg == "Inconsistent double quote escaping in input table at record 2, line 2")
+  }
+
   test("latin-1 encoded csv reads") {
     val dir = java.nio.file.Files.createTempDirectory("graftenc").toString
     val bytes = "caf\u00e9,1\nna\u00efve,2\n".getBytes("ISO-8859-1")
