@@ -35,24 +35,22 @@ object Cli {
   def main(args: Array[String]): Unit = sys.exit(run(args))
 
   /** CLI body; returns the exit code. `stopSpark = false` keeps the
-    * (shared) session alive for in-JVM tests. */
+    * (shared) session alive for in-JVM tests. The first argument selects
+    * the source subcommand — `csv` (default), `json`, `jdbc`/`sqlite` —
+    * mirroring the reference's main() dispatch (rbql_main.py:539-554). */
   def run(args: Array[String], stopSpark: Boolean = true): Int =
-    try { realMain(args, stopSpark); 0 }
-    catch { case CliExit(code) => code }
+    try {
+      args.headOption match {
+        case Some("json") => jsonMain(args.tail, stopSpark)
+        case Some("jdbc") | Some("sqlite") =>
+          jdbcMain(args.tail, sqliteShorthand = args.head == "sqlite", stopSpark)
+        case Some("csv") => realMain(args.tail, stopSpark)
+        case _ => realMain(args, stopSpark)
+      }
+      0
+    } catch { case CliExit(code) => code }
 
-  private def realMain(args: Array[String], stopSpark: Boolean): Unit = {
-    val opts = parseArgs(args.toList, Map.empty)
-    // --version prints and exits (reference rbql_main.py:390-392)
-    if (opts.contains("version")) { println("0.1.0-graft"); return }
-    // --output captures to a file; colorizing it would corrupt the data
-    // (reference rbql_main.py:398-400)
-    if (opts.contains("output") && opts.contains("color"))
-      fail("generic", "\"--output\" is not compatible with \"--color\" option")
-    // no --query with a file input → interactive loop
-    // (reference run_interactive_loop, rbql_main.py:207-238)
-    val interactive = !opts.contains("query")
-    if (interactive && !opts.contains("input"))
-      fail("query parsing", "--query is required when reading from stdin")
+  private def buildSession(): SparkSession = {
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft")
@@ -62,6 +60,133 @@ object Cli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** `graft json` — RBQL queries over a JSON Lines file (reference
+    * json_main, rbql_main.py:458-485: --input/--query/--output +
+    * init-source; the whole parsed object is a1). */
+  private def jsonMain(args: Array[String], stopSpark: Boolean): Unit = {
+    val opts = parseArgs(args.toList, Map.empty)
+    if (opts.contains("version")) { println(Version); return }
+    val query = opts.getOrElse("query",
+      fail("query parsing", "--query is required for the json subcommand"))
+    val spark = buildSession()
+    try {
+      val input = opts.get("input").getOrElse(readStdinToTemp())
+      runInitSource(spark, opts.get("init-source-file"))
+      val result = Graft.queryJsonLines(spark, query, input)
+      opts.get("output") match {
+        case Some(out) =>
+          val parent = new java.io.File(out).getAbsoluteFile.getParentFile
+          if (parent != null && !parent.exists())
+            fail("IO handling", s"No such file or directory: '$out'")
+          sinks.Sinks.writeJsonLines(result, out)
+        case None =>
+          sinks.Sinks.collectJsonLines(result).foreach(println)
+      }
+    } catch {
+      case e: CliExit => throw e
+      case e: Throwable =>
+        val (cat, msg) = Graft.exceptionToErrorInfo(e)
+        System.err.println(s"Error [$cat]: $msg")
+        if (stopSpark) spark.stop()
+        throw CliExit(1)
+    }
+    if (stopSpark) spark.stop()
+  }
+
+  /** `graft jdbc <url>` / `graft sqlite <db-path>` — RBQL queries over a
+    * JDBC table, result written as CSV (reference sqlite_main,
+    * rbql_main.py:487-536: positional database, --input table name,
+    * --out-format csv→(',', quoted_rfc) / tsv, --output, --color). JOIN
+    * tables resolve against the same database, like the reference's
+    * SqliteDbRegistry (rbql_sqlite.py:59-65). The sqlite shorthand maps a
+    * db path to jdbc:sqlite: and needs a SQLite JDBC driver on the
+    * classpath. */
+  private def jdbcMain(args: Array[String], sqliteShorthand: Boolean,
+      stopSpark: Boolean): Unit = {
+    val (positional, flagArgs) = args.toList match {
+      case p :: rest if !p.startsWith("--") => (Some(p), rest)
+      case rest => (None, rest)
+    }
+    val opts = parseArgs(flagArgs, Map.empty)
+    if (opts.contains("version")) { println(Version); return }
+    val target = positional.getOrElse(
+      fail("generic", "Database is required (positional argument)"))
+    if (sqliteShorthand && !new java.io.File(target).isFile)
+      fail("generic", s"The database does not exist: $target")
+    val url = if (sqliteShorthand) s"jdbc:sqlite:$target" else target
+    if (opts.contains("output") && opts.contains("color"))
+      fail("generic", "\"--output\" is not compatible with \"--color\" option")
+    val (outDelim, outPolicy) = opts.getOrElse("out-format", "csv") match {
+      // reference: csv output defaults to quoted_rfc (rbql_main.py:519)
+      case "csv" => (",", "quoted_rfc")
+      case "tsv" => ("\t", "simple")
+      case f => fail("query parsing", s"Unknown --out-format: '$f' (csv, tsv)")
+    }
+    val query = opts.getOrElse("query",
+      fail("query parsing", "--query is required for the jdbc subcommand"))
+    val spark = buildSession()
+    try {
+      val table = opts.get("input").getOrElse {
+        sources.JdbcSource.tableNames(url) match {
+          case Seq(only) => only
+          case _ => fail("generic",
+            "Please provide input table name with --input parameter: source database has more than one table")
+        }
+      }
+      runInitSource(spark, opts.get("init-source-file"))
+      val input = sources.JdbcSource.read(spark, url, table)
+      // JOIN tables come from the same database (SqliteDbRegistry model)
+      val fallback: String => Option[org.apache.spark.sql.DataFrame] = id =>
+        try Some(sources.JdbcSource.read(spark, url, id))
+        catch { case _: Exception => None }
+      val result = Graft.query(spark, query, input,
+        tableFallback = fallback, ordered = true)
+      opts.get("output") match {
+        case Some(out) =>
+          val parent = new java.io.File(out).getAbsoluteFile.getParentFile
+          if (parent != null && !parent.exists())
+            fail("IO handling", s"No such file or directory: '$out'")
+          sinks.Sinks.writeCsv(result, out, outDelim,
+            header = true, policy = outPolicy)
+        case None =>
+          val lines = sinks.Sinks.collectCsvLines(result, outDelim,
+            header = true, policy = outPolicy)
+          if (opts.contains("color"))
+            lines.foreach(l => println(colorizeLine(l, outDelim)))
+          else lines.foreach(println)
+      }
+      sinks.Warnings.scan(result, outDelim, outPolicy)
+        .foreach(w => System.err.println(s"Warning: $w"))
+    } catch {
+      case e: CliExit => throw e
+      case e: Throwable =>
+        val (cat, msg) = Graft.exceptionToErrorInfo(e)
+        System.err.println(s"Error [$cat]: $msg")
+        if (stopSpark) spark.stop()
+        throw CliExit(1)
+    }
+    if (stopSpark) spark.stop()
+  }
+
+  private val Version = "0.1.0-graft"
+
+  private def realMain(args: Array[String], stopSpark: Boolean): Unit = {
+    val opts = parseArgs(args.toList, Map.empty)
+    // --version prints and exits (reference rbql_main.py:390-392)
+    if (opts.contains("version")) { println(Version); return }
+    // --output captures to a file; colorizing it would corrupt the data
+    // (reference rbql_main.py:398-400)
+    if (opts.contains("output") && opts.contains("color"))
+      fail("generic", "\"--output\" is not compatible with \"--color\" option")
+    // no --query with a file input → interactive loop
+    // (reference run_interactive_loop, rbql_main.py:207-238)
+    val interactive = !opts.contains("query")
+    if (interactive && !opts.contains("input"))
+      fail("query parsing", "--query is required when reading from stdin")
+    val spark = buildSession()
     try {
       // stdin input when --input is absent (reference rbql_main.py:373)
       val input = opts.get("input").getOrElse(readStdinToTemp())
@@ -92,6 +217,14 @@ object Cli {
       runInitSource(spark, opts.get("init-source-file"))
 
       def runOne(query: String): Unit = {
+        // NR's two-pass persist (PlanBuilder.withNr) is released after this
+        // query's terminal action — the interactive loop must not leak one
+        // cached input per query
+        val (_, nrPersists) = engine.PlanBuilder.trackPersists(runOneInner(query))
+        nrPersists.foreach(_.unpersist(false))
+      }
+
+      def runOneInner(query: String): Unit = {
         val joinFiles = scala.collection.mutable.ArrayBuffer.empty[String]
         // a WITH (header)/(noheader) modifier in the query overrides the
         // --with-headers flag for BOTH input reading (queryCsv) and output

@@ -52,10 +52,11 @@ object Sinks {
     w.mode("overwrite").csv(path)
   }
 
-  /** JSON-lines write with the reference's single-column unwrap rule:
-    * one output column → bare value per line; N columns → object
-    * (rbql_json.py:17-70). */
-  def writeJsonLines(df: DataFrame, path: String): Unit = {
+  /** One JSON text line per record, with the reference's single-column
+    * unwrap rule: one output column → bare value per line; N columns →
+    * object keyed by the output header, nulls kept (the reference's
+    * json.dumps writes null values, rbql_json.py:17-70). */
+  private def jsonLinesDf(df: DataFrame): DataFrame =
     if (df.schema.length == 1) {
       df.select(to_json(struct(df.columns.map(c => col(s"`$c`")).toIndexedSeq: _*),
         java.util.Map.of("ignoreNullFields", "false")).alias("j"))
@@ -63,11 +64,18 @@ object Sinks {
           // strip the single-key object wrapper → bare value per line
           expr(s"substring(j, ${df.columns.head.length + 5}, length(j) - ${df.columns.head.length + 5})")
             .alias("value"))
-        .write.mode("overwrite").text(path)
     } else {
-      df.write.mode("overwrite").json(path)
+      df.select(to_json(struct(df.columns.map(c => col(s"`$c`")).toIndexedSeq: _*),
+        java.util.Map.of("ignoreNullFields", "false")).alias("value"))
     }
-  }
+
+  /** JSON-lines write (distributed). */
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    jsonLinesDf(df).write.mode("overwrite").text(path)
+
+  /** Driver-side collect of JSON lines (stdout CLI sink). */
+  def collectJsonLines(df: DataFrame): Seq[String] =
+    jsonLinesDf(df).collect().toSeq.map(_.getString(0))
 
   /** Driver-side collect for stdout-style output (the reference's default
     * CLI sink); only for interactive / small results. */

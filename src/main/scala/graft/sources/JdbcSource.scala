@@ -40,4 +40,22 @@ object JdbcSource {
     }
     withParts.load()
   }
+
+  /** User-table names in the database (reference read_table_names,
+    * rbql_main.py:241-245 — used by the sqlite CLI to auto-select the
+    * table when the DB has exactly one). */
+  def tableNames(url: String): Seq[String] = {
+    val conn =
+      try java.sql.DriverManager.getConnection(url)
+      catch {
+        case e: java.sql.SQLException =>
+          graft.engine.Errors.io(s"Unable to open database: ${e.getMessage}")
+      }
+    try {
+      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (rs.next()) buf += rs.getString("TABLE_NAME")
+      buf.toSeq
+    } finally conn.close()
+  }
 }
