@@ -161,6 +161,34 @@ final class ExprTranslator(
     * row-number column must be materialized before planning) */
   def stageUsesNr(stageText: String): Boolean =
     NrRe.findFirstIn(stageText).isDefined || DotNrRe.findFirstIn(stageText).isDefined
+
+  /** 1-based field position a JOIN-key B variable addresses (None for NR
+    * keys and opaque forms) — the reference's key_indices, which its
+    * HashJoinMap bounds-checks per B record at build time
+    * (rbql_engine.py:1363-1372). */
+  def posOfBVar(raw: String): Option[Int] = {
+    val r = raw.trim
+    val bracket = """b\[(\d+)\]""".r
+    val dotName = """b\.([A-Za-z_][A-Za-z0-9_]*)""".r
+    val bracketName = """b\[###GRAFT_S(\d+)E###\]""".r
+    r match {
+      case _ if r == "bNR" || r == "b.NR" => None
+      case p if p.matches("""b\d+""") => Some(p.drop(1).toInt)
+      case bracket(n) => Some(n.toInt)
+      case dotName(name) => posOfBName(name)
+      case bracketName(idx) =>
+        posOfBName(ExprTranslator.unquote(masked.literals(idx.toInt)))
+      case _ => None
+    }
+  }
+
+  private def posOfBName(name: String): Option[Int] =
+    if (bSchema.isEmpty) None
+    else {
+      val user = userFields('b')
+      val i = user.lastIndexWhere(f => originalName(f) == name)
+      if (i >= 0) Some(i + 1) else None
+    }
 }
 
 object ExprTranslator {
