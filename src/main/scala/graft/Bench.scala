@@ -19,7 +19,11 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default to every core: the contract's bench environment is local[32];
+    // a hardcoded small default silently ran the round-4 bench at local[4]
+    // and doubled the reported time of every parallel-heavy query
+    val cpus = sys.env.getOrElse(
+      "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString)
     val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -33,12 +37,22 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id % 7)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // GRAFT_BENCH_ONLY=q_a,q_b restricts the run (local iteration);
+    // GRAFT_BENCH_VERBOSE=1 prints every rep to stderr (regression triage)
+    val only = sys.env.get("GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val verbose = sys.env.get("GRAFT_BENCH_VERBOSE").contains("1")
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
+      // one unmeasured warmup per query (JIT + page cache), then timed reps
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      if (verbose) System.err.println(
+        s"[bench] $name reps=${times.map(t => f"$t%.3f").mkString(",")}")
       name -> median(times)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
