@@ -239,10 +239,10 @@ object Cli {
           else if (mods.contains("noheader")) false
           else opts.contains("with-headers")
         }
-        val result =
+        val result0 =
           if (opts.contains("ragged"))
             Graft.queryRaggedCsv(spark, query, input, delim)
-          else Graft.queryCsv(spark, query, input, delim, policy,
+          else Graft.queryCsvImpl(spark, query, input, delim, policy,
             hasHeader = opts.contains("with-headers"),
             encoding = opts.getOrElse("encoding", "UTF-8"),
             commentPrefix = opts.get("comment-prefix"),
@@ -255,7 +255,22 @@ object Cli {
             s"Warning: The first record in JOIN file ${new java.io.File(p).getName} was also treated as header (and skipped)"))
         // persist: the sink write and the warnings scan share one
         // execution instead of running the query twice
-        result.persist()
+        result0.persist()
+        // write-side width check (reference CSVWriter.write,
+        // rbql_csv.py:208-210): with an output header, every record must
+        // match the header's field count — a star over a short (ragged)
+        // record makes the output record structurally narrower. The hidden
+        // width column exists only on the CSV star path (parity surface).
+        val owidName = engine.PlanBuilder.OwidCol
+        if (headerMode && result0.columns.contains(owidName)) {
+          val hdrLen = result0.columns.length - 1
+          result0.select(owidName).collect().foreach { r =>
+            val w = r.getAs[Number](0).intValue
+            if (w != hdrLen) fail("IO handling",
+              s"Inconsistent number of columns in output header and the current record: $hdrLen != $w")
+          }
+        }
+        val result = result0.drop(owidName)
         try {
           opts.get("output") match {
             case Some(out) =>
@@ -287,7 +302,7 @@ object Cli {
           }
           sinks.Warnings.scan(result, outDelim, outPolicy)
             .foreach(w => System.err.println(s"Warning: $w"))
-        } finally result.unpersist()
+        } finally result0.unpersist()
         // read-side warnings (BOM, inconsistent field counts) — reference
         // CSVRecordIterator.get_warnings, rbql_csv.py:496-504
         sources.CsvSource.inputWarnings(spark, input, delim,

@@ -30,14 +30,31 @@ object Graft {
       input: DataFrame,
       tables: Map[String, DataFrame] = Map.empty,
       tableFallback: String => Option[DataFrame] = _ => None,
+      ordered: Boolean = false): DataFrame =
+    // the hidden structural-width column is CLI-internal (write-side width
+    // check); the library surface returns only user-visible columns
+    queryImpl(spark, queryStr, input, tables, tableFallback, ordered)
+      .drop(PlanBuilder.OwidCol)
+
+  /** Like query but keeps the hidden structural-width column on the final
+    * stage (CLI write-side width check, reference rbql_csv.py:208-210). */
+  private[graft] def queryImpl(
+      spark: SparkSession,
+      queryStr: String,
+      input: DataFrame,
+      tables: Map[String, DataFrame] = Map.empty,
+      tableFallback: String => Option[DataFrame] = _ => None,
       ordered: Boolean = false): DataFrame = {
     val masked = Lexer.mask(Lexer.cleanup(queryStr))
     val stages = Lexer.splitStages(masked.text)
     // pipe chaining: each stage's output is the next stage's input
     // (reference split_query_to_stages + TablePipe,
     // rbql_engine.py:1577-1602); Spark chains lazily — no materialization
-    stages.foldLeft(input) { (df, stageText) =>
-      PlanBuilder.build(spark, stageText, masked, df,
+    stages.zipWithIndex.foldLeft(input) { case (df, (stageText, i)) =>
+      // the hidden structural-width column is a sink-side channel of the
+      // FINAL stage only — an intermediate stage must not see it as data
+      val in = if (i > 0) df.drop(PlanBuilder.OwidCol) else df
+      PlanBuilder.build(spark, stageText, masked, in,
         resolveTable(spark, tables, tableFallback), ordered)
     }
   }
@@ -140,6 +157,28 @@ object Graft {
       /** invoked with each JOIN-table file path resolved through the
         * registry (reference FileSystemCSVRegistry warns per join file,
         * rbql_csv.py:552-557) */
+      onJoinFileRead: String => Unit = _ => ()): DataFrame =
+    // the hidden structural-width column is CLI-internal: the library
+    // surface returns only user-visible output columns
+    queryCsvImpl(spark, queryStr, path, delim, policy, hasHeader, encoding,
+      commentPrefix, tables, stripWhitespaces, commentRegex, onJoinFileRead)
+      .drop(engine.PlanBuilder.OwidCol)
+
+  /** Like queryCsv but keeps the hidden per-record structural-width column
+    * (when a star over a CSV table produced one) for the CLI's write-side
+    * width check (reference rbql_csv.py:208-210). */
+  private[graft] def queryCsvImpl(
+      spark: SparkSession,
+      queryStr: String,
+      path: String,
+      delim: String = ",",
+      policy: String = "quoted",
+      hasHeader: Boolean = false,
+      encoding: String = "UTF-8",
+      commentPrefix: Option[String] = None,
+      tables: Map[String, DataFrame] = Map.empty,
+      stripWhitespaces: Boolean = false,
+      commentRegex: Option[String] = None,
       onJoinFileRead: String => Unit = _ => ()): DataFrame = {
     // invalid delim/policy/encoding combinations are rejected up front
     // with the reference's messages (rbql_csv.py:551-560)
@@ -162,7 +201,7 @@ object Graft {
         sources.CsvSource.read(spark, p, delim, policy, header,
           encoding, commentPrefix, stripWhitespaces, commentRegex)
       }
-    query(spark, queryStr, input, tables, fallback, ordered = true)
+    queryImpl(spark, queryStr, input, tables, fallback, ordered = true)
   }
 
   /** Ragged-model CSV entry point: records are variable-length fields

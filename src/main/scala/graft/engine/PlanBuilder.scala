@@ -37,6 +37,10 @@ object PlanBuilder {
   val NrCol = "__graft_nr"
   val BNrCol = "__graft_bnr"
 
+  /** Hidden structural-output-width column (parity surface; see
+    * buildProjection's owidCol and Cli's write-side width check). */
+  val OwidCol = "__graft_owid"
+
   // Inputs persisted by withNr (two-pass NR over reorderable lineage) must
   // stay cached until the query's terminal action — but not FOREVER: the
   // interactive CLI loop / a long-lived session would otherwise leak one
@@ -206,6 +210,16 @@ object PlanBuilder {
     val aDf0 = if (usesNr) withNr(fromDf) else fromDf
     val tr = new ExprTranslator(aDf0.schema, bDfRaw.map(_.schema), masked)
     val aDf = aDf0.alias("graft_a")
+
+    // reference HashJoinMap.build (rbql_engine.py:1362-1373): a join key
+    // index past a B record's own width is a build-time error, not a null
+    // key. Only CSV-backed B tables carry per-record width information
+    // (missing-as-null marker), so the check is confined to the parity
+    // surface — parquet/scale joins pay nothing.
+    ast.join.foreach { j =>
+      if (bDfRaw0.exists(b => graft.sources.CsvSource.isMissingMarked(b.schema)))
+        verifyCsvJoinKeys(bDfRaw.get, j.onRaw, tr)
+    }
 
     // ---- UPDATE path (projection-as-mutation, README.md:82-84) -------
     val usesNu = usesNuEarly
@@ -413,6 +427,43 @@ object PlanBuilder {
         s"""Unable to parse JOIN expression: Join table does not have field "${rb.trim}"\n$validSyntax""")
       (ta, tb)
     }
+
+  /** Eager join-map width check for CSV-backed B tables (reference
+    * HashJoinMap.get_single_key / get_multi_key, rbql_engine.py:1362-1373):
+    * the first B record (in file order) whose width does not reach a join
+    * key's index fails the build with the reference's message. One bounded
+    * extra job over the (small, broadcast-side) B table; key indices are
+    * checked in ON-clause order like the reference's key_indices loop. */
+  private def verifyCsvJoinKeys(
+      bDf: DataFrame, onRaw: String, tr: ExprTranslator): Unit = {
+    val userNames = bDf.columns.filterNot(n => n == NrCol || n == BNrCol)
+    val QualRe = """graft_b\.`((?:[^`]|``)*)`""".r
+    val keyIdx = joinPairs(onRaw, tr).flatMap { case (_, b) =>
+      b.trim match {
+        case QualRe(esc) =>
+          val name = esc.replace("``", "`")
+          if (name == BNrCol) None // bNR join key: defined for every record
+          else Some(userNames.indexOf(name)).filter(_ >= 0)
+        case _ => None
+      }
+    }
+    if (keyIdx.isEmpty) return
+    val withBnr =
+      if (bDf.columns.contains(BNrCol)) bDf
+      else withNr(bDf).withColumnRenamed(NrCol, BNrCol)
+    def ref(n: String) = col(s"`${n.replace("`", "``")}`")
+    val firstMissing = coalesce(keyIdx.map(i =>
+      when(ref(userNames(i)).isNull, lit(i + 1))): _*)
+    val bad = withBnr
+      .select(col(BNrCol).cast("long").alias("__nr"), firstMissing.alias("__ki"))
+      .filter(col("__ki").isNotNull)
+      .orderBy(col("__nr"))
+      .limit(1).collect()
+    bad.headOption.foreach { r =>
+      Errors.runtime(
+        s"""No field with index ${r.get(1)} at record ${r.getLong(0)} in "B" table""")
+    }
+  }
 
   /** Join keys compare null-safely (`<=>`): the reference's join map is a
     * Python dict, where a None key matches a None key (rbql_engine.py:
@@ -804,6 +855,29 @@ object PlanBuilder {
     val internalNames = outPairs.indices.map(i => s"__graft_c$i")
     val internal = outPairs.zip(internalNames).map { case ((_, c), n) => c.alias(n) }
 
+    // Structural output width per record (reference record-as-list len,
+    // consumed by the CLI's write-side width check, rbql_csv.py:208-210):
+    // fixed select items contribute 1 each; a star contributes the record's
+    // own width — the last non-null position among its columns, since a
+    // CSV-marked table pads only missing trailing fields with null.
+    // Parity-surface only (ordered + CSV-marked input, no join).
+    val owidCol: Option[Column] =
+      if (ordered && ast.join.isEmpty && anyStar &&
+          !sel.distinct && !sel.distinctCount &&
+          graft.sources.CsvSource.isMissingMarked(filtered.schema)) {
+        val parts = classified.map { case (item, _) =>
+          isStar(item.rawExpr) match {
+            case Some(cols) =>
+              val whens = cols.zipWithIndex.map { case ((_, c), i) =>
+                when(c.isNotNull, lit(i + 1)).otherwise(lit(0))
+              }
+              greatest((whens :+ lit(0) :+ lit(0)): _*)
+            case None => lit(1)
+          }
+        }
+        Some(parts.reduce(_ + _).alias(OwidCol))
+      } else None
+
     // hidden sort keys (ORDER BY may reference input variables that are not
     // selected — compute them pre-projection)
     val sortKeys = ast.orderBy.getOrElse(Seq.empty)
@@ -832,7 +906,8 @@ object PlanBuilder {
       else Seq.empty
     val tieNames = nrTie.indices.map(i => if (i == 0) "__graft_ordnr" else "__graft_ordbnr")
 
-    var out = filtered.select((internal ++ hiddenCols ++ nrTie).toIndexedSeq: _*)
+    var out = filtered.select(
+      (internal ++ owidCol.toSeq ++ hiddenCols ++ nrTie).toIndexedSeq: _*)
 
     if (distinctMode) {
       val singleDirection = sortKeys.map(_.asc).distinct.size <= 1
@@ -933,12 +1008,13 @@ object PlanBuilder {
       if (ordered && !sel.distinct && !sel.distinctCount) {
         val cols = internalNames.zipWithIndex.map { case (n, i) =>
           if (i == ui) explode(col(n)).alias(n) else col(n)
-        }
+        } ++ owidCol.map(_ => col(OwidCol)).toSeq
         out = out.select(cols.toIndexedSeq: _*)
       }
     }
 
-    out.toDF(finalNames: _*)
+    if (owidCol.isDefined) out.toDF((finalNames :+ OwidCol): _*)
+    else out.toDF(finalNames: _*)
   }
 
   /** Ragged output: any `*expr` unpack (or a star over a ragged table)

@@ -7,15 +7,82 @@ import org.apache.spark.sql.functions._
   * (/root/reference/rbql-py/rbql/rbql_csv.py:318-504 + csv_utils.py:11-80;
   * policy list rbql_main.py:30).
   *
-  * Policies `simple`/`quoted`/`quoted_rfc` map onto Spark's native CSV
-  * reader (univocity, distributed, pushdown-friendly). `whitespace`,
-  * `monocolumn` and multichar separators have no native equivalent and are
-  * expressed as a text scan + split projection — still fully distributed
-  * and codegen'd.
+  * The `quoted` policy maps onto Spark's native CSV reader (univocity,
+  * distributed, pushdown-friendly). `simple`, `whitespace`, `monocolumn`
+  * and multichar separators are a text scan + split projection — the
+  * reference's exact splitter semantics, still fully distributed and
+  * codegen'd. `quoted_rfc` is the faithful multiline assembly path.
   */
 object CsvSource {
 
   val Policies = Set("simple", "quoted", "quoted_rfc", "whitespace", "monocolumn")
+
+  /** Column-metadata marker on CSV tables read via the split/rfc paths:
+    * there a null value means the record was SHORTER than the table width
+    * (safe_get past the end, rbql_engine.py:249-250) — genuinely-empty
+    * fields read as "", never null. Lets the engine reproduce the
+    * reference's missing-field errors (join-map build
+    * rbql_engine.py:1362-1373, write width check rbql_csv.py:208-210)
+    * without a per-record fields list. The native quoted reader cannot
+    * make the distinction (univocity yields null for unquoted-empty
+    * fields) and is never marked. */
+  val MissingNullKey = "graft_csv_missing_null"
+
+  private def markMissing(df: DataFrame): DataFrame = {
+    // positional (headers may legally contain duplicate/empty names)
+    val names = df.columns.toSeq
+    val tmp = df.toDF(names.indices.map(i => s"__graft_mm$i"): _*)
+    tmp.select(df.schema.fields.zipWithIndex.map { case (f, i) =>
+      val meta = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).putBoolean(MissingNullKey, true).build()
+      col(s"__graft_mm$i").as(f.name, meta)
+    }.toIndexedSeq: _*)
+  }
+
+  /** Whether any column of `schema` carries the missing-as-null marker. */
+  def isMissingMarked(schema: org.apache.spark.sql.types.StructType): Boolean =
+    schema.fields.exists(f => f.metadata.contains(MissingNullKey) &&
+      f.metadata.getBoolean(MissingNullKey))
+
+  /** Charset-aware line scan (single `value` column). Spark's text source
+    * silently ignores the encoding option (UTF-8 only), so non-UTF-8 files
+    * are read as raw bytes and split on '\n' — byte-safe for single-byte
+    * charsets (latin-1) — then decoded per line; `\r\n` endings strip the
+    * `\r` like Hadoop's line reader. The byte path is per-file sequential;
+    * it backs the parity surface only (UTF-8 input stays on the native
+    * distributed text scan). */
+  private[sources] def readTextLines(
+      spark: SparkSession, path: String, encoding: String): DataFrame = {
+    val cs = normEncoding(encoding)
+    if (java.nio.charset.Charset.forName(cs) == java.nio.charset.StandardCharsets.UTF_8)
+      spark.read.text(path)
+    else {
+      import spark.implicits._
+      spark.sparkContext.binaryFiles(path).flatMap { case (_, pds) =>
+        val bytes = pds.toArray()
+        val charset = java.nio.charset.Charset.forName(cs)
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var start = 0
+        var i = 0
+        while (i < bytes.length) {
+          if (bytes(i) == '\n') {
+            val end = if (i > start && bytes(i - 1) == '\r') i - 1 else i
+            out += new String(bytes, start, end - start, charset)
+            start = i + 1
+          }
+          i += 1
+        }
+        if (start < bytes.length) {
+          val end =
+            if (bytes.length > start && bytes(bytes.length - 1) == '\r')
+              bytes.length - 1
+            else bytes.length
+          out += new String(bytes, start, end - start, charset)
+        }
+        out
+      }.toDF("value")
+    }
+  }
 
   /** Map the reference's encoding spellings to Java charset names
     * ("latin-1"/"binary" → ISO-8859-1, reference rbql_csv.py encoding
@@ -59,7 +126,12 @@ object CsvSource {
     if (!Policies.contains(policy))
       graft.engine.Errors.io(s"Unknown CSV policy: '$policy'")
 
-    policy match {
+    // Split/rfc paths distinguish missing (short record → null, via
+    // try_element_at past the array end) from empty ("" stays "") and are
+    // marked; the native quoted reader cannot (univocity yields null for
+    // unquoted-empty fields at the parser level), so it stays unmarked and
+    // the missing-field parity checks don't apply to it.
+    val out = policy match {
       // comment-regex has no native reader support: route line-based
       // policies through the text-split path (the reference applies the
       // regex per physical line before parsing, rbql_main.py:81). The split
@@ -102,22 +174,14 @@ object CsvSource {
         commentPrefix.foreach(c => r = r.option("comment", c.take(1)))
         positionalNames(r.csv(path), hasHeader)
 
-      case "simple" if delim.length == 1 =>
-        var r = spark.read
-          .option("sep", delim)
-          .option("header", hasHeader)
-          .option("encoding", normEncoding(encoding))
-          .option("quote", " ") // no quoting in simple policy
-          .option("inferSchema", value = false)
-        if (stripWhitespaces) r = r
-          .option("ignoreLeadingWhiteSpace", value = true)
-          .option("ignoreTrailingWhiteSpace", value = true)
-        commentPrefix.foreach(c => r = r.option("comment", c.take(1)))
-        positionalNames(r.csv(path), hasHeader)
-
-      case "simple" => // multichar separator -> text + split
+      case "simple" => // no quote processing at all: a pure split IS the
+        // reference's get_row_simple (csv_utils.py) — the native univocity
+        // reader always has SOME quote character and mis-parses fields that
+        // start with it; the split path is exact, still distributed and
+        // codegen'd, and keeps empty-vs-missing faithful (-1: trailing
+        // empty fields are real fields, like the reference's split)
         splitText(spark, path, encoding, commentPrefix, hasHeader,
-          line => split(line, java.util.regex.Pattern.quote(delim)),
+          line => split(line, java.util.regex.Pattern.quote(delim), -1),
           commentRegex, stripWhitespaces)
 
       case "whitespace" =>
@@ -125,10 +189,11 @@ object CsvSource {
           line => split(trim(line), "\\s+"), commentRegex, stripWhitespaces)
 
       case "monocolumn" =>
-        var txt = spark.read.option("encoding", normEncoding(encoding)).text(path)
+        var txt = readTextLines(spark, path, encoding)
         commentRegex.foreach(re => txt = txt.filter(!col("value").rlike(re)))
         txt.select(col("value").alias("a1"))
     }
+    if (policy == "quoted" && commentRegex.isEmpty) out else markMissing(out)
   }
 
   /** RFC-4180 (quoted_rfc) scan with the reference's exact semantics
@@ -156,7 +221,7 @@ object CsvSource {
       commentRegex: Option[String]): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
-    val txt = spark.read.option("encoding", normEncoding(encoding)).text(path)
+    val txt = readTextLines(spark, path, encoding)
       .withColumn("__pos", monotonically_increasing_id())
       .orderBy(col("__pos"))
       .select(col("value"))
@@ -237,7 +302,7 @@ object CsvSource {
       encoding: String = "UTF-8",
       commentPrefix: Option[String] = None,
       commentRegex: Option[String] = None): DataFrame = {
-    var txt = spark.read.option("encoding", normEncoding(encoding)).text(path)
+    var txt = readTextLines(spark, path, encoding)
     commentPrefix.foreach(p => txt = txt.filter(!col("value").startsWith(p)))
     // comment-regex skip (reference rbql_csv.py comment_regex): drop lines
     // matching the pattern — a pushdown-friendly rlike filter
@@ -253,7 +318,7 @@ object CsvSource {
     * (delim, policy). */
   def autodetect(spark: SparkSession, path: String,
       encoding: String = "UTF-8"): (String, String) = {
-    val sample = spark.read.option("encoding", normEncoding(encoding)).text(path)
+    val sample = readTextLines(spark, path, encoding)
       .limit(10).collect().map(_.getString(0)).toSeq
     val candidates = Seq(("\t", "simple"), (",", "quoted"), (";", "quoted"), ("|", "simple"))
     def fieldCount(line: String, delim: String, policy: String): Int =
@@ -346,7 +411,7 @@ object CsvSource {
     // session would silently de-AQE any query planned concurrently
     val scanSession = spark.newSession()
     scanSession.conf.set("spark.sql.adaptive.enabled", "false")
-    var txt = scanSession.read.option("encoding", normEncoding(encoding)).text(path)
+    var txt = readTextLines(scanSession, path, encoding)
     commentPrefix.foreach(p => txt = txt.filter(!col("value").startsWith(p)))
     // ONE aggregate job computes every warning input: grouped by
     // (partition, field-count) with per-group counts, first position, and
@@ -441,7 +506,7 @@ object CsvSource {
       splitter: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
       commentRegex: Option[String] = None,
       stripWhitespaces: Boolean = false): DataFrame = {
-    var txt = spark.read.option("encoding", normEncoding(encoding)).text(path)
+    var txt = readTextLines(spark, path, encoding)
       .withColumn("__pos", monotonically_increasing_id())
     commentPrefix.foreach(p => txt = txt.filter(!col("value").startsWith(p)))
     commentRegex.foreach(r => txt = txt.filter(!col("value").rlike(r)))
@@ -460,9 +525,10 @@ object CsvSource {
     val headerFields: Option[Seq[String]] =
       if (hasHeader && firstRow.nonEmpty) Some(firstRow(0).getSeq[String](0).toSeq)
       else None
-    val maxWidth =
-      if (firstRow.isEmpty) 1
-      else withFields.agg(max(size(col("__fields")))).head().getInt(0)
+    // an empty file has ZERO columns (like the native reader): variables
+    // never bind and positional references resolve to null downstream
+    if (firstRow.isEmpty) return withFields.limit(0).select()
+    val maxWidth = withFields.agg(max(size(col("__fields")))).head().getInt(0)
     val width = math.max(maxWidth, headerFields.map(_.length).getOrElse(1))
     val names: Seq[String] =
       headerFields.map(h => h ++ (h.length + 1 to width).map(i => s"a$i"))

@@ -225,6 +225,31 @@ object CorpusSpec {
     // JS-only in the reference, but graft normalizes === / !== for parity —
     // run the query_js text directly
     "triple_equality_js" -> Rewrite("""select NR where a3 === "gamma""""),
+    // JS-only cases with mechanically mappable expressions (round-3 verdict
+    // item: run the query_js text where the semantics are host-neutral):
+    // Math.min/Math.max over parsed ints → least/greatest
+    "math_max_math_min_js" -> Rewrite(
+      "select least(cast(a2 as int), cast(a4 as int)), greatest(cast(a2 as int), cast(a4 as int))"),
+    // JS sorts the int-typed a2 numerically; the values are ints, so the
+    // explicit cast expresses the same key
+    "test_mixed_type_records_int_string" -> Rewrite(
+      "select * order by cast(a2 as int)"),
+    // string-typed a2 sorts lexicographically — the query text is already
+    // host-neutral
+    "test_non_mixed_records_js" -> Rewrite("select * order by a2"),
+    // aggregate nested in a scalar call must error (same restriction as the
+    // reference, host-neutral); fs.statSync → any scalar function
+    "aggregate_inside_expression_js" -> Rewrite("select length(MAX(a1))"),
+    // unknown identifier between conditions must error (graft raises its
+    // own parse error; the corpus accepts any raised error)
+    "JS: unexpected identifier" -> Rewrite("select * where a1 < 0 andor a1 > 40"),
+    // the reference's JS backend REJECTS `and`/`or` with a hint; graft's
+    // dialect (like the reference's Python backend) supports them, so these
+    // error cases are deliberately non-errors here
+    "Invalid JS 'and'" -> Skip(
+      "graft supports the `and` keyword (Python-dialect semantics); the JS backend's rejection hint does not apply"),
+    "Invalid JS 'or'" -> Skip(
+      "graft supports the `or` keyword (Python-dialect semantics); the JS backend's rejection hint does not apply"),
     // graft deliberately supports the SQL LIKE operator (the reference
     // rejects it and points users at the like() function, which graft also
     // supports — q_like)

@@ -170,17 +170,9 @@ object CsvCorpusSpec {
     "named fields in interpolated triple-quoted strings" -> Rewrite(
       "select top 10 a1, 'area: ' || (a['Area square miles'] || ', GDP: ' || a['GDP per capita']) || \" - '\" || a.country || \"' stats\" " +
         "where cast(a['Area square miles'] as int) > 1000000 order by cast(a['GDP per capita'] as int) desc"),
-    // graft's fixed-width B model pads short join records (b4 reads null)
-    // instead of erroring at join-map build time
-    "join test 10 with relative path" -> Skip(
-      "graft's join table is fixed-width (padded): b4 on a short record is null, not an error"),
     // Spark's text/csv readers substitute malformed bytes (permissive
     // charset decode); there is no decode-failure surface to error from
     "test_utf-8_error" -> Skip(
       "Spark's readers replace undecodable bytes instead of erroring"),
-    // output-header/record width consistency check is write-side in the
-    // reference; graft's padded model gives every record the full width
-    "inconsistent header length" -> Skip(
-      "graft pads short records to the header width instead of erroring"),
     )
 }
