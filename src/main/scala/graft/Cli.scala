@@ -88,6 +88,9 @@ object Cli {
     } catch {
       case e: CliExit => throw e
       case e: Throwable =>
+        // --debug-mode: re-raise with the full stack trace instead of the
+        // friendly one-line error (reference rbql_main.py:387, hidden flag)
+        if (opts.contains("debug-mode")) e.printStackTrace()
         val (cat, msg) = Graft.exceptionToErrorInfo(e)
         System.err.println(s"Error [$cat]: $msg")
         if (stopSpark) spark.stop()
@@ -163,6 +166,9 @@ object Cli {
     } catch {
       case e: CliExit => throw e
       case e: Throwable =>
+        // --debug-mode: re-raise with the full stack trace instead of the
+        // friendly one-line error (reference rbql_main.py:387, hidden flag)
+        if (opts.contains("debug-mode")) e.printStackTrace()
         val (cat, msg) = Graft.exceptionToErrorInfo(e)
         System.err.println(s"Error [$cat]: $msg")
         if (stopSpark) spark.stop()
@@ -316,6 +322,9 @@ object Cli {
     } catch {
       case e: CliExit => throw e
       case e: Throwable =>
+        // --debug-mode: re-raise with the full stack trace instead of the
+        // friendly one-line error (reference rbql_main.py:387, hidden flag)
+        if (opts.contains("debug-mode")) e.printStackTrace()
         val (cat, msg) = Graft.exceptionToErrorInfo(e)
         System.err.println(s"Error [$cat]: $msg")
         if (stopSpark) spark.stop()
@@ -425,7 +434,7 @@ object Cli {
     args match {
       case Nil => acc
       case ("--with-headers" | "--ragged" | "--strip-whitespaces" |
-            "--color" | "--version") :: rest =>
+            "--color" | "--version" | "--debug-mode") :: rest =>
         parseArgs(rest, acc + (args.head.stripPrefix("--") -> "true"))
       case flag :: value :: rest if flag.startsWith("--") =>
         parseArgs(rest, acc + (flag.stripPrefix("--") -> value))
