@@ -204,6 +204,34 @@ object SparkEntry {
         "WHERE a.event_id < 100 ORDER BY a.event_id",
       t(s, dir, "events"))),
 
+    // sessionization: 30-minute-gap sessions per user, single shuffle
+    // (events ts reads as long nanoseconds)
+    "q_sessions" -> ((s, dir) => pipeline.Temporal.sessionStats(
+      t(s, dir, "events"), "user_id", "ts", "event_id",
+      gap = 30L * 60 * 1000000000L)
+      .orderBy("user_id")),
+
+    // as-of join: each click matched to the user's most recent prior view
+    "q_asof" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      pipeline.Temporal.asofJoin(
+        ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts"),
+        ev.filter(col("event_type") === "view")
+          .select("event_id", "user_id", "ts"),
+        "user_id", "ts", "event_id", payload = Seq("event_id"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_event_id").alias("view_id"))
+        .orderBy("event_id")
+    }),
+
+    // per-group top-k without a global sort (row_number window)
+    "q_topk_group" -> ((s, dir) => pipeline.Temporal.topKPerGroup(
+      t(s, dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+      Seq("o_custkey"),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 3)
+      .orderBy("o_custkey", "rn")),
+
     // ---- LLM-pipeline operators (graft.pipeline) ---------------------
     // exact dedup groups (hash-groupBy, keep lowest id)
     "q_dedup_exact" -> ((s, dir) =>
@@ -432,6 +460,38 @@ object SparkEntry {
     "q_json" ->
       """SELECT event_id, json_extract_string(props, '$.k') AS k
          FROM events WHERE event_id < 100 ORDER BY event_id""",
+    "q_sessions" ->
+      """WITH g AS (
+           SELECT user_id, ts, event_id,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS ns
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ), s AS (
+           SELECT user_id,
+                  sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+           FROM g
+         ), per AS (
+           SELECT user_id, sid, count(*) AS ev FROM s GROUP BY user_id, sid
+         )
+         SELECT user_id, max(sid)::BIGINT AS n_sessions,
+                sum(ev)::BIGINT AS n_events, max(ev)::BIGINT AS longest
+         FROM per GROUP BY user_id ORDER BY user_id""",
+    "q_asof" ->
+      """SELECT e.event_id, e.user_id, v.event_id AS view_id
+         FROM (SELECT * FROM events WHERE event_type = 'click') e
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+           ON e.user_id = v.user_id AND e.ts >= v.ts
+         ORDER BY e.event_id""",
+    "q_topk_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) t
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keep_id
          FROM documents GROUP BY md5(text) ORDER BY h""",

@@ -191,8 +191,11 @@ object Dedup {
       .repartition(col("id"))
     val inv = shDf.select(col("id"), size(col("sh")).alias("nsh"),
       explode(col("sh")).alias("s"))
-    val freq = inv.groupBy("s").agg(count(lit(1)).alias("f"))
-    val invF = inv.join(freq, "s")
+    // global shingle frequency as a count window over s: one exchange,
+    // no aggregate table and no join-back (a groupBy(s) + join would
+    // shuffle the same postings AND build + probe a frequency table)
+    val invF = inv.withColumn("f",
+      count(lit(1)).over(Window.partitionBy(col("s"))))
     val w = Window.partitionBy(col("id")).orderBy(col("f").asc, col("s").asc)
     val prefix = invF.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= col("nsh") - ceil(lit(threshold) * col("nsh")) + 1)

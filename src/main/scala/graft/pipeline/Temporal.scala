@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal operators over keyed event streams: sessionization, as-of
+  * join, per-group top-k. Each is a single-shuffle-by-key plan — the
+  * shapes that survive a 100 TB scale-up (no per-row range probe, no
+  * self-join explosion, no global sort; every window and downstream
+  * aggregate reuses the one hash exchange on the key).
+  *
+  * The synthetic `events` table stores TIMESTAMP(NANOS), which the
+  * sessions here read as long nanoseconds
+  * (`spark.sql.legacy.parquet.nanosAsLong`) — time columns only need to
+  * be ordered and subtractable, so everything below is
+  * time-representation-agnostic. */
+object Temporal {
+
+  /** Assign per-key session ids (1-based, in time order): a new session
+    * starts when the gap from the key's previous event exceeds `gap`
+    * (same unit as `tsCol`). `tieCol` makes the order total for
+    * deterministic ids under equal timestamps.
+    *
+    * Plan: one hash exchange on `keyCol`; the lag and the running sum
+    * share the window sort (single WindowExec). */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, gap: Long, sessionCol: String = "session_id"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val prev = lag(col(tsCol), 1).over(w)
+    val newSession =
+      when(prev.isNull || col(tsCol) - prev > gap, 1).otherwise(0)
+    df.withColumn("__graft_ns", newSession)
+      .withColumn(sessionCol, sum(col("__graft_ns"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__graft_ns")
+  }
+
+  /** Per-key session statistics: session count, event count, and the
+    * largest session. Both aggregations run map-side relative to the
+    * sessionize exchange (partitioning by key already clusters
+    * (key, session_id)) — still ONE shuffle total. */
+  def sessionStats(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, gap: Long): DataFrame =
+    sessionize(df, keyCol, tsCol, tieCol, gap)
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(count(lit(1)).alias("__graft_ev"))
+      .groupBy(col(keyCol))
+      .agg(
+        max(col("session_id")).alias("n_sessions"),
+        sum(col("__graft_ev")).alias("n_events"),
+        max(col("__graft_ev")).alias("longest"))
+
+  /** As-of join: for each left row, the most recent right row of the same
+    * key with right.ts <= left.ts (nulls when none — LEFT asof). Output =
+    * all left columns + each requested right `payload` column as
+    * `asof_<name>`.
+    *
+    * Implementation: tag and union the two sides, then one
+    * key-partitioned window ordered by (ts, tag, tie) carries the latest
+    * right payload forward (`last(..., ignoreNulls)`); left rows read it,
+    * right rows are dropped. A right row at exactly left.ts matches
+    * (tag 0 sorts before tag 1). This is a SINGLE shuffle on the key —
+    * no per-row range probe (O(n·m) join explosion) and no broadcast of
+    * either side; both inputs stream through one exchange, so the shape
+    * is identical at 100 TB. Caveat: a right row whose payload VALUE is
+    * null is skipped by ignoreNulls (treated as no observation). */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, tieCol: String, payload: Seq[String]): DataFrame = {
+    val lrowType = org.apache.spark.sql.types.StructType(
+      left.schema.fields.map(f => f.copy(nullable = true)))
+    val l = left.select(
+      Seq(col(keyCol).alias("__graft_k"), col(tsCol).alias("__graft_ts"),
+        col(tieCol).cast("long").alias("__graft_tie"), lit(1).alias("__graft_tag"),
+        struct(left.columns.map(col).toIndexedSeq: _*).alias("__graft_lrow")) ++
+        payload.map(p =>
+          lit(null).cast(right.schema(p).dataType).alias(s"__graft_p_$p")): _*)
+    val r = right.select(
+      Seq(col(keyCol).alias("__graft_k"), col(tsCol).alias("__graft_ts"),
+        col(tieCol).cast("long").alias("__graft_tie"), lit(0).alias("__graft_tag"),
+        lit(null).cast(lrowType).alias("__graft_lrow")) ++
+        payload.map(p => col(p).alias(s"__graft_p_$p")): _*)
+    val w = Window.partitionBy(col("__graft_k"))
+      .orderBy(col("__graft_ts"), col("__graft_tag"), col("__graft_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(l.unionByName(r)) { (d, p) =>
+      d.withColumn(s"__graft_m_$p",
+        last(col(s"__graft_p_$p"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__graft_tag") === 1)
+      .select(left.columns.map(c =>
+        col("__graft_lrow").getField(c).alias(c)).toIndexedSeq ++
+        payload.map(p => col(s"__graft_m_$p").alias(s"asof_$p")): _*)
+  }
+
+  /** Top-k rows per group by the given ordering (rank column `rnCol`,
+    * 1-based, long-typed). One shuffle on the group keys; row_number
+    * needs no global sort and the filter prunes before any downstream
+    * exchange. */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String],
+      ordering: Seq[Column], k: Int, rnCol: String = "rn"): DataFrame =
+    df.withColumn(rnCol,
+      row_number().over(
+        Window.partitionBy(groupCols.map(col): _*).orderBy(ordering: _*))
+        .cast("long"))
+      .filter(col(rnCol) <= k)
+}

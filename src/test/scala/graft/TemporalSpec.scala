@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Temporal
+
+class TemporalSpec extends SparkSpec {
+
+  // (user, ts, id) — user 1: three events with a >gap break before the
+  // third; user 2: one event; gap unit is abstract (longs)
+  private lazy val events = {
+    import spark.implicits._
+    Seq(
+      (1L, 100L, 1L), (1L, 150L, 2L), (1L, 1000L, 3L),
+      (2L, 500L, 4L)
+    ).toDF("user_id", "ts", "event_id")
+  }
+
+  test("sessionize breaks on gap, ids are 1-based per key in time order") {
+    val s = Temporal.sessionize(events, "user_id", "ts", "event_id", gap = 100L)
+      .select("event_id", "session_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("sessionStats aggregates per key") {
+    val stats = Temporal.sessionStats(events, "user_id", "ts", "event_id", 100L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(stats(1L) == ((2L, 3L, 2L))) // 2 sessions, 3 events, longest 2
+    assert(stats(2L) == ((1L, 1L, 1L)))
+  }
+
+  test("sessionStats is a single-shuffle plan") {
+    val plan = Temporal.sessionStats(events, "user_id", "ts", "event_id", 100L)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$plan")
+  }
+
+  test("asofJoin matches the latest right row at or before left.ts") {
+    import spark.implicits._
+    val clicks = Seq((1L, 10L, 100L), (1L, 20L, 101L), (1L, 5L, 102L))
+      .toDF("user_id", "ts", "event_id")
+    val views = Seq((1L, 10L, 200L), (1L, 15L, 201L), (2L, 1L, 202L))
+      .toDF("user_id", "ts", "event_id")
+    val out = Temporal.asofJoin(clicks, views, "user_id", "ts", "event_id",
+      payload = Seq("event_id"))
+      .select("event_id", "asof_event_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // ts=10 click matches ts=10 view (<= semantics); ts=20 matches ts=15;
+    // ts=5 has no prior view -> null; user 2's view never leaks to user 1
+    assert(out == Map(100L -> 200L, 101L -> 201L, 102L -> -1L))
+  }
+
+  test("asofJoin is a single-shuffle plan over the union") {
+    import spark.implicits._
+    val clicks = Seq((1L, 10L, 100L)).toDF("user_id", "ts", "event_id")
+    val views = Seq((1L, 5L, 200L)).toDF("user_id", "ts", "event_id")
+    val plan = Temporal.asofJoin(clicks, views, "user_id", "ts", "event_id",
+      Seq("event_id")).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$plan")
+  }
+
+  test("topKPerGroup keeps k rows per group in rank order") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 20.0),
+      ("b", 4L, 5.0)).toDF("g", "id", "v")
+    val top = Temporal.topKPerGroup(df, Seq("g"),
+      Seq(col("v").desc, col("id").asc), k = 2)
+      .select("g", "id", "rn").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(top == Set(("a", 2L, 1L), ("a", 3L, 2L), ("b", 4L, 1L)))
+  }
+}
