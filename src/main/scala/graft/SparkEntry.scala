@@ -232,6 +232,22 @@ object SparkEntry {
       Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 3)
       .orderBy("o_custkey", "rn")),
 
+    // multimodal binary plumbing end-to-end: synthetic payload, REAL
+    // partition-wise resize (mapPartitions, the plan shape a codec needs),
+    // checked against an independent arithmetic oracle
+    "q_multimodal" -> ((s, dir) => {
+      val media = pipeline.Multimodal.attachFakeMedia(
+        t(s, dir, "documents").select("doc_id", "text"), "text")
+      pipeline.Multimodal.resizeMedia(media, 16, 16)
+        .select(col("doc_id"),
+          col("media_meta.format").alias("format"),
+          col("media_meta.width").cast("long").alias("width"),
+          col("media_meta.height").cast("long").alias("height"),
+          col("media_meta.n_bytes").alias("n_bytes"),
+          length(col("media")).cast("long").alias("media_len"))
+        .orderBy("doc_id")
+    }),
+
     // ---- LLM-pipeline operators (graft.pipeline) ---------------------
     // exact dedup groups (hash-groupBy, keep lowest id)
     "q_dedup_exact" -> ((s, dir) =>
@@ -460,6 +476,16 @@ object SparkEntry {
     "q_json" ->
       """SELECT event_id, json_extract_string(props, '$.k') AS k
          FROM events WHERE event_id < 100 ORDER BY event_id""",
+    "q_multimodal" ->
+      """SELECT doc_id, 'fake/raw' AS format, 16::BIGINT AS width,
+                16::BIGINT AS height,
+                greatest(1, (length(text)::BIGINT * 256) //
+                  (((length(text) % 64) + 1) * ((length(text) % 48) + 1))
+                )::BIGINT AS n_bytes,
+                greatest(1, (length(text)::BIGINT * 256) //
+                  (((length(text) % 64) + 1) * ((length(text) % 48) + 1))
+                )::BIGINT AS media_len
+         FROM documents ORDER BY doc_id""",
     "q_sessions" ->
       """WITH g AS (
            SELECT user_id, ts, event_id,

@@ -86,8 +86,9 @@ object Multimodal {
         val meta = row.getStruct(metaIdx)
         val oldPixels = math.max(1, meta.getInt(1) * meta.getInt(2))
         val newPixels = newWidth * newHeight
-        val outLen = math.max(1,
-          (bytes.length.toLong * newPixels / oldPixels).toInt)
+        // an empty payload stays empty (there is no byte to subsample)
+        val outLen = if (bytes.isEmpty) 0
+          else math.max(1, (bytes.length.toLong * newPixels / oldPixels).toInt)
         val out = new Array[Byte](outLen)
         var i = 0
         while (i < outLen) {

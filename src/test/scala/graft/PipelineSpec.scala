@@ -150,6 +150,12 @@ class PipelineSpec extends SparkSpec {
     val r2 = Multimodal.resizeMedia(media, 8, 6).filter(col("doc_id") === 1).head()
     assert(r.getAs[Array[Byte]](resized.schema.fieldIndex("media")).toSeq ==
       r2.getAs[Array[Byte]](resized.schema.fieldIndex("media")).toSeq)
+    // an empty payload resizes to an empty payload (no subsample source)
+    import spark.implicits._
+    val empty = Multimodal.attachFakeMedia(
+      Seq((9L, "")).toDF("doc_id", "text"), "text")
+    val er = Multimodal.resizeMedia(empty, 8, 6).head()
+    assert(er.getAs[Array[Byte]](empty.schema.fieldIndex("media")).isEmpty)
   }
 
   test("ivf build + probe finds the query vector") {
