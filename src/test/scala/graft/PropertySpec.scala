@@ -137,4 +137,63 @@ class PropertySpec extends SparkSpec {
       Graft.queryTable(spark, "select a[9]", Seq(Seq("x")))
     }
   }
+
+  // ---- temporal operators vs driver-side brute force -------------------
+
+  private val eventsGen: Gen[Seq[(Long, Long, Long)]] = for {
+    n <- Gen.choose(0, 30)
+    rows <- Gen.listOfN(n, for {
+      user <- Gen.choose(1L, 4L)
+      ts <- Gen.choose(0L, 50L)
+    } yield (user, ts))
+  } yield rows.zipWithIndex.map { case ((u, t), i) => (u, t, i.toLong) }.toSeq
+
+  test("property: asofJoin matches a brute-force scan") {
+    import spark.implicits._
+    samples(Gen.zip(eventsGen, eventsGen), 8).foreach { case (ls, rs) =>
+      val left = ls.toDF("user_id", "ts", "event_id")
+      val right = rs.map { case (u, t, i) => (u, t, i + 1000L) }
+        .toDF("user_id", "ts", "event_id")
+      val got = pipeline.Temporal
+        .asofJoin(left, right, "user_id", "ts", "event_id", Seq("event_id"))
+        .collect()
+        .map(r => r.getLong(2) ->
+          (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+      // brute force: latest right with right.ts <= left.ts, same key;
+      // ties on ts broken by the tie column (largest wins, like the
+      // window's last())
+      val expected = ls.map { case (u, t, i) =>
+        val cand = rs.map { case (ru, rt, ri) => (ru, rt, ri + 1000L) }
+          .filter { case (ru, rt, _) => ru == u && rt <= t }
+        i -> (if (cand.isEmpty) -1L
+              else cand.maxBy { case (_, rt, ri) => (rt, ri) }._3)
+      }.toMap
+      assert(got == expected, s"\nleft=$ls\nright=$rs")
+    }
+  }
+
+  test("property: sessionize matches a sequential scan") {
+    import spark.implicits._
+    samples(eventsGen, 8).foreach { evs =>
+      if (evs.nonEmpty) {
+        val gap = 7L
+        val got = pipeline.Temporal
+          .sessionize(evs.toDF("user_id", "ts", "event_id"),
+            "user_id", "ts", "event_id", gap)
+          .collect()
+          .map(r => r.getLong(2) -> r.getLong(3)).toMap
+        val expected = evs.groupBy(_._1).flatMap { case (_, rows) =>
+          val ordered = rows.sortBy(r => (r._2, r._3))
+          var sid = 0L
+          var prev = Long.MinValue
+          ordered.map { case (_, t, i) =>
+            if (prev == Long.MinValue || t - prev > gap) sid += 1
+            prev = t
+            i -> sid
+          }
+        }
+        assert(got == expected, s"events=$evs")
+      }
+    }
+  }
 }
