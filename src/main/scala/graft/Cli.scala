@@ -436,6 +436,10 @@ object Cli {
       case ("--with-headers" | "--ragged" | "--strip-whitespaces" |
             "--color" | "--version" | "--debug-mode") :: rest =>
         parseArgs(rest, acc + (args.head.stripPrefix("--") -> "true"))
+      // the reference's spelling of the whitespace-strip flag
+      // (rbql_main.py: --strip-spaces); both are accepted
+      case "--strip-spaces" :: rest =>
+        parseArgs(rest, acc + ("strip-whitespaces" -> "true"))
       case flag :: value :: rest if flag.startsWith("--") =>
         parseArgs(rest, acc + (flag.stripPrefix("--") -> value))
       case other :: _ =>

@@ -144,4 +144,13 @@ class CliSpec extends SparkSpec {
     assert(out.contains("Input table preview:"))
     assert(out.contains("b"))
   }
+
+  test("cli: --strip-spaces (reference spelling) strips like --strip-whitespaces") {
+    val in = writeCsv("strip.csv", "  ada , 36 \n bob,25\n")
+    val (code, out, err) = runCli(Seq(
+      "--query", "select a1, a2", "--input", in, "--delim", ",",
+      "--strip-spaces"))
+    assert(code == 0, err)
+    assert(out == "ada,36\nbob,25\n")
+  }
 }
