@@ -12,6 +12,12 @@ import org.apache.spark.sql.functions._
   * and multichar separators are a text scan + split projection — the
   * reference's exact splitter semantics, still fully distributed and
   * codegen'd. `quoted_rfc` is the faithful multiline assembly path.
+  *
+  * Scale note: the split paths infer the table width with one extra
+  * count-only scan (max field count over all rows — the reference's
+  * no-truncation ragged model needs the true max, unlike the native
+  * reader's first-row sample). That is the CSV parity surface; columnar
+  * formats are the scale path.
   */
 object CsvSource {
 
