@@ -244,6 +244,12 @@ object Graft {
           a.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND")) "IO handling"
         else "query parsing"
       (cat, a.getMessage)
+    case other
+        if Option(other.getMessage)
+          .exists(_.contains(sources.CsvSource.Utf8DecodeError)) =>
+      // in-job raise_error from the UTF-8 decode guard (Spark wraps the
+      // text in USER_RAISED_EXCEPTION) — reference category: IO handling
+      ("IO handling", sources.CsvSource.Utf8DecodeError)
     case other =>
       val msg = Option(other.getMessage).getOrElse(other.toString)
       ("query execution", msg)

@@ -57,12 +57,23 @@ object CsvSource {
     * `\r` like Hadoop's line reader. The byte path is per-file sequential;
     * it backs the parity surface only (UTF-8 input stays on the native
     * distributed text scan). */
+  /** Reference text for undecodable UTF-8 input (rbql_csv.py:416-417). */
+  val Utf8DecodeError =
+    "Unable to decode input table as UTF-8. Use binary (latin-1) encoding instead"
+
   private[sources] def readTextLines(
       spark: SparkSession, path: String, encoding: String): DataFrame = {
     val cs = normEncoding(encoding)
-    if (java.nio.charset.Charset.forName(cs) == java.nio.charset.StandardCharsets.UTF_8)
-      spark.read.text(path)
-    else {
+    if (java.nio.charset.Charset.forName(cs) == java.nio.charset.StandardCharsets.UTF_8) {
+      // the reference errors on undecodable UTF-8 (UnicodeDecodeError →
+      // rbql_csv.py:416-417); Spark's text scan is byte-transparent (no
+      // validation, no substitution), so malformed input is detected with
+      // is_valid_utf8 — in-job, codegen'd, no extra pass.
+      spark.read.text(path).select(
+        when(!expr("is_valid_utf8(value)"),
+          raise_error(lit(Utf8DecodeError)).cast("string"))
+          .otherwise(col("value")).alias("value"))
+    } else {
       import spark.implicits._
       spark.sparkContext.binaryFiles(path).flatMap { case (_, pds) =>
         val bytes = pds.toArray()

@@ -170,9 +170,5 @@ object CsvCorpusSpec {
     "named fields in interpolated triple-quoted strings" -> Rewrite(
       "select top 10 a1, 'area: ' || (a['Area square miles'] || ', GDP: ' || a['GDP per capita']) || \" - '\" || a.country || \"' stats\" " +
         "where cast(a['Area square miles'] as int) > 1000000 order by cast(a['GDP per capita'] as int) desc"),
-    // Spark's text/csv readers substitute malformed bytes (permissive
-    // charset decode); there is no decode-failure surface to error from
-    "test_utf-8_error" -> Skip(
-      "Spark's readers replace undecodable bytes instead of erroring"),
     )
 }
