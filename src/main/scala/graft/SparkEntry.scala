@@ -248,6 +248,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // deterministic stratified sampling: downsample the dominant
+    // language, keep the tail — md5-threshold filter, no RNG, no shuffle
+    "q_sample" -> ((s, dir) => pipeline.Sampling.stratifiedSample(
+      t(s, dir, "documents"), "doc_id", "lang",
+      rates = Map("en" -> 0.25, "zh" -> 0.5), defaultRate = 0.75)
+      .groupBy("lang").agg(count(lit(1)).alias("kept"))
+      .orderBy("lang")),
+
     // ---- LLM-pipeline operators (graft.pipeline) ---------------------
     // exact dedup groups (hash-groupBy, keep lowest id)
     "q_dedup_exact" -> ((s, dir) =>
@@ -476,6 +484,14 @@ object SparkEntry {
     "q_json" ->
       """SELECT event_id, json_extract_string(props, '$.k') AS k
          FROM events WHERE event_id < 100 ORDER BY event_id""",
+    "q_sample" ->
+      """SELECT lang, count(*) AS kept
+         FROM documents
+         WHERE substr(md5(doc_id::VARCHAR), 1, 8) <
+               CASE WHEN lang = 'en' THEN '40000000'
+                    WHEN lang = 'zh' THEN '80000000'
+                    ELSE 'c0000000' END
+         GROUP BY lang ORDER BY lang""",
     "q_multimodal" ->
       """SELECT doc_id, 'fake/raw' AS format, 16::BIGINT AS width,
                 16::BIGINT AS height,

@@ -1,0 +1,46 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling for training-data pipelines.
+  *
+  * Instead of RNG state (irreproducible across runs, engines, and
+  * partitionings), a row is kept iff the md5 of its key falls below a
+  * threshold: `substr(md5(key), 1, 8) < hex(rate * 2^32)`. Lowercase hex
+  * strings compare in numeric order, so the filter is a plain string
+  * comparison — a codegen'd, shuffle-free, pushdown-friendly map-side
+  * predicate that selects the SAME rows on any engine with md5 (the
+  * DuckDB oracle runs the identical expression). Sampling stays stable
+  * under repartitioning and incremental reruns — the properties that
+  * matter when the input is 100 TB and the pipeline reruns nightly. */
+object Sampling {
+
+  /** Hex threshold string for a rate in [0, 1]: rate-fraction of the
+    * 32-bit md5-prefix space. */
+  private[graft] def hexThreshold(rate: Double): String = {
+    val clamped = math.max(0.0, math.min(1.0, rate))
+    val bound = math.round(clamped * 4294967296.0) // 2^32
+    if (bound >= 4294967296L) "ffffffffg" // sorts after every hex digit
+    else f"$bound%08x"
+  }
+
+  private def keyHash(keyCol: Column): Column =
+    substring(md5(keyCol.cast("string")), 1, 8)
+
+  /** Keep ~`rate` of rows, chosen deterministically by `keyCol`. */
+  def deterministicSample(df: DataFrame, keyCol: String, rate: Double): DataFrame =
+    df.filter(keyHash(col(keyCol)) < lit(hexThreshold(rate)))
+
+  /** Per-stratum rates (e.g. downsample dominant languages, keep the
+    * tail): strata not in `rates` use `defaultRate`. One codegen'd CASE —
+    * still no shuffle, no RNG. */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val threshold = rates.foldLeft(
+      when(lit(false), lit(""))) { case (acc, (stratum, rate)) =>
+      acc.when(col(strataCol) === stratum, lit(hexThreshold(rate)))
+    }.otherwise(lit(hexThreshold(defaultRate)))
+    df.filter(keyHash(col(keyCol)) < threshold)
+  }
+}
