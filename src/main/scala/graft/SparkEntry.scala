@@ -292,6 +292,17 @@ object SparkEntry {
         k = 2, threshold = 0.8)
         .orderBy("id_a", "id_b")),
 
+    // benchmark decontamination: bench-shingle containment in train docs
+    // (bench = every 7th doc, train = the rest)
+    "q_contain" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      pipeline.Dedup.crossContainment(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0),
+        "text", "doc_id", k = 2, threshold = 0.8)
+        .orderBy("bench_id", "train_id")
+    }),
+
     // SimHash fingerprints (xxhash64 bit-votes — no SQL oracle, rows-only)
     "q_simhash" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -618,6 +629,22 @@ object SparkEntry {
          WHERE len(list_intersect(a.s, b.s))::DOUBLE /
            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
          ORDER BY id_a, id_b""",
+    "q_contain" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(tk) < 2
+             THEN [array_to_string(tk, ' ')]
+             ELSE list_transform(generate_series(1, len(tk)-1),
+                    i -> array_to_string(tk[i:i+1], ' ')) END) AS s
+           FROM toks)
+         SELECT b.doc_id AS bench_id, a.doc_id AS train_id,
+           floor((len(list_intersect(b.s, a.s))::DOUBLE / len(b.s)) * 1e6 + 0.5) / 1e6
+             AS containment
+         FROM sh b JOIN sh a ON b.doc_id % 7 = 0 AND a.doc_id % 7 <> 0
+         WHERE len(list_intersect(b.s, a.s))::DOUBLE / len(b.s) >= 0.8
+         ORDER BY bench_id, train_id""",
     "q_embed_scores" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          SELECT vec_id, floor((

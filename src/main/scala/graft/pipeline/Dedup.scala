@@ -253,4 +253,44 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), Rounding.halfUp(col("cos"), 6).alias("cosine"))
   }
+
+  /** Cross-corpus contamination (benchmark decontamination): exact pairs
+    * where the BENCH document's shingle set is contained in a TRAIN
+    * document at `threshold` — containment = |S_b ∩ S_t| / |S_b|.
+    *
+    * Exact pigeonhole prefix on the bench side only: if containment ≥ t,
+    * at most ⌊(1−t)·n_b⌋ of b's shingles miss S_t, so ANY
+    * ⌊(1−t)·n_b⌋+1 of them (we take the smallest hashes) must include a
+    * shared one. The candidate join is bench-prefix ⋈ train-postings:
+    * the bench set (benchmarks) is tiny next to a 100 TB train corpus,
+    * so the join broadcasts the bench side and the train corpus is
+    * streamed once — never self-joined, never collected. Verification
+    * joins shingle arrays back by id (candidates carry ids only). */
+  def crossContainment(
+      train: DataFrame, bench: DataFrame, textCol: String, idCol: String,
+      k: Int = 2, threshold: Double = 0.8): DataFrame = {
+    val trSh = train.select(col(idCol).alias("train_id"),
+      org.apache.spark.sql.graft.sketch.shingle_hashes(col(textCol), k).alias("sh_t"))
+      .repartition(col("train_id"))
+    val beSh = bench.select(col(idCol).alias("bench_id"),
+      org.apache.spark.sql.graft.sketch.shingle_hashes(col(textCol), k).alias("sh_b"))
+      .repartition(col("bench_id"))
+    val post = trSh.select(col("train_id"), explode(col("sh_t")).alias("s"))
+    val prefLen = greatest(
+      (floor(lit(1.0 - threshold) * size(col("sh_b"))) + 1).cast("int"), lit(1))
+    val bePref = beSh.select(col("bench_id"),
+      explode(slice(sort_array(col("sh_b")), lit(1), prefLen)).alias("s"))
+    val candidates = bePref.join(post, "s")
+      .select(col("bench_id"), col("train_id"))
+      .dropDuplicates("bench_id", "train_id")
+    candidates
+      .join(beSh, "bench_id")
+      .join(trSh.hint("shuffle_hash"), "train_id")
+      .withColumn("containment",
+        size(array_intersect(col("sh_b"), col("sh_t"))).cast("double") /
+          size(col("sh_b")))
+      .filter(col("containment") >= threshold)
+      .select(col("bench_id"), col("train_id"),
+        Rounding.halfUp(col("containment"), 6).alias("containment"))
+  }
 }

@@ -158,6 +158,20 @@ class PipelineSpec extends SparkSpec {
     assert(er.getAs[Array[Byte]](empty.schema.fieldIndex("media")).isEmpty)
   }
 
+  test("crossContainment finds bench docs contained in train docs") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "completely unrelated training content here")).toDF("doc_id", "text")
+    val bench = Seq(
+      (10L, "alpha beta gamma delta"), // contained in doc 1
+      (11L, "nothing shared at all")).toDF("doc_id", "text")
+    val out = Dedup.crossContainment(train, bench, "text", "doc_id",
+      k = 2, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((10L, 1L, 1.0)), out.mkString(","))
+  }
+
   test("ivf build + probe finds the query vector") {
     val emb = sf("embeddings")
     val ivf = Similarity.buildIvf(emb, "embedding", "vec_id", nCentroids = 8)
