@@ -303,6 +303,29 @@ object SparkEntry {
         .orderBy("bench_id", "train_id")
     }),
 
+    // near-dup cluster resolution: connected components (alternating
+    // large-star/small-star) over the exact ngram-Jaccard pair graph —
+    // cluster_id = minimum doc_id in the component
+    "q_cc_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = pipeline.Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        k = 2, threshold = 0.8)
+      pipeline.Graphs.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").alias("doc_id"), col("comp").alias("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
+    // cluster-resolved dedup: survivors after dropping every non-representative
+    // member of each near-dup cluster (transitive closure of the pair graph)
+    "q_cc_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = pipeline.Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        k = 2, threshold = 0.8)
+      pipeline.Graphs.dedupByCluster(docs, "doc_id", pairs, "id_a", "id_b")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
     // SimHash fingerprints (xxhash64 bit-votes — no SQL oracle, rows-only)
     "q_simhash" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -645,6 +668,57 @@ object SparkEntry {
          FROM sh b JOIN sh a ON b.doc_id % 7 = 0 AND a.doc_id % 7 <> 0
          WHERE len(list_intersect(b.s, a.s))::DOUBLE / len(b.s) >= 0.8
          ORDER BY bench_id, train_id""",
+    "q_cc_clusters" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(tk) < 2
+             THEN [array_to_string(tk, ' ')]
+             ELSE list_transform(generate_series(1, len(tk)-1),
+                    i -> array_to_string(tk[i:i+1], ' ')) END) AS s
+           FROM toks),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         cc AS (
+           SELECT DISTINCT src AS id, src AS comp FROM edges
+           UNION
+           SELECT e.dst AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.src)
+         SELECT id AS doc_id, min(comp) AS cluster_id FROM cc GROUP BY id
+         ORDER BY doc_id""",
+    "q_cc_dedup" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(tk) < 2
+             THEN [array_to_string(tk, ' ')]
+             ELSE list_transform(generate_series(1, len(tk)-1),
+                    i -> array_to_string(tk[i:i+1], ' ')) END) AS s
+           FROM toks),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         cc AS (
+           SELECT DISTINCT src AS id, src AS comp FROM edges
+           UNION
+           SELECT e.dst AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.src),
+         labels AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id)
+         SELECT d.doc_id, d.lang FROM documents d
+         LEFT JOIN labels l ON d.doc_id = l.id
+         WHERE l.comp IS NULL OR l.comp = d.doc_id
+         ORDER BY d.doc_id""",
     "q_embed_scores" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          SELECT vec_id, floor((

@@ -1,0 +1,127 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed graph clustering for near-duplicate resolution.
+  *
+  * A near-dup pass (MinHash-LSH, SimHash, n-gram Jaccard — see [[Dedup]])
+  * produces PAIRS; turning pairs into keep/drop decisions needs the
+  * transitive closure: if A~B and B~C, all three are one duplicate cluster
+  * even when A and C never matched directly. At corpus scale that is a
+  * connected-components problem over billions of edges.
+  *
+  * `connectedComponents` implements alternating large-star / small-star
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * ACM SoCC'14): each round is a fixed number of hash-partitioned shuffles
+  * over the edge set and the edge set converges to a star forest — every
+  * node pointing at its component's minimum id — in O(log² n) rounds
+  * (observed ~log n). No driver-side graph state, no O(diameter) label
+  * propagation. Per-round lineage is truncated with `localCheckpoint` so
+  * the plan stays bounded regardless of round count (on a real cluster
+  * with a checkpoint dir, `checkpoint` is the durable equivalent).
+  *
+  * Skew note: both star operations compute a per-node min as a WINDOW
+  * aggregate over the node's partition — no `collect_set`, so a hot node
+  * with millions of neighbors spills instead of building one giant array.
+  */
+object Graphs {
+
+  /** Large-star: for each node u, m = min(Γ(u) ∪ {u}); emit (v, m) for
+    * every strictly-larger neighbor v > u. Connects big neighbors to the
+    * local minimum without touching smaller ones. */
+  private[pipeline] def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+    sym
+      .withColumn("m", least(min(col("v")).over(Window.partitionBy(col("u"))), col("u")))
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Small-star: orient every edge toward its larger endpoint, then for
+    * each node u connect all smaller neighbors (and u itself) to the
+    * minimum of that neighborhood. */
+  private[pipeline] def smallStar(edges: DataFrame): DataFrame = {
+    val oriented = edges.select(
+      greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+    val withMin = oriented
+      .withColumn("m", min(col("v")).over(Window.partitionBy(col("u"))))
+    withMin.select(col("v").as("u"), col("m").as("v"))
+      .union(withMin.select(col("u"), col("m").as("v")))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** (edge count, order-insensitive content hash) — equality of consecutive
+    * signatures is the convergence test. Canonicalized to (min, max) so
+    * orientation flips don't read as change. */
+  private def signature(edges: DataFrame): (Long, BigDecimal) = {
+    val row = edges
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .distinct()
+      // decimal sum: a Long sum overflows under ANSI on large edge sets
+      .agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO)))
+      .head()
+    (row.getLong(0), BigDecimal(row.getDecimal(1)))
+  }
+
+  /** Connected components of the undirected graph given as a pair list.
+    *
+    * Returns one row per node that appears in at least one edge:
+    * (`id`, `comp`) where `comp` is the minimum node id in the component —
+    * a deterministic cluster representative. Nodes with no edges are not
+    * emitted (a duplicate-free doc has no cluster); callers wanting
+    * singletons can left-join and coalesce comp to id.
+    */
+  def connectedComponents(
+      pairs: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 50): DataFrame = {
+    var edges = pairs
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var sig: (Long, BigDecimal) = signature(edges)
+    var converged = sig._1 == 0L
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      edges = next
+      sig = nextSig
+      round += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+    // Converged star forest: leaves point at the root (= component min) and
+    // roots only appear as targets. comp(id) = min over (neighbors ∪ id)
+    // labels leaves with the root and the root with itself in one pass.
+    val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+    sym.groupBy(col("u").as("id"))
+      .agg(min(col("v")).as("mn"))
+      .select(col("id"), least(col("mn"), col("id")).as("comp"))
+  }
+
+  /** Resolve near-dup pairs into per-document keep/drop decisions: every
+    * document keeps its cluster id (its own id when unclustered) and only
+    * the cluster representative (minimum id) survives.
+    *
+    * The label set is small next to the corpus (only clustered docs carry
+    * a row), so the join broadcasts under AQE; the corpus is never
+    * shuffled. */
+  def dedupByCluster(
+      docs: DataFrame, idCol: String,
+      pairs: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val labels = connectedComponents(pairs, srcCol, dstCol)
+      .withColumnRenamed("id", "__cc_id")
+    docs
+      .join(labels, docs(idCol).cast("long") === col("__cc_id"), "left")
+      .where(col("comp").isNull || col("comp") === docs(idCol).cast("long"))
+      .drop("__cc_id", "comp")
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.pipeline.{Dedup, Graphs}
+
+/** Connected-components correctness: structured graphs (chains, cycles,
+  * stars, forests) plus randomized graphs checked against a brute-force
+  * union-find, and the end-to-end pairs→clusters→dedup path. */
+class GraphsSpec extends SparkSpec {
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val df = edges.toDF("src", "dst")
+    Graphs.connectedComponents(df, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** Brute-force union-find oracle. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("chain collapses to one component labeled by its minimum") {
+    val labels = cc(Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L)))
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("cycle, star and disjoint forest label independently") {
+    val labels = cc(Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),       // cycle
+      (10L, 11L), (10L, 12L), (10L, 13L), // star centered off-minimum
+      (20L, 21L)))                        // isolated pair
+    assert(labels.filter(_._1 < 10).values.toSet == Set(1L))
+    assert(labels.filter(k => k._1 >= 10 && k._1 < 20).values.toSet == Set(10L))
+    assert(labels(20L) == 20L && labels(21L) == 20L)
+  }
+
+  test("self-loops and duplicate/reversed edges are ignored") {
+    val labels = cc(Seq((1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L)))
+    assert(labels == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("empty edge set yields empty labeling") {
+    assert(cc(Seq.empty).isEmpty)
+  }
+
+  test("property: random graphs match brute-force union-find") {
+    val edgeGen: Gen[Seq[(Long, Long)]] = for {
+      n <- Gen.choose(2, 40)        // node universe
+      m <- Gen.choose(1, 60)        // edge count
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong)
+        b <- Gen.choose(0L, n.toLong)
+      } yield (a, b))
+    } yield es
+    (0 until 8).flatMap(i => edgeGen.apply(Gen.Parameters.default, Seed(42L + i)))
+      .foreach { edges =>
+        val expected = unionFind(edges.filter(e => e._1 != e._2))
+        assert(cc(edges) == expected, s"mismatch on $edges")
+      }
+  }
+
+  test("dedupByCluster keeps singletons and one representative per cluster") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river"),
+      (3L, "the quick brown fox jumps over the lazy dog near a river"),
+      (4L, "completely different content about catalyst optimizer internals"),
+      (5L, "another unrelated doc mentioning vectors and similarity search")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", k = 2, threshold = 0.5)
+    val kept = Graphs.dedupByCluster(docs, "doc_id", pairs, "id_a", "id_b")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 1,2,3 form one near-dup cluster (1↔2 exact, 2↔3 near) → keep 1
+    assert(kept == Set(1L, 4L, 5L))
+  }
+}
