@@ -303,6 +303,51 @@ object SparkEntry {
         .orderBy("bench_id", "train_id")
     }),
 
+    // Gopher-style repetition/quality signals (pure array expressions,
+    // zero shuffle)
+    "q_quality_rep" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        pipeline.TextAnalysis.duplicateWordFraction(col("text")).alias("dup_word_frac"),
+        pipeline.TextAnalysis.topBigramFraction(col("text")).alias("top_bigram_frac"),
+        pipeline.TextAnalysis.stopwordFraction(col("text")).alias("stopword_frac"),
+        pipeline.TextAnalysis.meanWordLength(col("text")).alias("mean_word_len"))
+        .orderBy("doc_id")),
+
+    // PII scrubbing over deterministically injected PII (the synthetic
+    // corpus carries none): counts + fingerprint of the scrubbed text
+    "q_pii_scrub" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact doc"), col("doc_id").cast("string"),
+          lit("@example.com from 10.1."), (col("doc_id") % 250).cast("string"),
+          lit(".7 or call +1-555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).alias("txt"))
+      pipeline.TextAnalysis.piiCounts(aug, "txt")
+        .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"),
+          md5(pipeline.TextAnalysis.scrubPii(col("txt"))).alias("scrub_fp"))
+        .orderBy("doc_id")
+    }),
+
+    // sequence packing: per-doc coordinates in the sharded concatenated
+    // token stream (seqLen=512, 8 shards)
+    "q_pack" -> ((s, dir) =>
+      pipeline.Packing.packDocs(t(s, dir, "documents"), "doc_id", "text",
+        seqLen = 512, shards = 8)
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          col("start_off"), col("seq_id"), col("seq_off"))
+        .orderBy("doc_id")),
+
+    // corpus-level vocabulary: top-20 bigrams by frequency (map-side
+    // partial agg + TakeOrdered; deterministic (cnt desc, ngram) tiebreak)
+    "q_top_ngrams" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(pipeline.TextAnalysis.bigrams(col("text"))).alias("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).alias("cnt"))
+        .orderBy(col("cnt").desc, col("ngram").asc)
+        .limit(20)),
+
     // near-dup cluster resolution: connected components (alternating
     // large-star/small-star) over the exact ngram-Jaccard pair graph —
     // cluster_id = minimum doc_id in the component
@@ -668,6 +713,66 @@ object SparkEntry {
          FROM sh b JOIN sh a ON b.doc_id % 7 = 0 AND a.doc_id % 7 <> 0
          WHERE len(list_intersect(b.s, a.s))::DOUBLE / len(b.s) >= 0.8
          ORDER BY bench_id, train_id""",
+    "q_quality_rep" ->
+      """WITH d AS (SELECT doc_id, text,
+             string_split(lower(trim(text)), ' ') AS tk FROM documents),
+         b AS (SELECT doc_id, text, tk,
+             CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
+                  ELSE list_transform(generate_series(1, len(tk)-1),
+                         i -> tk[i] || ' ' || tk[i+1]) END AS bg
+           FROM d)
+         SELECT doc_id,
+           floor((1 - len(list_distinct(tk))::DOUBLE/len(tk)) * 1e6 + 0.5)/1e6
+             AS dup_word_frac,
+           CASE WHEN len(bg) = 0 THEN 0.0
+                ELSE floor((list_max(list_transform(list_distinct(bg),
+                       x -> len(list_filter(bg, y -> y = x))))::DOUBLE
+                     / len(bg)) * 1e6 + 0.5)/1e6 END AS top_bigram_frac,
+           floor((len(list_filter(tk,
+               t -> list_contains(['the','a','of','and','is'], t)))::DOUBLE
+             / len(tk)) * 1e6 + 0.5)/1e6 AS stopword_frac,
+           floor((length(regexp_replace(trim(text), '\s+', '', 'g'))::DOUBLE
+             / len(tk)) * 1e6 + 0.5)/1e6 AS mean_word_len
+         FROM b ORDER BY doc_id""",
+    "q_pii_scrub" ->
+      """WITH aug AS (SELECT doc_id,
+           text || ' contact doc' || doc_id || '@example.com from 10.1.' ||
+             (doc_id % 250) || '.7 or call +1-555-' ||
+             lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' ||
+             lpad((doc_id % 10000)::VARCHAR, 4, '0') AS txt
+           FROM documents)
+         SELECT doc_id,
+           len(regexp_extract_all(txt,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(txt,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+           len(regexp_extract_all(txt,
+             '\+\d{1,2}-\d{3}-\d{3}-\d{4}')) AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(txt,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\+\d{1,2}-\d{3}-\d{3}-\d{4}', '<PHONE>', 'g')) AS scrub_fp
+         FROM aug ORDER BY doc_id""",
+    "q_pack" ->
+      """WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
+             len(string_split(trim(text), ' ')) AS n_tokens FROM documents),
+         c AS (SELECT doc_id, shard, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+               - n_tokens AS BIGINT) AS start_off
+           FROM d)
+         SELECT doc_id, shard, n_tokens, start_off,
+           CAST(floor(start_off / 512.0) AS BIGINT) AS seq_id,
+           CAST(start_off % 512 AS BIGINT) AS seq_off
+         FROM c ORDER BY doc_id""",
+    "q_top_ngrams" ->
+      """WITH d AS (SELECT string_split(lower(trim(text)), ' ') AS tk
+             FROM documents),
+         b AS (SELECT CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
+                  ELSE list_transform(generate_series(1, len(tk)-1),
+                         i -> tk[i] || ' ' || tk[i+1]) END AS bg FROM d),
+         u AS (SELECT unnest(bg) AS ngram FROM b)
+         SELECT ngram, count(*) AS cnt FROM u GROUP BY ngram
+         ORDER BY cnt DESC, ngram LIMIT 20""",
     "q_cc_clusters" ->
       """WITH RECURSIVE toks AS (
            SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk

@@ -1,0 +1,48 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM pretraining batches.
+  *
+  * Production pretraining pipelines concatenate documents into one token
+  * stream and cut it at fixed `seqLen` boundaries (documents may straddle a
+  * cut; attention masks handle the seams). This operator computes, fully
+  * declaratively, where each document lands in that stream: its shard, its
+  * start offset, the sequence index `floor(start / seqLen)` it begins in,
+  * and its offset inside that sequence.
+  *
+  * Scale design: the stream is sharded (`shard = id % shards`) and the
+  * running offset is a window cumsum per shard — one hash-partitioned
+  * shuffle, then each shard's prefix sum is an independent sorted task.
+  * `shards` is the parallelism unit: at 100 TB pick shards ≫ executor
+  * count (e.g. 4096) so no single shard's stream serializes the job.
+  * Deterministic: ordering is (id) within shard, no RNG anywhere.
+  */
+object Packing {
+
+  /** Per-document packed-stream coordinates. Output columns:
+    * `shard`, `n_tokens`, `start_off`, `seq_id`, `seq_off` (+ the id). */
+  def packDocs(
+      df: DataFrame, idCol: String, textCol: String,
+      seqLen: Int, shards: Int): DataFrame = {
+    require(seqLen > 0 && shards > 0, "seqLen and shards must be positive")
+    val id = col(idCol)
+    val w = Window.partitionBy(col("shard")).orderBy(id)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("shard", id % shards)
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long"))
+      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("seq_id", floor(col("start_off") / seqLen).cast("long"))
+      .withColumn("seq_off", col("start_off") % seqLen)
+  }
+
+  /** Shard-level packing summary: total tokens and the number of full
+    * `seqLen` sequences each shard's stream yields. */
+  def shardStats(packed: DataFrame, seqLen: Int): DataFrame =
+    packed.groupBy(col("shard"))
+      .agg(count(lit(1)).alias("n_docs"),
+        sum(col("n_tokens")).alias("total_tokens"))
+      .withColumn("n_full_seqs", floor(col("total_tokens") / seqLen).cast("long"))
+}

@@ -75,6 +75,77 @@ object TextAnalysis {
   def tokenSetKey(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(lower(text)))), " "))
 
+  /** Non-distinct word bigrams ("w1 w2") of the lowercased text; empty
+    * array for single-token docs. */
+  def bigrams(text: Column): Column = {
+    val toks = tokens(lower(text))
+    when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+  }
+
+  /** Fraction of word occurrences that repeat an earlier word — the
+    * word-level duplicate-content signal from Gopher-style quality rules.
+    * Pure array expression: zero shuffle, scan-parallel. */
+  def duplicateWordFraction(text: Column): Column = {
+    val toks = tokens(lower(text))
+    Rounding.halfUp(
+      lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks), 6)
+  }
+
+  /** Fraction of all bigram occurrences taken by the single most frequent
+    * bigram (Gopher "top n-gram fraction"). Computed as an array fold per
+    * document — O(distinct·total) per row, fine for document-sized text;
+    * for book-length inputs prefer an explode+count aggregation. */
+  def topBigramFraction(text: Column): Column = {
+    val bg = bigrams(text)
+    val top = array_max(transform(array_distinct(bg),
+      b => size(filter(bg, x => x === b))))
+    when(size(bg) === 0, lit(0.0))
+      .otherwise(Rounding.halfUp(top.cast("double") / size(bg), 6))
+  }
+
+  /** Fraction of tokens that are (English-marker) stopwords — a zero-hit
+    * doc is likely non-linguistic content. */
+  def stopwordFraction(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val stops = array(Markers("en").map(lit): _*)
+    Rounding.halfUp(
+      size(filter(toks, t => array_contains(stops, t))).cast("double") /
+        size(toks), 6)
+  }
+
+  /** Mean characters per word. */
+  def meanWordLength(text: Column): Column =
+    Rounding.halfUp(
+      length(regexp_replace(trim(text), "\\s+", "")).cast("double") /
+        size(tokens(text)), 6)
+
+  // ---- PII scrubbing ----
+  // RE2-compatible patterns (no lookaround, no backreferences) so SQL
+  // oracles and other engines can replicate matches exactly.
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d{1,2}-\\d{3}-\\d{3}-\\d{4}"
+
+  /** Replace emails, IPv4 addresses and +CC-XXX-XXX-XXXX phone numbers
+    * with typed placeholder tokens. Email runs first: its character class
+    * includes dots and digits, so scrubbing it cannot create new IP/phone
+    * matches, while the reverse order could split an address. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Per-document PII match counts (email, ipv4, phone). */
+  def piiCounts(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_email", regexp_count(col(textCol), lit(EmailRe)))
+      .withColumn("n_ip", regexp_count(col(textCol), lit(Ipv4Re)))
+      .withColumn("n_phone", regexp_count(col(textCol), lit(PhoneRe)))
+
   /** Convenience: annotate a document DataFrame with all measures. */
   def annotate(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_tokens", tokenCount(col(textCol)))
