@@ -348,6 +348,24 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("ngram").asc)
         .limit(20)),
 
+    // BM25 relevance search: corpus stats (N, avgdl, df) from one
+    // broadcast 1-row aggregate, per-term tf map-side, top-k TakeOrdered
+    "q_bm25" -> ((s, dir) =>
+      pipeline.Search.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
+        Seq("spark", "hash", "merge"), k = 50)),
+
+    // corpus bigram-LM quality scoring (CCNet-shape): add-α-smoothed mean
+    // bigram log-probability per document
+    "q_lm_score" -> ((s, dir) =>
+      pipeline.LangModel.scoreDocs(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
+
+    // corpus mixing: per-source token statistics (hash-agg on the source
+    // key; share via 1-row broadcast, no corpus window)
+    "q_mix" -> ((s, dir) =>
+      pipeline.Mixing.sourceStats(t(s, dir, "documents"), "text", "source")
+        .orderBy("source")),
+
     // near-dup cluster resolution: connected components (alternating
     // large-star/small-star) over the exact ngram-Jaccard pair graph —
     // cluster_id = minimum doc_id in the component
@@ -773,6 +791,65 @@ object SparkEntry {
          u AS (SELECT unnest(bg) AS ngram FROM b)
          SELECT ngram, count(*) AS cnt FROM u GROUP BY ngram
          ORDER BY cnt DESC, ngram LIMIT 20""",
+    "q_bm25" ->
+      """WITH d AS (SELECT doc_id,
+             string_split(lower(trim(text)), ' ') AS tk FROM documents),
+         base AS (SELECT doc_id, tk, len(tk)::BIGINT AS dl FROM d),
+         st AS (SELECT count(*)::DOUBLE AS n,
+             sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl,
+             sum(CASE WHEN list_contains(tk, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df0,
+             sum(CASE WHEN list_contains(tk, 'hash') THEN 1 ELSE 0 END)::DOUBLE AS df1,
+             sum(CASE WHEN list_contains(tk, 'merge') THEN 1 ELSE 0 END)::DOUBLE AS df2
+           FROM base),
+         sc AS (SELECT doc_id,
+             ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+               * len(list_filter(tk, x -> x = 'spark'))::DOUBLE * 2.2
+               / (len(list_filter(tk, x -> x = 'spark'))::DOUBLE
+                  + 1.2 * (0.25 + 0.75 * dl::DOUBLE / avgdl))
+             + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+               * len(list_filter(tk, x -> x = 'hash'))::DOUBLE * 2.2
+               / (len(list_filter(tk, x -> x = 'hash'))::DOUBLE
+                  + 1.2 * (0.25 + 0.75 * dl::DOUBLE / avgdl))
+             + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+               * len(list_filter(tk, x -> x = 'merge'))::DOUBLE * 2.2
+               / (len(list_filter(tk, x -> x = 'merge'))::DOUBLE
+                  + 1.2 * (0.25 + 0.75 * dl::DOUBLE / avgdl)) AS raw
+           FROM base, st)
+         SELECT doc_id, floor(raw * 1e6 + 0.5) / 1e6 AS score FROM sc
+         WHERE floor(raw * 1e6 + 0.5) / 1e6 > 0
+         ORDER BY score DESC, doc_id LIMIT 50""",
+    "q_lm_score" ->
+      """WITH d AS (SELECT doc_id,
+             string_split(lower(trim(text)), ' ') AS tk FROM documents),
+         b AS (SELECT doc_id, CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
+                 ELSE list_transform(generate_series(1, len(tk)-1),
+                        i -> tk[i] || ' ' || tk[i+1]) END AS bg FROM d),
+         e AS (SELECT doc_id, unnest(bg) AS ngram FROM b),
+         cn AS (SELECT ngram, count(*)::BIGINT AS cnt,
+                  string_split(ngram, ' ')[1] AS w1
+                FROM e GROUP BY ngram),
+         cx AS (SELECT w1, sum(cnt)::BIGINT AS ctx FROM cn GROUP BY w1),
+         v AS (SELECT count(DISTINCT t)::BIGINT AS v FROM
+                 (SELECT unnest(tk) AS t FROM d)),
+         lp AS (SELECT e.doc_id,
+                  ln((cn.cnt::DOUBLE + 0.5) / (cx.ctx::DOUBLE + 0.5 * v.v::DOUBLE)) AS lp
+                FROM e JOIN cn ON e.ngram = cn.ngram
+                       JOIN cx ON cn.w1 = cx.w1, v),
+         sc AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                  floor(avg(lp) * 1e6 + 0.5) / 1e6 AS lm_score
+                FROM lp GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams,
+                coalesce(sc.lm_score, 0.0) AS lm_score
+         FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id ORDER BY d.doc_id""",
+    "q_mix" ->
+      """WITH per AS (SELECT source, count(*)::BIGINT AS n_docs,
+             sum(len(string_split(trim(text), ' ')))::BIGINT AS n_tokens
+           FROM documents GROUP BY source),
+         tot AS (SELECT sum(n_tokens)::BIGINT AS total FROM per)
+         SELECT source, n_docs, n_tokens,
+           floor((n_tokens::DOUBLE / total::DOUBLE) * 1e6 + 0.5) / 1e6
+             AS token_share
+         FROM per, tot ORDER BY source""",
     "q_cc_clusters" ->
       """WITH RECURSIVE toks AS (
            SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk

@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Full-text relevance search (BM25) over a document corpus.
+  *
+  * Okapi BM25 (Robertson & Zaragoza, "The Probabilistic Relevance
+  * Framework: BM25 and Beyond", FnTIR 2009):
+  *
+  *   score(d, q) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
+  *   idf(t)      = ln(1 + (N − df(t) + 0.5) / (df(t) + 0.5))
+  *
+  * Plan shape (the part that matters at 100 TB): the query's term set is a
+  * tiny literal, so there is no inverted-index join at all — per-term
+  * `tf` is a map-side array fold over the document's own tokens, and the
+  * only corpus-wide facts the formula needs (N, avgdl, per-term df) fit in
+  * ONE row, computed by a single partial-aggregated pass and broadcast
+  * back with a 1-row nested-loop join. Net: two corpus scans (stats +
+  * score), zero shuffles of document data, and the final top-k is
+  * TakeOrderedAndProject — no global sort. A standing search service
+  * would precompute postings; this is the right shape for ad-hoc scoring
+  * inside a pipeline.
+  *
+  * Determinism: N, df are longs; doc lengths are integers, so `sum(dl)` is
+  * exact and avgdl = sum/count is one IEEE division — every engine
+  * computes bit-identical stats, and the per-row score is a fixed-order
+  * sum over the query terms (the DuckDB oracle replays the identical
+  * arithmetic).
+  */
+object Search {
+
+  /** Score every document against a bag-of-words query; columns
+    * (`idCol`, `score`). Tokenization is lowercased whitespace split —
+    * the corpus-wide baseline in [[TextAnalysis.tokens]]. */
+  def bm25ScoreAll(
+      df: DataFrame, textCol: String, idCol: String,
+      query: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "query must contain at least one term")
+    val terms = query.map(_.toLowerCase).distinct
+    val base = df.select(
+      col(idCol),
+      TextAnalysis.tokens(lower(col(textCol))).as("__tk"))
+      .withColumn("__dl", size(col("__tk")).cast("long"))
+    // one row: N, Σdl, df per query term (integer partial aggregates —
+    // map-side combine makes the stats pass one tiny shuffle of counters)
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(array_contains(col("__tk"), t), 1L).otherwise(0L)).as(s"__df$i")
+    }
+    val stats = base.agg(
+      count(lit(1)).as("__n"),
+      (sum(col("__dl")).as("__sumdl") +: dfCols): _*)
+    val n = col("__n").cast("double")
+    val avgdl = col("__sumdl").cast("double") / n
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("__tk"), x => x === lit(t))).cast("double")
+      val dft = col(s"__df$i").cast("double")
+      val idf = log(lit(1.0) + (n - dft + 0.5) / (dft + 0.5))
+      // evaluation order is pinned left-to-right so the DuckDB oracle can
+      // replay bit-identical IEEE arithmetic
+      idf * tf * (k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl").cast("double") / avgdl))
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .select(col(idCol), Rounding.halfUp(score, 6).as("score"))
+  }
+
+  /** Top-k BM25 hits (score-descending, id tiebreak). Only documents
+    * containing at least one query term score above zero; zero-score rows
+    * are dropped so k never pads with non-matches. */
+  def bm25TopK(
+      df: DataFrame, textCol: String, idCol: String,
+      query: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25ScoreAll(df, textCol, idCol, query, k1, b)
+      .filter(col("score") > 0.0)
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+}

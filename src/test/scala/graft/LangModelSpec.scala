@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.LangModel
+
+class LangModelSpec extends SparkSpec {
+
+  private val corpus = Seq(
+    (1L, "the cat sat"),
+    (2L, "the cat ran"),
+    (3L, "the dog sat"),
+    (4L, "zx"), // single token: no bigram evidence
+    (5L, "cat the cat")
+  )
+
+  private lazy val docs = {
+    import spark.implicits._
+    corpus.toDF("id", "text")
+  }
+
+  /** Independent reference scorer (plain Scala maps). */
+  private def expected(alpha: Double = 0.5): Map[Long, (Long, Double)] = {
+    val tokd = corpus.map { case (id, t) => id -> t.split("\\s+").toSeq }.toMap
+    val bgs = tokd.view.mapValues(tk =>
+      if (tk.size < 2) Seq.empty[(String, String)]
+      else tk.sliding(2).map(p => (p(0), p(1))).toSeq).toMap
+    val cnt = bgs.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val ctx = cnt.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val v = tokd.values.flatten.toSet.size.toDouble
+    tokd.map { case (id, _) =>
+      val b = bgs(id)
+      if (b.isEmpty) id -> (0L, 0.0)
+      else {
+        val lps = b.map(bg =>
+          math.log((cnt(bg) + alpha) / (ctx(bg._1) + alpha * v)))
+        id -> (b.size.toLong,
+          math.floor(lps.sum / lps.size * 1e6 + 0.5) / 1e6)
+      }
+    }
+  }
+
+  test("bigram counts and context totals") {
+    val bg = LangModel.bigramCounts(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bg("the cat") == 3L) // docs 1, 2 and 5
+    assert(bg("cat sat") == 1L)
+    val ctx = LangModel.contextCounts(LangModel.bigramCounts(docs, "text"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ctx("the") == 4L) // the→cat ×3, the→dog ×1
+    assert(ctx("cat") == 3L) // cat→sat, cat→ran, cat→the
+  }
+
+  test("scores match an independent implementation; short docs score 0") {
+    val got = LangModel.scoreDocs(docs, "text", "id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val exp = expected()
+    assert(got.keySet == exp.keySet)
+    got.foreach { case (id, (nb, s)) =>
+      assert(nb == exp(id)._1, s"doc $id bigram count")
+      assert(math.abs(s - exp(id)._2) < 1e-9, s"doc $id: $s vs ${exp(id)._2}")
+    }
+    assert(got(4L) == ((0L, 0.0)))
+  }
+
+  test("common-transition docs outscore rare-transition docs") {
+    val got = LangModel.scoreDocs(docs, "text", "id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // "the cat …" transitions are the corpus's most frequent; doc 3's
+    // "the dog" appears once under the same high-fanout "the" context
+    assert(got(1L) > got(3L))
+  }
+}

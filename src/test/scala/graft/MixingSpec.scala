@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Mixing, Sampling}
+
+class MixingSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    // web: 100 docs × 10 tokens; books: 50 × 40; code: 10 × 5
+    val rows =
+      (0 until 100).map(i => (i.toLong, Seq.fill(10)("w").mkString(" "), "web")) ++
+      (100 until 150).map(i => (i.toLong, Seq.fill(40)("b").mkString(" "), "books")) ++
+      (150 until 160).map(i => (i.toLong, Seq.fill(5)("c").mkString(" "), "code"))
+    rows.toDF("id", "text", "source")
+  }
+
+  test("sourceStats measures docs, tokens and share") {
+    val st = Mixing.sourceStats(docs, "text", "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(st("web") == ((100L, 1000L, 0.327869)))   // 1000/3050
+    assert(st("books") == ((50L, 2000L, 0.655738)))
+    assert(st("code") == ((10L, 50L, 0.016393)))
+  }
+
+  test("budgetRates hits targets and caps at 1.0") {
+    val stats = Mixing.sourceStats(docs, "text", "source")
+    val rates = Mixing.budgetRates(stats, "source",
+      weights = Map("web" -> 0.5, "books" -> 0.5), tokenBudget = 1000L)
+    // web slot = 500 of 1000 tokens → rate 0.5; books 500 of 2000 → 0.25
+    assert(math.abs(rates("web") - 0.5) < 1e-12)
+    assert(math.abs(rates("books") - 0.25) < 1e-12)
+    assert(rates("code") == 0.0) // unweighted source drops
+    // a budget larger than the source caps at keep-everything
+    val big = Mixing.budgetRates(stats, "source",
+      weights = Map("code" -> 1.0), tokenBudget = 100000L)
+    assert(big("code") == 1.0)
+  }
+
+  test("mixToBudget equals stratifiedSample at the planned rates") {
+    val weights = Map("web" -> 0.7, "books" -> 0.3)
+    val got = Mixing.mixToBudget(docs, "text", "id", "source", weights, 800L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val rates = Mixing.budgetRates(
+      Mixing.sourceStats(docs, "text", "source"), "source", weights, 800L)
+    val want = Sampling.stratifiedSample(docs, "id", "source", rates, 0.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // realized mix stays on the web/books sources only
+    val srcs = docs.filter(col("id").isin(got.toSeq.map(Long.box): _*))
+      .select("source").distinct().collect().map(_.getString(0)).toSet
+    assert(srcs.subsetOf(Set("web", "books")))
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Search
+
+class SearchSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "spark shuffle hash join build side"),
+      (2L, "merge sort merge join spills to disk"),
+      (3L, "broadcast hash join avoids the shuffle"),
+      (4L, "the quick brown fox jumps over the lazy dog"),
+      (5L, "spark spark spark hash")
+    ).toDF("id", "text")
+  }
+
+  /** Reference BM25 computed independently (plain Scala). */
+  private def expected(query: Seq[String], k1: Double = 1.2, b: Double = 0.75)
+  : Map[Long, Double] = {
+    val toks = Map(
+      1L -> "spark shuffle hash join build side",
+      2L -> "merge sort merge join spills to disk",
+      3L -> "broadcast hash join avoids the shuffle",
+      4L -> "the quick brown fox jumps over the lazy dog",
+      5L -> "spark spark spark hash"
+    ).view.mapValues(_.split("\\s+").toSeq).toMap
+    val n = toks.size.toDouble
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    toks.map { case (id, tk) =>
+      val dl = tk.size.toDouble
+      val s = query.map { t =>
+        val tf = tk.count(_ == t).toDouble
+        val dft = toks.values.count(_.contains(t)).toDouble
+        val idf = math.log(1.0 + (n - dft + 0.5) / (dft + 0.5))
+        idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+      }.sum
+      id -> math.floor(s * 1e6 + 0.5) / 1e6
+    }
+  }
+
+  test("bm25 scores match an independent implementation") {
+    val q = Seq("spark", "hash")
+    val got = Search.bm25ScoreAll(docs, "text", "id", q)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exp = expected(q)
+    assert(got.keySet == exp.keySet)
+    got.foreach { case (id, s) =>
+      assert(math.abs(s - exp(id)) < 1e-9, s"doc $id: $s vs ${exp(id)}")
+    }
+  }
+
+  test("topK ranks by score desc with id tiebreak and drops non-matches") {
+    val out = Search.bm25TopK(docs, "text", "id", Seq("spark", "hash"), k = 10)
+      .collect().map(_.getLong(0))
+    // doc 4 contains neither term → excluded even though k admits it
+    assert(!out.contains(4L))
+    val exp = expected(Seq("spark", "hash"))
+    val want = exp.filter(_._2 > 0).toSeq
+      .sortBy { case (id, s) => (-s, id) }.map(_._1)
+    assert(out.toSeq == want)
+  }
+
+  test("repeated query terms are deduplicated, not double-counted") {
+    val once = Search.bm25ScoreAll(docs, "text", "id", Seq("spark"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val twice = Search.bm25ScoreAll(docs, "text", "id", Seq("spark", "SPARK"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(once == twice)
+  }
+
+  test("plan: no shuffle of document rows; top-k is TakeOrdered") {
+    val plan = Search.bm25TopK(docs, "text", "id", Seq("spark"), k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the only exchange feeds the 1-row stats aggregate (plus its
+    // broadcast); document rows themselves must not hash-partition
+    assert(!plan.contains("hashpartitioning(id"), plan)
+  }
+}
