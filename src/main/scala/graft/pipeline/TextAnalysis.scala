@@ -76,12 +76,20 @@ object TextAnalysis {
     md5(array_join(array_sort(array_distinct(tokens(lower(text)))), " "))
 
   /** Non-distinct word bigrams ("w1 w2") of the lowercased text; empty
-    * array for single-token docs. */
+    * array for single-token docs.
+    *
+    * Shape note: `zip_with` over two slices, NOT `transform(sequence, i =>
+    * element_at(toks, i)…)`. A lambda that captures `toks` re-evaluates the
+    * whole tokenize subtree once per element (HOF bodies don't get
+    * subexpression elimination), turning tokenization O(tokens²) per doc —
+    * 4.9 s vs 0.8 s on the sf0.1 top-bigrams query. zip_with evaluates its
+    * array arguments once per row. */
   def bigrams(text: Column): Column = {
     val toks = tokens(lower(text))
-    when(size(toks) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+    val n = size(toks)
+    when(n < 2, array().cast("array<string>"))
+      .otherwise(zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+        (a, b) => concat_ws(" ", a, b)))
   }
 
   /** Fraction of word occurrences that repeat an earlier word — the
