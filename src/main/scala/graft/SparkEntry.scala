@@ -42,6 +42,16 @@ object SparkEntry {
     emb.unionByName(clones)
   }
 
+  /** Documents with a fixed 13-token boilerplate appended to every fifth
+    * doc — deterministic planted duplication for the span-dedup queries
+    * (mirrored verbatim in the DuckDB oracle). */
+  private val Boilerplate = " legal notice all rights reserved unauthorized" +
+    " reproduction of this document is strictly prohibited"
+  private def boilerplated(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 5 === 0, concat(col("text"), lit(Boilerplate)))
+        .otherwise(col("text")).alias("txt"))
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Graft.query(spark,
@@ -347,6 +357,24 @@ object SparkEntry {
         .groupBy("ngram").agg(count(lit(1)).alias("cnt"))
         .orderBy(col("cnt").desc, col("ngram").asc)
         .limit(20)),
+
+    // span-level exact-substring duplication (Lee et al. 2022 shape):
+    // rolling 8-token window hashes; every window occurring >= 2 times
+    // marks its positions; overlapping windows merge to spans. A fixed
+    // 13-token boilerplate is planted on doc_id % 5 == 0 (the synthetic
+    // corpus has no natural 8-gram repeats) — the classic boilerplate-
+    // removal scenario.
+    "q_spans" -> ((s, dir) =>
+      pipeline.Dedup.duplicatedSpans(boilerplated(s, dir), "txt", "doc_id",
+        w = 8).orderBy("doc_id", "span_start")),
+
+    // span removal: surviving tokens + fingerprint of the cleaned text
+    "q_clean" -> ((s, dir) =>
+      pipeline.Dedup.removeDuplicatedSpans(boilerplated(s, dir), "txt",
+        "doc_id", w = 8)
+        .select(col("doc_id"), md5(col("txt")).alias("clean_fp"),
+          col("n_kept"))
+        .orderBy("doc_id")),
 
     // BM25 relevance search: corpus stats (N, avgdl, df) from one
     // broadcast 1-row aggregate, per-term tf map-side, top-k TakeOrdered
@@ -791,6 +819,67 @@ object SparkEntry {
          u AS (SELECT unnest(bg) AS ngram FROM b)
          SELECT ngram, count(*) AS cnt FROM u GROUP BY ngram
          ORDER BY cnt DESC, ngram LIMIT 20""",
+    "q_spans" ->
+      """WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+             THEN text || ' legal notice all rights reserved unauthorized reproduction of this document is strictly prohibited'
+             ELSE text END AS txt FROM documents),
+         d AS (SELECT doc_id, string_split(lower(trim(txt)), ' ') AS tk FROM aug),
+         wi AS (SELECT doc_id, tk,
+                  unnest(generate_series(1, greatest(len(tk) - 7, 0)))::BIGINT AS i
+                FROM d),
+         w AS (SELECT doc_id, i - 1 AS pos,
+                 array_to_string(tk[i:i+7], ' ') AS win FROM wi),
+         dup AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+         dw AS (SELECT doc_id, pos FROM w JOIN dup USING (win)),
+         m AS (SELECT doc_id, pos,
+                 max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+               FROM dw),
+         g AS (SELECT doc_id, pos,
+                 sum(CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS island
+               FROM m)
+         SELECT doc_id, min(pos)::BIGINT AS span_start,
+                (max(pos) + 8)::BIGINT AS span_end
+         FROM g GROUP BY doc_id, island ORDER BY doc_id, span_start""",
+    "q_clean" ->
+      """WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+             THEN text || ' legal notice all rights reserved unauthorized reproduction of this document is strictly prohibited'
+             ELSE text END AS txt FROM documents),
+         d AS (SELECT doc_id, txt,
+                 string_split(lower(trim(txt)), ' ') AS tk FROM aug),
+         wi AS (SELECT doc_id, tk,
+                  unnest(generate_series(1, greatest(len(tk) - 7, 0)))::BIGINT AS i
+                FROM d),
+         w AS (SELECT doc_id, i - 1 AS pos,
+                 array_to_string(tk[i:i+7], ' ') AS win FROM wi),
+         dup AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+         dw AS (SELECT doc_id, pos FROM w JOIN dup USING (win)),
+         m AS (SELECT doc_id, pos,
+                 max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+               FROM dw),
+         g AS (SELECT doc_id, pos,
+                 sum(CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS island
+               FROM m),
+         sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+                FROM g GROUP BY doc_id, island),
+         tokpos AS (SELECT doc_id,
+                      unnest(string_split(trim(txt), ' ')) AS t,
+                      unnest(generate_series(1, len(string_split(trim(txt), ' '))))::BIGINT AS i
+                    FROM d),
+         kept AS (SELECT tp.doc_id, tp.i, tp.t FROM tokpos tp
+                  WHERE NOT EXISTS (SELECT 1 FROM sp
+                    WHERE sp.doc_id = tp.doc_id
+                      AND tp.i - 1 >= sp.s AND tp.i - 1 < sp.e)),
+         agg AS (SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS ct,
+                   count(*) AS n FROM kept GROUP BY doc_id)
+         SELECT d.doc_id, md5(coalesce(a.ct, '')) AS clean_fp,
+                coalesce(a.n, 0)::BIGINT AS n_kept
+         FROM d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""",
     "q_bm25" ->
       """WITH d AS (SELECT doc_id,
              string_split(lower(trim(text)), ' ') AS tk FROM documents),

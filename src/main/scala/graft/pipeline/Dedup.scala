@@ -28,13 +28,22 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Word k-shingles of the whitespace-tokenized text. */
+  /** Word k-shingles of the whitespace-tokenized text.
+    *
+    * Built as k-1 chained zip_with calls over shifted slices — a lambda
+    * that captured `toks` (transform(sequence, i => slice(toks, …))) would
+    * re-evaluate the tokenize subtree per element (no subexpression
+    * elimination inside HOF bodies), making shingling O(tokens²) per doc.
+    * zip_with evaluates its array arguments once per row. */
   def shingles(text: Column, k: Int = 3): Column = {
     val toks = TextAnalysis.tokens(lower(text))
-    when(size(toks) < k, array(array_join(toks, " ")))
-      .otherwise(transform(
-        sequence(lit(0), size(toks) - k),
-        i => array_join(slice(toks, i + 1, lit(k)), " ")))
+    val n = size(toks)
+    val win = (1 until k).foldLeft(slice(toks, lit(1), n - (k - 1))) {
+      (acc, j) =>
+        zip_with(acc, slice(toks, lit(1 + j), n - (k - 1)),
+          (a, b) => concat(a, lit(" "), b))
+    }
+    when(n < k, array(array_join(toks, " "))).otherwise(win)
   }
 
   /** MinHash signature: `n` independent min-hashes over a string shingle
@@ -292,5 +301,86 @@ object Dedup {
       .filter(col("containment") >= threshold)
       .select(col("bench_id"), col("train_id"),
         Rounding.halfUp(col("containment"), 6).alias("containment"))
+  }
+
+  /** Span-level exact-substring duplication (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022 — the
+    * suffix-array pass, re-expressed as rolling window hashes): a token
+    * window of length `w` that occurs ≥ `minOccurrences` times anywhere in
+    * the corpus marks every covering position as duplicated; overlapping
+    * duplicated windows merge into maximal spans.
+    *
+    * Returns (`doc_id`, `span_start`, `span_end`) — token-index intervals
+    * [start, end), ordered within doc. Docs without duplicated windows
+    * emit nothing.
+    *
+    * Scale shape: windows come from ONE native codegen'd pass per doc
+    * (graft_window_hashes — no per-element re-tokenization), positions are
+    * (doc_id, pos, hash64) triples; the repeat filter is a hash-aggregate
+    * on the 8-byte hash; the join back carries ids+positions only; the
+    * interval merge is a per-doc sort (gaps-and-islands with a running
+    * max), and the final group-by reuses the same doc_id partitioning —
+    * two shuffles total, both on compact keys, never the text itself. */
+  def duplicatedSpans(
+      df: DataFrame, textCol: String, idCol: String,
+      w: Int = 8, minOccurrences: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(w > 0 && minOccurrences >= 2, "w > 0 and minOccurrences >= 2")
+    val hashed = df.select(col(idCol).alias("doc_id"),
+      posexplode(org.apache.spark.sql.graft.sketch.window_hashes(col(textCol), w))
+        .as(Seq("pos", "whash")))
+    val dupHashes = hashed.groupBy(col("whash"))
+      .agg(count(lit(1)).alias("__occ"))
+      .filter(col("__occ") >= minOccurrences)
+      .select(col("whash"))
+    val dup = hashed.join(dupHashes, "whash")
+    // merge overlapping/adjacent [pos, pos+w) windows: a window starts a
+    // new span iff it begins past the running max end of its predecessors
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevMaxEnd = max(col("pos") + w)
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    dup
+      .withColumn("__new", when(prevMaxEnd.isNull || col("pos") > prevMaxEnd, 1)
+        .otherwise(0))
+      .withColumn("__island", sum(col("__new")).over(byDoc))
+      .groupBy(col("doc_id"), col("__island"))
+      .agg(min(col("pos")).cast("long").alias("span_start"),
+        (max(col("pos")) + w).cast("long").alias("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
+
+  /** Cut duplicated spans out of the text (keep the first occurrence? No —
+    * like the reference recipe, EVERY occurrence of a ≥w-token repeated
+    * window is removed; callers wanting keep-one semantics dedup exact
+    * copies first). Returns the input rows with `textCol` rewritten to the
+    * surviving tokens and `n_kept` (surviving token count). The span list
+    * per doc is small (it is the merged interval set), so the
+    * position-filter lambda is O(tokens·spans) per row over plain
+    * attributes — no re-tokenization, no HOF capture trap. */
+  def removeDuplicatedSpans(
+      df: DataFrame, textCol: String, idCol: String,
+      w: Int = 8, minOccurrences: Int = 2): DataFrame = {
+    val spans = duplicatedSpans(df, textCol, idCol, w, minOccurrences)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .alias("__spans"))
+    // drop by reference: a plain drop("doc_id") would also remove the
+    // caller's id column when it shares the name
+    val joined = df.join(spans, df(idCol) === spans("doc_id"), "left")
+      .drop(spans("doc_id"))
+    val toks = TextAnalysis.tokens(col(textCol))
+    val spansOrEmpty = coalesce(col("__spans"),
+      array().cast("array<struct<span_start:bigint,span_end:bigint>>"))
+    // filter(x, (x, i) => …): i is the 0-based token position; a token
+    // survives iff no span covers it
+    val kept = filter(toks, (t, i) =>
+      !exists(spansOrEmpty, s =>
+        i.cast("long") >= s.getField("span_start") &&
+          i.cast("long") < s.getField("span_end")))
+    joined
+      .withColumn("__kept", kept)
+      .withColumn(textCol, array_join(col("__kept"), " "))
+      .withColumn("n_kept", size(col("__kept")).cast("long"))
+      .drop("__spans", "__kept")
   }
 }

@@ -16,6 +16,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * Functions (all codegen'd native expressions, see HashExpressions):
   *   graft_cosine(array<float>, array<float>) → double
   *   graft_shingle_hashes(string, k) → array<long>
+  *   graft_window_hashes(string, w) → array<long>
   *   graft_minhash(array<string>, n) → array<long>
   *   graft_minhash_longs(array<long>, n) → array<long>
   *   graft_simhash64(array<string>) → long
@@ -52,6 +53,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_shingle_hashes takes 2 arguments")
         ShingleHashes(args(0), intArg(args(1), "graft_shingle_hashes", 1))
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_window_hashes"),
+      info("graft_window_hashes", "graft_window_hashes(text, w) - positional rolling w-token window hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_window_hashes takes 2 arguments")
+        WindowHashes(args(0), intArg(args(1), "graft_window_hashes", 1))
       }))
     ext.injectFunction((FunctionIdentifier("graft_minhash"),
       info("graft_minhash", "graft_minhash(arr, n) - n-way minhash signature of a string array"),

@@ -55,6 +55,32 @@ object GraftHashOps {
     new GenericArrayData(out)
   }
 
+  /** Positional rolling window hashes: hash of tokens [i, i+w) at index i
+    * (0-based), ordered, NOT deduplicated — the span-level dedup primitive
+    * (shingleHashes loses positions and repeats). Fewer than w tokens →
+    * empty (a short doc has no w-window to match). */
+  def windowHashes(input: UTF8String, w: Int): ArrayData = {
+    val text = input.toString.toLowerCase
+    val toks = text.trim.split("\\s+")
+    if (toks.length < w) return new GenericArrayData(Array.emptyLongArray)
+    val tokHashes = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      tokHashes(i) = XxHash64Function.hash(UTF8String.fromString(toks(i)), StringType, 42L)
+      i += 1
+    }
+    val out = new Array[Long](toks.length - w + 1)
+    var s = 0
+    while (s <= toks.length - w) {
+      var h = 17L
+      var j = 0
+      while (j < w) { h = XxHash64Function.hash(tokHashes(s + j), LongType, h); j += 1 }
+      out(s) = h
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def minhashLongs(arr: ArrayData, n: Int): ArrayData = {
     val sig = new Array[Long](n)
     java.util.Arrays.fill(sig, Long.MaxValue)
@@ -287,6 +313,27 @@ case class ShingleHashes(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Positional rolling w-token window hashes (see GraftHashOps.windowHashes).
+  * Input: string; output: array<long>, index i = window starting at token i. */
+case class WindowHashes(child: Expression, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_window_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.windowHashes(input.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${Gen.Ops}.windowHashes($c, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WindowHashes =
+    copy(child = newChild)
+}
+
 /** MinHash signature over pre-hashed shingles (array<long>). */
 case class MinHashSignatureLongs(child: Expression, n: Int)
     extends UnaryExpression with ExpectsInputTypes {
@@ -372,6 +419,8 @@ object sketch {
     column(CosineSimilarity(expression(a), expression(b)))
   def shingle_hashes(c: Column, k: Int): Column =
     column(ShingleHashes(expression(c), k))
+  def window_hashes(c: Column, w: Int): Column =
+    column(WindowHashes(expression(c), w))
   def minhash_signature_longs(c: Column, n: Int): Column =
     column(MinHashSignatureLongs(expression(c), n))
   def nearest_centroid(c: Column, centroids: Seq[Seq[Float]]): Column =

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Dedup
+
+class SpanDedupSpec extends SparkSpec {
+
+  // w=3 windows; docs 1 and 2 share "a b c d" (two overlapping duplicated
+  // windows -> one merged span); doc 3 repeats "x y z" within itself;
+  // doc 4 shares nothing; doc 5 is too short for any window
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "p q a b c d r s"),
+      (2L, "m a b c d n"),
+      (3L, "x y z h h x y z"),
+      (4L, "one two three four five"),
+      (5L, "t u")
+    ).toDF("id", "text")
+  }
+
+  private def spans(minOcc: Int = 2): Map[(Long, Long), Long] =
+    Dedup.duplicatedSpans(docs, "text", "id", w = 3, minOccurrences = minOcc)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  test("cross-doc duplicated windows merge into maximal spans") {
+    val got = spans()
+    // doc 1: "a b c" at 2 and "b c d" at 3 merge -> [2, 6)
+    assert(got((1L, 2L)) == 6L)
+    // doc 2: same windows at 1 and 2 -> [1, 5)
+    assert(got((2L, 1L)) == 5L)
+  }
+
+  test("within-doc repetition is caught; disjoint occurrences stay separate") {
+    val got = spans()
+    // doc 3: "x y z" at 0 and at 5 -> two spans [0,3) and [5,8)
+    assert(got((3L, 0L)) == 3L)
+    assert(got((3L, 5L)) == 8L)
+  }
+
+  test("unique docs and short docs emit no spans") {
+    val ids = spans().keys.map(_._1).toSet
+    assert(!ids.contains(4L) && !ids.contains(5L))
+  }
+
+  test("minOccurrences raises the repeat bar") {
+    // every duplicated window occurs exactly twice -> nothing at >= 3
+    assert(spans(minOcc = 3).isEmpty)
+  }
+
+  test("removeDuplicatedSpans cuts exactly the span tokens") {
+    val got = Dedup.removeDuplicatedSpans(docs, "text", "id", w = 3)
+      .select(col("id"), col("text"), col("n_kept"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == (("p q r s", 4L)))
+    assert(got(2L) == (("m n", 2L)))
+    assert(got(3L) == (("h h", 2L)))
+    assert(got(4L) == (("one two three four five", 5L)))
+    assert(got(5L) == (("t u", 2L)))
+  }
+
+  test("plan: every shuffle carries compact keys, never the text") {
+    val plan = Dedup.duplicatedSpans(docs, "text", "id", w = 3)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning\\([^)]*\\)[^\\n]*"
+      .r.findAllIn(plan).toList
+    assert(exchanges.nonEmpty, plan)
+    // shuffles partition on whash or doc_id — the text column never
+    // crosses an exchange (windows are hashed before the first shuffle)
+    exchanges.foreach(e => assert(!e.contains("text"), e))
+    assert(plan.contains("graft_window_hashes"), plan)
+  }
+}
