@@ -77,16 +77,26 @@ object Graphs {
     * a deterministic cluster representative. Nodes with no edges are not
     * emitted (a duplicate-free doc has no cluster); callers wanting
     * singletons can left-join and coalesce comp to id.
+    *
+    * Edge sets at or below `localThreshold` (already deduplicated —
+    * near-dup graphs are tiny next to their corpus) short-circuit to a
+    * driver-side union-find: the star rounds cost ~2 jobs each and
+    * converge in O(log n) rounds, pure fixed overhead when the edges fit
+    * in memory. The default admits ≤2²⁰ edges (~16 MB) — the same bounded
+    * driver-side pattern as the IVF centroid fetch; pass 0 to force the
+    * distributed path.
     */
   def connectedComponents(
       pairs: DataFrame, srcCol: String, dstCol: String,
-      maxRounds: Int = 50): DataFrame = {
+      maxRounds: Int = 50, localThreshold: Long = 1L << 20): DataFrame = {
     var edges = pairs
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
     var sig: (Long, BigDecimal) = signature(edges)
+    if (sig._1 > 0L && sig._1 <= localThreshold)
+      return localComponents(edges)
     var converged = sig._1 == 0L
     var round = 0
     while (!converged && round < maxRounds) {
@@ -105,6 +115,27 @@ object Graphs {
     sym.groupBy(col("u").as("id"))
       .agg(min(col("v")).as("mn"))
       .select(col("id"), least(col("mn"), col("id")).as("comp"))
+  }
+
+  /** Small-graph fast path: union-find with path compression on the
+    * driver (edge count pre-checked against `localThreshold`). Same
+    * output contract as the distributed path: (id, comp-minimum). */
+  private def localComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // roots are already component minima: unions always point the larger
+    // root at the smaller
+    parent.keys.toSeq.map(k => (k, find(k))).toDF("id", "comp")
   }
 
   /** Resolve near-dup pairs into per-document keep/drop decisions: every

@@ -9,10 +9,12 @@ import graft.pipeline.{Dedup, Graphs}
   * union-find, and the end-to-end pairs→clusters→dedup path. */
 class GraphsSpec extends SparkSpec {
 
-  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  /** localThreshold = 0 forces the distributed star rounds — the default
+    * would route every test-sized graph through the driver fast path. */
+  private def cc(edges: Seq[(Long, Long)], localThreshold: Long = 0L): Map[Long, Long] = {
     import spark.implicits._
     val df = edges.toDF("src", "dst")
-    Graphs.connectedComponents(df, "src", "dst")
+    Graphs.connectedComponents(df, "src", "dst", localThreshold = localThreshold)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -67,6 +69,9 @@ class GraphsSpec extends SparkSpec {
       .foreach { edges =>
         val expected = unionFind(edges.filter(e => e._1 != e._2))
         assert(cc(edges) == expected, s"mismatch on $edges")
+        // the small-graph driver fast path must agree exactly
+        assert(cc(edges, localThreshold = 1L << 20) == expected,
+          s"local-path mismatch on $edges")
       }
   }
 
