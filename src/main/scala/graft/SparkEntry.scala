@@ -358,6 +358,20 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("ngram").asc)
         .limit(20)),
 
+    // incremental near-dup: standing MinHash-LSH index of the corpus
+    // (doc_id % 11 != 0), probed by a new batch (doc_id % 11 == 0); the
+    // corpus is never re-sketched. Oracle: brute-force exact Jaccard over
+    // the same split.
+    "q_incr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val index = pipeline.Dedup.minhashIndex(
+        docs.filter(col("doc_id") % 11 =!= 0), "text", "doc_id")
+      pipeline.Dedup.minhashProbe(index,
+        docs.filter(col("doc_id") % 11 === 0), "text", "doc_id",
+        jaccardThreshold = 0.7)
+        .orderBy("new_id", "corpus_id")
+    }),
+
     // span-level exact-substring duplication (Lee et al. 2022 shape):
     // rolling 8-token window hashes; every window occurring >= 2 times
     // marks its positions; overlapping windows merge to spans. A fixed
@@ -819,6 +833,23 @@ object SparkEntry {
          u AS (SELECT unnest(bg) AS ngram FROM b)
          SELECT ngram, count(*) AS cnt FROM u GROUP BY ngram
          ORDER BY cnt DESC, ngram LIMIT 20""",
+    "q_incr" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(tk) < 3
+             THEN [array_to_string(tk, ' ')]
+             ELSE list_transform(generate_series(1, len(tk)-2),
+                    i -> array_to_string(tk[i:i+2], ' ')) END) AS s
+           FROM toks)
+         SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
+           floor((len(list_intersect(n.s, c.s))::DOUBLE /
+             (len(n.s) + len(c.s) - len(list_intersect(n.s, c.s)))) * 1e6 + 0.5) / 1e6 AS jaccard
+         FROM sh n JOIN sh c ON n.doc_id % 11 = 0 AND c.doc_id % 11 <> 0
+         WHERE len(list_intersect(n.s, c.s))::DOUBLE /
+           (len(n.s) + len(c.s) - len(list_intersect(n.s, c.s))) >= 0.7
+         ORDER BY new_id, corpus_id""",
     "q_spans" ->
       """WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
              THEN text || ' legal notice all rights reserved unauthorized reproduction of this document is strictly prohibited'

@@ -117,6 +117,66 @@ object Dedup {
       .select(col("id_a"), col("id_b"), Rounding.halfUp(col("jaccard"), 6).alias("jaccard"))
   }
 
+  /** A standing MinHash-LSH index: `buckets` (band, bh, id) postings and
+    * `sketches` (id, shh) hashed shingle sets for exact verification.
+    * Both are plain DataFrames — persist them (parquet, bucketed on their
+    * join keys via [[Bucketing]]) and nightly batches probe the index
+    * instead of re-sketching the corpus. */
+  final case class MinhashIndex(buckets: DataFrame, sketches: DataFrame)
+
+  /** Build the standing index of a corpus (one sketch pass + one explode;
+    * the same band parameters must be used by every later probe). */
+  def minhashIndex(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, bands: Int = 16, rows: Int = 4): MinhashIndex = {
+    val n = bands * rows
+    val sk = df.select(col(idCol).alias("id"),
+      org.apache.spark.sql.graft.sketch.shingle_hashes(col(textCol), k).alias("shh"))
+      .repartition(col("id"))
+    val buckets = sk
+      .select(col("id"),
+        explode(bandHashes(
+          org.apache.spark.sql.graft.sketch.minhash_signature_longs(col("shh"), n),
+          bands, rows)).alias("b"))
+      .select(col("b.band").alias("band"), col("b.bh").alias("bh"), col("id"))
+    MinhashIndex(buckets, sk)
+  }
+
+  /** Incremental near-dup detection: probe a standing index with a new
+    * batch. Returns (`new_id`, `corpus_id`, `jaccard`) for batch docs
+    * whose exact Jaccard against an index doc reaches the threshold.
+    *
+    * Scale shape: the corpus is touched only through the index tables —
+    * never re-sketched. Only the (small) batch is sketched here; its
+    * bucket list joins the postings on (band, bh) — AQE broadcasts the
+    * batch side against a 100 TB index — and verification joins sketches
+    * back by id, candidates carrying ids only. */
+  def minhashProbe(
+      index: MinhashIndex, newDf: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, bands: Int = 16, rows: Int = 4,
+      jaccardThreshold: Double = 0.7): DataFrame = {
+    val n = bands * rows
+    val newSk = newDf.select(col(idCol).alias("new_id"),
+      org.apache.spark.sql.graft.sketch.shingle_hashes(col(textCol), k).alias("shn"))
+      .repartition(col("new_id"))
+    val newBuckets = newSk
+      .select(col("new_id"),
+        explode(bandHashes(
+          org.apache.spark.sql.graft.sketch.minhash_signature_longs(col("shn"), n),
+          bands, rows)).alias("b"))
+      .select(col("b.band").alias("band"), col("b.bh").alias("bh"), col("new_id"))
+    val candidates = newBuckets.join(index.buckets, Seq("band", "bh"))
+      .select(col("new_id"), col("id").alias("corpus_id"))
+      .dropDuplicates("new_id", "corpus_id")
+    candidates
+      .join(newSk, "new_id")
+      .join(index.sketches.withColumnRenamed("id", "corpus_id"), "corpus_id")
+      .withColumn("jaccard", jaccardPreDistinct(col("shn"), col("shh")))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("new_id"), col("corpus_id"),
+        Rounding.halfUp(col("jaccard"), 6).alias("jaccard"))
+  }
+
   /** Exact Jaccard over two shingle arrays (set semantics). */
   def jaccard(a: Column, b: Column): Column =
     jaccardPreDistinct(array_distinct(a), array_distinct(b))
