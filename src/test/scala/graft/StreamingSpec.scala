@@ -77,4 +77,43 @@ class StreamingSpec extends SparkSpec {
     assert(u7.getLong(1) == 2L)
     assert(u7.getDouble(2) == 4.0)
   }
+
+  test("doc ingest: streaming dedup + quality gate + pii scrub") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val goodText = ("spark catalyst tungsten shuffle exchange broadcast " +
+      "partition codegen plan optimizer executor driver stage task lineage " +
+      "mail me at a@b.com sometime").trim
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val df = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = graft.streaming.DocStream.ingest(df, minQuality = 0.3)
+      .writeStream.format("memory").queryName("ing")
+      .outputMode("append").start()
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:10")
+    mem.addData((1L, t, goodText), (2L, t, "low low low low"))
+    q.processAllAvailable()
+    // same content, different id: suppressed by the fingerprint dedup
+    mem.addData((3L, t, goodText))
+    q.processAllAvailable()
+    val rows = spark.table("ing").collect()
+    q.stop()
+    // doc 2 fails the quality gate; doc 3 is a content dup of doc 1
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(rows.head.getAs[String]("text").contains("<EMAIL>"))
+    assert(rows.head.getAs[Double]("quality") >= 0.3)
+  }
+
+  test("doc ingest runs identically on batch input") {
+    import spark.implicits._
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:10")
+    val good = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val out = graft.streaming.DocStream.ingest(
+      Seq((1L, t, good), (2L, t, good), (3L, t, "x x x x"))
+        .toDF("doc_id", "ts", "text"), minQuality = 0.3)
+    // batch dropDuplicates keeps ONE of the two identical docs (which one
+    // is partitioning-dependent); the low-quality doc is always gone
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ids.length == 1 && Set(1L, 2L).contains(ids.head), ids.toString)
+  }
 }
