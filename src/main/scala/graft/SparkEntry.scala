@@ -431,6 +431,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // SQ8 embedding quantization: per-vector (min,max) + int codes, exact
+    // floor-half-up arithmetic replayed by the oracle
+    "q_sq" -> ((s, dir) =>
+      pipeline.Embeddings.scalarQuantize(t(s, dir, "embeddings"), "embedding")
+        .select(col("vec_id"), col("q_min"), col("q_max"), col("codes"))
+        .orderBy("vec_id")),
+
+    // Johnson-Lindenstrauss gate: seeded +-1 projection to k=32 preserves
+    // pairwise cosine within a deterministic bound on fixed vector pairs
+    // (the projection hash is engine-specific, so the oracle pins the
+    // booleans, recall-gate style)
+    "q_rp_gate" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .filter(col("vec_id").isin(0L, 1L, 7L, 42L))
+        .select(col("vec_id"), col("embedding"),
+          pipeline.Embeddings.randomProject(col("embedding"), 32).alias("proj"))
+      val a = emb.select(col("vec_id").alias("ia"),
+        col("embedding").alias("ea"), col("proj").alias("pa"))
+      val b = emb.select(col("vec_id").alias("ib"),
+        col("embedding").alias("eb"), col("proj").alias("pb"))
+      a.join(b, col("ia") < col("ib"))
+        .select(col("ia"), col("ib"),
+          (abs(pipeline.Similarity.cosine(col("ea"), col("eb")) -
+            pipeline.Similarity.cosine(col("pa"), col("pb"))) < 0.45)
+            .alias("within_bound"))
+        .orderBy("ia", "ib")
+    }),
+
     // SimHash fingerprints (xxhash64 bit-votes — no SQL oracle, rows-only)
     "q_simhash" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -1043,6 +1071,25 @@ object SparkEntry {
                               (7, 10, CAST(true AS BOOLEAN)),
                               (42, 10, CAST(true AS BOOLEAN)))
          AS t(query_id, k, recall_ok) ORDER BY query_id""",
+    "q_sq" ->
+      """SELECT vec_id, list_min(embedding)::DOUBLE AS q_min,
+           list_max(embedding)::DOUBLE AS q_max,
+           CASE WHEN list_max(embedding) = list_min(embedding)
+             THEN list_transform(embedding, x -> 0)
+             ELSE list_transform(embedding, x ->
+               floor((x::DOUBLE - list_min(embedding)::DOUBLE) /
+                 (list_max(embedding)::DOUBLE - list_min(embedding)::DOUBLE)
+                 * 255.0 + 0.5)::INT) END AS codes
+         FROM embeddings ORDER BY vec_id""",
+    "q_rp_gate" ->
+      """SELECT * FROM (VALUES
+           (0::BIGINT, 1::BIGINT, CAST(true AS BOOLEAN)),
+           (0::BIGINT, 7::BIGINT, CAST(true AS BOOLEAN)),
+           (0::BIGINT, 42::BIGINT, CAST(true AS BOOLEAN)),
+           (1::BIGINT, 7::BIGINT, CAST(true AS BOOLEAN)),
+           (1::BIGINT, 42::BIGINT, CAST(true AS BOOLEAN)),
+           (7::BIGINT, 42::BIGINT, CAST(true AS BOOLEAN)))
+         AS t(ia, ib, within_bound) ORDER BY ia, ib""",
     "q_embed_dups" ->
       """WITH aug AS (
            SELECT vec_id, embedding FROM embeddings

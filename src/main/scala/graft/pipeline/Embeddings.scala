@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding storage operators: normalization, scalar quantization, and
+  * random projection.
+  *
+  * At corpus scale the embedding table dominates storage (a 100 TB text
+  * corpus with 64–1024-dim float vectors carries terabytes of floats);
+  * int8 scalar quantization cuts it 4× with bounded recall loss, and
+  * random projection (Johnson–Lindenstrauss) cuts dimensionality itself.
+  * All ops are per-row column expressions — map-side, shuffle-free,
+  * pipeline-safe between a scan and any [[Similarity]] consumer.
+  *
+  * Determinism: quantization uses the floor(x+0.5) rounding shared with
+  * [[Rounding]] so a SQL engine replays identical codes; projection
+  * components derive from the same seeded hash as
+  * [[Similarity.hyperplaneSignature]].
+  */
+object Embeddings {
+
+  /** L2-normalized copy of the vector (zero vectors pass through). */
+  def l2Normalize(vec: Column): Column = {
+    val n = sqrt(aggregate(vec,
+      lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    when(n === 0.0, vec)
+      .otherwise(transform(vec, x => (x.cast("double") / n).cast("float")))
+  }
+
+  /** Per-vector int8 scalar quantization: (`codes` array<int> in [0,255],
+    * `q_min`, `q_max`). code = floor((x−min)/(max−min)·255 + 0.5);
+    * constant vectors map to code 0. The per-vector (min,max) pair is the
+    * classic SQ8 trade: 2 floats of overhead, no codebook training, no
+    * cross-row state — embarrassingly parallel at any scale. */
+  def scalarQuantize(df: DataFrame, vecCol: String): DataFrame = {
+    val v = col(vecCol)
+    val mn = array_min(v).cast("double")
+    val mx = array_max(v).cast("double")
+    df.withColumn("q_min", mn)
+      .withColumn("q_max", mx)
+      .withColumn("codes",
+        when(col("q_max") === col("q_min"), transform(v, _ => lit(0)))
+          .otherwise(transform(v, x =>
+            floor((x.cast("double") - col("q_min")) /
+              (col("q_max") - col("q_min")) * 255.0 + 0.5).cast("int"))))
+  }
+
+  /** Reconstruct a float vector from SQ8 codes. */
+  def dequantize(codes: Column, qMin: Column, qMax: Column): Column =
+    transform(codes, c =>
+      (qMin + c.cast("double") * (qMax - qMin) / 255.0).cast("float"))
+
+  /** Deterministic seeded ±1 random projection to `k` dimensions
+    * (Johnson–Lindenstrauss; Achlioptas 2003 sign variant):
+    * out_j = Σ_i v_i·sign(h(j,i,seed)) / √k. Distance-preserving in
+    * expectation; pair with [[Similarity.cosine]] on the projected
+    * vectors. The projection matrix is implicit in the hash — nothing to
+    * train, broadcast, or version. */
+  def randomProject(vec: Column, k: Int, seed: Long = 42L): Column = {
+    require(k > 0, "k must be positive")
+    val scale = 1.0 / math.sqrt(k.toDouble)
+    transform(sequence(lit(0), lit(k - 1)), j =>
+      (aggregate(
+        zip_with(vec, transform(sequence(lit(0), size(vec) - 1), i =>
+          when(hash(j, i, lit(seed)) >= 0, lit(1.0)).otherwise(lit(-1.0))),
+          (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, t) => acc + t) * scale).cast("float"))
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Embeddings, Similarity}
+
+class EmbeddingsSpec extends SparkSpec {
+
+  private lazy val emb = sf("embeddings")
+
+  test("l2Normalize yields unit vectors; zero vectors pass through") {
+    import spark.implicits._
+    val norms = emb.limit(50)
+      .select(Embeddings.l2Normalize(col("embedding")).alias("n"))
+      .select(sqrt(aggregate(col("n"), lit(0.0),
+        (a, x) => a + x.cast("double") * x.cast("double"))).alias("len"))
+      .collect().map(_.getDouble(0))
+    norms.foreach(l => assert(math.abs(l - 1.0) < 1e-5, l.toString))
+    val z = Seq((1L, Seq(0f, 0f, 0f))).toDF("id", "v")
+      .select(Embeddings.l2Normalize(col("v")).alias("n"))
+      .head().getSeq[Float](0)
+    assert(z == Seq(0f, 0f, 0f))
+  }
+
+  test("SQ8 round-trip error is bounded by half a quantization step") {
+    val q = Embeddings.scalarQuantize(emb.limit(100), "embedding")
+    val err = q.select(aggregate(
+      zip_with(col("embedding"),
+        Embeddings.dequantize(col("codes"), col("q_min"), col("q_max")),
+        (x, d) => abs(x.cast("double") - d.cast("double"))),
+      lit(0.0), (a, e) => greatest(a, e)).alias("maxerr"),
+      ((col("q_max") - col("q_min")) / 255.0 / 2.0 + 1e-7).alias("halfstep"))
+    assert(err.filter(col("maxerr") > col("halfstep")).count() == 0)
+    // codes stay in [0, 255]
+    val rng = q.select(array_min(col("codes")).alias("lo"),
+      array_max(col("codes")).alias("hi"))
+    assert(rng.filter(col("lo") < 0 || col("hi") > 255).count() == 0)
+  }
+
+  test("constant vectors quantize to all-zero codes") {
+    import spark.implicits._
+    val q = Embeddings.scalarQuantize(
+      Seq((1L, Seq(0.5f, 0.5f, 0.5f))).toDF("id", "v"), "v")
+    assert(q.select("codes").head().getSeq[Int](0) == Seq(0, 0, 0))
+  }
+
+  test("random projection is deterministic, seed-sensitive, k-dimensional") {
+    val p1 = emb.limit(10).select(col("vec_id"),
+      Embeddings.randomProject(col("embedding"), 16).alias("p"))
+    assert(p1.select(size(col("p"))).head().getInt(0) == 16)
+    val again = emb.limit(10).select(col("vec_id"),
+      Embeddings.randomProject(col("embedding"), 16).alias("p"))
+    assert(p1.collect().map(_.toString).toSeq ==
+      again.collect().map(_.toString).toSeq)
+    val other = emb.limit(10).select(col("vec_id"),
+      Embeddings.randomProject(col("embedding"), 16, seed = 7L).alias("p"))
+    assert(p1.collect().map(_.toString).toSeq !=
+      other.collect().map(_.toString).toSeq)
+  }
+
+  test("projection approximately preserves cosine structure") {
+    // JL with k=32 on d=64: per-pair cosine error concentrates around
+    // 1/sqrt(k) ≈ 0.18; assert a loose deterministic bound on fixed pairs
+    val both = emb.filter(col("vec_id").isin(0L, 1L, 7L, 42L))
+      .select(col("vec_id"), col("embedding"),
+        Embeddings.randomProject(col("embedding"), 32).alias("proj"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Float](1), r.getSeq[Float](2)))).toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    for (Seq(i, j) <- Seq(Seq(0L, 1L), Seq(0L, 7L), Seq(7L, 42L), Seq(1L, 42L))) {
+      val orig = cos(both(i)._1, both(j)._1)
+      val proj = cos(both(i)._2, both(j)._2)
+      assert(math.abs(orig - proj) < 0.45, s"($i,$j): $orig vs $proj")
+    }
+  }
+}
