@@ -236,6 +236,13 @@ object SparkEntry {
     }),
 
     // per-group top-k without a global sort (row_number window)
+    // daily cohort retention over the events table (ts is epoch
+    // nanoseconds; one period = 86400e9 ns)
+    "q_retention" -> ((s, dir) =>
+      pipeline.Temporal.cohortRetention(t(s, dir, "events"), "user_id", "ts",
+        periodLen = 86400000000000L)
+        .orderBy("cohort", "offset")),
+
     "q_topk_group" -> ((s, dir) => pipeline.Temporal.topKPerGroup(
       t(s, dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
       Seq("o_custkey"),
@@ -694,6 +701,16 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
            ON e.user_id = v.user_id AND e.ts >= v.ts
          ORDER BY e.event_id""",
+    "q_retention" ->
+      """WITH per AS (SELECT user_id,
+             epoch_ns(ts) // 86400000000000 AS p FROM events),
+         pk AS (SELECT user_id, min(p) AS cohort FROM per GROUP BY user_id),
+         act AS (SELECT DISTINCT per.user_id, pk.cohort,
+                   per.p - pk.cohort AS off
+                 FROM per JOIN pk USING (user_id))
+         SELECT cohort::BIGINT AS cohort, off::BIGINT AS "offset",
+                count(*)::BIGINT AS n_active
+         FROM act GROUP BY cohort, off ORDER BY cohort, "offset"""",
     "q_topk_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,

@@ -104,4 +104,30 @@ object Temporal {
         Window.partitionBy(groupCols.map(col): _*).orderBy(ordering: _*))
         .cast("long"))
       .filter(col(rnCol) <= k)
+
+  /** Cohort retention: bucket integer time into `periodLen` periods,
+    * cohort = each key's first active period, and count the keys of each
+    * cohort active at each later period offset — (`cohort`, `offset`,
+    * `n_active`), where offset 0 is the cohort's own period.
+    *
+    * Plan: one hash exchange on the key builds (first period, distinct
+    * active-period set) per key; `collect_set` is bounded by the number
+    * of periods the data spans (30 for a month of days — NOT by events
+    * per key, the aggregate dedups first), so no hot key can blow up a
+    * row. The final (cohort, offset) count is a second, tiny aggregate.
+    * `div` keeps the bucketing in exact integer arithmetic — a double
+    * division would lose nanosecond precision above 2⁵³. */
+  def cohortRetention(df: DataFrame, keyCol: String, tsCol: String,
+      periodLen: Long): DataFrame = {
+    require(periodLen > 0, "periodLen must be positive")
+    val per = df.select(col(keyCol).alias("__graft_k"),
+      expr(s"cast(`$tsCol` as bigint) div $periodLen").alias("__graft_p"))
+    per.groupBy(col("__graft_k"))
+      .agg(min(col("__graft_p")).alias("cohort"),
+        collect_set(col("__graft_p")).alias("__graft_ps"))
+      .select(col("cohort"), explode(col("__graft_ps")).alias("__graft_p"))
+      .groupBy(col("cohort"),
+        (col("__graft_p") - col("cohort")).alias("offset"))
+      .agg(count(lit(1)).alias("n_active"))
+  }
 }

@@ -71,4 +71,31 @@ class TemporalSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(top == Set(("a", 2L, 1L), ("a", 3L, 2L), ("b", 4L, 1L)))
   }
+
+  test("cohortRetention counts distinct keys per cohort and offset") {
+    import spark.implicits._
+    // period length 10: u1 joins period 0, active 0 and 2 (twice — dedup);
+    // u2 joins period 0, active 0 only; u3 joins period 1, active 1 and 2
+    val ev = Seq(
+      (1L, 1L), (1L, 5L), (1L, 25L), (1L, 27L),
+      (2L, 3L),
+      (3L, 12L), (3L, 22L)).toDF("user_id", "ts")
+    val got = Temporal.cohortRetention(ev, "user_id", "ts", periodLen = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (0L, 0L) -> 2L, // u1, u2 in their joining period
+      (0L, 2L) -> 1L, // u1 returns two periods later (deduped)
+      (1L, 0L) -> 1L, // u3 joins
+      (1L, 1L) -> 1L  // u3 returns
+    ))
+  }
+
+  test("cohortRetention plan: two hash exchanges, key then cohort/offset") {
+    import spark.implicits._
+    val ev = Seq((1L, 1L), (2L, 3L)).toDF("user_id", "ts")
+    val plan = Temporal.cohortRetention(ev, "user_id", "ts", 10L)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges:\n$plan")
+  }
 }
