@@ -236,6 +236,13 @@ object SparkEntry {
     }),
 
     // per-group top-k without a global sort (row_number window)
+    // funnel conversion over the events stream: signup -> view -> click
+    // -> purchase, each step at-or-after the previous step's first time
+    "q_funnel" -> ((s, dir) =>
+      pipeline.Temporal.funnel(t(s, dir, "events"), "user_id", "ts",
+        "event_type", Seq("signup", "view", "click", "purchase"))
+        .orderBy("step")),
+
     // daily cohort retention over the events table (ts is epoch
     // nanoseconds; one period = 86400e9 ns)
     "q_retention" -> ((s, dir) =>
@@ -701,6 +708,27 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
            ON e.user_id = v.user_id AND e.ts >= v.ts
          ORDER BY e.event_id""",
+    "q_funnel" ->
+      """WITH u1 AS (SELECT user_id, min(ts) AS t FROM events
+             WHERE event_type = 'signup' GROUP BY user_id),
+         u2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+             JOIN u1 ON e.user_id = u1.user_id
+             WHERE e.event_type = 'view' AND e.ts >= u1.t
+             GROUP BY e.user_id),
+         u3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+             JOIN u2 ON e.user_id = u2.user_id
+             WHERE e.event_type = 'click' AND e.ts >= u2.t
+             GROUP BY e.user_id),
+         u4 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+             JOIN u3 ON e.user_id = u3.user_id
+             WHERE e.event_type = 'purchase' AND e.ts >= u3.t
+             GROUP BY e.user_id)
+         SELECT 1::INT AS step, 'signup' AS step_name,
+                count(*)::BIGINT AS n_keys FROM u1
+         UNION ALL SELECT 2::INT, 'view', count(*)::BIGINT FROM u2
+         UNION ALL SELECT 3::INT, 'click', count(*)::BIGINT FROM u3
+         UNION ALL SELECT 4::INT, 'purchase', count(*)::BIGINT FROM u4
+         ORDER BY step""",
     "q_retention" ->
       """WITH per AS (SELECT user_id,
              epoch_ns(ts) // 86400000000000 AS p FROM events),

@@ -105,6 +105,38 @@ object Temporal {
         .cast("long"))
       .filter(col(rnCol) <= k)
 
+  /** Funnel conversion: how many keys complete each prefix of `steps` in
+    * order. A key reaches step i at the earliest `tsCol` of an
+    * i-typed event at-or-after its step-(i−1) reach time. Returns one row
+    * per step: (`step` 1-based, `step_name`, `n_keys`).
+    *
+    * Plan: step i's reach set joins step (i−1)'s — k−1 equi-joins on the
+    * key plus k hash aggregates, every shuffle on the key column; the
+    * counts are k single-row aggregates unioned into one plan (no driver
+    * loop over data). The sequential-join formulation is deliberately
+    * the same SQL a warehouse would run — the DuckDB oracle replays it
+    * verbatim — rather than a one-shuffle array fold, whose per-key state
+    * is opaque to SQL engines. k is small; the joins are on the key. */
+  def funnel(df: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    val first = df.filter(col(typeCol) === steps.head)
+      .groupBy(col(keyCol)).agg(min(col(tsCol)).alias("__graft_t"))
+    val reached = steps.tail.foldLeft(Vector(first)) { (acc, s) =>
+      val prev = acc.last
+        .withColumnRenamed("__graft_t", "__graft_tprev")
+      acc :+ df.filter(col(typeCol) === s)
+        .join(prev, keyCol)
+        .filter(col(tsCol) >= col("__graft_tprev"))
+        .groupBy(col(keyCol)).agg(min(col(tsCol)).alias("__graft_t"))
+    }
+    reached.zip(steps).zipWithIndex.map { case ((st, name), i) =>
+      st.agg(count(lit(1)).alias("n_keys"))
+        .select(lit(i + 1).cast("int").alias("step"),
+          lit(name).alias("step_name"), col("n_keys"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Cohort retention: bucket integer time into `periodLen` periods,
     * cohort = each key's first active period, and count the keys of each
     * cohort active at each later period offset — (`cohort`, `offset`,

@@ -72,6 +72,24 @@ class TemporalSpec extends SparkSpec {
     assert(top == Set(("a", 2L, 1L), ("a", 3L, 2L), ("b", 4L, 1L)))
   }
 
+  test("funnel requires steps in time order") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1 completes signup(1) -> view(5) -> click(9)
+      (1L, 1L, "signup"), (1L, 5L, "view"), (1L, 9L, "click"),
+      // u2 viewed BEFORE signing up: stops after signup
+      (2L, 5L, "signup"), (2L, 2L, "view"),
+      // u3 signs up and views at the same instant (>= admits it), no click
+      (3L, 4L, "signup"), (3L, 4L, "view"),
+      // u4 never signs up
+      (4L, 1L, "view"), (4L, 2L, "click")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Temporal.funnel(ev, "user_id", "ts", "event_type",
+      Seq("signup", "view", "click"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((1, "signup", 3L), (2, "view", 2L), (3, "click", 1L)))
+  }
+
   test("cohortRetention counts distinct keys per cohort and offset") {
     import spark.implicits._
     // period length 10: u1 joins period 0, active 0 and 2 (twice — dedup);
