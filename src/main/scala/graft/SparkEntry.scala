@@ -236,6 +236,13 @@ object SparkEntry {
     }),
 
     // per-group top-k without a global sort (row_number window)
+    // one-pass column profiling (count/nulls/min/max/mean/exact-median
+    // for every column in a single aggregate)
+    "q_profile" -> ((s, dir) =>
+      pipeline.Profiling.describe(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("column")),
+
     // funnel conversion over the events stream: signup -> view -> click
     // -> purchase, each step at-or-after the previous step's first time
     "q_funnel" -> ((s, dir) =>
@@ -708,6 +715,35 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
            ON e.user_id = v.user_id AND e.ts >= v.ts
          ORDER BY e.event_id""",
+    "q_profile" ->
+      """SELECT 'l_discount' AS "column", count(l_discount)::BIGINT AS n,
+           sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+           min(l_discount::DOUBLE) AS min, max(l_discount::DOUBLE) AS max,
+           floor(avg(l_discount::DOUBLE) * 1e6 + 0.5) / 1e6 AS mean,
+           floor(median(l_discount::DOUBLE) * 1e6 + 0.5) / 1e6 AS median
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_extendedprice', count(l_extendedprice)::BIGINT,
+           sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           min(l_extendedprice::DOUBLE), max(l_extendedprice::DOUBLE),
+           floor(avg(l_extendedprice::DOUBLE) * 1e6 + 0.5) / 1e6,
+           floor(median(l_extendedprice::DOUBLE) * 1e6 + 0.5) / 1e6
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_quantity', count(l_quantity)::BIGINT,
+           sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           min(l_quantity::DOUBLE), max(l_quantity::DOUBLE),
+           floor(avg(l_quantity::DOUBLE) * 1e6 + 0.5) / 1e6,
+           floor(median(l_quantity::DOUBLE) * 1e6 + 0.5) / 1e6
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_tax', count(l_tax)::BIGINT,
+           sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           min(l_tax::DOUBLE), max(l_tax::DOUBLE),
+           floor(avg(l_tax::DOUBLE) * 1e6 + 0.5) / 1e6,
+           floor(median(l_tax::DOUBLE) * 1e6 + 0.5) / 1e6
+         FROM lineitem
+         ORDER BY "column"""",
     "q_funnel" ->
       """WITH u1 AS (SELECT user_id, min(ts) AS t FROM events
              WHERE event_type = 'signup' GROUP BY user_id),
