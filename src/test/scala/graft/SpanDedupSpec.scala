@@ -59,6 +59,49 @@ class SpanDedupSpec extends SparkSpec {
     assert(got(5L) == (("t u", 2L)))
   }
 
+  test("property: random corpora match a brute-force span reference") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val vocab = Seq("a", "b", "c")
+    val corpusGen: Gen[Seq[(Long, String)]] = for {
+      nDocs <- Gen.choose(2, 8)
+      docs <- Gen.listOfN(nDocs, for {
+        len <- Gen.choose(0, 12)
+        ws <- Gen.listOfN(len, Gen.oneOf(vocab))
+      } yield ws.mkString(" "))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+    def reference(corpus: Seq[(Long, String)], w: Int): Set[(Long, Long, Long)] = {
+      val toks = corpus.map { case (id, t) => id -> t.split("\\s+").filter(_.nonEmpty).toSeq }
+      val wins = toks.flatMap { case (id, tk) =>
+        tk.sliding(w).zipWithIndex.collect {
+          case (win, i) if win.size == w => (win.mkString(" "), id, i.toLong) }
+      }
+      val dupWins = wins.groupBy(_._1).filter(_._2.size >= 2).values.flatten
+      dupWins.groupBy(_._2).flatMap { case (id, ws) =>
+        // merge [pos, pos+w) intervals
+        val sorted = ws.map(_._3).toSeq.sorted
+        val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        sorted.foreach { p =>
+          if (spans.nonEmpty && p <= spans.last._2) {
+            val l = spans.remove(spans.size - 1); spans += ((l._1, math.max(l._2, p + w)))
+          } else spans += ((p, p + w))
+        }
+        spans.map { case (s, e) => (id, s, e) }
+      }.toSet
+    }
+
+    (0 until 10).flatMap(i =>
+      corpusGen.apply(Gen.Parameters.default, Seed(7L + i))).foreach { corpus =>
+      for (w <- Seq(2, 3)) {
+        val got = Dedup.duplicatedSpans(corpus.toDF("id", "text"), "text", "id", w)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got == reference(corpus, w), s"w=$w corpus=$corpus")
+      }
+    }
+  }
+
   test("plan: every shuffle carries compact keys, never the text") {
     val plan = Dedup.duplicatedSpans(docs, "text", "id", w = 3)
       .queryExecution.executedPlan.toString
