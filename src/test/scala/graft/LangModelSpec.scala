@@ -62,6 +62,15 @@ class LangModelSpec extends SparkSpec {
     assert(got(4L) == ((0L, 0.0)))
   }
 
+  test("plan: count joins are hash-based; only the 1-row vocab broadcasts") {
+    val plan = LangModel.scoreDocs(docs, "text", "id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the scalar vocab rides a BroadcastNestedLoopJoin by design (1 row);
+    // the ngram/context joins must never nest-loop
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length <= 1, plan)
+  }
+
   test("common-transition docs outscore rare-transition docs") {
     val got = LangModel.scoreDocs(docs, "text", "id")
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
