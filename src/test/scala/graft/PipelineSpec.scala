@@ -26,6 +26,17 @@ class PipelineSpec extends SparkSpec {
     assert(survivors == Set(1L, 2L, 3L, 5L))
   }
 
+  test("shingles enumerate every k-window in order (zip_with form)") {
+    import spark.implicits._
+    val d = Seq(("A b c d", 1), ("a b", 2), ("solo", 3)).toDF("t", "i")
+    val got = d.orderBy("i")
+      .select(Dedup.shingles(col("t"), k = 3).alias("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq("a b c", "b c d")) // lowercased, every window
+    assert(got(1) == Seq("a b"))            // fewer than k -> one joined shingle
+    assert(got(2) == Seq("solo"))
+  }
+
   test("minhash LSH finds planted near-dup and exact-dup pairs") {
     val pairs = Dedup.minhashDupPairs(docs, "text", "doc_id",
       k = 3, bands = 16, rows = 4, jaccardThreshold = 0.5)
