@@ -57,6 +57,20 @@ class EmbeddingsSpec extends SparkSpec {
       other.collect().map(_.toString).toSeq)
   }
 
+  test("SQ8-compressed search preserves brute-force top-k recall") {
+    val q = emb.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0)
+    val exact = Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val dequant = Embeddings.scalarQuantize(emb, "embedding")
+      .withColumn("embedding",
+        Embeddings.dequantize(col("codes"), col("q_min"), col("q_max")))
+    val compressed = Similarity.bruteForceTopK(dequant, "embedding", "vec_id", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.intersect(compressed).size >= 8,
+      s"overlap ${exact.intersect(compressed).size}: $exact vs $compressed")
+  }
+
   test("projection approximately preserves cosine structure") {
     // JL with k=32 on d=64: per-pair cosine error concentrates around
     // 1/sqrt(k) ≈ 0.18; assert a loose deterministic bound on fixed pairs
