@@ -37,6 +37,17 @@ class ExtensionsSpec extends AnyFunSuite {
         s.sql("SELECT graft_minhash(array('x'), cast(rand() * 4 as int))").head()
       }
       assert(e.getMessage.contains("integer literal"))
+      assert(s.sql("SELECT size(graft_window_hashes('a b c d', 2)) AS n")
+        .head().getInt(0) == 3)
+      // the sketch functions also resolve inside the RBQL dialect surface
+      // (Graft.query routes expressions through the session's analyzer)
+      import s.implicits._
+      val docs = Seq(("a b c d", 1L), ("a b", 2L)).toDF("text", "id")
+      val out = graft.Graft.query(s,
+        "SELECT a.id, size(graft_shingle_hashes(a.text, 2)) AS n_shingles " +
+          "ORDER BY a.id", docs)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(out == Map(1L -> 3, 2L -> 1))
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
