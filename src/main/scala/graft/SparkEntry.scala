@@ -452,6 +452,12 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // chunk->document pooling: element-wise mean embedding per label
+    "q_pool" -> ((s, dir) =>
+      pipeline.Embeddings.meanPool(t(s, dir, "embeddings"),
+        Seq("label"), "embedding")
+        .orderBy("label")),
+
     // SQ8 embedding quantization: per-vector (min,max) + int codes, exact
     // floor-half-up arithmetic replayed by the oracle
     "q_sq" -> ((s, dir) =>
@@ -1152,6 +1158,15 @@ object SparkEntry {
                               (7, 10, CAST(true AS BOOLEAN)),
                               (42, 10, CAST(true AS BOOLEAN)))
          AS t(query_id, k, recall_ok) ORDER BY query_id""",
+    "q_pool" ->
+      """WITH e AS (SELECT label, unnest(embedding) AS v,
+             unnest(generate_series(1, len(embedding)))::BIGINT AS i
+           FROM embeddings),
+         m AS (SELECT label, i,
+             floor(avg(v::DOUBLE) * 1e6 + 0.5) / 1e6 AS mv
+           FROM e GROUP BY label, i)
+         SELECT label, list(mv ORDER BY i) AS vec
+         FROM m GROUP BY label ORDER BY label""",
     "q_sq" ->
       """SELECT vec_id, list_min(embedding)::DOUBLE AS q_min,
            list_max(embedding)::DOUBLE AS q_max,

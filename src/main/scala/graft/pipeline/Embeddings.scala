@@ -51,6 +51,27 @@ object Embeddings {
     transform(codes, c =>
       (qMin + c.cast("double") * (qMax - qMin) / 255.0).cast("float"))
 
+  /** Element-wise mean of vectors per group — the chunk→document pooling
+    * step (chunk embeddings in, one document embedding out). Output:
+    * group columns + `vec` (array<double>, element-wise mean, half-up
+    * rounded to 6 digits for engine-portable comparison).
+    *
+    * Plan: posexplode to (group, dim, value), hash-aggregate per
+    * (group, dim), then re-assemble the vector per group with a sorted
+    * collect — two shuffles, both on compact keys; no custom Aggregator,
+    * no driver state; partial aggregation absorbs the ×dims explode. */
+  def meanPool(df: DataFrame, groupCols: Seq[String], vecCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val ex = df.select(
+      (groupCols.map(col) :+ posexplode(col(vecCol)).as(Seq("__i", "__v"))): _*)
+    ex.groupBy((groupCols.map(col) :+ col("__i")): _*)
+      .agg(Rounding.halfUp(avg(col("__v").cast("double")), 6).alias("__m"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(transform(
+        array_sort(collect_list(struct(col("__i"), col("__m")))),
+        s => s.getField("__m")).alias("vec"))
+  }
+
   /** Deterministic seeded ±1 random projection to `k` dimensions
     * (Johnson–Lindenstrauss; Achlioptas 2003 sign variant):
     * out_j = Σ_i v_i·sign(h(j,i,seed)) / √k. Distance-preserving in

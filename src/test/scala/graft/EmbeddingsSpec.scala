@@ -57,6 +57,19 @@ class EmbeddingsSpec extends SparkSpec {
       other.collect().map(_.toString).toSeq)
   }
 
+  test("meanPool averages element-wise per group in dimension order") {
+    import spark.implicits._
+    val d = Seq(
+      ("a", Seq(1.0f, 2.0f, 3.0f)),
+      ("a", Seq(3.0f, 0.0f, 1.0f)),
+      ("b", Seq(10.0f, 20.0f, 30.0f))
+    ).toDF("g", "v")
+    val got = graft.pipeline.Embeddings.meanPool(d, Seq("g"), "v")
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(got("a") == Seq(2.0, 1.0, 2.0))
+    assert(got("b") == Seq(10.0, 20.0, 30.0))
+  }
+
   test("SQ8-compressed search preserves brute-force top-k recall") {
     val q = emb.filter(col("vec_id") === 0L)
       .select("embedding").head().getSeq[Float](0)
