@@ -370,6 +370,16 @@ object SparkEntry {
           col("start_off"), col("seq_id"), col("seq_off"))
         .orderBy("doc_id")),
 
+    // packed-stream assembly: the actual (shard, seq) token slices,
+    // fingerprinted (seqLen=512, 8 shards)
+    "q_pack_asm" -> ((s, dir) =>
+      pipeline.Packing.assembleSequences(t(s, dir, "documents"), "doc_id",
+        "text", seqLen = 512, shards = 8)
+        .select(col("shard"), col("seq_id"),
+          size(col("tokens")).cast("long").alias("n_tokens"),
+          md5(array_join(col("tokens"), " ")).alias("fp"))
+        .orderBy("shard", "seq_id")),
+
     // corpus-level vocabulary: top-20 bigrams by frequency (map-side
     // partial agg + TakeOrdered; deterministic (cnt desc, ngram) tiebreak)
     "q_top_ngrams" -> ((s, dir) =>
@@ -939,6 +949,21 @@ object SparkEntry {
            CAST(floor(start_off / 512.0) AS BIGINT) AS seq_id,
            CAST(start_off % 512 AS BIGINT) AS seq_off
          FROM c ORDER BY doc_id""",
+    "q_pack_asm" ->
+      """WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
+             string_split(trim(text), ' ') AS tk FROM documents),
+         c AS (SELECT doc_id, shard, tk,
+             CAST(sum(len(tk)) OVER (PARTITION BY shard ORDER BY doc_id)
+               - len(tk) AS BIGINT) AS start_off
+           FROM d),
+         w AS (SELECT shard, tk, start_off,
+             unnest(generate_series(1, len(tk)))::BIGINT AS i FROM c),
+         t AS (SELECT shard, start_off + i - 1 AS off, tk[i] AS tok FROM w),
+         s AS (SELECT shard, off // 512 AS seq_id, off % 512 AS o, tok
+               FROM t)
+         SELECT shard, seq_id, count(*)::BIGINT AS n_tokens,
+           md5(string_agg(tok, ' ' ORDER BY o)) AS fp
+         FROM s GROUP BY shard, seq_id ORDER BY shard, seq_id""",
     "q_top_ngrams" ->
       """WITH d AS (SELECT string_split(lower(trim(text)), ' ') AS tk
              FROM documents),

@@ -45,4 +45,30 @@ object Packing {
       .agg(count(lit(1)).alias("n_docs"),
         sum(col("n_tokens")).alias("total_tokens"))
       .withColumn("n_full_seqs", floor(col("total_tokens") / seqLen).cast("long"))
+
+  /** Materialize the packed stream: one row per (`shard`, `seq_id`) with
+    * the in-order `tokens` slice (a shard's last sequence may be short;
+    * documents straddling a cut contribute to both neighbors).
+    *
+    * Plan: the packDocs cumsum (one shard shuffle), then tokens explode
+    * with their global offset and reassemble by (shard, seq_id) — one
+    * more shuffle on the compact key, sorted collect per sequence.
+    * Offsets bucket with integer `div` (a 100 TB stream's offsets exceed
+    * nothing — 25T tokens ≪ 2⁵³ — but div keeps the arithmetic exact on
+    * principle and mirrors the SQL oracle). */
+  def assembleSequences(
+      df: DataFrame, idCol: String, textCol: String,
+      seqLen: Int, shards: Int): DataFrame = {
+    val packed = packDocs(df, idCol, textCol, seqLen, shards)
+    packed.select(col("shard"), col("start_off"),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("__i", "__tok")))
+      .select(col("shard"),
+        (col("start_off") + col("__i")).alias("__off"), col("__tok"))
+      .select(col("shard"), expr(s"__off div $seqLen").alias("seq_id"),
+        (col("__off") % seqLen).alias("__o"), col("__tok"))
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__o"), col("__tok")))),
+        s => s.getField("__tok")).alias("tokens"))
+  }
 }

@@ -73,4 +73,26 @@ class QualitySpec extends SparkSpec {
       assert(fullSeqs == total / 10)
     }
   }
+
+  test("assembleSequences reconstructs each shard's exact token stream") {
+    import spark.implicits._
+    val docs = (0L until 10L)
+      .map(i => (i, (0 until (i % 4 + 1).toInt).map(j => s"d${i}t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val seqs = Packing.assembleSequences(docs, "doc_id", "text",
+      seqLen = 3, shards = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[String](2)).toMap
+    // reference: concatenate per shard in doc_id order, cut every 3 tokens
+    for (shard <- 0L until 2L) {
+      val stream = (0L until 10L).filter(_ % 2 == shard).flatMap(i =>
+        (0 until (i % 4 + 1).toInt).map(j => s"d${i}t$j"))
+      val expected = stream.grouped(3).zipWithIndex
+        .map { case (g, i) => (shard, i.toLong) -> g }.toMap
+      expected.foreach { case (k, toks) =>
+        assert(seqs(k) == toks, s"seq $k")
+      }
+      // no phantom sequences beyond the stream's end
+      assert(seqs.keys.count(_._1 == shard) == expected.size)
+    }
+  }
 }
