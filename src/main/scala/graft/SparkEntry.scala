@@ -345,6 +345,22 @@ object SparkEntry {
         pipeline.TextAnalysis.meanWordLength(col("text")).alias("mean_word_len"))
         .orderBy("doc_id")),
 
+    // text normalization over planted mess: decomposed accents (NFC via
+    // the native graft_nfc expression), a URL, a control char — the
+    // canonical pre-dedup cleanup, fingerprint-compared
+    "q_norm" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"),
+            lit(" cafe\u0301 see https://ex.ample/x?q=1\u0007 fin")))
+          .otherwise(col("text")).alias("txt"))
+      aug.select(col("doc_id"),
+        md5(pipeline.TextAnalysis.normalizeText(col("txt"))).alias("norm_fp"),
+        length(pipeline.TextAnalysis.normalizeText(col("txt")))
+          .cast("long").alias("n_chars_norm"))
+        .orderBy("doc_id")
+    }),
+
     // PII scrubbing over deterministically injected PII (the synthetic
     // corpus carries none): counts + fingerprint of the scrubbed text
     "q_pii_scrub" -> ((s, dir) => {
@@ -919,6 +935,19 @@ object SparkEntry {
            floor((length(regexp_replace(trim(text), '\s+', '', 'g'))::DOUBLE
              / len(tk)) * 1e6 + 0.5)/1e6 AS mean_word_len
          FROM b ORDER BY doc_id""",
+    "q_norm" ->
+      """WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0
+             THEN text || ' cafe' || chr(769) ||
+                  ' see https://ex.ample/x?q=1' || chr(7) || ' fin'
+             ELSE text END AS txt FROM documents),
+         n AS (SELECT doc_id, trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(nfc_normalize(txt), 'https?://\S+', '', 'g'),
+               '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+             '\s+', ' ', 'g')) AS nt FROM aug)
+         SELECT doc_id, md5(nt) AS norm_fp,
+                length(nt)::BIGINT AS n_chars_norm
+         FROM n ORDER BY doc_id""",
     "q_pii_scrub" ->
       """WITH aug AS (SELECT doc_id,
            text || ' contact doc' || doc_id || '@example.com from 10.1.' ||

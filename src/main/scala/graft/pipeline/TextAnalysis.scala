@@ -129,6 +129,27 @@ object TextAnalysis {
       length(regexp_replace(trim(text), "\\s+", "")).cast("double") /
         size(tokens(text)), 6)
 
+  // ---- Text normalization ----
+
+  val UrlRe = "https?://\\S+"
+  /** C0 controls except \t \n, plus DEL — RE2-portable explicit class. */
+  val ControlRe = "[\\x00-\\x08\\x0B-\\x1F\\x7F]"
+
+  /** Canonical cleanup before any hashing/dedup pass: Unicode NFC (native
+    * codegen'd expression — Spark has no built-in; DuckDB's nfc_normalize
+    * replays it), URL removal, control-character removal, whitespace
+    * collapse, trim. Composed vs decomposed accents hash identically
+    * after this — skipping it silently halves near-dup recall on
+    * mixed-source corpora. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          org.apache.spark.sql.graft.sketch.nfc(text),
+          UrlRe, ""),
+        ControlRe, ""),
+      "\\s+", " "))
+
   // ---- PII scrubbing ----
   // RE2-compatible patterns (no lookaround, no backreferences) so SQL
   // oracles and other engines can replicate matches exactly.

@@ -186,6 +186,20 @@ object GraftHashOps {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Unicode NFC normalization (java.text.Normalizer). Spark has no
+    * built-in normalization function; DuckDB's nfc_normalize is the
+    * oracle counterpart. Pure-ASCII input short-circuits — the common
+    * case pays one scan, no allocation. */
+  def nfcNormalize(input: UTF8String): UTF8String = {
+    val s = input.toString
+    var ascii = true
+    var i = 0
+    while (ascii && i < s.length) { if (s.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (ascii || java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) input
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
   /** Argmax-cosine centroid index; ties keep the lowest index. */
   def nearestCentroid(v: ArrayData, cs: Array[Array[Float]]): Int = {
     val dims = v.numElements()
@@ -407,6 +421,27 @@ case class NearestCentroidIndex(child: Expression, centroids: Seq[Seq[Float]])
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization of a string column (codegen'd; see
+  * GraftHashOps.nfcNormalize). */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = StringType
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_nfc"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.nfcNormalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${Gen.Ops}.nfcNormalize($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 /** Column-level wrappers. */
 object sketch {
   import org.apache.spark.sql.classic.ExpressionUtils.{column, expression}
@@ -421,6 +456,7 @@ object sketch {
     column(ShingleHashes(expression(c), k))
   def window_hashes(c: Column, w: Int): Column =
     column(WindowHashes(expression(c), w))
+  def nfc(c: Column): Column = column(NfcNormalize(expression(c)))
   def minhash_signature_longs(c: Column, n: Int): Column =
     column(MinHashSignatureLongs(expression(c), n))
   def nearest_centroid(c: Column, centroids: Seq[Seq[Float]]): Column =

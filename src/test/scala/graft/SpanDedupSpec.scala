@@ -1,9 +1,23 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.pipeline.Dedup
+import graft.pipeline.{Dedup, TextAnalysis}
 
 class SpanDedupSpec extends SparkSpec {
+
+  test("normalizeText: NFC + url/control strip + whitespace collapse") {
+    import spark.implicits._
+    def norm(x: String): String =
+      Seq(Tuple1(x)).toDF("t")
+        .select(TextAnalysis.normalizeText(col("t")).alias("n"))
+        .head().getString(0)
+    val composed = "caf\u00e9"
+    val decomposed = "cafe\u0301"
+    assert(norm(composed + "  visit https://x.y/z?a=1 now\tok ") ==
+      composed + " visit now ok")
+    assert(norm(decomposed) == composed) // NFC composes the accent
+    assert(norm("a\u0007b") == "ab")    // control char stripped
+  }
 
   // w=3 windows; docs 1 and 2 share "a b c d" (two overlapping duplicated
   // windows -> one merged span); doc 3 repeats "x y z" within itself;
