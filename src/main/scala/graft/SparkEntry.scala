@@ -345,6 +345,14 @@ object SparkEntry {
         pipeline.TextAnalysis.meanWordLength(col("text")).alias("mean_word_len"))
         .orderBy("doc_id")),
 
+    // document chunking: 20-token windows, 5-token overlap (the window
+    // shape embedding models consume); narrow plan, token array
+    // materialized once per doc
+    "q_chunks" -> ((s, dir) =>
+      pipeline.TextAnalysis.chunkDocs(t(s, dir, "documents"), "doc_id",
+        "text", chunkTokens = 20, overlap = 5)
+        .orderBy("doc_id", "chunk_id")),
+
     // text normalization over planted mess: decomposed accents (NFC via
     // the native graft_nfc expression), a URL, a control char — the
     // canonical pre-dedup cleanup, fingerprint-compared
@@ -935,6 +943,19 @@ object SparkEntry {
            floor((length(regexp_replace(trim(text), '\s+', '', 'g'))::DOUBLE
              / len(tk)) * 1e6 + 0.5)/1e6 AS mean_word_len
          FROM b ORDER BY doc_id""",
+    "q_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS tk
+           FROM documents),
+         c AS (SELECT doc_id, tk, len(tk)::BIGINT AS n,
+             greatest(1, ceil((len(tk) - 5) / 15.0))::BIGINT AS nc FROM d),
+         e AS (SELECT doc_id, tk, n,
+             unnest(generate_series(0, nc - 1))::BIGINT AS chunk_id FROM c)
+         SELECT doc_id, chunk_id,
+           array_to_string(
+             tk[(chunk_id * 15 + 1)::INT:(chunk_id * 15 + 20)::INT], ' ')
+             AS chunk_text,
+           least(20, n - chunk_id * 15)::BIGINT AS n_chunk_tokens
+         FROM e ORDER BY doc_id, chunk_id""",
     "q_norm" ->
       """WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0
              THEN text || ' cafe' || chr(769) ||

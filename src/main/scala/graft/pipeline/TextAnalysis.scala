@@ -129,6 +129,39 @@ object TextAnalysis {
       length(regexp_replace(trim(text), "\\s+", "")).cast("double") /
         size(tokens(text)), 6)
 
+  /** Split documents into fixed-size token chunks with overlap — the
+    * window shape embedding models consume (pair with
+    * [[Embeddings.meanPool]] for chunk→doc pooling). Output: input id +
+    * (`chunk_id` 0-based, `chunk_text`, `n_chunk_tokens`); empty docs
+    * yield one empty chunk.
+    *
+    * Shape: the token array materializes ONCE per input row in the
+    * Generate child (generators evaluate their input row once and copy
+    * it per emitted element); chunk indices explode from a cheap int
+    * sequence and each output row slices the carried array — linear in
+    * emitted tokens, not chunks × tokenize (the HOF-capture trap this
+    * codebase documents). Narrow plan: no shuffle. */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      "need chunkTokens > 0 and 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    val toks = tokens(col(textCol))
+    val n = size(col("__tk"))
+    // ceil((n - overlap) / stride), min 1: the last chunk may be short
+    val nChunks = greatest(lit(1L),
+      ceil((n - lit(overlap)).cast("double") / stride).cast("long"))
+    df.select(col(idCol), toks.as("__tk"))
+      .select(col(idCol), col("__tk"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        array_join(slice(col("__tk"),
+          col("chunk_id").cast("int") * stride + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        least(lit(chunkTokens).cast("long"),
+          n - col("chunk_id") * stride).as("n_chunk_tokens"))
+  }
+
   // ---- Text normalization ----
 
   val UrlRe = "https?://\\S+"

@@ -57,6 +57,30 @@ class EmbeddingsSpec extends SparkSpec {
       other.collect().map(_.toString).toSeq)
   }
 
+  test("chunkDocs windows with overlap; short and empty docs chunk once") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b"),                                    // shorter than chunk
+      (3L, "")                                        // empty
+    ).toDF("id", "text")
+    val got = graft.pipeline.TextAnalysis.chunkDocs(d, "id", "text",
+      chunkTokens = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3)))).toMap
+    // stride 3: chunks at 0,3,6 cover tokens 1-4, 4-7, 7-10
+    assert(got((1L, 0L)) == (("t1 t2 t3 t4", 4L)))
+    assert(got((1L, 1L)) == (("t4 t5 t6 t7", 4L)))
+    assert(got((1L, 2L)) == (("t7 t8 t9 t10", 4L)))
+    assert(!got.contains((1L, 3L)))
+    assert(got((2L, 0L)) == (("a b", 2L)))
+    assert(got((3L, 0L)) == (("", 1L))) // the empty token, like tokenCount
+    // chunking is narrow: no shuffle
+    val plan = graft.pipeline.TextAnalysis.chunkDocs(d, "id", "text", 4, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("meanPool averages element-wise per group in dimension order") {
     import spark.implicits._
     val d = Seq(
