@@ -963,7 +963,7 @@ object SparkEntry {
              ELSE text END AS txt FROM documents),
          n AS (SELECT doc_id, trim(regexp_replace(
              regexp_replace(
-               regexp_replace(nfc_normalize(txt), 'https?://\S+', '', 'g'),
+               regexp_replace(nfc_normalize(txt), 'https?://[^\s\x0B]+', '', 'g'),
                '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
              '\s+', ' ', 'g')) AS nt FROM aug)
          SELECT doc_id, md5(nt) AS norm_fp,

@@ -118,14 +118,19 @@ object Dedup {
   }
 
   /** A standing MinHash-LSH index: `buckets` (band, bh, id) postings and
-    * `sketches` (id, shh) hashed shingle sets for exact verification.
-    * Both are plain DataFrames — persist them (parquet, bucketed on their
+    * `sketches` (id, shh) hashed shingle sets for exact verification,
+    * plus the (k, bands, rows) parameters it was built with — probes read
+    * them from here, so an index can never be probed with incompatible
+    * banding (mismatched parameters would silently match nothing).
+    * The DataFrames are plain — persist them (parquet, bucketed on their
     * join keys via [[Bucketing]]) and nightly batches probe the index
     * instead of re-sketching the corpus. */
-  final case class MinhashIndex(buckets: DataFrame, sketches: DataFrame)
+  final case class MinhashIndex(
+      buckets: DataFrame, sketches: DataFrame,
+      k: Int, bands: Int, rows: Int)
 
-  /** Build the standing index of a corpus (one sketch pass + one explode;
-    * the same band parameters must be used by every later probe). */
+  /** Build the standing index of a corpus (one sketch pass + one
+    * explode). */
   def minhashIndex(
       df: DataFrame, textCol: String, idCol: String,
       k: Int = 3, bands: Int = 16, rows: Int = 4): MinhashIndex = {
@@ -139,7 +144,7 @@ object Dedup {
           org.apache.spark.sql.graft.sketch.minhash_signature_longs(col("shh"), n),
           bands, rows)).alias("b"))
       .select(col("b.band").alias("band"), col("b.bh").alias("bh"), col("id"))
-    MinhashIndex(buckets, sk)
+    MinhashIndex(buckets, sk, k, bands, rows)
   }
 
   /** Incremental near-dup detection: probe a standing index with a new
@@ -153,8 +158,10 @@ object Dedup {
     * back by id, candidates carrying ids only. */
   def minhashProbe(
       index: MinhashIndex, newDf: DataFrame, textCol: String, idCol: String,
-      k: Int = 3, bands: Int = 16, rows: Int = 4,
       jaccardThreshold: Double = 0.7): DataFrame = {
+    // band parameters come from the index itself: probing with different
+    // banding than the build would silently return no matches
+    val (k, bands, rows) = (index.k, index.bands, index.rows)
     val n = bands * rows
     val newSk = newDf.select(col(idCol).alias("new_id"),
       org.apache.spark.sql.graft.sketch.shingle_hashes(col(textCol), k).alias("shn"))

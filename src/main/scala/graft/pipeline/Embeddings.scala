@@ -20,13 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object Embeddings {
 
-  /** L2-normalized copy of the vector (zero vectors pass through). */
-  def l2Normalize(vec: Column): Column = {
-    val n = sqrt(aggregate(vec,
-      lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
-    when(n === 0.0, vec)
-      .otherwise(transform(vec, x => (x.cast("double") / n).cast("float")))
-  }
+  /** L2-normalized copy of the vector (zero vectors pass through).
+    * Native expression: a transform lambda dividing by a captured
+    * sqrt-of-aggregate would re-evaluate the norm per element — the
+    * O(d²) HOF-capture trap — and no projection boundary prevents the
+    * inline; the primitive loop is the reliable shape. */
+  def l2Normalize(vec: Column): Column =
+    org.apache.spark.sql.graft.sketch.l2_normalize(vec)
 
   /** Per-vector int8 scalar quantization: (`codes` array<int> in [0,255],
     * `q_min`, `q_max`). code = floor((x−min)/(max−min)·255 + 0.5);

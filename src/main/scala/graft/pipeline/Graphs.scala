@@ -125,9 +125,16 @@ object Graphs {
     import spark.implicits._
     val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
     val parent = scala.collection.mutable.LongMap.empty[Long]
+    // iterative find + full path compression: a recursive find would
+    // recurse once per chain link and overflow the driver stack on a
+    // long path component (chains up to the edge count are reachable
+    // well inside the fast-path threshold)
     def find(x: Long): Long = {
-      val p = parent.getOrElseUpdate(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
+      var root = x
+      while (parent.getOrElseUpdate(root, root) != root) root = parent(root)
+      var cur = x
+      while (cur != root) { val next = parent(cur); parent(cur) = root; cur = next }
+      root
     }
     es.foreach { case (a, b) =>
       val (ra, rb) = (find(a), find(b))

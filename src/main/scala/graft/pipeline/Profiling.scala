@@ -10,9 +10,12 @@ import org.apache.spark.sql.functions._
   * min/max/mean and EXACT median (Spark's `percentile`, interpolating
   * like DuckDB's `median`; `percentile_approx` would not oracle-match).
   * All statistics for all columns compute in ONE aggregate pass over the
-  * table (a single partial-agg shuffle of constant-size state — never a
-  * job per column). Mean and median round half-up so engines compare
-  * bit-equal. */
+  * table — never a job per column. State caveat: the exact percentile's
+  * buffer grows with the column's DISTINCT values (a value→count map),
+  * so on an unbounded-cardinality column at extreme scale swap it for
+  * `percentile_approx` (constant state, no longer oracle-exact); the
+  * other five statistics are constant-size. Mean and median round
+  * half-up so engines compare bit-equal. */
 object Profiling {
 
   def describe(df: DataFrame, cols: Seq[String]): DataFrame = {

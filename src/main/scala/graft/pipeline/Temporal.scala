@@ -147,13 +147,20 @@ object Temporal {
     * of periods the data spans (30 for a month of days — NOT by events
     * per key, the aggregate dedups first), so no hot key can blow up a
     * row. The final (cohort, offset) count is a second, tiny aggregate.
-    * `div` keeps the bucketing in exact integer arithmetic — a double
-    * division would lose nanosecond precision above 2⁵³. */
+    * Bucketing is exact integer FLOOR division — a double division would
+    * lose nanosecond precision above 2⁵³, and Spark's `div` alone
+    * truncates toward zero, which would bucket pre-epoch (negative)
+    * timestamps one period late relative to the floor semantics SQL
+    * engines (and this operator's oracle) use. */
   def cohortRetention(df: DataFrame, keyCol: String, tsCol: String,
       periodLen: Long): DataFrame = {
     require(periodLen > 0, "periodLen must be positive")
     val per = df.select(col(keyCol).alias("__graft_k"),
-      expr(s"cast(`$tsCol` as bigint) div $periodLen").alias("__graft_p"))
+      expr(s"""CASE WHEN cast(`$tsCol` as bigint) >= 0
+                 OR cast(`$tsCol` as bigint) % $periodLen = 0
+               THEN cast(`$tsCol` as bigint) div $periodLen
+               ELSE cast(`$tsCol` as bigint) div $periodLen - 1 END""")
+        .alias("__graft_p"))
     per.groupBy(col("__graft_k"))
       .agg(min(col("__graft_p")).alias("cohort"),
         collect_set(col("__graft_p")).alias("__graft_ps"))

@@ -164,7 +164,11 @@ object TextAnalysis {
 
   // ---- Text normalization ----
 
-  val UrlRe = "https?://\\S+"
+  /** Explicit negated class, not `\S+`: Java counts \x0B (vertical tab)
+    * as whitespace, RE2 does not, so `\S` would strip different spans in
+    * the two engines. [^\s\x0B] is identical in both (Java's \s already
+    * contains \x0B; RE2 gains it from the explicit term). */
+  val UrlRe = "https?://[^\\s\\x0B]+"
   /** C0 controls except \t \n, plus DEL — RE2-portable explicit class. */
   val ControlRe = "[\\x00-\\x08\\x0B-\\x1F\\x7F]"
 

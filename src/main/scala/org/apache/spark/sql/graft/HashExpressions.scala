@@ -186,6 +186,23 @@ object GraftHashOps {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** L2-normalize a float vector (double accumulation; zero vectors pass
+    * through). One primitive loop — the composable
+    * transform-divides-by-sqrt-aggregate formulation re-evaluates the
+    * norm per element (HOF-capture trap). */
+  def l2Normalize(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) { val x = v.getFloat(i).toDouble; ss += x * x; i += 1 }
+    if (ss == 0.0) return v
+    val norm = math.sqrt(ss)
+    val out = new Array[Float](n)
+    i = 0
+    while (i < n) { out(i) = (v.getFloat(i).toDouble / norm).toFloat; i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Unicode NFC normalization (java.text.Normalizer). Spark has no
     * built-in normalization function; DuckDB's nfc_normalize is the
     * oracle counterpart. Pure-ASCII input short-circuits — the common
@@ -421,6 +438,27 @@ case class NearestCentroidIndex(child: Expression, centroids: Seq[Seq[Float]])
     copy(child = newChild)
 }
 
+/** L2 normalization of a float vector (codegen'd; see
+  * GraftHashOps.l2Normalize). */
+case class L2Normalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_l2_normalize"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.l2Normalize(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${Gen.Ops}.l2Normalize($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): L2Normalize =
+    copy(child = newChild)
+}
+
 /** Unicode NFC normalization of a string column (codegen'd; see
   * GraftHashOps.nfcNormalize). */
 case class NfcNormalize(child: Expression)
@@ -457,6 +495,7 @@ object sketch {
   def window_hashes(c: Column, w: Int): Column =
     column(WindowHashes(expression(c), w))
   def nfc(c: Column): Column = column(NfcNormalize(expression(c)))
+  def l2_normalize(c: Column): Column = column(L2Normalize(expression(c)))
   def minhash_signature_longs(c: Column, n: Int): Column =
     column(MinHashSignatureLongs(expression(c), n))
   def nearest_centroid(c: Column, centroids: Seq[Seq[Float]]): Column =

@@ -108,6 +108,18 @@ class TemporalSpec extends SparkSpec {
     ))
   }
 
+  test("cohortRetention floors negative timestamps like SQL // division") {
+    import spark.implicits._
+    // ts = -1 belongs to period -1 under floor division (one ns before
+    // the epoch), NOT period 0 (which truncation toward zero would give)
+    val ev = Seq((1L, -1L), (1L, 5L), (2L, -10L)).toDF("user_id", "ts")
+    val got = Temporal.cohortRetention(ev, "user_id", "ts", periodLen = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // u1 cohort -1 (ts=-1), active at -1 and 0 (ts=5); u2 cohort -1 (ts=-10
+    // is exactly divisible: period -1)
+    assert(got == Map((-1L, 0L) -> 2L, (-1L, 1L) -> 1L))
+  }
+
   test("cohortRetention plan: two hash exchanges, key then cohort/offset") {
     import spark.implicits._
     val ev = Seq((1L, 1L), (2L, 3L)).toDF("user_id", "ts")
