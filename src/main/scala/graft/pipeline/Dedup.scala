@@ -147,6 +147,31 @@ object Dedup {
     MinhashIndex(buckets, sk, k, bands, rows)
   }
 
+  /** Persist a standing index: `<path>/buckets` and `<path>/sketches`
+    * parquet plus `<path>/meta` (one row of band parameters). Bucket-join
+    * keys stay plain parquet here; production layouts can route the two
+    * tables through [[Bucketing.writeBucketed]] instead. */
+  def writeMinhashIndex(index: MinhashIndex, path: String): Unit = {
+    index.buckets.write.mode("overwrite").parquet(s"$path/buckets")
+    index.sketches.write.mode("overwrite").parquet(s"$path/sketches")
+    val spark = index.buckets.sparkSession
+    import spark.implicits._
+    Seq((index.k, index.bands, index.rows)).toDF("k", "bands", "rows")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Reload a persisted index; band parameters come from the stored meta,
+    * so probes of a reloaded index are banding-compatible by
+    * construction. */
+  def readMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): MinhashIndex = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    MinhashIndex(
+      spark.read.parquet(s"$path/buckets"),
+      spark.read.parquet(s"$path/sketches"),
+      meta.getAs[Int]("k"), meta.getAs[Int]("bands"), meta.getAs[Int]("rows"))
+  }
+
   /** Incremental near-dup detection: probe a standing index with a new
     * batch. Returns (`new_id`, `corpus_id`, `jaccard`) for batch docs
     * whose exact Jaccard against an index doc reaches the threshold.

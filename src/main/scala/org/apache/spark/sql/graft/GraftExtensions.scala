@@ -61,6 +61,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "graft_window_hashes takes 2 arguments")
         WindowHashes(args(0), intArg(args(1), "graft_window_hashes", 1))
       }))
+    ext.injectFunction((FunctionIdentifier("graft_l2_normalize"),
+      info("graft_l2_normalize", "graft_l2_normalize(vec) - L2-normalized float vector"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_l2_normalize takes 1 argument")
+        L2Normalize(args(0))
+      }))
     ext.injectFunction((FunctionIdentifier("graft_nfc"),
       info("graft_nfc", "graft_nfc(text) - Unicode NFC normalization"),
       (args: Seq[Expression]) => {

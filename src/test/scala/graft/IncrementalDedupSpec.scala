@@ -52,6 +52,25 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(probed == all)
   }
 
+  test("a persisted index reloads with its band parameters and probes equal") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx").toString
+    try {
+      val index = Dedup.minhashIndex(corpus, "text", "doc_id",
+        k = 2, bands = 8, rows = 2)
+      Dedup.writeMinhashIndex(index, dir)
+      val reloaded = Dedup.readMinhashIndex(spark, dir)
+      assert((reloaded.k, reloaded.bands, reloaded.rows) == ((2, 8, 2)))
+      val live = Dedup.minhashProbe(index, batch, "text", "doc_id", 0.5)
+        .collect().map(_.toString).sorted.toSeq
+      val fromDisk = Dedup.minhashProbe(reloaded, batch, "text", "doc_id", 0.5)
+        .collect().map(_.toString).sorted.toSeq
+      assert(live == fromDisk && live.nonEmpty)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("an index probes repeatedly and an empty batch yields nothing") {
     val index = Dedup.minhashIndex(corpus, "text", "doc_id")
     val first = Dedup.minhashProbe(index, batch, "text", "doc_id").count()
