@@ -170,4 +170,13 @@ class EngineSmokeSpec extends SparkSpec {
     assert(r1.map(r => (r(1), r(0))).groupBy(_._1).forall(_._2.size == 1))
     assert(r1 == r2)
   }
+
+  test("driver flagship entry returns grouped rows (smoke contract)") {
+    // the driver smoke-checks rows > 0 on SparkEntry.entry; catch a
+    // regression here instead of at round end
+    val out = SparkEntry.entry(spark)
+    assert(out.count() > 0)
+    assert(out.columns.toSeq ==
+      Seq("l_returnflag", "l_linestatus", "cnt", "sum_qty"))
+  }
 }
