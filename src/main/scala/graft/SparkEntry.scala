@@ -236,6 +236,14 @@ object SparkEntry {
     }),
 
     // per-group top-k without a global sort (row_number window)
+    // 2-D skyline of lineitem: cheapest-yet-largest frontier under
+    // (min l_extendedprice, max l_quantity); exact sort-based distributed
+    // shape, oracle via the independent window formulation
+    "q_skyline" -> ((s, dir) =>
+      pipeline.Skyline.skyline2D(t(s, dir, "lineitem"),
+        "l_extendedprice", "l_quantity")
+        .orderBy("l_extendedprice")),
+
     // one-pass column profiling (count/nulls/min/max/mean/exact-median
     // for every column in a single aggregate)
     "q_profile" -> ((s, dir) =>
@@ -755,6 +763,15 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
            ON e.user_id = v.user_id AND e.ts >= v.ts
          ORDER BY e.event_id""",
+    "q_skyline" ->
+      """WITH g AS (SELECT l_extendedprice::DOUBLE AS x,
+             max(l_quantity::DOUBLE) AS y
+           FROM lineitem GROUP BY 1),
+         w AS (SELECT x, y, max(y) OVER (ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS my
+           FROM g)
+         SELECT x AS l_extendedprice, y AS l_quantity FROM w
+         WHERE my IS NULL OR y > my ORDER BY l_extendedprice""",
     "q_profile" ->
       """SELECT 'l_discount' AS "column", count(l_discount)::BIGINT AS n,
            sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
