@@ -407,8 +407,9 @@ object CsvSource {
     * rbql_csv.py:496-504): UTF-8 BOM presence and inconsistent
     * number-of-fields across records — the single most common real-CSV
     * hazard. One text-scan aggregate job; line-based field counting
-    * (quoted policies use a quote-aware regex split, so multiline
-    * quoted_rfc records are approximated line-by-line). */
+    * (quoted policies count via the exact reference splitter, applied
+    * per physical line — multiline quoted_rfc records are approximated
+    * line-by-line). */
   def inputWarnings(
       spark: SparkSession,
       path: String,
@@ -442,10 +443,14 @@ object CsvSource {
       case "monocolumn" => lit(1)
       case "whitespace" => size(split(trim(col("value")), "\\s+"))
       case "quoted" | "quoted_rfc" =>
-        // split on delimiters outside double quotes (well-formed lines)
-        size(split(col("value"),
-          java.util.regex.Pattern.quote(delim) +
-            """(?=(?:[^"]*"[^"]*")*[^"]*$)""", -1))
+        // the exact reference splitter (RfcSplit) as a UDF: the former
+        // lookahead-regex split mis-counted a stray quote inside an
+        // unquoted field and went quadratic on heavily-quoted lines
+        // (round-3 verdict #1); this scan is the warnings/parity path,
+        // off any hot loop
+        val d = delim
+        val exactNf = udf((line: String) => RfcSplit.splitQuoted(line, d).length)
+        exactNf(col("value"))
       case _ => size(split(col("value"), java.util.regex.Pattern.quote(delim), -1))
     }
     // unbalanced (odd-count) double quotes on a line ⇒ defective escaping

@@ -110,6 +110,13 @@ class SourcesSpec extends SparkSpec {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/ok.csv"),
       "a,b\n1,2\n")
     assert(CsvSource.inputWarnings(spark, s"$dir/ok.csv").isEmpty)
+    // stray quote inside an unquoted field after a delimiter: both lines
+    // have 2 fields — the old lookahead-regex counter saw 1 on line 2
+    // and raised a spurious inconsistency (round-3 verdict #1)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/sq.csv"),
+      "x,y\na,b\"c\n")
+    assert(!CsvSource.inputWarnings(spark, s"$dir/sq.csv")
+      .exists(_.contains("not consistent")))
     // defective double-quote escaping is reported with its line number
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/dq.csv"),
       "a,b\n\"ok\",2\nbro\"ken,3\n")
