@@ -93,7 +93,7 @@ object Graft {
       .orElse(tables.find(_._1.equalsIgnoreCase(key)).map(_._2))
       .orElse(fallback(key))
       .getOrElse {
-        val lower = key.toLowerCase
+        val lower = key.toLowerCase(java.util.Locale.ROOT)
         if (lower.endsWith(".parquet")) spark.read.parquet(key)
         else if (lower.endsWith(".csv")) sources.CsvSource.read(spark, key)
         else if (lower.endsWith(".tsv")) sources.CsvSource.read(spark, key, delim = "\t")

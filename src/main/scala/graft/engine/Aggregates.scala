@@ -124,7 +124,7 @@ object Aggregates {
     val m = AggCallRe.findFirstMatchIn(item)
     m match {
       case Some(mm) =>
-        val fname = mm.group(1).toLowerCase
+        val fname = mm.group(1).toLowerCase(java.util.Locale.ROOT)
         if (fname == "min" || fname == "max") {
           val open = mm.end - 1
           val end = closeParen(item, open)
@@ -150,7 +150,7 @@ object Aggregates {
     AggCallRe.findFirstMatchIn(item) match {
       case None => Item(item, None)
       case Some(m) =>
-        val fname = m.group(1).toLowerCase
+        val fname = m.group(1).toLowerCase(java.util.Locale.ROOT)
         val open = m.end - 1
         val end = closeParen(item, open)
         val isWhole = item.substring(0, m.start).trim.isEmpty &&

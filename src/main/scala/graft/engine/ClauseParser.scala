@@ -27,7 +27,7 @@ object ClauseParser {
     val hits = ArrayBuffer.empty[Hit]
     var i = 0
     var depth = 0
-    val lower = text.toLowerCase
+    val lower = text.toLowerCase(java.util.Locale.ROOT)
     while (i < text.length) {
       val c = text.charAt(i)
       if (c == '(') { depth += 1; i += 1 }
@@ -196,7 +196,7 @@ object ClauseParser {
 
   private def parseUpdate(bodyIn: String): UpdateSpec = {
     val body = bodyIn.trim match {
-      case b if b.toLowerCase.startsWith("set ") => b.substring(4)
+      case b if b.toLowerCase(java.util.Locale.ROOT).startsWith("set ") => b.substring(4)
       case b => b
     }
     val assignments = splitTopLevel(body, ',').map(_.trim).map { a =>
@@ -269,7 +269,7 @@ object ClauseParser {
 
   private def parseWith(body: String): Seq[String] = body.trim match {
     case WithRe(mods) =>
-      val ms = mods.split(',').map(_.trim.toLowerCase).toSeq
+      val ms = mods.split(',').map(_.trim.toLowerCase(java.util.Locale.ROOT)).toSeq
       val known = Set("header", "noheader")
       ms.find(!known.contains(_)).foreach(m => Errors.parsing(s"Unknown WITH modifier: '$m'"))
       ms
@@ -287,7 +287,7 @@ object ClauseParser {
   }
 
   private def findKeywordTopLevel(s: String, kw: String): Int = {
-    val lower = s.toLowerCase
+    val lower = s.toLowerCase(java.util.Locale.ROOT)
     var depth = 0
     var i = 0
     while (i < s.length) {

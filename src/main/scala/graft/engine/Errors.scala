@@ -27,7 +27,7 @@ object Errors {
     * mirroring rbql_engine.py:959-966 (HAVING / LIKE-operator / sql SELECT).
     */
   def hintFor(query: String): Option[String] = {
-    val q = query.toLowerCase
+    val q = query.toLowerCase(java.util.Locale.ROOT)
     if (q.contains("having"))
       Some("HAVING is not supported; use a pipe: ... | SELECT * WHERE <cond>")
     else None

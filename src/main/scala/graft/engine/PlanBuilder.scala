@@ -708,7 +708,7 @@ object PlanBuilder {
         case HdrDotName(_, name) => name // a.vehicle → "vehicle" (no prefix)
         case HdrBracketName(_, idx) =>
           ExprTranslator.unquote(ctx.masked.literals(idx.toInt))
-        case HdrBareIdent() if !Set("true", "false", "null").contains(t.toLowerCase) =>
+        case HdrBareIdent() if !Set("true", "false", "null").contains(t.toLowerCase(java.util.Locale.ROOT)) =>
           t // NR, NF, aNR, bNR, NU, RBQL_VERSION, ... keep the variable name
         case _ => s"col$pos"
       }

@@ -377,8 +377,13 @@ object Dedup {
       org.apache.spark.sql.graft.sketch.shingle_hashes(col(textCol), k).alias("sh_b"))
       .repartition(col("bench_id"))
     val post = trSh.select(col("train_id"), explode(col("sh_t")).alias("s"))
+    // epsilon before floor: (1-t)·n floors one short when it lands an ulp
+    // below an exact integer (1.0-0.8 = 0.19999…96, ×10 → floor 1 not 2),
+    // silently dropping a candidate at containment exactly t. A longer
+    // prefix is always safe (more candidates, still exact).
     val prefLen = greatest(
-      (floor(lit(1.0 - threshold) * size(col("sh_b"))) + 1).cast("int"), lit(1))
+      (floor(lit(1.0 - threshold) * size(col("sh_b")) + lit(1e-9)) + 1)
+        .cast("int"), lit(1))
     val bePref = beSh.select(col("bench_id"),
       explode(slice(sort_array(col("sh_b")), lit(1), prefLen)).alias("s"))
     val candidates = bePref.join(post, "s")

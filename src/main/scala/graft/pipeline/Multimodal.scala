@@ -109,5 +109,9 @@ object Multimodal {
   def sampleFrames(df: DataFrame, metaCol: String = "media_meta",
       everyNBytes: Long = 1024): DataFrame =
     df.withColumn("frame_offset",
-      explode(sequence(lit(0L), col(s"$metaCol.n_bytes") - 1, lit(everyNBytes))))
+      // empty payloads sample zero frames — an unguarded sequence(0, -1)
+      // is an illegal-boundaries runtime error, not an empty array
+      explode(when(col(s"$metaCol.n_bytes") > 0,
+        sequence(lit(0L), col(s"$metaCol.n_bytes") - 1, lit(everyNBytes)))
+        .otherwise(array().cast("array<bigint>"))))
 }

@@ -31,7 +31,7 @@ object Packing {
     val id = col(idCol)
     val w = Window.partitionBy(col("shard")).orderBy(id)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("shard", id % shards)
+    df.withColumn("shard", pmod(id, lit(shards))) // pmod: negative ids stay in [0, shards)
       .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long"))
       .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .withColumn("seq_id", floor(col("start_off") / seqLen).cast("long"))

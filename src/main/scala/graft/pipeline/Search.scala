@@ -38,7 +38,7 @@ object Search {
       query: Seq[String],
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(query.nonEmpty, "query must contain at least one term")
-    val terms = query.map(_.toLowerCase).distinct
+    val terms = query.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
     val base = df.select(
       col(idCol),
       TextAnalysis.tokens(lower(col(textCol))).as("__tk"))

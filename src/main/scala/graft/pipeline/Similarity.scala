@@ -28,10 +28,10 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.sketch.cosine(a, b)
 
-  /** Deterministic pseudo-random hyperplane component: plane p, dim i,
-    * derived from a seeded hash, mapped to [-1, 1). */
-  private def planeComponent(p: Column, i: Column, seed: Long): Column =
-    (hash(p, i, lit(seed)).cast("double") / lit(Int.MaxValue.toDouble))
+  // Plane components are murmur3(hash(plane, dim, seed)) / Int.MaxValue in
+  // [-1, 1) — the formula lives in the native expression
+  // (GraftHashOps.hyperplaneSignature); the former composable
+  // planeComponent helper was unused and invited silent drift.
 
   /** Sign signature under `planes` random hyperplanes → one integer bucket
     * id. Buckets split the corpus ~2^planes ways; cosine-close vectors

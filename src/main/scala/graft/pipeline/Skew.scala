@@ -23,11 +23,15 @@ object Skew {
       smallKey: String,
       saltFactor: Int = 8,
       joinType: String = "inner"): DataFrame = {
-    // deterministic row salt: hash of the key + a uniform spreader — rows
-    // of the same hot key scatter across saltFactor sub-partitions
+    // row salt from STABLE row content only: spark_partition_id /
+    // monotonically_increasing_id change under partial stage retry
+    // (fetch-order dependent), which moves recomputed rows to shuffle
+    // partitions other reducers already consumed — the SPARK-23207 class
+    // of silent row duplication/loss. Hashing every column keeps the
+    // hot-key scatter (identical full rows share a salt, which is fine:
+    // they are literal duplicates) and survives retries.
     val salted = big.withColumn("__graft_salt",
-      pmod(hash(col(bigKey), spark_partition_id(),
-        monotonically_increasing_id()), lit(saltFactor)))
+      pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(saltFactor)))
     val saltValues = explode(sequence(lit(0), lit(saltFactor - 1)))
     val expanded = small.withColumn("__graft_salt", saltValues)
     val cond: Column = salted(bigKey) === expanded(smallKey) &&

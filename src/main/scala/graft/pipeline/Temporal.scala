@@ -122,13 +122,19 @@ object Temporal {
     require(steps.nonEmpty, "steps must be non-empty")
     val first = df.filter(col(typeCol) === steps.head)
       .groupBy(col(keyCol)).agg(min(col(tsCol)).alias("__graft_t"))
-    val reached = steps.tail.foldLeft(Vector(first)) { (acc, s) =>
-      val prev = acc.last
-        .withColumnRenamed("__graft_t", "__graft_tprev")
-      acc :+ df.filter(col(typeCol) === s)
-        .join(prev, keyCol)
-        .filter(col(tsCol) >= col("__graft_tprev"))
-        .groupBy(col(keyCol)).agg(min(col(tsCol)).alias("__graft_t"))
+    val reached = steps.tail.zip(steps).foldLeft(Vector(first)) {
+      case (acc, (s, prevStep)) =>
+        val prev = acc.last
+          .withColumnRenamed("__graft_t", "__graft_tprev")
+        // a repeated step type needs a STRICTLY later event — otherwise
+        // the step-(i-1) reach event satisfies its own successor and one
+        // action counts as two
+        val after = if (s == prevStep) col(tsCol) > col("__graft_tprev")
+                    else col(tsCol) >= col("__graft_tprev")
+        acc :+ df.filter(col(typeCol) === s)
+          .join(prev, keyCol)
+          .filter(after)
+          .groupBy(col(keyCol)).agg(min(col(tsCol)).alias("__graft_t"))
     }
     reached.zip(steps).zipWithIndex.map { case ((st, name), i) =>
       st.agg(count(lit(1)).alias("n_keys"))

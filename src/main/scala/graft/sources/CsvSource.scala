@@ -348,7 +348,7 @@ object CsvSource {
       }
     }
     detected.getOrElse {
-      val lower = path.toLowerCase
+      val lower = path.toLowerCase(java.util.Locale.ROOT)
       if (lower.endsWith(".tsv")) ("\t", "simple")
       else (",", "quoted")
     }

@@ -24,7 +24,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object GraftHashOps {
 
   def shingleHashes(input: UTF8String, k: Int): ArrayData = {
-    val text = input.toString.toLowerCase
+    val text = input.toString.toLowerCase(java.util.Locale.ROOT)
     val toks = text.trim.split("\\s+")
     val tokHashes = new Array[Long](toks.length)
     var i = 0
@@ -60,7 +60,7 @@ object GraftHashOps {
     * (shingleHashes loses positions and repeats). Fewer than w tokens →
     * empty (a short doc has no w-window to match). */
   def windowHashes(input: UTF8String, w: Int): ArrayData = {
-    val text = input.toString.toLowerCase
+    val text = input.toString.toLowerCase(java.util.Locale.ROOT)
     val toks = text.trim.split("\\s+")
     if (toks.length < w) return new GenericArrayData(Array.emptyLongArray)
     val tokHashes = new Array[Long](toks.length)
@@ -156,7 +156,7 @@ object GraftHashOps {
       var proj = 0.0
       var i = 0
       while (i < dims) {
-        // matches Similarity.planeComponent: murmur3(hash(p', i, seed))/MaxInt
+        // plane component: murmur3(hash(p', i, seed)) / MaxInt in [-1, 1)
         val comp = hashInt3(pid, i, seed) / Int.MaxValue.toDouble
         proj += arr.getFloat(i).toDouble * comp
         i += 1
@@ -244,7 +244,10 @@ object GraftHashOps {
       if (sim > bestSim) { bestSim = sim; best = c }
       c += 1
     }
-    best
+    // a zero (or NaN-containing) vector makes every sim NaN and no
+    // comparison fires — default to cell 0 instead of returning -1
+    // (which would crash downstream element_at(…, 0))
+    if (best < 0) 0 else best
   }
 }
 

@@ -39,7 +39,10 @@ object PyEq {
 
   private def castVariant(v: Expression, other: Expression): Expression =
     other match {
-      case lit: Literal => Cast(v, lit.dataType)
+      // a NULL literal has NullType — Cast(v, NullType) fails analysis,
+      // and `a1['k'] == NULL` is exactly the None-comparison this module
+      // exists for; compare through the string cast instead
+      case lit: Literal if lit.value != null => Cast(v, lit.dataType)
       case _ => Cast(v, StringType)
     }
 

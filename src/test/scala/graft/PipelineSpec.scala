@@ -149,6 +149,11 @@ class PipelineSpec extends SparkSpec {
     assert(f1 == f4)
     val frames = Multimodal.sampleFrames(media, everyNBytes = 16)
     assert(frames.count() > docs.count())
+    // an empty payload samples zero frames (not an illegal-sequence crash)
+    import spark.implicits._
+    val emptyMedia = Multimodal.attachFakeMedia(
+      Seq((99L, "")).toDF("doc_id", "text"), "text")
+    assert(Multimodal.sampleFrames(emptyMedia, everyNBytes = 16).count() == 0)
     // stub resize: payload length scales with the target pixel count and
     // the metadata tracks the new dimensions
     val resized = Multimodal.resizeMedia(media, newWidth = 8, newHeight = 6)

@@ -90,6 +90,20 @@ class TemporalSpec extends SparkSpec {
     assert(got == Set((1, "signup", 3L), (2, "view", 2L), (3, "click", 1L)))
   }
 
+  test("funnel repeated step types need strictly later events") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1 purchased once: must NOT count as buying twice
+      (1L, 1L, "view"), (1L, 5L, "purchase"),
+      // u2 purchased twice
+      (2L, 1L, "view"), (2L, 3L, "purchase"), (2L, 9L, "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Temporal.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "purchase", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(got == Map(1 -> 2L, 2 -> 2L, 3 -> 1L))
+  }
+
   test("cohortRetention counts distinct keys per cohort and offset") {
     import spark.implicits._
     // period length 10: u1 joins period 0, active 0 and 2 (twice — dedup);
