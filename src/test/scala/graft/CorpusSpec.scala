@@ -409,7 +409,7 @@ object PyDialect {
             // float conversions need a DOUBLE arg (a DECIMAL would throw
             // IllegalFormatConversionException in Java's Formatter)
             val arg =
-              if ("[efg]$".r.findFirstIn(fmt.toLowerCase).isDefined)
+              if ("[efg]$".r.findFirstIn(fmt.toLowerCase(java.util.Locale.ROOT)).isDefined)
                 s"cast(($argT) as double)"
               else argT
             s"format_string(${addLit(s"'%$fmt'")}, $arg)"

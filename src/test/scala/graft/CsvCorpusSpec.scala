@@ -53,7 +53,7 @@ class CsvCorpusSpec extends SparkSpec {
   /** Loose mapping from the corpus' abbreviated warning keys to graft's
     * (reference-text) warning lines. */
   private def warningPattern(w: String): Option[String] = {
-    val l = w.toLowerCase
+    val l = w.toLowerCase(java.util.Locale.ROOT)
     if (l.contains("inconsistent input records")) Some("not consistent")
     else if (l.contains("bom removed")) Some("Byte Order Mark")
     else if (l.contains("null values in output")) Some("None values in output")

@@ -47,7 +47,7 @@ class GoldenSpec extends SparkSpec {
     val e = intercept[ParsingError] {
       run("NR, a1 where cast(a1 as int) > 5 order by a3", t1)
     }
-    assert(e.getMessage.toLowerCase.contains("select or update"))
+    assert(e.getMessage.toLowerCase(java.util.Locale.ROOT).contains("select or update"))
   }
 
   test("golden: distinct with messy whitespace") {
@@ -334,7 +334,7 @@ class GoldenSpec extends SparkSpec {
     val e = intercept[Exception] {
       run("select NR, a1 where cast(a1 as int) > 5 where cast(a1 as int) > 6", t1)
     }
-    assert(e.getMessage.toLowerCase.contains("where"))
+    assert(e.getMessage.toLowerCase(java.util.Locale.ROOT).contains("where"))
   }
 
   test("golden: empty SELECT expression errors") {
@@ -365,14 +365,14 @@ class GoldenSpec extends SparkSpec {
       run("select SUM(a2)", Seq(Seq("1", "car"), Seq("2", "dog")))
     }
     assert(e.getMessage.contains("CAST_INVALID_INPUT") ||
-      e.getMessage.toLowerCase.contains("cannot be cast"))
+      e.getMessage.toLowerCase(java.util.Locale.ROOT).contains("cannot be cast"))
   }
 
   test("golden: HAVING is rejected with a hint") {
     val e = intercept[Exception] {
       run("select a1, count(*) group by a1 HAVING count(*) > 1", t1)
     }
-    assert(e.getMessage.toLowerCase.contains("having"))
+    assert(e.getMessage.toLowerCase(java.util.Locale.ROOT).contains("having"))
   }
 
   test("golden: ANY_VALUE keeps the first-seen value per group") {
@@ -415,7 +415,7 @@ class GoldenSpec extends SparkSpec {
 
   test("golden: aggregate on garbage string errors") {
     val e = intercept[Exception] { run("select SUM(a2)", Seq(Seq("1", "alpha"))) }
-    assert(e.getMessage.toLowerCase.contains("cast") ||
+    assert(e.getMessage.toLowerCase(java.util.Locale.ROOT).contains("cast") ||
       e.getMessage.contains("CAST_INVALID_INPUT"))
   }
 
@@ -537,7 +537,7 @@ class GoldenSpec extends SparkSpec {
 
   test("golden: bNF without JOIN errors") {
     val e = intercept[ParsingError] { run("select bNF", t1) }
-    assert(e.getMessage.toLowerCase.contains("join"))
+    assert(e.getMessage.toLowerCase(java.util.Locale.ROOT).contains("join"))
   }
 
   test("golden: limit applies after aggregation") {

@@ -19,7 +19,7 @@ class JdbcSpec extends SparkSpec {
 
   test("jdbc full-table scan with header from metadata") {
     val df = JdbcSource.read(spark, url, "question")
-    assert(df.columns.map(_.toLowerCase).toSeq == Seq("questionid", "questiontext"))
+    assert(df.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSeq == Seq("questionid", "questiontext"))
     assert(df.count() == 3)
   }
 
