@@ -244,6 +244,15 @@ object SparkEntry {
         "l_extendedprice", "l_quantity")
         .orderBy("l_extendedprice")),
 
+    // 3-D skyline of part: (min retailprice, max size, max name length);
+    // per-partition SFS + bounded merge, brute-force dominance oracle
+    "q_skyline3" -> ((s, dir) =>
+      pipeline.Skyline.skylineND(
+        t(s, dir, "part").withColumn("name_len", length(col("p_name"))),
+        minimizeCols = Seq("p_retailprice"),
+        maximizeCols = Seq("p_size", "name_len"))
+        .orderBy("p_retailprice", "p_size", "name_len")),
+
     // one-pass column profiling (count/nulls/min/max/mean/exact-median
     // for every column in a single aggregate)
     "q_profile" -> ((s, dir) =>
@@ -772,6 +781,15 @@ object SparkEntry {
            FROM g)
          SELECT x AS l_extendedprice, y AS l_quantity FROM w
          WHERE my IS NULL OR y > my ORDER BY l_extendedprice""",
+    "q_skyline3" ->
+      """WITH p AS (SELECT DISTINCT p_retailprice::DOUBLE AS d1,
+             p_size::DOUBLE AS d2, length(p_name)::DOUBLE AS d3 FROM part)
+         SELECT d1 AS p_retailprice, d2 AS p_size, d3 AS name_len
+         FROM p a
+         WHERE NOT EXISTS (SELECT 1 FROM p q
+           WHERE q.d1 <= a.d1 AND q.d2 >= a.d2 AND q.d3 >= a.d3
+             AND (q.d1 < a.d1 OR q.d2 > a.d2 OR q.d3 > a.d3))
+         ORDER BY p_retailprice, p_size, name_len""",
     "q_profile" ->
       """SELECT 'l_discount' AS "column", count(l_discount)::BIGINT AS n,
            sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,

@@ -25,6 +25,90 @@ import org.apache.spark.sql.functions._
   * repartition differently). */
 object Skyline {
 
+  /** SFS (sort-filter-skyline) over an in-memory slice: ascending
+    * dim-sum order means a point can only be dominated by an EARLIER
+    * point (domination implies sum ≤, and equal sums cannot dominate
+    * strictly), so one forward pass against the kept list is exact. All
+    * dims are canonical minimize here. */
+  private def sfs(points: Array[Array[Double]]): Array[Array[Double]] = {
+    val sorted = points.sortBy(_.sum)
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    def dominates(q: Array[Double], p: Array[Double]): Boolean = {
+      var strict = false
+      var d = 0
+      while (d < q.length) {
+        if (q(d) > p(d)) return false
+        if (q(d) < p(d)) strict = true
+        d += 1
+      }
+      strict
+    }
+    var i = 0
+    while (i < sorted.length) {
+      val p = sorted(i)
+      if (!kept.exists(q => dominates(q, p))) kept += p
+      i += 1
+    }
+    kept.toArray
+  }
+
+  /** N-dimensional skyline: the points not dominated under
+    * (minimize `minimizeCols`, maximize `maximizeCols`). Returns the
+    * DISTINCT dimension tuples of the frontier, in the input column
+    * order (minimize then maximize, original values).
+    *
+    * Plan shape: dedup the dimension tuples (one hash aggregate), then
+    * per-partition SFS passes — each partition's local skyline is a
+    * superset-free candidate set, and rounds of repartition-to-fewer +
+    * local SFS strictly shrink it until it either fits the bounded
+    * driver merge (`localThreshold` rows, same pattern as
+    * connectedComponents' fast path) or lands in one partition, where
+    * the local pass IS the global answer. Exact at every size; per-round
+    * memory is one partition of CANDIDATES (frontier-sized, not
+    * input-sized). */
+  def skylineND(
+      df: DataFrame, minimizeCols: Seq[String], maximizeCols: Seq[String],
+      localThreshold: Int = 1 << 16): DataFrame = {
+    val spark = df.sparkSession
+    require(minimizeCols.nonEmpty || maximizeCols.nonEmpty, "no dimensions")
+    val dims = minimizeCols ++ maximizeCols
+    val canon = minimizeCols.map(c => col(c).cast("double")) ++
+      maximizeCols.map(c => (-col(c).cast("double")))
+    var pts = df
+      .select(canon.zipWithIndex.map { case (c, i) => c.as(s"d$i") }: _*)
+      .where(dims.indices.map(i => col(s"d$i").isNotNull).reduce(_ && _))
+      .distinct()
+    import org.apache.spark.sql.Encoders
+    val enc = Encoders.row(pts.schema)
+    val nd = dims.length
+    def localPass(d: DataFrame): DataFrame = d.mapPartitions { it =>
+      val arr = it.map(r => Array.tabulate(nd)(r.getDouble)).toArray
+      sfs(arr).iterator.map(a => Row.fromSeq(a.toIndexedSeq))
+    }(enc)
+    pts = localPass(pts).localCheckpoint()
+    var n = pts.count()
+    while (n > localThreshold && pts.rdd.getNumPartitions > 1) {
+      val target = math.max(1, pts.rdd.getNumPartitions / 4)
+      pts = localPass(pts.repartition(target)).localCheckpoint()
+      n = pts.count()
+    }
+    val front: Array[Array[Double]] =
+      if (n <= localThreshold)
+        sfs(pts.collect().map(r => Array.tabulate(nd)(r.getDouble)))
+      else // single partition: its local pass was already global
+        pts.collect().map(r => Array.tabulate(nd)(r.getDouble))
+    // un-canonicalize (maximize dims were negated) and restore names
+    val rows = front.map { a =>
+      Row.fromSeq(dims.indices.map { i =>
+        if (i < minimizeCols.length) a(i) else -a(i)
+      })
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(dims.map(c =>
+      org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.DoubleType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq), outSchema)
+  }
+
   def skyline2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val spark = df.sparkSession
     val pts = df
