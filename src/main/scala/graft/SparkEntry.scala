@@ -503,17 +503,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // chunk->document pooling: element-wise mean embedding per label
+    // chunk->document pooling: element-wise mean embedding per label.
+    // Emitted long-form (label, i, mv) — the driver's checker sorts cells
+    // and cannot hash array-typed columns, so the pooled vector is
+    // exploded back to scalars for comparison (operator output unchanged).
     "q_pool" -> ((s, dir) =>
       pipeline.Embeddings.meanPool(t(s, dir, "embeddings"),
         Seq("label"), "embedding")
-        .orderBy("label")),
+        .select(col("label"), posexplode(col("vec")).as(Seq("i", "mv")))
+        .select(col("label"), col("i").cast("long").alias("i"), col("mv"))
+        .orderBy("label", "i")),
 
     // SQ8 embedding quantization: per-vector (min,max) + int codes, exact
-    // floor-half-up arithmetic replayed by the oracle
+    // floor-half-up arithmetic replayed by the oracle. Codes emitted as a
+    // comma-joined string (driver checker can't hash array cells).
     "q_sq" -> ((s, dir) =>
       pipeline.Embeddings.scalarQuantize(t(s, dir, "embeddings"), "embedding")
-        .select(col("vec_id"), col("q_min"), col("q_max"), col("codes"))
+        .select(col("vec_id"), col("q_min"), col("q_max"),
+          array_join(col("codes"), ",").alias("codes"))
         .orderBy("vec_id")),
 
     // Johnson-Lindenstrauss gate: seeded +-1 projection to k=32 preserves
@@ -1271,21 +1278,19 @@ object SparkEntry {
     "q_pool" ->
       """WITH e AS (SELECT label, unnest(embedding) AS v,
              unnest(generate_series(1, len(embedding)))::BIGINT AS i
-           FROM embeddings),
-         m AS (SELECT label, i,
-             floor(avg(v::DOUBLE) * 1e6 + 0.5) / 1e6 AS mv
-           FROM e GROUP BY label, i)
-         SELECT label, list(mv ORDER BY i) AS vec
-         FROM m GROUP BY label ORDER BY label""",
+           FROM embeddings)
+         SELECT label, i - 1 AS i,
+           floor(avg(v::DOUBLE) * 1e6 + 0.5) / 1e6 AS mv
+         FROM e GROUP BY label, i ORDER BY label, i""",
     "q_sq" ->
       """SELECT vec_id, list_min(embedding)::DOUBLE AS q_min,
            list_max(embedding)::DOUBLE AS q_max,
-           CASE WHEN list_max(embedding) = list_min(embedding)
+           array_to_string(CASE WHEN list_max(embedding) = list_min(embedding)
              THEN list_transform(embedding, x -> 0)
              ELSE list_transform(embedding, x ->
                floor((x::DOUBLE - list_min(embedding)::DOUBLE) /
                  (list_max(embedding)::DOUBLE - list_min(embedding)::DOUBLE)
-                 * 255.0 + 0.5)::INT) END AS codes
+                 * 255.0 + 0.5)::INT) END, ',') AS codes
          FROM embeddings ORDER BY vec_id""",
     "q_rp_gate" ->
       """SELECT * FROM (VALUES

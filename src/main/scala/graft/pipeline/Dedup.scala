@@ -174,7 +174,18 @@ object Dedup {
 
   /** Incremental near-dup detection: probe a standing index with a new
     * batch. Returns (`new_id`, `corpus_id`, `jaccard`) for batch docs
-    * whose exact Jaccard against an index doc reaches the threshold.
+    * whose exact Jaccard against an index doc reaches the threshold AND
+    * that collide with it in at least one LSH band — like every banded
+    * MinHash scheme (and [[embeddingDupPairs]]), candidate recall is
+    * probabilistic: at the default 16 bands × 4 rows a pair at Jaccard
+    * exactly 0.7 collides with probability ≈0.988, rising steeply above
+    * the threshold (≥0.9 → ≈1−3e−7). Near-threshold pairs can be
+    * missed; raise `bands` / lower `rows` at index-build time when
+    * near-threshold recall matters. (The `q_incr` oracle compares
+    * against brute-force all-pairs — parity there relies on the fixed
+    * dataset's qualifying pairs all colliding in some band, which the
+    * margin above makes overwhelmingly likely but not certain for
+    * adversarial near-threshold data.)
     *
     * Scale shape: the corpus is touched only through the index tables —
     * never re-sketched. Only the (small) batch is sketched here; its

@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   * over the edge set and the edge set converges to a star forest — every
   * node pointing at its component's minimum id — in O(log² n) rounds
   * (observed ~log n). No driver-side graph state, no O(diameter) label
-  * propagation. Per-round lineage is truncated with `localCheckpoint` so
-  * the plan stays bounded regardless of round count (on a real cluster
-  * with a checkpoint dir, `checkpoint` is the durable equivalent).
+  * propagation. Per-round lineage is truncated via [[Checkpoints.truncate]]:
+  * lazily on local blocks by default (the convergence aggregate doubles as
+  * the materialization action — ONE job per round), or durably to a
+  * caller-supplied checkpoint directory for real-cluster runs where
+  * executor loss must not kill a multi-hour job.
   *
   * Skew note: both star operations compute a per-node min as a WINDOW
   * aggregate over the node's partition — no `collect_set`, so a hot node
@@ -85,22 +87,28 @@ object Graphs {
     * in memory. The default admits ≤2²⁰ edges (~16 MB) — the same bounded
     * driver-side pattern as the IVF centroid fetch; pass 0 to force the
     * distributed path.
+    *
+    * `checkpointDir`: when set, per-round lineage truncation uses durable
+    * `checkpoint` into that directory (survives executor loss — use on a
+    * real cluster); when None, non-durable executor-local blocks.
     */
   def connectedComponents(
       pairs: DataFrame, srcCol: String, dstCol: String,
-      maxRounds: Int = 50, localThreshold: Long = 1L << 20): DataFrame = {
-    var edges = pairs
+      maxRounds: Int = 50, localThreshold: Long = 1L << 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    var edges = Checkpoints.truncate(pairs
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint()
+      .distinct(), checkpointDir)
+    // the signature aggregate is also the action that materializes the
+    // (lazy) checkpoint blocks — one job per round, not two
     var sig: (Long, BigDecimal) = signature(edges)
     if (sig._1 > 0L && sig._1 <= localThreshold)
       return localComponents(edges)
     var converged = sig._1 == 0L
     var round = 0
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = Checkpoints.truncate(smallStar(largeStar(edges)), checkpointDir)
       val nextSig = signature(next)
       converged = nextSig == sig
       edges = next
@@ -154,8 +162,10 @@ object Graphs {
     * shuffled. */
   def dedupByCluster(
       docs: DataFrame, idCol: String,
-      pairs: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val labels = connectedComponents(pairs, srcCol, dstCol)
+      pairs: DataFrame, srcCol: String, dstCol: String,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val labels = connectedComponents(pairs, srcCol, dstCol,
+      checkpointDir = checkpointDir)
       .withColumnRenamed("id", "__cc_id")
     docs
       .join(labels, docs(idCol).cast("long") === col("__cc_id"), "left")

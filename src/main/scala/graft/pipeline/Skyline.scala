@@ -63,12 +63,22 @@ object Skyline {
     * local SFS strictly shrink it until it either fits the bounded
     * driver merge (`localThreshold` rows, same pattern as
     * connectedComponents' fast path) or lands in one partition, where
-    * the local pass IS the global answer. Exact at every size; per-round
-    * memory is one partition of CANDIDATES (frontier-sized, not
-    * input-sized). */
+    * the local pass IS the global answer — returned as a DataFrame
+    * WITHOUT a driver collect, since with anti-correlated dimensions
+    * the exact frontier can be O(input) and must never transit the
+    * driver. (One EXECUTOR partition still holds the full candidate set
+    * in that branch — inherent to any exact merge; size executor memory
+    * for the frontier, not the input.) NaN dimension values are dropped
+    * with the nulls: NaN never compares dominated-or-dominating
+    * consistently, and Spark aggregates sort it above every real double.
+    *
+    * `checkpointDir`: when set, per-round lineage truncation uses
+    * durable `checkpoint` into that directory (survives executor loss on
+    * a real cluster); when None, non-durable executor-local blocks. */
   def skylineND(
       df: DataFrame, minimizeCols: Seq[String], maximizeCols: Seq[String],
-      localThreshold: Int = 1 << 16): DataFrame = {
+      localThreshold: Int = 1 << 16,
+      checkpointDir: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     require(minimizeCols.nonEmpty || maximizeCols.nonEmpty, "no dimensions")
     val dims = minimizeCols ++ maximizeCols
@@ -76,7 +86,8 @@ object Skyline {
       maximizeCols.map(c => (-col(c).cast("double")))
     var pts = df
       .select(canon.zipWithIndex.map { case (c, i) => c.as(s"d$i") }: _*)
-      .where(dims.indices.map(i => col(s"d$i").isNotNull).reduce(_ && _))
+      .where(dims.indices.map(i =>
+        col(s"d$i").isNotNull && !isnan(col(s"d$i"))).reduce(_ && _))
       .distinct()
     import org.apache.spark.sql.Encoders
     val enc = Encoders.row(pts.schema)
@@ -85,18 +96,27 @@ object Skyline {
       val arr = it.map(r => Array.tabulate(nd)(r.getDouble)).toArray
       sfs(arr).iterator.map(a => Row.fromSeq(a.toIndexedSeq))
     }(enc)
-    pts = localPass(pts).localCheckpoint()
+    // lazy truncation: the count() below doubles as the materialization
+    // action, so each shrink round costs one job
+    pts = Checkpoints.truncate(localPass(pts), checkpointDir)
     var n = pts.count()
     while (n > localThreshold && pts.rdd.getNumPartitions > 1) {
       val target = math.max(1, pts.rdd.getNumPartitions / 4)
-      pts = localPass(pts.repartition(target)).localCheckpoint()
+      pts = Checkpoints.truncate(localPass(pts.repartition(target)), checkpointDir)
       n = pts.count()
     }
+    if (n > localThreshold) {
+      // single partition, frontier larger than the driver budget: the
+      // local pass was already the exact global answer — un-canonicalize
+      // in-plan and hand back the distributed result, no collect
+      return pts.select(dims.indices.map { i =>
+        val d = col(s"d$i")
+        (if (i < minimizeCols.length) d else -d).as(dims(i))
+      }: _*)
+    }
+    // bounded driver merge across the remaining partitions
     val front: Array[Array[Double]] =
-      if (n <= localThreshold)
-        sfs(pts.collect().map(r => Array.tabulate(nd)(r.getDouble)))
-      else // single partition: its local pass was already global
-        pts.collect().map(r => Array.tabulate(nd)(r.getDouble))
+      sfs(pts.collect().map(r => Array.tabulate(nd)(r.getDouble)))
     // un-canonicalize (maximize dims were negated) and restore names
     val rows = front.map { a =>
       Row.fromSeq(dims.indices.map { i =>
@@ -113,7 +133,11 @@ object Skyline {
     val spark = df.sparkSession
     val pts = df
       .select(col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
-      .where(col("x").isNotNull && col("y").isNotNull)
+      // NaN is dropped like null: max() sorts NaN above every real double,
+      // so a (x, NaN) row would shadow the genuine max-y at that x and
+      // then fail the y > mx test — silently losing a frontier point
+      .where(col("x").isNotNull && col("y").isNotNull &&
+        !isnan(col("x")) && !isnan(col("y")))
       .groupBy(col("x")).agg(max(col("y")).as("y"))
       .repartitionByRange(col("x"))
       .sortWithinPartitions(col("x"))

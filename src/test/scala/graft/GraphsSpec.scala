@@ -75,6 +75,26 @@ class GraphsSpec extends SparkSpec {
       }
   }
 
+  test("distributed rounds converge with a durable checkpoint dir") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    try {
+      val edges = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L),
+        (10L, 11L), (11L, 12L)).toDF("src", "dst")
+      val labels = Graphs.connectedComponents(edges, "src", "dst",
+        localThreshold = 0L, checkpointDir = Some(dir))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+        10L -> 10L, 11L -> 10L, 12L -> 10L))
+      // durable mode actually wrote reliable checkpoint files
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .anyMatch(p => java.nio.file.Files.isRegularFile(p))
+      assert(wrote, "no checkpoint files written under the durable dir")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("dedupByCluster keeps singletons and one representative per cluster") {
     import spark.implicits._
     val docs = Seq(

@@ -86,6 +86,24 @@ class SkylineSpec extends SparkSpec {
       }
   }
 
+  test("NaN dimension values are dropped, not frontier-shadowing") {
+    import spark.implicits._
+    // (2.0, NaN) would win the per-x max() (NaN sorts above every real
+    // double) and then shadow the genuine max-y 9.0 at x=2 — the frontier
+    // must still contain (2.0, 9.0) and never emit a NaN row
+    val pts = Seq((1.0, 5.0), (2.0, 9.0), (2.0, Double.NaN),
+      (Double.NaN, 50.0), (3.0, 12.0))
+    assert(run(pts) == Set((1.0, 5.0), (2.0, 9.0), (3.0, 12.0)))
+    // ND path: same tuples, same drop semantics, both merge paths
+    val nd = Skyline.skylineND(pts.toDF("x", "y"), Seq("x"), Seq("y"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(nd == Set((1.0, 5.0), (2.0, 9.0), (3.0, 12.0)))
+    val ndRounds = Skyline.skylineND(pts.toDF("x", "y"), Seq("x"), Seq("y"),
+      localThreshold = 0)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(ndRounds == Set((1.0, 5.0), (2.0, 9.0), (3.0, 12.0)))
+  }
+
   test("2D and ND agree on the shared case") {
     import spark.implicits._
     val pts = Seq((1.0, 5.0), (2.0, 9.0), (3.0, 12.0), (4.0, 11.0), (9.0, 13.0))
