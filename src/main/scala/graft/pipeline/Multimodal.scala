@@ -8,11 +8,14 @@ import org.apache.spark.sql.types._
   * `binary` columns + typed metadata, with decode / feature-extraction
   * staged as partition-wise batch transforms.
   *
-  * The Spark-side contract (schema, partitioning, batch shape) is real and
-  * tested; the actual codec step is a clearly-marked deterministic STUB —
-  * this container has no image/audio libraries. Swapping `stubDecode` for a
-  * real decoder (e.g. JNI/FFI or `mapInPandas` on PySpark) changes no plan
-  * shape: it stays a narrow mapPartitions with no shuffle.
+  * Image payloads (`format` = `image/...`) decode FOR REAL through the
+  * JDK's built-in `javax.imageio` (PNG/BMP/GIF/JPEG — zero external
+  * dependencies); everything else — audio, video, unknown formats, or an
+  * image payload imageio cannot parse — falls back to the deterministic
+  * byte-level STUB so the pipeline never throws on undecodable media.
+  * Either way the plan shape is identical: a narrow mapPartitions with
+  * no shuffle, decoder init amortized per partition. Swapping in richer
+  * codecs (JNI/FFI, `mapInPandas` on PySpark) changes no plan shape.
   */
 object Multimodal {
 
@@ -33,9 +36,44 @@ object Multimodal {
         (pmod(length(col(textCol)), lit(48)) + 1).cast("int").alias("height"),
         length(col(textCol)).cast("long").alias("n_bytes")))
 
-  /** STUB decoder: deterministic 8-dim "feature vector" from the payload
-    * bytes. ??? replace with a real codec — the signature (bytes, meta) →
-    * Array[Float] and the partition-wise batch shape are the real contract. */
+  /** Decode an image payload with the JDK's imageio registry; None when
+    * no installed reader claims the bytes (audio/video/corrupt data). */
+  private def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: java.io.IOException | _: RuntimeException => None }
+
+  /** Real 8-dim image features from decoded pixels: mean R/G/B, mean
+    * luminance (Rec.601), RMS luminance contrast, aspect ratio, and the
+    * pixel dimensions. Deterministic, resolution-independent layout. */
+  private def imageFeatures(img: java.awt.image.BufferedImage): Array[Float] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    var (sr, sg, sb, sl, sl2) = (0.0, 0.0, 0.0, 0.0, 0.0)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = ((rgb >> 16) & 0xFF) / 255.0
+        val g = ((rgb >> 8) & 0xFF) / 255.0
+        val b = (rgb & 0xFF) / 255.0
+        val l = 0.299 * r + 0.587 * g + 0.114 * b
+        sr += r; sg += g; sb += b; sl += l; sl2 += l * l
+        x += 1
+      }
+      y += 1
+    }
+    val n = math.max(1, w * h).toDouble
+    val meanL = sl / n
+    val contrast = math.sqrt(math.max(0.0, sl2 / n - meanL * meanL))
+    Array((sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat,
+      meanL.toFloat, contrast.toFloat, (w.toDouble / math.max(1, h)).toFloat,
+      w.toFloat, h.toFloat)
+  }
+
+  /** STUB decoder for non-image payloads: deterministic 8-dim "feature
+    * vector" from the raw bytes. ??? replace with real audio/video codecs —
+    * the signature (bytes, meta) → Array[Float] and the partition-wise
+    * batch shape are the real contract. */
   private def stubDecode(bytes: Array[Byte], width: Int, height: Int): Array[Float] = {
     val feat = new Array[Float](8)
     var i = 0
@@ -59,43 +97,78 @@ object Multimodal {
     val metaIdx = df.schema.fieldIndex(metaCol)
     val enc = org.apache.spark.sql.Encoders.row(schema)
     df.mapPartitions { rows =>
-      // per-partition decoder init would go here (codec handles, buffers)
+      // per-partition decoder init: no temp-file cache for in-memory decode
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { row =>
         val bytes = row.getAs[Array[Byte]](mediaIdx)
         val meta = row.getStruct(metaIdx)
-        val feat = stubDecode(bytes, meta.getInt(1), meta.getInt(2))
+        // image/* decodes for real via imageio; anything else (or a
+        // payload no reader claims) takes the deterministic stub
+        val feat = (if (meta.getString(0).startsWith("image/"))
+          decodeImage(bytes).map(imageFeatures) else None)
+          .getOrElse(stubDecode(bytes, meta.getInt(1), meta.getInt(2)))
         Row.fromSeq(row.toSeq :+ feat.toSeq)
       }
     }(enc)
   }
 
-  /** STUB resize: deterministic byte subsampling standing in for a real
-    * image rescale — output payload length scales with the target pixel
-    * count and the metadata reflects the new dimensions. Same narrow
-    * partition-wise contract as extractFeatures: swapping in a real codec
-    * changes no plan shape. */
+  /** Real image rescale: decode → bilinear Graphics2D draw at the target
+    * size → re-encode in the payload's own subtype. None when the bytes
+    * don't decode or imageio has no writer for the subtype. */
+  private def resizeImage(bytes: Array[Byte], format: String,
+      w: Int, h: Int): Option[Array[Byte]] =
+    decodeImage(bytes).flatMap { img =>
+      val sub = format.stripPrefix("image/")
+      // the JPEG writer rejects alpha channels; PNG/GIF keep transparency
+      val model = if (sub == "png" || sub == "gif")
+        java.awt.image.BufferedImage.TYPE_INT_ARGB
+      else java.awt.image.BufferedImage.TYPE_INT_RGB
+      val out = new java.awt.image.BufferedImage(w, h, model)
+      val g = out.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+      g.dispose()
+      val baos = new java.io.ByteArrayOutputStream()
+      if (javax.imageio.ImageIO.write(out, sub, baos)) Some(baos.toByteArray)
+      else None
+    }
+
+  /** Resize the media payload to `newWidth`×`newHeight`. Image payloads
+    * rescale for real (imageio decode + bilinear redraw + re-encode);
+    * other formats take the deterministic byte-subsampling STUB — output
+    * length scales with the target pixel count. Either way the metadata
+    * reflects the new dimensions and the plan is the same narrow
+    * partition-wise transform as extractFeatures: no shuffle. */
   def resizeMedia(df: DataFrame, newWidth: Int, newHeight: Int,
       mediaCol: String = "media", metaCol: String = "media_meta"): DataFrame = {
     val mediaIdx = df.schema.fieldIndex(mediaCol)
     val metaIdx = df.schema.fieldIndex(metaCol)
     val enc = org.apache.spark.sql.Encoders.row(df.schema)
     df.mapPartitions { rows =>
-      // per-partition codec init would go here
+      // per-partition decoder init: no temp-file cache for in-memory decode
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { row =>
         val bytes = row.getAs[Array[Byte]](mediaIdx)
         val meta = row.getStruct(metaIdx)
-        val oldPixels = math.max(1, meta.getInt(1) * meta.getInt(2))
-        val newPixels = newWidth * newHeight
-        // an empty payload stays empty (there is no byte to subsample)
-        val outLen = if (bytes.isEmpty) 0
-          else math.max(1, (bytes.length.toLong * newPixels / oldPixels).toInt)
-        val out = new Array[Byte](outLen)
-        var i = 0
-        while (i < outLen) {
-          out(i) = bytes(((i.toLong * bytes.length) / outLen).toInt)
-          i += 1
+        val format = meta.getString(0)
+        val real = if (format.startsWith("image/"))
+          resizeImage(bytes, format, newWidth, newHeight) else None
+        val out = real.getOrElse {
+          val oldPixels = math.max(1, meta.getInt(1) * meta.getInt(2))
+          val newPixels = newWidth * newHeight
+          // an empty payload stays empty (there is no byte to subsample)
+          val outLen = if (bytes.isEmpty) 0
+            else math.max(1, (bytes.length.toLong * newPixels / oldPixels).toInt)
+          val sub = new Array[Byte](outLen)
+          var i = 0
+          while (i < outLen) {
+            sub(i) = bytes(((i.toLong * bytes.length) / outLen).toInt)
+            i += 1
+          }
+          sub
         }
-        val newMeta = Row(meta.getString(0), newWidth, newHeight, outLen.toLong)
+        val newMeta = Row(format, newWidth, newHeight, out.length.toLong)
         val seq = row.toSeq.toArray
         seq(mediaIdx) = out
         seq(metaIdx) = newMeta

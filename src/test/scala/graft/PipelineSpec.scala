@@ -174,6 +174,49 @@ class PipelineSpec extends SparkSpec {
     assert(er.getAs[Array[Byte]](empty.schema.fieldIndex("media")).isEmpty)
   }
 
+  test("real PNG payloads decode, feature-extract, and rescale via imageio") {
+    import spark.implicits._
+    // generate a real 4x2 PNG: left half red, right half blue
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if (x < w / 2) 0xFF0000 else 0x0000FF)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val bytes = png(4, 2)
+    val media = Seq((1L, bytes)).toDF("doc_id", "media")
+      .withColumn("media_meta", struct(
+        lit("image/png").alias("format"), lit(4).alias("width"),
+        lit(2).alias("height"), lit(bytes.length.toLong).alias("n_bytes")))
+    val feats = Multimodal.extractFeatures(media)
+    val f = feats.head().getSeq[Float](feats.schema.fieldIndex("media_feat"))
+    // real pixel statistics, not byte-stub output: half red half blue
+    assert(math.abs(f(0) - 0.5f) < 1e-6, s"mean R: ${f(0)}")
+    assert(math.abs(f(1)) < 1e-6, s"mean G: ${f(1)}")
+    assert(math.abs(f(2) - 0.5f) < 1e-6, s"mean B: ${f(2)}")
+    assert(f(6) == 4.0f && f(7) == 2.0f, "pixel dims from the decode")
+    // real rescale: the output payload is itself a decodable 8x6 PNG
+    val resized = Multimodal.resizeMedia(media, newWidth = 8, newHeight = 6)
+    val r = resized.head()
+    val out = r.getAs[Array[Byte]](resized.schema.fieldIndex("media"))
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
+    assert(back != null && back.getWidth == 8 && back.getHeight == 6)
+    val meta = r.getStruct(resized.schema.fieldIndex("media_meta"))
+    assert(meta.getInt(1) == 8 && meta.getInt(2) == 6)
+    assert(meta.getLong(3) == out.length.toLong)
+    // a corrupt image payload falls back to the stub instead of throwing
+    val junk = Seq((2L, Array[Byte](1, 2, 3))).toDF("doc_id", "media")
+      .withColumn("media_meta", struct(
+        lit("image/png").alias("format"), lit(1).alias("width"),
+        lit(1).alias("height"), lit(3L).alias("n_bytes")))
+    val junkFeats = Multimodal.extractFeatures(junk)
+    assert(junkFeats.head()
+      .getSeq[Float](junkFeats.schema.fieldIndex("media_feat")).length == 8)
+  }
+
   test("crossContainment finds bench docs contained in train docs") {
     import spark.implicits._
     val train = Seq(
