@@ -111,6 +111,11 @@ object Graphs {
       val next = Checkpoints.truncate(smallStar(largeStar(edges)), checkpointDir)
       val nextSig = signature(next)
       converged = nextSig == sig
+      // the signature materialized `next`, so the superseded round's
+      // blocks are dead — drop them now rather than letting stale
+      // checkpoint blocks pile up in executor storage for the whole
+      // convergence (O(rounds) dead copies of the edge set otherwise)
+      edges.unpersist(blocking = false)
       edges = next
       sig = nextSig
       round += 1

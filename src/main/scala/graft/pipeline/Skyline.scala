@@ -102,8 +102,12 @@ object Skyline {
     var n = pts.count()
     while (n > localThreshold && pts.rdd.getNumPartitions > 1) {
       val target = math.max(1, pts.rdd.getNumPartitions / 4)
+      val prev = pts
       pts = Checkpoints.truncate(localPass(pts.repartition(target)), checkpointDir)
       n = pts.count()
+      // count() materialized the new round; the superseded candidate
+      // blocks are dead — drop them instead of accumulating per round
+      prev.unpersist(blocking = false)
     }
     if (n > localThreshold) {
       // single partition, frontier larger than the driver budget: the
