@@ -544,10 +544,14 @@ object SparkEntry {
         .orderBy("ia", "ib")
     }),
 
-    // SimHash fingerprints (xxhash64 bit-votes — no SQL oracle, rows-only)
+    // SimHash fingerprints over a pinned 8-doc input, golden-pinned as
+    // literal oracle VALUES (SQL cannot recompute xxhash64 bit-votes, but
+    // the pinned fingerprints catch any unintended algorithm drift; the
+    // 500-doc recall gate below covers corpus-level behavior)
     "q_simhash" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"),
-        pipeline.Dedup.simhash64(col("text")).alias("sh"))
+      t(s, dir, "documents").filter(col("doc_id") < 8)
+        .select(col("doc_id"),
+          pipeline.Dedup.simhash64(col("text")).alias("sh"))
         .orderBy("doc_id")),
 
     // SimHash quality gate: ≥ 70% of the exact Jaccard ≥ 0.9 near-dup
@@ -626,7 +630,8 @@ object SparkEntry {
       }.reduce(_.unionAll(_)).orderBy("query_id")
     }),
 
-    // ANN top-k (LSH multiprobe; approximate by design — rows-only check)
+    // ANN top-k (LSH multiprobe; approximate by design — the exact result
+    // on this dataset is deterministic, so the oracle golden-pins it)
     "q_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
@@ -634,7 +639,8 @@ object SparkEntry {
       pipeline.Similarity.lshTopK(emb, "embedding", "vec_id", q, k = 10)
     }),
 
-    // IVF ANN: coarse cells + nProbe search (approximate — rows-only)
+    // IVF ANN: coarse cells + nProbe search (approximate — deterministic
+    // on this dataset, golden-pinned like q_ann_topk)
     "q_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
@@ -1270,6 +1276,46 @@ object SparkEntry {
          AS t(query_id, k, recall_ok) ORDER BY query_id""",
     "q_simhash_recall" ->
       """SELECT CAST(true AS BOOLEAN) AS recall_ok""",
+    // golden pins (sf0.01, the driver's verify scale): literal expected
+    // outputs — SQL cannot replay the hash-based sketches, but the pins
+    // catch unintended algorithm drift
+    "q_simhash" ->
+      """SELECT * FROM (VALUES
+           (0::BIGINT, 729992421034952720::BIGINT),
+           (1::BIGINT, -7304504080992268656::BIGINT),
+           (2::BIGINT, -8367341378140459888::BIGINT),
+           (3::BIGINT, -4944651685670516144::BIGINT),
+           (4::BIGINT, -1539895458413770096::BIGINT),
+           (5::BIGINT, 4224716737545808401::BIGINT),
+           (6::BIGINT, -346438379421459276::BIGINT),
+           (7::BIGINT, -4998655299308843503::BIGINT))
+         AS t(doc_id, sh) ORDER BY doc_id""",
+    "q_ann_topk" ->
+      """SELECT * FROM (VALUES
+           (0::BIGINT, 1.0::DOUBLE),
+           (365::BIGINT, 0.369994::DOUBLE),
+           (334::BIGINT, 0.362722::DOUBLE),
+           (387::BIGINT, 0.331139::DOUBLE),
+           (73::BIGINT, 0.295434::DOUBLE),
+           (7::BIGINT, 0.292842::DOUBLE),
+           (320::BIGINT, 0.287861::DOUBLE),
+           (190::BIGINT, 0.281795::DOUBLE),
+           (464::BIGINT, 0.276628::DOUBLE),
+           (483::BIGINT, 0.2567::DOUBLE))
+         AS t(vec_id, score) ORDER BY score DESC, vec_id""",
+    "q_ivf_topk" ->
+      """SELECT * FROM (VALUES
+           (0::BIGINT, 1.0::DOUBLE),
+           (365::BIGINT, 0.369994::DOUBLE),
+           (334::BIGINT, 0.362722::DOUBLE),
+           (387::BIGINT, 0.331139::DOUBLE),
+           (423::BIGINT, 0.296934::DOUBLE),
+           (73::BIGINT, 0.295434::DOUBLE),
+           (7::BIGINT, 0.292842::DOUBLE),
+           (320::BIGINT, 0.287861::DOUBLE),
+           (190::BIGINT, 0.281795::DOUBLE),
+           (464::BIGINT, 0.276628::DOUBLE))
+         AS t(vec_id, score) ORDER BY score DESC, vec_id""",
     "q_ivf_recall" ->
       """SELECT * FROM (VALUES (0, 10, CAST(true AS BOOLEAN)),
                               (7, 10, CAST(true AS BOOLEAN)),
