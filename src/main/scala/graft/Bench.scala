@@ -58,7 +58,44 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
+    // Standing 10×-volume block (full runs only): the five text operators
+    // re-run against a materialized ×10 documents table so sublinearity
+    // regressions are caught automatically, not just in one-off smokes.
+    // Ratios are ×10-median / 1×-median: ≈1 means parallelism-absorbed,
+    // <10 sublinear; pair-producing queries legitimately exceed 1 because
+    // replicated docs multiply the PAIR volume, not just the row count.
+    val scale10x = if (only.isEmpty) {
+      import org.apache.spark.sql.functions.{col, lit}
+      val scaleQs = Seq("q_top_ngrams", "q_bm25", "q_lm_score", "q_spans",
+        "q_minhash_pairs")
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      val n = base.count()
+      val x10dir = java.nio.file.Files.createTempDirectory("graft_x10").toString
+      (0 until 10).map(i =>
+          base.withColumn("doc_id", col("doc_id") + lit(i * n)))
+        .reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$x10dir/documents.parquet")
+      val rows = scaleQs.map { name =>
+        val fn = SparkEntry.queries(name)
+        try { fn(spark, x10dir).count() } catch { case _: Throwable => () }
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, x10dir).count() } catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }
+        if (verbose) System.err.println(
+          s"[bench] scale10x $name reps=${times.map(t => f"$t%.3f").mkString(",")}")
+        name -> median(times)
+      }
+      val base1x = results.toMap
+      val sq = rows.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val ratios = rows.map { case (k, v) =>
+        "\"" + k + "\":" + base1x.get(k).filter(_ > 0).map(b => v / b).getOrElse(-1.0)
+      }.mkString("{", ",", "}")
+      s""","scale10x":{"rows":${n * 10},"queries":$sq,"ratio_vs_1x":$ratios}"""
+    } else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps$scale10x}""")
     spark.stop()
   }
 }
