@@ -630,6 +630,31 @@ object SparkEntry {
       }.reduce(_.unionAll(_)).orderBy("query_id")
     }),
 
+    // spherical k-means over the embedding corpus: per-cluster histogram
+    // (size + min-id representative). Hash-seeded init + bounded
+    // iterations make the model deterministic; the oracle golden-pins
+    // the histogram (assignment itself is argmax-cosine, not SQL-replayable)
+    "q_kmeans" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = pipeline.Clustering.fitKMeans(emb, "embedding", "vec_id",
+        k = 8, maxIter = 4)
+      pipeline.Clustering.assign(emb, "embedding", model)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).alias("n"), min(col("vec_id")).alias("rep"))
+        .orderBy("cluster")
+    }),
+
+    // semantic dedup (SemDeDup shape): cluster then exact-cosine pairs
+    // within cells, over the same planted near-dups as q_embed_dups. The
+    // oracle is the brute-force all-pairs join — parity holds because the
+    // planted ≥0.95-cosine pairs share an argmax cell (near-identical
+    // vectors split cells only when straddling a boundary; data-dependent,
+    // like q_incr's banded recall)
+    "q_semdedup" -> ((s, dir) =>
+      pipeline.Clustering.semanticDupPairs(plantedEmbeddings(s, dir),
+        "embedding", "vec_id", k = 8, threshold = 0.95)
+        .orderBy("id_a", "id_b")),
+
     // ANN top-k (LSH multiprobe; approximate by design — the exact result
     // on this dataset is deterministic, so the oracle golden-pins it)
     "q_ann_topk" -> ((s, dir) => {
@@ -1347,6 +1372,41 @@ object SparkEntry {
            (1::BIGINT, 42::BIGINT, CAST(true AS BOOLEAN)),
            (7::BIGINT, 42::BIGINT, CAST(true AS BOOLEAN)))
          AS t(ia, ib, within_bound) ORDER BY ia, ib""",
+    // golden pin (sf0.01): the deterministic k-means cluster histogram —
+    // argmax-cosine assignment is not SQL-replayable, the pin catches drift
+    "q_kmeans" ->
+      """SELECT * FROM (VALUES
+           (0::INTEGER, 62::BIGINT, 3::BIGINT),
+           (1::INTEGER, 64::BIGINT, 11::BIGINT),
+           (2::INTEGER, 70::BIGINT, 1::BIGINT),
+           (3::INTEGER, 65::BIGINT, 4::BIGINT),
+           (4::INTEGER, 67::BIGINT, 0::BIGINT),
+           (5::INTEGER, 61::BIGINT, 21::BIGINT),
+           (6::INTEGER, 53::BIGINT, 8::BIGINT),
+           (7::INTEGER, 58::BIGINT, 10::BIGINT))
+         AS t(cluster, n, rep) ORDER BY cluster""",
+    // same brute-force all-pairs oracle as q_embed_dups: semantic dedup's
+    // cluster-bounded pair search must find exactly the global ≥0.95 pairs
+    "q_semdedup" ->
+      """WITH aug AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 10000 AS vec_id,
+             list_transform(embedding, x -> ((x::DOUBLE + 0.01)::FLOAT)) AS embedding
+           FROM embeddings WHERE vec_id < 10),
+         n AS (SELECT vec_id, embedding,
+           sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+             i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+           FROM aug)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           floor((list_sum(list_transform(generate_series(1, len(a.embedding)),
+             i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+             / (a.nrm * b.nrm)) * 1e6 + 0.5) / 1e6 AS cosine
+         FROM n a JOIN n b ON a.vec_id < b.vec_id
+         WHERE list_sum(list_transform(generate_series(1, len(a.embedding)),
+             i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+             / (a.nrm * b.nrm) >= 0.95
+         ORDER BY id_a, id_b""",
     "q_embed_dups" ->
       """WITH aug AS (
            SELECT vec_id, embedding FROM embeddings

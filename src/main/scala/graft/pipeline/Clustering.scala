@@ -1,0 +1,126 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed embedding clustering: spherical k-means (Lloyd's
+  * iterations under cosine similarity) and the cluster-then-dedup
+  * "semantic dedup" shape built on it (SemDeDup, Abbas et al. 2023:
+  * near-duplicate semantics live inside clusters, so the quadratic
+  * pair search runs per-cell instead of corpus-wide).
+  *
+  * Scale shape per iteration: assignment is ONE map-side pass — the
+  * centroid table (k vectors, a few KB) rides inside the native
+  * argmax-cosine expression ([[org.apache.spark.sql.graft.sketch.nearest_centroid]]),
+  * so there is no corpus×k expansion, no shuffle, no window. The
+  * centroid update is [[Embeddings.meanPool]]'s (cell, dim) hash
+  * aggregate — partial aggregation collapses each partition to ≤ k·dims
+  * rows before the exchange, so the shuffle is centroid-sized, not
+  * corpus-sized. Driver state is exactly the k centroids (same bounded
+  * pattern as [[Similarity.buildIvf]]'s centroid fetch).
+  *
+  * Determinism: seeded hash-spread init (k smallest xxhash64(id, seed)),
+  * half-up-rounded centroid means, ties in assignment keep the lowest
+  * centroid index — repeated runs produce identical models.
+  */
+object Clustering {
+
+  /** A fitted model: `centroids(i)` is cluster i's mean vector;
+    * `iterations` actually run; `shift` = max centroid movement (L∞ over
+    * all components) in the final iteration. */
+  case class KMeansModel(centroids: IndexedSeq[Seq[Float]],
+      iterations: Int, shift: Double)
+
+  /** Fit spherical k-means. `tol` stops early when no centroid component
+    * moved more than it between iterations (compared driver-side — free,
+    * the centroids are already there). Empty cells keep their previous
+    * centroid. */
+  def fitKMeans(df: DataFrame, vecCol: String, idCol: String, k: Int,
+      maxIter: Int = 8, tol: Double = 1e-6, seed: Long = 42L): KMeansModel = {
+    require(k > 0, "k must be positive")
+    // hash-spread init: the k corpus vectors with smallest seeded hash —
+    // deterministic, order-insensitive, and spread across the data
+    // (lowest-id init inherits whatever locality ids encode). One
+    // TakeOrdered job, k rows to the driver.
+    var centroids: IndexedSeq[Seq[Float]] = df
+      .select(col(vecCol), xxhash64(col(idCol), lit(seed)).alias("__h"))
+      .where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .orderBy(col("__h").asc)
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Float](0))
+      .toIndexedSeq
+    require(centroids.nonEmpty, "no non-empty vectors to cluster")
+    var iter = 0
+    var shift = Double.PositiveInfinity
+    while (iter < maxIter && shift > tol) {
+      val assigned = df.withColumn("__cell",
+        org.apache.spark.sql.graft.sketch.nearest_centroid(col(vecCol), centroids))
+      // (cell, dim) hash-agg mean, reassembled per cell — centroid-sized
+      // shuffle; k rows back to the driver
+      val meansByCell = Embeddings.meanPool(assigned, Seq("__cell"), vecCol)
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).map(_.toFloat))
+        .toMap
+      val next = centroids.indices.map(i => meansByCell.get(i) match {
+        case Some(m) => m
+        case None    => centroids(i) // empty cell: keep the old centroid
+      })
+      shift = centroids.indices.map { i =>
+        val (a, b) = (centroids(i), next(i))
+        if (a.length != b.length) Double.PositiveInfinity
+        else if (a.isEmpty) 0.0
+        else a.indices.map(j => math.abs(a(j) - b(j)).toDouble).max
+      }.foldLeft(0.0)(math.max)
+      centroids = next
+      iter += 1
+    }
+    KMeansModel(centroids, iter, shift)
+  }
+
+  /** Assign every row to its nearest centroid (cosine argmax, ties to
+    * the lowest index): map-side, no shuffle. */
+  def assign(df: DataFrame, vecCol: String, model: KMeansModel,
+      outCol: String = "cluster"): DataFrame =
+    df.withColumn(outCol,
+      org.apache.spark.sql.graft.sketch.nearest_centroid(col(vecCol), model.centroids))
+
+  /** Semantic near-duplicate pairs: cluster, then exact-cosine all-pairs
+    * WITHIN each cluster — (`id_a`, `id_b`, `cosine`) with id_a < id_b
+    * and cosine ≥ `threshold` (half-up rounded to 6 digits).
+    *
+    * The cluster key bounds the quadratic term: the self-join shuffles on
+    * `cluster`, so each cell compares only its own members (SemDeDup's
+    * core trade — a duplicate pair SPLIT across cells is missed, the
+    * probability of which shrinks as the pair's cosine approaches 1,
+    * since near-identical vectors share an argmax cell unless they
+    * straddle a boundary). Recall is data-dependent, like every
+    * bucketed dedup here ([[Dedup.minhashProbe]]). */
+  def semanticDupPairs(df: DataFrame, vecCol: String, idCol: String,
+      k: Int, threshold: Double, maxIter: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val model = fitKMeans(df, vecCol, idCol, k, maxIter, seed = seed)
+    val assigned = assign(df, vecCol, model, "__cell")
+      .select(col("__cell"), col(idCol), col(vecCol))
+    val a = assigned.select(col("__cell"), col(idCol).alias("id_a"),
+      col(vecCol).alias("__va"))
+    val b = assigned.select(col("__cell"), col(idCol).alias("id_b"),
+      col(vecCol).alias("__vb"))
+    a.join(b, Seq("__cell"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("__va"), col("__vb")))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        Rounding.halfUp(col("cosine"), 6).alias("cosine"))
+  }
+
+  /** Semantic dedup survivors: drop every non-representative member of
+    * each semantic-duplicate cluster (transitive closure of the pair
+    * graph via [[Graphs.dedupByCluster]]; representative = minimum id). */
+  def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
+      k: Int, threshold: Double, maxIter: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val pairs = semanticDupPairs(df, vecCol, idCol, k, threshold, maxIter, seed)
+    Graphs.dedupByCluster(df, idCol, pairs, "id_a", "id_b")
+  }
+}
