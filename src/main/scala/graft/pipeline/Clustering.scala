@@ -85,6 +85,41 @@ object Clustering {
     df.withColumn(outCol,
       org.apache.spark.sql.graft.sketch.nearest_centroid(col(vecCol), model.centroids))
 
+  /** IVF index from a fitted k-means model: `ivf_cell` is the centroid
+    * INDEX (map-side argmax assignment — no shuffle). Trained centroids
+    * beat [[Similarity.buildIvf]]'s lowest-id sampling on cell balance,
+    * which is what bounds the per-probe scan cost. */
+  def buildIvf(df: DataFrame, vecCol: String, model: KMeansModel): DataFrame =
+    assign(df, vecCol, model, "ivf_cell")
+
+  /** Search a k-means IVF corpus: the probe cells are the `nProbe`
+    * centroids closest to the query, chosen DRIVER-SIDE from the model —
+    * zero jobs — then one map-side `isin` filter + TakeOrdered. Unlike
+    * [[Similarity.ivfTopK]] there is no centroid-row scan and no
+    * broadcast join: the whole plan is scan → filter → top-k. */
+  def ivfTopK(ivf: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Float], model: KMeansModel, k: Int,
+      nProbe: Int = 4): DataFrame = {
+    def cos(c: Seq[Float]): Double = {
+      var dot = 0.0; var cn = 0.0; var qn = 0.0
+      val n = math.min(c.length, query.length)
+      var i = 0
+      while (i < n) {
+        dot += c(i).toDouble * query(i); cn += c(i).toDouble * c(i)
+        qn += query(i).toDouble * query(i); i += 1
+      }
+      dot / (math.sqrt(cn) * math.sqrt(qn))
+    }
+    val cells = model.centroids.indices
+      .sortBy(i => (-cos(model.centroids(i)), i)).take(nProbe)
+    val q = array(query.map(v => lit(v)): _*)
+    ivf.filter(col("ivf_cell").isin(cells.map(Int.box): _*))
+      .withColumn("score", Similarity.cosine(col(vecCol), q))
+      .select(col(idCol), Rounding.halfUp(col("score"), 6).alias("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Semantic near-duplicate pairs: cluster, then exact-cosine all-pairs
     * WITHIN each cluster — (`id_a`, `id_b`, `cosine`) with id_a < id_b
     * and cosine ≥ `threshold` (half-up rounded to 6 digits).

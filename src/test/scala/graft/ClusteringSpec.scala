@@ -64,6 +64,25 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("kmeans IVF search reaches brute-force recall on the sf corpus") {
+    val emb = sf("embeddings")
+    val model = Clustering.fitKMeans(emb, "embedding", "vec_id", k = 8, maxIter = 4)
+    val ivf = Clustering.buildIvf(emb, "embedding", model)
+    // plan shape: scan -> filter -> TakeOrdered, no exchange before top-k
+    // and no join (the probe cells were chosen driver-side)
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    val top = Clustering.ivfTopK(ivf, "embedding", "vec_id", q, model,
+      k = 10, nProbe = 3)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"kmeans IVF probe must be join-free:\n$plan")
+    val approx = top.collect().map(_.getLong(0)).toSet
+    assert(approx.contains(0L), "self-match must be found")
+    val brute = Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert((approx & brute).size >= 8, s"recall@10 too low: ${(approx & brute).size}")
+  }
+
   test("semantic dedup catches planted near-identical vectors, keeps the rest") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
