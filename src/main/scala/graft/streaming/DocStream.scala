@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.pipeline.TextAnalysis
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.pipeline.{Dedup, TextAnalysis}
 
 /** Streaming training-data ingest: the batch pipeline's cleaning stages
   * applied to a document stream (doc_id, ts, text, …).
@@ -37,4 +38,31 @@ object DocStream {
       .withColumn(textCol, TextAnalysis.scrubPii(col(textCol)))
       .drop("__fp")
   }
+
+  /** Streaming NEAR-dup detection against a standing [[Dedup.MinhashIndex]]:
+    * every micro-batch runs the batch [[Dedup.minhashProbe]] verbatim —
+    * batch docs are sketched map-side, band hashes join the STATIC
+    * postings (the corpus is never re-sketched), candidates verify by
+    * exact Jaccard — and the matches go to `sink`.
+    *
+    * foreachBatch is the deliberate integration: per-batch semantics
+    * need no cross-batch streaming state (the standing index IS the
+    * state, maintained by the batch pipeline), and reusing the batch
+    * operator keeps the ingest and backfill paths from drifting — the
+    * same property [[ingest]] pins for the cleaning stages. The sink
+    * callback receives (matches, batchId); production would append to
+    * the quarantine table and fold confirmed dups into the index. */
+  def probeStream(
+      index: Dedup.MinhashIndex,
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      jaccardThreshold: Double = 0.7)
+      (sink: (DataFrame, Long) => Unit): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(Dedup.minhashProbe(index, batch.toDF(), textCol, idCol,
+          jaccardThreshold), batchId)
+      }
+      .start()
 }

@@ -103,6 +103,41 @@ class StreamingSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("quality") >= 0.3)
   }
 
+  test("streaming minhash probe flags near-dups against the standing index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "completely different content about catalyst optimizer internals"),
+      (3L, "another unrelated document mentioning vectors and similarity")
+    ).toDF("doc_id", "text")
+    val index = graft.pipeline.Dedup.minhashIndex(corpus, "text", "doc_id")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+    // one changed word in an 13-word doc alters 3 of 11 3-shingles
+    // (J ≈ 0.57), so probe at 0.5
+    val q = graft.streaming.DocStream.probeStream(index, df,
+      jaccardThreshold = 0.5) { (matches, _) =>
+      seen.synchronized {
+        seen ++= matches.collect().map(r => (r.getLong(0), r.getLong(1)))
+      }
+    }
+    // 100: near-dup of corpus doc 1 (one word changed); 101: novel text
+    mem.addData(
+      (100L, "the quick brown fox jumps over the lazy dog near a river bank"),
+      (101L, "novel text with no counterpart in the standing corpus at all"))
+    q.processAllAvailable()
+    // second batch: exact copy of corpus doc 2
+    mem.addData((102L, "completely different content about catalyst optimizer internals"))
+    q.processAllAvailable()
+    q.stop()
+    val matches = seen.toSet
+    assert(matches.contains((100L, 1L)), s"near-dup missed: $matches")
+    assert(matches.contains((102L, 2L)), s"exact dup missed: $matches")
+    assert(!matches.exists(_._1 == 101L), s"novel doc flagged: $matches")
+  }
+
   test("doc ingest runs identically on batch input") {
     import spark.implicits._
     val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:10")
