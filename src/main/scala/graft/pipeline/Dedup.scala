@@ -147,6 +147,23 @@ object Dedup {
     MinhashIndex(buckets, sk, k, bands, rows)
   }
 
+  /** Fold a new batch into a standing index: the batch is sketched once
+    * with the INDEX's own banding parameters (the same invariant probes
+    * rely on) and its postings/sketches union the existing tables. The
+    * typical ingest loop is probe → act on matches → append: the
+    * existing corpus is untouched (unions are plan-level; persisting via
+    * [[writeMinhashIndex]] rewrites, production layouts append the two
+    * parquet tables instead). */
+  def appendToIndex(
+      index: MinhashIndex, df: DataFrame, textCol: String,
+      idCol: String): MinhashIndex = {
+    val add = minhashIndex(df, textCol, idCol, index.k, index.bands, index.rows)
+    MinhashIndex(
+      index.buckets.unionByName(add.buckets),
+      index.sketches.unionByName(add.sketches),
+      index.k, index.bands, index.rows)
+  }
+
   /** Persist a standing index: `<path>/buckets` and `<path>/sketches`
     * parquet plus `<path>/meta` (one row of band parameters). Bucket-join
     * keys stay plain parquet here; production layouts can route the two

@@ -36,6 +36,25 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(got((101L, 2L)) > 0.5 && got((101L, 2L)) < 1.0)
   }
 
+  test("appendToIndex folds a batch in; later probes match both generations") {
+    import spark.implicits._
+    val index = Dedup.minhashIndex(corpus, "text", "doc_id")
+    val grown = Dedup.appendToIndex(index, batch, "text", "doc_id")
+    assert((grown.k, grown.bands, grown.rows) == (index.k, index.bands, index.rows))
+    // a probe doc near-matching one original and one appended member
+    val probe = Seq(
+      (200L, "the quick brown fox jumps over the lazy dog by the river"),
+      (201L, "a brand new document sharing no shingles with the corpus")
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashProbe(grown, probe, "text", "doc_id",
+      jaccardThreshold = 0.5)
+      .select("new_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 200 hits corpus doc 1 AND its appended exact copy 100; 201 hits the
+    // appended novel doc 102 it duplicates
+    assert(got == Set((200L, 1L), (200L, 100L), (201L, 102L)), got.toString)
+  }
+
   test("probe agrees with the all-pairs operator on the union") {
     // union-corpus all-pairs, restricted to (batch, corpus) pairs, must
     // equal the incremental probe at the same parameters
