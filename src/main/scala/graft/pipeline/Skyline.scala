@@ -145,7 +145,11 @@ object Skyline {
       .groupBy(col("x")).agg(max(col("y")).as("y"))
       .repartitionByRange(col("x"))
       .sortWithinPartitions(col("x"))
-      .localCheckpoint()
+      // lazy: the bounds pass below is the materializing action; blocks
+      // are then fixed, so the filter pass sees identical range
+      // boundaries (RangePartitioner samples only once) without a
+      // dedicated materialization job
+      .localCheckpoint(eager = false)
     import org.apache.spark.sql.Encoders
     val rowEnc = Encoders.row(pts.schema)
     val boundsEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaDouble)
