@@ -260,6 +260,34 @@ object SparkEntry {
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy("column")),
 
+    // exact quantiles, long form, one aggregate pass (Spark percentile
+    // interpolates like DuckDB quantile_cont — oracle-exact)
+    "q_quantiles" -> ((s, dir) =>
+      pipeline.Profiling.exactQuantiles(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice"), Seq(0.25, 0.5, 0.75, 0.99))
+        .orderBy("column", "p")),
+
+    // approx-quantile gate: the bounded-state t-digest path must land
+    // within 1% relative rank of exact on every probe point (booleans
+    // pinned by the oracle, recall-gate style — approx results are not
+    // SQL-replayable, their error bound is)
+    "q_quantiles_gate" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val cols = Seq("l_quantity", "l_extendedprice")
+      val ps = Seq(0.25, 0.5, 0.75, 0.99)
+      val ex = pipeline.Profiling.exactQuantiles(li, cols, ps)
+        .withColumnRenamed("q", "q_ex")
+      val ap = pipeline.Profiling.approxQuantiles(li, cols, ps)
+        .withColumnRenamed("q", "q_ap")
+      // tolerance: 1% of the column's exact inter-quartile spread, floor
+      // 1e-6 for constant columns
+      ex.join(ap, Seq("column", "p"))
+        .select(col("column"), col("p"),
+          (abs(col("q_ap") - col("q_ex")) <=
+            greatest(abs(col("q_ex")) * 0.01, lit(1e-6))).alias("within_tol"))
+        .orderBy("column", "p")
+    }),
+
     // funnel conversion over the events stream: signup -> view -> click
     // -> purchase, each step at-or-after the previous step's first time
     "q_funnel" -> ((s, dir) =>
@@ -828,6 +856,37 @@ object SparkEntry {
            WHERE q.d1 <= a.d1 AND q.d2 >= a.d2 AND q.d3 >= a.d3
              AND (q.d1 < a.d1 OR q.d2 > a.d2 OR q.d3 > a.d3))
          ORDER BY p_retailprice, p_size, name_len""",
+    "q_quantiles" ->
+      """SELECT 'l_quantity' AS "column", 0.25::DOUBLE AS p,
+           floor(quantile_cont(l_quantity::DOUBLE, 0.25) * 1e6 + 0.5) / 1e6 AS q
+         FROM lineitem
+         UNION ALL SELECT 'l_quantity', 0.5::DOUBLE,
+           floor(quantile_cont(l_quantity::DOUBLE, 0.5) * 1e6 + 0.5) / 1e6
+         FROM lineitem
+         UNION ALL SELECT 'l_quantity', 0.75::DOUBLE,
+           floor(quantile_cont(l_quantity::DOUBLE, 0.75) * 1e6 + 0.5) / 1e6
+         FROM lineitem
+         UNION ALL SELECT 'l_quantity', 0.99::DOUBLE,
+           floor(quantile_cont(l_quantity::DOUBLE, 0.99) * 1e6 + 0.5) / 1e6
+         FROM lineitem
+         UNION ALL SELECT 'l_extendedprice', 0.25::DOUBLE,
+           floor(quantile_cont(l_extendedprice::DOUBLE, 0.25) * 1e6 + 0.5) / 1e6
+         FROM lineitem
+         UNION ALL SELECT 'l_extendedprice', 0.5::DOUBLE,
+           floor(quantile_cont(l_extendedprice::DOUBLE, 0.5) * 1e6 + 0.5) / 1e6
+         FROM lineitem
+         UNION ALL SELECT 'l_extendedprice', 0.75::DOUBLE,
+           floor(quantile_cont(l_extendedprice::DOUBLE, 0.75) * 1e6 + 0.5) / 1e6
+         FROM lineitem
+         UNION ALL SELECT 'l_extendedprice', 0.99::DOUBLE,
+           floor(quantile_cont(l_extendedprice::DOUBLE, 0.99) * 1e6 + 0.5) / 1e6
+         FROM lineitem
+         ORDER BY "column", p""",
+    "q_quantiles_gate" ->
+      """SELECT c AS "column", p::DOUBLE AS p, CAST(true AS BOOLEAN) AS within_tol
+         FROM (SELECT unnest(['l_extendedprice', 'l_quantity']) AS c),
+              (SELECT unnest([0.25, 0.5, 0.75, 0.99]) AS p)
+         ORDER BY "column", p""",
     "q_profile" ->
       """SELECT 'l_discount' AS "column", count(l_discount)::BIGINT AS n,
            sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,

@@ -22,6 +22,26 @@ class ProfilingSpec extends SparkSpec {
     assert(got("b") == ((3L, 1L, 10.0, 40.0, 26.666667, 30.0)))
   }
 
+  test("exact and approx quantiles agree on known data, one pass each") {
+    import spark.implicits._
+    val d = (1 to 100).map(i => i.toDouble).toDF("x")
+    val ex = Profiling.exactQuantiles(d, Seq("x"), Seq(0.0, 0.5, 1.0))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    // linear interpolation over 1..100: p=0.5 → 50.5
+    assert(ex == Map(0.0 -> 1.0, 0.5 -> 50.5, 1.0 -> 100.0))
+    val ap = Profiling.approxQuantiles(d, Seq("x"), Seq(0.0, 0.5, 1.0))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(math.abs(ap(0.5) - 50.5) <= 1.0 && ap(0.0) == 1.0 && ap(1.0) == 100.0)
+    // both plans: one aggregate pair, not one per (column, p)
+    Seq(Profiling.exactQuantiles(d, Seq("x"), Seq(0.25, 0.75)),
+      Profiling.approxQuantiles(d, Seq("x"), Seq(0.25, 0.75))).foreach { q =>
+      val plan = q.queryExecution.executedPlan.toString
+      val aggregates = "(?m)^\\s*\\+?-?\\s*(SortAggregate|HashAggregate|ObjectHashAggregate)"
+        .r.findAllIn(plan).length
+      assert(aggregates <= 2, s"expected one aggregate pair:\n$plan")
+    }
+  }
+
   test("all statistics run in a single aggregate pass") {
     val plan = Profiling.describe(df, Seq("a", "b"))
       .queryExecution.executedPlan.toString
