@@ -64,6 +64,15 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("assignment is a map-side pass: no exchange in the assign plan") {
+    val df = directionData()
+    val model = Clustering.fitKMeans(df, "embedding", "vec_id", k = 3, maxIter = 2)
+    val plan = Clustering.assign(df, "embedding", model)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"assign must not shuffle (centroids ride in the expression):\n$plan")
+  }
+
   test("kmeans IVF search reaches brute-force recall on the sf corpus") {
     val emb = sf("embeddings")
     val model = Clustering.fitKMeans(emb, "embedding", "vec_id", k = 8, maxIter = 4)
