@@ -261,10 +261,13 @@ object SparkEntry {
         .orderBy("column")),
 
     // exact quantiles, long form, one aggregate pass (Spark percentile
-    // interpolates like DuckDB quantile_cont — oracle-exact)
+    // interpolates like DuckDB quantile_cont — oracle-exact). Bounded-
+    // cardinality columns BY CONTRACT: the exact aggregate's buffer is a
+    // value→count map, so unbounded columns (prices at corpus scale)
+    // belong to approxQuantiles — q_quantiles_gate checks that path
     "q_quantiles" -> ((s, dir) =>
       pipeline.Profiling.exactQuantiles(t(s, dir, "lineitem"),
-        Seq("l_quantity", "l_extendedprice"), Seq(0.25, 0.5, 0.75, 0.99))
+        Seq("l_quantity", "l_discount"), Seq(0.25, 0.5, 0.75, 0.99))
         .orderBy("column", "p")),
 
     // approx-quantile gate: the bounded-state t-digest path must land
@@ -273,7 +276,7 @@ object SparkEntry {
     // SQL-replayable, their error bound is)
     "q_quantiles_gate" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-      val cols = Seq("l_quantity", "l_extendedprice")
+      val cols = Seq("l_quantity", "l_discount")
       val ps = Seq(0.25, 0.5, 0.75, 0.99)
       val ex = pipeline.Profiling.exactQuantiles(li, cols, ps)
         .withColumnRenamed("q", "q_ex")
@@ -869,22 +872,22 @@ object SparkEntry {
          UNION ALL SELECT 'l_quantity', 0.99::DOUBLE,
            floor(quantile_cont(l_quantity::DOUBLE, 0.99) * 1e6 + 0.5) / 1e6
          FROM lineitem
-         UNION ALL SELECT 'l_extendedprice', 0.25::DOUBLE,
-           floor(quantile_cont(l_extendedprice::DOUBLE, 0.25) * 1e6 + 0.5) / 1e6
+         UNION ALL SELECT 'l_discount', 0.25::DOUBLE,
+           floor(quantile_cont(l_discount::DOUBLE, 0.25) * 1e6 + 0.5) / 1e6
          FROM lineitem
-         UNION ALL SELECT 'l_extendedprice', 0.5::DOUBLE,
-           floor(quantile_cont(l_extendedprice::DOUBLE, 0.5) * 1e6 + 0.5) / 1e6
+         UNION ALL SELECT 'l_discount', 0.5::DOUBLE,
+           floor(quantile_cont(l_discount::DOUBLE, 0.5) * 1e6 + 0.5) / 1e6
          FROM lineitem
-         UNION ALL SELECT 'l_extendedprice', 0.75::DOUBLE,
-           floor(quantile_cont(l_extendedprice::DOUBLE, 0.75) * 1e6 + 0.5) / 1e6
+         UNION ALL SELECT 'l_discount', 0.75::DOUBLE,
+           floor(quantile_cont(l_discount::DOUBLE, 0.75) * 1e6 + 0.5) / 1e6
          FROM lineitem
-         UNION ALL SELECT 'l_extendedprice', 0.99::DOUBLE,
-           floor(quantile_cont(l_extendedprice::DOUBLE, 0.99) * 1e6 + 0.5) / 1e6
+         UNION ALL SELECT 'l_discount', 0.99::DOUBLE,
+           floor(quantile_cont(l_discount::DOUBLE, 0.99) * 1e6 + 0.5) / 1e6
          FROM lineitem
          ORDER BY "column", p""",
     "q_quantiles_gate" ->
       """SELECT c AS "column", p::DOUBLE AS p, CAST(true AS BOOLEAN) AS within_tol
-         FROM (SELECT unnest(['l_extendedprice', 'l_quantity']) AS c),
+         FROM (SELECT unnest(['l_discount', 'l_quantity']) AS c),
               (SELECT unnest([0.25, 0.5, 0.75, 0.99]) AS p)
          ORDER BY "column", p""",
     "q_profile" ->

@@ -45,35 +45,39 @@ object Profiling {
   }
 
   /** Exact quantiles per column, long form (`column`, `p`, `q`), one
-    * aggregate pass. Spark's `percentile` interpolates like DuckDB's
-    * `quantile_cont`, so results oracle-match — but its buffer is a
-    * value→count map per column: right for bounded-cardinality feature
-    * columns, NOT for unbounded ones at 100 TB (use [[approxQuantiles]]). */
+    * aggregate pass with ONE buffer per column (the whole `ps` list goes
+    * through a single array-percentile aggregate — a buffer per
+    * (column, p) would copy the value map |ps| times). Spark's
+    * `percentile` interpolates like DuckDB's `quantile_cont`, so results
+    * oracle-match — but the buffer is a value→count map per column:
+    * right for bounded-cardinality feature columns, NOT for unbounded
+    * ones at 100 TB (use [[approxQuantiles]]). */
   def exactQuantiles(df: DataFrame, cols: Seq[String],
       ps: Seq[Double]): DataFrame =
-    quantilesWith(df, cols, ps, (v, p) => percentile(v, lit(p)))
+    quantilesWith(df, cols, ps,
+      v => percentile(v, array(ps.map(lit): _*)))
 
   /** Approximate quantiles per column — same shape as [[exactQuantiles]]
     * but `approx_percentile` (bounded sketch state per column regardless
     * of cardinality: the 100 TB path). `accuracy` trades state for error
     * (relative rank error ≤ 1/accuracy). Not oracle-exact by nature;
-    * gate it against the exact values on a sampled column instead. */
+    * gate it against the exact values on a bounded column instead. */
   def approxQuantiles(df: DataFrame, cols: Seq[String], ps: Seq[Double],
       accuracy: Int = 10000): DataFrame =
     quantilesWith(df, cols, ps,
-      (v, p) => approx_percentile(v, lit(p), lit(accuracy)).cast("double"))
+      v => approx_percentile(v, array(ps.map(lit): _*), lit(accuracy)))
 
   private def quantilesWith(df: DataFrame, cols: Seq[String],
       ps: Seq[Double],
-      q: (org.apache.spark.sql.Column, Double) => org.apache.spark.sql.Column): DataFrame = {
+      q: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     require(cols.nonEmpty && ps.nonEmpty, "cols and ps must be non-empty")
     require(ps.forall(p => p >= 0.0 && p <= 1.0), "percentiles must be in [0,1]")
-    val aggs = for { c <- cols; (p, i) <- ps.zipWithIndex }
-      yield q(col(c).cast("double"), p).alias(s"__q_${i}_$c")
+    val aggs = cols.map(c => q(col(c).cast("double")).alias(s"__qs_$c"))
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val rows = for { c <- cols; (p, i) <- ps.zipWithIndex } yield
       struct(lit(c).alias("column"), lit(p).alias("p"),
-        Rounding.halfUp(col(s"__q_${i}_$c"), 6).alias("q"))
+        Rounding.halfUp(
+          element_at(col(s"__qs_$c"), i + 1).cast("double"), 6).alias("q"))
     wide.select(explode(array(rows: _*)).alias("s")).select(col("s.*"))
   }
 }
