@@ -270,6 +270,13 @@ object SparkEntry {
         Seq("l_quantity", "l_discount"), Seq(0.25, 0.5, 0.75, 0.99))
         .orderBy("column", "p")),
 
+    // grouped exact quantiles: per-group distribution probe (the
+    // mixing-decision input), one hash aggregate on the group key
+    "q_quantiles_by" -> ((s, dir) =>
+      pipeline.Profiling.exactQuantilesBy(t(s, dir, "lineitem"),
+        Seq("l_returnflag"), Seq("l_quantity"), Seq(0.5, 0.9))
+        .orderBy("l_returnflag", "column", "p")),
+
     // approx-quantile gate: the bounded-state t-digest path must land
     // within 1% relative rank of exact on every probe point (booleans
     // pinned by the oracle, recall-gate style — approx results are not
@@ -885,6 +892,15 @@ object SparkEntry {
            floor(quantile_cont(l_discount::DOUBLE, 0.99) * 1e6 + 0.5) / 1e6
          FROM lineitem
          ORDER BY "column", p""",
+    "q_quantiles_by" ->
+      """SELECT l_returnflag, 'l_quantity' AS "column", 0.5::DOUBLE AS p,
+           floor(quantile_cont(l_quantity::DOUBLE, 0.5) * 1e6 + 0.5) / 1e6 AS q
+         FROM lineitem GROUP BY l_returnflag
+         UNION ALL
+         SELECT l_returnflag, 'l_quantity', 0.9::DOUBLE,
+           floor(quantile_cont(l_quantity::DOUBLE, 0.9) * 1e6 + 0.5) / 1e6
+         FROM lineitem GROUP BY l_returnflag
+         ORDER BY l_returnflag, "column", p""",
     "q_quantiles_gate" ->
       """SELECT c AS "column", p::DOUBLE AS p, CAST(true AS BOOLEAN) AS within_tol
          FROM (SELECT unnest(['l_discount', 'l_quantity']) AS c),

@@ -67,17 +67,39 @@ object Profiling {
     quantilesWith(df, cols, ps,
       v => approx_percentile(v, array(ps.map(lit): _*), lit(accuracy)))
 
+  /** Grouped exact quantiles: one row per (group, column, p) — per-source
+    * length/score distributions, the mixing-decision input. One hash
+    * aggregate on the group key; same bounded-cardinality contract per
+    * GROUP as [[exactQuantiles]]. */
+  def exactQuantilesBy(df: DataFrame, groupCols: Seq[String],
+      cols: Seq[String], ps: Seq[Double]): DataFrame =
+    quantilesWith(df, cols, ps,
+      v => percentile(v, array(ps.map(lit): _*)), groupCols)
+
+  /** Grouped approximate quantiles — bounded sketch state per
+    * (group, column), the path for unbounded value domains. */
+  def approxQuantilesBy(df: DataFrame, groupCols: Seq[String],
+      cols: Seq[String], ps: Seq[Double], accuracy: Int = 10000): DataFrame =
+    quantilesWith(df, cols, ps,
+      v => approx_percentile(v, array(ps.map(lit): _*), lit(accuracy)),
+      groupCols)
+
   private def quantilesWith(df: DataFrame, cols: Seq[String],
       ps: Seq[Double],
-      q: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+      q: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      groupCols: Seq[String] = Nil): DataFrame = {
     require(cols.nonEmpty && ps.nonEmpty, "cols and ps must be non-empty")
     require(ps.forall(p => p >= 0.0 && p <= 1.0), "percentiles must be in [0,1]")
     val aggs = cols.map(c => q(col(c).cast("double")).alias(s"__qs_$c"))
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val wide =
+      if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val rows = for { c <- cols; (p, i) <- ps.zipWithIndex } yield
       struct(lit(c).alias("column"), lit(p).alias("p"),
         Rounding.halfUp(
           element_at(col(s"__qs_$c"), i + 1).cast("double"), 6).alias("q"))
-    wide.select(explode(array(rows: _*)).alias("s")).select(col("s.*"))
+    wide.select((groupCols.map(col) :+
+      explode(array(rows: _*)).alias("s")): _*)
+      .select((groupCols.map(col) :+ col("s.*")): _*)
   }
 }

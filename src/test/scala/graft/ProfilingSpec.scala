@@ -42,6 +42,19 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("grouped quantiles emit one row per (group, column, p)") {
+    import spark.implicits._
+    val d = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 10.0), ("b", 20.0)).toDF("g", "x")
+    val got = Profiling.exactQuantilesBy(d, Seq("g"), Seq("x"), Seq(0.0, 0.5, 1.0))
+      .collect().map(r => (r.getString(0), r.getDouble(2)) -> r.getDouble(3)).toMap
+    assert(got == Map(("a", 0.0) -> 1.0, ("a", 0.5) -> 2.0, ("a", 1.0) -> 3.0,
+      ("b", 0.0) -> 10.0, ("b", 0.5) -> 15.0, ("b", 1.0) -> 20.0))
+    val ap = Profiling.approxQuantilesBy(d, Seq("g"), Seq("x"), Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(ap("a") == 2.0 && (ap("b") == 10.0 || ap("b") == 20.0))
+  }
+
   test("all statistics run in a single aggregate pass") {
     val plan = Profiling.describe(df, Seq("a", "b"))
       .queryExecution.executedPlan.toString
