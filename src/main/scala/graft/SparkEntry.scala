@@ -342,6 +342,16 @@ object SparkEntry {
       .groupBy("lang").agg(count(lit(1)).alias("kept"))
       .orderBy("lang")),
 
+    // weighted sample without replacement (Efraimidis–Spirakis A-Res):
+    // md5-derived uniform raised to 1/weight, top-k — deterministic,
+    // engine-portable, TakeOrdered plan; oracle replays the arithmetic
+    "q_weighted_sample" -> ((s, dir) =>
+      pipeline.Sampling.weightedSample(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
+        "doc_id", length(col("text")), k = 25)
+        .select(col("doc_id"), col("lang"), col("sample_score"))
+        .orderBy(col("sample_score").desc, col("doc_id"))),
+
     // ---- LLM-pipeline operators (graft.pipeline) ---------------------
     // exact dedup groups (hash-groupBy, keep lowest id)
     "q_dedup_exact" -> ((s, dir) =>
@@ -813,6 +823,18 @@ object SparkEntry {
                     WHEN lang = 'zh' THEN '80000000'
                     ELSE 'c0000000' END
          GROUP BY lang ORDER BY lang""",
+    "q_weighted_sample" ->
+      """WITH s AS (
+           SELECT doc_id, lang,
+             pow((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 0.5)
+                   / 4294967296.0,
+                 1.0 / length(text)) AS score
+           FROM documents WHERE length(text) > 0),
+         t AS (SELECT doc_id, lang, score FROM s
+               ORDER BY score DESC, doc_id LIMIT 25)
+         SELECT doc_id, lang,
+           floor(score * 1e6 + 0.5) / 1e6 AS sample_score
+         FROM t ORDER BY sample_score DESC, doc_id""",
     "q_multimodal" ->
       """SELECT doc_id, 'fake/raw' AS format, 16::BIGINT AS width,
                 16::BIGINT AS height,

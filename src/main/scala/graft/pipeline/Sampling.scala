@@ -43,4 +43,27 @@ object Sampling {
     }.otherwise(lit(hexThreshold(defaultRate)))
     df.filter(keyHash(col(keyCol)) < threshold)
   }
+
+  /** Weighted sample WITHOUT replacement of `k` rows (Efraimidis–
+    * Spirakis A-Res): each row draws its uniform u from the md5 of its
+    * key — u = (hash32 + 0.5) / 2^32, never exactly 0 — and scores
+    * u^(1/weight); the k largest scores win, so selection probability
+    * rises with weight while staying deterministic (same key, same
+    * fate) and engine-portable (the oracle replays the identical
+    * arithmetic). Plan: map-side score + TakeOrderedAndProject — no
+    * shuffle, no RNG state, stable under repartitioning. Rows with
+    * null/non-positive weight are excluded. Output: input columns +
+    * `sample_score` (half-up 6), score-descending. */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (conv(keyHash(col(keyCol)), 16, 10).cast("double") + 0.5) /
+      4294967296.0
+    df.filter(weight.isNotNull && weight > 0)
+      .withColumn("__score", pow(u, lit(1.0) / weight.cast("double")))
+      .orderBy(col("__score").desc, col(keyCol).asc)
+      .limit(k)
+      .withColumn("sample_score", Rounding.halfUp(col("__score"), 6))
+      .drop("__score")
+  }
 }

@@ -45,4 +45,31 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), p)
   }
+
+  test("weighted sample favors heavy rows, deterministically, TakeOrdered plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 200 light rows (w=1) + 20 heavy rows (w=50): a k=40 sample should
+    // pull in most of the heavy ids (u^(1/50) crowds toward 1)
+    val rows = (0L until 200L).map((_, 1.0)) ++ (1000L until 1020L).map((_, 50.0))
+    val df = rows.toDF("id", "w")
+    val picked = Sampling.weightedSample(df, "id", col("w"), k = 40)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(picked.size == 40)
+    val heavy = picked.count(_ >= 1000L)
+    assert(heavy >= 15, s"only $heavy of 20 heavy rows sampled: $picked")
+    // deterministic: same input, same sample
+    val again = Sampling.weightedSample(df, "id", col("w"), k = 40)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == picked)
+    // non-positive / null weights are excluded
+    val withBad = df.union(Seq((5000L, 0.0), (5001L, -1.0)).toDF("id", "w"))
+    val picked2 = Sampling.weightedSample(withBad, "id", col("w"), k = 300)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(!picked2.contains(5000L) && !picked2.contains(5001L))
+    // top-k plans as TakeOrderedAndProject — no global sort
+    val plan = Sampling.weightedSample(df, "id", col("w"), k = 40)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
