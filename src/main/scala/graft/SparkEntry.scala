@@ -352,6 +352,15 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("sample_score"))
         .orderBy(col("sample_score").desc, col("doc_id"))),
 
+    // per-group weighted sample: k rows per language by the same A-Res
+    // score — one window exchange on the group key, no global sort
+    "q_weighted_by" -> ((s, dir) =>
+      pipeline.Sampling.weightedSampleByGroup(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
+        Seq("lang"), "doc_id", length(col("text")), kPerGroup = 5)
+        .select(col("lang"), col("doc_id"), col("sample_score"))
+        .orderBy(col("lang"), col("sample_score").desc, col("doc_id"))),
+
     // ---- LLM-pipeline operators (graft.pipeline) ---------------------
     // exact dedup groups (hash-groupBy, keep lowest id)
     "q_dedup_exact" -> ((s, dir) =>
@@ -835,6 +844,21 @@ object SparkEntry {
          SELECT doc_id, lang,
            floor(score * 1e6 + 0.5) / 1e6 AS sample_score
          FROM t ORDER BY sample_score DESC, doc_id""",
+    "q_weighted_by" ->
+      """WITH s AS (
+           SELECT lang, doc_id,
+             pow((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 0.5)
+                   / 4294967296.0,
+                 1.0 / length(text)) AS score
+           FROM documents WHERE length(text) > 0),
+         t AS (SELECT lang, doc_id, score,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY score DESC, doc_id) AS rn
+               FROM s)
+         SELECT lang, doc_id,
+           floor(score * 1e6 + 0.5) / 1e6 AS sample_score
+         FROM t WHERE rn <= 5
+         ORDER BY lang, sample_score DESC, doc_id""",
     "q_multimodal" ->
       """SELECT doc_id, 'fake/raw' AS format, 16::BIGINT AS width,
                 16::BIGINT AS height,

@@ -57,13 +57,36 @@ object Sampling {
   def weightedSample(df: DataFrame, keyCol: String, weight: Column,
       k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    val u = (conv(keyHash(col(keyCol)), 16, 10).cast("double") + 0.5) /
-      4294967296.0
     df.filter(weight.isNotNull && weight > 0)
-      .withColumn("__score", pow(u, lit(1.0) / weight.cast("double")))
+      .withColumn("__score", esScore(col(keyCol), weight))
       .orderBy(col("__score").desc, col(keyCol).asc)
       .limit(k)
       .withColumn("sample_score", Rounding.halfUp(col("__score"), 6))
       .drop("__score")
+  }
+
+  /** Per-group weighted sample: `kPerGroup` rows per group by the same
+    * A-Res score — per-source subsampling in one window pass (single
+    * exchange on the group key, no global sort). */
+  def weightedSampleByGroup(df: DataFrame, groupCols: Seq[String],
+      keyCol: String, weight: Column, kPerGroup: Int): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(kPerGroup > 0, "kPerGroup must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__score").desc, col(keyCol).asc)
+    df.filter(weight.isNotNull && weight > 0)
+      .withColumn("__score", esScore(col(keyCol), weight))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= kPerGroup)
+      .withColumn("sample_score", Rounding.halfUp(col("__score"), 6))
+      .drop("__score", "__rn")
+  }
+
+  /** Efraimidis–Spirakis selection score: md5-derived uniform raised to
+    * 1/weight. */
+  private def esScore(key: Column, weight: Column): Column = {
+    val u = (conv(keyHash(key), 16, 10).cast("double") + 0.5) / 4294967296.0
+    pow(u, lit(1.0) / weight.cast("double"))
   }
 }

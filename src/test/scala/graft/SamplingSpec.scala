@@ -72,4 +72,20 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("per-group weighted sample takes k rows per group, one exchange") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = for (g <- Seq("en", "de"); i <- 0L until 50L)
+      yield (g, g.hashCode.toLong * 1000 + i, 1.0 + i)
+    val df = rows.toDF("lang", "id", "w")
+    val out = Sampling.weightedSampleByGroup(df, Seq("lang"), "id", col("w"), 7)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang == Map("en" -> 7L, "de" -> 7L))
+    // exactly one exchange (the group-key window), not a global sort
+    val plan = out.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1 && !plan.contains("rangepartitioning"), plan)
+  }
 }
