@@ -17,6 +17,27 @@ object Bench {
     s(s.length / 2)
   }
 
+  /** Median of timed reps, or the -1 error marker when ANY rep failed —
+    * timing a query's time-to-fail is not a valid sample (round-6 advice:
+    * a failed ×10 rep silently recorded a bogus median). */
+  private def timedReps(reps: Int, run: () => Unit): Seq[Double] =
+    (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      val ok = try { run(); true } catch { case _: Throwable => false }
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+
+  private def medianOrErr(times: Seq[Double]): Double =
+    if (times.exists(_ < 0)) -1.0 else median(times)
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(root)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    finally walk.close()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to every core: the contract's bench environment is local[32];
@@ -46,18 +67,17 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       // one unmeasured warmup per query (JIT + page cache), then timed reps
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
+      val times = timedReps(reps, () => { fn(spark, sfDir).count(); () })
       if (verbose) System.err.println(
         s"[bench] $name reps=${times.map(t => f"$t%.3f").mkString(",")}")
-      name -> median(times)
+      name -> medianOrErr(times)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // errored queries (-1 marker) are excluded from the total and listed
+    // explicitly — a time-to-fail must not masquerade as throughput
+    val errored = results.collect { case (k, v) if v < 0 => k }
+    val total = results.map(_._2).filter(_ >= 0).sum
     // Standing 10×-volume block (full runs only): the five text operators
     // re-run against a materialized ×10 documents table so sublinearity
     // regressions are caught automatically, not just in one-off smokes.
@@ -70,32 +90,47 @@ object Bench {
         "q_minhash_pairs")
       val base = spark.read.parquet(s"$sfDir/documents.parquet")
       val n = base.count()
-      val x10dir = java.nio.file.Files.createTempDirectory("graft_x10").toString
-      (0 until 10).map(i =>
-          base.withColumn("doc_id", col("doc_id") + lit(i * n)))
-        .reduce(_ unionAll _)
-        .write.mode("overwrite").parquet(s"$x10dir/documents.parquet")
-      val rows = scaleQs.map { name =>
-        val fn = SparkEntry.queries(name)
-        try { fn(spark, x10dir).count() } catch { case _: Throwable => () }
-        val times = (1 to reps).map { _ =>
-          val t0 = System.nanoTime()
-          try { fn(spark, x10dir).count() } catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
+      // replica offset = max(doc_id)+1, NOT the row count — ids are only
+      // disjoint across replicas if the stride clears the real max id
+      val stride = base.agg(org.apache.spark.sql.functions.max(col("doc_id")))
+        .head().getLong(0) + 1
+      val x10path = java.nio.file.Files.createTempDirectory("graft_x10")
+      val rows = try {
+        (0 until 10).map(i =>
+            base.withColumn("doc_id", col("doc_id") + lit(i * stride)))
+          .reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$x10path/documents.parquet")
+        scaleQs.map { name =>
+          val fn = SparkEntry.queries(name)
+          try { fn(spark, x10path.toString).count() } catch { case _: Throwable => () }
+          val times = timedReps(reps,
+            () => { fn(spark, x10path.toString).count(); () })
+          if (verbose) System.err.println(
+            s"[bench] scale10x $name reps=${times.map(t => f"$t%.3f").mkString(",")}")
+          name -> medianOrErr(times)
         }
-        if (verbose) System.err.println(
-          s"[bench] scale10x $name reps=${times.map(t => f"$t%.3f").mkString(",")}")
-        name -> median(times)
-      }
+      } finally deleteRecursively(x10path)
       val base1x = results.toMap
       val sq = rows.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
+      // ratio is an error marker unless BOTH sides timed cleanly
       val ratios = rows.map { case (k, v) =>
-        "\"" + k + "\":" + base1x.get(k).filter(_ > 0).map(b => v / b).getOrElse(-1.0)
+        "\"" + k + "\":" + (if (v < 0) -1.0
+          else base1x.get(k).filter(_ > 0).map(b => v / b).getOrElse(-1.0))
       }.mkString("{", ",", "}")
       s""","scale10x":{"rows":${n * 10},"queries":$sq,"ratio_vs_1x":$ratios}"""
     } else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps$scale10x}""")
+    val errJson = if (errored.nonEmpty)
+      errored.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]") else ""
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps$errJson$scale10x}"""
+    println(line)
+    // the committed artifact must be self-contained: stdout capture can
+    // truncate (BENCH_r06 lost its tail) — always also write the full
+    // line to a file in the repo
+    val outFile = sys.env.getOrElse("GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

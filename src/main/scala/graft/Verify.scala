@@ -4,6 +4,14 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Oracles applicable at `sfDir`: golden-pinned oracles carry literal
+    * values computed at sf0.01 — at any other scale they'd hard-fail
+    * spuriously, so they're dropped (degrading those queries to the
+    * driver's rows-only check). */
+  private[graft] def oraclesFor(sfDir: String): Map[String, String] =
+    if (sfDir.replaceAll("/+$", "").endsWith("sf0.01")) SparkEntry.oracleSql
+    else SparkEntry.oracleSql -- SparkEntry.goldenPinnedSf001
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -49,7 +57,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = oraclesFor(sfDir)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

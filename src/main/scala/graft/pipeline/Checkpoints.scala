@@ -23,6 +23,14 @@ import org.apache.spark.sql.DataFrame
   *
   * The SparkContext checkpoint dir is set from `dir` only when unset, so
   * an application-configured dir wins over the per-operator parameter.
+  *
+  * Durable-mode disk lifecycle: each round's `checkpoint()` writes one
+  * full copy of the data under the checkpoint dir, and `unpersist()`
+  * frees only block-manager storage — without explicit file deletion a
+  * long iteration leaves O(rounds) dead copies on HDFS/S3 for the life
+  * of the application. [[release]] deletes the superseded round's files
+  * (the same discipline as MLlib's PeriodicCheckpointer); only the
+  * FINAL round's checkpoint survives until application exit.
   */
 private[pipeline] object Checkpoints {
   def truncate(df: DataFrame, dir: Option[String]): DataFrame = dir match {
@@ -32,5 +40,25 @@ private[pipeline] object Checkpoints {
       df.checkpoint()
     case None =>
       df.localCheckpoint(eager = false)
+  }
+
+  /** Free a SUPERSEDED round's storage: block-manager blocks always; in
+    * durable mode also the reliable checkpoint files backing `df`. Only
+    * call once the successor round is fully materialized (the durable
+    * path is eager, so the successor never re-reads these files). File
+    * deletion is best-effort — a failed delete costs disk, not
+    * correctness. */
+  def release(df: DataFrame, dir: Option[String]): Unit = {
+    df.unpersist(blocking = false)
+    if (dir.isDefined) df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.getCheckpointFile.foreach { f =>
+          val conf = df.sparkSession.sparkContext.hadoopConfiguration
+          val p = new org.apache.hadoop.fs.Path(f)
+          try p.getFileSystem(conf).delete(p, true)
+          catch { case _: java.io.IOException => () }
+        }
+      case _ => ()
+    }
   }
 }

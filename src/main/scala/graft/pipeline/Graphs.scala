@@ -112,10 +112,10 @@ object Graphs {
       val nextSig = signature(next)
       converged = nextSig == sig
       // the signature materialized `next`, so the superseded round's
-      // blocks are dead — drop them now rather than letting stale
-      // checkpoint blocks pile up in executor storage for the whole
-      // convergence (O(rounds) dead copies of the edge set otherwise)
-      edges.unpersist(blocking = false)
+      // storage is dead — blocks AND (durable mode) checkpoint files;
+      // otherwise O(rounds) dead copies of the edge set pile up in
+      // executor storage / on the checkpoint filesystem
+      Checkpoints.release(edges, checkpointDir)
       edges = next
       sig = nextSig
       round += 1

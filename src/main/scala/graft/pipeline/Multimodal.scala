@@ -9,10 +9,12 @@ import org.apache.spark.sql.types._
   * staged as partition-wise batch transforms.
   *
   * Image payloads (`format` = `image/...`) decode FOR REAL through the
-  * JDK's built-in `javax.imageio` (PNG/BMP/GIF/JPEG — zero external
-  * dependencies); everything else — audio, video, unknown formats, or an
-  * image payload imageio cannot parse — falls back to the deterministic
-  * byte-level STUB so the pipeline never throws on undecodable media.
+  * JDK's built-in `javax.imageio` (PNG/BMP/GIF/JPEG), and audio payloads
+  * (`format` = `audio/...`) through `javax.sound.sampled`
+  * (WAV/AU/AIFF) — both zero external dependencies; everything else —
+  * video, unknown formats, or a payload no installed codec claims —
+  * falls back to the deterministic byte-level STUB so the pipeline
+  * never throws on undecodable media.
   * Either way the plan shape is identical: a narrow mapPartitions with
   * no shuffle, decoder init amortized per partition. Swapping in richer
   * codecs (JNI/FFI, `mapInPandas` on PySpark) changes no plan shape.
@@ -70,10 +72,66 @@ object Multimodal {
       w.toFloat, h.toFloat)
   }
 
-  /** STUB decoder for non-image payloads: deterministic 8-dim "feature
-    * vector" from the raw bytes. ??? replace with real audio/video codecs —
-    * the signature (bytes, meta) → Array[Float] and the partition-wise
-    * batch shape are the real contract. */
+  /** Decode an audio payload (WAV/AU/AIFF — whatever the JDK's
+    * `javax.sound.sampled` registry claims, zero external dependencies)
+    * to 16-bit signed PCM samples + the stream's format. None when no
+    * installed reader claims the bytes (video/corrupt/compressed data). */
+  private def decodeAudio(bytes: Array[Byte])
+      : Option[(Array[Short], javax.sound.sampled.AudioFormat)] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val src = in.getFormat
+        // normalize every payload to 16-bit signed PCM at the source rate
+        // so feature math is codec-independent
+        val pcmFmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, src.getChannels,
+          src.getChannels * 2, src.getSampleRate, false)
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(pcmFmt, in)
+        val raw = pcm.readAllBytes()
+        val samples = new Array[Short](raw.length / 2)
+        var i = 0
+        while (i < samples.length) {
+          samples(i) = ((raw(2 * i) & 0xFF) | (raw(2 * i + 1) << 8)).toShort
+          i += 1
+        }
+        Some((samples, pcmFmt))
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException |
+           _: java.io.IOException | _: IllegalArgumentException => None
+    }
+
+  /** Real 8-dim audio features from decoded PCM: mean amplitude, RMS
+    * energy, peak amplitude, zero-crossing rate, duration (s), sample
+    * rate, channel count, sample count. Deterministic, codec-independent
+    * (everything is measured on normalized 16-bit PCM). */
+  private def audioFeatures(
+      dec: (Array[Short], javax.sound.sampled.AudioFormat)): Array[Float] = {
+    val (s, fmt) = dec
+    var (sum, sum2, crossings) = (0.0, 0.0, 0L)
+    var peak = 0.0
+    var i = 0
+    while (i < s.length) {
+      val v = s(i) / 32768.0
+      sum += math.abs(v); sum2 += v * v
+      if (math.abs(v) > peak) peak = math.abs(v)
+      if (i > 0 && ((s(i) >= 0) != (s(i - 1) >= 0))) crossings += 1
+      i += 1
+    }
+    val n = math.max(1, s.length).toDouble
+    val frames = s.length / math.max(1, fmt.getChannels)
+    Array((sum / n).toFloat, math.sqrt(sum2 / n).toFloat, peak.toFloat,
+      (crossings / n).toFloat, (frames / fmt.getSampleRate).toFloat,
+      fmt.getSampleRate, fmt.getChannels.toFloat, s.length.toFloat)
+  }
+
+  /** STUB decoder for non-image/non-audio payloads: deterministic 8-dim
+    * "feature vector" from the raw bytes. ??? replace with real video
+    * codecs — the signature (bytes, meta) → Array[Float] and the
+    * partition-wise batch shape are the real contract. */
   private def stubDecode(bytes: Array[Byte], width: Int, height: Int): Array[Float] = {
     val feat = new Array[Float](8)
     var i = 0
@@ -102,10 +160,16 @@ object Multimodal {
       rows.map { row =>
         val bytes = row.getAs[Array[Byte]](mediaIdx)
         val meta = row.getStruct(metaIdx)
-        // image/* decodes for real via imageio; anything else (or a
-        // payload no reader claims) takes the deterministic stub
-        val feat = (if (meta.getString(0).startsWith("image/"))
-          decodeImage(bytes).map(imageFeatures) else None)
+        // null format is legal metadata — treat as non-media, stub path
+        val fmt = Option(meta.getString(0)).getOrElse("")
+        // image/* decodes for real via imageio, audio/* via the JDK
+        // sampled-sound stack; anything else (or a payload no codec
+        // claims) takes the deterministic stub
+        val feat = (if (fmt.startsWith("image/"))
+          decodeImage(bytes).map(imageFeatures)
+        else if (fmt.startsWith("audio/"))
+          decodeAudio(bytes).map(audioFeatures)
+        else None)
           .getOrElse(stubDecode(bytes, meta.getInt(1), meta.getInt(2)))
         Row.fromSeq(row.toSeq :+ feat.toSeq)
       }
@@ -151,7 +215,9 @@ object Multimodal {
       rows.map { row =>
         val bytes = row.getAs[Array[Byte]](mediaIdx)
         val meta = row.getStruct(metaIdx)
-        val format = meta.getString(0)
+        // null format is legal metadata — non-image, byte-subsample path
+        val rawFormat = meta.getString(0)
+        val format = Option(rawFormat).getOrElse("")
         val real = if (format.startsWith("image/"))
           resizeImage(bytes, format, newWidth, newHeight) else None
         val out = real.getOrElse {
@@ -168,7 +234,7 @@ object Multimodal {
           }
           sub
         }
-        val newMeta = Row(format, newWidth, newHeight, out.length.toLong)
+        val newMeta = Row(rawFormat, newWidth, newHeight, out.length.toLong)
         val seq = row.toSeq.toArray
         seq(mediaIdx) = out
         seq(metaIdx) = newMeta

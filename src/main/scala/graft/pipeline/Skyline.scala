@@ -106,8 +106,9 @@ object Skyline {
       pts = Checkpoints.truncate(localPass(pts.repartition(target)), checkpointDir)
       n = pts.count()
       // count() materialized the new round; the superseded candidate
-      // blocks are dead — drop them instead of accumulating per round
-      prev.unpersist(blocking = false)
+      // storage (blocks + durable checkpoint files) is dead — drop it
+      // instead of accumulating per round
+      Checkpoints.release(prev, checkpointDir)
     }
     if (n > localThreshold) {
       // single partition, frontier larger than the driver budget: the

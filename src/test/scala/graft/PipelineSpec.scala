@@ -217,6 +217,62 @@ class PipelineSpec extends SparkSpec {
       .getSeq[Float](junkFeats.schema.fieldIndex("media_feat")).length == 8)
   }
 
+  test("real WAV payloads decode and feature-extract via javax.sound.sampled") {
+    import spark.implicits._
+    // generate a real 16-bit PCM mono WAV: 440 Hz sine, 0.25 s at 8 kHz
+    val rate = 8000f
+    val n = 2000
+    val amp = 0.5
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v = (amp * math.sin(2 * math.Pi * 440 * i / rate) * 32767).toInt
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val bytes = baos.toByteArray
+    val media = Seq((1L, bytes)).toDF("doc_id", "media")
+      .withColumn("media_meta", struct(
+        lit("audio/wav").alias("format"), lit(0).alias("width"),
+        lit(0).alias("height"), lit(bytes.length.toLong).alias("n_bytes")))
+    val feats = Multimodal.extractFeatures(media)
+    val f = feats.head().getSeq[Float](feats.schema.fieldIndex("media_feat"))
+    // real signal statistics, not byte-stub output
+    assert(math.abs(f(1) - amp / math.sqrt(2)) < 0.01, s"RMS of a sine: ${f(1)}")
+    assert(math.abs(f(2) - amp) < 0.01, s"peak: ${f(2)}")
+    assert(math.abs(f(3) - 2 * 440 / rate) < 0.01, s"zero-crossing rate: ${f(3)}")
+    assert(math.abs(f(4) - n / rate) < 1e-3, s"duration: ${f(4)}")
+    assert(f(5) == rate && f(6) == 1.0f && f(7) == n.toFloat)
+    // a corrupt audio payload falls back to the stub instead of throwing
+    val junk = Seq((2L, Array[Byte](9, 9, 9))).toDF("doc_id", "media")
+      .withColumn("media_meta", struct(
+        lit("audio/wav").alias("format"), lit(1).alias("width"),
+        lit(1).alias("height"), lit(3L).alias("n_bytes")))
+    val junkFeats = Multimodal.extractFeatures(junk)
+    assert(junkFeats.head()
+      .getSeq[Float](junkFeats.schema.fieldIndex("media_feat")).length == 8)
+  }
+
+  test("null media format takes the stub path instead of NPE") {
+    import spark.implicits._
+    val media = Seq((1L, Array[Byte](1, 2, 3, 4))).toDF("doc_id", "media")
+      .withColumn("media_meta", struct(
+        lit(null).cast("string").alias("format"), lit(2).alias("width"),
+        lit(2).alias("height"), lit(4L).alias("n_bytes")))
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.head()
+      .getSeq[Float](feats.schema.fieldIndex("media_feat")).length == 8)
+    val resized = Multimodal.resizeMedia(media, 4, 4)
+    val r = resized.head()
+    val meta = r.getStruct(resized.schema.fieldIndex("media_meta"))
+    assert(meta.isNullAt(0) && meta.getInt(1) == 4)
+  }
+
   test("crossContainment finds bench docs contained in train docs") {
     import spark.implicits._
     val train = Seq(

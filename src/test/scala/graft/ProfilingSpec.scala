@@ -55,6 +55,18 @@ class ProfilingSpec extends SparkSpec {
     assert(ap("a") == 2.0 && (ap("b") == 10.0 || ap("b") == 20.0))
   }
 
+  test("rank-based approx-quantile gates hold on real data, plain + grouped") {
+    // the gates certify approx_percentile's own contract (rank error
+    // ≤ 1/accuracy); on sf0.001 every probe point must pass
+    Seq("q_quantiles_gate", "q_quantiles_by_gate").foreach { name =>
+      val rows = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").collect()
+      assert(rows.nonEmpty, s"$name returned no rows")
+      val tolIdx = rows.head.length - 1
+      assert(rows.forall(_.getBoolean(tolIdx)),
+        s"$name out of tolerance: ${rows.mkString(", ")}")
+    }
+  }
+
   test("all statistics run in a single aggregate pass") {
     val plan = Profiling.describe(df, Seq("a", "b"))
       .queryExecution.executedPlan.toString
