@@ -254,11 +254,44 @@ object SparkEntry {
         .orderBy("p_retailprice", "p_size", "name_len")),
 
     // one-pass column profiling (count/nulls/min/max/mean/exact-median
-    // for every column in a single aggregate)
+    // for every column in a single aggregate). describe also emits an
+    // HLL approx_distinct — dropped here because a sketch estimate is
+    // not SQL-replayable; q_cardinality_gate certifies it instead
     "q_profile" -> ((s, dir) =>
       pipeline.Profiling.describe(t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .select("column", "n", "n_null", "min", "max", "mean", "median")
         .orderBy("column")),
+
+    // cardinality gate: describe's HLL approx_distinct (rsd 1%) must
+    // land within 2% of the exact distinct count per column — spans
+    // three decades of true cardinality (l_discount 11, l_quantity 50,
+    // l_partkey ~2k at sf0.01). Booleans pinned by the oracle.
+    "q_cardinality_gate" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val cols = Seq("l_quantity", "l_discount", "l_partkey")
+      val approx = pipeline.Profiling.describe(li, cols)
+        .select(col("column"), col("approx_distinct"))
+      // exact side: one aggregate, unpivoted in-plan like describe
+      val exAggs = cols.map(c =>
+        countDistinct(col(c)).alias(s"__ex_$c"))
+      val exact = li.agg(exAggs.head, exAggs.tail: _*)
+        .select(explode(array(cols.map(c => struct(lit(c).alias("column"),
+          col(s"__ex_$c").alias("ex"))): _*)).alias("s"))
+        .select(col("s.*"))
+      approx.join(exact, "column")
+        .select(col("column"),
+          (abs(col("approx_distinct") - col("ex")) <= col("ex") * 0.02)
+            .alias("within_tol"))
+        .orderBy("column")
+    }),
+
+    // exact top-k frequent values: the skew probe (which hot keys need
+    // salting/isolation) — deterministic count-desc value-asc order, so
+    // the oracle replays it exactly
+    "q_top_values" -> ((s, dir) =>
+      pipeline.Profiling.topValues(t(s, dir, "lineitem"), "l_quantity", 5)
+        .select(col("value").cast("double").alias("value"), col("cnt"))),
 
     // exact quantiles, long form, one aggregate pass (Spark percentile
     // interpolates like DuckDB quantile_cont — oracle-exact). Bounded-
@@ -736,6 +769,37 @@ object SparkEntry {
         .orderBy("cluster")
     }),
 
+    // k-means model persistence gate: fit → write → reload must
+    // reproduce the fitted model's assignment EXACTLY (at 100 TB you fit
+    // once and reuse the model across sessions — cell-id stability after
+    // a round trip is the property that makes a persisted IVF corpus
+    // valid without reassignment). Write/read are eager, so the temp
+    // model dir is deleted before the gate plan even runs.
+    "q_kmeans_reload" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = pipeline.Clustering.fitKMeans(emb, "embedding", "vec_id",
+        k = 8, maxIter = 4)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_kmeans")
+      val re = try {
+        pipeline.Clustering.writeKMeansModel(model, tmp.toString, s)
+        pipeline.Clustering.readKMeansModel(s, tmp.toString)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(tmp)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+      val a1 = pipeline.Clustering.assign(emb, "embedding", model)
+        .select(col("vec_id"), col("cluster").alias("c1"))
+      val a2 = pipeline.Clustering.assign(emb, "embedding", re)
+        .select(col("vec_id"), col("cluster").alias("c2"))
+      a1.join(a2, "vec_id")
+        .agg((count(lit(1)) > 0 &&
+          sum(when(col("c1") === col("c2"), 0L).otherwise(1L)) === 0L)
+          .alias("reload_ok"))
+    }),
+
     // semantic dedup (SemDeDup shape): cluster then exact-cosine pairs
     // within cells, over the same planted near-dups as q_embed_dups. The
     // oracle is the brute-force all-pairs join — parity holds because the
@@ -746,6 +810,29 @@ object SparkEntry {
       pipeline.Clustering.semanticDupPairs(plantedEmbeddings(s, dir),
         "embedding", "vec_id", k = 8, threshold = 0.95)
         .orderBy("id_a", "id_b")),
+
+    // SemDeDup recall gate: the within-cell pair search must recover
+    // ≥90% of the GLOBAL exact ≥0.95-cosine pairs on the planted corpus
+    // (at k=8) — quantifies and pins the cluster-split miss probability,
+    // so a k or init change can't silently degrade recall while
+    // q_semdedup stays green on whatever pairs it does find
+    "q_semdedup_recall" -> ((s, dir) => {
+      val emb = plantedEmbeddings(s, dir)
+      val sem = pipeline.Clustering.semanticDupPairs(emb, "embedding",
+        "vec_id", k = 8, threshold = 0.95).select("id_a", "id_b")
+      // exact baseline: brute-force all-pairs at the same threshold
+      val a = emb.select(col("vec_id").alias("id_a"),
+        col("embedding").alias("__va"))
+      val b = emb.select(col("vec_id").alias("id_b"),
+        col("embedding").alias("__vb"))
+      val exact = a.join(b, col("id_a") < col("id_b"))
+        .where(pipeline.Similarity.cosine(col("__va"), col("__vb")) >= 0.95)
+        .select("id_a", "id_b")
+      exact.join(sem.withColumn("__found", lit(1L)), Seq("id_a", "id_b"), "left")
+        .agg((count(lit(1)) > 0 &&
+          sum(coalesce(col("__found"), lit(0L))) >= count(lit(1)) * 0.9)
+          .alias("recall_ok"))
+    }),
 
     // ANN top-k (LSH multiprobe; approximate by design — the exact result
     // on this dataset is deterministic, so the oracle golden-pins it)
@@ -1002,6 +1089,14 @@ object SparkEntry {
          FROM (SELECT DISTINCT l_returnflag FROM lineitem),
               (SELECT unnest([0.25, 0.5, 0.9]) AS p)
          ORDER BY l_returnflag, "column", p""",
+    "q_cardinality_gate" ->
+      """SELECT c AS "column", CAST(true AS BOOLEAN) AS within_tol
+         FROM (SELECT unnest(['l_discount', 'l_partkey', 'l_quantity']) AS c)
+         ORDER BY "column"""",
+    "q_top_values" ->
+      """SELECT l_quantity::DOUBLE AS value, count(*)::BIGINT AS cnt
+         FROM lineitem GROUP BY 1
+         ORDER BY cnt DESC, value ASC LIMIT 5""",
     "q_profile" ->
       """SELECT 'l_discount' AS "column", count(l_discount)::BIGINT AS n,
            sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
@@ -1475,6 +1570,10 @@ object SparkEntry {
          AS t(query_id, k, recall_ok) ORDER BY query_id""",
     "q_simhash_recall" ->
       """SELECT CAST(true AS BOOLEAN) AS recall_ok""",
+    "q_semdedup_recall" ->
+      """SELECT CAST(true AS BOOLEAN) AS recall_ok""",
+    "q_kmeans_reload" ->
+      """SELECT CAST(true AS BOOLEAN) AS reload_ok""",
     // golden pins (sf0.01, the driver's verify scale): literal expected
     // outputs — SQL cannot replay the hash-based sketches, but the pins
     // catch unintended algorithm drift

@@ -31,6 +31,30 @@ object Clustering {
   case class KMeansModel(centroids: IndexedSeq[Seq[Float]],
       iterations: Int, shift: Double)
 
+  /** Above this many total centroid floats (k·d), assignment reads the
+    * centroid table from a Spark broadcast instead of embedding it in
+    * the serialized plan: an embedded table is copied into every task's
+    * plan (hundreds of MB at k≈10⁵, d≈768), a broadcast ships once per
+    * executor and the plan carries only the handle. 2¹⁵ floats = 128 KB
+    * inline worst case — well under task-serialization noise. */
+  val InlineCentroidLimit: Long = 1L << 15
+
+  /** Nearest-centroid column: inline table below [[InlineCentroidLimit]]
+    * total floats, Spark broadcast above it. Identical arithmetic and
+    * tie-breaking either way. */
+  private def nearestCentroidCol(df: DataFrame,
+      vec: org.apache.spark.sql.Column,
+      centroids: IndexedSeq[Seq[Float]]): org.apache.spark.sql.Column = {
+    val total = centroids.iterator.map(_.length.toLong).sum
+    if (total <= InlineCentroidLimit)
+      org.apache.spark.sql.graft.sketch.nearest_centroid(vec, centroids)
+    else {
+      val bc = df.sparkSession.sparkContext
+        .broadcast(centroids.map(_.toArray).toArray)
+      org.apache.spark.sql.graft.sketch.nearest_centroid_bc(vec, bc)
+    }
+  }
+
   /** Fit spherical k-means. `tol` stops early when no centroid component
     * moved more than it between iterations (compared driver-side — free,
     * the centroids are already there). Empty cells keep their previous
@@ -55,7 +79,7 @@ object Clustering {
     var shift = Double.PositiveInfinity
     while (iter < maxIter && shift > tol) {
       val assigned = df.withColumn("__cell",
-        org.apache.spark.sql.graft.sketch.nearest_centroid(col(vecCol), centroids))
+        nearestCentroidCol(df, col(vecCol), centroids))
       // (cell, dim) hash-agg mean, reassembled per cell — centroid-sized
       // shuffle; k rows back to the driver
       val meansByCell = Embeddings.meanPool(assigned, Seq("__cell"), vecCol)
@@ -79,11 +103,42 @@ object Clustering {
   }
 
   /** Assign every row to its nearest centroid (cosine argmax, ties to
-    * the lowest index): map-side, no shuffle. */
+    * the lowest index): map-side, no shuffle. Large centroid tables
+    * (k·d > [[InlineCentroidLimit]]) ride a Spark broadcast instead of
+    * the serialized plan. */
   def assign(df: DataFrame, vecCol: String, model: KMeansModel,
       outCol: String = "cluster"): DataFrame =
-    df.withColumn(outCol,
-      org.apache.spark.sql.graft.sketch.nearest_centroid(col(vecCol), model.centroids))
+    df.withColumn(outCol, nearestCentroidCol(df, col(vecCol), model.centroids))
+
+  /** Persist a fitted model: `<path>/centroids` parquet (one row per
+    * centroid, index + vector) plus `<path>/meta` (iterations, shift).
+    * At 100 TB you fit ONCE and reuse the model across sessions — same
+    * round-trip contract as [[Dedup.writeMinhashIndex]]; the assigned
+    * IVF corpus itself persists as ordinary parquet (`ivf_cell` is a
+    * plain int column), so a reloaded corpus + reloaded model serve
+    * [[ivfTopK]] with no refit and no reassignment. */
+  def writeKMeansModel(model: KMeansModel, path: String,
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    Seq((model.iterations, model.shift)).toDF("iterations", "shift")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Reload a persisted model. Centroid order is restored from the
+    * stored index, so cell ids of a reloaded model match the session
+    * that fitted it — reassignment-free by construction. Bounded driver
+    * state: k vectors, the same as fitting. */
+  def readKMeansModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): KMeansModel = {
+    val cs = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1))
+      .sortBy(_._1).map(_._2).toIndexedSeq
+    val meta = spark.read.parquet(s"$path/meta").head()
+    KMeansModel(cs, meta.getInt(0), meta.getDouble(1))
+  }
 
   /** IVF index from a fitted k-means model: `ivf_cell` is the centroid
     * INDEX (map-side argmax assignment — no shuffle). Trained centroids

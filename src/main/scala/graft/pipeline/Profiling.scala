@@ -28,7 +28,11 @@ object Profiling {
         min(v).alias(s"__min_$c"),
         max(v).alias(s"__max_$c"),
         avg(v).alias(s"__mean_$c"),
-        percentile(v, lit(0.5)).alias(s"__med_$c"))
+        percentile(v, lit(0.5)).alias(s"__med_$c"),
+        // HLL cardinality (rsd 1%): the statistic a partition-count /
+        // salt-factor / dedup decision needs; sketch state is bounded
+        // regardless of the column's domain, so the pass stays ONE
+        approx_count_distinct(v, rsd = 0.01).alias(s"__ad_$c"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     // pivot the single wide row to long form inside the plan (no collect)
@@ -39,9 +43,25 @@ object Profiling {
         col(s"__min_$c").alias("min"),
         col(s"__max_$c").alias("max"),
         Rounding.halfUp(col(s"__mean_$c"), 6).alias("mean"),
-        Rounding.halfUp(col(s"__med_$c"), 6).alias("median"))
+        Rounding.halfUp(col(s"__med_$c"), 6).alias("median"),
+        col(s"__ad_$c").alias("approx_distinct"))
     }
     wide.select(explode(array(rows: _*)).alias("s")).select(col("s.*"))
+  }
+
+  /** Exact top-k most frequent values of a column: (`value`, `cnt`),
+    * count desc with value-asc tiebreak — deterministic across engines.
+    * Two-phase hash aggregate (map-side partials collapse each partition
+    * to its distinct values) + TakeOrdered: no global sort, driver state
+    * is k rows. The frequency companion to `approx_distinct`: together
+    * they decide whether a key needs salting and which hot values to
+    * isolate. */
+  def topValues(df: DataFrame, c: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    df.groupBy(col(c).alias("value"))
+      .agg(count(lit(1)).alias("cnt"))
+      .orderBy(col("cnt").desc, col("value").asc)
+      .limit(k)
   }
 
   /** Exact quantiles per column, long form (`column`, `p`, `q`), one

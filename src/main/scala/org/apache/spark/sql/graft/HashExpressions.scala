@@ -441,6 +441,43 @@ case class NearestCentroidIndex(child: Expression, centroids: Seq[Seq[Float]])
     copy(child = newChild)
 }
 
+/** [[NearestCentroidIndex]] reading the centroid table from a Spark
+  * BROADCAST instead of embedding it in the expression: at large k·d
+  * (say 10⁵ centroids × 768 dims) an embedded table is hundreds of MB
+  * serialized into every task's plan, while a broadcast ships once per
+  * executor over the torrent protocol and the plan carries only the
+  * handle. Same arithmetic, same tie-breaking — assignment results are
+  * identical to the inline variant. The generated code resolves
+  * `bc.value()` once per partition into a mutable field, so the per-row
+  * path is the same array walk as the inline variant. */
+case class NearestCentroidBroadcast(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = IntegerType
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_nearest_centroid_bc"
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Integer.valueOf(GraftHashOps.nearestCentroid(
+      input.asInstanceOf[ArrayData], bc.value))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("centroidsBc", bc,
+      "org.apache.spark.broadcast.Broadcast")
+    // one broadcast resolution per generated-class instance (≈ per
+    // partition), not per row
+    val cs = ctx.addMutableState("float[][]", "graftCentroids",
+      v => s"$v = (float[][]) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${Gen.Ops}.nearestCentroid($c, $cs);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidBroadcast =
+    copy(child = newChild)
+}
+
 /** L2 normalization of a float vector (codegen'd; see
   * GraftHashOps.l2Normalize). */
 case class L2Normalize(child: Expression)
@@ -503,4 +540,7 @@ object sketch {
     column(MinHashSignatureLongs(expression(c), n))
   def nearest_centroid(c: Column, centroids: Seq[Seq[Float]]): Column =
     column(NearestCentroidIndex(expression(c), centroids))
+  def nearest_centroid_bc(c: Column,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]]): Column =
+    column(NearestCentroidBroadcast(expression(c), bc))
 }

@@ -92,6 +92,73 @@ class ClusteringSpec extends SparkSpec {
     assert((approx & brute).size >= 8, s"recall@10 too low: ${(approx & brute).size}")
   }
 
+  test("model round-trip: persisted centroids reload bit-exact, IVF search works on a reloaded corpus") {
+    val emb = sf("embeddings")
+    val model = Clustering.fitKMeans(emb, "embedding", "vec_id", k = 8, maxIter = 4)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_km_spec").toString
+    Clustering.writeKMeansModel(model, s"$tmp/model", spark)
+    val re = Clustering.readKMeansModel(spark, s"$tmp/model")
+    // bit-exact round trip: centroids, iteration count, final shift
+    assert(re.centroids == model.centroids)
+    assert(re.iterations == model.iterations && re.shift == model.shift)
+    // the assigned IVF corpus persists as plain parquet; a reloaded
+    // corpus + reloaded model serve search with no refit/reassignment
+    Clustering.buildIvf(emb, "embedding", model)
+      .write.mode("overwrite").parquet(s"$tmp/corpus")
+    val corpus = spark.read.parquet(s"$tmp/corpus")
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    val fresh = Clustering.ivfTopK(
+      Clustering.buildIvf(emb, "embedding", model), "embedding", "vec_id",
+      q, model, k = 10, nProbe = 3).collect().map(_.getLong(0)).toSeq
+    val reloaded = Clustering.ivfTopK(corpus, "embedding", "vec_id",
+      q, re, k = 10, nProbe = 3).collect().map(_.getLong(0)).toSeq
+    assert(reloaded == fresh, "reloaded model+corpus must reproduce the search")
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    finally walk.close()
+  }
+
+  test("large centroid tables (k=1024) take the broadcast path, same assignment") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // 1024 centroids × 64 dims = 65536 floats > InlineCentroidLimit (2^15)
+    val centroids = IndexedSeq.tabulate(1024)(_ =>
+      Seq.fill(64)(rnd.nextFloat() * 2f - 1f))
+    assert(centroids.iterator.map(_.length.toLong).sum >
+      Clustering.InlineCentroidLimit)
+    val big = Clustering.KMeansModel(centroids, 1, 0.0)
+    // range source (not a LocalRelation — the optimizer would eagerly
+    // fold a local Seq and leave no plan to inspect)
+    val data = spark.range(0, 200).select(col("id").alias("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        i => (pmod(xxhash64(col("id"), i), lit(1000)).cast("float") / 500f)
+          - 1f).cast("array<float>").alias("embedding"))
+    val viaBc = Clustering.assign(data, "embedding", big)
+    // the plan carries the broadcast HANDLE, not the embedded table
+    val plan = viaBc.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_nearest_centroid_bc"),
+      s"expected the broadcast expression at k=1024:\n$plan")
+    assert(!plan.contains("Exchange"), "assignment must stay map-side")
+    // identical assignment to the inline expression (same arithmetic)
+    val inline = data.withColumn("cluster",
+      org.apache.spark.sql.graft.sketch.nearest_centroid(
+        col("embedding"), centroids))
+    val got = viaBc.select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = inline.select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == want)
+    // a small model still takes the inline path (no broadcast churn)
+    val small = Clustering.KMeansModel(centroids.take(4), 1, 0.0)
+    val smallPlan = Clustering.assign(data, "embedding", small)
+      .queryExecution.executedPlan.toString
+    assert(smallPlan.contains("graft_nearest_centroid") &&
+      !smallPlan.contains("graft_nearest_centroid_bc"))
+  }
+
   test("semantic dedup catches planted near-identical vectors, keeps the rest") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -12,14 +12,35 @@ class ProfilingSpec extends SparkSpec {
       .toDF("a", "b")
   }
 
-  test("describe computes count, nulls, min/max/mean and exact median") {
+  test("describe computes count, nulls, min/max/mean, exact median, cardinality") {
     val got = Profiling.describe(df, Seq("a", "b"))
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
-          r.getDouble(5), r.getDouble(6)))).toMap
-    assert(got("a") == ((4L, 0L, 1.0, 4.0, 2.5, 2.5)))
+          r.getDouble(5), r.getDouble(6), r.getLong(7)))).toMap
+    // tiny cardinalities are exact under HLL (dense register path)
+    assert(got("a") == ((4L, 0L, 1.0, 4.0, 2.5, 2.5, 4L)))
     // b: nulls excluded from stats; median of {10,30,40} = 30
-    assert(got("b") == ((3L, 1L, 10.0, 40.0, 26.666667, 30.0)))
+    assert(got("b") == ((3L, 1L, 10.0, 40.0, 26.666667, 30.0, 3L)))
+  }
+
+  test("topValues: exact top-k by frequency, value-asc tiebreak") {
+    import spark.implicits._
+    val d = Seq(3.0, 1.0, 1.0, 2.0, 2.0, 5.0).toDF("x")
+    val got = Profiling.topValues(d, "x", 3)
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    // 1.0 and 2.0 tie at 2 → value asc; 3.0 and 5.0 tie at 1 → 3.0 wins
+    assert(got == Seq((1.0, 2L), (2.0, 2L), (3.0, 1L)))
+    // top-k plans as TakeOrdered over the aggregate, not a global sort
+    val plan = Profiling.topValues(d, "x", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$plan")
+  }
+
+  test("describe cardinality lands within 2% of exact on real data") {
+    val rows = SparkEntry.queries("q_cardinality_gate")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 3 && rows.forall(_.getBoolean(1)),
+      s"cardinality gate failed: ${rows.mkString(", ")}")
   }
 
   test("exact and approx quantiles agree on known data, one pass each") {
