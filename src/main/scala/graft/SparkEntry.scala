@@ -293,6 +293,17 @@ object SparkEntry {
       pipeline.Profiling.topValues(t(s, dir, "lineitem"), "l_quantity", 5)
         .select(col("value").cast("double").alias("value"), col("cnt"))),
 
+    // Morton z-value (the z-order layout key): pure bit arithmetic, so
+    // the oracle replays it exactly — certifies the interleave the
+    // writeZOrdered layout path range-partitions on
+    "q_zvalue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          pipeline.Layout.zvalue(Seq(col("l_orderkey"), col("l_partkey")))
+            .alias("z"))
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)),
+
     // exact quantiles, long form, one aggregate pass (Spark percentile
     // interpolates like DuckDB quantile_cont — oracle-exact). Bounded-
     // cardinality columns BY CONTRACT: the exact aggregate's buffer is a
@@ -385,6 +396,25 @@ object SparkEntry {
       Seq("o_custkey"),
       Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 3)
       .orderBy("o_custkey", "rn")),
+
+    // interval join: events enriched against 30 daily 6-hour windows
+    // (bucketed equi-join — nested-loop-free; ts is epoch nanos). The
+    // aggregate certifies the containment semantics end-to-end.
+    "q_interval" -> ((s, dir) => {
+      val dayNs = 86400L * 1000000000L
+      val sixHNs = 21600L * 1000000000L
+      val baseNs = 1704067200L * 1000000000L // 2024-01-01T00:00Z
+      val ev = t(s, dir, "events").select(col("event_id"), col("ts"), col("value"))
+      val wins = s.range(0, 30).select(col("id").alias("win_id"),
+        (lit(baseNs) + col("id") * lit(dayNs)).alias("w_start"),
+        (lit(baseNs) + col("id") * lit(dayNs) + lit(sixHNs)).alias("w_end"))
+      pipeline.Temporal.intervalJoin(ev, wins, "ts", "w_start", "w_end",
+        grain = sixHNs)
+        .groupBy("win_id")
+        .agg(count(lit(1)).alias("n_events"),
+          pipeline.Rounding.halfUp(sum(col("value")), 6).alias("sum_value"))
+        .orderBy("win_id")
+    }),
 
     // multimodal binary plumbing end-to-end: synthetic payload, REAL
     // partition-wise resize (mapPartitions, the plan shape a codec needs),
@@ -834,6 +864,30 @@ object SparkEntry {
           .alias("recall_ok"))
     }),
 
+    // PQ recall gate: ADC shortlist-100 + exact re-rank must overlap the
+    // exact cosine top-10 in ≥8 of 10 (m=16 subspaces × 16 centroids =
+    // 64-bit codes; corpus vectors are unit-norm so inner-product ADC
+    // approximates cosine directly). Raw ADC ranking cannot separate
+    // this corpus's near-tied scores — which is exactly why the
+    // production shape is shortlist + re-rank, and what this gate
+    // certifies end-to-end. Boolean pinned by the oracle.
+    "q_pq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = pipeline.Clustering.fitPQ(emb, "embedding", "vec_id",
+        m = 16, k = 16, maxIter = 4)
+      val codes = pipeline.Clustering.assignPQ(emb, "embedding", model)
+        .select("vec_id", "pq_code")
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      val rr = pipeline.Clustering.pqTopKRerank(codes, emb, "embedding",
+        "vec_id", model, q, k = 10, shortlist = 100).select(col("vec_id"))
+      val brute = pipeline.Similarity.bruteForceTopK(emb, "embedding",
+        "vec_id", q, k = 10).select(col("vec_id"))
+      rr.join(brute, "vec_id")
+        .agg((count(lit(1)) >= 8).alias("recall_ok"))
+        .select(lit(0L).alias("query_id"), lit(10).alias("k"), col("recall_ok"))
+    }),
+
     // ANN top-k (LSH multiprobe; approximate by design — the exact result
     // on this dataset is deterministic, so the oracle golden-pins it)
     "q_ann_topk" -> ((s, dir) => {
@@ -1097,6 +1151,13 @@ object SparkEntry {
       """SELECT l_quantity::DOUBLE AS value, count(*)::BIGINT AS cnt
          FROM lineitem GROUP BY 1
          ORDER BY cnt DESC, value ASC LIMIT 5""",
+    "q_zvalue" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey,
+           list_sum(list_transform(generate_series(0, 31), i ->
+             (((l_orderkey >> i) & 1) << (2*i))
+             + (((l_partkey >> i) & 1) << (2*i + 1))))::BIGINT AS z
+         FROM lineitem
+         ORDER BY l_orderkey, l_linenumber LIMIT 100""",
     "q_profile" ->
       """SELECT 'l_discount' AS "column", count(l_discount)::BIGINT AS n,
            sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
@@ -1164,6 +1225,16 @@ object SparkEntry {
                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
            FROM orders) t
          WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q_interval" ->
+      """SELECT w.win_id, count(*)::BIGINT AS n_events,
+           floor(sum(e.value) * 1e6 + 0.5) / 1e6 AS sum_value
+         FROM (SELECT g AS win_id,
+                 1704067200000000000 + g * 86400000000000 AS w_start,
+                 1704067200000000000 + g * 86400000000000
+                   + 21600000000000 AS w_end
+               FROM generate_series(0, 29) t(g)) w
+         JOIN events e ON epoch_ns(e.ts) BETWEEN w.w_start AND w.w_end
+         GROUP BY w.win_id ORDER BY w.win_id""",
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keep_id
          FROM documents GROUP BY md5(text) ORDER BY h""",
@@ -1574,6 +1645,9 @@ object SparkEntry {
       """SELECT CAST(true AS BOOLEAN) AS recall_ok""",
     "q_kmeans_reload" ->
       """SELECT CAST(true AS BOOLEAN) AS reload_ok""",
+    "q_pq_recall" ->
+      """SELECT 0::BIGINT AS query_id, 10 AS k,
+           CAST(true AS BOOLEAN) AS recall_ok""",
     // golden pins (sf0.01, the driver's verify scale): literal expected
     // outputs — SQL cannot replay the hash-based sketches, but the pins
     // catch unintended algorithm drift

@@ -41,18 +41,26 @@ object Clustering {
 
   /** Nearest-centroid column: inline table below [[InlineCentroidLimit]]
     * total floats, Spark broadcast above it. Identical arithmetic and
-    * tie-breaking either way. */
+    * tie-breaking either way. `metric` is `"cosine"` (spherical k-means)
+    * or `"l2"` (squared-distance argmin — the PQ codebook metric; PQ
+    * codebooks are small by construction, so l2 is always inline). */
   private def nearestCentroidCol(df: DataFrame,
       vec: org.apache.spark.sql.Column,
-      centroids: IndexedSeq[Seq[Float]]): org.apache.spark.sql.Column = {
-    val total = centroids.iterator.map(_.length.toLong).sum
-    if (total <= InlineCentroidLimit)
-      org.apache.spark.sql.graft.sketch.nearest_centroid(vec, centroids)
-    else {
-      val bc = df.sparkSession.sparkContext
-        .broadcast(centroids.map(_.toArray).toArray)
-      org.apache.spark.sql.graft.sketch.nearest_centroid_bc(vec, bc)
-    }
+      centroids: IndexedSeq[Seq[Float]],
+      metric: String = "cosine"): org.apache.spark.sql.Column = metric match {
+    case "l2" =>
+      org.apache.spark.sql.graft.sketch.nearest_centroid_l2(vec, centroids)
+    case "cosine" =>
+      val total = centroids.iterator.map(_.length.toLong).sum
+      if (total <= InlineCentroidLimit)
+        org.apache.spark.sql.graft.sketch.nearest_centroid(vec, centroids)
+      else {
+        val bc = df.sparkSession.sparkContext
+          .broadcast(centroids.map(_.toArray).toArray)
+        org.apache.spark.sql.graft.sketch.nearest_centroid_bc(vec, bc)
+      }
+    case other => throw new IllegalArgumentException(
+      s"metric must be cosine or l2, got $other")
   }
 
   /** Fit spherical k-means. `tol` stops early when no centroid component
@@ -60,7 +68,8 @@ object Clustering {
     * the centroids are already there). Empty cells keep their previous
     * centroid. */
   def fitKMeans(df: DataFrame, vecCol: String, idCol: String, k: Int,
-      maxIter: Int = 8, tol: Double = 1e-6, seed: Long = 42L): KMeansModel = {
+      maxIter: Int = 8, tol: Double = 1e-6, seed: Long = 42L,
+      metric: String = "cosine"): KMeansModel = {
     require(k > 0, "k must be positive")
     // hash-spread init: the k corpus vectors with smallest seeded hash —
     // deterministic, order-insensitive, and spread across the data
@@ -79,7 +88,7 @@ object Clustering {
     var shift = Double.PositiveInfinity
     while (iter < maxIter && shift > tol) {
       val assigned = df.withColumn("__cell",
-        nearestCentroidCol(df, col(vecCol), centroids))
+        nearestCentroidCol(df, col(vecCol), centroids, metric))
       // (cell, dim) hash-agg mean, reassembled per cell — centroid-sized
       // shuffle; k rows back to the driver
       val meansByCell = Embeddings.meanPool(assigned, Seq("__cell"), vecCol)
@@ -212,5 +221,108 @@ object Clustering {
       seed: Long = 42L): DataFrame = {
     val pairs = semanticDupPairs(df, vecCol, idCol, k, threshold, maxIter, seed)
     Graphs.dedupByCluster(df, idCol, pairs, "id_a", "id_b")
+  }
+
+  // ---------------------------------------------------------------------
+  // Product quantization (Jégou, Douze, Schmid, "Product Quantization
+  // for Nearest Neighbor Search", TPAMI 2011): split d dims into m
+  // subspaces, k-means each independently under L2, store per-vector
+  // only the m codebook indices. With k=256 a 768-dim float vector
+  // (3 KB) compresses to m bytes — the memory layout that makes
+  // billion-vector ANN (IVF-PQ) feasible. Search is asymmetric distance
+  // computation (ADC): the query precomputes one inner-product
+  // lookup-table per subspace DRIVER-SIDE (m·k doubles), and scoring a
+  // vector is m table lookups — no float vector is ever read.
+  // ---------------------------------------------------------------------
+
+  /** A fitted PQ codebook: `codebooks(s)(c)` is subspace s's centroid c
+    * (each of `dSub` dims); m = codebooks.length. */
+  case class PQModel(codebooks: IndexedSeq[IndexedSeq[Seq[Float]]], dSub: Int) {
+    def m: Int = codebooks.length
+  }
+
+  /** Fit a PQ codebook: m independent L2 k-means over the subvector
+    * slices. Each subspace fit is the same bounded-driver-state loop as
+    * [[fitKMeans]] (map-side assignment, centroid-sized shuffles);
+    * vector dims must divide evenly by `m`. Deterministic: seeded
+    * per-subspace hash-spread init. */
+  def fitPQ(df: DataFrame, vecCol: String, idCol: String, m: Int,
+      k: Int, maxIter: Int = 4, seed: Long = 42L): PQModel = {
+    require(m > 0, "m must be positive")
+    val d = df.select(size(col(vecCol))).head().getInt(0)
+    require(d % m == 0, s"vector dims $d not divisible by m=$m subspaces")
+    val dSub = d / m
+    val codebooks = (0 until m).map { s =>
+      val sub = df.select(col(idCol),
+        slice(col(vecCol), s * dSub + 1, dSub).alias("__sub"))
+      fitKMeans(sub, "__sub", idCol, k, maxIter, seed = seed + s,
+        metric = "l2").centroids
+    }
+    PQModel(codebooks.toIndexedSeq, dSub)
+  }
+
+  /** Encode every vector as its m codebook indices (`outCol`:
+    * array<int> of length m) — one map-side pass, no shuffle; the
+    * per-row work is the same k×d centroid scan a single full-space
+    * assignment costs. */
+  def assignPQ(df: DataFrame, vecCol: String, model: PQModel,
+      outCol: String = "pq_code"): DataFrame =
+    df.withColumn(outCol, array((0 until model.m).map { s =>
+      org.apache.spark.sql.graft.sketch.nearest_centroid_l2(
+        slice(col(vecCol), s * model.dSub + 1, model.dSub),
+        model.codebooks(s))
+    }: _*))
+
+  /** ADC top-k over a PQ-encoded corpus: approximate inner-product
+    * scores from codes alone. The query builds one flat lookup table
+    * driver-side (`lut[s·k + c]` = ⟨query_s, codebook_s(c)⟩ — m·k
+    * doubles, zero jobs); scoring is m array lookups per row (map-side)
+    * and the plan is scan → project → TakeOrdered, exactly
+    * [[ivfTopK]]'s join-free shape. Scores approximate ⟨query, x⟩ —
+    * l2-normalize the corpus at encode time to make that cosine. */
+  def pqTopK(codes: DataFrame, idCol: String, model: PQModel,
+      query: Seq[Float], k: Int, codeCol: String = "pq_code"): DataFrame = {
+    val kPer = model.codebooks.head.length
+    val lut = new Array[Double](model.m * kPer)
+    for (s <- 0 until model.m; c <- 0 until kPer) {
+      val cent = model.codebooks(s)(c)
+      var dot = 0.0
+      var j = 0
+      while (j < model.dSub) {
+        dot += query(s * model.dSub + j).toDouble * cent(j); j += 1
+      }
+      lut(s * kPer + c) = dot
+    }
+    codes
+      .withColumn("score", aggregate(
+        sequence(lit(0), lit(model.m - 1)), lit(0.0),
+        (acc, s) => acc + element_at(typedlit(lut.toSeq),
+          s * kPer + element_at(col(codeCol), s + 1) + 1)))
+      .select(col(idCol), Rounding.halfUp(col("score"), 6).alias("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** PQ search with exact re-ranking — the standard production shape:
+    * ADC produces a `shortlist`-sized candidate set from codes alone
+    * (never touching a float vector), then ONLY those candidates fetch
+    * their vectors for an exact cosine re-rank. The shortlist rides a
+    * broadcast semi-join against the corpus (shortlist ≪ corpus), so
+    * the expensive exact math runs on `shortlist` rows, not n — at
+    * quantization-blurred score margins this recovers the exact top-k
+    * that raw ADC ranking cannot separate. */
+  def pqTopKRerank(codes: DataFrame, corpus: DataFrame, vecCol: String,
+      idCol: String, model: PQModel, query: Seq[Float], k: Int,
+      shortlist: Int = 100, codeCol: String = "pq_code"): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    val cand = pqTopK(codes, idCol, model, query, shortlist, codeCol)
+      .select(col(idCol))
+    val qLit = array(query.map(v => lit(v)): _*)
+    corpus
+      .join(broadcast(cand), idCol)
+      .withColumn("score", Similarity.cosine(col(vecCol), qLit))
+      .select(col(idCol), Rounding.halfUp(col("score"), 6).alias("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
   }
 }

@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) data layout for multi-dimensional scan pruning.
+  *
+  * Parquet scans prune files/row-groups by per-column min/max footers;
+  * a sort on ONE column gives tight spans on that column only. Mapping
+  * rows onto a Z-order curve over several columns and range-partitioning
+  * on the curve position gives every output file a compact
+  * hyper-rectangle of the key space — small min/max spans on EVERY
+  * curve column at once, so predicates on any subset of them prune
+  * (the layout Delta/Iceberg expose as OPTIMIZE ZORDER BY; Morton 1966).
+  *
+  * Scale shape: one approx-percentile aggregate to learn per-column
+  * bucket boundaries (bounded sketch state), a map-side bucket+interleave
+  * projection, and exactly ONE range-exchange on the z-value — the same
+  * shuffle a single-column sorted write already pays. Nothing is
+  * collected beyond the boundary row.
+  */
+object Layout {
+
+  /** Morton z-value: interleave the low ⌊64/n⌋ bits of each of n
+    * columns (column i's bit j lands at output bit j·n + i). A static
+    * bitwise expression tree — codegen'd, shuffle-free, no UDF.
+    * Caller contract: non-negative inputs that roughly fill
+    * [0, 2^(64/n)) — raw ids qualify; arbitrary distributions should go
+    * through [[quantileBuckets]] first so every interleaved bit carries
+    * information. */
+  def zvalue(cols: Seq[Column]): Column = {
+    require(cols.nonEmpty && cols.size <= 8, "1 to 8 z-order columns")
+    val n = cols.size
+    val bitsPer = 64 / n
+    cols.zipWithIndex.flatMap { case (c, i) =>
+      (0 until bitsPer).map { j =>
+        shiftleft(shiftrightunsigned(c.cast("long"), j).bitwiseAND(lit(1L)),
+          j * n + i)
+      }
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Rank-normalize columns to 2^bits quantile buckets (`__rank_<col>`,
+    * 0-based): ONE approx-percentile aggregate learns all boundaries,
+    * then per-row assignment counts crossed boundaries map-side. Makes
+    * z-values distribution-free: every interleaved bit splits the data
+    * ~in half regardless of the raw value distribution (a skewed raw
+    * column would otherwise waste its high bits). Default 8 bits = 255
+    * boundary literals per column riding the plan. Nulls rank as
+    * bucket 0 (they compare false against every boundary). */
+  def quantileBuckets(df: DataFrame, cols: Seq[String],
+      bits: Int = 8): DataFrame = {
+    require(bits >= 1 && bits <= 16, "1 to 16 rank bits")
+    val nb = 1 << bits
+    val ps = (1 until nb).map(_.toDouble / nb)
+    val aggs = cols.map(c => approx_percentile(col(c).cast("double"),
+      array(ps.map(lit): _*), lit(10000)).alias(s"__b_$c"))
+    val bounds = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      val bl = Option(bounds.getSeq[Double](i)).getOrElse(Seq.empty)
+      d.withColumn(s"__rank_$c",
+        aggregate(typedlit(bl), lit(0L),
+          (acc, b) => acc + when(col(c).cast("double") > b, 1L).otherwise(0L)))
+    }
+  }
+
+  /** Z-order write: quantile-bucketize the layout columns, interleave to
+    * a z-value, RANGE partition on it (sampled boundaries — balanced
+    * files), sort within partitions, write parquet. `numFiles` ≤ 0 uses
+    * the session shuffle parallelism. The z columns themselves are
+    * written unchanged; only the ORDER of rows across files changes. */
+  def writeZOrdered(df: DataFrame, cols: Seq[String], path: String,
+      numFiles: Int = 0, bits: Int = 8): Unit = {
+    val ranked = quantileBuckets(df, cols, bits)
+    val z = ranked.withColumn("__z", zvalue(cols.map(c => col(s"__rank_$c"))))
+    val parts = if (numFiles > 0) numFiles
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    z.repartitionByRange(parts, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop(cols.map(c => s"__rank_$c") :+ "__z": _*)
+      .write.mode("overwrite").parquet(path)
+  }
+}

@@ -93,6 +93,41 @@ object Temporal {
         payload.map(p => col(s"__graft_m_$p").alias(s"asof_$p")): _*)
   }
 
+  /** Interval join: each point row matched to every interval row whose
+    * `[startCol, endCol]` (inclusive) contains its `ptCol`, optionally
+    * under additional equi-`keys`. The event-enrichment shape: log line
+    * → deployment window, event → campaign, reading → maintenance slot.
+    *
+    * Spark's native plan for a pure range predicate is
+    * BroadcastNestedLoopJoin — O(points × intervals) compares, the
+    * classic trap once the interval side no longer fits in memory. Here
+    * both sides bucket time at `grain`: a point belongs to exactly ONE
+    * bucket, an interval is exploded onto the buckets it covers, and the
+    * join is an ordinary hash equi-join on (keys…, bucket) with the
+    * residual containment filter — one shuffle pair, nested-loop-free
+    * at ANY size, and each (point, interval) pair meets in at most one
+    * bucket so no dedup pass is needed.
+    *
+    * `grain` trades interval replication (an interval explodes into
+    * length/grain + 1 rows) against bucket selectivity (a too-coarse
+    * grain puts unrelated rows in one bucket and pushes work into the
+    * residual filter): pick it near the median interval length. Very
+    * long outlier intervals replicate proportionally — cap or split
+    * them upstream if the interval-length distribution is heavy-tailed. */
+  def intervalJoin(points: DataFrame, intervals: DataFrame, ptCol: String,
+      startCol: String, endCol: String, grain: Long,
+      keys: Seq[String] = Nil): DataFrame = {
+    require(grain > 0, "grain must be positive")
+    val pb = points.withColumn("__graft_bucket",
+      floor(col(ptCol) / grain).cast("long"))
+    val ib = intervals.withColumn("__graft_bucket",
+      explode(sequence(floor(col(startCol) / grain).cast("long"),
+        floor(col(endCol) / grain).cast("long"))))
+    pb.join(ib, (keys :+ "__graft_bucket").toIndexedSeq)
+      .where(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
+      .drop("__graft_bucket")
+  }
+
   /** Top-k rows per group by the given ordering (rank column `rnCol`,
     * 1-based, long-typed). One shuffle on the group keys; row_number
     * needs no global sort and the filter prunes before any downstream

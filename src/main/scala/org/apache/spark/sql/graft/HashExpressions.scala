@@ -249,6 +249,32 @@ object GraftHashOps {
     // (which would crash downstream element_at(…, 0))
     if (best < 0) 0 else best
   }
+
+  /** Nearest centroid by squared L2 distance (ties keep the lowest
+    * index) — the product-quantization codebook metric: PQ minimizes
+    * per-subspace reconstruction error ‖x_s − c‖², which argmax-cosine
+    * does not (it ignores magnitude). Same guard as the cosine variant:
+    * NaN distances never fire a comparison → default to cell 0. */
+  def nearestCentroidL2(v: ArrayData, cs: Array[Array[Float]]): Int = {
+    val dims = v.numElements()
+    var best = -1
+    var bestDist = Double.PositiveInfinity
+    var c = 0
+    while (c < cs.length) {
+      val cv = cs(c)
+      val n = math.min(dims, cv.length)
+      var dist = 0.0
+      var j = 0
+      while (j < n) {
+        val d = v.getFloat(j).toDouble - cv(j).toDouble
+        dist += d * d
+        j += 1
+      }
+      if (dist < bestDist) { bestDist = dist; best = c }
+      c += 1
+    }
+    if (best < 0) 0 else best
+  }
 }
 
 private object Gen {
@@ -441,6 +467,34 @@ case class NearestCentroidIndex(child: Expression, centroids: Seq[Seq[Float]])
     copy(child = newChild)
 }
 
+/** [[NearestCentroidIndex]] under squared-L2 distance instead of cosine —
+  * the codebook metric for product quantization (see
+  * GraftHashOps.nearestCentroidL2). Centroids ride inline; PQ codebooks
+  * are small by construction (k per subspace, typically 256). */
+case class NearestCentroidL2Index(child: Expression, centroids: Seq[Seq[Float]])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = IntegerType
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_nearest_centroid_l2"
+
+  @transient private lazy val cs: Array[Array[Float]] = centroids.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Integer.valueOf(GraftHashOps.nearestCentroidL2(
+      input.asInstanceOf[ArrayData], cs))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val csRef = ctx.addReferenceObj("centroids", cs, "float[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${Gen.Ops}.nearestCentroidL2($c, $csRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidL2Index =
+    copy(child = newChild)
+}
+
 /** [[NearestCentroidIndex]] reading the centroid table from a Spark
   * BROADCAST instead of embedding it in the expression: at large k·d
   * (say 10⁵ centroids × 768 dims) an embedded table is hundreds of MB
@@ -543,4 +597,6 @@ object sketch {
   def nearest_centroid_bc(c: Column,
       bc: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]]): Column =
     column(NearestCentroidBroadcast(expression(c), bc))
+  def nearest_centroid_l2(c: Column, centroids: Seq[Seq[Float]]): Column =
+    column(NearestCentroidL2Index(expression(c), centroids))
 }

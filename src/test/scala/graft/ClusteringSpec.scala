@@ -159,6 +159,50 @@ class ClusteringSpec extends SparkSpec {
       !smallPlan.contains("graft_nearest_centroid_bc"))
   }
 
+  test("PQ: codes are deterministic, ADC+rerank recovers neighbors, plan is map-side") {
+    val emb = sf("embeddings")
+    val model = Clustering.fitPQ(emb, "embedding", "vec_id", m = 16, k = 16,
+      maxIter = 4)
+    assert(model.m == 16 && model.dSub == 4)
+    assert(model.codebooks.forall(_.forall(_.length == 4)))
+    // deterministic: same data + seed → same codebooks and codes
+    val model2 = Clustering.fitPQ(emb, "embedding", "vec_id", m = 16, k = 16,
+      maxIter = 4)
+    assert(model.codebooks == model2.codebooks)
+    val codes = Clustering.assignPQ(emb, "embedding", model)
+      .select("vec_id", "pq_code")
+    // encoding is a map-side pass (codebooks ride in the expressions)
+    val encPlan = codes.queryExecution.executedPlan.toString
+    assert(!encPlan.contains("Exchange"), s"assignPQ must not shuffle:\n$encPlan")
+    // every code is a valid codebook index
+    val flat = codes.select(explode(col("pq_code")).alias("c"))
+      .agg(min("c"), max("c")).head()
+    assert(flat.getInt(0) >= 0 && flat.getInt(1) < 16)
+    // raw ADC search: scan → project → TakeOrdered, join-free; the
+    // self-match must surface despite 64-bit quantization
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    val top = Clustering.pqTopK(codes, "vec_id", model, q, k = 10)
+    val searchPlan = top.queryExecution.executedPlan.toString
+    assert(!searchPlan.contains("Join"), s"ADC must be join-free:\n$searchPlan")
+    assert(searchPlan.contains("TakeOrderedAndProject"),
+      s"ADC top-k must TakeOrdered:\n$searchPlan")
+    val got = top.collect().map(_.getLong(0))
+    assert(got.contains(0L), "self-match must be in the ADC top-10")
+    // shortlist + exact re-rank (the production shape): near-exact
+    // recall where raw ADC cannot separate near-tied scores
+    val brute = Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val rr = Clustering.pqTopKRerank(codes, emb, "embedding", "vec_id",
+      model, q, k = 10, shortlist = 100)
+    val rrPlan = rr.queryExecution.executedPlan.toString
+    assert(rrPlan.contains("BroadcastHashJoin"),
+      s"rerank must broadcast the shortlist:\n$rrPlan")
+    val rrIds = rr.collect().map(_.getLong(0)).toSet
+    assert((rrIds & brute).size >= 8,
+      s"rerank recall@10 too low: ${(rrIds & brute).size}")
+  }
+
   test("semantic dedup catches planted near-identical vectors, keeps the rest") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Layout
+
+class LayoutSpec extends SparkSpec {
+
+  test("zvalue interleaves bits (column i at bit positions j*n + i)") {
+    import spark.implicits._
+    val d = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 3L),
+      (5L, 9L), (123456L, 654321L)).toDF("x", "y")
+    val got = d.select(col("x"), col("y"),
+      Layout.zvalue(Seq(col("x"), col("y"))).alias("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def ref(x: Long, y: Long): Long = {
+      var out = 0L
+      for (i <- 0 until 32) {
+        out |= ((x >>> i) & 1L) << (2 * i)
+        out |= ((y >>> i) & 1L) << (2 * i + 1)
+      }
+      out
+    }
+    got.foreach { case ((x, y), z) => assert(z == ref(x, y), s"z($x,$y)") }
+    // adjacent cells differ in low bits: curve locality sanity
+    assert(got((1L, 1L)) == 3L && got((2L, 3L)) == 14L)
+  }
+
+  test("quantileBuckets rank-normalizes skewed data to near-uniform buckets") {
+    import spark.implicits._
+    // heavily skewed: 1000 values of x^3 — raw high bits would be wasted
+    val d = (1 to 1000).map(i => i.toLong * i * i).toDF("v")
+    val ranked = Layout.quantileBuckets(d, Seq("v"), bits = 4)
+    val counts = ranked.groupBy("__rank_v").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.keys.min >= 0L && counts.keys.max <= 15L)
+    // every bucket within 2x of the uniform share (62.5): distribution-free
+    assert(counts.size == 16 && counts.values.forall(c => c > 30 && c < 125),
+      s"buckets not near-uniform: $counts")
+  }
+
+  test("z-ordered write shrinks per-file min/max spans on BOTH columns") {
+    val li = sf("lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    // baseline: same file count, hash-scattered layout (no locality)
+    li.repartition(8, col("l_quantity"))
+      .write.mode("overwrite").parquet(s"$tmp/plain")
+    Layout.writeZOrdered(li, Seq("l_orderkey", "l_partkey"),
+      s"$tmp/zorder", numFiles = 8)
+    def meanSpan(path: String, c: String): Double = {
+      val files = new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+      val spans = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min(col(c)).cast("double"), max(col(c)).cast("double")).head()
+        r.getDouble(1) - r.getDouble(0)
+      }
+      spans.sum / spans.length
+    }
+    // the z-order layout must tighten BOTH dimensions at once vs the
+    // scattered baseline (single-column sort could only tighten one)
+    val ordShrink = meanSpan(s"$tmp/zorder", "l_orderkey") /
+      meanSpan(s"$tmp/plain", "l_orderkey")
+    val partShrink = meanSpan(s"$tmp/zorder", "l_partkey") /
+      meanSpan(s"$tmp/plain", "l_partkey")
+    assert(ordShrink < 0.6, s"l_orderkey span ratio $ordShrink")
+    assert(partShrink < 0.6, s"l_partkey span ratio $partShrink")
+    // row content is unchanged — only layout moved
+    assert(spark.read.parquet(s"$tmp/zorder").count() == li.count())
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    finally walk.close()
+  }
+}

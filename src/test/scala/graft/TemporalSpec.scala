@@ -142,4 +142,49 @@ class TemporalSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges:\n$plan")
   }
+
+  test("intervalJoin: inclusive containment, multi-bucket intervals, equi-keys") {
+    import spark.implicits._
+    val pts = Seq((1L, 0L), (2L, 10L), (3L, 25L), (4L, 30L), (5L, 31L),
+      (6L, 100L)).toDF("pt_id", "t")
+    // [10, 30] spans buckets 1..3 at grain 10; [25, 26] sits inside one
+    val ivs = Seq((100L, 10L, 30L), (200L, 25L, 26L)).toDF("iv_id", "lo", "hi")
+    val got = Temporal.intervalJoin(pts, ivs, "t", "lo", "hi", grain = 10L)
+      .select("pt_id", "iv_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // both endpoints inclusive; each matching pair appears exactly once
+    assert(got == Set((2L, 100L), (3L, 100L), (4L, 100L), (3L, 200L)))
+    // additional equi-key: same times, keyed — only same-key pairs match
+    val kpts = Seq(("a", 1L, 10L), ("b", 2L, 10L)).toDF("k", "pt_id", "t")
+    val kivs = Seq(("a", 100L, 0L, 20L)).toDF("k", "iv_id", "lo", "hi")
+    val kg = Temporal.intervalJoin(kpts, kivs, "t", "lo", "hi", 10L, Seq("k"))
+      .select("pt_id").collect().map(_.getLong(0)).toSet
+    assert(kg == Set(1L))
+  }
+
+  test("intervalJoin plans as a hash equi-join, never a nested loop") {
+    import spark.implicits._
+    // disable broadcast so the plan is the one a 100 TB interval side
+    // gets: a naive range join would fall back to CartesianProduct here
+    val noBc = spark.newSession()
+    noBc.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import noBc.implicits._
+    val pts = noBc.range(0, 1000).select(col("id").alias("pt_id"),
+      (col("id") * 3).alias("t"))
+    val ivs = noBc.range(0, 100).select(col("id").alias("iv_id"),
+      (col("id") * 30).alias("lo"), (col("id") * 30 + 15).alias("hi"))
+    val joined = Temporal.intervalJoin(pts, ivs, "t", "lo", "hi", grain = 16L)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"interval join must stay an equi-join:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"expected a shuffled equi-join without broadcast:\n$plan")
+    // containment spot-check against the naive predicate
+    val naive = pts.join(ivs, col("t") >= col("lo") && col("t") <= col("hi"))
+      .select("pt_id", "iv_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = joined.select("pt_id", "iv_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed == naive)
+  }
 }
