@@ -830,6 +830,25 @@ object SparkEntry {
           .alias("reload_ok"))
     }),
 
+    // interval-overlap join: per-user activity spans × the same daily
+    // windows — canonical-bucket dedup (each overlapping pair emitted
+    // exactly once, no distinct pass)
+    "q_overlap" -> ((s, dir) => {
+      val dayNs = 86400L * 1000000000L
+      val sixHNs = 21600L * 1000000000L
+      val baseNs = 1704067200L * 1000000000L
+      val spans = t(s, dir, "events").groupBy("user_id")
+        .agg(min(col("ts")).alias("u_start"), max(col("ts")).alias("u_end"))
+      val wins = s.range(0, 30).select(col("id").alias("win_id"),
+        (lit(baseNs) + col("id") * lit(dayNs)).alias("w_start"),
+        (lit(baseNs) + col("id") * lit(dayNs) + lit(sixHNs)).alias("w_end"))
+      pipeline.Temporal.overlapJoin(spans, wins,
+        "u_start", "u_end", "w_start", "w_end", grain = dayNs)
+        .groupBy("win_id")
+        .agg(count(lit(1)).alias("n_users"))
+        .orderBy("win_id")
+    }),
+
     // semantic dedup (SemDeDup shape): cluster then exact-cosine pairs
     // within cells, over the same planted near-dups as q_embed_dups. The
     // oracle is the brute-force all-pairs join — parity holds because the
@@ -1234,6 +1253,20 @@ object SparkEntry {
                    + 21600000000000 AS w_end
                FROM generate_series(0, 29) t(g)) w
          JOIN events e ON epoch_ns(e.ts) BETWEEN w.w_start AND w.w_end
+         GROUP BY w.win_id ORDER BY w.win_id""",
+    "q_overlap" ->
+      """WITH spans AS (
+           SELECT user_id, min(epoch_ns(ts)) AS u_start,
+                  max(epoch_ns(ts)) AS u_end
+           FROM events GROUP BY user_id),
+         w AS (SELECT g AS win_id,
+                 1704067200000000000 + g * 86400000000000 AS w_start,
+                 1704067200000000000 + g * 86400000000000
+                   + 21600000000000 AS w_end
+               FROM generate_series(0, 29) t(g))
+         SELECT w.win_id, count(*)::BIGINT AS n_users
+         FROM w JOIN spans s
+           ON s.u_start <= w.w_end AND w.w_start <= s.u_end
          GROUP BY w.win_id ORDER BY w.win_id""",
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keep_id

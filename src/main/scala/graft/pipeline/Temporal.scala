@@ -128,6 +128,31 @@ object Temporal {
       .drop("__graft_bucket")
   }
 
+  /** Interval-overlap join: every (left, right) interval pair with
+    * `[lStart,lEnd] ∩ [rStart,rEnd] ≠ ∅` (inclusive ends), optionally
+    * under equi-`keys`. Same bucketing idea as [[intervalJoin]], but both
+    * sides explode onto covered buckets — so one overlapping pair can
+    * meet in SEVERAL buckets. Instead of a dedup shuffle, each pair is
+    * kept only in the canonical bucket of its overlap start
+    * (`floor(max(lStart, rStart) / grain)`): emitted exactly once,
+    * filtered map-side, no distinct pass. */
+  def overlapJoin(left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      grain: Long, keys: Seq[String] = Nil): DataFrame = {
+    require(grain > 0, "grain must be positive")
+    val lb = left.withColumn("__graft_bucket",
+      explode(sequence(floor(col(lStart) / grain).cast("long"),
+        floor(col(lEnd) / grain).cast("long"))))
+    val rb = right.withColumn("__graft_bucket",
+      explode(sequence(floor(col(rStart) / grain).cast("long"),
+        floor(col(rEnd) / grain).cast("long"))))
+    lb.join(rb, (keys :+ "__graft_bucket").toIndexedSeq)
+      .where(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+        col("__graft_bucket") ===
+          floor(greatest(col(lStart), col(rStart)) / grain).cast("long"))
+      .drop("__graft_bucket")
+  }
+
   /** Top-k rows per group by the given ordering (rank column `rnCol`,
     * 1-based, long-typed). One shuffle on the group keys; row_number
     * needs no global sort and the filter prunes before any downstream

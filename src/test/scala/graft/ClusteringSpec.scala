@@ -201,6 +201,16 @@ class ClusteringSpec extends SparkSpec {
     val rrIds = rr.collect().map(_.getLong(0)).toSet
     assert((rrIds & brute).size >= 8,
       s"rerank recall@10 too low: ${(rrIds & brute).size}")
+    // codebook round-trip: persisted model reloads bit-exact
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pq_spec").toString
+    Clustering.writePQModel(model, tmp, spark)
+    val re = Clustering.readPQModel(spark, tmp)
+    assert(re.codebooks == model.codebooks && re.dSub == model.dSub)
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    finally walk.close()
   }
 
   test("semantic dedup catches planted near-identical vectors, keeps the rest") {

@@ -162,6 +162,39 @@ class TemporalSpec extends SparkSpec {
     assert(kg == Set(1L))
   }
 
+  test("overlapJoin: each overlapping pair exactly once, no distinct pass") {
+    import spark.implicits._
+    // L [0,25] spans 3 buckets at grain 10 and overlaps R [5,40] in all
+    // of them — canonical-bucket filtering must still emit the pair ONCE
+    val l = Seq((1L, 0L, 25L), (2L, 50L, 60L)).toDF("l_id", "ls", "le")
+    val r = Seq((10L, 5L, 40L), (20L, 60L, 70L), (30L, 90L, 99L))
+      .toDF("r_id", "rs", "re")
+    val got = Temporal.overlapJoin(l, r, "ls", "le", "rs", "re", grain = 10L)
+      .select("l_id", "r_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    // (1,10) multi-bucket overlap; (2,20) touch at a single point (60)
+    assert(got.sorted.toSeq == Seq((1L, 10L), (2L, 20L)))
+    assert(got.length == got.distinct.length, "pairs must be emitted once")
+    // no Distinct/dedup operator in the plan — the canonical-bucket
+    // predicate replaces it
+    val plan = Temporal.overlapJoin(l, r, "ls", "le", "rs", "re", 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("distinct"), s"dedup pass crept in:\n$plan")
+    // parity with the naive overlap predicate on denser data
+    val dl = spark.range(0, 200).select(col("id").alias("l_id"),
+      (col("id") * 7 % 500).alias("ls"),
+      (col("id") * 7 % 500 + col("id") % 40).alias("le"))
+    val dr = spark.range(0, 100).select(col("id").alias("r_id"),
+      (col("id") * 13 % 480).alias("rs"),
+      (col("id") * 13 % 480 + 25).alias("re"))
+    val naive = dl.join(dr, col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val bucketed = Temporal.overlapJoin(dl, dr, "ls", "le", "rs", "re", 32L)
+      .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(bucketed.length == bucketed.distinct.length)
+    assert(bucketed.toSet == naive)
+  }
+
   test("intervalJoin plans as a hash equi-join, never a nested loop") {
     import spark.implicits._
     // disable broadcast so the plan is the one a 100 TB interval side
