@@ -907,6 +907,30 @@ object SparkEntry {
         .select(lit(0L).alias("query_id"), lit(10).alias("k"), col("recall_ok"))
     }),
 
+    // IVF-PQ recall gate: the full billion-vector-ANN layout end-to-end
+    // — coarse cells prune the scan (nProbe=4 of 8), ADC scores codes
+    // inside the probed cells, shortlist re-ranks exactly; ≥7 of the
+    // exact cosine top-10 must survive BOTH the cell pruning and the
+    // quantization. Boolean pinned by the oracle.
+    "q_ivfpq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val coarse = pipeline.Clustering.fitKMeans(emb, "embedding", "vec_id",
+        k = 8, maxIter = 4)
+      val pq = pipeline.Clustering.fitPQ(emb, "embedding", "vec_id",
+        m = 16, k = 16, maxIter = 4)
+      val corpus = pipeline.Clustering.buildIvfPq(emb, "embedding", coarse, pq)
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      val got = pipeline.Clustering.ivfPqTopK(corpus, "embedding", "vec_id",
+        coarse, pq, q, k = 10, nProbe = 4, shortlist = 100)
+        .select(col("vec_id"))
+      val brute = pipeline.Similarity.bruteForceTopK(emb, "embedding",
+        "vec_id", q, k = 10).select(col("vec_id"))
+      got.join(brute, "vec_id")
+        .agg((count(lit(1)) >= 7).alias("recall_ok"))
+        .select(lit(0L).alias("query_id"), lit(10).alias("k"), col("recall_ok"))
+    }),
+
     // ANN top-k (LSH multiprobe; approximate by design — the exact result
     // on this dataset is deterministic, so the oracle golden-pins it)
     "q_ann_topk" -> ((s, dir) => {
@@ -1679,6 +1703,9 @@ object SparkEntry {
     "q_kmeans_reload" ->
       """SELECT CAST(true AS BOOLEAN) AS reload_ok""",
     "q_pq_recall" ->
+      """SELECT 0::BIGINT AS query_id, 10 AS k,
+           CAST(true AS BOOLEAN) AS recall_ok""",
+    "q_ivfpq_recall" ->
       """SELECT 0::BIGINT AS query_id, 10 AS k,
            CAST(true AS BOOLEAN) AS recall_ok""",
     // golden pins (sf0.01, the driver's verify scale): literal expected

@@ -370,6 +370,40 @@ object Clustering {
       .limit(k)
   }
 
+  /** Build an IVF-PQ corpus: coarse k-means cell (`ivf_cell`) + PQ code
+    * (`pq_code`) per row, both map-side — the canonical billion-vector
+    * ANN layout (Jégou et al. 2011): the cell prunes the scan, the code
+    * replaces the float vector for scoring. Persist as plain parquet
+    * (ideally partitioned by `ivf_cell` so a probe touches only its
+    * cells' files). */
+  def buildIvfPq(df: DataFrame, vecCol: String, coarse: KMeansModel,
+      pq: PQModel): DataFrame =
+    assignPQ(assign(df, vecCol, coarse, "ivf_cell"), vecCol, pq)
+
+  /** IVF-PQ search: probe cells chosen DRIVER-SIDE from the coarse
+    * model (zero jobs, like [[ivfTopK]]), ADC scores codes inside the
+    * probed cells only, and the shortlist re-ranks exactly. Plan: scan →
+    * isin filter → code lookup → TakeOrdered → broadcast re-rank — the
+    * float corpus is touched only for the `shortlist` candidates. */
+  def ivfPqTopK(corpus: DataFrame, vecCol: String, idCol: String,
+      coarse: KMeansModel, pq: PQModel, query: Seq[Float], k: Int,
+      nProbe: Int = 4, shortlist: Int = 100): DataFrame = {
+    def cos(c: Seq[Float]): Double = {
+      var dot = 0.0; var cn = 0.0; var qn = 0.0
+      val n = math.min(c.length, query.length)
+      var i = 0
+      while (i < n) {
+        dot += c(i).toDouble * query(i); cn += c(i).toDouble * c(i)
+        qn += query(i).toDouble * query(i); i += 1
+      }
+      dot / (math.sqrt(cn) * math.sqrt(qn))
+    }
+    val cells = coarse.centroids.indices
+      .sortBy(i => (-cos(coarse.centroids(i)), i)).take(nProbe)
+    val probed = corpus.filter(col("ivf_cell").isin(cells.map(Int.box): _*))
+    pqTopKRerank(probed, probed, vecCol, idCol, pq, query, k, shortlist)
+  }
+
   /** PQ search with exact re-ranking — the standard production shape:
     * ADC produces a `shortlist`-sized candidate set from codes alone
     * (never touching a float vector), then ONLY those candidates fetch

@@ -213,6 +213,29 @@ class ClusteringSpec extends SparkSpec {
     finally walk.close()
   }
 
+  test("IVF-PQ: probed-cell ADC + rerank reaches brute-force recall") {
+    val emb = sf("embeddings")
+    val coarse = Clustering.fitKMeans(emb, "embedding", "vec_id", k = 8,
+      maxIter = 4)
+    val pq = Clustering.fitPQ(emb, "embedding", "vec_id", m = 16, k = 16,
+      maxIter = 4)
+    val corpus = Clustering.buildIvfPq(emb, "embedding", coarse, pq)
+    // the combined layout is one map-side projection: no exchange
+    val buildPlan = corpus.queryExecution.executedPlan.toString
+    assert(!buildPlan.contains("Exchange"), s"buildIvfPq must not shuffle:\n$buildPlan")
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    val got = Clustering.ivfPqTopK(corpus, "embedding", "vec_id", coarse, pq,
+      q, k = 10, nProbe = 4, shortlist = 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.contains(0L), "self-match must surface")
+    val brute = Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    // recall is bounded by cell pruning (nProbe=4 of 8 cells) + PQ; on
+    // this corpus the probed cells hold most true neighbors
+    assert((got & brute).size >= 7, s"IVF-PQ recall@10: ${(got & brute).size}")
+  }
+
   test("semantic dedup catches planted near-identical vectors, keeps the rest") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
