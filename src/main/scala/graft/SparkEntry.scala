@@ -293,6 +293,13 @@ object SparkEntry {
       pipeline.Profiling.topValues(t(s, dir, "lineitem"), "l_quantity", 5)
         .select(col("value").cast("double").alias("value"), col("cnt"))),
 
+    // equi-width histogram: exact per-bucket counts over the price
+    // column (two bounded aggregate passes; empty buckets emitted)
+    "q_histogram" -> ((s, dir) =>
+      pipeline.Profiling.histogram(t(s, dir, "lineitem"),
+        "l_extendedprice", bins = 16)
+        .orderBy("bucket")),
+
     // Morton z-value (the z-order layout key): pure bit arithmetic, so
     // the oracle replays it exactly — certifies the interleave the
     // writeZOrdered layout path range-partitions on
@@ -1194,6 +1201,22 @@ object SparkEntry {
       """SELECT l_quantity::DOUBLE AS value, count(*)::BIGINT AS cnt
          FROM lineitem GROUP BY 1
          ORDER BY cnt DESC, value ASC LIMIT 5""",
+    "q_histogram" ->
+      """WITH b AS (SELECT min(l_extendedprice::DOUBLE) AS mn,
+                           max(l_extendedprice::DOUBLE) AS mx FROM lineitem),
+         w AS (SELECT mn,
+                 CASE WHEN mx > mn THEN (mx - mn) / 16 ELSE 1.0 END AS width
+               FROM b),
+         g AS (SELECT g::INT AS bucket FROM generate_series(0, 15) t(g)),
+         c AS (SELECT least(floor((l_extendedprice::DOUBLE - w.mn) / w.width),
+                 15)::INT AS bucket, count(*)::BIGINT AS cnt
+               FROM lineitem, w GROUP BY 1)
+         SELECT g.bucket,
+           floor((w.mn + g.bucket * w.width) * 1e6 + 0.5) / 1e6 AS lo,
+           floor((w.mn + (g.bucket + 1) * w.width) * 1e6 + 0.5) / 1e6 AS hi,
+           coalesce(c.cnt, 0)::BIGINT AS cnt
+         FROM g CROSS JOIN w LEFT JOIN c ON c.bucket = g.bucket
+         ORDER BY g.bucket""",
     "q_zvalue" ->
       """SELECT l_orderkey, l_linenumber, l_partkey,
            list_sum(list_transform(generate_series(0, 31), i ->

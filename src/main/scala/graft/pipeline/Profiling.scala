@@ -64,6 +64,35 @@ object Profiling {
       .limit(k)
   }
 
+  /** Equi-width histogram: `bins` buckets over [min, max] with exact
+    * counts — (`bucket` 0-based, `lo`, `hi`, `cnt`). Two aggregate
+    * passes by construction (the bounds pass, then the count pass —
+    * single-pass equi-width needs assumed bounds), both bounded state.
+    * The max value lands in the LAST bucket (half-open buckets except
+    * the final one, like every SQL width_bucket). Empty buckets emit
+    * with cnt 0 so the shape is fixed by `bins`, not the data. */
+  def histogram(df: DataFrame, c: String, bins: Int): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val b = df.agg(min(col(c).cast("double")).alias("mn"),
+      max(col(c).cast("double")).alias("mx")).head()
+    require(!b.isNullAt(0), s"histogram($c): no non-null values")
+    val (mn, mx) = (b.getDouble(0), b.getDouble(1))
+    val width = if (mx > mn) (mx - mn) / bins else 1.0
+    val spark = df.sparkSession
+    import spark.implicits._
+    val shells = spark.range(bins).select(col("id").cast("int").alias("bucket"))
+    val counts = df
+      .where(col(c).isNotNull)
+      .select(least(floor((col(c).cast("double") - mn) / width),
+        lit(bins - 1)).cast("int").alias("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).alias("cnt"))
+    shells.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        Rounding.halfUp(lit(mn) + col("bucket") * width, 6).alias("lo"),
+        Rounding.halfUp(lit(mn) + (col("bucket") + 1) * width, 6).alias("hi"),
+        coalesce(col("cnt"), lit(0L)).alias("cnt"))
+  }
+
   /** Exact quantiles per column, long form (`column`, `p`, `q`), one
     * aggregate pass with ONE buffer per column (the whole `ps` list goes
     * through a single array-percentile aggregate — a buffer per

@@ -88,6 +88,21 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("histogram: exact equi-width counts, max in last bucket, empties kept") {
+    import spark.implicits._
+    val d = Seq(0.0, 1.0, 2.0, 3.0, 4.0, 4.0, 8.0).toDF("x")
+    val got = Profiling.histogram(d, "x", bins = 4)
+      .orderBy("bucket").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    // range [0,8], width 2: [0,2)→{0,1}, [2,4)→{2,3}, [4,6)→{4,4}, [6,8]→{8}
+    assert(got.toSeq == Seq((0, 0.0, 2.0, 2L), (1, 2.0, 4.0, 2L),
+      (2, 4.0, 6.0, 2L), (3, 6.0, 8.0, 1L)))
+    // constant column: all mass in bucket 0, no divide-by-zero
+    val const = Seq(5.0, 5.0).toDF("x")
+    val cg = Profiling.histogram(const, "x", 4).orderBy("bucket").collect()
+    assert(cg.map(_.getLong(3)).toSeq == Seq(2L, 0L, 0L, 0L))
+  }
+
   test("all statistics run in a single aggregate pass") {
     val plan = Profiling.describe(df, Seq("a", "b"))
       .queryExecution.executedPlan.toString
