@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
-import graft.pipeline.{Dedup, TextAnalysis}
+import graft.pipeline.{Clustering, Dedup, TextAnalysis}
 
 /** Streaming training-data ingest: the batch pipeline's cleaning stages
   * applied to a document stream (doc_id, ts, text, …).
@@ -63,6 +63,28 @@ object DocStream {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         sink(Dedup.minhashProbe(index, batch.toDF(), textCol, idCol,
           jaccardThreshold), batchId)
+      }
+      .start()
+
+  /** Streaming ANN-index maintenance: every micro-batch of embedding
+    * rows is stamped with its coarse IVF cell and PQ code by the SAME
+    * batch operator ([[Clustering.buildIvfPq]] — map-side, per-row,
+    * no cross-batch state) against models fitted ONCE by the batch
+    * pipeline (typically via [[Clustering.readKMeansModel]] /
+    * [[Clustering.readPQModel]]). The sink appends the encoded rows to
+    * the standing IVF-PQ corpus — ingest keeps the index searchable
+    * without ever refitting or touching the existing corpus, and the
+    * batch/stream encode paths cannot drift because they are one
+    * function. */
+  def encodeStream(
+      embeddings: DataFrame,
+      coarse: Clustering.KMeansModel,
+      pq: Clustering.PQModel,
+      vecCol: String = "embedding")
+      (sink: (DataFrame, Long) => Unit): StreamingQuery =
+    embeddings.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(Clustering.buildIvfPq(batch.toDF(), vecCol, coarse, pq), batchId)
       }
       .start()
 }

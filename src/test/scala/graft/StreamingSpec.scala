@@ -138,6 +138,46 @@ class StreamingSpec extends SparkSpec {
     assert(!matches.exists(_._1 == 101L), s"novel doc flagged: $matches")
   }
 
+  test("streaming IVF-PQ encode stamps batches with the batch operator's cells/codes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = sf("embeddings")
+    val coarse = graft.pipeline.Clustering.fitKMeans(emb, "embedding",
+      "vec_id", k = 4, maxIter = 2)
+    val pq = graft.pipeline.Clustering.fitPQ(emb, "embedding", "vec_id",
+      m = 8, k = 8, maxIter = 2)
+    val rows = emb.limit(6).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Seq[Int])]
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val df = mem.toDF().toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val q = graft.streaming.DocStream.encodeStream(df, coarse, pq) {
+      (encoded, _) =>
+        got.synchronized {
+          got ++= encoded.collect().map(r => (
+            r.getLong(r.fieldIndex("vec_id")),
+            r.getInt(r.fieldIndex("ivf_cell")),
+            r.getSeq[Int](r.fieldIndex("pq_code"))))
+        }
+    }
+    mem.addData(rows.take(3).toIndexedSeq)
+    q.processAllAvailable()
+    mem.addData(rows.drop(3).toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    // the stream's cells and codes must equal the batch operator's on
+    // the same vectors — ingest and backfill cannot drift
+    val batch = graft.pipeline.Clustering
+      .buildIvfPq(emb.limit(6), "embedding", coarse, pq)
+      .collect().map(r => (
+        r.getLong(r.fieldIndex("vec_id")),
+        r.getInt(r.fieldIndex("ivf_cell")),
+        r.getSeq[Int](r.fieldIndex("pq_code")))).toSet
+    assert(got.toSet == batch, s"stream/batch drift:\n${got.toSet}\nvs\n$batch")
+    assert(got.size == 6)
+  }
+
   test("doc ingest runs identically on batch input") {
     import spark.implicits._
     val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:10")
