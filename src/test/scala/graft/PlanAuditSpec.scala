@@ -74,6 +74,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges(p) == 0, s"expected no hash exchange:\n$p")
   }
 
+  test("q_interval joins on the bucket equi-key, never a nested loop") {
+    val p = plan("q_interval")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"interval join degenerated to a range probe:\n$p")
+  }
+
+  test("q_zvalue interleave stays inside whole-stage codegen") {
+    val p = plan("q_zvalue")
+    // "*(n) Project" is the whole-stage-codegen marker in toString plans
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(p).isDefined,
+      s"interleave projection not codegen'd:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"zvalue must be a pure map-side projection before the top-k:\n$p")
+  }
+
   test("ivf build is map-side only (no exchange, no window)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val p = graft.pipeline.Similarity
