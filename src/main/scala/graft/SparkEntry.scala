@@ -300,6 +300,47 @@ object SparkEntry {
         "l_extendedprice", bins = 16)
         .orderBy("bucket")),
 
+    // z-order WRITE gate: a z-ordered layout must shrink the mean
+    // per-file min/max span to <70% of a hash-scattered layout on BOTH
+    // curve columns at once (single-column sort can only tighten one) —
+    // the property that makes parquet footer pruning multi-dimensional.
+    // Write/measure run eagerly at plan-build (q_kmeans_reload pattern);
+    // spans come from ONE pass per layout via input_file_name().
+    "q_zorder_gate" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity")
+      val zCols = Seq("l_orderkey", "l_partkey")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_zg")
+      val ratios = try {
+        li.repartition(8, col("l_quantity"))
+          .write.mode("overwrite").parquet(s"$tmp/plain")
+        pipeline.Layout.writeZOrdered(li, zCols, s"$tmp/zorder", numFiles = 8)
+        def meanSpans(path: String): Map[String, Double] = {
+          val perFile = s.read.parquet(path)
+            .groupBy(input_file_name().alias("__f"))
+            .agg(zCols.head -> "min", zCols.head -> "max",
+              zCols(1) -> "min", zCols(1) -> "max")
+            .drop("__f").collect()
+          zCols.zipWithIndex.map { case (c, i) =>
+            c -> perFile.map(r =>
+              r.getLong(2 * i + 1).toDouble - r.getLong(2 * i)).sum /
+              perFile.length
+          }.toMap
+        }
+        val (z, p) = (meanSpans(s"$tmp/zorder"), meanSpans(s"$tmp/plain"))
+        zCols.map(c => c -> z(c) / p(c))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(tmp)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+      import s.implicits._
+      ratios.map { case (c, r) => (c, r < 0.7) }
+        .toDF("column", "within_tol").orderBy("column")
+    }),
+
     // Morton z-value (the z-order layout key): pure bit arithmetic, so
     // the oracle replays it exactly — certifies the interleave the
     // writeZOrdered layout path range-partitions on
@@ -1731,6 +1772,10 @@ object SparkEntry {
     "q_ivfpq_recall" ->
       """SELECT 0::BIGINT AS query_id, 10 AS k,
            CAST(true AS BOOLEAN) AS recall_ok""",
+    "q_zorder_gate" ->
+      """SELECT c AS "column", CAST(true AS BOOLEAN) AS within_tol
+         FROM (SELECT unnest(['l_orderkey', 'l_partkey']) AS c)
+         ORDER BY "column"""",
     // golden pins (sf0.01, the driver's verify scale): literal expected
     // outputs — SQL cannot replay the hash-based sketches, but the pins
     // catch unintended algorithm drift
