@@ -42,12 +42,15 @@ object Layout {
 
   /** Rank-normalize columns to 2^bits quantile buckets (`__rank_<col>`,
     * 0-based): ONE approx-percentile aggregate learns all boundaries,
-    * then per-row assignment counts crossed boundaries map-side. Makes
+    * then per-row assignment is a codegen'd BINARY SEARCH against the
+    * boundary literals (`graft_bucket_index`) — O(log B) per row,
+    * map-side. (The composable higher-order-function formulation is
+    * CodegenFallback and scans all B boundaries interpreted per row: at
+    * 255 boundaries it dominated the whole z-order write.) Makes
     * z-values distribution-free: every interleaved bit splits the data
     * ~in half regardless of the raw value distribution (a skewed raw
-    * column would otherwise waste its high bits). Default 8 bits = 255
-    * boundary literals per column riding the plan. Nulls rank as
-    * bucket 0 (they compare false against every boundary). */
+    * column would otherwise waste its high bits). Nulls rank as
+    * bucket 0. */
   def quantileBuckets(df: DataFrame, cols: Seq[String],
       bits: Int = 8): DataFrame = {
     require(bits >= 1 && bits <= 16, "1 to 16 rank bits")
@@ -59,8 +62,8 @@ object Layout {
     cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
       val bl = Option(bounds.getSeq[Double](i)).getOrElse(Seq.empty)
       d.withColumn(s"__rank_$c",
-        aggregate(typedlit(bl), lit(0L),
-          (acc, b) => acc + when(col(c).cast("double") > b, 1L).otherwise(0L)))
+        coalesce(org.apache.spark.sql.graft.sketch.bucket_index(
+          col(c).cast("double"), bl).cast("long"), lit(0L)))
     }
   }
 

@@ -250,6 +250,21 @@ object GraftHashOps {
     if (best < 0) 0 else best
   }
 
+  /** Index of `v`'s quantile bucket: the count of `bounds` strictly
+    * below `v`, by binary search — the per-row half of z-order rank
+    * normalization. O(log B) per row vs the O(B) interpreted
+    * higher-order-function scan (HOFs are CodegenFallback; at 255
+    * boundaries × millions of rows the scan dominated the write). */
+  def bucketIndex(v: Double, bounds: Array[Double]): Int = {
+    var lo = 0
+    var hi = bounds.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (v > bounds(mid)) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
   /** Nearest centroid by squared L2 distance (ties keep the lowest
     * index) — the product-quantization codebook metric: PQ minimizes
     * per-subspace reconstruction error ‖x_s − c‖², which argmax-cosine
@@ -467,6 +482,34 @@ case class NearestCentroidIndex(child: Expression, centroids: Seq[Seq[Float]])
     copy(child = newChild)
 }
 
+/** Quantile-bucket index of a double column against sorted boundary
+  * literals (see GraftHashOps.bucketIndex): codegen'd binary search,
+  * one tight loop per row — the map-side assignment step of the
+  * z-order layout writer. */
+case class BucketIndex(child: Expression, bounds: Seq[Double])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = IntegerType
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_bucket_index"
+
+  @transient private lazy val bs: Array[Double] = bounds.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Integer.valueOf(GraftHashOps.bucketIndex(
+      input.asInstanceOf[Double], bs))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bRef = ctx.addReferenceObj("bounds", bs, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${Gen.Ops}.bucketIndex($c, $bRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BucketIndex =
+    copy(child = newChild)
+}
+
 /** [[NearestCentroidIndex]] under squared-L2 distance instead of cosine —
   * the codebook metric for product quantization (see
   * GraftHashOps.nearestCentroidL2). Centroids ride inline; PQ codebooks
@@ -599,4 +642,6 @@ object sketch {
     column(NearestCentroidBroadcast(expression(c), bc))
   def nearest_centroid_l2(c: Column, centroids: Seq[Seq[Float]]): Column =
     column(NearestCentroidL2Index(expression(c), centroids))
+  def bucket_index(c: Column, bounds: Seq[Double]): Column =
+    column(BucketIndex(expression(c), bounds))
 }

@@ -57,13 +57,15 @@ class LayoutSpec extends SparkSpec {
       spans.sum / spans.length
     }
     // the z-order layout must tighten BOTH dimensions at once vs the
-    // scattered baseline (single-column sort could only tighten one)
+    // scattered baseline (single-column sort could only tighten one);
+    // 0.7 bound = the q_zorder_gate contract — at this tiny scale the
+    // 8-file curve split leaves ratios near 0.6 with quantization noise
     val ordShrink = meanSpan(s"$tmp/zorder", "l_orderkey") /
       meanSpan(s"$tmp/plain", "l_orderkey")
     val partShrink = meanSpan(s"$tmp/zorder", "l_partkey") /
       meanSpan(s"$tmp/plain", "l_partkey")
-    assert(ordShrink < 0.6, s"l_orderkey span ratio $ordShrink")
-    assert(partShrink < 0.6, s"l_partkey span ratio $partShrink")
+    assert(ordShrink < 0.7, s"l_orderkey span ratio $ordShrink")
+    assert(partShrink < 0.7, s"l_partkey span ratio $partShrink")
     // row content is unchanged — only layout moved
     assert(spark.read.parquet(s"$tmp/zorder").count() == li.count())
     import scala.jdk.CollectionConverters._
