@@ -293,6 +293,16 @@ object SparkEntry {
       pipeline.Profiling.topValues(t(s, dir, "lineitem"), "l_quantity", 5)
         .select(col("value").cast("double").alias("value"), col("cnt"))),
 
+    // grouped top-k frequent values: the per-join-key hot-value probe
+    // (which values of each key need salting) — exact, deterministic
+    // (count desc, value asc), replayed by the oracle's window
+    "q_top_values_by" -> ((s, dir) =>
+      pipeline.Profiling.topValuesBy(t(s, dir, "lineitem"),
+        Seq("l_returnflag"), "l_quantity", k = 3)
+        .select(col("l_returnflag"), col("value").cast("double").alias("value"),
+          col("cnt"), col("rn"))
+        .orderBy("l_returnflag", "rn")),
+
     // equi-width histogram: exact per-bucket counts over the price
     // column (two bounded aggregate passes; empty buckets emitted)
     "q_histogram" -> ((s, dir) =>
@@ -1242,6 +1252,14 @@ object SparkEntry {
       """SELECT l_quantity::DOUBLE AS value, count(*)::BIGINT AS cnt
          FROM lineitem GROUP BY 1
          ORDER BY cnt DESC, value ASC LIMIT 5""",
+    "q_top_values_by" ->
+      """SELECT l_returnflag, value, cnt, rn FROM (
+           SELECT l_returnflag, l_quantity::DOUBLE AS value,
+                  count(*)::BIGINT AS cnt,
+                  row_number() OVER (PARTITION BY l_returnflag
+                    ORDER BY count(*) DESC, l_quantity::DOUBLE ASC)::INT AS rn
+           FROM lineitem GROUP BY l_returnflag, l_quantity) t
+         WHERE rn <= 3 ORDER BY l_returnflag, rn""",
     "q_histogram" ->
       """WITH b AS (SELECT min(l_extendedprice::DOUBLE) AS mn,
                            max(l_extendedprice::DOUBLE) AS mx FROM lineitem),

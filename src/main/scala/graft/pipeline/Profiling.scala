@@ -64,6 +64,26 @@ object Profiling {
       .limit(k)
   }
 
+  /** Top-k most frequent values per group: (`groupCols`…, `value`,
+    * `cnt`, `rn` 1-based), count desc with value-asc tiebreak inside
+    * each group — the per-join-key skew probe ([[Skew.saltedJoin]]'s
+    * saltFactor decision needs the hot values of EACH key column, not
+    * the global table). One hash aggregate on (group, value) + one
+    * window exchange on the group; row_number prunes to k before
+    * anything downstream. */
+  def topValuesBy(df: DataFrame, groupCols: Seq[String], c: String,
+      k: Int): DataFrame = {
+    require(groupCols.nonEmpty && k > 0, "groupCols non-empty, k positive")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .groupBy((groupCols.map(col) :+ col(c).alias("value")): _*)
+      .agg(count(lit(1)).alias("cnt"))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("cnt").desc, col("value").asc)
+    counts.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+  }
+
   /** Equi-width histogram: `bins` buckets over [min, max] with exact
     * counts — (`bucket` 0-based, `lo`, `hi`, `cnt`). Two aggregate
     * passes by construction (the bounds pass, then the count pass —

@@ -88,6 +88,18 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("topValuesBy: per-group top-k with deterministic tiebreak, pruned early") {
+    import spark.implicits._
+    val d = Seq(("a", 1.0), ("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 9.0), ("b", 8.0), ("b", 8.0)).toDF("g", "x")
+    val got = Profiling.topValuesBy(d, Seq("g"), "x", k = 2)
+      .orderBy("g", "rn").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getInt(3)))
+    // a: 1.0×2 then tie {2.0,3.0}×1 → value asc picks 2.0
+    assert(got.toSeq == Seq(("a", 1.0, 2L, 1), ("a", 2.0, 1L, 2),
+      ("b", 8.0, 2L, 1), ("b", 9.0, 1L, 2)))
+  }
+
   test("histogram: exact equi-width counts, max in last bucket, empties kept") {
     import spark.implicits._
     val d = Seq(0.0, 1.0, 2.0, 3.0, 4.0, 4.0, 8.0).toDF("x")
