@@ -813,7 +813,7 @@ object SparkEntry {
     // must individually reach overlap@10 ≥ 8 — a regression on any one
     // point flips its row and fails the oracle compare.
     "q_ann_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = certGuard(t(s, dir, "embeddings"), "q_ann_recall")
       RecallGate.queryPoints.map { qid =>
         val q = emb.filter(col("vec_id") === qid)
           .select("embedding").head().getSeq[Float](0)
@@ -828,7 +828,7 @@ object SparkEntry {
     }),
 
     "q_ivf_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = certGuard(t(s, dir, "embeddings"), "q_ivf_recall")
       val ivf = pipeline.Similarity.buildIvf(emb, "embedding", "vec_id", nCentroids = 16)
       RecallGate.queryPoints.map { qid =>
         val q = emb.filter(col("vec_id") === qid)
@@ -924,7 +924,7 @@ object SparkEntry {
     // so a k or init change can't silently degrade recall while
     // q_semdedup stays green on whatever pairs it does find
     "q_semdedup_recall" -> ((s, dir) => {
-      val emb = plantedEmbeddings(s, dir)
+      val emb = certGuard(plantedEmbeddings(s, dir), "q_semdedup_recall")
       val sem = pipeline.Clustering.semanticDupPairs(emb, "embedding",
         "vec_id", k = 8, threshold = 0.95).select("id_a", "id_b")
       // exact baseline: brute-force all-pairs at the same threshold
@@ -949,7 +949,7 @@ object SparkEntry {
     // production shape is shortlist + re-rank, and what this gate
     // certifies end-to-end. Boolean pinned by the oracle.
     "q_pq_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = certGuard(t(s, dir, "embeddings"), "q_pq_recall")
       val model = pipeline.Clustering.fitPQ(emb, "embedding", "vec_id",
         m = 16, k = 16, maxIter = 4)
       val codes = pipeline.Clustering.assignPQ(emb, "embedding", model)
@@ -971,7 +971,7 @@ object SparkEntry {
     // exact cosine top-10 must survive BOTH the cell pruning and the
     // quantization. Boolean pinned by the oracle.
     "q_ivfpq_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = certGuard(t(s, dir, "embeddings"), "q_ivfpq_recall")
       val coarse = pipeline.Clustering.fitKMeans(emb, "embedding", "vec_id",
         k = 8, maxIter = 4)
       val pq = pipeline.Clustering.fitPQ(emb, "embedding", "vec_id",
@@ -1008,6 +1008,30 @@ object SparkEntry {
       pipeline.Similarity.ivfTopK(ivf, "embedding", "vec_id", q, k = 10, nProbe = 4)
     })
   )
+
+  /** Row bound for the recall-gate certification queries: their exact
+    * baselines (the all-pairs cosine join in q_semdedup_recall, the
+    * brute-force top-k scans in the ANN/PQ gates) are certification
+    * machinery that is affordable ONLY at fixture scale — on a large
+    * corpus the BASELINE, not the operator under test, explodes
+    * quadratically. Guarded by ROW COUNT rather than directory name: a
+    * renamed copy of the fixture still certifies, and a big corpus
+    * under an innocuous-looking path still refuses (dir-suffix matching
+    * is exactly the pitfall [[Verify.isSf001]] documents). */
+  private[graft] val CertBaselineMaxRows = 10000L
+
+  /** Fail fast (clear message, no quadratic work) when `df` is too big
+    * for a recall gate's exact baseline. The one count() job is
+    * metadata-only on parquet. */
+  private def certGuard(df: DataFrame, query: String): DataFrame = {
+    val n = df.count()
+    require(n <= CertBaselineMaxRows,
+      s"$query refused: its exact recall baseline is fixture-scale " +
+      s"certification machinery, and this corpus has $n rows " +
+      s"(bound $CertBaselineMaxRows). Run the operator directly at " +
+      "scale; the recall gate certifies on the fixture.")
+    df
+  }
 
   /** Oracles whose expected rows are literal golden VALUES computed at
     * the driver's verify scale (sf0.01 testdata) — data-dependent pins,

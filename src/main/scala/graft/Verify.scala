@@ -4,12 +4,19 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** True when `sfDir`'s BASENAME is exactly `sf0.01` — a raw
+    * `endsWith("sf0.01")` would also match unrelated directories like
+    * `.../mysf0.01` and ship sf0.01-pinned literal oracles (and the
+    * O(n²) certification baselines) against foreign data. */
+  private[graft] def isSf001(sfDir: String): Boolean =
+    Paths.get(sfDir.replaceAll("/+$", "")).getFileName.toString == "sf0.01"
+
   /** Oracles applicable at `sfDir`: golden-pinned oracles carry literal
     * values computed at sf0.01 — at any other scale they'd hard-fail
     * spuriously, so they're dropped (degrading those queries to the
     * driver's rows-only check). */
   private[graft] def oraclesFor(sfDir: String): Map[String, String] =
-    if (sfDir.replaceAll("/+$", "").endsWith("sf0.01")) SparkEntry.oracleSql
+    if (isSf001(sfDir)) SparkEntry.oracleSql
     else SparkEntry.oracleSql -- SparkEntry.goldenPinnedSf001
 
   def main(args: Array[String]): Unit = {

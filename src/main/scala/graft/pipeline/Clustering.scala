@@ -25,11 +25,39 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
+  /** One-slot holder for a centroid-table broadcast: fills on first use,
+    * so a model (or one fit iteration) broadcasts its centroids at most
+    * ONCE however many assignment columns are built from it, and
+    * `destroy()` releases a superseded iteration's executor copies
+    * eagerly instead of leaving them to accumulate until ContextCleaner
+    * happens to run — at k≈10⁵, d≈768 each table is ~300 MB of executor
+    * memory per undying broadcast. */
+  private[pipeline] final class CentroidBroadcast {
+    @transient @volatile
+    private var handle: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]] = _
+    def getOrBroadcast(df: DataFrame, centroids: IndexedSeq[Seq[Float]])
+        : org.apache.spark.broadcast.Broadcast[Array[Array[Float]]] =
+      synchronized {
+        if (handle == null)
+          handle = df.sparkSession.sparkContext
+            .broadcast(centroids.map(_.toArray).toArray)
+        handle
+      }
+    def destroy(): Unit = synchronized {
+      if (handle != null) { handle.destroy(); handle = null }
+    }
+  }
+
   /** A fitted model: `centroids(i)` is cluster i's mean vector;
     * `iterations` actually run; `shift` = max centroid movement (L∞ over
     * all components) in the final iteration. */
   case class KMeansModel(centroids: IndexedSeq[Seq[Float]],
-      iterations: Int, shift: Double)
+      iterations: Int, shift: Double) {
+    /** The model's own broadcast slot: every [[assign]]/[[buildIvf]] call
+      * against this model reuses one executor-side copy. Transient lazy —
+      * a deserialized or reloaded model re-broadcasts on first use. */
+    @transient private[pipeline] lazy val bcSlot = new CentroidBroadcast
+  }
 
   /** Above this many total centroid floats (k·d), assignment reads the
     * centroid table from a Spark broadcast instead of embedding it in
@@ -47,21 +75,23 @@ object Clustering {
   private def nearestCentroidCol(df: DataFrame,
       vec: org.apache.spark.sql.Column,
       centroids: IndexedSeq[Seq[Float]],
-      metric: String = "cosine"): org.apache.spark.sql.Column = metric match {
-    case "l2" =>
-      org.apache.spark.sql.graft.sketch.nearest_centroid_l2(vec, centroids)
-    case "cosine" =>
-      val total = centroids.iterator.map(_.length.toLong).sum
-      if (total <= InlineCentroidLimit)
-        org.apache.spark.sql.graft.sketch.nearest_centroid(vec, centroids)
-      else {
-        val bc = df.sparkSession.sparkContext
-          .broadcast(centroids.map(_.toArray).toArray)
-        org.apache.spark.sql.graft.sketch.nearest_centroid_bc(vec, bc)
-      }
-    case other => throw new IllegalArgumentException(
-      s"metric must be cosine or l2, got $other")
-  }
+      metric: String = "cosine",
+      slot: CentroidBroadcast = null): org.apache.spark.sql.Column =
+    metric match {
+      case "l2" =>
+        org.apache.spark.sql.graft.sketch.nearest_centroid_l2(vec, centroids)
+      case "cosine" =>
+        val total = centroids.iterator.map(_.length.toLong).sum
+        if (total <= InlineCentroidLimit)
+          org.apache.spark.sql.graft.sketch.nearest_centroid(vec, centroids)
+        else {
+          val s = if (slot == null) new CentroidBroadcast else slot
+          org.apache.spark.sql.graft.sketch.nearest_centroid_bc(
+            vec, s.getOrBroadcast(df, centroids))
+        }
+      case other => throw new IllegalArgumentException(
+        s"metric must be cosine or l2, got $other")
+    }
 
   /** Fit spherical k-means. `tol` stops early when no centroid component
     * moved more than it between iterations (compared driver-side — free,
@@ -87,14 +117,20 @@ object Clustering {
     var iter = 0
     var shift = Double.PositiveInfinity
     while (iter < maxIter && shift > tol) {
+      // each iteration's centroid table is live for exactly one job:
+      // broadcast at most once (the slot), destroy as soon as the means
+      // are collected — superseded tables never pile up on executors
+      val iterSlot = new CentroidBroadcast
       val assigned = df.withColumn("__cell",
-        nearestCentroidCol(df, col(vecCol), centroids, metric))
+        nearestCentroidCol(df, col(vecCol), centroids, metric, iterSlot))
       // (cell, dim) hash-agg mean, reassembled per cell — centroid-sized
       // shuffle; k rows back to the driver
-      val meansByCell = Embeddings.meanPool(assigned, Seq("__cell"), vecCol)
-        .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).map(_.toFloat))
-        .toMap
+      val meansByCell =
+        try Embeddings.meanPool(assigned, Seq("__cell"), vecCol)
+          .collect()
+          .map(r => r.getInt(0) -> r.getSeq[Double](1).map(_.toFloat))
+          .toMap
+        finally iterSlot.destroy()
       val next = centroids.indices.map(i => meansByCell.get(i) match {
         case Some(m) => m
         case None    => centroids(i) // empty cell: keep the old centroid
@@ -117,7 +153,9 @@ object Clustering {
     * the serialized plan. */
   def assign(df: DataFrame, vecCol: String, model: KMeansModel,
       outCol: String = "cluster"): DataFrame =
-    df.withColumn(outCol, nearestCentroidCol(df, col(vecCol), model.centroids))
+    df.withColumn(outCol,
+      nearestCentroidCol(df, col(vecCol), model.centroids,
+        slot = model.bcSlot))
 
   /** Persist a fitted model: `<path>/centroids` parquet (one row per
     * centroid, index + vector) plus `<path>/meta` (iterations, shift).
@@ -343,8 +381,12 @@ object Clustering {
   /** ADC top-k over a PQ-encoded corpus: approximate inner-product
     * scores from codes alone. The query builds one flat lookup table
     * driver-side (`lut[s·k + c]` = ⟨query_s, codebook_s(c)⟩ — m·k
-    * doubles, zero jobs); scoring is m array lookups per row (map-side)
-    * and the plan is scan → project → TakeOrdered, exactly
+    * doubles, zero jobs); scoring is m array lookups per row inside
+    * whole-stage codegen (the native
+    * [[org.apache.spark.sql.graft.PqAdcScore]] expression — an
+    * `aggregate()` higher-order function here would be CodegenFallback,
+    * an interpreted per-row loop on the hottest scan of the search
+    * path) and the plan is scan → project → TakeOrdered, exactly
     * [[ivfTopK]]'s join-free shape. Scores approximate ⟨query, x⟩ —
     * l2-normalize the corpus at encode time to make that cosine. */
   def pqTopK(codes: DataFrame, idCol: String, model: PQModel,
@@ -361,10 +403,8 @@ object Clustering {
       lut(s * kPer + c) = dot
     }
     codes
-      .withColumn("score", aggregate(
-        sequence(lit(0), lit(model.m - 1)), lit(0.0),
-        (acc, s) => acc + element_at(typedlit(lut.toSeq),
-          s * kPer + element_at(col(codeCol), s + 1) + 1)))
+      .withColumn("score", org.apache.spark.sql.graft.sketch
+        .pq_adc_score(col(codeCol), lut.toIndexedSeq, kPer))
       .select(col(idCol), Rounding.halfUp(col("score"), 6).alias("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)

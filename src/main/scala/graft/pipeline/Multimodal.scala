@@ -107,24 +107,49 @@ object Multimodal {
   /** Real 8-dim audio features from decoded PCM: mean amplitude, RMS
     * energy, peak amplitude, zero-crossing rate, duration (s), sample
     * rate, channel count, sample count. Deterministic, codec-independent
-    * (everything is measured on normalized 16-bit PCM). */
+    * (everything is measured on normalized 16-bit PCM).
+    *
+    * Amplitude/RMS/peak are per-sample (channel-agnostic); the
+    * zero-crossing rate is measured on the per-frame MONO DOWNMIX:
+    * interleaved multi-channel PCM alternates channels, so adjacent raw
+    * samples belong to DIFFERENT signals and a sign compare across them
+    * counts inter-channel level flips, not zero crossings. ZCR is
+    * normalized per frame (for mono, frames == samples, so mono values
+    * are unchanged by the downmix). */
   private def audioFeatures(
       dec: (Array[Short], javax.sound.sampled.AudioFormat)): Array[Float] = {
     val (s, fmt) = dec
-    var (sum, sum2, crossings) = (0.0, 0.0, 0L)
+    val ch = math.max(1, fmt.getChannels)
+    var (sum, sum2) = (0.0, 0.0)
     var peak = 0.0
     var i = 0
     while (i < s.length) {
       val v = s(i) / 32768.0
       sum += math.abs(v); sum2 += v * v
       if (math.abs(v) > peak) peak = math.abs(v)
-      if (i > 0 && ((s(i) >= 0) != (s(i - 1) >= 0))) crossings += 1
       i += 1
     }
+    val frames = s.length / ch
+    def downmix(f: Int): Double = {
+      var c = 0; var acc = 0.0
+      while (c < ch) { acc += s(f * ch + c); c += 1 }
+      acc / ch
+    }
+    var crossings = 0L
+    if (frames > 0) {
+      var prev = downmix(0)
+      var f = 1
+      while (f < frames) {
+        val mix = downmix(f)
+        if ((mix >= 0) != (prev >= 0)) crossings += 1
+        prev = mix
+        f += 1
+      }
+    }
     val n = math.max(1, s.length).toDouble
-    val frames = s.length / math.max(1, fmt.getChannels)
+    val nf = math.max(1, frames).toDouble
     Array((sum / n).toFloat, math.sqrt(sum2 / n).toFloat, peak.toFloat,
-      (crossings / n).toFloat, (frames / fmt.getSampleRate).toFloat,
+      (crossings / nf).toFloat, (frames / fmt.getSampleRate).toFloat,
       fmt.getSampleRate, fmt.getChannels.toFloat, s.length.toFloat)
   }
 

@@ -93,6 +93,28 @@ object Temporal {
         payload.map(p => col(s"__graft_m_$p").alias(s"asof_$p")): _*)
   }
 
+  /** Floor-division bucket of the SQL fragment `x` (must evaluate to
+    * BIGINT) at `grain`, computed entirely in 64-bit integer arithmetic.
+    * `floor(x / grain)` is NOT equivalent: Spark promotes long/long
+    * division to double, and epoch-nano timestamps (~1.7e18) exceed
+    * double's 53-bit mantissa (ulp ≈ 256 ns there), so values within
+    * half an ulp of a grain boundary get bucket ids that disagree with
+    * the integer grain — boundaries drift, and bucket ids stop matching
+    * what any exact-arithmetic consumer (z-order, retention, an external
+    * system) computes for the same grain. (Double rounding is monotone,
+    * so the join itself stays pair-complete either way — this is about
+    * exact, portable bucket semantics, and long `div` is cheaper than
+    * the long→double→floor→long round-trip.) SQL `div` truncates toward
+    * zero, so negative values need the −1 adjustment to keep floor
+    * semantics (same pattern as [[cohortRetention]]). */
+  private def floorBucketSql(x: String, grain: Long): String =
+    s"""CASE WHEN ($x) >= 0 OR ($x) % $grain = 0
+         THEN ($x) div $grain
+         ELSE ($x) div $grain - 1 END"""
+
+  private def floorBucket(colName: String, grain: Long): Column =
+    expr(floorBucketSql(s"cast(`$colName` as bigint)", grain))
+
   /** Interval join: each point row matched to every interval row whose
     * `[startCol, endCol]` (inclusive) contains its `ptCol`, optionally
     * under additional equi-`keys`. The event-enrichment shape: log line
@@ -118,11 +140,10 @@ object Temporal {
       startCol: String, endCol: String, grain: Long,
       keys: Seq[String] = Nil): DataFrame = {
     require(grain > 0, "grain must be positive")
-    val pb = points.withColumn("__graft_bucket",
-      floor(col(ptCol) / grain).cast("long"))
+    val pb = points.withColumn("__graft_bucket", floorBucket(ptCol, grain))
     val ib = intervals.withColumn("__graft_bucket",
-      explode(sequence(floor(col(startCol) / grain).cast("long"),
-        floor(col(endCol) / grain).cast("long"))))
+      explode(sequence(floorBucket(startCol, grain),
+        floorBucket(endCol, grain))))
     pb.join(ib, (keys :+ "__graft_bucket").toIndexedSeq)
       .where(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
       .drop("__graft_bucket")
@@ -141,15 +162,14 @@ object Temporal {
       grain: Long, keys: Seq[String] = Nil): DataFrame = {
     require(grain > 0, "grain must be positive")
     val lb = left.withColumn("__graft_bucket",
-      explode(sequence(floor(col(lStart) / grain).cast("long"),
-        floor(col(lEnd) / grain).cast("long"))))
+      explode(sequence(floorBucket(lStart, grain), floorBucket(lEnd, grain))))
     val rb = right.withColumn("__graft_bucket",
-      explode(sequence(floor(col(rStart) / grain).cast("long"),
-        floor(col(rEnd) / grain).cast("long"))))
+      explode(sequence(floorBucket(rStart, grain), floorBucket(rEnd, grain))))
     lb.join(rb, (keys :+ "__graft_bucket").toIndexedSeq)
       .where(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
-        col("__graft_bucket") ===
-          floor(greatest(col(lStart), col(rStart)) / grain).cast("long"))
+        col("__graft_bucket") === expr(floorBucketSql(
+          s"greatest(cast(`$lStart` as bigint), cast(`$rStart` as bigint))",
+          grain)))
       .drop("__graft_bucket")
   }
 

@@ -290,6 +290,27 @@ object GraftHashOps {
     }
     if (best < 0) 0 else best
   }
+
+  /** Asymmetric-distance (ADC) score of one PQ code row: Σ_s
+    * lut[s·kPer + codes(s)], where `lut` is the query's flat
+    * per-subspace inner-product table. m array reads per row in a tight
+    * loop — the hot full-corpus scan of PQ search. Out-of-range codes
+    * fail fast: a corrupt code silently reading another subspace's table
+    * segment would return a plausible-but-wrong score. */
+  def adcScore(codes: ArrayData, lut: Array[Double], kPer: Int): Double = {
+    val m = codes.numElements()
+    var sum = 0.0
+    var s = 0
+    while (s < m) {
+      val c = codes.getInt(s)
+      if (c < 0 || c >= kPer)
+        throw new IllegalArgumentException(
+          s"PQ code $c out of range [0, $kPer) at subspace $s")
+      sum += lut(s * kPer + c)
+      s += 1
+    }
+    sum
+  }
 }
 
 private object Gen {
@@ -575,6 +596,38 @@ case class NearestCentroidBroadcast(child: Expression,
     copy(child = newChild)
 }
 
+/** ADC score of a PQ code array against a query's flat lookup table
+  * (see GraftHashOps.adcScore). The table (m·kPer doubles, built
+  * driver-side) rides as a reference object, so scoring is m array
+  * reads inside whole-stage codegen — the `aggregate()` higher-order
+  * formulation this replaces is CodegenFallback and evaluated
+  * interpreted per row per subspace, the same pitfall [[BucketIndex]]
+  * fixed for the z-order writer, and ADC is the hot full-corpus scan
+  * of the billion-vector search path. */
+case class PqAdcScore(child: Expression, lut: Seq[Double], kPer: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(IntegerType))
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_pq_adc_score"
+
+  @transient private lazy val l: Array[Double] = lut.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Double.valueOf(GraftHashOps.adcScore(
+      input.asInstanceOf[ArrayData], l, kPer))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lRef = ctx.addReferenceObj("lut", l, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${Gen.Ops}.adcScore($c, $lRef, $kPer);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqAdcScore =
+    copy(child = newChild)
+}
+
 /** L2 normalization of a float vector (codegen'd; see
   * GraftHashOps.l2Normalize). */
 case class L2Normalize(child: Expression)
@@ -644,4 +697,6 @@ object sketch {
     column(NearestCentroidL2Index(expression(c), centroids))
   def bucket_index(c: Column, bounds: Seq[Double]): Column =
     column(BucketIndex(expression(c), bounds))
+  def pq_adc_score(c: Column, lut: Seq[Double], kPer: Int): Column =
+    column(PqAdcScore(expression(c), lut, kPer))
 }

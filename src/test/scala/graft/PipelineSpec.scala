@@ -258,6 +258,63 @@ class PipelineSpec extends SparkSpec {
       .getSeq[Float](junkFeats.schema.fieldIndex("media_feat")).length == 8)
   }
 
+  test("stereo WAV: zero-crossing rate measures the downmix, not channel flips") {
+    import spark.implicits._
+    // interleaved stereo 16-bit PCM: R = -L at every frame. The mono
+    // downmix is identically 0 (no crossings); a naive sign compare over
+    // the raw interleaved samples would count ~2 flips per frame.
+    val rate = 8000f
+    val frames = 1000
+    val pcm = new Array[Byte](frames * 4)
+    for (i <- 0 until frames) {
+      val v = (0.5 * math.sin(2 * math.Pi * 440 * i / rate) * 32767).toInt
+      pcm(4 * i) = (v & 0xFF).toByte
+      pcm(4 * i + 1) = ((v >> 8) & 0xFF).toByte
+      val w = -v
+      pcm(4 * i + 2) = (w & 0xFF).toByte
+      pcm(4 * i + 3) = ((w >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 2, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val bytes = baos.toByteArray
+    val media = Seq((1L, bytes)).toDF("doc_id", "media")
+      .withColumn("media_meta", struct(
+        lit("audio/wav").alias("format"), lit(0).alias("width"),
+        lit(0).alias("height"), lit(bytes.length.toLong).alias("n_bytes")))
+    val feats = Multimodal.extractFeatures(media)
+    val f = feats.head().getSeq[Float](feats.schema.fieldIndex("media_feat"))
+    assert(f(6) == 2.0f, s"channel count: ${f(6)}")
+    assert(f(3) < 0.01, s"anti-phase stereo must have ~0 ZCR, got ${f(3)}")
+    // in-phase stereo (R = L): downmix is the sine itself — the real ZCR,
+    // normalized per FRAME (so mono and stereo of the same signal agree)
+    val pcm2 = new Array[Byte](frames * 4)
+    for (i <- 0 until frames) {
+      val v = (0.5 * math.sin(2 * math.Pi * 440 * i / rate) * 32767).toInt
+      pcm2(4 * i) = (v & 0xFF).toByte
+      pcm2(4 * i + 1) = ((v >> 8) & 0xFF).toByte
+      pcm2(4 * i + 2) = (v & 0xFF).toByte
+      pcm2(4 * i + 3) = ((v >> 8) & 0xFF).toByte
+    }
+    val ais2 = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm2), fmt, frames.toLong)
+    val baos2 = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais2,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos2)
+    val bytes2 = baos2.toByteArray
+    val media2 = Seq((1L, bytes2)).toDF("doc_id", "media")
+      .withColumn("media_meta", struct(
+        lit("audio/wav").alias("format"), lit(0).alias("width"),
+        lit(0).alias("height"), lit(bytes2.length.toLong).alias("n_bytes")))
+    val f2 = Multimodal.extractFeatures(media2).head()
+      .getSeq[Float](feats.schema.fieldIndex("media_feat"))
+    assert(math.abs(f2(3) - 2 * 440 / rate) < 0.01,
+      s"in-phase stereo ZCR should match the mono signal's: ${f2(3)}")
+  }
+
   test("null media format takes the stub path instead of NPE") {
     import spark.implicits._
     val media = Seq((1L, Array[Byte](1, 2, 3, 4))).toDF("doc_id", "media")

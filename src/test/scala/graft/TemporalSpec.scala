@@ -195,6 +195,37 @@ class TemporalSpec extends SparkSpec {
     assert(bucketed.toSet == naive)
   }
 
+  test("interval joins bucket in exact long arithmetic: negatives, nano scale") {
+    import spark.implicits._
+    // negative times: floor semantics, not div-truncation — [-12,-3]
+    // covers buckets -2..-1 and must catch the point at -5 (bucket -1)
+    val npts = Seq((1L, -5L), (2L, -15L), (3L, 0L)).toDF("pt_id", "t")
+    val nivs = Seq((100L, -12L, -3L)).toDF("iv_id", "lo", "hi")
+    val ng = Temporal.intervalJoin(npts, nivs, "t", "lo", "hi", grain = 10L)
+      .select("pt_id").collect().map(_.getLong(0)).toSet
+    assert(ng == Set(1L))
+    // epoch-nanosecond magnitudes: 1.7e18 is where double's ulp is 256 ns
+    // and floor(x/grain) in double misassigns boundary-adjacent values
+    // (1.7e18-100 rounds UP to the 1.7e18 bucket). Exact long bucketing
+    // keeps the pair AND the advertised one-bucket-per-point invariant.
+    val base = 1700000000000000000L
+    val hpts = Seq((1L, base - 100L), (2L, base + 100L)).toDF("pt_id", "t")
+    val hivs = Seq((100L, base - 1000000000L, base - 50L),
+      (200L, base, base + 500L)).toDF("iv_id", "lo", "hi")
+    val hg = Temporal.intervalJoin(hpts, hivs, "t", "lo", "hi",
+        grain = 1000000000L)
+      .select("pt_id", "iv_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hg == Set((1L, 100L), (2L, 200L)))
+    // overlap at the same magnitude: exactly-once via the canonical bucket
+    val hl = Seq((1L, base - 300L, base - 100L)).toDF("l_id", "ls", "le")
+    val hr = Seq((10L, base - 200L, base + 200L), (20L, base - 50L, base))
+      .toDF("r_id", "rs", "re")
+    val ho = Temporal.overlapJoin(hl, hr, "ls", "le", "rs", "re", 1000000000L)
+      .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(ho.toSeq.sorted == Seq((1L, 10L)))
+  }
+
   test("intervalJoin plans as a hash equi-join, never a nested loop") {
     import spark.implicits._
     // disable broadcast so the plan is the one a 100 TB interval side
