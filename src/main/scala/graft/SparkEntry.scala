@@ -965,6 +965,30 @@ object SparkEntry {
         .select(lit(0L).alias("query_id"), lit(10).alias("k"), col("recall_ok"))
     }),
 
+    // PQ at PRODUCTION parameters: k=256 centroids per subspace (8-bit
+    // codes; with m=8 over d=64 that's the standard 64-bit PQ code of
+    // Jégou 2011 §V) — the k=16 gate above cannot see k-dependent bugs
+    // (code packing past signed-byte range, duplicate-centroid
+    // tie-breaking when k approaches the training-set size), this one
+    // can. Same end-to-end shape: ADC shortlist + exact re-rank vs the
+    // exact cosine top-10. Boolean pinned by the oracle.
+    "q_pq256_recall" -> ((s, dir) => {
+      val emb = certGuard(t(s, dir, "embeddings"), "q_pq256_recall")
+      val model = pipeline.Clustering.fitPQ(emb, "embedding", "vec_id",
+        m = 8, k = 256, maxIter = 4)
+      val codes = pipeline.Clustering.assignPQ(emb, "embedding", model)
+        .select("vec_id", "pq_code")
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      val rr = pipeline.Clustering.pqTopKRerank(codes, emb, "embedding",
+        "vec_id", model, q, k = 10, shortlist = 100).select(col("vec_id"))
+      val brute = pipeline.Similarity.bruteForceTopK(emb, "embedding",
+        "vec_id", q, k = 10).select(col("vec_id"))
+      rr.join(brute, "vec_id")
+        .agg((count(lit(1)) >= 8).alias("recall_ok"))
+        .select(lit(0L).alias("query_id"), lit(10).alias("k"), col("recall_ok"))
+    }),
+
     // IVF-PQ recall gate: the full billion-vector-ANN layout end-to-end
     // — coarse cells prune the scan (nProbe=4 of 8), ADC scores codes
     // inside the probed cells, shortlist re-ranks exactly; ≥7 of the
@@ -1809,6 +1833,9 @@ object SparkEntry {
     "q_kmeans_reload" ->
       """SELECT CAST(true AS BOOLEAN) AS reload_ok""",
     "q_pq_recall" ->
+      """SELECT 0::BIGINT AS query_id, 10 AS k,
+           CAST(true AS BOOLEAN) AS recall_ok""",
+    "q_pq256_recall" ->
       """SELECT 0::BIGINT AS query_id, 10 AS k,
            CAST(true AS BOOLEAN) AS recall_ok""",
     "q_ivfpq_recall" ->

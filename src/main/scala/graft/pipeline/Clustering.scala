@@ -304,8 +304,13 @@ object Clustering {
       .collect()
       .map(_.getSeq[Float](0))
     require(initRows.nonEmpty, "no full-dimension vectors to quantize")
+    // corpora smaller than k (production k=256 on a small fixture):
+    // cycle the sample so every cell has an init centroid — duplicate
+    // centroids lose every argmin tie to their first copy, stay empty,
+    // and keep their init vector, which is harmless
     var books: IndexedSeq[IndexedSeq[Seq[Float]]] = (0 until m).map(s =>
-      initRows.map(v => v.slice(s * dSub, (s + 1) * dSub)).toIndexedSeq)
+      (0 until k).map(c => initRows(c % initRows.length)
+        .slice(s * dSub, (s + 1) * dSub)))
     var iter = 0
     while (iter < maxIter) {
       val coded = df
