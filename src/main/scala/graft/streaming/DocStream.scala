@@ -51,20 +51,30 @@ object DocStream {
     * operator keeps the ingest and backfill paths from drifting — the
     * same property [[ingest]] pins for the cleaning stages. The sink
     * callback receives (matches, batchId); production would append to
-    * the quarantine table and fold confirmed dups into the index. */
+    * the quarantine table and fold confirmed dups into the index.
+    *
+    * `checkpoint`, when set, makes the query RESTARTABLE: offsets commit
+    * there after each micro-batch, so a stopped (or killed) query
+    * resumed from the same checkpoint replays only uncommitted batches —
+    * committed ones are never re-delivered to `sink`, in-flight ones are
+    * retried with the SAME batchId (foreachBatch's at-least-once
+    * contract; an idempotent-by-batchId sink makes it exactly-once). */
   def probeStream(
       index: Dedup.MinhashIndex,
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
-      jaccardThreshold: Double = 0.7)
-      (sink: (DataFrame, Long) => Unit): StreamingQuery =
-    docs.writeStream
+      jaccardThreshold: Double = 0.7,
+      checkpoint: Option[String] = None)
+      (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val w = docs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         sink(Dedup.minhashProbe(index, batch.toDF(), textCol, idCol,
           jaccardThreshold), batchId)
       }
-      .start()
+    checkpoint.foreach(w.option("checkpointLocation", _))
+    w.start()
+  }
 
   /** Streaming ANN-index maintenance: every micro-batch of embedding
     * rows is stamped with its coarse IVF cell and PQ code by the SAME
@@ -80,11 +90,14 @@ object DocStream {
       embeddings: DataFrame,
       coarse: Clustering.KMeansModel,
       pq: Clustering.PQModel,
-      vecCol: String = "embedding")
-      (sink: (DataFrame, Long) => Unit): StreamingQuery =
-    embeddings.writeStream
+      vecCol: String = "embedding",
+      checkpoint: Option[String] = None)
+      (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val w = embeddings.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         sink(Clustering.buildIvfPq(batch.toDF(), vecCol, coarse, pq), batchId)
       }
-      .start()
+    checkpoint.foreach(w.option("checkpointLocation", _))
+    w.start()
+  }
 }
