@@ -293,6 +293,17 @@ object SparkEntry {
       pipeline.Profiling.topValues(t(s, dir, "lineitem"), "l_quantity", 5)
         .select(col("value").cast("double").alias("value"), col("cnt"))),
 
+    // approximate top-k frequent values — the bounded-state scale path
+    // (native approx_top_k sketch, no value-keyed shuffle). On a
+    // ≤maxItemsTracked-cardinality column the sketch never evicts, so
+    // counts are EXACT and the oracle replays the exact SQL
+    "q_top_values_approx" -> ((s, dir) =>
+      pipeline.Profiling.approxTopValues(t(s, dir, "lineitem"),
+        "l_quantity", 5)
+        .limit(5)
+        .select(col("value").cast("double").alias("value"),
+          col("cnt").cast("long").alias("cnt"))),
+
     // grouped top-k frequent values: the per-join-key hot-value probe
     // (which values of each key need salting) — exact, deterministic
     // (count desc, value asc), replayed by the oracle's window
@@ -797,6 +808,22 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // SQ8 compressed-scan top-k: the full-corpus scan reads int8 codes
+    // only (codegen'd Σ q_i·code_i + affine min/max correction); a
+    // 100-candidate shortlist re-ranks with exact cosine on floats.
+    // SQ8 quantization error (64 dims, per-vector min/max) is far too
+    // small to push a true top-10 vector out of the approx top-100, so
+    // the result is EXACT — the oracle replays the exact cosine top-10
+    // in SQL, no pinned boolean needed.
+    "q_sq8_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      val quant = pipeline.Embeddings.scalarQuantize(emb, "embedding")
+      pipeline.Similarity.sq8TopK(quant, "embedding", "vec_id", q,
+        k = 10, shortlist = 100)
+    }),
+
     // embedding near-dup pairs via multi-table hyperplane LSH + exact
     // cosine ≥ 0.95. The raw corpus has no near-dups (max pairwise cosine
     // ≈0.51), so 10 deterministic near-duplicate vectors are planted —
@@ -1005,6 +1032,32 @@ object SparkEntry {
         .select("embedding").head().getSeq[Float](0)
       val got = pipeline.Clustering.ivfPqTopK(corpus, "embedding", "vec_id",
         coarse, pq, q, k = 10, nProbe = 4, shortlist = 100)
+        .select(col("vec_id"))
+      val brute = pipeline.Similarity.bruteForceTopK(emb, "embedding",
+        "vec_id", q, k = 10).select(col("vec_id"))
+      got.join(brute, "vec_id")
+        .agg((count(lit(1)) >= 7).alias("recall_ok"))
+        .select(lit(0L).alias("query_id"), lit(10).alias("k"), col("recall_ok"))
+    }),
+
+    // RESIDUAL IVF-PQ (IVFADC, Jégou 2011 §IV-A): codes quantize
+    // x − centroid[cell], so the code budget covers within-cell detail
+    // instead of re-encoding cell position; search corrects ADC with the
+    // per-cell ⟨q, centroid⟩ constant (inner-product decomposition — one
+    // LUT, one scan, no per-cell branches). Same ≥7/10 bar as the raw
+    // layout through the same pruning and quantization.
+    "q_ivfpq_res_recall" -> ((s, dir) => {
+      val emb = certGuard(t(s, dir, "embeddings"), "q_ivfpq_res_recall")
+      val coarse = pipeline.Clustering.fitKMeans(emb, "embedding", "vec_id",
+        k = 8, maxIter = 4)
+      val pq = pipeline.Clustering.fitResidualPQ(emb, "embedding", "vec_id",
+        coarse, m = 16, k = 16, maxIter = 4)
+      val corpus = pipeline.Clustering.buildIvfPqResidual(
+        emb, "embedding", coarse, pq)
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      val got = pipeline.Clustering.ivfPqResidualTopK(corpus, "embedding",
+        "vec_id", coarse, pq, q, k = 10, nProbe = 4, shortlist = 100)
         .select(col("vec_id"))
       val brute = pipeline.Similarity.bruteForceTopK(emb, "embedding",
         "vec_id", q, k = 10).select(col("vec_id"))
@@ -1297,6 +1350,10 @@ object SparkEntry {
          FROM (SELECT unnest(['l_discount', 'l_partkey', 'l_quantity']) AS c)
          ORDER BY "column"""",
     "q_top_values" ->
+      """SELECT l_quantity::DOUBLE AS value, count(*)::BIGINT AS cnt
+         FROM lineitem GROUP BY 1
+         ORDER BY cnt DESC, value ASC LIMIT 5""",
+    "q_top_values_approx" ->
       """SELECT l_quantity::DOUBLE AS value, count(*)::BIGINT AS cnt
          FROM lineitem GROUP BY 1
          ORDER BY cnt DESC, value ASC LIMIT 5""",
@@ -1821,6 +1878,19 @@ object SparkEntry {
             sqrt(list_sum(list_transform(generate_series(1, len(qe)),
              i -> qe[i]::DOUBLE * qe[i]::DOUBLE))))) * 1e6 + 0.5) / 1e6 AS score
          FROM embeddings, q WHERE vec_id < 200 ORDER BY vec_id""",
+    "q_sq8_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         scored AS (
+           SELECT vec_id, floor((
+             list_sum(list_transform(generate_series(1, len(embedding)),
+               i -> embedding[i]::DOUBLE * qe[i]::DOUBLE)) /
+             (sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+               i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) *
+              sqrt(list_sum(list_transform(generate_series(1, len(qe)),
+               i -> qe[i]::DOUBLE * qe[i]::DOUBLE))))) * 1e6 + 0.5) / 1e6 AS score
+           FROM embeddings, q)
+         SELECT vec_id, score FROM scored
+         ORDER BY score DESC, vec_id ASC LIMIT 10""",
     "q_ann_recall" ->
       """SELECT * FROM (VALUES (0, 10, CAST(true AS BOOLEAN)),
                               (7, 10, CAST(true AS BOOLEAN)),
@@ -1839,6 +1909,9 @@ object SparkEntry {
       """SELECT 0::BIGINT AS query_id, 10 AS k,
            CAST(true AS BOOLEAN) AS recall_ok""",
     "q_ivfpq_recall" ->
+      """SELECT 0::BIGINT AS query_id, 10 AS k,
+           CAST(true AS BOOLEAN) AS recall_ok""",
+    "q_ivfpq_res_recall" ->
       """SELECT 0::BIGINT AS query_id, 10 AS k,
            CAST(true AS BOOLEAN) AS recall_ok""",
     "q_zorder_gate" ->

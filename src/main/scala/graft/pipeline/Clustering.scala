@@ -425,6 +425,95 @@ object Clustering {
       pq: PQModel): DataFrame =
     assignPQ(assign(df, vecCol, coarse, "ivf_cell"), vecCol, pq)
 
+  /** Fit a PQ codebook on coarse-cell RESIDUALS (x − centroid[cell]) —
+    * the IVFADC layout of Jégou 2011 §IV-A. The coarse quantizer already
+    * localizes a vector to its cell; quantizing the residual spends the
+    * whole code budget on the within-cell detail, which is what raw-x
+    * codes waste re-encoding the cell position. Same fit machinery as
+    * [[fitPQ]], run over a residual column computed map-side by the
+    * codegen'd `graft_centroid_residual` expression. */
+  def fitResidualPQ(df: DataFrame, vecCol: String, idCol: String,
+      coarse: KMeansModel, m: Int, k: Int, maxIter: Int = 4,
+      seed: Long = 42L): PQModel = {
+    val withRes = assign(df, vecCol, coarse, "__graft_cell")
+      .withColumn("__graft_res", org.apache.spark.sql.graft.sketch
+        .centroid_residual(col(vecCol), col("__graft_cell"),
+          coarse.centroids))
+    fitPQ(withRes, "__graft_res", idCol, m, k, maxIter, seed)
+  }
+
+  /** Encode an IVF-PQ corpus with RESIDUAL codes: `ivf_cell` +
+    * `pq_code` of (x − centroid[cell]). Map-side like [[buildIvfPq]];
+    * search with [[ivfPqResidualTopK]] (plain [[ivfPqTopK]] would score
+    * residual codes against a raw-query LUT and rank garbage). */
+  def buildIvfPqResidual(df: DataFrame, vecCol: String,
+      coarse: KMeansModel, pq: PQModel): DataFrame = {
+    val celled = assign(df, vecCol, coarse, "ivf_cell")
+    assignPQ(
+      celled.withColumn("__graft_res", org.apache.spark.sql.graft.sketch
+        .centroid_residual(col(vecCol), col("ivf_cell"), coarse.centroids)),
+      "__graft_res", pq)
+      .drop("__graft_res")
+  }
+
+  /** Residual IVF-PQ search. Inner-product decomposition keeps the scan
+    * single-pass: ⟨q, x⟩ = ⟨q, centroid_cell⟩ + ⟨q, residual⟩, so the
+    * ADC lookup table over residual codebooks is CELL-INDEPENDENT (it
+    * contracts q, not q − centroid, with the codebooks) and the cell
+    * contributes one driver-computed constant — score = const[cell] +
+    * ADC(code), all inside whole-stage codegen, no per-cell branches.
+    * (Classic L2-metric IVFADC needs a LUT per probed cell; the
+    * inner-product form does not.) Shortlist then re-ranks exactly on
+    * the float vectors, same as [[ivfPqTopK]]. */
+  def ivfPqResidualTopK(corpus: DataFrame, vecCol: String, idCol: String,
+      coarse: KMeansModel, pq: PQModel, query: Seq[Float], k: Int,
+      nProbe: Int = 4, shortlist: Int = 100): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    def dotc(c: Seq[Float]): Double = {
+      var d = 0.0
+      val n = math.min(c.length, query.length)
+      var i = 0
+      while (i < n) { d += c(i).toDouble * query(i); i += 1 }
+      d
+    }
+    def cos(c: Seq[Float]): Double = {
+      var cn = 0.0; var qn = 0.0
+      c.foreach(x => cn += x.toDouble * x)
+      query.foreach(x => qn += x.toDouble * x)
+      val den = math.sqrt(cn) * math.sqrt(qn)
+      if (den == 0.0) 0.0 else dotc(c) / den
+    }
+    val cells = coarse.centroids.indices
+      .sortBy(i => (-cos(coarse.centroids(i)), i)).take(nProbe)
+    val consts = coarse.centroids.map(dotc) // k doubles, driver-side
+    val kPer = pq.codebooks.head.length
+    val lut = new Array[Double](pq.m * kPer)
+    for (s <- 0 until pq.m; c <- 0 until kPer) {
+      val cent = pq.codebooks(s)(c)
+      var dot = 0.0
+      var j = 0
+      while (j < pq.dSub) {
+        dot += query(s * pq.dSub + j).toDouble * cent(j); j += 1
+      }
+      lut(s * kPer + c) = dot
+    }
+    val probed = corpus.filter(col("ivf_cell").isin(cells.map(Int.box): _*))
+    val cand = probed
+      .withColumn("__adc", org.apache.spark.sql.graft.sketch
+        .pq_adc_score(col("pq_code"), lut.toIndexedSeq, kPer) +
+        element_at(typedlit(consts), col("ivf_cell") + 1))
+      .orderBy(col("__adc").desc, col(idCol).asc)
+      .limit(shortlist)
+      .select(col(idCol))
+    val qLit = array(query.map(v => lit(v)): _*)
+    probed
+      .join(broadcast(cand), idCol)
+      .withColumn("score", Similarity.cosine(col(vecCol), qLit))
+      .select(col(idCol), Rounding.halfUp(col("score"), 6).alias("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** IVF-PQ search: probe cells chosen DRIVER-SIDE from the coarse
     * model (zero jobs, like [[ivfTopK]]), ADC scores codes inside the
     * probed cells only, and the shortlist re-ranks exactly. Plan: scan →

@@ -64,6 +64,27 @@ object Profiling {
       .limit(k)
   }
 
+  /** Approximate top-k frequent values — the bounded-state scale path
+    * for [[topValues]]: the exact version's hash aggregate keys on
+    * EVERY distinct value, so a high-cardinality column at corpus scale
+    * shuffles a distinct-sized aggregate; this one runs Spark's native
+    * `approx_top_k` sketch (Apache DataSketches frequent-items under
+    * the hood) — per-partition state bounded by `maxItemsTracked`,
+    * merged once, no value-keyed shuffle at all. Counts are exact
+    * whenever the column's distinct count ≤ `maxItemsTracked` (the
+    * sketch never evicts), which is precisely the regime the profiler
+    * queries it in; beyond that they are ±error heavy-hitter estimates.
+    * Output matches [[topValues]]: (`value`, `cnt`), count desc,
+    * value-asc tiebreak. */
+  def approxTopValues(df: DataFrame, c: String, k: Int,
+      maxItemsTracked: Int = 10000): DataFrame = {
+    require(k > 0, "k must be positive")
+    df.select(expr(s"approx_top_k(`$c`, $k, $maxItemsTracked)").alias("tk"))
+      .select(explode(col("tk")).alias("e"))
+      .select(col("e.item").alias("value"), col("e.count").alias("cnt"))
+      .orderBy(col("cnt").desc, col("value").asc)
+  }
+
   /** Top-k most frequent values per group: (`groupCols`…, `value`,
     * `cnt`, `rn` 1-based), count desc with value-asc tiebreak inside
     * each group — the per-join-key skew probe ([[Skew.saltedJoin]]'s

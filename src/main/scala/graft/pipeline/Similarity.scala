@@ -57,6 +57,42 @@ object Similarity {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
 
+  /** Brute-force top-k over an SQ8-quantized corpus (codes from
+    * [[Embeddings.scalarQuantize]]): the full-corpus scan reads INT
+    * codes, never float vectors — with x̂_i = min + code_i·(max−min)/255,
+    * ⟨q, x̂⟩ = min·Σq + (max−min)/255 · Σ q_i·code_i, where Σq is one
+    * driver-side constant and the code contraction is the codegen'd
+    * `graft_sq8_dot` loop. The affine correction is plain column
+    * arithmetic. A `shortlist` of approximate winners then re-ranks
+    * with exact cosine on the float vectors (broadcast semi-join —
+    * float data touched for `shortlist` rows only). The 4×-smaller scan
+    * footprint (and parquet's bit-packed int encoding) is the
+    * memory-bandwidth lever for corpus-wide scans when an IVF/PQ index
+    * isn't built; unit-norm corpus makes the approximate ranking track
+    * cosine. */
+  def sq8TopK(quantized: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Float], k: Int, shortlist: Int = 100,
+      codesCol: String = "codes", minCol: String = "q_min",
+      maxCol: String = "q_max"): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    val sumQ = query.foldLeft(0.0)(_ + _.toDouble)
+    val approx = col(minCol) * lit(sumQ) +
+      (col(maxCol) - col(minCol)) / lit(255.0) *
+        org.apache.spark.sql.graft.sketch.sq8_dot(col(codesCol), query)
+    val cand = quantized
+      .withColumn("__approx", approx)
+      .orderBy(col("__approx").desc, col(idCol).asc)
+      .limit(shortlist)
+      .select(col(idCol))
+    val q = array(query.map(v => lit(v)): _*)
+    quantized
+      .join(broadcast(cand), idCol)
+      .withColumn("score", cosine(col(vecCol), q))
+      .select(col(idCol), Rounding.halfUp(col("score"), 6).alias("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** IVF-style ANN: coarse quantization by nearest sampled centroid.
     *
     * `buildIvf` samples `nCentroids` corpus vectors deterministically (by

@@ -291,6 +291,39 @@ object GraftHashOps {
     if (best < 0) 0 else best
   }
 
+  /** Coarse-cell residual: x − centroids(cell), the IVFADC encode input
+    * (Jégou 2011 §IV-A — quantizing the residual instead of the raw
+    * vector spends the code budget on the within-cell detail the coarse
+    * quantizer already localized). Out-of-range cells fail fast. */
+  def centroidResidual(v: ArrayData, cell: Int,
+      table: Array[Array[Float]]): ArrayData = {
+    if (cell < 0 || cell >= table.length)
+      throw new IllegalArgumentException(
+        s"cell $cell out of range [0, ${table.length})")
+    val cent = table(cell)
+    val n = v.numElements()
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      out(i) = v.getFloat(i) - (if (i < cent.length) cent(i) else 0f)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Σ_i q(i)·codes(i) — the code-side contraction of an SQ8
+    * (per-vector min/max scalar-quantized) inner product: with
+    * x̂_i = min + code_i·(max−min)/255,
+    * ⟨q, x̂⟩ = min·Σq + (max−min)/255 · THIS. Integer codes never touch
+    * float reconstruction inside the scan. */
+  def sq8Dot(codes: ArrayData, q: Array[Float]): Double = {
+    val n = math.min(codes.numElements(), q.length)
+    var sum = 0.0
+    var i = 0
+    while (i < n) { sum += q(i) * codes.getInt(i).toDouble; i += 1 }
+    sum
+  }
+
   /** Asymmetric-distance (ADC) score of one PQ code row: Σ_s
     * lut[s·kPer + codes(s)], where `lut` is the query's flat
     * per-subspace inner-product table. m array reads per row in a tight
@@ -628,6 +661,70 @@ case class PqAdcScore(child: Expression, lut: Seq[Double], kPer: Int)
     copy(child = newChild)
 }
 
+/** Code-side SQ8 inner-product contraction Σ q_i·code_i (see
+  * GraftHashOps.sq8Dot). The query rides as a reference object; the
+  * per-row work is one fused int-load/multiply-add loop inside
+  * whole-stage codegen — the scan never reconstructs floats, the
+  * (q_min, q_max) affine correction is plain column arithmetic
+  * outside. */
+case class Sq8Dot(child: Expression, query: Seq[Float])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(IntegerType))
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_sq8_dot"
+
+  @transient private lazy val q: Array[Float] = query.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Double.valueOf(GraftHashOps.sq8Dot(
+      input.asInstanceOf[ArrayData], q))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val qRef = ctx.addReferenceObj("query", q, "float[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${Gen.Ops}.sq8Dot($c, $qRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Sq8Dot =
+    copy(child = newChild)
+}
+
+/** Coarse-cell residual x − centroids[cell] (see
+  * GraftHashOps.centroidResidual) — the map-side encode input of
+  * residual IVF-PQ. The centroid table rides as a reference object
+  * (coarse tables are k·d floats; for very large k pair this with a
+  * broadcast the way [[NearestCentroidBroadcast]] does for assignment).
+  * Codegen'd: a zip_with(vec, element_at(...)) composition would be a
+  * CodegenFallback HOF on the full-corpus encode scan. */
+case class CentroidResidual(left: Expression, right: Expression,
+    centroids: Seq[Seq[Float]])
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), IntegerType)
+  override def prettyName: String = "graft_centroid_residual"
+
+  @transient private lazy val cs: Array[Array[Float]] =
+    centroids.map(_.toArray).toArray
+
+  override def nullSafeEval(vec: Any, cell: Any): Any =
+    GraftHashOps.centroidResidual(vec.asInstanceOf[ArrayData],
+      cell.asInstanceOf[Int], cs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val csRef = ctx.addReferenceObj("centroids", cs, "float[][]")
+    nullSafeCodeGen(ctx, ev, (v, c) =>
+      s"${ev.value} = ${Gen.Ops}.centroidResidual($v, $c, $csRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CentroidResidual =
+    copy(left = newLeft, right = newRight)
+}
+
 /** L2 normalization of a float vector (codegen'd; see
   * GraftHashOps.l2Normalize). */
 case class L2Normalize(child: Expression)
@@ -699,4 +796,9 @@ object sketch {
     column(BucketIndex(expression(c), bounds))
   def pq_adc_score(c: Column, lut: Seq[Double], kPer: Int): Column =
     column(PqAdcScore(expression(c), lut, kPer))
+  def centroid_residual(vec: Column, cell: Column,
+      centroids: Seq[Seq[Float]]): Column =
+    column(CentroidResidual(expression(vec), expression(cell), centroids))
+  def sq8_dot(codes: Column, query: Seq[Float]): Column =
+    column(Sq8Dot(expression(codes), query))
 }

@@ -236,6 +236,39 @@ class ClusteringSpec extends SparkSpec {
     assert((got & brute).size >= 7, s"IVF-PQ recall@10: ${(got & brute).size}")
   }
 
+  test("residual IVF-PQ: residual codes + const-corrected ADC reach brute-force recall") {
+    val emb = sf("embeddings")
+    val coarse = Clustering.fitKMeans(emb, "embedding", "vec_id", k = 8,
+      maxIter = 4)
+    val pq = Clustering.fitResidualPQ(emb, "embedding", "vec_id", coarse,
+      m = 16, k = 16, maxIter = 4)
+    val corpus = Clustering.buildIvfPqResidual(emb, "embedding", coarse, pq)
+    // residual encode is still one map-side projection: no exchange
+    val buildPlan = corpus.queryExecution.executedPlan.toString
+    assert(!buildPlan.contains("Exchange"),
+      s"buildIvfPqResidual must not shuffle:\n$buildPlan")
+    // the residual expression is exact arithmetic: x − centroid[cell]
+    val sample = Clustering.assign(emb, "embedding", coarse, "ivf_cell")
+      .withColumn("res", org.apache.spark.sql.graft.sketch
+        .centroid_residual(col("embedding"), col("ivf_cell"),
+          coarse.centroids))
+      .select("embedding", "ivf_cell", "res").head()
+    val (v, cell, res) = (sample.getSeq[Float](0), sample.getInt(1),
+      sample.getSeq[Float](2))
+    v.indices.foreach { i =>
+      assert(math.abs(res(i) - (v(i) - coarse.centroids(cell)(i))) < 1e-6f)
+    }
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    val got = Clustering.ivfPqResidualTopK(corpus, "embedding", "vec_id",
+      coarse, pq, q, k = 10, nProbe = 4, shortlist = 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.contains(0L), "self-match must surface")
+    val brute = Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert((got & brute).size >= 7, s"residual IVF-PQ recall@10: ${(got & brute).size}")
+  }
+
   test("semantic dedup catches planted near-identical vectors, keeps the rest") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -108,6 +108,32 @@ class EmbeddingsSpec extends SparkSpec {
       s"overlap ${exact.intersect(compressed).size}: $exact vs $compressed")
   }
 
+  test("sq8TopK: int-code scan + exact re-rank matches brute force; scan never reads floats for scoring") {
+    val q = emb.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0)
+    val quant = Embeddings.scalarQuantize(emb, "embedding")
+    val got = Similarity.sq8TopK(quant, "embedding", "vec_id", q, k = 10,
+      shortlist = 100)
+    // exact re-rank over a 100-shortlist on this corpus recovers the
+    // exact top-10 and its exact scores
+    val exact = Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      == exact)
+    // decomposition identity check: approx score equals the dot of the
+    // dequantized vector on a sample row
+    val row = quant.filter(col("vec_id") === 7L).head()
+    val codes = row.getSeq[Int](row.fieldIndex("codes"))
+    val (mn, mx) = (row.getDouble(row.fieldIndex("q_min")),
+      row.getDouble(row.fieldIndex("q_max")))
+    val sumQ = q.map(_.toDouble).sum
+    val dotCodes = codes.zip(q).map { case (c, x) => c * x.toDouble }.sum
+    val viaDecomp = mn * sumQ + (mx - mn) / 255.0 * dotCodes
+    val direct = codes.zip(q).map { case (c, x) =>
+      (mn + c * (mx - mn) / 255.0) * x }.sum
+    assert(math.abs(viaDecomp - direct) < 1e-9)
+  }
+
   test("projection approximately preserves cosine structure") {
     // JL with k=32 on d=64: per-pair cosine error concentrates around
     // 1/sqrt(k) ≈ 0.18; assert a loose deterministic bound on fixed pairs

@@ -36,6 +36,27 @@ class ProfilingSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$plan")
   }
 
+  test("approxTopValues matches exact topValues below sketch capacity; no value-keyed exchange") {
+    import spark.implicits._
+    val d = Seq(3.0, 1.0, 1.0, 2.0, 2.0, 5.0).toDF("x")
+    val got = Profiling.approxTopValues(d, "x", 3)
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    assert(got == Seq((1.0, 2L), (2.0, 2L), (3.0, 1L)))
+    // real data, string column: sketch capacity ≥ cardinality → exact
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val exact = Profiling.topValues(ev, "event_type", 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val approx = Profiling.approxTopValues(ev, "event_type", 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(approx == exact, s"$approx vs $exact")
+    // the scale property: ONE exchange (the sketch merge), never a
+    // hash aggregate keyed on the values themselves
+    val plan = Profiling.approxTopValues(ev, "event_type", 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning(value"),
+      s"value-keyed exchange in approx path:\n$plan")
+  }
+
   test("describe cardinality lands within 2% of exact on real data") {
     val rows = SparkEntry.queries("q_cardinality_gate")(
       spark, "/root/testdata/sf0.001").collect()
