@@ -314,6 +314,16 @@ object SparkEntry {
           col("cnt"), col("rn"))
         .orderBy("l_returnflag", "rn")),
 
+    // grouped approximate top-k — one bounded sketch per group instead
+    // of a (group, value)-keyed aggregate; exact below sketch capacity,
+    // so the oracle is the same exact window as q_top_values_by
+    "q_top_values_by_approx" -> ((s, dir) =>
+      pipeline.Profiling.approxTopValuesBy(t(s, dir, "lineitem"),
+        Seq("l_returnflag"), "l_quantity", k = 3)
+        .select(col("l_returnflag"), col("value").cast("double").alias("value"),
+          col("cnt").cast("long").alias("cnt"), col("rn"))
+        .orderBy("l_returnflag", "rn")),
+
     // equi-width histogram: exact per-bucket counts over the price
     // column (two bounded aggregate passes; empty buckets emitted)
     "q_histogram" -> ((s, dir) =>
@@ -806,6 +816,25 @@ object SparkEntry {
         .filter(col("vec_id") < 200)
         .select(col("vec_id"), pipeline.Rounding.halfUp(col("score"), 6).alias("score"))
         .orderBy("vec_id")
+    }),
+
+    // Batched k-NN join: every query row gets its top-5 corpus
+    // neighbors in ONE corpus pass (per-row probe-cell expression →
+    // cell equi-join with broadcast queries → windowed top-k with
+    // group-limit pushdown). nProbe = all 8 cells ⇒ no pruning ⇒ the
+    // result is exact and the oracle replays it as a per-query cosine
+    // window in SQL.
+    "q_knn_join" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val coarse = pipeline.Clustering.fitKMeans(emb, "embedding", "vec_id",
+        k = 8, maxIter = 4)
+      val corpus = pipeline.Clustering.assign(emb, "embedding", coarse,
+        "ivf_cell")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").alias("q_id"), col("embedding").alias("q_vec"))
+      pipeline.Clustering.knnJoin(corpus, queries, "embedding", "vec_id",
+        "q_id", "q_vec", coarse, k = 5, nProbe = 8)
+        .orderBy("q_id", "rn")
     }),
 
     // SQ8 compressed-scan top-k: the full-corpus scan reads int8 codes
@@ -1365,6 +1394,14 @@ object SparkEntry {
                     ORDER BY count(*) DESC, l_quantity::DOUBLE ASC)::INT AS rn
            FROM lineitem GROUP BY l_returnflag, l_quantity) t
          WHERE rn <= 3 ORDER BY l_returnflag, rn""",
+    "q_top_values_by_approx" ->
+      """SELECT l_returnflag, value, cnt, rn FROM (
+           SELECT l_returnflag, l_quantity::DOUBLE AS value,
+                  count(*)::BIGINT AS cnt,
+                  row_number() OVER (PARTITION BY l_returnflag
+                    ORDER BY count(*) DESC, l_quantity::DOUBLE ASC)::INT AS rn
+           FROM lineitem GROUP BY l_returnflag, l_quantity) t
+         WHERE rn <= 3 ORDER BY l_returnflag, rn""",
     "q_histogram" ->
       """WITH b AS (SELECT min(l_extendedprice::DOUBLE) AS mn,
                            max(l_extendedprice::DOUBLE) AS mx FROM lineitem),
@@ -1878,6 +1915,22 @@ object SparkEntry {
             sqrt(list_sum(list_transform(generate_series(1, len(qe)),
              i -> qe[i]::DOUBLE * qe[i]::DOUBLE))))) * 1e6 + 0.5) / 1e6 AS score
          FROM embeddings, q WHERE vec_id < 200 ORDER BY vec_id""",
+    "q_knn_join" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+                    FROM embeddings WHERE vec_id < 3),
+         scored AS (
+           SELECT q.q_id, e.vec_id, floor((
+             list_sum(list_transform(generate_series(1, len(e.embedding)),
+               i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE)) /
+             (sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+               i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) *
+              sqrt(list_sum(list_transform(generate_series(1, len(q.qe)),
+               i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE))))) * 1e6 + 0.5) / 1e6 AS score
+           FROM embeddings e, q)
+         SELECT q_id, vec_id, score, rn FROM (
+           SELECT *, row_number() OVER (PARTITION BY q_id
+             ORDER BY score DESC, vec_id ASC)::INT AS rn FROM scored)
+         WHERE rn <= 5 ORDER BY q_id, rn""",
     "q_sq8_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          scored AS (

@@ -425,6 +425,50 @@ object Clustering {
       pq: PQModel): DataFrame =
     assignPQ(assign(df, vecCol, coarse, "ivf_cell"), vecCol, pq)
 
+  /** Batched k-NN join: EVERY query row gets its k nearest corpus
+    * neighbors in one pass — the linking shape (dedup a new shard
+    * against the corpus, attach citations, build a similarity graph)
+    * where running the single-query search per row would launch one job
+    * per query.
+    *
+    * Shape: each query row picks its `nProbe` probe cells with the
+    * codegen'd per-row top-n centroid expression (queries are DATA, so
+    * the single-query drivers' driver-side cell ranking cannot run),
+    * explodes to (cell, query), and equi-joins the IVF-assigned corpus
+    * on the cell — with a broadcast query side the corpus is scanned
+    * exactly once, map-side, no corpus shuffle. Exact cosine scores the
+    * surviving (corpus row × query) candidates — a nProbe/nCells
+    * fraction of the cross product — and a per-query window keeps the
+    * top k. The single exchange in the plan carries candidates keyed by
+    * query id, never the corpus. Query batches beyond broadcast size
+    * shift the equi-join to a cell-keyed shuffle — same plan, still no
+    * cross product.
+    *
+    * Returns (`qIdCol`, `idCol`, `score`, `rn` 1-based). Approximate
+    * exactly like [[ivfTopK]]: recall bounded by cell pruning;
+    * `nProbe` = number of centroids makes it exact. */
+  def knnJoin(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, qIdCol: String, qVecCol: String,
+      coarse: KMeansModel, k: Int, nProbe: Int = 4,
+      cellCol: String = "ivf_cell"): DataFrame = {
+    require(k > 0 && nProbe > 0, "k and nProbe must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val probes = queries
+      .select(col(qIdCol), col(qVecCol).alias("__graft_qvec"))
+      .withColumn(cellCol, explode(
+        org.apache.spark.sql.graft.sketch.nearest_centroids_topn(
+          col("__graft_qvec"), coarse.centroids, nProbe)))
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("score").desc, col(idCol).asc)
+    corpus
+      .join(broadcast(probes), cellCol)
+      .withColumn("score", Rounding.halfUp(
+        Similarity.cosine(col(vecCol), col("__graft_qvec")), 6))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col(qIdCol), col(idCol), col("score"), col("rn"))
+  }
+
   /** Fit a PQ codebook on coarse-cell RESIDUALS (x − centroid[cell]) —
     * the IVFADC layout of Jégou 2011 §IV-A. The coarse quantizer already
     * localizes a vector to its cell; quantizing the residual spends the

@@ -79,10 +79,42 @@ object Profiling {
   def approxTopValues(df: DataFrame, c: String, k: Int,
       maxItemsTracked: Int = 10000): DataFrame = {
     require(k > 0, "k must be positive")
-    df.select(expr(s"approx_top_k(`$c`, $k, $maxItemsTracked)").alias("tk"))
+    // fetch the sketch's full tracked set and cut to k OUTSIDE it: the
+    // sketch's own top-k truncation breaks count-ties arbitrarily,
+    // which would make the boundary row nondeterministic (the exact
+    // path's contract is value-asc on ties) — the over-fetch costs one
+    // in-memory array, no extra state or exchange
+    df.select(expr(
+        s"approx_top_k(`$c`, $maxItemsTracked, $maxItemsTracked)").alias("tk"))
       .select(explode(col("tk")).alias("e"))
       .select(col("e.item").alias("value"), col("e.count").alias("cnt"))
       .orderBy(col("cnt").desc, col("value").asc)
+      .limit(k)
+  }
+
+  /** Grouped [[approxTopValues]]: one sketch per group key —
+    * (`groupCols`…, `value`, `cnt`, `rn`), the [[topValuesBy]] contract
+    * with bounded per-group state instead of a (group, value)-keyed
+    * aggregate. The re-rank window runs on already-group-partitioned
+    * sketch output (k rows per group), so it adds no exchange beyond
+    * the groupBy's own. */
+  def approxTopValuesBy(df: DataFrame, groupCols: Seq[String], c: String,
+      k: Int, maxItemsTracked: Int = 10000): DataFrame = {
+    require(groupCols.nonEmpty && k > 0, "groupCols non-empty, k positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("cnt").desc, col("value").asc)
+    // full tracked set fetched, cut to k by the deterministic window
+    // (see approxTopValues on why the sketch's own truncation can't be
+    // trusted with boundary ties)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(expr(
+        s"approx_top_k(`$c`, $maxItemsTracked, $maxItemsTracked)").alias("tk"))
+      .select((groupCols.map(col) :+ explode(col("tk")).alias("e")): _*)
+      .select((groupCols.map(col) :+ col("e.item").alias("value")
+        :+ col("e.count").alias("cnt")): _*)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
   }
 
   /** Top-k most frequent values per group: (`groupCols`…, `value`,

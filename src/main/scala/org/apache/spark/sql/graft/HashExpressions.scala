@@ -291,6 +291,59 @@ object GraftHashOps {
     if (best < 0) 0 else best
   }
 
+  /** The n nearest centroids by cosine, ascending-similarity-last —
+    * i.e. result(0) is the argmax [[nearestCentroid]] would return, ties
+    * broken by lower index (same rule). The per-query probe-cell
+    * selection of a batched k-NN join, where queries are ROWS and the
+    * driver-side sort used by the single-query search cannot run.
+    * Insertion-select into fixed arrays: n is the nProbe knob (≤ tens),
+    * so O(k·n) beats a heap. Zero/NaN vectors fall back to cell 0,
+    * matching [[nearestCentroid]]. */
+  def nearestCentroidsTopN(v: ArrayData, cs: Array[Array[Float]],
+      n: Int): ArrayData = {
+    val dims = v.numElements()
+    var vn = 0.0
+    var i = 0
+    while (i < dims) { val x = v.getFloat(i).toDouble; vn += x * x; i += 1 }
+    val vNorm = math.sqrt(vn)
+    val take = math.min(n, cs.length)
+    val topIdx = new Array[Int](take)
+    val topSim = new Array[Double](take)
+    var filled = 0
+    var c = 0
+    while (c < cs.length) {
+      val cv = cs(c)
+      val m = math.min(dims, cv.length)
+      var dot = 0.0
+      var cn = 0.0
+      var j = 0
+      while (j < m) {
+        val x = v.getFloat(j).toDouble
+        val y = cv(j).toDouble
+        dot += x * y
+        cn += y * y
+        j += 1
+      }
+      val sim = dot / (vNorm * math.sqrt(cn))
+      // insert if it beats the current tail (strictly — equal sims keep
+      // the earlier index, the nearestCentroid tie rule); NaN never
+      // inserts, so a degenerate vector hits the filled==0 fallback
+      if (!java.lang.Double.isNaN(sim) &&
+          (filled < take || sim > topSim(filled - 1))) {
+        var pos = if (filled < take) filled else take - 1
+        while (pos > 0 && sim > topSim(pos - 1)) {
+          topSim(pos) = topSim(pos - 1); topIdx(pos) = topIdx(pos - 1)
+          pos -= 1
+        }
+        topSim(pos) = sim; topIdx(pos) = c
+        if (filled < take) filled += 1
+      }
+      c += 1
+    }
+    if (filled == 0) new GenericArrayData(Array(0))
+    else new GenericArrayData(java.util.Arrays.copyOf(topIdx, filled))
+  }
+
   /** Coarse-cell residual: x − centroids(cell), the IVFADC encode input
     * (Jégou 2011 §IV-A — quantizing the residual instead of the raw
     * vector spends the code budget on the within-cell detail the coarse
@@ -661,6 +714,37 @@ case class PqAdcScore(child: Expression, lut: Seq[Double], kPer: Int)
     copy(child = newChild)
 }
 
+/** The n nearest centroids of a vector by cosine, best first (see
+  * GraftHashOps.nearestCentroidsTopN) — per-ROW probe-cell selection
+  * for the batched k-NN join, where the driver-side cell ranking of the
+  * single-query searches cannot run because queries are data. Same
+  * reference-object centroid table and tie rules as
+  * [[NearestCentroidIndex]]. */
+case class NearestCentroidsTopN(child: Expression,
+    centroids: Seq[Seq[Float]], n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_nearest_centroids_topn"
+
+  @transient private lazy val cs: Array[Array[Float]] =
+    centroids.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.nearestCentroidsTopN(input.asInstanceOf[ArrayData], cs, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val csRef = ctx.addReferenceObj("centroids", cs, "float[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${Gen.Ops}.nearestCentroidsTopN($c, $csRef, $n);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidsTopN =
+    copy(child = newChild)
+}
+
 /** Code-side SQ8 inner-product contraction Σ q_i·code_i (see
   * GraftHashOps.sq8Dot). The query rides as a reference object; the
   * per-row work is one fused int-load/multiply-add loop inside
@@ -801,4 +885,7 @@ object sketch {
     column(CentroidResidual(expression(vec), expression(cell), centroids))
   def sq8_dot(codes: Column, query: Seq[Float]): Column =
     column(Sq8Dot(expression(codes), query))
+  def nearest_centroids_topn(vec: Column, centroids: Seq[Seq[Float]],
+      n: Int): Column =
+    column(NearestCentroidsTopN(expression(vec), centroids, n))
 }

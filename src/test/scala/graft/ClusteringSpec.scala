@@ -269,6 +269,50 @@ class ClusteringSpec extends SparkSpec {
     assert((got & brute).size >= 7, s"residual IVF-PQ recall@10: ${(got & brute).size}")
   }
 
+  test("knnJoin: per-query top-k in one pass; exact at full probe; corpus never shuffles") {
+    val emb = sf("embeddings")
+    val coarse = Clustering.fitKMeans(emb, "embedding", "vec_id", k = 8,
+      maxIter = 4)
+    val corpus = Clustering.assign(emb, "embedding", coarse, "ivf_cell")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").alias("q_id"), col("embedding").alias("q_vec"))
+    // nProbe = all cells → no pruning → must equal per-query brute force
+    val full = Clustering.knnJoin(corpus, queries, "embedding", "vec_id",
+      "q_id", "q_vec", coarse, k = 5, nProbe = 8)
+    val got = full.collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    (0L until 3L).foreach { qid =>
+      val q = emb.filter(col("vec_id") === qid)
+        .select("embedding").head().getSeq[Float](0)
+      val brute = Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, 5)
+        .collect().map(_.getLong(0)).toSeq
+      val mine = (1 to 5).map(rn => got((qid, rn)))
+      assert(mine == brute, s"q$qid: $mine vs $brute")
+    }
+    // pruned probe keeps recall on the self-neighborhood
+    val pruned = Clustering.knnJoin(corpus, queries, "embedding", "vec_id",
+      "q_id", "q_vec", coarse, k = 5, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 3L).foreach(qid =>
+      assert(pruned.contains((qid, qid)), s"self-match lost for q$qid"))
+    // plan shape: the corpus reaches the join without an exchange
+    // (broadcast query side); the only exchange keys candidate rows by
+    // query id for the window
+    // AdaptiveSparkPlan.toString prints Final AND Initial sections —
+    // count only the final one
+    val plan = full.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 candidate exchange, got $exchanges:\n$plan")
+    assert(plan.contains("hashpartitioning(q_id"),
+      s"exchange not keyed by query id:\n$plan")
+    // Spark 4's rank-limit pushdown prunes candidates to k per query
+    // BEFORE the exchange — the candidate shuffle carries ≤ k·|queries|
+    // rows, not the joined volume
+    assert(plan.contains("WindowGroupLimit"), s"no group-limit pushdown:\n$plan")
+  }
+
   test("semantic dedup catches planted near-identical vectors, keeps the rest") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -57,6 +57,19 @@ class ProfilingSpec extends SparkSpec {
       s"value-keyed exchange in approx path:\n$plan")
   }
 
+  test("approxTopValuesBy matches exact grouped top-k below sketch capacity") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val exact = Profiling.topValuesBy(ev, Seq("user_id"), "event_type", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getInt(3))).toSet
+    val approx = Profiling.approxTopValuesBy(ev, Seq("user_id"),
+        "event_type", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getInt(3))).toSet
+    assert(approx == exact,
+      s"${(approx -- exact).take(5)} vs ${(exact -- approx).take(5)}")
+  }
+
   test("describe cardinality lands within 2% of exact on real data") {
     val rows = SparkEntry.queries("q_cardinality_gate")(
       spark, "/root/testdata/sf0.001").collect()
