@@ -117,7 +117,8 @@ object Bench {
       // medians are already in `results`)
       val scaleQs = Seq("q_top_ngrams", "q_bm25", "q_lm_score", "q_spans",
         "q_minhash_pairs", // documents replica
-        "q_interval", "q_overlap") // events replica
+        "q_interval", "q_overlap", // events replica
+        "q_knn_join", "q_sq8_topk") // embeddings replica
       /** ×10 a table by disjoint-id replication: each replica offsets the
         * id columns by max(id)+1 — NOT the row count; ids are only
         * disjoint across replicas if the stride clears the real max. */

@@ -372,6 +372,39 @@ object SparkEntry {
         .toDF("column", "within_tol").orderBy("column")
     }),
 
+    // IVF cell-partitioned persistence gate: a corpus written
+    // partitionBy(ivf_cell) must serve a probe's `ivf_cell IN (…)`
+    // via PARTITION pruning — the scan's file set shrinks to the probed
+    // cells' directories (I/O-level nProbe/nCells, the at-rest half of
+    // the IVF story) — and pruning must lose no rows. Eager at
+    // plan-build (q_zorder_gate pattern), booleans pinned by the oracle.
+    "q_ivf_prune" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val coarse = pipeline.Clustering.fitKMeans(emb, "embedding", "vec_id",
+        k = 8, maxIter = 4)
+      val corpus = pipeline.Clustering.assign(emb, "embedding", coarse,
+        "ivf_cell").select(col("vec_id"), col("ivf_cell"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfp")
+      val (filesPruned, rowsOk) = try {
+        pipeline.Clustering.writeIvfPartitioned(corpus, s"$tmp/corpus")
+        val back = s.read.parquet(s"$tmp/corpus")
+        val cells = Seq(0, 1, 2, 3).map(Int.box)
+        val pruned = back.filter(col("ivf_cell").isin(cells: _*))
+        val totalFiles = back.select(input_file_name()).distinct().count()
+        val prunedFiles = pruned.select(input_file_name()).distinct().count()
+        val expect = corpus.filter(col("ivf_cell").isin(cells: _*)).count()
+        (prunedFiles < totalFiles, pruned.count() == expect)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(tmp)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+      import s.implicits._
+      Seq((filesPruned, rowsOk)).toDF("files_pruned", "rows_ok")
+    }),
+
     // Morton z-value (the z-order layout key): pure bit arithmetic, so
     // the oracle replays it exactly — certifies the interleave the
     // writeZOrdered layout path range-partitions on
@@ -1967,6 +2000,9 @@ object SparkEntry {
     "q_ivfpq_res_recall" ->
       """SELECT 0::BIGINT AS query_id, 10 AS k,
            CAST(true AS BOOLEAN) AS recall_ok""",
+    "q_ivf_prune" ->
+      """SELECT CAST(true AS BOOLEAN) AS files_pruned,
+                CAST(true AS BOOLEAN) AS rows_ok""",
     "q_zorder_gate" ->
       """SELECT c AS "column", CAST(true AS BOOLEAN) AS within_tol
          FROM (SELECT unnest(['l_orderkey', 'l_partkey']) AS c)

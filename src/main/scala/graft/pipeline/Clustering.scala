@@ -558,6 +558,19 @@ object Clustering {
       .limit(k)
   }
 
+  /** Persist an IVF(-PQ) corpus PARTITIONED BY CELL — one directory per
+    * `cellCol` value, so a probe's `ivf_cell IN (…)` filter becomes a
+    * partition filter and the scan READS ONLY the probed cells' files
+    * (file-level pruning, before any row is touched). This is the
+    * at-rest layout that turns nProbe/nCells from a row-filter ratio
+    * into an I/O ratio — on a 100 TB corpus the search opens
+    * nProbe/nCells of the bytes. Cell counts are k-means-balanced-ish;
+    * a skewed cell shows up in [[Profiling.topValues]] on `cellCol` and
+    * wants a larger k, not a different writer. */
+  def writeIvfPartitioned(corpus: DataFrame, path: String,
+      cellCol: String = "ivf_cell"): Unit =
+    corpus.write.partitionBy(cellCol).mode("overwrite").parquet(path)
+
   /** IVF-PQ search: probe cells chosen DRIVER-SIDE from the coarse
     * model (zero jobs, like [[ivfTopK]]), ADC scores codes inside the
     * probed cells only, and the shortlist re-ranks exactly. Plan: scan →

@@ -313,6 +313,40 @@ class ClusteringSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"no group-limit pushdown:\n$plan")
   }
 
+  test("cell-partitioned corpus serves probes via partition pruning, no row lost") {
+    val emb = sf("embeddings")
+    val coarse = Clustering.fitKMeans(emb, "embedding", "vec_id", k = 8,
+      maxIter = 4)
+    val corpus = Clustering.assign(emb, "embedding", coarse, "ivf_cell")
+      .select(col("vec_id"), col("ivf_cell"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfp_spec")
+    try {
+      Clustering.writeIvfPartitioned(corpus, s"$tmp/c")
+      val back = spark.read.parquet(s"$tmp/c")
+      val pruned = back.filter(col("ivf_cell").isin(0, 1))
+      // the probe filter must land in the scan's PARTITION filters —
+      // directory-level pruning, not a post-read row filter
+      val scan = pruned.queryExecution.executedPlan.toString
+      val pf = scan.linesIterator.find(_.contains("PartitionFilters"))
+      assert(pf.exists(_.contains("ivf_cell")),
+        s"probe filter not a partition filter:\n$scan")
+      // pruning loses nothing: row parity with the pre-write corpus
+      val expect = corpus.filter(col("ivf_cell").isin(0, 1)).count()
+      assert(pruned.count() == expect)
+      // and the scan opens strictly fewer files than the full corpus
+      val totalFiles = back.select(input_file_name()).distinct().count()
+      val prunedFiles = pruned.select(input_file_name()).distinct().count()
+      assert(prunedFiles < totalFiles,
+        s"no file-level pruning: $prunedFiles of $totalFiles")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(tmp)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   test("semantic dedup catches planted near-identical vectors, keeps the rest") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
