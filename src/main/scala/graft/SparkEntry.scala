@@ -571,6 +571,15 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"), col("sample_score"))
         .orderBy(col("lang"), col("sample_score").desc, col("doc_id"))),
 
+    // per-source quota cap: at most 10 docs per source by md5 priority —
+    // the RefinedWeb-style per-domain cap; rank filter compiles to
+    // WindowGroupLimit so the shuffle carries <= n rows/group/task
+    "q_cap_source" -> ((s, dir) =>
+      pipeline.Sampling.capPerGroup(
+        t(s, dir, "documents").select(col("source"), col("doc_id")),
+        "source", "doc_id", n = 10)
+        .orderBy("source", "doc_id")),
+
     // ---- LLM-pipeline operators (graft.pipeline) ---------------------
     // exact dedup groups (hash-groupBy, keep lowest id)
     "q_dedup_exact" -> ((s, dir) =>
@@ -616,6 +625,48 @@ object SparkEntry {
         docs.filter(col("doc_id") % 7 === 0),
         "text", "doc_id", k = 2, threshold = 0.8)
         .orderBy("bench_id", "train_id")
+    }),
+
+    // Bloom-gated decontamination: same result as q_contain, but the
+    // train corpus is prefiltered map-side by a broadcast Bloom filter
+    // over the bench shingle union — the postings explode runs only on
+    // gated survivors
+    "q_contain_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      pipeline.Dedup.crossContainmentBloom(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0),
+        "text", "doc_id", k = 2, threshold = 0.8)
+        .orderBy("bench_id", "train_id")
+    }),
+
+    // Gopher line-level repetition/boilerplate signals over planted
+    // multi-line text (the synthetic corpus is single-line): one
+    // codegen'd struct pass, zero shuffle
+    "q_line_stats" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          col("text"),
+          substring(col("text"), 1, 40),
+          when(col("doc_id") % 3 === 0, substring(col("text"), 1, 40))
+            .otherwise(concat(lit("unique tail "), col("doc_id").cast("string"))),
+          lit("- bullet item"),
+          when(col("doc_id") % 4 === 0, lit("to be continued..."))
+            .otherwise(concat(lit("closing line "), col("doc_id").cast("string"))))
+          .alias("txt"))
+      aug.select(col("doc_id"),
+        pipeline.TextAnalysis.lineRepStats(col("txt")).alias("ls"))
+        .select(col("doc_id"),
+          col("ls.n_lines").cast("long").alias("n_lines"),
+          pipeline.Rounding.halfUp(col("ls.dup_line_frac"), 6)
+            .alias("dup_line_frac"),
+          pipeline.Rounding.halfUp(col("ls.dup_line_char_frac"), 6)
+            .alias("dup_line_char_frac"),
+          pipeline.Rounding.halfUp(col("ls.bullet_line_frac"), 6)
+            .alias("bullet_line_frac"),
+          pipeline.Rounding.halfUp(col("ls.ellipsis_line_frac"), 6)
+            .alias("ellipsis_line_frac"))
+        .orderBy("doc_id")
     }),
 
     // Gopher-style repetition/quality signals (pure array expressions,
@@ -1179,7 +1230,16 @@ object SparkEntry {
     * hard-failing on pins that were never valid there; [[Verify]] drops
     * them from `oracle_sql.json` when the sf dir is not sf0.01. */
   val goldenPinnedSf001: Set[String] =
-    Set("q_simhash", "q_ann_topk", "q_ivf_topk", "q_kmeans")
+    Set("q_simhash", "q_ann_topk", "q_ivf_topk", "q_kmeans",
+      // recall-certification gates: the all-true VALUES oracles assert
+      // that approximate search tuned FOR the sf0.01 corpus (nCentroids,
+      // nProbe, band counts) clears its recall bar there. At other
+      // scales the same parameters legitimately miss (e.g. nProbe=4 of
+      // 16 cells over a 500-vector sf0.001 corpus), so off sf0.01 these
+      // degrade to the rows-only check like the other pins.
+      "q_ann_recall", "q_ivf_recall", "q_pq_recall", "q_pq256_recall",
+      "q_ivfpq_recall", "q_ivfpq_res_recall", "q_semdedup_recall",
+      "q_simhash_recall")
 
   /** DuckDB-equivalent SQL per query (same column names + order). */
   def oracleSql: Map[String, String] = Map(
@@ -1308,6 +1368,14 @@ object SparkEntry {
            floor(score * 1e6 + 0.5) / 1e6 AS sample_score
          FROM t WHERE rn <= 5
          ORDER BY lang, sample_score DESC, doc_id""",
+    "q_cap_source" ->
+      """WITH r AS (
+           SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+               ORDER BY substr(md5(doc_id::VARCHAR), 1, 8), doc_id) AS rn
+           FROM documents)
+         SELECT source, doc_id FROM r WHERE rn <= 10
+         ORDER BY source, doc_id""",
     "q_multimodal" ->
       """SELECT doc_id, 'fake/raw' AS format, 16::BIGINT AS width,
                 16::BIGINT AS height,
@@ -1649,6 +1717,54 @@ object SparkEntry {
          FROM sh b JOIN sh a ON b.doc_id % 7 = 0 AND a.doc_id % 7 <> 0
          WHERE len(list_intersect(b.s, a.s))::DOUBLE / len(b.s) >= 0.8
          ORDER BY bench_id, train_id""",
+    // Bloom gating is exact-equivalent (no false negatives + exact
+    // verify), so the oracle is q_contain's brute-force containment
+    "q_contain_bloom" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(tk) < 2
+             THEN [array_to_string(tk, ' ')]
+             ELSE list_transform(generate_series(1, len(tk)-1),
+                    i -> array_to_string(tk[i:i+1], ' ')) END) AS s
+           FROM toks)
+         SELECT b.doc_id AS bench_id, a.doc_id AS train_id,
+           floor((len(list_intersect(b.s, a.s))::DOUBLE / len(b.s)) * 1e6 + 0.5) / 1e6
+             AS containment
+         FROM sh b JOIN sh a ON b.doc_id % 7 = 0 AND a.doc_id % 7 <> 0
+         WHERE len(list_intersect(b.s, a.s))::DOUBLE / len(b.s) >= 0.8
+         ORDER BY bench_id, train_id""",
+    "q_line_stats" ->
+      """WITH aug AS (SELECT doc_id,
+             text || chr(10) || substr(text, 1, 40) || chr(10) ||
+             CASE WHEN doc_id % 3 = 0 THEN substr(text, 1, 40)
+                  ELSE 'unique tail ' || doc_id END || chr(10) ||
+             '- bullet item' || chr(10) ||
+             CASE WHEN doc_id % 4 = 0 THEN 'to be continued...'
+                  ELSE 'closing line ' || doc_id END AS txt
+           FROM documents),
+         l AS (SELECT doc_id,
+             list_filter(list_transform(string_split(txt, chr(10)),
+               x -> trim(x)), x -> x <> '') AS ls
+           FROM aug),
+         c AS (SELECT doc_id, len(ls) AS n,
+             list_sum(list_transform(ls, x -> length(x))) AS tot,
+             len(ls) - len(list_distinct(ls)) AS dl,
+             list_sum(list_transform(list_distinct(ls),
+               d -> (len(list_filter(ls, y -> y = d)) - 1) * length(d))) AS dc,
+             len(list_filter(ls,
+               x -> substr(x, 1, 1) IN ('-', '*', '•'))) AS bl,
+             len(list_filter(ls,
+               x -> (length(x) >= 3 AND substr(x, length(x) - 2) = '...')
+                 OR substr(x, length(x)) = '…')) AS el
+           FROM l)
+         SELECT doc_id, n::BIGINT AS n_lines,
+           floor(dl::DOUBLE / n * 1e6 + 0.5) / 1e6 AS dup_line_frac,
+           floor(dc::DOUBLE / tot * 1e6 + 0.5) / 1e6 AS dup_line_char_frac,
+           floor(bl::DOUBLE / n * 1e6 + 0.5) / 1e6 AS bullet_line_frac,
+           floor(el::DOUBLE / n * 1e6 + 0.5) / 1e6 AS ellipsis_line_frac
+         FROM c ORDER BY doc_id""",
     "q_quality_rep" ->
       """WITH d AS (SELECT doc_id, text,
              string_split(lower(trim(text)), ' ') AS tk FROM documents),

@@ -428,6 +428,56 @@ object Dedup {
         Rounding.halfUp(col("containment"), 6).alias("containment"))
   }
 
+  /** [[crossContainment]] behind a Bloom-filter gate: the union of the
+    * bench side's shingle hashes is folded into ONE Bloom filter
+    * (driver-built from the small bench side, broadcast once per
+    * executor), and every train document is first scored map-side by how
+    * many of its shingles the filter might contain
+    * (graft_bloom_contained_count — a codegen'd tight loop). A train doc
+    * containing ANY bench doc at `threshold` must share at least
+    * ⌈threshold·n_b⌉ ≥ ⌊threshold·min_b⌋ shingles with the union, and
+    * Bloom filters have no false negatives, so the gate
+    * `hits >= ⌊threshold·min_b⌋` never drops a true candidate — results
+    * are exactly [[crossContainment]]'s.
+    *
+    * Scale shape: the postings explode + candidate join (the expensive
+    * stage — it multiplies the train corpus by shingles-per-doc) now
+    * runs only on gated survivors; the full corpus pays one scan with a
+    * per-row filter probe and is never exploded, shuffled, or collected.
+    * At 100 TB with a contamination rate of ~1e-4, that is the
+    * difference between exploding 100 TB and exploding 10 GB. */
+  def crossContainmentBloom(
+      train: DataFrame, bench: DataFrame, textCol: String, idCol: String,
+      k: Int = 2, threshold: Double = 0.8, fpp: Double = 0.01): DataFrame = {
+    val beSh = bench.select(
+      org.apache.spark.sql.graft.sketch.shingle_hashes(col(textCol), k)
+        .alias("sh_b"))
+    // one small-side pass: total hashes (Bloom sizing) + smallest bench
+    // set (gate bound); the bench side is benchmarks — thousands of
+    // rows, not the corpus
+    val stats = beSh.agg(
+      sum(size(col("sh_b"))).alias("total"),
+      min(size(col("sh_b"))).alias("min_b")).head()
+    if (stats.isNullAt(0)) // empty bench side: nothing can be contained
+      return crossContainment(train.filter(lit(false)), bench,
+        textCol, idCol, k, threshold)
+    val totalHashes = math.max(1L, stats.getLong(0))
+    val minB = stats.getInt(1)
+    val bf = beSh.select(explode(col("sh_b")).alias("s"))
+      .stat.bloomFilter("s", totalHashes, fpp)
+    val spark = train.sparkSession
+    val bcBf = spark.sparkContext.broadcast(bf)
+    // floor (not ceil) of t·min_b: weaker than the true per-doc bound
+    // ⌈t·n_b⌉, so float rounding can only admit extra candidates for the
+    // exact verify stage, never drop one
+    val minHits = math.max(1, math.floor(threshold * minB + 1e-9).toInt)
+    val gated = train.filter(
+      org.apache.spark.sql.graft.sketch.bloom_contained_count(
+        org.apache.spark.sql.graft.sketch.shingle_hashes(col(textCol), k),
+        bcBf) >= minHits)
+    crossContainment(gated, bench, textCol, idCol, k, threshold)
+  }
+
   /** Span-level exact-substring duplication (Lee et al., "Deduplicating
     * Training Data Makes Language Models Better", ACL 2022 — the
     * suffix-array pass, re-expressed as rolling window hashes): a token

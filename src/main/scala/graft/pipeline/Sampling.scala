@@ -83,6 +83,26 @@ object Sampling {
       .drop("__score", "__rn")
   }
 
+  /** Quota cap: keep at most `n` rows per group, chosen by md5 priority
+    * of `keyCol` (same key, same fate — stable across reruns and
+    * repartitionings; the RefinedWeb-style per-domain cap that stops a
+    * handful of giant domains from dominating the mix). One exchange on
+    * the group key; the rank filter compiles to WindowGroupLimit
+    * (Spark's rank-limit pushdown), so each map task forwards at most
+    * `n` rows per group into the shuffle instead of the group's full
+    * membership — the property that matters when one domain holds 10⁹
+    * documents. */
+  def capPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(keyHash(col(keyCol)).asc, col(keyCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
   /** Efraimidis–Spirakis selection score: md5-derived uniform raised to
     * 1/weight. */
   private def esScore(key: Column, weight: Column): Column = {

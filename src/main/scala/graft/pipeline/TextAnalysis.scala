@@ -123,6 +123,15 @@ object TextAnalysis {
         size(toks), 6)
   }
 
+  /** Line-level repetition/boilerplate signals (Gopher §A1.1): one
+    * struct column (n_lines, dup_line_frac, dup_line_char_frac,
+    * bullet_line_frac, ellipsis_line_frac) from a single codegen'd pass
+    * over the doc's non-empty trimmed lines — the
+    * explode-lines/groupBy(doc,line) formulation shuffles the corpus at
+    * line granularity twice; this never shuffles at all. */
+  def lineRepStats(text: Column): Column =
+    org.apache.spark.sql.graft.sketch.line_rep_stats(text)
+
   /** Mean characters per word. */
   def meanWordLength(text: Column): Column =
     Rounding.halfUp(

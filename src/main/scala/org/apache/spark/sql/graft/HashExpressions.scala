@@ -1,6 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -396,6 +397,73 @@ object GraftHashOps {
       s += 1
     }
     sum
+  }
+
+  /** Line-level repetition and boilerplate signals (Rae et al., Gopher
+    * 2021 §A1.1), all five from ONE hash pass over the doc's non-empty
+    * trimmed lines: (n_lines, dup_line_frac, dup_line_char_frac,
+    * bullet_line_frac, ellipsis_line_frac). dup_line_frac counts every
+    * occurrence beyond a line's first; dup_line_char_frac weights those
+    * occurrences by character length over total line characters. The
+    * explode-lines → groupBy(doc, line) formulation shuffles the corpus
+    * at LINE granularity twice; this is a per-row expression — zero
+    * shuffle, and the per-doc hash map is bounded by the doc itself. */
+  def lineRepStats(input: UTF8String): InternalRow = {
+    val lines = input.toString.split("\n", -1)
+    val counts = new java.util.HashMap[String, Array[Int]]()
+    var n = 0
+    var totalChars = 0L
+    var bullets = 0
+    var ellipses = 0
+    var i = 0
+    while (i < lines.length) {
+      val l = lines(i).trim
+      if (l.nonEmpty) {
+        n += 1
+        totalChars += l.length
+        val c0 = l.charAt(0)
+        if (c0 == '-' || c0 == '*' || c0 == '•') bullets += 1
+        if (l.endsWith("...") || l.charAt(l.length - 1) == '…') ellipses += 1
+        val slot = counts.get(l)
+        if (slot == null) counts.put(l, Array(1)) else slot(0) += 1
+      }
+      i += 1
+    }
+    if (n == 0)
+      return new GenericInternalRow(Array[Any](0, 0.0, 0.0, 0.0, 0.0))
+    var dupLines = 0
+    var dupChars = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue()(0)
+      if (c > 1) {
+        dupLines += c - 1
+        dupChars += (c - 1).toLong * e.getKey.length
+      }
+    }
+    new GenericInternalRow(Array[Any](n,
+      dupLines.toDouble / n,
+      dupChars.toDouble / totalChars,
+      bullets.toDouble / n,
+      ellipses.toDouble / n))
+  }
+
+  /** How many of the array's 64-bit hashes the Bloom filter might
+    * contain — the map-side prefilter count for Bloom-gated
+    * decontamination. Overestimates only (Bloom filters have no false
+    * negatives), so a `count >= minHits` gate never drops a true
+    * candidate. */
+  def bloomContainedCount(arr: ArrayData,
+      bf: org.apache.spark.util.sketch.BloomFilter): Int = {
+    val len = arr.numElements()
+    var hits = 0
+    var i = 0
+    while (i < len) {
+      if (bf.mightContainLong(arr.getLong(i))) hits += 1
+      i += 1
+    }
+    hits
   }
 }
 
@@ -852,6 +920,74 @@ case class NfcNormalize(child: Expression)
 }
 
 /** Column-level wrappers. */
+/** Gopher-style line-repetition signals as one struct-valued pass (see
+  * GraftHashOps.lineRepStats): n_lines + four fractions from a single
+  * per-row hash loop, inside whole-stage codegen. The alternative —
+  * explode lines, groupBy(doc, line), re-aggregate — shuffles the
+  * corpus at line granularity twice; at 100 TB the line table is the
+  * corpus several times over. */
+case class LineRepStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = LineRepStats.schema
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_line_rep_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.lineRepStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${Gen.Ops}.lineRepStats($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): LineRepStats =
+    copy(child = newChild)
+}
+
+object LineRepStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("dup_line_frac", DoubleType, nullable = false),
+    StructField("dup_line_char_frac", DoubleType, nullable = false),
+    StructField("bullet_line_frac", DoubleType, nullable = false),
+    StructField("ellipsis_line_frac", DoubleType, nullable = false)))
+}
+
+/** Count of array elements a broadcast Bloom filter might contain (see
+  * GraftHashOps.bloomContainedCount). The filter rides as a broadcast
+  * handle — like [[NearestCentroidBroadcast]], the generated code
+  * resolves `bc.value()` once per generated-class instance, so the
+  * per-row path is a tight mightContainLong loop with no per-row
+  * broadcast lookup. */
+case class BloomContainedCount(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.sketch.BloomFilter])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = IntegerType
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_bloom_contained_count"
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Integer.valueOf(GraftHashOps.bloomContainedCount(
+      input.asInstanceOf[ArrayData], bc.value))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("bloomBc", bc,
+      "org.apache.spark.broadcast.Broadcast")
+    val bf = ctx.addMutableState("org.apache.spark.util.sketch.BloomFilter",
+      "graftBloom",
+      v => s"$v = (org.apache.spark.util.sketch.BloomFilter) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${Gen.Ops}.bloomContainedCount($c, $bf);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomContainedCount =
+    copy(child = newChild)
+}
+
 object sketch {
   import org.apache.spark.sql.classic.ExpressionUtils.{column, expression}
   def minhash_signature(c: Column, n: Int): Column =
@@ -888,4 +1024,9 @@ object sketch {
   def nearest_centroids_topn(vec: Column, centroids: Seq[Seq[Float]],
       n: Int): Column =
     column(NearestCentroidsTopN(expression(vec), centroids, n))
+  def line_rep_stats(c: Column): Column = column(LineRepStats(expression(c)))
+  def bloom_contained_count(c: Column,
+      bc: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter]): Column =
+    column(BloomContainedCount(expression(c), bc))
 }

@@ -344,6 +344,36 @@ class PipelineSpec extends SparkSpec {
     assert(out.toSeq == Seq((10L, 1L, 1.0)), out.mkString(","))
   }
 
+  test("crossContainmentBloom matches crossContainment and gates the train side") {
+    import spark.implicits._
+    val train = (1L to 40L).map { i =>
+      (i, if (i == 1L) "alpha beta gamma delta epsilon zeta"
+          else s"filler document number $i about topic ${i % 7} entirely disjoint")
+    }.toDF("doc_id", "text")
+    val bench = Seq(
+      (10L, "alpha beta gamma delta"), // contained in train doc 1
+      (11L, "nothing shared at all")).toDF("doc_id", "text")
+    val exact = Dedup.crossContainment(train, bench, "text", "doc_id",
+      k = 2, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val bloom = Dedup.crossContainmentBloom(train, bench, "text", "doc_id",
+      k = 2, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(bloom.sorted == exact.sorted, s"bloom=$bloom exact=$exact")
+    assert(exact.contains((10L, 1L, 1.0)))
+    // the gate itself: the filler docs share no bench shingles, so the
+    // map-side count filter removes them before the postings join
+    val bf = train.select(org.apache.spark.sql.graft.sketch
+        .shingle_hashes(col("text"), 2).alias("sh"))
+    val bcF = bench.select(explode(org.apache.spark.sql.graft.sketch
+        .shingle_hashes(col("text"), 2)).alias("s"))
+      .stat.bloomFilter("s", 100, 0.01)
+    val bc = spark.sparkContext.broadcast(bcF)
+    val survivors = bf.filter(org.apache.spark.sql.graft.sketch
+      .bloom_contained_count(col("sh"), bc) >= 1).count()
+    assert(survivors < 40, s"bloom gate pruned nothing ($survivors of 40)")
+  }
+
   test("ivf build + probe finds the query vector") {
     val emb = sf("embeddings")
     val ivf = Similarity.buildIvf(emb, "embedding", "vec_id", nCentroids = 8)

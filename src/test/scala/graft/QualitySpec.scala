@@ -27,6 +27,49 @@ class QualitySpec extends SparkSpec {
     assert(one(TextAnalysis.meanWordLength(col("text")), "ab cdef") == 3.0)
   }
 
+  test("lineRepStats computes all five signals in one struct pass") {
+    import spark.implicits._
+    // 6 raw lines: "dup" ×3 (one padded — trims equal), a bullet, an
+    // ellipsis line, and one blank (excluded) → 5 counted lines
+    val text = "dup\n  dup  \ndup\n- item\nwait for it...\n\n"
+    val r = Seq(text).toDF("text")
+      .select(TextAnalysis.lineRepStats(col("text")).alias("ls"))
+      .select("ls.*").head()
+    assert(r.getInt(0) == 5) // n_lines
+    assert(math.abs(r.getDouble(1) - 2.0 / 5) < 1e-12) // dup beyond first
+    // dup chars: 2 extra "dup" occurrences × 3 chars over 3+3+3+6+14 chars
+    assert(math.abs(r.getDouble(2) - 6.0 / 29) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 1.0 / 5) < 1e-12) // "- item"
+    assert(math.abs(r.getDouble(4) - 1.0 / 5) < 1e-12) // "wait for it..."
+    // single-line no-repetition doc: everything zero but the count
+    val z = Seq("just one line").toDF("text")
+      .select(TextAnalysis.lineRepStats(col("text")).alias("ls"))
+      .select("ls.*").head()
+    assert(z.getInt(0) == 1 && z.getDouble(1) == 0.0 && z.getDouble(2) == 0.0)
+    // all-blank doc: zero lines, fractions defined as 0
+    val e = Seq("  \n \n").toDF("text")
+      .select(TextAnalysis.lineRepStats(col("text")).alias("ls"))
+      .select("ls.*").head()
+    assert(e.getInt(0) == 0 && e.getDouble(1) == 0.0)
+    // unicode bullet and ellipsis forms
+    val u = Seq("• punkt\nhm…").toDF("text")
+      .select(TextAnalysis.lineRepStats(col("text")).alias("ls"))
+      .select("ls.*").head()
+    assert(math.abs(u.getDouble(3) - 0.5) < 1e-12)
+    assert(math.abs(u.getDouble(4) - 0.5) < 1e-12)
+  }
+
+  test("lineRepStats stays inside whole-stage codegen") {
+    val df = sf("documents")
+      .select(TextAnalysis.lineRepStats(col("text")).alias("ls"))
+    // "*(n)" prefixes mark whole-stage-codegen'd operators in
+    // executedPlan.toString; the project carrying the expression must
+    // hold one, and nothing may fall back to interpreted eval
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+    assert(!plan.contains("CodegenFallback"), plan)
+  }
+
   test("scrubPii replaces email, ip and phone with typed tokens") {
     val scrubbed = one(TextAnalysis.scrubPii(col("text")),
       "mail user.name+tag@sub.example.org ip 192.168.0.1 tel +1-555-123-4567 end")

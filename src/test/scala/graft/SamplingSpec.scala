@@ -88,4 +88,28 @@ class SamplingSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 1 && !plan.contains("rangepartitioning"), plan)
   }
+
+  test("capPerGroup keeps at most n per group, stably, with group-limit pushdown") {
+    import spark.implicits._
+    // skewed: group "big" holds 1900 rows, "small" holds 3
+    val rows = (0L until 1900L).map(i => ("big", i)) ++
+      Seq(("small", 10000L), ("small", 10001L), ("small", 10002L))
+    val df = rows.toDF("grp", "id")
+    val out = Sampling.capPerGroup(df, "grp", "id", n = 10)
+    val byGrp = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp == Map("big" -> 10L, "small" -> 3L), byGrp.toString)
+    // deterministic under repartitioning: same survivors
+    val a = out.select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.capPerGroup(df.repartition(13), "grp", "id", n = 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // the rank filter compiles to WindowGroupLimit: each map task
+    // forwards at most n rows per group into the exchange — the skew
+    // property that matters when one domain holds 10^9 docs
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no group-limit pushdown:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, plan)
+  }
 }
