@@ -116,7 +116,8 @@ object Bench {
       // queries re-run verbatim against the ×10 replicas (their 1×
       // medians are already in `results`)
       val scaleQs = Seq("q_top_ngrams", "q_bm25", "q_lm_score", "q_spans",
-        "q_minhash_pairs", // documents replica
+        "q_minhash_pairs", "q_line_stats",
+        "q_cap_source", // documents replica
         "q_interval", "q_overlap", // events replica
         "q_knn_join", "q_sq8_topk") // embeddings replica
       /** ×10 a table by disjoint-id replication: each replica offsets the
@@ -185,9 +186,27 @@ object Bench {
             coarse, pqm, qv, k = 10, nProbe = 4, shortlist = 100).count()
           ()
         }
+        // decontamination at scale: the bench set is FIXED (benchmarks
+        // don't grow with the corpus) — only the train side rides the
+        // ×10 replica. Re-running q_contain_bloom verbatim against the
+        // replicas would multiply the bench side too, and since replicas
+        // carry identical text every true pair appears replica² times —
+        // a 100× OUTPUT blowup that swamps the ratio (measured 20×)
+        // without saying anything about the operator's scan cost.
+        def containBloom(trainDir: String): Unit = {
+          val tr = spark.read.parquet(s"$trainDir/documents.parquet")
+            .filter(col("doc_id") % 7 =!= 0)
+          val be = spark.read.parquet(s"$sfDir/documents.parquet")
+            .filter(col("doc_id") % 7 === 0)
+          pipeline.Dedup.crossContainmentBloom(tr, be, "text", "doc_id",
+            k = 2, threshold = 0.8).count()
+          ()
+        }
         val ownRows = Seq[(String, () => Unit, () => Unit)](
           ("zorder_write_events", () => zwrite(sfDir), () => zwrite(x10path.toString)),
-          ("ivfpq_search", () => search("codes_1x.parquet"), () => search("codes_10x.parquet"))
+          ("ivfpq_search", () => search("codes_1x.parquet"), () => search("codes_10x.parquet")),
+          ("contain_bloom_fixed_bench",
+            () => containBloom(sfDir), () => containBloom(x10path.toString))
         ).map { case (name, run1, run10) =>
           val t1 = timed(s"$name(1x)", run1)
           val t10 = timed(name, run10)
