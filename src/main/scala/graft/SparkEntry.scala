@@ -792,6 +792,28 @@ object SparkEntry {
       pipeline.LangModel.scoreDocs(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
 
+    // DSIR importance weights (Xie 2023): hashed-ngram log-likelihood
+    // ratio of every document against a target-domain sample (lang='de');
+    // count tables bounded at `buckets` cells, ratio table broadcast
+    "q_dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      pipeline.Dsir.importanceWeights(docs, docs.filter(col("lang") === "de"),
+        "text", "doc_id", buckets = 8192, alpha = 0.5)
+        .orderBy("doc_id")
+    }),
+
+    // DSIR Gumbel-top-k resample on those weights: deterministic md5
+    // Gumbel noise, map-side key + TakeOrderedAndProject
+    "q_dsir_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w = pipeline.Dsir.importanceWeights(docs,
+        docs.filter(col("lang") === "de"), "text", "doc_id",
+        buckets = 8192, alpha = 0.5)
+      pipeline.Dsir.resample(w, "doc_id", "iw", k = 40)
+        .select(col("doc_id"), col("iw"), col("sample_key"))
+        .orderBy(col("sample_key").desc, col("doc_id"))
+    }),
+
     // corpus mixing: per-source token statistics (hash-agg on the source
     // key; share via 1-row broadcast, no corpus window)
     "q_mix" -> ((s, dir) =>
@@ -1994,6 +2016,69 @@ object SparkEntry {
          SELECT d.doc_id, coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams,
                 coalesce(sc.lm_score, 0.0) AS lm_score
          FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id ORDER BY d.doc_id""",
+    "q_dsir_weights" ->
+      """WITH d AS (SELECT doc_id, lang,
+             string_split(lower(trim(text)), ' ') AS tk FROM documents),
+         g AS (SELECT doc_id, lang, unnest(list_concat(tk,
+                 CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
+                   ELSE list_transform(generate_series(1, len(tk)-1),
+                          i -> tk[i] || ' ' || tk[i+1]) END)) AS ng
+               FROM d),
+         fb AS (SELECT doc_id, lang,
+                  ('0x' || substr(md5(ng), 1, 8))::BIGINT % 8192 AS f
+                FROM g),
+         rb AS (SELECT f, count(*)::BIGINT AS cnt_r FROM fb GROUP BY f),
+         tb AS (SELECT f, count(*)::BIGINT AS cnt_t FROM fb
+                WHERE lang = 'de' GROUP BY f),
+         nr AS (SELECT coalesce(sum(cnt_r), 0)::BIGINT AS n_r FROM rb),
+         nt AS (SELECT coalesce(sum(cnt_t), 0)::BIGINT AS n_t FROM tb),
+         lr AS (SELECT rb.f,
+                  ln((coalesce(tb.cnt_t, 0)::DOUBLE + 0.5)
+                      / (nt.n_t::DOUBLE + 0.5 * 8192))
+                  - ln((rb.cnt_r::DOUBLE + 0.5)
+                      / (nr.n_r::DOUBLE + 0.5 * 8192)) AS lr
+                FROM rb LEFT JOIN tb ON rb.f = tb.f, nr, nt),
+         sc AS (SELECT fb.doc_id, count(*)::BIGINT AS n_feats,
+                  floor(sum(lr.lr) * 1e6 + 0.5) / 1e6 AS iw
+                FROM fb JOIN lr ON fb.f = lr.f GROUP BY fb.doc_id)
+         SELECT d.doc_id, coalesce(sc.n_feats, 0)::BIGINT AS n_feats,
+                coalesce(sc.iw, 0.0) AS iw
+         FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id ORDER BY d.doc_id""",
+    "q_dsir_sample" ->
+      """WITH d AS (SELECT doc_id, lang,
+             string_split(lower(trim(text)), ' ') AS tk FROM documents),
+         g AS (SELECT doc_id, lang, unnest(list_concat(tk,
+                 CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
+                   ELSE list_transform(generate_series(1, len(tk)-1),
+                          i -> tk[i] || ' ' || tk[i+1]) END)) AS ng
+               FROM d),
+         fb AS (SELECT doc_id, lang,
+                  ('0x' || substr(md5(ng), 1, 8))::BIGINT % 8192 AS f
+                FROM g),
+         rb AS (SELECT f, count(*)::BIGINT AS cnt_r FROM fb GROUP BY f),
+         tb AS (SELECT f, count(*)::BIGINT AS cnt_t FROM fb
+                WHERE lang = 'de' GROUP BY f),
+         nr AS (SELECT coalesce(sum(cnt_r), 0)::BIGINT AS n_r FROM rb),
+         nt AS (SELECT coalesce(sum(cnt_t), 0)::BIGINT AS n_t FROM tb),
+         lr AS (SELECT rb.f,
+                  ln((coalesce(tb.cnt_t, 0)::DOUBLE + 0.5)
+                      / (nt.n_t::DOUBLE + 0.5 * 8192))
+                  - ln((rb.cnt_r::DOUBLE + 0.5)
+                      / (nr.n_r::DOUBLE + 0.5 * 8192)) AS lr
+                FROM rb LEFT JOIN tb ON rb.f = tb.f, nr, nt),
+         sc AS (SELECT fb.doc_id, count(*)::BIGINT AS n_feats,
+                  floor(sum(lr.lr) * 1e6 + 0.5) / 1e6 AS iw
+                FROM fb JOIN lr ON fb.f = lr.f GROUP BY fb.doc_id),
+         w AS (SELECT d.doc_id, coalesce(sc.iw, 0.0) AS iw
+               FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+         keyed AS (SELECT doc_id, iw,
+                 iw - ln(-ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                               + 0.5) / 4294967296.0)) AS key
+               FROM w),
+         t AS (SELECT doc_id, iw, key FROM keyed
+               ORDER BY key DESC, doc_id LIMIT 40)
+         SELECT doc_id, iw, floor(key * 1e6 + 0.5) / 1e6 AS sample_key
+         FROM t ORDER BY sample_key DESC, doc_id""",
     "q_mix" ->
       """WITH per AS (SELECT source, count(*)::BIGINT AS n_docs,
              sum(len(string_split(trim(text), ' ')))::BIGINT AS n_tokens

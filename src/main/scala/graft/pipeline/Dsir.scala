@@ -1,0 +1,106 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
+  * pick raw-corpus documents whose n-gram distribution looks like a
+  * small TARGET domain sample, by (1) fitting two bag-of-hashed-ngram
+  * unigram models — one on the target sample, one on the raw corpus —
+  * (2) scoring every raw document with its log-likelihood ratio
+  *
+  *   iw(d) = Σ over feature occurrences f∈d of  ln p_t(f) − ln p_r(f)
+  *
+  * and (3) resampling without replacement with Gumbel-top-k on iw.
+  *
+  * Features are unigrams + bigrams hashed into `buckets` cells (the
+  * paper's hashing trick): the model is `buckets` counts per side no
+  * matter how large the corpus, so the ratio table stays broadcast-sized
+  * at 100 TB where a raw vocabulary would not. Probabilities are
+  * add-α-smoothed over the bucket space:
+  * p_S(f) = (cnt_S(f) + α) / (N_S + α·B).
+  *
+  * Determinism is engine-portable end to end: the feature hash is the
+  * md5-prefix trick shared with [[Sampling]] (same text, same bucket, on
+  * any engine with md5), and the resample draws its Gumbel noise from
+  * the md5 of the document id, so the DuckDB oracle replays the
+  * identical arithmetic.
+  *
+  * Plan shape at scale: both count tables are one explode +
+  * hash-aggregate with map-side partial combine (each mapper emits at
+  * most B partial rows, so the Zipf head never skews the shuffle); the
+  * ratio table (≤ B rows) broadcasts into the scoring join; scoring is
+  * one more explode + broadcast-join + per-doc hash-aggregate. The raw
+  * corpus is scanned twice (counts, scoring), never self-joined, never
+  * collected; the resample is a map-side key + TakeOrderedAndProject.
+  */
+object Dsir {
+
+  /** 32-bit md5-prefix of a feature string, as a numeric column. */
+  private def hash32(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Per-document feature stream: unigrams ++ bigrams of the
+    * lower-cased, whitespace-split text, hashed into `buckets`. */
+  private def features(df: DataFrame, textCol: String, idCol: String,
+      buckets: Int): DataFrame = {
+    val toks = TextAnalysis.tokens(lower(col(textCol)))
+    df.select(col(idCol),
+      explode(concat(toks, TextAnalysis.bigrams(col(textCol)))).as("__g"))
+      .select(col(idCol), (hash32(col("__g")) % buckets).as("f"))
+  }
+
+  /** Importance weight per raw document: (`idCol`, `n_feats`, `iw`).
+    * Documents whose text yields no features (empty after trim) pass
+    * through with n_feats = 0, iw = 0.0. `target` is the small domain
+    * sample — thousands of documents next to a 100 TB raw corpus. */
+  def importanceWeights(raw: DataFrame, target: DataFrame, textCol: String,
+      idCol: String, buckets: Int = 8192, alpha: Double = 0.5): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    require(alpha > 0, "alpha must be positive (zero counts divide by zero)")
+    val fR = features(raw, textCol, idCol, buckets)
+    val fT = features(target, textCol, idCol, buckets)
+    val cntR = fR.groupBy(col("f")).agg(count(lit(1)).as("cnt_r"))
+    val cntT = fT.groupBy(col("f")).agg(count(lit(1)).as("cnt_t"))
+    val nR = cntR.agg(coalesce(sum(col("cnt_r")), lit(0L)).as("n_r"))
+    val nT = cntT.agg(coalesce(sum(col("cnt_t")), lit(0L)).as("n_t"))
+    // every scored feature occurs in the raw corpus by construction, so
+    // the ratio table only needs raw buckets; absent target buckets
+    // smooth to cnt_t = 0
+    val aB = lit(alpha * buckets)
+    val ratio = cntR.join(cntT, Seq("f"), "left")
+      .crossJoin(broadcast(nR)).crossJoin(broadcast(nT))
+      .select(col("f"),
+        (log((coalesce(col("cnt_t"), lit(0L)).cast("double") + alpha) /
+            (col("n_t").cast("double") + aB)) -
+          log((col("cnt_r").cast("double") + alpha) /
+            (col("n_r").cast("double") + aB))).as("__lr"))
+    val scored = fR.join(broadcast(ratio), Seq("f"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"),
+        Rounding.halfUp(sum(col("__lr")), 6).as("iw"))
+    raw.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("iw"), lit(0.0)).as("iw"))
+  }
+
+  /** Gumbel-top-k resample without replacement: key = iw + g where the
+    * Gumbel draw g = −ln(−ln u) takes its uniform from the md5 of the
+    * document id — deterministic (same id, same fate), stable under
+    * repartitioning, and replayable by the oracle. Selection probability
+    * is proportional to exp(iw) (Gumbel-max), i.e. DSIR's importance
+    * resampling, without ever exponentiating a large iw. Output: input
+    * columns + `sample_key` (half-up 6), key-descending. */
+  def resample(weighted: DataFrame, idCol: String, iwCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (hash32(col(idCol).cast("string")).cast("double") + 0.5) /
+      4294967296.0
+    weighted.withColumn("__key", col(iwCol) - log(-log(u)))
+      .orderBy(col("__key").desc, col(idCol).asc)
+      .limit(k)
+      .withColumn("sample_key", Rounding.halfUp(col("__key"), 6))
+      .drop("__key")
+  }
+}
