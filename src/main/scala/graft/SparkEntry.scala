@@ -792,6 +792,13 @@ object SparkEntry {
       pipeline.LangModel.scoreDocs(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
 
+    // character-distribution entropy (bits): degenerate-repetition /
+    // binary-payload quality signal, one codegen'd pass, zero shuffle
+    "q_char_entropy" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        pipeline.TextAnalysis.charEntropy(col("text")).alias("char_entropy"))
+        .orderBy("doc_id")),
+
     // DSIR importance weights (Xie 2023): hashed-ngram log-likelihood
     // ratio of every document against a target-domain sample (lang='de');
     // count tables bounded at `buckets` cells, ratio table broadcast
@@ -2016,6 +2023,16 @@ object SparkEntry {
          SELECT d.doc_id, coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams,
                 coalesce(sc.lm_score, 0.0) AS lm_score
          FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id ORDER BY d.doc_id""",
+    "q_char_entropy" ->
+      """WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+               FROM documents),
+         cnt AS (SELECT doc_id, ch, count(*)::DOUBLE AS c
+                 FROM c GROUP BY doc_id, ch),
+         n AS (SELECT doc_id, sum(c) AS n, sum(c * log2(c)) AS s
+               FROM cnt GROUP BY doc_id)
+         SELECT doc_id,
+           floor((log2(n) - s / n) * 1e6 + 0.5) / 1e6 AS char_entropy
+         FROM n ORDER BY doc_id""",
     "q_dsir_weights" ->
       """WITH d AS (SELECT doc_id, lang,
              string_split(lower(trim(text)), ' ') AS tk FROM documents),

@@ -132,6 +132,13 @@ object TextAnalysis {
   def lineRepStats(text: Column): Column =
     org.apache.spark.sql.graft.sketch.line_rep_stats(text)
 
+  /** Shannon entropy (bits) of the character distribution — the
+    * low-entropy tail flags degenerate repetition and single-token spam,
+    * the high tail flags binary/base64 payloads masquerading as text.
+    * One codegen'd pass per row, zero shuffle. */
+  def charEntropy(text: Column): Column =
+    Rounding.halfUp(org.apache.spark.sql.graft.sketch.char_entropy(text), 6)
+
   /** Mean characters per word. */
   def meanWordLength(text: Column): Column =
     Rounding.halfUp(

@@ -449,6 +449,34 @@ object GraftHashOps {
       ellipses.toDouble / n))
   }
 
+  /** Shannon entropy (bits) of the string's code-point distribution,
+    * via the order-insensitive identity H = log2(n) − (Σ c·log2 c)/n —
+    * near 0 for degenerate repetition, ~4.2 for English prose, ~log2 of
+    * the alphabet for random bytes. Empty input → 0.0. One pass, one
+    * doc-bounded count map — a per-row expression, zero shuffle. */
+  def charEntropy(input: UTF8String): Double = {
+    val s = input.toString
+    if (s.isEmpty) return 0.0
+    val counts = new java.util.HashMap[Integer, Array[Int]]()
+    var i = 0
+    var n = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      n += 1
+      val slot = counts.get(cp)
+      if (slot == null) counts.put(cp, Array(1)) else slot(0) += 1
+    }
+    val ln2 = math.log(2.0)
+    var acc = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()(0).toDouble
+      acc += c * (math.log(c) / ln2)
+    }
+    math.log(n) / ln2 - acc / n
+  }
+
   /** How many of the array's 64-bit hashes the Bloom filter might
     * contain — the map-side prefilter count for Bloom-gated
     * decontamination. Overestimates only (Bloom filters have no false
@@ -954,6 +982,27 @@ object LineRepStats {
     StructField("ellipsis_line_frac", DoubleType, nullable = false)))
 }
 
+/** Shannon entropy (bits) of a string's code-point distribution (see
+  * GraftHashOps.charEntropy). */
+case class CharEntropy(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_char_entropy"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.charEntropy(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${Gen.Ops}.charEntropy($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}
+
 /** Count of array elements a broadcast Bloom filter might contain (see
   * GraftHashOps.bloomContainedCount). The filter rides as a broadcast
   * handle — like [[NearestCentroidBroadcast]], the generated code
@@ -1025,6 +1074,7 @@ object sketch {
       n: Int): Column =
     column(NearestCentroidsTopN(expression(vec), centroids, n))
   def line_rep_stats(c: Column): Column = column(LineRepStats(expression(c)))
+  def char_entropy(c: Column): Column = column(CharEntropy(expression(c)))
   def bloom_contained_count(c: Column,
       bc: org.apache.spark.broadcast.Broadcast[
         org.apache.spark.util.sketch.BloomFilter]): Column =

@@ -70,6 +70,31 @@ class QualitySpec extends SparkSpec {
     assert(!plan.contains("CodegenFallback"), plan)
   }
 
+  test("charEntropy matches closed-form values and handles code points") {
+    import spark.implicits._
+    def h(s: String): Double = Seq(s).toDF("text")
+      .select(TextAnalysis.charEntropy(col("text"))).head().getDouble(0)
+    assert(h("aaaa") == 0.0)
+    assert(h("") == 0.0)
+    assert(h("ab") == 1.0)
+    assert(h("aabb") == 1.0)
+    assert(h("abcd") == 2.0)
+    // astral-plane code points count once each, not as surrogate halves:
+    // two distinct emoji = 1 bit exactly
+    assert(h("😀😁") == 1.0)
+    // prose sits between degenerate and uniform
+    val p = h("the quick brown fox jumps over the lazy dog")
+    assert(p > 3.0 && p < 4.5, p)
+  }
+
+  test("charEntropy stays inside whole-stage codegen") {
+    val df = sf("documents")
+      .select(TextAnalysis.charEntropy(col("text")).alias("h"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+    assert(!plan.contains("CodegenFallback"), plan)
+  }
+
   test("scrubPii replaces email, ip and phone with typed tokens") {
     val scrubbed = one(TextAnalysis.scrubPii(col("text")),
       "mail user.name+tag@sub.example.org ip 192.168.0.1 tel +1-555-123-4567 end")
