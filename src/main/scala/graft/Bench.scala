@@ -226,6 +226,47 @@ object Bench {
       }.mkString("{", ",", "}")
       s""","scale10x":{"rows":$n,"queries":$sq,"ratio_vs_1x":$ratios}"""
     } else ""
+    // ANN probe/recall frontier (full runs only): recall@10 and median
+    // latency of the k-means IVF search as nProbe sweeps 1→8 — the
+    // accuracy/latency dial measured on the real corpus rather than
+    // asserted from the plan. Model fit, index build and the brute-force
+    // ground truth sit OUTSIDE the timers: index construction amortizes
+    // across queries in production; the timed op is the per-query search.
+    val annFrontier = if (only.isEmpty) {
+      import org.apache.spark.sql.functions.col
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val model = pipeline.Clustering.fitKMeans(
+        emb, "embedding", "vec_id", k = 16, maxIter = 4)
+      val ivfPath = java.nio.file.Files.createTempDirectory("graft_ivf")
+      try {
+        pipeline.Clustering.buildIvf(emb, "embedding", model)
+          .write.mode("overwrite").parquet(s"$ivfPath/ivf.parquet")
+        val ivf = spark.read.parquet(s"$ivfPath/ivf.parquet")
+        val qv = emb.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0)
+        val truth = pipeline.Similarity
+          .bruteForceTopK(emb, "embedding", "vec_id", qv, 10)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val pts = Seq(1, 2, 4, 8).map { p =>
+          def run(): Unit = {
+            pipeline.Clustering.ivfTopK(
+              ivf, "embedding", "vec_id", qv, model, k = 10, nProbe = p)
+              .count()
+            ()
+          }
+          run() // unmeasured warmup
+          val t = medianOrErr(timedReps(reps, () => run()))
+          val got = pipeline.Clustering.ivfTopK(
+            ivf, "embedding", "vec_id", qv, model, k = 10, nProbe = p)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          val rec = truth.intersect(got).size.toDouble / truth.size
+          if (verbose) System.err.println(
+            f"[bench] ann_frontier nprobe=$p sec=$t%.3f recall=$rec%.2f")
+          s""""nprobe_$p":{"sec":$t,"recall":$rec}"""
+        }
+        s""","ann_frontier":{${pts.mkString(",")}}"""
+      } finally deleteRecursively(ivfPath)
+    } else ""
     val errJson = if (errored.nonEmpty)
       errored.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]") else ""
     // Self-defense against loaded-machine artifacts (round-7 verdict: the
@@ -250,7 +291,7 @@ object Bench {
     val movedJson = moved.map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }
       .mkString(""","deltas_gt_2x":{""", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps$errJson$movedJson$scale10x}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps$errJson$movedJson$scale10x$annFrontier}"""
     println(line)
     // the committed artifact must be self-contained: stdout capture can
     // truncate (BENCH_r06 lost its tail) — always also write the full
