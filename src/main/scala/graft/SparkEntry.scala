@@ -821,6 +821,17 @@ object SparkEntry {
         .orderBy(col("sample_key").desc, col("doc_id"))
     }),
 
+    // temperature-scaled mixture plan (q ∝ p^alpha, Conneau 2020): the
+    // per-source keep-rates that flatten the natural mix at alpha=0.5
+    // under a 20k-token budget
+    "q_mix_temp" -> ((s, dir) => {
+      val stats = pipeline.Mixing.sourceStats(
+        t(s, dir, "documents"), "text", "source")
+      pipeline.Mixing.temperaturePlan(stats, "source", alpha = 0.5,
+        tokenBudget = 20000L)
+        .orderBy("source")
+    }),
+
     // corpus mixing: per-source token statistics (hash-agg on the source
     // key; share via 1-row broadcast, no corpus window)
     "q_mix" -> ((s, dir) =>
@@ -2096,6 +2107,20 @@ object SparkEntry {
                ORDER BY key DESC, doc_id LIMIT 40)
          SELECT doc_id, iw, floor(key * 1e6 + 0.5) / 1e6 AS sample_key
          FROM t ORDER BY sample_key DESC, doc_id""",
+    "q_mix_temp" ->
+      """WITH per AS (SELECT source,
+             sum(len(string_split(trim(text), ' ')))::BIGINT AS n_tokens
+           FROM documents GROUP BY source),
+         tot AS (SELECT sum(n_tokens)::BIGINT AS t FROM per),
+         pa AS (SELECT source, n_tokens,
+                  pow(n_tokens::DOUBLE / t::DOUBLE, 0.5) AS pa
+                FROM per, tot),
+         qs AS (SELECT sum(pa) AS qsum FROM pa)
+         SELECT source, n_tokens,
+           floor(pa / qsum * 1e6 + 0.5) / 1e6 AS q_weight,
+           floor(least(1.0, 20000.0 * (pa / qsum) / n_tokens::DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS keep_rate
+         FROM pa, qs ORDER BY source""",
     "q_mix" ->
       """WITH per AS (SELECT source, count(*)::BIGINT AS n_docs,
              sum(len(string_split(trim(text), ' ')))::BIGINT AS n_tokens

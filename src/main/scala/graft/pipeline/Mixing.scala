@@ -56,6 +56,57 @@ object Mixing {
       }.toMap
   }
 
+  /** Temperature-scaled mixture plan (the XLM-R/mT5 multinomial
+    * sampling rule, Conneau 2020 §3.1): target share q(s) ∝ p(s)^alpha
+    * where p(s) is the corpus's own token share. alpha = 1 reproduces
+    * the natural mix; alpha → 0 flattens toward uniform, upweighting
+    * tail sources at the head's expense. Returns one row per source:
+    * (`sourceCol`, n_tokens, `q_weight`, `keep_rate`) with
+    * rate(s) = min(1, budget·q(s)/tokens(s)) — no upsampling, as in
+    * [[budgetRates]]. Input is the [[sourceStats]] output; both scalar
+    * normalizers (total tokens, Σ p^alpha) ride 1-row broadcasts, so the
+    * plan never windows or collects the summary. */
+  def temperaturePlan(stats: DataFrame, sourceCol: String, alpha: Double,
+      tokenBudget: Long): DataFrame = {
+    require(alpha > 0, "alpha must be positive (0 would weight empty sources)")
+    require(tokenBudget > 0, "tokenBudget must be positive")
+    val tot = stats.agg(sum(col("n_tokens")).as("__tot"))
+    val p = stats.crossJoin(broadcast(tot))
+      .withColumn("__pa",
+        pow(col("n_tokens").cast("double") / col("__tot").cast("double"), alpha))
+    val qsum = p.agg(sum(col("__pa")).as("__qsum"))
+    p.crossJoin(broadcast(qsum))
+      .select(col(sourceCol), col("n_tokens"),
+        Rounding.halfUp(col("__pa") / col("__qsum"), 6).as("q_weight"),
+        Rounding.halfUp(
+          least(lit(1.0), lit(tokenBudget.toDouble) *
+            (col("__pa") / col("__qsum")) / col("n_tokens").cast("double")), 6)
+          .as("keep_rate"))
+  }
+
+  /** Temperature weights as a map for [[budgetRates]] composition —
+    * unnormalized p(s)^alpha (budgetRates normalizes). O(#sources). */
+  def temperatureWeights(stats: DataFrame, sourceCol: String,
+      alpha: Double): Map[String, Double] = {
+    require(alpha > 0, "alpha must be positive")
+    val rows = stats.select(col(sourceCol).cast("string"),
+      col("n_tokens").cast("long")).collect()
+    val total = rows.map(_.getLong(1)).sum.toDouble.max(1.0)
+    rows.map(r =>
+      r.getString(0) -> math.pow(r.getLong(1) / total, alpha)).toMap
+  }
+
+  /** One-call temperature mixing: measure, temperature-plan, and
+    * deterministically sample. */
+  def mixToTemperature(
+      df: DataFrame, textCol: String, idCol: String, sourceCol: String,
+      alpha: Double, tokenBudget: Long): DataFrame = {
+    val stats = sourceStats(df, textCol, sourceCol)
+    val rates = budgetRates(stats, sourceCol,
+      temperatureWeights(stats, sourceCol, alpha), tokenBudget)
+    Sampling.stratifiedSample(df, idCol, sourceCol, rates, defaultRate = 0.0)
+  }
+
   /** One-call mixing: measure, plan, and deterministically sample to the
     * target mixture. Sources absent from `weights` get rate 0 (dropped). */
   def mixToBudget(

@@ -24,6 +24,45 @@ class MixingSpec extends SparkSpec {
     assert(st("code") == ((10L, 50L, 0.016393)))
   }
 
+  test("temperaturePlan flattens the mix as alpha drops") {
+    val stats = Mixing.sourceStats(docs, "text", "source")
+    def plan(alpha: Double) = Mixing.temperaturePlan(stats, "source",
+      alpha, tokenBudget = 1000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    // alpha=1 reproduces the natural token shares
+    val nat = plan(1.0)
+    assert(math.abs(nat("web")._1 - 0.327869) < 1e-6)
+    assert(math.abs(nat("books")._1 - 0.655738) < 1e-6)
+    // alpha=0.5 moves mass from the head to the tail: code's target
+    // share rises above its natural 0.0164, books' falls below 0.6557
+    val t05 = plan(0.5)
+    assert(t05("code")._1 > 0.016393, t05.toString)
+    assert(t05("books")._1 < 0.655738, t05.toString)
+    // still a distribution
+    assert(math.abs(t05.values.map(_._1).sum - 1.0) < 1e-5)
+    // rates respect the cap
+    assert(t05.values.forall { case (_, r) => r >= 0.0 && r <= 1.0 })
+  }
+
+  test("mixToTemperature realizes the flattened mix deterministically") {
+    val once = Mixing.mixToTemperature(docs, "text", "id", "source",
+      alpha = 0.5, tokenBudget = 1500L)
+    val again = Mixing.mixToTemperature(docs.repartition(7), "text", "id",
+      "source", alpha = 0.5, tokenBudget = 1500L)
+    val a = once.select("id").collect().map(_.getLong(0)).toSet
+    assert(a == again.select("id").collect().map(_.getLong(0)).toSet)
+    assert(a.nonEmpty)
+    // realized token mass lands near the budget (md5 sampling is
+    // binomial around the rate; this fixture is small, so allow slack)
+    val toks = once.select(
+      sum(pipeline.TextAnalysis.tokenCount(col("text")).cast("long")))
+      .head().getLong(0)
+    assert(toks > 700 && toks < 2300, s"realized $toks of budget 1500")
+    // the tail source must survive flattening
+    assert(once.filter(col("source") === "code").count() > 0)
+  }
+
   test("budgetRates hits targets and caps at 1.0") {
     val stats = Mixing.sourceStats(docs, "text", "source")
     val rates = Mixing.budgetRates(stats, "source",
