@@ -67,6 +67,47 @@ object Dedup {
     * (band, bandhash) → same-bucket pairing → exact Jaccard on shingle
     * sets → distinct pairs. Bucket join replaces the O(n²) cross join.
     */
+  /** Band plan for a MinHash-LSH signature of length `n`: among the
+    * divisor pairs b·r = n, pick the one minimizing the weighted
+    * integrated error of the collision S-curve f(s) = 1 − (1 − s^r)^b
+    * (MMDS §3.4.3): false-positive mass ∫₀ᵗ f(s) ds plus false-negative
+    * mass ∫ᵗ¹ (1 − f(s)) ds. For dedup the FN side usually costs more
+    * (a missed duplicate stays in the training set; a false candidate
+    * just pays one exact-verify join), so `fnWeight` defaults above 1.
+    * Driver-side, deterministic, O(divisors × grid). Returns (bands,
+    * rows). */
+  def planBands(n: Int, jaccardThreshold: Double,
+      fpWeight: Double = 1.0, fnWeight: Double = 2.0): (Int, Int) = {
+    require(n > 0, "signature length must be positive")
+    require(jaccardThreshold > 0 && jaccardThreshold < 1,
+      "threshold must be in (0, 1)")
+    val grid = 1000
+    val plans = (1 to n).filter(n % _ == 0).map { r =>
+      val b = n / r
+      var fp = 0.0
+      var fn = 0.0
+      var i = 0
+      while (i < grid) {
+        val s = (i + 0.5) / grid
+        val f = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+        if (s < jaccardThreshold) fp += f else fn += 1.0 - f
+        i += 1
+      }
+      (b, r, (fpWeight * fp + fnWeight * fn) / grid)
+    }
+    val best = plans.minBy(_._3)
+    (best._1, best._2)
+  }
+
+  /** [[minhashDupPairs]] with the band plan derived from the threshold
+    * via [[planBands]] instead of hand-picked. */
+  def minhashDupPairsAuto(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, n: Int = 64, jaccardThreshold: Double = 0.7): DataFrame = {
+    val (b, r) = planBands(n, jaccardThreshold)
+    minhashDupPairs(df, textCol, idCol, k, b, r, jaccardThreshold)
+  }
+
   def minhashDupPairs(
       df: DataFrame,
       textCol: String,

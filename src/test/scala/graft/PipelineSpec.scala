@@ -47,6 +47,30 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("planBands tracks the threshold and the auto variant matches manual") {
+    // (1/b)^(1/r) is the S-curve midpoint: the chosen plan's midpoint
+    // must land near the requested threshold
+    def midpoint(p: (Int, Int)): Double = math.pow(1.0 / p._1, 1.0 / p._2)
+    val lo = Dedup.planBands(64, 0.3)
+    val hi = Dedup.planBands(64, 0.9)
+    assert(math.abs(midpoint(lo) - 0.3) < 0.15, s"$lo -> ${midpoint(lo)}")
+    assert(math.abs(midpoint(hi) - 0.9) < 0.1, s"$hi -> ${midpoint(hi)}")
+    // higher threshold → steeper-later curve → more rows per band
+    assert(hi._2 > lo._2, s"lo=$lo hi=$hi")
+    // both factorizations use the whole signature
+    assert(lo._1 * lo._2 == 64 && hi._1 * hi._2 == 64)
+    // the auto variant is exactly the manual call at the planned shape
+    val (b, r) = Dedup.planBands(64, 0.5)
+    val auto = Dedup.minhashDupPairsAuto(docs, "text", "doc_id",
+      k = 3, n = 64, jaccardThreshold = 0.5)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val manual = Dedup.minhashDupPairs(docs, "text", "doc_id",
+      k = 3, bands = b, rows = r, jaccardThreshold = 0.5)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(auto == manual)
+    assert(auto.contains((1L, 4L)), auto.toString) // exact dup survives
+  }
+
   test("simhash hamming distance separates dups from distinct docs") {
     val fp = docs.select(col("doc_id"), Dedup.simhash64(col("text")).alias("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
