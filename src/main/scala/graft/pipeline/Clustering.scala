@@ -571,6 +571,22 @@ object Clustering {
       cellCol: String = "ivf_cell"): Unit =
     corpus.write.partitionBy(cellCol).mode("overwrite").parquet(path)
 
+  /** Incremental maintenance for a cell-partitioned IVF store: encode
+    * the new batch with the STANDING coarse model (one map-side argmax
+    * assignment — no refit, no shuffle) and append its files into the
+    * matching cell directories. Only the cells the batch lands in gain
+    * files; the standing corpus is never read, moved, or rewritten, so
+    * the maintenance cost is proportional to the batch — the property
+    * that keeps a 100 TB index serviceable under a daily ingest. Probe
+    * pruning keeps working unchanged: appended files live under the
+    * same `cellCol=` partition keys the search's isin filter prunes on.
+    * (Cell balance drifts as the corpus outgrows the model; refit +
+    * [[writeIvfPartitioned]] when recall or balance gates flag it.) */
+  def appendIvfPartitioned(batch: DataFrame, vecCol: String,
+      model: KMeansModel, path: String, cellCol: String = "ivf_cell"): Unit =
+    assign(batch, vecCol, model, cellCol)
+      .write.partitionBy(cellCol).mode("append").parquet(path)
+
   /** IVF-PQ search: probe cells chosen DRIVER-SIDE from the coarse
     * model (zero jobs, like [[ivfTopK]]), ADC scores codes inside the
     * probed cells only, and the shortlist re-ranks exactly. Plan: scan →

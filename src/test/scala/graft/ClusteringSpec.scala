@@ -347,6 +347,58 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("appendIvfPartitioned grows the store batch-proportionally, search intact") {
+    import spark.implicits._
+    val emb = sf("embeddings")
+    val coarse = Clustering.fitKMeans(emb, "embedding", "vec_id", k = 8,
+      maxIter = 4)
+    val base = Clustering.assign(emb, "embedding", coarse, "ivf_cell")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfa_spec")
+    try {
+      Clustering.writeIvfPartitioned(base, s"$tmp/c")
+      val filesBefore = spark.read.parquet(s"$tmp/c")
+        .select(input_file_name()).distinct().collect()
+        .map(_.getString(0)).toSet
+      // new batch: clones of vec_id 0..4 under fresh ids
+      val batch = emb.filter(col("vec_id") < 5)
+        .withColumn("vec_id", col("vec_id") + 100000L)
+      Clustering.appendIvfPartitioned(batch, "embedding", coarse, s"$tmp/c")
+      val back = spark.read.parquet(s"$tmp/c")
+      // every base row and every batch row present, exactly once
+      assert(back.count() == emb.count() + 5)
+      assert(back.filter(col("vec_id") >= 100000L).count() == 5)
+      // appended rows sit in the SAME cell their clone source occupies —
+      // assignment used the standing model, not a refit
+      val cellOf = Clustering.assign(emb.filter(col("vec_id") < 5),
+        "embedding", coarse, "ivf_cell")
+        .select("vec_id", "ivf_cell").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      back.filter(col("vec_id") >= 100000L)
+        .select("vec_id", "ivf_cell").collect()
+        .foreach(r => assert(r.getInt(1) == cellOf(r.getLong(0) - 100000L)))
+      // the standing files were not rewritten: old files all survive,
+      // new files only added
+      val filesAfter = back.select(input_file_name()).distinct().collect()
+        .map(_.getString(0)).toSet
+      assert(filesBefore.subsetOf(filesAfter),
+        "append rewrote standing files")
+      assert(filesAfter.size > filesBefore.size)
+      // probe search over the grown store finds the appended clone first
+      val qv = emb.filter(col("vec_id") === 2).select("embedding")
+        .head().getSeq[Float](0)
+      val top = Clustering.ivfTopK(back, "embedding", "vec_id", qv,
+        coarse, k = 2, nProbe = 2)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(top == Set(2L, 100002L), top.toString)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(tmp)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   test("semantic dedup catches planted near-identical vectors, keeps the rest") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
