@@ -640,6 +640,18 @@ object SparkEntry {
         .orderBy("bench_id", "train_id")
     }),
 
+    // decontamination REMOVAL: the train corpus minus every doc a bench
+    // doc is contained in (detection feeds a broadcast anti-join)
+    "q_decon" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      pipeline.Dedup.decontaminate(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0),
+        "text", "doc_id", k = 2, threshold = 0.8)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     // Gopher line-level repetition/boilerplate signals over planted
     // multi-line text (the synthetic corpus is single-line): one
     // codegen'd struct pass, zero shuffle
@@ -1741,6 +1753,24 @@ object SparkEntry {
          WHERE len(list_intersect(a.s, b.s))::DOUBLE /
            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
          ORDER BY id_a, id_b""",
+    // removal = train minus the exact containment join's train side
+    "q_decon" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(tk) < 2
+             THEN [array_to_string(tk, ' ')]
+             ELSE list_transform(generate_series(1, len(tk)-1),
+                    i -> array_to_string(tk[i:i+1], ' ')) END) AS s
+           FROM toks),
+         bad AS (
+           SELECT DISTINCT a.doc_id
+           FROM sh b JOIN sh a ON b.doc_id % 7 = 0 AND a.doc_id % 7 <> 0
+           WHERE len(list_intersect(b.s, a.s))::DOUBLE / len(b.s) >= 0.8)
+         SELECT doc_id, lang, source FROM documents
+         WHERE doc_id % 7 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+         ORDER BY doc_id""",
     "q_contain" ->
       """WITH toks AS (
            SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk

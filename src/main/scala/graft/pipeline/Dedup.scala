@@ -519,6 +519,21 @@ object Dedup {
     crossContainment(gated, bench, textCol, idCol, k, threshold)
   }
 
+  /** Decontaminated train corpus: drop every train document that
+    * contains ANY bench document at `threshold` — the removal step that
+    * [[crossContainmentBloom]]'s detection feeds. The contaminated-id
+    * set (bounded by the contamination rate, not the corpus) rides a
+    * left-anti join; with AQE it broadcasts, so the 100 TB train side
+    * pays its one gated detection scan plus one map-side anti probe —
+    * it is never shuffled on a corpus-sized key. */
+  def decontaminate(
+      train: DataFrame, bench: DataFrame, textCol: String, idCol: String,
+      k: Int = 2, threshold: Double = 0.8): DataFrame = {
+    val bad = crossContainmentBloom(train, bench, textCol, idCol, k, threshold)
+      .select(col("train_id")).distinct()
+    train.join(bad, train(idCol) === bad("train_id"), "left_anti")
+  }
+
   /** Span-level exact-substring duplication (Lee et al., "Deduplicating
     * Training Data Makes Language Models Better", ACL 2022 — the
     * suffix-array pass, re-expressed as rolling window hashes): a token

@@ -398,6 +398,24 @@ class PipelineSpec extends SparkSpec {
     assert(survivors < 40, s"bloom gate pruned nothing ($survivors of 40)")
   }
 
+  test("decontaminate drops exactly the containing train docs, anti-join broadcast") {
+    import spark.implicits._
+    val train = (1L to 40L).map { i =>
+      (i, if (i == 1L) "alpha beta gamma delta epsilon zeta"
+          else s"filler document number $i about topic ${i % 7} entirely disjoint")
+    }.toDF("doc_id", "text")
+    val bench = Seq(
+      (10L, "alpha beta gamma delta"),
+      (11L, "nothing shared at all")).toDF("doc_id", "text")
+    val clean = Dedup.decontaminate(train, bench, "text", "doc_id",
+      k = 2, threshold = 0.8)
+    val kept = clean.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == (2L to 40L).toSet, s"kept $kept") // only doc 1 contains a bench doc
+    val plan = clean.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"), s"anti-join not broadcast:\n$plan")
+  }
+
   test("ivf build + probe finds the query vector") {
     val emb = sf("embeddings")
     val ivf = Similarity.buildIvf(emb, "embedding", "vec_id", nCentroids = 8)
