@@ -804,6 +804,22 @@ object SparkEntry {
       pipeline.LangModel.scoreDocs(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
 
+    // the composed Gopher quality gate (Rae 2021 Table A1): per-rule
+    // evidence + verdict, pure per-row expressions, zero shuffle
+    "q_gopher" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        pipeline.TextAnalysis.gopherReport(col("text")).alias("g"))
+        .select(col("doc_id"),
+          col("g.n_words").alias("n_words"),
+          col("g.mean_word_len").alias("mean_word_len"),
+          col("g.symbol_ratio").alias("symbol_ratio"),
+          col("g.bullet_frac").alias("bullet_frac"),
+          col("g.ellipsis_frac").alias("ellipsis_frac"),
+          col("g.alpha_word_frac").alias("alpha_word_frac"),
+          col("g.n_req_stops").alias("n_req_stops"),
+          col("g.passes").cast("int").alias("passes"))
+        .orderBy("doc_id")),
+
     // character-distribution entropy (bits): degenerate-repetition /
     // binary-payload quality signal, one codegen'd pass, zero shuffle
     "q_char_entropy" -> ((s, dir) =>
@@ -2064,6 +2080,50 @@ object SparkEntry {
          SELECT d.doc_id, coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams,
                 coalesce(sc.lm_score, 0.0) AS lm_score
          FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id ORDER BY d.doc_id""",
+    "q_gopher" ->
+      """WITH d AS (SELECT doc_id, text,
+             string_split(trim(text), ' ') AS tk FROM documents),
+         l AS (SELECT doc_id, list_filter(list_transform(
+                 string_split(text, chr(10)), x -> trim(x)),
+                 x -> x <> '') AS ls
+               FROM d),
+         lb AS (SELECT doc_id, len(ls) AS nl,
+                  len(list_filter(ls,
+                    x -> substr(x, 1, 1) IN ('-', '*', '•'))) AS bl,
+                  len(list_filter(ls,
+                    x -> (length(x) >= 3
+                          AND substr(x, length(x) - 2) = '...')
+                      OR substr(x, length(x)) = '…')) AS el
+                FROM l),
+         m AS (SELECT d.doc_id, len(tk) AS n,
+                 length(regexp_replace(trim(text), '\s+', '', 'g'))::DOUBLE
+                   / len(tk) AS mwl0,
+                 ((length(text) - length(replace(text, '#', '')))
+                  + (length(text) - length(replace(text, '...', ''))) / 3)
+                   ::DOUBLE / len(tk) AS sym0,
+                 len(list_filter(tk,
+                   x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                   / len(tk) AS alpha0,
+                 len(list_intersect(string_split(lower(trim(text)), ' '),
+                   ['the','be','to','of','and','that','have','with']))
+                   AS nstops,
+                 lb.nl, lb.bl, lb.el
+               FROM d JOIN lb ON d.doc_id = lb.doc_id),
+         r AS (SELECT doc_id, n,
+                 floor(mwl0 * 1e6 + 0.5) / 1e6 AS mwl,
+                 floor(sym0 * 1e6 + 0.5) / 1e6 AS sym,
+                 floor(bl::DOUBLE / nl * 1e6 + 0.5) / 1e6 AS bf,
+                 floor(el::DOUBLE / nl * 1e6 + 0.5) / 1e6 AS ef,
+                 floor(alpha0 * 1e6 + 0.5) / 1e6 AS af,
+                 nstops
+               FROM m)
+         SELECT doc_id, n::BIGINT AS n_words, mwl AS mean_word_len,
+           sym AS symbol_ratio, bf AS bullet_frac, ef AS ellipsis_frac,
+           af AS alpha_word_frac, nstops::BIGINT AS n_req_stops,
+           (n >= 50 AND n <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+            AND sym <= 0.1 AND bf <= 0.9 AND ef <= 0.3 AND af >= 0.8
+            AND nstops >= 2)::INT AS passes
+         FROM r ORDER BY doc_id""",
     "q_char_entropy" ->
       """WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
                FROM documents),

@@ -139,6 +139,61 @@ object TextAnalysis {
   def charEntropy(text: Column): Column =
     Rounding.halfUp(org.apache.spark.sql.graft.sketch.char_entropy(text), 6)
 
+  /** The Gopher document-quality rule set (Rae et al. 2021, Table A1)
+    * as one struct column — per-rule evidence plus the conjunction:
+    *   1. 50 ≤ word count ≤ 100 000
+    *   2. mean word length in [3, 10] characters
+    *   3. symbol-to-word ratio ('#' or '...' hits per word) ≤ 0.1
+    *   4. ≤ 90% of lines start with a bullet
+    *   5. ≤ 30% of lines end with an ellipsis
+    *   6. ≥ 80% of words contain at least one alphabetic character
+    *   7. ≥ 2 distinct required stop words present
+    *      (the/be/to/of/and/that/have/with)
+    * All fractions are half-up-rounded to 6 digits BEFORE comparison, so
+    * the verdict is engine-portable (no boundary-ulp flips vs the
+    * oracle). Pure per-row column expressions over the certified
+    * primitives — zero shuffle; `passes` gates the filter. */
+  def gopherReport(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val nd = n.cast("double")
+    val mwl = Rounding.halfUp(
+      length(regexp_replace(trim(text), "\\s+", "")).cast("double") / nd, 6)
+    val symbols =
+      (length(text) - length(regexp_replace(text, "#", ""))) +
+      (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    val symRatio = Rounding.halfUp(symbols.cast("double") / nd, 6)
+    val ls = lineRepStats(text)
+    val bulletFrac = Rounding.halfUp(ls.getField("bullet_line_frac"), 6)
+    val ellipsisFrac = Rounding.halfUp(ls.getField("ellipsis_line_frac"), 6)
+    val alphaFrac = Rounding.halfUp(
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / nd, 6)
+    val stops = array(Seq("the", "be", "to", "of", "and", "that", "have",
+      "with").map(lit): _*)
+    val nStops = size(array_intersect(tokens(lower(text)), stops))
+    val passes = n.geq(50) && n.leq(100000) &&
+      mwl.geq(3.0) && mwl.leq(10.0) &&
+      symRatio.leq(0.1) &&
+      bulletFrac.leq(0.9) &&
+      ellipsisFrac.leq(0.3) &&
+      alphaFrac.geq(0.8) &&
+      nStops.geq(2)
+    struct(
+      n.cast("long").as("n_words"),
+      mwl.as("mean_word_len"),
+      symRatio.as("symbol_ratio"),
+      bulletFrac.as("bullet_frac"),
+      ellipsisFrac.as("ellipsis_frac"),
+      alphaFrac.as("alpha_word_frac"),
+      nStops.cast("long").as("n_req_stops"),
+      passes.as("passes"))
+  }
+
+  /** Rows passing every Gopher rule — the composed quality gate. */
+  def gopherFilter(df: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    df.filter(gopherReport(col(textCol)).getField("passes"))
+
   /** Mean characters per word. */
   def meanWordLength(text: Column): Column =
     Rounding.halfUp(

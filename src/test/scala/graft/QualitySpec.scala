@@ -95,6 +95,49 @@ class QualitySpec extends SparkSpec {
     assert(!plan.contains("CodegenFallback"), plan)
   }
 
+  test("gopherReport passes clean prose and fails each rule's planted violator") {
+    import spark.implicits._
+    val clean = ("the quick brown fox jumps over the lazy dog and then " +
+      "that other fox decided to have a rest with friends of his own " +
+      "kind be cause the day was long and the sun was high and warm " +
+      "so they stayed there until the evening came and went again ok")
+    val cases = Seq(
+      1L -> clean,                                    // passes all
+      2L -> "too few words to pass the length rule",  // rule 1: < 50 words
+      3L -> (Seq.fill(60)("a").mkString(" ")),        // rule 2: mwl 1 < 3 (also stops)
+      4L -> (clean + " " + Seq.fill(20)("####").mkString(" ")), // rule 3: symbols
+      5L -> clean.split(" ").map("- " + _).mkString("\n"),      // rule 4: bullets
+      6L -> clean.split(" ").map(_ + "...").mkString("\n"),     // rule 5: ellipses
+      7L -> (clean + " " + Seq.fill(40)("12345").mkString(" ")), // rule 6: non-alpha
+      8L -> (Seq.fill(60)("word list without required stopwords here")
+        .mkString(" ")))                              // rule 7: stops (also dup)
+    val out = cases.toDF("id", "text")
+      .select(col("id"),
+        pipeline.TextAnalysis.gopherReport(col("text")).alias("g"))
+      .orderBy("id")
+      .collect().map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    assert(out(1L).getAs[Boolean]("passes"), out(1L).toString)
+    assert(!out(2L).getAs[Boolean]("passes"))
+    assert(out(2L).getAs[Long]("n_words") < 50)
+    assert(!out(3L).getAs[Boolean]("passes"))
+    assert(out(3L).getAs[Double]("mean_word_len") < 3.0)
+    assert(!out(4L).getAs[Boolean]("passes"))
+    assert(out(4L).getAs[Double]("symbol_ratio") > 0.1)
+    assert(!out(5L).getAs[Boolean]("passes"))
+    assert(out(5L).getAs[Double]("bullet_frac") > 0.9)
+    assert(!out(6L).getAs[Boolean]("passes"))
+    assert(out(6L).getAs[Double]("ellipsis_frac") > 0.3)
+    assert(!out(7L).getAs[Boolean]("passes"))
+    assert(out(7L).getAs[Double]("alpha_word_frac") < 0.8)
+    assert(!out(8L).getAs[Boolean]("passes"))
+    assert(out(8L).getAs[Long]("n_req_stops") < 2)
+    // the composed filter keeps exactly the passer
+    val kept = pipeline.TextAnalysis.gopherFilter(
+      cases.toDF("id", "text"), "text")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L), kept.toString)
+  }
+
   test("scrubPii replaces email, ip and phone with typed tokens") {
     val scrubbed = one(TextAnalysis.scrubPii(col("text")),
       "mail user.name+tag@sub.example.org ip 192.168.0.1 tel +1-555-123-4567 end")
