@@ -172,6 +172,50 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: charEntropy bounds and permutation invariance") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val strGen = Gen.nonEmptyListOf(
+      Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', '.', '!', 'é', '中')))
+      .map(_.mkString)
+    val strs = samples(strGen, 24).distinct
+    val got = strs.toDF("text")
+      .select(col("text"),
+        pipeline.TextAnalysis.charEntropy(col("text")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // entropy rounds half-up to 6 digits: allow that granularity
+    strs.foreach { s =>
+      val h = got(s)
+      val distinct = s.codePoints().distinct().count().toDouble
+      assert(h >= 0.0, s"negative entropy for ${s.take(20)}")
+      assert(h <= math.log(distinct) / math.log(2.0) + 1e-6,
+        s"entropy $h above log2($distinct) for ${s.take(20)}")
+    }
+    // permutation invariance: reversing the string keeps the histogram
+    val rev = strs.map(_.reverse).toDF("text")
+      .select(col("text"),
+        pipeline.TextAnalysis.charEntropy(col("text")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    strs.foreach(s => assert(got(s) == rev(s.reverse), s.take(20)))
+  }
+
+  test("property: planBands always factorizes n and tracks the threshold") {
+    val nGen = Gen.oneOf(16, 32, 64, 128, 100, 120, 256)
+    val tGen = Gen.choose(0.15, 0.95)
+    samples(Gen.zip(nGen, tGen), 40).foreach { case (n, t) =>
+      val (b, r) = pipeline.Dedup.planBands(n, t)
+      assert(b * r == n, s"n=$n t=$t -> ($b,$r)")
+      assert(b >= 1 && r >= 1)
+      // the chosen plan's S-curve midpoint must beat the degenerate
+      // plans' midpoints at tracking the threshold (unless n is prime
+      // and they're the only options)
+      val mid = math.pow(1.0 / b, 1.0 / r)
+      if (b > 1 && r > 1) {
+        assert(math.abs(mid - t) < 0.45, s"n=$n t=$t mid=$mid")
+      }
+    }
+  }
+
   test("property: sessionize matches a sequential scan") {
     import spark.implicits._
     samples(eventsGen, 8).foreach { evs =>
