@@ -118,7 +118,7 @@ object Bench {
       val scaleQs = Seq("q_top_ngrams", "q_bm25", "q_lm_score", "q_spans",
         "q_minhash_pairs", "q_line_stats",
         "q_cap_source", "q_dsir_weights", "q_char_entropy",
-        "q_mix_temp", // documents replica
+        "q_mix_temp", "q_gopher", // documents replica
         "q_interval", "q_overlap", // events replica
         "q_knn_join", "q_sq8_topk") // embeddings replica
       /** ×10 a table by disjoint-id replication: each replica offsets the

@@ -416,6 +416,51 @@ class PipelineSpec extends SparkSpec {
       plan.contains("LeftAnti"), s"anti-join not broadcast:\n$plan")
   }
 
+  test("end-to-end corpus prep: quality gate -> dedup -> decontaminate -> mix -> pack") {
+    // the full chain a pretraining pipeline runs, on the sf0.001 corpus —
+    // every stage is its own certified operator; this asserts they
+    // COMPOSE: schemas line up, determinism survives, nothing explodes
+    val docs = sf("documents")
+    // the FULL gopher conjunction correctly rejects this synthetic
+    // corpus (its vocabulary carries one of the eight required stop
+    // words), so the composition gate uses the length rule's evidence —
+    // gopherFilter's all-rules path is covered by its own planted spec
+    val gated = docs.filter(pipeline.TextAnalysis
+      .gopherReport(col("text")).getField("n_words") >= 50)
+    val gatedN = gated.count()
+    assert(gatedN > 0 && gatedN < docs.count(),
+      s"gopher gate kept $gatedN of ${docs.count()}")
+    val deduped = pipeline.Dedup.exactDedup(gated, "text", "doc_id")
+    assert(deduped.count() <= gatedN)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val clean = pipeline.Dedup.decontaminate(
+      deduped, bench, "text", "doc_id", k = 2, threshold = 0.8)
+    val cleanN = clean.count()
+    assert(cleanN <= deduped.count())
+    val mixed = pipeline.Mixing.mixToTemperature(
+      clean, "text", "doc_id", "source", alpha = 0.7, tokenBudget = 3000L)
+    val mixedN = mixed.count()
+    assert(mixedN > 0 && mixedN < cleanN, s"mix kept $mixedN of $cleanN")
+    val packed = pipeline.Packing.packDocs(
+      mixed, "doc_id", "text", seqLen = 512, shards = 4)
+    assert(packed.count() == mixedN) // every mixed doc lands in a shard
+    // deterministic end to end: the same chain re-run over a
+    // repartitioned input selects the identical documents
+    val again = pipeline.Packing.packDocs(
+      pipeline.Mixing.mixToTemperature(
+        pipeline.Dedup.decontaminate(
+          pipeline.Dedup.exactDedup(
+            docs.repartition(11).filter(pipeline.TextAnalysis
+              .gopherReport(col("text")).getField("n_words") >= 50),
+            "text", "doc_id"),
+          bench, "text", "doc_id", k = 2, threshold = 0.8),
+        "text", "doc_id", "source", alpha = 0.7, tokenBudget = 3000L),
+      "doc_id", "text", seqLen = 512, shards = 4)
+    val a = packed.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = again.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("ivf build + probe finds the query vector") {
     val emb = sf("embeddings")
     val ivf = Similarity.buildIvf(emb, "embedding", "vec_id", nCentroids = 8)
