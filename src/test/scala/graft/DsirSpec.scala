@@ -78,12 +78,14 @@ class DsirSpec extends SparkSpec {
     assert(w.filter(col("iw").isNull || isnan(col("iw"))).count() == 0)
   }
 
-  test("plan shape: broadcast ratio join, TakeOrdered resample, no corpus self-join") {
+  test("plan shape: join-free LUT scoring, TakeOrdered resample, no corpus self-join") {
     val w = Dsir.importanceWeights(fixture, target, "text", "doc_id",
       buckets = 1024, alpha = 0.5)
     val wPlan = w.queryExecution.executedPlan.toString
-    assert(wPlan.contains("BroadcastHashJoin") || wPlan.contains("BroadcastExchange"),
-      s"ratio table not broadcast:\n$wPlan")
+    // scoring rides a literal LUT: the only join left is the
+    // short-doc join-back — nothing nested-loop, nothing corpus×corpus
+    assert(!wPlan.contains("BroadcastNestedLoopJoin"), wPlan)
+    assert(wPlan.contains("element_at"), s"no LUT lookup in plan:\n$wPlan")
     val rPlan = Dsir.resample(w, "doc_id", "iw", k = 5)
       .queryExecution.executedPlan.toString
     assert(rPlan.contains("TakeOrderedAndProject"),
