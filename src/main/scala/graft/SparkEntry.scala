@@ -804,6 +804,25 @@ object SparkEntry {
       pipeline.LangModel.scoreDocs(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
 
+    // corpus-trained BPE (Sennrich 2016): merges learned from the
+    // word-frequency table (driver state bounded like a model fit),
+    // applied by a codegen'd expression. Certified by the lossless-
+    // partition invariant — joining a doc's subwords reproduces its
+    // lowercased whitespace-stripped text — plus token-count bounds
+    // (n_words ≤ n_subwords ≤ n_nonspace_chars)
+    "q_bpe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = pipeline.Bpe.learn(docs, "text", numMerges = 200)
+      val nSub = pipeline.Bpe.tokenCount(col("text"), model)
+      val nonspace = length(regexp_replace(lower(trim(col("text"))), "\\s+", ""))
+      val nWords = size(pipeline.TextAnalysis.tokens(lower(col("text"))))
+      docs.select(col("doc_id"),
+        concat_ws("", pipeline.Bpe.segment(col("text"), model)).alias("joined"),
+        (nSub.leq(nonspace) && nSub.geq(nWords)).cast("int")
+          .alias("within_bounds"))
+        .orderBy("doc_id")
+    }),
+
     // the composed Gopher quality gate (Rae 2021 Table A1): per-rule
     // evidence + verdict, pure per-row expressions, zero shuffle
     "q_gopher" -> ((s, dir) =>
@@ -2080,6 +2099,14 @@ object SparkEntry {
          SELECT d.doc_id, coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams,
                 coalesce(sc.lm_score, 0.0) AS lm_score
          FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id ORDER BY d.doc_id""",
+    // the segmentation is a lossless partition of each word, so the
+    // exact joined text is oracle-computable even though the merge
+    // table is not; within_bounds replays as the gates' all-true column
+    "q_bpe" ->
+      """SELECT doc_id,
+           regexp_replace(lower(trim(text)), '\s+', '', 'g') AS joined,
+           1 AS within_bounds
+         FROM documents ORDER BY doc_id""",
     "q_gopher" ->
       """WITH d AS (SELECT doc_id, text,
              string_split(trim(text), ' ') AS tk FROM documents),

@@ -477,6 +477,66 @@ object GraftHashOps {
     math.log(n) / ln2 - acc / n
   }
 
+  /** Greedy BPE segmentation of one lowercased, whitespace-split text
+    * (Sennrich 2016 apply): per word, repeatedly merge every occurrence
+    * of the adjacent symbol pair with the LOWEST merge rank until no
+    * ranked pair remains; emit all words' subwords in order. The rank
+    * key joins the pair with a space — symbols come from
+    * whitespace-split words and can never contain one, so ("a","bc")
+    * never collides with ("ab","c"). Per-row work bounded by the row;
+    * the rank table rides as a codegen reference object. */
+  def bpeSegment(input: UTF8String,
+      ranks: java.util.HashMap[String, Integer]): ArrayData = {
+    val words = input.toLowerCase.toString.trim.split("\\s+")
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var w = 0
+    while (w < words.length) {
+      val word = words(w)
+      if (word.nonEmpty) {
+        var syms = new java.util.ArrayList[String]()
+        var i = 0
+        while (i < word.length) {
+          val cp = word.codePointAt(i)
+          val cc = Character.charCount(cp)
+          syms.add(word.substring(i, i + cc))
+          i += cc
+        }
+        var done = false
+        while (!done && syms.size > 1) {
+          var bestRank = Int.MaxValue
+          var bestPair: String = null
+          var j = 0
+          while (j < syms.size - 1) {
+            val key = syms.get(j) + " " + syms.get(j + 1)
+            val r = ranks.get(key)
+            if (r != null && r.intValue() < bestRank) {
+              bestRank = r.intValue(); bestPair = key
+            }
+            j += 1
+          }
+          if (bestPair == null) done = true
+          else {
+            val merged = new java.util.ArrayList[String](syms.size)
+            var k = 0
+            while (k < syms.size) {
+              if (k < syms.size - 1 &&
+                  (syms.get(k) + " " + syms.get(k + 1)) == bestPair) {
+                merged.add(syms.get(k) + syms.get(k + 1)); k += 2
+              } else { merged.add(syms.get(k)); k += 1 }
+            }
+            syms = merged
+          }
+        }
+        var m = 0
+        while (m < syms.size) {
+          out += UTF8String.fromString(syms.get(m)); m += 1
+        }
+      }
+      w += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** How many of the array's 64-bit hashes the Bloom filter might
     * contain — the map-side prefilter count for Bloom-gated
     * decontamination. Overestimates only (Bloom filters have no false
@@ -982,6 +1042,30 @@ object LineRepStats {
     StructField("ellipsis_line_frac", DoubleType, nullable = false)))
 }
 
+/** Greedy BPE subword segmentation under a learned merge-rank table
+  * (see GraftHashOps.bpeSegment). */
+case class BpeSegment(child: Expression,
+    ranks: java.util.HashMap[String, Integer])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_bpe_segment"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.bpeSegment(input.asInstanceOf[UTF8String], ranks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ranksRef = ctx.addReferenceObj("bpeRanks", ranks, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${Gen.Ops}.bpeSegment($c, $ranksRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeSegment =
+    copy(child = newChild)
+}
+
 /** Shannon entropy (bits) of a string's code-point distribution (see
   * GraftHashOps.charEntropy). */
 case class CharEntropy(child: Expression)
@@ -1075,6 +1159,9 @@ object sketch {
     column(NearestCentroidsTopN(expression(vec), centroids, n))
   def line_rep_stats(c: Column): Column = column(LineRepStats(expression(c)))
   def char_entropy(c: Column): Column = column(CharEntropy(expression(c)))
+  def bpe_segment(c: Column,
+      ranks: java.util.HashMap[String, Integer]): Column =
+    column(BpeSegment(expression(c), ranks))
   def bloom_contained_count(c: Column,
       bc: org.apache.spark.broadcast.Broadcast[
         org.apache.spark.util.sketch.BloomFilter]): Column =
