@@ -96,4 +96,45 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(exchanges(p) == 0 && !p.contains("Window"), s"ivf not map-side:\n$p")
   }
+
+  test("q_gopher and q_char_entropy stay exchange-free narrow plans") {
+    // per-row quality signals: any exchange before the output sort means
+    // a scalar expression grew a shuffle
+    for (q <- Seq("q_gopher", "q_char_entropy", "q_line_stats")) {
+      val p = plan(q)
+      assert(exchanges(p) == 0, s"$q grew a hash exchange:\n$p")
+      assert(!p.contains("CodegenFallback"), s"$q fell out of codegen:\n$p")
+    }
+  }
+
+  test("q_bpe segments without exchanges; the fit is not in the query plan") {
+    val p = plan("q_bpe")
+    assert(exchanges(p) == 0, s"segmentation grew a hash exchange:\n$p")
+    assert(!p.contains("CodegenFallback"), s"bpe fell out of codegen:\n$p")
+  }
+
+  test("q_decon runs the removal as a broadcast anti-join (AQE final plan)") {
+    // the contaminated-id set is bounded by the contamination rate, so
+    // AQE converts the static sort-merge anti to broadcast at runtime —
+    // execute and assert the FINAL adaptive plan (q_ngram_pairs pattern)
+    val df = SparkEntry.queries("q_decon")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), s"no anti-join:\n$p")
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+      s"anti-join not broadcast at runtime:\n$p")
+  }
+
+  test("q_mix_temp never windows the summary; normalizers ride broadcasts") {
+    val p = plan("q_mix_temp")
+    assert(!p.contains("Window"), s"plan grew a window:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"normalizers not broadcast:\n$p")
+    // the per-source summary is tiny; what must NOT appear is a shuffle
+    // keyed on anything but the source hash-agg — i.e. no join-keyed or
+    // window-keyed exchange. Static plan re-counts the stats subtree per
+    // reference (AQE reuses at runtime), so bound loosely.
+    assert(exchanges(p) <= 4, s"unexpected exchange shape:\n$p")
+  }
 }

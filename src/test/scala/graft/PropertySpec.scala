@@ -216,6 +216,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: BPE segmentation is a lossless partition with bounded counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val wordGen = Gen.nonEmptyListOf(
+      Gen.frequency(8 -> Gen.alphaLowerChar, 1 -> Gen.oneOf('ç', 'ö', '中')))
+      .map(_.take(9).mkString)
+    val textGen = Gen.nonEmptyListOf(wordGen).map(_.take(12).mkString(" "))
+    val texts = samples(textGen, 30).distinct
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val model = pipeline.Bpe.learn(df, "text", numMerges = 40)
+    val rows = df
+      .select(col("id"), col("text"),
+        pipeline.Bpe.segment(col("text"), model).as("seg"))
+      .collect()
+    rows.foreach { r =>
+      val text = r.getString(1)
+      val seg = r.getSeq[String](2)
+      val words = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      // lossless partition: subwords concatenate back to the words
+      assert(seg.mkString("") == words.mkString(""), s"text='$text' seg=$seg")
+      // bounds: one to len(word) subwords per word
+      assert(seg.size >= words.length, s"fewer subwords than words: $seg")
+      assert(seg.size <= words.map(w => w.codePointCount(0, w.length)).sum.max(1),
+        s"more subwords than code points: $seg")
+    }
+  }
+
   test("property: sessionize matches a sequential scan") {
     import spark.implicits._
     samples(eventsGen, 8).foreach { evs =>
