@@ -215,7 +215,7 @@ object SparkEntry {
       t(s, dir, "events"))),
 
     // sessionization: 30-minute-gap sessions per user, single shuffle
-    // (events ts reads as long nanoseconds)
+    // (gap in epoch-nanos; ts normalized whatever its physical type)
     "q_sessions" -> ((s, dir) => pipeline.Temporal.sessionStats(
       t(s, dir, "events"), "user_id", "ts", "event_id",
       gap = 30L * 60 * 1000000000L)
@@ -510,7 +510,8 @@ object SparkEntry {
       .orderBy("o_custkey", "rn")),
 
     // interval join: events enriched against 30 daily 6-hour windows
-    // (bucketed equi-join — nested-loop-free; ts is epoch nanos). The
+    // (bucketed equi-join — nested-loop-free; ts auto-normalized to
+    // epoch nanos, windows are long-typed nanos already). The
     // aggregate certifies the containment semantics end-to-end.
     "q_interval" -> ((s, dir) => {
       val dayNs = 86400L * 1000000000L

@@ -522,16 +522,20 @@ object Dedup {
   /** Decontaminated train corpus: drop every train document that
     * contains ANY bench document at `threshold` — the removal step that
     * [[crossContainmentBloom]]'s detection feeds. The contaminated-id
-    * set (bounded by the contamination rate, not the corpus) rides a
-    * left-anti join; with AQE it broadcasts, so the 100 TB train side
-    * pays its one gated detection scan plus one map-side anti probe —
-    * it is never shuffled on a corpus-sized key. */
+    * set is bounded by the contamination rate — never the corpus — so it
+    * rides an EXPLICIT `broadcast()` left-anti probe: the 100 TB train
+    * side pays its one gated detection scan plus one map-side anti
+    * probe and is never shuffled on a corpus-sized key. (Round-8
+    * lesson: "AQE will broadcast it" is a hope, not a plan — the
+    * detection subtree's stats hid the small side and AQE planned a
+    * SortMergeJoin LeftAnti that hash-shuffled the entire train corpus,
+    * 48× slower at sf0.1; PlanAuditSpec pins the broadcast shape.) */
   def decontaminate(
       train: DataFrame, bench: DataFrame, textCol: String, idCol: String,
       k: Int = 2, threshold: Double = 0.8): DataFrame = {
     val bad = crossContainmentBloom(train, bench, textCol, idCol, k, threshold)
       .select(col("train_id")).distinct()
-    train.join(bad, train(idCol) === bad("train_id"), "left_anti")
+    train.join(broadcast(bad), train(idCol) === bad("train_id"), "left_anti")
   }
 
   /** Span-level exact-substring duplication (Lee et al., "Deduplicating

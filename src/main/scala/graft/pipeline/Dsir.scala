@@ -30,11 +30,12 @@ import org.apache.spark.sql.functions._
   * hash-aggregate with map-side partial combine (each mapper emits at
   * most B partial rows, so the Zipf head never skews the shuffle), then
   * collapse into a driver-side log-ratio LUT of exactly B doubles —
-  * bounded driver state, like a PQ codebook. Scoring is one more
-  * explode + a codegen'd element_at on the literal LUT (join-free) +
-  * per-doc hash-aggregate. The raw corpus is scanned twice (counts,
-  * scoring), never self-joined; the resample is a map-side key +
-  * TakeOrderedAndProject.
+  * bounded driver state, like a PQ codebook. Scoring is a SECOND plain
+  * scan with a native per-row kernel (`graft_dsir_score`: walk the
+  * doc's n-gram array, md5-bucket, accumulate lut[bucket]) — zero
+  * shuffle, zero join, never a corpus self-join; the resample is a
+  * map-side key + TakeOrderedAndProject. Two text scans total, and the
+  * only shuffle anywhere is the B-bounded counts aggregate.
   */
 object Dsir {
 
@@ -42,28 +43,40 @@ object Dsir {
   private def hash32(c: org.apache.spark.sql.Column) =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
-  /** Per-document feature stream: unigrams ++ bigrams of the
-    * lower-cased, whitespace-split text, hashed into `buckets`. */
+  /** The n-gram array of one document: unigrams ++ bigrams of the
+    * lower-cased, whitespace-split text. ONE definition feeds both the
+    * exploded counts pass and the per-row scoring kernel, so their
+    * tokenizations cannot drift. */
+  private def grams(textCol: String): org.apache.spark.sql.Column =
+    concat(TextAnalysis.tokens(lower(col(textCol))),
+      TextAnalysis.bigrams(col(textCol)))
+
+  /** Per-document feature stream: [[grams]] hashed into `buckets`. */
   private def features(df: DataFrame, textCol: String, idCol: String,
-      buckets: Int): DataFrame = {
-    val toks = TextAnalysis.tokens(lower(col(textCol)))
-    df.select(col(idCol),
-      explode(concat(toks, TextAnalysis.bigrams(col(textCol)))).as("__g"))
+      buckets: Int): DataFrame =
+    df.select(col(idCol), explode(grams(textCol)).as("__g"))
       .select(col(idCol), (hash32(col("__g")) % buckets).as("f"))
-  }
 
   /** Importance weight per raw document: (`idCol`, `n_feats`, `iw`).
     * Documents whose text yields no features (empty after trim) pass
     * through with n_feats = 0, iw = 0.0. `target` is the small domain
     * sample — thousands of documents next to a 100 TB raw corpus.
     *
-    * The two count tables are BOUNDED at `buckets` rows, so they are
-    * collected once and folded into a driver-side log-ratio LUT (the PQ
-    * codebook pattern — O(buckets) driver state); scoring is then one
-    * codegen'd `element_at` on the literal LUT, join-free. Expressing
-    * the normalizers declaratively instead made Catalyst recompute the
-    * corpus feature-explode four times (each count table fed both the
-    * ratio join and its own total) — measured 14× slower at sf0.1. */
+    * The two count tables are BOUNDED at `buckets` rows (one explode +
+    * hash-aggregate each, map-side combine), collected once and folded
+    * into a driver-side log-ratio LUT (the PQ codebook pattern —
+    * O(buckets) driver state). Scoring then needs NO second explode:
+    * a native per-row kernel (`graft_dsir_score`) walks each document's
+    * n-gram array once, md5-buckets each gram and accumulates
+    * `lut[bucket]` — zero shuffle, zero join, plain corpus scan.
+    * (Round-8 lesson: featurizing raw separately for counts and for
+    * scoring paid the explode+md5 pass — the single dominant CPU
+    * cost — twice per query; under driver-machine CPU contention that
+    * doubled pass showed up as a 39–64× bench blowup. An intermediate
+    * (id, f, cnt)-histogram rewrite measured SLOWER on a quiet machine:
+    * the corpus-keyed groupBy(id, f) shuffle + rematerialization cost
+    * more than the explode it saved. The kernel keeps one explode for
+    * the bounded counts and makes the second pass shuffle-free.) */
   def importanceWeights(raw: DataFrame, target: DataFrame, textCol: String,
       idCol: String, buckets: Int = 8192, alpha: Double = 0.5): DataFrame = {
     require(buckets > 0, "buckets must be positive")
@@ -84,16 +97,12 @@ object Dsir {
     val lut = Array.tabulate(buckets)(i =>
       math.log((cntT(i) + alpha) / (nT + aB)) -
         math.log((cntR(i) + alpha) / (nR + aB)))
-    val scored = features(raw, textCol, idCol, buckets)
+    raw.select(col(idCol),
+      org.apache.spark.sql.graft.sketch
+        .dsir_score(grams(textCol), lut, buckets).as("__s"))
       .select(col(idCol),
-        element_at(typedlit(lut.toSeq), (col("f") + 1).cast("int")).as("__lr"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_feats"),
-        Rounding.halfUp(sum(col("__lr")), 6).as("iw"))
-    raw.select(col(idCol)).join(scored, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
-        coalesce(col("iw"), lit(0.0)).as("iw"))
+        coalesce(col("__s.n_feats"), lit(0L)).as("n_feats"),
+        Rounding.halfUp(coalesce(col("__s.iw"), lit(0.0)), 6).as("iw"))
   }
 
   /** Gumbel-top-k resample without replacement: key = iw + g where the

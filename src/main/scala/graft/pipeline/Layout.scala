@@ -56,14 +56,24 @@ object Layout {
     require(bits >= 1 && bits <= 16, "1 to 16 rank bits")
     val nb = 1 << bits
     val ps = (1 until nb).map(_.toDouble / nb)
-    val aggs = cols.map(c => approx_percentile(col(c).cast("double"),
+    // timestamp/date layout columns rank by their epoch-nanos view
+    // (ANSI forbids cast(timestamp_ntz as double), and rank order is
+    // identical either way — epochNanos is monotone)
+    def asD(c: String): Column = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType |
+           org.apache.spark.sql.types.DateType =>
+        Temporal.epochNanos(df, c).cast("double")
+      case _ => col(c).cast("double")
+    }
+    val aggs = cols.map(c => approx_percentile(asD(c),
       array(ps.map(lit): _*), lit(10000)).alias(s"__b_$c"))
     val bounds = df.agg(aggs.head, aggs.tail: _*).head()
     cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
       val bl = Option(bounds.getSeq[Double](i)).getOrElse(Seq.empty)
       d.withColumn(s"__rank_$c",
         coalesce(org.apache.spark.sql.graft.sketch.bucket_index(
-          col(c).cast("double"), bl).cast("long"), lit(0L)))
+          asD(c), bl).cast("long"), lit(0L)))
     }
   }
 

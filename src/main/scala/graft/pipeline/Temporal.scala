@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Temporal operators over keyed event streams: sessionization, as-of
   * join, per-group top-k. Each is a single-shuffle-by-key plan — the
@@ -10,26 +11,58 @@ import org.apache.spark.sql.functions._
   * self-join explosion, no global sort; every window and downstream
   * aggregate reuses the one hash exchange on the key).
   *
-  * The synthetic `events` table stores TIMESTAMP(NANOS), which the
-  * sessions here read as long nanoseconds
-  * (`spark.sql.legacy.parquet.nanosAsLong`) — time columns only need to
-  * be ordered and subtractable, so everything below is
-  * time-representation-agnostic. */
+  * Unit contract: every operator here takes its time column in ANY
+  * physical representation — integral epoch-nanos, TIMESTAMP,
+  * TIMESTAMP_NTZ, or DATE — and normalizes it through [[epochNanos]]
+  * before arithmetic, so gaps/grains/periods are ALWAYS epoch-nanosecond
+  * quantities regardless of how the data landed on disk. (Round-8
+  * lesson: the engine previously assumed integer time and silently
+  * depended on `spark.sql.legacy.parquet.nanosAsLong` matching the
+  * input's physical type; the moment the events table arrived as
+  * `timestamp[us]` every gap comparison became interval-vs-bigint and
+  * ANSI refused `cast(timestamp as bigint)`.) */
 object Temporal {
+
+  /** Epoch-nanoseconds BIGINT view of a time column, whatever its
+    * physical type:
+    *  - integral → passthrough (already epoch-nanos by contract);
+    *  - TIMESTAMP → `unix_micros * 1000` (exact — no double round-trip);
+    *  - TIMESTAMP_NTZ → wall-clock interpreted in the session timezone
+    *    (graft sessions pin UTC, matching DuckDB's `epoch_ns` reading of
+    *    the same parquet value) then as TIMESTAMP;
+    *  - DATE → midnight UTC of that day.
+    * Purely a scalar projection: adds no exchange, stays inside
+    * whole-stage codegen, and a monotone function of the raw value — so
+    * ordering by the raw column and by the normalized one agree. */
+  def epochNanos(df: DataFrame, c: String): Column =
+    epochNanosOf(df.schema(c).dataType, col(c), c)
+
+  private[graft] def epochNanosOf(dt: DataType, c: Column, name: String): Column =
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType => c.cast(LongType)
+      case TimestampType => unix_micros(c) * lit(1000L)
+      case TimestampNTZType => unix_micros(c.cast(TimestampType)) * lit(1000L)
+      case DateType => unix_date(c).cast(LongType) * lit(86400L * 1000000000L)
+      case other => throw new IllegalArgumentException(
+        s"time column `$name` must be integral epoch-nanos, timestamp, " +
+          s"timestamp_ntz, or date; got $other")
+    }
 
   /** Assign per-key session ids (1-based, in time order): a new session
     * starts when the gap from the key's previous event exceeds `gap`
-    * (same unit as `tsCol`). `tieCol` makes the order total for
-    * deterministic ids under equal timestamps.
+    * (epoch-nanoseconds; any [[epochNanos]]-normalizable `tsCol`).
+    * `tieCol` makes the order total for deterministic ids under equal
+    * timestamps.
     *
     * Plan: one hash exchange on `keyCol`; the lag and the running sum
     * share the window sort (single WindowExec). */
   def sessionize(df: DataFrame, keyCol: String, tsCol: String,
       tieCol: String, gap: Long, sessionCol: String = "session_id"): DataFrame = {
+    val tsNs = epochNanos(df, tsCol)
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
-    val prev = lag(col(tsCol), 1).over(w)
+    val prev = lag(tsNs, 1).over(w)
     val newSession =
-      when(prev.isNull || col(tsCol) - prev > gap, 1).otherwise(0)
+      when(prev.isNull || tsNs - prev > gap, 1).otherwise(0)
     df.withColumn("__graft_ns", newSession)
       .withColumn(sessionCol, sum(col("__graft_ns"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -113,7 +146,7 @@ object Temporal {
          ELSE ($x) div $grain - 1 END"""
 
   private def floorBucket(colName: String, grain: Long): Column =
-    expr(floorBucketSql(s"cast(`$colName` as bigint)", grain))
+    expr(floorBucketSql(s"`$colName`", grain))
 
   /** Interval join: each point row matched to every interval row whose
     * `[startCol, endCol]` (inclusive) contains its `ptCol`, optionally
@@ -140,13 +173,22 @@ object Temporal {
       startCol: String, endCol: String, grain: Long,
       keys: Seq[String] = Nil): DataFrame = {
     require(grain > 0, "grain must be positive")
-    val pb = points.withColumn("__graft_bucket", floorBucket(ptCol, grain))
-    val ib = intervals.withColumn("__graft_bucket",
-      explode(sequence(floorBucket(startCol, grain),
-        floorBucket(endCol, grain))))
+    // normalize each side to epoch-nanos FIRST: the two sides may use
+    // different physical encodings (timestamp events vs long-typed
+    // windows), and the bucket ids + residual filter must compare in one
+    // unit, not across types
+    val pb = points.withColumn("__graft_pt", epochNanos(points, ptCol))
+      .withColumn("__graft_bucket", floorBucket("__graft_pt", grain))
+    val ib = intervals
+      .withColumn("__graft_s", epochNanos(intervals, startCol))
+      .withColumn("__graft_e", epochNanos(intervals, endCol))
+      .withColumn("__graft_bucket",
+        explode(sequence(floorBucket("__graft_s", grain),
+          floorBucket("__graft_e", grain))))
     pb.join(ib, (keys :+ "__graft_bucket").toIndexedSeq)
-      .where(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
-      .drop("__graft_bucket")
+      .where(col("__graft_pt") >= col("__graft_s") &&
+        col("__graft_pt") <= col("__graft_e"))
+      .drop("__graft_bucket", "__graft_pt", "__graft_s", "__graft_e")
   }
 
   /** Interval-overlap join: every (left, right) interval pair with
@@ -161,16 +203,25 @@ object Temporal {
       lStart: String, lEnd: String, rStart: String, rEnd: String,
       grain: Long, keys: Seq[String] = Nil): DataFrame = {
     require(grain > 0, "grain must be positive")
-    val lb = left.withColumn("__graft_bucket",
-      explode(sequence(floorBucket(lStart, grain), floorBucket(lEnd, grain))))
-    val rb = right.withColumn("__graft_bucket",
-      explode(sequence(floorBucket(rStart, grain), floorBucket(rEnd, grain))))
+    val lb = left
+      .withColumn("__graft_ls", epochNanos(left, lStart))
+      .withColumn("__graft_le", epochNanos(left, lEnd))
+      .withColumn("__graft_bucket",
+        explode(sequence(floorBucket("__graft_ls", grain),
+          floorBucket("__graft_le", grain))))
+    val rb = right
+      .withColumn("__graft_rs", epochNanos(right, rStart))
+      .withColumn("__graft_re", epochNanos(right, rEnd))
+      .withColumn("__graft_bucket",
+        explode(sequence(floorBucket("__graft_rs", grain),
+          floorBucket("__graft_re", grain))))
     lb.join(rb, (keys :+ "__graft_bucket").toIndexedSeq)
-      .where(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+      .where(col("__graft_ls") <= col("__graft_re") &&
+        col("__graft_rs") <= col("__graft_le") &&
         col("__graft_bucket") === expr(floorBucketSql(
-          s"greatest(cast(`$lStart` as bigint), cast(`$rStart` as bigint))",
-          grain)))
-      .drop("__graft_bucket")
+          "greatest(`__graft_ls`, `__graft_rs`)", grain)))
+      .drop("__graft_bucket", "__graft_ls", "__graft_le",
+        "__graft_rs", "__graft_re")
   }
 
   /** Top-k rows per group by the given ordering (rank column `rnCol`,
@@ -242,11 +293,9 @@ object Temporal {
       periodLen: Long): DataFrame = {
     require(periodLen > 0, "periodLen must be positive")
     val per = df.select(col(keyCol).alias("__graft_k"),
-      expr(s"""CASE WHEN cast(`$tsCol` as bigint) >= 0
-                 OR cast(`$tsCol` as bigint) % $periodLen = 0
-               THEN cast(`$tsCol` as bigint) div $periodLen
-               ELSE cast(`$tsCol` as bigint) div $periodLen - 1 END""")
-        .alias("__graft_p"))
+      epochNanos(df, tsCol).alias("__graft_ns"))
+      .select(col("__graft_k"),
+        floorBucket("__graft_ns", periodLen).alias("__graft_p"))
     per.groupBy(col("__graft_k"))
       .agg(min(col("__graft_p")).alias("cohort"),
         collect_set(col("__graft_p")).alias("__graft_ps"))

@@ -19,12 +19,27 @@ object EventStream {
   /** Tumbling-window counts + value sums per event type with a watermark
     * bounding state for late data. Works on both batch and streaming
     * inputs. */
+  /** Accept `ts` as a timestamp OR as integral epoch-nanos: integral
+    * columns convert to TIMESTAMP by micros truncation (a scalar
+    * projection — window()/watermark need a real time type, and the
+    * batch events table may carry either encoding; round-9 unit
+    * contract, see [[graft.pipeline.Temporal.epochNanos]]). */
+  private def withTimestampTs(events: DataFrame, tsCol: String): DataFrame =
+    events.schema.fields.find(_.name == tsCol).map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType |
+                org.apache.spark.sql.types.IntegerType) =>
+        events.withColumn(tsCol, timestamp_micros(expr(s"`$tsCol` div 1000")))
+      // absent tsCol: fine for paths that never touch time (batch dedup)
+      case _ => events
+    }
+
   def windowedCounts(
       events: DataFrame,
       windowLen: String = "1 minute",
       watermark: String = "5 minutes"): DataFrame = {
+    val ev = withTimestampTs(events, "ts")
     val withTs =
-      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+      if (ev.isStreaming) ev.withWatermark("ts", watermark) else ev
     withTs
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).alias("cnt"), sum(col("value")).alias("sv"))
@@ -77,11 +92,13 @@ object EventStream {
       events: DataFrame,
       keyCols: Seq[String],
       watermark: String = "10 minutes",
-      tsCol: String = "ts"): DataFrame =
-    if (events.isStreaming)
-      events.withWatermark(tsCol, watermark)
+      tsCol: String = "ts"): DataFrame = {
+    val ev = withTimestampTs(events, tsCol)
+    if (ev.isStreaming)
+      ev.withWatermark(tsCol, watermark)
         .dropDuplicatesWithinWatermark(keyCols)
-    else events.dropDuplicates(keyCols)
+    else ev.dropDuplicates(keyCols)
+  }
 
   /** Wire a streaming query to an in-memory sink (testing / demo). */
   def startToMemory(df: DataFrame, name: String,

@@ -399,6 +399,35 @@ object GraftHashOps {
     sum
   }
 
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** Per-document DSIR score over an n-gram array: each gram buckets at
+    * `(unsigned 32-bit of its md5 prefix) % buckets` — bit-identical to
+    * SQL `conv(substring(md5(g), 1, 8), 16, 10) % buckets` (the first 8
+    * hex chars ARE the first 4 digest bytes) — and `iw` accumulates
+    * `lut[bucket]` per OCCURRENCE. Returns (n_feats, iw). One tight
+    * loop per row, MessageDigest reused thread-locally: the scoring
+    * pass needs no explode, no shuffle, no join. */
+  def dsirScore(grams: ArrayData, lut: Array[Double], buckets: Int): InternalRow = {
+    val md = md5Local.get()
+    val n = grams.numElements()
+    var iw = 0.0
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(grams.getUTF8String(i).getBytes)
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      iw += lut((h % buckets).toInt)
+      i += 1
+    }
+    InternalRow(n.toLong, iw)
+  }
+
   /** Line-level repetition and boilerplate signals (Rae et al., Gopher
     * 2021 §A1.1), all five from ONE hash pass over the doc's non-empty
     * trimmed lines: (n_lines, dup_line_frac, dup_line_char_frac,
@@ -1042,6 +1071,38 @@ object LineRepStats {
     StructField("ellipsis_line_frac", DoubleType, nullable = false)))
 }
 
+/** Per-document DSIR log-likelihood-ratio score over a pre-built n-gram
+  * array (see GraftHashOps.dsirScore). The log-ratio LUT rides as a
+  * reference object into the generated class — one `double[]` per plan,
+  * like [[PqAdcScore]]'s ADC table; the per-row path is a tight
+  * md5-and-accumulate loop with no explode, no shuffle, no join. */
+case class DsirScore(child: Expression, lut: Array[Double], buckets: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = DsirScore.schema
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_dsir_score"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.dsirScore(input.asInstanceOf[ArrayData], lut, buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lutRef = ctx.addReferenceObj("dsirLut", lut, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${Gen.Ops}.dsirScore($c, $lutRef, $buckets);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DsirScore =
+    copy(child = newChild)
+}
+
+object DsirScore {
+  val schema: StructType = StructType(Seq(
+    StructField("n_feats", LongType, nullable = false),
+    StructField("iw", DoubleType, nullable = false)))
+}
+
 /** Greedy BPE subword segmentation under a learned merge-rank table
   * (see GraftHashOps.bpeSegment). */
 case class BpeSegment(child: Expression,
@@ -1158,6 +1219,8 @@ object sketch {
       n: Int): Column =
     column(NearestCentroidsTopN(expression(vec), centroids, n))
   def line_rep_stats(c: Column): Column = column(LineRepStats(expression(c)))
+  def dsir_score(c: Column, lut: Array[Double], buckets: Int): Column =
+    column(DsirScore(expression(c), lut, buckets))
   def char_entropy(c: Column): Column = column(CharEntropy(expression(c)))
   def bpe_segment(c: Column,
       ranks: java.util.HashMap[String, Integer]): Column =

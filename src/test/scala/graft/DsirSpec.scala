@@ -79,13 +79,19 @@ class DsirSpec extends SparkSpec {
   }
 
   test("plan shape: join-free LUT scoring, TakeOrdered resample, no corpus self-join") {
-    val w = Dsir.importanceWeights(fixture, target, "text", "doc_id",
+    // a parquet-backed corpus: a LocalRelation fixture constant-folds
+    // the whole projection away and there is no plan left to audit
+    val w = Dsir.importanceWeights(
+      sf("documents").select(col("doc_id"), col("text")),
+      target, "text", "doc_id",
       buckets = 1024, alpha = 0.5)
     val wPlan = w.queryExecution.executedPlan.toString
-    // scoring rides a literal LUT: the only join left is the
-    // short-doc join-back — nothing nested-loop, nothing corpus×corpus
-    assert(!wPlan.contains("BroadcastNestedLoopJoin"), wPlan)
-    assert(wPlan.contains("element_at"), s"no LUT lookup in plan:\n$wPlan")
+    // scoring is a per-row kernel over the n-gram array: no join of any
+    // kind, no exchange — ONE corpus scan
+    assert(!wPlan.contains("Join"), s"scoring should be join-free:\n$wPlan")
+    assert(!wPlan.contains("Exchange"), s"scoring should not shuffle:\n$wPlan")
+    assert(wPlan.contains("graft_dsir_score"),
+      s"no DSIR kernel in plan:\n$wPlan")
     val rPlan = Dsir.resample(w, "doc_id", "iw", k = 5)
       .queryExecution.executedPlan.toString
     assert(rPlan.contains("TakeOrderedAndProject"),

@@ -28,8 +28,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("windowed counts also run on the batch events table") {
-    val out = EventStream.windowedCounts(
-      sf("events").withColumn("ts", timestamp_seconds(col("ts").cast("double") / 1e9)))
+    val out = EventStream.windowedCounts(sf("events"))
     assert(out.count() > 0)
     assert(out.columns.toSeq == Seq("win_start", "event_type", "cnt", "sv"))
   }
