@@ -26,8 +26,11 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS); read as long (driver's
-      // duckdb oracle reads ns natively — we only aggregate non-ts cols)
+      // compatibility only, NOT a correctness dependence: if events ever
+      // reverts to TIMESTAMP(NANOS) this reads it as long epoch-nanos,
+      // which Temporal.epochNanos passes through; timestamp[us]/NTZ data
+      // (the current driver testdata) normalizes through the same
+      // adapter regardless of this flag
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
