@@ -235,6 +235,36 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // forward as-of with a 2-hour tolerance: each click matched to the
+    // user's NEXT view within 2h (nulls beyond) — the merge_asof
+    // direction/tolerance surface on the same single-shuffle plan
+    "q_asof_fwd" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      pipeline.Temporal.asofJoin(
+        ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts"),
+        ev.filter(col("event_type") === "view")
+          .select("event_id", "user_id", "ts"),
+        "user_id", "ts", "event_id", payload = Seq("event_id"),
+        direction = "forward", toleranceNs = 7200L * 1000000000L)
+        .select(col("event_id"), col("user_id"),
+          col("asof_event_id").alias("view_id"))
+        .orderBy("event_id")
+    }),
+
+    // trailing 24h rolling aggregates per user (RANGE frame over
+    // epoch-nanos — one exchange, no time self-join)
+    "q_rolling" -> ((s, dir) =>
+      pipeline.Temporal.rollingAgg(
+        t(s, dir, "events").select("event_id", "user_id", "ts", "value"),
+        "user_id", "ts", windowNs = 86400L * 1000000000L,
+        aggs = Seq(
+          "n_24h" -> count(lit(1)),
+          "__v" -> sum(col("value"))))
+        .select(col("event_id"), col("user_id"), col("n_24h"),
+          pipeline.Rounding.halfUp(col("__v"), 6).alias("v_24h"))
+        .orderBy("event_id")),
+
     // per-group top-k without a global sort (row_number window)
     // 2-D skyline of lineitem: cheapest-yet-largest frontier under
     // (min l_extendedprice, max l_quantity); exact sort-based distributed
@@ -1498,6 +1528,23 @@ object SparkEntry {
          FROM (SELECT * FROM events WHERE event_type = 'click') e
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
            ON e.user_id = v.user_id AND e.ts >= v.ts
+         ORDER BY e.event_id""",
+    "q_rolling" ->
+      """SELECT event_id, user_id,
+           count(*) OVER w AS n_24h,
+           floor(sum(value) OVER w * 1e6 + 0.5) / 1e6 AS v_24h
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+           RANGE BETWEEN 86400000000000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+    "q_asof_fwd" ->
+      """SELECT e.event_id, e.user_id,
+           CASE WHEN v.ts IS NOT NULL
+                 AND epoch_ns(v.ts) - epoch_ns(e.ts) <= 7200000000000
+                THEN v.event_id END AS view_id
+         FROM (SELECT * FROM events WHERE event_type = 'click') e
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+           ON e.user_id = v.user_id AND e.ts <= v.ts
          ORDER BY e.event_id""",
     "q_skyline" ->
       """WITH g AS (SELECT l_extendedprice::DOUBLE AS x,

@@ -162,9 +162,16 @@ object Graphs {
     * document keeps its cluster id (its own id when unclustered) and only
     * the cluster representative (minimum id) survives.
     *
-    * The label set is small next to the corpus (only clustered docs carry
-    * a row), so the join broadcasts under AQE; the corpus is never
-    * shuffled. */
+    * The removal rides a left-anti join against the DROP set — clustered
+    * non-representatives only, the strictly smallest formulation (the
+    * full label table also carries every representative). When the dup
+    * rate is low the drop set is broadcast-sized and AQE plans a
+    * broadcast anti probe; at corpus-scale dup rates (a 100 TB crawl can
+    * be 30%+ near-dup) no side fits in memory and the correct plan IS
+    * the doc_id-keyed shuffle anti — unlike decontamination's
+    * contamination-rate-bounded id set, this side is NOT guaranteed
+    * small, so the broadcast is left to runtime stats instead of forced
+    * (the round-8 decontaminate lesson cuts the other way here). */
   def dedupByCluster(
       docs: DataFrame, idCol: String,
       pairs: DataFrame, srcCol: String, dstCol: String,
@@ -172,9 +179,8 @@ object Graphs {
     val labels = connectedComponents(pairs, srcCol, dstCol,
       checkpointDir = checkpointDir)
       .withColumnRenamed("id", "__cc_id")
-    docs
-      .join(labels, docs(idCol).cast("long") === col("__cc_id"), "left")
-      .where(col("comp").isNull || col("comp") === docs(idCol).cast("long"))
-      .drop("__cc_id", "comp")
+    val drop = labels.where(col("comp") =!= col("__cc_id"))
+      .select(col("__cc_id"))
+    docs.join(drop, docs(idCol).cast("long") === col("__cc_id"), "left_anti")
   }
 }

@@ -84,46 +84,105 @@ object Temporal {
         sum(col("__graft_ev")).alias("n_events"),
         max(col("__graft_ev")).alias("longest"))
 
-  /** As-of join: for each left row, the most recent right row of the same
-    * key with right.ts <= left.ts (nulls when none — LEFT asof). Output =
-    * all left columns + each requested right `payload` column as
-    * `asof_<name>`.
+  /** As-of join: for each left row, the nearest right row of the same
+    * key in the requested `direction` (nulls when none — LEFT asof).
+    * Output = all left columns + each requested right `payload` column
+    * as `asof_<name>`.
     *
-    * Implementation: tag and union the two sides, then one
-    * key-partitioned window ordered by (ts, tag, tie) carries the latest
-    * right payload forward (`last(..., ignoreNulls)`); left rows read it,
-    * right rows are dropped. A right row at exactly left.ts matches
-    * (tag 0 sorts before tag 1). This is a SINGLE shuffle on the key —
-    * no per-row range probe (O(n·m) join explosion) and no broadcast of
-    * either side; both inputs stream through one exchange, so the shape
-    * is identical at 100 TB. Caveat: a right row whose payload VALUE is
-    * null is skipped by ignoreNulls (treated as no observation). */
+    *  - `direction = "backward"` (default): latest right with
+    *    right.ts <= left.ts — the price-at-trade-time shape;
+    *  - `"forward"`: earliest right with right.ts >= left.ts;
+    *  - `"nearest"`: whichever of the two is closer in absolute time
+    *    (ties prefer backward).
+    *
+    * `toleranceNs` (epoch-nanoseconds, default unlimited) nulls the
+    * match when the time distance exceeds it — the pandas `merge_asof`
+    * surface. Time columns normalize through [[epochNanos]], so the two
+    * sides may even use different physical encodings.
+    *
+    * Implementation: tag and union the two sides, then ONE
+    * key-partitioned window per needed direction carries the nearest
+    * right ROW (a (ts, payloads…) struct via
+    * `last/first(..., ignoreNulls)`); left rows read it, right rows are
+    * dropped. A right row at exactly left.ts matches in every direction
+    * (tag ordering places right rows on the inclusive side of the
+    * frame). This is a SINGLE shuffle on the key — no per-row range
+    * probe (O(n·m) join explosion) and no broadcast of either side;
+    * both inputs stream through one exchange ("nearest" adds a second
+    * in-partition sort, never a second exchange), so the shape is
+    * identical at 100 TB. A right row whose payload value is null still
+    * counts as an observation (the ROW matches, like SQL ASOF JOIN). */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
-      tsCol: String, tieCol: String, payload: Seq[String]): DataFrame = {
+      tsCol: String, tieCol: String, payload: Seq[String],
+      direction: String = "backward",
+      toleranceNs: Long = Long.MaxValue): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got $direction")
+    require(toleranceNs >= 0, "toleranceNs must be non-negative")
     val lrowType = org.apache.spark.sql.types.StructType(
       left.schema.fields.map(f => f.copy(nullable = true)))
-    val l = left.select(
-      Seq(col(keyCol).alias("__graft_k"), col(tsCol).alias("__graft_ts"),
-        col(tieCol).cast("long").alias("__graft_tie"), lit(1).alias("__graft_tag"),
-        struct(left.columns.map(col).toIndexedSeq: _*).alias("__graft_lrow")) ++
-        payload.map(p =>
-          lit(null).cast(right.schema(p).dataType).alias(s"__graft_p_$p")): _*)
-    val r = right.select(
-      Seq(col(keyCol).alias("__graft_k"), col(tsCol).alias("__graft_ts"),
-        col(tieCol).cast("long").alias("__graft_tie"), lit(0).alias("__graft_tag"),
-        lit(null).cast(lrowType).alias("__graft_lrow")) ++
-        payload.map(p => col(p).alias(s"__graft_p_$p")): _*)
-    val w = Window.partitionBy(col("__graft_k"))
-      .orderBy(col("__graft_ts"), col("__graft_tag"), col("__graft_tie"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(l.unionByName(r)) { (d, p) =>
-      d.withColumn(s"__graft_m_$p",
-        last(col(s"__graft_p_$p"), ignoreNulls = true).over(w))
+    def rStruct(src: DataFrame): Column = struct(
+      (epochNanos(src, tsCol).alias("__rts") +:
+        payload.map(p => col(p).alias(s"__p_$p"))): _*)
+    val rStructType = {
+      val f = rStruct(right)
+      right.select(f.alias("s")).schema("s").dataType
     }
-    filled.filter(col("__graft_tag") === 1)
+    val l = left.select(
+      col(keyCol).alias("__graft_k"),
+      epochNanos(left, tsCol).alias("__graft_ns"),
+      col(tieCol).cast("long").alias("__graft_tie"),
+      lit(1).alias("__graft_tag"),
+      struct(left.columns.map(col).toIndexedSeq: _*).alias("__graft_lrow"),
+      lit(null).cast(rStructType).alias("__graft_r"))
+    val r = right.select(
+      col(keyCol).alias("__graft_k"),
+      epochNanos(right, tsCol).alias("__graft_ns"),
+      col(tieCol).cast("long").alias("__graft_tie"),
+      lit(0).alias("__graft_tag"),
+      lit(null).cast(lrowType).alias("__graft_lrow"),
+      rStruct(right).alias("__graft_r"))
+    val u = l.unionByName(r)
+    val part = Window.partitionBy(col("__graft_k"))
+    // backward: right (tag 0) sorts BEFORE an equal-ts left row, so the
+    // preceding-inclusive frame sees it; forward: tag DESC puts right
+    // AFTER the equal-ts left row, inside the following-inclusive frame
+    val wB = part
+      .orderBy(col("__graft_ns"), col("__graft_tag"), col("__graft_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = part
+      .orderBy(col("__graft_ns"), col("__graft_tag").desc, col("__graft_tie"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val needB = direction != "forward"
+    val needF = direction != "backward"
+    val withCarry = {
+      var d = u
+      if (needB) d = d.withColumn("__graft_b",
+        last(col("__graft_r"), ignoreNulls = true).over(wB))
+      if (needF) d = d.withColumn("__graft_f",
+        first(col("__graft_r"), ignoreNulls = true).over(wF))
+      d
+    }
+    val ns = col("__graft_ns")
+    val bDelta = ns - col("__graft_b.__rts")
+    val fDelta = col("__graft_f.__rts") - ns
+    val bOk = if (needB) col("__graft_b").isNotNull && bDelta <= toleranceNs
+      else lit(false)
+    val fOk = if (needF) col("__graft_f").isNotNull && fDelta <= toleranceNs
+      else lit(false)
+    val chosen = direction match {
+      case "backward" => when(bOk, col("__graft_b"))
+      case "forward" => when(fOk, col("__graft_f"))
+      case "nearest" =>
+        when(bOk && (!fOk || bDelta <= fDelta), col("__graft_b"))
+          .when(fOk, col("__graft_f"))
+    }
+    withCarry.filter(col("__graft_tag") === 1)
+      .withColumn("__graft_m", chosen)
       .select(left.columns.map(c =>
         col("__graft_lrow").getField(c).alias(c)).toIndexedSeq ++
-        payload.map(p => col(s"__graft_m_$p").alias(s"asof_$p")): _*)
+        payload.map(p =>
+          col("__graft_m").getField(s"__p_$p").alias(s"asof_$p")): _*)
   }
 
   /** Floor-division bucket of the SQL fragment `x` (must evaluate to
@@ -222,6 +281,28 @@ object Temporal {
           "greatest(`__graft_ls`, `__graft_rs`)", grain)))
       .drop("__graft_bucket", "__graft_ls", "__graft_le",
         "__graft_rs", "__graft_re")
+  }
+
+  /** Trailing time-window aggregates: each `aggs` entry (name, aggExpr)
+    * is evaluated over the key's rows in `[ts − windowNs, ts]`
+    * (inclusive — rows with EQUAL timestamps are frame peers and all
+    * see each other, on any engine). The rate-counter / trailing-24h
+    * activity shape.
+    *
+    * Plan: one hash exchange on `keyCol`; every aggregate shares the
+    * single RANGE-frame WindowExec over the epoch-nanos order — a
+    * range frame over normalized int64 time, NOT a self-join (the
+    * O(n·window) explosion a `t1 JOIN t2 ON ts BETWEEN` formulation
+    * pays). */
+  def rollingAgg(df: DataFrame, keyCol: String, tsCol: String,
+      windowNs: Long, aggs: Seq[(String, Column)]): DataFrame = {
+    require(windowNs >= 0, "windowNs must be non-negative")
+    require(aggs.nonEmpty, "at least one aggregate")
+    val withNs = df.withColumn("__graft_rns", epochNanos(df, tsCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__graft_rns"))
+      .rangeBetween(-windowNs, 0)
+    aggs.foldLeft(withNs) { case (d, (n, a)) => d.withColumn(n, a.over(w)) }
+      .drop("__graft_rns")
   }
 
   /** Top-k rows per group by the given ordering (rank column `rnCol`,

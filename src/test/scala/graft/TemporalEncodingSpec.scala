@@ -129,6 +129,17 @@ class TemporalEncodingSpec extends SparkSpec {
         == expected, s"overlapJoin differs under $name")
   }
 
+  test("rollingAgg is encoding-invariant") {
+    def run(df: DataFrame): DataFrame =
+      Temporal.rollingAgg(df, "user_id", "ts",
+        windowNs = 3600L * 1000000000L,
+        aggs = Seq("n" -> count(lit(1))))
+        .select("event_id", "n")
+    val expected = canon(run(longDf))
+    for ((name, df) <- encodings.tail)
+      assert(canon(run(df)) == expected, s"rollingAgg differs under $name")
+  }
+
   test("asofJoin is encoding-invariant") {
     def run(df: DataFrame): DataFrame = {
       val l = df.filter(col("event_id") % 2 === 0)

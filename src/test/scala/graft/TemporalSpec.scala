@@ -51,6 +51,72 @@ class TemporalSpec extends SparkSpec {
     assert(out == Map(100L -> 200L, 101L -> 201L, 102L -> -1L))
   }
 
+  test("asofJoin forward matches the earliest right row at or after left.ts") {
+    import spark.implicits._
+    val clicks = Seq((1L, 10L, 100L), (1L, 20L, 101L), (1L, 25L, 102L))
+      .toDF("user_id", "ts", "event_id")
+    val views = Seq((1L, 10L, 200L), (1L, 22L, 201L), (2L, 30L, 202L))
+      .toDF("user_id", "ts", "event_id")
+    val out = Temporal.asofJoin(clicks, views, "user_id", "ts", "event_id",
+      payload = Seq("event_id"), direction = "forward")
+      .select("event_id", "asof_event_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // ts=10 matches the EQUAL-ts view (inclusive); ts=20 matches ts=22;
+    // ts=25 has no later view -> null; user 2 never leaks
+    assert(out == Map(100L -> 200L, 101L -> 201L, 102L -> -1L))
+  }
+
+  test("asofJoin nearest picks the closer side, ties prefer backward") {
+    import spark.implicits._
+    val clicks = Seq((1L, 10L, 100L), (1L, 21L, 101L), (1L, 35L, 102L))
+      .toDF("user_id", "ts", "event_id")
+    val views = Seq((1L, 6L, 200L), (1L, 12L, 201L), (1L, 26L, 202L))
+      .toDF("user_id", "ts", "event_id")
+    val out = Temporal.asofJoin(clicks, views, "user_id", "ts", "event_id",
+      payload = Seq("event_id"), direction = "nearest")
+      .select("event_id", "asof_event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ts=10: back 6 (d=4) vs fwd 12 (d=2) -> 201; ts=21: back 12 (d=9)
+    // vs fwd 26 (d=5) -> 202; ts=35: only backward 26 -> 202
+    assert(out == Map(100L -> 201L, 101L -> 202L, 102L -> 202L))
+    // tie: click at 9 is 3 from both 6 and 12 -> backward wins
+    val tie = Temporal.asofJoin(
+      Seq((1L, 9L, 103L)).toDF("user_id", "ts", "event_id"),
+      views, "user_id", "ts", "event_id",
+      payload = Seq("event_id"), direction = "nearest")
+      .select("asof_event_id").head().getLong(0)
+    assert(tie == 200L)
+  }
+
+  test("asofJoin tolerance nulls matches beyond the window") {
+    import spark.implicits._
+    val clicks = Seq((1L, 100L, 100L), (1L, 200L, 101L))
+      .toDF("user_id", "ts", "event_id")
+    val views = Seq((1L, 95L, 200L), (1L, 120L, 201L))
+      .toDF("user_id", "ts", "event_id")
+    val out = Temporal.asofJoin(clicks, views, "user_id", "ts", "event_id",
+      payload = Seq("event_id"), toleranceNs = 10L)
+      .select("event_id", "asof_event_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // ts=100: nearest-backward 95 is within 10 -> match; ts=200:
+    // nearest-backward 120 is 80 away -> tolerance nulls it
+    assert(out == Map(100L -> 200L, 101L -> -1L))
+  }
+
+  test("asofJoin matches a right row whose payload value is null") {
+    import spark.implicits._
+    val clicks = Seq((1L, 10L, 100L)).toDF("user_id", "ts", "event_id")
+    val views = Seq((1L, 5L, Option.empty[Long]), (1L, 2L, Option(200L)))
+      .toDF("user_id", "ts", "v")
+      .withColumn("event_id", col("ts") * 10)
+    val out = Temporal.asofJoin(clicks, views, "user_id", "ts", "event_id",
+      payload = Seq("v"))
+      .select("asof_v").head()
+    // the ts=5 ROW is the asof match even though its payload is null —
+    // row-observation semantics, not value-observation
+    assert(out.isNullAt(0))
+  }
+
   test("asofJoin is a single-shuffle plan over the union") {
     import spark.implicits._
     val clicks = Seq((1L, 10L, 100L)).toDF("user_id", "ts", "event_id")
@@ -59,6 +125,43 @@ class TemporalSpec extends SparkSpec {
       Seq("event_id")).queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$plan")
+    // "nearest" needs both direction carries — a second in-partition
+    // sort is fine, a second exchange is not
+    val nPlan = Temporal.asofJoin(clicks, views, "user_id", "ts", "event_id",
+      Seq("event_id"), direction = "nearest")
+      .queryExecution.executedPlan.toString
+    val nExchanges = "Exchange hashpartitioning".r.findAllIn(nPlan).length
+    assert(nExchanges == 1,
+      s"nearest: expected 1 hash exchange, got $nExchanges:\n$nPlan")
+  }
+
+  test("rollingAgg counts the trailing range inclusively, per key") {
+    import spark.implicits._
+    val df = Seq((1L, 0L, 1.0), (1L, 50L, 2.0), (1L, 100L, 4.0),
+      (1L, 151L, 8.0), (2L, 100L, 16.0))
+      .toDF("user_id", "ts", "value")
+    val out = Temporal.rollingAgg(df, "user_id", "ts", windowNs = 100L,
+      aggs = Seq("n" -> count(lit(1)), "s" -> sum(col("value"))))
+      .select("user_id", "ts", "n", "s").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // ts=100 sees [0,100] inclusive both ends; ts=151 sees (51..151] =
+    // {100, 151}; key 2 is isolated
+    assert(out == Map(
+      (1L, 0L) -> (1L, 1.0), (1L, 50L) -> (2L, 3.0),
+      (1L, 100L) -> (3L, 7.0), (1L, 151L) -> (2L, 12.0),
+      (2L, 100L) -> (1L, 16.0)))
+  }
+
+  test("rollingAgg is a single-exchange RANGE-frame plan") {
+    import spark.implicits._
+    val df = Seq((1L, 0L, 1.0)).toDF("user_id", "ts", "value")
+    val plan = Temporal.rollingAgg(df, "user_id", "ts", 100L,
+      Seq("n" -> count(lit(1))))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"no self-join expected:\n$plan")
   }
 
   test("topKPerGroup keeps k rows per group in rank order") {
