@@ -252,6 +252,20 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // native session windows (session_window): 30-min-gap sessions with
+    // event counts and value sums; the SAME call runs on a stream with
+    // watermark-bounded state. Start emitted as epoch-nanos (the
+    // driver's hasher compares scalars, not timestamps).
+    "q_session_window" -> ((s, dir) =>
+      streaming.EventStream.sessionWindows(
+        t(s, dir, "events"), gap = "30 minutes")
+        .select(col("user_id"),
+          (unix_micros(col("session_start").cast("timestamp")) * 1000L)
+            .alias("start_ns"),
+          col("n_events"),
+          pipeline.Rounding.halfUp(col("sv"), 6).alias("sv"))
+        .orderBy("user_id", "start_ns")),
+
     // trailing 24h rolling aggregates per user (RANGE frame over
     // epoch-nanos — one exchange, no time self-join)
     "q_rolling" -> ((s, dir) =>
@@ -1529,6 +1543,24 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
            ON e.user_id = v.user_id AND e.ts >= v.ts
          ORDER BY e.event_id""",
+    "q_session_window" ->
+      """WITH g AS (
+           SELECT user_id, ts, event_id, value,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS ns
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ), s AS (
+           SELECT user_id, ts, value,
+                  sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS sid
+           FROM g)
+         SELECT user_id, epoch_ns(min(ts)) AS start_ns,
+                count(*)::BIGINT AS n_events,
+                floor(sum(value) * 1e6 + 0.5) / 1e6 AS sv
+         FROM s GROUP BY user_id, sid
+         ORDER BY user_id, start_ns""",
     "q_rolling" ->
       """SELECT event_id, user_id,
            count(*) OVER w AS n_24h,

@@ -47,6 +47,28 @@ object EventStream {
         col("cnt"), col("sv"))
   }
 
+  /** Native session windows over event time: Spark's `session_window`
+    * merges events of one key that fall within `gap` of each other; the
+    * window closes at last-event + gap. Runs identically on a batch
+    * DataFrame (one hash exchange on (key, window) with map-side
+    * partial merge) and on a stream (watermark bounds the open-session
+    * state, so state size tracks ACTIVE sessions, not history — the
+    * 100 TB-stream shape). Boundary semantics: an event exactly `gap`
+    * after the previous one starts a NEW session (windows are
+    * half-open `[start, last + gap)`).
+    *
+    * Returns (`keyCol`, session_start, session_end, n_events, sv). */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "30 minutes", keyCol: String = "user_id",
+      tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    val ev = withTimestampTs(events, tsCol)
+    val wEv = if (ev.isStreaming) ev.withWatermark(tsCol, watermark) else ev
+    wEv.groupBy(col(keyCol), session_window(col(tsCol), gap).as("__sw"))
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("sv"))
+      .select(col(keyCol), col("__sw.start").as("session_start"),
+        col("__sw.end").as("session_end"), col("n_events"), col("sv"))
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class SessionState(count: Long, totalValue: Double, lastTs: Long)

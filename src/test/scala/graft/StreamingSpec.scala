@@ -33,6 +33,42 @@ class StreamingSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("win_start", "event_type", "cnt", "sv"))
   }
 
+  test("session_window sessions run on the batch events table") {
+    val out = EventStream.sessionWindows(sf("events"), gap = "30 minutes")
+    assert(out.columns.toSeq == Seq("user_id", "session_start",
+      "session_end", "n_events", "sv"))
+    assert(out.count() > 0)
+    // windows close at last-event + gap
+    val bad = out.filter(col("session_end") <= col("session_start")).count()
+    assert(bad == 0)
+  }
+
+  test("session_window merges within the gap and splits at >= gap on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val df = mem.toDF().toDF("user_id", "ts", "value")
+    // session aggregations only support Append: a session emits once the
+    // watermark passes its end, so a later batch must advance event time
+    val q = EventStream.startToMemory(
+      EventStream.sessionWindows(df, gap = "1 minute",
+        watermark = "1 minute"), "sw",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData((1L, t("2024-01-01 00:00:00"), 1.0),
+      (1L, t("2024-01-01 00:00:30"), 2.0), // merges (30s < 1m)
+      (1L, t("2024-01-01 00:02:00"), 4.0)) // splits (90s >= 1m)
+    q.processAllAvailable()
+    mem.addData((1L, t("2024-01-01 00:30:00"), 8.0)) // advances watermark
+    q.processAllAvailable()
+    val rows = spark.table("sw")
+      .select("n_events", "sv").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    q.stop()
+    // both closed sessions flushed; the 00:30 session is still open
+    assert(rows == Set((2L, 3.0), (1L, 4.0)))
+  }
+
   test("streaming dedup keeps first arrival per key within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
