@@ -266,6 +266,18 @@ object SparkEntry {
           pipeline.Rounding.halfUp(col("sv"), 6).alias("sv"))
         .orderBy("user_id", "start_ns")),
 
+    // interval coalescing: each event opens a 1-hour activity interval;
+    // per-user overlapping/touching intervals merge into maximal spans
+    // (gaps-and-islands — one exchange, no overlap self-join)
+    "q_merge_intervals" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val iv = ev.select(col("user_id"),
+        pipeline.Temporal.epochNanos(ev, "ts").alias("s"))
+        .withColumn("e", col("s") + lit(3600L * 1000000000L))
+      pipeline.Temporal.mergeIntervals(iv, "user_id", "s", "e")
+        .orderBy("user_id", "span_start")
+    }),
+
     // trailing 24h rolling aggregates per user (RANGE frame over
     // epoch-nanos — one exchange, no time self-join)
     "q_rolling" -> ((s, dir) =>
@@ -1543,6 +1555,24 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
            ON e.user_id = v.user_id AND e.ts >= v.ts
          ORDER BY e.event_id""",
+    "q_merge_intervals" ->
+      """WITH iv AS (SELECT user_id, epoch_ns(ts) AS s,
+             epoch_ns(ts) + 3600000000000 AS e FROM events),
+         o AS (SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+           FROM iv),
+         g AS (SELECT user_id, s, e,
+             CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS ni
+           FROM o),
+         s2 AS (SELECT user_id, s, e,
+             sum(ni) OVER (PARTITION BY user_id ORDER BY s, e
+               ROWS UNBOUNDED PRECEDING) AS island
+           FROM g)
+         SELECT user_id, min(s) AS span_start, max(e) AS span_end,
+                count(*)::BIGINT AS n_merged
+         FROM s2 GROUP BY user_id, island
+         ORDER BY user_id, span_start""",
     "q_session_window" ->
       """WITH g AS (
            SELECT user_id, ts, event_id, value,

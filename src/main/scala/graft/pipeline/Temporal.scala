@@ -283,6 +283,37 @@ object Temporal {
         "__graft_rs", "__graft_re")
   }
 
+  /** Merge each key's overlapping-or-touching intervals into maximal
+    * disjoint spans (gaps-and-islands): interval `[s, e]` joins the
+    * current span when `s <= max(end so far)` — inclusive ends, so
+    * back-to-back intervals (`s == previous e`) coalesce. Returns
+    * (`keyCol`, `span_start`, `span_end`, `n_merged`) in epoch-nanos.
+    *
+    * Plan: one hash exchange on the key; the running-max window, island
+    * sum and final per-span aggregate all reuse that partitioning
+    * (island id is key-local). The classic alternative — self-join on
+    * overlap — is O(n·overlap) and needs a dedup pass; this is O(n log n)
+    * in the partition sort. */
+  def mergeIntervals(df: DataFrame, keyCol: String,
+      startCol: String, endCol: String): DataFrame = {
+    val d = df
+      .withColumn("__graft_s", epochNanos(df, startCol))
+      .withColumn("__graft_e", epochNanos(df, endCol))
+    val ord = Window.partitionBy(col(keyCol))
+      .orderBy(col("__graft_s"), col("__graft_e"))
+    val prevMax = max(col("__graft_e"))
+      .over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    val island = sum(
+      when(prevMax.isNull || col("__graft_s") > prevMax, 1).otherwise(0))
+      .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    d.withColumn("__graft_island", island)
+      .groupBy(col(keyCol), col("__graft_island"))
+      .agg(min(col("__graft_s")).as("span_start"),
+        max(col("__graft_e")).as("span_end"),
+        count(lit(1)).as("n_merged"))
+      .drop("__graft_island")
+  }
+
   /** Trailing time-window aggregates: each `aggs` entry (name, aggExpr)
     * is evaluated over the key's rows in `[ts − windowNs, ts]`
     * (inclusive — rows with EQUAL timestamps are frame peers and all

@@ -140,6 +140,16 @@ class TemporalEncodingSpec extends SparkSpec {
       assert(canon(run(df)) == expected, s"rollingAgg differs under $name")
   }
 
+  test("mergeIntervals is encoding-invariant") {
+    def run(df: DataFrame): DataFrame = {
+      val iv = df.select(col("user_id"), col("ts").as("s"), col("ts").as("e"))
+      Temporal.mergeIntervals(iv, "user_id", "s", "e")
+    }
+    val expected = canon(run(longDf))
+    for ((name, df) <- encodings.tail)
+      assert(canon(run(df)) == expected, s"mergeIntervals differs under $name")
+  }
+
   test("asofJoin is encoding-invariant") {
     def run(df: DataFrame): DataFrame = {
       val l = df.filter(col("event_id") % 2 === 0)

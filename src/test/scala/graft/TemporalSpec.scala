@@ -135,6 +135,32 @@ class TemporalSpec extends SparkSpec {
       s"nearest: expected 1 hash exchange, got $nExchanges:\n$nPlan")
   }
 
+  test("mergeIntervals coalesces overlapping and touching spans per key") {
+    import spark.implicits._
+    val iv = Seq(
+      (1L, 0L, 10L), (1L, 5L, 20L),   // overlap -> one span [0,20]
+      (1L, 20L, 30L),                 // touching (s == prev e) -> merges
+      (1L, 40L, 50L),                 // gap -> new span
+      (2L, 0L, 5L))                   // other key isolated
+      .toDF("k", "s", "e")
+    val out = Temporal.mergeIntervals(iv, "k", "s", "e")
+      .select("k", "span_start", "span_end", "n_merged").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out == Set((1L, 0L, 30L, 3L), (1L, 40L, 50L, 1L),
+      (2L, 0L, 5L, 1L)))
+  }
+
+  test("mergeIntervals is a single-exchange plan") {
+    import spark.implicits._
+    val iv = Seq((1L, 0L, 10L)).toDF("k", "s", "e")
+    val plan = Temporal.mergeIntervals(iv, "k", "s", "e")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"no overlap self-join expected:\n$plan")
+  }
+
   test("rollingAgg counts the trailing range inclusively, per key") {
     import spark.implicits._
     val df = Seq((1L, 0L, 1.0), (1L, 50L, 2.0), (1L, 100L, 4.0),
