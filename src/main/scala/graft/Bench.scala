@@ -150,7 +150,8 @@ object Bench {
         "q_minhash_pairs", "q_line_stats",
         "q_cap_source", "q_dsir_weights", "q_char_entropy",
         "q_mix_temp", "q_gopher", // documents replica
-        "q_interval", "q_overlap", // events replica
+        "q_interval", "q_overlap", "q_rolling", "q_session_window",
+        "q_merge_intervals", // events replica
         "q_knn_join", "q_sq8_topk") // embeddings replica
       /** ×10 a table by disjoint-id replication: each replica offsets the
         * id columns by max(id)+1 — NOT the row count; ids are only
