@@ -146,9 +146,13 @@ object Temporal {
     val part = Window.partitionBy(col("__graft_k"))
     // backward: right (tag 0) sorts BEFORE an equal-ts left row, so the
     // preceding-inclusive frame sees it; forward: tag DESC puts right
-    // AFTER the equal-ts left row, inside the following-inclusive frame
+    // AFTER the equal-ts left row, inside the following-inclusive frame.
+    // Ties among equal-ts right rows resolve to the SMALLEST tieCol in
+    // BOTH directions: `last` carries the final right row of the
+    // winning ts group, so backward orders ties descending (its last =
+    // smallest), while forward's `first` takes ties ascending.
     val wB = part
-      .orderBy(col("__graft_ns"), col("__graft_tag"), col("__graft_tie"))
+      .orderBy(col("__graft_ns"), col("__graft_tag"), col("__graft_tie").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wF = part
       .orderBy(col("__graft_ns"), col("__graft_tag").desc, col("__graft_tie"))

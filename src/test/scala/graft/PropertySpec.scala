@@ -2,6 +2,7 @@ package graft
 
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
+import graft.pipeline.Temporal
 import graft.sinks.Sinks
 import graft.sources.CsvSource
 
@@ -265,6 +266,93 @@ class PropertySpec extends SparkSpec {
           }
         }
         assert(got == expected, s"events=$evs")
+      }
+    }
+  }
+
+  // --- round-9 temporal additions: brute-force oracles on random data ---
+
+  private val asofCaseGen: Gen[(Seq[(Long, Long, Long)], Seq[(Long, Long, Long)])] =
+    for {
+      nl <- Gen.choose(1, 8)
+      nr <- Gen.choose(0, 8)
+      mkRow = for {
+        k <- Gen.choose(1L, 3L)
+        ts <- Gen.choose(0L, 40L)
+      } yield (k, ts)
+      ls <- Gen.listOfN(nl, mkRow)
+      rs <- Gen.listOfN(nr, mkRow)
+    } yield (
+      ls.zipWithIndex.map { case ((k, t), i) => (k, t, 100L + i) }.toSeq,
+      rs.zipWithIndex.map { case ((k, t), i) => (k, t, 200L + i) }.toSeq)
+
+  test("property: asofJoin directions agree with a brute-force oracle") {
+    import spark.implicits._
+    val tol = 7L
+    samples(asofCaseGen, 12).foreach { case (ls, rs) =>
+      val ldf = ls.toDF("k", "ts", "event_id")
+      val rdf = rs.toDF("k", "ts", "event_id")
+      for (dir <- Seq("backward", "forward", "nearest")) {
+        val got = Temporal.asofJoin(ldf, rdf, "k", "ts", "event_id",
+          payload = Seq("event_id"), direction = dir, toleranceNs = tol)
+          .select("event_id", "asof_event_id").collect()
+          .map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+        val expected = ls.map { case (k, t, lid) =>
+          // brute force: candidates within tolerance, nearest by
+          // distance with the direction rule, ties by (ts, tie id)
+          val back = rs.filter(r => r._1 == k && r._2 <= t && t - r._2 <= tol)
+            .sortBy(r => (-r._2, r._3)).headOption
+          val fwd = rs.filter(r => r._1 == k && r._2 >= t && r._2 - t <= tol)
+            .sortBy(r => (r._2, r._3)).headOption
+          val pick = dir match {
+            case "backward" => back
+            case "forward" => fwd
+            case "nearest" => (back, fwd) match {
+              case (Some(b), Some(f)) =>
+                if (t - b._2 <= f._2 - t) Some(b) else Some(f)
+              case (b, f) => b.orElse(f)
+            }
+          }
+          lid -> pick.map(_._3).getOrElse(-1L)
+        }.toMap
+        assert(got == expected,
+          s"dir=$dir left=$ls right=$rs got=$got want=$expected")
+      }
+    }
+  }
+
+  private val intervalsGen: Gen[Seq[(Long, Long, Long)]] = for {
+    n <- Gen.choose(1, 10)
+    iv <- Gen.listOfN(n, for {
+      k <- Gen.choose(1L, 2L)
+      s <- Gen.choose(0L, 30L)
+      len <- Gen.choose(0L, 10L)
+    } yield (k, s, s + len))
+  } yield iv.toSeq
+
+  test("property: mergeIntervals spans are disjoint, cover inputs, count members") {
+    import spark.implicits._
+    samples(intervalsGen, 15).foreach { iv =>
+      val out = Temporal.mergeIntervals(
+        iv.toDF("k", "s", "e"), "k", "s", "e")
+        .select("k", "span_start", "span_end", "n_merged").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // member counts sum to the input count
+      assert(out.map(_._4).sum == iv.size, s"iv=$iv out=${out.toSeq}")
+      out.groupBy(_._1).foreach { case (k, spans) =>
+        val sorted = spans.sortBy(_._2)
+        // strictly separated (merged spans never touch)
+        sorted.sliding(2).foreach {
+          case Array(a, b) => assert(a._3 < b._2,
+            s"touching spans should have merged: $a $b (iv=$iv)")
+          case _ =>
+        }
+        // every input interval of this key lies inside exactly one span
+        iv.filter(_._1 == k).foreach { case (_, s, e) =>
+          val containing = sorted.filter(sp => sp._2 <= s && e <= sp._3)
+          assert(containing.length == 1, s"($s,$e) in ${containing.toSeq} (iv=$iv)")
+        }
       }
     }
   }
