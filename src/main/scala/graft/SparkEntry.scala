@@ -252,6 +252,24 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // nearest as-of with a 1-hour tolerance: each click matched to the
+    // user's time-closest view within 1h either way, ties preferring the
+    // backward match — still the single-shuffle tag-union plan (the
+    // "nearest" direction adds an in-partition sort, never an exchange)
+    "q_asof_near" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      pipeline.Temporal.asofJoin(
+        ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts"),
+        ev.filter(col("event_type") === "view")
+          .select("event_id", "user_id", "ts"),
+        "user_id", "ts", "event_id", payload = Seq("event_id"),
+        direction = "nearest", toleranceNs = 3600L * 1000000000L)
+        .select(col("event_id"), col("user_id"),
+          col("asof_event_id").alias("view_id"))
+        .orderBy("event_id")
+    }),
+
     // native session windows (session_window): 30-min-gap sessions with
     // event counts and value sums; the SAME call runs on a stream with
     // watermark-bounded state. Start emitted as epoch-nanos (the
@@ -707,6 +725,60 @@ object SparkEntry {
         "text", "doc_id", k = 2, threshold = 0.8)
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id")
+    }),
+
+    // cross-document boilerplate line removal (CCNet recipe): planted
+    // chrome ('subscribe…' on every doc, a footer on every 5th) vanishes
+    // at minDocs=3; per-doc-unique lines and whitespace survive in order.
+    // Frequency pass aggregates 8-byte line hashes; the flagged set rides
+    // an explicit broadcast probe
+    "q_boilerplate" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          col("text"),
+          lit("subscribe to our newsletter"),
+          when(col("doc_id") % 5 === 0, lit("copyright footer 2026"))
+            .otherwise(concat(lit("tail "), col("doc_id").cast("string"))),
+          lit("  "),
+          lit("back to top")).alias("txt"))
+      pipeline.Dedup.dropBoilerplateLines(aug, "doc_id", "txt", minDocs = 3)
+        .select(col("doc_id"), md5(col("txt")).alias("clean_fp"),
+          col("n_kept"), col("n_dropped"))
+        .orderBy("doc_id")
+    }),
+
+    // leakage-safe train/val/test split: md5(salt ++ doc_id) cuts the
+    // 32-bit prefix space at 80/10/10 — a pure map-side projection (no
+    // exchange, no RNG state); the same row lands in the same slice on
+    // any engine, run, or partitioning
+    "q_split" -> ((s, dir) =>
+      pipeline.Sampling.splitByHash(
+        t(s, dir, "documents").select("doc_id"),
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        salt = "graft-r9")
+        .orderBy("doc_id")),
+
+    // mergeable HLL distinct sketches: per-lang sketches of doc_id,
+    // unioned WITHOUT rescanning the corpus, land within 5% of the exact
+    // count (the union answers with the composite estimator — the HIP
+    // estimator doesn't survive a merge — so it's gated against the
+    // exact count, not against the direct sketch); the direct
+    // single-pass sketch stays within 1%. The incremental profiling
+    // shape: per-partition sketches persist as a few KB of binary each
+    "q_hll_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merged = pipeline.Profiling.unionSketchEstimate(
+          pipeline.Profiling.distinctSketches(docs, Seq("lang"), "doc_id"))
+        .select(col("estimate").alias("__m"))
+      val direct = docs.agg(hll_sketch_estimate(
+        hll_sketch_agg(col("doc_id"), lit(12))).alias("__d"))
+      docs.agg(countDistinct(col("doc_id")).alias("n_exact"))
+        .crossJoin(merged).crossJoin(direct)
+        .select(col("n_exact"),
+          (abs(col("__d") - col("n_exact")) <= col("n_exact") * lit(0.01))
+            .alias("direct_within_1pct"),
+          (abs(col("__m") - col("n_exact")) <= col("n_exact") * lit(0.05))
+            .alias("merged_within_5pct"))
     }),
 
     // Gopher line-level repetition/boilerplate signals over planted
@@ -1608,6 +1680,31 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
            ON e.user_id = v.user_id AND e.ts <= v.ts
          ORDER BY e.event_id""",
+    "q_asof_near" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+             WHERE event_type = 'click'),
+         v AS (SELECT event_id, user_id, ts FROM events
+             WHERE event_type = 'view'),
+         b AS (SELECT c.event_id, c.user_id, c.ts,
+                 vb.event_id AS bid, vb.ts AS bts
+               FROM c ASOF LEFT JOIN v vb
+                 ON c.user_id = vb.user_id AND c.ts >= vb.ts),
+         f AS (SELECT c.event_id, vf.event_id AS fid, vf.ts AS fts
+               FROM c ASOF LEFT JOIN v vf
+                 ON c.user_id = vf.user_id AND c.ts <= vf.ts)
+         SELECT b.event_id, b.user_id,
+           CASE WHEN bid IS NOT NULL
+                     AND epoch_ns(b.ts) - epoch_ns(bts) <= 3600000000000
+                     AND (fid IS NULL
+                          OR epoch_ns(fts) - epoch_ns(b.ts) > 3600000000000
+                          OR epoch_ns(b.ts) - epoch_ns(bts)
+                             <= epoch_ns(fts) - epoch_ns(b.ts))
+                THEN bid
+                WHEN fid IS NOT NULL
+                     AND epoch_ns(fts) - epoch_ns(b.ts) <= 3600000000000
+                THEN fid END AS view_id
+         FROM b JOIN f ON b.event_id = f.event_id
+         ORDER BY b.event_id""",
     "q_skyline" ->
       """WITH g AS (SELECT l_extendedprice::DOUBLE AS x,
              max(l_quantity::DOUBLE) AS y
@@ -1916,6 +2013,41 @@ object SparkEntry {
          SELECT doc_id, lang, source FROM documents
          WHERE doc_id % 7 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
          ORDER BY doc_id""",
+    "q_boilerplate" ->
+      """WITH aug AS (SELECT doc_id,
+             text || chr(10) || 'subscribe to our newsletter' || chr(10) ||
+             CASE WHEN doc_id % 5 = 0 THEN 'copyright footer 2026'
+                  ELSE 'tail ' || doc_id END || chr(10) ||
+             '  ' || chr(10) || 'back to top' AS txt
+           FROM documents),
+         l AS (SELECT doc_id, string_split(txt, chr(10)) AS ls FROM aug),
+         e AS (SELECT doc_id, unnest(list_filter(
+             list_transform(ls, x -> trim(x, ' ' || chr(9))),
+             x -> x <> '')) AS tl
+           FROM l),
+         bad AS (SELECT tl FROM e
+           GROUP BY tl HAVING count(DISTINCT doc_id) >= 3),
+         bl AS (SELECT coalesce(list(tl), []::VARCHAR[]) AS b FROM bad),
+         k AS (SELECT doc_id,
+             list_filter(ls, x -> trim(x, ' ' || chr(9)) = ''
+               OR NOT list_contains(b, trim(x, ' ' || chr(9)))) AS kept,
+             len(ls) AS n0
+           FROM l, bl)
+         SELECT doc_id, md5(array_to_string(kept, chr(10))) AS clean_fp,
+           len(kept)::BIGINT AS n_kept, (n0 - len(kept))::BIGINT AS n_dropped
+         FROM k ORDER BY doc_id""",
+    "q_split" ->
+      """SELECT doc_id, CASE WHEN h < 3435973837 THEN 'train'
+                             WHEN h < 3865470566 THEN 'val'
+                             ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+             ('0x' || substr(md5('graft-r9' || doc_id), 1, 8))::BIGINT AS h
+           FROM documents)
+         ORDER BY doc_id""",
+    "q_hll_gate" ->
+      """SELECT count(DISTINCT doc_id)::BIGINT AS n_exact,
+           true AS direct_within_1pct, true AS merged_within_5pct
+         FROM documents""",
     "q_contain" ->
       """WITH toks AS (
            SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk

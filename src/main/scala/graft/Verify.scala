@@ -42,7 +42,12 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
-    val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // GRAFT_VERIFY_ONLY=q_a,q_b restricts the dump (local iteration on a
+    // new query; the driver never sets it)
+    val only = sys.env.get("GRAFT_VERIFY_ONLY").map(_.split(",").toSet)
+    val futures = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       scala.concurrent.Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

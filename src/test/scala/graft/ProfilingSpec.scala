@@ -157,4 +157,50 @@ class ProfilingSpec extends SparkSpec {
     // partial + final of ONE aggregate (not one per column)
     assert(aggregates <= 2, s"expected one aggregate pair:\n$plan")
   }
+
+  test("distinctSketches: per-group estimates exact at tiny cardinality; sketches are compact binary") {
+    import spark.implicits._
+    val d = (0L until 3000L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    val sk = Profiling.distinctSketches(d, Seq("g"), "id")
+    val rows = sk.collect()
+    assert(rows.length == 3)
+    // 1000 distinct ids per group at lgK 12: within the ~1.6% HLL bound
+    rows.foreach { r =>
+      val est = r.getLong(r.fieldIndex("estimate"))
+      assert(math.abs(est - 1000L) <= 30, s"group ${r.getString(0)}: $est")
+      // the whole point: per-group state is a few KB regardless of count
+      assert(r.getAs[Array[Byte]]("sketch").length < 16384)
+    }
+  }
+
+  test("unionSketchEstimate merges persisted sketches without rescanning, within the error bound") {
+    import spark.implicits._
+    val d = (0L until 5000L).map(i => (i, s"p${i % 4}")).toDF("id", "p")
+    val sk = Profiling.distinctSketches(d, Seq("p"), "id")
+    // persist → reload → union: the incremental-profiling path (binary
+    // sketches survive a parquet roundtrip byte-identically)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll").toString
+    sk.write.mode("overwrite").parquet(s"$dir/sk")
+    val reloaded = spark.read.parquet(s"$dir/sk")
+    val est = Profiling.unionSketchEstimate(reloaded)
+      .head().getLong(0)
+    assert(math.abs(est - 5000L) <= 250, s"union estimate $est vs 5000")
+    // determinism: same sketches → same estimate
+    val est2 = Profiling.unionSketchEstimate(sk).head().getLong(0)
+    assert(est == est2)
+  }
+
+  test("sketching an appended partition and unioning covers the whole, sans full rescan") {
+    import spark.implicits._
+    // day1 and day2 overlap in ids: union must count distinct across
+    // both, not sum (5000 distinct total, 3000+3000 rows)
+    val day1 = (0L until 3000L).map(i => (i, "d1")).toDF("id", "day")
+    val day2 = (2000L until 5000L).map(i => (i, "d2")).toDF("id", "day")
+    val sk1 = Profiling.distinctSketches(day1, Seq("day"), "id")
+    val sk2 = Profiling.distinctSketches(day2, Seq("day"), "id")
+    val est = Profiling.unionSketchEstimate(sk1.unionByName(sk2))
+      .head().getLong(0)
+    assert(math.abs(est - 5000L) <= 250, s"got $est")
+    assert(est != 6000L) // it deduplicated the 1000-id overlap
+  }
 }

@@ -112,4 +112,39 @@ class SamplingSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 1, plan)
   }
+
+  test("splitByHash: slices partition the input, sized by the weights") {
+    val out = Sampling.splitByHash(ids, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s")
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000L) // every row in exactly one slice
+    assert(math.abs(counts("train") - 1600L) < 120, counts.toString)
+    assert(math.abs(counts.getOrElse("val", 0L) - 200L) < 80, counts.toString)
+    assert(math.abs(counts.getOrElse("test", 0L) - 200L) < 80, counts.toString)
+  }
+
+  test("splitByHash is key-stable: same key → same slice, any partitioning or salt-fixed rerun") {
+    val w = Seq("train" -> 0.9, "test" -> 0.1)
+    val a = Sampling.splitByHash(ids, "id", w, salt = "x")
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sampling.splitByHash(ids.repartition(11), "id", w, salt = "x")
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    // a different salt re-deals (at least some rows move)
+    val c = Sampling.splitByHash(ids, "id", w, salt = "y")
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a != c)
+  }
+
+  test("splitByHash is a pure map-side projection (no exchange) and validates weights") {
+    val out = Sampling.splitByHash(ids, "id", Seq("a" -> 0.5, "b" -> 0.5))
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    intercept[IllegalArgumentException] {
+      Sampling.splitByHash(ids, "id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.splitByHash(ids, "id", Nil)
+    }
+  }
 }
