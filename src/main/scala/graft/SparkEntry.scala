@@ -781,6 +781,61 @@ object SparkEntry {
             .alias("merged_within_5pct"))
     }),
 
+    // mergeable count-min frequency sketches: per-lang CMS over the
+    // source column; merged point estimates must EQUAL the single-pass
+    // sketch (CMS merge is lossless — cells add) and bound the exact
+    // count from above within eps*N. One sketch per group crosses the
+    // driver, never the data
+    "q_cms_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val exact = docs.groupBy(col("source").alias("value"))
+        .agg(count(lit(1)).alias("n_true"))
+      val probes = exact.select("value").collect()
+        .map(_.getString(0)).toSeq.sorted
+      val m = pipeline.Profiling.cmsEstimates(
+        pipeline.Profiling.freqSketches(docs, Seq("lang"), "source"), probes)
+      val d = pipeline.Profiling.cmsEstimates(
+        pipeline.Profiling.freqSketches(
+          docs.withColumn("__g", lit(1)), Seq("__g"), "source"), probes)
+      val slack = math.ceil(0.01 * docs.count()).toLong
+      import s.implicits._
+      probes.map(p => (p, m(p), d(p))).toDF("value", "__m", "__d")
+        .join(exact, "value")
+        .select(col("value"), col("n_true"),
+          (col("__m") === col("__d")).alias("merge_eq"),
+          (col("__m") >= col("n_true") &&
+            col("__m") <= col("n_true") + slack).alias("bounds_ok"))
+        .orderBy("value")
+    }),
+
+    // small-file compaction gate: 64 shards of the documents table
+    // rewritten at a 4 MB target must come back as fewer files with the
+    // identical row multiset (xor-of-row-hashes + count compare; order
+    // is explicitly NOT preserved — parquet dirs are row bags)
+    "q_compact_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cg")
+      val (nRows, contentOk, compacted) = try {
+        docs.repartition(64).write.mode("overwrite").parquet(s"$tmp/small")
+        val nOut = pipeline.Layout.compact(s, s"$tmp/small", s"$tmp/compact",
+          targetFileBytes = 4L << 20)
+        val sig = (p: String) => s.read.parquet(p)
+          .agg(count(lit(1)), expr("bit_xor(xxhash64(doc_id, text, lang, source, n_chars))"))
+          .head()
+        val (a, b) = (sig(s"$tmp/small"), sig(s"$tmp/compact"))
+        (a.getLong(0), a == b, nOut < 64)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(tmp)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+      import s.implicits._
+      Seq((nRows, contentOk, compacted))
+        .toDF("n_rows", "content_ok", "compacted")
+    }),
+
     // Gopher line-level repetition/boilerplate signals over planted
     // multi-line text (the synthetic corpus is single-line): one
     // codegen'd struct pass, zero shuffle
@@ -2047,6 +2102,14 @@ object SparkEntry {
     "q_hll_gate" ->
       """SELECT count(DISTINCT doc_id)::BIGINT AS n_exact,
            true AS direct_within_1pct, true AS merged_within_5pct
+         FROM documents""",
+    "q_cms_gate" ->
+      """SELECT source AS value, count(*)::BIGINT AS n_true,
+           true AS merge_eq, true AS bounds_ok
+         FROM documents GROUP BY source ORDER BY value""",
+    "q_compact_gate" ->
+      """SELECT count(*)::BIGINT AS n_rows, true AS content_ok,
+           true AS compacted
          FROM documents""",
     "q_contain" ->
       """WITH toks AS (

@@ -93,4 +93,77 @@ object Layout {
       .drop(cols.map(c => s"__rank_$c") :+ "__z": _*)
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetFileBytes` output files. The small-files problem is the
+    * quiet killer of 100 TB scans — a corpus appended in thousands of
+    * streaming/incremental batches ends up as millions of KB-scale
+    * files, and the scan pays a NameNode/listing round-trip plus a
+    * reader open per file while row-group pruning has nothing to prune.
+    *
+    * File count = ceil(on-disk bytes / target) from the REAL footprint
+    * (filesystem listing — estimating from row counts would bake in a
+    * compression-ratio guess). The rewrite is one round-robin
+    * repartition: no key, so no skew, and every output file lands
+    * within one row-group of the target. Returns the file count
+    * written. Content is preserved, ORDER IS NOT (parquet directories
+    * are unordered row bags; a layout-sensitive caller compacts with
+    * [[writeZOrdered]] instead, which re-sorts anyway).
+    *
+    * Hive-partitioned inputs: pass the partition columns in
+    * `partitionBy` — output keeps the directory structure, each
+    * partition compacted independently (`maxRecordsPerFile` bounds the
+    * per-directory file size via the global rows/bytes ratio) with
+    * partition pruning preserved for downstream scans. */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, targetFileBytes: Long = 128L << 20,
+      partitionBy: Seq[String] = Nil): Long = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inPath match {
+        case p if p.contains("://") => p
+        case p => s"file://$p"
+      }),
+      spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(inPath), true)
+    var bytes = 0L
+    var rowsFiles = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        bytes += f.getLen; rowsFiles += 1
+      }
+    }
+    require(rowsFiles > 0, s"no parquet files under $inPath")
+    val df = spark.read.parquet(inPath)
+    if (partitionBy.isEmpty) {
+      val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+      df.repartition(nFiles.toInt)
+        .write.mode("overwrite").parquet(outPath)
+      nFiles
+    } else {
+      // per-partition compaction: cluster rows by the partition key (one
+      // file per partition directory unless maxRecordsPerFile splits it),
+      // bound file size by the corpus-wide rows-per-byte ratio
+      val totalRows = df.count()
+      val rowsPerFile = math.max(1L,
+        (totalRows.toDouble * targetFileBytes / math.max(bytes, 1L)).toLong)
+      df.repartition(partitionBy.map(col): _*)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", rowsPerFile)
+        .partitionBy(partitionBy: _*)
+        .parquet(outPath)
+      val out = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(outPath match {
+          case p if p.contains("://") => p
+          case p => s"file://$p"
+        }), spark.sparkContext.hadoopConfiguration)
+      val oit = out.listFiles(new org.apache.hadoop.fs.Path(outPath), true)
+      var n = 0L
+      while (oit.hasNext) {
+        if (oit.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+  }
 }

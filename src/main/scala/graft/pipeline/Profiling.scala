@@ -241,6 +241,40 @@ object Profiling {
     sketches.agg(hll_sketch_estimate(
       hll_union_agg(col(sketchCol), lit(false))).alias("estimate"))
 
+  /** Mergeable count-min frequency sketches: one row per group with the
+    * group's CMS as BINARY (Spark's built-in `count_min_sketch`
+    * aggregate, fixed seed). Same incremental-profiling story as
+    * [[distinctSketches]] — sketch each partition/day once, persist a
+    * few KB, answer point-frequency queries over any union later
+    * without rescanning — but unlike HLL, the CMS merge is LOSSLESS
+    * over sketch state (same seed/width/depth ⇒ cells add), so a union
+    * of per-group sketches answers EXACTLY like a single-pass sketch of
+    * the union. Estimates overcount only: true ≤ est ≤ true + ε·N with
+    * the configured confidence. Sketch size ≈ (e/eps)·ln(1/(1−conf))
+    * longs, independent of both row count and cardinality. */
+  def freqSketches(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      eps: Double = 0.01, confidence: Double = 0.99,
+      seed: Int = 1): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count_min_sketch(col(valueCol), lit(eps), lit(confidence),
+        lit(seed)).alias("sketch"))
+  }
+
+  /** Merge CMS rows (one per group, driver-bounded) and answer point
+    * frequencies for `probes`. The collect is one sketch per GROUP —
+    * a few KB each — never the data. */
+  def cmsEstimates(sketches: DataFrame, probes: Seq[String],
+      sketchCol: String = "sketch"): Map[String, Long] = {
+    val bins = sketches.select(col(sketchCol)).collect()
+      .map(_.getAs[Array[Byte]](0))
+    require(bins.nonEmpty, "no sketches to merge")
+    val merged = bins.map(b => org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(b)))
+      .reduce { (a, b) => a.mergeInPlace(b); a }
+    probes.map(p => p -> merged.estimateCount(p)).toMap
+  }
+
   private def quantilesWith(df: DataFrame, cols: Seq[String],
       ps: Seq[Double],
       q: org.apache.spark.sql.Column => org.apache.spark.sql.Column,

@@ -74,4 +74,72 @@ class LayoutSpec extends SparkSpec {
       .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
     finally walk.close()
   }
+
+  private def rmTree(p: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    finally walk.close()
+  }
+
+  private def parquetFiles(p: String): Seq[java.io.File] =
+    new java.io.File(p).listFiles().toSeq
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+
+  test("compact merges small files to the byte target, preserving the row multiset") {
+    val li = sf("lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cmp").toString
+    try {
+      li.repartition(32).write.mode("overwrite").parquet(s"$tmp/small")
+      val bytes = parquetFiles(s"$tmp/small").map(_.length).sum
+      // target = half the footprint → exactly 2 output files
+      val n = Layout.compact(spark, s"$tmp/small", s"$tmp/out",
+        targetFileBytes = (bytes + 1) / 2)
+      assert(n == 2, s"expected 2 files, compact returned $n")
+      assert(parquetFiles(s"$tmp/out").size == 2)
+      // multiset equality via count + order-insensitive xor of row hashes
+      def sig(p: String) = spark.read.parquet(p)
+        .agg(count(lit(1)),
+          expr("bit_xor(xxhash64(l_orderkey, l_partkey, l_quantity))")).head()
+      assert(sig(s"$tmp/small") == sig(s"$tmp/out"))
+    } finally rmTree(tmp)
+  }
+
+  test("compact with partitionBy keeps the hive layout and partition pruning") {
+    val li = sf("lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cmp2").toString
+    try {
+      li.repartition(16).write.mode("overwrite").parquet(s"$tmp/small")
+      Layout.compact(spark, s"$tmp/small", s"$tmp/out",
+        targetFileBytes = 256L << 20, partitionBy = Seq("l_returnflag"))
+      val back = spark.read.parquet(s"$tmp/out")
+      assert(back.count() == li.count())
+      // one directory per flag value, each compacted to a single file
+      val dirs = new java.io.File(s"$tmp/out").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      assert(dirs.forall(_.startsWith("l_returnflag=")), dirs.toString)
+      dirs.foreach { d =>
+        val files = parquetFiles(s"$tmp/out/$d")
+        assert(files.size == 1, s"$d has ${files.size} files")
+      }
+      // the partition filter prunes to that directory's files only
+      val pruned = back.filter(col("l_returnflag") === "R")
+        .select(input_file_name()).distinct().count()
+      assert(pruned == 1, s"expected 1 pruned file, got $pruned")
+    } finally rmTree(tmp)
+  }
+
+  test("compact validates its inputs") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cmp3").toString
+    try {
+      intercept[IllegalArgumentException] {
+        Layout.compact(spark, tmp, s"$tmp/out") // no parquet files
+      }
+      intercept[IllegalArgumentException] {
+        Layout.compact(spark, tmp, s"$tmp/out", targetFileBytes = 0)
+      }
+    } finally rmTree(tmp)
+  }
 }

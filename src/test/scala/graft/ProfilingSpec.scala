@@ -190,6 +190,40 @@ class ProfilingSpec extends SparkSpec {
     assert(est == est2)
   }
 
+  test("CMS merge is lossless: unioned per-group sketches answer exactly like one pass") {
+    import spark.implicits._
+    val d = (0L until 4000L).map(i => (i, s"g${i % 4}", s"v${i % 7}"))
+      .toDF("id", "g", "v")
+    val probes = (0 until 7).map(i => s"v$i")
+    val perGroup = Profiling.cmsEstimates(
+      Profiling.freqSketches(d, Seq("g"), "v"), probes)
+    val onePass = Profiling.cmsEstimates(
+      Profiling.freqSketches(d.withColumn("__one", lit(1)), Seq("__one"), "v"),
+      probes)
+    assert(perGroup == onePass)
+    // CMS overcounts only, within eps*N
+    val truth = d.groupBy("v").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    probes.foreach { p =>
+      assert(perGroup(p) >= truth(p), s"$p undercounted")
+      assert(perGroup(p) <= truth(p) + math.ceil(0.01 * 4000).toLong,
+        s"$p over bound: ${perGroup(p)} vs ${truth(p)}")
+    }
+  }
+
+  test("CMS sketches survive a parquet roundtrip") {
+    import spark.implicits._
+    val d = (0L until 1000L).map(i => (i, s"d${i % 2}", s"k${i % 5}"))
+      .toDF("id", "day", "k")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cms").toString
+    Profiling.freqSketches(d, Seq("day"), "k")
+      .write.mode("overwrite").parquet(s"$dir/sk")
+    val est = Profiling.cmsEstimates(
+      spark.read.parquet(s"$dir/sk"), Seq("k0", "k4", "absent"))
+    assert(est("k0") == 200L && est("k4") == 200L)
+    assert(est("absent") <= math.ceil(0.01 * 1000).toLong)
+  }
+
   test("sketching an appended partition and unioning covers the whole, sans full rescan") {
     import spark.implicits._
     // day1 and day2 overlap in ids: union must count distinct across
