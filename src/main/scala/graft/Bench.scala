@@ -149,7 +149,8 @@ object Bench {
       val scaleQs = Seq("q_top_ngrams", "q_bm25", "q_lm_score", "q_spans",
         "q_minhash_pairs", "q_line_stats",
         "q_cap_source", "q_dsir_weights", "q_char_entropy",
-        "q_mix_temp", "q_gopher", // documents replica
+        "q_mix_temp", "q_gopher", "q_boilerplate", "q_split",
+        "q_hll_gate", // documents replica
         "q_interval", "q_overlap", "q_rolling", "q_session_window",
         "q_merge_intervals", // events replica
         "q_knn_join", "q_sq8_topk") // embeddings replica

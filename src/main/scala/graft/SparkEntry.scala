@@ -1092,6 +1092,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // quality keep-policy cluster dedup: same clusters as q_cc_dedup but
+    // each cluster keeps its LONGEST doc (n_chars desc, id asc), not its
+    // min id — one max_by hash aggregate per cluster, ids+score only
+    "q_cc_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = pipeline.Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        k = 2, threshold = 0.8)
+      pipeline.Graphs.dedupByClusterBest(docs, "doc_id", col("n_chars"),
+        pairs, "id_a", "id_b")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // chunk->document pooling: element-wise mean embedding per label.
     // Emitted long-form (label, i, mv) — the driver's checker sorts cells
     // and cannot hash array-typed columns, so the pooled vector is
@@ -2602,6 +2615,40 @@ object SparkEntry {
          SELECT d.doc_id, d.lang FROM documents d
          LEFT JOIN labels l ON d.doc_id = l.id
          WHERE l.comp IS NULL OR l.comp = d.doc_id
+         ORDER BY d.doc_id""",
+    "q_cc_best" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(tk) < 2
+             THEN [array_to_string(tk, ' ')]
+             ELSE list_transform(generate_series(1, len(tk)-1),
+                    i -> array_to_string(tk[i:i+1], ' ')) END) AS s
+           FROM toks),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         cc AS (
+           SELECT DISTINCT src AS id, src AS comp FROM edges
+           UNION
+           SELECT e.dst AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.src),
+         labels AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id),
+         sc AS (SELECT l.id, l.comp, d.n_chars FROM labels l
+           JOIN documents d ON d.doc_id = l.id),
+         win AS (SELECT comp, id AS keep_id FROM (
+             SELECT comp, id, row_number() OVER (PARTITION BY comp
+               ORDER BY n_chars DESC, id ASC) AS rn FROM sc)
+           WHERE rn = 1)
+         SELECT d.doc_id, d.n_chars FROM documents d
+         LEFT JOIN sc ON d.doc_id = sc.id
+         LEFT JOIN win ON sc.comp = win.comp
+         WHERE sc.id IS NULL OR win.keep_id = d.doc_id
          ORDER BY d.doc_id""",
     "q_embed_scores" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -180,6 +180,41 @@ object Graphs {
       checkpointDir = checkpointDir)
       .withColumnRenamed("id", "__cc_id")
     val drop = labels.where(col("comp") =!= col("__cc_id"))
+      .select(col("__cc_id"))
+    docs.join(drop, docs(idCol).cast("long") === col("__cc_id"), "left_anti")
+  }
+
+  /** [[dedupByCluster]] with a QUALITY keep-policy: each cluster's
+    * survivor is its best-`score` document (ties → smallest id), not its
+    * minimum id. The keep-the-longest / keep-the-highest-quality rule
+    * every production dedup eventually wants — min-id throws away the
+    * best copy whenever a truncated mirror happens to carry the smaller
+    * id.
+    *
+    * Plan shape: cluster labels join the (id, score) projection — ids
+    * and one double, never the text — the per-cluster winner is ONE
+    * `max_by` hash aggregate on `comp` (partial map-side; carries a
+    * single (score, id) struct per cluster, no window sort), and the
+    * drop set anti-joins back by id. Like [[dedupByCluster]], the drop
+    * side is dup-rate-sized, NOT guaranteed broadcastable — the anti
+    * join is left to runtime stats. */
+  def dedupByClusterBest(
+      docs: DataFrame, idCol: String, score: Column,
+      pairs: DataFrame, srcCol: String, dstCol: String,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val labels = connectedComponents(pairs, srcCol, dstCol,
+      checkpointDir = checkpointDir)
+      .withColumnRenamed("id", "__cc_id")
+    val scored = docs
+      .select(col(idCol).cast("long").alias("__cc_id"),
+        score.cast("double").alias("__cc_s"))
+      .join(labels, "__cc_id") // clustered docs only
+    // winner = max over (score, -id): highest score, then smallest id
+    val winners = scored.groupBy(col("comp"))
+      .agg(max_by(col("__cc_id"),
+        struct(col("__cc_s"), (-col("__cc_id")).alias("__n"))).alias("__keep"))
+    val drop = scored.join(winners, "comp")
+      .where(col("__cc_id") =!= col("__keep"))
       .select(col("__cc_id"))
     docs.join(drop, docs(idCol).cast("long") === col("__cc_id"), "left_anti")
   }

@@ -110,4 +110,27 @@ class GraphsSpec extends SparkSpec {
     // 1,2,3 form one near-dup cluster (1↔2 exact, 2↔3 near) → keep 1
     assert(kept == Set(1L, 4L, 5L))
   }
+
+  test("dedupByClusterBest keeps the best-scoring doc per cluster, ties to the smaller id") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, 5.0), (2L, 9.0), (3L, 9.0), // cluster {1,2,3}: 2 and 3 tie → 2
+      (4L, 1.0), (5L, 2.0),            // cluster {4,5}: 5 wins outright
+      (6L, 0.0)                        // singleton, survives regardless
+    ).toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val kept = Graphs.dedupByClusterBest(docs, "doc_id", col("quality"),
+      pairs, "id_a", "id_b")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 5L, 6L))
+    // contrast: min-id policy would have kept 1 and 4
+    val minId = Graphs.dedupByCluster(docs, "doc_id", pairs, "id_a", "id_b")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(minId == Set(1L, 4L, 6L))
+    // winner selection is ONE hash aggregate, no window sort
+    val plan = Graphs.dedupByClusterBest(docs, "doc_id", col("quality"),
+      pairs, "id_a", "id_b").queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
 }
