@@ -337,6 +337,21 @@ object SparkEntry {
         .select("column", "n", "n_null", "min", "max", "mean", "median")
         .orderBy("column")),
 
+    // pairwise Pearson correlation, all 6 pairs in ONE aggregate pass
+    // (constant per-pair state; no per-pair job, no collect)
+    "q_corr" -> ((s, dir) =>
+      pipeline.Profiling.correlationMatrix(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_x", "col_y")),
+
+    // PSI drift between two corpus slices: one scan, per-(bin,side)
+    // counts collapse map-side, totals broadcast — nothing data-sized
+    "q_psi" -> ((s, dir) =>
+      pipeline.Profiling.psiReport(t(s, dir, "documents"),
+        "n_chars", "source", "src0", "src1",
+        lo = 0.0, hi = 600.0, bins = 8)
+        .orderBy("bin")),
+
     // cardinality gate: describe's HLL approx_distinct (rsd 1%) must
     // land within 2% of the exact distinct count per column — spans
     // three decades of true cardinality (l_discount 11, l_quantity 50,
@@ -1917,6 +1932,44 @@ object SparkEntry {
            floor(median(l_tax::DOUBLE) * 1e6 + 0.5) / 1e6
          FROM lineitem
          ORDER BY "column"""",
+    "q_corr" ->
+      """WITH c AS (SELECT
+           corr(l_quantity::DOUBLE, l_extendedprice::DOUBLE) AS c1,
+           corr(l_quantity::DOUBLE, l_discount::DOUBLE) AS c2,
+           corr(l_quantity::DOUBLE, l_tax::DOUBLE) AS c3,
+           corr(l_extendedprice::DOUBLE, l_discount::DOUBLE) AS c4,
+           corr(l_extendedprice::DOUBLE, l_tax::DOUBLE) AS c5,
+           corr(l_discount::DOUBLE, l_tax::DOUBLE) AS c6
+           FROM lineitem)
+         SELECT col_x, col_y, floor(v * 1e6 + 0.5) / 1e6 AS "corr"
+         FROM (
+           SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, c1 AS v FROM c
+           UNION ALL SELECT 'l_quantity', 'l_discount', c2 FROM c
+           UNION ALL SELECT 'l_quantity', 'l_tax', c3 FROM c
+           UNION ALL SELECT 'l_extendedprice', 'l_discount', c4 FROM c
+           UNION ALL SELECT 'l_extendedprice', 'l_tax', c5 FROM c
+           UNION ALL SELECT 'l_discount', 'l_tax', c6 FROM c)
+         ORDER BY col_x, col_y""",
+    "q_psi" ->
+      """WITH tagged AS (
+           SELECT least(7, greatest(0,
+                    floor(n_chars::DOUBLE / 75.0)))::BIGINT AS bin,
+                  source = 'src0' AS is_a
+           FROM documents
+           WHERE source IN ('src0', 'src1') AND n_chars IS NOT NULL),
+         counts AS (
+           SELECT bin,
+                  sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS na,
+                  sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS nb
+           FROM tagged GROUP BY bin),
+         tot AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM counts)
+         SELECT bin,
+           floor(na / ta * 1e6 + 0.5) / 1e6 AS p_a,
+           floor(nb / tb * 1e6 + 0.5) / 1e6 AS p_b,
+           floor((greatest(na / ta, 1e-6) - greatest(nb / tb, 1e-6))
+             * ln(greatest(na / ta, 1e-6) / greatest(nb / tb, 1e-6))
+             * 1e6 + 0.5) / 1e6 AS psi_term
+         FROM counts, tot ORDER BY bin""",
     "q_funnel" ->
       """WITH u1 AS (SELECT user_id, min(ts) AS t FROM events
              WHERE event_type = 'signup' GROUP BY user_id),

@@ -275,6 +275,73 @@ object Profiling {
     probes.map(p => p -> merged.estimateCount(p)).toMap
   }
 
+  /** Pairwise Pearson correlation of numeric columns, long form: one row
+    * per unordered pair (`col_x` < `col_y`, `corr` rounded half-up 6dp).
+    * ALL n·(n−1)/2 coefficients compute in ONE aggregate pass (each
+    * `corr` keeps constant state: six running moments), then the single
+    * wide row unpivots inside the plan — no collect, no per-pair job.
+    * The feature-redundancy screen a pipeline runs before training a
+    * quality classifier or picking z-order columns: |corr| ≈ 1 columns
+    * carry the same signal and waste curve bits / model capacity. */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) =>
+      corr(col(a).cast("double"), col(b).cast("double"))
+        .alias(s"__c_${a}__$b")
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (a, b) =>
+      struct(lit(a).alias("col_x"), lit(b).alias("col_y"),
+        Rounding.halfUp(col(s"__c_${a}__$b"), 6).alias("corr"))
+    }
+    wide.select(explode(array(rows: _*)).alias("s")).select(col("s.*"))
+  }
+
+  /** Population-stability-index report between two slices of one table:
+    * fixed-width-bin `valueCol` over [lo, hi) into `bins` buckets
+    * (underflow clamps to bin 0, overflow to the last — every row lands
+    * in a bin), and emit one row per bin with each side's population
+    * share and its PSI term `(p_a − p_b) · ln(p_a / p_b)` (6dp). Total
+    * PSI = SUM(psi_term); the usual reading: <0.1 stable, >0.25 the
+    * distribution moved enough to re-examine the pipeline. Zero-count
+    * bins floor at share `eps` (standard PSI practice — the log is
+    * undefined at 0, and a vanished bin SHOULD contribute, bounded).
+    *
+    * The drift check a recurring ingest runs between snapshot N and
+    * N+1 before mixing them. ONE scan: rows tagged by side, per-(bin,
+    * side) counts collapse map-side to ≤ 2·bins partials, the share
+    * normalizers are a 1-row broadcast — nothing scales with the data.
+    * Rows on neither side are filtered at the scan (predicate pushdown). */
+  def psiReport(df: DataFrame, valueCol: String, sideCol: String,
+      sideA: String, sideB: String, lo: Double, hi: Double, bins: Int,
+      eps: Double = 1e-6): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    require(hi > lo, "hi must exceed lo")
+    val w = (hi - lo) / bins
+    val bin = least(lit(bins - 1), greatest(lit(0),
+      floor((col(valueCol).cast("double") - lo) / w))).cast("long")
+    val tagged = df
+      .filter(col(sideCol).isin(sideA, sideB) && col(valueCol).isNotNull)
+      .select(bin.alias("bin"),
+        (col(sideCol) === sideA).alias("__is_a"))
+    val counts = tagged.groupBy(col("bin"))
+      .agg(sum(when(col("__is_a"), 1L).otherwise(0L)).alias("__na"),
+        sum(when(!col("__is_a"), 1L).otherwise(0L)).alias("__nb"))
+    // single-row totals broadcast into every bin row (bins are tiny)
+    val totals = counts.agg(sum(col("__na")).alias("__ta"),
+      sum(col("__nb")).alias("__tb"))
+    val pa = greatest(col("__na") / col("__ta"), lit(eps))
+    val pb = greatest(col("__nb") / col("__tb"), lit(eps))
+    counts.crossJoin(broadcast(totals))
+      .select(col("bin"),
+        Rounding.halfUp(col("__na") / col("__ta"), 6).alias("p_a"),
+        Rounding.halfUp(col("__nb") / col("__tb"), 6).alias("p_b"),
+        Rounding.halfUp((pa - pb) * log(pa / pb), 6).alias("psi_term"))
+  }
+
   private def quantilesWith(df: DataFrame, cols: Seq[String],
       ps: Seq[Double],
       q: org.apache.spark.sql.Column => org.apache.spark.sql.Column,

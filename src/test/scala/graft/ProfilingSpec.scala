@@ -237,4 +237,49 @@ class ProfilingSpec extends SparkSpec {
     assert(math.abs(est - 5000L) <= 250, s"got $est")
     assert(est != 6000L) // it deduplicated the 1000-id overlap
   }
+
+  test("correlationMatrix: all pairs in one pass, values match closed form") {
+    import spark.implicits._
+    // y = 2x exactly (corr 1); z exactly anti-correlated (corr -1)
+    val d = Seq((1.0, 2.0, 3.0), (2.0, 4.0, 2.0), (3.0, 6.0, 1.0))
+      .toDF("x", "y", "z")
+    val got = Profiling.correlationMatrix(d, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .toSeq
+    assert(got == Seq(("x", "y", 1.0), ("x", "z", -1.0), ("y", "z", -1.0)))
+    // ONE aggregate pass: a single pair of hash-aggregate nodes (partial
+    // + final), never an aggregate per pair
+    val plan = Profiling.correlationMatrix(d, Seq("x", "y", "z"))
+      .queryExecution.executedPlan.toString
+    val nAgg = "(?i)hashaggregate".r.findAllIn(plan).length
+    assert(nAgg <= 2, s"expected one partial+final aggregate, plan:\n$plan")
+  }
+
+  test("psiReport: shares and terms per bin; identical slices give zero PSI") {
+    import spark.implicits._
+    // side a: 4 rows in bin 0, 0 in bin 1; side b: 2 and 2
+    val d = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 1.0), ("b", 2.0), ("b", 6.0), ("b", 7.0), ("c", 9.0),
+      ("d", 1.0), ("d", 2.0), ("d", 3.0), ("d", 4.0))
+      .toDF("side", "v")
+    val got = Profiling.psiReport(d, "v", "side", "a", "b",
+      lo = 0.0, hi = 10.0, bins = 2)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    // bin0: pa=1.0 pb=0.5 → (0.5)·ln(2); bin1: pa=eps pb=0.5
+    val t0 = BigDecimal((1.0 - 0.5) * math.log(1.0 / 0.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val t1 = BigDecimal((1e-6 - 0.5) * math.log(1e-6 / 0.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.length == 2)
+    assert(got(0) == ((0L, 1.0, 0.5, t0)))
+    assert(got(1)._1 == 1L && got(1)._2 == 0.0 && got(1)._3 == 0.5)
+    assert(math.abs(got(1)._4 - t1) < 1e-9)
+    // identically-distributed slices → every term 0
+    val same = Profiling.psiReport(d, "v", "side", "a", "d",
+      lo = 0.0, hi = 10.0, bins = 2).collect()
+    assert(same.forall(r => r.getDouble(3) == 0.0))
+    // the 'c' row is filtered at the scan, never counted
+    assert(got.map(_._2).sum == 1.0 && got.map(_._3).sum == 1.0)
+  }
 }
