@@ -461,6 +461,46 @@ object SparkEntry {
         .toDF("column", "within_tol").orderBy("column")
     }),
 
+    // Hilbert WRITE gate: same contract as q_zorder_gate but with the
+    // CONTINUOUS curve — range-partitioned Hilbert positions must
+    // shrink the mean per-file min/max span to <70% of a hash-scattered
+    // layout on BOTH curve columns at once. One pass per layout.
+    "q_hilbert_gate" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity")
+      val zCols = Seq("l_orderkey", "l_partkey")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_hg")
+      val ratios = try {
+        li.repartition(8, col("l_quantity"))
+          .write.mode("overwrite").parquet(s"$tmp/plain")
+        pipeline.Layout.writeHilbertOrdered(li, zCols, s"$tmp/hilbert",
+          numFiles = 8)
+        def meanSpans(path: String): Map[String, Double] = {
+          val perFile = s.read.parquet(path)
+            .groupBy(input_file_name().alias("__f"))
+            .agg(zCols.head -> "min", zCols.head -> "max",
+              zCols(1) -> "min", zCols(1) -> "max")
+            .drop("__f").collect()
+          zCols.zipWithIndex.map { case (c, i) =>
+            c -> perFile.map(r =>
+              r.getLong(2 * i + 1).toDouble - r.getLong(2 * i)).sum /
+              perFile.length
+          }.toMap
+        }
+        val (h, p) = (meanSpans(s"$tmp/hilbert"), meanSpans(s"$tmp/plain"))
+        zCols.map(c => c -> h(c) / p(c))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(tmp)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+      import s.implicits._
+      ratios.map { case (c, r) => (c, r < 0.7) }
+        .toDF("column", "within_tol").orderBy("column")
+    }),
+
     // IVF cell-partitioned persistence gate: a corpus written
     // partitionBy(ivf_cell) must serve a probe's `ivf_cell IN (…)`
     // via PARTITION pruning — the scan's file set shrinks to the probed
@@ -2769,6 +2809,10 @@ object SparkEntry {
       """SELECT CAST(true AS BOOLEAN) AS files_pruned,
                 CAST(true AS BOOLEAN) AS rows_ok""",
     "q_zorder_gate" ->
+      """SELECT c AS "column", CAST(true AS BOOLEAN) AS within_tol
+         FROM (SELECT unnest(['l_orderkey', 'l_partkey']) AS c)
+         ORDER BY "column"""",
+    "q_hilbert_gate" ->
       """SELECT c AS "column", CAST(true AS BOOLEAN) AS within_tol
          FROM (SELECT unnest(['l_orderkey', 'l_partkey']) AS c)
          ORDER BY "column"""",

@@ -94,6 +94,37 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Hilbert-curve position over rank-bucketized columns — the
+    * alternative space-filling curve to [[zvalue]]. Morton interleave
+    * jumps a long diagonal every time it crosses a quadrant boundary;
+    * the Hilbert curve is continuous (consecutive positions are always
+    * ADJACENT cells), so range-partitioning its positions yields
+    * tighter per-file bounding boxes on the same data at the same file
+    * count — strictly better footer pruning, at the cost of ~bits·n
+    * integer ops per row instead of a pure bit-interleave (both
+    * codegen'd, both shuffle-free). Same caller contract as [[zvalue]]:
+    * non-negative inputs filling [0, 2^bits) — go through
+    * [[quantileBuckets]] first for arbitrary distributions. */
+  def hvalue(cols: Seq[Column], bits: Int = 8): Column =
+    org.apache.spark.sql.graft.sketch.hilbert_index(cols, bits)
+
+  /** Hilbert-ordered write: [[writeZOrdered]] with the Morton curve
+    * swapped for the Hilbert curve — identical plan shape (ONE
+    * approx-percentile aggregate, map-side bucket+curve projection,
+    * ONE range exchange), tighter file bounding boxes. */
+  def writeHilbertOrdered(df: DataFrame, cols: Seq[String], path: String,
+      numFiles: Int = 0, bits: Int = 8): Unit = {
+    val ranked = quantileBuckets(df, cols, bits)
+    val h = ranked.withColumn("__h",
+      hvalue(cols.map(c => col(s"__rank_$c")), bits))
+    val parts = if (numFiles > 0) numFiles
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    h.repartitionByRange(parts, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop(cols.map(c => s"__rank_$c") :+ "__h": _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Small-file compaction: rewrite a parquet directory into
     * ~`targetFileBytes` output files. The small-files problem is the
     * quiet killer of 100 TB scans — a corpus appended in thousands of

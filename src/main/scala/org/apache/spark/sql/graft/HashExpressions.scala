@@ -266,6 +266,53 @@ object GraftHashOps {
     lo
   }
 
+  /** d-dimensional Hilbert-curve index of non-negative coords, each in
+    * [0, 2^bits): Skilling's transpose algorithm (J. Skilling,
+    * "Programming the Hilbert curve", AIP Conf. Proc. 707, 2004) —
+    * convert axes to the transposed Hilbert form in place, then
+    * interleave bit-planes MSB-first into one long. O(bits·d) integer
+    * ops per row, no allocation beyond the caller's coords array
+    * (MUTATED in place — callers pass a scratch buffer). Total index
+    * width bits·d must fit a non-negative long (≤ 63 bits). */
+  def hilbertIndex(x: Array[Long], bits: Int): Long = {
+    val n = x.length
+    // axes → transposed Hilbert (Gray-ish decode with axis rotations)
+    var q = 1L << (bits - 1)
+    while (q > 1) {
+      val p = q - 1
+      var i = 0
+      while (i < n) {
+        if ((x(i) & q) != 0L) x(0) ^= p
+        else { val t = (x(0) ^ x(i)) & p; x(0) ^= t; x(i) ^= t }
+        i += 1
+      }
+      q >>= 1
+    }
+    var i = 1
+    while (i < n) { x(i) ^= x(i - 1); i += 1 }
+    var t = 0L
+    q = 1L << (bits - 1)
+    while (q > 1) {
+      if ((x(n - 1) & q) != 0L) t ^= q - 1
+      q >>= 1
+    }
+    i = 0
+    while (i < n) { x(i) ^= t; i += 1 }
+    // transposed planes → single index: bit b of x(j) lands at output
+    // bit b·n + (n−1−j) (x(0) carries the most significant plane bits)
+    var h = 0L
+    var b = 0
+    while (b < bits) {
+      var j = 0
+      while (j < n) {
+        h |= ((x(j) >>> b) & 1L) << (b * n + (n - 1 - j))
+        j += 1
+      }
+      b += 1
+    }
+    h
+  }
+
   /** Nearest centroid by squared L2 distance (ties keep the lowest
     * index) — the product-quantization codebook metric: PQ minimizes
     * per-subspace reconstruction error ‖x_s − c‖², which argmax-cosine
@@ -802,6 +849,62 @@ case class BucketIndex(child: Expression, bounds: Seq[Double])
     copy(child = newChild)
 }
 
+/** d-dimensional Hilbert-curve position of long-typed coordinates (see
+  * GraftHashOps.hilbertIndex). The layout alternative to the Morton
+  * z-value: the Hilbert curve never makes the long diagonal jumps
+  * Morton's bit-interleave takes between quadrants, so consecutive
+  * curve positions are always ADJACENT cells — tighter per-file
+  * bounding boxes at the same file count. Codegen'd straight-line
+  * integer loop; participates in whole-stage codegen like any built-in. */
+case class HilbertIndex(children: Seq[Expression], bits: Int)
+    extends Expression with ExpectsInputTypes {
+  require(children.nonEmpty && children.size <= 8,
+    "1 to 8 hilbert coordinates")
+  require(bits >= 1 && bits * children.size <= 63,
+    s"bits*dims must fit a non-negative long, got $bits*${children.size}")
+
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq.fill(children.size)(LongType)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "graft_hilbert_index"
+
+  override def eval(input: InternalRow): Any = {
+    val arr = new Array[Long](children.size)
+    var i = 0
+    while (i < arr.length) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      arr(i) = v.asInstanceOf[Long]
+      i += 1
+    }
+    java.lang.Long.valueOf(GraftHashOps.hilbertIndex(arr, bits))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val evals = children.map(_.genCode(ctx))
+    val arr = ctx.freshName("hcoords")
+    val anyNull = evals.map(_.isNull.toString).mkString(" || ")
+    val fill = evals.zipWithIndex
+      .map { case (e, i) => s"$arr[$i] = ${e.value};" }.mkString("\n")
+    val childCode = evals.map(_.code.toString).mkString("\n")
+    ev.copy(code = code"""
+      $childCode
+      boolean ${ev.isNull} = $anyNull;
+      long ${ev.value} = 0L;
+      if (!${ev.isNull}) {
+        long[] $arr = new long[${children.size}];
+        $fill
+        ${ev.value} = ${Gen.Ops}.hilbertIndex($arr, $bits);
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HilbertIndex =
+    copy(children = newChildren)
+}
+
 /** [[NearestCentroidIndex]] under squared-L2 distance instead of cosine —
   * the codebook metric for product quantization (see
   * GraftHashOps.nearestCentroidL2). Centroids ride inline; PQ codebooks
@@ -1208,6 +1311,8 @@ object sketch {
     column(NearestCentroidL2Index(expression(c), centroids))
   def bucket_index(c: Column, bounds: Seq[Double]): Column =
     column(BucketIndex(expression(c), bounds))
+  def hilbert_index(cs: Seq[Column], bits: Int): Column =
+    column(HilbertIndex(cs.map(expression), bits))
   def pq_adc_score(c: Column, lut: Seq[Double], kPer: Int): Column =
     column(PqAdcScore(expression(c), lut, kPer))
   def centroid_residual(vec: Column, cell: Column,

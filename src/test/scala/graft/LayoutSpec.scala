@@ -75,6 +75,75 @@ class LayoutSpec extends SparkSpec {
     finally walk.close()
   }
 
+  test("hilbert index is a bijection and the curve is CONTINUOUS (Morton is not)") {
+    import spark.implicits._
+    val bits = 3
+    val side = 1 << bits
+    val cells = for { x <- 0 until side; y <- 0 until side }
+      yield (x.toLong, y.toLong)
+    // through the DataFrame (whole-stage codegen path)
+    val got = cells.toDF("x", "y")
+      .select(col("x"), col("y"),
+        org.apache.spark.sql.graft.sketch.hilbert_index(
+          Seq(col("x"), col("y")), bits).alias("h"))
+      .collect().map(r => r.getLong(2) -> ((r.getLong(0), r.getLong(1))))
+      .toMap
+    // bijection: 64 cells ↔ positions 0..63
+    assert(got.keySet == (0L until 64L).toSet)
+    // continuity: consecutive curve positions are ADJACENT cells
+    // (Manhattan distance exactly 1) — the locality property that
+    // tightens per-file bounding boxes; Morton fails this at every
+    // quadrant crossing (e.g. z=3→4 jumps (1,1)→(2,0))
+    (0L until 63L).foreach { h =>
+      val (x1, y1) = got(h); val (x2, y2) = got(h + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"jump at h=$h: ($x1,$y1)→($x2,$y2)")
+    }
+    // interpreted eval agrees with codegen
+    val arr = Array(3L, 5L)
+    val direct = org.apache.spark.sql.graft.GraftHashOps
+      .hilbertIndex(arr.clone(), bits)
+    assert(got(direct) == ((3L, 5L)))
+    // 3-D: still a bijection (2 bits → 64 cells)
+    val cells3 = for { x <- 0L until 4L; y <- 0L until 4L; z <- 0L until 4L }
+      yield (x, y, z)
+    val got3 = cells3.toDF("x", "y", "z")
+      .select(org.apache.spark.sql.graft.sketch.hilbert_index(
+        Seq(col("x"), col("y"), col("z")), 2).alias("h"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got3 == (0L until 64L).toSet)
+    // null coordinate → null position
+    val nulls = Seq((Some(1L), Option.empty[Long])).toDF("x", "y")
+      .select(org.apache.spark.sql.graft.sketch.hilbert_index(
+        Seq(col("x"), col("y")), bits).alias("h")).head()
+    assert(nulls.isNullAt(0))
+  }
+
+  test("hilbert-ordered write shrinks per-file spans on BOTH columns") {
+    val li = sf("lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hil").toString
+    li.repartition(8, col("l_quantity"))
+      .write.mode("overwrite").parquet(s"$tmp/plain")
+    Layout.writeHilbertOrdered(li, Seq("l_orderkey", "l_partkey"),
+      s"$tmp/hilbert", numFiles = 8)
+    def meanSpan(path: String, c: String): Double = {
+      val files = new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+      val spans = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min(col(c)).cast("double"), max(col(c)).cast("double")).head()
+        r.getDouble(1) - r.getDouble(0)
+      }
+      spans.sum / spans.length
+    }
+    Seq("l_orderkey", "l_partkey").foreach { c =>
+      val ratio = meanSpan(s"$tmp/hilbert", c) / meanSpan(s"$tmp/plain", c)
+      assert(ratio < 0.7, s"$c span ratio $ratio")
+    }
+    assert(spark.read.parquet(s"$tmp/hilbert").count() == li.count())
+    rmTree(tmp)
+  }
+
   private def rmTree(p: String): Unit = {
     import scala.jdk.CollectionConverters._
     val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
