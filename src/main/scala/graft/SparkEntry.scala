@@ -221,6 +221,22 @@ object SparkEntry {
       gap = 30L * 60 * 1000000000L)
       .orderBy("user_id")),
 
+    // top session journeys: sessionize → ordered per-session path →
+    // corpus-wide count → top-k; ONE data-sized shuffle (the session key)
+    "q_paths" -> ((s, dir) => pipeline.Temporal.sessionPaths(
+      t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+      gap = 30L * 60 * 1000000000L, k = 10)),
+
+    // trailing per-key z-score anomalies: each event's value against the
+    // user's own trailing-24h mean/deviation (one RANGE window), |z|>2
+    "q_anomaly" -> ((s, dir) => pipeline.Temporal.rollingZScore(
+      t(s, dir, "events"), "user_id", "ts", "value",
+      windowNs = 24L * 3600 * 1000000000L)
+      .filter(abs(col("z")) > 2)
+      .select(col("event_id"), col("user_id"),
+        pipeline.Rounding.halfUp(col("z"), 6).alias("z"))
+      .orderBy("event_id")),
+
     // as-of join: each click matched to the user's most recent prior view
     "q_asof" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -1725,6 +1741,39 @@ object SparkEntry {
                   (((length(text) % 64) + 1) * ((length(text) % 48) + 1))
                 )::BIGINT AS media_len
          FROM documents ORDER BY doc_id""",
+    "q_paths" ->
+      """WITH g AS (
+           SELECT user_id, ts, event_id, event_type,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS ns
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ), s AS (
+           SELECT user_id, ts, event_id, event_type,
+                  sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+           FROM g
+         ), p AS (
+           SELECT user_id, sid,
+                  string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+           FROM s GROUP BY user_id, sid
+         )
+         SELECT path, count(*)::BIGINT AS cnt FROM p
+         GROUP BY path ORDER BY cnt DESC, path LIMIT 10""",
+    "q_anomaly" ->
+      """WITH z AS (
+           SELECT event_id, user_id,
+                  (value - avg(value) OVER w) /
+                    nullif(stddev_pop(value) OVER w, 0) AS zraw
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+                        RANGE BETWEEN 86400000000000 PRECEDING
+                              AND CURRENT ROW)
+         )
+         SELECT event_id, user_id,
+                floor(zraw * 1e6 + 0.5) / 1e6 AS z
+         FROM z WHERE abs(zraw) > 2 ORDER BY event_id""",
     "q_sessions" ->
       """WITH g AS (
            SELECT user_id, ts, event_id,

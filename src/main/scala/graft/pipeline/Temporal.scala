@@ -340,6 +340,62 @@ object Temporal {
       .drop("__graft_rns")
   }
 
+  /** Top-k most frequent session journeys: sessionize, concatenate each
+    * session's `typeCol` values in time order into a `path` string
+    * (`>`-separated), count paths corpus-wide, keep the `k` most common
+    * (count desc, path asc for determinism).
+    *
+    * Plan: the sessionize exchange on `keyCol` is the ONLY data-sized
+    * shuffle — the per-(key, session) journey aggregate reuses that
+    * partitioning (key is a subset of the grouping key, so Spark plans
+    * no second exchange), the path count collapses map-side to the
+    * distinct-path set, and the order/limit applies to that tiny
+    * aggregate only — the corpus is never globally sorted.
+    * Per-group state is one session's events (collect + sort inside the
+    * aggregate) — bounded by session length, not by key volume; a
+    * pathological never-idle key should be gap-split upstream. */
+  def sessionPaths(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, typeCol: String, gap: Long, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val sess = sessionize(df, keyCol, tsCol, tieCol, gap)
+    val ns = epochNanos(sess, tsCol)
+    sess.groupBy(col(keyCol), col("session_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(
+            ns.alias("ns"), col(tieCol).alias("tie"),
+            col(typeCol).alias("t")))),
+          x => x.getField("t")),
+        ">").alias("path"))
+      .groupBy(col("path")).agg(count(lit(1)).alias("cnt"))
+      .orderBy(col("cnt").desc, col("path"))
+      .limit(k)
+  }
+
+  /** Trailing z-score: each row's `valueCol` standardized against the
+    * key's OWN trailing `[ts − windowNs, ts]` window (inclusive; equal
+    * timestamps are frame peers) — `z = (v − mean) / stddev_pop`, null
+    * when the window is constant (zero deviation carries no signal and
+    * ±∞ would poison downstream filters). The self-referential rate /
+    * metric anomaly shape: "is this event unusual for THIS key lately",
+    * with no global model to train or broadcast.
+    *
+    * Plan: one hash exchange on `keyCol`; mean and deviation share a
+    * single RANGE-frame WindowExec (constant per-row state — running
+    * moments, not buffered rows beyond the frame). */
+  def rollingZScore(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, windowNs: Long, zCol: String = "z"): DataFrame = {
+    require(windowNs >= 0, "windowNs must be non-negative")
+    val withNs = df.withColumn("__graft_zns", epochNanos(df, tsCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__graft_zns"))
+      .rangeBetween(-windowNs, 0)
+    val m = avg(col(valueCol)).over(w)
+    val sd = stddev_pop(col(valueCol)).over(w)
+    withNs.withColumn(zCol,
+        when(sd > 0, (col(valueCol) - m) / sd))
+      .drop("__graft_zns")
+  }
+
   /** Top-k rows per group by the given ordering (rank column `rnCol`,
     * 1-based, long-typed). One shuffle on the group keys; row_number
     * needs no global sort and the filter prunes before any downstream

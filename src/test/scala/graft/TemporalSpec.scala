@@ -380,4 +380,63 @@ class TemporalSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(bucketed == naive)
   }
+
+  test("sessionPaths: ordered journeys, corpus count, deterministic tiebreak") {
+    import spark.implicits._
+    // user 1 twice runs a>b (sessions split by gap); user 2 runs a>b
+    // then a lone c; user 3 a lone c — paths: a>b ×3, c ×2
+    val ev = Seq(
+      (1L, 100L, 1L, "a"), (1L, 150L, 2L, "b"),
+      (1L, 1000L, 3L, "a"), (1L, 1050L, 4L, "b"),
+      (2L, 100L, 5L, "a"), (2L, 150L, 6L, "b"), (2L, 2000L, 7L, "c"),
+      (3L, 100L, 8L, "c")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Temporal.sessionPaths(ev, "user_id", "ts", "event_id",
+        "event_type", gap = 100L, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a>b", 3L), ("c", 2L)))
+    // ORDER within a session comes from (ts, tie), not arrival: shuffle
+    // the input rows and the paths must not change
+    val shuffled = Temporal.sessionPaths(ev.orderBy(rand(7)), "user_id",
+        "ts", "event_id", "event_type", gap = 100L, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(shuffled == got)
+    // one data-sized exchange (the session key); the path count collapses
+    // to the distinct-path set and top-k is TakeOrdered
+    val plan = Temporal.sessionPaths(ev, "user_id", "ts", "event_id",
+      "event_type", gap = 100L, k = 10).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, // key + tiny distinct-path exchange
+      s"expected 2 hash exchanges (key, path), got $exchanges:\n$plan")
+    // the ordering/limit applies ABOVE the final path-count aggregate —
+    // only the distinct-path set is ever sorted, never the corpus
+    // (planner may fuse it as TakeOrdered or CollectLimit over a sort)
+    val sortAt = plan.indexOf("Sort [cnt")
+    assert(plan.contains("TakeOrderedAndProject") ||
+      (sortAt >= 0 && sortAt < plan.indexOf("HashAggregate")),
+      s"order/limit must sit above the path aggregate:\n$plan")
+  }
+
+  test("rollingZScore standardizes against the key's trailing window only") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 100L, 10.0), (1L, 150L, 20.0), (1L, 1000L, 14.0),
+      (2L, 100L, 5.0)
+    ).toDF("user_id", "ts", "value")
+    val z = Temporal.rollingZScore(ev, "user_id", "ts", "value",
+        windowNs = 100L)
+      .orderBy("user_id", "ts").collect()
+      .map(r => if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    // row0: window {10} → sd 0 → null; row1: window {10,20} → mean 15,
+    // sd 5 → z=1; row2: window {14} (1000-100 > 100ns back) → null;
+    // row3: single event → null
+    assert(z(0).isEmpty && z(2).isEmpty && z(3).isEmpty)
+    assert(math.abs(z(1).get - 1.0) < 1e-12)
+    // single window exchange; mean and deviation share one WindowExec
+    val plan = Temporal.rollingZScore(ev, "user_id", "ts", "value", 100L)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1)
+    assert("Window \\[".r.findAllIn(plan).length == 1,
+      s"mean/sd must share one WindowExec:\n$plan")
+  }
 }
