@@ -353,6 +353,13 @@ object SparkEntry {
         .select("column", "n", "n_null", "min", "max", "mean", "median")
         .orderBy("column")),
 
+    // top token collocations by document-level PMI: per-doc distinct
+    // pair explode → compact pair-count aggregate → min-count prune
+    // BEFORE the unigram joins; N on a 1-row broadcast
+    "q_pmi" -> ((s, dir) =>
+      pipeline.TextAnalysis.topPmi(t(s, dir, "documents"), "text",
+        minPairCount = 5L, k = 20)),
+
     // pairwise Pearson correlation, all 6 pairs in ONE aggregate pass
     // (constant per-pair state; no per-pair job, no collect)
     "q_corr" -> ((s, dir) =>
@@ -2021,6 +2028,24 @@ object SparkEntry {
            floor(median(l_tax::DOUBLE) * 1e6 + 0.5) / 1e6
          FROM lineitem
          ORDER BY "column"""",
+    "q_pmi" ->
+      """WITH d AS (SELECT doc_id,
+             list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS ts
+           FROM documents),
+         u AS (SELECT doc_id, unnest(ts) AS t FROM d),
+         uf AS (SELECT t, count(*) AS n FROM u GROUP BY t),
+         pf AS (SELECT a.t AS tok_a, b.t AS tok_b, count(*) AS nab
+                FROM u a JOIN u b ON a.doc_id = b.doc_id AND a.t < b.t
+                GROUP BY 1, 2 HAVING count(*) >= 5),
+         nn AS (SELECT count(*)::DOUBLE AS nd FROM d)
+         SELECT pf.tok_a, pf.tok_b, pf.nab::BIGINT AS n_ab,
+           floor(ln(pf.nab::DOUBLE * nn.nd /
+                    (ua.n::DOUBLE * ub.n::DOUBLE)) * 1e6 + 0.5) / 1e6 AS pmi
+         FROM pf
+         JOIN uf ua ON ua.t = pf.tok_a
+         JOIN uf ub ON ub.t = pf.tok_b
+         CROSS JOIN nn
+         ORDER BY pmi DESC, tok_a, tok_b LIMIT 20""",
     "q_corr" ->
       """WITH c AS (SELECT
            corr(l_quantity::DOUBLE, l_extendedprice::DOUBLE) AS c1,

@@ -92,6 +92,55 @@ object TextAnalysis {
         (a, b) => concat_ws(" ", a, b)))
   }
 
+  /** Top-k token pairs by document-level pointwise mutual information:
+    * `pmi(a,b) = ln(n_ab·N / (n_a·n_b))` over DOCUMENT frequencies
+    * (each token/pair counted once per doc — the collocation measure of
+    * Church & Hanks 1990), restricted to pairs co-occurring in at least
+    * `minPairCount` docs (PMI is noise at tiny counts: a pair seen once
+    * between two hapaxes scores ln N). Returns (`tok_a` < `tok_b`,
+    * `n_ab`, `pmi` 6dp), pmi desc with (tok_a, tok_b) tiebreak.
+    *
+    * Plan shape: per-doc sorted-distinct token arrays stay map-side; the
+    * O(len²) per-doc pair generation explodes into a compact
+    * (tok_a, tok_b) count aggregate (two-phase — partials collapse
+    * before the shuffle, which carries token pairs and counts, never
+    * text); the min-count filter prunes BEFORE the two unigram joins;
+    * the doc total N rides a 1-row broadcast. Everything downstream of
+    * the explode is vocabulary-sized, not corpus-sized. Per-doc pair
+    * fanout is quadratic in the doc's DISTINCT token count — chunk or
+    * truncate pathological documents upstream (Gopher gates already
+    * bound doc length in this pipeline). */
+  def topPmi(df: DataFrame, textCol: String, minPairCount: Long,
+      k: Int): DataFrame = {
+    require(minPairCount >= 1, "minPairCount must be >= 1")
+    require(k > 0, "k must be positive")
+    val toks = df.select(
+      array_sort(array_distinct(tokens(lower(col(textCol)))))
+        .alias("__ts"))
+    val nDocs = toks.agg(count(lit(1)).alias("__n"))
+    val uni = toks.select(explode(col("__ts")).alias("t"))
+      .groupBy("t").agg(count(lit(1)).alias("n"))
+    val pairs = toks.select(explode(flatten(transform(col("__ts"),
+        (x, i) => transform(
+          slice(col("__ts"), i + lit(2), size(col("__ts"))),
+          y => struct(x.alias("a"), y.alias("b")))))).alias("p"))
+      .groupBy(col("p.a").alias("tok_a"), col("p.b").alias("tok_b"))
+      .agg(count(lit(1)).alias("n_ab"))
+      .filter(col("n_ab") >= minPairCount)
+    pairs
+      .join(uni.withColumnRenamed("t", "tok_a")
+        .withColumnRenamed("n", "__na"), "tok_a")
+      .join(uni.withColumnRenamed("t", "tok_b")
+        .withColumnRenamed("n", "__nb"), "tok_b")
+      .crossJoin(broadcast(nDocs))
+      .select(col("tok_a"), col("tok_b"), col("n_ab"),
+        Rounding.halfUp(
+          log(col("n_ab").cast("double") * col("__n") /
+            (col("__na").cast("double") * col("__nb"))), 6).alias("pmi"))
+      .orderBy(col("pmi").desc, col("tok_a"), col("tok_b"))
+      .limit(k)
+  }
+
   /** Fraction of word occurrences that repeat an earlier word — the
     * word-level duplicate-content signal from Gopher-style quality rules.
     * Pure array expression: zero shuffle, scan-parallel. */

@@ -138,6 +138,35 @@ class QualitySpec extends SparkSpec {
     assert(kept == Set(1L), kept.toString)
   }
 
+  test("topPmi scores collocations over doc frequencies, min-count pruned") {
+    import spark.implicits._
+    // "new york" always together (3 docs); "the" everywhere (4 docs);
+    // "lone pair" co-occurs once — pruned by minPairCount=2
+    val docs = Seq(
+      "the new york times", "new york the city", "the new york subway",
+      "the lone pair").toDF("text")
+    val got = TextAnalysis.topPmi(docs, "text", minPairCount = 2L, k = 50)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    // pmi(new, york): n_ab=3, na=nb=3, N=4 → ln(3·4/9) = ln(4/3)
+    val pNY = BigDecimal(math.log(3.0 * 4 / (3.0 * 3)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(("new", "york")) == ((3L, pNY)))
+    // pmi(new, the): n_ab=3, na=3, nb=4 → ln(3·4/12) = 0
+    assert(got(("new", "the")) == ((3L, 0.0)))
+    // the once-only pair is pruned
+    assert(!got.contains(("lone", "pair")))
+    // highest-PMI pair ranks first (ordering check on a fresh call)
+    val first = TextAnalysis.topPmi(docs, "text", 2L, 1).head()
+    assert((first.getString(0), first.getString(1)) == (("new", "york")))
+    // arrival order never affects the result
+    val shuffled = TextAnalysis.topPmi(docs.orderBy(rand(3)), "text", 2L, 50)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(shuffled.toSet ==
+      got.keySet.map(p => (p._1, p._2)))
+  }
+
   test("scrubPii replaces email, ip and phone with typed tokens") {
     val scrubbed = one(TextAnalysis.scrubPii(col("text")),
       "mail user.name+tag@sub.example.org ip 192.168.0.1 tel +1-555-123-4567 end")
