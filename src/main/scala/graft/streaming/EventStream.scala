@@ -104,6 +104,58 @@ object EventStream {
       }
   }
 
+  case class MomentState(n: Long, mean: Double, m2: Double)
+  case class AnomalyHit(user_id: Long, event_id: Long, value: Double,
+      z: Double)
+
+  /** Streaming per-key anomaly detection: each event's `value` scored
+    * against the key's OWN running mean/deviation (Welford's online
+    * moments — constant state per key: one count and two doubles,
+    * regardless of stream length), emitting events with |z| > `zThresh`
+    * once at least `minN` prior observations exist. The z-score is
+    * PREQUENTIAL — computed against the state BEFORE the event updates
+    * it, so an extreme value cannot mask itself by inflating the
+    * deviation it is judged against, and re-running the same batches
+    * reproduces the same hits.
+    *
+    * The streaming twin of [[graft.pipeline.Temporal.rollingZScore]]:
+    * that one standardizes against a trailing TIME window in batch;
+    * this one maintains lifetime moments incrementally so the monitor
+    * never rescans history. flatMapGroupsWithState keyed by user —
+    * state is partitioned across executors and checkpointable; events
+    * within a micro-batch apply in (ts, event_id) order so arrival
+    * interleaving inside a batch cannot flip a verdict. */
+  def anomalyStream(events: Dataset[Event], minN: Int = 5,
+      zThresh: Double = 3.0): Dataset[AnomalyHit] = {
+    import events.sparkSession.implicits._
+    require(minN >= 2, "minN must be >= 2 (deviation undefined below)")
+    require(zThresh > 0, "zThresh must be positive")
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[MomentState, AnomalyHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[MomentState]) =>
+          var s = state.getOption.getOrElse(MomentState(0L, 0.0, 0.0))
+          val hits = scala.collection.mutable.ArrayBuffer.empty[AnomalyHit]
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            if (s.n >= minN) {
+              val sd = math.sqrt(s.m2 / s.n)
+              if (sd > 0) {
+                val z = (e.value - s.mean) / sd
+                if (math.abs(z) > zThresh)
+                  hits += AnomalyHit(userId, e.event_id, e.value, z)
+              }
+            }
+            val n1 = s.n + 1
+            val d = e.value - s.mean
+            val mean1 = s.mean + d / n1
+            s = MomentState(n1, mean1, s.m2 + d * (e.value - mean1))
+          }
+          state.update(s)
+          hits.iterator
+      }
+  }
+
   /** Streaming exact dedup on a key column: keeps the first event per key,
     * with state bounded by the watermark (dropDuplicatesWithinWatermark —
     * a key's state is dropped once it is older than the watermark, so the

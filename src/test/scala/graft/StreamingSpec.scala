@@ -113,6 +113,44 @@ class StreamingSpec extends SparkSpec {
     assert(u7.getDouble(2) == 4.0)
   }
 
+  test("anomaly stream flags outliers prequentially with persistent state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.Event]
+    val q = EventStream.anomalyStream(mem.toDS(), minN = 5, zThresh = 3.0)
+      .writeStream.format("memory").queryName("anom")
+      .outputMode("append").start()
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // batch 1: an extreme value FIRST — below minN, never flagged (and
+    // it must not poison later verdicts more than its moment share)
+    mem.addData(
+      EventStream.Event(1, ts, 7L, "m", 10.0),
+      EventStream.Event(2, ts, 7L, "m", 12.0),
+      EventStream.Event(3, ts, 7L, "m", 11.0),
+      EventStream.Event(4, ts, 7L, "m", 9.0),
+      EventStream.Event(5, ts, 7L, "m", 10.5))
+    q.processAllAvailable()
+    assert(spark.table("anom").count() == 0) // baseline only, no flags
+    // batch 2: state carried over — the spike trips, the normal doesn't;
+    // user 8 has no history, so its identical spike value stays silent
+    mem.addData(
+      EventStream.Event(6, ts, 7L, "m", 11.5),
+      EventStream.Event(7, ts, 7L, "m", 100.0),
+      EventStream.Event(8, ts, 8L, "m", 100.0))
+    q.processAllAvailable()
+    val hits = spark.table("anom").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(hits == Set((7L, 7L)), s"got $hits")
+    // prequential: the spike's own mass is excluded from the deviation
+    // it is judged against — recompute the expected z by hand
+    val base = Seq(10.0, 12.0, 11.0, 9.0, 10.5, 11.5)
+    val mean = base.sum / base.size
+    val sd = math.sqrt(base.map(v => (v - mean) * (v - mean)).sum / base.size)
+    val zRow = spark.sql("SELECT z FROM anom WHERE event_id = 7").head()
+    assert(math.abs(zRow.getDouble(0) - (100.0 - mean) / sd) < 1e-9)
+  }
+
   test("doc ingest: streaming dedup + quality gate + pii scrub") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
