@@ -353,6 +353,18 @@ object SparkEntry {
         .select("column", "n", "n_null", "min", "max", "mean", "median")
         .orderBy("column")),
 
+    // categorical drift: language-mix PSI between two corpus slices
+    "q_cat_drift" -> ((s, dir) =>
+      pipeline.Profiling.categoricalDrift(t(s, dir, "documents"),
+        "lang", "source", "src0", "src1")
+        .orderBy("category")),
+
+    // digit-template exact dedup (C4-style normalization before fuzzy
+    // dedup): template-equal docs collapse to the smallest id
+    "q_template_dedup" -> ((s, dir) =>
+      pipeline.Dedup.templateDedup(t(s, dir, "documents"), "text", "doc_id")
+        .agg(count(lit(1)).alias("n_kept"))),
+
     // top token collocations by document-level PMI: per-doc distinct
     // pair explode → compact pair-count aggregate → min-count prune
     // BEFORE the unigram joins; N on a 1-row broadcast
@@ -2028,6 +2040,30 @@ object SparkEntry {
            floor(median(l_tax::DOUBLE) * 1e6 + 0.5) / 1e6
          FROM lineitem
          ORDER BY "column"""",
+    "q_cat_drift" ->
+      """WITH counts AS (
+           SELECT lang AS category,
+                  sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS na,
+                  sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS nb
+           FROM documents
+           WHERE source IN ('src0', 'src1') AND lang IS NOT NULL
+           GROUP BY lang),
+         tot AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM counts)
+         SELECT category,
+           floor(na / ta * 1e6 + 0.5) / 1e6 AS p_a,
+           floor(nb / tb * 1e6 + 0.5) / 1e6 AS p_b,
+           floor((greatest(na / ta, 1e-6) - greatest(nb / tb, 1e-6))
+             * ln(greatest(na / ta, 1e-6) / greatest(nb / tb, 1e-6))
+             * 1e6 + 0.5) / 1e6 AS psi_term
+         FROM counts, tot ORDER BY category""",
+    "q_template_dedup" ->
+      """SELECT count(*)::BIGINT AS n_kept FROM (
+           SELECT row_number() OVER (
+               PARTITION BY trim(regexp_replace(
+                 regexp_replace(text, '[0-9]+', '0', 'g'),
+                 '\s+', ' ', 'g'))
+               ORDER BY doc_id) AS rn
+           FROM documents) WHERE rn = 1""",
     "q_pmi" ->
       """WITH d AS (SELECT doc_id,
              list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS ts

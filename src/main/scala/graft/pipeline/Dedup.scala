@@ -28,6 +28,31 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Digit-template canonical form: every digit run collapsed to `0`,
+    * whitespace runs to one space, trimmed — the normalization under
+    * which "Build #4821 finished in 312s" and "Build #77 finished in
+    * 9s" are the SAME template. Machine-generated corpora (logs, build
+    * output, price/stock pages, timestamps in chrome) are full of such
+    * families, and near-dup sketches waste bands on them when one
+    * codegen'd projection + exact dedup removes them outright (the C4
+    * pipeline's first pass does exactly this class of normalization
+    * before fuzzy dedup). */
+  def templateKey(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(text, "[0-9]+", "0"), "\\s+", " "))
+
+  /** Exact dedup under the digit-template key: among rows whose
+    * [[templateKey]] matches, the smallest `idCol` survives. Same
+    * single-shuffle window shape as [[exactDedup]] — the shuffle key is
+    * the md5 of the template, never the text. */
+  def templateDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(templateKey(col(textCol))))
+      .orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Word k-shingles of the whitespace-tokenized text.
     *
     * Built as k-1 chained zip_with calls over shifted slices — a lambda

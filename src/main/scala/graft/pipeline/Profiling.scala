@@ -342,6 +342,34 @@ object Profiling {
         Rounding.halfUp((pa - pb) * log(pa / pb), 6).alias("psi_term"))
   }
 
+  /** [[psiReport]] over a CATEGORICAL column: one row per category seen
+    * on either side, with each side's share and PSI term — the drift
+    * check for label-like columns (language mix, source mix, event-type
+    * mix) where binning makes no sense. Same scale shape: one tagged
+    * scan, per-(category, side) counts collapse map-side (bounded by
+    * the category cardinality), 1-row total broadcast; a category
+    * present on one side only contributes a bounded ε-floored term
+    * instead of ±∞. */
+  def categoricalDrift(df: DataFrame, catCol: String, sideCol: String,
+      sideA: String, sideB: String, eps: Double = 1e-6): DataFrame = {
+    val tagged = df
+      .filter(col(sideCol).isin(sideA, sideB) && col(catCol).isNotNull)
+      .select(col(catCol).alias("category"),
+        (col(sideCol) === sideA).alias("__is_a"))
+    val counts = tagged.groupBy(col("category"))
+      .agg(sum(when(col("__is_a"), 1L).otherwise(0L)).alias("__na"),
+        sum(when(!col("__is_a"), 1L).otherwise(0L)).alias("__nb"))
+    val totals = counts.agg(sum(col("__na")).alias("__ta"),
+      sum(col("__nb")).alias("__tb"))
+    val pa = greatest(col("__na") / col("__ta"), lit(eps))
+    val pb = greatest(col("__nb") / col("__tb"), lit(eps))
+    counts.crossJoin(broadcast(totals))
+      .select(col("category"),
+        Rounding.halfUp(col("__na") / col("__ta"), 6).alias("p_a"),
+        Rounding.halfUp(col("__nb") / col("__tb"), 6).alias("p_b"),
+        Rounding.halfUp((pa - pb) * log(pa / pb), 6).alias("psi_term"))
+  }
+
   private def quantilesWith(df: DataFrame, cols: Seq[String],
       ps: Seq[Double],
       q: org.apache.spark.sql.Column => org.apache.spark.sql.Column,

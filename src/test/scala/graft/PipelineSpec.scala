@@ -26,6 +26,24 @@ class PipelineSpec extends SparkSpec {
     assert(survivors == Set(1L, 2L, 3L, 5L))
   }
 
+  test("template dedup collapses digit-variant families, not genuinely distinct text") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "error 404 at line 12"),
+      (2L, "error 500 at line 7"),     // same template as 1 → dropped
+      (3L, "error  9   at line 33"),   // whitespace runs collapse too
+      (4L, "warning 404 at line 12"),  // different words → survives
+      (5L, "no digits here")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.templateDedup(d, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 5L))
+    // the shuffle key is the md5 of the template, never the raw text
+    val plan = Dedup.templateDedup(d, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1)
+  }
+
   test("shingles enumerate every k-window in order (zip_with form)") {
     import spark.implicits._
     val d = Seq(("A b c d", 1), ("a b", 2), ("solo", 3)).toDF("t", "i")

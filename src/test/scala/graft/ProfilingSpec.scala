@@ -238,6 +238,24 @@ class ProfilingSpec extends SparkSpec {
     assert(est != 6000L) // it deduplicated the 1000-id overlap
   }
 
+  test("categoricalDrift: per-category shares, one-sided category floors at eps") {
+    import spark.implicits._
+    val d = Seq(("a", "x"), ("a", "x"), ("a", "y"),
+      ("b", "x"), ("b", "y"), ("b", "y"), ("b", "z"),
+      ("c", "w")).toDF("side", "cat")
+    val got = Profiling.categoricalDrift(d, "cat", "side", "a", "b")
+      .orderBy("category").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq == Seq("x", "y", "z")) // 'w' filtered at scan
+    val x = got(0); val z = got(2)
+    assert(x._2 == 0.666667 && x._3 == 0.25)
+    // z: absent on side a → p_a reported 0, term uses the eps floor
+    assert(z._2 == 0.0 && z._3 == 0.25)
+    val zTerm = BigDecimal((1e-6 - 0.25) * math.log(1e-6 / 0.25))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(z._4 - zTerm) < 1e-9)
+  }
+
   test("correlationMatrix: all pairs in one pass, values match closed form") {
     import spark.implicits._
     // y = 2x exactly (corr 1); z exactly anti-correlated (corr -1)
