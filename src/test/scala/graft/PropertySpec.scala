@@ -356,4 +356,30 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: hilbert index is bijective and unit-step at any dims/bits") {
+    import org.apache.spark.sql.graft.GraftHashOps
+    // every (dims, bits) pair small enough to enumerate exhaustively
+    for {
+      dims <- 2 to 4
+      bits <- 1 to (if (dims == 2) 4 else 2)
+    } {
+      val side = 1 << bits
+      val total = 1L << (bits * dims)
+      def coords(cell: Long): Array[Long] =
+        Array.tabulate(dims)(d => (cell >> (d * bits)) & (side - 1))
+      val m = (0L until total).map { cell =>
+        GraftHashOps.hilbertIndex(coords(cell), bits) -> cell
+      }.toMap
+      assert(m.keySet == (0L until total).toSet,
+        s"not a bijection at dims=$dims bits=$bits")
+      // continuity: consecutive curve positions differ by EXACTLY one
+      // unit step in exactly one coordinate — at every size
+      (0L until total - 1).foreach { h =>
+        val a = coords(m(h)); val b = coords(m(h + 1))
+        val dist = a.zip(b).map { case (x, y) => math.abs(x - y) }.sum
+        assert(dist == 1, s"jump at h=$h dims=$dims bits=$bits")
+      }
+    }
+  }
 }
