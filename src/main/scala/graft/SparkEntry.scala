@@ -353,6 +353,19 @@ object SparkEntry {
         .select("column", "n", "n_null", "min", "max", "mean", "median")
         .orderBy("column")),
 
+    // snapshot diff: added/removed/changed/unchanged between two keyed
+    // corpus versions; the join carries (key, 8-byte digest), never text
+    "q_snapshot_diff" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val a = d.filter(col("doc_id") < 400).select("doc_id", "text")
+      val b = d.filter(col("doc_id") >= 100)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, upper(col("text")))
+            .otherwise(col("text")).alias("text"))
+      pipeline.Dedup.snapshotDiffSummary(a, b, "doc_id", Seq("text"))
+        .orderBy("status")
+    }),
+
     // categorical drift: language-mix PSI between two corpus slices
     "q_cat_drift" -> ((s, dir) =>
       pipeline.Profiling.categoricalDrift(t(s, dir, "documents"),
@@ -2040,6 +2053,18 @@ object SparkEntry {
            floor(median(l_tax::DOUBLE) * 1e6 + 0.5) / 1e6
          FROM lineitem
          ORDER BY "column"""",
+    "q_snapshot_diff" ->
+      """WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+         b AS (SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END AS text
+               FROM documents WHERE doc_id >= 100),
+         d AS (SELECT CASE WHEN a.doc_id IS NULL THEN 'added'
+                           WHEN b.doc_id IS NULL THEN 'removed'
+                           WHEN a.text <> b.text THEN 'changed'
+                           ELSE 'unchanged' END AS status
+               FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+         SELECT status, count(*)::BIGINT AS n FROM d
+         GROUP BY status ORDER BY status""",
     "q_cat_drift" ->
       """WITH counts AS (
            SELECT lang AS category,

@@ -53,6 +53,41 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Row-level diff between two snapshots of a keyed corpus: one row
+    * per key present in either side, with `status` ∈ added (B only),
+    * removed (A only), changed (both, any `compareCols` value differs),
+    * unchanged. The ingest-regression primitive: "what did this
+    * re-crawl/re-export actually change" answered without trusting
+    * upstream change logs.
+    *
+    * Scale shape: each side projects to (key, xxhash64(compareCols…))
+    * BEFORE the join — the full-outer equi-join on the key carries an
+    * 8-byte digest instead of document payloads (text never shuffles),
+    * and the status is a map-side projection after it. One shuffle
+    * pair, no window, no distinct pass. Hash collisions (~2⁻⁶⁴ per
+    * pair) can only misreport `changed` as `unchanged`. */
+  def snapshotDiff(a: DataFrame, b: DataFrame, keyCol: String,
+      compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "compareCols must be non-empty")
+    def digest(df: DataFrame, side: String): DataFrame =
+      df.select(col(keyCol),
+        xxhash64(compareCols.map(col): _*).alias(s"__h_$side"))
+    digest(a, "a").join(digest(b, "b"), Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        when(col("__h_a").isNull, "added")
+          .when(col("__h_b").isNull, "removed")
+          .when(col("__h_a") =!= col("__h_b"), "changed")
+          .otherwise("unchanged").alias("status"))
+  }
+
+  /** [[snapshotDiff]] rolled up to one row per status — the report a
+    * recurring ingest logs per run (counts only; drill into the keyed
+    * diff when a number looks wrong). */
+  def snapshotDiffSummary(a: DataFrame, b: DataFrame, keyCol: String,
+      compareCols: Seq[String]): DataFrame =
+    snapshotDiff(a, b, keyCol, compareCols)
+      .groupBy(col("status")).agg(count(lit(1)).alias("n"))
+
   /** Word k-shingles of the whitespace-tokenized text.
     *
     * Built as k-1 chained zip_with calls over shifted slices — a lambda

@@ -44,6 +44,32 @@ class PipelineSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1)
   }
 
+  test("snapshotDiff classifies added/removed/changed; text never joins") {
+    import spark.implicits._
+    val a = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val b = Seq((2L, "beta"), (3L, "GAMMA"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val got = Dedup.snapshotDiff(a, b, "doc_id", Seq("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+    val sums = Dedup.snapshotDiffSummary(a, b, "doc_id", Seq("text"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sums == Map("added" -> 1L, "removed" -> 1L,
+      "changed" -> 1L, "unchanged" -> 1L))
+    // the join's shuffle carries (key, digest) only — no string column
+    // crosses the exchange
+    val plan = Dedup.snapshotDiff(a, b, "doc_id", Seq("text"))
+      .queryExecution.executedPlan.toString
+    assert(!"Exchange hashpartitioning\\([^)]*text"
+      .r.findFirstIn(plan).isDefined, s"text in a shuffle key:\n$plan")
+    // each join input carries exactly (key, 8-byte digest) — the text
+    // column never reaches the exchange
+    assert(!plan.contains("text#"), s"text column crossed the join:\n$plan")
+    assert("__h_a".r.findAllIn(plan).nonEmpty, s"no digest column:\n$plan")
+  }
+
   test("shingles enumerate every k-window in order (zip_with form)") {
     import spark.implicits._
     val d = Seq(("A b c d", 1), ("a b", 2), ("solo", 3)).toDF("t", "i")
