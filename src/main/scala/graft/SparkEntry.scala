@@ -353,6 +353,14 @@ object SparkEntry {
         .select("column", "n", "n_null", "min", "max", "mean", "median")
         .orderBy("column")),
 
+    // exact canary/blocklist scan: one broadcast Aho-Corasick automaton,
+    // O(text) per doc regardless of pattern count, zero shuffle
+    "q_canary" -> ((s, dir) =>
+      pipeline.Dedup.canaryScan(t(s, dir, "documents"), "text", "doc_id",
+        Seq("table table", "merge batch", "slow fast",
+          "canary-guid-8f2a"))
+        .orderBy("doc_id", "pattern")),
+
     // snapshot diff: added/removed/changed/unchanged between two keyed
     // corpus versions; the join carries (key, 8-byte digest), never text
     "q_snapshot_diff" -> ((s, dir) => {
@@ -2053,6 +2061,13 @@ object SparkEntry {
            floor(median(l_tax::DOUBLE) * 1e6 + 0.5) / 1e6
          FROM lineitem
          ORDER BY "column"""",
+    "q_canary" ->
+      """SELECT doc_id, p.pattern
+         FROM documents,
+              (SELECT unnest(['table table', 'merge batch', 'slow fast',
+                              'canary-guid-8f2a']) AS pattern) p
+         WHERE contains(text, p.pattern)
+         ORDER BY doc_id, pattern""",
     "q_snapshot_diff" ->
       """WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
          b AS (SELECT doc_id,

@@ -53,6 +53,39 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Exact multi-pattern canary/blocklist scan: every (doc, pattern)
+    * hit for documents containing ANY of `patterns` as a raw substring —
+    * benchmark canary GUIDs, blocklisted URLs, fixed contamination
+    * markers. ONE Aho-Corasick automaton over the whole set rides a
+    * broadcast (built once, driver-side, states ≤ total pattern chars);
+    * each doc scans in O(text length) regardless of pattern count,
+    * map-side, zero shuffle before the tiny hit set. The exact-substring
+    * complement to shingle containment ([[crossContainment]]): that one
+    * measures overlap fractions, this one answers "does marker X appear,
+    * verbatim, anywhere". */
+  def canaryScan(df: DataFrame, textCol: String, idCol: String,
+      patterns: Seq[String]): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(
+      new org.apache.spark.sql.graft.AcAutomaton(patterns))
+    val pArr = patterns.toArray
+    df.select(col(idCol),
+        explode(org.apache.spark.sql.graft.sketch
+          .ac_matches(col(textCol), bc)).alias("__pid"))
+      .select(col(idCol),
+        element_at(array(pArr.map(lit).toIndexedSeq: _*),
+          col("__pid") + 1).alias("pattern"))
+  }
+
+  /** Rows whose text contains NONE of `patterns` — the removal form of
+    * [[canaryScan]] as one map-side filter (no join, no explode). */
+  def removeCanaries(df: DataFrame, textCol: String,
+      patterns: Seq[String]): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(
+      new org.apache.spark.sql.graft.AcAutomaton(patterns))
+    df.filter(size(org.apache.spark.sql.graft.sketch
+      .ac_matches(col(textCol), bc)) === 0)
+  }
+
   /** Row-level diff between two snapshots of a keyed corpus: one row
     * per key present in either side, with `status` ∈ added (B only),
     * removed (A only), changed (both, any `compareCols` value differs),

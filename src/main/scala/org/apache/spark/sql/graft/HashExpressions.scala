@@ -1334,4 +1334,7 @@ object sketch {
       bc: org.apache.spark.broadcast.Broadcast[
         org.apache.spark.util.sketch.BloomFilter]): Column =
     column(BloomContainedCount(expression(c), bc))
+  def ac_matches(c: Column,
+      bc: org.apache.spark.broadcast.Broadcast[AcAutomaton]): Column =
+    column(AcMatches(expression(c), bc))
 }

@@ -44,6 +44,40 @@ class PipelineSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1)
   }
 
+  test("canaryScan: AC automaton matches overlapping/nested patterns like contains") {
+    import spark.implicits._
+    // patterns exercise the failure links: "aba" overlaps itself in
+    // "ababa"; "ba" is a suffix of "aba"; "abc" shares a prefix
+    val pats = Seq("aba", "ba", "abc", "zz")
+    val docs = Seq(
+      (1L, "ababa"),     // aba (twice, reported once) + ba
+      (2L, "xxabcxx"),   // abc + ba? no — 'ba' not in "xxabcxx"
+      (3L, "b a c"),     // none
+      (4L, "zzz")        // zz
+    ).toDF("doc_id", "text")
+    val got = Dedup.canaryScan(docs, "text", "doc_id", pats)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // ground truth = contains() per (doc, pattern)
+    val expect = (for {
+      (id, tx) <- Seq((1L, "ababa"), (2L, "xxabcxx"), (3L, "b a c"), (4L, "zzz"))
+      p <- pats if tx.contains(p)
+    } yield (id, p)).toSet
+    assert(got == expect, s"got $got expect $expect")
+    // removal form drops exactly the matched docs
+    val kept = Dedup.removeCanaries(docs, "text", pats)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L))
+    // map-side: no exchange anywhere in the scan plan
+    val plan = Dedup.canaryScan(docs, "text", "doc_id", pats)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"canary scan must not shuffle:\n$plan")
+    // direct automaton check: unicode + early-exit safety
+    val ac = new org.apache.spark.sql.graft.AcAutomaton(Seq("ключ", "é"))
+    assert(ac.scan("a ключ b").toSeq == Seq(0))
+    assert(ac.scan("café").toSeq == Seq(1))
+    assert(ac.scan("none").isEmpty)
+  }
+
   test("snapshotDiff classifies added/removed/changed; text never joins") {
     import spark.implicits._
     val a = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
