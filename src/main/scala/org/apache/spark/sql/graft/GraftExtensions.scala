@@ -21,6 +21,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   graft_minhash_longs(array<long>, n) → array<long>
   *   graft_simhash64(array<string>) → long
   *   graft_hyperplane_signature(array<float>, planes, seed, table) → int
+  *   graft_hilbert_index(bits, c1, c2, …) → long
+  *   graft_char_entropy(string) → double
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -100,6 +102,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intArg(args(1), "graft_hyperplane_signature", 1),
           longArg(args(2), "graft_hyperplane_signature", 2),
           intArg(args(3), "graft_hyperplane_signature", 3))
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_hilbert_index"),
+      info("graft_hilbert_index",
+        "graft_hilbert_index(bits, c1, c2, ...) - d-dim Hilbert curve position of long coords"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 2,
+          "graft_hilbert_index takes bits then 1..8 coordinates")
+        HilbertIndex(args.tail, intArg(args.head, "graft_hilbert_index", 0))
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_char_entropy"),
+      info("graft_char_entropy",
+        "graft_char_entropy(text) - Shannon bits of the char distribution"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_char_entropy takes 1 argument")
+        CharEntropy(args(0))
       }))
   }
 }

@@ -39,6 +39,14 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(e.getMessage.contains("integer literal"))
       assert(s.sql("SELECT size(graft_window_hashes('a b c d', 2)) AS n")
         .head().getInt(0) == 3)
+      // hilbert from pure SQL agrees with the column API kernel
+      val hSql = s.sql("SELECT graft_hilbert_index(3, 3L, 5L) AS h")
+        .head().getLong(0)
+      assert(hSql == org.apache.spark.sql.graft.GraftHashOps
+        .hilbertIndex(Array(3L, 5L), 3))
+      // entropy of a single repeated char is exactly 0 bits
+      assert(s.sql("SELECT graft_char_entropy('aaaa') AS e")
+        .head().getDouble(0) == 0.0)
       // the sketch functions also resolve inside the RBQL dialect surface
       // (Graft.query routes expressions through the session's analyzer)
       import s.implicits._
