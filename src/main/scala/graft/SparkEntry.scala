@@ -353,6 +353,25 @@ object SparkEntry {
         .select("column", "n", "n_null", "min", "max", "mean", "median")
         .orderBy("column")),
 
+    // compression-ratio gate: the deflate repetition proxy must rank a
+    // degenerate (looping) rewrite of each doc below the natural text —
+    // distribution-level contract, booleans pinned by the oracle
+    // (DuckDB cannot deflate; the per-value check lives in QualitySpec)
+    "q_compress_gate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val nat = pipeline.TextAnalysis.compressionRatio(col("text"))
+      val rep = pipeline.TextAnalysis.compressionRatio(
+        concat_ws(" ", array_repeat(substring(col("text"), 1, 12), 40)))
+      val r = d.select(nat.alias("rn"), rep.alias("rr"))
+        .agg(avg(col("rn")).alias("mn"),
+          avg(when(col("rr") < col("rn"), 1.0).otherwise(0.0)).alias("frac"))
+        .head()
+      import s.implicits._
+      Seq(("mean_in_band", r.getDouble(0) > 0.2 && r.getDouble(0) < 1.2),
+        ("repetitive_compresses_more", r.getDouble(1) >= 0.95))
+        .toDF("check", "ok").orderBy("check")
+    }),
+
     // exact canary/blocklist scan: one broadcast Aho-Corasick automaton,
     // O(text) per doc regardless of pattern count, zero shuffle
     "q_canary" -> ((s, dir) =>
@@ -2061,6 +2080,11 @@ object SparkEntry {
            floor(median(l_tax::DOUBLE) * 1e6 + 0.5) / 1e6
          FROM lineitem
          ORDER BY "column"""",
+    "q_compress_gate" ->
+      """SELECT c AS "check", CAST(true AS BOOLEAN) AS ok
+         FROM (SELECT unnest(['mean_in_band',
+                              'repetitive_compresses_more']) AS c)
+         ORDER BY "check"""",
     "q_canary" ->
       """SELECT doc_id, p.pattern
          FROM documents,

@@ -92,6 +92,13 @@ object TextAnalysis {
         (a, b) => concat_ws(" ", a, b)))
   }
 
+  /** Deflate compression ratio (compressed/raw UTF-8 bytes) — the
+    * model-free repetition proxy: looping or templated text compresses
+    * far below prose. Codegen'd native expression, zero shuffle;
+    * composes with [[gopherFilter]] as an extra gate column. */
+  def compressionRatio(text: Column): Column =
+    org.apache.spark.sql.graft.sketch.compression_ratio(text)
+
   /** Top-k token pairs by document-level pointwise mutual information:
     * `pmi(a,b) = ln(n_ab·N / (n_a·n_b))` over DOCUMENT frequencies
     * (each token/pair counted once per doc — the collocation measure of

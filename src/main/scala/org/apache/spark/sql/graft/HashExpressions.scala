@@ -266,6 +266,29 @@ object GraftHashOps {
     lo
   }
 
+  /** Deflate compression ratio of the text's UTF-8 bytes (compressed ÷
+    * raw, BEST_SPEED, raw stream — no zlib header noise on short docs).
+    * The model-free repetition proxy quality pipelines use alongside
+    * rule gates: templated/looping text compresses far below prose,
+    * and the signal needs no trained model, no vocabulary, and no
+    * second pass. One Deflater per call, output buffer reused and only
+    * COUNTED (never kept) — memory is O(64 KB) regardless of doc size.
+    * Empty text ratios 1.0 by convention. */
+  def compressionRatio(input: UTF8String): Double = {
+    val bytes = input.getBytes
+    if (bytes.length == 0) return 1.0
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.BEST_SPEED, true)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](65536)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total.toDouble / bytes.length
+    } finally d.end()
+  }
+
   /** d-dimensional Hilbert-curve index of non-negative coords, each in
     * [0, 2^bits): Skilling's transpose algorithm (J. Skilling,
     * "Programming the Hilbert curve", AIP Conf. Proc. 707, 2004) —
@@ -849,6 +872,28 @@ case class BucketIndex(child: Expression, bounds: Seq[Double])
     copy(child = newChild)
 }
 
+/** Deflate compression ratio of a text column (see
+  * GraftHashOps.compressionRatio) — codegen'd scalar, zero shuffle. */
+case class CompressionRatio(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_compression_ratio"
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Double.valueOf(GraftHashOps.compressionRatio(
+      input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${Gen.Ops}.compressionRatio($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): CompressionRatio =
+    copy(child = newChild)
+}
+
 /** d-dimensional Hilbert-curve position of long-typed coordinates (see
   * GraftHashOps.hilbertIndex). The layout alternative to the Morton
   * z-value: the Hilbert curve never makes the long diagonal jumps
@@ -1313,6 +1358,8 @@ object sketch {
     column(BucketIndex(expression(c), bounds))
   def hilbert_index(cs: Seq[Column], bits: Int): Column =
     column(HilbertIndex(cs.map(expression), bits))
+  def compression_ratio(c: Column): Column =
+    column(CompressionRatio(expression(c)))
   def pq_adc_score(c: Column, lut: Seq[Double], kPer: Int): Column =
     column(PqAdcScore(expression(c), lut, kPer))
   def centroid_residual(vec: Column, cell: Column,

@@ -138,6 +138,28 @@ class QualitySpec extends SparkSpec {
     assert(kept == Set(1L), kept.toString)
   }
 
+  test("compressionRatio separates repetitive from varied text; codegen'd") {
+    val rep = one(TextAnalysis.compressionRatio(
+      org.apache.spark.sql.functions.col("text")), "ab " * 500).asInstanceOf[Double]
+    val varied = one(TextAnalysis.compressionRatio(
+      org.apache.spark.sql.functions.col("text")),
+      (0 until 500).map(i => (i * 2654435761L % 99991).toString).mkString(" "))
+      .asInstanceOf[Double]
+    assert(rep < 0.05, s"looping text should crush: $rep")
+    assert(varied > 0.3, s"high-variety text should resist: $varied")
+    assert(rep < varied)
+    // empty text → 1.0 by convention (no divide-by-zero)
+    assert(one(TextAnalysis.compressionRatio(
+      org.apache.spark.sql.functions.col("text")), "") == 1.0)
+    // stays inside whole-stage codegen (no CodegenFallback)
+    val plan = sf("documents")
+      .select(TextAnalysis.compressionRatio(
+        org.apache.spark.sql.functions.col("text")).alias("r"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+    assert(!plan.contains("CodegenFallback"), plan)
+  }
+
   test("topPmi scores collocations over doc frequencies, min-count pruned") {
     import spark.implicits._
     // "new york" always together (3 docs); "the" everywhere (4 docs);
