@@ -395,6 +395,19 @@ object Dedup {
     * bit_count(xor). maxHamming=3 → 4×16-bit chunks; 7 → 8×8-bit. */
   def simhashDupPairs(
       df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame =
+    hammingDupPairs(
+      df.select(col(idCol), simhash64(col(textCol)).alias("__graft_sh")),
+      "__graft_sh", idCol, maxHamming)
+
+  /** Pigeonhole near-dup pairs over ANY existing 64-bit fingerprint
+    * column (simhash, perceptual image hash, audio fingerprint…): ids
+    * with hamming(hash_a, hash_b) ≤ `maxHamming`. maxHamming+1 bit
+    * chunks guarantee two hashes within the budget share at least one
+    * exact chunk (pigeonhole), so candidates meet in a chunk-value
+    * equi-join — never an all-pairs XOR scan. */
+  def hammingDupPairs(
+      df: DataFrame, hashCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 1 && maxHamming < 64, "maxHamming must be in [1, 63]")
     val chunks = maxHamming + 1
@@ -402,7 +415,7 @@ object Dedup {
     // the 64 bits even when chunks does not divide 64
     val bounds = (0 to chunks).map(c => c * 64 / chunks)
     val base = df.select(col(idCol).alias("id"),
-      simhash64(col(textCol)).alias("sh"))
+      col(hashCol).cast("long").alias("sh"))
     val chunkStructs = (0 until chunks).map { c =>
       val lo = bounds(c)
       val width = bounds(c + 1) - bounds(c)

@@ -268,6 +268,93 @@ object Multimodal {
     }(enc)
   }
 
+  /** 64-bit average-hash (aHash) of a decoded image: bilinear-scale to
+    * an 8×8 luminance grid, set bit i when cell i is brighter than the
+    * grid mean. Resolution- and re-encode-stable by construction — the
+    * same picture saved at a different size or quality keeps (nearly)
+    * the same hash, so hamming distance is a visual-near-dup measure. */
+  private def averageHash(img: java.awt.image.BufferedImage): Long = {
+    val sc = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = sc.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(img, 0, 0, 8, 8, null)
+    g.dispose()
+    val lum = new Array[Double](64)
+    var mean = 0.0
+    var i = 0
+    while (i < 64) {
+      val rgb = sc.getRGB(i % 8, i / 8)
+      lum(i) = 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+        0.114 * (rgb & 0xFF)
+      mean += lum(i)
+      i += 1
+    }
+    mean /= 64
+    var h = 0L
+    i = 0
+    while (i < 64) {
+      if (lum(i) > mean) h |= 1L << i
+      i += 1
+    }
+    h
+  }
+
+  /** Deterministic stub hash for non-image payloads: 8 byte-histogram
+    * buckets thresholded at their mean — same shape as the image path
+    * (binary-content-similar payloads land nearby), never a decode. */
+  private def stubHash(bytes: Array[Byte]): Long = {
+    val acc = new Array[Long](64)
+    var i = 0
+    while (i < bytes.length) {
+      acc(bytes(i) & 0x3F) += 1
+      i += 1
+    }
+    var mean = 0.0
+    i = 0
+    while (i < 64) { mean += acc(i); i += 1 }
+    mean /= 64
+    var h = 0L
+    i = 0
+    while (i < 64) {
+      if (acc(i) > mean) h |= 1L << i
+      i += 1
+    }
+    h
+  }
+
+  /** Append a `phash` LongType column: real aHash for decodable
+    * `image/…` payloads, the deterministic stub otherwise. Same narrow
+    * partition-wise shape as [[extractFeatures]] — no shuffle; feed the
+    * result to [[nearDupMedia]] (or any hamming consumer). */
+  def perceptualHash(df: DataFrame, mediaCol: String = "media",
+      metaCol: String = "media_meta"): DataFrame = {
+    val schema = df.schema.add(StructField("phash", LongType))
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val metaIdx = df.schema.fieldIndex(metaCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](mediaIdx)
+        val fmt = Option(row.getStruct(metaIdx).getString(0)).getOrElse("")
+        val h = (if (fmt.startsWith("image/")) decodeImage(bytes).map(averageHash)
+          else None).getOrElse(stubHash(bytes))
+        Row.fromSeq(row.toSeq :+ h)
+      }
+    }(enc)
+  }
+
+  /** Visual near-dup pairs over the media column: perceptual hash +
+    * pigeonhole hamming join ([[Dedup.hammingDupPairs]]) — the image
+    * twin of simhash text dedup, same banded-equi-join scale shape
+    * (no all-pairs compare; candidates meet on an exact hash chunk). */
+  def nearDupMedia(df: DataFrame, idCol: String, maxHamming: Int = 5,
+      mediaCol: String = "media", metaCol: String = "media_meta"): DataFrame =
+    Dedup.hammingDupPairs(
+      perceptualHash(df, mediaCol, metaCol), "phash", idCol, maxHamming)
+
   /** Deterministic frame-sampling plan for video-like payloads: emit one
     * row per sampled frame offset (explode — narrow, no shuffle). */
   def sampleFrames(df: DataFrame, metaCol: String = "media_meta",

@@ -319,6 +319,53 @@ class PipelineSpec extends SparkSpec {
       .getSeq[Float](junkFeats.schema.fieldIndex("media_feat")).length == 8)
   }
 
+  test("perceptual hash: same picture at different sizes is a near-dup, different picture is not") {
+    import spark.implicits._
+    // gradient pattern (stable under bilinear rescale) vs checkerboard
+    def png(w: Int, h: Int, checker: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = if (checker) { if ((x / 4 + y / 4) % 2 == 0) 0xFFFFFF else 0 }
+          else { val g = 255 * x / math.max(1, w - 1); (g << 16) | (g << 8) | g }
+        img.setRGB(x, y, v)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    def mediaRow(id: Long, b: Array[Byte], w: Int, h: Int) = (id, b, w, h)
+    val rows = Seq(
+      mediaRow(1L, png(64, 64, checker = false), 64, 64),
+      mediaRow(2L, png(32, 32, checker = false), 32, 32), // same scene, resized
+      mediaRow(3L, png(64, 64, checker = true), 64, 64))  // different scene
+    val df = rows.toDF("doc_id", "media", "w", "h")
+      .select(col("doc_id"), col("media"), struct(
+        lit("image/png").alias("format"), col("w").alias("width"),
+        col("h").alias("height"),
+        org.apache.spark.sql.functions.length(col("media")).cast("long")
+          .alias("n_bytes")).alias("media_meta"))
+    val hashed = Multimodal.perceptualHash(df)
+      .select("doc_id", "phash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hashed(1L), hashed(2L)) <= 5,
+      s"resized copy too far: ${ham(hashed(1L), hashed(2L))}")
+    assert(ham(hashed(1L), hashed(3L)) > 10,
+      s"distinct scenes too close: ${ham(hashed(1L), hashed(3L))}")
+    // end-to-end pair join finds exactly the resized-copy pair
+    val pairs = Multimodal.nearDupMedia(df, "doc_id", maxHamming = 5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+    // non-image payloads take the stub hash, never a decode failure
+    val stub = Seq((9L, "plain bytes".getBytes("UTF-8"))).toDF("doc_id", "media")
+      .withColumn("media_meta", struct(
+        lit("video/mp4").alias("format"), lit(1).alias("width"),
+        lit(1).alias("height"), lit(11L).alias("n_bytes")))
+    assert(!Multimodal.perceptualHash(stub).head().isNullAt(2))
+  }
+
   test("real WAV payloads decode and feature-extract via javax.sound.sampled") {
     import spark.implicits._
     // generate a real 16-bit PCM mono WAV: 440 Hz sine, 0.25 s at 8 kHz
