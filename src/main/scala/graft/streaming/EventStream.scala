@@ -156,6 +156,54 @@ object EventStream {
       }
   }
 
+  /** Streaming drift monitor: per event-time window, the PSI of the
+    * live `catCol` mix against a FIXED reference distribution (e.g. the
+    * trained-on corpus mix) — one row per closed window with its psi.
+    * The alarm wire for "the incoming feed stopped looking like the
+    * data the downstream model saw": psi < 0.1 calm, > 0.25 investigate.
+    *
+    * `refDist` fixes the category set up front (its keys; anything else
+    * counts into `__other` with reference mass `eps`), which is what
+    * lets the whole computation be ONE stateful windowed aggregate —
+    * one conditional-count column per category, psi assembled map-side
+    * from the single result row. No second aggregation, so ordinary
+    * watermark/Append semantics apply and state is bounded by windows
+    * in flight × (|refDist| + 2) longs. Reference shares are
+    * renormalized (with `eps` floors) so callers may pass raw counts.
+    * Runs identically on a batch frame (no watermark, all windows). */
+  def driftMonitor(events: DataFrame, catCol: String,
+      refDist: Map[String, Double], windowLen: String = "10 minutes",
+      watermark: String = "10 minutes", tsCol: String = "ts",
+      eps: Double = 1e-6): DataFrame = {
+    require(refDist.nonEmpty, "refDist must be non-empty")
+    require(refDist.values.forall(_ >= 0), "reference masses must be >= 0")
+    val cats = refDist.keys.toSeq.sorted
+    val refTotal = refDist.values.sum
+    require(refTotal > 0, "reference distribution has no mass")
+    val refP = cats.map(c => math.max(refDist(c) / refTotal, eps)) :+ eps
+    val ev = withTimestampTs(events, tsCol)
+    val wEv = if (ev.isStreaming) ev.withWatermark(tsCol, watermark) else ev
+    val counts = cats.map(c =>
+      sum(when(col(catCol) === c, 1L).otherwise(0L)).alias(s"__n_$c")) :+
+      sum(when(!col(catCol).isin(cats.map(lit): _*), 1L).otherwise(0L))
+        .alias("__n_other")
+    val agg = wEv.groupBy(window(col(tsCol), windowLen).alias("__w"))
+      .agg(counts.head, counts.tail: _*)
+    val total = (cats.map(c => col(s"__n_$c")) :+ col("__n_other"))
+      .reduce(_ + _)
+    val terms = cats.zipWithIndex.map { case (c, i) =>
+      val p = greatest(col(s"__n_$c") / total, lit(eps))
+      (p - refP(i)) * log(p / refP(i))
+    } :+ {
+      val p = greatest(col("__n_other") / total, lit(eps))
+      (p - refP.last) * log(p / refP.last)
+    }
+    agg.select(col("__w.start").alias("window_start"),
+      col("__w.end").alias("window_end"),
+      total.alias("n_events"),
+      graft.pipeline.Rounding.halfUp(terms.reduce(_ + _), 6).alias("psi"))
+  }
+
   /** Streaming exact dedup on a key column: keeps the first event per key,
     * with state bounded by the watermark (dropDuplicatesWithinWatermark —
     * a key's state is dropped once it is older than the watermark, so the

@@ -113,6 +113,44 @@ class StreamingSpec extends SparkSpec {
     assert(u7.getDouble(2) == 4.0)
   }
 
+  test("drift monitor: per-window PSI against a fixed reference mix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Map("click" -> 0.5, "view" -> 0.5)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "event_type")
+    val q = EventStream.driftMonitor(df, "event_type", ref,
+      windowLen = "1 minute", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("drift")
+      .outputMode("update").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // window 1: exactly the reference mix → psi ≈ 0
+    mem.addData((1L, t("2024-01-01 00:00:10"), "click"),
+      (2L, t("2024-01-01 00:00:20"), "view"),
+      (3L, t("2024-01-01 00:00:30"), "click"),
+      (4L, t("2024-01-01 00:00:40"), "view"))
+    // window 2: all one category + an unseen category → large psi
+    mem.addData((5L, t("2024-01-01 00:01:10"), "click"),
+      (6L, t("2024-01-01 00:01:20"), "click"),
+      (7L, t("2024-01-01 00:01:30"), "purchase"))
+    q.processAllAvailable()
+    val rows = spark.table("drift").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    q.stop()
+    assert(rows.length == 2, s"got ${rows.toSeq}")
+    assert(rows(0)._2 == 4L && rows(0)._3 == 0.0, s"calm window: ${rows(0)}")
+    assert(rows(1)._2 == 3L && rows(1)._3 > 0.25, s"drifted window: ${rows(1)}")
+    // batch parity: same call, same numbers, no stream
+    val batch = Seq(
+      (1L, t("2024-01-01 00:00:10"), "click"),
+      (2L, t("2024-01-01 00:00:20"), "view"))
+      .toDF("event_id", "ts", "event_type")
+    val b = EventStream.driftMonitor(batch, "event_type", ref,
+      windowLen = "1 minute").head()
+    assert(b.getDouble(3) == 0.0)
+  }
+
   test("anomaly stream flags outliers prequentially with persistent state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
