@@ -393,6 +393,13 @@ object SparkEntry {
         .orderBy("status")
     }),
 
+    // exact two-sample KS statistic (binning-free drift): distributed
+    // CDFs via range partitions + broadcast prefix offsets, no global
+    // window
+    "q_ks" -> ((s, dir) =>
+      pipeline.Profiling.ksStatistic(t(s, dir, "documents"),
+        "n_chars", "source", "src0", "src1")),
+
     // categorical drift: language-mix PSI between two corpus slices
     "q_cat_drift" -> ((s, dir) =>
       pipeline.Profiling.categoricalDrift(t(s, dir, "documents"),
@@ -2104,6 +2111,21 @@ object SparkEntry {
                FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
          SELECT status, count(*)::BIGINT AS n FROM d
          GROUP BY status ORDER BY status""",
+    "q_ks" ->
+      """WITH t AS (SELECT n_chars::DOUBLE AS v, source = 'src0' AS ia
+                    FROM documents
+                    WHERE source IN ('src0', 'src1') AND n_chars IS NOT NULL),
+         c AS (SELECT v,
+                 sum(CASE WHEN ia THEN 1 ELSE 0 END) AS na,
+                 sum(CASE WHEN NOT ia THEN 1 ELSE 0 END) AS nb
+               FROM t GROUP BY v),
+         cum AS (SELECT v,
+                 sum(na) OVER (ORDER BY v) AS ca,
+                 sum(nb) OVER (ORDER BY v) AS cb FROM c),
+         tot AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM c)
+         SELECT floor(max(abs(ca / ta - cb / tb)) * 1e6 + 0.5) / 1e6 AS d,
+                ta::BIGINT AS n_a, tb::BIGINT AS n_b
+         FROM cum, tot GROUP BY ta, tb""",
     "q_cat_drift" ->
       """WITH counts AS (
            SELECT lang AS category,

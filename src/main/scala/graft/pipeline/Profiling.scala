@@ -370,6 +370,85 @@ object Profiling {
         Rounding.halfUp((pa - pb) * log(pa / pb), 6).alias("psi_term"))
   }
 
+  /** EXACT two-sample Kolmogorov–Smirnov statistic between two slices:
+    * `D = max over v of |CDF_a(v) − CDF_b(v)|` — the binning-free drift
+    * measure ([[psiReport]]'s D needs a bin grid; KS does not, and D
+    * has distribution-free critical values). Returns one row
+    * (`d` 6dp, `n_a`, `n_b`).
+    *
+    * Scale shape (the skyline prefix pattern): per-value side counts
+    * collapse to the DISTINCT value set, which range-partitions on the
+    * value; pass 1 collects one (partition, Σa, Σb) row per partition
+    * (bounded by the partition count, never the data), its exclusive
+    * prefix seeds each partition's running CDFs via broadcast; pass 2
+    * streams each partition once tracking the local max gap. No global
+    * window, no single-partition cumsum bottleneck — both passes are
+    * partition-parallel. */
+  def ksStatistic(df: DataFrame, valueCol: String, sideCol: String,
+      sideA: String, sideB: String): DataFrame = {
+    val spark = df.sparkSession
+    val counts = df
+      .filter(col(sideCol).isin(sideA, sideB) && col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").alias("v"),
+        (col(sideCol) === sideA).alias("ia"))
+      .where(!isnan(col("v")))
+      .groupBy(col("v"))
+      .agg(sum(when(col("ia"), 1L).otherwise(0L)).alias("na"),
+        sum(when(!col("ia"), 1L).otherwise(0L)).alias("nb"))
+      .repartitionByRange(col("v"))
+      .sortWithinPartitions(col("v"))
+      // lazy checkpoint: pass 1 materializes it, so pass 2 sees the
+      // identical range boundaries without a second sampling job
+      .localCheckpoint(eager = false)
+    import org.apache.spark.sql.Encoders
+    val triple = Encoders.tuple(Encoders.scalaInt,
+      Encoders.scalaLong, Encoders.scalaLong)
+    val partTotals = counts.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var (sa, sb) = (0L, 0L)
+      var any = false
+      while (it.hasNext) {
+        val r = it.next(); any = true
+        sa += r.getLong(1); sb += r.getLong(2)
+      }
+      if (any) Iterator((pid, sa, sb)) else Iterator.empty
+    }(triple).collect()
+    val ta = partTotals.map(_._2).sum
+    val tb = partTotals.map(_._3).sum
+    require(ta > 0 && tb > 0,
+      s"both slices need rows: |$sideA|=$ta |$sideB|=$tb")
+    val maxPid = if (partTotals.isEmpty) -1 else partTotals.map(_._1).max
+    val offA = new Array[Long](maxPid + 2)
+    val offB = new Array[Long](maxPid + 2)
+    var (accA, accB) = (0L, 0L)
+    for (pid <- 0 to maxPid) {
+      offA(pid) = accA; offB(pid) = accB
+      partTotals.find(_._1 == pid).foreach { t =>
+        accA += t._2; accB += t._3
+      }
+    }
+    val bOff = spark.sparkContext.broadcast((offA, offB))
+    val dEnc = Encoders.scalaDouble
+    val partMax = counts.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val (oa, ob) = bOff.value
+      var ca = if (pid < oa.length) oa(pid) else 0L
+      var cb = if (pid < ob.length) ob(pid) else 0L
+      var best = 0.0
+      var any = false
+      while (it.hasNext) {
+        val r = it.next(); any = true
+        ca += r.getLong(1); cb += r.getLong(2)
+        val gap = math.abs(ca.toDouble / ta - cb.toDouble / tb)
+        if (gap > best) best = gap
+      }
+      if (any) Iterator(best) else Iterator.empty
+    }(dEnc)
+    partMax.toDF("__d")
+      .agg(Rounding.halfUp(max(col("__d")), 6).alias("d"),
+        lit(ta).alias("n_a"), lit(tb).alias("n_b"))
+  }
+
   private def quantilesWith(df: DataFrame, cols: Seq[String],
       ps: Seq[Double],
       q: org.apache.spark.sql.Column => org.apache.spark.sql.Column,

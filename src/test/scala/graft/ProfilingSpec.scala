@@ -256,6 +256,30 @@ class ProfilingSpec extends SparkSpec {
     assert(math.abs(z._4 - zTerm) < 1e-9)
   }
 
+  test("ksStatistic: exact D, partition-independent, zero on identical slices") {
+    import spark.implicits._
+    // a: {1,2,3,4}; b: {3,4,5,6} → D = |CDF_a - CDF_b| peaks at v∈[2,3):
+    // CDF_a(2)=0.5, CDF_b(2)=0 → D = 0.5
+    val d = (Seq(1, 2, 3, 4).map(v => ("a", v.toDouble)) ++
+      Seq(3, 4, 5, 6).map(v => ("b", v.toDouble)) ++
+      Seq(1, 2, 3, 4).map(v => ("c", v.toDouble)))  // c ≡ a's distribution
+      .toDF("side", "v")
+    val r = Profiling.ksStatistic(d, "v", "side", "a", "b").head()
+    assert(r.getDouble(0) == 0.5 && r.getLong(1) == 4L && r.getLong(2) == 4L)
+    // identical distributions → D = 0
+    val same = Profiling.ksStatistic(d, "v", "side", "a", "c").head()
+    assert(same.getDouble(0) == 0.0)
+    // the distributed CDF must not depend on input partitioning
+    val shuffled = Profiling.ksStatistic(d.repartition(7, col("v")),
+      "v", "side", "a", "b").head()
+    assert(shuffled.getDouble(0) == 0.5)
+    // real data sanity: D ∈ [0, 1] against the driver tables
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dr = Profiling.ksStatistic(docs, "n_chars", "source", "src0", "src1")
+      .head().getDouble(0)
+    assert(dr >= 0.0 && dr <= 1.0)
+  }
+
   test("correlationMatrix: all pairs in one pass, values match closed form") {
     import spark.implicits._
     // y = 2x exactly (corr 1); z exactly anti-correlated (corr -1)
