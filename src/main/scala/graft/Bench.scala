@@ -151,7 +151,7 @@ object Bench {
         "q_cap_source", "q_dsir_weights", "q_char_entropy",
         "q_mix_temp", "q_gopher", "q_boilerplate", "q_split",
         "q_hll_gate", "q_pmi", "q_template_dedup",
-        "q_cat_drift", "q_psi", // documents replica
+        "q_cat_drift", "q_psi", "q_ks", "q_canary", // documents replica
         "q_interval", "q_overlap", "q_rolling", "q_session_window",
         "q_merge_intervals", "q_paths", "q_anomaly", // events replica
         "q_knn_join", "q_sq8_topk") // embeddings replica
