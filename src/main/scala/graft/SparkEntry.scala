@@ -1283,6 +1283,27 @@ object SparkEntry {
         .orderBy("ia", "ib")
     }),
 
+    // PCA gate: data-fit rotation must hold the same per-pair cosine
+    // distortion bound as the JL projection (q_rp_gate) at equal k —
+    // the basis is learned in ONE bounded-state corpus pass
+    "q_pca_gate" -> ((s, dir) => {
+      val full = t(s, dir, "embeddings")
+      val model = pipeline.Embeddings.fitPca(full, "embedding", k = 32)
+      val emb = full.filter(col("vec_id").isin(0L, 1L, 7L, 42L))
+        .select(col("vec_id"), col("embedding"),
+          pipeline.Embeddings.applyPca(col("embedding"), model).alias("proj"))
+      val a = emb.select(col("vec_id").alias("ia"),
+        col("embedding").alias("ea"), col("proj").alias("pa"))
+      val b = emb.select(col("vec_id").alias("ib"),
+        col("embedding").alias("eb"), col("proj").alias("pb"))
+      a.join(b, col("ia") < col("ib"))
+        .select(col("ia"), col("ib"),
+          (abs(pipeline.Similarity.cosine(col("ea"), col("eb")) -
+            pipeline.Similarity.cosine(col("pa"), col("pb"))) < 0.45)
+            .alias("within_bound"))
+        .orderBy("ia", "ib")
+    }),
+
     // SimHash fingerprints over a pinned 8-doc input, golden-pinned as
     // literal oracle VALUES (SQL cannot recompute xxhash64 bit-votes, but
     // the pinned fingerprints catch any unintended algorithm drift; the
@@ -3074,6 +3095,15 @@ object SparkEntry {
                  (list_max(embedding)::DOUBLE - list_min(embedding)::DOUBLE)
                  * 255.0 + 0.5)::INT) END, ',') AS codes
          FROM embeddings ORDER BY vec_id""",
+    "q_pca_gate" ->
+      """SELECT * FROM (VALUES
+           (0::BIGINT, 1::BIGINT, CAST(true AS BOOLEAN)),
+           (0::BIGINT, 7::BIGINT, CAST(true AS BOOLEAN)),
+           (0::BIGINT, 42::BIGINT, CAST(true AS BOOLEAN)),
+           (1::BIGINT, 7::BIGINT, CAST(true AS BOOLEAN)),
+           (1::BIGINT, 42::BIGINT, CAST(true AS BOOLEAN)),
+           (7::BIGINT, 42::BIGINT, CAST(true AS BOOLEAN)))
+         AS t(ia, ib, within_bound) ORDER BY ia, ib""",
     "q_rp_gate" ->
       """SELECT * FROM (VALUES
            (0::BIGINT, 1::BIGINT, CAST(true AS BOOLEAN)),

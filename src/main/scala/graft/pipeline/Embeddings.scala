@@ -78,6 +78,155 @@ object Embeddings {
     * expectation; pair with [[Similarity.cosine]] on the projected
     * vectors. The projection matrix is implicit in the hash — nothing to
     * train, broadcast, or version. */
+  /** Fitted PCA rotation: per-dimension mean, top-k row-major components
+    * (orthonormal, variance-descending), and each component's explained
+    * variance. Model-sized driver state, like a k-means codebook. */
+  case class PcaModel(mean: Array[Double],
+      components: Array[Array[Double]], explained: Array[Double])
+
+  /** ONE-pass PCA fit over a float-vector column: every partition
+    * accumulates (n, Σv, Σv·vᵀ) in a single sequential scan — constant
+    * d + d² doubles of state per partition, the same shape MLlib's
+    * RowMatrix uses — and the bounded per-partition partials (P rows,
+    * never the data) combine on the driver, where the d×d covariance
+    * eigendecomposes by cyclic Jacobi (classical symmetric-matrix
+    * algorithm; d is the embedding width, so O(d³) driver work is
+    * microseconds). Unlike [[randomProject]]'s data-free JL rotation,
+    * the PCA basis concentrates the corpus' ACTUAL variance in the
+    * leading k coordinates — tighter distance preservation at the same
+    * k on clustered embedding corpora.
+    *
+    * mapPartitions here is the genuine per-partition imperative case:
+    * the accumulator is a mutable d² buffer no SQL aggregate expresses
+    * without a d²-way explode of every row. */
+  def fitPca(df: DataFrame, vecCol: String, k: Int): PcaModel = {
+    require(k > 0, "k must be positive")
+    val d = df.select(size(col(vecCol))).head().getInt(0)
+    require(k <= d, s"k=$k exceeds dimensionality $d")
+    import org.apache.spark.sql.Encoders
+    val enc = Encoders.tuple(Encoders.scalaLong,
+      Encoders.BINARY, Encoders.BINARY)
+    val partials = df.select(col(vecCol)).mapPartitions { it =>
+      var n = 0L
+      val s = new Array[Double](d)
+      val g = new Array[Double](d * d)
+      while (it.hasNext) {
+        val v = it.next().getSeq[Float](0)
+        n += 1
+        var i = 0
+        while (i < d) {
+          val vi = v(i).toDouble
+          s(i) += vi
+          var j = i
+          while (j < d) { g(i * d + j) += vi * v(j); j += 1 }
+          i += 1
+        }
+      }
+      if (n == 0) Iterator.empty
+      else Iterator((n, doublesToBytes(s), doublesToBytes(g)))
+    }(enc).collect()
+    require(partials.nonEmpty, "cannot fit PCA on an empty corpus")
+    val n = partials.map(_._1).sum
+    val s = new Array[Double](d)
+    val g = new Array[Double](d * d)
+    partials.foreach { case (_, sb, gb) =>
+      val sa = bytesToDoubles(sb); val ga = bytesToDoubles(gb)
+      var i = 0
+      while (i < d) { s(i) += sa(i); i += 1 }
+      i = 0
+      while (i < d * d) { g(i) += ga(i); i += 1 }
+    }
+    val mean = s.map(_ / n)
+    // covariance (population): E[vvᵀ] − mean·meanᵀ, symmetrized from the
+    // upper triangle the scan accumulated
+    val cov = Array.ofDim[Double](d, d)
+    for (i <- 0 until d; j <- i until d) {
+      val c = g(i * d + j) / n - mean(i) * mean(j)
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    val (values, vectors) = jacobiEigen(cov)
+    val order = values.zipWithIndex.sortBy(-_._1).map(_._2).take(k)
+    PcaModel(mean,
+      order.map(c => Array.tabulate(d)(r => vectors(r)(c))).toArray,
+      order.map(values(_)).toArray)
+  }
+
+  /** Project onto a fitted [[PcaModel]] — codegen'd centered mat-vec,
+    * model rides inline (k·d doubles), zero shuffle. */
+  def applyPca(vec: Column, model: PcaModel): Column =
+    org.apache.spark.sql.graft.sketch.project_centered(vec,
+      model.mean.toIndexedSeq, model.components.map(_.toIndexedSeq).toIndexedSeq)
+
+  private def doublesToBytes(a: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(a.length * 8)
+    a.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  private def bytesToDoubles(b: Array[Byte]): Array[Double] = {
+    val bb = java.nio.ByteBuffer.wrap(b)
+    Array.fill(b.length / 8)(bb.getDouble)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix (Golub & Van
+    * Loan §8.5): rotate away the largest off-diagonal entries sweep by
+    * sweep until convergence. Returns (eigenvalues, eigenvectors as
+    * COLUMNS). Deterministic for a given input; d is an embedding
+    * width, so the O(d³) cost is driver-trivial. */
+  private def jacobiEigen(a0: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = offDiag(a)
+    while (off > 1e-12 && sweep < 64) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          if (math.abs(a(p)(q)) > 1e-15) {
+            val theta = (a(q)(q) - a(p)(p)) / (2 * a(p)(q))
+            // stable tan of the annihilating rotation (smaller root)
+            val t = if (theta == 0.0) 1.0
+              else math.signum(theta) /
+                (math.abs(theta) + math.sqrt(theta * theta + 1))
+            val c = 1.0 / math.sqrt(t * t + 1)
+            val s = t * c
+            var i = 0
+            while (i < d) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = offDiag(a)
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  private def offDiag(a: Array[Array[Double]]): Double = {
+    var s = 0.0
+    for (i <- a.indices; j <- a.indices if i != j) s += a(i)(j) * a(i)(j)
+    s
+  }
+
   def randomProject(vec: Column, k: Int, seed: Long = 42L): Column = {
     require(k > 0, "k must be positive")
     val scale = 1.0 / math.sqrt(k.toDouble)

@@ -266,6 +266,33 @@ object GraftHashOps {
     lo
   }
 
+  /** Centered projection onto row-major `components` (k×d): out_j =
+    * Σ_i (v_i − mean_i)·C_j_i — the PCA/rotation apply kernel. One tight
+    * loop per row, float output (storage parity with the embedding
+    * column). */
+  def projectCentered(v: ArrayData, mean: Array[Double],
+      components: Array[Array[Double]]): ArrayData = {
+    val d = math.min(v.numElements(), mean.length)
+    val centered = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      centered(i) = v.getFloat(i) - mean(i)
+      i += 1
+    }
+    val out = new Array[Any](components.length)
+    var j = 0
+    while (j < components.length) {
+      val c = components(j)
+      var acc = 0.0
+      var x = 0
+      val lim = math.min(d, c.length)
+      while (x < lim) { acc += centered(x) * c(x); x += 1 }
+      out(j) = acc.toFloat
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Deflate compression ratio of the text's UTF-8 bytes (compressed ÷
     * raw, BEST_SPEED, raw stream — no zlib header noise on short docs).
     * The model-free repetition proxy quality pipelines use alongside
@@ -872,6 +899,37 @@ case class BucketIndex(child: Expression, bounds: Seq[Double])
     copy(child = newChild)
 }
 
+/** Centered linear projection of a float vector onto a k×d component
+  * matrix (see GraftHashOps.projectCentered) — the PCA apply path.
+  * Mean and components ride inline as reference objects (k·d doubles —
+  * model-sized, like the PQ LUTs); codegen'd, shuffle-free. */
+case class ProjectCentered(child: Expression, mean: Seq[Double],
+    components: Seq[Seq[Double]])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_project_centered"
+
+  @transient private lazy val m: Array[Double] = mean.toArray
+  @transient private lazy val cs: Array[Array[Double]] =
+    components.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.projectCentered(input.asInstanceOf[ArrayData], m, cs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("pcaMean", m, "double[]")
+    val cRef = ctx.addReferenceObj("pcaComps", cs, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${Gen.Ops}.projectCentered($c, $mRef, $cRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ProjectCentered =
+    copy(child = newChild)
+}
+
 /** Deflate compression ratio of a text column (see
   * GraftHashOps.compressionRatio) — codegen'd scalar, zero shuffle. */
 case class CompressionRatio(child: Expression)
@@ -1360,6 +1418,9 @@ object sketch {
     column(HilbertIndex(cs.map(expression), bits))
   def compression_ratio(c: Column): Column =
     column(CompressionRatio(expression(c)))
+  def project_centered(c: Column, mean: Seq[Double],
+      components: Seq[Seq[Double]]): Column =
+    column(ProjectCentered(expression(c), mean, components))
   def pq_adc_score(c: Column, lut: Seq[Double], kPer: Int): Column =
     column(PqAdcScore(expression(c), lut, kPer))
   def centroid_residual(vec: Column, cell: Column,

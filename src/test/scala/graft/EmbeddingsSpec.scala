@@ -153,4 +153,62 @@ class EmbeddingsSpec extends SparkSpec {
       assert(math.abs(orig - proj) < 0.45, s"($i,$j): $orig vs $proj")
     }
   }
+
+  test("PCA: one-pass fit finds the variance axes; subspace data projects losslessly") {
+    import spark.implicits._
+    // 3-D points confined to the span of (1,1,0) and (0,0,1): PCA-2
+    // must recover that plane, so pairwise L2 distances survive exactly
+    val pts = Seq(
+      (0.0, 0.0, 0.0), (1.0, 1.0, 0.0), (2.0, 2.0, 1.0),
+      (3.0, 3.0, -1.0), (-1.0, -1.0, 2.0), (0.5, 0.5, -2.0))
+    val df = pts.map { case (x, y, z) =>
+      Tuple1(Array(x.toFloat, y.toFloat, z.toFloat)) }.toDF("embedding")
+    val m = Embeddings.fitPca(df, "embedding", k = 2)
+    // components are orthonormal
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (p, q) => p * q }.sum
+    assert(math.abs(dot(m.components(0), m.components(0)) - 1.0) < 1e-9)
+    assert(math.abs(dot(m.components(1), m.components(1)) - 1.0) < 1e-9)
+    assert(math.abs(dot(m.components(0), m.components(1))) < 1e-9)
+    // explained variance is descending and exhausts the total (the third
+    // eigenvalue is 0: the data has no variance off the plane)
+    assert(m.explained(0) >= m.explained(1) && m.explained(1) > 0)
+    val proj = df.select(Embeddings.applyPca(col("embedding"), m))
+      .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    def l2(a: Array[Double], b: Array[Double]) =
+      math.sqrt(a.zip(b).map { case (p, q) => (p - q) * (p - q) }.sum)
+    val orig = pts.map { case (x, y, z) => Array(x, y, z) }
+    for (i <- pts.indices; j <- (i + 1) until pts.size) {
+      assert(math.abs(l2(orig(i), orig(j)) - l2(proj(i), proj(j))) < 1e-4,
+        s"distance distorted for pair ($i,$j)")
+    }
+    // fit is partition-count independent (bounded partial combine is
+    // ordered by partition id, and the maths is associative here)
+    val m2 = Embeddings.fitPca(df.repartition(5), "embedding", k = 2)
+    assert(m.explained.zip(m2.explained)
+      .forall { case (a, b) => math.abs(a - b) < 1e-9 })
+    // real corpus: PCA-32 beats the JL projection it complements — mean
+    // absolute cosine distortion over a fixed probe set must not be worse
+    val probe = emb.filter(col("vec_id") < 30)
+    val pm = Embeddings.fitPca(emb, "embedding", k = 32)
+    val rows = probe.select(col("embedding"),
+        Embeddings.applyPca(col("embedding"), pm).alias("p"),
+        Embeddings.randomProject(col("embedding"), 32).alias("r"))
+      .collect().map(r => (r.getSeq[Float](0).toArray,
+        r.getSeq[Float](1).toArray, r.getSeq[Float](2).toArray))
+    def cosF(a: Array[Float], b: Array[Float]): Double = {
+      var (d0, na, nb) = (0.0, 0.0, 0.0)
+      for (i <- a.indices) { d0 += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      if (na == 0 || nb == 0) 0.0 else d0 / math.sqrt(na * nb)
+    }
+    var (errP, errR, nPairs) = (0.0, 0.0, 0)
+    for (i <- rows.indices; j <- (i + 1) until rows.length) {
+      val o = cosF(rows(i)._1, rows(j)._1)
+      errP += math.abs(o - cosF(rows(i)._2, rows(j)._2))
+      errR += math.abs(o - cosF(rows(i)._3, rows(j)._3))
+      nPairs += 1
+    }
+    assert(errP / nPairs <= errR / nPairs + 1e-6,
+      s"PCA distortion ${errP / nPairs} vs JL ${errR / nPairs}")
+  }
 }
