@@ -157,6 +157,33 @@ object Embeddings {
     org.apache.spark.sql.graft.sketch.project_centered(vec,
       model.mean.toIndexedSeq, model.components.map(_.toIndexedSeq).toIndexedSeq)
 
+  /** Persist a fitted [[PcaModel]] (fit once, reuse across jobs — the
+    * same contract as the k-means codebook IO): one row per component
+    * (index, vector, explained variance) + the mean. */
+  def writePcaModel(model: PcaModel, path: String,
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    model.components.zip(model.explained).zipWithIndex
+      .map { case ((c, e), i) => (i, c.toSeq, e) }.toSeq
+      .toDF("component", "vector", "explained")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/components")
+    Seq(Tuple1(model.mean.toSeq)).toDF("mean")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/mean")
+  }
+
+  /** Reload a persisted PCA model; component order restored from the
+    * stored index, so reloaded projections are bit-identical. */
+  def readPcaModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): PcaModel = {
+    val comps = spark.read.parquet(s"$path/components")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray,
+        r.getDouble(2)))
+      .sortBy(_._1)
+    val mean = spark.read.parquet(s"$path/mean")
+      .head().getSeq[Double](0).toArray
+    PcaModel(mean, comps.map(_._2), comps.map(_._3))
+  }
+
   private def doublesToBytes(a: Array[Double]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(a.length * 8)
     a.foreach(bb.putDouble)

@@ -210,5 +210,14 @@ class EmbeddingsSpec extends SparkSpec {
     }
     assert(errP / nPairs <= errR / nPairs + 1e-6,
       s"PCA distortion ${errP / nPairs} vs JL ${errR / nPairs}")
+    // persistence round-trip: reloaded model projects bit-identically
+    val dir = java.nio.file.Files.createTempDirectory("graft_pca").toString
+    Embeddings.writePcaModel(pm, dir, spark)
+    val back = Embeddings.readPcaModel(spark, dir)
+    val p1 = probe.select(Embeddings.applyPca(col("embedding"), pm))
+      .collect().map(_.getSeq[Float](0))
+    val p2 = probe.select(Embeddings.applyPca(col("embedding"), back))
+      .collect().map(_.getSeq[Float](0))
+    assert(p1.zip(p2).forall { case (a, b) => a == b })
   }
 }
