@@ -174,6 +174,31 @@ class TemporalEncodingSpec extends SparkSpec {
       1704153600L * 1000000000L), s"got $got")
   }
 
+  test("sessionPaths is encoding-invariant") {
+    val ref = canon(Temporal.sessionPaths(longDf
+        .withColumn("event_type", concat(lit("t"), col("event_id") % 4)),
+      "user_id", "ts", "event_id", "event_type",
+      gap = 1800L * 1000000000L, k = 10))
+    for ((name, df) <- encodings.tail) {
+      val got = canon(Temporal.sessionPaths(df
+          .withColumn("event_type", concat(lit("t"), col("event_id") % 4)),
+        "user_id", "ts", "event_id", "event_type",
+        gap = 1800L * 1000000000L, k = 10))
+      assert(got == ref, s"sessionPaths diverged under $name")
+    }
+  }
+
+  test("rollingZScore is encoding-invariant") {
+    def z(df: DataFrame): Seq[String] = canon(
+      Temporal.rollingZScore(df
+          .withColumn("value", (col("event_id") % 13).cast("double")),
+        "user_id", "ts", "value", windowNs = 7200L * 1000000000L)
+        .select(col("event_id"), col("z")))
+    val ref = z(longDf)
+    for ((name, df) <- encodings.tail)
+      assert(z(df) == ref, s"rollingZScore diverged under $name")
+  }
+
   test("unsupported time types are rejected with a clear error") {
     val d = Seq(("a", 1.5)).toDF("k", "t")
     val e = intercept[IllegalArgumentException] {
