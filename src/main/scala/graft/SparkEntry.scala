@@ -707,6 +707,14 @@ object SparkEntry {
         "event_type", Seq("signup", "view", "click", "purchase"))
         .orderBy("step")),
 
+    // windowed funnel: each step must convert within 24h of the previous
+    // step's reach time — the realistic conversion measure
+    "q_funnel_win" -> ((s, dir) =>
+      pipeline.Temporal.funnelWithin(t(s, dir, "events"), "user_id", "ts",
+        "event_type", Seq("signup", "view", "click", "purchase"),
+        stepWithinNs = 24L * 3600 * 1000000000L)
+        .orderBy("step")),
+
     // daily cohort retention over the events table (ts is epoch
     // nanoseconds; one period = 86400e9 ns)
     "q_retention" -> ((s, dir) =>
@@ -2227,6 +2235,30 @@ object SparkEntry {
              * ln(greatest(na / ta, 1e-6) / greatest(nb / tb, 1e-6))
              * 1e6 + 0.5) / 1e6 AS psi_term
          FROM counts, tot ORDER BY bin""",
+    "q_funnel_win" ->
+      """WITH u1 AS (SELECT user_id, min(epoch_ns(ts)) AS t FROM events
+             WHERE event_type = 'signup' GROUP BY user_id),
+         u2 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t FROM events e
+             JOIN u1 ON e.user_id = u1.user_id
+             WHERE e.event_type = 'view' AND epoch_ns(e.ts) >= u1.t
+               AND epoch_ns(e.ts) - u1.t <= 86400000000000
+             GROUP BY e.user_id),
+         u3 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t FROM events e
+             JOIN u2 ON e.user_id = u2.user_id
+             WHERE e.event_type = 'click' AND epoch_ns(e.ts) >= u2.t
+               AND epoch_ns(e.ts) - u2.t <= 86400000000000
+             GROUP BY e.user_id),
+         u4 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t FROM events e
+             JOIN u3 ON e.user_id = u3.user_id
+             WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= u3.t
+               AND epoch_ns(e.ts) - u3.t <= 86400000000000
+             GROUP BY e.user_id)
+         SELECT 1::INT AS step, 'signup' AS step_name,
+                count(*)::BIGINT AS n_keys FROM u1
+         UNION ALL SELECT 2::INT, 'view', count(*)::BIGINT FROM u2
+         UNION ALL SELECT 3::INT, 'click', count(*)::BIGINT FROM u3
+         UNION ALL SELECT 4::INT, 'purchase', count(*)::BIGINT FROM u4
+         ORDER BY step""",
     "q_funnel" ->
       """WITH u1 AS (SELECT user_id, min(ts) AS t FROM events
              WHERE event_type = 'signup' GROUP BY user_id),

@@ -421,10 +421,24 @@ object Temporal {
     * verbatim — rather than a one-shuffle array fold, whose per-key state
     * is opaque to SQL engines. k is small; the joins are on the key. */
   def funnel(df: DataFrame, keyCol: String, tsCol: String,
-      typeCol: String, steps: Seq[String]): DataFrame = {
+      typeCol: String, steps: Seq[String]): DataFrame =
+    funnelWithin(df, keyCol, tsCol, typeCol, steps, stepWithinNs = -1L)
+
+  /** [[funnel]] with a per-step conversion deadline: step i only counts
+    * when it happens within `stepWithinNs` of the key's step-(i−1)
+    * reach time (epoch-nanos; negative = unlimited, plain funnel). The
+    * product-analytics form — "signed up, then purchased WITHIN 24h" —
+    * where an unbounded funnel overstates conversion by crediting
+    * actions months later. Same plan shape: k−1 key equi-joins + k hash
+    * aggregates, the deadline is one more map-side predicate on each
+    * join. Reach time per step stays the EARLIEST qualifying event, so
+    * deadlines compose transitively down the funnel. */
+  def funnelWithin(df: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], stepWithinNs: Long): DataFrame = {
     require(steps.nonEmpty, "steps must be non-empty")
+    val ns = epochNanos(df, tsCol)
     val first = df.filter(col(typeCol) === steps.head)
-      .groupBy(col(keyCol)).agg(min(col(tsCol)).alias("__graft_t"))
+      .groupBy(col(keyCol)).agg(min(ns).alias("__graft_t"))
     val reached = steps.tail.zip(steps).foldLeft(Vector(first)) {
       case (acc, (s, prevStep)) =>
         val prev = acc.last
@@ -432,12 +446,14 @@ object Temporal {
         // a repeated step type needs a STRICTLY later event — otherwise
         // the step-(i-1) reach event satisfies its own successor and one
         // action counts as two
-        val after = if (s == prevStep) col(tsCol) > col("__graft_tprev")
-                    else col(tsCol) >= col("__graft_tprev")
+        val after = if (s == prevStep) ns > col("__graft_tprev")
+                    else ns >= col("__graft_tprev")
+        val within = if (stepWithinNs < 0) lit(true)
+                     else ns - col("__graft_tprev") <= stepWithinNs
         acc :+ df.filter(col(typeCol) === s)
           .join(prev, keyCol)
-          .filter(after)
-          .groupBy(col(keyCol)).agg(min(col(tsCol)).alias("__graft_t"))
+          .filter(after && within)
+          .groupBy(col(keyCol)).agg(min(ns).alias("__graft_t"))
     }
     reached.zip(steps).zipWithIndex.map { case ((st, name), i) =>
       st.agg(count(lit(1)).alias("n_keys"))

@@ -219,6 +219,27 @@ class TemporalSpec extends SparkSpec {
     assert(got == Set((1, "signup", 3L), (2, "view", 2L), (3, "click", 1L)))
   }
 
+  test("funnelWithin enforces the per-step conversion deadline") {
+    import spark.implicits._
+    // user 1 converts a→b in 50ns (within); user 2 in 500ns (late);
+    // user 3 converts late to b but then b→c fast — still blocked,
+    // because it never legally reached step b
+    val ev = Seq(
+      (1L, 100L, "a"), (1L, 150L, "b"),
+      (2L, 100L, "a"), (2L, 600L, "b"),
+      (3L, 100L, "a"), (3L, 600L, "b"), (3L, 610L, "c")
+    ).toDF("user_id", "ts", "event_type")
+    val bounded = Temporal.funnelWithin(ev, "user_id", "ts", "event_type",
+        Seq("a", "b", "c"), stepWithinNs = 100L)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(bounded == Map(1 -> 3L, 2 -> 1L, 3 -> 0L))
+    // unlimited deadline = the plain funnel
+    val plain = Temporal.funnel(ev, "user_id", "ts", "event_type",
+        Seq("a", "b", "c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(plain == Map(1 -> 3L, 2 -> 3L, 3 -> 1L))
+  }
+
   test("funnel repeated step types need strictly later events") {
     import spark.implicits._
     val ev = Seq(
