@@ -707,6 +707,14 @@ object SparkEntry {
         "event_type", Seq("signup", "view", "click", "purchase"))
         .orderBy("step")),
 
+    // per-user rate changepoint: prefix-form CUSUM over daily buckets,
+    // all windows on ONE key exchange
+    "q_changepoint" -> ((s, dir) =>
+      pipeline.Temporal.changepoint(t(s, dir, "events"), "user_id", "ts",
+        periodNs = 86400L * 1000000000L)
+        .filter(col("user_id") < 50)
+        .orderBy("user_id")),
+
     // windowed funnel: each step must convert within 24h of the previous
     // step's reach time — the realistic conversion measure
     "q_funnel_win" -> ((s, dir) =>
@@ -2235,6 +2243,30 @@ object SparkEntry {
              * ln(greatest(na / ta, 1e-6) / greatest(nb / tb, 1e-6))
              * 1e6 + 0.5) / 1e6 AS psi_term
          FROM counts, tot ORDER BY bin""",
+    "q_changepoint" ->
+      """WITH per AS (
+           SELECT user_id, epoch_ns(ts) // 86400000000000 AS p,
+                  count(*) AS x
+           FROM events GROUP BY user_id, p),
+         s AS (
+           SELECT user_id, p,
+             sum(x) OVER (PARTITION BY user_id ORDER BY p
+                          ROWS UNBOUNDED PRECEDING) AS c,
+             row_number() OVER (PARTITION BY user_id ORDER BY p) AS t,
+             count(*) OVER (PARTITION BY user_id) AS n,
+             sum(x) OVER (PARTITION BY user_id) AS tot
+           FROM per),
+         d AS (
+           SELECT user_id, p,
+             abs(c::DOUBLE - t::DOUBLE / n::DOUBLE * tot::DOUBLE) AS dd,
+             tot,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY abs(c::DOUBLE - t::DOUBLE / n::DOUBLE * tot::DOUBLE)
+                 DESC, p) AS rn
+           FROM s)
+         SELECT user_id, p AS cp_period,
+                floor(dd / tot * 1e6 + 0.5) / 1e6 AS strength
+         FROM d WHERE rn = 1 AND user_id < 50 ORDER BY user_id""",
     "q_funnel_win" ->
       """WITH u1 AS (SELECT user_id, min(epoch_ns(ts)) AS t FROM events
              WHERE event_type = 'signup' GROUP BY user_id),

@@ -462,6 +462,56 @@ object Temporal {
     }.reduce(_ unionByName _)
   }
 
+  /** Single-changepoint detection per key: bucket events into
+    * `periodNs` periods, and locate where each key's per-period event
+    * rate shifts — the CUSUM statistic in its non-recursive prefix
+    * form, `D_t = |C_t − (t/n)·C_n|` (C = running event count over the
+    * key's ordered periods): a constant-rate series walks the diagonal
+    * and D stays near 0, a rate shift bows the path and D peaks AT the
+    * shift (Page 1954's test, as used for level-shift screening).
+    * Returns one row per key: (`key`, `cp_period` — the period whose
+    * prefix maximizes D, earliest on ties, `strength` = max D / total,
+    * 0 when the rate never shifts, 6dp). The monitoring question — "did
+    * this user/source/feed change behaviour, and when" — answered with
+    * no model, no iteration, no parameter beyond the bucket size.
+    *
+    * Plan: two compact exchanges — the period aggregate on (key,
+    * period) whose map-side partials collapse BEFORE the shuffle (the
+    * wire carries distinct (key, period) counts, never events), then
+    * one key exchange that all four windows AND the argmax rank share;
+    * the rank filter compiles to WindowGroupLimit, so each task
+    * forwards one row per key into the final pass. Per-key state is
+    * bounded by the periods the key spans, not its events. */
+  def changepoint(df: DataFrame, keyCol: String, tsCol: String,
+      periodNs: Long): DataFrame = {
+    require(periodNs > 0, "periodNs must be positive")
+    val per = df.select(col(keyCol).alias("__graft_k"),
+        epochNanos(df, tsCol).alias("__graft_ns"))
+      .select(col("__graft_k"),
+        floorBucket("__graft_ns", periodNs).alias("__graft_p"))
+      .groupBy(col("__graft_k"), col("__graft_p"))
+      .agg(count(lit(1)).alias("__graft_x"))
+    val ord = Window.partitionBy(col("__graft_k")).orderBy(col("__graft_p"))
+    val all = Window.partitionBy(col("__graft_k"))
+    val cum = sum(col("__graft_x"))
+      .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val t = row_number().over(ord)
+    val n = count(lit(1)).over(all)
+    val tot = sum(col("__graft_x")).over(all)
+    val d = abs(cum.cast("double") -
+      t.cast("double") / n.cast("double") * tot.cast("double"))
+    val scored = per.select(col("__graft_k"), col("__graft_p"),
+      d.alias("__graft_d"), tot.alias("__graft_tot"))
+    scored.withColumn("__graft_rn", row_number().over(
+        Window.partitionBy(col("__graft_k"))
+          .orderBy(col("__graft_d").desc, col("__graft_p"))))
+      .filter(col("__graft_rn") === 1)
+      .select(col("__graft_k").alias(keyCol),
+        col("__graft_p").alias("cp_period"),
+        Rounding.halfUp(col("__graft_d") / col("__graft_tot"), 6)
+          .alias("strength"))
+  }
+
   /** Cohort retention: bucket integer time into `periodLen` periods,
     * cohort = each key's first active period, and count the keys of each
     * cohort active at each later period offset — (`cohort`, `offset`,

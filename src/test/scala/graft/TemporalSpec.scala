@@ -402,6 +402,36 @@ class TemporalSpec extends SparkSpec {
     assert(bucketed == naive)
   }
 
+  test("changepoint finds the rate-shift period via the prefix CUSUM peak") {
+    import spark.implicits._
+    // user 1: 5 periods at rate 1, then 5 at rate 10 → the CUSUM path
+    // bows maximally at the end of the low run (period 4);
+    // user 2: constant rate → strength 0 (D is 0 at every prefix)
+    val ev = (
+      (0 until 5).map(p => Seq((1L, p * 100L))) ++                 // 1/period
+      (5 until 10).map(p => (0 until 10).map(i => (1L, p * 100L + i))) ++
+      (0 until 4).map(p => Seq((2L, p * 100L), (2L, p * 100L + 1)))
+    ).flatten.zipWithIndex.map { case ((u, ts), i) => (u, ts, i.toLong) }
+      .toDF("user_id", "ts", "event_id")
+    val got = Temporal.changepoint(ev, "user_id", "ts", periodNs = 100L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    // D(t=5) = |5 - 5/10·55| = 22.5; strength = 22.5/55
+    val s1 = BigDecimal(22.5 / 55)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((4L, s1)), s"got ${got(1L)}")
+    assert(got(2L)._2 == 0.0)
+    // two compact exchanges — the (key, period) aggregate (partials
+    // collapse map-side; the wire never carries events) and one key
+    // exchange shared by all windows; argmax compiles to WindowGroupLimit
+    val plan = Temporal.changepoint(ev, "user_id", "ts", 100L)
+      .queryExecution.executedPlan.toString
+    val ex = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(ex == 2, s"expected 2 exchanges, got $ex:\n$plan")
+    assert(plan.contains("partial_count"), s"no map-side combine:\n$plan")
+    assert(plan.contains("WindowGroupLimit"), s"argmax not pruned:\n$plan")
+  }
+
   test("sessionPaths: ordered journeys, corpus count, deterministic tiebreak") {
     import spark.implicits._
     // user 1 twice runs a>b (sessions split by gap); user 2 runs a>b
