@@ -153,7 +153,8 @@ object Bench {
         "q_hll_gate", "q_pmi", "q_template_dedup",
         "q_cat_drift", "q_psi", "q_ks", "q_canary", // documents replica
         "q_interval", "q_overlap", "q_rolling", "q_session_window",
-        "q_merge_intervals", "q_paths", "q_anomaly", // events replica
+        "q_merge_intervals", "q_paths", "q_anomaly",
+        "q_changepoint", // events replica
         "q_knn_join", "q_sq8_topk") // embeddings replica
       /** ×10 a table by disjoint-id replication: each replica offsets the
         * id columns by max(id)+1 — NOT the row count; ids are only

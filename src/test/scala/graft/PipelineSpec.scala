@@ -599,6 +599,66 @@ class PipelineSpec extends SparkSpec {
     assert(top.head.getLong(0) == 0L) // self-match lives in its own probed cell
   }
 
+  test("end-to-end corpus REFRESH: diff -> canary -> template dedup -> index probe -> drift gates") {
+    // the recurring-ingest chain, composing the round-9 operators: what
+    // changed since the last snapshot, is any of it blocklisted, which
+    // new docs are templates or near-dups of the standing corpus, and
+    // did the refresh move the distribution
+    import spark.implicits._
+    val docs = sf("documents")
+    val standing = docs.filter(col("doc_id") < 300)
+    // the refresh: half overlap (100-299 unchanged), 200 docs of new ids
+    val refresh = docs.filter(col("doc_id") >= 100)
+    // 1. what changed — counts classify without shuffling text
+    val diff = pipeline.Dedup.snapshotDiffSummary(
+        standing.select("doc_id", "text"), refresh.select("doc_id", "text"),
+        "doc_id", Seq("text"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(diff("removed") == 100L && diff("added") == 200L)
+    assert(diff.getOrElse("unchanged", 0L) == 200L && !diff.contains("changed"))
+    // 2. only the ADDED docs flow on (incremental, never the full corpus)
+    val added = refresh.join(standing.select("doc_id"), Seq("doc_id"),
+      "left_anti")
+    assert(added.count() == 200)
+    // 3. blocklist scan on the additions (no hits expected on clean data;
+    //    a planted canary IS caught)
+    val canaries = Seq("graft-canary-7b3f")
+    assert(pipeline.Dedup.canaryScan(added, "text", "doc_id", canaries)
+      .count() == 0)
+    val planted = added.limit(1)
+      .withColumn("text", concat(col("text"), lit(" graft-canary-7b3f")))
+    assert(pipeline.Dedup.canaryScan(planted, "text", "doc_id", canaries)
+      .count() == 1)
+    // 4. template + near-dup screening against the STANDING index —
+    //    probe cost scales with the batch, the index is not rebuilt
+    val cleaned = pipeline.Dedup.templateDedup(added, "text", "doc_id")
+    val idx = pipeline.Dedup.minhashIndex(standing, "text", "doc_id")
+    val dups = pipeline.Dedup.minhashProbe(idx, cleaned, "text", "doc_id")
+    val survivors = cleaned.join(
+      dups.select(col("new_id").alias("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    assert(survivors.count() > 0 && survivors.count() <= 200)
+    // 5. drift gates between the standing corpus and the survivors:
+    //    this synthetic refresh draws from the same distribution, so
+    //    both measures must read calm
+    val both = standing.withColumn("__side", lit("old"))
+      .unionByName(survivors.withColumn("__side", lit("new")))
+    val ks = pipeline.Profiling.ksStatistic(both, "n_chars", "__side",
+      "old", "new").head().getDouble(0)
+    assert(ks < 0.25, s"KS read drift on an identically-drawn refresh: $ks")
+    val psiTot = pipeline.Profiling.categoricalDrift(both, "lang", "__side",
+      "old", "new").agg(sum(col("psi_term"))).head().getDouble(0)
+    assert(psiTot < 0.25, s"PSI read drift: $psiTot")
+    // determinism: the survivor set is identical under repartitioning
+    val again = pipeline.Dedup.templateDedup(
+      added.repartition(13), "text", "doc_id")
+      .join(dups.select(col("new_id").alias("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == survivors.select("doc_id").collect()
+      .map(_.getLong(0)).toSet)
+  }
+
   test("salted join matches plain join result") {
     val li = sf("lineitem").select("l_orderkey", "l_quantity")
     val orders = sf("orders").select("o_orderkey", "o_totalprice")
