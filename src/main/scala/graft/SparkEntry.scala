@@ -393,6 +393,13 @@ object SparkEntry {
         .orderBy("status")
     }),
 
+    // drift screen: every source's PSI against the rest of the corpus,
+    // one scan (the "which source moved" report)
+    "q_psi_by" -> ((s, dir) =>
+      pipeline.Profiling.psiBySlice(t(s, dir, "documents"),
+        "n_chars", "source", lo = 0.0, hi = 600.0, bins = 8)
+        .orderBy("slice")),
+
     // exact two-sample KS statistic (binning-free drift): distributed
     // CDFs via range partitions + broadcast prefix offsets, no global
     // window
@@ -2148,6 +2155,30 @@ object SparkEntry {
                FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
          SELECT status, count(*)::BIGINT AS n FROM d
          GROUP BY status ORDER BY status""",
+    "q_psi_by" ->
+      """WITH c AS (
+           SELECT source AS slice,
+                  least(7, greatest(0,
+                    floor(n_chars::DOUBLE / 75.0)))::BIGINT AS bin,
+                  count(*) AS n
+           FROM documents
+           WHERE source IS NOT NULL AND n_chars IS NOT NULL
+           GROUP BY 1, 2),
+         g AS (SELECT bin, sum(n) AS gg FROM c GROUP BY bin),
+         t AS (SELECT slice, sum(n) AS tn FROM c GROUP BY slice),
+         gr AS (SELECT sum(n) AS tg FROM c),
+         grid AS (
+           SELECT t.slice, t.tn, g.bin, g.gg, coalesce(c.n, 0) AS n
+           FROM t CROSS JOIN g
+           LEFT JOIN c ON c.slice = t.slice AND c.bin = g.bin)
+         SELECT slice, max(tn)::BIGINT AS n,
+           floor(sum(
+             (greatest(n / tn, 1e-6)
+               - greatest((gg - n) / (tg - tn), 1e-6))
+             * ln(greatest(n / tn, 1e-6)
+               / greatest((gg - n) / (tg - tn), 1e-6))) * 1e6 + 0.5) / 1e6
+             AS psi
+         FROM grid, gr GROUP BY slice ORDER BY slice""",
     "q_ks" ->
       """WITH t AS (SELECT n_chars::DOUBLE AS v, source = 'src0' AS ia
                     FROM documents

@@ -370,6 +370,53 @@ object Profiling {
         Rounding.halfUp((pa - pb) * log(pa / pb), 6).alias("psi_term"))
   }
 
+  /** Drift SCREEN across every slice at once: for each distinct
+    * `sliceCol` value, the PSI of that slice's `valueCol` distribution
+    * against the REST of the corpus (leave-one-out — comparing a slice
+    * to a whole that contains it would dilute its own deviation).
+    * Returns one row per slice (`slice`, `n`, `psi` 6dp, total over the
+    * fixed-width bins). The "which source moved" question answered in
+    * ONE pass: per-(slice, bin) counts collapse map-side (state ≤
+    * slices × bins), global per-bin totals are a bins-row broadcast,
+    * and each slice's rest-distribution is global − slice, computed
+    * map-side after the join. Screen with this, then drill into the
+    * flagged slice with [[psiReport]]/[[ksStatistic]]. */
+  def psiBySlice(df: DataFrame, valueCol: String, sliceCol: String,
+      lo: Double, hi: Double, bins: Int, eps: Double = 1e-6): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    require(hi > lo, "hi must exceed lo")
+    val w = (hi - lo) / bins
+    val bin = least(lit(bins - 1), greatest(lit(0),
+      floor((col(valueCol).cast("double") - lo) / w))).cast("long")
+    val counts = df
+      .filter(col(sliceCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(sliceCol).alias("slice"), bin.alias("__bin"))
+      .groupBy(col("slice"), col("__bin"))
+      .agg(count(lit(1)).alias("__n"))
+    val globals = counts.groupBy(col("__bin"))
+      .agg(sum(col("__n")).alias("__g"))
+    val totals = counts.groupBy(col("slice"))
+      .agg(sum(col("__n")).alias("__tn"))
+    val grand = globals.agg(sum(col("__g")).alias("__tg"))
+    // full slice × bin grid (tiny — aggregate-sized): a bin where the
+    // slice has NO rows still contributes its ε-floored term, exactly
+    // like psiReport's vanished-bin handling
+    val joined = totals
+      .crossJoin(broadcast(globals))
+      .join(counts, Seq("slice", "__bin"), "left")
+      .na.fill(0L, Seq("__n"))
+      .crossJoin(broadcast(grand))
+    val pSlice = greatest(col("__n") / col("__tn"), lit(eps))
+    val pRest = greatest((col("__g") - col("__n")) /
+      (col("__tg") - col("__tn")), lit(eps))
+    joined
+      .select(col("slice"), col("__tn"),
+        ((pSlice - pRest) * log(pSlice / pRest)).alias("__term"))
+      .groupBy(col("slice"))
+      .agg(max(col("__tn")).alias("n"),
+        Rounding.halfUp(sum(col("__term")), 6).alias("psi"))
+  }
+
   /** EXACT two-sample Kolmogorov–Smirnov statistic between two slices:
     * `D = max over v of |CDF_a(v) − CDF_b(v)|` — the binning-free drift
     * measure ([[psiReport]]'s D needs a bin grid; KS does not, and D

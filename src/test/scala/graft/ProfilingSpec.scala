@@ -256,6 +256,30 @@ class ProfilingSpec extends SparkSpec {
     assert(math.abs(z._4 - zTerm) < 1e-9)
   }
 
+  test("psiBySlice: leave-one-out per-slice drift, zero-count bins contribute") {
+    import spark.implicits._
+    // slices a and b share one distribution; slice c sits entirely in
+    // the other bin — its leave-one-out psi must dwarf theirs
+    val d = Seq(("a", 1.0), ("a", 1.5), ("b", 1.2), ("b", 1.8),
+      ("c", 9.0), ("c", 9.5)).toDF("src", "v")
+    val got = Profiling.psiBySlice(d, "v", "src", lo = 0.0, hi = 10.0,
+        bins = 2)
+      .orderBy("slice").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == Seq("a", "b", "c"))
+    assert(got.forall(_._2 == 2L))
+    // c: bin0 share eps vs rest 1.0; bin1 share 1.0 vs rest eps —
+    // both ε-floored terms contribute (hand-computed)
+    val big = (1e-6 - 1.0) * math.log(1e-6 / 1.0) +
+      (1.0 - 1e-6) * math.log(1.0 / 1e-6)
+    val exp = BigDecimal(big).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(got(2)._3 - exp) < 1e-6, s"c psi ${got(2)._3} vs $exp")
+    // a vs rest {b-half, c}: drifted but far less than c
+    assert(got(0)._3 > 0 && got(0)._3 < got(2)._3)
+    assert(got(1)._3 > 0 && got(1)._3 < got(2)._3)
+  }
+
   test("ksStatistic: exact D, partition-independent, zero on identical slices") {
     import spark.implicits._
     // a: {1,2,3,4}; b: {3,4,5,6} → D = |CDF_a - CDF_b| peaks at v∈[2,3):
