@@ -595,34 +595,81 @@ object Dedup {
     * difference between exploding 100 TB and exploding 10 GB. */
   def crossContainmentBloom(
       train: DataFrame, bench: DataFrame, textCol: String, idCol: String,
-      k: Int = 2, threshold: Double = 0.8, fpp: Double = 0.01): DataFrame = {
+      k: Int = 2, threshold: Double = 0.8, fpp: Double = 0.01): DataFrame =
+    buildBenchGate(bench, textCol, k, fpp) match {
+      case None => // empty bench side: nothing can be contained
+        crossContainment(train.filter(lit(false)), bench,
+          textCol, idCol, k, threshold)
+      case Some(gate) =>
+        crossContainment(gateTrain(train, textCol, gate, threshold),
+          bench, textCol, idCol, k, threshold)
+    }
+
+  /** The bench side of the Bloom gate, as a reusable artifact: the
+    * shingle-union filter plus the smallest bench shingle count (the
+    * gate bound) and the shingle width it was built at. Benchmarks
+    * change rarely and train corpora scan nightly — build this ONCE,
+    * [[writeBenchGate]] it, and every later scan skips the bench-side
+    * shingle pass entirely. */
+  case class BenchGate(
+      bloom: org.apache.spark.util.sketch.BloomFilter, minB: Int, k: Int)
+
+  /** Build the gate from the bench corpus (one small-side pass: total
+    * hashes for Bloom sizing + the smallest bench set for the bound).
+    * None when the bench side is empty. */
+  def buildBenchGate(bench: DataFrame, textCol: String, k: Int = 2,
+      fpp: Double = 0.01): Option[BenchGate] = {
     val beSh = bench.select(
       org.apache.spark.sql.graft.sketch.shingle_hashes(col(textCol), k)
         .alias("sh_b"))
-    // one small-side pass: total hashes (Bloom sizing) + smallest bench
-    // set (gate bound); the bench side is benchmarks — thousands of
-    // rows, not the corpus
     val stats = beSh.agg(
       sum(size(col("sh_b"))).alias("total"),
       min(size(col("sh_b"))).alias("min_b")).head()
-    if (stats.isNullAt(0)) // empty bench side: nothing can be contained
-      return crossContainment(train.filter(lit(false)), bench,
-        textCol, idCol, k, threshold)
-    val totalHashes = math.max(1L, stats.getLong(0))
-    val minB = stats.getInt(1)
-    val bf = beSh.select(explode(col("sh_b")).alias("s"))
-      .stat.bloomFilter("s", totalHashes, fpp)
-    val spark = train.sparkSession
-    val bcBf = spark.sparkContext.broadcast(bf)
-    // floor (not ceil) of t·min_b: weaker than the true per-doc bound
-    // ⌈t·n_b⌉, so float rounding can only admit extra candidates for the
-    // exact verify stage, never drop one
-    val minHits = math.max(1, math.floor(threshold * minB + 1e-9).toInt)
-    val gated = train.filter(
+    if (stats.isNullAt(0)) None
+    else {
+      val totalHashes = math.max(1L, stats.getLong(0))
+      val bf = beSh.select(explode(col("sh_b")).alias("s"))
+        .stat.bloomFilter("s", totalHashes, fpp)
+      Some(BenchGate(bf, stats.getInt(1), k))
+    }
+  }
+
+  /** Map-side gate scan: the train rows whose shingles hit the bench
+    * Bloom at least ⌊threshold·minB⌋ times (floor, not ceil — weaker
+    * than the true per-doc bound ⌈t·n_b⌉, so float rounding can only
+    * admit extra candidates for the exact verify stage, never drop
+    * one; Bloom filters have no false negatives). One codegen'd probe
+    * per row, zero shuffle. */
+  def gateTrain(train: DataFrame, textCol: String, gate: BenchGate,
+      threshold: Double): DataFrame = {
+    val bcBf = train.sparkSession.sparkContext.broadcast(gate.bloom)
+    val minHits = math.max(1,
+      math.floor(threshold * gate.minB + 1e-9).toInt)
+    train.filter(
       org.apache.spark.sql.graft.sketch.bloom_contained_count(
-        org.apache.spark.sql.graft.sketch.shingle_hashes(col(textCol), k),
-        bcBf) >= minHits)
-    crossContainment(gated, bench, textCol, idCol, k, threshold)
+        org.apache.spark.sql.graft.sketch.shingle_hashes(
+          col(textCol), gate.k), bcBf) >= minHits)
+  }
+
+  /** Persist a [[BenchGate]] (Bloom bytes + bound + shingle width). */
+  def writeBenchGate(gate: BenchGate, path: String,
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    val baos = new java.io.ByteArrayOutputStream()
+    gate.bloom.writeTo(baos)
+    Seq((baos.toByteArray, gate.minB, gate.k))
+      .toDF("bloom", "min_b", "k")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload a persisted gate — gating decisions are bit-identical to
+    * the session that built it (the filter bytes round-trip whole). */
+  def readBenchGate(spark: org.apache.spark.sql.SparkSession,
+      path: String): BenchGate = {
+    val r = spark.read.parquet(path).head()
+    BenchGate(org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0))),
+      r.getInt(1), r.getInt(2))
   }
 
   /** Decontaminated train corpus: drop every train document that

@@ -659,6 +659,31 @@ class PipelineSpec extends SparkSpec {
       .map(_.getLong(0)).toSet)
   }
 
+  test("bench gate persists: reloaded gate admits the identical train set") {
+    val train = sf("documents").filter(col("doc_id") < 300)
+    val bench = sf("documents").filter(col("doc_id") % 97 === 0)
+    val gate = Dedup.buildBenchGate(bench, "text", k = 2).get
+    val dir = java.nio.file.Files.createTempDirectory("graft_gate").toString
+    Dedup.writeBenchGate(gate, dir, spark)
+    val back = Dedup.readBenchGate(spark, dir)
+    assert(back.minB == gate.minB && back.k == gate.k)
+    def gated(g: Dedup.BenchGate): Set[Long] =
+      Dedup.gateTrain(train, "text", g, threshold = 0.8)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = gated(gate)
+    assert(a.nonEmpty && a == gated(back))
+    // the refactored detection still equals the exact operator
+    val viaBloom = Dedup.crossContainmentBloom(train, bench, "text",
+        "doc_id", k = 2, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.crossContainment(train, bench, "text",
+        "doc_id", k = 2, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaBloom == exact)
+    // empty bench → no gate, detection returns empty
+    assert(Dedup.buildBenchGate(bench.filter(lit(false)), "text").isEmpty)
+  }
+
   test("salted join matches plain join result") {
     val li = sf("lineitem").select("l_orderkey", "l_quantity")
     val orders = sf("orders").select("o_orderkey", "o_totalprice")
