@@ -157,6 +157,37 @@ object Embeddings {
     org.apache.spark.sql.graft.sketch.project_centered(vec,
       model.mean.toIndexedSeq, model.components.map(_.toIndexedSeq).toIndexedSeq)
 
+  /** Eigenvalue-balanced dimension order for PQ subspacing after a PCA
+    * rotation — parametric OPQ (Ge et al., "Optimized Product
+    * Quantization", CVPR 2013 §4): PCA concentrates variance in the
+    * leading dims while PQ spends the SAME byte budget on every
+    * dSub-slice, so feeding PCA output to PQ unpermuted starves the
+    * heavy subspace and wastes codes on the empty tail. Greedy balance:
+    * walk dims in descending explained variance, always assigning to
+    * the non-full subspace with the smallest log-variance product.
+    * Returns the dim order whose consecutive dSub-slices are the
+    * balanced subspaces — feed it to [[reorderDims]] and then fit PQ
+    * as usual. */
+  def balancedOrder(explained: Seq[Double], m: Int): Seq[Int] = {
+    require(m > 0 && explained.nonEmpty && explained.size % m == 0,
+      s"dims ${explained.size} not divisible by m=$m")
+    val dSub = explained.size / m
+    val buckets = Array.fill(m)(Vector.empty[Int])
+    val logSum = Array.fill(m)(0.0)
+    explained.zipWithIndex.sortBy(-_._1).foreach { case (e, dim) =>
+      val b = (0 until m).filter(buckets(_).size < dSub)
+        .minBy(logSum(_))
+      buckets(b) :+= dim
+      logSum(b) += math.log(math.max(e, 1e-12))
+    }
+    buckets.toIndexedSeq.flatten
+  }
+
+  /** Permute a float vector's dimensions into `order` — a codegen'd
+    * array-of-element_at projection, shuffle-free. */
+  def reorderDims(vec: Column, order: Seq[Int]): Column =
+    array(order.map(i => element_at(vec, i + 1)): _*)
+
   /** Persist a fitted [[PcaModel]] (fit once, reuse across jobs — the
     * same contract as the k-means codebook IO): one row per component
     * (index, vector, explained variance) + the mean. */

@@ -220,4 +220,42 @@ class EmbeddingsSpec extends SparkSpec {
       .collect().map(_.getSeq[Float](0))
     assert(p1.zip(p2).forall { case (a, b) => a == b })
   }
+
+  test("OPQ-lite: balanced PCA rotation does not degrade PQ quantization error") {
+    import graft.pipeline.Clustering
+    // greedy balance on [8,4,2,1], m=2: products 8·1 vs 4·2 — equal
+    val ord = Embeddings.balancedOrder(Seq(8.0, 4.0, 2.0, 1.0), m = 2)
+    assert(ord == Seq(0, 3, 1, 2), s"got $ord")
+    assert(ord.sorted == Seq(0, 1, 2, 3)) // a permutation, nothing lost
+    // end-to-end on the real corpus: rotate (full-d PCA), permute to
+    // balanced subspaces, quantize — total squared reconstruction error
+    // must not exceed the raw-space PQ's (rotation is orthonormal, so
+    // errors are comparable in one space)
+    val m = 8
+    val pca = Embeddings.fitPca(emb, "embedding", k = 64)
+    val rotated = emb.select(col("vec_id"),
+      Embeddings.reorderDims(
+        Embeddings.applyPca(col("embedding"), pca),
+        Embeddings.balancedOrder(pca.explained.toIndexedSeq, m))
+        .alias("embedding"))
+    def pqMse(df: org.apache.spark.sql.DataFrame): Double = {
+      val model = Clustering.fitPQ(df, "embedding", "vec_id", m = m, k = 16)
+      val rows = Clustering.assignPQ(df, "embedding", model)
+        .select("embedding", "pq_code").limit(200).collect()
+      rows.map { r =>
+        val v = r.getSeq[Float](0)
+        val codes = r.getSeq[Int](1)
+        (0 until m).map { s =>
+          val cb = model.codebooks(s)(codes(s))
+          (0 until model.dSub).map { j =>
+            val d0 = v(s * model.dSub + j) - cb(j); d0 * d0
+          }.sum.toDouble
+        }.sum
+      }.sum / rows.length
+    }
+    val rawErr = pqMse(emb.select("vec_id", "embedding"))
+    val rotErr = pqMse(rotated)
+    assert(rotErr <= rawErr * 1.05,
+      s"balanced-rotated PQ error $rotErr vs raw $rawErr")
+  }
 }
