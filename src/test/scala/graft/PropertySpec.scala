@@ -357,6 +357,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: drift measures are symmetric-ish, bounded, and sign-correct") {
+    import spark.implicits._
+    import graft.pipeline.Profiling
+    val valGen = Gen.listOfN(14, Gen.choose(0.0, 10.0))
+    samples(Gen.zip(valGen, valGen), 6).foreach { case (as, bs) =>
+      val df = (as.map(("a", _)) ++ bs.map(("b", _))).toDF("side", "v")
+      // KS is symmetric in its two samples and bounded in [0, 1]
+      val dab = Profiling.ksStatistic(df, "v", "side", "a", "b")
+        .head().getDouble(0)
+      val dba = Profiling.ksStatistic(df, "v", "side", "b", "a")
+        .head().getDouble(0)
+      assert(dab == dba, s"KS asymmetric: $dab vs $dba")
+      assert(dab >= 0.0 && dab <= 1.0)
+      // every PSI term is non-negative ((p−q)·ln(p/q) ≥ 0 pointwise),
+      // and swapping the sides preserves each |term|
+      val terms = Profiling.psiReport(df, "v", "side", "a", "b",
+        lo = 0.0, hi = 10.0, bins = 4).collect().map(_.getDouble(3))
+      assert(terms.forall(_ >= 0.0), s"negative PSI term in ${terms.toSeq}")
+      val swapped = Profiling.psiReport(df, "v", "side", "b", "a",
+        lo = 0.0, hi = 10.0, bins = 4).collect().map(_.getDouble(3))
+      assert(terms.sorted.toSeq == swapped.sorted.toSeq)
+    }
+  }
+
   test("property: hilbert index is bijective and unit-step at any dims/bits") {
     import org.apache.spark.sql.graft.GraftHashOps
     // every (dims, bits) pair small enough to enumerate exhaustively
