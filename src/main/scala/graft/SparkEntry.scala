@@ -380,6 +380,14 @@ object SparkEntry {
           "canary-guid-8f2a"))
         .orderBy("doc_id", "pattern")),
 
+    // fuzzy key linkage: char-3-gram Jaccard over supplier names via
+    // the AllPairs prefix filter — no all-pairs compare, grams hashed
+    "q_fuzzy" -> ((s, dir) =>
+      pipeline.Dedup.fuzzyKeyPairs(
+        t(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
+        "s_name", "s_suppkey", k = 3, threshold = 0.85)
+        .orderBy("id_a", "id_b")),
+
     // snapshot diff: added/removed/changed/unchanged between two keyed
     // corpus versions; the join carries (key, 8-byte digest), never text
     "q_snapshot_diff" -> ((s, dir) => {
@@ -2143,6 +2151,23 @@ object SparkEntry {
                               'canary-guid-8f2a']) AS pattern) p
          WHERE contains(text, p.pattern)
          ORDER BY doc_id, pattern""",
+    "q_fuzzy" ->
+      """WITH g AS (
+           SELECT s_suppkey AS id,
+             list_distinct(CASE WHEN len(lower(s_name)) < 3
+               THEN [lower(s_name)]
+               ELSE list_transform(
+                 generate_series(1, len(lower(s_name)) - 2),
+                 i -> substr(lower(s_name), i, 3)) END) AS gs
+           FROM supplier),
+         p AS (
+           SELECT a.id AS id_a, b.id AS id_b,
+             len(list_intersect(a.gs, b.gs))::DOUBLE /
+               (len(a.gs) + len(b.gs)
+                 - len(list_intersect(a.gs, b.gs))) AS j
+           FROM g a JOIN g b ON a.id < b.id)
+         SELECT id_a, id_b, floor(j * 1e6 + 0.5) / 1e6 AS jaccard
+         FROM p WHERE j >= 0.85 ORDER BY id_a, id_b""",
     "q_snapshot_diff" ->
       """WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
          b AS (SELECT doc_id,

@@ -455,16 +455,38 @@ object Dedup {
     * verification runs only on the candidates. */
   def ngramJaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
-      k: Int = 3, threshold: Double = 0.8): DataFrame = {
+      k: Int = 3, threshold: Double = 0.8): DataFrame =
+    jaccardPairsOn(df.select(col(idCol).alias("id"),
+      org.apache.spark.sql.graft.sketch.shingle_hashes(col(textCol), k)
+        .alias("sh")), threshold)
+
+  /** Fuzzy key matching (record linkage): pairs of rows whose SHORT
+    * string key (name, address line, title) has character-k-gram
+    * Jaccard ≥ `threshold` — word shingles are useless on single-token
+    * keys, char shingles catch typos/transpositions/spacing variants.
+    * Exactly [[ngramJaccardPairs]]'s AllPairs prefix-filter engine
+    * (rarest-shingle prefix postings + length filter + exact verify on
+    * hashed grams), so the same scale bounds hold: no all-pairs join,
+    * shuffles carry 8-byte gram hashes, never the keys. */
+  def fuzzyKeyPairs(
+      df: DataFrame, keyCol: String, idCol: String,
+      k: Int = 3, threshold: Double = 0.7): DataFrame =
+    jaccardPairsOn(df.select(col(idCol).alias("id"),
+      org.apache.spark.sql.graft.sketch.char_shingle_hashes(col(keyCol), k)
+        .alias("sh")), threshold)
+
+  /** The AllPairs/PPJoin core over any ("id", "sh" hashed-distinct
+    * shingle array) frame — shared by the word-gram and char-gram
+    * faces. */
+  private def jaccardPairsOn(shingled: DataFrame,
+      threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // native one-pass hashed distinct shingles: postings join + Jaccard
     // intersect run on longs, not strings. The repartition is a shuffle
     // barrier shared by all four consumers (freq, postings, both verify
     // sides) — one ReusedExchange instead of re-shingling the corpus per
     // branch
-    val shDf = df.select(col(idCol).alias("id"),
-      org.apache.spark.sql.graft.sketch.shingle_hashes(col(textCol), k).alias("sh"))
-      .repartition(col("id"))
+    val shDf = shingled.repartition(col("id"))
     val inv = shDf.select(col("id"), size(col("sh")).alias("nsh"),
       explode(col("sh")).alias("s"))
     // global shingle frequency as a count window over s: one exchange,

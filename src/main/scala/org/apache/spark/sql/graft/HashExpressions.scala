@@ -56,6 +56,45 @@ object GraftHashOps {
     new GenericArrayData(out)
   }
 
+  /** Hashed distinct CHARACTER k-grams (lowercased), first-seen order —
+    * the shingle primitive for SHORT keys (names, titles, address
+    * lines) where word shingles degenerate to one token. Strings
+    * shorter than k yield their single whole-string hash, so every
+    * non-empty key produces at least one gram. Windows hash by code
+    * unit over one pass — no substring allocation per gram. */
+  def charShingleHashes(input: UTF8String, k: Int): ArrayData = {
+    val text = input.toString.toLowerCase(java.util.Locale.ROOT)
+    val n = text.length
+    val set = new java.util.LinkedHashSet[java.lang.Long]()
+    if (n == 0) return new GenericArrayData(new Array[Long](0))
+    if (n < k) {
+      var h = 17L
+      var i = 0
+      while (i < n) {
+        h = XxHash64Function.hash(text.charAt(i).toLong, LongType, h)
+        i += 1
+      }
+      set.add(h)
+    } else {
+      var s = 0
+      while (s <= n - k) {
+        var h = 17L
+        var j = 0
+        while (j < k) {
+          h = XxHash64Function.hash(text.charAt(s + j).toLong, LongType, h)
+          j += 1
+        }
+        set.add(h)
+        s += 1
+      }
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Positional rolling window hashes: hash of tokens [i, i+w) at index i
     * (0-based), ordered, NOT deduplicated — the span-level dedup primitive
     * (shingleHashes loses positions and repeats). Fewer than w tokens →
@@ -777,6 +816,28 @@ case class ShingleHashes(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Hashed distinct character k-grams (see
+  * GraftHashOps.charShingleHashes) — the short-key shingle primitive
+  * for fuzzy record linkage. */
+case class CharShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_char_shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.charShingleHashes(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${Gen.Ops}.charShingleHashes($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharShingleHashes =
+    copy(child = newChild)
+}
+
 /** Positional rolling w-token window hashes (see GraftHashOps.windowHashes).
   * Input: string; output: array<long>, index i = window starting at token i. */
 case class WindowHashes(child: Expression, w: Int)
@@ -1399,6 +1460,8 @@ object sketch {
     column(CosineSimilarity(expression(a), expression(b)))
   def shingle_hashes(c: Column, k: Int): Column =
     column(ShingleHashes(expression(c), k))
+  def char_shingle_hashes(c: Column, k: Int): Column =
+    column(CharShingleHashes(expression(c), k))
   def window_hashes(c: Column, w: Int): Column =
     column(WindowHashes(expression(c), w))
   def nfc(c: Column): Column = column(NfcNormalize(expression(c)))

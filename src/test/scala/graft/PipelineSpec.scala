@@ -115,6 +115,34 @@ class PipelineSpec extends SparkSpec {
     assert(got(2) == Seq("solo"))
   }
 
+  test("fuzzyKeyPairs links typo variants of short keys, leaves distinct names apart") {
+    import spark.implicits._
+    val names = Seq(
+      (1L, "Jonathan Smith"), (2L, "Jonathon Smith"), // one-char typo
+      (3L, "Jonathan  Smith"),                        // spacing variant
+      (4L, "Alice Jones"), (5L, "Bob Brown"))
+      .toDF("name", "n").toDF("id", "name")
+    val pairs = Dedup.fuzzyKeyPairs(names, "name", "id",
+        k = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)),
+      s"typo/spacing variants not linked: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L || p._1 == 5L),
+      s"distinct names linked: $pairs")
+    // jaccard agrees with a brute-force char-gram computation
+    def grams(s: String): Set[String] =
+      (if (s.length < 3) Seq(s.toLowerCase)
+       else s.toLowerCase.sliding(3).toSeq).toSet
+    val j12 = {
+      val (a, b) = (grams("Jonathan Smith"), grams("Jonathon Smith"))
+      a.intersect(b).size.toDouble / a.union(b).size
+    }
+    val got = Dedup.fuzzyKeyPairs(names, "name", "id", 3, 0.5)
+      .filter(col("id_a") === 1 && col("id_b") === 2)
+      .head().getDouble(2)
+    assert(math.abs(got - j12) < 1e-6, s"jaccard $got vs brute $j12")
+  }
+
   test("minhash LSH finds planted near-dup and exact-dup pairs") {
     val pairs = Dedup.minhashDupPairs(docs, "text", "doc_id",
       k = 3, bands = 16, rows = 4, jaccardThreshold = 0.5)
