@@ -388,6 +388,19 @@ object SparkEntry {
         "s_name", "s_suppkey", k = 3, threshold = 0.85)
         .orderBy("id_a", "id_b")),
 
+    // entity resolution: fuzzy pairs → connected components → one row
+    // per entity (canonical = min member id, n_members) — the classic
+    // record-linkage chain, every stage its own certified operator
+    "q_entities" -> ((s, dir) => {
+      val pairs = pipeline.Dedup.fuzzyKeyPairs(
+        t(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
+        "s_name", "s_suppkey", k = 3, threshold = 0.85)
+      pipeline.Graphs.connectedComponents(pairs, "id_a", "id_b")
+        .groupBy(col("comp").alias("entity_id"))
+        .agg(count(lit(1)).alias("n_members"))
+        .orderBy("entity_id")
+    }),
+
     // snapshot diff: added/removed/changed/unchanged between two keyed
     // corpus versions; the join carries (key, 8-byte digest), never text
     "q_snapshot_diff" -> ((s, dir) => {
@@ -2168,6 +2181,31 @@ object SparkEntry {
            FROM g a JOIN g b ON a.id < b.id)
          SELECT id_a, id_b, floor(j * 1e6 + 0.5) / 1e6 AS jaccard
          FROM p WHERE j >= 0.85 ORDER BY id_a, id_b""",
+    "q_entities" ->
+      """WITH RECURSIVE g AS (
+           SELECT s_suppkey AS id,
+             list_distinct(CASE WHEN len(lower(s_name)) < 3
+               THEN [lower(s_name)]
+               ELSE list_transform(
+                 generate_series(1, len(lower(s_name)) - 2),
+                 i -> substr(lower(s_name), i, 3)) END) AS gs
+           FROM supplier),
+         pairs AS (
+           SELECT a.id AS id_a, b.id AS id_b
+           FROM g a JOIN g b ON a.id < b.id
+           WHERE len(list_intersect(a.gs, b.gs))::DOUBLE /
+             (len(a.gs) + len(b.gs)
+               - len(list_intersect(a.gs, b.gs))) >= 0.85),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         cc AS (
+           SELECT DISTINCT src AS id, src AS comp FROM edges
+           UNION
+           SELECT e.dst AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.src),
+         m AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id)
+         SELECT comp AS entity_id, count(*)::BIGINT AS n_members
+         FROM m GROUP BY comp ORDER BY entity_id""",
     "q_snapshot_diff" ->
       """WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
          b AS (SELECT doc_id,
