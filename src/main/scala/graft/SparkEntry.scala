@@ -421,6 +421,13 @@ object SparkEntry {
         "n_chars", "source", lo = 0.0, hi = 600.0, bins = 8)
         .orderBy("slice")),
 
+    // per-slice exact KS screen (bounded value domain): each source's
+    // sup-CDF-gap vs the rest, on the slice x distinct-value grid
+    "q_ks_by" -> ((s, dir) =>
+      pipeline.Profiling.ksBySlice(t(s, dir, "documents"),
+        "n_chars", "source")
+        .orderBy("slice")),
+
     // exact two-sample KS statistic (binning-free drift): distributed
     // CDFs via range partitions + broadcast prefix offsets, no global
     // window
@@ -2242,6 +2249,32 @@ object SparkEntry {
                / greatest((gg - n) / (tg - tn), 1e-6))) * 1e6 + 0.5) / 1e6
              AS psi
          FROM grid, gr GROUP BY slice ORDER BY slice""",
+    "q_ks_by" ->
+      """WITH ps AS (
+           SELECT source AS slice, n_chars::DOUBLE AS v, count(*) AS n
+           FROM documents
+           WHERE source IS NOT NULL AND n_chars IS NOT NULL
+           GROUP BY 1, 2),
+         g AS (
+           SELECT v, sum(n) AS gn,
+                  sum(sum(n)) OVER (ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) AS gcum
+           FROM ps GROUP BY v),
+         t AS (SELECT slice, sum(n) AS tn FROM ps GROUP BY slice),
+         gr AS (SELECT sum(n) AS tg FROM ps),
+         grid AS (
+           SELECT t.slice, t.tn, g.v, g.gcum, coalesce(ps.n, 0) AS n
+           FROM t CROSS JOIN g
+           LEFT JOIN ps ON ps.slice = t.slice AND ps.v = g.v),
+         c AS (
+           SELECT slice, tn, gcum,
+             sum(n) OVER (PARTITION BY slice ORDER BY v
+               ROWS UNBOUNDED PRECEDING) AS scum
+           FROM grid)
+         SELECT slice, max(tn)::BIGINT AS n,
+           floor(max(abs(scum / tn - (gcum - scum) / (tg - tn)))
+             * 1e6 + 0.5) / 1e6 AS d
+         FROM c, gr GROUP BY slice ORDER BY slice""",
     "q_ks" ->
       """WITH t AS (SELECT n_chars::DOUBLE AS v, source = 'src0' AS ia
                     FROM documents

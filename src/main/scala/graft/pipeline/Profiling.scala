@@ -417,6 +417,53 @@ object Profiling {
         Rounding.halfUp(sum(col("__term")), 6).alias("psi"))
   }
 
+  /** [[psiBySlice]]'s binning-free sibling: for every slice, the EXACT
+    * two-sample KS statistic of that slice against the rest of the
+    * corpus — `d = sup over v of |CDF_slice(v) − CDF_rest(v)|`,
+    * evaluated on the full slice × distinct-value grid (the sup lands
+    * at a jump of EITHER CDF, so slice-only value points would
+    * under-read slices that are missing mass where the rest jumps).
+    * Returns (`slice`, `n`, `d` 6dp).
+    *
+    * Unit contract: intended for BOUNDED-cardinality value domains
+    * (discretized scores, length caps, grades) — state and grid are
+    * slices × distinct values, and the global CDF prefix runs as one
+    * ordered window over that distinct-value aggregate. For unbounded
+    * continuous domains use [[ksStatistic]] per candidate slice (its
+    * CDFs distribute) or [[psiBySlice]] (constant bins). */
+  def ksBySlice(df: DataFrame, valueCol: String,
+      sliceCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perSlice = df
+      .filter(col(sliceCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(sliceCol).alias("slice"),
+        col(valueCol).cast("double").alias("__v"))
+      .where(!isnan(col("__v")))
+      .groupBy(col("slice"), col("__v"))
+      .agg(count(lit(1)).alias("__n"))
+    val globals = perSlice.groupBy(col("__v"))
+      .agg(sum(col("__n")).alias("__g"))
+      .withColumn("__gcum", sum(col("__g"))
+        .over(Window.orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = perSlice.groupBy(col("slice"))
+      .agg(sum(col("__n")).alias("__tn"))
+    val grand = globals.agg(sum(col("__g")).alias("__tg"))
+    val grid = totals
+      .crossJoin(broadcast(globals.select("__v", "__gcum")))
+      .join(perSlice, Seq("slice", "__v"), "left")
+      .na.fill(0L, Seq("__n"))
+      .withColumn("__scum", sum(col("__n")).over(
+        Window.partitionBy(col("slice")).orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(grand))
+    val d = abs(col("__scum") / col("__tn") -
+      (col("__gcum") - col("__scum")) / (col("__tg") - col("__tn")))
+    grid.groupBy(col("slice"))
+      .agg(max(col("__tn")).alias("n"),
+        Rounding.halfUp(max(d), 6).alias("d"))
+  }
+
   /** EXACT two-sample Kolmogorov–Smirnov statistic between two slices:
     * `D = max over v of |CDF_a(v) − CDF_b(v)|` — the binning-free drift
     * measure ([[psiReport]]'s D needs a bin grid; KS does not, and D

@@ -280,6 +280,36 @@ class ProfilingSpec extends SparkSpec {
     assert(got(1)._3 > 0 && got(1)._3 < got(2)._3)
   }
 
+  test("ksBySlice: leave-one-out exact D per slice, matches pairwise KS") {
+    import spark.implicits._
+    // three slices; c is shifted — its leave-one-out D must dominate,
+    // and the per-slice value must EQUAL ksStatistic run slice-vs-rest
+    val d = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0),
+      ("c", 8.0), ("c", 9.0)).toDF("src", "v")
+    val got = Profiling.ksBySlice(d, "v", "src")
+      .orderBy("slice").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == Seq("a", "b", "c"))
+    // c vs rest {1,1,2,2}: CDFs disjoint → D = 1; a vs rest {1,2,8,9}:
+    // F_a(2)=1, F_rest(2)=0.5 → D = 0.5
+    assert(got(2) == (("c", 2L, 1.0)))
+    assert(got(0) == (("a", 2L, 0.5)) && got(1) == (("b", 2L, 0.5)))
+    // consistency with the two-sample operator, per slice
+    val rest = d.withColumn("side",
+      when(col("src") === "c", "c").otherwise("rest"))
+    val pairwise = Profiling.ksStatistic(rest, "v", "side", "c", "rest")
+      .head().getDouble(0)
+    assert(pairwise == got(2)._3)
+    // a slice missing mass where the REST jumps is still measured at
+    // the rest's jump points (the grid, not slice-only points)
+    val e = Seq(("x", 1.0), ("x", 10.0), ("y", 5.0), ("y", 5.5))
+      .toDF("src", "v")
+    val dx = Profiling.ksBySlice(e, "v", "src")
+      .filter(col("slice") === "x").head().getDouble(2)
+    // F_x(5.5)=0.5 vs F_y(5.5)=1.0 → D = 0.5 occurs at y's jump
+    assert(dx == 0.5, s"got $dx")
+  }
+
   test("ksStatistic: exact D, partition-independent, zero on identical slices") {
     import spark.implicits._
     // a: {1,2,3,4}; b: {3,4,5,6} → D = |CDF_a - CDF_b| peaks at v∈[2,3):
