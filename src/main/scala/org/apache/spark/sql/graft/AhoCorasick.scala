@@ -106,6 +106,37 @@ object AcOps {
   }
 }
 
+/** [[AcMatches]] with the automaton built INLINE from a literal
+  * pattern list instead of a broadcast — the SQL-surface face
+  * (`graft_ac_matches(text, 'p1', 'p2', …)` via GraftExtensions),
+  * where no broadcast handle exists at function-resolution time. The
+  * automaton is a transient lazy val: each executor builds it once per
+  * task-deserialized expression from the (small, literal) pattern
+  * list — model-sized work, like the PQ LUT reference objects. */
+case class AcMatchesInline(child: Expression, patterns: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_ac_matches"
+
+  @transient private lazy val ac = new AcAutomaton(patterns)
+
+  override def nullSafeEval(input: Any): Any =
+    AcOps.acScan(ac, input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val acRef = ctx.addReferenceObj("acInline", ac,
+      "org.apache.spark.sql.graft.AcAutomaton")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.AcOps.acScan($acRef, $c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AcMatchesInline =
+    copy(child = newChild)
+}
+
 /** Distinct matched pattern ids (ascending `array<int>`) of a broadcast
   * [[AcAutomaton]] against a text column. Codegen'd: the generated code
   * resolves the broadcast once per task into a mutable state slot and

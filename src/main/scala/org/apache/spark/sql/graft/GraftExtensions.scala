@@ -23,6 +23,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   graft_hyperplane_signature(array<float>, planes, seed, table) → int
   *   graft_hilbert_index(bits, c1, c2, …) → long
   *   graft_char_entropy(string) → double
+  *   graft_ac_matches(string, 'p1', 'p2', …) → array<int>
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -110,6 +111,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length >= 2,
           "graft_hilbert_index takes bits then 1..8 coordinates")
         HilbertIndex(args.tail, intArg(args.head, "graft_hilbert_index", 0))
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_ac_matches"),
+      info("graft_ac_matches",
+        "graft_ac_matches(text, 'p1', 'p2', ...) - ids of blocklist patterns occurring in text (Aho-Corasick, O(text) at any list size)"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 2,
+          "graft_ac_matches takes text then at least one pattern literal")
+        val pats = args.tail.map {
+          case org.apache.spark.sql.catalyst.expressions.Literal(
+            s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+          case _ => throw new IllegalArgumentException(
+            "graft_ac_matches: patterns must be string literals")
+        }
+        AcMatchesInline(args.head, pats)
       }))
     ext.injectFunction((FunctionIdentifier("graft_char_entropy"),
       info("graft_char_entropy",

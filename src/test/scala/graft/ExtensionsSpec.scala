@@ -47,6 +47,14 @@ class ExtensionsSpec extends AnyFunSuite {
       // entropy of a single repeated char is exactly 0 bits
       assert(s.sql("SELECT graft_char_entropy('aaaa') AS e")
         .head().getDouble(0) == 0.0)
+      // blocklist scan from pure SQL: ids of the matched patterns
+      assert(s.sql(
+        "SELECT graft_ac_matches('the canary xyz sits', 'canary xyz', 'absent') AS m")
+        .head().getSeq[Int](0) == Seq(0))
+      val acErr = intercept[Exception] {
+        s.sql("SELECT graft_ac_matches('t', lower('X'))").head()
+      }
+      assert(acErr.getMessage.contains("literal"))
       // the sketch functions also resolve inside the RBQL dialect surface
       // (Graft.query routes expressions through the session's analyzer)
       import s.implicits._
