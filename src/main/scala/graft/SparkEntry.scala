@@ -742,6 +742,24 @@ object SparkEntry {
         "event_type", Seq("signup", "view", "click", "purchase"))
         .orderBy("step")),
 
+    // referential-integrity audit: orphans of lineitem→orders under a
+    // deliberately truncated parent (every third order dropped)
+    "q_orphans" -> ((s, dir) =>
+      pipeline.Profiling.orphans(
+        t(s, dir, "lineitem"),
+        t(s, dir, "orders").filter(col("o_orderkey") % 3 =!= 0),
+        "l_orderkey", "o_orderkey")),
+
+    // event-order audit: violations of ts monotonicity per user against
+    // a deterministic md5-permuted arrival order (the raw feed is
+    // perfectly ordered — the permutation exercises the check)
+    "q_order_viol" -> ((s, dir) => pipeline.Profiling.orderViolations(
+      t(s, dir, "events").withColumn("arr",
+        md5(col("event_id").cast("string"))),
+      "user_id", "ts", "arr")
+      .filter(col("user_id") < 30)
+      .orderBy("user_id")),
+
     // per-user rate changepoint: prefix-form CUSUM over daily buckets,
     // all windows on ONE key exchange
     "q_changepoint" -> ((s, dir) =>
@@ -2370,6 +2388,28 @@ object SparkEntry {
              * ln(greatest(na / ta, 1e-6) / greatest(nb / tb, 1e-6))
              * 1e6 + 0.5) / 1e6 AS psi_term
          FROM counts, tot ORDER BY bin""",
+    "q_orphans" ->
+      """WITH c AS (SELECT l_orderkey AS fk FROM lineitem
+                    WHERE l_orderkey IS NOT NULL),
+         p AS (SELECT DISTINCT o_orderkey AS pk FROM orders
+               WHERE o_orderkey % 3 <> 0),
+         o AS (SELECT count(*) AS n_orphans FROM c
+               WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.pk = c.fk)),
+         n AS (SELECT count(*) AS n_child FROM c)
+         SELECT n.n_child::BIGINT AS n_child,
+                o.n_orphans::BIGINT AS n_orphans,
+                floor(o.n_orphans::DOUBLE /
+                  greatest(n.n_child, 1) * 1e6 + 0.5) / 1e6 AS orphan_rate
+         FROM n, o""",
+    "q_order_viol" ->
+      """WITH x AS (
+           SELECT user_id, epoch_ns(ts) AS ns,
+                  lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+                    ORDER BY md5(event_id::VARCHAR)) AS prev
+           FROM events)
+         SELECT user_id, count(*)::BIGINT AS n_violations
+         FROM x WHERE prev IS NOT NULL AND ns < prev AND user_id < 30
+         GROUP BY user_id ORDER BY user_id""",
     "q_changepoint" ->
       """WITH per AS (
            SELECT user_id, epoch_ns(ts) // 86400000000000 AS p,

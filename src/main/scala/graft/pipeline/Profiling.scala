@@ -275,6 +275,49 @@ object Profiling {
     probes.map(p => p -> merged.estimateCount(p)).toMap
   }
 
+  /** Referential-integrity audit: child rows whose `fkCol` matches no
+    * parent `pkCol` (nulls excluded — they are absence, not breakage).
+    * Returns one row: (`n_child`, `n_orphans`, `orphan_rate` 6dp). The
+    * ingest QA that catches a truncated parent export before a join
+    * silently drops facts. Plan: LEFT ANTI equi-join — Spark broadcasts
+    * the parent key set when it is small, and the child side is never
+    * shuffled wider than its key column (both sides project to the key
+    * before the join). */
+  def orphans(child: DataFrame, parent: DataFrame,
+      fkCol: String, pkCol: String): DataFrame = {
+    val c = child.select(col(fkCol).alias("__fk"))
+      .filter(col("__fk").isNotNull)
+    val p = parent.select(col(pkCol).alias("__pk")).distinct()
+    val nChild = c.groupBy().agg(count(lit(1)).alias("n_child"))
+    val nOrphans = c.join(p, col("__fk") === col("__pk"), "left_anti")
+      .groupBy().agg(count(lit(1)).alias("n_orphans"))
+    nChild.crossJoin(nOrphans)
+      .select(col("n_child"), col("n_orphans"),
+        Rounding.halfUp(
+          col("n_orphans") / greatest(col("n_child"), lit(1L)), 6)
+          .alias("orphan_rate"))
+  }
+
+  /** Event-order audit: per key, how many rows arrive with a time
+    * EARLIER than the key's previous row (by `(tsCol, tieCol)` order
+    * this counts zero by construction — the violations are counted
+    * against ARRIVAL order, `arrivalCol`, the file/offset order the
+    * rows were ingested in). Returns one row per key with ≥1 violation:
+    * (`key`, `n_violations`), plus nothing for clean keys — the
+    * out-of-order-ingest QA a sessionizer wants answered before
+    * trusting watermarks. One hash exchange on the key. */
+  def orderViolations(df: DataFrame, keyCol: String, tsCol: String,
+      arrivalCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ns = Temporal.epochNanos(df, tsCol)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(arrivalCol))
+    df.select(col(keyCol), ns.alias("__ns"), col(arrivalCol))
+      .withColumn("__prev", lag(col("__ns"), 1).over(w))
+      .filter(col("__prev").isNotNull && col("__ns") < col("__prev"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).alias("n_violations"))
+  }
+
   /** Pairwise Pearson correlation of numeric columns, long form: one row
     * per unordered pair (`col_x` < `col_y`, `corr` rounded half-up 6dp).
     * ALL n·(n−1)/2 coefficients compute in ONE aggregate pass (each

@@ -256,6 +256,31 @@ class ProfilingSpec extends SparkSpec {
     assert(math.abs(z._4 - zTerm) < 1e-9)
   }
 
+  test("orphans: anti-join audit counts broken references, nulls excluded") {
+    import spark.implicits._
+    val child = Seq(Some(1L), Some(2L), Some(3L), None).toDF("fk")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val r = Profiling.orphans(child, parent, "fk", "pk").head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 1L)
+    assert(r.getDouble(2) == BigDecimal(1.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // intact references → zero orphans, rate 0
+    val ok = Profiling.orphans(child, Seq(1L, 2L, 3L).toDF("pk"),
+      "fk", "pk").head()
+    assert(ok.getLong(1) == 0L && ok.getDouble(2) == 0.0)
+  }
+
+  test("orderViolations counts per-key time regressions in arrival order") {
+    import spark.implicits._
+    // key 1 arrives ts 10,5,20,15 → two regressions; key 2 is clean
+    val ev = Seq((1L, 10L, 1L), (1L, 5L, 2L), (1L, 20L, 3L),
+      (1L, 15L, 4L), (2L, 1L, 5L), (2L, 2L, 6L))
+      .toDF("user_id", "ts", "arr")
+    val got = Profiling.orderViolations(ev, "user_id", "ts", "arr")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L)) // clean keys emit nothing
+  }
+
   test("psiBySlice: leave-one-out per-slice drift, zero-count bins contribute") {
     import spark.implicits._
     // slices a and b share one distribution; slice c sits entirely in
