@@ -742,6 +742,11 @@ object SparkEntry {
         "event_type", Seq("signup", "view", "click", "purchase"))
         .orderBy("step")),
 
+    // Benford first-digit audit over order totals (integral magnitude)
+    "q_benford" -> ((s, dir) =>
+      pipeline.Profiling.benford(t(s, dir, "orders"), "o_totalprice")
+        .orderBy("digit")),
+
     // referential-integrity audit: orphans of lineitem→orders under a
     // deliberately truncated parent (every third order dropped)
     "q_orphans" -> ((s, dir) =>
@@ -2388,6 +2393,27 @@ object SparkEntry {
              * ln(greatest(na / ta, 1e-6) / greatest(nb / tb, 1e-6))
              * 1e6 + 0.5) / 1e6 AS psi_term
          FROM counts, tot ORDER BY bin""",
+    "q_benford" ->
+      """WITH counts AS (
+           SELECT substr(CAST(CAST(trunc(abs(o_totalprice::DOUBLE)) AS BIGINT)
+                    AS VARCHAR), 1, 1) AS digit,
+                  count(*) AS n
+           FROM orders
+           WHERE o_totalprice IS NOT NULL
+             AND CAST(trunc(abs(o_totalprice::DOUBLE)) AS BIGINT) > 0
+           GROUP BY 1),
+         tot AS (SELECT sum(n) AS t FROM counts),
+         ds AS (SELECT d::VARCHAR AS digit,
+                       log10(1.0 + 1.0 / d) AS bs
+                FROM generate_series(1, 9) s(d))
+         SELECT ds.digit,
+           floor(coalesce(c.n, 0) / tot.t * 1e6 + 0.5) / 1e6 AS observed,
+           floor(ds.bs * 1e6 + 0.5) / 1e6 AS benford,
+           floor((greatest(coalesce(c.n, 0) / tot.t, 1e-6) - ds.bs)
+             * ln(greatest(coalesce(c.n, 0) / tot.t, 1e-6) / ds.bs)
+             * 1e6 + 0.5) / 1e6 AS term
+         FROM ds LEFT JOIN counts c ON c.digit = ds.digit
+         CROSS JOIN tot ORDER BY ds.digit""",
     "q_orphans" ->
       """WITH c AS (SELECT l_orderkey AS fk FROM lineitem
                     WHERE l_orderkey IS NOT NULL),

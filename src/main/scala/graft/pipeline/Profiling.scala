@@ -318,6 +318,44 @@ object Profiling {
       .agg(count(lit(1)).alias("n_violations"))
   }
 
+  /** First-significant-digit audit (Benford's law, 1938): observed
+    * share of leading digits 1–9 of |value| against the Benford
+    * expectation log10(1 + 1/d), with the PSI-style term per digit —
+    * the classic screen for fabricated or truncated numeric feeds
+    * (organic multi-scale magnitudes follow Benford; capped, generated,
+    * or defaulted columns do not; a large total term means "look at
+    * this column's provenance", not proof of fraud). The value is
+    * truncated to its INTEGRAL magnitude first (decimal rendering of
+    * integers is engine-portable; float-to-string is not) — pre-scale
+    * sub-unit columns before auditing. Zeros and nulls are excluded
+    * (no leading digit). ONE aggregate pass: the leading digit is a
+    * codegen'd string head, counts collapse map-side to ≤9 groups. */
+  def benford(df: DataFrame, c: String, eps: Double = 1e-6): DataFrame = {
+    val mag = abs(col(c).cast("double")).cast("long")
+    val counts = df
+      .filter(col(c).isNotNull)
+      .select(mag.alias("__m"))
+      .filter(col("__m") > 0)
+      .select(substring(col("__m").cast("string"), 1, 1).alias("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).alias("__n"))
+    val totals = counts.agg(sum(col("__n")).alias("__t"))
+    // all nine digits present in the report, observed or not
+    val digits = (1 to 9).map(d => (d.toString,
+      math.log10(1.0 + 1.0 / d)))
+    val expected = df.sparkSession.createDataFrame(digits)
+      .toDF("digit", "benford_share")
+    val pObs = greatest(coalesce(col("__n"), lit(0L)) / col("__t"), lit(eps))
+    expected.join(counts, Seq("digit"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("digit"),
+        Rounding.halfUp(
+          coalesce(col("__n"), lit(0L)) / col("__t"), 6).alias("observed"),
+        Rounding.halfUp(col("benford_share"), 6).alias("benford"),
+        Rounding.halfUp(
+          (pObs - col("benford_share")) * log(pObs / col("benford_share")),
+          6).alias("term"))
+  }
+
   /** Pairwise Pearson correlation of numeric columns, long form: one row
     * per unordered pair (`col_x` < `col_y`, `corr` rounded half-up 6dp).
     * ALL n·(n−1)/2 coefficients compute in ONE aggregate pass (each

@@ -256,6 +256,23 @@ class ProfilingSpec extends SparkSpec {
     assert(math.abs(z._4 - zTerm) < 1e-9)
   }
 
+  test("benford: digit shares vs expectation; zeros excluded, all digits reported") {
+    import spark.implicits._
+    val d = Seq(100.5, 123.0, 190.0, 20.0, 2.7, 0.0, -30.0).toDF("x")
+    val got = Profiling.benford(d, "x")
+      .orderBy("digit").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.length == 9) // every digit present, observed or not
+    // digits: 1×3 (100,123,190), 2×2 (20, 2.7→2), 3×1 (−30); 0 excluded
+    val byDigit = got.map(g => g._1 -> g._2).toMap
+    assert(byDigit("1") == 0.5 && byDigit("2") == BigDecimal(2.0 / 6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(byDigit("9") == 0.0)
+    // expectation column is the Benford share
+    assert(got.head._3 == BigDecimal(math.log10(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("orphans: anti-join audit counts broken references, nulls excluded") {
     import spark.implicits._
     val child = Seq(Some(1L), Some(2L), Some(3L), None).toDF("fk")
