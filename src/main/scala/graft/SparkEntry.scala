@@ -742,6 +742,17 @@ object SparkEntry {
         "event_type", Seq("signup", "view", "click", "purchase"))
         .orderBy("step")),
 
+    // schema-drift audit (pure metadata, no scan): a refresh with one
+    // column dropped, one narrowed, one added
+    "q_schema_diff" -> ((s, dir) => {
+      val a = t(s, dir, "documents")
+      val b = a.drop("lang")
+        .withColumn("n_chars", col("n_chars").cast("int"))
+        .withColumn("extra", lit(1L))
+      pipeline.Profiling.schemaDiff(a, b)
+        .select("column", "status").orderBy("column")
+    }),
+
     // Benford first-digit audit over order totals (integral magnitude)
     "q_benford" -> ((s, dir) =>
       pipeline.Profiling.benford(t(s, dir, "orders"), "o_totalprice")
@@ -2393,6 +2404,12 @@ object SparkEntry {
              * ln(greatest(na / ta, 1e-6) / greatest(nb / tb, 1e-6))
              * 1e6 + 0.5) / 1e6 AS psi_term
          FROM counts, tot ORDER BY bin""",
+    "q_schema_diff" ->
+      """SELECT * FROM (VALUES
+           ('doc_id', 'unchanged'), ('extra', 'added'),
+           ('lang', 'removed'), ('n_chars', 'type_changed'),
+           ('source', 'unchanged'), ('text', 'unchanged'))
+         AS t("column", status) ORDER BY "column"""",
     "q_benford" ->
       """WITH counts AS (
            SELECT substr(CAST(CAST(trunc(abs(o_totalprice::DOUBLE)) AS BIGINT)

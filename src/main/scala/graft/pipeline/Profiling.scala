@@ -318,6 +318,29 @@ object Profiling {
       .agg(count(lit(1)).alias("n_violations"))
   }
 
+  /** Schema-drift audit between two snapshots: one row per column name
+    * present in either frame — status ∈ added (B only), removed
+    * (A only), type_changed, unchanged — with both type strings. Pure
+    * metadata (no job, no scan): the check an ingest runs BEFORE
+    * touching data, so a silently widened or dropped column fails fast
+    * instead of surfacing as a mid-job analysis error three stages
+    * later. */
+  def schemaDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    val at = a.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+    val bt = b.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+    val rows = (at.keySet ++ bt.keySet).toSeq.sorted.map { c =>
+      val status = (at.get(c), bt.get(c)) match {
+        case (None, _) => "added"
+        case (_, None) => "removed"
+        case (Some(x), Some(y)) if x != y => "type_changed"
+        case _ => "unchanged"
+      }
+      (c, status, at.getOrElse(c, null), bt.getOrElse(c, null))
+    }
+    a.sparkSession.createDataFrame(rows)
+      .toDF("column", "status", "type_a", "type_b")
+  }
+
   /** First-significant-digit audit (Benford's law, 1938): observed
     * share of leading digits 1–9 of |value| against the Benford
     * expectation log10(1 + 1/d), with the PSI-style term per digit —

@@ -256,6 +256,19 @@ class ProfilingSpec extends SparkSpec {
     assert(math.abs(z._4 - zTerm) < 1e-9)
   }
 
+  test("schemaDiff classifies metadata drift without running a job") {
+    import spark.implicits._
+    val a = Seq((1L, "x", 2.0)).toDF("id", "name", "score")
+    val b = Seq((1, "x", true)).toDF("id", "name", "flag")
+    val got = Profiling.schemaDiff(a, b)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    assert(got("id") == (("type_changed", "BIGINT", "INT")))
+    assert(got("name") == (("unchanged", "STRING", "STRING")))
+    assert(got("score")._1 == "removed" && got("score")._3 == null)
+    assert(got("flag")._1 == "added" && got("flag")._2 == null)
+  }
+
   test("benford: digit shares vs expectation; zeros excluded, all digits reported") {
     import spark.implicits._
     val d = Seq(100.5, 123.0, 190.0, 20.0, 2.7, 0.0, -30.0).toDF("x")
