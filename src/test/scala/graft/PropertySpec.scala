@@ -381,6 +381,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: AC automaton agrees with contains() on adversarial small alphabets") {
+    // tiny alphabet forces overlapping/nested patterns and deep failure
+    // chains — the paths a happy-case test never exercises
+    val patGen = Gen.nonEmptyListOf(
+      Gen.choose(1, 4).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf('a', 'b')).map(_.mkString)))
+      .map(_.distinct.take(6))
+    val textGen = Gen.listOfN(40, Gen.oneOf('a', 'b')).map(_.mkString)
+    samples(Gen.zip(patGen, textGen), 60).foreach { case (pats, text) =>
+      val ac = new org.apache.spark.sql.graft.AcAutomaton(pats)
+      val got = ac.scan(text).toSet
+      val expect = pats.zipWithIndex
+        .filter { case (p, _) => text.contains(p) }.map(_._2).toSet
+      assert(got == expect,
+        s"patterns=$pats text=$text got=$got expect=$expect")
+    }
+  }
+
   test("property: hilbert index is bijective and unit-step at any dims/bits") {
     import org.apache.spark.sql.graft.GraftHashOps
     // every (dims, bits) pair small enough to enumerate exhaustively
