@@ -113,6 +113,24 @@ class StreamingSpec extends SparkSpec {
     assert(u7.getDouble(2) == 4.0)
   }
 
+  test("canary blocklist filters a live stream (the AC expression is stream-safe)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+    val q = graft.pipeline.Dedup.removeCanaries(df, "text",
+        Seq("canary-guid-77"))
+      .writeStream.format("memory").queryName("canstream")
+      .outputMode("append").start()
+    mem.addData((1L, "clean doc"), (2L, "has canary-guid-77 inside"),
+      (3L, "also clean"))
+    q.processAllAvailable()
+    val kept = spark.table("canstream").collect()
+      .map(_.getLong(0)).toSet
+    q.stop()
+    assert(kept == Set(1L, 3L)) // map-side filter, no state, no watermark
+  }
+
   test("drift monitor: per-window PSI against a fixed reference mix") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
