@@ -372,6 +372,16 @@ object SparkEntry {
         .toDF("check", "ok").orderBy("check")
     }),
 
+    // eval n-gram coverage: fraction of the bench slice's distinct
+    // 2-grams seen anywhere in train (diffuse-leak intensity); train
+    // pays one broadcast-probed scan
+    "q_coverage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      pipeline.Dedup.crossNgramCoverage(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0), "text", k = 2)
+    }),
+
     // exact canary/blocklist scan: one broadcast Aho-Corasick automaton,
     // O(text) per doc regardless of pattern count, zero shuffle
     "q_canary" -> ((s, dir) =>
@@ -2198,6 +2208,27 @@ object SparkEntry {
          FROM (SELECT unnest(['mean_in_band',
                               'repetitive_compresses_more']) AS c)
          ORDER BY "check"""",
+    "q_coverage" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(tk) < 2
+             THEN [array_to_string(tk, ' ')]
+             ELSE list_transform(generate_series(1, len(tk)-1),
+                    i -> array_to_string(tk[i:i+1], ' ')) END) AS s
+           FROM toks),
+         ev AS (SELECT DISTINCT unnest(s) AS g FROM sh
+                WHERE doc_id % 7 = 0),
+         tr AS (SELECT DISTINCT unnest(s) AS g FROM sh
+                WHERE doc_id % 7 <> 0),
+         ne AS (SELECT count(*) AS n_eval FROM ev),
+         nh AS (SELECT count(*) AS n_hit FROM ev
+                WHERE EXISTS (SELECT 1 FROM tr WHERE tr.g = ev.g))
+         SELECT ne.n_eval::BIGINT AS n_eval, nh.n_hit::BIGINT AS n_hit,
+           floor(nh.n_hit::DOUBLE /
+             greatest(ne.n_eval, 1) * 1e6 + 0.5) / 1e6 AS coverage
+         FROM ne, nh""",
     "q_canary" ->
       """SELECT doc_id, p.pattern
          FROM documents,

@@ -53,6 +53,35 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Eval-set n-gram coverage: of the eval corpus' DISTINCT word
+    * k-grams, the fraction that appears ANYWHERE in the train corpus —
+    * the memorization-risk intensity measure, finer than per-doc
+    * containment ([[crossContainment]] asks "is this eval doc inside
+    * some train doc"; this asks "how much of the eval phrasing has the
+    * model seen at all", which stays informative when leakage is
+    * diffuse). Returns one row: (`n_eval`, `n_hit`, `coverage` 6dp).
+    *
+    * Scale shape: the eval k-gram set is distinct-collapsed (benchmark
+    * -sized) and BROADCAST; the train corpus pays one explode-scan with
+    * a map-side hash probe — never shuffled, never collected — and the
+    * matched set (≤ eval set) collapses to a count. Shingles ride as
+    * 8-byte hashes throughout. */
+  def crossNgramCoverage(train: DataFrame, evalDf: DataFrame,
+      textCol: String, k: Int = 2): DataFrame = {
+    val g = (d: DataFrame) => d.select(explode(
+      org.apache.spark.sql.graft.sketch.shingle_hashes(col(textCol), k))
+      .alias("s"))
+    val evalG = g(evalDf).distinct()
+    val hit = g(train).join(broadcast(evalG), "s")
+      .agg(count_distinct(col("s")).alias("n_hit"))
+    val nEval = evalG.agg(count(lit(1)).alias("n_eval"))
+    nEval.crossJoin(hit)
+      .select(col("n_eval"), col("n_hit"),
+        Rounding.halfUp(
+          col("n_hit") / greatest(col("n_eval"), lit(1L)), 6)
+          .alias("coverage"))
+  }
+
   /** Exact multi-pattern canary/blocklist scan: every (doc, pattern)
     * hit for documents containing ANY of `patterns` as a raw substring —
     * benchmark canary GUIDs, blocklisted URLs, fixed contamination

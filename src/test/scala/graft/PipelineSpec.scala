@@ -687,6 +687,23 @@ class PipelineSpec extends SparkSpec {
       .map(_.getLong(0)).toSet)
   }
 
+  test("crossNgramCoverage counts eval grams seen in train; train never shuffles") {
+    import spark.implicits._
+    val train = Seq((1L, "a b c d"), (2L, "x y")).toDF("doc_id", "text")
+    val ev = Seq((10L, "a b q"), (11L, "x y")).toDF("doc_id", "text")
+    // eval distinct 2-grams: {a b, b q, x y}; train has {a b, b c, c d,
+    // x y} → hits {a b, x y} → 2/3
+    val r = Dedup.crossNgramCoverage(train, ev, "text", k = 2).head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == BigDecimal(2.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // the train side joins via BROADCAST — no train-keyed exchange
+    val plan = Dedup.crossNgramCoverage(train, ev, "text", 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), s"eval side must broadcast:\n$plan")
+  }
+
   test("bench gate persists: reloaded gate admits the identical train set") {
     val train = sf("documents").filter(col("doc_id") < 300)
     val bench = sf("documents").filter(col("doc_id") % 97 === 0)
