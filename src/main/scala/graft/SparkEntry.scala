@@ -786,6 +786,12 @@ object SparkEntry {
       .filter(col("user_id") < 30)
       .orderBy("user_id")),
 
+    // inter-event gap quantiles (the evidence behind the session gap)
+    "q_gaps" -> ((s, dir) => pipeline.Temporal.gapQuantiles(
+      t(s, dir, "events"), "user_id", "ts", "event_id",
+      ps = Seq(0.5, 0.9, 0.99))
+      .orderBy("p")),
+
     // per-user rate changepoint: prefix-form CUSUM over daily buckets,
     // all windows on ONE key exchange
     "q_changepoint" -> ((s, dir) =>
@@ -2484,6 +2490,17 @@ object SparkEntry {
          SELECT user_id, count(*)::BIGINT AS n_violations
          FROM x WHERE prev IS NOT NULL AND ns < prev AND user_id < 30
          GROUP BY user_id ORDER BY user_id""",
+    "q_gaps" ->
+      """WITH g AS (
+           SELECT epoch_ns(ts) - lag(epoch_ns(ts)) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+           FROM events),
+         q AS (SELECT quantile_cont(gap, [0.5, 0.9, 0.99]) AS qs
+               FROM g WHERE gap IS NOT NULL)
+         SELECT 0.5 AS p, qs[1]::DOUBLE AS gap_ns FROM q
+         UNION ALL SELECT 0.9, qs[2]::DOUBLE FROM q
+         UNION ALL SELECT 0.99, qs[3]::DOUBLE FROM q
+         ORDER BY p""",
     "q_changepoint" ->
       """WITH per AS (
            SELECT user_id, epoch_ns(ts) // 86400000000000 AS p,

@@ -462,6 +462,40 @@ object Temporal {
     }.reduce(_ unionByName _)
   }
 
+  /** Inter-event gap distribution: quantiles of the per-key gaps
+    * between consecutive events (epoch-nanos; each key's first event
+    * has no gap and contributes nothing) — the evidence for choosing
+    * [[sessionize]]'s `gap`, a rolling window width, or a watermark:
+    * pick the knee between the within-session mode and the
+    * between-session tail instead of folklore ("30 minutes"). Returns
+    * one row per requested quantile: (`p`, `gap_ns`, exact
+    * interpolating percentile — engine-portable, like
+    * [[Profiling.describe]]'s median).
+    *
+    * Plan: one hash exchange on the key for the lag window, then one
+    * global aggregate whose state is the gap value-count map (gaps of
+    * real event data cluster heavily — far fewer distinct values than
+    * rows; for pathological continuous-gap corpora swap in
+    * approx_percentile). */
+  def gapQuantiles(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
+      "quantiles must be in [0,1]")
+    val ns = epochNanos(df, tsCol)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val gaps = df.select(col(keyCol), ns.alias("__ns"),
+        col(tsCol), col(tieCol))
+      .withColumn("__gap", col("__ns") - lag(col("__ns"), 1).over(w))
+      .filter(col("__gap").isNotNull)
+    val agg = gaps.agg(percentile(col("__gap"),
+      array(ps.map(lit): _*)).alias("__qs"))
+    val rows = ps.zipWithIndex.map { case (p, i) =>
+      struct(lit(p).alias("p"),
+        element_at(col("__qs"), i + 1).cast("double").alias("gap_ns"))
+    }
+    agg.select(explode(array(rows: _*)).alias("s")).select(col("s.*"))
+  }
+
   /** Single-changepoint detection per key: bucket events into
     * `periodNs` periods, and locate where each key's per-period event
     * rate shifts — the CUSUM statistic in its non-recursive prefix

@@ -402,6 +402,18 @@ class TemporalSpec extends SparkSpec {
     assert(bucketed == naive)
   }
 
+  test("gapQuantiles measures per-key inter-event gaps, first events excluded") {
+    import spark.implicits._
+    // user 1 gaps: 50, 850; user 2: single event (no gap)
+    val ev = Seq((1L, 100L, 1L), (1L, 150L, 2L), (1L, 1000L, 3L),
+      (2L, 500L, 4L)).toDF("user_id", "ts", "event_id")
+    val got = Temporal.gapQuantiles(ev, "user_id", "ts", "event_id",
+        Seq(0.0, 0.5, 1.0))
+      .orderBy("p").collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    // gaps {50, 850}: min 50, interpolated median 450, max 850
+    assert(got.toSeq == Seq((0.0, 50.0), (0.5, 450.0), (1.0, 850.0)))
+  }
+
   test("changepoint finds the rate-shift period via the prefix CUSUM peak") {
     import spark.implicits._
     // user 1: 5 periods at rate 1, then 5 at rate 10 → the CUSUM path
