@@ -372,6 +372,17 @@ object SparkEntry {
         .toDF("check", "ok").orderBy("check")
     }),
 
+    // data-constrained mixing with repetition: undersized sources run
+    // full epochs (capped) + one md5-sampled partial epoch
+    "q_repeat" -> ((s, dir) =>
+      pipeline.Mixing.repeatToBudget(
+        t(s, dir, "documents"), "text", "doc_id", "source",
+        weights = Map("src0" -> 0.5, "src1" -> 0.5),
+        tokenBudget = 10000L, maxEpochs = 4)
+        .groupBy(col("source"), col("epoch"))
+        .agg(count(lit(1)).alias("cnt"))
+        .orderBy("source", "epoch")),
+
     // eval n-gram coverage: fraction of the bench slice's distinct
     // 2-grams seen anywhere in train (diffuse-leak intensity); train
     // pays one broadcast-probed scan
@@ -2214,6 +2225,33 @@ object SparkEntry {
          FROM (SELECT unnest(['mean_in_band',
                               'repetitive_compresses_more']) AS c)
          ORDER BY "check"""",
+    "q_repeat" ->
+      """WITH per AS (
+           SELECT source, count(*)::BIGINT AS n_docs,
+             sum(len(string_split(trim(text), ' ')))::BIGINT AS n_tokens
+           FROM documents WHERE source IN ('src0', 'src1')
+           GROUP BY source),
+         plan AS (
+           SELECT source, n_docs,
+             least(4.0, floor(5000.0 / n_tokens))::BIGINT AS f,
+             CASE WHEN floor(5000.0 / n_tokens) >= 4 THEN 0.0
+                  ELSE least(1.0, 5000.0 / n_tokens
+                         - floor(5000.0 / n_tokens)) END AS frac
+           FROM per),
+         fulls AS (
+           SELECT p.source, s.e AS epoch, p.n_docs AS cnt
+           FROM plan p, generate_series(0, 3) s(e) WHERE s.e < p.f),
+         parts AS (
+           SELECT p.source, p.f AS epoch, count(*)::BIGINT AS cnt
+           FROM plan p JOIN documents d ON d.source = p.source
+           WHERE p.frac > 0
+             AND substr(md5(d.doc_id::VARCHAR), 1, 8) <
+                 printf('%08x',
+                   CAST(round(p.frac * 4294967296.0) AS BIGINT))
+           GROUP BY p.source, p.f)
+         SELECT source, epoch::INT AS epoch, cnt FROM fulls
+         UNION ALL SELECT source, epoch::INT, cnt FROM parts
+         ORDER BY source, epoch""",
     "q_coverage" ->
       """WITH toks AS (
            SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk

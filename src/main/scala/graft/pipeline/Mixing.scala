@@ -116,4 +116,65 @@ object Mixing {
       sourceStats(df, textCol, sourceCol), sourceCol, weights, tokenBudget)
     Sampling.stratifiedSample(df, idCol, sourceCol, rates, defaultRate = 0.0)
   }
+
+  /** Data-constrained mixing WITH REPETITION (Muennighoff et al. 2023,
+    * "Scaling Data-Constrained Language Models"): [[mixToBudget]] can
+    * only downsample — when a source's slot (budget·weight) EXCEEDS its
+    * token count, the realized mix silently under-delivers that source.
+    * Here an undersized source repeats: up to `maxEpochs` full passes
+    * (the paper finds repeated data near-free to ~4 epochs and decaying
+    * after — the cap keeps plans honest) plus one deterministic
+    * md5-sampled partial epoch; oversized sources downsample exactly
+    * like mixToBudget (partial epoch of epoch 0). Output = input rows
+    * with an `epoch` column (0-based; a doc appears once per planned
+    * epoch) — feed to packing/shuffling downstream.
+    *
+    * Plan: the stats aggregate is bounded, the plan is #sources
+    * driver arithmetic, and application is ONE map-side explode of a
+    * per-source epoch sequence + the stratified md5 filter on the
+    * final partial epoch — no shuffle, deterministic under
+    * repartitioning, same doc set on every engine. */
+  def repeatToBudget(
+      df: DataFrame, textCol: String, idCol: String, sourceCol: String,
+      weights: Map[String, Double], tokenBudget: Long,
+      maxEpochs: Int = 4): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(tokenBudget > 0, "tokenBudget must be positive")
+    require(maxEpochs >= 1, "maxEpochs must be >= 1")
+    val wSum = weights.values.sum
+    require(wSum > 0, "weights must have positive mass")
+    val stats = sourceStats(df, textCol, sourceCol)
+      .select(col(sourceCol), col("n_tokens")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // per source: full epochs + the partial-epoch keep rate
+    val plan: Map[String, (Int, Double)] = weights.flatMap {
+      case (s, w) =>
+        stats.get(s).filter(_ > 0).map { tok =>
+          val target = tokenBudget.toDouble * (w / wSum)
+          val ratio = target / tok
+          val full = math.min(maxEpochs.toDouble, math.floor(ratio)).toInt
+          val frac = if (full >= maxEpochs) 0.0
+            else math.min(1.0, ratio - full)
+          s -> ((full, frac))
+        }
+    }
+    // epochs column: sequence(0, n_epochs-1); the LAST epoch of a
+    // source with frac > 0 is partial (md5-gated), earlier ones full
+    val nEpochs = plan.foldLeft(when(lit(false), lit(0))) {
+      case (acc, (s, (full, frac))) =>
+        acc.when(col(sourceCol) === s, lit(full + (if (frac > 0) 1 else 0)))
+    }.otherwise(lit(0))
+    val fullEpochs = plan.foldLeft(when(lit(false), lit(0))) {
+      case (acc, (s, (full, _))) => acc.when(col(sourceCol) === s, lit(full))
+    }.otherwise(lit(0))
+    val fracThreshold = plan.foldLeft(when(lit(false), lit(""))) {
+      case (acc, (s, (_, frac))) =>
+        acc.when(col(sourceCol) === s, lit(Sampling.hexThreshold(frac)))
+    }.otherwise(lit(Sampling.hexThreshold(0.0)))
+    df.filter(nEpochs > 0)
+      .withColumn("epoch",
+        explode(sequence(lit(0), nEpochs - 1)))
+      .filter(col("epoch") < fullEpochs ||
+        substring(md5(col(idCol).cast("string")), 1, 8) < fracThreshold)
+  }
 }

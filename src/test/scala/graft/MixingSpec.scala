@@ -92,4 +92,34 @@ class MixingSpec extends SparkSpec {
       .select("source").distinct().collect().map(_.getString(0)).toSet
     assert(srcs.subsetOf(Set("web", "books")))
   }
+
+  test("repeatToBudget repeats undersized sources, caps epochs, downsamples oversized") {
+    // code: 50 tokens total. weights code=0.5, web=0.5, budget 250 →
+    // code target 125 / 50 tokens = 2.5 epochs → 2 full + 0.5 partial;
+    // web target 125 / 1000 tokens = 0.125 → 0 full + 0.125 partial
+    val out = Mixing.repeatToBudget(docs, "text", "id", "source",
+      Map("code" -> 0.5, "web" -> 0.5), tokenBudget = 250L, maxEpochs = 4)
+    val byEpoch = out.groupBy("source", "epoch").count()
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    assert(byEpoch(("code", 0)) == 10L && byEpoch(("code", 1)) == 10L)
+    val codePartial = byEpoch.getOrElse(("code", 2), 0L)
+    assert(codePartial > 0L && codePartial < 10L, s"partial: $codePartial")
+    val webPartial = byEpoch.getOrElse(("web", 0), 0L)
+    assert(webPartial > 0L && webPartial < 40L, s"web kept: $webPartial")
+    assert(!byEpoch.keys.exists(_._1 == "books")) // unweighted → dropped
+    // the epoch cap binds: a huge budget stops at maxEpochs full passes
+    val capped = Mixing.repeatToBudget(docs, "text", "id", "source",
+      Map("code" -> 1.0), tokenBudget = 100000L, maxEpochs = 3)
+    val epochs = capped.select("epoch").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(epochs == Set(0, 1, 2))
+    // determinism under repartitioning (same rows, same epochs)
+    val again = Mixing.repeatToBudget(docs.repartition(7), "text", "id",
+      "source", Map("code" -> 0.5, "web" -> 0.5), 250L, 4)
+      .select("id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(again == out.select("id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet)
+  }
 }
