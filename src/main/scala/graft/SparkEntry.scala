@@ -1301,6 +1301,31 @@ object SparkEntry {
         .orderBy(col("sample_key").desc, col("doc_id"))
     }),
 
+    // model-based quality/language filter (fastText-shape, Joulin 2017 /
+    // GPT-3 data recipe): hashed-ngram Naive Bayes fit on a labeled set
+    // (here: lang='en' as the positive class), applied to the corpus by
+    // the shuffle-free per-row scoring kernel
+    "q_nb_quality" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labeled = docs.withColumn("y", (col("lang") === "en").cast("int"))
+      val model = pipeline.Classify.fitNaiveBayes(labeled, "text", "doc_id",
+        "y", buckets = 8192, alpha = 0.5)
+      pipeline.Classify.score(docs, "text", "doc_id", model)
+        .orderBy("doc_id")
+    }),
+
+    // one deterministic logistic-regression GD step from zero init (the
+    // σ(0)=½ closed form the oracle replays); multi-step convergence is
+    // certified by ClassifySpec
+    "q_lr_step" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labeled = docs.withColumn("y", (col("lang") === "en").cast("int"))
+      val model = pipeline.Classify.fitLogReg(labeled, "text", "doc_id",
+        "y", buckets = 8192, lr = 0.5, iters = 1)
+      pipeline.Classify.score(docs, "text", "doc_id", model)
+        .orderBy("doc_id")
+    }),
+
     // temperature-scaled mixture plan (q ∝ p^alpha, Conneau 2020): the
     // per-source keep-rates that flatten the natural mix at alpha=0.5
     // under a 20k-token budget
@@ -3212,6 +3237,69 @@ object SparkEntry {
                ORDER BY key DESC, doc_id LIMIT 40)
          SELECT doc_id, iw, floor(key * 1e6 + 0.5) / 1e6 AS sample_key
          FROM t ORDER BY sample_key DESC, doc_id""",
+    // hashed-ngram Naive Bayes replay: per-class bucket histograms +
+    // add-α log-odds + doc-count prior, scored per occurrence
+    "q_nb_quality" ->
+      """WITH d AS (SELECT doc_id, (lang = 'en')::INT AS y,
+             string_split(lower(trim(text)), ' ') AS tk FROM documents),
+         g AS (SELECT doc_id, y, unnest(list_concat(tk,
+                 CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
+                   ELSE list_transform(generate_series(1, len(tk)-1),
+                          i -> tk[i] || ' ' || tk[i+1]) END)) AS ng
+               FROM d),
+         fb AS (SELECT doc_id, y,
+                  ('0x' || substr(md5(ng), 1, 8))::BIGINT % 8192 AS f
+                FROM g),
+         cp AS (SELECT f, count(*)::BIGINT AS c FROM fb WHERE y = 1 GROUP BY f),
+         cn AS (SELECT f, count(*)::BIGINT AS c FROM fb WHERE y = 0 GROUP BY f),
+         np AS (SELECT coalesce(sum(c), 0)::BIGINT AS n FROM cp),
+         nn AS (SELECT coalesce(sum(c), 0)::BIGINT AS n FROM cn),
+         allf AS (SELECT DISTINCT f FROM fb),
+         w AS (SELECT allf.f,
+                 ln((coalesce(cp.c, 0)::DOUBLE + 0.5)
+                     / (np.n::DOUBLE + 0.5 * 8192))
+               - ln((coalesce(cn.c, 0)::DOUBLE + 0.5)
+                     / (nn.n::DOUBLE + 0.5 * 8192)) AS w
+               FROM allf LEFT JOIN cp ON allf.f = cp.f
+                         LEFT JOIN cn ON allf.f = cn.f, np, nn),
+         prior AS (SELECT ln(sum((y = 1)::INT)::DOUBLE
+                           / sum((y = 0)::INT)::DOUBLE) AS b FROM d),
+         sc AS (SELECT fb.doc_id, count(*)::BIGINT AS n_feats,
+                  sum(w.w) AS s
+                FROM fb JOIN w ON fb.f = w.f GROUP BY fb.doc_id)
+         SELECT d.doc_id, coalesce(sc.n_feats, 0)::BIGINT AS n_feats,
+           floor((coalesce(sc.s, 0.0) + prior.b) * 1e6 + 0.5) / 1e6 AS score,
+           (floor((coalesce(sc.s, 0.0) + prior.b) * 1e6 + 0.5) / 1e6
+             > 0)::INT AS pred
+         FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id, prior
+         ORDER BY d.doc_id""",
+    // one logistic GD step from zero init: σ(0)=½ makes the step closed
+    // form — w_j = lr/n·Σ_d (y_d−½)·c_d(j), bias = lr/n·Σ_d (y_d−½)
+    "q_lr_step" ->
+      """WITH d AS (SELECT doc_id, (lang = 'en')::INT AS y,
+             string_split(lower(trim(text)), ' ') AS tk FROM documents),
+         g AS (SELECT doc_id, y, unnest(list_concat(tk,
+                 CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
+                   ELSE list_transform(generate_series(1, len(tk)-1),
+                          i -> tk[i] || ' ' || tk[i+1]) END)) AS ng
+               FROM d),
+         fb AS (SELECT doc_id, y,
+                  ('0x' || substr(md5(ng), 1, 8))::BIGINT % 8192 AS f
+                FROM g),
+         n AS (SELECT count(*)::DOUBLE AS n FROM d),
+         w AS (SELECT f, sum(y::DOUBLE - 0.5) * 0.5 / any_value(n.n) AS w
+               FROM fb, n GROUP BY f),
+         b AS (SELECT sum(y::DOUBLE - 0.5) * 0.5 / any_value(n.n) AS b
+               FROM d, n),
+         sc AS (SELECT fb.doc_id, count(*)::BIGINT AS n_feats,
+                  sum(w.w) AS s
+                FROM fb JOIN w ON fb.f = w.f GROUP BY fb.doc_id)
+         SELECT d.doc_id, coalesce(sc.n_feats, 0)::BIGINT AS n_feats,
+           floor((coalesce(sc.s, 0.0) + b.b) * 1e6 + 0.5) / 1e6 AS score,
+           (floor((coalesce(sc.s, 0.0) + b.b) * 1e6 + 0.5) / 1e6
+             > 0)::INT AS pred
+         FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id, b
+         ORDER BY d.doc_id""",
     "q_mix_temp" ->
       """WITH per AS (SELECT source,
              sum(len(string_split(trim(text), ' ')))::BIGINT AS n_tokens

@@ -1,0 +1,189 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based document filtering: linear classifiers over hashed
+  * n-gram features — the fastText-style quality/language filter used by
+  * the GPT-3 / CCNet data recipes (Brown et al. 2020 §2.2 train a
+  * logistic classifier to separate curated from raw text and keep
+  * high-scoring documents; Joulin et al. 2017 show linear bag-of-ngram
+  * models match deep ones for this).
+  *
+  * Both fits produce the same artifact — a [[LinearTextModel]]: one
+  * weight per hash bucket plus a bias — so SCORING is identical and
+  * shuffle-free: the per-row `graft_dsir_score` kernel walks the
+  * document's n-gram array, md5-buckets each gram and accumulates
+  * `weights[bucket]`; the model rides into codegen as a reference
+  * `double[]` (the PQ-codebook pattern). Features (lowercased unigrams
+  * + bigrams, md5-prefix-hashed into `buckets` cells) are IDENTICAL to
+  * [[Dsir]]'s, so the same tokenization contract and the same DuckDB
+  * replayability hold: an oracle can recompute every score from SQL.
+  *
+  * Scale shape: fitting runs on a LABELED set — in production a bounded
+  * curated sample (thousands to millions of rows), never the 100 TB raw
+  * corpus; both fits keep driver state at O(buckets) doubles. Applying
+  * the model to the raw corpus is ONE plain scan — zero shuffle, zero
+  * join (the round-8 DSIR lesson: never featurize-explode the corpus for
+  * scoring when a per-row kernel can walk the gram array in place).
+  */
+object Classify {
+
+  /** The portable artifact both fits produce: score(d) = bias +
+    * Σ over feature occurrences f∈d of weights[bucket(f)]. */
+  case class LinearTextModel(weights: Array[Double], bias: Double,
+      buckets: Int) {
+    require(weights.length == buckets, "weights must have one cell per bucket")
+  }
+
+  /** 32-bit md5-prefix bucket of a feature string — the engine-portable
+    * hash shared with [[Dsir]]/[[Sampling]] (DuckDB:
+    * `('0x' || substr(md5(f),1,8))::BIGINT % buckets`). */
+  private def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Unigrams ++ bigrams of the lowercased, whitespace-split text — one
+    * definition shared by the exploded count passes and the per-row
+    * scoring kernel (identical to [[Dsir]]'s featurization). */
+  private def grams(textCol: String): Column =
+    concat(TextAnalysis.tokens(lower(col(textCol))),
+      TextAnalysis.bigrams(col(textCol)))
+
+  /** Per-occurrence hashed feature stream: (`idCol`, `f`). */
+  private def features(df: DataFrame, textCol: String, idCol: String,
+      buckets: Int): DataFrame =
+    df.select(col(idCol), explode(grams(textCol)).as("__g"))
+      .select(col(idCol), (hash32(col("__g")) % buckets).as("f"))
+
+  /** Multinomial Naive Bayes over hashed n-grams, closed-form:
+    *
+    *   weights[j] = ln (cntPos(j)+α)/(nPos+αB) − ln (cntNeg(j)+α)/(nNeg+αB)
+    *   bias       = ln nDocsPos / nDocsNeg
+    *
+    * `labelCol` must be an integer/boolean 0-1 column on `labeled`; both
+    * classes must be present. The two per-class count tables are bounded
+    * at `buckets` rows each (one explode + hash-aggregate with map-side
+    * partial combine — the Zipf head never skews the shuffle), collected
+    * once into the O(buckets) weight LUT. */
+  def fitNaiveBayes(labeled: DataFrame, textCol: String, idCol: String,
+      labelCol: String, buckets: Int = 8192,
+      alpha: Double = 0.5): LinearTextModel = {
+    require(buckets > 0, "buckets must be positive")
+    require(alpha > 0, "alpha must be positive (zero counts divide by zero)")
+    val y = col(labelCol).cast("int")
+    // one pass builds BOTH class histograms: tag each occurrence with its
+    // doc's label, aggregate (f, y) — ≤ 2·buckets result rows
+    val tagged = labeled.select(col(idCol), y.as("__y"),
+        explode(grams(textCol)).as("__g"))
+      .select(col("__y"), (hash32(col("__g")) % buckets).as("f"))
+      .groupBy(col("__y"), col("f")).agg(count(lit(1)).as("cnt"))
+      .collect()
+    val cntP = Array.fill[Long](buckets)(0L)
+    val cntN = Array.fill[Long](buckets)(0L)
+    tagged.foreach { r =>
+      val tgt = if (r.getInt(0) == 1) cntP else cntN
+      tgt(r.getLong(1).toInt) = r.getLong(2)
+    }
+    val docCounts = labeled.groupBy(y.as("__y")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nDocsP = docCounts.getOrElse(1, 0L)
+    val nDocsN = docCounts.getOrElse(0, 0L)
+    require(nDocsP > 0 && nDocsN > 0,
+      s"both classes must be present (pos=$nDocsP, neg=$nDocsN)")
+    val nP = cntP.sum.toDouble
+    val nN = cntN.sum.toDouble
+    val aB = alpha * buckets
+    val w = Array.tabulate(buckets)(j =>
+      math.log((cntP(j) + alpha) / (nP + aB)) -
+        math.log((cntN(j) + alpha) / (nN + aB)))
+    LinearTextModel(w, math.log(nDocsP.toDouble / nDocsN), buckets)
+  }
+
+  /** Binary logistic regression over hashed n-grams, full-batch gradient
+    * descent from zero initialization:
+    *
+    *   p_d     = σ(bias + Σ_j weights[j]·c_d(j))
+    *   grad_j  = (1/n) Σ_d (p_d − y_d)·c_d(j)      weights[j] −= lr·grad_j
+    *   grad_b  = (1/n) Σ_d (p_d − y_d)             bias       −= lr·grad_b
+    *
+    * Deterministic end to end (zero init, fixed order-independent sums),
+    * so a single step is replayable in closed form by a SQL oracle
+    * (σ(0) = ½ ⇒ weights[j] = lr/n·Σ_d (y_d−½)·c_d(j) after iteration 1).
+    *
+    * The labeled set is featurized ONCE into per-document sparse bucket
+    * histograms and cached; each iteration is one `treeAggregate` whose
+    * task state is O(buckets) doubles — model-fit driver state, like a
+    * k-means codebook. The fit input is a bounded curated sample by
+    * design; the 100 TB corpus only ever sees the scoring kernel. */
+  def fitLogReg(labeled: DataFrame, textCol: String, idCol: String,
+      labelCol: String, buckets: Int = 8192, lr: Double = 0.5,
+      iters: Int = 50): LinearTextModel = {
+    require(buckets > 0, "buckets must be positive")
+    require(iters > 0, "iters must be positive")
+    val spark = labeled.sparkSession
+    // (y, sparse histogram) per doc: explode + per-doc count map. The
+    // groupBy is keyed by the LABELED SAMPLE's ids — bounded by the
+    // sample, not the corpus.
+    val docFeats = labeled
+      .select(col(idCol).as("__id"), col(labelCol).cast("double").as("__y"),
+        explode(grams(textCol)).as("__g"))
+      .select(col("__id"), col("__y"), (hash32(col("__g")) % buckets).as("f"))
+      .groupBy(col("__id"), col("__y"), col("f"))
+      .agg(count(lit(1)).cast("double").as("c"))
+      .groupBy(col("__id"), col("__y"))
+      .agg(collect_list(struct(col("f"), col("c"))).as("fc"))
+    val rdd = docFeats.select(col("__y"), col("fc")).rdd.map { row =>
+      val y = row.getDouble(0)
+      val fc = row.getSeq[org.apache.spark.sql.Row](1)
+        .map(r => (r.getLong(0).toInt, r.getDouble(1))).toArray
+      (y, fc)
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = rdd.count().toDouble
+    require(n > 0, "labeled sample is empty")
+    var w = Array.fill(buckets)(0.0)
+    var b = 0.0
+    var it = 0
+    while (it < iters) {
+      val wB = spark.sparkContext.broadcast(w)
+      val bias = b
+      val (gradW, gradB) = rdd.treeAggregate(
+        (Array.fill(buckets)(0.0), 0.0))(
+        seqOp = { case ((gw, gb), (y, fc)) =>
+          var s = bias
+          var i = 0
+          while (i < fc.length) { s += wB.value(fc(i)._1) * fc(i)._2; i += 1 }
+          val r = 1.0 / (1.0 + math.exp(-s)) - y
+          i = 0
+          while (i < fc.length) { gw(fc(i)._1) += r * fc(i)._2; i += 1 }
+          (gw, gb + r)
+        },
+        combOp = { case ((g1, b1), (g2, b2)) =>
+          var i = 0
+          while (i < buckets) { g1(i) += g2(i); i += 1 }
+          (g1, b1 + b2)
+        })
+      w = Array.tabulate(buckets)(j => w(j) - lr * gradW(j) / n)
+      b = b - lr * gradB / n
+      wB.destroy()
+      it += 1
+    }
+    rdd.unpersist(blocking = false)
+    LinearTextModel(w, b, buckets)
+  }
+
+  /** Score every document under a fitted model — ONE shuffle-free corpus
+    * scan through the `graft_dsir_score` kernel. Output: (`idCol`,
+    * `n_feats`, `score` = bias + Σ weights[bucket], half-up 6,
+    * `pred` = 1 if score > 0). Feature-less documents (empty text) score
+    * the bare bias. */
+  def score(df: DataFrame, textCol: String, idCol: String,
+      model: LinearTextModel): DataFrame =
+    df.select(col(idCol),
+      org.apache.spark.sql.graft.sketch
+        .dsir_score(grams(textCol), model.weights, model.buckets).as("__s"))
+      .select(col(idCol),
+        coalesce(col("__s.n_feats"), lit(0L)).as("n_feats"),
+        Rounding.halfUp(coalesce(col("__s.iw"), lit(0.0)) + model.bias, 6)
+          .as("score"))
+      .withColumn("pred", (col("score") > 0).cast("int"))
+}

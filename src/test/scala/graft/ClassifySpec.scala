@@ -1,0 +1,83 @@
+package graft
+
+import graft.pipeline.Classify
+import org.apache.spark.sql.functions._
+
+class ClassifySpec extends SparkSpec {
+  import spark.implicits._
+
+  // two linearly separable vocabularies: "science" prose vs spammy
+  // boilerplate, 30 docs each, with per-doc salt so hashing sees
+  // variety inside each class
+  private def labeled = {
+    val pos = (1L to 30L).map(i =>
+      (i, s"the experiment measured a clear signal in trial $i results", 1))
+    val neg = (31L to 60L).map(i =>
+      (i, s"click here free offer winner prize claim now bonus $i", 0))
+    (pos ++ neg).toDF("doc_id", "text", "y")
+  }
+
+  // held-out docs from the same two generators (ids disjoint)
+  private def heldOut = {
+    val pos = (101L to 110L).map(i =>
+      (i, s"the experiment measured a clear signal in trial $i results", 1))
+    val neg = (111L to 120L).map(i =>
+      (i, s"click here free offer winner prize claim now bonus $i", 0))
+    (pos ++ neg).toDF("doc_id", "text", "y")
+  }
+
+  private def accuracy(scored: org.apache.spark.sql.DataFrame): Double = {
+    val joined = scored.join(heldOut.select(col("doc_id"), col("y")), "doc_id")
+    joined.agg(avg((col("pred") === col("y")).cast("double"))).as[Double].head()
+  }
+
+  test("naive bayes separates held-out docs perfectly on separable classes") {
+    val m = Classify.fitNaiveBayes(labeled, "text", "doc_id", "y",
+      buckets = 2048, alpha = 0.5)
+    assert(accuracy(Classify.score(heldOut, "text", "doc_id", m)) == 1.0)
+  }
+
+  test("logistic regression converges to a separating model") {
+    val m = Classify.fitLogReg(labeled, "text", "doc_id", "y",
+      buckets = 2048, lr = 0.5, iters = 50)
+    assert(accuracy(Classify.score(heldOut, "text", "doc_id", m)) == 1.0)
+  }
+
+  test("one logistic step already orders classes by mean score") {
+    // the q_lr_step contract: even a single closed-form step separates
+    // the class MEANS (individual docs may still straddle zero)
+    val m = Classify.fitLogReg(labeled, "text", "doc_id", "y",
+      buckets = 2048, lr = 0.5, iters = 1)
+    val by = Classify.score(heldOut, "text", "doc_id", m)
+      .join(heldOut.select(col("doc_id"), col("y")), "doc_id")
+      .groupBy("y").agg(avg("score").as("m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(by(1) > by(0),
+      s"positive-class mean ${by(1)} not above negative ${by(0)}")
+  }
+
+  test("empty-text documents score the bare bias with zero features") {
+    val m = Classify.fitNaiveBayes(labeled, "text", "doc_id", "y",
+      buckets = 2048, alpha = 0.5)
+    val r = Classify.score(Seq((999L, "")).toDF("doc_id", "text"),
+      "text", "doc_id", m).collect().head
+    assert(r.getAs[Long]("n_feats") >= 0L)
+    assert(!r.isNullAt(r.fieldIndex("score")))
+  }
+
+  test("scoring plan is shuffle-free (no exchange, no join)") {
+    val m = Classify.fitNaiveBayes(labeled, "text", "doc_id", "y",
+      buckets = 2048, alpha = 0.5)
+    val plan = Classify.score(sf("documents"), "text", "doc_id", m)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scoring shuffles:\n$plan")
+    assert(!plan.contains("Join"), s"scoring joins:\n$plan")
+  }
+
+  test("fit rejects single-class input") {
+    intercept[IllegalArgumentException] {
+      Classify.fitNaiveBayes(labeled.filter(col("y") === 1), "text",
+        "doc_id", "y", buckets = 512, alpha = 0.5)
+    }
+  }
+}
