@@ -227,6 +227,12 @@ object SparkEntry {
       t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
       gap = 30L * 60 * 1000000000L, k = 10)),
 
+    // first-order Markov transition matrix of event types along each
+    // user's time-ordered stream, row-normalized over prev_state
+    "q_markov" -> ((s, dir) => pipeline.Temporal.transitionMatrix(
+      t(s, dir, "events"), "user_id", "ts", "event_id", "event_type")
+      .orderBy("prev_state", "next_state")),
+
     // trailing per-key z-score anomalies: each event's value against the
     // user's own trailing-24h mean/deviation (one RANGE window), |z|>2
     "q_anomaly" -> ((s, dir) => pipeline.Temporal.rollingZScore(
@@ -700,6 +706,16 @@ object SparkEntry {
         Seq("l_returnflag"), Seq("l_quantity"), Seq(0.5, 0.9))
         .orderBy("l_returnflag", "column", "p")),
 
+    // per-language winsorization of document length: clip to the
+    // group's exact p05/p95 — bounded cut table broadcast back, the
+    // corpus never shuffles
+    "q_winsor" -> ((s, dir) =>
+      pipeline.Profiling.winsorizeBy(t(s, dir, "documents"), "n_chars",
+        "lang", lo = 0.05, hi = 0.95)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("lo"), col("hi"), col("clipped"))
+        .orderBy("doc_id")),
+
     // approx-quantile gate: the bounded-state sketch path must honor its
     // ACTUAL contract — approx_percentile guarantees a RANK error
     // ≤ 1/accuracy, not a value error. For each probe point the returned
@@ -938,6 +954,13 @@ object SparkEntry {
     "q_ngram_pairs" -> ((s, dir) =>
       pipeline.Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
         k = 2, threshold = 0.8)
+        .orderBy("id_a", "id_b")),
+
+    // tf-idf weighted cosine near-dup pairs over the informative-term
+    // subspace (df-capped inverted-index join; 60-bit hashed terms)
+    "q_tfidf_pairs" -> ((s, dir) =>
+      pipeline.Dedup.tfidfCosinePairs(t(s, dir, "documents"), "text",
+        "doc_id", threshold = 0.9, maxDf = 1000)
         .orderBy("id_a", "id_b")),
 
     // benchmark decontamination: bench-shingle containment in train docs
@@ -1235,6 +1258,13 @@ object SparkEntry {
     // bigram log-probability per document
     "q_lm_score" -> ((s, dir) =>
       pipeline.LangModel.scoreDocs(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
+
+    // CCNet head/middle/tail: equal-count perplexity tertiles per
+    // language (ntile over the bounded per-lang rank)
+    "q_ppl_buckets" -> ((s, dir) =>
+      pipeline.LangModel.perplexityBuckets(t(s, dir, "documents"), "text",
+        "doc_id", "lang", buckets = 3)
         .orderBy("doc_id")),
 
     // corpus-trained BPE (Sennrich 2016): merges learned from the
@@ -1985,6 +2015,20 @@ object SparkEntry {
          )
          SELECT path, count(*)::BIGINT AS cnt FROM p
          GROUP BY path ORDER BY cnt DESC, path LIMIT 10""",
+    "q_markov" ->
+      """WITH t AS (SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev
+           FROM events),
+         c AS (SELECT prev AS prev_state, event_type AS next_state,
+                 count(*)::BIGINT AS cnt
+               FROM t WHERE prev IS NOT NULL GROUP BY 1, 2),
+         s AS (SELECT prev_state, sum(cnt)::DOUBLE AS tot FROM c
+               GROUP BY prev_state)
+         SELECT c.prev_state, c.next_state, c.cnt,
+           floor(c.cnt::DOUBLE / s.tot * 1e6 + 0.5) / 1e6 AS prob
+         FROM c JOIN s USING (prev_state)
+         ORDER BY prev_state, next_state""",
     "q_anomaly" ->
       """WITH z AS (
            SELECT event_id, user_id,
@@ -2154,6 +2198,18 @@ object SparkEntry {
            floor(quantile_cont(l_quantity::DOUBLE, 0.9) * 1e6 + 0.5) / 1e6
          FROM lineitem GROUP BY l_returnflag
          ORDER BY l_returnflag, "column", p""",
+    "q_winsor" ->
+      """WITH cuts AS (SELECT lang,
+             quantile_cont(n_chars::DOUBLE, 0.05) AS qlo,
+             quantile_cont(n_chars::DOUBLE, 0.95) AS qhi
+           FROM documents GROUP BY lang)
+         SELECT d.doc_id, d.lang, d.n_chars,
+           floor(c.qlo * 1e6 + 0.5) / 1e6 AS lo,
+           floor(c.qhi * 1e6 + 0.5) / 1e6 AS hi,
+           floor(least(greatest(d.n_chars::DOUBLE, c.qlo), c.qhi)
+                 * 1e6 + 0.5) / 1e6 AS clipped
+         FROM documents d JOIN cuts c USING (lang)
+         ORDER BY d.doc_id""",
     "q_quantiles_gate" ->
       """SELECT c AS "column", p::DOUBLE AS p, CAST(true AS BOOLEAN) AS within_tol
          FROM (SELECT unnest(['l_discount', 'l_quantity']) AS c),
@@ -2758,6 +2814,32 @@ object SparkEntry {
          WHERE len(list_intersect(a.s, b.s))::DOUBLE /
            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
          ORDER BY id_a, id_b""",
+    // tf-idf cosine replay: hashed terms, df-capped subspace, L2
+    // normalize, shared-term partial dot products
+    "q_tfidf_pairs" ->
+      """WITH d AS (SELECT doc_id,
+             string_split(lower(trim(text)), ' ') AS tk FROM documents),
+         tf AS (SELECT doc_id,
+                  ('0x' || substr(md5(t), 1, 15))::BIGINT AS h,
+                  count(*)::DOUBLE AS tf
+                FROM (SELECT doc_id, unnest(tk) AS t FROM d)
+                GROUP BY doc_id, h),
+         dfq AS (SELECT h, count(*)::BIGINT AS df FROM tf GROUP BY h
+                 HAVING count(*) <= 1000),
+         n AS (SELECT count(*)::DOUBLE AS n FROM d),
+         w AS (SELECT tf.doc_id, tf.h,
+                 tf.tf * ln(n.n / dfq.df::DOUBLE) AS w
+               FROM tf JOIN dfq ON tf.h = dfq.h, n),
+         nm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w
+                GROUP BY doc_id HAVING sqrt(sum(w * w)) > 0),
+         p AS (SELECT w.doc_id, w.h, w.w / nm.nrm AS wn
+               FROM w JOIN nm ON w.doc_id = nm.doc_id),
+         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  sum(a.wn * b.wn) AS c
+                FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+         SELECT id_a, id_b, floor(c * 1e6 + 0.5) / 1e6 AS cosine
+         FROM pr WHERE c >= 0.9 ORDER BY id_a, id_b""",
     // removal = train minus the exact containment join's train side
     "q_decon" ->
       """WITH toks AS (
@@ -3112,6 +3194,37 @@ object SparkEntry {
          SELECT d.doc_id, coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams,
                 coalesce(sc.lm_score, 0.0) AS lm_score
          FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id ORDER BY d.doc_id""",
+    // lm_score replay + per-language equal-count tertiles (integer-rank
+    // ntile — no float-boundary comparison to drift across engines)
+    "q_ppl_buckets" ->
+      """WITH d AS (SELECT doc_id,
+             string_split(lower(trim(text)), ' ') AS tk FROM documents),
+         b AS (SELECT doc_id, CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
+                 ELSE list_transform(generate_series(1, len(tk)-1),
+                        i -> tk[i] || ' ' || tk[i+1]) END AS bg FROM d),
+         e AS (SELECT doc_id, unnest(bg) AS ngram FROM b),
+         cn AS (SELECT ngram, count(*)::BIGINT AS cnt,
+                  string_split(ngram, ' ')[1] AS w1
+                FROM e GROUP BY ngram),
+         cx AS (SELECT w1, sum(cnt)::BIGINT AS ctx FROM cn GROUP BY w1),
+         v AS (SELECT count(DISTINCT t)::BIGINT AS v FROM
+                 (SELECT unnest(tk) AS t FROM d)),
+         lp AS (SELECT e.doc_id,
+                  ln((cn.cnt::DOUBLE + 0.5) / (cx.ctx::DOUBLE + 0.5 * v.v::DOUBLE)) AS lp
+                FROM e JOIN cn ON e.ngram = cn.ngram
+                       JOIN cx ON cn.w1 = cx.w1, v),
+         sc AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                  floor(avg(lp) * 1e6 + 0.5) / 1e6 AS lm_score
+                FROM lp GROUP BY doc_id),
+         f AS (SELECT d.doc_id,
+                 coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams,
+                 coalesce(sc.lm_score, 0.0) AS lm_score
+               FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id)
+         SELECT f.doc_id, doc.lang, f.n_bigrams, f.lm_score,
+           ntile(3) OVER (PARTITION BY doc.lang
+                          ORDER BY f.lm_score DESC, f.doc_id) AS ppl_bucket
+         FROM f JOIN documents doc ON f.doc_id = doc.doc_id
+         ORDER BY f.doc_id""",
     // the segmentation is a lossless partition of each word, so the
     // exact joined text is oracle-computable even though the merge
     // table is not; within_bounds replays as the gates' all-true column

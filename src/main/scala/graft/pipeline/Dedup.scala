@@ -504,6 +504,66 @@ object Dedup {
       org.apache.spark.sql.graft.sketch.char_shingle_hashes(col(keyCol), k)
         .alias("sh")), threshold)
 
+  /** TF-IDF weighted cosine near-dup pairs over the informative-term
+    * subspace: pairs with cos(v_a, v_b) ≥ `threshold`, where v_d is the
+    * document's L2-normalized tf·idf vector restricted to terms whose
+    * document frequency is ≤ `maxDf` (idf = ln N/df). Weighted cosine
+    * catches template/paraphrase duplicates that set-Jaccard misses —
+    * shared RARE vocabulary counts for more than shared boilerplate.
+    *
+    * The df cap is the scale bound (the stop-term drop of
+    * Bayardo 2007 §4 / Elsayed 2008 pairwise-similarity): every posting
+    * list in the inverted-index self-join has ≤ maxDf entries, so
+    * candidate pairs per term are ≤ maxDf², independent of corpus size —
+    * never an all-pairs join. Dropping ubiquitous terms is also the
+    * SEMANTIC (their idf ≈ 0 contributes noise, not signal); the cap
+    * defines the similarity space, it is not an approximation of a
+    * bigger join, and the DuckDB oracle replays it exactly. Terms ride
+    * every shuffle as 60-bit md5-prefix hashes (engine-portable, same
+    * trick as [[Dsir]]) — shuffles never carry text. Docs whose entire
+    * vocabulary is common (empty subspace / zero norm) simply produce no
+    * pairs. */
+  def tfidfCosinePairs(
+      df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.8, maxDf: Int = 1000): DataFrame = {
+    require(threshold > 0, "threshold must be positive")
+    require(maxDf > 0, "maxDf must be positive")
+    val h = conv(substring(md5(col("__t")), 1, 15), 16, 10).cast("long")
+    // per-doc term frequencies on hashed terms: the only corpus-keyed
+    // aggregate; map-side combine collapses within-doc repeats
+    val tf = df
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("__t"))
+      .select(col("id"), h.as("h"))
+      .groupBy(col("id"), col("h"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    // document frequency from the (already term-granular) tf table;
+    // vocabulary-bounded
+    val dfreq = tf.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val nDocs = df.select(count(lit(1)).cast("double").as("n"))
+    val w = tf.join(dfreq, "h").crossJoin(broadcast(nDocs))
+      .select(col("id"), col("h"),
+        (col("tf") * log(col("n") / col("df").cast("double"))).as("w"))
+    val norm = w.groupBy(col("id"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+      .filter(col("nrm") > 0)
+    val p = w.join(norm, "id")
+      .select(col("id"), col("h"), (col("w") / col("nrm")).as("wn"))
+    val a = p.select(col("id").as("id_a"), col("h"), col("wn").as("wn_a"))
+    val b = p.select(col("id").as("id_b"), col("h"), col("wn").as("wn_b"))
+    // inverted-index self-join: one lineage, so the shuffle-by-h is
+    // planned once (ReusedExchange); partial dot products aggregate on
+    // the pair key — output-bounded by the df cap
+    a.join(b, "h")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("wn_a") * col("wn_b")).as("__cos"))
+      .filter(col("__cos") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        Rounding.halfUp(col("__cos"), 6).as("cosine"))
+  }
+
   /** The AllPairs/PPJoin core over any ("id", "sh" hashed-distinct
     * shingle array) frame — shared by the word-gram and char-gram
     * faces. */

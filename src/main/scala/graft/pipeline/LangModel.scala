@@ -74,4 +74,30 @@ object LangModel {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("lm_score"), lit(0.0)).as("lm_score"))
   }
+
+  /** CCNet's head/middle/tail split (Wenzek 2020 §4.4): equal-count
+    * perplexity buckets per `byCol` group (their per-language split).
+    * `ppl_bucket` 1 = head (highest mean log-probability = lowest
+    * perplexity) … `buckets` = tail. Exact equal-rank tertiles via
+    * `ntile` over (lm_score desc, id) — deterministic under ties and
+    * replayable by a SQL oracle with integer-rank arithmetic (no
+    * float-boundary comparisons).
+    *
+    * Scale note: exact equal-count buckets NEED a per-group global rank,
+    * so this windows by `byCol` — a per-language sort, the one
+    * irreducible exchange. CCNet's production shortcut (fixed cutoffs
+    * from a sampled quantile, broadcast-compared) trades exactness for a
+    * scan; compose [[Profiling.exactQuantiles]] + a broadcast join for
+    * that variant. */
+  def perplexityBuckets(df: DataFrame, textCol: String, idCol: String,
+      byCol: String, buckets: Int = 3, alpha: Double = 0.5): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val scored = scoreDocs(df, textCol, idCol, alpha)
+    val tagged = scored.join(df.select(col(idCol), col(byCol)), Seq(idCol))
+    val w = Window.partitionBy(col(byCol))
+      .orderBy(col("lm_score").desc, col(idCol).asc)
+    tagged.select(col(idCol), col(byCol), col("n_bigrams"), col("lm_score"),
+      ntile(buckets).over(w).as("ppl_bucket"))
+  }
 }

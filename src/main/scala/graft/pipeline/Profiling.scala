@@ -206,6 +206,32 @@ object Profiling {
       v => approx_percentile(v, array(ps.map(lit): _*), lit(accuracy)),
       groupCols)
 
+  /** Per-group winsorization: clip `valCol` to its group's
+    * [`lo`, `hi`] exact quantiles (default p05/p95) — the standard
+    * outlier-taming transform before length/score features feed a
+    * mixing or filtering decision. Two-phase at scale: the per-group
+    * quantile table is a bounded aggregate (one row per group),
+    * broadcast back over the corpus — the corpus itself is never
+    * sorted or shuffled, one scan + one map-side join. Output keeps the
+    * original value and adds `lo`/`hi`/`clipped` (half-up 6). Exact
+    * `percentile` interpolates like DuckDB `quantile_cont` (oracle
+    * contract shared with [[exactQuantilesBy]]); for unbounded value
+    * domains swap in `approx_percentile` per [[approxQuantilesBy]]. */
+  def winsorizeBy(df: DataFrame, valCol: String, byCol: String,
+      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, "need 0 <= lo < hi <= 1")
+    val v = col(valCol).cast("double")
+    val cuts = df.groupBy(col(byCol)).agg(
+      percentile(v, lit(lo)).as("__lo"),
+      percentile(v, lit(hi)).as("__hi"))
+    df.join(broadcast(cuts), Seq(byCol))
+      .withColumn("lo", Rounding.halfUp(col("__lo"), 6))
+      .withColumn("hi", Rounding.halfUp(col("__hi"), 6))
+      .withColumn("clipped",
+        Rounding.halfUp(least(greatest(v, col("__lo")), col("__hi")), 6))
+      .drop("__lo", "__hi")
+  }
+
   /** Mergeable distinct-count sketches (Apache DataSketches HLL via
     * Spark's built-in `hll_sketch_agg`): one row per group with the
     * group's sketch as BINARY plus its estimate. The 100 TB profiling

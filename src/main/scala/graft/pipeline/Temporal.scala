@@ -372,6 +372,34 @@ object Temporal {
       .limit(k)
   }
 
+  /** First-order Markov transition matrix of `stateCol` along each key's
+    * time-ordered event stream: (`prev_state`, `next_state`, `cnt`,
+    * `prob`) where prob is row-normalized over prev_state — the
+    * behavioral-model summary behind journey analysis (and the
+    * generator check for synthetic event data). Ordering is
+    * (`tsCol`, `tieCol`) within key, deterministic under timestamp
+    * collisions; `tsCol` is ORDER-only, so any physical time encoding
+    * works unmodified.
+    *
+    * Plan: one hash exchange on `keyCol` for the lag window (keys are
+    * users — high cardinality, even spread), then a hash aggregate onto
+    * the states² transition table; normalization windows over that
+    * BOUNDED table, never the event stream. */
+  def transitionMatrix(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, stateCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val counts = df
+      .withColumn("__prev", lag(col(stateCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("prev_state"), col(stateCol).as("next_state"))
+      .agg(count(lit(1)).as("cnt"))
+    val norm = Window.partitionBy(col("prev_state"))
+    counts.select(col("prev_state"), col("next_state"), col("cnt"),
+      Rounding.halfUp(col("cnt").cast("double") /
+        sum(col("cnt")).over(norm), 6).as("prob"))
+  }
+
   /** Trailing z-score: each row's `valueCol` standardized against the
     * key's OWN trailing `[ts − windowNs, ts]` window (inclusive; equal
     * timestamps are frame peers) — `z = (v − mean) / stddev_pop`, null

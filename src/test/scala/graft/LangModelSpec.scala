@@ -78,4 +78,25 @@ class LangModelSpec extends SparkSpec {
     // "the dog" appears once under the same high-fanout "the" context
     assert(got(1L) > got(3L))
   }
+
+  test("perplexity buckets are equal-count per group and rank by score") {
+    import spark.implicits._
+    // 6 docs in one group: tertiles must be exactly 2/2/2, with the
+    // highest-score docs in bucket 1 (head)
+    val d = Seq(
+      (1L, "the cat sat", "g"), (2L, "the cat sat", "g"),
+      (3L, "the cat ran", "g"), (4L, "the dog sat", "g"),
+      (5L, "dog ran far", "g"), (6L, "zx qq ww", "g"))
+      .toDF("id", "text", "grp")
+    val got = LangModel.perplexityBuckets(d, "text", "id", "grp", buckets = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(4))).toMap
+    assert(got.values.groupBy(identity).view.mapValues(_.size).toMap ==
+      Map(1 -> 2, 2 -> 2, 3 -> 2))
+    val scores = LangModel.scoreDocs(d, "text", "id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // every head doc scores >= every tail doc
+    val head = got.filter(_._2 == 1).keys.map(scores)
+    val tail = got.filter(_._2 == 3).keys.map(scores)
+    assert(head.min >= tail.max)
+  }
 }

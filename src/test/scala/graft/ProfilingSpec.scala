@@ -433,4 +433,29 @@ class ProfilingSpec extends SparkSpec {
     // the 'c' row is filtered at the scan, never counted
     assert(got.map(_._2).sum == 1.0 && got.map(_._3).sum == 1.0)
   }
+
+  test("winsorizeBy clips to per-group quantiles and leaves interior values") {
+    import spark.implicits._
+    // group a: 1..10 → p05/p95 interpolate to 1.45 / 9.55 (quantile_cont
+    // over n=10: rank = (n-1)p); group b is constant → lo = hi = 7
+    val d = ((1 to 10).map(i => ("a", i.toDouble)) ++
+      Seq(("b", 7.0), ("b", 7.0))).toDF("g", "v")
+    val got = Profiling.winsorizeBy(d, "v", "g")
+      .select("g", "v", "lo", "hi", "clipped")
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(("a", 1.0)) == ((1.45, 9.55, 1.45)))   // clipped up
+    assert(got(("a", 10.0)) == ((1.45, 9.55, 9.55)))  // clipped down
+    assert(got(("a", 5.0)) == ((1.45, 9.55, 5.0)))    // interior untouched
+    assert(got(("b", 7.0)) == ((7.0, 7.0, 7.0)))
+  }
+
+  test("winsorizeBy plan broadcasts the cut table, never sorts the corpus") {
+    import spark.implicits._
+    val d = (1 to 100).map(i => ("g" + (i % 3), i.toDouble)).toDF("g", "v")
+    val plan = Profiling.winsorizeBy(d, "v", "g")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }

@@ -502,4 +502,32 @@ class TemporalSpec extends SparkSpec {
     assert("Window \\[".r.findAllIn(plan).length == 1,
       s"mean/sd must share one WindowExec:\n$plan")
   }
+
+  test("transitionMatrix counts within-key adjacent transitions and row-normalizes") {
+    import spark.implicits._
+    // user 1: a→b→a ; user 2: a→b — transitions: a→b ×2, b→a ×1; no
+    // cross-user transition (user 2's 'a' never follows user 1's 'a')
+    val ev = Seq(
+      (1L, 100L, 1L, "a"), (1L, 200L, 2L, "b"), (1L, 300L, 3L, "a"),
+      (2L, 150L, 4L, "a"), (2L, 250L, 5L, "b"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Temporal.transitionMatrix(ev, "user_id", "ts", "event_id",
+      "event_type").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(
+      ("a", "b") -> ((2L, 1.0)),
+      ("b", "a") -> ((1L, 1.0))))
+  }
+
+  test("transitionMatrix breaks timestamp ties by the tie column") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 100L, 1L, "x"), (1L, 100L, 2L, "y"), (1L, 100L, 3L, "z"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Temporal.transitionMatrix(ev, "user_id", "ts", "event_id",
+      "event_type").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("x", "y"), ("y", "z")))
+  }
 }
