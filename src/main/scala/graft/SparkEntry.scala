@@ -233,6 +233,14 @@ object SparkEntry {
       t(s, dir, "events"), "user_id", "ts", "event_id", "event_type")
       .orderBy("prev_state", "next_state")),
 
+    // finite-memory EWMA of event values per user (k=8 lags, one shared
+    // WindowExec; dyadic weights replay bit-exactly in the oracle)
+    "q_ewma" -> ((s, dir) => pipeline.Temporal.ewma(
+      t(s, dir, "events"), "user_id", "ts", "event_id", "value",
+      alpha = 0.5, k = 8)
+      .select(col("event_id"), col("user_id"), col("value"), col("ewma"))
+      .orderBy("event_id")),
+
     // trailing per-key z-score anomalies: each event's value against the
     // user's own trailing-24h mean/deviation (one RANGE window), |z|>2
     "q_anomaly" -> ((s, dir) => pipeline.Temporal.rollingZScore(
@@ -413,6 +421,15 @@ object SparkEntry {
       pipeline.Dedup.fuzzyKeyPairs(
         t(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
         "s_name", "s_suppkey", k = 3, threshold = 0.85)
+        .orderBy("id_a", "id_b")),
+
+    // sorted-neighborhood blocking: rank-adjacent candidate pairs in the
+    // global (s_name, key) sort order (two-pass distributed rank + band
+    // join on rank buckets — never a single-partition window)
+    "q_snm" -> ((s, dir) =>
+      pipeline.Dedup.sortedNeighborhoodPairs(
+        t(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
+        "s_name", "s_suppkey", window = 5)
         .orderBy("id_a", "id_b")),
 
     // entity resolution: fuzzy pairs → connected components → one row
@@ -2029,6 +2046,31 @@ object SparkEntry {
            floor(c.cnt::DOUBLE / s.tot * 1e6 + 0.5) / 1e6 AS prob
          FROM c JOIN s USING (prev_state)
          ORDER BY prev_state, next_state""",
+    // dyadic weights (0.5^j) make every product exact, and the sum is
+    // written in the engine's own left-to-right term order — bit-equal
+    "q_ewma" ->
+      """WITH t AS (SELECT event_id, user_id, value,
+             lag(value, 0) OVER w AS v0, lag(value, 1) OVER w AS v1,
+             lag(value, 2) OVER w AS v2, lag(value, 3) OVER w AS v3,
+             lag(value, 4) OVER w AS v4, lag(value, 5) OVER w AS v5,
+             lag(value, 6) OVER w AS v6, lag(value, 7) OVER w AS v7
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT event_id, user_id, value,
+           floor((coalesce(v0 * 1.0, 0) + coalesce(v1 * 0.5, 0)
+                + coalesce(v2 * 0.25, 0) + coalesce(v3 * 0.125, 0)
+                + coalesce(v4 * 0.0625, 0) + coalesce(v5 * 0.03125, 0)
+                + coalesce(v6 * 0.015625, 0) + coalesce(v7 * 0.0078125, 0))
+             / (CASE WHEN v0 IS NULL THEN 0 ELSE 1.0 END
+                + CASE WHEN v1 IS NULL THEN 0 ELSE 0.5 END
+                + CASE WHEN v2 IS NULL THEN 0 ELSE 0.25 END
+                + CASE WHEN v3 IS NULL THEN 0 ELSE 0.125 END
+                + CASE WHEN v4 IS NULL THEN 0 ELSE 0.0625 END
+                + CASE WHEN v5 IS NULL THEN 0 ELSE 0.03125 END
+                + CASE WHEN v6 IS NULL THEN 0 ELSE 0.015625 END
+                + CASE WHEN v7 IS NULL THEN 0 ELSE 0.0078125 END)
+             * 1e6 + 0.5) / 1e6 AS ewma
+         FROM t ORDER BY event_id""",
     "q_anomaly" ->
       """WITH z AS (
            SELECT event_id, user_id,
@@ -2361,6 +2403,18 @@ object SparkEntry {
                               'canary-guid-8f2a']) AS pattern) p
          WHERE contains(text, p.pattern)
          ORDER BY doc_id, pattern""",
+    // rank-adjacency replays with one global row_number — fine for the
+    // oracle's DuckDB scale; the engine computes the same rank
+    // distributed (range partition + two-pass offsets)
+    "q_snm" ->
+      """WITH r AS (SELECT s_suppkey AS id, s_name AS k,
+             row_number() OVER (ORDER BY s_name, s_suppkey) AS rank
+           FROM supplier)
+         SELECT a.id AS id_a, b.id AS id_b,
+           (b.rank - a.rank)::BIGINT AS dist
+         FROM r a JOIN r b
+           ON b.rank > a.rank AND b.rank - a.rank <= 4
+         ORDER BY id_a, id_b""",
     "q_fuzzy" ->
       """WITH g AS (
            SELECT s_suppkey AS id,

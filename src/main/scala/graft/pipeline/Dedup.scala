@@ -504,6 +504,57 @@ object Dedup {
       org.apache.spark.sql.graft.sketch.char_shingle_hashes(col(keyCol), k)
         .alias("sh")), threshold)
 
+  /** Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD 1995):
+    * candidate pairs = records within `window` positions of each other in
+    * the global (`keyCol`, `idCol`) sort order. The complementary
+    * blocking face to [[fuzzyKeyPairs]]'s char-gram AllPairs: gram
+    * blocking catches typos ANYWHERE in the key, the sorted window
+    * catches shared prefixes/sort-adjacent variants with O(n·window)
+    * candidates by construction. Output (`id_a`, `id_b`, `dist`) with
+    * 1 ≤ dist = rank_b − rank_a ≤ window−1; feed the pairs to an exact
+    * verifier ([[fuzzyKeyPairs]]' Jaccard or an edit-distance gate).
+    *
+    * The global sorted rank NEVER runs as a single-partition window:
+    * range-repartition by key + in-partition sort, then the two-pass
+    * rank trick (per-partition counts → offsets; in-partition index from
+    * `monotonically_increasing_id`'s low 33 bits — the engine's NR
+    * machinery, PlanBuilder.withNr). Both passes see identical
+    * content/order because the range sampler is seeded deterministically
+    * and the in-partition sort imposes a total order. The neighbor join
+    * is a band join on rank buckets of width `window−1` (each left row
+    * probes its own and the next bucket) — an equi-join, never a range
+    * theta-join. */
+  def sortedNeighborhoodPairs(df: DataFrame, keyCol: String, idCol: String,
+      window: Int): DataFrame = {
+    require(window >= 2, "window must be at least 2")
+    val b = window - 1L
+    val sorted = df.select(col(idCol).as("id"), col(keyCol).as("k"))
+      .repartitionByRange(col("k"), col("id"))
+      .sortWithinPartitions(col("k"), col("id"))
+    val counts = sorted.groupBy(spark_partition_id().as("__p"))
+      .agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val maxPid = counts.lastOption.map(_._1).getOrElse(0)
+    val offsets = new Array[Long](maxPid + 1)
+    var acc = 0L
+    counts.foreach { case (pid, c) => offsets(pid) = acc; acc += c }
+    val offsetCol = element_at(
+      array(offsets.map(o => lit(o)).toIndexedSeq: _*),
+      spark_partition_id() + 1)
+    val ranked = sorted.withColumn("rank",
+      offsetCol + monotonically_increasing_id().bitwiseAND((1L << 33) - 1) + 1L)
+    val probe = ranked.select(col("id").as("id_a"), col("rank").as("rank_a"),
+      explode(array(floor((col("rank") - 1) / b),
+        floor((col("rank") - 1) / b) + 1)).as("__bkt"))
+    val build = ranked.select(col("id").as("id_b"), col("rank").as("rank_b"),
+      floor((col("rank") - 1) / b).as("__bkt"))
+    probe.join(build, "__bkt")
+      .filter(col("rank_b") > col("rank_a") &&
+        col("rank_b") - col("rank_a") <= b)
+      .select(col("id_a"), col("id_b"),
+        (col("rank_b") - col("rank_a")).as("dist"))
+  }
+
   /** TF-IDF weighted cosine near-dup pairs over the informative-term
     * subspace: pairs with cos(v_a, v_b) ≥ `threshold`, where v_d is the
     * document's L2-normalized tf·idf vector restricted to terms whose

@@ -372,6 +372,37 @@ object Temporal {
       .limit(k)
   }
 
+  /** Finite-memory exponentially-weighted moving average of `valueCol`
+    * along each key's (`tsCol`, `tieCol`)-ordered stream: the last `k`
+    * events weighted α(1−α)^j (j = 0 newest), normalized over the
+    * weights actually present — so early rows (fewer than k
+    * predecessors) average over what exists instead of decaying toward
+    * an arbitrary seed. The smoothing baseline that pairs with
+    * [[rollingZScore]]'s deviation view.
+    *
+    * Truncating at `k` makes the operator a fixed lag-combination — all
+    * `k` lags share ONE WindowExec on the single `keyCol` exchange, stay
+    * inside whole-stage codegen, and replay exactly in a SQL oracle (an
+    * unbounded recursive EWMA would be engine-specific float recursion).
+    * (1−α)^k is the tail mass dropped — for α=0.5, k=8 that is 0.4%. */
+  def ewma(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valueCol: String, alpha: Double = 0.5, k: Int = 8,
+      outCol: String = "ewma"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    require(k > 0, "k must be positive")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val terms = (0 until k).map { j =>
+      val v = lag(col(valueCol), j).over(w)
+      val wt = math.pow(1 - alpha, j)
+      (when(v.isNotNull, v * wt).otherwise(lit(0.0)),
+        when(v.isNotNull, lit(wt)).otherwise(lit(0.0)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    df.withColumn(outCol, Rounding.halfUp(num / den, 6))
+  }
+
   /** First-order Markov transition matrix of `stateCol` along each key's
     * time-ordered event stream: (`prev_state`, `next_state`, `cnt`,
     * `prob`) where prob is row-normalized over prev_state — the

@@ -530,4 +530,34 @@ class TemporalSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(got == Set(("x", "y"), ("y", "z")))
   }
+
+  test("ewma matches the closed form and renormalizes short prefixes") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 100L, 1L, 4.0), (1L, 200L, 2L, 8.0), (1L, 300L, 3L, 2.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = Temporal.ewma(ev, "user_id", "ts", "event_id", "value",
+      alpha = 0.5, k = 8)
+      .select("event_id", "ewma").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def r6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    assert(got(1L) == 4.0)                            // lone value: itself
+    assert(got(2L) == r6((8.0 + 0.5 * 4.0) / 1.5))    // two-term renormalized
+    assert(got(3L) == r6((2.0 + 0.5 * 8.0 + 0.25 * 4.0) / 1.75))
+  }
+
+  test("ewma truncates at k lags and shares one WindowExec") {
+    import spark.implicits._
+    val ev = (1L to 10L).map(i => (1L, i * 100L, i, 1.0 * i))
+      .toDF("user_id", "ts", "event_id", "value")
+    val df = Temporal.ewma(ev, "user_id", "ts", "event_id", "value",
+      alpha = 0.5, k = 2)
+    val got = df.select("event_id", "ewma").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // k=2: ewma_i = (v_i + 0.5 v_{i-1}) / 1.5 — older lags dropped
+    assert(got(10L) == math.floor((10.0 + 0.5 * 9.0) / 1.5 * 1e6 + 0.5) / 1e6)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Window \\[".r.findAllIn(plan).length == 1, plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+  }
 }
