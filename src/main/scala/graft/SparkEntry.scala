@@ -498,6 +498,12 @@ object SparkEntry {
       pipeline.TextAnalysis.topPmi(t(s, dir, "documents"), "text",
         minPairCount = 5L, k = 20)),
 
+    // mutual information lang↔source: the dependence/leakage screen —
+    // one contingency aggregate, all reductions on the bounded table
+    "q_mi" -> ((s, dir) =>
+      pipeline.Profiling.mutualInformation(t(s, dir, "documents"),
+        "lang", "source")),
+
     // pairwise Pearson correlation, all 6 pairs in ONE aggregate pass
     // (constant per-pair state; no per-pair job, no collect)
     "q_corr" -> ((s, dir) =>
@@ -722,6 +728,15 @@ object SparkEntry {
       pipeline.Profiling.exactQuantilesBy(t(s, dir, "lineitem"),
         Seq("l_returnflag"), Seq("l_quantity"), Seq(0.5, 0.9))
         .orderBy("l_returnflag", "column", "p")),
+
+    // robust per-language length outliers: median/MAD z — resistant to
+    // the outliers it hunts; two bounded aggregates broadcast back
+    "q_mad" -> ((s, dir) =>
+      pipeline.Profiling.madOutliersBy(t(s, dir, "documents"), "n_chars",
+        "lang", z = 3.5)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("med"),
+          col("mad"), col("robust_z"), col("is_outlier"))
+        .orderBy("doc_id")),
 
     // per-language winsorization of document length: clip to the
     // group's exact p05/p95 — bounded cut table broadcast back, the
@@ -1270,6 +1285,13 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) =>
       pipeline.Search.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
         Seq("spark", "hash", "merge"), k = 50)),
+
+    // per-document top-3 tf-idf keywords, ranked on the ROUNDED weight
+    // with term tie-break (engine-portable rank)
+    "q_keywords" -> ((s, dir) =>
+      pipeline.Search.topTfidfTerms(t(s, dir, "documents"), "text",
+        "doc_id", k = 3)
+        .orderBy("doc_id", "rk")),
 
     // corpus bigram-LM quality scoring (CCNet-shape): add-α-smoothed mean
     // bigram log-probability per document
@@ -2240,6 +2262,27 @@ object SparkEntry {
            floor(quantile_cont(l_quantity::DOUBLE, 0.9) * 1e6 + 0.5) / 1e6
          FROM lineitem GROUP BY l_returnflag
          ORDER BY l_returnflag, "column", p""",
+    // MAD replay: grouped medians via quantile_cont; the outlier flag
+    // compares the ROUNDED robust_z (as the engine does)
+    "q_mad" ->
+      """WITH med AS (SELECT lang,
+             quantile_cont(n_chars::DOUBLE, 0.5) AS med
+           FROM documents GROUP BY lang),
+         dev AS (SELECT d.doc_id, d.lang, d.n_chars, med.med,
+                   abs(d.n_chars::DOUBLE - med.med) AS ad
+                 FROM documents d JOIN med USING (lang)),
+         mad AS (SELECT lang, quantile_cont(ad, 0.5) AS mad
+                 FROM dev GROUP BY lang)
+         SELECT dev.doc_id, dev.lang, dev.n_chars,
+           floor(dev.med * 1e6 + 0.5) / 1e6 AS med,
+           floor(mad.mad * 1e6 + 0.5) / 1e6 AS mad,
+           CASE WHEN mad.mad > 0 THEN
+             floor(dev.ad / (1.4826 * mad.mad) * 1e6 + 0.5) / 1e6
+           END AS robust_z,
+           coalesce(CASE WHEN mad.mad > 0 THEN
+             floor(dev.ad / (1.4826 * mad.mad) * 1e6 + 0.5) / 1e6 > 3.5
+           END, false) AS is_outlier
+         FROM dev JOIN mad USING (lang) ORDER BY dev.doc_id""",
     "q_winsor" ->
       """WITH cuts AS (SELECT lang,
              quantile_cont(n_chars::DOUBLE, 0.05) AS qlo,
@@ -2558,6 +2601,24 @@ object SparkEntry {
                  '\s+', ' ', 'g'))
                ORDER BY doc_id) AS rn
            FROM documents) WHERE rn = 1""",
+    "q_mi" ->
+      """WITH j AS (SELECT lang AS a, source AS b, count(*)::DOUBLE AS c
+           FROM documents GROUP BY 1, 2),
+         n AS (SELECT sum(c) AS n FROM j),
+         ma AS (SELECT a, sum(c) AS ca FROM j GROUP BY a),
+         mb AS (SELECT b, sum(c) AS cb FROM j GROUP BY b),
+         t AS (SELECT j.c / n.n * ln(j.c * n.n / (ma.ca * mb.cb)) AS mi_t,
+                 j.c / n.n AS p, ma.ca / n.n AS pa, mb.cb / n.n AS pb
+               FROM j JOIN ma USING (a) JOIN mb USING (b), n),
+         agg AS (SELECT sum(mi_t) AS mi, -sum(p * ln(pa)) AS h_a,
+                   -sum(p * ln(pb)) AS h_b FROM t)
+         SELECT floor(mi * 1e6 + 0.5) / 1e6 AS mi,
+           floor(h_a * 1e6 + 0.5) / 1e6 AS h_a,
+           floor(h_b * 1e6 + 0.5) / 1e6 AS h_b,
+           floor((CASE WHEN h_a > 0 AND h_b > 0
+                  THEN mi / sqrt(h_a * h_b) ELSE 0 END) * 1e6 + 0.5) / 1e6
+             AS nmi
+         FROM agg""",
     "q_pmi" ->
       """WITH d AS (SELECT doc_id,
              list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS ts
@@ -3198,6 +3259,23 @@ object SparkEntry {
          SELECT d.doc_id, md5(coalesce(a.ct, '')) AS clean_fp,
                 coalesce(a.n, 0)::BIGINT AS n_kept
          FROM d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""",
+    "q_keywords" ->
+      """WITH d AS (SELECT doc_id,
+             string_split(lower(trim(text)), ' ') AS tk FROM documents),
+         tf AS (SELECT doc_id, t AS term, count(*)::DOUBLE AS tf
+                FROM (SELECT doc_id, unnest(tk) AS t FROM d)
+                GROUP BY doc_id, t),
+         dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+         n AS (SELECT count(*)::DOUBLE AS n FROM d),
+         w AS (SELECT tf.doc_id, tf.term,
+                 floor(tf.tf * ln(n.n / dfq.df::DOUBLE) * 1e6 + 0.5) / 1e6
+                   AS weight
+               FROM tf JOIN dfq USING (term), n),
+         r AS (SELECT doc_id, term, weight,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY weight DESC, term) AS rk FROM w)
+         SELECT doc_id, term, weight, rk FROM r WHERE rk <= 3
+         ORDER BY doc_id, rk""",
     "q_bm25" ->
       """WITH d AS (SELECT doc_id,
              string_split(lower(trim(text)), ' ') AS tk FROM documents),

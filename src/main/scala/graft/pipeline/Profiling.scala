@@ -232,6 +232,82 @@ object Profiling {
       .drop("__lo", "__hi")
   }
 
+  /** Mutual information between two categorical columns, with entropies
+    * and the normalized coefficient:
+    *
+    *   MI = Σ_ab p(a,b)·ln p(a,b)/(p(a)p(b)),  NMI = MI / √(H(a)·H(b))
+    *
+    * The dependence screen behind leakage checks (does `source` predict
+    * `lang`?), split audits (fold ⊥ label), and drift triage — PMI's
+    * ([[topPmi]]) whole-table summary. One corpus pass builds the
+    * (a,b) contingency table (hash aggregate, map-side combine bounds
+    * the shuffle at |A|·|B| rows per mapper); marginals and the three
+    * Σ p·ln(…) reductions all run on that bounded table — window
+    * functions over a cardinality² frame, never the corpus. Output: one
+    * row (`mi`, `h_a`, `h_b`, `nmi`), half-up 6, natural log. NMI is 0
+    * when either marginal is degenerate (H = 0: a constant column
+    * carries no information to normalize by). */
+  def mutualInformation(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joint = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).cast("double").as("__c"))
+    val n = sum(col("__c")).over(Window.partitionBy())
+    val ca = sum(col("__c")).over(Window.partitionBy(col("__a")))
+    val cb = sum(col("__c")).over(Window.partitionBy(col("__b")))
+    val terms = joint.select(
+      (col("__c") / n * log(col("__c") * n / (ca * cb))).as("__mi"),
+      col("__a"), col("__b"), (col("__c") / n).as("__p"),
+      (ca / n).as("__pa"), (cb / n).as("__pb"))
+    // H(a) = −Σ_ab p(a,b)·ln p(a) collapses to −Σ_a p(a)·ln p(a), so the
+    // marginal entropies fall out of the joint table with no second
+    // corpus pass
+    val agg = terms.agg(
+      sum(col("__mi")).as("mi"),
+      (-sum(col("__p") * log(col("__pa")))).as("h_a"),
+      (-sum(col("__p") * log(col("__pb")))).as("h_b"))
+    agg.select(
+      Rounding.halfUp(col("mi"), 6).as("mi"),
+      Rounding.halfUp(col("h_a"), 6).as("h_a"),
+      Rounding.halfUp(col("h_b"), 6).as("h_b"),
+      Rounding.halfUp(
+        when(col("h_a") > 0 && col("h_b") > 0,
+          col("mi") / sqrt(col("h_a") * col("h_b"))).otherwise(0.0), 6)
+        .as("nmi"))
+  }
+
+  /** Robust per-group outlier flags: |x − median| / (1.4826·MAD) > `z`,
+    * the median/MAD analog of a z-score — resistant to the very
+    * outliers it hunts (a single huge document inflates a stddev until
+    * nothing is anomalous; it cannot move the median). 1.4826 scales
+    * MAD to σ under normality (Rousseeuw & Croux 1993). Output: input
+    * rows + `med`, `mad`, `robust_z` (null when MAD = 0 — a degenerate
+    * group has no deviation scale), `is_outlier`.
+    *
+    * Two bounded aggregates (per-group median, then per-group median of
+    * absolute deviations), each broadcast back — the corpus is scanned
+    * twice but never sorted or shuffled. Exact `percentile` carries the
+    * value-map state caveat of [[exactQuantilesBy]]; swap in
+    * `approx_percentile` for unbounded domains. */
+  def madOutliersBy(df: DataFrame, valCol: String, byCol: String,
+      z: Double = 3.5): DataFrame = {
+    require(z > 0, "z must be positive")
+    val v = col(valCol).cast("double")
+    val med = df.groupBy(col(byCol))
+      .agg(percentile(v, lit(0.5)).as("__med"))
+    val withMed = df.join(broadcast(med), Seq(byCol))
+    val mad = withMed.groupBy(col(byCol))
+      .agg(percentile(abs(v - col("__med")), lit(0.5)).as("__mad"))
+    withMed.join(broadcast(mad), Seq(byCol))
+      .withColumn("med", Rounding.halfUp(col("__med"), 6))
+      .withColumn("mad", Rounding.halfUp(col("__mad"), 6))
+      .withColumn("robust_z",
+        when(col("__mad") > 0,
+          Rounding.halfUp(abs(v - col("__med")) / (lit(1.4826) * col("__mad")), 6)))
+      .withColumn("is_outlier",
+        coalesce(col("robust_z") > z, lit(false)))
+      .drop("__med", "__mad")
+  }
+
   /** Mergeable distinct-count sketches (Apache DataSketches HLL via
     * Spark's built-in `hll_sketch_agg`): one row per group with the
     * group's sketch as BINARY plus its estimate. The 100 TB profiling

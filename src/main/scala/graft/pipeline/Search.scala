@@ -77,4 +77,36 @@ object Search {
       .filter(col("score") > 0.0)
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
+
+  /** Per-document keyword extraction: the `k` highest tf·idf terms of
+    * each document (idf = ln N/df over the corpus), ranked by the
+    * ROUNDED weight (half-up 6) with the term string as tie-break — the
+    * rank is thereby engine-portable (a raw float rank could flip on a
+    * last-ulp `ln` difference between engines). Output: (`idCol`,
+    * `term`, `weight`, `rk` ≤ k).
+    *
+    * Plan: one (id, term) hash aggregate with map-side combine (the
+    * corpus-keyed exchange), the vocabulary-bounded df table joined back
+    * on term, then a per-document window — keyed by the document id,
+    * high cardinality, no skew. The WindowGroupLimit pushdown prunes to
+    * the top k per document before the full sort materializes. */
+  def topTfidfTerms(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 3): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(idCol),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = df.select(count(lit(1)).cast("double").as("__n"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("weight").desc, col("term").asc)
+    tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+      .select(col(idCol), col("term"),
+        Rounding.halfUp(col("tf") * log(col("__n") / col("df").cast("double")), 6)
+          .as("weight"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
 }

@@ -434,6 +434,58 @@ class ProfilingSpec extends SparkSpec {
     assert(got.map(_._2).sum == 1.0 && got.map(_._3).sum == 1.0)
   }
 
+  test("mutual information: dependent pair saturates, independent pair is zero") {
+    import spark.implicits._
+    // perfectly dependent: b = a → MI = H(a) = H(b) = ln 2, NMI = 1
+    val dep = Seq(("x", "x"), ("x", "x"), ("y", "y"), ("y", "y"))
+      .toDF("a", "b")
+    val d = Profiling.mutualInformation(dep, "a", "b").collect().head
+    val ln2 = math.floor(math.log(2) * 1e6 + 0.5) / 1e6
+    assert(d.getDouble(0) == ln2 && d.getDouble(1) == ln2 &&
+      d.getDouble(2) == ln2)
+    assert(math.abs(d.getDouble(3) - 1.0) < 1e-6)
+    // independent: uniform product distribution → MI = 0, NMI = 0
+    val ind = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v"))
+      .toDF("a", "b")
+    val i = Profiling.mutualInformation(ind, "a", "b").collect().head
+    assert(math.abs(i.getDouble(0)) < 1e-9 && math.abs(i.getDouble(3)) < 1e-9)
+    // degenerate marginal: constant a → H(a) = 0 → NMI pinned to 0
+    val cst = Seq(("x", "u"), ("x", "v")).toDF("a", "b")
+    assert(Profiling.mutualInformation(cst, "a", "b")
+      .collect().head.getDouble(3) == 0.0)
+  }
+
+  test("madOutliersBy flags the value a classical z-score would absorb") {
+    import spark.implicits._
+    val d = ((1 to 9).map(i => ("a", i.toDouble)) :+ ("a", 100.0))
+      .toDF("g", "v")
+    val got = Profiling.madOutliersBy(d, "v", "g", z = 3.5)
+      .select("v", "med", "mad", "robust_z", "is_outlier").collect()
+      .map(r => r.getDouble(0) ->
+        (r.getDouble(1), r.getDouble(2), Option(r.get(3)), r.getBoolean(4)))
+      .toMap
+    // med of {1..9, 100} = 5.5; MAD = med of |x−5.5| = 2.5
+    assert(got(100.0)._1 == 5.5 && got(100.0)._2 == 2.5)
+    assert(got(100.0)._4, "100 must be an outlier")
+    assert(!got(5.0)._4 && !got(9.0)._4)
+    // the same data through a mean/stddev z: (100−mean)/sd ≈ 2.85 < 3.5 —
+    // the outlier inflates the scale it is judged by
+    val (mean, sd) = {
+      val vs = d.select("v").as[Double].collect()
+      val m = vs.sum / vs.length
+      (m, math.sqrt(vs.map(x => (x - m) * (x - m)).sum / vs.length))
+    }
+    assert((100.0 - mean) / sd < 3.5)
+  }
+
+  test("madOutliersBy: constant group has null robust_z, no outliers") {
+    import spark.implicits._
+    val d = Seq(("c", 7.0), ("c", 7.0), ("c", 7.0)).toDF("g", "v")
+    val got = Profiling.madOutliersBy(d, "v", "g").collect()
+    assert(got.forall(r => r.isNullAt(r.fieldIndex("robust_z"))))
+    assert(got.forall(!_.getAs[Boolean]("is_outlier")))
+  }
+
   test("winsorizeBy clips to per-group quantiles and leaves interior values") {
     import spark.implicits._
     // group a: 1..10 → p05/p95 interpolate to 1.45 / 9.55 (quantile_cont

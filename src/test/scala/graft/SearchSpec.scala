@@ -78,4 +78,39 @@ class SearchSpec extends SparkSpec {
     // broadcast); document rows themselves must not hash-partition
     assert(!plan.contains("hashpartitioning(id"), plan)
   }
+
+  test("topTfidfTerms ranks rare terms first and tie-breaks by term") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "apple apple banana shared"),
+      (2L, "banana cherry shared"),
+      (3L, "cherry durian shared")).toDF("id", "text")
+    val got = Search.topTfidfTerms(d, "text", "id", k = 2)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(3)) -> r.getString(1)).toMap
+    // doc1: apple 2·ln3 > banana ln1.5; doc2: banana/cherry tie at
+    // ln1.5 → lexicographic; doc3: durian ln3 > cherry ln1.5
+    assert(got == Map(
+      (1L, 1) -> "apple", (1L, 2) -> "banana",
+      (2L, 1) -> "banana", (2L, 2) -> "cherry",
+      (3L, 1) -> "durian", (3L, 2) -> "cherry"))
+  }
+
+  test("topTfidfTerms weight matches the closed form") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "apple apple banana shared"),
+      (2L, "banana cherry shared"),
+      (3L, "cherry durian shared")).toDF("id", "text")
+    val w = Search.topTfidfTerms(d, "text", "id", k = 2)
+      .filter(col("id") === 1 && col("term") === "apple")
+      .select("weight").collect().head.getDouble(0)
+    assert(w == math.floor(2 * math.log(3.0) * 1e6 + 0.5) / 1e6)
+  }
+
+  test("topTfidfTerms plan prunes per-doc groups before the full sort") {
+    val plan = Search.topTfidfTerms(docs, "text", "id", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
 }
