@@ -1569,6 +1569,24 @@ object SparkEntry {
         .orderBy("q_id", "rn")
     }),
 
+    // contrastive hard negatives: per query, top-5 most-similar vectors
+    // with a DIFFERENT label (filter before rank); nProbe=8 covers all
+    // cells → exact, so the brute-force oracle replays it
+    "q_hardneg" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val coarse = pipeline.Clustering.fitKMeans(emb, "embedding", "vec_id",
+        k = 8, maxIter = 4)
+      val corpus = pipeline.Clustering.assign(emb, "embedding", coarse,
+        "ivf_cell")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").alias("q_id"), col("embedding").alias("q_vec"),
+          col("label").alias("q_label"))
+      pipeline.Clustering.hardNegatives(corpus, queries, "embedding",
+        "vec_id", "label", "q_id", "q_vec", "q_label", coarse,
+        k = 5, nProbe = 8)
+        .orderBy("q_id", "rn")
+    }),
+
     // SQ8 compressed-scan top-k: the full-corpus scan reads int8 codes
     // only (codegen'd Σ q_i·code_i + affine min/max correction); a
     // 100-candidate shortlist re-ranks with exact cosine on floats.
@@ -3676,6 +3694,22 @@ object SparkEntry {
                i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE))))) * 1e6 + 0.5) / 1e6 AS score
            FROM embeddings e, q)
          SELECT q_id, vec_id, score, rn FROM (
+           SELECT *, row_number() OVER (PARTITION BY q_id
+             ORDER BY score DESC, vec_id ASC)::INT AS rn FROM scored)
+         WHERE rn <= 5 ORDER BY q_id, rn""",
+    "q_hardneg" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qe, label AS ql
+                    FROM embeddings WHERE vec_id < 3),
+         scored AS (
+           SELECT q.q_id, e.vec_id, e.label, floor((
+             list_sum(list_transform(generate_series(1, len(e.embedding)),
+               i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE)) /
+             (sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+               i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) *
+              sqrt(list_sum(list_transform(generate_series(1, len(q.qe)),
+               i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE))))) * 1e6 + 0.5) / 1e6 AS score
+           FROM embeddings e, q WHERE e.label <> q.ql)
+         SELECT q_id, vec_id, label, score, rn FROM (
            SELECT *, row_number() OVER (PARTITION BY q_id
              ORDER BY score DESC, vec_id ASC)::INT AS rn FROM scored)
          WHERE rn <= 5 ORDER BY q_id, rn""",

@@ -469,6 +469,40 @@ object Clustering {
       .select(col(qIdCol), col(idCol), col("score"), col("rn"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query, the
+    * `k` most-similar corpus vectors whose label DIFFERS from the
+    * query's — the informative negatives (a random negative is usually
+    * trivially far; the near-miss with the wrong label is what moves a
+    * contrastive loss). Same batched shape as [[knnJoin]] — queries ride
+    * a broadcast with their probed cells, the corpus NEVER shuffles, and
+    * the label-mismatch filter runs BEFORE the per-query rank so the
+    * output is the top-k among negatives, not the negatives among the
+    * top-k. WindowGroupLimit prunes per-query groups map-side. Output:
+    * (`qIdCol`, `idCol`, label, `score`, `rn`). */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, labelCol: String, qIdCol: String, qVecCol: String,
+      qLabelCol: String, coarse: KMeansModel, k: Int, nProbe: Int = 4,
+      cellCol: String = "ivf_cell"): DataFrame = {
+    require(k > 0 && nProbe > 0, "k and nProbe must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val probes = queries
+      .select(col(qIdCol), col(qVecCol).alias("__graft_qvec"),
+        col(qLabelCol).alias("__graft_qlab"))
+      .withColumn(cellCol, explode(
+        org.apache.spark.sql.graft.sketch.nearest_centroids_topn(
+          col("__graft_qvec"), coarse.centroids, nProbe)))
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("score").desc, col(idCol).asc)
+    corpus
+      .join(broadcast(probes), cellCol)
+      .filter(col(labelCol) =!= col("__graft_qlab"))
+      .withColumn("score", Rounding.halfUp(
+        Similarity.cosine(col(vecCol), col("__graft_qvec")), 6))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col(qIdCol), col(idCol), col(labelCol), col("score"), col("rn"))
+  }
+
   /** Fit a PQ codebook on coarse-cell RESIDUALS (x − centroid[cell]) —
     * the IVFADC layout of Jégou 2011 §IV-A. The coarse quantizer already
     * localizes a vector to its cell; quantizing the residual spends the

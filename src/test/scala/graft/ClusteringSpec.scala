@@ -417,4 +417,36 @@ class ClusteringSpec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(kept == (0L until 40L).toSet)
   }
+
+  test("hardNegatives: top-k among label-mismatched only, exact at full probe") {
+    val emb = sf("embeddings")
+    val coarse = Clustering.fitKMeans(emb, "embedding", "vec_id", k = 8,
+      maxIter = 4)
+    val corpus = Clustering.assign(emb, "embedding", coarse, "ivf_cell")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").alias("q_id"), col("embedding").alias("q_vec"),
+        col("label").alias("q_label"))
+    val got = Clustering.hardNegatives(corpus, queries, "embedding",
+      "vec_id", "label", "q_id", "q_vec", "q_label", coarse,
+      k = 5, nProbe = 8).collect()
+    val qLabels = emb.filter(col("vec_id") < 3)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label"))
+      .toMap
+    // every returned negative carries a different label than its query
+    got.foreach(r =>
+      assert(r.getInt(2) != qLabels(r.getLong(0)),
+        s"same-label row leaked: $r"))
+    // exactness: equals brute force restricted to label-mismatched rows
+    (0L until 3L).foreach { qid =>
+      val q = emb.filter(col("vec_id") === qid)
+        .select("embedding").head().getSeq[Float](0)
+      val brute = Similarity.bruteForceTopK(
+        emb.filter(col("label") =!= qLabels(qid)),
+        "embedding", "vec_id", q, 5)
+        .collect().map(_.getLong(0)).toSeq
+      val mine = got.filter(_.getLong(0) == qid).sortBy(_.getInt(4))
+        .map(_.getLong(1)).toSeq
+      assert(mine == brute, s"q$qid: $mine vs $brute")
+    }
+  }
 }
