@@ -952,6 +952,26 @@ object SparkEntry {
         "source", "doc_id", n = 10)
         .orderBy("source", "doc_id")),
 
+    // class-balanced downsample: every language keeps exactly the
+    // rarest language's count, md5-ranked within class
+    "q_balance" -> ((s, dir) =>
+      pipeline.Sampling.classBalance(
+        t(s, dir, "documents").select(col("lang"), col("doc_id")),
+        "lang", "doc_id")
+        .orderBy("doc_id")),
+
+    // deterministic uniform negatives: 4 md5-indexed corpus draws per
+    // anchor via the distributed dense rank (easy-negative counterpart
+    // of q_hardneg)
+    "q_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      pipeline.Sampling.uniformNegatives(emb,
+        emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").alias("q_id")),
+        "vec_id", "q_id", k = 4)
+        .orderBy("q_id", "j")
+    }),
+
     // ---- LLM-pipeline operators (graft.pipeline) ---------------------
     // exact dedup groups (hash-groupBy, keep lowest id)
     "q_dedup_exact" -> ((s, dir) =>
@@ -2042,6 +2062,29 @@ object SparkEntry {
            FROM documents)
          SELECT source, doc_id FROM r WHERE rn <= 10
          ORDER BY source, doc_id""",
+    "q_balance" ->
+      """WITH c AS (SELECT lang, count(*)::BIGINT AS cnt FROM documents
+                    GROUP BY lang),
+         t AS (SELECT min(cnt)::BIGINT AS target FROM c),
+         r AS (SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY substr(md5(doc_id::VARCHAR), 1, 8), doc_id) AS rn
+               FROM documents)
+         SELECT r.lang, r.doc_id FROM r, t WHERE r.rn <= t.target
+         ORDER BY r.doc_id""",
+    "q_negatives" ->
+      """WITH r AS (SELECT vec_id,
+             row_number() OVER (ORDER BY vec_id) AS rank FROM embeddings),
+         n AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+         a AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < 5),
+         j AS (SELECT unnest(generate_series(1, 4)) AS j),
+         p AS (SELECT a.q_id, j.j,
+                 ('0x' || substr(md5(a.q_id::VARCHAR || '#' || j.j::VARCHAR),
+                    1, 15))::BIGINT % n.n + 1 AS rank
+               FROM a, j, n)
+         SELECT p.q_id, p.j, r.vec_id AS neg_id
+         FROM p JOIN r USING (rank) WHERE r.vec_id <> p.q_id
+         ORDER BY q_id, j""",
     "q_multimodal" ->
       """SELECT doc_id, 'fake/raw' AS format, 16::BIGINT AS width,
                 16::BIGINT AS height,

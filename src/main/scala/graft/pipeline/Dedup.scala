@@ -528,21 +528,9 @@ object Dedup {
       window: Int): DataFrame = {
     require(window >= 2, "window must be at least 2")
     val b = window - 1L
-    val sorted = df.select(col(idCol).as("id"), col(keyCol).as("k"))
-      .repartitionByRange(col("k"), col("id"))
-      .sortWithinPartitions(col("k"), col("id"))
-    val counts = sorted.groupBy(spark_partition_id().as("__p"))
-      .agg(count(lit(1)).as("__c"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val maxPid = counts.lastOption.map(_._1).getOrElse(0)
-    val offsets = new Array[Long](maxPid + 1)
-    var acc = 0L
-    counts.foreach { case (pid, c) => offsets(pid) = acc; acc += c }
-    val offsetCol = element_at(
-      array(offsets.map(o => lit(o)).toIndexedSeq: _*),
-      spark_partition_id() + 1)
-    val ranked = sorted.withColumn("rank",
-      offsetCol + monotonically_increasing_id().bitwiseAND((1L << 33) - 1) + 1L)
+    val ranked = Ranks.withGlobalRank(
+      df.select(col(idCol).as("id"), col(keyCol).as("k")),
+      "rank", col("k"), col("id"))
     val probe = ranked.select(col("id").as("id_a"), col("rank").as("rank_a"),
       explode(array(floor((col("rank") - 1) / b),
         floor((col("rank") - 1) / b) + 1)).as("__bkt"))

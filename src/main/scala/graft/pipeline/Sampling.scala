@@ -103,6 +103,61 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Class-balanced downsample: every label keeps exactly
+    * min-class-count rows, chosen by md5-of-key rank within the class —
+    * deterministic under repartitioning and reruns, like everything in
+    * this module. The classifier-training counterpart of
+    * [[capPerGroup]]: the cap is DERIVED (the rarest class size,
+    * computed by one bounded aggregate and broadcast) instead of fixed.
+    *
+    * The exact-rank window sorts within each class; for classes too
+    * large to sort, the approximate path is [[deterministicSample]] at
+    * rate = target/classCount per class — same hash, no window. */
+  def classBalance(df: DataFrame, labelCol: String,
+      keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val target = df.groupBy(col(labelCol)).agg(count(lit(1)).as("__cnt"))
+      .agg(min(col("__cnt")).as("__target"))
+    val w = Window.partitionBy(col(labelCol))
+      .orderBy(keyHash(col(keyCol)).asc, col(keyCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .crossJoin(broadcast(target))
+      .filter(col("__rn") <= col("__target"))
+      .drop("__rn", "__target")
+  }
+
+  /** Deterministic uniform negative sampling for contrastive pair
+    * construction: each anchor draws `k` pseudo-random corpus rows —
+    * pick j of anchor a is the corpus row whose dense global rank is
+    * `md5(a ǁ '#' ǁ j) mod N` (+1). Same anchor, same negatives, on any
+    * engine, under any partitioning. The easy-negative counterpart of
+    * [[Clustering.hardNegatives]]. Anchors drawn from the corpus have
+    * self-collisions filtered (≤ 1 in N per draw, so ~k picks remain).
+    *
+    * Plan: one [[Ranks.withGlobalRank]] pass over the corpus (range
+    * repartition, no single-partition window), then an equi-join on the
+    * rank — uniform key, no skew. Output: (`anchorIdCol`, `j`,
+    * `neg_id`). */
+  def uniformNegatives(corpus: DataFrame, anchors: DataFrame,
+      idCol: String, anchorIdCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val ranked = Ranks.withGlobalRank(
+      corpus.select(col(idCol)), "__rank", col(idCol))
+    val n = corpus.agg(count(lit(1)).as("__n"))
+    val picks = anchors.select(col(anchorIdCol))
+      .crossJoin(broadcast(n))
+      .select(col(anchorIdCol),
+        explode(sequence(lit(1), lit(k))).as("j"), col("__n"))
+      .withColumn("__rank",
+        conv(substring(md5(concat(col(anchorIdCol).cast("string"),
+          lit("#"), col("j").cast("string"))), 1, 15), 16, 10)
+          .cast("long") % col("__n") + 1)
+    picks.join(ranked.select(col(idCol).as("neg_id"), col("__rank")),
+        Seq("__rank"))
+      .filter(col("neg_id") =!= col(anchorIdCol))
+      .select(col(anchorIdCol), col("j"), col("neg_id"))
+  }
+
   /** Efraimidis–Spirakis selection score: md5-derived uniform raised to
     * 1/weight. */
   private def esScore(key: Column, weight: Column): Column = {

@@ -147,4 +147,37 @@ class SamplingSpec extends SparkSpec {
       Sampling.splitByHash(ids, "id", Nil)
     }
   }
+
+  test("classBalance keeps exactly min-class-count rows per class, deterministically") {
+    import spark.implicits._
+    val d = ((1 to 50).map(i => ("big", i.toLong)) ++
+      (51 to 60).map(i => ("mid", i.toLong)) ++
+      (61 to 65).map(i => ("small", i.toLong))).toDF("lab", "id")
+    val got = Sampling.classBalance(d, "lab", "id")
+    val sizes = got.groupBy("lab").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes == Map("big" -> 5L, "mid" -> 5L, "small" -> 5L))
+    // deterministic under repartitioning
+    val again = Sampling.classBalance(d.repartition(7), "lab", "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == got.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("uniformNegatives: k deterministic draws per anchor, no self-pick") {
+    import spark.implicits._
+    val corpus = (1L to 100L).map(i => Tuple1(i)).toDF("id")
+    val anchors = Seq(1L, 2L, 3L).toDF("a_id")
+    val got = Sampling.uniformNegatives(corpus, anchors, "id", "a_id", k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.length <= 12 && got.length >= 9) // ≤1-in-N self-collisions
+    assert(got.forall { case (a, _, neg) => a != neg })
+    assert(got.forall { case (_, _, neg) => neg >= 1 && neg <= 100 })
+    // same picks after repartitioning the corpus
+    val again = Sampling.uniformNegatives(corpus.repartition(9), anchors,
+      "id", "a_id", k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(again.toSet == got.toSet)
+    // draws spread across the corpus (not clumped on one rank)
+    assert(got.map(_._3).distinct.length >= 6)
+  }
 }
