@@ -1472,6 +1472,20 @@ object SparkEntry {
     // Emitted long-form (label, i, mv) — the driver's checker sorts cells
     // and cannot hash array-typed columns, so the pooled vector is
     // exploded back to scalars for comparison (operator output unchanged).
+    // embedding-space drift: pairwise centroid cosine between label
+    // slices — one meanPool pass, cosines on the bounded centroid table
+    "q_embed_drift" -> ((s, dir) =>
+      pipeline.Embeddings.centroidDrift(t(s, dir, "embeddings"), "label",
+        "embedding")
+        .orderBy("slice_a", "slice_b")),
+
+    // k-anonymity audit on (lang, source) quasi-identifiers: population
+    // per combination + re-identification risk flag at k=5
+    "q_kanon" -> ((s, dir) =>
+      pipeline.Profiling.kAnonymity(t(s, dir, "documents"),
+        Seq("lang", "source"), k = 5)
+        .orderBy("lang", "source")),
+
     "q_pool" -> ((s, dir) =>
       pipeline.Embeddings.meanPool(t(s, dir, "embeddings"),
         Seq("label"), "embedding")
@@ -3848,6 +3862,28 @@ object SparkEntry {
                               (7, 10, CAST(true AS BOOLEAN)),
                               (42, 10, CAST(true AS BOOLEAN)))
          AS t(query_id, k, recall_ok) ORDER BY query_id""",
+    "q_embed_drift" ->
+      """WITH e AS (SELECT label, unnest(embedding) AS v,
+             unnest(generate_series(1, len(embedding)))::BIGINT AS i
+           FROM embeddings),
+         c AS (SELECT label, i, floor(avg(v::DOUBLE) * 1e6 + 0.5) / 1e6 AS m
+               FROM e GROUP BY label, i),
+         vv AS (SELECT label, list(m ORDER BY i) AS vec FROM c GROUP BY label),
+         p AS (SELECT a.label AS slice_a, b.label AS slice_b,
+                 list_sum(list_transform(generate_series(1, len(a.vec)),
+                   i -> a.vec[i] * b.vec[i])) AS dt,
+                 sqrt(list_sum(list_transform(generate_series(1, len(a.vec)),
+                   i -> a.vec[i] * a.vec[i]))) AS na,
+                 sqrt(list_sum(list_transform(generate_series(1, len(b.vec)),
+                   i -> b.vec[i] * b.vec[i]))) AS nb
+               FROM vv a, vv b WHERE a.label < b.label)
+         SELECT slice_a, slice_b,
+           floor(dt / (na * nb) * 1e6 + 0.5) / 1e6 AS cosine
+         FROM p ORDER BY slice_a, slice_b""",
+    "q_kanon" ->
+      """SELECT lang, source, count(*)::BIGINT AS cnt,
+           (count(*) < 5) AS at_risk
+         FROM documents GROUP BY lang, source ORDER BY lang, source""",
     "q_pool" ->
       """WITH e AS (SELECT label, unnest(embedding) AS v,
              unnest(generate_series(1, len(embedding)))::BIGINT AS i

@@ -72,6 +72,33 @@ object Embeddings {
         s => s.getField("__m")).alias("vec"))
   }
 
+  /** Embedding-space drift between slices (time windows, sources,
+    * pipeline versions): pairwise cosine of the slice CENTROIDS. A
+    * centroid that rotates away from the others is the cheapest
+    * whole-space alarm that a slice's embedding distribution moved —
+    * the vector-space sibling of [[Profiling.psiReport]] (which sees
+    * only scalar columns). Output: (`slice_a`, `slice_b`, `cosine`),
+    * slice_a < slice_b, half-up 6.
+    *
+    * Plan: one [[meanPool]] pass (per-dimension partial aggregate —
+    * the shuffle carries slices·dim rows, not vectors), then the
+    * pairwise cosine runs on the slices-sized centroid table with
+    * double-precision array folds — never the corpus. */
+  def centroidDrift(df: DataFrame, sliceCol: String,
+      vecCol: String): DataFrame = {
+    val cent = meanPool(df, Seq(sliceCol), vecCol)
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    val a = cent.select(col(sliceCol).as("slice_a"), col("vec").as("__va"))
+    val b = cent.select(col(sliceCol).as("slice_b"), col("vec").as("__vb"))
+    a.crossJoin(b).filter(col("slice_a") < col("slice_b"))
+      .select(col("slice_a"), col("slice_b"),
+        Rounding.halfUp(
+          dot(col("__va"), col("__vb")) /
+            (sqrt(dot(col("__va"), col("__va"))) *
+             sqrt(dot(col("__vb"), col("__vb")))), 6).as("cosine"))
+  }
+
   /** Deterministic seeded ±1 random projection to `k` dimensions
     * (Johnson–Lindenstrauss; Achlioptas 2003 sign variant):
     * out_j = Σ_i v_i·sign(h(j,i,seed)) / √k. Distance-preserving in

@@ -206,6 +206,25 @@ object Profiling {
       v => approx_percentile(v, array(ps.map(lit): _*), lit(accuracy)),
       groupCols)
 
+  /** k-anonymity audit over quasi-identifier columns (Sweeney 2002):
+    * one row per quasi-identifier combination with its population and an
+    * `at_risk` flag (fewer than `k` rows share the combination — those
+    * records are re-identifiable by joining the quasi-identifiers
+    * against an external table). The release gate for sharing per-group
+    * statistics or "anonymized" extracts of a corpus.
+    *
+    * One hash aggregate on the quasi-identifier key (map-side combine;
+    * result bounded by the combination cardinality). The overall
+    * anonymity level of the table is `min(cnt)` over this report. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String],
+      k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(k > 1, "k must be at least 2")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("at_risk", col("cnt") < k)
+  }
+
   /** Per-group winsorization: clip `valCol` to its group's
     * [`lo`, `hi`] exact quantiles (default p05/p95) — the standard
     * outlier-taming transform before length/score features feed a

@@ -258,4 +258,20 @@ class EmbeddingsSpec extends SparkSpec {
     assert(rotErr <= rawErr * 1.05,
       s"balanced-rotated PQ error $rotErr vs raw $rawErr")
   }
+
+  test("centroidDrift: aligned slices cos 1, opposed slices cos -1") {
+    import spark.implicits._
+    // slice a and b share a centroid direction; slice c points opposite
+    val d = Seq(
+      ("a", Array(1f, 0f)), ("a", Array(3f, 0f)),
+      ("b", Array(2f, 0f)),
+      ("c", Array(-1f, 0f)), ("c", Array(-5f, 0f))).toDF("s", "v")
+    val got = graft.pipeline.Embeddings.centroidDrift(d, "s", "v")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(got(("a", "b")) == 1.0)
+    assert(got(("a", "c")) == -1.0)
+    assert(got(("b", "c")) == -1.0)
+    assert(got.size == 3)
+  }
 }

@@ -434,6 +434,19 @@ class ProfilingSpec extends SparkSpec {
     assert(got.map(_._2).sum == 1.0 && got.map(_._3).sum == 1.0)
   }
 
+  test("kAnonymity flags combinations below k and only those") {
+    import spark.implicits._
+    val d = (Seq.fill(5)(("en", "web")) ++ Seq.fill(2)(("en", "book")) ++
+      Seq.fill(9)(("de", "web"))).toDF("lang", "src")
+    val got = Profiling.kAnonymity(d, Seq("lang", "src"), k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    assert(got == Map(
+      ("en", "web") -> ((5L, false)),
+      ("en", "book") -> ((2L, true)),
+      ("de", "web") -> ((9L, false))))
+  }
+
   test("mutual information: dependent pair saturates, independent pair is zero") {
     import spark.implicits._
     // perfectly dependent: b = a → MI = H(a) = H(b) = ln 2, NMI = 1
