@@ -447,6 +447,22 @@ object SparkEntry {
 
     // snapshot diff: added/removed/changed/unchanged between two keyed
     // corpus versions; the join carries (key, 8-byte digest), never text
+    // CDC merge: apply a keyed upsert/delete batch to the snapshot —
+    // deletes on doc_id%10==0; doc_id%10==5 gets a delete at seq 1
+    // superseded by an upsert at seq 2 (latest-wins proof)
+    "q_cdc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val dels = docs
+        .filter(col("doc_id") % 10 === 0 || col("doc_id") % 10 === 5)
+        .withColumn("seq", lit(1L)).withColumn("op", lit("d"))
+      val ups = docs.filter(col("doc_id") % 10 === 5)
+        .withColumn("text", concat(lit("updated "), col("text")))
+        .withColumn("seq", lit(2L)).withColumn("op", lit("u"))
+      pipeline.Cdc.applyChanges(docs, dels.unionByName(ups),
+        "doc_id", "seq", "op")
+        .orderBy("doc_id")
+    }),
+
     "q_snapshot_diff" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val a = d.filter(col("doc_id") < 400).select("doc_id", "text")
@@ -1331,6 +1347,17 @@ object SparkEntry {
     // applied by a codegen'd expression. Certified by the lossless-
     // partition invariant — joining a doc's subwords reproduces its
     // lowercased whitespace-stripped text — plus token-count bounds
+    // tokenizer fertility per language under the corpus-trained BPE:
+    // the bounds gate replays in SQL (the mean itself is spec-certified
+    // — the merge table is not SQL-expressible)
+    "q_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = pipeline.Bpe.learn(docs, "text", numMerges = 200)
+      pipeline.Bpe.fertilityByGroup(docs, "text", "lang", model)
+        .select(col("lang"), col("n_docs"), col("fertility_ok"))
+        .orderBy("lang")
+    }),
+
     // (n_words ≤ n_subwords ≤ n_nonspace_chars)
     "q_bpe" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -2575,6 +2602,23 @@ object SparkEntry {
          m AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id)
          SELECT comp AS entity_id, count(*)::BIGINT AS n_members
          FROM m GROUP BY comp ORDER BY entity_id""",
+    "q_cdc" ->
+      """WITH ch AS (
+           SELECT doc_id, text, lang, source, n_chars, 1 AS seq, 'd' AS op
+           FROM documents WHERE doc_id % 10 = 0 OR doc_id % 10 = 5
+           UNION ALL
+           SELECT doc_id, 'updated ' || text, lang, source, n_chars, 2, 'u'
+           FROM documents WHERE doc_id % 10 = 5),
+         latest AS (SELECT * FROM (
+             SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY seq DESC, op) AS rn FROM ch) WHERE rn = 1),
+         untouched AS (SELECT d.* FROM documents d
+           LEFT JOIN latest l ON d.doc_id = l.doc_id WHERE l.doc_id IS NULL)
+         SELECT doc_id, text, lang, source, n_chars FROM untouched
+         UNION ALL
+         SELECT doc_id, text, lang, source, n_chars FROM latest
+         WHERE op = 'u'
+         ORDER BY doc_id""",
     "q_snapshot_diff" ->
       """WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
          b AS (SELECT doc_id,
@@ -3432,6 +3476,9 @@ object SparkEntry {
                           ORDER BY f.lm_score DESC, f.doc_id) AS ppl_bucket
          FROM f JOIN documents doc ON f.doc_id = doc.doc_id
          ORDER BY f.doc_id""",
+    "q_fertility" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs, 1 AS fertility_ok
+         FROM documents GROUP BY lang ORDER BY lang""",
     // the segmentation is a lossless partition of each word, so the
     // exact joined text is oracle-computable even though the merge
     // table is not; within_bounds replays as the gates' all-true column

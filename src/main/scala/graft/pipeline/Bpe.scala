@@ -110,6 +110,30 @@ object Bpe {
     size(segment(text, model))
 
   /** Persist the merge table (rank-ordered); bounded, like a codebook. */
+  /** Tokenizer fertility report per group: mean subwords-per-word under
+    * `model`, with the certifying bounds gate. Fertility is THE
+    * tokenizer-fit diagnostic per language/source — a language averaging
+    * 3+ subwords per word is under-served by the learned merges (its
+    * token budget buys 3× less text). Output per group: `n_docs`,
+    * `fertility` (half-up 6, docs with ≥1 word), `fertility_ok` —
+    * 1 ≤ fertility ≤ mean word length in non-space chars, the lossless-
+    * partition invariant aggregated (oracle-replayable even though the
+    * merge table itself is not SQL-expressible). One codegen'd scan +
+    * one hash aggregate on the group key. */
+  def fertilityByGroup(df: DataFrame, textCol: String, groupCol: String,
+      model: BpeModel): DataFrame = {
+    val nWords = size(TextAnalysis.tokens(lower(col(textCol)))).cast("double")
+    val nSub = tokenCount(col(textCol), model).cast("double")
+    val nonspace = length(regexp_replace(lower(trim(col(textCol))),
+      "\\s+", "")).cast("double")
+    val hasWords = nWords > 0 && length(trim(col(textCol))) > 0
+    df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_docs"),
+      Rounding.halfUp(avg(when(hasWords, nSub / nWords)), 6).as("fertility"),
+      min(when(hasWords, (nSub >= nWords && nSub <= nonspace).cast("int"))
+        .otherwise(lit(1))).as("fertility_ok"))
+  }
+
   def writeModel(model: BpeModel, path: String, spark: SparkSession): Unit = {
     import spark.implicits._
     model.merges.zipWithIndex

@@ -178,12 +178,22 @@ object Classify {
     * the bare bias. */
   def score(df: DataFrame, textCol: String, idCol: String,
       model: LinearTextModel): DataFrame =
-    df.select(col(idCol),
-      org.apache.spark.sql.graft.sketch
-        .dsir_score(grams(textCol), model.weights, model.buckets).as("__s"))
-      .select(col(idCol),
-        coalesce(col("__s.n_feats"), lit(0L)).as("n_feats"),
-        Rounding.halfUp(coalesce(col("__s.iw"), lit(0.0)) + model.bias, 6)
-          .as("score"))
+    withScore(df, textCol, model).select(
+      col(idCol), col("n_feats"), col("score"), col("pred"))
+
+  /** [[score]] as a column APPEND (all input columns preserved, plus
+    * `n_feats`/`score`/`pred`) — still a stateless per-row projection,
+    * which makes it directly usable on an unbounded stream
+    * ([[graft.streaming.DocStream.scoreStream]]): a join-back of the
+    * projected [[score]] would be a stream-stream join Structured
+    * Streaming rejects. */
+  def withScore(df: DataFrame, textCol: String,
+      model: LinearTextModel): DataFrame =
+    df.withColumn("__s", org.apache.spark.sql.graft.sketch
+        .dsir_score(grams(textCol), model.weights, model.buckets))
+      .withColumn("n_feats", coalesce(col("__s.n_feats"), lit(0L)))
+      .withColumn("score",
+        Rounding.halfUp(coalesce(col("__s.iw"), lit(0.0)) + model.bias, 6))
       .withColumn("pred", (col("score") > 0).cast("int"))
+      .drop("__s")
 }

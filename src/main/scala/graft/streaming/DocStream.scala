@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
-import graft.pipeline.{Clustering, Dedup, TextAnalysis}
+import graft.pipeline.{Classify, Clustering, Dedup, TextAnalysis}
 
 /** Streaming training-data ingest: the batch pipeline's cleaning stages
   * applied to a document stream (doc_id, ts, text, …).
@@ -38,6 +38,23 @@ object DocStream {
       .withColumn(textCol, TextAnalysis.scrubPii(col(textCol)))
       .drop("__fp")
   }
+
+  /** Streaming model-based quality gate: score every arriving document
+    * under a batch-fitted [[Classify.LinearTextModel]] and keep rows
+    * whose score clears `minScore`. Stream-safe BY CONSTRUCTION: the
+    * scoring kernel is a stateless per-row expression (no window, no
+    * aggregate, no join — the model rides into codegen as a `double[]`),
+    * so the plan is a pure projection+filter that Structured Streaming
+    * accepts in append mode with no watermark, and the batch and stream
+    * scoring paths are ONE function ([[Classify.withScore]]) that cannot
+    * drift. Output: input columns + `n_feats`, `score`, `pred`. */
+  def scoreStream(
+      docs: DataFrame,
+      model: Classify.LinearTextModel,
+      textCol: String = "text",
+      minScore: Double = 0.0): DataFrame =
+    Classify.withScore(docs, textCol, model)
+      .filter(col("score") >= minScore)
 
   /** Streaming NEAR-dup detection against a standing [[Dedup.MinhashIndex]]:
     * every micro-batch runs the batch [[Dedup.minhashProbe]] verbatim —

@@ -88,4 +88,22 @@ class BpeSpec extends SparkSpec {
       .head().getSeq[String](0)
     assert(seg == Seq("😀😀", "x"), seg.toString)
   }
+
+  test("fertility: merge-covered group approaches 1, uncovered group stays high") {
+    import spark.implicits._
+    // group a repeats one word (merges learn it fully → fertility → 1);
+    // group b is unique long words the 'a'-dominated merge table cannot
+    // compress as well
+    val docs = ((1L to 20L).map(i => (i, "hello hello hello", "a")) ++
+      (21L to 25L).map(i => (i, s"xylophone$i quixotic$i", "b")))
+      .toDF("id", "text", "grp")
+    val model = Bpe.learn(docs, "text", numMerges = 60)
+    val got = Bpe.fertilityByGroup(docs, "text", "grp", model)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getInt(3))).toMap
+    assert(got("a")._1 == 20L && got("b")._1 == 5L)
+    assert(got("a")._2 == 1.0, s"covered group fertility ${got("a")._2}")
+    assert(got("b")._2 >= 2.0, s"uncovered group fertility ${got("b")._2}")
+    assert(got("a")._3 == 1 && got("b")._3 == 1, "bounds gate must hold")
+  }
 }

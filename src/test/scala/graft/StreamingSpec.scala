@@ -367,4 +367,32 @@ class StreamingSpec extends SparkSpec {
     val ids = out.select("doc_id").collect().map(_.getLong(0)).toSeq
     assert(ids.length == 1 && Set(1L, 2L).contains(ids.head), ids.toString)
   }
+
+  test("streaming classifier gate scores a live stream identically to batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val labeled = ((1L to 20L).map(i =>
+      (i, s"the experiment measured a clear signal in trial $i", 1)) ++
+      (21L to 40L).map(i =>
+        (i, s"click here free offer winner prize claim now $i", 0)))
+      .toDF("doc_id", "text", "y")
+    val model = graft.pipeline.Classify.fitNaiveBayes(labeled, "text",
+      "doc_id", "y", buckets = 1024, alpha = 0.5)
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val q = EventStream.startToMemory(
+      graft.streaming.DocStream.scoreStream(stream, model, minScore = 0.0),
+      "scored")
+    mem.addData((101L, "experiment measured a clear signal"),
+      (102L, "free offer winner prize"))
+    q.processAllAvailable()
+    val rows = spark.table("scored").collect()
+    q.stop()
+    // only the positive-class doc clears the gate, with the BATCH score
+    assert(rows.map(_.getLong(0)).toSeq == Seq(101L))
+    val batchScore = graft.pipeline.Classify.score(
+      Seq((101L, "experiment measured a clear signal")).toDF("doc_id", "text"),
+      "text", "doc_id", model).select("score").head().getDouble(0)
+    assert(rows.head.getAs[Double]("score") == batchScore)
+  }
 }
