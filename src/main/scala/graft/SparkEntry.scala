@@ -1322,6 +1322,23 @@ object SparkEntry {
       pipeline.Search.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
         Seq("spark", "hash", "merge"), k = 50)),
 
+    // hybrid ranking: RRF-fuse the BM25 top-50 with the quality-prior
+    // (lm_score) top-50 — rank-only combination of incomparable scores;
+    // everything after retrieval runs on bounded top-k lists
+    "q_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val wB = Window.orderBy(col("score").desc, col("doc_id").asc)
+      val bm = pipeline.Search.bm25TopK(docs, "text", "doc_id",
+        Seq("spark", "hash", "merge"), k = 50)
+        .withColumn("rn", row_number().over(wB))
+      val wQ = Window.orderBy(col("lm_score").desc, col("doc_id").asc)
+      val qual = pipeline.LangModel.scoreDocs(docs, "text", "doc_id")
+        .orderBy(col("lm_score").desc, col("doc_id").asc).limit(50)
+        .withColumn("rn", row_number().over(wQ))
+      pipeline.Search.rrfFuse(Seq(bm, qual), "doc_id", c = 60, k = 20)
+    }),
+
     // per-document top-3 tf-idf keywords, ranked on the ROUNDED weight
     // with term tie-break (engine-portable rank)
     "q_keywords" -> ((s, dir) =>
@@ -3378,6 +3395,68 @@ object SparkEntry {
          SELECT d.doc_id, md5(coalesce(a.ct, '')) AS clean_fp,
                 coalesce(a.n, 0)::BIGINT AS n_kept
          FROM d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""",
+    // both constituent rankings replayed verbatim (bm25 + lm oracles),
+    // then the rank-only fusion
+    "q_rrf" ->
+      """WITH d AS (SELECT doc_id,
+             string_split(lower(trim(text)), ' ') AS tk FROM documents),
+         base AS (SELECT doc_id, tk, len(tk)::BIGINT AS dl FROM d),
+         st AS (SELECT count(*)::DOUBLE AS n,
+             sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl,
+             sum(CASE WHEN list_contains(tk, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df0,
+             sum(CASE WHEN list_contains(tk, 'hash') THEN 1 ELSE 0 END)::DOUBLE AS df1,
+             sum(CASE WHEN list_contains(tk, 'merge') THEN 1 ELSE 0 END)::DOUBLE AS df2
+           FROM base),
+         sc AS (SELECT doc_id,
+             ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+               * len(list_filter(tk, x -> x = 'spark'))::DOUBLE * 2.2
+               / (len(list_filter(tk, x -> x = 'spark'))::DOUBLE
+                  + 1.2 * (0.25 + 0.75 * dl::DOUBLE / avgdl))
+             + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+               * len(list_filter(tk, x -> x = 'hash'))::DOUBLE * 2.2
+               / (len(list_filter(tk, x -> x = 'hash'))::DOUBLE
+                  + 1.2 * (0.25 + 0.75 * dl::DOUBLE / avgdl))
+             + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+               * len(list_filter(tk, x -> x = 'merge'))::DOUBLE * 2.2
+               / (len(list_filter(tk, x -> x = 'merge'))::DOUBLE
+                  + 1.2 * (0.25 + 0.75 * dl::DOUBLE / avgdl)) AS raw
+           FROM base, st),
+         bml AS (SELECT doc_id, floor(raw * 1e6 + 0.5) / 1e6 AS score
+                 FROM sc WHERE floor(raw * 1e6 + 0.5) / 1e6 > 0
+                 ORDER BY score DESC, doc_id LIMIT 50),
+         bmr AS (SELECT doc_id, row_number() OVER
+                   (ORDER BY score DESC, doc_id) AS rn FROM bml),
+         b AS (SELECT doc_id, CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
+                 ELSE list_transform(generate_series(1, len(tk)-1),
+                        i -> tk[i] || ' ' || tk[i+1]) END AS bg FROM d),
+         e AS (SELECT doc_id, unnest(bg) AS ngram FROM b),
+         cn AS (SELECT ngram, count(*)::BIGINT AS cnt,
+                  string_split(ngram, ' ')[1] AS w1
+                FROM e GROUP BY ngram),
+         cx AS (SELECT w1, sum(cnt)::BIGINT AS ctx FROM cn GROUP BY w1),
+         v AS (SELECT count(DISTINCT t)::BIGINT AS v FROM
+                 (SELECT unnest(tk) AS t FROM d)),
+         lp AS (SELECT e.doc_id,
+                  ln((cn.cnt::DOUBLE + 0.5) / (cx.ctx::DOUBLE + 0.5 * v.v::DOUBLE)) AS lp
+                FROM e JOIN cn ON e.ngram = cn.ngram
+                       JOIN cx ON cn.w1 = cx.w1, v),
+         lsc AS (SELECT doc_id,
+                   floor(avg(lp) * 1e6 + 0.5) / 1e6 AS lm_score
+                 FROM lp GROUP BY doc_id),
+         lfull AS (SELECT d.doc_id, coalesce(lsc.lm_score, 0.0) AS lm_score
+                   FROM d LEFT JOIN lsc ON d.doc_id = lsc.doc_id),
+         lml AS (SELECT doc_id, lm_score FROM lfull
+                 ORDER BY lm_score DESC, doc_id LIMIT 50),
+         lmr AS (SELECT doc_id, row_number() OVER
+                   (ORDER BY lm_score DESC, doc_id) AS rn FROM lml),
+         u AS (SELECT doc_id, rn FROM bmr
+               UNION ALL SELECT doc_id, rn FROM lmr),
+         f AS (SELECT doc_id,
+                 floor(sum(1.0 / (60 + rn)) * 1e6 + 0.5) / 1e6 AS rrf,
+                 count(*)::BIGINT AS n_lists
+               FROM u GROUP BY doc_id)
+         SELECT doc_id, rrf, n_lists FROM f
+         ORDER BY rrf DESC, doc_id LIMIT 20""",
     "q_keywords" ->
       """WITH d AS (SELECT doc_id,
              string_split(lower(trim(text)), ' ') AS tk FROM documents),

@@ -78,6 +78,31 @@ object Search {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    * merge any number of top-k rankings into one by
+    * `rrf(d) = Σ_lists 1/(c + rank_list(d))` — THE standard hybrid-search
+    * combiner (lexical BM25 + semantic ANN, or relevance + quality
+    * prior), robust because it uses only ranks, never incomparable raw
+    * scores. Each input must carry (`idCol`, `rn`) with `rn` assigned on
+    * ROUNDED scores with an id tie-break, so ranks are engine-portable.
+    * Output: top `k` of (`idCol`, `rrf` half-up 6, `n_lists`).
+    *
+    * Scale: inputs are top-k lists — bounded by construction — so the
+    * union/group/sort all run on k·lists rows; fusing never touches the
+    * corpus (the per-list retrieval already did). */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, c: Int = 60,
+      k: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(c > 0 && k > 0, "c and k must be positive")
+    val union = rankings.map(_.select(col(idCol), col("rn")))
+      .reduce(_ unionByName _)
+    union.groupBy(col(idCol))
+      .agg(Rounding.halfUp(sum(lit(1.0) / (lit(c) + col("rn"))), 6).as("rrf"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Per-document keyword extraction: the `k` highest tf·idf terms of
     * each document (idf = ln N/df over the corpus), ranked by the
     * ROUNDED weight (half-up 6) with the term string as tie-break — the

@@ -79,6 +79,23 @@ class SearchSpec extends SparkSpec {
     assert(!plan.contains("hashpartitioning(id"), plan)
   }
 
+  test("rrfFuse combines ranks; shared docs beat single-list leaders") {
+    import spark.implicits._
+    // doc 5 is rank 2 in BOTH lists → rrf 2/62 > doc 1's 1/61 (rank 1 in
+    // one list only)
+    val l1 = Seq((1L, 1), (5L, 2), (7L, 3)).toDF("id", "rn")
+    val l2 = Seq((9L, 1), (5L, 2), (7L, 4)).toDF("id", "rn")
+    val got = Search.rrfFuse(Seq(l1, l2), "id", c = 60, k = 4).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    def r6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    assert(got.head._1 == 5L && got.head._2 == r6(2.0 / 62) &&
+      got.head._3 == 2L)
+    assert(got(1)._1 == 7L) // 1/63 + 1/64 > 1/61
+    assert(got.map(_._1).toSeq == Seq(5L, 7L, 1L, 9L))
+    // 1 and 9 tie at 1/61 → id tie-break orders them
+    assert(got(2)._2 == got(3)._2)
+  }
+
   test("topTfidfTerms ranks rare terms first and tie-breaks by term") {
     import spark.implicits._
     val d = Seq(
