@@ -1346,6 +1346,39 @@ object SparkEntry {
         "doc_id", k = 3)
         .orderBy("doc_id", "rk")),
 
+    // unicode-script composition per doc: the multilingual router —
+    // pure regexp-count expressions, zero shuffle
+    "q_script" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        pipeline.TextAnalysis.scriptProfile(col("text")).alias("sp"))
+        .select(col("doc_id"),
+          col("sp.latin_frac").alias("latin_frac"),
+          col("sp.digit_frac").alias("digit_frac"),
+          col("sp.cjk_frac").alias("cjk_frac"),
+          col("sp.cyrillic_frac").alias("cyrillic_frac"),
+          col("sp.other_frac").alias("other_frac"))
+        .orderBy("doc_id")),
+
+    // semi-structured props: JSON field extraction + per-type stats
+    // (get_json_object is a per-row expression — scan-parallel)
+    "q_props" -> ((s, dir) =>
+      t(s, dir, "events").select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").alias("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).alias("n"),
+          pipeline.Rounding.halfUp(avg(col("k")), 6).alias("avg_k"),
+          min(col("k")).alias("min_k"), max(col("k")).alias("max_k"))
+        .orderBy("event_type")),
+
+    // trigram stupid-backoff scoring against the %7!=0 reference split:
+    // held-out docs exercise the real backoff path
+    "q_trigram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      pipeline.LangModel.scoreDocsBackoff(docs,
+        docs.filter(col("doc_id") % 7 =!= 0), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // corpus bigram-LM quality scoring (CCNet-shape): add-α-smoothed mean
     // bigram log-probability per document
     "q_lm_score" -> ((s, dir) =>
@@ -3501,6 +3534,79 @@ object SparkEntry {
          SELECT doc_id, floor(raw * 1e6 + 0.5) / 1e6 AS score FROM sc
          WHERE floor(raw * 1e6 + 0.5) / 1e6 > 0
          ORDER BY score DESC, doc_id LIMIT 50""",
+    "q_script" ->
+      """WITH s AS (SELECT doc_id,
+             regexp_replace(text, '\s+', '', 'g') AS s FROM documents),
+         c AS (SELECT doc_id, length(s)::DOUBLE AS n,
+             (length(s) - length(regexp_replace(s, '[A-Za-z]', '', 'g')))::DOUBLE AS la,
+             (length(s) - length(regexp_replace(s, '[0-9]', '', 'g')))::DOUBLE AS di,
+             (length(s) - length(regexp_replace(s, '[\x{4e00}-\x{9fff}]', '', 'g')))::DOUBLE AS cj,
+             (length(s) - length(regexp_replace(s, '[\x{0400}-\x{04ff}]', '', 'g')))::DOUBLE AS cy
+           FROM s),
+         f AS (SELECT doc_id, n,
+             CASE WHEN n > 0 THEN floor(la / n * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS latin_frac,
+             CASE WHEN n > 0 THEN floor(di / n * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS digit_frac,
+             CASE WHEN n > 0 THEN floor(cj / n * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS cjk_frac,
+             CASE WHEN n > 0 THEN floor(cy / n * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS cyrillic_frac
+           FROM c)
+         SELECT doc_id, latin_frac, digit_frac, cjk_frac, cyrillic_frac,
+           CASE WHEN n > 0 THEN floor((1.0 - (latin_frac + digit_frac
+             + cjk_frac + cyrillic_frac)) * 1e6 + 0.5) / 1e6
+           ELSE 0.0 END AS other_frac
+         FROM f ORDER BY doc_id""",
+    "q_props" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+           floor(avg(json_extract(props, '$.k')::BIGINT) * 1e6 + 0.5) / 1e6
+             AS avg_k,
+           min(json_extract(props, '$.k')::BIGINT) AS min_k,
+           max(json_extract(props, '$.k')::BIGINT) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_trigram" ->
+      """WITH d AS (SELECT doc_id,
+             string_split(lower(trim(text)), ' ') AS tk FROM documents),
+         r AS (SELECT * FROM d WHERE doc_id % 7 <> 0),
+         rt AS (SELECT unnest(CASE WHEN len(tk) < 3 THEN []::VARCHAR[]
+                 ELSE list_transform(generate_series(1, len(tk)-2),
+                        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END)
+                 AS g3 FROM r),
+         tric AS (SELECT g3, count(*)::BIGINT AS c3 FROM rt GROUP BY g3),
+         rb AS (SELECT unnest(CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
+                 ELSE list_transform(generate_series(1, len(tk)-1),
+                        i -> tk[i] || ' ' || tk[i+1]) END) AS g2 FROM r),
+         bic AS (SELECT g2, count(*)::BIGINT AS c2 FROM rb GROUP BY g2),
+         ru AS (SELECT unnest(tk) AS g1 FROM r),
+         unic AS (SELECT g1, count(*)::BIGINT AS c1 FROM ru GROUP BY g1),
+         sca AS (SELECT count(*)::BIGINT AS n,
+                   count(DISTINCT g1)::BIGINT AS v FROM ru),
+         pos AS (SELECT doc_id, unnest(CASE WHEN len(tk) < 3 THEN []::VARCHAR[]
+                 ELSE list_transform(generate_series(1, len(tk)-2),
+                        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END)
+                 AS g3 FROM d),
+         px AS (SELECT doc_id, g3,
+                  string_split(g3, ' ')[1] || ' ' || string_split(g3, ' ')[2] AS w12,
+                  string_split(g3, ' ')[2] || ' ' || string_split(g3, ' ')[3] AS w23,
+                  string_split(g3, ' ')[2] AS w2,
+                  string_split(g3, ' ')[3] AS w3
+                FROM pos),
+         j AS (SELECT px.doc_id,
+                 CASE WHEN tric.c3 IS NOT NULL
+                      THEN ln(tric.c3::DOUBLE / b12.c2::DOUBLE)
+                      WHEN b23.c2 IS NOT NULL
+                      THEN ln(0.4 * b23.c2::DOUBLE / u2.c1::DOUBLE)
+                      ELSE ln(0.4 * 0.4 * (coalesce(u3.c1, 0)::DOUBLE + 0.5)
+                              / (sca.n::DOUBLE + 0.5 * sca.v::DOUBLE))
+                 END AS lp
+               FROM px LEFT JOIN tric ON px.g3 = tric.g3
+                       LEFT JOIN bic b12 ON px.w12 = b12.g2
+                       LEFT JOIN bic b23 ON px.w23 = b23.g2
+                       LEFT JOIN unic u2 ON px.w2 = u2.g1
+                       LEFT JOIN unic u3 ON px.w3 = u3.g1, sca),
+         sc AS (SELECT doc_id, count(*)::BIGINT AS n_trigrams,
+                  floor(avg(lp) * 1e6 + 0.5) / 1e6 AS bo_score
+                FROM j GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(sc.n_trigrams, 0)::BIGINT AS n_trigrams,
+                coalesce(sc.bo_score, 0.0) AS bo_score
+         FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id ORDER BY d.doc_id""",
     "q_lm_score" ->
       """WITH d AS (SELECT doc_id,
              string_split(lower(trim(text)), ' ') AS tk FROM documents),

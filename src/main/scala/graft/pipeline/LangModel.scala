@@ -75,6 +75,93 @@ object LangModel {
         coalesce(col("lm_score"), lit(0.0)).as("lm_score"))
   }
 
+  /** Word trigrams "w1 w2 w3" of the lowercased whitespace-split text
+    * (empty below three tokens). Nested zip_with like
+    * [[TextAnalysis.bigrams]] — array args evaluate once per row. */
+  private[pipeline] def trigrams(text: Column): Column = {
+    val toks = TextAnalysis.tokens(lower(text))
+    val n = size(toks)
+    when(n < 3, array().cast("array<string>"))
+      .otherwise(zip_with(
+        zip_with(slice(toks, lit(1), n - 2), slice(toks, lit(2), n - 2),
+          (a, b) => concat_ws(" ", a, b)),
+        slice(toks, lit(3), n - 2),
+        (ab, c) => concat_ws(" ", ab, c)))
+  }
+
+  /** Trigram LM with stupid backoff (Brants et al., "Large Language
+    * Models in Machine Translation", EMNLP 2007 §4) scored against a
+    * separate REFERENCE corpus — per trigram position:
+    *
+    *   ln c(w123)/c(w12)                     if the reference saw w123
+    *   ln λ·c(w23)/c(w2)                     else if it saw w23
+    *   ln λ²·(c(w3)+α)/(N+α·V)               else (smoothed unigram floor
+    *                                          — unseen words stay finite)
+    *
+    * Unlike [[scoreDocs]]' in-corpus bigram model, the reference split
+    * makes the backoff path REAL: documents outside `ref` contain
+    * transitions the reference never saw. Columns: (`idCol`,
+    * `n_trigrams`, `bo_score` = mean ln-prob, half-up 6; docs under
+    * three tokens score 0 with n_trigrams 0).
+    *
+    * Plan shape: all count tables are vocabulary-bounded hash aggregates
+    * of the REFERENCE (map-side combine absorbs the Zipf head); scoring
+    * joins the exploded doc positions against those bounded tables on
+    * n-gram keys. N and V are one scalar row, broadcast. */
+  def scoreDocsBackoff(df: DataFrame, ref: DataFrame, textCol: String,
+      idCol: String, lambda: Double = 0.4,
+      alpha: Double = 0.5): DataFrame = {
+    require(lambda > 0 && lambda <= 1, "lambda must be in (0, 1]")
+    require(alpha > 0, "alpha must be positive")
+    val tri = ref.select(explode(trigrams(col(textCol))).as("g3"))
+      .groupBy("g3").agg(count(lit(1)).as("c3"))
+    val bi = ref.select(explode(TextAnalysis.bigrams(col(textCol))).as("g2"))
+      .groupBy("g2").agg(count(lit(1)).as("c2"))
+    val uni = ref
+      .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("g1"))
+      .groupBy("g1").agg(count(lit(1)).as("c1"))
+    val scalars = ref
+      .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("__t"))
+      .agg(count(lit(1)).as("__n"), countDistinct(col("__t")).as("__v"))
+    val pos = df.select(col(idCol), explode(trigrams(col(textCol))).as("g3"))
+      .withColumn("__p", split(col("g3"), " "))
+      .withColumn("w12", concat_ws(" ",
+        col("__p").getItem(0), col("__p").getItem(1)))
+      .withColumn("w23", concat_ws(" ",
+        col("__p").getItem(1), col("__p").getItem(2)))
+      .withColumn("w2", col("__p").getItem(1))
+      .withColumn("w3", col("__p").getItem(2))
+    val joined = pos
+      .join(tri, Seq("g3"), "left")
+      .join(bi.select(col("g2").as("w12"), col("c2").as("c12")),
+        Seq("w12"), "left")
+      .join(bi.select(col("g2").as("w23"), col("c2").as("c23")),
+        Seq("w23"), "left")
+      .join(uni.select(col("g1").as("w2"), col("c1").as("cu2")),
+        Seq("w2"), "left")
+      .join(uni.select(col("g1").as("w3"), col("c1").as("cu3")),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(scalars))
+    val lp =
+      when(col("c3").isNotNull,
+        log(col("c3").cast("double") / col("c12").cast("double")))
+      .when(col("c23").isNotNull,
+        log(lit(lambda) * col("c23").cast("double") /
+          col("cu2").cast("double")))
+      .otherwise(
+        log(lit(lambda * lambda) *
+          (coalesce(col("cu3"), lit(0L)).cast("double") + alpha) /
+          (col("__n").cast("double") + lit(alpha) * col("__v").cast("double"))))
+    val scored = joined.select(col(idCol), lp.as("__lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        Rounding.halfUp(avg(col("__lp")), 6).as("bo_score"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("bo_score"), lit(0.0)).as("bo_score"))
+  }
+
   /** CCNet's head/middle/tail split (Wenzek 2020 §4.4): equal-count
     * perplexity buckets per `byCol` group (their per-language split).
     * `ppl_bucket` 1 = head (highest mean log-probability = lowest

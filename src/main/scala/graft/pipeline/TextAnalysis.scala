@@ -339,6 +339,36 @@ object TextAnalysis {
       .withColumn("n_ip", regexp_count(col(textCol), lit(Ipv4Re)))
       .withColumn("n_phone", regexp_count(col(textCol), lit(PhoneRe)))
 
+  /** Unicode-script composition of a document: fractions of non-space
+    * characters that are Latin letters, digits, CJK ideographs,
+    * Cyrillic, and everything else — the cheap multilingual-corpus
+    * router (script disagreement with the claimed language, mixed-script
+    * spam, binary-in-text payloads) that runs BEFORE any model-based
+    * language ID. Struct of five fractions (half-up 6; all 0 for
+    * whitespace-only text). Pure regexp-count column expressions —
+    * codegen'd, zero shuffle, and replayable in any engine with RE2
+    * character-class counts. */
+  def scriptProfile(text: Column): Column = {
+    val s = regexp_replace(text, "\\s+", "")
+    val n = length(s).cast("double")
+    def frac(cls: String): Column = {
+      val cnt = (length(s) - length(regexp_replace(s, cls, ""))).cast("double")
+      when(n > 0, Rounding.halfUp(cnt / n, 6)).otherwise(lit(0.0))
+    }
+    val latin = frac("[A-Za-z]")
+    val digit = frac("[0-9]")
+    val cjk = frac("[\\x{4e00}-\\x{9fff}]")
+    val cyr = frac("[\\x{0400}-\\x{04ff}]")
+    struct(
+      latin.alias("latin_frac"),
+      digit.alias("digit_frac"),
+      cjk.alias("cjk_frac"),
+      cyr.alias("cyrillic_frac"),
+      when(n > 0, Rounding.halfUp(
+        lit(1.0) - (latin + digit + cjk + cyr), 6)).otherwise(lit(0.0))
+        .alias("other_frac"))
+  }
+
   /** Convenience: annotate a document DataFrame with all measures. */
   def annotate(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_tokens", tokenCount(col(textCol)))

@@ -79,6 +79,26 @@ class LangModelSpec extends SparkSpec {
     assert(got(1L) > got(3L))
   }
 
+  test("stupid backoff selects the right level per trigram position") {
+    import spark.implicits._
+    val ref = Seq((1L, "a b c"), (2L, "a b c")).toDF("id", "text")
+    // ref counts: tri(a b c)=2; bi(a b)=2,(b c)=2; uni a=b=c=2; N=6, V=3
+    val probe = Seq(
+      (10L, "a b c"),  // level 1: ln(2/2) = 0
+      (11L, "x b c"),  // level 2: ln(0.4·2/2) = ln 0.4
+      (12L, "x y z"),  // level 3: ln(0.16·0.5/(6+1.5))
+      (13L, "a b"))    // too short: 0 trigrams
+      .toDF("id", "text")
+    val got = LangModel.scoreDocsBackoff(probe, ref, "text", "id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    def r6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    assert(got(10L) == ((1L, 0.0)))
+    assert(got(11L) == ((1L, r6(math.log(0.4)))))
+    assert(got(12L) == ((1L, r6(math.log(0.4 * 0.4 * 0.5 / 7.5)))))
+    assert(got(13L) == ((0L, 0.0)))
+  }
+
   test("perplexity buckets are equal-count per group and rank by score") {
     import spark.implicits._
     // 6 docs in one group: tertiles must be exactly 2/2/2, with the

@@ -257,4 +257,29 @@ class QualitySpec extends SparkSpec {
       assert(seqs.keys.count(_._1 == shard) == expected.size)
     }
   }
+
+  test("scriptProfile: fractions by unicode script, whitespace ignored") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "abc 12"),        // 3/5 latin, 2/5 digit
+      (2L, "日本語 test"),    // 3/7 cjk, 4/7 latin
+      (3L, "привет"),        // all cyrillic
+      (4L, "   "),           // whitespace-only → all zero
+      (5L, "a-b!"))          // punctuation → other
+      .toDF("id", "text")
+    val got = d.select(col("id"),
+      graft.pipeline.TextAnalysis.scriptProfile(col("text")).as("sp"))
+      .select("id", "sp.latin_frac", "sp.digit_frac", "sp.cjk_frac",
+        "sp.cyrillic_frac", "sp.other_frac")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    def r6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    assert(got(1L) == ((r6(3.0 / 5), r6(2.0 / 5), 0.0, 0.0,
+      r6(1.0 - r6(3.0 / 5) - r6(2.0 / 5)))))
+    assert(got(2L)._3 == r6(3.0 / 7) && got(2L)._1 == r6(4.0 / 7))
+    assert(got(3L) == ((0.0, 0.0, 0.0, 1.0, 0.0)))
+    assert(got(4L) == ((0.0, 0.0, 0.0, 0.0, 0.0)))
+    assert(got(5L)._1 == 0.5 && got(5L)._5 == 0.5)
+  }
 }
