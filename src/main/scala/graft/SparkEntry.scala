@@ -227,6 +227,12 @@ object SparkEntry {
       t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
       gap = 30L * 60 * 1000000000L, k = 10)),
 
+    // DAU/WAU/stickiness per UTC day: exact window distincts via the
+    // bounded (day, user) activity table exploded to trailing days
+    "q_dau" -> ((s, dir) => pipeline.Temporal.activeUsers(
+      t(s, dir, "events"), "user_id", "ts", windowDays = 7)
+      .orderBy("day")),
+
     // first-order Markov transition matrix of event types along each
     // user's time-ordered stream, row-normalized over prev_state
     "q_markov" -> ((s, dir) => pipeline.Temporal.transitionMatrix(
@@ -513,6 +519,23 @@ object SparkEntry {
     "q_pmi" -> ((s, dir) =>
       pipeline.TextAnalysis.topPmi(t(s, dir, "documents"), "text",
         minPairCount = 5L, k = 20)),
+
+    // wide reshaping: doc counts per source pivoted across the language
+    // set (explicit value list keeps the schema deterministic)
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "documents").groupBy(col("source"))
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh")).count()
+        .na.fill(0L)
+        .orderBy("source")),
+
+    // triangle census of the exact near-dup pair graph: transitivity is
+    // the LSH-threshold diagnostic (a similarity relation should be
+    // near-transitive)
+    "q_triangles" -> ((s, dir) => {
+      val pairs = pipeline.Dedup.ngramJaccardPairs(
+        t(s, dir, "documents"), "text", "doc_id", k = 2, threshold = 0.8)
+      pipeline.Graphs.triangleStats(pairs, "id_a", "id_b")
+    }),
 
     // mutual information lang↔source: the dependence/leakage screen —
     // one contingency aggregate, all reductions on the bounded table
@@ -2206,6 +2229,19 @@ object SparkEntry {
          )
          SELECT path, count(*)::BIGINT AS cnt FROM p
          GROUP BY path ORDER BY cnt DESC, path LIMIT 10""",
+    "q_dau" ->
+      """WITH du AS (SELECT DISTINCT
+             floor(epoch_ns(ts) / 86400000000000)::BIGINT AS day, user_id
+           FROM events),
+         dau AS (SELECT day, count(*)::BIGINT AS dau FROM du GROUP BY day),
+         w AS (SELECT DISTINCT day + g AS day, user_id
+               FROM du, (SELECT unnest(generate_series(0, 6)) AS g)),
+         wau AS (SELECT day, count(*)::BIGINT AS wau FROM w GROUP BY day)
+         SELECT strftime(DATE '1970-01-01' + dau.day::INT, '%Y-%m-%d')
+             AS day,
+           dau.dau, wau.wau,
+           floor(dau.dau::DOUBLE / wau.wau * 1e6 + 0.5) / 1e6 AS stickiness
+         FROM dau JOIN wau ON dau.day = wau.day ORDER BY day""",
     "q_markov" ->
       """WITH t AS (SELECT user_id, event_type, ts, event_id,
              lag(event_type) OVER (PARTITION BY user_id
@@ -2770,6 +2806,45 @@ object SparkEntry {
                  '\s+', ' ', 'g'))
                ORDER BY doc_id) AS rn
            FROM documents) WHERE rn = 1""",
+    "q_pivot" ->
+      """SELECT source,
+           sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)::BIGINT AS de,
+           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS en,
+           sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END)::BIGINT AS es,
+           sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END)::BIGINT AS fr,
+           sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END)::BIGINT AS zh
+         FROM documents GROUP BY source ORDER BY source""",
+    "q_triangles" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(tk) < 2
+             THEN [array_to_string(tk, ' ')]
+             ELSE list_transform(generate_series(1, len(tk)-1),
+                    i -> array_to_string(tk[i:i+1], ' ')) END) AS s
+           FROM toks),
+         e AS (SELECT a.doc_id AS a, b.doc_id AS b
+               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+               WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                 >= 0.8),
+         wed AS (SELECT e1.a, e1.b AS m, e2.b AS c
+                 FROM e e1 JOIN e e2 ON e1.b = e2.a),
+         tri AS (SELECT count(*)::BIGINT AS n_triangles FROM wed
+                 WHERE EXISTS (SELECT 1 FROM e
+                               WHERE e.a = wed.a AND e.b = wed.c)),
+         deg AS (SELECT n, count(*)::BIGINT AS d FROM
+                   (SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+                 GROUP BY n),
+         st AS (SELECT count(*)::BIGINT AS n_nodes,
+                  (sum(d) / 2)::BIGINT AS n_edges,
+                  sum(d * (d - 1) / 2)::BIGINT AS n_triples FROM deg)
+         SELECT n_nodes, n_edges, n_triangles,
+           floor((CASE WHEN n_triples > 0
+                  THEN 3.0 * n_triangles / n_triples ELSE 0.0 END)
+                 * 1e6 + 0.5) / 1e6 AS transitivity
+         FROM st, tri""",
     "q_mi" ->
       """WITH j AS (SELECT lang AS a, source AS b, count(*)::DOUBLE AS c
            FROM documents GROUP BY 1, 2),

@@ -218,4 +218,42 @@ object Graphs {
       .select(col("__cc_id"))
     docs.join(drop, docs(idCol).cast("long") === col("__cc_id"), "left_anti")
   }
+
+  /** Triangle census of an undirected pair graph: one row with
+    * `n_nodes`, `n_edges`, `n_triangles`, and the global clustering
+    * (transitivity) coefficient 3·triangles / open-or-closed triples.
+    * On a near-dup pair graph this is the LSH-threshold diagnostic: a
+    * similarity relation should be near-transitive, so transitivity far
+    * below 1 means the threshold is admitting non-equivalent pairs
+    * (or banding recall is uneven across the clusters).
+    *
+    * Node-iterator shape (Schank & Wagner 2005): edges are canonical
+    * a < b, so joining e(a,b)⋈e(b,c) enumerates each ordered wedge
+    * a<b<c exactly once and a semi-join against e(a,c) closes it —
+    * every triangle counted once, join fan-out bounded by the max
+    * degree, never all-pairs. Triples come from the degree table
+    * (Σ d·(d−1)/2), one aggregate over the edge list. */
+  def triangleStats(pairs: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = pairs.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val wedges = e.select(col("a"), col("b").as("m"))
+      .join(e.select(col("a").as("m"), col("b").as("c")), "m")
+    val tri = wedges.join(
+      e.select(col("a"), col("b").as("c")).hint("shuffle_hash"),
+      Seq("a", "c"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val stats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      (sum(col("d")) / 2).cast("long").as("n_edges"),
+      sum(col("d") * (col("d") - 1) / 2).cast("long").as("n_triples"))
+    stats.crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        Rounding.halfUp(
+          when(col("n_triples") > 0,
+            lit(3.0) * col("n_triangles") / col("n_triples"))
+            .otherwise(lit(0.0)), 6).as("transitivity"))
+  }
 }

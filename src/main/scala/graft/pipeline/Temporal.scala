@@ -372,6 +372,45 @@ object Temporal {
       .limit(k)
   }
 
+  /** Daily/trailing-window active users with the stickiness ratio:
+    * per UTC day, `dau` (distinct keys that day), `wau` (distinct keys
+    * over the trailing `windowDays` ending that day, inclusive), and
+    * `stickiness` = dau/wau — the engagement trio. Days inside the
+    * first partial window use the days that exist (standard). `tsCol`
+    * normalizes through [[epochNanos]], so any physical time encoding
+    * works.
+    *
+    * Exact distincts at scale without a distinct-over-window (which SQL
+    * windows cannot express): collapse once to the (day, key) activity
+    * table — bounded by days·active-keys, map-side combine — then
+    * explode each activity row to the ≤ `windowDays` trailing days it
+    * serves and de-duplicate per (day, key). Every shuffle is keyed by
+    * (day[, key]) — never the raw event stream. */
+  def activeUsers(df: DataFrame, keyCol: String, tsCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays > 0, "windowDays must be positive")
+    val dayNs = 86400L * 1000000000L
+    val du = df
+      .withColumn("__day", floor(epochNanos(df, tsCol) / dayNs).cast("long"))
+      .select(col("__day"), col(keyCol)).distinct()
+    val dau = du.groupBy(col("__day")).agg(count(lit(1)).as("dau"))
+    val wau = du
+      .withColumn("__d2",
+        explode(sequence(col("__day"), col("__day") + (windowDays - 1))))
+      .select(col("__d2").as("__day"), col(keyCol)).distinct()
+      .groupBy(col("__day")).agg(count(lit(1)).as("wau"))
+    // day as an ISO string: engine-neutral (a timestamp column hashes
+    // differently across engines' physical resolutions, ns vs us)
+    dau.join(wau, Seq("__day"))
+      .select(
+        date_format(
+          date_add(to_date(lit("1970-01-01")), col("__day").cast("int")),
+          "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"),
+        Rounding.halfUp(col("dau").cast("double") / col("wau"), 6)
+          .as("stickiness"))
+  }
+
   /** Finite-memory exponentially-weighted moving average of `valueCol`
     * along each key's (`tsCol`, `tieCol`)-ordered stream: the last `k`
     * events weighted α(1−α)^j (j = 0 newest), normalized over the

@@ -2,6 +2,7 @@ package graft
 
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions.{col, greatest, least}
 import graft.pipeline.{Dedup, Graphs}
 
 /** Connected-components correctness: structured graphs (chains, cycles,
@@ -132,5 +133,29 @@ class GraphsSpec extends SparkSpec {
     val plan = Graphs.dedupByClusterBest(docs, "doc_id", col("quality"),
       pairs, "id_a", "id_b").queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), plan)
+  }
+
+  test("triangleStats: census of triangle-plus-pendant, ordering-robust") {
+    import spark.implicits._
+    // triangle {1,2,3} plus pendant 4 on node 3; edge (3,1) given in
+    // NON-canonical order to exercise normalization... degrees 2,2,3,1
+    // → triples 1+1+3+0 = 5, transitivity 3·1/5
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (1L, 2L))
+      .toDF("id_a", "id_b")
+    val got = Graphs.triangleStats(
+      edges.select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b")),
+      "id_a", "id_b").collect().head
+    assert(got.getLong(0) == 4L, "n_nodes")
+    assert(got.getLong(1) == 4L, "n_edges (dup edge collapsed)")
+    assert(got.getLong(2) == 1L, "n_triangles")
+    assert(got.getDouble(3) == 0.6, "transitivity")
+  }
+
+  test("triangleStats: triangle-free graph has zero transitivity") {
+    import spark.implicits._
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val got = Graphs.triangleStats(path, "id_a", "id_b").collect().head
+    assert(got.getLong(2) == 0L && got.getDouble(3) == 0.0)
   }
 }

@@ -531,6 +531,22 @@ class TemporalSpec extends SparkSpec {
     assert(got == Set(("x", "y"), ("y", "z")))
   }
 
+  test("activeUsers: dau/wau/stickiness on a hand fixture, long-ns input") {
+    import spark.implicits._
+    val day = 86400L * 1000000000L
+    // user 1 active day0+day1, user 2 active day0 only
+    val ev = Seq(
+      (1L, 0L * day + 5L), (1L, 1L * day + 5L), (1L, 1L * day + 99L),
+      (2L, 0L * day + 7L))
+      .toDF("user_id", "ts")
+    val got = Temporal.activeUsers(ev, "user_id", "ts", windowDays = 7)
+      .orderBy("day").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // day0: dau 2, wau 2 (window reaches back, nothing earlier) → 1.0
+    // day1: dau 1, wau 2 (user 2 still inside trailing 7d) → 0.5
+    assert(got.toSeq == Seq((2L, 2L, 1.0), (1L, 2L, 0.5)))
+  }
+
   test("ewma matches the closed form and renormalizes short prefixes") {
     import spark.implicits._
     val ev = Seq(
