@@ -227,6 +227,17 @@ object SparkEntry {
       t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
       gap = 30L * 60 * 1000000000L, k = 10)),
 
+    // Welch's t between click and view event values: one corpus pass,
+    // statistic + Welch-Satterthwaite df as column arithmetic
+    "q_welch" -> ((s, dir) => pipeline.Profiling.welchT(
+      t(s, dir, "events"), "value", "event_type", "click", "view")),
+
+    // per-user metric trend: one-pass OLS of value on time-in-days
+    // (covar_pop/var_pop/corr moments; no window, no sort)
+    "q_trend" -> ((s, dir) => pipeline.Temporal.trendSlopes(
+      t(s, dir, "events"), "user_id", "ts", "value")
+      .orderBy("user_id")),
+
     // DAU/WAU/stickiness per UTC day: exact window distincts via the
     // bounded (day, user) activity table exploded to trailing days
     "q_dau" -> ((s, dir) => pipeline.Temporal.activeUsers(
@@ -2229,6 +2240,42 @@ object SparkEntry {
          )
          SELECT path, count(*)::BIGINT AS cnt FROM p
          GROUP BY path ORDER BY cnt DESC, path LIMIT 10""",
+    "q_welch" ->
+      """WITH s AS (SELECT
+             count(CASE WHEN event_type = 'click' THEN 1 END)::BIGINT AS n_a,
+             count(CASE WHEN event_type = 'view' THEN 1 END)::BIGINT AS n_b,
+             avg(CASE WHEN event_type = 'click' THEN value END) AS m_a,
+             avg(CASE WHEN event_type = 'view' THEN value END) AS m_b,
+             var_samp(CASE WHEN event_type = 'click' THEN value END) AS v_a,
+             var_samp(CASE WHEN event_type = 'view' THEN value END) AS v_b
+           FROM events WHERE event_type IN ('click', 'view'))
+         SELECT n_a, n_b,
+           floor(m_a * 1e6 + 0.5) / 1e6 AS mean_a,
+           floor(m_b * 1e6 + 0.5) / 1e6 AS mean_b,
+           floor((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b) * 1e6 + 0.5)
+             / 1e6 AS t,
+           floor((v_a / n_a + v_b / n_b) * (v_a / n_a + v_b / n_b)
+             / ((v_a / n_a) * (v_a / n_a) / (n_a - 1)
+                + (v_b / n_b) * (v_b / n_b) / (n_b - 1)) * 1e6 + 0.5)
+             / 1e6 AS df
+         FROM s""",
+    "q_trend" ->
+      """WITH t AS (SELECT user_id,
+             epoch_ns(ts)::DOUBLE / 86400000000000 AS x, value AS y
+           FROM events),
+         a AS (SELECT user_id, count(*)::BIGINT AS n, covar_pop(x, y) AS cov,
+                 var_pop(x) AS vx, var_pop(y) AS vy, avg(y) AS my,
+                 avg(x) AS mx
+               FROM t GROUP BY user_id)
+         SELECT user_id, n,
+           CASE WHEN vx > 0
+             THEN floor(cov / vx * 1e6 + 0.5) / 1e6 END AS slope,
+           CASE WHEN vx > 0
+             THEN floor((my - cov / vx * mx) * 1e6 + 0.5) / 1e6
+           END AS intercept,
+           CASE WHEN vx > 0 AND vy > 0
+             THEN floor(cov * cov / (vx * vy) * 1e6 + 0.5) / 1e6 END AS r2
+         FROM a ORDER BY user_id""",
     "q_dau" ->
       """WITH du AS (SELECT DISTINCT
              floor(epoch_ns(ts) / 86400000000000)::BIGINT AS day, user_id

@@ -206,6 +206,40 @@ object Profiling {
       v => approx_percentile(v, array(ps.map(lit): _*), lit(accuracy)),
       groupCols)
 
+  /** Welch's unequal-variance t-test between two slices of `valCol` —
+    * the A/B-comparison primitive (never assume the variants share a
+    * variance). One hash aggregate computes both slices' (n, mean,
+    * var_samp) in a single corpus pass; the statistic and the
+    * Welch–Satterthwaite degrees of freedom are driver-free column
+    * arithmetic on that 2-row table:
+    *
+    *   t  = (m_a − m_b) / √(v_a/n_a + v_b/n_b)
+    *   df = (v_a/n_a + v_b/n_b)² / ((v_a/n_a)²/(n_a−1) + (v_b/n_b)²/(n_b−1))
+    *
+    * Output: one row (`n_a`, `n_b`, `mean_a`, `mean_b`, `t`, `df`),
+    * half-up 6. Consumers compare |t| against their critical value —
+    * no distribution tables in-engine. */
+  def welchT(df: DataFrame, valCol: String, sliceCol: String,
+      a: String, b: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val isA = col(sliceCol) === a
+    val isB = col(sliceCol) === b
+    val agg = df.filter(isA || isB).agg(
+      count(when(isA, 1)).as("n_a"), count(when(isB, 1)).as("n_b"),
+      avg(when(isA, v)).as("m_a"), avg(when(isB, v)).as("m_b"),
+      var_samp(when(isA, v)).as("v_a"), var_samp(when(isB, v)).as("v_b"))
+    val sea = col("v_a") / col("n_a")
+    val seb = col("v_b") / col("n_b")
+    agg.select(col("n_a"), col("n_b"),
+      Rounding.halfUp(col("m_a"), 6).as("mean_a"),
+      Rounding.halfUp(col("m_b"), 6).as("mean_b"),
+      Rounding.halfUp((col("m_a") - col("m_b")) / sqrt(sea + seb), 6)
+        .as("t"),
+      Rounding.halfUp((sea + seb) * (sea + seb) /
+        (sea * sea / (col("n_a") - 1) + seb * seb / (col("n_b") - 1)), 6)
+        .as("df"))
+  }
+
   /** k-anonymity audit over quasi-identifier columns (Sweeney 2002):
     * one row per quasi-identifier combination with its population and an
     * `at_risk` flag (fewer than `k` rows share the combination — those

@@ -372,6 +372,43 @@ object Temporal {
       .limit(k)
   }
 
+  /** Per-key OLS trend: regress `valueCol` on time (in DAYS — epoch
+    * nanos overflow the stable range of x² sums and make slopes
+    * unreadably tiny) with the one-pass moment aggregates
+    * (`covar_pop`/`var_pop`/`corr` — numerically stable streaming
+    * moments, present with matching definitions in any SQL engine):
+    *
+    *   slope = cov(x,y)/var(x),  intercept = ȳ − slope·x̄,  r² = corr²
+    *
+    * The metric-trend screen: which keys are drifting up/down, how
+    * fast, and how linear. One hash aggregate on the key — constant
+    * per-key state, no window, no sort. Keys with a degenerate time
+    * axis (single timestamp) yield null slope/intercept/r2. `tsCol`
+    * normalizes through [[epochNanos]]. Output: (`keyCol`, `n`,
+    * `slope` per day, `intercept`, `r2`), half-up 6. */
+  def trendSlopes(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val x = epochNanos(df, tsCol).cast("double") / 86400e9
+    val y = col(valueCol).cast("double")
+    val agg = df.withColumn("__x", x)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        covar_pop(col("__x"), y).as("__cov"),
+        var_pop(col("__x")).as("__vx"), var_pop(y).as("__vy"),
+        avg(y).as("__my"), avg(col("__x")).as("__mx"))
+    val slope = when(col("__vx") > 0, col("__cov") / col("__vx"))
+    // r² = cov²/(vx·vy), guarded on BOTH variances — a built-in corr()
+    // divides by zero inside the aggregate under ANSI on degenerate
+    // keys, and engines disagree (NaN vs NULL); the explicit form is
+    // portable and null on any degenerate axis
+    agg.select(col(keyCol), col("n"),
+      Rounding.halfUp(slope, 6).as("slope"),
+      Rounding.halfUp(col("__my") - slope * col("__mx"), 6).as("intercept"),
+      Rounding.halfUp(when(col("__vx") > 0 && col("__vy") > 0,
+        col("__cov") * col("__cov") / (col("__vx") * col("__vy"))), 6)
+        .as("r2"))
+  }
+
   /** Daily/trailing-window active users with the stickiness ratio:
     * per UTC day, `dau` (distinct keys that day), `wau` (distinct keys
     * over the trailing `windowDays` ending that day, inclusive), and

@@ -434,6 +434,22 @@ class ProfilingSpec extends SparkSpec {
     assert(got.map(_._2).sum == 1.0 && got.map(_._3).sum == 1.0)
   }
 
+  test("welchT matches the closed form on a hand fixture") {
+    import spark.implicits._
+    val d = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++ Seq(5.0, 7.0).map(("b", _))
+      :+ ("c", 99.0)) // foreign slice must be excluded
+      .toDF("g", "v")
+    val r = Profiling.welchT(d, "v", "g", "a", "b").collect().head
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val (va, vb) = (1.0, 2.0) // sample variances
+    val se = va / 3 + vb / 2
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 6.0)
+    assert(r.getDouble(4) == r6((2.0 - 6.0) / math.sqrt(se)))
+    assert(r.getDouble(5) == r6(se * se /
+      ((va / 3) * (va / 3) / 2 + (vb / 2) * (vb / 2) / 1)))
+  }
+
   test("kAnonymity flags combinations below k and only those") {
     import spark.implicits._
     val d = (Seq.fill(5)(("en", "web")) ++ Seq.fill(2)(("en", "book")) ++

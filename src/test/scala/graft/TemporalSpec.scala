@@ -531,6 +531,23 @@ class TemporalSpec extends SparkSpec {
     assert(got == Set(("x", "y"), ("y", "z")))
   }
 
+  test("trendSlopes: exact line recovered; degenerate time axis nulls out") {
+    import spark.implicits._
+    val day = 86400L * 1000000000L
+    val ev = Seq(
+      (1L, 0L * day, 1.0), (1L, 1L * day, 3.0), (1L, 2L * day, 5.0),
+      (2L, 5L * day, 7.0), (2L, 5L * day, 9.0))
+      .toDF("user_id", "ts", "value")
+    val got = Temporal.trendSlopes(ev, "user_id", "ts", "value")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))
+      .toMap
+    // user 1: y = 1 + 2·x(days), perfectly linear
+    assert(got(1L) == ((3L, Some(2.0), Some(1.0), Some(1.0))))
+    // user 2: both events at the same instant — no time axis
+    assert(got(2L) == ((2L, None, None, None)))
+  }
+
   test("activeUsers: dau/wau/stickiness on a hand fixture, long-ns input") {
     import spark.implicits._
     val day = 86400L * 1000000000L
