@@ -199,6 +199,30 @@ class TemporalEncodingSpec extends SparkSpec {
       assert(z(df) == ref, s"rollingZScore diverged under $name")
   }
 
+  test("round-9 additions are encoding-invariant (ewma, markov, activeUsers, trendSlopes)") {
+    def withVal(df: DataFrame): DataFrame =
+      df.withColumn("value", (col("event_id") % 13).cast("double"))
+        .withColumn("event_type",
+          concat(lit("t"), (col("event_id") % 4).cast("string")))
+    val outs = encodings.map { case (name, df) =>
+      val d = withVal(df)
+      val parts = Seq(
+        canon(Temporal.ewma(d, "user_id", "ts", "event_id", "value")
+          .select("event_id", "ewma")),
+        canon(Temporal.transitionMatrix(d, "user_id", "ts", "event_id",
+          "event_type")),
+        canon(Temporal.activeUsers(d, "user_id", "ts")),
+        canon(Temporal.trendSlopes(d, "user_id", "ts", "value")))
+      name -> parts
+    }
+    val ref = outs.head._2
+    outs.tail.foreach { case (name, parts) =>
+      parts.zip(ref).zipWithIndex.foreach { case ((got, want), i) =>
+        assert(got == want, s"$name op#$i diverges from long_ns")
+      }
+    }
+  }
+
   test("unsupported time types are rejected with a clear error") {
     val d = Seq(("a", 1.5)).toDF("k", "t")
     val e = intercept[IllegalArgumentException] {
