@@ -1002,6 +1002,20 @@ object SparkEntry {
         "source", "doc_id", n = 10)
         .orderBy("source", "doc_id")),
 
+    // exact stratified 80/10/10 split: every language lands its
+    // proportional count in each slice (rank cuts, not hash binomials)
+    "q_split_exact" -> ((s, dir) =>
+      pipeline.Sampling.exactStratifiedSplit(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy("doc_id")),
+
+    // Freedman-Diaconis auto-binned histogram of document lengths
+    "q_autohist" -> ((s, dir) =>
+      pipeline.Profiling.autoHistogram(t(s, dir, "documents"), "n_chars")
+        .orderBy("bucket")),
+
     // class-balanced downsample: every language keeps exactly the
     // rarest language's count, md5-ranked within class
     "q_balance" -> ((s, dir) =>
@@ -2187,6 +2201,41 @@ object SparkEntry {
            FROM documents)
          SELECT source, doc_id FROM r WHERE rn <= 10
          ORDER BY source, doc_id""",
+    "q_split_exact" ->
+      """WITH r AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY substr(md5(doc_id::VARCHAR), 1, 8), doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+           FROM documents)
+         SELECT doc_id, lang,
+           CASE WHEN rn <= ceil(0.8 * n) THEN 'train'
+                WHEN rn <= ceil(0.9 * n) THEN 'val'
+                ELSE 'test' END AS split
+         FROM r ORDER BY doc_id""",
+    "q_autohist" ->
+      """WITH st AS (SELECT count(*)::BIGINT AS n,
+             min(n_chars::DOUBLE) AS mn, max(n_chars::DOUBLE) AS mx,
+             quantile_cont(n_chars::DOUBLE, 0.75)
+               - quantile_cont(n_chars::DOUBLE, 0.25) AS iqr
+           FROM documents),
+         p AS (SELECT 2.0 * iqr / pow(n::DOUBLE, 1.0 / 3) AS w, mn, mx,
+                 CASE WHEN iqr > 0 AND mx > mn
+                   THEN ceil((mx - mn) / (2.0 * iqr / pow(n::DOUBLE, 1.0 / 3)))
+                   ELSE 1 END AS nb
+               FROM st),
+         b AS (SELECT CASE WHEN p.nb > 1 THEN
+                 least(floor((d.n_chars::DOUBLE - p.mn) / p.w), p.nb - 1)
+                 ELSE 0 END::BIGINT AS bucket, p.mn, p.nb, p.w
+               FROM documents d, p),
+         g AS (SELECT bucket, mn, nb, w, count(*)::BIGINT AS cnt
+               FROM b GROUP BY bucket, mn, nb, w)
+         SELECT bucket,
+           floor((CASE WHEN nb > 1 THEN mn + bucket * w ELSE mn END)
+             * 1e6 + 0.5) / 1e6 AS lo,
+           floor((CASE WHEN nb > 1 THEN mn + (bucket + 1) * w ELSE mn END)
+             * 1e6 + 0.5) / 1e6 AS hi,
+           cnt
+         FROM g ORDER BY bucket""",
     "q_balance" ->
       """WITH c AS (SELECT lang, count(*)::BIGINT AS cnt FROM documents
                     GROUP BY lang),

@@ -206,6 +206,40 @@ object Profiling {
       v => approx_percentile(v, array(ps.map(lit): _*), lit(accuracy)),
       groupCols)
 
+  /** Histogram with the Freedman–Diaconis bin rule: width =
+    * 2·IQR/∛n — robust to outliers (unlike Scott's σ-based rule) and
+    * data-driven, so no magic bin count. Output per non-empty bucket:
+    * (`bucket`, `lo`, `hi`, `cnt`); degenerate spreads (IQR = 0 or
+    * min = max) collapse to one bucket 0 spanning the point mass.
+    * Two passes, both bounded: a one-row stats aggregate (exact IQR —
+    * the [[exactQuantiles]] state caveat applies), then a scan +
+    * hash-aggregate on the derived bucket index. */
+  def autoHistogram(df: DataFrame, valCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val stats = df.agg(
+      count(lit(1)).as("__n"), min(v).as("__min"), max(v).as("__max"),
+      (percentile(v, lit(0.75)) - percentile(v, lit(0.25))).as("__iqr"))
+    val width = lit(2.0) * col("__iqr") / pow(col("__n").cast("double"),
+      lit(1.0) / 3)
+    val nb = when(col("__iqr") > 0 && col("__max") > col("__min"),
+      ceil((col("__max") - col("__min")) / width)).otherwise(lit(1L))
+    val bucket = when(nb > 1,
+      least(floor((v - col("__min")) / width), nb - 1)).otherwise(lit(0L))
+    df.crossJoin(broadcast(stats))
+      .select(bucket.cast("long").as("bucket"), v.as("__v"),
+        col("__min"), nb.as("__nb"), width.as("__w"))
+      .groupBy(col("bucket"), col("__min"), col("__nb"), col("__w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("bucket"),
+        Rounding.halfUp(when(col("__nb") > 1,
+          col("__min") + col("bucket") * col("__w"))
+          .otherwise(col("__min")), 6).as("lo"),
+        Rounding.halfUp(when(col("__nb") > 1,
+          col("__min") + (col("bucket") + 1) * col("__w"))
+          .otherwise(col("__min")), 6).as("hi"),
+        col("cnt"))
+  }
+
   /** Welch's unequal-variance t-test between two slices of `valCol` —
     * the A/B-comparison primitive (never assume the variants share a
     * variance). One hash aggregate computes both slices' (n, mean,

@@ -103,6 +103,39 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** EXACT stratified split: within every stratum, rows are md5-ranked
+    * and cut at cumulative `ceil(fraction·n)` boundaries — each stratum
+    * lands EXACTLY its proportional count in each slice (the hash-only
+    * [[splitByHash]] is binomially approximate per stratum, which small
+    * strata feel). Deterministic under repartitioning; adds `sliceCol`.
+    * The per-stratum rank windows by the stratum key — the same
+    * exact-vs-approximate trade documented on [[classBalance]]. */
+  def exactStratifiedSplit(df: DataFrame, strataCol: String,
+      keyCol: String, weights: Seq[(String, Double)],
+      sliceCol: String = "split"): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.forall(_._2 >= 0), "fractions must be non-negative")
+    val total = weights.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-6, s"fractions must sum to 1, got $total")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(keyHash(col(keyCol)).asc, col(keyCol).asc)
+    val n = Window.partitionBy(col(strataCol))
+    val ranked = df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(n))
+    // cumulative boundaries accumulate in DECIMAL: 0.8 + 0.1 in binary
+    // doubles is 0.9000000000000001, and ceil(cum·n) at an exact
+    // boundary (n a multiple of 10) would then disagree with any engine
+    // whose SQL literal is plain 0.9
+    val cuts = weights.map(w => BigDecimal(w._2.toString))
+      .scanLeft(BigDecimal(0))(_ + _).tail.map(_.toDouble)
+    val assigned = weights.init.zip(cuts).foldLeft(
+      when(lit(false), lit(""))) { case (acc, ((name, _), cum)) =>
+      acc.when(col("__rn") <= ceil(lit(cum) * col("__n")), lit(name))
+    }.otherwise(lit(weights.last._1))
+    ranked.withColumn(sliceCol, assigned).drop("__rn", "__n")
+  }
+
   /** Class-balanced downsample: every label keeps exactly
     * min-class-count rows, chosen by md5-of-key rank within the class —
     * deterministic under repartitioning and reruns, like everything in

@@ -434,6 +434,20 @@ class ProfilingSpec extends SparkSpec {
     assert(got.map(_._2).sum == 1.0 && got.map(_._3).sum == 1.0)
   }
 
+  test("autoHistogram: FD bins on a hand fixture; point mass collapses") {
+    import spark.implicits._
+    val d = (1 to 8).map(i => Tuple1(i.toDouble)).toDF("v")
+    // n=8: IQR = 6.25−2.75 = 3.5; width = 2·3.5/2 = 3.5; range 7 → 2 bins
+    val got = Profiling.autoHistogram(d, "v")
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0L, 1.0, 4.5, 4L), (1L, 4.5, 8.0, 4L)))
+    val const = Seq.fill(5)(Tuple1(3.0)).toDF("v")
+    val c = Profiling.autoHistogram(const, "v").collect()
+    assert(c.length == 1 && c.head.getLong(0) == 0L &&
+      c.head.getLong(3) == 5L)
+  }
+
   test("welchT matches the closed form on a hand fixture") {
     import spark.implicits._
     val d = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++ Seq(5.0, 7.0).map(("b", _))

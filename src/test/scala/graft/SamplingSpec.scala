@@ -148,6 +148,26 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("exactStratifiedSplit: every stratum lands exact proportional counts") {
+    import spark.implicits._
+    val d = ((1 to 20).map(i => (i.toLong, "big")) ++
+      (21 to 25).map(i => (i.toLong, "small"))).toDF("id", "grp")
+    val got = Sampling.exactStratifiedSplit(d, "grp", "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = got.groupBy("grp", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // big (n=20): ceil(16)/ceil(18) → 16/2/2; small (n=5): ceil(4)=4,
+    // ceil(4.5)=5 → 4/1/0
+    assert(counts == Map(
+      ("big", "train") -> 16L, ("big", "val") -> 2L, ("big", "test") -> 2L,
+      ("small", "train") -> 4L, ("small", "val") -> 1L))
+    // deterministic under repartitioning
+    val again = Sampling.exactStratifiedSplit(d.repartition(7), "grp", "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(again == got.collect().map(r => r.getLong(0) -> r.getString(2)).toMap)
+  }
+
   test("classBalance keeps exactly min-class-count rows per class, deterministically") {
     import spark.implicits._
     val d = ((1 to 50).map(i => ("big", i.toLong)) ++
