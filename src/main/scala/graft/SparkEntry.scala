@@ -1002,6 +1002,25 @@ object SparkEntry {
         "source", "doc_id", n = 10)
         .orderBy("source", "doc_id")),
 
+    // deterministic shuffle + round-robin sharding: md5-rank order
+    // dealt into 8 balanced shards (the training-shard write prep)
+    "q_shuffle" -> ((s, dir) =>
+      pipeline.Sampling.shuffleShards(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id", shards = 8)
+        .orderBy("doc_id")),
+
+    // leakage-safe split: near-dup connected components are the split
+    // unit — a doc and all its near-duplicates land on one side
+    "q_safe_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = pipeline.Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        k = 2, threshold = 0.8)
+      pipeline.Sampling.clusterSafeSplit(
+        docs.select(col("doc_id")), "doc_id", pairs, "id_a", "id_b",
+        Seq("train" -> 0.8, "eval" -> 0.2))
+        .orderBy("doc_id")
+    }),
+
     // exact stratified 80/10/10 split: every language lands its
     // proportional count in each slice (rank cuts, not hash binomials)
     "q_split_exact" -> ((s, dir) =>
@@ -2201,6 +2220,44 @@ object SparkEntry {
            FROM documents)
          SELECT source, doc_id FROM r WHERE rn <= 10
          ORDER BY source, doc_id""",
+    "q_shuffle" ->
+      """WITH r AS (SELECT doc_id, row_number() OVER
+             (ORDER BY substr(md5(doc_id::VARCHAR), 1, 8), doc_id) AS rank
+           FROM documents)
+         SELECT doc_id, ((rank - 1) % 8)::INT AS shard,
+           ((rank - 1) // 8)::BIGINT AS pos
+         FROM r ORDER BY doc_id""",
+    // components replayed with the recursive CTE, then the same md5 cut
+    // on the component key (hexThreshold(0.8) = 0xcccccccd)
+    "q_safe_split" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(tk) < 2
+             THEN [array_to_string(tk, ' ')]
+             ELSE list_transform(generate_series(1, len(tk)-1),
+                    i -> array_to_string(tk[i:i+1], ' ')) END) AS s
+           FROM toks),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         cc AS (
+           SELECT DISTINCT src AS id, src AS comp FROM edges
+           UNION
+           SELECT e.dst AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.src),
+         comp AS (SELECT id AS doc_id, min(comp) AS comp FROM cc GROUP BY id),
+         g AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_key
+               FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+         SELECT doc_id, cluster_key,
+           CASE WHEN substr(md5(cluster_key::VARCHAR), 1, 8) < 'cccccccd'
+                THEN 'train' ELSE 'eval' END AS split
+         FROM g ORDER BY doc_id""",
     "q_split_exact" ->
       """WITH r AS (SELECT doc_id, lang,
              row_number() OVER (PARTITION BY lang

@@ -103,6 +103,44 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Deterministic pre-training shuffle + sharding: rank every row by
+    * the md5 of its key (a reproducible random order, decorrelated from
+    * source/time locality) and deal ranks round-robin into `shards` —
+    * shard sizes balanced to ±1, `pos` the within-shard write order.
+    * The write-prep step before emitting training shards: same key set,
+    * same shards, on any engine, any partitioning, any rerun. Rank via
+    * [[Ranks.withGlobalRank]] — never a single-partition window. */
+  def shuffleShards(df: DataFrame, keyCol: String, shards: Int): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    Ranks.withGlobalRank(df, "__rank", keyHash(col(keyCol)), col(keyCol))
+      .withColumn("shard", ((col("__rank") - 1) % shards).cast("int"))
+      .withColumn("pos", ((col("__rank") - 1) / shards).cast("long"))
+      .drop("__rank")
+  }
+
+  /** Leakage-safe split for near-duplicate corpora: connected components
+    * of the near-dup `pairs` graph become the split unit, so a document
+    * and ALL its near-duplicates land on the same side — the failure
+    * this prevents is a test doc whose paraphrase sits in train, which a
+    * doc-keyed split ([[splitByHash]]) cannot see. Singletons group by
+    * their own id. Adds `cluster_key` (the component id) and `sliceCol`.
+    *
+    * Components come from [[Graphs.connectedComponents]] (alternating
+    * large-star/small-star, edge-bounded); the split itself is the same
+    * map-side md5 cut as [[splitByHash]], keyed by the component. */
+  def clusterSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      srcCol: String, dstCol: String, weights: Seq[(String, Double)],
+      salt: String = "", sliceCol: String = "split"): DataFrame = {
+    val comps = Graphs.connectedComponents(pairs, srcCol, dstCol)
+      .select(col("id").as("__ccid"), col("comp").as("__comp"))
+    val withGrp = df
+      .join(comps, df(idCol).cast("long") === col("__ccid"), "left")
+      .withColumn("cluster_key",
+        coalesce(col("__comp"), col(idCol).cast("long")))
+      .drop("__ccid", "__comp")
+    splitByHash(withGrp, "cluster_key", weights, salt, sliceCol)
+  }
+
   /** EXACT stratified split: within every stratum, rows are md5-ranked
     * and cut at cumulative `ceil(fraction·n)` boundaries — each stratum
     * lands EXACTLY its proportional count in each slice (the hash-only

@@ -148,6 +148,41 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("shuffleShards: balanced shards, contiguous positions, repartition-stable") {
+    import spark.implicits._
+    val d = (1L to 100L).map(Tuple1(_)).toDF("id")
+    val got = Sampling.shuffleShards(d, "id", shards = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byShard = got.groupBy(_._2)
+    assert(byShard.keys.toSet == (0 until 8).toSet)
+    // 100 over 8: four shards of 13, four of 12
+    assert(byShard.values.map(_.size).toSeq.sorted ==
+      Seq(12, 12, 12, 12, 13, 13, 13, 13))
+    // positions within a shard are 0..n-1
+    byShard.values.foreach(rows =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.size).toSeq))
+    val again = Sampling.shuffleShards(d.repartition(7), "id", shards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(again == got.toSet)
+  }
+
+  test("clusterSafeSplit keeps every near-dup cluster on one side") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(Tuple1(_)).toDF("doc_id")
+    // clusters {1,2,3}, {10,11}; rest singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Sampling.clusterSafeSplit(docs, "doc_id", pairs,
+      "id_a", "id_b", Seq("train" -> 0.8, "eval" -> 0.2))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(Set(got(1L), got(2L), got(3L)).size == 1,
+      "cluster {1,2,3} split apart")
+    assert(got(10L) == got(11L), "cluster {10,11} split apart")
+    assert(got(1L)._1 == 1L && got(10L)._1 == 10L, "cluster key = min id")
+    assert(got(20L)._1 == 20L, "singleton groups by own id")
+    assert(got.values.map(_._2).toSet == Set("train", "eval"))
+  }
+
   test("exactStratifiedSplit: every stratum lands exact proportional counts") {
     import spark.implicits._
     val d = ((1 to 20).map(i => (i.toLong, "big")) ++
