@@ -151,11 +151,16 @@ object Bench {
         "q_cap_source", "q_dsir_weights", "q_char_entropy",
         "q_mix_temp", "q_gopher", "q_boilerplate", "q_split",
         "q_hll_gate", "q_pmi", "q_template_dedup",
-        "q_cat_drift", "q_psi", "q_ks", "q_canary", // documents replica
+        "q_cat_drift", "q_psi", "q_ks", "q_canary",
+        // round-9 widening (cipher-perturbed replicas keep per-term df
+        // flat, so tfidf postings scale linearly, not df²)
+        "q_nb_quality", "q_tfidf_pairs", "q_keywords", "q_trigram",
+        "q_script", // documents replica
         "q_interval", "q_overlap", "q_rolling", "q_session_window",
         "q_merge_intervals", "q_paths", "q_anomaly",
-        "q_changepoint", // events replica
-        "q_knn_join", "q_sq8_topk") // embeddings replica
+        "q_changepoint",
+        "q_markov", "q_ewma", "q_dau", "q_trend", // events replica
+        "q_knn_join", "q_sq8_topk", "q_hardneg") // embeddings replica
       /** ×10 a table by disjoint-id replication: each replica offsets the
         * id columns by max(id)+1 — NOT the row count; ids are only
         * disjoint across replicas if the stride clears the real max.

@@ -227,6 +227,14 @@ object SparkEntry {
       t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
       gap = 30L * 60 * 1000000000L, k = 10)),
 
+    // association rules over 2-hour session baskets: support /
+    // confidence / lift per ordered event-type pair (the 30-min gap
+    // makes near-singleton sessions at this event density)
+    "q_basket" -> ((s, dir) => pipeline.Temporal.basketRules(
+      t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+      gap = 2L * 3600 * 1000000000L, minSupport = 0.01)
+      .orderBy("ante", "cons")),
+
     // Welch's t between click and view event values: one corpus pass,
     // statistic + Welch-Satterthwaite df as column arithmetic
     "q_welch" -> ((s, dir) => pipeline.Profiling.welchT(
@@ -438,6 +446,14 @@ object SparkEntry {
       pipeline.Dedup.fuzzyKeyPairs(
         t(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
         "s_name", "s_suppkey", k = 3, threshold = 0.85)
+        .orderBy("id_a", "id_b")),
+
+    // SNM blocking closed with its verifier: Levenshtein <= 2 over
+    // rank-adjacent supplier-name candidates
+    "q_editdist" -> ((s, dir) =>
+      pipeline.Dedup.editDistancePairs(
+        t(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
+        "s_name", "s_suppkey", maxDist = 2, window = 5)
         .orderBy("id_a", "id_b")),
 
     // sorted-neighborhood blocking: rank-adjacent candidate pairs in the
@@ -2346,6 +2362,44 @@ object SparkEntry {
          )
          SELECT path, count(*)::BIGINT AS cnt FROM p
          GROUP BY path ORDER BY cnt DESC, path LIMIT 10""",
+    "q_basket" ->
+      """WITH g AS (
+           SELECT user_id, ts, event_id, event_type,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 2 HOUR
+                       THEN 1 ELSE 0 END AS ns
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ), s AS (
+           SELECT user_id, event_type,
+                  sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+           FROM g
+         ), items AS (
+           SELECT DISTINCT user_id, sid, event_type FROM s
+         ), tot AS (
+           SELECT count(*)::DOUBLE AS n FROM
+             (SELECT DISTINCT user_id, sid FROM items)
+         ), single AS (
+           SELECT event_type, count(*)::BIGINT AS c1 FROM items
+           GROUP BY event_type
+         ), pc AS (
+           SELECT a.event_type AS ante, b.event_type AS cons,
+                  count(*)::BIGINT AS c2
+           FROM items a JOIN items b
+             ON a.user_id = b.user_id AND a.sid = b.sid
+                AND a.event_type <> b.event_type
+           GROUP BY 1, 2
+         )
+         SELECT pc.ante, pc.cons, pc.c2 AS n_sessions,
+           floor(pc.c2::DOUBLE / tot.n * 1e6 + 0.5) / 1e6 AS support,
+           floor(pc.c2::DOUBLE / sa.c1 * 1e6 + 0.5) / 1e6 AS confidence,
+           floor(pc.c2::DOUBLE / sa.c1 / (sc.c1::DOUBLE / tot.n)
+             * 1e6 + 0.5) / 1e6 AS lift
+         FROM pc JOIN single sa ON pc.ante = sa.event_type
+                 JOIN single sc ON pc.cons = sc.event_type, tot
+         WHERE pc.c2::DOUBLE / tot.n >= 0.01
+         ORDER BY ante, cons""",
     "q_welch" ->
       """WITH s AS (SELECT
              count(CASE WHEN event_type = 'click' THEN 1 END)::BIGINT AS n_a,
@@ -2787,6 +2841,15 @@ object SparkEntry {
                               'canary-guid-8f2a']) AS pattern) p
          WHERE contains(text, p.pattern)
          ORDER BY doc_id, pattern""",
+    "q_editdist" ->
+      """WITH r AS (SELECT s_suppkey AS id, s_name AS k,
+             row_number() OVER (ORDER BY s_name, s_suppkey) AS rank
+           FROM supplier),
+         c AS (SELECT a.id AS id_a, b.id AS id_b, a.k AS ka, b.k AS kb
+               FROM r a JOIN r b
+                 ON b.rank > a.rank AND b.rank - a.rank <= 4)
+         SELECT id_a, id_b, levenshtein(ka, kb)::INT AS edit_dist
+         FROM c WHERE levenshtein(ka, kb) <= 2 ORDER BY id_a, id_b""",
     // rank-adjacency replays with one global row_number — fine for the
     // oracle's DuckDB scale; the engine computes the same rank
     // distributed (range partition + two-pass offsets)

@@ -543,6 +543,28 @@ object Dedup {
         (col("rank_b") - col("rank_a")).as("dist"))
   }
 
+  /** Edit-distance record matching over sorted-neighborhood blocks:
+    * [[sortedNeighborhoodPairs]] proposes the candidates, exact
+    * Levenshtein verifies them (`edit_dist` ≤ `maxDist`) — the classic
+    * SNM pipeline closed with its verifier. The semantics are
+    * explicitly "SNM-blocked": a pair more than `window` ranks apart in
+    * the sort order is out of scope by definition (that is the blocking
+    * bargain; raise `window` or union with [[fuzzyKeyPairs]]' char-gram
+    * blocking for typo-in-first-character recall). Verification joins
+    * the bounded candidate list (≤ n·window rows) back to the keys —
+    * the corpus-sized key table is probed, never paired. */
+  def editDistancePairs(df: DataFrame, keyCol: String, idCol: String,
+      maxDist: Int, window: Int): DataFrame = {
+    require(maxDist >= 0, "maxDist must be non-negative")
+    val cands = sortedNeighborhoodPairs(df, keyCol, idCol, window)
+    val ka = df.select(col(idCol).as("id_a"), col(keyCol).as("__ka"))
+    val kb = df.select(col(idCol).as("id_b"), col(keyCol).as("__kb"))
+    cands.join(ka, "id_a").join(kb, "id_b")
+      .withColumn("edit_dist", levenshtein(col("__ka"), col("__kb")))
+      .filter(col("edit_dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("edit_dist"))
+  }
+
   /** TF-IDF weighted cosine near-dup pairs over the informative-term
     * subspace: pairs with cos(v_a, v_b) ≥ `threshold`, where v_d is the
     * document's L2-normalized tf·idf vector restricted to terms whose

@@ -372,6 +372,54 @@ object Temporal {
       .limit(k)
   }
 
+  /** Association rules over session baskets (support / confidence /
+    * lift): sessions are the transactions ([[sessionize]]), the
+    * distinct event types inside one session its items, and every
+    * ordered type pair (a → c, a ≠ c) a candidate rule:
+    *
+    *   support(a→c) = P(a,c)   confidence = P(a,c)/P(a)   lift = conf/P(c)
+    *
+    * probabilities over sessions. The within-session co-occurrence
+    * screen behind "users who error also refresh" findings — PMI's
+    * transactional sibling. Rules below `minSupport` are cut.
+    *
+    * Scale: the (session, item) table is session-bounded; the pair join
+    * keys by session with fan-out ≤ item-types² per session (event-type
+    * alphabets are small); marginals and totals are bounded aggregates
+    * broadcast back. Output: (`ante`, `cons`, `n_sessions`, `support`,
+    * `confidence`, `lift`), half-up 6. */
+  def basketRules(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, typeCol: String, gap: Long,
+      minSupport: Double = 0.0): DataFrame = {
+    require(minSupport >= 0, "minSupport must be non-negative")
+    val sess = sessionize(df, keyCol, tsCol, tieCol, gap)
+    val items = sess.select(col(keyCol).as("__k"),
+      col("session_id").as("__s"), col(typeCol).as("item")).distinct()
+    val total = items.select(col("__k"), col("__s")).distinct()
+      .agg(count(lit(1)).cast("double").as("__n"))
+    val single = items.groupBy(col("item")).agg(count(lit(1)).as("__c1"))
+    val pairCnt = items.alias("a")
+      .join(items.alias("b"),
+        col("a.__k") === col("b.__k") && col("a.__s") === col("b.__s") &&
+          col("a.item") =!= col("b.item"))
+      .groupBy(col("a.item").as("ante"), col("b.item").as("cons"))
+      .agg(count(lit(1)).as("__c2"))
+    pairCnt
+      .join(broadcast(single.select(col("item").as("ante"),
+        col("__c1").as("__ca"))), "ante")
+      .join(broadcast(single.select(col("item").as("cons"),
+        col("__c1").as("__cc"))), "cons")
+      .crossJoin(broadcast(total))
+      .filter(col("__c2").cast("double") / col("__n") >= minSupport)
+      .select(col("ante"), col("cons"), col("__c2").as("n_sessions"),
+        Rounding.halfUp(col("__c2").cast("double") / col("__n"), 6)
+          .as("support"),
+        Rounding.halfUp(col("__c2").cast("double") / col("__ca"), 6)
+          .as("confidence"),
+        Rounding.halfUp(col("__c2").cast("double") / col("__ca") /
+          (col("__cc").cast("double") / col("__n")), 6).as("lift"))
+  }
+
   /** Per-key OLS trend: regress `valueCol` on time (in DAYS — epoch
     * nanos overflow the stable range of x² sums and make slopes
     * unreadably tiny) with the one-pass moment aggregates

@@ -38,6 +38,22 @@ class SnmSpec extends SparkSpec {
     assert(got == (1L to 499L).map(i => (i, i + 1)).toSet)
   }
 
+  test("editDistancePairs verifies SNM candidates with exact Levenshtein") {
+    import org.apache.spark.sql.functions.col
+    val recs2 = Seq(
+      (1L, "acme corp"), (2L, "acme corpp"),   // dist 1, sort-adjacent
+      (3L, "acme industries"),                 // far from both (>2)
+      (4L, "zzz ltd"), (5L, "zzz ltd"))        // dist 0 duplicates
+      .toDF("id", "name")
+    val got = Dedup.editDistancePairs(recs2, "name", "id",
+      maxDist = 2, window = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got((1L, 2L)) == 1)
+    assert(got((4L, 5L)) == 0)
+    assert(!got.keySet.exists { case (a, b) => a == 3L || b == 3L },
+      s"far name matched: $got")
+  }
+
   test("no single-partition global window in the plan") {
     val plan = Dedup.sortedNeighborhoodPairs(recs, "name", "id", 3)
       .queryExecution.executedPlan.toString

@@ -531,6 +531,28 @@ class TemporalSpec extends SparkSpec {
     assert(got == Set(("x", "y"), ("y", "z")))
   }
 
+  test("basketRules: support/confidence/lift on hand sessions") {
+    import spark.implicits._
+    // user1 s1 {a,b}; user1 s2 {a} (gap > 100); user2 s1 {a,b,c}
+    val ev = Seq(
+      (1L, 100L, 1L, "a"), (1L, 150L, 2L, "b"),
+      (1L, 1000L, 3L, "a"),
+      (2L, 100L, 4L, "a"), (2L, 110L, 5L, "b"), (2L, 120L, 6L, "c"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Temporal.basketRules(ev, "user_id", "ts", "event_id",
+      "event_type", gap = 100L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    def r6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    // 3 sessions; singles a:3 b:2 c:1
+    assert(got(("a", "b")) == ((2L, r6(2.0 / 3), r6(2.0 / 3), 1.0)))
+    assert(got(("b", "a")) == ((2L, r6(2.0 / 3), 1.0, 1.0)))
+    assert(got(("b", "c")) == ((1L, r6(1.0 / 3), 0.5, 1.5)))
+    assert(got(("c", "b")) == ((1L, r6(1.0 / 3), 1.0, 1.5)))
+    assert(got.size == 6)
+  }
+
   test("trendSlopes: exact line recovered; degenerate time axis nulls out") {
     import spark.implicits._
     val day = 86400L * 1000000000L
