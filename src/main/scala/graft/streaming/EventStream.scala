@@ -222,6 +222,46 @@ object EventStream {
     else ev.dropDuplicates(keyCols)
   }
 
+  /** Stream-static enrichment: join an unbounded event stream to a
+    * bounded dimension table. The dimension side broadcasts (explicit —
+    * stream-static joins must never plan the static side as a
+    * stream-blocking shuffle build), so the plan stays a stateless
+    * per-batch projection: no watermark, no state store, append-safe.
+    * The 100 TB shape: the stream partitions by source, the dimension
+    * rides once per executor. */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+      keyCols: Seq[String]): DataFrame =
+    events.join(broadcast(dim), keyCols)
+
+  /** Watermarked stream-stream interval join: match each `right` event
+    * to `left` events of the same `keyCol` within
+    * (right.ts − `within`, right.ts] — attribution over two live
+    * streams ("which click preceded this purchase"). BOTH sides carry
+    * watermarks and the join condition bounds the time skew, so
+    * Structured Streaming can prove state eviction: each side's state
+    * store holds only `watermark + within` of history per key — the
+    * state-bounding contract stream-stream joins require (an unbounded
+    * join condition would grow state forever and is rejected for
+    * append output). `ts` columns accept timestamps or epoch-nanos
+    * (the temporal unit contract). Output: key, left payload columns
+    * (`lCols`), right payload columns (`rCols`), both ts columns as
+    * `ts_left`/`ts_right`. */
+  def correlateStreams(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, within: String, watermark: String,
+      lCols: Seq[String], rCols: Seq[String]): DataFrame = {
+    val l = withTimestampTs(left, tsCol).withWatermark(tsCol, watermark)
+      .select((Seq(col(keyCol), col(tsCol).as("ts_left")) ++
+        lCols.map(col)): _*)
+    val r = withTimestampTs(right, tsCol).withWatermark(tsCol, watermark)
+      .select((Seq(col(keyCol).as("__rk"), col(tsCol).as("ts_right")) ++
+        rCols.map(col)): _*)
+    l.join(r,
+      col(keyCol) === col("__rk") &&
+        col("ts_left") <= col("ts_right") &&
+        col("ts_left") > col("ts_right") - expr(s"INTERVAL $within"))
+      .drop("__rk")
+  }
+
   /** Wire a streaming query to an in-memory sink (testing / demo). */
   def startToMemory(df: DataFrame, name: String,
       outputMode: OutputMode = OutputMode.Update()): org.apache.spark.sql.streaming.StreamingQuery =

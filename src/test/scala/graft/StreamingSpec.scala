@@ -368,6 +368,53 @@ class StreamingSpec extends SparkSpec {
     assert(ids.length == 1 && Set(1L, 2L).contains(ids.head), ids.toString)
   }
 
+  test("stream-static enrichment broadcasts the dimension, stays stateless") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("click", "interactive"), ("view", "passive"))
+      .toDF("event_type", "kind")
+    val mem = MemoryStream[(Long, String)]
+    val enriched = EventStream.enrichStream(
+      mem.toDF().toDF("event_id", "event_type"), dim, Seq("event_type"))
+    val q = EventStream.startToMemory(enriched, "enriched",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    mem.addData((1L, "click"), (2L, "view"), (3L, "error"))
+    q.processAllAvailable()
+    val rows = spark.table("enriched").collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[String]("kind")).toMap
+    q.stop()
+    assert(rows == Map(1L -> "interactive", 2L -> "passive"))
+  }
+
+  test("stream-stream interval join attributes purchases to in-window views") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val views = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val joined = EventStream.correlateStreams(
+      views.toDF().toDF("user_id", "ts", "view_id"),
+      buys.toDF().toDF("user_id", "ts", "buy_id"),
+      "user_id", "ts", within = "1 minute", watermark = "1 minute",
+      lCols = Seq("view_id"), rCols = Seq("buy_id"))
+    val q = EventStream.startToMemory(joined, "attrib",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    // user 1: views at 30s (in-window) and purchase at 60s; a view at
+    // 300s is AFTER the purchase; user 2's view must not cross users
+    views.addData((1L, t(30), 101L), (1L, t(300), 102L), (2L, t(40), 201L))
+    buys.addData((1L, t(60), 901L))
+    q.processAllAvailable()
+    // advance both watermarks past the window so results finalize
+    // (distinct users, so the sentinels cannot join each other)
+    views.addData((8L, t(4000), 999L))
+    buys.addData((9L, t(4000), 998L))
+    q.processAllAvailable()
+    val rows = spark.table("attrib").collect()
+      .map(r => (r.getAs[Long]("view_id"), r.getAs[Long]("buy_id")))
+    q.stop()
+    assert(rows.toSet == Set((101L, 901L)), rows.mkString(","))
+  }
+
   test("streaming classifier gate scores a live stream identically to batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
