@@ -1429,6 +1429,17 @@ object SparkEntry {
         "doc_id", k = 3)
         .orderBy("doc_id", "rk")),
 
+    // Zipf fit of the term-frequency distribution: corpus-health check
+    // (natural prose slope near -1); rank via the distributed rank
+    "q_zipf" -> ((s, dir) =>
+      pipeline.TextAnalysis.zipfFit(t(s, dir, "documents"), "text")),
+
+    // one-row dedup yield report: exact uniques + near-dup cluster
+    // collapse economics before GPU-hours are committed
+    "q_dedup_report" -> ((s, dir) =>
+      pipeline.Dedup.dedupReport(t(s, dir, "documents"), "text", "doc_id",
+        k = 2, threshold = 0.8)),
+
     // unicode-script composition per doc: the multilingual router —
     // pure regexp-count expressions, zero shuffle
     "q_script" -> ((s, dir) =>
@@ -3825,6 +3836,57 @@ object SparkEntry {
          SELECT doc_id, floor(raw * 1e6 + 0.5) / 1e6 AS score FROM sc
          WHERE floor(raw * 1e6 + 0.5) / 1e6 > 0
          ORDER BY score DESC, doc_id LIMIT 50""",
+    "q_zipf" ->
+      """WITH v AS (SELECT t, count(*)::BIGINT AS f FROM
+             (SELECT unnest(string_split(lower(trim(text)), ' ')) AS t
+              FROM documents) GROUP BY t),
+         r AS (SELECT f, row_number() OVER (ORDER BY f DESC, t) AS rank
+               FROM v),
+         m AS (SELECT count(*)::BIGINT AS n_terms,
+                 covar_pop(ln(rank::DOUBLE), ln(f::DOUBLE)) AS cov,
+                 var_pop(ln(rank::DOUBLE)) AS vx,
+                 var_pop(ln(f::DOUBLE)) AS vy
+               FROM r)
+         SELECT n_terms,
+           CASE WHEN vx > 0
+             THEN floor(cov / vx * 1e6 + 0.5) / 1e6 END AS slope,
+           CASE WHEN vx > 0 AND vy > 0
+             THEN floor(cov * cov / (vx * vy) * 1e6 + 0.5) / 1e6 END AS r2
+         FROM m""",
+    "q_dedup_report" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(tk) < 2
+             THEN [array_to_string(tk, ' ')]
+             ELSE list_transform(generate_series(1, len(tk)-1),
+                    i -> array_to_string(tk[i:i+1], ' ')) END) AS s
+           FROM toks),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         cc AS (
+           SELECT DISTINCT src AS id, src AS comp FROM edges
+           UNION
+           SELECT e.dst AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.src),
+         comp AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id),
+         cs AS (SELECT count(DISTINCT comp)::BIGINT AS n_clusters,
+                  count(*)::BIGINT AS n_clustered_docs FROM comp),
+         tot AS (SELECT count(*)::BIGINT AS n_docs,
+                   count(DISTINCT md5(text))::BIGINT AS n_exact_unique
+                 FROM documents)
+         SELECT tot.n_docs, tot.n_exact_unique, cs.n_clusters,
+           cs.n_clustered_docs,
+           (cs.n_clustered_docs - cs.n_clusters)::BIGINT AS near_dup_excess,
+           floor((tot.n_docs - (cs.n_clustered_docs - cs.n_clusters))::DOUBLE
+             / tot.n_docs * 1e6 + 0.5) / 1e6 AS dedup_yield
+         FROM tot, cs""",
     "q_script" ->
       """WITH s AS (SELECT doc_id,
              regexp_replace(text, '\s+', '', 'g') AS s FROM documents),

@@ -543,6 +543,34 @@ object Dedup {
         (col("rank_b") - col("rank_a")).as("dist"))
   }
 
+  /** One-row dedup yield report — the executive summary a pipeline run
+    * publishes before anyone commits GPU-hours to the corpus:
+    * `n_docs`, `n_exact_unique` (distinct md5 of the raw text),
+    * `n_clusters` / `n_clustered_docs` from the exact near-dup pair
+    * graph's connected components, `near_dup_excess` (docs that
+    * near-dup removal would drop = clustered − clusters), and
+    * `dedup_yield` = surviving fraction after cluster-collapse.
+    *
+    * Costs what its parts cost: one count/distinct aggregate over the
+    * corpus + [[ngramJaccardPairs]] + components on the edge list —
+    * all bounded shapes already certified individually. */
+  def dedupReport(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 2, threshold: Double = 0.8): DataFrame = {
+    val totals = df.agg(count(lit(1)).as("n_docs"),
+      countDistinct(md5(col(textCol))).as("n_exact_unique"))
+    val pairs = ngramJaccardPairs(df, textCol, idCol, k, threshold)
+    val comps = Graphs.connectedComponents(pairs, "id_a", "id_b")
+    val cstats = comps.agg(
+      countDistinct(col("comp")).as("n_clusters"),
+      count(lit(1)).as("n_clustered_docs"))
+    totals.crossJoin(cstats)
+      .withColumn("near_dup_excess",
+        col("n_clustered_docs") - col("n_clusters"))
+      .withColumn("dedup_yield", Rounding.halfUp(
+        (col("n_docs") - col("near_dup_excess")).cast("double") /
+          col("n_docs"), 6))
+  }
+
   /** Edit-distance record matching over sorted-neighborhood blocks:
     * [[sortedNeighborhoodPairs]] proposes the candidates, exact
     * Levenshtein verifies them (`edit_dist` ≤ `maxDist`) — the classic

@@ -369,6 +369,35 @@ object TextAnalysis {
         .alias("other_frac"))
   }
 
+  /** Zipf-law fit of the corpus term-frequency distribution: OLS slope
+    * of ln(freq) on ln(rank) over the full vocabulary — natural prose
+    * sits near −1; a flat slope flags templated/generated text, a cliff
+    * flags boilerplate domination. One row: (`n_terms`, `slope`, `r2`),
+    * half-up 6 (r2 null for degenerate single-term vocabularies).
+    *
+    * The frequency table is ONE explode + hash aggregate
+    * (vocabulary-bounded, map-side combine); the rank comes from
+    * [[Ranks.withGlobalRank]] over (freq desc, term) — the vocabulary
+    * is corpus-scale-bounded but NOT small, so no single-partition
+    * window; the fit itself is one moment aggregate. */
+  def zipfFit(df: DataFrame, textCol: String): DataFrame = {
+    val vocab = df.select(explode(tokens(lower(col(textCol)))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("f"))
+    val ranked = Ranks.withGlobalRank(vocab, "rank",
+      col("f").desc, col("t").asc)
+    val x = log(col("rank").cast("double"))
+    val y = log(col("f").cast("double"))
+    val m = ranked.agg(count(lit(1)).as("n_terms"),
+      covar_pop(x, y).as("__cov"), var_pop(x).as("__vx"),
+      var_pop(y).as("__vy"))
+    m.select(col("n_terms"),
+      Rounding.halfUp(when(col("__vx") > 0, col("__cov") / col("__vx")), 6)
+        .as("slope"),
+      Rounding.halfUp(when(col("__vx") > 0 && col("__vy") > 0,
+        col("__cov") * col("__cov") / (col("__vx") * col("__vy"))), 6)
+        .as("r2"))
+  }
+
   /** Convenience: annotate a document DataFrame with all measures. */
   def annotate(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_tokens", tokenCount(col(textCol)))

@@ -152,6 +152,25 @@ class GraphsSpec extends SparkSpec {
     assert(got.getDouble(3) == 0.6, "transitivity")
   }
 
+  test("dedupReport: yields on a corpus with planted exact and near dups") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),   // exact dup of 1
+      (3L, "alpha beta gamma delta zeta"),      // near dup of 1/2
+      (4L, "totally different words here now"),
+      (5L, "unrelated content again entirely")).toDF("doc_id", "text")
+    val r = Dedup.dedupReport(docs, "text", "doc_id", k = 2, threshold = 0.6)
+      .collect().head
+    assert(r.getAs[Long]("n_docs") == 5L)
+    assert(r.getAs[Long]("n_exact_unique") == 4L)
+    // {1,2,3} cluster together at J>=0.6; 4 and 5 are singletons
+    assert(r.getAs[Long]("n_clusters") == 1L)
+    assert(r.getAs[Long]("n_clustered_docs") == 3L)
+    assert(r.getAs[Long]("near_dup_excess") == 2L)
+    assert(r.getAs[Double]("dedup_yield") == 0.6)
+  }
+
   test("triangleStats: triangle-free graph has zero transitivity") {
     import spark.implicits._
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")

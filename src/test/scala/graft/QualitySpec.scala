@@ -258,6 +258,22 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("zipfFit recovers the exponent of a planted power law") {
+    import spark.implicits._
+    // corpus where term tK appears round(1000/K) times → ln f ≈
+    // ln 1000 − ln rank, slope ≈ −1 with near-perfect fit
+    val words = (1 to 50).flatMap(k =>
+      Seq.fill(math.round(1000.0 / k).toInt)(s"t${"%03d".format(k)}"))
+    val docs = words.grouped(40).zipWithIndex
+      .map { case (w, i) => (i.toLong, w.mkString(" ")) }.toSeq
+      .toDF("id", "text")
+    val r = graft.pipeline.TextAnalysis.zipfFit(docs, "text").collect().head
+    assert(r.getLong(0) == 50L)
+    val slope = r.getDouble(1)
+    assert(slope > -1.1 && slope < -0.9, s"slope $slope")
+    assert(r.getDouble(2) > 0.98, s"r2 ${r.getDouble(2)}")
+  }
+
   test("scriptProfile: fractions by unicode script, whitespace ignored") {
     import spark.implicits._
     val d = Seq(
