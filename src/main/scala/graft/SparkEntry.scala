@@ -1574,6 +1574,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ROC-AUC of the NB quality score against the lang='en' labels:
+    // Mann-Whitney with average-rank tie correction, distributed rank
+    "q_auc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labeled = docs.withColumn("y", (col("lang") === "en").cast("int"))
+      val model = pipeline.Classify.fitNaiveBayes(labeled, "text", "doc_id",
+        "y", buckets = 8192, alpha = 0.5)
+      val scored = pipeline.Classify.score(docs, "text", "doc_id", model)
+        .join(labeled.select(col("doc_id"), col("y")), Seq("doc_id"))
+      pipeline.Classify.aucScore(scored, "score", "y", "doc_id")
+    }),
+
+    // reliability diagram: decile bins of σ(score) vs empirical
+    // positive rate (probabilities rounded before binning — engine-
+    // portable bin edges)
+    "q_calibration" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labeled = docs.withColumn("y", (col("lang") === "en").cast("int"))
+      val model = pipeline.Classify.fitNaiveBayes(labeled, "text", "doc_id",
+        "y", buckets = 8192, alpha = 0.5)
+      val scored = pipeline.Classify.score(docs, "text", "doc_id", model)
+        .join(labeled.select(col("doc_id"), col("y")), Seq("doc_id"))
+      pipeline.Classify.calibrationReport(scored, "score", "y", bins = 10)
+        .orderBy("bin")
+    }),
+
     // one deterministic logistic-regression GD step from zero init (the
     // σ(0)=½ closed form the oracle replays); multi-step convergence is
     // certified by ClassifySpec
@@ -4178,6 +4204,90 @@ object SparkEntry {
              > 0)::INT AS pred
          FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id, prior
          ORDER BY d.doc_id""",
+    // NB score replay + Mann-Whitney average-rank AUC
+    "q_auc" ->
+      """WITH d AS (SELECT doc_id, (lang = 'en')::INT AS y,
+             string_split(lower(trim(text)), ' ') AS tk FROM documents),
+         g AS (SELECT doc_id, y, unnest(list_concat(tk,
+                 CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
+                   ELSE list_transform(generate_series(1, len(tk)-1),
+                          i -> tk[i] || ' ' || tk[i+1]) END)) AS ng
+               FROM d),
+         fb AS (SELECT doc_id, y,
+                  ('0x' || substr(md5(ng), 1, 8))::BIGINT % 8192 AS f
+                FROM g),
+         cp AS (SELECT f, count(*)::BIGINT AS c FROM fb WHERE y = 1 GROUP BY f),
+         cn AS (SELECT f, count(*)::BIGINT AS c FROM fb WHERE y = 0 GROUP BY f),
+         np AS (SELECT coalesce(sum(c), 0)::BIGINT AS n FROM cp),
+         nn AS (SELECT coalesce(sum(c), 0)::BIGINT AS n FROM cn),
+         allf AS (SELECT DISTINCT f FROM fb),
+         w AS (SELECT allf.f,
+                 ln((coalesce(cp.c, 0)::DOUBLE + 0.5)
+                     / (np.n::DOUBLE + 0.5 * 8192))
+               - ln((coalesce(cn.c, 0)::DOUBLE + 0.5)
+                     / (nn.n::DOUBLE + 0.5 * 8192)) AS w
+               FROM allf LEFT JOIN cp ON allf.f = cp.f
+                         LEFT JOIN cn ON allf.f = cn.f, np, nn),
+         prior AS (SELECT ln(sum((y = 1)::INT)::DOUBLE
+                           / sum((y = 0)::INT)::DOUBLE) AS b FROM d),
+         sc AS (SELECT fb.doc_id, sum(w.w) AS s
+                FROM fb JOIN w ON fb.f = w.f GROUP BY fb.doc_id),
+         fl AS (SELECT d.doc_id, d.y,
+                    floor((coalesce(sc.s, 0.0) + prior.b) * 1e6 + 0.5) / 1e6
+                      AS score
+                  FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id, prior),
+         rk AS (SELECT doc_id, y, score,
+                  row_number() OVER (ORDER BY score, doc_id) AS r FROM fl),
+         ar AS (SELECT score, avg(r) AS ar FROM rk GROUP BY score),
+         j AS (SELECT rk.y, ar.ar FROM rk JOIN ar ON rk.score = ar.score),
+         agg AS (SELECT sum(y)::BIGINT AS n_pos, sum(1 - y)::BIGINT AS n_neg,
+                   sum(CASE WHEN y = 1 THEN ar END) AS srp FROM j)
+         SELECT n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             floor((srp - n_pos::DOUBLE * (n_pos + 1) / 2)
+               / (n_pos::DOUBLE * n_neg) * 1e6 + 0.5) / 1e6
+           END AS auc
+         FROM agg""",
+    // NB score replay + rounded-probability decile bins
+    "q_calibration" ->
+      """WITH d AS (SELECT doc_id, (lang = 'en')::INT AS y,
+             string_split(lower(trim(text)), ' ') AS tk FROM documents),
+         g AS (SELECT doc_id, y, unnest(list_concat(tk,
+                 CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
+                   ELSE list_transform(generate_series(1, len(tk)-1),
+                          i -> tk[i] || ' ' || tk[i+1]) END)) AS ng
+               FROM d),
+         fb AS (SELECT doc_id, y,
+                  ('0x' || substr(md5(ng), 1, 8))::BIGINT % 8192 AS f
+                FROM g),
+         cp AS (SELECT f, count(*)::BIGINT AS c FROM fb WHERE y = 1 GROUP BY f),
+         cn AS (SELECT f, count(*)::BIGINT AS c FROM fb WHERE y = 0 GROUP BY f),
+         np AS (SELECT coalesce(sum(c), 0)::BIGINT AS n FROM cp),
+         nn AS (SELECT coalesce(sum(c), 0)::BIGINT AS n FROM cn),
+         allf AS (SELECT DISTINCT f FROM fb),
+         w AS (SELECT allf.f,
+                 ln((coalesce(cp.c, 0)::DOUBLE + 0.5)
+                     / (np.n::DOUBLE + 0.5 * 8192))
+               - ln((coalesce(cn.c, 0)::DOUBLE + 0.5)
+                     / (nn.n::DOUBLE + 0.5 * 8192)) AS w
+               FROM allf LEFT JOIN cp ON allf.f = cp.f
+                         LEFT JOIN cn ON allf.f = cn.f, np, nn),
+         prior AS (SELECT ln(sum((y = 1)::INT)::DOUBLE
+                           / sum((y = 0)::INT)::DOUBLE) AS b FROM d),
+         sc AS (SELECT fb.doc_id, sum(w.w) AS s
+                FROM fb JOIN w ON fb.f = w.f GROUP BY fb.doc_id),
+         fl AS (SELECT d.doc_id, d.y,
+                    floor((coalesce(sc.s, 0.0) + prior.b) * 1e6 + 0.5) / 1e6
+                      AS score
+                  FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id, prior),
+         pb AS (SELECT y,
+                  floor((1.0 / (1.0 + exp(-score))) * 1e6 + 0.5) / 1e6 AS p
+                FROM fl),
+         bb AS (SELECT least(floor(p * 10), 9)::INT AS bin, p, y FROM pb)
+         SELECT bin, count(*)::BIGINT AS n,
+           floor(avg(p) * 1e6 + 0.5) / 1e6 AS mean_prob,
+           floor(avg(y::DOUBLE) * 1e6 + 0.5) / 1e6 AS frac_pos
+         FROM bb GROUP BY bin ORDER BY bin""",
     // one logistic GD step from zero init: σ(0)=½ makes the step closed
     // form — w_j = lr/n·Σ_d (y_d−½)·c_d(j), bias = lr/n·Σ_d (y_d−½)
     "q_lr_step" ->

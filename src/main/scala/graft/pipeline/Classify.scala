@@ -181,6 +181,61 @@ object Classify {
     withScore(df, textCol, model).select(
       col(idCol), col("n_feats"), col("score"), col("pred"))
 
+  /** ROC-AUC of a score column against binary labels — the
+    * Mann–Whitney rank statistic with average-rank tie correction:
+    *
+    *   AUC = (Σ R̄_pos − nP(nP+1)/2) / (nP·nN)
+    *
+    * where R̄ is the AVERAGE rank within a tied score group (rank-order
+    * inside a tie is partition-arbitrary; averaging removes it, so the
+    * result is deterministic and engine-portable). One row: (`n_pos`,
+    * `n_neg`, `auc`), half-up 6; null AUC when a class is absent.
+    *
+    * Ranks come from [[Ranks.withGlobalRank]] (score asc, id) — never a
+    * single-partition window; the tie-average is a score-keyed
+    * aggregate joined back, and the final reduction is one row. */
+  def aucScore(scored: DataFrame, scoreCol: String, labelCol: String,
+      idCol: String): DataFrame = {
+    val ranked = Ranks.withGlobalRank(
+      scored.select(col(idCol), col(scoreCol).as("__sc"),
+        col(labelCol).cast("int").as("__y")),
+      "__r", col("__sc").asc, col(idCol).asc)
+    val avgR = ranked.groupBy(col("__sc"))
+      .agg(avg(col("__r")).as("__ar"))
+    ranked.join(avgR, "__sc")
+      .agg(sum(col("__y")).cast("long").as("n_pos"),
+        sum(lit(1) - col("__y")).cast("long").as("n_neg"),
+        sum(when(col("__y") === 1, col("__ar"))).as("__srp"))
+      .select(col("n_pos"), col("n_neg"),
+        Rounding.halfUp(when(col("n_pos") > 0 && col("n_neg") > 0,
+          (col("__srp") -
+            col("n_pos").cast("double") * (col("n_pos") + 1) / 2) /
+            (col("n_pos").cast("double") * col("n_neg"))), 6).as("auc"))
+  }
+
+  /** Reliability diagram data: bucket predicted probabilities
+    * (σ(score)) into `bins` equal-width bins and report each bin's mean
+    * predicted probability against its empirical positive rate — the
+    * calibration check that tells you whether a 0.9 from this model
+    * means 90%. Output per non-empty bin: (`bin`, `n`, `mean_prob`,
+    * `frac_pos`), half-up 6. One scan + one hash aggregate on the bin
+    * index. */
+  def calibrationReport(scored: DataFrame, scoreCol: String,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    // probabilities round to 6dp BEFORE binning: a last-ulp exp()
+    // difference between engines must not flip a boundary bin
+    val p = Rounding.halfUp(
+      lit(1.0) / (lit(1.0) + exp(-col(scoreCol))), 6)
+    val bin = least(floor(p * bins), lit(bins - 1)).cast("int")
+    scored.select(bin.as("bin"), p.as("__p"),
+        col(labelCol).cast("double").as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        Rounding.halfUp(avg(col("__p")), 6).as("mean_prob"),
+        Rounding.halfUp(avg(col("__y")), 6).as("frac_pos"))
+  }
+
   /** [[score]] as a column APPEND (all input columns preserved, plus
     * `n_feats`/`score`/`pred`) — still a stateless per-row projection,
     * which makes it directly usable on an unbounded stream

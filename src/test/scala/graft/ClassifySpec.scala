@@ -74,6 +74,38 @@ class ClassifySpec extends SparkSpec {
     assert(!plan.contains("Join"), s"scoring joins:\n$plan")
   }
 
+  test("aucScore: separation 1.0, anti-separation 0.0, all-ties 0.5") {
+    import org.apache.spark.sql.functions.col
+    val perfect = Seq((1L, 0.9, 1), (2L, 0.8, 1), (3L, 0.2, 0), (4L, 0.1, 0))
+      .toDF("id", "s", "y")
+    assert(Classify.aucScore(perfect, "s", "y", "id")
+      .collect().head.getDouble(2) == 1.0)
+    val reversed = perfect.withColumn("s", -col("s"))
+    assert(Classify.aucScore(reversed, "s", "y", "id")
+      .collect().head.getDouble(2) == 0.0)
+    // identical scores: average-rank correction must give exactly 0.5
+    val ties = Seq((1L, 0.5, 1), (2L, 0.5, 1), (3L, 0.5, 0), (4L, 0.5, 0))
+      .toDF("id", "s", "y")
+    val t = Classify.aucScore(ties, "s", "y", "id").collect().head
+    assert(t.getLong(0) == 2L && t.getLong(1) == 2L && t.getDouble(2) == 0.5)
+    // single-class input → null
+    val mono = Seq((1L, 0.5, 1), (2L, 0.7, 1)).toDF("id", "s", "y")
+    assert(Classify.aucScore(mono, "s", "y", "id")
+      .collect().head.isNullAt(2))
+  }
+
+  test("calibrationReport bins rounded probabilities against label rates") {
+    // scores 0 → p=0.5 → bin 5; large score → p≈1 → bin 9
+    val d = Seq((1L, 0.0, 1), (2L, 0.0, 0), (3L, 20.0, 1), (4L, 20.0, 1))
+      .toDF("id", "s", "y")
+    val got = Classify.calibrationReport(d, "s", "y", bins = 10)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got(5) == ((2L, 0.5, 0.5)))
+    assert(got(9)._1 == 2L && got(9)._2 > 0.999 && got(9)._3 == 1.0)
+    assert(got.size == 2)
+  }
+
   test("fit rejects single-class input") {
     intercept[IllegalArgumentException] {
       Classify.fitNaiveBayes(labeled.filter(col("y") === 1), "text",
