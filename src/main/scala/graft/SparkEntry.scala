@@ -1586,6 +1586,17 @@ object SparkEntry {
       pipeline.Classify.aucScore(scored, "score", "y", "doc_id")
     }),
 
+    // confusion matrix + precision/recall/F1 at the zero threshold
+    "q_confusion" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labeled = docs.withColumn("y", (col("lang") === "en").cast("int"))
+      val model = pipeline.Classify.fitNaiveBayes(labeled, "text", "doc_id",
+        "y", buckets = 8192, alpha = 0.5)
+      val scored = pipeline.Classify.score(docs, "text", "doc_id", model)
+        .join(labeled.select(col("doc_id"), col("y")), Seq("doc_id"))
+      pipeline.Classify.confusionReport(scored, "score", "y", threshold = 0.0)
+    }),
+
     // reliability diagram: decile bins of σ(score) vs empirical
     // positive rate (probabilities rounded before binning — engine-
     // portable bin edges)
@@ -1622,6 +1633,12 @@ object SparkEntry {
         tokenBudget = 20000L)
         .orderBy("source")
     }),
+
+    // mixture concentration: HHI over token shares + effective source
+    // count + top source — the "is this mix diverse" one-liner
+    "q_hhi" -> ((s, dir) =>
+      pipeline.Mixing.concentrationReport(t(s, dir, "documents"),
+        "text", "source")),
 
     // corpus mixing: per-source token statistics (hash-agg on the source
     // key; share via 1-row broadcast, no corpus window)
@@ -4248,6 +4265,57 @@ object SparkEntry {
                / (n_pos::DOUBLE * n_neg) * 1e6 + 0.5) / 1e6
            END AS auc
          FROM agg""",
+    // NB score replay + threshold confusion counts and rates
+    "q_confusion" ->
+      """WITH d AS (SELECT doc_id, (lang = 'en')::INT AS y,
+             string_split(lower(trim(text)), ' ') AS tk FROM documents),
+         g AS (SELECT doc_id, y, unnest(list_concat(tk,
+                 CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
+                   ELSE list_transform(generate_series(1, len(tk)-1),
+                          i -> tk[i] || ' ' || tk[i+1]) END)) AS ng
+               FROM d),
+         fb AS (SELECT doc_id, y,
+                  ('0x' || substr(md5(ng), 1, 8))::BIGINT % 8192 AS f
+                FROM g),
+         cp AS (SELECT f, count(*)::BIGINT AS c FROM fb WHERE y = 1 GROUP BY f),
+         cn AS (SELECT f, count(*)::BIGINT AS c FROM fb WHERE y = 0 GROUP BY f),
+         np AS (SELECT coalesce(sum(c), 0)::BIGINT AS n FROM cp),
+         nn AS (SELECT coalesce(sum(c), 0)::BIGINT AS n FROM cn),
+         allf AS (SELECT DISTINCT f FROM fb),
+         w AS (SELECT allf.f,
+                 ln((coalesce(cp.c, 0)::DOUBLE + 0.5)
+                     / (np.n::DOUBLE + 0.5 * 8192))
+               - ln((coalesce(cn.c, 0)::DOUBLE + 0.5)
+                     / (nn.n::DOUBLE + 0.5 * 8192)) AS w
+               FROM allf LEFT JOIN cp ON allf.f = cp.f
+                         LEFT JOIN cn ON allf.f = cn.f, np, nn),
+         prior AS (SELECT ln(sum((y = 1)::INT)::DOUBLE
+                           / sum((y = 0)::INT)::DOUBLE) AS b FROM d),
+         sc AS (SELECT fb.doc_id, sum(w.w) AS s
+                FROM fb JOIN w ON fb.f = w.f GROUP BY fb.doc_id),
+         fl AS (SELECT d.doc_id, d.y,
+                    floor((coalesce(sc.s, 0.0) + prior.b) * 1e6 + 0.5) / 1e6
+                      AS score
+                  FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id, prior),
+         cm AS (SELECT
+             count(CASE WHEN score > 0 AND y = 1 THEN 1 END)::BIGINT AS tp,
+             count(CASE WHEN score > 0 AND y = 0 THEN 1 END)::BIGINT AS fp,
+             count(CASE WHEN score <= 0 AND y = 1 THEN 1 END)::BIGINT AS fn,
+             count(CASE WHEN score <= 0 AND y = 0 THEN 1 END)::BIGINT AS tn
+           FROM fl),
+         r AS (SELECT tp, fp, fn, tn,
+             CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp) END AS prec,
+             CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn) END AS rec
+           FROM cm)
+         SELECT tp, fp, fn, tn,
+           floor((tp + tn)::DOUBLE / (tp + fp + fn + tn) * 1e6 + 0.5) / 1e6
+             AS accuracy,
+           floor(prec * 1e6 + 0.5) / 1e6 AS precision,
+           floor(rec * 1e6 + 0.5) / 1e6 AS recall,
+           CASE WHEN prec + rec > 0 THEN
+             floor(2.0 * prec * rec / (prec + rec) * 1e6 + 0.5) / 1e6
+           END AS f1
+         FROM r""",
     // NB score replay + rounded-probability decile bins
     "q_calibration" ->
       """WITH d AS (SELECT doc_id, (lang = 'en')::INT AS y,
@@ -4329,6 +4397,21 @@ object SparkEntry {
            floor(least(1.0, 20000.0 * (pa / qsum) / n_tokens::DOUBLE)
                  * 1e6 + 0.5) / 1e6 AS keep_rate
          FROM pa, qs ORDER BY source""",
+    "q_hhi" ->
+      """WITH per AS (SELECT source,
+             sum(len(string_split(trim(text), ' ')))::BIGINT AS n_tokens
+           FROM documents GROUP BY source),
+         tot AS (SELECT sum(n_tokens)::DOUBLE AS t FROM per),
+         sh AS (SELECT source, n_tokens::DOUBLE / tot.t AS s FROM per, tot),
+         h AS (SELECT count(*)::BIGINT AS n_sources, sum(s * s) AS hhi
+               FROM sh),
+         mx AS (SELECT max(s) AS mx FROM sh),
+         top AS (SELECT min(source) AS top_source, max(s) AS ts
+                 FROM sh, mx WHERE sh.s = mx.mx)
+         SELECT h.n_sources, floor(h.hhi * 1e6 + 0.5) / 1e6 AS hhi,
+           floor(1.0 / h.hhi * 1e6 + 0.5) / 1e6 AS effective_sources,
+           top.top_source, floor(top.ts * 1e6 + 0.5) / 1e6 AS top_share
+         FROM h, top""",
     "q_mix" ->
       """WITH per AS (SELECT source, count(*)::BIGINT AS n_docs,
              sum(len(string_split(trim(text), ' ')))::BIGINT AS n_tokens

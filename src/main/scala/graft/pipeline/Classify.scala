@@ -213,6 +213,34 @@ object Classify {
             (col("n_pos").cast("double") * col("n_neg"))), 6).as("auc"))
   }
 
+  /** Confusion matrix + the derived rates at a decision threshold on
+    * the score: one row (`tp`, `fp`, `fn`, `tn`, `accuracy`,
+    * `precision`, `recall`, `f1`), half-up 6, rate null when its
+    * denominator is empty (no predicted positives / no actual
+    * positives). One conditional-count aggregate over the scored
+    * corpus. */
+  def confusionReport(scored: DataFrame, scoreCol: String,
+      labelCol: String, threshold: Double = 0.0): DataFrame = {
+    val pos = col(scoreCol) > threshold
+    val y = col(labelCol).cast("int") === 1
+    val agg = scored.agg(
+      count(when(pos && y, 1)).as("tp"),
+      count(when(pos && !y, 1)).as("fp"),
+      count(when(!pos && y, 1)).as("fn"),
+      count(when(!pos && !y, 1)).as("tn"))
+    val prec = when(col("tp") + col("fp") > 0,
+      col("tp").cast("double") / (col("tp") + col("fp")))
+    val rec = when(col("tp") + col("fn") > 0,
+      col("tp").cast("double") / (col("tp") + col("fn")))
+    agg.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      Rounding.halfUp((col("tp") + col("tn")).cast("double") /
+        (col("tp") + col("fp") + col("fn") + col("tn")), 6).as("accuracy"),
+      Rounding.halfUp(prec, 6).as("precision"),
+      Rounding.halfUp(rec, 6).as("recall"),
+      Rounding.halfUp(when(prec + rec > 0,
+        lit(2.0) * prec * rec / (prec + rec)), 6).as("f1"))
+  }
+
   /** Reliability diagram data: bucket predicted probabilities
     * (σ(score)) into `bins` equal-width bins and report each bin's mean
     * predicted probability against its empirical positive rate — the

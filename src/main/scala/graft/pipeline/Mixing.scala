@@ -177,4 +177,32 @@ object Mixing {
       .filter(col("epoch") < fullEpochs ||
         substring(md5(col(idCol).cast("string")), 1, 8) < fracThreshold)
   }
+
+  /** Mixture-concentration health of a corpus: the Herfindahl–Hirschman
+    * index over token shares (HHI = Σ share², 1/n = perfectly even,
+    * 1 = one source is everything), the effective source count 1/HHI,
+    * and the top source with its share — the one-row answer to "is this
+    * mix actually diverse or is it one crawl wearing twenty names".
+    * All reductions on the [[sourceStats]]-sized table; tie on the top
+    * share breaks by source name. */
+  def concentrationReport(df: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val stats = sourceStats(df, textCol, sourceCol)
+    val tot = stats.agg(sum(col("n_tokens")).cast("double").as("__t"))
+    val shares = stats.crossJoin(broadcast(tot))
+      .select(col(sourceCol),
+        (col("n_tokens").cast("double") / col("__t")).as("__s"))
+    val hhiAgg = shares.agg(count(lit(1)).as("n_sources"),
+      sum(col("__s") * col("__s")).as("__hhi"))
+    // winner by exact share equality (shares are one exact long/long
+    // division — equality is engine-safe); name tie-break via min
+    val mx = shares.agg(max(col("__s")).as("__mx"))
+    val top = shares.crossJoin(broadcast(mx))
+      .filter(col("__s") === col("__mx"))
+      .agg(min(col(sourceCol)).as("top_source"), max(col("__s")).as("__ts"))
+    hhiAgg.crossJoin(top).select(col("n_sources"),
+      Rounding.halfUp(col("__hhi"), 6).as("hhi"),
+      Rounding.halfUp(lit(1.0) / col("__hhi"), 6).as("effective_sources"),
+      col("top_source"), Rounding.halfUp(col("__ts"), 6).as("top_share"))
+  }
 }

@@ -106,6 +106,25 @@ class ClassifySpec extends SparkSpec {
     assert(got.size == 2)
   }
 
+  test("confusionReport counts and rates on a hand matrix") {
+    // tp=2 fp=1 fn=1 tn=2 → acc 4/6, prec 2/3, rec 2/3, f1 2/3
+    val d = Seq(
+      (1L, 1.0, 1), (2L, 2.0, 1), (3L, -1.0, 1),
+      (4L, 3.0, 0), (5L, -2.0, 0), (6L, -0.5, 0))
+      .toDF("id", "s", "y")
+    val r = Classify.confusionReport(d, "s", "y").collect().head
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 1L, 1L, 2L)))
+    assert(r.getDouble(4) == r6(4.0 / 6))
+    assert(r.getDouble(5) == r6(2.0 / 3) && r.getDouble(6) == r6(2.0 / 3))
+    assert(r.getDouble(7) == r6(2.0 / 3))
+    // degenerate: nothing predicted positive → precision/f1 null
+    val allNeg = Seq((1L, -1.0, 1), (2L, -1.0, 0)).toDF("id", "s", "y")
+    val n = Classify.confusionReport(allNeg, "s", "y").collect().head
+    assert(n.isNullAt(5) && n.isNullAt(7))
+  }
+
   test("fit rejects single-class input") {
     intercept[IllegalArgumentException] {
       Classify.fitNaiveBayes(labeled.filter(col("y") === 1), "text",

@@ -122,4 +122,25 @@ class MixingSpec extends SparkSpec {
     assert(again == out.select("id", "epoch").collect()
       .map(r => (r.getLong(0), r.getInt(1))).toSet)
   }
+
+  test("concentrationReport: HHI, effective sources, and the top source") {
+    import spark.implicits._
+    // token shares: a = 6/12, b = 3/12, c = 3/12 →
+    // HHI = 0.25 + 0.0625 + 0.0625 = 0.375; effective = 8/3
+    val d = Seq(
+      (1L, "w w w w w w", "a"),
+      (2L, "w w w", "b"),
+      (3L, "w w w", "c")).toDF("id", "text", "src")
+    val r = graft.pipeline.Mixing.concentrationReport(d, "text", "src")
+      .collect().head
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(r.getLong(0) == 3L)
+    assert(r.getDouble(1) == 0.375)
+    assert(r.getDouble(2) == r6(1.0 / 0.375))
+    assert(r.getString(3) == "a" && r.getDouble(4) == 0.5)
+    // exact share tie breaks by source name
+    val tie = Seq((1L, "w w", "zz"), (2L, "w w", "aa")).toDF("id", "text", "src")
+    assert(graft.pipeline.Mixing.concentrationReport(tie, "text", "src")
+      .collect().head.getString(3) == "aa")
+  }
 }
