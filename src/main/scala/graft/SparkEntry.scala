@@ -1634,6 +1634,22 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // multi-granularity rollup: doc counts at (lang, source), per-lang
+    // subtotals, and the grand total in ONE pass (grouping-sets
+    // partial-aggregate expansion)
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "documents").rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).alias("n_docs"),
+          grouping_id(col("lang"), col("source")).alias("gid"))
+        .orderBy(col("gid"), col("lang").asc_nulls_last,
+          col("source").asc_nulls_last)),
+
+    // Pareto coverage: sources ranked by token volume, cumulative
+    // share, and the minimal-80%-head flag (bounded source table)
+    "q_pareto" -> ((s, dir) =>
+      pipeline.Mixing.paretoReport(t(s, dir, "documents"), "text", "source")
+        .orderBy("rank")),
+
     // mixture concentration: HHI over token shares + effective source
     // count + top source — the "is this mix diverse" one-liner
     "q_hhi" -> ((s, dir) =>
@@ -4397,6 +4413,26 @@ object SparkEntry {
            floor(least(1.0, 20000.0 * (pa / qsum) / n_tokens::DOUBLE)
                  * 1e6 + 0.5) / 1e6 AS keep_rate
          FROM pa, qs ORDER BY source""",
+    "q_rollup" ->
+      """SELECT lang, source, count(*)::BIGINT AS n_docs,
+           GROUPING(lang, source)::INT AS gid
+         FROM documents GROUP BY ROLLUP(lang, source)
+         ORDER BY gid, lang NULLS LAST, source NULLS LAST""",
+    "q_pareto" ->
+      """WITH per AS (SELECT source,
+             sum(len(string_split(trim(text), ' ')))::BIGINT AS n_tokens
+           FROM documents GROUP BY source),
+         tot AS (SELECT sum(n_tokens)::DOUBLE AS t FROM per),
+         r AS (SELECT source, n_tokens, n_tokens::DOUBLE / tot.t AS share,
+                 row_number() OVER (ORDER BY n_tokens DESC, source) AS rank,
+                 sum(n_tokens::DOUBLE / tot.t) OVER
+                   (ORDER BY n_tokens DESC, source
+                    ROWS UNBOUNDED PRECEDING) AS cum
+               FROM per, tot)
+         SELECT source, n_tokens, rank,
+           floor(cum * 1e6 + 0.5) / 1e6 AS cum_share,
+           (cum - share < 0.8) AS in_head_80
+         FROM r ORDER BY rank""",
     "q_hhi" ->
       """WITH per AS (SELECT source,
              sum(len(string_split(trim(text), ' ')))::BIGINT AS n_tokens

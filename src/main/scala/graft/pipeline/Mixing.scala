@@ -178,6 +178,29 @@ object Mixing {
         substring(md5(col(idCol).cast("string")), 1, 8) < fracThreshold)
   }
 
+  /** Pareto coverage of the source mix: sources ranked by token volume
+    * with cumulative share and the 80%-head flag (`in_head_80` — the
+    * cumulative share BEFORE this source is < 0.8, i.e. the minimal
+    * prefix that covers 80% of tokens). The concentration detail view
+    * behind [[concentrationReport]]'s single number. Windows over the
+    * SOURCE table — bounded by source cardinality, never the corpus;
+    * the cumulative sum accumulates in rank order on both the engine
+    * and any SQL replay, so the rounded shares are portable. */
+  def paretoReport(df: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = sourceStats(df, textCol, sourceCol)
+    val tot = stats.agg(sum(col("n_tokens")).cast("double").as("__t"))
+    val w = Window.orderBy(col("n_tokens").desc, col(sourceCol).asc)
+    stats.crossJoin(broadcast(tot))
+      .withColumn("__share", col("n_tokens").cast("double") / col("__t"))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("__cum", sum(col("__share")).over(w))
+      .select(col(sourceCol), col("n_tokens"), col("rank"),
+        Rounding.halfUp(col("__cum"), 6).as("cum_share"),
+        (col("__cum") - col("__share") < 0.8).as("in_head_80"))
+  }
+
   /** Mixture-concentration health of a corpus: the Herfindahl–Hirschman
     * index over token shares (HHI = Σ share², 1/n = perfectly even,
     * 1 = one source is everything), the effective source count 1/HHI,

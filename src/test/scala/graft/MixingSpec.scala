@@ -123,6 +123,21 @@ class MixingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1))).toSet)
   }
 
+  test("paretoReport: rank order, cumulative shares, 80-percent head") {
+    import spark.implicits._
+    // tokens: a=8, b=6, c=4, d=2 (total 20) → cum 0.4, 0.7, 0.9, 1.0;
+    // head-80 = {a, b, c} (cumulative before c is 0.7 < 0.8; before d 0.9)
+    val d = Seq(
+      (1L, "w w w w w w w w", "a"), (2L, "w w w w w w", "b"),
+      (3L, "w w w w", "c"), (4L, "w w", "d")).toDF("id", "text", "src")
+    val got = graft.pipeline.Mixing.paretoReport(d, "text", "src")
+      .orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getInt(2), r.getDouble(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      ("a", 1, 0.4, true), ("b", 2, 0.7, true),
+      ("c", 3, 0.9, true), ("d", 4, 1.0, false)))
+  }
+
   test("concentrationReport: HHI, effective sources, and the top source") {
     import spark.implicits._
     // token shares: a = 6/12, b = 3/12, c = 3/12 →
