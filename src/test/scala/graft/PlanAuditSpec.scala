@@ -137,4 +137,47 @@ class PlanAuditSpec extends SparkSpec {
     // reference (AQE reuses at runtime), so bound loosely.
     assert(exchanges(p) <= 4, s"unexpected exchange shape:\n$p")
   }
+
+  test("q_tfidf_pairs: equi-joins only, never a cartesian/nested-loop pair join") {
+    val p = plan("q_tfidf_pairs")
+    assert(!p.contains("CartesianProduct"), s"cartesian pair join:\n$p")
+    // nested loops carry ONLY the broadcast 1-row doc count — the
+    // static plan re-counts it once per shared-lineage branch (4 between
+    // both join sides' weight subtrees; AQE reuses at runtime)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 4, p)
+  }
+
+  test("q_hardneg: corpus side joins the broadcast probes without an exchange") {
+    val p = plan("q_hardneg").split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"), s"probes not broadcast:\n$p")
+    // the only hash exchange keys candidates by q_id for the rank window
+    assert(p.contains("hashpartitioning(q_id"), p)
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for the join:\n$p")
+  }
+
+  test("q_nb_quality scoring scan is shuffle- and join-free after the fit") {
+    // the fit runs driver-side before the plan exists; the returned
+    // SCORING plan must be a bare projection over the parquet scan
+    val p = plan("q_nb_quality")
+    assert(!p.contains("Join"), s"scoring joins:\n$p")
+    assert(exchanges(p) == 0, s"scoring shuffles:\n$p")
+  }
+
+  test("q_winsor and q_mad broadcast their cut tables (no corpus sort)") {
+    Seq("q_winsor", "q_mad").foreach { q =>
+      val p = plan(q).split("== Initial Plan ==").head
+      assert(p.contains("BroadcastHashJoin"), s"$q cuts not broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q corpus shuffled:\n$p")
+    }
+  }
+
+  test("q_markov and q_ewma run on a single key exchange") {
+    Seq("q_markov" -> 3, "q_ewma" -> 1).foreach { case (q, bound) =>
+      val p = plan(q)
+      // markov: ONE event-stream exchange (the lag window); the other
+      // two key the bounded states² table (transition agg + normalizer
+      // window). ewma: the key window only.
+      assert(exchanges(p) <= bound, s"$q exchange shape:\n$p")
+    }
+  }
 }
