@@ -1709,6 +1709,23 @@ object SparkEntry {
         "embedding")
         .orderBy("slice_a", "slice_b")),
 
+    // candidate-key audit: is (doc_id) actually unique, and is the
+    // (user_id, ts, event_id) event key intact after ingest
+    "q_keyuniq" -> ((s, dir) =>
+      pipeline.Profiling.keyUniqueness(t(s, dir, "documents"),
+        Seq("doc_id"))
+        .unionByName(pipeline.Profiling.keyUniqueness(
+          t(s, dir, "events"), Seq("event_id")))
+        .orderBy("n_rows")),
+
+    // within-language length percentile per document (percent_rank,
+    // ties share) — the filter-by-relative-position annotation
+    "q_pctrank" -> ((s, dir) =>
+      pipeline.Profiling.percentileRankBy(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          col("n_chars")), "n_chars", "lang")
+        .orderBy("doc_id")),
+
     // k-anonymity audit on (lang, source) quasi-identifiers: population
     // per combination + re-identification risk flag at k=5
     "q_kanon" -> ((s, dir) =>
@@ -4694,6 +4711,24 @@ object SparkEntry {
          SELECT slice_a, slice_b,
            floor(dt / (na * nb) * 1e6 + 0.5) / 1e6 AS cosine
          FROM p ORDER BY slice_a, slice_b""",
+    "q_keyuniq" ->
+      """SELECT * FROM (
+           SELECT count(*)::BIGINT AS n_rows,
+             count(DISTINCT doc_id)::BIGINT AS n_distinct,
+             (count(*) - count(DISTINCT doc_id))::BIGINT AS n_dup_rows,
+             (count(*) = count(DISTINCT doc_id)) AS is_unique
+           FROM documents
+           UNION ALL
+           SELECT count(*)::BIGINT, count(DISTINCT event_id)::BIGINT,
+             (count(*) - count(DISTINCT event_id))::BIGINT,
+             (count(*) = count(DISTINCT event_id))
+           FROM events)
+         ORDER BY n_rows""",
+    "q_pctrank" ->
+      """SELECT doc_id, lang, n_chars,
+           floor(percent_rank() OVER (PARTITION BY lang ORDER BY n_chars)
+             * 1e6 + 0.5) / 1e6 AS pct_rank
+         FROM documents ORDER BY doc_id""",
     "q_kanon" ->
       """SELECT lang, source, count(*)::BIGINT AS cnt,
            (count(*) < 5) AS at_risk

@@ -274,6 +274,34 @@ object Profiling {
         .as("df"))
   }
 
+  /** Candidate-key audit: row count, distinct count of the key tuple,
+    * duplicate-key count, and the verdict — the ingest gate that
+    * catches a re-crawled id space or a join that silently fanned out.
+    * One count-distinct aggregate (exact — at unbounded scale swap the
+    * distinct for [[distinctSketches]] and accept the HLL bound). */
+  def keyUniqueness(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    df.agg(count(lit(1)).as("n_rows"),
+      countDistinct(keyCols.head, keyCols.tail: _*).as("n_distinct"))
+      .select(col("n_rows"), col("n_distinct"),
+        (col("n_rows") - col("n_distinct")).as("n_dup_rows"),
+        (col("n_rows") === col("n_distinct")).as("is_unique"))
+  }
+
+  /** Percentile-rank annotation within a group: SQL `percent_rank`
+    * ((rank−1)/(n−1), ties share a rank) of `valCol` inside each
+    * `byCol` partition — "this doc is longer than 93% of its language".
+    * The filter-by-relative-position primitive (drop the top 1% per
+    * source, keep the middle half). Windows by the group key — the
+    * exact-rank trade documented on [[graft.pipeline.LangModel.perplexityBuckets]];
+    * single-member groups rank 0.0 by definition. */
+  def percentileRankBy(df: DataFrame, valCol: String, byCol: String,
+      outCol: String = "pct_rank"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(byCol)).orderBy(col(valCol).asc)
+    df.withColumn(outCol, Rounding.halfUp(percent_rank().over(w), 6))
+  }
+
   /** k-anonymity audit over quasi-identifier columns (Sweeney 2002):
     * one row per quasi-identifier combination with its population and an
     * `at_risk` flag (fewer than `k` rows share the combination — those

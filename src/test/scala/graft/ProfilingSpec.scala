@@ -434,6 +434,33 @@ class ProfilingSpec extends SparkSpec {
     assert(got.map(_._2).sum == 1.0 && got.map(_._3).sum == 1.0)
   }
 
+  test("keyUniqueness verdicts on unique and duplicated keys") {
+    import spark.implicits._
+    val uniq = Seq(1L, 2L, 3L).toDF("k")
+    val u = Profiling.keyUniqueness(uniq, Seq("k")).collect().head
+    assert((u.getLong(0), u.getLong(1), u.getLong(2), u.getBoolean(3)) ==
+      ((3L, 3L, 0L, true)))
+    val dup = Seq(1L, 2L, 2L, 3L, 3L).toDF("k")
+    val d = Profiling.keyUniqueness(dup, Seq("k")).collect().head
+    assert((d.getLong(0), d.getLong(1), d.getLong(2), d.getBoolean(3)) ==
+      ((5L, 3L, 2L, false)))
+  }
+
+  test("percentileRankBy: ties share, per-group, singleton ranks zero") {
+    import spark.implicits._
+    val d = Seq(("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 5.0), ("b", 9.0))
+      .toDF("g", "v")
+    val got = Profiling.percentileRankBy(d, "v", "g")
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    // group a (n=4): ranks 1,2,2,4 → pr 0, 1/3, 1/3, 1
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(got(("a", 1.0)) == 0.0)
+    assert(got(("a", 2.0)) == r6(1.0 / 3))
+    assert(got(("a", 5.0)) == 1.0)
+    assert(got(("b", 9.0)) == 0.0)
+  }
+
   test("autoHistogram: FD bins on a hand fixture; point mass collapses") {
     import spark.implicits._
     val d = (1 to 8).map(i => Tuple1(i.toDouble)).toDF("v")
