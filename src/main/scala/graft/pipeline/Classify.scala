@@ -171,6 +171,34 @@ object Classify {
     LinearTextModel(w, b, buckets)
   }
 
+  /** Persist a fitted model: the production cadence is fit-once on the
+    * curated sample, score every nightly corpus batch — the artifact
+    * must outlive the session (the KMeans/PQ-codebook pattern). Weights
+    * store as (bucket, weight) rows, bias/buckets in a 1-row meta
+    * table. */
+  def writeModel(model: LinearTextModel, path: String,
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    model.weights.zipWithIndex.map { case (w, i) => (i, w) }.toSeq
+      .toDF("bucket", "weight")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/weights")
+    Seq((model.bias, model.buckets)).toDF("bias", "buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Reload a persisted model — bucket order restored from the stored
+    * index, so scores from a reloaded model are bit-identical to the
+    * fitting session's. O(buckets) driver state, same as fitting. */
+  def readModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): LinearTextModel = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val buckets = meta.getInt(1)
+    val w = Array.fill(buckets)(0.0)
+    spark.read.parquet(s"$path/weights").collect()
+      .foreach(r => w(r.getInt(0)) = r.getDouble(1))
+    LinearTextModel(w, meta.getDouble(0), buckets)
+  }
+
   /** Score every document under a fitted model — ONE shuffle-free corpus
     * scan through the `graft_dsir_score` kernel. Output: (`idCol`,
     * `n_feats`, `score` = bias + Σ weights[bucket], half-up 6,

@@ -125,6 +125,25 @@ class ClassifySpec extends SparkSpec {
     assert(n.isNullAt(5) && n.isNullAt(7))
   }
 
+  test("model persistence roundtrip scores bit-identically") {
+    val m = Classify.fitNaiveBayes(labeled, "text", "doc_id", "y",
+      buckets = 2048, alpha = 0.5)
+    val dir = java.nio.file.Files.createTempDirectory("graft_nb").toString
+    try {
+      Classify.writeModel(m, dir, spark)
+      val m2 = Classify.readModel(spark, dir)
+      assert(m2.buckets == m.buckets && m2.bias == m.bias)
+      assert(m2.weights.sameElements(m.weights))
+      val a = Classify.score(heldOut, "text", "doc_id", m)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+      val b = Classify.score(heldOut, "text", "doc_id", m2)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+      assert(a == b)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("fit rejects single-class input") {
     intercept[IllegalArgumentException] {
       Classify.fitNaiveBayes(labeled.filter(col("y") === 1), "text",
