@@ -424,4 +424,78 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: ewma stays within each row's trailing-window value range") {
+    import spark.implicits._
+    val seriesGen = for {
+      n <- Gen.choose(2, 20)
+      vs <- Gen.listOfN(n, Gen.choose(-100.0, 100.0))
+    } yield vs
+    samples(seriesGen, 8).foreach { vs =>
+      val k = 4
+      val df = vs.zipWithIndex
+        .map { case (v, i) => (1L, i.toLong * 100, i.toLong, v) }
+        .toDF("k", "ts", "tie", "v")
+      val got = Temporal.ewma(df, "k", "ts", "tie", "v", alpha = 0.5, k = k)
+        .orderBy("tie").select("ewma").collect().map(_.getDouble(0))
+      got.zipWithIndex.foreach { case (e, i) =>
+        val window = vs.slice(math.max(0, i - k + 1), i + 1)
+        assert(e >= window.min - 1e-6 && e <= window.max + 1e-6,
+          s"ewma $e outside window [${window.min}, ${window.max}] at $i")
+      }
+    }
+  }
+
+  test("property: transition probabilities sum to 1 per prev_state") {
+    import spark.implicits._
+    val evGen = for {
+      n <- Gen.choose(4, 40)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 4L); t <- Gen.choose(0L, 1000L)
+        e <- Gen.oneOf("a", "b", "c")
+      } yield (u, t, e))
+    } yield rows.zipWithIndex.map { case ((u, t, e), i) => (u, t, i.toLong, e) }
+    samples(evGen, 6).foreach { rows =>
+      val tm = Temporal.transitionMatrix(
+        rows.toDF("user_id", "ts", "event_id", "event_type"),
+        "user_id", "ts", "event_id", "event_type")
+      val sums = tm.groupBy("prev_state")
+        .agg(org.apache.spark.sql.functions.sum("prob").as("s"))
+        .collect().map(_.getDouble(1))
+      sums.foreach(s => assert(math.abs(s - 1.0) < 1e-4, s"row sum $s"))
+    }
+  }
+
+  test("property: shuffleShards always balances to within one row") {
+    import spark.implicits._
+    val genN = Gen.choose(1, 200)
+    samples(genN, 6).foreach { n =>
+      val shards = 1 + (n % 7)
+      val sizes = graft.pipeline.Sampling.shuffleShards(
+        (1L to n.toLong).map(Tuple1(_)).toDF("id"), "id", shards)
+        .groupBy("shard").count().collect().map(_.getLong(1))
+      assert(sizes.sum == n.toLong)
+      assert(sizes.max - sizes.min <= 1, s"n=$n shards=$shards ${sizes.toSeq}")
+    }
+  }
+
+  test("property: winsorizeBy output is always inside [lo, hi] and order-preserving") {
+    import spark.implicits._
+    val g = for {
+      n <- Gen.choose(3, 30)
+      vs <- Gen.listOfN(n, Gen.choose(-1e6, 1e6))
+    } yield vs
+    samples(g, 6).foreach { vs =>
+      val df = vs.map(("g", _)).toDF("grp", "v")
+      val out = graft.pipeline.Profiling.winsorizeBy(df, "v", "grp")
+        .select("v", "lo", "hi", "clipped").collect()
+      out.foreach { r =>
+        val (lo, hi, c) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+        assert(c >= lo - 1e-6 && c <= hi + 1e-6, s"clip $c outside [$lo,$hi]")
+      }
+      // clipping is monotone: sorting by v then by clipped agree
+      val byV = out.sortBy(_.getDouble(0)).map(_.getDouble(3)).toSeq
+      assert(byV == byV.sorted, "clip broke monotonicity")
+    }
+  }
 }
