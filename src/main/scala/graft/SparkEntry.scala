@@ -1405,6 +1405,19 @@ object SparkEntry {
       pipeline.Search.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
         Seq("spark", "hash", "merge"), k = 50)),
 
+    // persisted inverted index lifecycle: build the bucket-partitioned
+    // postings store, then serve the q_bm25 query from it — results
+    // must be BIT-IDENTICAL to scoring raw text (same oracle)
+    "q_search_idx" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_tidx").toString
+      pipeline.Search.buildTextIndex(docs, "text", "doc_id", path,
+        buckets = 16)
+      pipeline.Search.probeTextIndex(s, path,
+        Seq("spark", "hash", "merge"), k = 50)
+    }),
+
     // hybrid ranking: RRF-fuse the BM25 top-50 with the quality-prior
     // (lm_score) top-50 — rank-only combination of incomparable scores;
     // everything after retrieval runs on bounded top-k lists
@@ -3885,6 +3898,34 @@ object SparkEntry {
                    ORDER BY weight DESC, term) AS rk FROM w)
          SELECT doc_id, term, weight, rk FROM r WHERE rk <= 3
          ORDER BY doc_id, rk""",
+    // identical scoring contract as q_bm25 - same replay
+    "q_search_idx" ->
+      """WITH d AS (SELECT doc_id,
+             string_split(lower(trim(text)), ' ') AS tk FROM documents),
+         base AS (SELECT doc_id, tk, len(tk)::BIGINT AS dl FROM d),
+         st AS (SELECT count(*)::DOUBLE AS n,
+             sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl,
+             sum(CASE WHEN list_contains(tk, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df0,
+             sum(CASE WHEN list_contains(tk, 'hash') THEN 1 ELSE 0 END)::DOUBLE AS df1,
+             sum(CASE WHEN list_contains(tk, 'merge') THEN 1 ELSE 0 END)::DOUBLE AS df2
+           FROM base),
+         sc AS (SELECT doc_id,
+             ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+               * len(list_filter(tk, x -> x = 'spark'))::DOUBLE * 2.2
+               / (len(list_filter(tk, x -> x = 'spark'))::DOUBLE
+                  + 1.2 * (0.25 + 0.75 * dl::DOUBLE / avgdl))
+             + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+               * len(list_filter(tk, x -> x = 'hash'))::DOUBLE * 2.2
+               / (len(list_filter(tk, x -> x = 'hash'))::DOUBLE
+                  + 1.2 * (0.25 + 0.75 * dl::DOUBLE / avgdl))
+             + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+               * len(list_filter(tk, x -> x = 'merge'))::DOUBLE * 2.2
+               / (len(list_filter(tk, x -> x = 'merge'))::DOUBLE
+                  + 1.2 * (0.25 + 0.75 * dl::DOUBLE / avgdl)) AS raw
+           FROM base, st)
+         SELECT doc_id, floor(raw * 1e6 + 0.5) / 1e6 AS score FROM sc
+         WHERE floor(raw * 1e6 + 0.5) / 1e6 > 0
+         ORDER BY score DESC, doc_id LIMIT 50""",
     "q_bm25" ->
       """WITH d AS (SELECT doc_id,
              string_split(lower(trim(text)), ' ') AS tk FROM documents),

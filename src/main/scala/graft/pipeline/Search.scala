@@ -78,6 +78,94 @@ object Search {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
 
+  /** md5-prefix bucket of a term — deterministic across sessions, so a
+    * probe can compute which partitions hold its terms without reading
+    * anything. */
+  private def termBucket(t: String, buckets: Int): Int =
+    (java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(t).substring(0, 8),
+      16) % buckets).toInt
+
+  private def termBucketCol(c: Column, buckets: Int): Column =
+    (conv(substring(md5(c), 1, 8), 16, 10).cast("long") % buckets).cast("int")
+
+  /** Build a PERSISTED inverted text index: postings (doc, dl, term,
+    * tf) and the per-term document frequencies, both written
+    * partitioned by a term-hash bucket, plus a 1-row corpus-stats
+    * table — the text sibling of the IVF cell-partitioned vector store
+    * ([[Clustering]]): build once over the 100 TB corpus, then serve
+    * every query from the few bucket partitions its terms hash to
+    * (file-level partition pruning; no corpus rescans, ever). Postings
+    * are one explode + (doc, term) hash aggregate — the same shape as
+    * every n-gram count in this library. */
+  def buildTextIndex(df: DataFrame, textCol: String, idCol: String,
+      path: String, buckets: Int = 64): Unit = {
+    require(buckets > 0, "buckets must be positive")
+    val toks = df.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(lower(col(textCol))).as("__tk"))
+      .withColumn("dl", size(col("__tk")).cast("long"))
+    val postings = toks
+      .select(col("doc_id"), col("dl"), explode(col("__tk")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bkt", termBucketCol(col("term"), buckets))
+    postings.write.partitionBy("bkt").mode("overwrite")
+      .parquet(s"$path/postings")
+    postings.groupBy(col("term"), col("bkt"))
+      .agg(count(lit(1)).as("df"))
+      .write.partitionBy("bkt").mode("overwrite").parquet(s"$path/df")
+    toks.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"),
+        lit(buckets).as("buckets"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Serve a BM25 query from a [[buildTextIndex]] store. Reads ONLY the
+    * bucket partitions the query's terms hash to (plan-asserted
+    * PartitionFilters) — probe cost scales with posting-list sizes, not
+    * the corpus. Per-term tf columns pivot out of the postings and the
+    * scoring arithmetic replays [[bm25ScoreAll]]'s pinned left-to-right
+    * evaluation in query-term order with the SAME corpus statistics —
+    * scores are bit-identical to scoring from raw text (spec-pinned),
+    * so the index is a pure serving layout, not an approximation.
+    * Output: (`idCol`, `score`), top `k`, score-desc with id
+    * tie-break. */
+  def probeTextIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, query: Seq[String], k: Int,
+      idCol: String = "doc_id", k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "query must contain at least one term")
+    val st = spark.read.parquet(s"$path/stats").head()
+    val nD = st.getAs[Long]("n_docs").toDouble
+    val avgdl = st.getAs[Long]("sum_dl").toDouble / nD
+    val nBkt = st.getAs[Int]("buckets")
+    val terms = query.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+    val bkts = terms.map(termBucket(_, nBkt)).distinct
+    val posts = spark.read.parquet(s"$path/postings")
+      .filter(col("bkt").isin(bkts: _*) && col("term").isin(terms: _*))
+    val dfts = spark.read.parquet(s"$path/df")
+      .filter(col("bkt").isin(bkts: _*) && col("term").isin(terms: _*))
+      .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("df"))
+      .toMap
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("tf"))).as(s"__tf$i")
+    }
+    val pivoted = posts.groupBy(col("doc_id"), col("dl"))
+      .agg(tfCols.head, tfCols.tail: _*)
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val tf = coalesce(col(s"__tf$i"), lit(0L)).cast("double")
+      val dft = dfts.getOrElse(t, 0L).toDouble
+      val idf = math.log(1.0 + (nD - dft + 0.5) / (dft + 0.5))
+      lit(idf) * tf * (k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("dl").cast("double") / lit(avgdl)))
+    }.reduce(_ + _)
+    pivoted.select(col("doc_id").as(idCol),
+        Rounding.halfUp(score, 6).as("score"))
+      .filter(col("score") > 0.0)
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
     * merge any number of top-k rankings into one by
     * `rrf(d) = Σ_lists 1/(c + rank_list(d))` — THE standard hybrid-search

@@ -79,6 +79,26 @@ class SearchSpec extends SparkSpec {
     assert(!plan.contains("hashpartitioning(id"), plan)
   }
 
+  test("text index probe is bit-identical to raw-text BM25 and prunes partitions") {
+    val d = sf("documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_tidx").toString
+    try {
+      Search.buildTextIndex(d, "text", "doc_id", dir, buckets = 16)
+      val q = Seq("spark", "hash", "merge")
+      val fromIdx = Search.probeTextIndex(spark, dir, q, k = 50)
+      val fromText = Search.bm25TopK(d, "text", "doc_id", q, k = 50)
+      val a = fromIdx.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val b = fromText.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(a == b, s"index diverges from raw scoring:\n$a\nvs\n$b")
+      // the postings scan must push the bucket filter to PARTITION level
+      val plan = fromIdx.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [") &&
+        plan.contains("bkt"), s"no partition pruning:\n$plan")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("rrfFuse combines ranks; shared docs beat single-list leaders") {
     import spark.implicits._
     // doc 5 is rank 2 in BOTH lists → rrf 2/62 > doc 1's 1/61 (rank 1 in
