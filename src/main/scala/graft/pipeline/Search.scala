@@ -119,6 +119,43 @@ object Search {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
 
+  /** Append a document batch to a standing [[buildTextIndex]] store —
+    * the nightly-ingest path: cost ∝ the BATCH (its postings/df rows
+    * append into the same bucket partitions; the 1-row stats table is
+    * the only rewrite). df rows are ADDITIVE by design — the probe sums
+    * them per term, so a term's document frequency is correct across
+    * any number of appended batches without ever compacting. Batch doc
+    * ids must be disjoint from the store's (same contract as
+    * [[Clustering.appendIvfPartitioned]]). */
+  def appendTextIndex(df: DataFrame, textCol: String, idCol: String,
+      path: String): Unit = {
+    val spark = df.sparkSession
+    val st = spark.read.parquet(s"$path/stats").head()
+    val buckets = st.getAs[Int]("buckets")
+    val toks = df.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(lower(col(textCol))).as("__tk"))
+      .withColumn("dl", size(col("__tk")).cast("long"))
+    val postings = toks
+      .select(col("doc_id"), col("dl"), explode(col("__tk")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bkt", termBucketCol(col("term"), buckets))
+    postings.write.partitionBy("bkt").mode("append")
+      .parquet(s"$path/postings")
+    postings.groupBy(col("term"), col("bkt"))
+      .agg(count(lit(1)).as("df"))
+      .write.partitionBy("bkt").mode("append").parquet(s"$path/df")
+    val batch = toks.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
+      .head()
+    val statsOut = s"$path/stats"
+    spark.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row(
+        st.getAs[Long]("n_docs") + batch.getLong(0),
+        st.getAs[Long]("sum_dl") + batch.getLong(1), buckets)),
+      spark.read.parquet(statsOut).schema)
+      .coalesce(1).write.mode("overwrite").parquet(statsOut)
+  }
+
   /** Serve a BM25 query from a [[buildTextIndex]] store. Reads ONLY the
     * bucket partitions the query's terms hash to (plan-asserted
     * PartitionFilters) — probe cost scales with posting-list sizes, not
@@ -142,8 +179,10 @@ object Search {
     val bkts = terms.map(termBucket(_, nBkt)).distinct
     val posts = spark.read.parquet(s"$path/postings")
       .filter(col("bkt").isin(bkts: _*) && col("term").isin(terms: _*))
+    // SUM per term: df rows are additive across appended batches
     val dfts = spark.read.parquet(s"$path/df")
       .filter(col("bkt").isin(bkts: _*) && col("term").isin(terms: _*))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
       .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("df"))
       .toMap
     val tfCols = terms.zipWithIndex.map { case (t, i) =>

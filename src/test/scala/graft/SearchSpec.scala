@@ -99,6 +99,29 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("appended index serves identically to a fresh full build") {
+    import org.apache.spark.sql.functions.col
+    val d = sf("documents")
+    val dirA = java.nio.file.Files.createTempDirectory("graft_tidxA").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_tidxB").toString
+    try {
+      Search.buildTextIndex(d, "text", "doc_id", dirA, buckets = 16)
+      Search.buildTextIndex(d.filter(col("doc_id") % 2 === 0),
+        "text", "doc_id", dirB, buckets = 16)
+      Search.appendTextIndex(d.filter(col("doc_id") % 2 =!= 0),
+        "text", "doc_id", dirB)
+      val q = Seq("spark", "hash", "merge")
+      val full = Search.probeTextIndex(spark, dirA, q, k = 50)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val appended = Search.probeTextIndex(spark, dirB, q, k = 50)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(appended == full, s"append diverges:\n$appended\nvs\n$full")
+    } finally {
+      Seq(dirA, dirB).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+    }
+  }
+
   test("rrfFuse combines ranks; shared docs beat single-list leaders") {
     import spark.implicits._
     // doc 5 is rank 2 in BOTH lists → rrf 2/62 > doc 1's 1/61 (rank 1 in
