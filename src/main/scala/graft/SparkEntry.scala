@@ -235,6 +235,35 @@ object SparkEntry {
       gap = 2L * 3600 * 1000000000L, minSupport = 0.01)
       .orderBy("ante", "cons")),
 
+    // day-of-week seasonal baseline per event type (epoch-day dow —
+    // engine-neutral, no timezone-dependent dayofweek())
+    "q_seasonal" -> ((s, dir) => pipeline.Temporal.seasonalProfile(
+      t(s, dir, "events"), "event_type", "ts", "value")
+      .orderBy("event_type", "dow")),
+
+    // conversion latency: click → most recent prior view (as-of), then
+    // one-row latency quantiles — composition of certified parts
+    "q_latency" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val j = pipeline.Temporal.asofJoin(
+        ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts"),
+        ev.filter(col("event_type") === "view")
+          .select("event_id", "user_id", "ts"),
+        "user_id", "ts", "event_id", payload = Seq("ts"))
+        .filter(col("asof_ts").isNotNull)
+      val lat = ((pipeline.Temporal.epochNanos(j, "ts") -
+        pipeline.Temporal.epochNanos(j, "asof_ts")).cast("double") / 1e9)
+      j.select(lat.as("__lat"))
+        .agg(count(lit(1)).alias("n"),
+          pipeline.Rounding.halfUp(percentile(col("__lat"), lit(0.5)), 6)
+            .alias("p50"),
+          pipeline.Rounding.halfUp(percentile(col("__lat"), lit(0.9)), 6)
+            .alias("p90"),
+          pipeline.Rounding.halfUp(percentile(col("__lat"), lit(0.99)), 6)
+            .alias("p99"))
+    }),
+
     // Welch's t between click and view event values: one corpus pass,
     // statistic + Welch-Satterthwaite df as column arithmetic
     "q_welch" -> ((s, dir) => pipeline.Profiling.welchT(
@@ -2500,6 +2529,27 @@ object SparkEntry {
                  JOIN single sc ON pc.cons = sc.event_type, tot
          WHERE pc.c2::DOUBLE / tot.n >= 0.01
          ORDER BY ante, cons""",
+    "q_seasonal" ->
+      """WITH d AS (SELECT event_type, value,
+             ((epoch_ns(ts) // 86400000000000 + 3) % 7)::INT AS dow
+           FROM events)
+         SELECT event_type, dow, count(*)::BIGINT AS n,
+           floor(avg(value) * 1e6 + 0.5) / 1e6 AS mean,
+           floor(stddev_pop(value) * 1e6 + 0.5) / 1e6 AS sd
+         FROM d GROUP BY event_type, dow ORDER BY event_type, dow""",
+    "q_latency" ->
+      """WITH j AS (
+           SELECT e.ts AS lts, v.ts AS rts
+           FROM (SELECT * FROM events WHERE event_type = 'click') e
+           ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+             ON e.user_id = v.user_id AND e.ts >= v.ts),
+         l AS (SELECT (epoch_ns(lts) - epoch_ns(rts))::DOUBLE / 1e9 AS lat
+               FROM j)
+         SELECT count(*)::BIGINT AS n,
+           floor(quantile_cont(lat, 0.5) * 1e6 + 0.5) / 1e6 AS p50,
+           floor(quantile_cont(lat, 0.9) * 1e6 + 0.5) / 1e6 AS p90,
+           floor(quantile_cont(lat, 0.99) * 1e6 + 0.5) / 1e6 AS p99
+         FROM l""",
     "q_welch" ->
       """WITH s AS (SELECT
              count(CASE WHEN event_type = 'click' THEN 1 END)::BIGINT AS n_a,

@@ -420,6 +420,26 @@ object Temporal {
           (col("__cc").cast("double") / col("__n")), 6).as("lift"))
   }
 
+  /** Day-of-week seasonal baseline per group: (`groupCol`, `dow`, `n`,
+    * `mean`, `sd`) of `valueCol`, dow 0 = Monday, derived from
+    * epoch-day arithmetic ((day + 3) mod 7 — 1970-01-01 was a
+    * Thursday), NOT an engine day-of-week function: those disagree on
+    * numbering and timezone defaults across engines, epoch math does
+    * not. Subtracting this baseline is the first step of any seasonal
+    * anomaly screen (compose with [[rollingZScore]] for the residual
+    * view). One hash aggregate onto the groups×7 table. */
+  def seasonalProfile(df: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val day = 86400L * 1000000000L
+    val dow = ((floor(epochNanos(df, tsCol) / day).cast("long") + 3) % 7)
+      .cast("int")
+    df.withColumn("__dow", dow)
+      .groupBy(col(groupCol), col("__dow").as("dow"))
+      .agg(count(lit(1)).as("n"),
+        Rounding.halfUp(avg(col(valueCol)), 6).as("mean"),
+        Rounding.halfUp(stddev_pop(col(valueCol)), 6).as("sd"))
+  }
+
   /** Per-key OLS trend: regress `valueCol` on time (in DAYS — epoch
     * nanos overflow the stable range of x² sums and make slopes
     * unreadably tiny) with the one-pass moment aggregates

@@ -531,6 +531,23 @@ class TemporalSpec extends SparkSpec {
     assert(got == Set(("x", "y"), ("y", "z")))
   }
 
+  test("seasonalProfile: epoch-day dow with Monday=0; per-group moments") {
+    import spark.implicits._
+    val day = 86400L * 1000000000L
+    // epoch day 0 = Thursday (dow 3); day 4 = Monday (dow 0)
+    val ev = Seq(
+      ("a", 0L * day + 5, 10.0), ("a", 0L * day + 9, 14.0),
+      ("a", 4L * day + 1, 7.0), ("b", 4L * day + 2, 1.0))
+      .toDF("g", "ts", "v")
+    val got = Temporal.seasonalProfile(ev, "g", "ts", "v")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(("a", 3)) == ((2L, 12.0, 2.0)))
+    assert(got(("a", 0)) == ((1L, 7.0, 0.0)))
+    assert(got(("b", 0)) == ((1L, 1.0, 0.0)))
+    assert(got.size == 3)
+  }
+
   test("basketRules: support/confidence/lift on hand sessions") {
     import spark.implicits._
     // user1 s1 {a,b}; user1 s2 {a} (gap > 100); user2 s1 {a,b,c}
