@@ -281,6 +281,23 @@ object SparkEntry {
       t(s, dir, "events"), "user_id", "ts", windowDays = 7)
       .orderBy("day")),
 
+    // sketch-path DAU/WAU gated against the exact ledger: per-day HLL
+    // sketches unioned over trailing windows must land within 5%
+    // (recall-gate pattern — sketch bits are not SQL-replayable, the
+    // accuracy contract is)
+    "q_dau_sketch" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val approx = pipeline.Temporal.activeUsersSketch(ev, "user_id", "ts", 7)
+      val exact = pipeline.Temporal.activeUsers(ev, "user_id", "ts", 7)
+      approx.join(exact, Seq("day"))
+        .select(col("day"),
+          ((abs(col("dau_approx") - col("dau")).cast("double") /
+            col("dau") <= 0.05) &&
+           (abs(col("wau_approx") - col("wau")).cast("double") /
+            col("wau") <= 0.05)).as("within_tol"))
+        .orderBy("day")
+    }),
+
     // first-order Markov transition matrix of event types along each
     // user's time-ordered stream, row-normalized over prev_state
     "q_markov" -> ((s, dir) => pipeline.Temporal.transitionMatrix(
@@ -2599,6 +2616,13 @@ object SparkEntry {
            dau.dau, wau.wau,
            floor(dau.dau::DOUBLE / wau.wau * 1e6 + 0.5) / 1e6 AS stickiness
          FROM dau JOIN wau ON dau.day = wau.day ORDER BY day""",
+    "q_dau_sketch" ->
+      """WITH du AS (SELECT DISTINCT
+             floor(epoch_ns(ts) / 86400000000000)::BIGINT AS day, user_id
+           FROM events)
+         SELECT strftime(DATE '1970-01-01' + day::INT, '%Y-%m-%d') AS day,
+           CAST(true AS BOOLEAN) AS within_tol
+         FROM (SELECT DISTINCT day FROM du) ORDER BY day""",
     "q_markov" ->
       """WITH t AS (SELECT user_id, event_type, ts, event_id,
              lag(event_type) OVER (PARTITION BY user_id

@@ -420,6 +420,41 @@ object Temporal {
           (col("__cc").cast("double") / col("__n")), 6).as("lift"))
   }
 
+  /** [[activeUsers]]' 100 TB sibling: trailing-window distinct actives
+    * from MERGEABLE per-day HLL sketches instead of exact (day, key)
+    * rows. Sketch each day once (a few KB per day at lgK 12, regardless
+    * of cardinality), then every trailing window is a union of ≤
+    * `windowDays` sketches — the exact path's (day, key) table grows
+    * with active keys; the sketch path's state does not, and persisted
+    * day sketches make tomorrow's window an incremental union instead
+    * of a rescan. Output per day: (`day` ISO, `dau_approx`,
+    * `wau_approx`). Estimates carry HLL's ~1.6%/√(2^lgK·)… relative
+    * error — gate against [[activeUsers]] on a bounded slice rather
+    * than oracle-replaying the sketch bits. */
+  def activeUsersSketch(df: DataFrame, keyCol: String, tsCol: String,
+      windowDays: Int = 7, lgK: Int = 12): DataFrame = {
+    require(windowDays > 0, "windowDays must be positive")
+    val dayNs = 86400L * 1000000000L
+    val daily = df
+      .withColumn("__day", floor(epochNanos(df, tsCol) / dayNs).cast("long"))
+      .groupBy(col("__day"))
+      .agg(hll_sketch_agg(col(keyCol), lit(lgK)).as("__sk"))
+    val dau = daily.select(col("__day"),
+      hll_sketch_estimate(col("__sk")).cast("long").as("dau_approx"))
+    val wau = daily
+      .withColumn("__d2",
+        explode(sequence(col("__day"), col("__day") + (windowDays - 1))))
+      .groupBy(col("__d2").as("__day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("__sk"), lit(false)))
+        .cast("long").as("wau_approx"))
+    dau.join(wau, Seq("__day"))
+      .select(
+        date_format(
+          date_add(to_date(lit("1970-01-01")), col("__day").cast("int")),
+          "yyyy-MM-dd").as("day"),
+        col("dau_approx"), col("wau_approx"))
+  }
+
   /** Day-of-week seasonal baseline per group: (`groupCol`, `dow`, `n`,
     * `mean`, `sd`) of `valueCol`, dow 0 = Monday, derived from
     * epoch-day arithmetic ((day + 3) mod 7 — 1970-01-01 was a

@@ -603,6 +603,19 @@ class TemporalSpec extends SparkSpec {
     assert(got.toSeq == Seq((2L, 2L, 1.0), (1L, 2L, 0.5)))
   }
 
+  test("activeUsersSketch agrees with the exact ledger at small cardinality") {
+    import spark.implicits._
+    val day = 86400L * 1000000000L
+    val ev = (for (d <- 0 until 5; u <- 1 to (d + 3))
+      yield (u.toLong, d.toLong * day + u)).toDF("user_id", "ts")
+    val exact = Temporal.activeUsers(ev, "user_id", "ts", 7)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = Temporal.activeUsersSketch(ev, "user_id", "ts", 7)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // HLL in sparse mode is exact at this cardinality
+    assert(approx == exact)
+  }
+
   test("ewma matches the closed form and renormalizes short prefixes") {
     import spark.implicits._
     val ev = Seq(
