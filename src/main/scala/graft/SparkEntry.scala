@@ -1451,6 +1451,22 @@ object SparkEntry {
       pipeline.Search.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
         Seq("spark", "hash", "merge"), k = 50)),
 
+    // rank-biased overlap of the lexical vs quality-prior top-50 lists
+    // at depth 20: how similar are the two retrievers' heads
+    "q_rbo" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val wB = Window.orderBy(col("score").desc, col("doc_id").asc)
+      val bm = pipeline.Search.bm25TopK(docs, "text", "doc_id",
+        Seq("spark", "hash", "merge"), k = 50)
+        .withColumn("rn", row_number().over(wB))
+      val wQ = Window.orderBy(col("lm_score").desc, col("doc_id").asc)
+      val qual = pipeline.LangModel.scoreDocs(docs, "text", "doc_id")
+        .orderBy(col("lm_score").desc, col("doc_id").asc).limit(50)
+        .withColumn("rn", row_number().over(wQ))
+      pipeline.Search.rankBiasedOverlap(bm, qual, "doc_id", p = 0.9, k = 20)
+    }),
+
     // persisted inverted index lifecycle: build the bucket-partitioned
     // postings store, then serve the q_bm25 query from it — results
     // must be BIT-IDENTICAL to scoring raw text (same oracle)
@@ -3893,6 +3909,67 @@ object SparkEntry {
          SELECT d.doc_id, md5(coalesce(a.ct, '')) AS clean_fp,
                 coalesce(a.n, 0)::BIGINT AS n_kept
          FROM d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""",
+    // the q_rrf ranking CTEs + the truncated RBO prefix sum
+    "q_rbo" ->
+      """WITH d AS (SELECT doc_id,
+             string_split(lower(trim(text)), ' ') AS tk FROM documents),
+         base AS (SELECT doc_id, tk, len(tk)::BIGINT AS dl FROM d),
+         st AS (SELECT count(*)::DOUBLE AS n,
+             sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl,
+             sum(CASE WHEN list_contains(tk, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df0,
+             sum(CASE WHEN list_contains(tk, 'hash') THEN 1 ELSE 0 END)::DOUBLE AS df1,
+             sum(CASE WHEN list_contains(tk, 'merge') THEN 1 ELSE 0 END)::DOUBLE AS df2
+           FROM base),
+         sc AS (SELECT doc_id,
+             ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+               * len(list_filter(tk, x -> x = 'spark'))::DOUBLE * 2.2
+               / (len(list_filter(tk, x -> x = 'spark'))::DOUBLE
+                  + 1.2 * (0.25 + 0.75 * dl::DOUBLE / avgdl))
+             + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+               * len(list_filter(tk, x -> x = 'hash'))::DOUBLE * 2.2
+               / (len(list_filter(tk, x -> x = 'hash'))::DOUBLE
+                  + 1.2 * (0.25 + 0.75 * dl::DOUBLE / avgdl))
+             + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+               * len(list_filter(tk, x -> x = 'merge'))::DOUBLE * 2.2
+               / (len(list_filter(tk, x -> x = 'merge'))::DOUBLE
+                  + 1.2 * (0.25 + 0.75 * dl::DOUBLE / avgdl)) AS raw
+           FROM base, st),
+         bml AS (SELECT doc_id, floor(raw * 1e6 + 0.5) / 1e6 AS score
+                 FROM sc WHERE floor(raw * 1e6 + 0.5) / 1e6 > 0
+                 ORDER BY score DESC, doc_id LIMIT 50),
+         bmr AS (SELECT doc_id, row_number() OVER
+                   (ORDER BY score DESC, doc_id) AS rn FROM bml),
+         b AS (SELECT doc_id, CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
+                 ELSE list_transform(generate_series(1, len(tk)-1),
+                        i -> tk[i] || ' ' || tk[i+1]) END AS bg FROM d),
+         e AS (SELECT doc_id, unnest(bg) AS ngram FROM b),
+         cn AS (SELECT ngram, count(*)::BIGINT AS cnt,
+                  string_split(ngram, ' ')[1] AS w1
+                FROM e GROUP BY ngram),
+         cx AS (SELECT w1, sum(cnt)::BIGINT AS ctx FROM cn GROUP BY w1),
+         v AS (SELECT count(DISTINCT t)::BIGINT AS v FROM
+                 (SELECT unnest(tk) AS t FROM d)),
+         lp AS (SELECT e.doc_id,
+                  ln((cn.cnt::DOUBLE + 0.5) / (cx.ctx::DOUBLE + 0.5 * v.v::DOUBLE)) AS lp
+                FROM e JOIN cn ON e.ngram = cn.ngram
+                       JOIN cx ON cn.w1 = cx.w1, v),
+         lsc AS (SELECT doc_id,
+                   floor(avg(lp) * 1e6 + 0.5) / 1e6 AS lm_score
+                 FROM lp GROUP BY doc_id),
+         lfull AS (SELECT d.doc_id, coalesce(lsc.lm_score, 0.0) AS lm_score
+                   FROM d LEFT JOIN lsc ON d.doc_id = lsc.doc_id),
+         lml AS (SELECT doc_id, lm_score FROM lfull
+                 ORDER BY lm_score DESC, doc_id LIMIT 50),
+         lmr AS (SELECT doc_id, row_number() OVER
+                   (ORDER BY lm_score DESC, doc_id) AS rn FROM lml),
+         sh AS (SELECT greatest(bmr.rn, lmr.rn) AS depth
+               FROM bmr JOIN lmr USING (doc_id)),
+         dd AS (SELECT unnest(generate_series(1, 20))::BIGINT AS d2),
+         tt AS (SELECT dd.d2, count(sh.depth)::BIGINT AS ov
+                FROM dd LEFT JOIN sh ON sh.depth <= dd.d2 GROUP BY dd.d2),
+         sm AS (SELECT sum((1.0 - 0.9) * pow(0.9, d2 - 1) * ov::DOUBLE / d2)
+                  AS rbo FROM tt)
+         SELECT floor(rbo * 1e6 + 0.5) / 1e6 AS rbo FROM sm""",
     // both constituent rankings replayed verbatim (bm25 + lm oracles),
     // then the rank-only fusion
     "q_rrf" ->

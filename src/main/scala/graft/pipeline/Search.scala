@@ -230,6 +230,38 @@ object Search {
       .limit(k)
   }
 
+  /** Rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010) of two
+    * top-k rankings, truncated at depth `k`:
+    *
+    *   RBO@k = (1−p) Σ_{d=1..k} p^(d−1) · |A_1..d ∩ T_1..d| / d
+    *
+    * The ranking-similarity companion to [[rrfFuse]]: how much did the
+    * list CHANGE between yesterday's index and today's, between the
+    * lexical and semantic retrievers, between two scorer versions —
+    * top-weighted (p controls how fast depth discounts), 1 = identical
+    * prefixes, 0 = disjoint. Inputs carry (`idCol`, `rn`) like rrfFuse.
+    * Everything runs on the bounded k-item lists (an item join + a k-row
+    * depth explode); output one row (`rbo`, half-up 6).
+    *
+    * This is the truncated prefix sum — a lower bound of the
+    * infinite-list RBO, the standard reported form for fixed-depth
+    * lists. */
+  def rankBiasedOverlap(a: DataFrame, b: DataFrame, idCol: String,
+      p: Double = 0.9, k: Int = 20): DataFrame = {
+    require(p > 0 && p < 1, "p must be in (0, 1)")
+    require(k > 0, "k must be positive")
+    val shared = a.select(col(idCol), col("rn").as("__ra"))
+      .join(b.select(col(idCol), col("rn").as("__rb")), idCol)
+      .select(greatest(col("__ra"), col("__rb")).as("__depth"))
+    val depths = a.sparkSession.range(1, k + 1).select(col("id").as("__d"))
+    val terms = depths.join(shared, col("__depth") <= col("__d"), "left")
+      .groupBy(col("__d"))
+      .agg(count(col("__depth")).as("__ov"))
+      .select((lit(1.0 - p) * pow(lit(p), col("__d") - 1) *
+        col("__ov").cast("double") / col("__d")).as("__t"))
+    terms.agg(Rounding.halfUp(sum(col("__t")), 6).as("rbo"))
+  }
+
   /** Per-document keyword extraction: the `k` highest tf·idf terms of
     * each document (idf = ln N/df over the corpus), ranked by the
     * ROUNDED weight (half-up 6) with the term string as tie-break — the

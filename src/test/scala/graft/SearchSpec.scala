@@ -139,6 +139,27 @@ class SearchSpec extends SparkSpec {
     assert(got(2)._2 == got(3)._2)
   }
 
+  test("rankBiasedOverlap: identical lists hit 1-p^k, disjoint hit 0") {
+    import spark.implicits._
+    val l1 = (1L to 20L).zipWithIndex.map { case (id, i) => (id, i + 1) }
+      .toDF("id", "rn")
+    val same = Search.rankBiasedOverlap(l1, l1, "id", p = 0.9, k = 20)
+      .collect().head.getDouble(0)
+    def r6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    assert(same == r6(1.0 - math.pow(0.9, 20)), s"identical lists: $same")
+    val l2 = (101L to 120L).zipWithIndex.map { case (id, i) => (id, i + 1) }
+      .toDF("id", "rn")
+    assert(Search.rankBiasedOverlap(l1, l2, "id", 0.9, 20)
+      .collect().head.getDouble(0) == 0.0)
+    // hand case: lists agree only on the top-1 item
+    val l3 = (Seq((1L, 1)) ++ (201L to 219L).zipWithIndex.map {
+      case (id, i) => (id, i + 2) }).toDF("id", "rn")
+    val top1 = Search.rankBiasedOverlap(l1, l3, "id", 0.9, 20)
+      .collect().head.getDouble(0)
+    val expected = (1 to 20).map(d => 0.1 * math.pow(0.9, d - 1) / d).sum
+    assert(math.abs(top1 - expected) < 1e-6, s"top-1 case: $top1")
+  }
+
   test("topTfidfTerms ranks rare terms first and tie-breaks by term") {
     import spark.implicits._
     val d = Seq(
