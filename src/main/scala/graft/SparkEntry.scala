@@ -1509,6 +1509,13 @@ object SparkEntry {
     "q_zipf" -> ((s, dir) =>
       pipeline.TextAnalysis.zipfFit(t(s, dir, "documents"), "text")),
 
+    // vocabulary coverage curve: token share covered by the top-k
+    // terms at candidate vocab sizes (tokenizer sizing input)
+    "q_vocab_cov" -> ((s, dir) =>
+      pipeline.TextAnalysis.vocabCoverage(t(s, dir, "documents"), "text",
+        Seq(100, 1000, 8000))
+        .orderBy("vocab_k")),
+
     // one-row dedup yield report: exact uniques + near-dup cluster
     // collapse economics before GPU-hours are committed
     "q_dedup_report" -> ((s, dir) =>
@@ -4121,6 +4128,22 @@ object SparkEntry {
            CASE WHEN vx > 0 AND vy > 0
              THEN floor(cov * cov / (vx * vy) * 1e6 + 0.5) / 1e6 END AS r2
          FROM m""",
+    "q_vocab_cov" ->
+      """WITH v AS (SELECT t, count(*)::BIGINT AS f FROM
+             (SELECT unnest(string_split(lower(trim(text)), ' ')) AS t
+              FROM documents) GROUP BY t),
+         r AS (SELECT f, row_number() OVER (ORDER BY f DESC, t) AS rank
+               FROM v),
+         a AS (SELECT sum(f)::DOUBLE AS tot,
+                 sum(CASE WHEN rank <= 100 THEN f ELSE 0 END)::DOUBLE AS c100,
+                 sum(CASE WHEN rank <= 1000 THEN f ELSE 0 END)::DOUBLE AS c1000,
+                 sum(CASE WHEN rank <= 8000 THEN f ELSE 0 END)::DOUBLE AS c8000
+               FROM r)
+         SELECT 100 AS vocab_k,
+           floor(c100 / tot * 1e6 + 0.5) / 1e6 AS covered_share FROM a
+         UNION ALL SELECT 1000, floor(c1000 / tot * 1e6 + 0.5) / 1e6 FROM a
+         UNION ALL SELECT 8000, floor(c8000 / tot * 1e6 + 0.5) / 1e6 FROM a
+         ORDER BY vocab_k""",
     "q_dedup_report" ->
       """WITH RECURSIVE toks AS (
            SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk

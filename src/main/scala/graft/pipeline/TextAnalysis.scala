@@ -398,6 +398,31 @@ object TextAnalysis {
         .as("r2"))
   }
 
+  /** Vocabulary coverage curve: for each candidate vocabulary size k,
+    * the fraction of ALL token occurrences covered by the k most
+    * frequent terms — the empirical input to tokenizer vocab sizing
+    * ("32k covers 99.2%, 8k covers 96%: the last 24k buy 3 points").
+    * Output per k: (`vocab_k`, `covered_share`, half-up 6). One vocab
+    * aggregate + the distributed rank + ONE conditional-sum pass over
+    * the vocabulary — never a second corpus scan. */
+  def vocabCoverage(df: DataFrame, textCol: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ > 0), "ks must be positive")
+    val vocab = df.select(explode(tokens(lower(col(textCol)))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("f"))
+    val ranked = Ranks.withGlobalRank(vocab, "rank",
+      col("f").desc, col("t").asc)
+    val aggCols = sum(col("f")).as("__tot") +:
+      ks.map(k => sum(when(col("rank") <= k, col("f"))).as(s"__c$k"))
+    val row = ranked.agg(aggCols.head, aggCols.tail: _*)
+    row.select(explode(array(ks.map(k => struct(
+        lit(k).as("vocab_k"),
+        Rounding.halfUp(
+          coalesce(col(s"__c$k"), lit(0L)).cast("double") / col("__tot"), 6)
+          .as("covered_share"))): _*)).as("__r"))
+      .select(col("__r.vocab_k"), col("__r.covered_share"))
+  }
+
   /** Convenience: annotate a document DataFrame with all measures. */
   def annotate(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_tokens", tokenCount(col(textCol)))

@@ -258,6 +258,16 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("vocabCoverage: cumulative shares at cut points, monotone to 1") {
+    import spark.implicits._
+    // freqs: a=5, b=3, c=1, d=1 (total 10) → top1 0.5, top2 0.8, top4 1.0
+    val docs = Seq((1L, "a a a a a b b b c d")).toDF("id", "text")
+    val got = graft.pipeline.TextAnalysis.vocabCoverage(docs, "text",
+      Seq(1, 2, 4, 100))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1 -> 0.5, 2 -> 0.8, 4 -> 1.0, 100 -> 1.0))
+  }
+
   test("zipfFit recovers the exponent of a planted power law") {
     import spark.implicits._
     // corpus where term tK appears round(1000/K) times → ln f ≈
