@@ -1522,6 +1522,25 @@ object SparkEntry {
       pipeline.Dedup.dedupReport(t(s, dir, "documents"), "text", "doc_id",
         k = 2, threshold = 0.8)),
 
+    // the same economics per source: which crawl is redundant
+    "q_dedup_by_source" -> ((s, dir) =>
+      pipeline.Dedup.dedupReportBy(t(s, dir, "documents"), "text",
+        "doc_id", "source", k = 2, threshold = 0.8)
+        .orderBy("source")),
+
+    // robust vs raw location per language: trimmed (winsorized) mean
+    // against the plain mean — the outlier-sensitivity gap
+    "q_trimmed" -> ((s, dir) =>
+      pipeline.Profiling.winsorizeBy(t(s, dir, "documents"), "n_chars",
+        "lang", lo = 0.05, hi = 0.95)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).alias("n"),
+          pipeline.Rounding.halfUp(avg(col("n_chars").cast("double")), 6)
+            .alias("raw_mean"),
+          pipeline.Rounding.halfUp(avg(col("clipped")), 6)
+            .alias("trimmed_mean"))
+        .orderBy("lang")),
+
     // unicode-script composition per doc: the multilingual router —
     // pure regexp-count expressions, zero shuffle
     "q_script" -> ((s, dir) =>
@@ -4128,6 +4147,53 @@ object SparkEntry {
            CASE WHEN vx > 0 AND vy > 0
              THEN floor(cov * cov / (vx * vy) * 1e6 + 0.5) / 1e6 END AS r2
          FROM m""",
+    "q_dedup_by_source" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(tk) < 2
+             THEN [array_to_string(tk, ' ')]
+             ELSE list_transform(generate_series(1, len(tk)-1),
+                    i -> array_to_string(tk[i:i+1], ' ')) END) AS s
+           FROM toks),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         cc AS (
+           SELECT DISTINCT src AS id, src AS comp FROM edges
+           UNION
+           SELECT e.dst AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.src),
+         comp AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id),
+         j AS (SELECT d.source, d.doc_id, c.comp
+               FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+         g AS (SELECT source, count(*)::BIGINT AS n_docs,
+                 count(comp)::BIGINT AS n_clustered_docs,
+                 count(CASE WHEN comp IS NOT NULL AND doc_id <> comp
+                       THEN 1 END)::BIGINT AS near_dup_excess
+               FROM j GROUP BY source)
+         SELECT source, n_docs, n_clustered_docs, near_dup_excess,
+           floor((n_docs - near_dup_excess)::DOUBLE / n_docs * 1e6 + 0.5)
+             / 1e6 AS dedup_yield
+         FROM g ORDER BY source""",
+    "q_trimmed" ->
+      """WITH cuts AS (SELECT lang,
+             quantile_cont(n_chars::DOUBLE, 0.05) AS qlo,
+             quantile_cont(n_chars::DOUBLE, 0.95) AS qhi
+           FROM documents GROUP BY lang),
+         c AS (SELECT d.lang, d.n_chars,
+                 floor(least(greatest(d.n_chars::DOUBLE, qlo), qhi)
+                   * 1e6 + 0.5) / 1e6 AS clipped
+               FROM documents d JOIN cuts USING (lang))
+         SELECT lang, count(*)::BIGINT AS n,
+           floor(avg(n_chars::DOUBLE) * 1e6 + 0.5) / 1e6 AS raw_mean,
+           floor(avg(clipped) * 1e6 + 0.5) / 1e6 AS trimmed_mean
+         FROM c GROUP BY lang ORDER BY lang""",
     "q_vocab_cov" ->
       """WITH v AS (SELECT t, count(*)::BIGINT AS f FROM
              (SELECT unnest(string_split(lower(trim(text)), ' ')) AS t

@@ -571,6 +571,31 @@ object Dedup {
           col("n_docs"), 6))
   }
 
+  /** [[dedupReport]] broken down by a grouping column — "which crawl is
+    * redundant": per group, doc count, docs in near-dup clusters, the
+    * excess a cluster-collapse would drop, and the surviving yield.
+    * Components come from the WHOLE corpus's pair graph (cross-group
+    * duplicates must count), then attribute per group. A doc counts as
+    * excess in its group if it is a non-representative member
+    * (id ≠ component minimum) — exactly what [[Graphs.dedupByCluster]]
+    * would drop. */
+  def dedupReportBy(df: DataFrame, textCol: String, idCol: String,
+      groupCol: String, k: Int = 2, threshold: Double = 0.8): DataFrame = {
+    val pairs = ngramJaccardPairs(df, textCol, idCol, k, threshold)
+    val comps = Graphs.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as("__ccid"), col("comp").as("__comp"))
+    df.select(col(idCol), col(groupCol))
+      .join(comps, df(idCol).cast("long") === col("__ccid"), "left")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("__comp")).as("n_clustered_docs"),
+        count(when(col("__comp").isNotNull &&
+          col(idCol).cast("long") =!= col("__comp"), 1)).as("near_dup_excess"))
+      .withColumn("dedup_yield", Rounding.halfUp(
+        (col("n_docs") - col("near_dup_excess")).cast("double") /
+          col("n_docs"), 6))
+  }
+
   /** Edit-distance record matching over sorted-neighborhood blocks:
     * [[sortedNeighborhoodPairs]] proposes the candidates, exact
     * Levenshtein verifies them (`edit_dist` ≤ `maxDist`) — the classic

@@ -135,6 +135,23 @@ class GraphsSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("dedupReportBy attributes cross-source duplicates to each source") {
+    import spark.implicits._
+    // 1 (srcA) and 2 (srcB) are near-dups ACROSS sources; representative
+    // (min id = 1) sits in srcA, so the excess lands on srcB
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon", "srcA"),
+      (2L, "alpha beta gamma delta epsilon", "srcB"),
+      (3L, "totally different words here now", "srcA"),
+      (4L, "unrelated content again entirely", "srcB")).toDF("doc_id", "text", "source")
+    val got = Dedup.dedupReportBy(docs, "text", "doc_id", "source",
+      k = 2, threshold = 0.8)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got("srcA") == ((2L, 1L, 0L, 1.0)))
+    assert(got("srcB") == ((2L, 1L, 1L, 0.5)))
+  }
+
   test("triangleStats: census of triangle-plus-pendant, ordering-robust") {
     import spark.implicits._
     // triangle {1,2,3} plus pendant 4 on node 3; edge (3,1) given in
