@@ -425,6 +425,76 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: tfidfCosinePairs equals a brute-force reference on random corpora") {
+    import spark.implicits._
+    val word = Gen.oneOf("red", "blue", "green", "fox", "dog", "cat",
+      "run", "jump", "qq1", "qq2")
+    val docGen = Gen.choose(2, 6).flatMap(n => Gen.listOfN(n, word))
+    val corpusGen = Gen.choose(4, 10).flatMap(n => Gen.listOfN(n, docGen))
+    samples(corpusGen, 5).foreach { docsW =>
+      val docs = docsW.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("id", "text")
+      val thr = 0.3
+      val got = graft.pipeline.Dedup
+        .tfidfCosinePairs(docs, "text", "id", thr, maxDf = 1000)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      // brute force in plain Scala (same hashing is irrelevant here —
+      // the word list is collision-free at 60 bits)
+      val n = docsW.size.toDouble
+      val tf = docsW.map(_.groupBy(identity).view.mapValues(_.size.toDouble).toMap)
+      val dfm = tf.flatMap(_.keys).groupBy(identity).view.mapValues(_.size).toMap
+      def vec(m: Map[String, Double]) =
+        m.map { case (t, f) => t -> f * math.log(n / dfm(t)) }
+      def cos(a: Map[String, Double], b: Map[String, Double]): Double = {
+        val va = vec(a); val vb = vec(b)
+        val dot = va.keySet.intersect(vb.keySet).toSeq
+          .map(t => va(t) * vb(t)).sum
+        val na = math.sqrt(va.values.map(x => x * x).sum)
+        val nb = math.sqrt(vb.values.map(x => x * x).sum)
+        if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+      }
+      val expected = (for {
+        i <- tf.indices; j <- (i + 1) until tf.size
+        c = cos(tf(i), tf(j)) if c >= thr
+      } yield (i.toLong, j.toLong) -> c).toMap
+      assert(got.keySet == expected.keySet,
+        s"pair sets differ: ${got.keySet} vs ${expected.keySet} on $docsW")
+      expected.foreach { case (k, c) =>
+        assert(math.abs(got(k) - c) < 1e-5, s"cosine $k: ${got(k)} vs $c")
+      }
+    }
+  }
+
+  test("property: Cdc.applyChanges equals a sequential reference fold") {
+    import spark.implicits._
+    val opGen = for {
+      key <- Gen.choose(1L, 8L); seq <- Gen.choose(1L, 100L)
+      op <- Gen.oneOf("u", "d"); v <- Gen.choose(0, 999)
+    } yield (key, s"v$v", v, seq, op)
+    val changesGen = Gen.choose(1, 15).flatMap(n => Gen.listOfN(n, opGen))
+    samples(changesGen, 6).foreach { raw =>
+      // enforce unique (key, seq) — the operator's documented contract
+      val changes = raw.groupBy(c => (c._1, c._4)).values.map(_.head).toSeq
+      val base = (1L to 5L).map(k => (k, s"base$k", k.toInt * 10))
+      val expected = {
+        val latest = changes.groupBy(_._1).view
+          .mapValues(_.maxBy(c => (c._4, c._5))).toMap
+        val untouched = base.filterNot(b => latest.contains(b._1))
+        val ups = latest.values.filter(_._5 == "u")
+          .map(c => (c._1, c._2, c._3))
+        (untouched ++ ups).toSet
+      }
+      val got = graft.pipeline.Cdc.applyChanges(
+        base.toDF("id", "txt", "v"),
+        changes.toDF("id", "txt", "v", "seq", "op"), "id", "seq", "op")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+        .toSet
+      assert(got == expected, s"changes=$changes")
+    }
+  }
+
   test("property: ewma stays within each row's trailing-window value range") {
     import spark.implicits._
     val seriesGen = for {
