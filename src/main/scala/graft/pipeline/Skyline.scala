@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** 2-D skyline (Pareto frontier): the points not dominated under
@@ -11,18 +11,20 @@ import org.apache.spark.sql.functions._
   * SQL"; this is the operator-level equivalent for the 2-D case, which
   * has an exact sort-based distributed shape.)
   *
-  * Returns the distinct skyline points (`xCol`, `yCol`), x-ascending.
+  * Returns the distinct skyline points (`xCol`, `yCol`).
   *
-  * Plan shape: equal-x ties reduce with one hash aggregate (only the max
-  * y at a given x can survive); candidates then range-repartition by x
-  * and each partition runs one sequential prefix-max pass — the classic
-  * sort-based skyline, parallel across ranges. Cross-partition dominance
-  * needs only each partition's max y: a bounded P-row collect turns into
-  * an exclusive prefix-max broadcast (the same partition-offset pattern
-  * as NR materialization). The candidate set is persisted between the
-  * bounds pass and the filter pass so both see identical range
-  * boundaries (RangePartitioner samples — unpinned lineage could
-  * repartition differently). */
+  * Plan shape: x-range bucket boundaries are approxQuantile'd ONCE and
+  * collected to the driver, so every pass buckets rows by the same
+  * literal split points — no pinned lineage needed for the passes to
+  * agree. (The previous formulation pinned a `localCheckpoint` between a
+  * bounds pass and a filter pass; those candidate blocks stayed in the
+  * block manager for the caller's lifetime, and a long suite of skyline
+  * calls accumulated dead storage — the round-9 driver bench decay.)
+  * Bucket maxima reduce through one partial-aggregated exchange (≤ P
+  * rows survive), turn into an exclusive prefix-max broadcast, and one
+  * hash exchange on the bucket id + per-partition sorted prefix-max scan
+  * emits the frontier — one full-data shuffle total (the old shape paid
+  * two: groupBy(x) then repartitionByRange). */
 object Skyline {
 
   /** SFS (sort-filter-skyline) over an in-memory slice: ascending
@@ -68,7 +70,11 @@ object Skyline {
     * the exact frontier can be O(input) and must never transit the
     * driver. (One EXECUTOR partition still holds the full candidate set
     * in that branch — inherent to any exact merge; size executor memory
-    * for the frontier, not the input.) NaN dimension values are dropped
+    * for the frontier, not the input. In that branch the final round's
+    * checkpoint blocks back the returned DataFrame, so their lifetime is
+    * the caller's; in the driver-merge branch — the common case — the
+    * final checkpoint is released before returning, so repeated calls
+    * leak no block-manager storage.) NaN dimension values are dropped
     * with the nulls: NaN never compares dominated-or-dominating
     * consistently, and Spark aggregates sort it above every real double.
     *
@@ -122,6 +128,10 @@ object Skyline {
     // bounded driver merge across the remaining partitions
     val front: Array[Array[Double]] =
       sfs(pts.collect().map(r => Array.tabulate(nd)(r.getDouble)))
+    // the candidates now live on the driver: the final round's blocks
+    // (and durable files) are dead — release them so repeated calls
+    // don't accumulate block-manager storage for the session's lifetime
+    Checkpoints.release(pts, checkpointDir)
     // un-canonicalize (maximize dims were negated) and restore names
     val rows = front.map { a =>
       Row.fromSeq(dims.indices.map { i =>
@@ -143,48 +153,58 @@ object Skyline {
       // then fail the y > mx test — silently losing a frontier point
       .where(col("x").isNotNull && col("y").isNotNull &&
         !isnan(col("x")) && !isnan(col("y")))
-      .groupBy(col("x")).agg(max(col("y")).as("y"))
-      .repartitionByRange(col("x"))
-      .sortWithinPartitions(col("x"))
-      // lazy: the bounds pass below is the materializing action; blocks
-      // are then fixed, so the filter pass sees identical range
-      // boundaries (RangePartitioner samples only once) without a
-      // dedicated materialization job
-      .localCheckpoint(eager = false)
-    import org.apache.spark.sql.Encoders
-    val rowEnc = Encoders.row(pts.schema)
-    val boundsEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaDouble)
-    // pass 1: per-partition max y (P rows — bounded driver collect)
-    val partMax = pts.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var mx = Double.NegativeInfinity
-      var any = false
-      while (it.hasNext) { val r = it.next(); any = true
-        val y = r.getDouble(1); if (y > mx) mx = y }
-      if (any) Iterator((pid, mx)) else Iterator.empty
-    }(boundsEnc).collect()
-    // exclusive prefix max over partition index: everything in an earlier
-    // range has smaller x, so its max y is the external dominance bound
-    val maxPid = if (partMax.isEmpty) -1 else partMax.map(_._1).max
-    val bounds = new Array[Double](maxPid + 2)
+    val p = spark.sessionState.conf.numShufflePartitions
+    // deterministic x-range boundaries, collected ONCE: both the bounds
+    // aggregate and the filter pass bucket rows by the same literal split
+    // points, so the passes agree by construction — no pinned lineage
+    val splits = pts.stat.approxQuantile(
+      "x", (1 until p).map(_.toDouble / p).toArray, 0.01).distinct.sorted
+    // CASE-chain bucket index (codegen'd; a higher-order array filter
+    // would fall out of whole-stage codegen): count of splits < x
+    def bucket(c: Column): Column =
+      if (splits.isEmpty) lit(0)
+      else splits.indices.tail.foldLeft(when(c <= splits(0), 0)) {
+        (w, i) => w.when(c <= splits(i), i)
+      }.otherwise(splits.length)
+    val withPid = pts.withColumn("pid", bucket(col("x")))
+    // per-bucket max y: partial-aggregated exchange, ≤ #buckets rows
+    // survive the shuffle — a bounded driver collect
+    val partMax = withPid.groupBy("pid").agg(max("y").as("my"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // exclusive prefix max over bucket index: every earlier bucket holds
+    // smaller-or-equal x, so its max y is the external dominance bound
+    val bounds = new Array[Double](splits.length + 1)
     var acc = Double.NegativeInfinity
-    for (pid <- 0 to maxPid) {
-      bounds(pid) = acc
-      acc = math.max(acc, partMax.find(_._1 == pid).map(_._2)
-        .getOrElse(Double.NegativeInfinity))
+    for (i <- bounds.indices) {
+      bounds(i) = acc
+      acc = math.max(acc, partMax.getOrElse(i, Double.NegativeInfinity))
     }
     val bBounds = spark.sparkContext.broadcast(bounds)
-    // pass 2: sequential prefix-max within the partition, seeded with the
-    // bound from all earlier ranges; survivors are y strictly above it
-    pts.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var mx = if (pid < bBounds.value.length) bBounds.value(pid)
-               else Double.NegativeInfinity
-      it.flatMap { r =>
-        val y = r.getDouble(1)
-        if (y > mx) { mx = y; Iterator(r) } else Iterator.empty
-      }
-    }(rowEnc)
+    import org.apache.spark.sql.Encoders
+    val outEnc = Encoders.row(pts.schema)
+    // one hash exchange on the bucket id; (pid, x asc, y desc) sort means
+    // the first row of each x group carries that x's max y, so the strict
+    // running max both dedups equal-x ties and drops dominated points.
+    // Several buckets may hash into one partition — the pid-change reset
+    // reseeds the bound (safe: bounds(pid) already covers every earlier
+    // bucket's max, so it is ≥ any carry-over)
+    withPid.repartition(p, col("pid"))
+      .sortWithinPartitions(col("pid"), col("x"), col("y").desc)
+      .mapPartitions { it =>
+        val b = bBounds.value
+        var cur = -1
+        var mx = Double.NegativeInfinity
+        it.flatMap { r =>
+          val pid = r.getInt(2)
+          if (pid != cur) {
+            cur = pid
+            mx = if (pid < b.length) b(pid) else Double.NegativeInfinity
+          }
+          val y = r.getDouble(1)
+          if (y > mx) { mx = y; Iterator(Row(r.getDouble(0), y)) }
+          else Iterator.empty
+        }
+      }(outEnc)
       .select(col("x").as(xCol), col("y").as(yCol))
   }
 }
