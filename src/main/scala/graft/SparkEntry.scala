@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -10,2265 +9,41 @@ import org.apache.spark.sql.functions._
   * `oracleSql` holds the DuckDB-equivalent ANSI SQL for the hash compare.
   * All queries are deterministically ordered on both sides, and
   * order-sensitive float aggregates are rounded identically on both sides.
-  */
+  *
+  * The 191 entries live in seven per-family objects
+  * ([[RbqlEntries]], [[TemporalEntries]], [[ProfilingEntries]],
+  * [[DedupEntries]], [[TextEntries]], [[SamplingEntries]],
+  * [[EmbeddingEntries]]) with each query's lambda and its DuckDB oracle
+  * ADJACENT in the same file; this object only aggregates and asserts
+  * global name uniqueness + query↔oracle pairing. */
 object SparkEntry {
-
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
-
-  private def all(s: SparkSession, dir: String): Map[String, DataFrame] =
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events", "documents", "embeddings")
-      .map(n => n -> t(s, dir, n)).toMap
-
-  /** Query points for the ANN/IVF recall gates — three spread-out vector
-    * ids so a recall regression can't hide behind one lucky point (round-2
-    * verdict #8). Must match the VALUES lists in `oracleSql`. */
-  private object RecallGate {
-    val queryPoints: Seq[Int] = Seq(0, 7, 42)
-  }
-
-  /** Embeddings plus 10 planted near-duplicates (vec_id+10000, every
-    * component shifted by +0.01 in double then rounded back to float —
-    * bit-reproducible in DuckDB as list_transform(e, x -> (x::DOUBLE +
-    * 0.01)::FLOAT)). The synthetic corpus has no natural near-dups, so the
-    * dedup/LSH recall path needs these to be non-vacuous. */
-  private def plantedEmbeddings(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val clones = emb.filter(col("vec_id") < 10).select(
-      (col("vec_id") + 10000).alias("vec_id"),
-      transform(col("embedding"),
-        x => (x.cast("double") + lit(0.01)).cast("float")).alias("embedding"))
-    emb.unionByName(clones)
-  }
-
-  /** Documents with a fixed 13-token boilerplate appended to every fifth
-    * doc — deterministic planted duplication for the span-dedup queries
-    * (mirrored verbatim in the DuckDB oracle). */
-  private val Boilerplate = " legal notice all rights reserved unauthorized" +
-    " reproduction of this document is strictly prohibited"
-  private def boilerplated(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(col("doc_id"),
-      when(col("doc_id") % 5 === 0, concat(col("text"), lit(Boilerplate)))
-        .otherwise(col("text")).alias("txt"))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Graft.query(spark,
       "SELECT a.l_returnflag, a.l_linestatus, COUNT(*) AS cnt, " +
         "SUM(a.l_quantity) AS sum_qty GROUP BY a.l_returnflag, a.l_linestatus",
-      t(spark, "/root/testdata/sf0.001", "lineitem"))
-
-  /** One per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // §2.3 projection + §2.4 WHERE + §2.7 ORDER BY
-    "q_select_where" -> ((s, dir) => Graft.query(s,
-      "SELECT a.l_orderkey, a.l_linenumber, a.l_quantity, a.l_extendedprice " +
-        "WHERE a.l_quantity > 45 ORDER BY a.l_orderkey, a.l_linenumber",
-      t(s, dir, "lineitem"))),
-
-    // §2.7 TOP with multi-key mixed-direction sort
-    "q_top" -> ((s, dir) => Graft.query(s,
-      "SELECT TOP 100 a.l_orderkey, a.l_linenumber, a.l_extendedprice " +
-        "ORDER BY a.l_extendedprice DESC, a.l_orderkey, a.l_linenumber",
-      t(s, dir, "lineitem"))),
-
-    // §2.6 GROUP BY + COUNT/SUM/MIN/MAX/AVG (output sorted by group key)
-    "q_agg_group" -> ((s, dir) => Graft.query(s,
-      "SELECT a.l_returnflag, a.l_linestatus, COUNT(*) AS cnt, " +
-        "SUM(a.l_quantity) AS sum_qty, MIN(a.l_extendedprice) AS min_price, " +
-        "MAX(a.l_extendedprice) AS max_price, AVG(a.l_discount) AS avg_disc " +
-        "GROUP BY a.l_returnflag, a.l_linestatus",
-      t(s, dir, "lineitem"))
-      .withColumn("avg_disc", pipeline.Rounding.halfUp(col("avg_disc"), 6))),
-
-    // §2.6 global aggregation (no GROUP BY)
-    "q_agg_global" -> ((s, dir) => Graft.query(s,
-      "SELECT COUNT(*) AS n_rows, MAX(a.o_totalprice) AS max_price, " +
-        "MIN(a.o_custkey) AS min_cust",
-      t(s, dir, "orders"))),
-
-    // §2.6 MEDIAN (exact) + VARIANCE (population)
-    "q_median_var" -> ((s, dir) => Graft.query(s,
-      "SELECT a.l_returnflag, MEDIAN(a.l_quantity) AS med_qty, " +
-        "VARIANCE(a.l_discount) AS var_disc GROUP BY a.l_returnflag",
-      t(s, dir, "lineitem"))
-      .withColumn("var_disc", pipeline.Rounding.halfUp(col("var_disc"), 8))),
-
-    // §2.6 ANY_VALUE (deterministic: single-row groups)
-    "q_any_value" -> ((s, dir) => Graft.query(s,
-      "SELECT a.n_nationkey, ANY_VALUE(a.n_name) AS name GROUP BY a.n_nationkey",
-      t(s, dir, "nation"))),
-
-    // §2.6 ANY_VALUE with multi-row groups: first-seen value in record
-    // order (min_by NR — rbql_engine.py:317-325)
-    "q_any_value_multi" -> ((s, dir) => Graft.query(s,
-      "SELECT a.l_returnflag, ANY_VALUE(a.l_orderkey) AS first_key " +
-        "GROUP BY a.l_returnflag",
-      t(s, dir, "lineitem"))),
-
-    // §2.6 ARRAY_AGG — insertion (NR) order, emitted as a joined string
-    // (the oracle harness cannot hash list columns)
-    "q_array_agg" -> ((s, dir) => Graft.query(s,
-      "SELECT a.n_regionkey, ARRAY_AGG(a.n_name) AS names GROUP BY a.n_regionkey",
-      t(s, dir, "nation"))
-      .withColumn("names", array_join(col("names"), "|"))),
-
-    // §2.6 ARRAY_AGG with post-processing lambda (README.md:91-92)
-    "q_array_agg_cb" -> ((s, dir) => Graft.query(s,
-      "SELECT a.n_regionkey, ARRAY_AGG(a.n_name, v -> slice(v, 1, 3)) AS top3 " +
-        "GROUP BY a.n_regionkey",
-      t(s, dir, "nation"))
-      .withColumn("top3", array_join(col("top3"), "|"))),
-
-    // §2.6 aggregate int-preservation: sum/min/max of int-strings come
-    // back integral (NumHandler, rbql_engine.py:293-314)
-    "q_sum_int" -> ((s, dir) => Graft.query(s,
-      "SELECT a.l_returnflag, SUM(a.ln_s) AS s_ln, MIN(a.ln_s) AS min_ln, " +
-        "MAX(a.ln_s) AS max_ln GROUP BY a.l_returnflag",
-      t(s, dir, "lineitem").select(col("l_returnflag"),
-        col("l_linenumber").cast("string").alias("ln_s")))),
-
-    // §2.5 inner JOIN
-    "q_join_inner" -> ((s, dir) => Graft.query(s,
-      "SELECT a.s_suppkey, a.s_name, b.n_name JOIN nation " +
-        "ON a.s_nationkey == b.n_nationkey ORDER BY a.s_suppkey",
-      t(s, dir, "supplier"), all(s, dir))),
-
-    // §2.5 LEFT JOIN (unmatched A rows null-padded)
-    "q_join_left" -> ((s, dir) => Graft.query(s,
-      "SELECT a.c_custkey, b.o_orderkey LEFT JOIN orders " +
-        "ON a.c_custkey == b.o_custkey ORDER BY a.c_custkey, b.o_orderkey",
-      t(s, dir, "customer"), all(s, dir))),
-
-    // §2.5 STRICT LEFT JOIN (cardinality-checked; every supplier has
-    // exactly one nation)
-    "q_strict_left" -> ((s, dir) => Graft.query(s,
-      "SELECT a.s_suppkey, b.n_name STRICT LEFT JOIN nation " +
-        "ON a.s_nationkey == b.n_nationkey ORDER BY a.s_suppkey",
-      t(s, dir, "supplier"), all(s, dir))),
-
-    // §2.3 UPDATE (projection-as-mutation; all rows emitted, input order)
-    "q_update" -> ((s, dir) => Graft.query(s,
-      "UPDATE a.p_retailprice = a.p_retailprice * 1.1 WHERE a.p_size > 30",
-      t(s, dir, "part"))),
-
-    // §2.3 SELECT EXCEPT (column exclusion)
-    "q_except" -> ((s, dir) => Graft.query(s,
-      "SELECT EXCEPT a.o_orderdate, a.o_orderpriority ORDER BY o_orderkey",
-      t(s, dir, "orders"))),
-
-    // §2.7 SELECT DISTINCT
-    "q_distinct" -> ((s, dir) => Graft.query(s,
-      "SELECT DISTINCT a.l_returnflag, a.l_linestatus " +
-        "ORDER BY l_returnflag, l_linestatus",
-      t(s, dir, "lineitem"))),
-
-    // §2.7 SELECT DISTINCT COUNT (occurrence count prepended)
-    "q_distinct_count" -> ((s, dir) => Graft.query(s,
-      "SELECT DISTINCT COUNT a.o_orderpriority ORDER BY o_orderpriority",
-      t(s, dir, "orders"))),
-
-    // §2.8 UNNEST (lateral explode) + pipe for deterministic order
-    "q_unnest" -> ((s, dir) => Graft.query(s,
-      "SELECT a.p_partkey, UNNEST(split(a.p_type, ' ')) AS word " +
-        "WHERE a.p_partkey <= 200 | SELECT a.p_partkey, a.word " +
-        "ORDER BY a.p_partkey, a.word",
-      t(s, dir, "part"))),
-
-    // §2.8 pipe chaining (filter stage | aggregate stage)
-    "q_pipe" -> ((s, dir) => Graft.query(s,
-      "SELECT a.l_returnflag, a.l_quantity WHERE a.l_quantity > 30 " +
-        "| SELECT a.l_returnflag, COUNT(*) AS cnt GROUP BY a.l_returnflag",
-      t(s, dir, "lineitem"))),
-
-    // §2.4 LIKE (suffix wildcard; '%ARD' matches STANDARD — non-empty)
-    "q_like" -> ((s, dir) => Graft.query(s,
-      "SELECT a.p_partkey, a.p_type WHERE a.p_type LIKE '%ARD' " +
-        "ORDER BY a.p_partkey",
-      t(s, dir, "part"))),
-
-    // host-language expressions: scalar functions + CASE
-    "q_scalar_case" -> ((s, dir) => Graft.query(s,
-      "SELECT a.o_orderkey, upper(a.o_orderstatus) AS status_u, " +
-        "CASE WHEN a.o_totalprice > 200000 THEN 'big' " +
-        "WHEN a.o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS bucket " +
-        "ORDER BY a.o_orderkey",
-      t(s, dir, "orders"))),
-
-    // §1.1 NR record-number variable (assigned in file order, pre-shuffle)
-    "q_nr" -> ((s, dir) => Graft.query(s,
-      "SELECT NR AS rn, a.l_orderkey, a.l_linenumber WHERE NR <= 1000 ORDER BY NR",
-      t(s, dir, "lineitem"))),
-
-    // events table aggregation
-    "q_events_agg" -> ((s, dir) => Graft.query(s,
-      "SELECT a.event_type, COUNT(*) AS cnt, SUM(a.value) AS sv " +
-        "GROUP BY a.event_type",
-      t(s, dir, "events"))
-      .withColumn("sv", pipeline.Rounding.halfUp(col("sv"), 4))),
-
-    // JSON extraction from the events props column
-    "q_json" -> ((s, dir) => Graft.query(s,
-      "SELECT a.event_id, get_json_object(a.props, '$.k') AS k " +
-        "WHERE a.event_id < 100 ORDER BY a.event_id",
-      t(s, dir, "events"))),
-
-    // sessionization: 30-minute-gap sessions per user, single shuffle
-    // (gap in epoch-nanos; ts normalized whatever its physical type)
-    "q_sessions" -> ((s, dir) => pipeline.Temporal.sessionStats(
-      t(s, dir, "events"), "user_id", "ts", "event_id",
-      gap = 30L * 60 * 1000000000L)
-      .orderBy("user_id")),
-
-    // top session journeys: sessionize → ordered per-session path →
-    // corpus-wide count → top-k; ONE data-sized shuffle (the session key)
-    "q_paths" -> ((s, dir) => pipeline.Temporal.sessionPaths(
-      t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
-      gap = 30L * 60 * 1000000000L, k = 10)),
-
-    // association rules over 2-hour session baskets: support /
-    // confidence / lift per ordered event-type pair (the 30-min gap
-    // makes near-singleton sessions at this event density)
-    "q_basket" -> ((s, dir) => pipeline.Temporal.basketRules(
-      t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
-      gap = 2L * 3600 * 1000000000L, minSupport = 0.01)
-      .orderBy("ante", "cons")),
-
-    // day-of-week seasonal baseline per event type (epoch-day dow —
-    // engine-neutral, no timezone-dependent dayofweek())
-    "q_seasonal" -> ((s, dir) => pipeline.Temporal.seasonalProfile(
-      t(s, dir, "events"), "event_type", "ts", "value")
-      .orderBy("event_type", "dow")),
-
-    // conversion latency: click → most recent prior view (as-of), then
-    // one-row latency quantiles — composition of certified parts
-    "q_latency" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val j = pipeline.Temporal.asofJoin(
-        ev.filter(col("event_type") === "click")
-          .select("event_id", "user_id", "ts"),
-        ev.filter(col("event_type") === "view")
-          .select("event_id", "user_id", "ts"),
-        "user_id", "ts", "event_id", payload = Seq("ts"))
-        .filter(col("asof_ts").isNotNull)
-      val lat = ((pipeline.Temporal.epochNanos(j, "ts") -
-        pipeline.Temporal.epochNanos(j, "asof_ts")).cast("double") / 1e9)
-      j.select(lat.as("__lat"))
-        .agg(count(lit(1)).alias("n"),
-          pipeline.Rounding.halfUp(percentile(col("__lat"), lit(0.5)), 6)
-            .alias("p50"),
-          pipeline.Rounding.halfUp(percentile(col("__lat"), lit(0.9)), 6)
-            .alias("p90"),
-          pipeline.Rounding.halfUp(percentile(col("__lat"), lit(0.99)), 6)
-            .alias("p99"))
-    }),
-
-    // Welch's t between click and view event values: one corpus pass,
-    // statistic + Welch-Satterthwaite df as column arithmetic
-    "q_welch" -> ((s, dir) => pipeline.Profiling.welchT(
-      t(s, dir, "events"), "value", "event_type", "click", "view")),
-
-    // per-user metric trend: one-pass OLS of value on time-in-days
-    // (covar_pop/var_pop/corr moments; no window, no sort)
-    "q_trend" -> ((s, dir) => pipeline.Temporal.trendSlopes(
-      t(s, dir, "events"), "user_id", "ts", "value")
-      .orderBy("user_id")),
-
-    // DAU/WAU/stickiness per UTC day: exact window distincts via the
-    // bounded (day, user) activity table exploded to trailing days
-    "q_dau" -> ((s, dir) => pipeline.Temporal.activeUsers(
-      t(s, dir, "events"), "user_id", "ts", windowDays = 7)
-      .orderBy("day")),
-
-    // sketch-path DAU/WAU gated against the exact ledger: per-day HLL
-    // sketches unioned over trailing windows must land within 5%
-    // (recall-gate pattern — sketch bits are not SQL-replayable, the
-    // accuracy contract is)
-    "q_dau_sketch" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val approx = pipeline.Temporal.activeUsersSketch(ev, "user_id", "ts", 7)
-      val exact = pipeline.Temporal.activeUsers(ev, "user_id", "ts", 7)
-      approx.join(exact, Seq("day"))
-        .select(col("day"),
-          ((abs(col("dau_approx") - col("dau")).cast("double") /
-            col("dau") <= 0.05) &&
-           (abs(col("wau_approx") - col("wau")).cast("double") /
-            col("wau") <= 0.05)).as("within_tol"))
-        .orderBy("day")
-    }),
-
-    // first-order Markov transition matrix of event types along each
-    // user's time-ordered stream, row-normalized over prev_state
-    "q_markov" -> ((s, dir) => pipeline.Temporal.transitionMatrix(
-      t(s, dir, "events"), "user_id", "ts", "event_id", "event_type")
-      .orderBy("prev_state", "next_state")),
-
-    // finite-memory EWMA of event values per user (k=8 lags, one shared
-    // WindowExec; dyadic weights replay bit-exactly in the oracle)
-    "q_ewma" -> ((s, dir) => pipeline.Temporal.ewma(
-      t(s, dir, "events"), "user_id", "ts", "event_id", "value",
-      alpha = 0.5, k = 8)
-      .select(col("event_id"), col("user_id"), col("value"), col("ewma"))
-      .orderBy("event_id")),
-
-    // trailing per-key z-score anomalies: each event's value against the
-    // user's own trailing-24h mean/deviation (one RANGE window), |z|>2
-    "q_anomaly" -> ((s, dir) => pipeline.Temporal.rollingZScore(
-      t(s, dir, "events"), "user_id", "ts", "value",
-      windowNs = 24L * 3600 * 1000000000L)
-      .filter(abs(col("z")) > 2)
-      .select(col("event_id"), col("user_id"),
-        pipeline.Rounding.halfUp(col("z"), 6).alias("z"))
-      .orderBy("event_id")),
-
-    // as-of join: each click matched to the user's most recent prior view
-    "q_asof" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      pipeline.Temporal.asofJoin(
-        ev.filter(col("event_type") === "click")
-          .select("event_id", "user_id", "ts"),
-        ev.filter(col("event_type") === "view")
-          .select("event_id", "user_id", "ts"),
-        "user_id", "ts", "event_id", payload = Seq("event_id"))
-        .select(col("event_id"), col("user_id"),
-          col("asof_event_id").alias("view_id"))
-        .orderBy("event_id")
-    }),
-
-    // forward as-of with a 2-hour tolerance: each click matched to the
-    // user's NEXT view within 2h (nulls beyond) — the merge_asof
-    // direction/tolerance surface on the same single-shuffle plan
-    "q_asof_fwd" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      pipeline.Temporal.asofJoin(
-        ev.filter(col("event_type") === "click")
-          .select("event_id", "user_id", "ts"),
-        ev.filter(col("event_type") === "view")
-          .select("event_id", "user_id", "ts"),
-        "user_id", "ts", "event_id", payload = Seq("event_id"),
-        direction = "forward", toleranceNs = 7200L * 1000000000L)
-        .select(col("event_id"), col("user_id"),
-          col("asof_event_id").alias("view_id"))
-        .orderBy("event_id")
-    }),
-
-    // nearest as-of with a 1-hour tolerance: each click matched to the
-    // user's time-closest view within 1h either way, ties preferring the
-    // backward match — still the single-shuffle tag-union plan (the
-    // "nearest" direction adds an in-partition sort, never an exchange)
-    "q_asof_near" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      pipeline.Temporal.asofJoin(
-        ev.filter(col("event_type") === "click")
-          .select("event_id", "user_id", "ts"),
-        ev.filter(col("event_type") === "view")
-          .select("event_id", "user_id", "ts"),
-        "user_id", "ts", "event_id", payload = Seq("event_id"),
-        direction = "nearest", toleranceNs = 3600L * 1000000000L)
-        .select(col("event_id"), col("user_id"),
-          col("asof_event_id").alias("view_id"))
-        .orderBy("event_id")
-    }),
-
-    // native session windows (session_window): 30-min-gap sessions with
-    // event counts and value sums; the SAME call runs on a stream with
-    // watermark-bounded state. Start emitted as epoch-nanos (the
-    // driver's hasher compares scalars, not timestamps).
-    "q_session_window" -> ((s, dir) =>
-      streaming.EventStream.sessionWindows(
-        t(s, dir, "events"), gap = "30 minutes")
-        .select(col("user_id"),
-          (unix_micros(col("session_start").cast("timestamp")) * 1000L)
-            .alias("start_ns"),
-          col("n_events"),
-          pipeline.Rounding.halfUp(col("sv"), 6).alias("sv"))
-        .orderBy("user_id", "start_ns")),
-
-    // interval coalescing: each event opens a 1-hour activity interval;
-    // per-user overlapping/touching intervals merge into maximal spans
-    // (gaps-and-islands — one exchange, no overlap self-join)
-    "q_merge_intervals" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val iv = ev.select(col("user_id"),
-        pipeline.Temporal.epochNanos(ev, "ts").alias("s"))
-        .withColumn("e", col("s") + lit(3600L * 1000000000L))
-      pipeline.Temporal.mergeIntervals(iv, "user_id", "s", "e")
-        .orderBy("user_id", "span_start")
-    }),
-
-    // trailing 24h rolling aggregates per user (RANGE frame over
-    // epoch-nanos — one exchange, no time self-join)
-    "q_rolling" -> ((s, dir) =>
-      pipeline.Temporal.rollingAgg(
-        t(s, dir, "events").select("event_id", "user_id", "ts", "value"),
-        "user_id", "ts", windowNs = 86400L * 1000000000L,
-        aggs = Seq(
-          "n_24h" -> count(lit(1)),
-          "__v" -> sum(col("value"))))
-        .select(col("event_id"), col("user_id"), col("n_24h"),
-          pipeline.Rounding.halfUp(col("__v"), 6).alias("v_24h"))
-        .orderBy("event_id")),
-
-    // per-group top-k without a global sort (row_number window)
-    // 2-D skyline of lineitem: cheapest-yet-largest frontier under
-    // (min l_extendedprice, max l_quantity); exact sort-based distributed
-    // shape, oracle via the independent window formulation
-    "q_skyline" -> ((s, dir) =>
-      pipeline.Skyline.skyline2D(t(s, dir, "lineitem"),
-        "l_extendedprice", "l_quantity")
-        .orderBy("l_extendedprice")),
-
-    // 3-D skyline of part: (min retailprice, max size, max name length);
-    // per-partition SFS + bounded merge, brute-force dominance oracle
-    "q_skyline3" -> ((s, dir) =>
-      pipeline.Skyline.skylineND(
-        t(s, dir, "part").withColumn("name_len", length(col("p_name"))),
-        minimizeCols = Seq("p_retailprice"),
-        maximizeCols = Seq("p_size", "name_len"))
-        .orderBy("p_retailprice", "p_size", "name_len")),
-
-    // one-pass column profiling (count/nulls/min/max/mean/exact-median
-    // for every column in a single aggregate). describe also emits an
-    // HLL approx_distinct — dropped here because a sketch estimate is
-    // not SQL-replayable; q_cardinality_gate certifies it instead
-    "q_profile" -> ((s, dir) =>
-      pipeline.Profiling.describe(t(s, dir, "lineitem"),
-        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
-        .select("column", "n", "n_null", "min", "max", "mean", "median")
-        .orderBy("column")),
-
-    // compression-ratio gate: the deflate repetition proxy must rank a
-    // degenerate (looping) rewrite of each doc below the natural text —
-    // distribution-level contract, booleans pinned by the oracle
-    // (DuckDB cannot deflate; the per-value check lives in QualitySpec)
-    "q_compress_gate" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val nat = pipeline.TextAnalysis.compressionRatio(col("text"))
-      val rep = pipeline.TextAnalysis.compressionRatio(
-        concat_ws(" ", array_repeat(substring(col("text"), 1, 12), 40)))
-      val r = d.select(nat.alias("rn"), rep.alias("rr"))
-        .agg(avg(col("rn")).alias("mn"),
-          avg(when(col("rr") < col("rn"), 1.0).otherwise(0.0)).alias("frac"))
-        .head()
-      import s.implicits._
-      Seq(("mean_in_band", r.getDouble(0) > 0.2 && r.getDouble(0) < 1.2),
-        ("repetitive_compresses_more", r.getDouble(1) >= 0.95))
-        .toDF("check", "ok").orderBy("check")
-    }),
-
-    // data-constrained mixing with repetition: undersized sources run
-    // full epochs (capped) + one md5-sampled partial epoch
-    "q_repeat" -> ((s, dir) =>
-      pipeline.Mixing.repeatToBudget(
-        t(s, dir, "documents"), "text", "doc_id", "source",
-        weights = Map("src0" -> 0.5, "src1" -> 0.5),
-        tokenBudget = 10000L, maxEpochs = 4)
-        .groupBy(col("source"), col("epoch"))
-        .agg(count(lit(1)).alias("cnt"))
-        .orderBy("source", "epoch")),
-
-    // eval n-gram coverage: fraction of the bench slice's distinct
-    // 2-grams seen anywhere in train (diffuse-leak intensity); train
-    // pays one broadcast-probed scan
-    "q_coverage" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      pipeline.Dedup.crossNgramCoverage(
-        docs.filter(col("doc_id") % 7 =!= 0),
-        docs.filter(col("doc_id") % 7 === 0), "text", k = 2)
-    }),
-
-    // exact canary/blocklist scan: one broadcast Aho-Corasick automaton,
-    // O(text) per doc regardless of pattern count, zero shuffle
-    "q_canary" -> ((s, dir) =>
-      pipeline.Dedup.canaryScan(t(s, dir, "documents"), "text", "doc_id",
-        Seq("table table", "merge batch", "slow fast",
-          "canary-guid-8f2a"))
-        .orderBy("doc_id", "pattern")),
-
-    // fuzzy key linkage: char-3-gram Jaccard over supplier names via
-    // the AllPairs prefix filter — no all-pairs compare, grams hashed
-    "q_fuzzy" -> ((s, dir) =>
-      pipeline.Dedup.fuzzyKeyPairs(
-        t(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
-        "s_name", "s_suppkey", k = 3, threshold = 0.85)
-        .orderBy("id_a", "id_b")),
-
-    // SNM blocking closed with its verifier: Levenshtein <= 2 over
-    // rank-adjacent supplier-name candidates
-    "q_editdist" -> ((s, dir) =>
-      pipeline.Dedup.editDistancePairs(
-        t(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
-        "s_name", "s_suppkey", maxDist = 2, window = 5)
-        .orderBy("id_a", "id_b")),
-
-    // sorted-neighborhood blocking: rank-adjacent candidate pairs in the
-    // global (s_name, key) sort order (two-pass distributed rank + band
-    // join on rank buckets — never a single-partition window)
-    "q_snm" -> ((s, dir) =>
-      pipeline.Dedup.sortedNeighborhoodPairs(
-        t(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
-        "s_name", "s_suppkey", window = 5)
-        .orderBy("id_a", "id_b")),
-
-    // entity resolution: fuzzy pairs → connected components → one row
-    // per entity (canonical = min member id, n_members) — the classic
-    // record-linkage chain, every stage its own certified operator
-    "q_entities" -> ((s, dir) => {
-      val pairs = pipeline.Dedup.fuzzyKeyPairs(
-        t(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
-        "s_name", "s_suppkey", k = 3, threshold = 0.85)
-      pipeline.Graphs.connectedComponents(pairs, "id_a", "id_b")
-        .groupBy(col("comp").alias("entity_id"))
-        .agg(count(lit(1)).alias("n_members"))
-        .orderBy("entity_id")
-    }),
-
-    // snapshot diff: added/removed/changed/unchanged between two keyed
-    // corpus versions; the join carries (key, 8-byte digest), never text
-    // CDC merge: apply a keyed upsert/delete batch to the snapshot —
-    // deletes on doc_id%10==0; doc_id%10==5 gets a delete at seq 1
-    // superseded by an upsert at seq 2 (latest-wins proof)
-    "q_cdc" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val dels = docs
-        .filter(col("doc_id") % 10 === 0 || col("doc_id") % 10 === 5)
-        .withColumn("seq", lit(1L)).withColumn("op", lit("d"))
-      val ups = docs.filter(col("doc_id") % 10 === 5)
-        .withColumn("text", concat(lit("updated "), col("text")))
-        .withColumn("seq", lit(2L)).withColumn("op", lit("u"))
-      pipeline.Cdc.applyChanges(docs, dels.unionByName(ups),
-        "doc_id", "seq", "op")
-        .orderBy("doc_id")
-    }),
-
-    "q_snapshot_diff" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val a = d.filter(col("doc_id") < 400).select("doc_id", "text")
-      val b = d.filter(col("doc_id") >= 100)
-        .select(col("doc_id"),
-          when(col("doc_id") % 7 === 0, upper(col("text")))
-            .otherwise(col("text")).alias("text"))
-      pipeline.Dedup.snapshotDiffSummary(a, b, "doc_id", Seq("text"))
-        .orderBy("status")
-    }),
-
-    // drift screen: every source's PSI against the rest of the corpus,
-    // one scan (the "which source moved" report)
-    "q_psi_by" -> ((s, dir) =>
-      pipeline.Profiling.psiBySlice(t(s, dir, "documents"),
-        "n_chars", "source", lo = 0.0, hi = 600.0, bins = 8)
-        .orderBy("slice")),
-
-    // per-slice exact KS screen (bounded value domain): each source's
-    // sup-CDF-gap vs the rest, on the slice x distinct-value grid
-    "q_ks_by" -> ((s, dir) =>
-      pipeline.Profiling.ksBySlice(t(s, dir, "documents"),
-        "n_chars", "source")
-        .orderBy("slice")),
-
-    // exact two-sample KS statistic (binning-free drift): distributed
-    // CDFs via range partitions + broadcast prefix offsets, no global
-    // window
-    "q_ks" -> ((s, dir) =>
-      pipeline.Profiling.ksStatistic(t(s, dir, "documents"),
-        "n_chars", "source", "src0", "src1")),
-
-    // categorical drift: language-mix PSI between two corpus slices
-    "q_cat_drift" -> ((s, dir) =>
-      pipeline.Profiling.categoricalDrift(t(s, dir, "documents"),
-        "lang", "source", "src0", "src1")
-        .orderBy("category")),
-
-    // digit-template exact dedup (C4-style normalization before fuzzy
-    // dedup): template-equal docs collapse to the smallest id
-    "q_template_dedup" -> ((s, dir) =>
-      pipeline.Dedup.templateDedup(t(s, dir, "documents"), "text", "doc_id")
-        .agg(count(lit(1)).alias("n_kept"))),
-
-    // top token collocations by document-level PMI: per-doc distinct
-    // pair explode → compact pair-count aggregate → min-count prune
-    // BEFORE the unigram joins; N on a 1-row broadcast
-    "q_pmi" -> ((s, dir) =>
-      pipeline.TextAnalysis.topPmi(t(s, dir, "documents"), "text",
-        minPairCount = 5L, k = 20)),
-
-    // wide reshaping: doc counts per source pivoted across the language
-    // set (explicit value list keeps the schema deterministic)
-    "q_pivot" -> ((s, dir) =>
-      t(s, dir, "documents").groupBy(col("source"))
-        .pivot("lang", Seq("de", "en", "es", "fr", "zh")).count()
-        .na.fill(0L)
-        .orderBy("source")),
-
-    // triangle census of the exact near-dup pair graph: transitivity is
-    // the LSH-threshold diagnostic (a similarity relation should be
-    // near-transitive)
-    "q_triangles" -> ((s, dir) => {
-      val pairs = pipeline.Dedup.ngramJaccardPairs(
-        t(s, dir, "documents"), "text", "doc_id", k = 2, threshold = 0.8)
-      pipeline.Graphs.triangleStats(pairs, "id_a", "id_b")
-    }),
-
-    // mutual information lang↔source: the dependence/leakage screen —
-    // one contingency aggregate, all reductions on the bounded table
-    "q_mi" -> ((s, dir) =>
-      pipeline.Profiling.mutualInformation(t(s, dir, "documents"),
-        "lang", "source")),
-
-    // pairwise Pearson correlation, all 6 pairs in ONE aggregate pass
-    // (constant per-pair state; no per-pair job, no collect)
-    "q_corr" -> ((s, dir) =>
-      pipeline.Profiling.correlationMatrix(t(s, dir, "lineitem"),
-        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
-        .orderBy("col_x", "col_y")),
-
-    // PSI drift between two corpus slices: one scan, per-(bin,side)
-    // counts collapse map-side, totals broadcast — nothing data-sized
-    "q_psi" -> ((s, dir) =>
-      pipeline.Profiling.psiReport(t(s, dir, "documents"),
-        "n_chars", "source", "src0", "src1",
-        lo = 0.0, hi = 600.0, bins = 8)
-        .orderBy("bin")),
-
-    // cardinality gate: describe's HLL approx_distinct (rsd 1%) must
-    // land within 2% of the exact distinct count per column — spans
-    // three decades of true cardinality (l_discount 11, l_quantity 50,
-    // l_partkey ~2k at sf0.01). Booleans pinned by the oracle.
-    "q_cardinality_gate" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val cols = Seq("l_quantity", "l_discount", "l_partkey")
-      val approx = pipeline.Profiling.describe(li, cols)
-        .select(col("column"), col("approx_distinct"))
-      // exact side: one aggregate, unpivoted in-plan like describe
-      val exAggs = cols.map(c =>
-        countDistinct(col(c)).alias(s"__ex_$c"))
-      val exact = li.agg(exAggs.head, exAggs.tail: _*)
-        .select(explode(array(cols.map(c => struct(lit(c).alias("column"),
-          col(s"__ex_$c").alias("ex"))): _*)).alias("s"))
-        .select(col("s.*"))
-      approx.join(exact, "column")
-        .select(col("column"),
-          (abs(col("approx_distinct") - col("ex")) <= col("ex") * 0.02)
-            .alias("within_tol"))
-        .orderBy("column")
-    }),
-
-    // exact top-k frequent values: the skew probe (which hot keys need
-    // salting/isolation) — deterministic count-desc value-asc order, so
-    // the oracle replays it exactly
-    "q_top_values" -> ((s, dir) =>
-      pipeline.Profiling.topValues(t(s, dir, "lineitem"), "l_quantity", 5)
-        .select(col("value").cast("double").alias("value"), col("cnt"))),
-
-    // approximate top-k frequent values — the bounded-state scale path
-    // (native approx_top_k sketch, no value-keyed shuffle). On a
-    // ≤maxItemsTracked-cardinality column the sketch never evicts, so
-    // counts are EXACT and the oracle replays the exact SQL
-    "q_top_values_approx" -> ((s, dir) =>
-      pipeline.Profiling.approxTopValues(t(s, dir, "lineitem"),
-        "l_quantity", 5)
-        .limit(5)
-        .select(col("value").cast("double").alias("value"),
-          col("cnt").cast("long").alias("cnt"))),
-
-    // grouped top-k frequent values: the per-join-key hot-value probe
-    // (which values of each key need salting) — exact, deterministic
-    // (count desc, value asc), replayed by the oracle's window
-    "q_top_values_by" -> ((s, dir) =>
-      pipeline.Profiling.topValuesBy(t(s, dir, "lineitem"),
-        Seq("l_returnflag"), "l_quantity", k = 3)
-        .select(col("l_returnflag"), col("value").cast("double").alias("value"),
-          col("cnt"), col("rn"))
-        .orderBy("l_returnflag", "rn")),
-
-    // grouped approximate top-k — one bounded sketch per group instead
-    // of a (group, value)-keyed aggregate; exact below sketch capacity,
-    // so the oracle is the same exact window as q_top_values_by
-    "q_top_values_by_approx" -> ((s, dir) =>
-      pipeline.Profiling.approxTopValuesBy(t(s, dir, "lineitem"),
-        Seq("l_returnflag"), "l_quantity", k = 3)
-        .select(col("l_returnflag"), col("value").cast("double").alias("value"),
-          col("cnt").cast("long").alias("cnt"), col("rn"))
-        .orderBy("l_returnflag", "rn")),
-
-    // equi-width histogram: exact per-bucket counts over the price
-    // column (two bounded aggregate passes; empty buckets emitted)
-    "q_histogram" -> ((s, dir) =>
-      pipeline.Profiling.histogram(t(s, dir, "lineitem"),
-        "l_extendedprice", bins = 16)
-        .orderBy("bucket")),
-
-    // z-order WRITE gate: a z-ordered layout must shrink the mean
-    // per-file min/max span to <70% of a hash-scattered layout on BOTH
-    // curve columns at once (single-column sort can only tighten one) —
-    // the property that makes parquet footer pruning multi-dimensional.
-    // Write/measure run eagerly at plan-build (q_kmeans_reload pattern);
-    // spans come from ONE pass per layout via input_file_name().
-    "q_zorder_gate" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select("l_orderkey", "l_partkey", "l_quantity")
-      val zCols = Seq("l_orderkey", "l_partkey")
-      val tmp = java.nio.file.Files.createTempDirectory("graft_zg")
-      val ratios = try {
-        li.repartition(8, col("l_quantity"))
-          .write.mode("overwrite").parquet(s"$tmp/plain")
-        pipeline.Layout.writeZOrdered(li, zCols, s"$tmp/zorder", numFiles = 8)
-        def meanSpans(path: String): Map[String, Double] = {
-          val perFile = s.read.parquet(path)
-            .groupBy(input_file_name().alias("__f"))
-            .agg(zCols.head -> "min", zCols.head -> "max",
-              zCols(1) -> "min", zCols(1) -> "max")
-            .drop("__f").collect()
-          zCols.zipWithIndex.map { case (c, i) =>
-            c -> perFile.map(r =>
-              r.getLong(2 * i + 1).toDouble - r.getLong(2 * i)).sum /
-              perFile.length
-          }.toMap
-        }
-        val (z, p) = (meanSpans(s"$tmp/zorder"), meanSpans(s"$tmp/plain"))
-        zCols.map(c => c -> z(c) / p(c))
-      } finally {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(tmp)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-        finally walk.close()
-      }
-      import s.implicits._
-      ratios.map { case (c, r) => (c, r < 0.7) }
-        .toDF("column", "within_tol").orderBy("column")
-    }),
-
-    // Hilbert WRITE gate: same contract as q_zorder_gate but with the
-    // CONTINUOUS curve — range-partitioned Hilbert positions must
-    // shrink the mean per-file min/max span to <70% of a hash-scattered
-    // layout on BOTH curve columns at once. One pass per layout.
-    "q_hilbert_gate" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select("l_orderkey", "l_partkey", "l_quantity")
-      val zCols = Seq("l_orderkey", "l_partkey")
-      val tmp = java.nio.file.Files.createTempDirectory("graft_hg")
-      val ratios = try {
-        li.repartition(8, col("l_quantity"))
-          .write.mode("overwrite").parquet(s"$tmp/plain")
-        pipeline.Layout.writeHilbertOrdered(li, zCols, s"$tmp/hilbert",
-          numFiles = 8)
-        def meanSpans(path: String): Map[String, Double] = {
-          val perFile = s.read.parquet(path)
-            .groupBy(input_file_name().alias("__f"))
-            .agg(zCols.head -> "min", zCols.head -> "max",
-              zCols(1) -> "min", zCols(1) -> "max")
-            .drop("__f").collect()
-          zCols.zipWithIndex.map { case (c, i) =>
-            c -> perFile.map(r =>
-              r.getLong(2 * i + 1).toDouble - r.getLong(2 * i)).sum /
-              perFile.length
-          }.toMap
-        }
-        val (h, p) = (meanSpans(s"$tmp/hilbert"), meanSpans(s"$tmp/plain"))
-        zCols.map(c => c -> h(c) / p(c))
-      } finally {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(tmp)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-        finally walk.close()
-      }
-      import s.implicits._
-      ratios.map { case (c, r) => (c, r < 0.7) }
-        .toDF("column", "within_tol").orderBy("column")
-    }),
-
-    // IVF cell-partitioned persistence gate: a corpus written
-    // partitionBy(ivf_cell) must serve a probe's `ivf_cell IN (…)`
-    // via PARTITION pruning — the scan's file set shrinks to the probed
-    // cells' directories (I/O-level nProbe/nCells, the at-rest half of
-    // the IVF story) — and pruning must lose no rows. Eager at
-    // plan-build (q_zorder_gate pattern), booleans pinned by the oracle.
-    "q_ivf_prune" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val coarse = pipeline.Clustering.fitKMeans(emb, "embedding", "vec_id",
-        k = 8, maxIter = 4)
-      val corpus = pipeline.Clustering.assign(emb, "embedding", coarse,
-        "ivf_cell").select(col("vec_id"), col("ivf_cell"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfp")
-      val (filesPruned, rowsOk) = try {
-        pipeline.Clustering.writeIvfPartitioned(corpus, s"$tmp/corpus")
-        val back = s.read.parquet(s"$tmp/corpus")
-        val cells = Seq(0, 1, 2, 3).map(Int.box)
-        val pruned = back.filter(col("ivf_cell").isin(cells: _*))
-        val totalFiles = back.select(input_file_name()).distinct().count()
-        val prunedFiles = pruned.select(input_file_name()).distinct().count()
-        val expect = corpus.filter(col("ivf_cell").isin(cells: _*)).count()
-        (prunedFiles < totalFiles, pruned.count() == expect)
-      } finally {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(tmp)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-        finally walk.close()
-      }
-      import s.implicits._
-      Seq((filesPruned, rowsOk)).toDF("files_pruned", "rows_ok")
-    }),
-
-    // Morton z-value (the z-order layout key): pure bit arithmetic, so
-    // the oracle replays it exactly — certifies the interleave the
-    // writeZOrdered layout path range-partitions on
-    "q_zvalue" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-          pipeline.Layout.zvalue(Seq(col("l_orderkey"), col("l_partkey")))
-            .alias("z"))
-        .orderBy("l_orderkey", "l_linenumber")
-        .limit(100)),
-
-    // exact quantiles, long form, one aggregate pass (Spark percentile
-    // interpolates like DuckDB quantile_cont — oracle-exact). Bounded-
-    // cardinality columns BY CONTRACT: the exact aggregate's buffer is a
-    // value→count map, so unbounded columns (prices at corpus scale)
-    // belong to approxQuantiles — q_quantiles_gate checks that path
-    "q_quantiles" -> ((s, dir) =>
-      pipeline.Profiling.exactQuantiles(t(s, dir, "lineitem"),
-        Seq("l_quantity", "l_discount"), Seq(0.25, 0.5, 0.75, 0.99))
-        .orderBy("column", "p")),
-
-    // grouped exact quantiles: per-group distribution probe (the
-    // mixing-decision input), one hash aggregate on the group key
-    "q_quantiles_by" -> ((s, dir) =>
-      pipeline.Profiling.exactQuantilesBy(t(s, dir, "lineitem"),
-        Seq("l_returnflag"), Seq("l_quantity"), Seq(0.5, 0.9))
-        .orderBy("l_returnflag", "column", "p")),
-
-    // robust per-language length outliers: median/MAD z — resistant to
-    // the outliers it hunts; two bounded aggregates broadcast back
-    "q_mad" -> ((s, dir) =>
-      pipeline.Profiling.madOutliersBy(t(s, dir, "documents"), "n_chars",
-        "lang", z = 3.5)
-        .select(col("doc_id"), col("lang"), col("n_chars"), col("med"),
-          col("mad"), col("robust_z"), col("is_outlier"))
-        .orderBy("doc_id")),
-
-    // per-language winsorization of document length: clip to the
-    // group's exact p05/p95 — bounded cut table broadcast back, the
-    // corpus never shuffles
-    "q_winsor" -> ((s, dir) =>
-      pipeline.Profiling.winsorizeBy(t(s, dir, "documents"), "n_chars",
-        "lang", lo = 0.05, hi = 0.95)
-        .select(col("doc_id"), col("lang"), col("n_chars"),
-          col("lo"), col("hi"), col("clipped"))
-        .orderBy("doc_id")),
-
-    // approx-quantile gate: the bounded-state sketch path must honor its
-    // ACTUAL contract — approx_percentile guarantees a RANK error
-    // ≤ 1/accuracy, not a value error. For each probe point the returned
-    // value's empirical rank interval [count(<v), count(≤v)]/n must
-    // cover p within eps; a value-relative tolerance would flake on
-    // near-zero quantiles and certify the wrong thing. Booleans pinned
-    // by the oracle, recall-gate style — approx results are not
-    // SQL-replayable, their error bound is.
-    "q_quantiles_gate" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val cols = Seq("l_quantity", "l_discount")
-      val ps = Seq(0.25, 0.5, 0.75, 0.99)
-      val ap = pipeline.Profiling.approxQuantiles(li, cols, ps)
-        .withColumnRenamed("q", "q_ap")
-      // long form (column, x): ONE scan serves every probe point
-      val long = li.select(explode(array(cols.map(c =>
-          struct(lit(c).alias("column"),
-            col(c).cast("double").alias("x"))): _*)).alias("s"))
-        .select(col("s.*"))
-      val eps = 1.0 / 10000 + 1e-9 // the sketch's own accuracy bound
-      long.join(broadcast(ap), Seq("column"))
-        .groupBy(col("column"), col("p"))
-        .agg(
-          (sum(when(col("x") < col("q_ap"), 1L).otherwise(0L)) /
-            count(lit(1))).alias("r_lo"),
-          (sum(when(col("x") <= col("q_ap"), 1L).otherwise(0L)) /
-            count(lit(1))).alias("r_hi"))
-        .select(col("column"), col("p"),
-          (col("r_lo") - eps <= col("p") &&
-            col("p") <= col("r_hi") + eps).alias("within_tol"))
-        .orderBy("column", "p")
-    }),
-
-    // grouped approx-quantile gate: same rank-interval contract but per
-    // (l_returnflag, column, p) — certifies approxQuantilesBy, the
-    // unbounded-domain path for per-source mixing decisions
-    "q_quantiles_by_gate" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val ps = Seq(0.25, 0.5, 0.9)
-      val ap = pipeline.Profiling.approxQuantilesBy(li, Seq("l_returnflag"),
-        Seq("l_quantity"), ps).withColumnRenamed("q", "q_ap")
-      val eps = 1.0 / 10000 + 1e-9
-      li.select(col("l_returnflag"), col("l_quantity").cast("double").alias("x"))
-        .join(broadcast(ap), Seq("l_returnflag"))
-        .groupBy(col("l_returnflag"), col("column"), col("p"))
-        .agg(
-          (sum(when(col("x") < col("q_ap"), 1L).otherwise(0L)) /
-            count(lit(1))).alias("r_lo"),
-          (sum(when(col("x") <= col("q_ap"), 1L).otherwise(0L)) /
-            count(lit(1))).alias("r_hi"))
-        .select(col("l_returnflag"), col("column"), col("p"),
-          (col("r_lo") - eps <= col("p") &&
-            col("p") <= col("r_hi") + eps).alias("within_tol"))
-        .orderBy("l_returnflag", "column", "p")
-    }),
-
-    // funnel conversion over the events stream: signup -> view -> click
-    // -> purchase, each step at-or-after the previous step's first time
-    "q_funnel" -> ((s, dir) =>
-      pipeline.Temporal.funnel(t(s, dir, "events"), "user_id", "ts",
-        "event_type", Seq("signup", "view", "click", "purchase"))
-        .orderBy("step")),
-
-    // schema-drift audit (pure metadata, no scan): a refresh with one
-    // column dropped, one narrowed, one added
-    "q_schema_diff" -> ((s, dir) => {
-      val a = t(s, dir, "documents")
-      val b = a.drop("lang")
-        .withColumn("n_chars", col("n_chars").cast("int"))
-        .withColumn("extra", lit(1L))
-      pipeline.Profiling.schemaDiff(a, b)
-        .select("column", "status").orderBy("column")
-    }),
-
-    // Benford first-digit audit over order totals (integral magnitude)
-    "q_benford" -> ((s, dir) =>
-      pipeline.Profiling.benford(t(s, dir, "orders"), "o_totalprice")
-        .orderBy("digit")),
-
-    // referential-integrity audit: orphans of lineitem→orders under a
-    // deliberately truncated parent (every third order dropped)
-    "q_orphans" -> ((s, dir) =>
-      pipeline.Profiling.orphans(
-        t(s, dir, "lineitem"),
-        t(s, dir, "orders").filter(col("o_orderkey") % 3 =!= 0),
-        "l_orderkey", "o_orderkey")),
-
-    // event-order audit: violations of ts monotonicity per user against
-    // a deterministic md5-permuted arrival order (the raw feed is
-    // perfectly ordered — the permutation exercises the check)
-    "q_order_viol" -> ((s, dir) => pipeline.Profiling.orderViolations(
-      t(s, dir, "events").withColumn("arr",
-        md5(col("event_id").cast("string"))),
-      "user_id", "ts", "arr")
-      .filter(col("user_id") < 30)
-      .orderBy("user_id")),
-
-    // inter-event gap quantiles (the evidence behind the session gap)
-    "q_gaps" -> ((s, dir) => pipeline.Temporal.gapQuantiles(
-      t(s, dir, "events"), "user_id", "ts", "event_id",
-      ps = Seq(0.5, 0.9, 0.99))
-      .orderBy("p")),
-
-    // per-user rate changepoint: prefix-form CUSUM over daily buckets,
-    // all windows on ONE key exchange
-    "q_changepoint" -> ((s, dir) =>
-      pipeline.Temporal.changepoint(t(s, dir, "events"), "user_id", "ts",
-        periodNs = 86400L * 1000000000L)
-        .filter(col("user_id") < 50)
-        .orderBy("user_id")),
-
-    // windowed funnel: each step must convert within 24h of the previous
-    // step's reach time — the realistic conversion measure
-    "q_funnel_win" -> ((s, dir) =>
-      pipeline.Temporal.funnelWithin(t(s, dir, "events"), "user_id", "ts",
-        "event_type", Seq("signup", "view", "click", "purchase"),
-        stepWithinNs = 24L * 3600 * 1000000000L)
-        .orderBy("step")),
-
-    // daily cohort retention over the events table (ts is epoch
-    // nanoseconds; one period = 86400e9 ns)
-    "q_retention" -> ((s, dir) =>
-      pipeline.Temporal.cohortRetention(t(s, dir, "events"), "user_id", "ts",
-        periodLen = 86400000000000L)
-        .orderBy("cohort", "offset")),
-
-    "q_topk_group" -> ((s, dir) => pipeline.Temporal.topKPerGroup(
-      t(s, dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
-      Seq("o_custkey"),
-      Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 3)
-      .orderBy("o_custkey", "rn")),
-
-    // interval join: events enriched against 30 daily 6-hour windows
-    // (bucketed equi-join — nested-loop-free; ts auto-normalized to
-    // epoch nanos, windows are long-typed nanos already). The
-    // aggregate certifies the containment semantics end-to-end.
-    "q_interval" -> ((s, dir) => {
-      val dayNs = 86400L * 1000000000L
-      val sixHNs = 21600L * 1000000000L
-      val baseNs = 1704067200L * 1000000000L // 2024-01-01T00:00Z
-      val ev = t(s, dir, "events").select(col("event_id"), col("ts"), col("value"))
-      val wins = s.range(0, 30).select(col("id").alias("win_id"),
-        (lit(baseNs) + col("id") * lit(dayNs)).alias("w_start"),
-        (lit(baseNs) + col("id") * lit(dayNs) + lit(sixHNs)).alias("w_end"))
-      pipeline.Temporal.intervalJoin(ev, wins, "ts", "w_start", "w_end",
-        grain = sixHNs)
-        .groupBy("win_id")
-        .agg(count(lit(1)).alias("n_events"),
-          pipeline.Rounding.halfUp(sum(col("value")), 6).alias("sum_value"))
-        .orderBy("win_id")
-    }),
-
-    // multimodal binary plumbing end-to-end: synthetic payload, REAL
-    // partition-wise resize (mapPartitions, the plan shape a codec needs),
-    // checked against an independent arithmetic oracle
-    "q_multimodal" -> ((s, dir) => {
-      val media = pipeline.Multimodal.attachFakeMedia(
-        t(s, dir, "documents").select("doc_id", "text"), "text")
-      pipeline.Multimodal.resizeMedia(media, 16, 16)
-        .select(col("doc_id"),
-          col("media_meta.format").alias("format"),
-          col("media_meta.width").cast("long").alias("width"),
-          col("media_meta.height").cast("long").alias("height"),
-          col("media_meta.n_bytes").alias("n_bytes"),
-          length(col("media")).cast("long").alias("media_len"))
-        .orderBy("doc_id")
-    }),
-
-    // deterministic stratified sampling: downsample the dominant
-    // language, keep the tail — md5-threshold filter, no RNG, no shuffle
-    "q_sample" -> ((s, dir) => pipeline.Sampling.stratifiedSample(
-      t(s, dir, "documents"), "doc_id", "lang",
-      rates = Map("en" -> 0.25, "zh" -> 0.5), defaultRate = 0.75)
-      .groupBy("lang").agg(count(lit(1)).alias("kept"))
-      .orderBy("lang")),
-
-    // weighted sample without replacement (Efraimidis–Spirakis A-Res):
-    // md5-derived uniform raised to 1/weight, top-k — deterministic,
-    // engine-portable, TakeOrdered plan; oracle replays the arithmetic
-    "q_weighted_sample" -> ((s, dir) =>
-      pipeline.Sampling.weightedSample(
-        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
-        "doc_id", length(col("text")), k = 25)
-        .select(col("doc_id"), col("lang"), col("sample_score"))
-        .orderBy(col("sample_score").desc, col("doc_id"))),
-
-    // per-group weighted sample: k rows per language by the same A-Res
-    // score — one window exchange on the group key, no global sort
-    "q_weighted_by" -> ((s, dir) =>
-      pipeline.Sampling.weightedSampleByGroup(
-        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
-        Seq("lang"), "doc_id", length(col("text")), kPerGroup = 5)
-        .select(col("lang"), col("doc_id"), col("sample_score"))
-        .orderBy(col("lang"), col("sample_score").desc, col("doc_id"))),
-
-    // per-source quota cap: at most 10 docs per source by md5 priority —
-    // the RefinedWeb-style per-domain cap; rank filter compiles to
-    // WindowGroupLimit so the shuffle carries <= n rows/group/task
-    "q_cap_source" -> ((s, dir) =>
-      pipeline.Sampling.capPerGroup(
-        t(s, dir, "documents").select(col("source"), col("doc_id")),
-        "source", "doc_id", n = 10)
-        .orderBy("source", "doc_id")),
-
-    // deterministic shuffle + round-robin sharding: md5-rank order
-    // dealt into 8 balanced shards (the training-shard write prep)
-    "q_shuffle" -> ((s, dir) =>
-      pipeline.Sampling.shuffleShards(
-        t(s, dir, "documents").select(col("doc_id")), "doc_id", shards = 8)
-        .orderBy("doc_id")),
-
-    // leakage-safe split: near-dup connected components are the split
-    // unit — a doc and all its near-duplicates land on one side
-    "q_safe_split" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val pairs = pipeline.Dedup.ngramJaccardPairs(docs, "text", "doc_id",
-        k = 2, threshold = 0.8)
-      pipeline.Sampling.clusterSafeSplit(
-        docs.select(col("doc_id")), "doc_id", pairs, "id_a", "id_b",
-        Seq("train" -> 0.8, "eval" -> 0.2))
-        .orderBy("doc_id")
-    }),
-
-    // exact stratified 80/10/10 split: every language lands its
-    // proportional count in each slice (rank cuts, not hash binomials)
-    "q_split_exact" -> ((s, dir) =>
-      pipeline.Sampling.exactStratifiedSplit(
-        t(s, dir, "documents").select(col("doc_id"), col("lang")),
-        "lang", "doc_id",
-        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-        .orderBy("doc_id")),
-
-    // Freedman-Diaconis auto-binned histogram of document lengths
-    "q_autohist" -> ((s, dir) =>
-      pipeline.Profiling.autoHistogram(t(s, dir, "documents"), "n_chars")
-        .orderBy("bucket")),
-
-    // class-balanced downsample: every language keeps exactly the
-    // rarest language's count, md5-ranked within class
-    "q_balance" -> ((s, dir) =>
-      pipeline.Sampling.classBalance(
-        t(s, dir, "documents").select(col("lang"), col("doc_id")),
-        "lang", "doc_id")
-        .orderBy("doc_id")),
-
-    // deterministic uniform negatives: 4 md5-indexed corpus draws per
-    // anchor via the distributed dense rank (easy-negative counterpart
-    // of q_hardneg)
-    "q_negatives" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      pipeline.Sampling.uniformNegatives(emb,
-        emb.filter(col("vec_id") < 5)
-          .select(col("vec_id").alias("q_id")),
-        "vec_id", "q_id", k = 4)
-        .orderBy("q_id", "j")
-    }),
-
-    // ---- LLM-pipeline operators (graft.pipeline) ---------------------
-    // exact dedup groups (hash-groupBy, keep lowest id)
-    "q_dedup_exact" -> ((s, dir) =>
-      pipeline.Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id")
-        .orderBy("h")),
-
-    // token-set-normalized dedup key (near-dup grouping key)
-    "q_dedup_tokenset" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .groupBy(pipeline.TextAnalysis.tokenSetKey(col("text")).alias("h"))
-        .agg(count(lit(1)).alias("cnt"), min(col("doc_id")).alias("keep_id"))
-        .orderBy("h")),
-
-    // text analysis: token count, quality score, language id, fingerprint
-    "q_text_stats" -> ((s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        pipeline.TextAnalysis.tokenCount(col("text")).alias("n_tokens"),
-        pipeline.TextAnalysis.qualityScore(col("text")).alias("quality"),
-        pipeline.TextAnalysis.langId(col("text")).alias("lang_pred"),
-        pipeline.TextAnalysis.fingerprint(col("text")).alias("fp"))
-        .orderBy("doc_id")),
-
-    // MinHash-LSH near-dup pairs, exact-Jaccard verified (k=3 shingles)
-    "q_minhash_pairs" -> ((s, dir) =>
-      pipeline.Dedup.minhashDupPairs(t(s, dir, "documents"), "text", "doc_id",
-        k = 3, bands = 16, rows = 4, jaccardThreshold = 0.7)
-        .orderBy("id_a", "id_b")),
-
-    // prefix-filtered n-gram Jaccard pairs (k=2; exact — oracle replicates
-    // with a brute-force pairwise join)
-    "q_ngram_pairs" -> ((s, dir) =>
-      pipeline.Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
-        k = 2, threshold = 0.8)
-        .orderBy("id_a", "id_b")),
-
-    // tf-idf weighted cosine near-dup pairs over the informative-term
-    // subspace (df-capped inverted-index join; 60-bit hashed terms)
-    "q_tfidf_pairs" -> ((s, dir) =>
-      pipeline.Dedup.tfidfCosinePairs(t(s, dir, "documents"), "text",
-        "doc_id", threshold = 0.9, maxDf = 1000)
-        .orderBy("id_a", "id_b")),
-
-    // benchmark decontamination: bench-shingle containment in train docs
-    // (bench = every 7th doc, train = the rest)
-    "q_contain" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      pipeline.Dedup.crossContainment(
-        docs.filter(col("doc_id") % 7 =!= 0),
-        docs.filter(col("doc_id") % 7 === 0),
-        "text", "doc_id", k = 2, threshold = 0.8)
-        .orderBy("bench_id", "train_id")
-    }),
-
-    // Bloom-gated decontamination: same result as q_contain, but the
-    // train corpus is prefiltered map-side by a broadcast Bloom filter
-    // over the bench shingle union — the postings explode runs only on
-    // gated survivors
-    "q_contain_bloom" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      pipeline.Dedup.crossContainmentBloom(
-        docs.filter(col("doc_id") % 7 =!= 0),
-        docs.filter(col("doc_id") % 7 === 0),
-        "text", "doc_id", k = 2, threshold = 0.8)
-        .orderBy("bench_id", "train_id")
-    }),
-
-    // decontamination REMOVAL: the train corpus minus every doc a bench
-    // doc is contained in (detection feeds a broadcast anti-join)
-    "q_decon" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      pipeline.Dedup.decontaminate(
-        docs.filter(col("doc_id") % 7 =!= 0),
-        docs.filter(col("doc_id") % 7 === 0),
-        "text", "doc_id", k = 2, threshold = 0.8)
-        .select(col("doc_id"), col("lang"), col("source"))
-        .orderBy("doc_id")
-    }),
-
-    // cross-document boilerplate line removal (CCNet recipe): planted
-    // chrome ('subscribe…' on every doc, a footer on every 5th) vanishes
-    // at minDocs=3; per-doc-unique lines and whitespace survive in order.
-    // Frequency pass aggregates 8-byte line hashes; the flagged set rides
-    // an explicit broadcast probe
-    "q_boilerplate" -> ((s, dir) => {
-      val aug = t(s, dir, "documents").select(col("doc_id"),
-        concat_ws("\n",
-          col("text"),
-          lit("subscribe to our newsletter"),
-          when(col("doc_id") % 5 === 0, lit("copyright footer 2026"))
-            .otherwise(concat(lit("tail "), col("doc_id").cast("string"))),
-          lit("  "),
-          lit("back to top")).alias("txt"))
-      pipeline.Dedup.dropBoilerplateLines(aug, "doc_id", "txt", minDocs = 3)
-        .select(col("doc_id"), md5(col("txt")).alias("clean_fp"),
-          col("n_kept"), col("n_dropped"))
-        .orderBy("doc_id")
-    }),
-
-    // leakage-safe train/val/test split: md5(salt ++ doc_id) cuts the
-    // 32-bit prefix space at 80/10/10 — a pure map-side projection (no
-    // exchange, no RNG state); the same row lands in the same slice on
-    // any engine, run, or partitioning
-    "q_split" -> ((s, dir) =>
-      pipeline.Sampling.splitByHash(
-        t(s, dir, "documents").select("doc_id"),
-        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
-        salt = "graft-r9")
-        .orderBy("doc_id")),
-
-    // mergeable HLL distinct sketches: per-lang sketches of doc_id,
-    // unioned WITHOUT rescanning the corpus, land within 5% of the exact
-    // count (the union answers with the composite estimator — the HIP
-    // estimator doesn't survive a merge — so it's gated against the
-    // exact count, not against the direct sketch); the direct
-    // single-pass sketch stays within 1%. The incremental profiling
-    // shape: per-partition sketches persist as a few KB of binary each
-    "q_hll_gate" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val merged = pipeline.Profiling.unionSketchEstimate(
-          pipeline.Profiling.distinctSketches(docs, Seq("lang"), "doc_id"))
-        .select(col("estimate").alias("__m"))
-      val direct = docs.agg(hll_sketch_estimate(
-        hll_sketch_agg(col("doc_id"), lit(12))).alias("__d"))
-      docs.agg(countDistinct(col("doc_id")).alias("n_exact"))
-        .crossJoin(merged).crossJoin(direct)
-        .select(col("n_exact"),
-          (abs(col("__d") - col("n_exact")) <= col("n_exact") * lit(0.01))
-            .alias("direct_within_1pct"),
-          (abs(col("__m") - col("n_exact")) <= col("n_exact") * lit(0.05))
-            .alias("merged_within_5pct"))
-    }),
-
-    // mergeable count-min frequency sketches: per-lang CMS over the
-    // source column; merged point estimates must EQUAL the single-pass
-    // sketch (CMS merge is lossless — cells add) and bound the exact
-    // count from above within eps*N. One sketch per group crosses the
-    // driver, never the data
-    "q_cms_gate" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val exact = docs.groupBy(col("source").alias("value"))
-        .agg(count(lit(1)).alias("n_true"))
-      val probes = exact.select("value").collect()
-        .map(_.getString(0)).toSeq.sorted
-      val m = pipeline.Profiling.cmsEstimates(
-        pipeline.Profiling.freqSketches(docs, Seq("lang"), "source"), probes)
-      val d = pipeline.Profiling.cmsEstimates(
-        pipeline.Profiling.freqSketches(
-          docs.withColumn("__g", lit(1)), Seq("__g"), "source"), probes)
-      val slack = math.ceil(0.01 * docs.count()).toLong
-      import s.implicits._
-      probes.map(p => (p, m(p), d(p))).toDF("value", "__m", "__d")
-        .join(exact, "value")
-        .select(col("value"), col("n_true"),
-          (col("__m") === col("__d")).alias("merge_eq"),
-          (col("__m") >= col("n_true") &&
-            col("__m") <= col("n_true") + slack).alias("bounds_ok"))
-        .orderBy("value")
-    }),
-
-    // small-file compaction gate: 64 shards of the documents table
-    // rewritten at a 4 MB target must come back as fewer files with the
-    // identical row multiset (xor-of-row-hashes + count compare; order
-    // is explicitly NOT preserved — parquet dirs are row bags)
-    "q_compact_gate" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val tmp = java.nio.file.Files.createTempDirectory("graft_cg")
-      val (nRows, contentOk, compacted) = try {
-        docs.repartition(64).write.mode("overwrite").parquet(s"$tmp/small")
-        val nOut = pipeline.Layout.compact(s, s"$tmp/small", s"$tmp/compact",
-          targetFileBytes = 4L << 20)
-        val sig = (p: String) => s.read.parquet(p)
-          .agg(count(lit(1)), expr("bit_xor(xxhash64(doc_id, text, lang, source, n_chars))"))
-          .head()
-        val (a, b) = (sig(s"$tmp/small"), sig(s"$tmp/compact"))
-        (a.getLong(0), a == b, nOut < 64)
-      } finally {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(tmp)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-        finally walk.close()
-      }
-      import s.implicits._
-      Seq((nRows, contentOk, compacted))
-        .toDF("n_rows", "content_ok", "compacted")
-    }),
-
-    // Gopher line-level repetition/boilerplate signals over planted
-    // multi-line text (the synthetic corpus is single-line): one
-    // codegen'd struct pass, zero shuffle
-    "q_line_stats" -> ((s, dir) => {
-      val aug = t(s, dir, "documents").select(col("doc_id"),
-        concat_ws("\n",
-          col("text"),
-          substring(col("text"), 1, 40),
-          when(col("doc_id") % 3 === 0, substring(col("text"), 1, 40))
-            .otherwise(concat(lit("unique tail "), col("doc_id").cast("string"))),
-          lit("- bullet item"),
-          when(col("doc_id") % 4 === 0, lit("to be continued..."))
-            .otherwise(concat(lit("closing line "), col("doc_id").cast("string"))))
-          .alias("txt"))
-      aug.select(col("doc_id"),
-        pipeline.TextAnalysis.lineRepStats(col("txt")).alias("ls"))
-        .select(col("doc_id"),
-          col("ls.n_lines").cast("long").alias("n_lines"),
-          pipeline.Rounding.halfUp(col("ls.dup_line_frac"), 6)
-            .alias("dup_line_frac"),
-          pipeline.Rounding.halfUp(col("ls.dup_line_char_frac"), 6)
-            .alias("dup_line_char_frac"),
-          pipeline.Rounding.halfUp(col("ls.bullet_line_frac"), 6)
-            .alias("bullet_line_frac"),
-          pipeline.Rounding.halfUp(col("ls.ellipsis_line_frac"), 6)
-            .alias("ellipsis_line_frac"))
-        .orderBy("doc_id")
-    }),
-
-    // Gopher-style repetition/quality signals (pure array expressions,
-    // zero shuffle)
-    "q_quality_rep" -> ((s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        pipeline.TextAnalysis.duplicateWordFraction(col("text")).alias("dup_word_frac"),
-        pipeline.TextAnalysis.topBigramFraction(col("text")).alias("top_bigram_frac"),
-        pipeline.TextAnalysis.stopwordFraction(col("text")).alias("stopword_frac"),
-        pipeline.TextAnalysis.meanWordLength(col("text")).alias("mean_word_len"))
-        .orderBy("doc_id")),
-
-    // document chunking: 20-token windows, 5-token overlap (the window
-    // shape embedding models consume); narrow plan, token array
-    // materialized once per doc
-    "q_chunks" -> ((s, dir) =>
-      pipeline.TextAnalysis.chunkDocs(t(s, dir, "documents"), "doc_id",
-        "text", chunkTokens = 20, overlap = 5)
-        .orderBy("doc_id", "chunk_id")),
-
-    // text normalization over planted mess: decomposed accents (NFC via
-    // the native graft_nfc expression), a URL, a control char — the
-    // canonical pre-dedup cleanup, fingerprint-compared
-    "q_norm" -> ((s, dir) => {
-      val aug = t(s, dir, "documents").select(col("doc_id"),
-        when(col("doc_id") % 3 === 0,
-          concat(col("text"),
-            lit(" cafe\u0301 see https://ex.ample/x?q=1\u0007 fin")))
-          .otherwise(col("text")).alias("txt"))
-      aug.select(col("doc_id"),
-        md5(pipeline.TextAnalysis.normalizeText(col("txt"))).alias("norm_fp"),
-        length(pipeline.TextAnalysis.normalizeText(col("txt")))
-          .cast("long").alias("n_chars_norm"))
-        .orderBy("doc_id")
-    }),
-
-    // PII scrubbing over deterministically injected PII (the synthetic
-    // corpus carries none): counts + fingerprint of the scrubbed text
-    "q_pii_scrub" -> ((s, dir) => {
-      val aug = t(s, dir, "documents").select(col("doc_id"),
-        concat(col("text"),
-          lit(" contact doc"), col("doc_id").cast("string"),
-          lit("@example.com from 10.1."), (col("doc_id") % 250).cast("string"),
-          lit(".7 or call +1-555-"),
-          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
-          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).alias("txt"))
-      pipeline.TextAnalysis.piiCounts(aug, "txt")
-        .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"),
-          md5(pipeline.TextAnalysis.scrubPii(col("txt"))).alias("scrub_fp"))
-        .orderBy("doc_id")
-    }),
-
-    // sequence packing: per-doc coordinates in the sharded concatenated
-    // token stream (seqLen=512, 8 shards)
-    "q_pack" -> ((s, dir) =>
-      pipeline.Packing.packDocs(t(s, dir, "documents"), "doc_id", "text",
-        seqLen = 512, shards = 8)
-        .select(col("doc_id"), col("shard"), col("n_tokens"),
-          col("start_off"), col("seq_id"), col("seq_off"))
-        .orderBy("doc_id")),
-
-    // packed-stream assembly: the actual (shard, seq) token slices,
-    // fingerprinted (seqLen=512, 8 shards)
-    "q_pack_asm" -> ((s, dir) =>
-      pipeline.Packing.assembleSequences(t(s, dir, "documents"), "doc_id",
-        "text", seqLen = 512, shards = 8)
-        .select(col("shard"), col("seq_id"),
-          size(col("tokens")).cast("long").alias("n_tokens"),
-          md5(array_join(col("tokens"), " ")).alias("fp"))
-        .orderBy("shard", "seq_id")),
-
-    // corpus-level vocabulary: top-20 bigrams by frequency (map-side
-    // partial agg + TakeOrdered; deterministic (cnt desc, ngram) tiebreak)
-    "q_top_ngrams" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(explode(pipeline.TextAnalysis.bigrams(col("text"))).alias("ngram"))
-        .groupBy("ngram").agg(count(lit(1)).alias("cnt"))
-        .orderBy(col("cnt").desc, col("ngram").asc)
-        .limit(20)),
-
-    // incremental near-dup: standing MinHash-LSH index of the corpus
-    // (doc_id % 11 != 0), probed by a new batch (doc_id % 11 == 0); the
-    // corpus is never re-sketched. Oracle: brute-force exact Jaccard over
-    // the same split.
-    "q_incr" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val index = pipeline.Dedup.minhashIndex(
-        docs.filter(col("doc_id") % 11 =!= 0), "text", "doc_id")
-      pipeline.Dedup.minhashProbe(index,
-        docs.filter(col("doc_id") % 11 === 0), "text", "doc_id",
-        jaccardThreshold = 0.7)
-        .orderBy("new_id", "corpus_id")
-    }),
-
-    // span-level exact-substring duplication (Lee et al. 2022 shape):
-    // rolling 8-token window hashes; every window occurring >= 2 times
-    // marks its positions; overlapping windows merge to spans. A fixed
-    // 13-token boilerplate is planted on doc_id % 5 == 0 (the synthetic
-    // corpus has no natural 8-gram repeats) — the classic boilerplate-
-    // removal scenario.
-    "q_spans" -> ((s, dir) =>
-      pipeline.Dedup.duplicatedSpans(boilerplated(s, dir), "txt", "doc_id",
-        w = 8).orderBy("doc_id", "span_start")),
-
-    // span removal: surviving tokens + fingerprint of the cleaned text
-    "q_clean" -> ((s, dir) =>
-      pipeline.Dedup.removeDuplicatedSpans(boilerplated(s, dir), "txt",
-        "doc_id", w = 8)
-        .select(col("doc_id"), md5(col("txt")).alias("clean_fp"),
-          col("n_kept"))
-        .orderBy("doc_id")),
-
-    // BM25 relevance search: corpus stats (N, avgdl, df) from one
-    // broadcast 1-row aggregate, per-term tf map-side, top-k TakeOrdered
-    "q_bm25" -> ((s, dir) =>
-      pipeline.Search.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
-        Seq("spark", "hash", "merge"), k = 50)),
-
-    // rank-biased overlap of the lexical vs quality-prior top-50 lists
-    // at depth 20: how similar are the two retrievers' heads
-    "q_rbo" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val docs = t(s, dir, "documents")
-      val wB = Window.orderBy(col("score").desc, col("doc_id").asc)
-      val bm = pipeline.Search.bm25TopK(docs, "text", "doc_id",
-        Seq("spark", "hash", "merge"), k = 50)
-        .withColumn("rn", row_number().over(wB))
-      val wQ = Window.orderBy(col("lm_score").desc, col("doc_id").asc)
-      val qual = pipeline.LangModel.scoreDocs(docs, "text", "doc_id")
-        .orderBy(col("lm_score").desc, col("doc_id").asc).limit(50)
-        .withColumn("rn", row_number().over(wQ))
-      pipeline.Search.rankBiasedOverlap(bm, qual, "doc_id", p = 0.9, k = 20)
-    }),
-
-    // persisted inverted index lifecycle: build the bucket-partitioned
-    // postings store, then serve the q_bm25 query from it — results
-    // must be BIT-IDENTICAL to scoring raw text (same oracle)
-    "q_search_idx" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_tidx").toString
-      pipeline.Search.buildTextIndex(docs, "text", "doc_id", path,
-        buckets = 16)
-      pipeline.Search.probeTextIndex(s, path,
-        Seq("spark", "hash", "merge"), k = 50)
-    }),
-
-    // hybrid ranking: RRF-fuse the BM25 top-50 with the quality-prior
-    // (lm_score) top-50 — rank-only combination of incomparable scores;
-    // everything after retrieval runs on bounded top-k lists
-    "q_rrf" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val docs = t(s, dir, "documents")
-      val wB = Window.orderBy(col("score").desc, col("doc_id").asc)
-      val bm = pipeline.Search.bm25TopK(docs, "text", "doc_id",
-        Seq("spark", "hash", "merge"), k = 50)
-        .withColumn("rn", row_number().over(wB))
-      val wQ = Window.orderBy(col("lm_score").desc, col("doc_id").asc)
-      val qual = pipeline.LangModel.scoreDocs(docs, "text", "doc_id")
-        .orderBy(col("lm_score").desc, col("doc_id").asc).limit(50)
-        .withColumn("rn", row_number().over(wQ))
-      pipeline.Search.rrfFuse(Seq(bm, qual), "doc_id", c = 60, k = 20)
-    }),
-
-    // per-document top-3 tf-idf keywords, ranked on the ROUNDED weight
-    // with term tie-break (engine-portable rank)
-    "q_keywords" -> ((s, dir) =>
-      pipeline.Search.topTfidfTerms(t(s, dir, "documents"), "text",
-        "doc_id", k = 3)
-        .orderBy("doc_id", "rk")),
-
-    // Zipf fit of the term-frequency distribution: corpus-health check
-    // (natural prose slope near -1); rank via the distributed rank
-    "q_zipf" -> ((s, dir) =>
-      pipeline.TextAnalysis.zipfFit(t(s, dir, "documents"), "text")),
-
-    // vocabulary coverage curve: token share covered by the top-k
-    // terms at candidate vocab sizes (tokenizer sizing input)
-    "q_vocab_cov" -> ((s, dir) =>
-      pipeline.TextAnalysis.vocabCoverage(t(s, dir, "documents"), "text",
-        Seq(100, 1000, 8000))
-        .orderBy("vocab_k")),
-
-    // one-row dedup yield report: exact uniques + near-dup cluster
-    // collapse economics before GPU-hours are committed
-    "q_dedup_report" -> ((s, dir) =>
-      pipeline.Dedup.dedupReport(t(s, dir, "documents"), "text", "doc_id",
-        k = 2, threshold = 0.8)),
-
-    // the same economics per source: which crawl is redundant
-    "q_dedup_by_source" -> ((s, dir) =>
-      pipeline.Dedup.dedupReportBy(t(s, dir, "documents"), "text",
-        "doc_id", "source", k = 2, threshold = 0.8)
-        .orderBy("source")),
-
-    // robust vs raw location per language: trimmed (winsorized) mean
-    // against the plain mean — the outlier-sensitivity gap
-    "q_trimmed" -> ((s, dir) =>
-      pipeline.Profiling.winsorizeBy(t(s, dir, "documents"), "n_chars",
-        "lang", lo = 0.05, hi = 0.95)
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).alias("n"),
-          pipeline.Rounding.halfUp(avg(col("n_chars").cast("double")), 6)
-            .alias("raw_mean"),
-          pipeline.Rounding.halfUp(avg(col("clipped")), 6)
-            .alias("trimmed_mean"))
-        .orderBy("lang")),
-
-    // unicode-script composition per doc: the multilingual router —
-    // pure regexp-count expressions, zero shuffle
-    "q_script" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"),
-        pipeline.TextAnalysis.scriptProfile(col("text")).alias("sp"))
-        .select(col("doc_id"),
-          col("sp.latin_frac").alias("latin_frac"),
-          col("sp.digit_frac").alias("digit_frac"),
-          col("sp.cjk_frac").alias("cjk_frac"),
-          col("sp.cyrillic_frac").alias("cyrillic_frac"),
-          col("sp.other_frac").alias("other_frac"))
-        .orderBy("doc_id")),
-
-    // semi-structured props: JSON field extraction + per-type stats
-    // (get_json_object is a per-row expression — scan-parallel)
-    "q_props" -> ((s, dir) =>
-      t(s, dir, "events").select(col("event_type"),
-        get_json_object(col("props"), "$.k").cast("long").alias("k"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).alias("n"),
-          pipeline.Rounding.halfUp(avg(col("k")), 6).alias("avg_k"),
-          min(col("k")).alias("min_k"), max(col("k")).alias("max_k"))
-        .orderBy("event_type")),
-
-    // trigram stupid-backoff scoring against the %7!=0 reference split:
-    // held-out docs exercise the real backoff path
-    "q_trigram" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      pipeline.LangModel.scoreDocsBackoff(docs,
-        docs.filter(col("doc_id") % 7 =!= 0), "text", "doc_id")
-        .orderBy("doc_id")
-    }),
-
-    // corpus bigram-LM quality scoring (CCNet-shape): add-α-smoothed mean
-    // bigram log-probability per document
-    "q_lm_score" -> ((s, dir) =>
-      pipeline.LangModel.scoreDocs(t(s, dir, "documents"), "text", "doc_id")
-        .orderBy("doc_id")),
-
-    // CCNet head/middle/tail: equal-count perplexity tertiles per
-    // language (ntile over the bounded per-lang rank)
-    "q_ppl_buckets" -> ((s, dir) =>
-      pipeline.LangModel.perplexityBuckets(t(s, dir, "documents"), "text",
-        "doc_id", "lang", buckets = 3)
-        .orderBy("doc_id")),
-
-    // corpus-trained BPE (Sennrich 2016): merges learned from the
-    // word-frequency table (driver state bounded like a model fit),
-    // applied by a codegen'd expression. Certified by the lossless-
-    // partition invariant — joining a doc's subwords reproduces its
-    // lowercased whitespace-stripped text — plus token-count bounds
-    // tokenizer fertility per language under the corpus-trained BPE:
-    // the bounds gate replays in SQL (the mean itself is spec-certified
-    // — the merge table is not SQL-expressible)
-    "q_fertility" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val model = pipeline.Bpe.learn(docs, "text", numMerges = 200)
-      pipeline.Bpe.fertilityByGroup(docs, "text", "lang", model)
-        .select(col("lang"), col("n_docs"), col("fertility_ok"))
-        .orderBy("lang")
-    }),
-
-    // (n_words ≤ n_subwords ≤ n_nonspace_chars)
-    "q_bpe" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val model = pipeline.Bpe.learn(docs, "text", numMerges = 200)
-      val nSub = pipeline.Bpe.tokenCount(col("text"), model)
-      val nonspace = length(regexp_replace(lower(trim(col("text"))), "\\s+", ""))
-      val nWords = size(pipeline.TextAnalysis.tokens(lower(col("text"))))
-      docs.select(col("doc_id"),
-        concat_ws("", pipeline.Bpe.segment(col("text"), model)).alias("joined"),
-        (nSub.leq(nonspace) && nSub.geq(nWords)).cast("int")
-          .alias("within_bounds"))
-        .orderBy("doc_id")
-    }),
-
-    // the composed Gopher quality gate (Rae 2021 Table A1): per-rule
-    // evidence + verdict, pure per-row expressions, zero shuffle
-    "q_gopher" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"),
-        pipeline.TextAnalysis.gopherReport(col("text")).alias("g"))
-        .select(col("doc_id"),
-          col("g.n_words").alias("n_words"),
-          col("g.mean_word_len").alias("mean_word_len"),
-          col("g.symbol_ratio").alias("symbol_ratio"),
-          col("g.bullet_frac").alias("bullet_frac"),
-          col("g.ellipsis_frac").alias("ellipsis_frac"),
-          col("g.alpha_word_frac").alias("alpha_word_frac"),
-          col("g.n_req_stops").alias("n_req_stops"),
-          col("g.passes").cast("int").alias("passes"))
-        .orderBy("doc_id")),
-
-    // character-distribution entropy (bits): degenerate-repetition /
-    // binary-payload quality signal, one codegen'd pass, zero shuffle
-    "q_char_entropy" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"),
-        pipeline.TextAnalysis.charEntropy(col("text")).alias("char_entropy"))
-        .orderBy("doc_id")),
-
-    // DSIR importance weights (Xie 2023): hashed-ngram log-likelihood
-    // ratio of every document against a target-domain sample (lang='de');
-    // count tables bounded at `buckets` cells, ratio table broadcast
-    "q_dsir_weights" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      pipeline.Dsir.importanceWeights(docs, docs.filter(col("lang") === "de"),
-        "text", "doc_id", buckets = 8192, alpha = 0.5)
-        .orderBy("doc_id")
-    }),
-
-    // DSIR Gumbel-top-k resample on those weights: deterministic md5
-    // Gumbel noise, map-side key + TakeOrderedAndProject
-    "q_dsir_sample" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val w = pipeline.Dsir.importanceWeights(docs,
-        docs.filter(col("lang") === "de"), "text", "doc_id",
-        buckets = 8192, alpha = 0.5)
-      pipeline.Dsir.resample(w, "doc_id", "iw", k = 40)
-        .select(col("doc_id"), col("iw"), col("sample_key"))
-        .orderBy(col("sample_key").desc, col("doc_id"))
-    }),
-
-    // model-based quality/language filter (fastText-shape, Joulin 2017 /
-    // GPT-3 data recipe): hashed-ngram Naive Bayes fit on a labeled set
-    // (here: lang='en' as the positive class), applied to the corpus by
-    // the shuffle-free per-row scoring kernel
-    "q_nb_quality" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val labeled = docs.withColumn("y", (col("lang") === "en").cast("int"))
-      val model = pipeline.Classify.fitNaiveBayes(labeled, "text", "doc_id",
-        "y", buckets = 8192, alpha = 0.5)
-      pipeline.Classify.score(docs, "text", "doc_id", model)
-        .orderBy("doc_id")
-    }),
-
-    // ROC-AUC of the NB quality score against the lang='en' labels:
-    // Mann-Whitney with average-rank tie correction, distributed rank
-    "q_auc" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val labeled = docs.withColumn("y", (col("lang") === "en").cast("int"))
-      val model = pipeline.Classify.fitNaiveBayes(labeled, "text", "doc_id",
-        "y", buckets = 8192, alpha = 0.5)
-      val scored = pipeline.Classify.score(docs, "text", "doc_id", model)
-        .join(labeled.select(col("doc_id"), col("y")), Seq("doc_id"))
-      pipeline.Classify.aucScore(scored, "score", "y", "doc_id")
-    }),
-
-    // confusion matrix + precision/recall/F1 at the zero threshold
-    "q_confusion" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val labeled = docs.withColumn("y", (col("lang") === "en").cast("int"))
-      val model = pipeline.Classify.fitNaiveBayes(labeled, "text", "doc_id",
-        "y", buckets = 8192, alpha = 0.5)
-      val scored = pipeline.Classify.score(docs, "text", "doc_id", model)
-        .join(labeled.select(col("doc_id"), col("y")), Seq("doc_id"))
-      pipeline.Classify.confusionReport(scored, "score", "y", threshold = 0.0)
-    }),
-
-    // reliability diagram: decile bins of σ(score) vs empirical
-    // positive rate (probabilities rounded before binning — engine-
-    // portable bin edges)
-    "q_calibration" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val labeled = docs.withColumn("y", (col("lang") === "en").cast("int"))
-      val model = pipeline.Classify.fitNaiveBayes(labeled, "text", "doc_id",
-        "y", buckets = 8192, alpha = 0.5)
-      val scored = pipeline.Classify.score(docs, "text", "doc_id", model)
-        .join(labeled.select(col("doc_id"), col("y")), Seq("doc_id"))
-      pipeline.Classify.calibrationReport(scored, "score", "y", bins = 10)
-        .orderBy("bin")
-    }),
-
-    // one deterministic logistic-regression GD step from zero init (the
-    // σ(0)=½ closed form the oracle replays); multi-step convergence is
-    // certified by ClassifySpec
-    "q_lr_step" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val labeled = docs.withColumn("y", (col("lang") === "en").cast("int"))
-      val model = pipeline.Classify.fitLogReg(labeled, "text", "doc_id",
-        "y", buckets = 8192, lr = 0.5, iters = 1)
-      pipeline.Classify.score(docs, "text", "doc_id", model)
-        .orderBy("doc_id")
-    }),
-
-    // temperature-scaled mixture plan (q ∝ p^alpha, Conneau 2020): the
-    // per-source keep-rates that flatten the natural mix at alpha=0.5
-    // under a 20k-token budget
-    "q_mix_temp" -> ((s, dir) => {
-      val stats = pipeline.Mixing.sourceStats(
-        t(s, dir, "documents"), "text", "source")
-      pipeline.Mixing.temperaturePlan(stats, "source", alpha = 0.5,
-        tokenBudget = 20000L)
-        .orderBy("source")
-    }),
-
-    // multi-granularity rollup: doc counts at (lang, source), per-lang
-    // subtotals, and the grand total in ONE pass (grouping-sets
-    // partial-aggregate expansion)
-    "q_rollup" -> ((s, dir) =>
-      t(s, dir, "documents").rollup(col("lang"), col("source"))
-        .agg(count(lit(1)).alias("n_docs"),
-          grouping_id(col("lang"), col("source")).alias("gid"))
-        .orderBy(col("gid"), col("lang").asc_nulls_last,
-          col("source").asc_nulls_last)),
-
-    // Pareto coverage: sources ranked by token volume, cumulative
-    // share, and the minimal-80%-head flag (bounded source table)
-    "q_pareto" -> ((s, dir) =>
-      pipeline.Mixing.paretoReport(t(s, dir, "documents"), "text", "source")
-        .orderBy("rank")),
-
-    // mixture concentration: HHI over token shares + effective source
-    // count + top source — the "is this mix diverse" one-liner
-    "q_hhi" -> ((s, dir) =>
-      pipeline.Mixing.concentrationReport(t(s, dir, "documents"),
-        "text", "source")),
-
-    // corpus mixing: per-source token statistics (hash-agg on the source
-    // key; share via 1-row broadcast, no corpus window)
-    "q_mix" -> ((s, dir) =>
-      pipeline.Mixing.sourceStats(t(s, dir, "documents"), "text", "source")
-        .orderBy("source")),
-
-    // near-dup cluster resolution: connected components (alternating
-    // large-star/small-star) over the exact ngram-Jaccard pair graph —
-    // cluster_id = minimum doc_id in the component
-    "q_cc_clusters" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val pairs = pipeline.Dedup.ngramJaccardPairs(docs, "text", "doc_id",
-        k = 2, threshold = 0.8)
-      pipeline.Graphs.connectedComponents(pairs, "id_a", "id_b")
-        .select(col("id").alias("doc_id"), col("comp").alias("cluster_id"))
-        .orderBy("doc_id")
-    }),
-
-    // cluster-resolved dedup: survivors after dropping every non-representative
-    // member of each near-dup cluster (transitive closure of the pair graph)
-    "q_cc_dedup" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val pairs = pipeline.Dedup.ngramJaccardPairs(docs, "text", "doc_id",
-        k = 2, threshold = 0.8)
-      pipeline.Graphs.dedupByCluster(docs, "doc_id", pairs, "id_a", "id_b")
-        .select(col("doc_id"), col("lang"))
-        .orderBy("doc_id")
-    }),
-
-    // quality keep-policy cluster dedup: same clusters as q_cc_dedup but
-    // each cluster keeps its LONGEST doc (n_chars desc, id asc), not its
-    // min id — one max_by hash aggregate per cluster, ids+score only
-    "q_cc_best" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val pairs = pipeline.Dedup.ngramJaccardPairs(docs, "text", "doc_id",
-        k = 2, threshold = 0.8)
-      pipeline.Graphs.dedupByClusterBest(docs, "doc_id", col("n_chars"),
-        pairs, "id_a", "id_b")
-        .select(col("doc_id"), col("n_chars"))
-        .orderBy("doc_id")
-    }),
-
-    // chunk->document pooling: element-wise mean embedding per label.
-    // Emitted long-form (label, i, mv) — the driver's checker sorts cells
-    // and cannot hash array-typed columns, so the pooled vector is
-    // exploded back to scalars for comparison (operator output unchanged).
-    // embedding-space drift: pairwise centroid cosine between label
-    // slices — one meanPool pass, cosines on the bounded centroid table
-    "q_embed_drift" -> ((s, dir) =>
-      pipeline.Embeddings.centroidDrift(t(s, dir, "embeddings"), "label",
-        "embedding")
-        .orderBy("slice_a", "slice_b")),
-
-    // candidate-key audit: is (doc_id) actually unique, and is the
-    // (user_id, ts, event_id) event key intact after ingest
-    "q_keyuniq" -> ((s, dir) =>
-      pipeline.Profiling.keyUniqueness(t(s, dir, "documents"),
-        Seq("doc_id"))
-        .unionByName(pipeline.Profiling.keyUniqueness(
-          t(s, dir, "events"), Seq("event_id")))
-        .orderBy("n_rows")),
-
-    // within-language length percentile per document (percent_rank,
-    // ties share) — the filter-by-relative-position annotation
-    "q_pctrank" -> ((s, dir) =>
-      pipeline.Profiling.percentileRankBy(
-        t(s, dir, "documents").select(col("doc_id"), col("lang"),
-          col("n_chars")), "n_chars", "lang")
-        .orderBy("doc_id")),
-
-    // k-anonymity audit on (lang, source) quasi-identifiers: population
-    // per combination + re-identification risk flag at k=5
-    "q_kanon" -> ((s, dir) =>
-      pipeline.Profiling.kAnonymity(t(s, dir, "documents"),
-        Seq("lang", "source"), k = 5)
-        .orderBy("lang", "source")),
-
-    "q_pool" -> ((s, dir) =>
-      pipeline.Embeddings.meanPool(t(s, dir, "embeddings"),
-        Seq("label"), "embedding")
-        .select(col("label"), posexplode(col("vec")).as(Seq("i", "mv")))
-        .select(col("label"), col("i").cast("long").alias("i"), col("mv"))
-        .orderBy("label", "i")),
-
-    // SQ8 embedding quantization: per-vector (min,max) + int codes, exact
-    // floor-half-up arithmetic replayed by the oracle. Codes emitted as a
-    // comma-joined string (driver checker can't hash array cells).
-    "q_sq" -> ((s, dir) =>
-      pipeline.Embeddings.scalarQuantize(t(s, dir, "embeddings"), "embedding")
-        .select(col("vec_id"), col("q_min"), col("q_max"),
-          array_join(col("codes"), ",").alias("codes"))
-        .orderBy("vec_id")),
-
-    // Johnson-Lindenstrauss gate: seeded +-1 projection to k=32 preserves
-    // pairwise cosine within a deterministic bound on fixed vector pairs
-    // (the projection hash is engine-specific, so the oracle pins the
-    // booleans, recall-gate style)
-    "q_rp_gate" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-        .filter(col("vec_id").isin(0L, 1L, 7L, 42L))
-        .select(col("vec_id"), col("embedding"),
-          pipeline.Embeddings.randomProject(col("embedding"), 32).alias("proj"))
-      val a = emb.select(col("vec_id").alias("ia"),
-        col("embedding").alias("ea"), col("proj").alias("pa"))
-      val b = emb.select(col("vec_id").alias("ib"),
-        col("embedding").alias("eb"), col("proj").alias("pb"))
-      a.join(b, col("ia") < col("ib"))
-        .select(col("ia"), col("ib"),
-          (abs(pipeline.Similarity.cosine(col("ea"), col("eb")) -
-            pipeline.Similarity.cosine(col("pa"), col("pb"))) < 0.45)
-            .alias("within_bound"))
-        .orderBy("ia", "ib")
-    }),
-
-    // PCA gate: data-fit rotation must hold the same per-pair cosine
-    // distortion bound as the JL projection (q_rp_gate) at equal k —
-    // the basis is learned in ONE bounded-state corpus pass
-    "q_pca_gate" -> ((s, dir) => {
-      val full = t(s, dir, "embeddings")
-      val model = pipeline.Embeddings.fitPca(full, "embedding", k = 32)
-      val emb = full.filter(col("vec_id").isin(0L, 1L, 7L, 42L))
-        .select(col("vec_id"), col("embedding"),
-          pipeline.Embeddings.applyPca(col("embedding"), model).alias("proj"))
-      val a = emb.select(col("vec_id").alias("ia"),
-        col("embedding").alias("ea"), col("proj").alias("pa"))
-      val b = emb.select(col("vec_id").alias("ib"),
-        col("embedding").alias("eb"), col("proj").alias("pb"))
-      a.join(b, col("ia") < col("ib"))
-        .select(col("ia"), col("ib"),
-          (abs(pipeline.Similarity.cosine(col("ea"), col("eb")) -
-            pipeline.Similarity.cosine(col("pa"), col("pb"))) < 0.45)
-            .alias("within_bound"))
-        .orderBy("ia", "ib")
-    }),
-
-    // SimHash fingerprints over a pinned 8-doc input, golden-pinned as
-    // literal oracle VALUES (SQL cannot recompute xxhash64 bit-votes, but
-    // the pinned fingerprints catch any unintended algorithm drift; the
-    // 500-doc recall gate below covers corpus-level behavior)
-    "q_simhash" -> ((s, dir) =>
-      t(s, dir, "documents").filter(col("doc_id") < 8)
-        .select(col("doc_id"),
-          pipeline.Dedup.simhash64(col("text")).alias("sh"))
-        .orderBy("doc_id")),
-
-    // SimHash quality gate: ≥ 70% of the exact Jaccard ≥ 0.9 near-dup
-    // pairs must land within Hamming distance 7 of each other — pins the
-    // fingerprint's core promise (near-dup text ⇒ close simhash) to an
-    // oracle-checkable bound. Checked per exact pair (one fingerprint
-    // lookup join), not via the banded pairing pipeline, whose pigeonhole
-    // candidate blowup at H≤7 is bench-hostile; the pairing pipeline
-    // itself is spec-covered (PipelineSpec).
-    "q_simhash_recall" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val fp = docs.select(col("doc_id"), pipeline.Dedup.simhash64(col("text")).alias("sh"))
-      val exact = pipeline.Dedup.ngramJaccardPairs(docs, "text", "doc_id", k = 3, threshold = 0.9)
-        .select("id_a", "id_b")
-      exact
-        .join(fp.select(col("doc_id").alias("id_a"), col("sh").alias("sh_a")), "id_a")
-        .join(fp.select(col("doc_id").alias("id_b"), col("sh").alias("sh_b")), "id_b")
-        .agg((sum(when(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= 7, 1L)
-          .otherwise(0L)) >= count(lit(1)) * 0.7).alias("recall_ok"))
-    }),
-
-    // embedding cosine scores vs the vec_id=0 vector (brute-force baseline)
-    "q_embed_scores" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") === 0)
-        .select("embedding").head().getSeq[Float](0)
-      pipeline.Similarity.scoreAll(emb, "embedding", q)
-        .filter(col("vec_id") < 200)
-        .select(col("vec_id"), pipeline.Rounding.halfUp(col("score"), 6).alias("score"))
-        .orderBy("vec_id")
-    }),
-
-    // Batched k-NN join: every query row gets its top-5 corpus
-    // neighbors in ONE corpus pass (per-row probe-cell expression →
-    // cell equi-join with broadcast queries → windowed top-k with
-    // group-limit pushdown). nProbe = all 8 cells ⇒ no pruning ⇒ the
-    // result is exact and the oracle replays it as a per-query cosine
-    // window in SQL.
-    "q_knn_join" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val coarse = pipeline.Clustering.fitKMeans(emb, "embedding", "vec_id",
-        k = 8, maxIter = 4)
-      val corpus = pipeline.Clustering.assign(emb, "embedding", coarse,
-        "ivf_cell")
-      val queries = emb.filter(col("vec_id") < 3)
-        .select(col("vec_id").alias("q_id"), col("embedding").alias("q_vec"))
-      pipeline.Clustering.knnJoin(corpus, queries, "embedding", "vec_id",
-        "q_id", "q_vec", coarse, k = 5, nProbe = 8)
-        .orderBy("q_id", "rn")
-    }),
-
-    // contrastive hard negatives: per query, top-5 most-similar vectors
-    // with a DIFFERENT label (filter before rank); nProbe=8 covers all
-    // cells → exact, so the brute-force oracle replays it
-    "q_hardneg" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val coarse = pipeline.Clustering.fitKMeans(emb, "embedding", "vec_id",
-        k = 8, maxIter = 4)
-      val corpus = pipeline.Clustering.assign(emb, "embedding", coarse,
-        "ivf_cell")
-      val queries = emb.filter(col("vec_id") < 3)
-        .select(col("vec_id").alias("q_id"), col("embedding").alias("q_vec"),
-          col("label").alias("q_label"))
-      pipeline.Clustering.hardNegatives(corpus, queries, "embedding",
-        "vec_id", "label", "q_id", "q_vec", "q_label", coarse,
-        k = 5, nProbe = 8)
-        .orderBy("q_id", "rn")
-    }),
-
-    // SQ8 compressed-scan top-k: the full-corpus scan reads int8 codes
-    // only (codegen'd Σ q_i·code_i + affine min/max correction); a
-    // 100-candidate shortlist re-ranks with exact cosine on floats.
-    // SQ8 quantization error (64 dims, per-vector min/max) is far too
-    // small to push a true top-10 vector out of the approx top-100, so
-    // the result is EXACT — the oracle replays the exact cosine top-10
-    // in SQL, no pinned boolean needed.
-    "q_sq8_topk" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") === 0)
-        .select("embedding").head().getSeq[Float](0)
-      val quant = pipeline.Embeddings.scalarQuantize(emb, "embedding")
-      pipeline.Similarity.sq8TopK(quant, "embedding", "vec_id", q,
-        k = 10, shortlist = 100)
-    }),
-
-    // embedding near-dup pairs via multi-table hyperplane LSH + exact
-    // cosine ≥ 0.95. The raw corpus has no near-dups (max pairwise cosine
-    // ≈0.51), so 10 deterministic near-duplicate vectors are planted —
-    // identically on the oracle side — to exercise the LSH recall path.
-    "q_embed_dups" -> ((s, dir) =>
-      pipeline.Dedup.embeddingDupPairs(plantedEmbeddings(s, dir),
-        "embedding", "vec_id", threshold = 0.95)
-        .orderBy("id_a", "id_b")),
-
-    // ANN recall gates: overlap@10 of the approximate result vs the exact
-    // brute-force top-k, emitted as a quality boolean the oracle pins —
-    // turns the approximate operators into checked signals
-    // Multi-point gates (round-2 verdict #8): three query vectors, each
-    // must individually reach overlap@10 ≥ 8 — a regression on any one
-    // point flips its row and fails the oracle compare.
-    "q_ann_recall" -> ((s, dir) => {
-      val emb = certGuard(t(s, dir, "embeddings"), "q_ann_recall")
-      RecallGate.queryPoints.map { qid =>
-        val q = emb.filter(col("vec_id") === qid)
-          .select("embedding").head().getSeq[Float](0)
-        val brute = pipeline.Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, k = 10)
-          .select(col("vec_id"))
-        val ann = pipeline.Similarity.lshTopK(emb, "embedding", "vec_id", q, k = 10)
-          .select(col("vec_id"))
-        ann.join(brute, "vec_id")
-          .agg((count(lit(1)) >= 8).alias("recall_ok"))
-          .select(lit(qid).alias("query_id"), lit(10).alias("k"), col("recall_ok"))
-      }.reduce(_.unionAll(_)).orderBy("query_id")
-    }),
-
-    "q_ivf_recall" -> ((s, dir) => {
-      val emb = certGuard(t(s, dir, "embeddings"), "q_ivf_recall")
-      val ivf = pipeline.Similarity.buildIvf(emb, "embedding", "vec_id", nCentroids = 16)
-      RecallGate.queryPoints.map { qid =>
-        val q = emb.filter(col("vec_id") === qid)
-          .select("embedding").head().getSeq[Float](0)
-        val brute = pipeline.Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, k = 10)
-          .select(col("vec_id"))
-        val approx = pipeline.Similarity.ivfTopK(ivf, "embedding", "vec_id", q, k = 10, nProbe = 4)
-          .select(col("vec_id"))
-        approx.join(brute, "vec_id")
-          .agg((count(lit(1)) >= 8).alias("recall_ok"))
-          .select(lit(qid).alias("query_id"), lit(10).alias("k"), col("recall_ok"))
-      }.reduce(_.unionAll(_)).orderBy("query_id")
-    }),
-
-    // spherical k-means over the embedding corpus: per-cluster histogram
-    // (size + min-id representative). Hash-seeded init + bounded
-    // iterations make the model deterministic; the oracle golden-pins
-    // the histogram (assignment itself is argmax-cosine, not SQL-replayable)
-    "q_kmeans" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val model = pipeline.Clustering.fitKMeans(emb, "embedding", "vec_id",
-        k = 8, maxIter = 4)
-      pipeline.Clustering.assign(emb, "embedding", model)
-        .groupBy(col("cluster"))
-        .agg(count(lit(1)).alias("n"), min(col("vec_id")).alias("rep"))
-        .orderBy("cluster")
-    }),
-
-    // k-means model persistence gate: fit → write → reload must
-    // reproduce the fitted model's assignment EXACTLY (at 100 TB you fit
-    // once and reuse the model across sessions — cell-id stability after
-    // a round trip is the property that makes a persisted IVF corpus
-    // valid without reassignment). Write/read are eager, so the temp
-    // model dir is deleted before the gate plan even runs.
-    "q_kmeans_reload" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val model = pipeline.Clustering.fitKMeans(emb, "embedding", "vec_id",
-        k = 8, maxIter = 4)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_kmeans")
-      val re = try {
-        pipeline.Clustering.writeKMeansModel(model, tmp.toString, s)
-        pipeline.Clustering.readKMeansModel(s, tmp.toString)
-      } finally {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(tmp)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-        finally walk.close()
-      }
-      val a1 = pipeline.Clustering.assign(emb, "embedding", model)
-        .select(col("vec_id"), col("cluster").alias("c1"))
-      val a2 = pipeline.Clustering.assign(emb, "embedding", re)
-        .select(col("vec_id"), col("cluster").alias("c2"))
-      a1.join(a2, "vec_id")
-        .agg((count(lit(1)) > 0 &&
-          sum(when(col("c1") === col("c2"), 0L).otherwise(1L)) === 0L)
-          .alias("reload_ok"))
-    }),
-
-    // interval-overlap join: per-user activity spans × the same daily
-    // windows — canonical-bucket dedup (each overlapping pair emitted
-    // exactly once, no distinct pass)
-    "q_overlap" -> ((s, dir) => {
-      val dayNs = 86400L * 1000000000L
-      val sixHNs = 21600L * 1000000000L
-      val baseNs = 1704067200L * 1000000000L
-      val spans = t(s, dir, "events").groupBy("user_id")
-        .agg(min(col("ts")).alias("u_start"), max(col("ts")).alias("u_end"))
-      val wins = s.range(0, 30).select(col("id").alias("win_id"),
-        (lit(baseNs) + col("id") * lit(dayNs)).alias("w_start"),
-        (lit(baseNs) + col("id") * lit(dayNs) + lit(sixHNs)).alias("w_end"))
-      pipeline.Temporal.overlapJoin(spans, wins,
-        "u_start", "u_end", "w_start", "w_end", grain = dayNs)
-        .groupBy("win_id")
-        .agg(count(lit(1)).alias("n_users"))
-        .orderBy("win_id")
-    }),
-
-    // semantic dedup (SemDeDup shape): cluster then exact-cosine pairs
-    // within cells, over the same planted near-dups as q_embed_dups. The
-    // oracle is the brute-force all-pairs join — parity holds because the
-    // planted ≥0.95-cosine pairs share an argmax cell (near-identical
-    // vectors split cells only when straddling a boundary; data-dependent,
-    // like q_incr's banded recall)
-    "q_semdedup" -> ((s, dir) =>
-      pipeline.Clustering.semanticDupPairs(plantedEmbeddings(s, dir),
-        "embedding", "vec_id", k = 8, threshold = 0.95)
-        .orderBy("id_a", "id_b")),
-
-    // SemDeDup recall gate: the within-cell pair search must recover
-    // ≥90% of the GLOBAL exact ≥0.95-cosine pairs on the planted corpus
-    // (at k=8) — quantifies and pins the cluster-split miss probability,
-    // so a k or init change can't silently degrade recall while
-    // q_semdedup stays green on whatever pairs it does find
-    "q_semdedup_recall" -> ((s, dir) => {
-      val emb = certGuard(plantedEmbeddings(s, dir), "q_semdedup_recall")
-      val sem = pipeline.Clustering.semanticDupPairs(emb, "embedding",
-        "vec_id", k = 8, threshold = 0.95).select("id_a", "id_b")
-      // exact baseline: brute-force all-pairs at the same threshold
-      val a = emb.select(col("vec_id").alias("id_a"),
-        col("embedding").alias("__va"))
-      val b = emb.select(col("vec_id").alias("id_b"),
-        col("embedding").alias("__vb"))
-      val exact = a.join(b, col("id_a") < col("id_b"))
-        .where(pipeline.Similarity.cosine(col("__va"), col("__vb")) >= 0.95)
-        .select("id_a", "id_b")
-      exact.join(sem.withColumn("__found", lit(1L)), Seq("id_a", "id_b"), "left")
-        .agg((count(lit(1)) > 0 &&
-          sum(coalesce(col("__found"), lit(0L))) >= count(lit(1)) * 0.9)
-          .alias("recall_ok"))
-    }),
-
-    // PQ recall gate: ADC shortlist-100 + exact re-rank must overlap the
-    // exact cosine top-10 in ≥8 of 10 (m=16 subspaces × 16 centroids =
-    // 64-bit codes; corpus vectors are unit-norm so inner-product ADC
-    // approximates cosine directly). Raw ADC ranking cannot separate
-    // this corpus's near-tied scores — which is exactly why the
-    // production shape is shortlist + re-rank, and what this gate
-    // certifies end-to-end. Boolean pinned by the oracle.
-    "q_pq_recall" -> ((s, dir) => {
-      val emb = certGuard(t(s, dir, "embeddings"), "q_pq_recall")
-      val model = pipeline.Clustering.fitPQ(emb, "embedding", "vec_id",
-        m = 16, k = 16, maxIter = 4)
-      val codes = pipeline.Clustering.assignPQ(emb, "embedding", model)
-        .select("vec_id", "pq_code")
-      val q = emb.filter(col("vec_id") === 0)
-        .select("embedding").head().getSeq[Float](0)
-      val rr = pipeline.Clustering.pqTopKRerank(codes, emb, "embedding",
-        "vec_id", model, q, k = 10, shortlist = 100).select(col("vec_id"))
-      val brute = pipeline.Similarity.bruteForceTopK(emb, "embedding",
-        "vec_id", q, k = 10).select(col("vec_id"))
-      rr.join(brute, "vec_id")
-        .agg((count(lit(1)) >= 8).alias("recall_ok"))
-        .select(lit(0L).alias("query_id"), lit(10).alias("k"), col("recall_ok"))
-    }),
-
-    // PQ at PRODUCTION parameters: k=256 centroids per subspace (8-bit
-    // codes; with m=8 over d=64 that's the standard 64-bit PQ code of
-    // Jégou 2011 §V) — the k=16 gate above cannot see k-dependent bugs
-    // (code packing past signed-byte range, duplicate-centroid
-    // tie-breaking when k approaches the training-set size), this one
-    // can. Same end-to-end shape: ADC shortlist + exact re-rank vs the
-    // exact cosine top-10. Boolean pinned by the oracle.
-    "q_pq256_recall" -> ((s, dir) => {
-      val emb = certGuard(t(s, dir, "embeddings"), "q_pq256_recall")
-      val model = pipeline.Clustering.fitPQ(emb, "embedding", "vec_id",
-        m = 8, k = 256, maxIter = 4)
-      val codes = pipeline.Clustering.assignPQ(emb, "embedding", model)
-        .select("vec_id", "pq_code")
-      val q = emb.filter(col("vec_id") === 0)
-        .select("embedding").head().getSeq[Float](0)
-      val rr = pipeline.Clustering.pqTopKRerank(codes, emb, "embedding",
-        "vec_id", model, q, k = 10, shortlist = 100).select(col("vec_id"))
-      val brute = pipeline.Similarity.bruteForceTopK(emb, "embedding",
-        "vec_id", q, k = 10).select(col("vec_id"))
-      rr.join(brute, "vec_id")
-        .agg((count(lit(1)) >= 8).alias("recall_ok"))
-        .select(lit(0L).alias("query_id"), lit(10).alias("k"), col("recall_ok"))
-    }),
-
-    // IVF-PQ recall gate: the full billion-vector-ANN layout end-to-end
-    // — coarse cells prune the scan (nProbe=4 of 8), ADC scores codes
-    // inside the probed cells, shortlist re-ranks exactly; ≥7 of the
-    // exact cosine top-10 must survive BOTH the cell pruning and the
-    // quantization. Boolean pinned by the oracle.
-    "q_ivfpq_recall" -> ((s, dir) => {
-      val emb = certGuard(t(s, dir, "embeddings"), "q_ivfpq_recall")
-      val coarse = pipeline.Clustering.fitKMeans(emb, "embedding", "vec_id",
-        k = 8, maxIter = 4)
-      val pq = pipeline.Clustering.fitPQ(emb, "embedding", "vec_id",
-        m = 16, k = 16, maxIter = 4)
-      val corpus = pipeline.Clustering.buildIvfPq(emb, "embedding", coarse, pq)
-      val q = emb.filter(col("vec_id") === 0)
-        .select("embedding").head().getSeq[Float](0)
-      val got = pipeline.Clustering.ivfPqTopK(corpus, "embedding", "vec_id",
-        coarse, pq, q, k = 10, nProbe = 4, shortlist = 100)
-        .select(col("vec_id"))
-      val brute = pipeline.Similarity.bruteForceTopK(emb, "embedding",
-        "vec_id", q, k = 10).select(col("vec_id"))
-      got.join(brute, "vec_id")
-        .agg((count(lit(1)) >= 7).alias("recall_ok"))
-        .select(lit(0L).alias("query_id"), lit(10).alias("k"), col("recall_ok"))
-    }),
-
-    // RESIDUAL IVF-PQ (IVFADC, Jégou 2011 §IV-A): codes quantize
-    // x − centroid[cell], so the code budget covers within-cell detail
-    // instead of re-encoding cell position; search corrects ADC with the
-    // per-cell ⟨q, centroid⟩ constant (inner-product decomposition — one
-    // LUT, one scan, no per-cell branches). Same ≥7/10 bar as the raw
-    // layout through the same pruning and quantization.
-    "q_ivfpq_res_recall" -> ((s, dir) => {
-      val emb = certGuard(t(s, dir, "embeddings"), "q_ivfpq_res_recall")
-      val coarse = pipeline.Clustering.fitKMeans(emb, "embedding", "vec_id",
-        k = 8, maxIter = 4)
-      val pq = pipeline.Clustering.fitResidualPQ(emb, "embedding", "vec_id",
-        coarse, m = 16, k = 16, maxIter = 4)
-      val corpus = pipeline.Clustering.buildIvfPqResidual(
-        emb, "embedding", coarse, pq)
-      val q = emb.filter(col("vec_id") === 0)
-        .select("embedding").head().getSeq[Float](0)
-      val got = pipeline.Clustering.ivfPqResidualTopK(corpus, "embedding",
-        "vec_id", coarse, pq, q, k = 10, nProbe = 4, shortlist = 100)
-        .select(col("vec_id"))
-      val brute = pipeline.Similarity.bruteForceTopK(emb, "embedding",
-        "vec_id", q, k = 10).select(col("vec_id"))
-      got.join(brute, "vec_id")
-        .agg((count(lit(1)) >= 7).alias("recall_ok"))
-        .select(lit(0L).alias("query_id"), lit(10).alias("k"), col("recall_ok"))
-    }),
-
-    // ANN top-k (LSH multiprobe; approximate by design — the exact result
-    // on this dataset is deterministic, so the oracle golden-pins it)
-    "q_ann_topk" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") === 0)
-        .select("embedding").head().getSeq[Float](0)
-      pipeline.Similarity.lshTopK(emb, "embedding", "vec_id", q, k = 10)
-    }),
-
-    // IVF ANN: coarse cells + nProbe search (approximate — deterministic
-    // on this dataset, golden-pinned like q_ann_topk)
-    "q_ivf_topk" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") === 0)
-        .select("embedding").head().getSeq[Float](0)
-      val ivf = pipeline.Similarity.buildIvf(emb, "embedding", "vec_id", nCentroids = 16)
-      pipeline.Similarity.ivfTopK(ivf, "embedding", "vec_id", q, k = 10, nProbe = 4)
-    })
-  )
-
-  /** Row bound for the recall-gate certification queries: their exact
-    * baselines (the all-pairs cosine join in q_semdedup_recall, the
-    * brute-force top-k scans in the ANN/PQ gates) are certification
-    * machinery that is affordable ONLY at fixture scale — on a large
-    * corpus the BASELINE, not the operator under test, explodes
-    * quadratically. Guarded by ROW COUNT rather than directory name: a
-    * renamed copy of the fixture still certifies, and a big corpus
-    * under an innocuous-looking path still refuses (dir-suffix matching
-    * is exactly the pitfall [[Verify.isSf001]] documents). */
-  private[graft] val CertBaselineMaxRows = 10000L
-
-  /** Fail fast (clear message, no quadratic work) when `df` is too big
-    * for a recall gate's exact baseline. The one count() job is
-    * metadata-only on parquet. */
-  private def certGuard(df: DataFrame, query: String): DataFrame = {
-    val n = df.count()
-    require(n <= CertBaselineMaxRows,
-      s"$query refused: its exact recall baseline is fixture-scale " +
-      s"certification machinery, and this corpus has $n rows " +
-      s"(bound $CertBaselineMaxRows). Run the operator directly at " +
-      "scale; the recall gate certifies on the fixture.")
-    df
+      EntryHelpers.t(spark, "/root/testdata/sf0.001", "lineitem"))
+
+  private val families = Seq(
+    ("rbql", RbqlEntries.queries, RbqlEntries.oracles),
+    ("temporal", TemporalEntries.queries, TemporalEntries.oracles),
+    ("profiling", ProfilingEntries.queries, ProfilingEntries.oracles),
+    ("dedup", DedupEntries.queries, DedupEntries.oracles),
+    ("text", TextEntries.queries, TextEntries.oracles),
+    ("sampling", SamplingEntries.queries, SamplingEntries.oracles),
+    ("embedding", EmbeddingEntries.queries, EmbeddingEntries.oracles))
+
+  /** One per implemented operator from SURVEY.md §2 (+ the pipeline
+    * families). Aggregated from the family objects with a uniqueness
+    * assert — a name collision across families would otherwise silently
+    * drop one side's entry in the Map merge. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val es = families.flatMap(_._2)
+    require(es.map(_._1).distinct.size == es.size,
+      "duplicate query name across entry families: " +
+        es.groupBy(_._1).collect { case (k, v) if v.size > 1 => k }.mkString(","))
+    es.toMap
   }
 
   /** Oracles whose expected rows are literal golden VALUES computed at
@@ -2289,2820 +64,15 @@ object SparkEntry {
       "q_ivfpq_recall", "q_ivfpq_res_recall", "q_semdedup_recall",
       "q_simhash_recall")
 
-  /** DuckDB-equivalent SQL per query (same column names + order). */
-  def oracleSql: Map[String, String] = Map(
-    "q_select_where" ->
-      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
-         FROM lineitem WHERE l_quantity > 45
-         ORDER BY l_orderkey, l_linenumber""",
-    "q_top" ->
-      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
-         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""",
-    "q_agg_group" ->
-      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-         sum(l_quantity) AS sum_qty, min(l_extendedprice) AS min_price,
-         max(l_extendedprice) AS max_price,
-         floor((avg(l_discount)) * 1e6 + 0.5) / 1e6 AS avg_disc
-         FROM lineitem GROUP BY l_returnflag, l_linestatus
-         ORDER BY l_returnflag, l_linestatus""",
-    "q_agg_global" ->
-      """SELECT count(*) AS n_rows, max(o_totalprice) AS max_price,
-         min(o_custkey) AS min_cust FROM orders""",
-    "q_median_var" ->
-      """SELECT l_returnflag, median(l_quantity) AS med_qty,
-         floor((var_pop(l_discount)) * 1e8 + 0.5) / 1e8 AS var_disc
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
-    "q_any_value" ->
-      """SELECT n_nationkey, min(n_name) AS name FROM nation
-         GROUP BY n_nationkey ORDER BY n_nationkey""",
-    "q_any_value_multi" ->
-      """SELECT l_returnflag, arg_min(l_orderkey, rn) AS first_key FROM
-         (SELECT l_returnflag, l_orderkey, row_number() OVER () AS rn
-          FROM lineitem)
-         GROUP BY l_returnflag ORDER BY l_returnflag""",
-    "q_array_agg" ->
-      """SELECT n_regionkey,
-         array_to_string(list(n_name ORDER BY n_nationkey), '|') AS names
-         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
-    "q_array_agg_cb" ->
-      """SELECT n_regionkey,
-         array_to_string((list(n_name ORDER BY n_nationkey))[1:3], '|') AS top3
-         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
-    "q_sum_int" ->
-      """SELECT l_returnflag, cast(sum(l_linenumber) AS varchar) AS s_ln,
-         cast(min(l_linenumber) AS varchar) AS min_ln,
-         cast(max(l_linenumber) AS varchar) AS max_ln
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
-    "q_join_inner" ->
-      """SELECT s_suppkey, s_name, n_name FROM supplier
-         JOIN nation ON s_nationkey = n_nationkey ORDER BY s_suppkey""",
-    "q_join_left" ->
-      """SELECT c_custkey, o_orderkey FROM customer
-         LEFT JOIN orders ON c_custkey = o_custkey
-         ORDER BY c_custkey, o_orderkey NULLS FIRST""",
-    "q_strict_left" ->
-      """SELECT s_suppkey, n_name FROM supplier
-         JOIN nation ON s_nationkey = n_nationkey ORDER BY s_suppkey""",
-    "q_update" ->
-      """SELECT p_partkey, p_name, p_brand, p_type, p_size,
-         CASE WHEN p_size > 30 THEN p_retailprice * 1.1
-         ELSE p_retailprice END AS p_retailprice FROM part""",
-    "q_except" ->
-      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-         FROM orders ORDER BY o_orderkey""",
-    "q_distinct" ->
-      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
-         ORDER BY l_returnflag, l_linestatus""",
-    "q_distinct_count" ->
-      """SELECT count(*) AS count, o_orderpriority FROM orders
-         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
-    "q_unnest" ->
-      """SELECT p_partkey, unnest(string_split(p_type, ' ')) AS word
-         FROM part WHERE p_partkey <= 200 ORDER BY p_partkey, word""",
-    "q_pipe" ->
-      """SELECT l_returnflag, count(*) AS cnt FROM
-         (SELECT l_returnflag, l_quantity FROM lineitem WHERE l_quantity > 30)
-         GROUP BY l_returnflag ORDER BY l_returnflag""",
-    "q_like" ->
-      """SELECT p_partkey, p_type FROM part WHERE p_type LIKE '%ARD'
-         ORDER BY p_partkey""",
-    "q_scalar_case" ->
-      """SELECT o_orderkey, upper(o_orderstatus) AS status_u,
-         CASE WHEN o_totalprice > 200000 THEN 'big'
-         WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS bucket
-         FROM orders ORDER BY o_orderkey""",
-    "q_nr" ->
-      """SELECT rn, l_orderkey, l_linenumber FROM
-         (SELECT row_number() OVER () AS rn, l_orderkey, l_linenumber
-          FROM lineitem) WHERE rn <= 1000 ORDER BY rn""",
-    "q_events_agg" ->
-      """SELECT event_type, count(*) AS cnt, floor((sum(value)) * 1e4 + 0.5) / 1e4 AS sv
-         FROM events GROUP BY event_type ORDER BY event_type""",
-    "q_json" ->
-      """SELECT event_id, json_extract_string(props, '$.k') AS k
-         FROM events WHERE event_id < 100 ORDER BY event_id""",
-    "q_sample" ->
-      """SELECT lang, count(*) AS kept
-         FROM documents
-         WHERE substr(md5(doc_id::VARCHAR), 1, 8) <
-               CASE WHEN lang = 'en' THEN '40000000'
-                    WHEN lang = 'zh' THEN '80000000'
-                    ELSE 'c0000000' END
-         GROUP BY lang ORDER BY lang""",
-    "q_weighted_sample" ->
-      """WITH s AS (
-           SELECT doc_id, lang,
-             pow((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 0.5)
-                   / 4294967296.0,
-                 1.0 / length(text)) AS score
-           FROM documents WHERE length(text) > 0),
-         t AS (SELECT doc_id, lang, score FROM s
-               ORDER BY score DESC, doc_id LIMIT 25)
-         SELECT doc_id, lang,
-           floor(score * 1e6 + 0.5) / 1e6 AS sample_score
-         FROM t ORDER BY sample_score DESC, doc_id""",
-    "q_weighted_by" ->
-      """WITH s AS (
-           SELECT lang, doc_id,
-             pow((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 0.5)
-                   / 4294967296.0,
-                 1.0 / length(text)) AS score
-           FROM documents WHERE length(text) > 0),
-         t AS (SELECT lang, doc_id, score,
-                 row_number() OVER (PARTITION BY lang
-                   ORDER BY score DESC, doc_id) AS rn
-               FROM s)
-         SELECT lang, doc_id,
-           floor(score * 1e6 + 0.5) / 1e6 AS sample_score
-         FROM t WHERE rn <= 5
-         ORDER BY lang, sample_score DESC, doc_id""",
-    "q_cap_source" ->
-      """WITH r AS (
-           SELECT source, doc_id,
-             row_number() OVER (PARTITION BY source
-               ORDER BY substr(md5(doc_id::VARCHAR), 1, 8), doc_id) AS rn
-           FROM documents)
-         SELECT source, doc_id FROM r WHERE rn <= 10
-         ORDER BY source, doc_id""",
-    "q_shuffle" ->
-      """WITH r AS (SELECT doc_id, row_number() OVER
-             (ORDER BY substr(md5(doc_id::VARCHAR), 1, 8), doc_id) AS rank
-           FROM documents)
-         SELECT doc_id, ((rank - 1) % 8)::INT AS shard,
-           ((rank - 1) // 8)::BIGINT AS pos
-         FROM r ORDER BY doc_id""",
-    // components replayed with the recursive CTE, then the same md5 cut
-    // on the component key (hexThreshold(0.8) = 0xcccccccd)
-    "q_safe_split" ->
-      """WITH RECURSIVE toks AS (
-           SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
-           FROM documents),
-         sh AS (
-           SELECT doc_id, list_distinct(CASE WHEN len(tk) < 2
-             THEN [array_to_string(tk, ' ')]
-             ELSE list_transform(generate_series(1, len(tk)-1),
-                    i -> array_to_string(tk[i:i+1], ' ')) END) AS s
-           FROM toks),
-         pairs AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-           WHERE len(list_intersect(a.s, b.s))::DOUBLE /
-             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
-         edges AS (
-           SELECT id_a AS src, id_b AS dst FROM pairs
-           UNION SELECT id_b, id_a FROM pairs),
-         cc AS (
-           SELECT DISTINCT src AS id, src AS comp FROM edges
-           UNION
-           SELECT e.dst AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.src),
-         comp AS (SELECT id AS doc_id, min(comp) AS comp FROM cc GROUP BY id),
-         g AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_key
-               FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
-         SELECT doc_id, cluster_key,
-           CASE WHEN substr(md5(cluster_key::VARCHAR), 1, 8) < 'cccccccd'
-                THEN 'train' ELSE 'eval' END AS split
-         FROM g ORDER BY doc_id""",
-    "q_split_exact" ->
-      """WITH r AS (SELECT doc_id, lang,
-             row_number() OVER (PARTITION BY lang
-               ORDER BY substr(md5(doc_id::VARCHAR), 1, 8), doc_id) AS rn,
-             count(*) OVER (PARTITION BY lang) AS n
-           FROM documents)
-         SELECT doc_id, lang,
-           CASE WHEN rn <= ceil(0.8 * n) THEN 'train'
-                WHEN rn <= ceil(0.9 * n) THEN 'val'
-                ELSE 'test' END AS split
-         FROM r ORDER BY doc_id""",
-    "q_autohist" ->
-      """WITH st AS (SELECT count(*)::BIGINT AS n,
-             min(n_chars::DOUBLE) AS mn, max(n_chars::DOUBLE) AS mx,
-             quantile_cont(n_chars::DOUBLE, 0.75)
-               - quantile_cont(n_chars::DOUBLE, 0.25) AS iqr
-           FROM documents),
-         p AS (SELECT 2.0 * iqr / pow(n::DOUBLE, 1.0 / 3) AS w, mn, mx,
-                 CASE WHEN iqr > 0 AND mx > mn
-                   THEN ceil((mx - mn) / (2.0 * iqr / pow(n::DOUBLE, 1.0 / 3)))
-                   ELSE 1 END AS nb
-               FROM st),
-         b AS (SELECT CASE WHEN p.nb > 1 THEN
-                 least(floor((d.n_chars::DOUBLE - p.mn) / p.w), p.nb - 1)
-                 ELSE 0 END::BIGINT AS bucket, p.mn, p.nb, p.w
-               FROM documents d, p),
-         g AS (SELECT bucket, mn, nb, w, count(*)::BIGINT AS cnt
-               FROM b GROUP BY bucket, mn, nb, w)
-         SELECT bucket,
-           floor((CASE WHEN nb > 1 THEN mn + bucket * w ELSE mn END)
-             * 1e6 + 0.5) / 1e6 AS lo,
-           floor((CASE WHEN nb > 1 THEN mn + (bucket + 1) * w ELSE mn END)
-             * 1e6 + 0.5) / 1e6 AS hi,
-           cnt
-         FROM g ORDER BY bucket""",
-    "q_balance" ->
-      """WITH c AS (SELECT lang, count(*)::BIGINT AS cnt FROM documents
-                    GROUP BY lang),
-         t AS (SELECT min(cnt)::BIGINT AS target FROM c),
-         r AS (SELECT lang, doc_id,
-                 row_number() OVER (PARTITION BY lang
-                   ORDER BY substr(md5(doc_id::VARCHAR), 1, 8), doc_id) AS rn
-               FROM documents)
-         SELECT r.lang, r.doc_id FROM r, t WHERE r.rn <= t.target
-         ORDER BY r.doc_id""",
-    "q_negatives" ->
-      """WITH r AS (SELECT vec_id,
-             row_number() OVER (ORDER BY vec_id) AS rank FROM embeddings),
-         n AS (SELECT count(*)::BIGINT AS n FROM embeddings),
-         a AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < 5),
-         j AS (SELECT unnest(generate_series(1, 4)) AS j),
-         p AS (SELECT a.q_id, j.j,
-                 ('0x' || substr(md5(a.q_id::VARCHAR || '#' || j.j::VARCHAR),
-                    1, 15))::BIGINT % n.n + 1 AS rank
-               FROM a, j, n)
-         SELECT p.q_id, p.j, r.vec_id AS neg_id
-         FROM p JOIN r USING (rank) WHERE r.vec_id <> p.q_id
-         ORDER BY q_id, j""",
-    "q_multimodal" ->
-      """SELECT doc_id, 'fake/raw' AS format, 16::BIGINT AS width,
-                16::BIGINT AS height,
-                greatest(1, (length(text)::BIGINT * 256) //
-                  (((length(text) % 64) + 1) * ((length(text) % 48) + 1))
-                )::BIGINT AS n_bytes,
-                greatest(1, (length(text)::BIGINT * 256) //
-                  (((length(text) % 64) + 1) * ((length(text) % 48) + 1))
-                )::BIGINT AS media_len
-         FROM documents ORDER BY doc_id""",
-    "q_paths" ->
-      """WITH g AS (
-           SELECT user_id, ts, event_id, event_type,
-                  CASE WHEN lag(ts) OVER w IS NULL
-                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
-                       THEN 1 ELSE 0 END AS ns
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-         ), s AS (
-           SELECT user_id, ts, event_id, event_type,
-                  sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS sid
-           FROM g
-         ), p AS (
-           SELECT user_id, sid,
-                  string_agg(event_type, '>' ORDER BY ts, event_id) AS path
-           FROM s GROUP BY user_id, sid
-         )
-         SELECT path, count(*)::BIGINT AS cnt FROM p
-         GROUP BY path ORDER BY cnt DESC, path LIMIT 10""",
-    "q_basket" ->
-      """WITH g AS (
-           SELECT user_id, ts, event_id, event_type,
-                  CASE WHEN lag(ts) OVER w IS NULL
-                       OR ts - lag(ts) OVER w > INTERVAL 2 HOUR
-                       THEN 1 ELSE 0 END AS ns
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-         ), s AS (
-           SELECT user_id, event_type,
-                  sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS sid
-           FROM g
-         ), items AS (
-           SELECT DISTINCT user_id, sid, event_type FROM s
-         ), tot AS (
-           SELECT count(*)::DOUBLE AS n FROM
-             (SELECT DISTINCT user_id, sid FROM items)
-         ), single AS (
-           SELECT event_type, count(*)::BIGINT AS c1 FROM items
-           GROUP BY event_type
-         ), pc AS (
-           SELECT a.event_type AS ante, b.event_type AS cons,
-                  count(*)::BIGINT AS c2
-           FROM items a JOIN items b
-             ON a.user_id = b.user_id AND a.sid = b.sid
-                AND a.event_type <> b.event_type
-           GROUP BY 1, 2
-         )
-         SELECT pc.ante, pc.cons, pc.c2 AS n_sessions,
-           floor(pc.c2::DOUBLE / tot.n * 1e6 + 0.5) / 1e6 AS support,
-           floor(pc.c2::DOUBLE / sa.c1 * 1e6 + 0.5) / 1e6 AS confidence,
-           floor(pc.c2::DOUBLE / sa.c1 / (sc.c1::DOUBLE / tot.n)
-             * 1e6 + 0.5) / 1e6 AS lift
-         FROM pc JOIN single sa ON pc.ante = sa.event_type
-                 JOIN single sc ON pc.cons = sc.event_type, tot
-         WHERE pc.c2::DOUBLE / tot.n >= 0.01
-         ORDER BY ante, cons""",
-    "q_seasonal" ->
-      """WITH d AS (SELECT event_type, value,
-             ((epoch_ns(ts) // 86400000000000 + 3) % 7)::INT AS dow
-           FROM events)
-         SELECT event_type, dow, count(*)::BIGINT AS n,
-           floor(avg(value) * 1e6 + 0.5) / 1e6 AS mean,
-           floor(stddev_pop(value) * 1e6 + 0.5) / 1e6 AS sd
-         FROM d GROUP BY event_type, dow ORDER BY event_type, dow""",
-    "q_latency" ->
-      """WITH j AS (
-           SELECT e.ts AS lts, v.ts AS rts
-           FROM (SELECT * FROM events WHERE event_type = 'click') e
-           ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
-             ON e.user_id = v.user_id AND e.ts >= v.ts),
-         l AS (SELECT (epoch_ns(lts) - epoch_ns(rts))::DOUBLE / 1e9 AS lat
-               FROM j)
-         SELECT count(*)::BIGINT AS n,
-           floor(quantile_cont(lat, 0.5) * 1e6 + 0.5) / 1e6 AS p50,
-           floor(quantile_cont(lat, 0.9) * 1e6 + 0.5) / 1e6 AS p90,
-           floor(quantile_cont(lat, 0.99) * 1e6 + 0.5) / 1e6 AS p99
-         FROM l""",
-    "q_welch" ->
-      """WITH s AS (SELECT
-             count(CASE WHEN event_type = 'click' THEN 1 END)::BIGINT AS n_a,
-             count(CASE WHEN event_type = 'view' THEN 1 END)::BIGINT AS n_b,
-             avg(CASE WHEN event_type = 'click' THEN value END) AS m_a,
-             avg(CASE WHEN event_type = 'view' THEN value END) AS m_b,
-             var_samp(CASE WHEN event_type = 'click' THEN value END) AS v_a,
-             var_samp(CASE WHEN event_type = 'view' THEN value END) AS v_b
-           FROM events WHERE event_type IN ('click', 'view'))
-         SELECT n_a, n_b,
-           floor(m_a * 1e6 + 0.5) / 1e6 AS mean_a,
-           floor(m_b * 1e6 + 0.5) / 1e6 AS mean_b,
-           floor((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b) * 1e6 + 0.5)
-             / 1e6 AS t,
-           floor((v_a / n_a + v_b / n_b) * (v_a / n_a + v_b / n_b)
-             / ((v_a / n_a) * (v_a / n_a) / (n_a - 1)
-                + (v_b / n_b) * (v_b / n_b) / (n_b - 1)) * 1e6 + 0.5)
-             / 1e6 AS df
-         FROM s""",
-    "q_trend" ->
-      """WITH t AS (SELECT user_id,
-             epoch_ns(ts)::DOUBLE / 86400000000000 AS x, value AS y
-           FROM events),
-         a AS (SELECT user_id, count(*)::BIGINT AS n, covar_pop(x, y) AS cov,
-                 var_pop(x) AS vx, var_pop(y) AS vy, avg(y) AS my,
-                 avg(x) AS mx
-               FROM t GROUP BY user_id)
-         SELECT user_id, n,
-           CASE WHEN vx > 0
-             THEN floor(cov / vx * 1e6 + 0.5) / 1e6 END AS slope,
-           CASE WHEN vx > 0
-             THEN floor((my - cov / vx * mx) * 1e6 + 0.5) / 1e6
-           END AS intercept,
-           CASE WHEN vx > 0 AND vy > 0
-             THEN floor(cov * cov / (vx * vy) * 1e6 + 0.5) / 1e6 END AS r2
-         FROM a ORDER BY user_id""",
-    "q_dau" ->
-      """WITH du AS (SELECT DISTINCT
-             floor(epoch_ns(ts) / 86400000000000)::BIGINT AS day, user_id
-           FROM events),
-         dau AS (SELECT day, count(*)::BIGINT AS dau FROM du GROUP BY day),
-         w AS (SELECT DISTINCT day + g AS day, user_id
-               FROM du, (SELECT unnest(generate_series(0, 6)) AS g)),
-         wau AS (SELECT day, count(*)::BIGINT AS wau FROM w GROUP BY day)
-         SELECT strftime(DATE '1970-01-01' + dau.day::INT, '%Y-%m-%d')
-             AS day,
-           dau.dau, wau.wau,
-           floor(dau.dau::DOUBLE / wau.wau * 1e6 + 0.5) / 1e6 AS stickiness
-         FROM dau JOIN wau ON dau.day = wau.day ORDER BY day""",
-    "q_dau_sketch" ->
-      """WITH du AS (SELECT DISTINCT
-             floor(epoch_ns(ts) / 86400000000000)::BIGINT AS day, user_id
-           FROM events)
-         SELECT strftime(DATE '1970-01-01' + day::INT, '%Y-%m-%d') AS day,
-           CAST(true AS BOOLEAN) AS within_tol
-         FROM (SELECT DISTINCT day FROM du) ORDER BY day""",
-    "q_markov" ->
-      """WITH t AS (SELECT user_id, event_type, ts, event_id,
-             lag(event_type) OVER (PARTITION BY user_id
-               ORDER BY ts, event_id) AS prev
-           FROM events),
-         c AS (SELECT prev AS prev_state, event_type AS next_state,
-                 count(*)::BIGINT AS cnt
-               FROM t WHERE prev IS NOT NULL GROUP BY 1, 2),
-         s AS (SELECT prev_state, sum(cnt)::DOUBLE AS tot FROM c
-               GROUP BY prev_state)
-         SELECT c.prev_state, c.next_state, c.cnt,
-           floor(c.cnt::DOUBLE / s.tot * 1e6 + 0.5) / 1e6 AS prob
-         FROM c JOIN s USING (prev_state)
-         ORDER BY prev_state, next_state""",
-    // dyadic weights (0.5^j) make every product exact, and the sum is
-    // written in the engine's own left-to-right term order — bit-equal
-    "q_ewma" ->
-      """WITH t AS (SELECT event_id, user_id, value,
-             lag(value, 0) OVER w AS v0, lag(value, 1) OVER w AS v1,
-             lag(value, 2) OVER w AS v2, lag(value, 3) OVER w AS v3,
-             lag(value, 4) OVER w AS v4, lag(value, 5) OVER w AS v5,
-             lag(value, 6) OVER w AS v6, lag(value, 7) OVER w AS v7
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-         SELECT event_id, user_id, value,
-           floor((coalesce(v0 * 1.0, 0) + coalesce(v1 * 0.5, 0)
-                + coalesce(v2 * 0.25, 0) + coalesce(v3 * 0.125, 0)
-                + coalesce(v4 * 0.0625, 0) + coalesce(v5 * 0.03125, 0)
-                + coalesce(v6 * 0.015625, 0) + coalesce(v7 * 0.0078125, 0))
-             / (CASE WHEN v0 IS NULL THEN 0 ELSE 1.0 END
-                + CASE WHEN v1 IS NULL THEN 0 ELSE 0.5 END
-                + CASE WHEN v2 IS NULL THEN 0 ELSE 0.25 END
-                + CASE WHEN v3 IS NULL THEN 0 ELSE 0.125 END
-                + CASE WHEN v4 IS NULL THEN 0 ELSE 0.0625 END
-                + CASE WHEN v5 IS NULL THEN 0 ELSE 0.03125 END
-                + CASE WHEN v6 IS NULL THEN 0 ELSE 0.015625 END
-                + CASE WHEN v7 IS NULL THEN 0 ELSE 0.0078125 END)
-             * 1e6 + 0.5) / 1e6 AS ewma
-         FROM t ORDER BY event_id""",
-    "q_anomaly" ->
-      """WITH z AS (
-           SELECT event_id, user_id,
-                  (value - avg(value) OVER w) /
-                    nullif(stddev_pop(value) OVER w, 0) AS zraw
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
-                        RANGE BETWEEN 86400000000000 PRECEDING
-                              AND CURRENT ROW)
-         )
-         SELECT event_id, user_id,
-                floor(zraw * 1e6 + 0.5) / 1e6 AS z
-         FROM z WHERE abs(zraw) > 2 ORDER BY event_id""",
-    "q_sessions" ->
-      """WITH g AS (
-           SELECT user_id, ts, event_id,
-                  CASE WHEN lag(ts) OVER w IS NULL
-                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
-                       THEN 1 ELSE 0 END AS ns
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-         ), s AS (
-           SELECT user_id,
-                  sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS sid
-           FROM g
-         ), per AS (
-           SELECT user_id, sid, count(*) AS ev FROM s GROUP BY user_id, sid
-         )
-         SELECT user_id, max(sid)::BIGINT AS n_sessions,
-                sum(ev)::BIGINT AS n_events, max(ev)::BIGINT AS longest
-         FROM per GROUP BY user_id ORDER BY user_id""",
-    "q_asof" ->
-      """SELECT e.event_id, e.user_id, v.event_id AS view_id
-         FROM (SELECT * FROM events WHERE event_type = 'click') e
-         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
-           ON e.user_id = v.user_id AND e.ts >= v.ts
-         ORDER BY e.event_id""",
-    "q_merge_intervals" ->
-      """WITH iv AS (SELECT user_id, epoch_ns(ts) AS s,
-             epoch_ns(ts) + 3600000000000 AS e FROM events),
-         o AS (SELECT user_id, s, e,
-             max(e) OVER (PARTITION BY user_id ORDER BY s, e
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
-           FROM iv),
-         g AS (SELECT user_id, s, e,
-             CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS ni
-           FROM o),
-         s2 AS (SELECT user_id, s, e,
-             sum(ni) OVER (PARTITION BY user_id ORDER BY s, e
-               ROWS UNBOUNDED PRECEDING) AS island
-           FROM g)
-         SELECT user_id, min(s) AS span_start, max(e) AS span_end,
-                count(*)::BIGINT AS n_merged
-         FROM s2 GROUP BY user_id, island
-         ORDER BY user_id, span_start""",
-    "q_session_window" ->
-      """WITH g AS (
-           SELECT user_id, ts, event_id, value,
-                  CASE WHEN lag(ts) OVER w IS NULL
-                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
-                       THEN 1 ELSE 0 END AS ns
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-         ), s AS (
-           SELECT user_id, ts, value,
-                  sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                    ROWS UNBOUNDED PRECEDING) AS sid
-           FROM g)
-         SELECT user_id, epoch_ns(min(ts)) AS start_ns,
-                count(*)::BIGINT AS n_events,
-                floor(sum(value) * 1e6 + 0.5) / 1e6 AS sv
-         FROM s GROUP BY user_id, sid
-         ORDER BY user_id, start_ns""",
-    "q_rolling" ->
-      """SELECT event_id, user_id,
-           count(*) OVER w AS n_24h,
-           floor(sum(value) OVER w * 1e6 + 0.5) / 1e6 AS v_24h
-         FROM events
-         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
-           RANGE BETWEEN 86400000000000 PRECEDING AND CURRENT ROW)
-         ORDER BY event_id""",
-    "q_asof_fwd" ->
-      """SELECT e.event_id, e.user_id,
-           CASE WHEN v.ts IS NOT NULL
-                 AND epoch_ns(v.ts) - epoch_ns(e.ts) <= 7200000000000
-                THEN v.event_id END AS view_id
-         FROM (SELECT * FROM events WHERE event_type = 'click') e
-         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
-           ON e.user_id = v.user_id AND e.ts <= v.ts
-         ORDER BY e.event_id""",
-    "q_asof_near" ->
-      """WITH c AS (SELECT event_id, user_id, ts FROM events
-             WHERE event_type = 'click'),
-         v AS (SELECT event_id, user_id, ts FROM events
-             WHERE event_type = 'view'),
-         b AS (SELECT c.event_id, c.user_id, c.ts,
-                 vb.event_id AS bid, vb.ts AS bts
-               FROM c ASOF LEFT JOIN v vb
-                 ON c.user_id = vb.user_id AND c.ts >= vb.ts),
-         f AS (SELECT c.event_id, vf.event_id AS fid, vf.ts AS fts
-               FROM c ASOF LEFT JOIN v vf
-                 ON c.user_id = vf.user_id AND c.ts <= vf.ts)
-         SELECT b.event_id, b.user_id,
-           CASE WHEN bid IS NOT NULL
-                     AND epoch_ns(b.ts) - epoch_ns(bts) <= 3600000000000
-                     AND (fid IS NULL
-                          OR epoch_ns(fts) - epoch_ns(b.ts) > 3600000000000
-                          OR epoch_ns(b.ts) - epoch_ns(bts)
-                             <= epoch_ns(fts) - epoch_ns(b.ts))
-                THEN bid
-                WHEN fid IS NOT NULL
-                     AND epoch_ns(fts) - epoch_ns(b.ts) <= 3600000000000
-                THEN fid END AS view_id
-         FROM b JOIN f ON b.event_id = f.event_id
-         ORDER BY b.event_id""",
-    "q_skyline" ->
-      """WITH g AS (SELECT l_extendedprice::DOUBLE AS x,
-             max(l_quantity::DOUBLE) AS y
-           FROM lineitem GROUP BY 1),
-         w AS (SELECT x, y, max(y) OVER (ORDER BY x
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS my
-           FROM g)
-         SELECT x AS l_extendedprice, y AS l_quantity FROM w
-         WHERE my IS NULL OR y > my ORDER BY l_extendedprice""",
-    "q_skyline3" ->
-      """WITH p AS (SELECT DISTINCT p_retailprice::DOUBLE AS d1,
-             p_size::DOUBLE AS d2, length(p_name)::DOUBLE AS d3 FROM part)
-         SELECT d1 AS p_retailprice, d2 AS p_size, d3 AS name_len
-         FROM p a
-         WHERE NOT EXISTS (SELECT 1 FROM p q
-           WHERE q.d1 <= a.d1 AND q.d2 >= a.d2 AND q.d3 >= a.d3
-             AND (q.d1 < a.d1 OR q.d2 > a.d2 OR q.d3 > a.d3))
-         ORDER BY p_retailprice, p_size, name_len""",
-    "q_quantiles" ->
-      """SELECT 'l_quantity' AS "column", 0.25::DOUBLE AS p,
-           floor(quantile_cont(l_quantity::DOUBLE, 0.25) * 1e6 + 0.5) / 1e6 AS q
-         FROM lineitem
-         UNION ALL SELECT 'l_quantity', 0.5::DOUBLE,
-           floor(quantile_cont(l_quantity::DOUBLE, 0.5) * 1e6 + 0.5) / 1e6
-         FROM lineitem
-         UNION ALL SELECT 'l_quantity', 0.75::DOUBLE,
-           floor(quantile_cont(l_quantity::DOUBLE, 0.75) * 1e6 + 0.5) / 1e6
-         FROM lineitem
-         UNION ALL SELECT 'l_quantity', 0.99::DOUBLE,
-           floor(quantile_cont(l_quantity::DOUBLE, 0.99) * 1e6 + 0.5) / 1e6
-         FROM lineitem
-         UNION ALL SELECT 'l_discount', 0.25::DOUBLE,
-           floor(quantile_cont(l_discount::DOUBLE, 0.25) * 1e6 + 0.5) / 1e6
-         FROM lineitem
-         UNION ALL SELECT 'l_discount', 0.5::DOUBLE,
-           floor(quantile_cont(l_discount::DOUBLE, 0.5) * 1e6 + 0.5) / 1e6
-         FROM lineitem
-         UNION ALL SELECT 'l_discount', 0.75::DOUBLE,
-           floor(quantile_cont(l_discount::DOUBLE, 0.75) * 1e6 + 0.5) / 1e6
-         FROM lineitem
-         UNION ALL SELECT 'l_discount', 0.99::DOUBLE,
-           floor(quantile_cont(l_discount::DOUBLE, 0.99) * 1e6 + 0.5) / 1e6
-         FROM lineitem
-         ORDER BY "column", p""",
-    "q_quantiles_by" ->
-      """SELECT l_returnflag, 'l_quantity' AS "column", 0.5::DOUBLE AS p,
-           floor(quantile_cont(l_quantity::DOUBLE, 0.5) * 1e6 + 0.5) / 1e6 AS q
-         FROM lineitem GROUP BY l_returnflag
-         UNION ALL
-         SELECT l_returnflag, 'l_quantity', 0.9::DOUBLE,
-           floor(quantile_cont(l_quantity::DOUBLE, 0.9) * 1e6 + 0.5) / 1e6
-         FROM lineitem GROUP BY l_returnflag
-         ORDER BY l_returnflag, "column", p""",
-    // MAD replay: grouped medians via quantile_cont; the outlier flag
-    // compares the ROUNDED robust_z (as the engine does)
-    "q_mad" ->
-      """WITH med AS (SELECT lang,
-             quantile_cont(n_chars::DOUBLE, 0.5) AS med
-           FROM documents GROUP BY lang),
-         dev AS (SELECT d.doc_id, d.lang, d.n_chars, med.med,
-                   abs(d.n_chars::DOUBLE - med.med) AS ad
-                 FROM documents d JOIN med USING (lang)),
-         mad AS (SELECT lang, quantile_cont(ad, 0.5) AS mad
-                 FROM dev GROUP BY lang)
-         SELECT dev.doc_id, dev.lang, dev.n_chars,
-           floor(dev.med * 1e6 + 0.5) / 1e6 AS med,
-           floor(mad.mad * 1e6 + 0.5) / 1e6 AS mad,
-           CASE WHEN mad.mad > 0 THEN
-             floor(dev.ad / (1.4826 * mad.mad) * 1e6 + 0.5) / 1e6
-           END AS robust_z,
-           coalesce(CASE WHEN mad.mad > 0 THEN
-             floor(dev.ad / (1.4826 * mad.mad) * 1e6 + 0.5) / 1e6 > 3.5
-           END, false) AS is_outlier
-         FROM dev JOIN mad USING (lang) ORDER BY dev.doc_id""",
-    "q_winsor" ->
-      """WITH cuts AS (SELECT lang,
-             quantile_cont(n_chars::DOUBLE, 0.05) AS qlo,
-             quantile_cont(n_chars::DOUBLE, 0.95) AS qhi
-           FROM documents GROUP BY lang)
-         SELECT d.doc_id, d.lang, d.n_chars,
-           floor(c.qlo * 1e6 + 0.5) / 1e6 AS lo,
-           floor(c.qhi * 1e6 + 0.5) / 1e6 AS hi,
-           floor(least(greatest(d.n_chars::DOUBLE, c.qlo), c.qhi)
-                 * 1e6 + 0.5) / 1e6 AS clipped
-         FROM documents d JOIN cuts c USING (lang)
-         ORDER BY d.doc_id""",
-    "q_quantiles_gate" ->
-      """SELECT c AS "column", p::DOUBLE AS p, CAST(true AS BOOLEAN) AS within_tol
-         FROM (SELECT unnest(['l_discount', 'l_quantity']) AS c),
-              (SELECT unnest([0.25, 0.5, 0.75, 0.99]) AS p)
-         ORDER BY "column", p""",
-    "q_quantiles_by_gate" ->
-      """SELECT l_returnflag, 'l_quantity' AS "column", p::DOUBLE AS p,
-           CAST(true AS BOOLEAN) AS within_tol
-         FROM (SELECT DISTINCT l_returnflag FROM lineitem),
-              (SELECT unnest([0.25, 0.5, 0.9]) AS p)
-         ORDER BY l_returnflag, "column", p""",
-    "q_cardinality_gate" ->
-      """SELECT c AS "column", CAST(true AS BOOLEAN) AS within_tol
-         FROM (SELECT unnest(['l_discount', 'l_partkey', 'l_quantity']) AS c)
-         ORDER BY "column"""",
-    "q_top_values" ->
-      """SELECT l_quantity::DOUBLE AS value, count(*)::BIGINT AS cnt
-         FROM lineitem GROUP BY 1
-         ORDER BY cnt DESC, value ASC LIMIT 5""",
-    "q_top_values_approx" ->
-      """SELECT l_quantity::DOUBLE AS value, count(*)::BIGINT AS cnt
-         FROM lineitem GROUP BY 1
-         ORDER BY cnt DESC, value ASC LIMIT 5""",
-    "q_top_values_by" ->
-      """SELECT l_returnflag, value, cnt, rn FROM (
-           SELECT l_returnflag, l_quantity::DOUBLE AS value,
-                  count(*)::BIGINT AS cnt,
-                  row_number() OVER (PARTITION BY l_returnflag
-                    ORDER BY count(*) DESC, l_quantity::DOUBLE ASC)::INT AS rn
-           FROM lineitem GROUP BY l_returnflag, l_quantity) t
-         WHERE rn <= 3 ORDER BY l_returnflag, rn""",
-    "q_top_values_by_approx" ->
-      """SELECT l_returnflag, value, cnt, rn FROM (
-           SELECT l_returnflag, l_quantity::DOUBLE AS value,
-                  count(*)::BIGINT AS cnt,
-                  row_number() OVER (PARTITION BY l_returnflag
-                    ORDER BY count(*) DESC, l_quantity::DOUBLE ASC)::INT AS rn
-           FROM lineitem GROUP BY l_returnflag, l_quantity) t
-         WHERE rn <= 3 ORDER BY l_returnflag, rn""",
-    "q_histogram" ->
-      """WITH b AS (SELECT min(l_extendedprice::DOUBLE) AS mn,
-                           max(l_extendedprice::DOUBLE) AS mx FROM lineitem),
-         w AS (SELECT mn,
-                 CASE WHEN mx > mn THEN (mx - mn) / 16 ELSE 1.0 END AS width
-               FROM b),
-         g AS (SELECT g::INT AS bucket FROM generate_series(0, 15) t(g)),
-         c AS (SELECT least(floor((l_extendedprice::DOUBLE - w.mn) / w.width),
-                 15)::INT AS bucket, count(*)::BIGINT AS cnt
-               FROM lineitem, w GROUP BY 1)
-         SELECT g.bucket,
-           floor((w.mn + g.bucket * w.width) * 1e6 + 0.5) / 1e6 AS lo,
-           floor((w.mn + (g.bucket + 1) * w.width) * 1e6 + 0.5) / 1e6 AS hi,
-           coalesce(c.cnt, 0)::BIGINT AS cnt
-         FROM g CROSS JOIN w LEFT JOIN c ON c.bucket = g.bucket
-         ORDER BY g.bucket""",
-    "q_zvalue" ->
-      """SELECT l_orderkey, l_linenumber, l_partkey,
-           list_sum(list_transform(generate_series(0, 31), i ->
-             (((l_orderkey >> i) & 1) << (2*i))
-             + (((l_partkey >> i) & 1) << (2*i + 1))))::BIGINT AS z
-         FROM lineitem
-         ORDER BY l_orderkey, l_linenumber LIMIT 100""",
-    "q_profile" ->
-      """SELECT 'l_discount' AS "column", count(l_discount)::BIGINT AS n,
-           sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
-           min(l_discount::DOUBLE) AS min, max(l_discount::DOUBLE) AS max,
-           floor(avg(l_discount::DOUBLE) * 1e6 + 0.5) / 1e6 AS mean,
-           floor(median(l_discount::DOUBLE) * 1e6 + 0.5) / 1e6 AS median
-         FROM lineitem
-         UNION ALL
-         SELECT 'l_extendedprice', count(l_extendedprice)::BIGINT,
-           sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
-           min(l_extendedprice::DOUBLE), max(l_extendedprice::DOUBLE),
-           floor(avg(l_extendedprice::DOUBLE) * 1e6 + 0.5) / 1e6,
-           floor(median(l_extendedprice::DOUBLE) * 1e6 + 0.5) / 1e6
-         FROM lineitem
-         UNION ALL
-         SELECT 'l_quantity', count(l_quantity)::BIGINT,
-           sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT,
-           min(l_quantity::DOUBLE), max(l_quantity::DOUBLE),
-           floor(avg(l_quantity::DOUBLE) * 1e6 + 0.5) / 1e6,
-           floor(median(l_quantity::DOUBLE) * 1e6 + 0.5) / 1e6
-         FROM lineitem
-         UNION ALL
-         SELECT 'l_tax', count(l_tax)::BIGINT,
-           sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END)::BIGINT,
-           min(l_tax::DOUBLE), max(l_tax::DOUBLE),
-           floor(avg(l_tax::DOUBLE) * 1e6 + 0.5) / 1e6,
-           floor(median(l_tax::DOUBLE) * 1e6 + 0.5) / 1e6
-         FROM lineitem
-         ORDER BY "column"""",
-    "q_compress_gate" ->
-      """SELECT c AS "check", CAST(true AS BOOLEAN) AS ok
-         FROM (SELECT unnest(['mean_in_band',
-                              'repetitive_compresses_more']) AS c)
-         ORDER BY "check"""",
-    "q_repeat" ->
-      """WITH per AS (
-           SELECT source, count(*)::BIGINT AS n_docs,
-             sum(len(string_split(trim(text), ' ')))::BIGINT AS n_tokens
-           FROM documents WHERE source IN ('src0', 'src1')
-           GROUP BY source),
-         plan AS (
-           SELECT source, n_docs,
-             least(4.0, floor(5000.0 / n_tokens))::BIGINT AS f,
-             CASE WHEN floor(5000.0 / n_tokens) >= 4 THEN 0.0
-                  ELSE least(1.0, 5000.0 / n_tokens
-                         - floor(5000.0 / n_tokens)) END AS frac
-           FROM per),
-         fulls AS (
-           SELECT p.source, s.e AS epoch, p.n_docs AS cnt
-           FROM plan p, generate_series(0, 3) s(e) WHERE s.e < p.f),
-         parts AS (
-           SELECT p.source, p.f AS epoch, count(*)::BIGINT AS cnt
-           FROM plan p JOIN documents d ON d.source = p.source
-           WHERE p.frac > 0
-             AND substr(md5(d.doc_id::VARCHAR), 1, 8) <
-                 printf('%08x',
-                   CAST(round(p.frac * 4294967296.0) AS BIGINT))
-           GROUP BY p.source, p.f)
-         SELECT source, epoch::INT AS epoch, cnt FROM fulls
-         UNION ALL SELECT source, epoch::INT, cnt FROM parts
-         ORDER BY source, epoch""",
-    "q_coverage" ->
-      """WITH toks AS (
-           SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
-           FROM documents),
-         sh AS (
-           SELECT doc_id, list_distinct(CASE WHEN len(tk) < 2
-             THEN [array_to_string(tk, ' ')]
-             ELSE list_transform(generate_series(1, len(tk)-1),
-                    i -> array_to_string(tk[i:i+1], ' ')) END) AS s
-           FROM toks),
-         ev AS (SELECT DISTINCT unnest(s) AS g FROM sh
-                WHERE doc_id % 7 = 0),
-         tr AS (SELECT DISTINCT unnest(s) AS g FROM sh
-                WHERE doc_id % 7 <> 0),
-         ne AS (SELECT count(*) AS n_eval FROM ev),
-         nh AS (SELECT count(*) AS n_hit FROM ev
-                WHERE EXISTS (SELECT 1 FROM tr WHERE tr.g = ev.g))
-         SELECT ne.n_eval::BIGINT AS n_eval, nh.n_hit::BIGINT AS n_hit,
-           floor(nh.n_hit::DOUBLE /
-             greatest(ne.n_eval, 1) * 1e6 + 0.5) / 1e6 AS coverage
-         FROM ne, nh""",
-    "q_canary" ->
-      """SELECT doc_id, p.pattern
-         FROM documents,
-              (SELECT unnest(['table table', 'merge batch', 'slow fast',
-                              'canary-guid-8f2a']) AS pattern) p
-         WHERE contains(text, p.pattern)
-         ORDER BY doc_id, pattern""",
-    "q_editdist" ->
-      """WITH r AS (SELECT s_suppkey AS id, s_name AS k,
-             row_number() OVER (ORDER BY s_name, s_suppkey) AS rank
-           FROM supplier),
-         c AS (SELECT a.id AS id_a, b.id AS id_b, a.k AS ka, b.k AS kb
-               FROM r a JOIN r b
-                 ON b.rank > a.rank AND b.rank - a.rank <= 4)
-         SELECT id_a, id_b, levenshtein(ka, kb)::INT AS edit_dist
-         FROM c WHERE levenshtein(ka, kb) <= 2 ORDER BY id_a, id_b""",
-    // rank-adjacency replays with one global row_number — fine for the
-    // oracle's DuckDB scale; the engine computes the same rank
-    // distributed (range partition + two-pass offsets)
-    "q_snm" ->
-      """WITH r AS (SELECT s_suppkey AS id, s_name AS k,
-             row_number() OVER (ORDER BY s_name, s_suppkey) AS rank
-           FROM supplier)
-         SELECT a.id AS id_a, b.id AS id_b,
-           (b.rank - a.rank)::BIGINT AS dist
-         FROM r a JOIN r b
-           ON b.rank > a.rank AND b.rank - a.rank <= 4
-         ORDER BY id_a, id_b""",
-    "q_fuzzy" ->
-      """WITH g AS (
-           SELECT s_suppkey AS id,
-             list_distinct(CASE WHEN len(lower(s_name)) < 3
-               THEN [lower(s_name)]
-               ELSE list_transform(
-                 generate_series(1, len(lower(s_name)) - 2),
-                 i -> substr(lower(s_name), i, 3)) END) AS gs
-           FROM supplier),
-         p AS (
-           SELECT a.id AS id_a, b.id AS id_b,
-             len(list_intersect(a.gs, b.gs))::DOUBLE /
-               (len(a.gs) + len(b.gs)
-                 - len(list_intersect(a.gs, b.gs))) AS j
-           FROM g a JOIN g b ON a.id < b.id)
-         SELECT id_a, id_b, floor(j * 1e6 + 0.5) / 1e6 AS jaccard
-         FROM p WHERE j >= 0.85 ORDER BY id_a, id_b""",
-    "q_entities" ->
-      """WITH RECURSIVE g AS (
-           SELECT s_suppkey AS id,
-             list_distinct(CASE WHEN len(lower(s_name)) < 3
-               THEN [lower(s_name)]
-               ELSE list_transform(
-                 generate_series(1, len(lower(s_name)) - 2),
-                 i -> substr(lower(s_name), i, 3)) END) AS gs
-           FROM supplier),
-         pairs AS (
-           SELECT a.id AS id_a, b.id AS id_b
-           FROM g a JOIN g b ON a.id < b.id
-           WHERE len(list_intersect(a.gs, b.gs))::DOUBLE /
-             (len(a.gs) + len(b.gs)
-               - len(list_intersect(a.gs, b.gs))) >= 0.85),
-         edges AS (
-           SELECT id_a AS src, id_b AS dst FROM pairs
-           UNION SELECT id_b, id_a FROM pairs),
-         cc AS (
-           SELECT DISTINCT src AS id, src AS comp FROM edges
-           UNION
-           SELECT e.dst AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.src),
-         m AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id)
-         SELECT comp AS entity_id, count(*)::BIGINT AS n_members
-         FROM m GROUP BY comp ORDER BY entity_id""",
-    "q_cdc" ->
-      """WITH ch AS (
-           SELECT doc_id, text, lang, source, n_chars, 1 AS seq, 'd' AS op
-           FROM documents WHERE doc_id % 10 = 0 OR doc_id % 10 = 5
-           UNION ALL
-           SELECT doc_id, 'updated ' || text, lang, source, n_chars, 2, 'u'
-           FROM documents WHERE doc_id % 10 = 5),
-         latest AS (SELECT * FROM (
-             SELECT *, row_number() OVER (PARTITION BY doc_id
-               ORDER BY seq DESC, op) AS rn FROM ch) WHERE rn = 1),
-         untouched AS (SELECT d.* FROM documents d
-           LEFT JOIN latest l ON d.doc_id = l.doc_id WHERE l.doc_id IS NULL)
-         SELECT doc_id, text, lang, source, n_chars FROM untouched
-         UNION ALL
-         SELECT doc_id, text, lang, source, n_chars FROM latest
-         WHERE op = 'u'
-         ORDER BY doc_id""",
-    "q_snapshot_diff" ->
-      """WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
-         b AS (SELECT doc_id,
-                 CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END AS text
-               FROM documents WHERE doc_id >= 100),
-         d AS (SELECT CASE WHEN a.doc_id IS NULL THEN 'added'
-                           WHEN b.doc_id IS NULL THEN 'removed'
-                           WHEN a.text <> b.text THEN 'changed'
-                           ELSE 'unchanged' END AS status
-               FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
-         SELECT status, count(*)::BIGINT AS n FROM d
-         GROUP BY status ORDER BY status""",
-    "q_psi_by" ->
-      """WITH c AS (
-           SELECT source AS slice,
-                  least(7, greatest(0,
-                    floor(n_chars::DOUBLE / 75.0)))::BIGINT AS bin,
-                  count(*) AS n
-           FROM documents
-           WHERE source IS NOT NULL AND n_chars IS NOT NULL
-           GROUP BY 1, 2),
-         g AS (SELECT bin, sum(n) AS gg FROM c GROUP BY bin),
-         t AS (SELECT slice, sum(n) AS tn FROM c GROUP BY slice),
-         gr AS (SELECT sum(n) AS tg FROM c),
-         grid AS (
-           SELECT t.slice, t.tn, g.bin, g.gg, coalesce(c.n, 0) AS n
-           FROM t CROSS JOIN g
-           LEFT JOIN c ON c.slice = t.slice AND c.bin = g.bin)
-         SELECT slice, max(tn)::BIGINT AS n,
-           floor(sum(
-             (greatest(n / tn, 1e-6)
-               - greatest((gg - n) / (tg - tn), 1e-6))
-             * ln(greatest(n / tn, 1e-6)
-               / greatest((gg - n) / (tg - tn), 1e-6))) * 1e6 + 0.5) / 1e6
-             AS psi
-         FROM grid, gr GROUP BY slice ORDER BY slice""",
-    "q_ks_by" ->
-      """WITH ps AS (
-           SELECT source AS slice, n_chars::DOUBLE AS v, count(*) AS n
-           FROM documents
-           WHERE source IS NOT NULL AND n_chars IS NOT NULL
-           GROUP BY 1, 2),
-         g AS (
-           SELECT v, sum(n) AS gn,
-                  sum(sum(n)) OVER (ORDER BY v
-                    ROWS UNBOUNDED PRECEDING) AS gcum
-           FROM ps GROUP BY v),
-         t AS (SELECT slice, sum(n) AS tn FROM ps GROUP BY slice),
-         gr AS (SELECT sum(n) AS tg FROM ps),
-         grid AS (
-           SELECT t.slice, t.tn, g.v, g.gcum, coalesce(ps.n, 0) AS n
-           FROM t CROSS JOIN g
-           LEFT JOIN ps ON ps.slice = t.slice AND ps.v = g.v),
-         c AS (
-           SELECT slice, tn, gcum,
-             sum(n) OVER (PARTITION BY slice ORDER BY v
-               ROWS UNBOUNDED PRECEDING) AS scum
-           FROM grid)
-         SELECT slice, max(tn)::BIGINT AS n,
-           floor(max(abs(scum / tn - (gcum - scum) / (tg - tn)))
-             * 1e6 + 0.5) / 1e6 AS d
-         FROM c, gr GROUP BY slice ORDER BY slice""",
-    "q_ks" ->
-      """WITH t AS (SELECT n_chars::DOUBLE AS v, source = 'src0' AS ia
-                    FROM documents
-                    WHERE source IN ('src0', 'src1') AND n_chars IS NOT NULL),
-         c AS (SELECT v,
-                 sum(CASE WHEN ia THEN 1 ELSE 0 END) AS na,
-                 sum(CASE WHEN NOT ia THEN 1 ELSE 0 END) AS nb
-               FROM t GROUP BY v),
-         cum AS (SELECT v,
-                 sum(na) OVER (ORDER BY v) AS ca,
-                 sum(nb) OVER (ORDER BY v) AS cb FROM c),
-         tot AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM c)
-         SELECT floor(max(abs(ca / ta - cb / tb)) * 1e6 + 0.5) / 1e6 AS d,
-                ta::BIGINT AS n_a, tb::BIGINT AS n_b
-         FROM cum, tot GROUP BY ta, tb""",
-    "q_cat_drift" ->
-      """WITH counts AS (
-           SELECT lang AS category,
-                  sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS na,
-                  sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS nb
-           FROM documents
-           WHERE source IN ('src0', 'src1') AND lang IS NOT NULL
-           GROUP BY lang),
-         tot AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM counts)
-         SELECT category,
-           floor(na / ta * 1e6 + 0.5) / 1e6 AS p_a,
-           floor(nb / tb * 1e6 + 0.5) / 1e6 AS p_b,
-           floor((greatest(na / ta, 1e-6) - greatest(nb / tb, 1e-6))
-             * ln(greatest(na / ta, 1e-6) / greatest(nb / tb, 1e-6))
-             * 1e6 + 0.5) / 1e6 AS psi_term
-         FROM counts, tot ORDER BY category""",
-    "q_template_dedup" ->
-      """SELECT count(*)::BIGINT AS n_kept FROM (
-           SELECT row_number() OVER (
-               PARTITION BY trim(regexp_replace(
-                 regexp_replace(text, '[0-9]+', '0', 'g'),
-                 '\s+', ' ', 'g'))
-               ORDER BY doc_id) AS rn
-           FROM documents) WHERE rn = 1""",
-    "q_pivot" ->
-      """SELECT source,
-           sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)::BIGINT AS de,
-           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS en,
-           sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END)::BIGINT AS es,
-           sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END)::BIGINT AS fr,
-           sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END)::BIGINT AS zh
-         FROM documents GROUP BY source ORDER BY source""",
-    "q_triangles" ->
-      """WITH toks AS (
-           SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
-           FROM documents),
-         sh AS (
-           SELECT doc_id, list_distinct(CASE WHEN len(tk) < 2
-             THEN [array_to_string(tk, ' ')]
-             ELSE list_transform(generate_series(1, len(tk)-1),
-                    i -> array_to_string(tk[i:i+1], ' ')) END) AS s
-           FROM toks),
-         e AS (SELECT a.doc_id AS a, b.doc_id AS b
-               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-               WHERE len(list_intersect(a.s, b.s))::DOUBLE /
-                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
-                 >= 0.8),
-         wed AS (SELECT e1.a, e1.b AS m, e2.b AS c
-                 FROM e e1 JOIN e e2 ON e1.b = e2.a),
-         tri AS (SELECT count(*)::BIGINT AS n_triangles FROM wed
-                 WHERE EXISTS (SELECT 1 FROM e
-                               WHERE e.a = wed.a AND e.b = wed.c)),
-         deg AS (SELECT n, count(*)::BIGINT AS d FROM
-                   (SELECT a AS n FROM e UNION ALL SELECT b FROM e)
-                 GROUP BY n),
-         st AS (SELECT count(*)::BIGINT AS n_nodes,
-                  (sum(d) / 2)::BIGINT AS n_edges,
-                  sum(d * (d - 1) / 2)::BIGINT AS n_triples FROM deg)
-         SELECT n_nodes, n_edges, n_triangles,
-           floor((CASE WHEN n_triples > 0
-                  THEN 3.0 * n_triangles / n_triples ELSE 0.0 END)
-                 * 1e6 + 0.5) / 1e6 AS transitivity
-         FROM st, tri""",
-    "q_mi" ->
-      """WITH j AS (SELECT lang AS a, source AS b, count(*)::DOUBLE AS c
-           FROM documents GROUP BY 1, 2),
-         n AS (SELECT sum(c) AS n FROM j),
-         ma AS (SELECT a, sum(c) AS ca FROM j GROUP BY a),
-         mb AS (SELECT b, sum(c) AS cb FROM j GROUP BY b),
-         t AS (SELECT j.c / n.n * ln(j.c * n.n / (ma.ca * mb.cb)) AS mi_t,
-                 j.c / n.n AS p, ma.ca / n.n AS pa, mb.cb / n.n AS pb
-               FROM j JOIN ma USING (a) JOIN mb USING (b), n),
-         agg AS (SELECT sum(mi_t) AS mi, -sum(p * ln(pa)) AS h_a,
-                   -sum(p * ln(pb)) AS h_b FROM t)
-         SELECT floor(mi * 1e6 + 0.5) / 1e6 AS mi,
-           floor(h_a * 1e6 + 0.5) / 1e6 AS h_a,
-           floor(h_b * 1e6 + 0.5) / 1e6 AS h_b,
-           floor((CASE WHEN h_a > 0 AND h_b > 0
-                  THEN mi / sqrt(h_a * h_b) ELSE 0 END) * 1e6 + 0.5) / 1e6
-             AS nmi
-         FROM agg""",
-    "q_pmi" ->
-      """WITH d AS (SELECT doc_id,
-             list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS ts
-           FROM documents),
-         u AS (SELECT doc_id, unnest(ts) AS t FROM d),
-         uf AS (SELECT t, count(*) AS n FROM u GROUP BY t),
-         pf AS (SELECT a.t AS tok_a, b.t AS tok_b, count(*) AS nab
-                FROM u a JOIN u b ON a.doc_id = b.doc_id AND a.t < b.t
-                GROUP BY 1, 2 HAVING count(*) >= 5),
-         nn AS (SELECT count(*)::DOUBLE AS nd FROM d)
-         SELECT pf.tok_a, pf.tok_b, pf.nab::BIGINT AS n_ab,
-           floor(ln(pf.nab::DOUBLE * nn.nd /
-                    (ua.n::DOUBLE * ub.n::DOUBLE)) * 1e6 + 0.5) / 1e6 AS pmi
-         FROM pf
-         JOIN uf ua ON ua.t = pf.tok_a
-         JOIN uf ub ON ub.t = pf.tok_b
-         CROSS JOIN nn
-         ORDER BY pmi DESC, tok_a, tok_b LIMIT 20""",
-    "q_corr" ->
-      """WITH c AS (SELECT
-           corr(l_quantity::DOUBLE, l_extendedprice::DOUBLE) AS c1,
-           corr(l_quantity::DOUBLE, l_discount::DOUBLE) AS c2,
-           corr(l_quantity::DOUBLE, l_tax::DOUBLE) AS c3,
-           corr(l_extendedprice::DOUBLE, l_discount::DOUBLE) AS c4,
-           corr(l_extendedprice::DOUBLE, l_tax::DOUBLE) AS c5,
-           corr(l_discount::DOUBLE, l_tax::DOUBLE) AS c6
-           FROM lineitem)
-         SELECT col_x, col_y, floor(v * 1e6 + 0.5) / 1e6 AS "corr"
-         FROM (
-           SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, c1 AS v FROM c
-           UNION ALL SELECT 'l_quantity', 'l_discount', c2 FROM c
-           UNION ALL SELECT 'l_quantity', 'l_tax', c3 FROM c
-           UNION ALL SELECT 'l_extendedprice', 'l_discount', c4 FROM c
-           UNION ALL SELECT 'l_extendedprice', 'l_tax', c5 FROM c
-           UNION ALL SELECT 'l_discount', 'l_tax', c6 FROM c)
-         ORDER BY col_x, col_y""",
-    "q_psi" ->
-      """WITH tagged AS (
-           SELECT least(7, greatest(0,
-                    floor(n_chars::DOUBLE / 75.0)))::BIGINT AS bin,
-                  source = 'src0' AS is_a
-           FROM documents
-           WHERE source IN ('src0', 'src1') AND n_chars IS NOT NULL),
-         counts AS (
-           SELECT bin,
-                  sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS na,
-                  sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS nb
-           FROM tagged GROUP BY bin),
-         tot AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM counts)
-         SELECT bin,
-           floor(na / ta * 1e6 + 0.5) / 1e6 AS p_a,
-           floor(nb / tb * 1e6 + 0.5) / 1e6 AS p_b,
-           floor((greatest(na / ta, 1e-6) - greatest(nb / tb, 1e-6))
-             * ln(greatest(na / ta, 1e-6) / greatest(nb / tb, 1e-6))
-             * 1e6 + 0.5) / 1e6 AS psi_term
-         FROM counts, tot ORDER BY bin""",
-    "q_schema_diff" ->
-      """SELECT * FROM (VALUES
-           ('doc_id', 'unchanged'), ('extra', 'added'),
-           ('lang', 'removed'), ('n_chars', 'type_changed'),
-           ('source', 'unchanged'), ('text', 'unchanged'))
-         AS t("column", status) ORDER BY "column"""",
-    "q_benford" ->
-      """WITH counts AS (
-           SELECT substr(CAST(CAST(trunc(abs(o_totalprice::DOUBLE)) AS BIGINT)
-                    AS VARCHAR), 1, 1) AS digit,
-                  count(*) AS n
-           FROM orders
-           WHERE o_totalprice IS NOT NULL
-             AND CAST(trunc(abs(o_totalprice::DOUBLE)) AS BIGINT) > 0
-           GROUP BY 1),
-         tot AS (SELECT sum(n) AS t FROM counts),
-         ds AS (SELECT d::VARCHAR AS digit,
-                       log10(1.0 + 1.0 / d) AS bs
-                FROM generate_series(1, 9) s(d))
-         SELECT ds.digit,
-           floor(coalesce(c.n, 0) / tot.t * 1e6 + 0.5) / 1e6 AS observed,
-           floor(ds.bs * 1e6 + 0.5) / 1e6 AS benford,
-           floor((greatest(coalesce(c.n, 0) / tot.t, 1e-6) - ds.bs)
-             * ln(greatest(coalesce(c.n, 0) / tot.t, 1e-6) / ds.bs)
-             * 1e6 + 0.5) / 1e6 AS term
-         FROM ds LEFT JOIN counts c ON c.digit = ds.digit
-         CROSS JOIN tot ORDER BY ds.digit""",
-    "q_orphans" ->
-      """WITH c AS (SELECT l_orderkey AS fk FROM lineitem
-                    WHERE l_orderkey IS NOT NULL),
-         p AS (SELECT DISTINCT o_orderkey AS pk FROM orders
-               WHERE o_orderkey % 3 <> 0),
-         o AS (SELECT count(*) AS n_orphans FROM c
-               WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.pk = c.fk)),
-         n AS (SELECT count(*) AS n_child FROM c)
-         SELECT n.n_child::BIGINT AS n_child,
-                o.n_orphans::BIGINT AS n_orphans,
-                floor(o.n_orphans::DOUBLE /
-                  greatest(n.n_child, 1) * 1e6 + 0.5) / 1e6 AS orphan_rate
-         FROM n, o""",
-    "q_order_viol" ->
-      """WITH x AS (
-           SELECT user_id, epoch_ns(ts) AS ns,
-                  lag(epoch_ns(ts)) OVER (PARTITION BY user_id
-                    ORDER BY md5(event_id::VARCHAR)) AS prev
-           FROM events)
-         SELECT user_id, count(*)::BIGINT AS n_violations
-         FROM x WHERE prev IS NOT NULL AND ns < prev AND user_id < 30
-         GROUP BY user_id ORDER BY user_id""",
-    "q_gaps" ->
-      """WITH g AS (
-           SELECT epoch_ns(ts) - lag(epoch_ns(ts)) OVER
-             (PARTITION BY user_id ORDER BY ts, event_id) AS gap
-           FROM events),
-         q AS (SELECT quantile_cont(gap, [0.5, 0.9, 0.99]) AS qs
-               FROM g WHERE gap IS NOT NULL)
-         SELECT 0.5 AS p, qs[1]::DOUBLE AS gap_ns FROM q
-         UNION ALL SELECT 0.9, qs[2]::DOUBLE FROM q
-         UNION ALL SELECT 0.99, qs[3]::DOUBLE FROM q
-         ORDER BY p""",
-    "q_changepoint" ->
-      """WITH per AS (
-           SELECT user_id, epoch_ns(ts) // 86400000000000 AS p,
-                  count(*) AS x
-           FROM events GROUP BY user_id, p),
-         s AS (
-           SELECT user_id, p,
-             sum(x) OVER (PARTITION BY user_id ORDER BY p
-                          ROWS UNBOUNDED PRECEDING) AS c,
-             row_number() OVER (PARTITION BY user_id ORDER BY p) AS t,
-             count(*) OVER (PARTITION BY user_id) AS n,
-             sum(x) OVER (PARTITION BY user_id) AS tot
-           FROM per),
-         d AS (
-           SELECT user_id, p,
-             abs(c::DOUBLE - t::DOUBLE / n::DOUBLE * tot::DOUBLE) AS dd,
-             tot,
-             row_number() OVER (PARTITION BY user_id
-               ORDER BY abs(c::DOUBLE - t::DOUBLE / n::DOUBLE * tot::DOUBLE)
-                 DESC, p) AS rn
-           FROM s)
-         SELECT user_id, p AS cp_period,
-                floor(dd / tot * 1e6 + 0.5) / 1e6 AS strength
-         FROM d WHERE rn = 1 AND user_id < 50 ORDER BY user_id""",
-    "q_funnel_win" ->
-      """WITH u1 AS (SELECT user_id, min(epoch_ns(ts)) AS t FROM events
-             WHERE event_type = 'signup' GROUP BY user_id),
-         u2 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t FROM events e
-             JOIN u1 ON e.user_id = u1.user_id
-             WHERE e.event_type = 'view' AND epoch_ns(e.ts) >= u1.t
-               AND epoch_ns(e.ts) - u1.t <= 86400000000000
-             GROUP BY e.user_id),
-         u3 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t FROM events e
-             JOIN u2 ON e.user_id = u2.user_id
-             WHERE e.event_type = 'click' AND epoch_ns(e.ts) >= u2.t
-               AND epoch_ns(e.ts) - u2.t <= 86400000000000
-             GROUP BY e.user_id),
-         u4 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t FROM events e
-             JOIN u3 ON e.user_id = u3.user_id
-             WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= u3.t
-               AND epoch_ns(e.ts) - u3.t <= 86400000000000
-             GROUP BY e.user_id)
-         SELECT 1::INT AS step, 'signup' AS step_name,
-                count(*)::BIGINT AS n_keys FROM u1
-         UNION ALL SELECT 2::INT, 'view', count(*)::BIGINT FROM u2
-         UNION ALL SELECT 3::INT, 'click', count(*)::BIGINT FROM u3
-         UNION ALL SELECT 4::INT, 'purchase', count(*)::BIGINT FROM u4
-         ORDER BY step""",
-    "q_funnel" ->
-      """WITH u1 AS (SELECT user_id, min(ts) AS t FROM events
-             WHERE event_type = 'signup' GROUP BY user_id),
-         u2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
-             JOIN u1 ON e.user_id = u1.user_id
-             WHERE e.event_type = 'view' AND e.ts >= u1.t
-             GROUP BY e.user_id),
-         u3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
-             JOIN u2 ON e.user_id = u2.user_id
-             WHERE e.event_type = 'click' AND e.ts >= u2.t
-             GROUP BY e.user_id),
-         u4 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
-             JOIN u3 ON e.user_id = u3.user_id
-             WHERE e.event_type = 'purchase' AND e.ts >= u3.t
-             GROUP BY e.user_id)
-         SELECT 1::INT AS step, 'signup' AS step_name,
-                count(*)::BIGINT AS n_keys FROM u1
-         UNION ALL SELECT 2::INT, 'view', count(*)::BIGINT FROM u2
-         UNION ALL SELECT 3::INT, 'click', count(*)::BIGINT FROM u3
-         UNION ALL SELECT 4::INT, 'purchase', count(*)::BIGINT FROM u4
-         ORDER BY step""",
-    "q_retention" ->
-      """WITH per AS (SELECT user_id,
-             epoch_ns(ts) // 86400000000000 AS p FROM events),
-         pk AS (SELECT user_id, min(p) AS cohort FROM per GROUP BY user_id),
-         act AS (SELECT DISTINCT per.user_id, pk.cohort,
-                   per.p - pk.cohort AS off
-                 FROM per JOIN pk USING (user_id))
-         SELECT cohort::BIGINT AS cohort, off::BIGINT AS "offset",
-                count(*)::BIGINT AS n_active
-         FROM act GROUP BY cohort, off ORDER BY cohort, "offset"""",
-    "q_topk_group" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
-           SELECT o_custkey, o_orderkey, o_totalprice,
-                  row_number() OVER (PARTITION BY o_custkey
-                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
-           FROM orders) t
-         WHERE rn <= 3 ORDER BY o_custkey, rn""",
-    "q_interval" ->
-      """SELECT w.win_id, count(*)::BIGINT AS n_events,
-           floor(sum(e.value) * 1e6 + 0.5) / 1e6 AS sum_value
-         FROM (SELECT g AS win_id,
-                 1704067200000000000 + g * 86400000000000 AS w_start,
-                 1704067200000000000 + g * 86400000000000
-                   + 21600000000000 AS w_end
-               FROM generate_series(0, 29) t(g)) w
-         JOIN events e ON epoch_ns(e.ts) BETWEEN w.w_start AND w.w_end
-         GROUP BY w.win_id ORDER BY w.win_id""",
-    "q_overlap" ->
-      """WITH spans AS (
-           SELECT user_id, min(epoch_ns(ts)) AS u_start,
-                  max(epoch_ns(ts)) AS u_end
-           FROM events GROUP BY user_id),
-         w AS (SELECT g AS win_id,
-                 1704067200000000000 + g * 86400000000000 AS w_start,
-                 1704067200000000000 + g * 86400000000000
-                   + 21600000000000 AS w_end
-               FROM generate_series(0, 29) t(g))
-         SELECT w.win_id, count(*)::BIGINT AS n_users
-         FROM w JOIN spans s
-           ON s.u_start <= w.w_end AND w.w_start <= s.u_end
-         GROUP BY w.win_id ORDER BY w.win_id""",
-    "q_dedup_exact" ->
-      """SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keep_id
-         FROM documents GROUP BY md5(text) ORDER BY h""",
-    "q_dedup_tokenset" ->
-      """SELECT md5(array_to_string(list_sort(list_distinct(
-           string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS h,
-         count(*) AS cnt, min(doc_id) AS keep_id
-         FROM documents GROUP BY 1 ORDER BY h""",
-    "q_text_stats" ->
-      """WITH b AS (
-           SELECT doc_id, trim(text) AS tx,
-             string_split_regex(trim(text), '\s+') AS toks,
-             string_split_regex(trim(lower(text)), '\s+') AS ltoks
-           FROM documents),
-         m AS (
-           SELECT doc_id, tx, toks,
-             len(toks)::DOUBLE AS n,
-             len(list_distinct(toks))::DOUBLE AS nd,
-             length(regexp_replace(tx, '\s+', '', 'g'))::DOUBLE AS nc,
-             (CASE WHEN list_contains(ltoks,'der') THEN 1 ELSE 0 END +
-              CASE WHEN list_contains(ltoks,'die') THEN 1 ELSE 0 END +
-              CASE WHEN list_contains(ltoks,'und') THEN 1 ELSE 0 END +
-              CASE WHEN list_contains(ltoks,'das') THEN 1 ELSE 0 END +
-              CASE WHEN list_contains(ltoks,'ist') THEN 1 ELSE 0 END) AS s_de,
-             (CASE WHEN list_contains(ltoks,'the') THEN 1 ELSE 0 END +
-              CASE WHEN list_contains(ltoks,'a') THEN 1 ELSE 0 END +
-              CASE WHEN list_contains(ltoks,'of') THEN 1 ELSE 0 END +
-              CASE WHEN list_contains(ltoks,'and') THEN 1 ELSE 0 END +
-              CASE WHEN list_contains(ltoks,'is') THEN 1 ELSE 0 END) AS s_en,
-             (CASE WHEN list_contains(ltoks,'el') THEN 1 ELSE 0 END +
-              CASE WHEN list_contains(ltoks,'la') THEN 1 ELSE 0 END +
-              CASE WHEN list_contains(ltoks,'de') THEN 1 ELSE 0 END +
-              CASE WHEN list_contains(ltoks,'los') THEN 1 ELSE 0 END +
-              CASE WHEN list_contains(ltoks,'que') THEN 1 ELSE 0 END) AS s_es,
-             (CASE WHEN list_contains(ltoks,'le') THEN 1 ELSE 0 END +
-              CASE WHEN list_contains(ltoks,'la') THEN 1 ELSE 0 END +
-              CASE WHEN list_contains(ltoks,'et') THEN 1 ELSE 0 END +
-              CASE WHEN list_contains(ltoks,'les') THEN 1 ELSE 0 END +
-              CASE WHEN list_contains(ltoks,'des') THEN 1 ELSE 0 END) AS s_fr
-           FROM b)
-         SELECT doc_id, n::BIGINT AS n_tokens,
-           floor((0.4 * least(1.0, n/100.0) + 0.3 * (nd/n)
-                 + 0.3 * least(1.0, (nc/n)/8.0)) * 1e6 + 0.5) / 1e6 AS quality,
-           CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
-                WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
-                WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
-                WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
-                ELSE 'fr' END AS lang_pred,
-           md5(regexp_replace(lower(tx), '\s+', ' ', 'g')) AS fp
-         FROM m ORDER BY doc_id""",
-    "q_minhash_pairs" ->
-      """WITH toks AS (
-           SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
-           FROM documents),
-         sh AS (
-           SELECT doc_id, list_distinct(CASE WHEN len(tk) < 3
-             THEN [array_to_string(tk, ' ')]
-             ELSE list_transform(generate_series(1, len(tk)-2),
-                    i -> array_to_string(tk[i:i+2], ' ')) END) AS s
-           FROM toks)
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           floor((len(list_intersect(a.s, b.s))::DOUBLE /
-             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))) * 1e6 + 0.5) / 1e6 AS jaccard
-         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         WHERE len(list_intersect(a.s, b.s))::DOUBLE /
-           (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
-         ORDER BY id_a, id_b""",
-    "q_ngram_pairs" ->
-      """WITH toks AS (
-           SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
-           FROM documents),
-         sh AS (
-           SELECT doc_id, list_distinct(CASE WHEN len(tk) < 2
-             THEN [array_to_string(tk, ' ')]
-             ELSE list_transform(generate_series(1, len(tk)-1),
-                    i -> array_to_string(tk[i:i+1], ' ')) END) AS s
-           FROM toks)
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           floor((len(list_intersect(a.s, b.s))::DOUBLE /
-             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))) * 1e6 + 0.5) / 1e6 AS jaccard
-         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         WHERE len(list_intersect(a.s, b.s))::DOUBLE /
-           (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
-         ORDER BY id_a, id_b""",
-    // tf-idf cosine replay: hashed terms, df-capped subspace, L2
-    // normalize, shared-term partial dot products
-    "q_tfidf_pairs" ->
-      """WITH d AS (SELECT doc_id,
-             string_split(lower(trim(text)), ' ') AS tk FROM documents),
-         tf AS (SELECT doc_id,
-                  ('0x' || substr(md5(t), 1, 15))::BIGINT AS h,
-                  count(*)::DOUBLE AS tf
-                FROM (SELECT doc_id, unnest(tk) AS t FROM d)
-                GROUP BY doc_id, h),
-         dfq AS (SELECT h, count(*)::BIGINT AS df FROM tf GROUP BY h
-                 HAVING count(*) <= 1000),
-         n AS (SELECT count(*)::DOUBLE AS n FROM d),
-         w AS (SELECT tf.doc_id, tf.h,
-                 tf.tf * ln(n.n / dfq.df::DOUBLE) AS w
-               FROM tf JOIN dfq ON tf.h = dfq.h, n),
-         nm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w
-                GROUP BY doc_id HAVING sqrt(sum(w * w)) > 0),
-         p AS (SELECT w.doc_id, w.h, w.w / nm.nrm AS wn
-               FROM w JOIN nm ON w.doc_id = nm.doc_id),
-         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                  sum(a.wn * b.wn) AS c
-                FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id
-                GROUP BY a.doc_id, b.doc_id)
-         SELECT id_a, id_b, floor(c * 1e6 + 0.5) / 1e6 AS cosine
-         FROM pr WHERE c >= 0.9 ORDER BY id_a, id_b""",
-    // removal = train minus the exact containment join's train side
-    "q_decon" ->
-      """WITH toks AS (
-           SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
-           FROM documents),
-         sh AS (
-           SELECT doc_id, list_distinct(CASE WHEN len(tk) < 2
-             THEN [array_to_string(tk, ' ')]
-             ELSE list_transform(generate_series(1, len(tk)-1),
-                    i -> array_to_string(tk[i:i+1], ' ')) END) AS s
-           FROM toks),
-         bad AS (
-           SELECT DISTINCT a.doc_id
-           FROM sh b JOIN sh a ON b.doc_id % 7 = 0 AND a.doc_id % 7 <> 0
-           WHERE len(list_intersect(b.s, a.s))::DOUBLE / len(b.s) >= 0.8)
-         SELECT doc_id, lang, source FROM documents
-         WHERE doc_id % 7 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
-         ORDER BY doc_id""",
-    "q_boilerplate" ->
-      """WITH aug AS (SELECT doc_id,
-             text || chr(10) || 'subscribe to our newsletter' || chr(10) ||
-             CASE WHEN doc_id % 5 = 0 THEN 'copyright footer 2026'
-                  ELSE 'tail ' || doc_id END || chr(10) ||
-             '  ' || chr(10) || 'back to top' AS txt
-           FROM documents),
-         l AS (SELECT doc_id, string_split(txt, chr(10)) AS ls FROM aug),
-         e AS (SELECT doc_id, unnest(list_filter(
-             list_transform(ls, x -> trim(x, ' ' || chr(9))),
-             x -> x <> '')) AS tl
-           FROM l),
-         bad AS (SELECT tl FROM e
-           GROUP BY tl HAVING count(DISTINCT doc_id) >= 3),
-         bl AS (SELECT coalesce(list(tl), []::VARCHAR[]) AS b FROM bad),
-         k AS (SELECT doc_id,
-             list_filter(ls, x -> trim(x, ' ' || chr(9)) = ''
-               OR NOT list_contains(b, trim(x, ' ' || chr(9)))) AS kept,
-             len(ls) AS n0
-           FROM l, bl)
-         SELECT doc_id, md5(array_to_string(kept, chr(10))) AS clean_fp,
-           len(kept)::BIGINT AS n_kept, (n0 - len(kept))::BIGINT AS n_dropped
-         FROM k ORDER BY doc_id""",
-    "q_split" ->
-      """SELECT doc_id, CASE WHEN h < 3435973837 THEN 'train'
-                             WHEN h < 3865470566 THEN 'val'
-                             ELSE 'test' END AS split
-         FROM (SELECT doc_id,
-             ('0x' || substr(md5('graft-r9' || doc_id), 1, 8))::BIGINT AS h
-           FROM documents)
-         ORDER BY doc_id""",
-    "q_hll_gate" ->
-      """SELECT count(DISTINCT doc_id)::BIGINT AS n_exact,
-           true AS direct_within_1pct, true AS merged_within_5pct
-         FROM documents""",
-    "q_cms_gate" ->
-      """SELECT source AS value, count(*)::BIGINT AS n_true,
-           true AS merge_eq, true AS bounds_ok
-         FROM documents GROUP BY source ORDER BY value""",
-    "q_compact_gate" ->
-      """SELECT count(*)::BIGINT AS n_rows, true AS content_ok,
-           true AS compacted
-         FROM documents""",
-    "q_contain" ->
-      """WITH toks AS (
-           SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
-           FROM documents),
-         sh AS (
-           SELECT doc_id, list_distinct(CASE WHEN len(tk) < 2
-             THEN [array_to_string(tk, ' ')]
-             ELSE list_transform(generate_series(1, len(tk)-1),
-                    i -> array_to_string(tk[i:i+1], ' ')) END) AS s
-           FROM toks)
-         SELECT b.doc_id AS bench_id, a.doc_id AS train_id,
-           floor((len(list_intersect(b.s, a.s))::DOUBLE / len(b.s)) * 1e6 + 0.5) / 1e6
-             AS containment
-         FROM sh b JOIN sh a ON b.doc_id % 7 = 0 AND a.doc_id % 7 <> 0
-         WHERE len(list_intersect(b.s, a.s))::DOUBLE / len(b.s) >= 0.8
-         ORDER BY bench_id, train_id""",
-    // Bloom gating is exact-equivalent (no false negatives + exact
-    // verify), so the oracle is q_contain's brute-force containment
-    "q_contain_bloom" ->
-      """WITH toks AS (
-           SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
-           FROM documents),
-         sh AS (
-           SELECT doc_id, list_distinct(CASE WHEN len(tk) < 2
-             THEN [array_to_string(tk, ' ')]
-             ELSE list_transform(generate_series(1, len(tk)-1),
-                    i -> array_to_string(tk[i:i+1], ' ')) END) AS s
-           FROM toks)
-         SELECT b.doc_id AS bench_id, a.doc_id AS train_id,
-           floor((len(list_intersect(b.s, a.s))::DOUBLE / len(b.s)) * 1e6 + 0.5) / 1e6
-             AS containment
-         FROM sh b JOIN sh a ON b.doc_id % 7 = 0 AND a.doc_id % 7 <> 0
-         WHERE len(list_intersect(b.s, a.s))::DOUBLE / len(b.s) >= 0.8
-         ORDER BY bench_id, train_id""",
-    "q_line_stats" ->
-      """WITH aug AS (SELECT doc_id,
-             text || chr(10) || substr(text, 1, 40) || chr(10) ||
-             CASE WHEN doc_id % 3 = 0 THEN substr(text, 1, 40)
-                  ELSE 'unique tail ' || doc_id END || chr(10) ||
-             '- bullet item' || chr(10) ||
-             CASE WHEN doc_id % 4 = 0 THEN 'to be continued...'
-                  ELSE 'closing line ' || doc_id END AS txt
-           FROM documents),
-         l AS (SELECT doc_id,
-             list_filter(list_transform(string_split(txt, chr(10)),
-               x -> trim(x)), x -> x <> '') AS ls
-           FROM aug),
-         c AS (SELECT doc_id, len(ls) AS n,
-             list_sum(list_transform(ls, x -> length(x))) AS tot,
-             len(ls) - len(list_distinct(ls)) AS dl,
-             list_sum(list_transform(list_distinct(ls),
-               d -> (len(list_filter(ls, y -> y = d)) - 1) * length(d))) AS dc,
-             len(list_filter(ls,
-               x -> substr(x, 1, 1) IN ('-', '*', '•'))) AS bl,
-             len(list_filter(ls,
-               x -> (length(x) >= 3 AND substr(x, length(x) - 2) = '...')
-                 OR substr(x, length(x)) = '…')) AS el
-           FROM l)
-         SELECT doc_id, n::BIGINT AS n_lines,
-           floor(dl::DOUBLE / n * 1e6 + 0.5) / 1e6 AS dup_line_frac,
-           floor(dc::DOUBLE / tot * 1e6 + 0.5) / 1e6 AS dup_line_char_frac,
-           floor(bl::DOUBLE / n * 1e6 + 0.5) / 1e6 AS bullet_line_frac,
-           floor(el::DOUBLE / n * 1e6 + 0.5) / 1e6 AS ellipsis_line_frac
-         FROM c ORDER BY doc_id""",
-    "q_quality_rep" ->
-      """WITH d AS (SELECT doc_id, text,
-             string_split(lower(trim(text)), ' ') AS tk FROM documents),
-         b AS (SELECT doc_id, text, tk,
-             CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
-                  ELSE list_transform(generate_series(1, len(tk)-1),
-                         i -> tk[i] || ' ' || tk[i+1]) END AS bg
-           FROM d)
-         SELECT doc_id,
-           floor((1 - len(list_distinct(tk))::DOUBLE/len(tk)) * 1e6 + 0.5)/1e6
-             AS dup_word_frac,
-           CASE WHEN len(bg) = 0 THEN 0.0
-                ELSE floor((list_max(list_transform(list_distinct(bg),
-                       x -> len(list_filter(bg, y -> y = x))))::DOUBLE
-                     / len(bg)) * 1e6 + 0.5)/1e6 END AS top_bigram_frac,
-           floor((len(list_filter(tk,
-               t -> list_contains(['the','a','of','and','is'], t)))::DOUBLE
-             / len(tk)) * 1e6 + 0.5)/1e6 AS stopword_frac,
-           floor((length(regexp_replace(trim(text), '\s+', '', 'g'))::DOUBLE
-             / len(tk)) * 1e6 + 0.5)/1e6 AS mean_word_len
-         FROM b ORDER BY doc_id""",
-    "q_chunks" ->
-      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS tk
-           FROM documents),
-         c AS (SELECT doc_id, tk, len(tk)::BIGINT AS n,
-             greatest(1, ceil((len(tk) - 5) / 15.0))::BIGINT AS nc FROM d),
-         e AS (SELECT doc_id, tk, n,
-             unnest(generate_series(0, nc - 1))::BIGINT AS chunk_id FROM c)
-         SELECT doc_id, chunk_id,
-           array_to_string(
-             tk[(chunk_id * 15 + 1)::INT:(chunk_id * 15 + 20)::INT], ' ')
-             AS chunk_text,
-           least(20, n - chunk_id * 15)::BIGINT AS n_chunk_tokens
-         FROM e ORDER BY doc_id, chunk_id""",
-    "q_norm" ->
-      """WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0
-             THEN text || ' cafe' || chr(769) ||
-                  ' see https://ex.ample/x?q=1' || chr(7) || ' fin'
-             ELSE text END AS txt FROM documents),
-         n AS (SELECT doc_id, trim(regexp_replace(
-             regexp_replace(
-               regexp_replace(nfc_normalize(txt), 'https?://[^\s\x0B]+', '', 'g'),
-               '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
-             '\s+', ' ', 'g')) AS nt FROM aug)
-         SELECT doc_id, md5(nt) AS norm_fp,
-                length(nt)::BIGINT AS n_chars_norm
-         FROM n ORDER BY doc_id""",
-    "q_pii_scrub" ->
-      """WITH aug AS (SELECT doc_id,
-           text || ' contact doc' || doc_id || '@example.com from 10.1.' ||
-             (doc_id % 250) || '.7 or call +1-555-' ||
-             lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' ||
-             lpad((doc_id % 10000)::VARCHAR, 4, '0') AS txt
-           FROM documents)
-         SELECT doc_id,
-           len(regexp_extract_all(txt,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
-           len(regexp_extract_all(txt,
-             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
-           len(regexp_extract_all(txt,
-             '\+\d{1,2}-\d{3}-\d{3}-\d{4}')) AS n_phone,
-           md5(regexp_replace(regexp_replace(regexp_replace(txt,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-             '\+\d{1,2}-\d{3}-\d{3}-\d{4}', '<PHONE>', 'g')) AS scrub_fp
-         FROM aug ORDER BY doc_id""",
-    "q_pack" ->
-      """WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
-             len(string_split(trim(text), ' ')) AS n_tokens FROM documents),
-         c AS (SELECT doc_id, shard, n_tokens,
-             CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
-               - n_tokens AS BIGINT) AS start_off
-           FROM d)
-         SELECT doc_id, shard, n_tokens, start_off,
-           CAST(floor(start_off / 512.0) AS BIGINT) AS seq_id,
-           CAST(start_off % 512 AS BIGINT) AS seq_off
-         FROM c ORDER BY doc_id""",
-    "q_pack_asm" ->
-      """WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
-             string_split(trim(text), ' ') AS tk FROM documents),
-         c AS (SELECT doc_id, shard, tk,
-             CAST(sum(len(tk)) OVER (PARTITION BY shard ORDER BY doc_id)
-               - len(tk) AS BIGINT) AS start_off
-           FROM d),
-         w AS (SELECT shard, tk, start_off,
-             unnest(generate_series(1, len(tk)))::BIGINT AS i FROM c),
-         t AS (SELECT shard, start_off + i - 1 AS off, tk[i] AS tok FROM w),
-         s AS (SELECT shard, off // 512 AS seq_id, off % 512 AS o, tok
-               FROM t)
-         SELECT shard, seq_id, count(*)::BIGINT AS n_tokens,
-           md5(string_agg(tok, ' ' ORDER BY o)) AS fp
-         FROM s GROUP BY shard, seq_id ORDER BY shard, seq_id""",
-    "q_top_ngrams" ->
-      """WITH d AS (SELECT string_split(lower(trim(text)), ' ') AS tk
-             FROM documents),
-         b AS (SELECT CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
-                  ELSE list_transform(generate_series(1, len(tk)-1),
-                         i -> tk[i] || ' ' || tk[i+1]) END AS bg FROM d),
-         u AS (SELECT unnest(bg) AS ngram FROM b)
-         SELECT ngram, count(*) AS cnt FROM u GROUP BY ngram
-         ORDER BY cnt DESC, ngram LIMIT 20""",
-    "q_incr" ->
-      """WITH toks AS (
-           SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
-           FROM documents),
-         sh AS (
-           SELECT doc_id, list_distinct(CASE WHEN len(tk) < 3
-             THEN [array_to_string(tk, ' ')]
-             ELSE list_transform(generate_series(1, len(tk)-2),
-                    i -> array_to_string(tk[i:i+2], ' ')) END) AS s
-           FROM toks)
-         SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
-           floor((len(list_intersect(n.s, c.s))::DOUBLE /
-             (len(n.s) + len(c.s) - len(list_intersect(n.s, c.s)))) * 1e6 + 0.5) / 1e6 AS jaccard
-         FROM sh n JOIN sh c ON n.doc_id % 11 = 0 AND c.doc_id % 11 <> 0
-         WHERE len(list_intersect(n.s, c.s))::DOUBLE /
-           (len(n.s) + len(c.s) - len(list_intersect(n.s, c.s))) >= 0.7
-         ORDER BY new_id, corpus_id""",
-    "q_spans" ->
-      """WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
-             THEN text || ' legal notice all rights reserved unauthorized reproduction of this document is strictly prohibited'
-             ELSE text END AS txt FROM documents),
-         d AS (SELECT doc_id, string_split(lower(trim(txt)), ' ') AS tk FROM aug),
-         wi AS (SELECT doc_id, tk,
-                  unnest(generate_series(1, greatest(len(tk) - 7, 0)))::BIGINT AS i
-                FROM d),
-         w AS (SELECT doc_id, i - 1 AS pos,
-                 array_to_string(tk[i:i+7], ' ') AS win FROM wi),
-         dup AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
-         dw AS (SELECT doc_id, pos FROM w JOIN dup USING (win)),
-         m AS (SELECT doc_id, pos,
-                 max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
-               FROM dw),
-         g AS (SELECT doc_id, pos,
-                 sum(CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END)
-                   OVER (PARTITION BY doc_id ORDER BY pos
-                     ROWS UNBOUNDED PRECEDING) AS island
-               FROM m)
-         SELECT doc_id, min(pos)::BIGINT AS span_start,
-                (max(pos) + 8)::BIGINT AS span_end
-         FROM g GROUP BY doc_id, island ORDER BY doc_id, span_start""",
-    "q_clean" ->
-      """WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
-             THEN text || ' legal notice all rights reserved unauthorized reproduction of this document is strictly prohibited'
-             ELSE text END AS txt FROM documents),
-         d AS (SELECT doc_id, txt,
-                 string_split(lower(trim(txt)), ' ') AS tk FROM aug),
-         wi AS (SELECT doc_id, tk,
-                  unnest(generate_series(1, greatest(len(tk) - 7, 0)))::BIGINT AS i
-                FROM d),
-         w AS (SELECT doc_id, i - 1 AS pos,
-                 array_to_string(tk[i:i+7], ' ') AS win FROM wi),
-         dup AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
-         dw AS (SELECT doc_id, pos FROM w JOIN dup USING (win)),
-         m AS (SELECT doc_id, pos,
-                 max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
-               FROM dw),
-         g AS (SELECT doc_id, pos,
-                 sum(CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END)
-                   OVER (PARTITION BY doc_id ORDER BY pos
-                     ROWS UNBOUNDED PRECEDING) AS island
-               FROM m),
-         sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
-                FROM g GROUP BY doc_id, island),
-         tokpos AS (SELECT doc_id,
-                      unnest(string_split(trim(txt), ' ')) AS t,
-                      unnest(generate_series(1, len(string_split(trim(txt), ' '))))::BIGINT AS i
-                    FROM d),
-         kept AS (SELECT tp.doc_id, tp.i, tp.t FROM tokpos tp
-                  WHERE NOT EXISTS (SELECT 1 FROM sp
-                    WHERE sp.doc_id = tp.doc_id
-                      AND tp.i - 1 >= sp.s AND tp.i - 1 < sp.e)),
-         agg AS (SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS ct,
-                   count(*) AS n FROM kept GROUP BY doc_id)
-         SELECT d.doc_id, md5(coalesce(a.ct, '')) AS clean_fp,
-                coalesce(a.n, 0)::BIGINT AS n_kept
-         FROM d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""",
-    // the q_rrf ranking CTEs + the truncated RBO prefix sum
-    "q_rbo" ->
-      """WITH d AS (SELECT doc_id,
-             string_split(lower(trim(text)), ' ') AS tk FROM documents),
-         base AS (SELECT doc_id, tk, len(tk)::BIGINT AS dl FROM d),
-         st AS (SELECT count(*)::DOUBLE AS n,
-             sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl,
-             sum(CASE WHEN list_contains(tk, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df0,
-             sum(CASE WHEN list_contains(tk, 'hash') THEN 1 ELSE 0 END)::DOUBLE AS df1,
-             sum(CASE WHEN list_contains(tk, 'merge') THEN 1 ELSE 0 END)::DOUBLE AS df2
-           FROM base),
-         sc AS (SELECT doc_id,
-             ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
-               * len(list_filter(tk, x -> x = 'spark'))::DOUBLE * 2.2
-               / (len(list_filter(tk, x -> x = 'spark'))::DOUBLE
-                  + 1.2 * (0.25 + 0.75 * dl::DOUBLE / avgdl))
-             + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
-               * len(list_filter(tk, x -> x = 'hash'))::DOUBLE * 2.2
-               / (len(list_filter(tk, x -> x = 'hash'))::DOUBLE
-                  + 1.2 * (0.25 + 0.75 * dl::DOUBLE / avgdl))
-             + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
-               * len(list_filter(tk, x -> x = 'merge'))::DOUBLE * 2.2
-               / (len(list_filter(tk, x -> x = 'merge'))::DOUBLE
-                  + 1.2 * (0.25 + 0.75 * dl::DOUBLE / avgdl)) AS raw
-           FROM base, st),
-         bml AS (SELECT doc_id, floor(raw * 1e6 + 0.5) / 1e6 AS score
-                 FROM sc WHERE floor(raw * 1e6 + 0.5) / 1e6 > 0
-                 ORDER BY score DESC, doc_id LIMIT 50),
-         bmr AS (SELECT doc_id, row_number() OVER
-                   (ORDER BY score DESC, doc_id) AS rn FROM bml),
-         b AS (SELECT doc_id, CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
-                 ELSE list_transform(generate_series(1, len(tk)-1),
-                        i -> tk[i] || ' ' || tk[i+1]) END AS bg FROM d),
-         e AS (SELECT doc_id, unnest(bg) AS ngram FROM b),
-         cn AS (SELECT ngram, count(*)::BIGINT AS cnt,
-                  string_split(ngram, ' ')[1] AS w1
-                FROM e GROUP BY ngram),
-         cx AS (SELECT w1, sum(cnt)::BIGINT AS ctx FROM cn GROUP BY w1),
-         v AS (SELECT count(DISTINCT t)::BIGINT AS v FROM
-                 (SELECT unnest(tk) AS t FROM d)),
-         lp AS (SELECT e.doc_id,
-                  ln((cn.cnt::DOUBLE + 0.5) / (cx.ctx::DOUBLE + 0.5 * v.v::DOUBLE)) AS lp
-                FROM e JOIN cn ON e.ngram = cn.ngram
-                       JOIN cx ON cn.w1 = cx.w1, v),
-         lsc AS (SELECT doc_id,
-                   floor(avg(lp) * 1e6 + 0.5) / 1e6 AS lm_score
-                 FROM lp GROUP BY doc_id),
-         lfull AS (SELECT d.doc_id, coalesce(lsc.lm_score, 0.0) AS lm_score
-                   FROM d LEFT JOIN lsc ON d.doc_id = lsc.doc_id),
-         lml AS (SELECT doc_id, lm_score FROM lfull
-                 ORDER BY lm_score DESC, doc_id LIMIT 50),
-         lmr AS (SELECT doc_id, row_number() OVER
-                   (ORDER BY lm_score DESC, doc_id) AS rn FROM lml),
-         sh AS (SELECT greatest(bmr.rn, lmr.rn) AS depth
-               FROM bmr JOIN lmr USING (doc_id)),
-         dd AS (SELECT unnest(generate_series(1, 20))::BIGINT AS d2),
-         tt AS (SELECT dd.d2, count(sh.depth)::BIGINT AS ov
-                FROM dd LEFT JOIN sh ON sh.depth <= dd.d2 GROUP BY dd.d2),
-         sm AS (SELECT sum((1.0 - 0.9) * pow(0.9, d2 - 1) * ov::DOUBLE / d2)
-                  AS rbo FROM tt)
-         SELECT floor(rbo * 1e6 + 0.5) / 1e6 AS rbo FROM sm""",
-    // both constituent rankings replayed verbatim (bm25 + lm oracles),
-    // then the rank-only fusion
-    "q_rrf" ->
-      """WITH d AS (SELECT doc_id,
-             string_split(lower(trim(text)), ' ') AS tk FROM documents),
-         base AS (SELECT doc_id, tk, len(tk)::BIGINT AS dl FROM d),
-         st AS (SELECT count(*)::DOUBLE AS n,
-             sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl,
-             sum(CASE WHEN list_contains(tk, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df0,
-             sum(CASE WHEN list_contains(tk, 'hash') THEN 1 ELSE 0 END)::DOUBLE AS df1,
-             sum(CASE WHEN list_contains(tk, 'merge') THEN 1 ELSE 0 END)::DOUBLE AS df2
-           FROM base),
-         sc AS (SELECT doc_id,
-             ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
-               * len(list_filter(tk, x -> x = 'spark'))::DOUBLE * 2.2
-               / (len(list_filter(tk, x -> x = 'spark'))::DOUBLE
-                  + 1.2 * (0.25 + 0.75 * dl::DOUBLE / avgdl))
-             + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
-               * len(list_filter(tk, x -> x = 'hash'))::DOUBLE * 2.2
-               / (len(list_filter(tk, x -> x = 'hash'))::DOUBLE
-                  + 1.2 * (0.25 + 0.75 * dl::DOUBLE / avgdl))
-             + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
-               * len(list_filter(tk, x -> x = 'merge'))::DOUBLE * 2.2
-               / (len(list_filter(tk, x -> x = 'merge'))::DOUBLE
-                  + 1.2 * (0.25 + 0.75 * dl::DOUBLE / avgdl)) AS raw
-           FROM base, st),
-         bml AS (SELECT doc_id, floor(raw * 1e6 + 0.5) / 1e6 AS score
-                 FROM sc WHERE floor(raw * 1e6 + 0.5) / 1e6 > 0
-                 ORDER BY score DESC, doc_id LIMIT 50),
-         bmr AS (SELECT doc_id, row_number() OVER
-                   (ORDER BY score DESC, doc_id) AS rn FROM bml),
-         b AS (SELECT doc_id, CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
-                 ELSE list_transform(generate_series(1, len(tk)-1),
-                        i -> tk[i] || ' ' || tk[i+1]) END AS bg FROM d),
-         e AS (SELECT doc_id, unnest(bg) AS ngram FROM b),
-         cn AS (SELECT ngram, count(*)::BIGINT AS cnt,
-                  string_split(ngram, ' ')[1] AS w1
-                FROM e GROUP BY ngram),
-         cx AS (SELECT w1, sum(cnt)::BIGINT AS ctx FROM cn GROUP BY w1),
-         v AS (SELECT count(DISTINCT t)::BIGINT AS v FROM
-                 (SELECT unnest(tk) AS t FROM d)),
-         lp AS (SELECT e.doc_id,
-                  ln((cn.cnt::DOUBLE + 0.5) / (cx.ctx::DOUBLE + 0.5 * v.v::DOUBLE)) AS lp
-                FROM e JOIN cn ON e.ngram = cn.ngram
-                       JOIN cx ON cn.w1 = cx.w1, v),
-         lsc AS (SELECT doc_id,
-                   floor(avg(lp) * 1e6 + 0.5) / 1e6 AS lm_score
-                 FROM lp GROUP BY doc_id),
-         lfull AS (SELECT d.doc_id, coalesce(lsc.lm_score, 0.0) AS lm_score
-                   FROM d LEFT JOIN lsc ON d.doc_id = lsc.doc_id),
-         lml AS (SELECT doc_id, lm_score FROM lfull
-                 ORDER BY lm_score DESC, doc_id LIMIT 50),
-         lmr AS (SELECT doc_id, row_number() OVER
-                   (ORDER BY lm_score DESC, doc_id) AS rn FROM lml),
-         u AS (SELECT doc_id, rn FROM bmr
-               UNION ALL SELECT doc_id, rn FROM lmr),
-         f AS (SELECT doc_id,
-                 floor(sum(1.0 / (60 + rn)) * 1e6 + 0.5) / 1e6 AS rrf,
-                 count(*)::BIGINT AS n_lists
-               FROM u GROUP BY doc_id)
-         SELECT doc_id, rrf, n_lists FROM f
-         ORDER BY rrf DESC, doc_id LIMIT 20""",
-    "q_keywords" ->
-      """WITH d AS (SELECT doc_id,
-             string_split(lower(trim(text)), ' ') AS tk FROM documents),
-         tf AS (SELECT doc_id, t AS term, count(*)::DOUBLE AS tf
-                FROM (SELECT doc_id, unnest(tk) AS t FROM d)
-                GROUP BY doc_id, t),
-         dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
-         n AS (SELECT count(*)::DOUBLE AS n FROM d),
-         w AS (SELECT tf.doc_id, tf.term,
-                 floor(tf.tf * ln(n.n / dfq.df::DOUBLE) * 1e6 + 0.5) / 1e6
-                   AS weight
-               FROM tf JOIN dfq USING (term), n),
-         r AS (SELECT doc_id, term, weight,
-                 row_number() OVER (PARTITION BY doc_id
-                   ORDER BY weight DESC, term) AS rk FROM w)
-         SELECT doc_id, term, weight, rk FROM r WHERE rk <= 3
-         ORDER BY doc_id, rk""",
-    // identical scoring contract as q_bm25 - same replay
-    "q_search_idx" ->
-      """WITH d AS (SELECT doc_id,
-             string_split(lower(trim(text)), ' ') AS tk FROM documents),
-         base AS (SELECT doc_id, tk, len(tk)::BIGINT AS dl FROM d),
-         st AS (SELECT count(*)::DOUBLE AS n,
-             sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl,
-             sum(CASE WHEN list_contains(tk, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df0,
-             sum(CASE WHEN list_contains(tk, 'hash') THEN 1 ELSE 0 END)::DOUBLE AS df1,
-             sum(CASE WHEN list_contains(tk, 'merge') THEN 1 ELSE 0 END)::DOUBLE AS df2
-           FROM base),
-         sc AS (SELECT doc_id,
-             ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
-               * len(list_filter(tk, x -> x = 'spark'))::DOUBLE * 2.2
-               / (len(list_filter(tk, x -> x = 'spark'))::DOUBLE
-                  + 1.2 * (0.25 + 0.75 * dl::DOUBLE / avgdl))
-             + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
-               * len(list_filter(tk, x -> x = 'hash'))::DOUBLE * 2.2
-               / (len(list_filter(tk, x -> x = 'hash'))::DOUBLE
-                  + 1.2 * (0.25 + 0.75 * dl::DOUBLE / avgdl))
-             + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
-               * len(list_filter(tk, x -> x = 'merge'))::DOUBLE * 2.2
-               / (len(list_filter(tk, x -> x = 'merge'))::DOUBLE
-                  + 1.2 * (0.25 + 0.75 * dl::DOUBLE / avgdl)) AS raw
-           FROM base, st)
-         SELECT doc_id, floor(raw * 1e6 + 0.5) / 1e6 AS score FROM sc
-         WHERE floor(raw * 1e6 + 0.5) / 1e6 > 0
-         ORDER BY score DESC, doc_id LIMIT 50""",
-    "q_bm25" ->
-      """WITH d AS (SELECT doc_id,
-             string_split(lower(trim(text)), ' ') AS tk FROM documents),
-         base AS (SELECT doc_id, tk, len(tk)::BIGINT AS dl FROM d),
-         st AS (SELECT count(*)::DOUBLE AS n,
-             sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl,
-             sum(CASE WHEN list_contains(tk, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df0,
-             sum(CASE WHEN list_contains(tk, 'hash') THEN 1 ELSE 0 END)::DOUBLE AS df1,
-             sum(CASE WHEN list_contains(tk, 'merge') THEN 1 ELSE 0 END)::DOUBLE AS df2
-           FROM base),
-         sc AS (SELECT doc_id,
-             ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
-               * len(list_filter(tk, x -> x = 'spark'))::DOUBLE * 2.2
-               / (len(list_filter(tk, x -> x = 'spark'))::DOUBLE
-                  + 1.2 * (0.25 + 0.75 * dl::DOUBLE / avgdl))
-             + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
-               * len(list_filter(tk, x -> x = 'hash'))::DOUBLE * 2.2
-               / (len(list_filter(tk, x -> x = 'hash'))::DOUBLE
-                  + 1.2 * (0.25 + 0.75 * dl::DOUBLE / avgdl))
-             + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
-               * len(list_filter(tk, x -> x = 'merge'))::DOUBLE * 2.2
-               / (len(list_filter(tk, x -> x = 'merge'))::DOUBLE
-                  + 1.2 * (0.25 + 0.75 * dl::DOUBLE / avgdl)) AS raw
-           FROM base, st)
-         SELECT doc_id, floor(raw * 1e6 + 0.5) / 1e6 AS score FROM sc
-         WHERE floor(raw * 1e6 + 0.5) / 1e6 > 0
-         ORDER BY score DESC, doc_id LIMIT 50""",
-    "q_zipf" ->
-      """WITH v AS (SELECT t, count(*)::BIGINT AS f FROM
-             (SELECT unnest(string_split(lower(trim(text)), ' ')) AS t
-              FROM documents) GROUP BY t),
-         r AS (SELECT f, row_number() OVER (ORDER BY f DESC, t) AS rank
-               FROM v),
-         m AS (SELECT count(*)::BIGINT AS n_terms,
-                 covar_pop(ln(rank::DOUBLE), ln(f::DOUBLE)) AS cov,
-                 var_pop(ln(rank::DOUBLE)) AS vx,
-                 var_pop(ln(f::DOUBLE)) AS vy
-               FROM r)
-         SELECT n_terms,
-           CASE WHEN vx > 0
-             THEN floor(cov / vx * 1e6 + 0.5) / 1e6 END AS slope,
-           CASE WHEN vx > 0 AND vy > 0
-             THEN floor(cov * cov / (vx * vy) * 1e6 + 0.5) / 1e6 END AS r2
-         FROM m""",
-    "q_dedup_by_source" ->
-      """WITH RECURSIVE toks AS (
-           SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
-           FROM documents),
-         sh AS (
-           SELECT doc_id, list_distinct(CASE WHEN len(tk) < 2
-             THEN [array_to_string(tk, ' ')]
-             ELSE list_transform(generate_series(1, len(tk)-1),
-                    i -> array_to_string(tk[i:i+1], ' ')) END) AS s
-           FROM toks),
-         pairs AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-           WHERE len(list_intersect(a.s, b.s))::DOUBLE /
-             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
-         edges AS (
-           SELECT id_a AS src, id_b AS dst FROM pairs
-           UNION SELECT id_b, id_a FROM pairs),
-         cc AS (
-           SELECT DISTINCT src AS id, src AS comp FROM edges
-           UNION
-           SELECT e.dst AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.src),
-         comp AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id),
-         j AS (SELECT d.source, d.doc_id, c.comp
-               FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
-         g AS (SELECT source, count(*)::BIGINT AS n_docs,
-                 count(comp)::BIGINT AS n_clustered_docs,
-                 count(CASE WHEN comp IS NOT NULL AND doc_id <> comp
-                       THEN 1 END)::BIGINT AS near_dup_excess
-               FROM j GROUP BY source)
-         SELECT source, n_docs, n_clustered_docs, near_dup_excess,
-           floor((n_docs - near_dup_excess)::DOUBLE / n_docs * 1e6 + 0.5)
-             / 1e6 AS dedup_yield
-         FROM g ORDER BY source""",
-    "q_trimmed" ->
-      """WITH cuts AS (SELECT lang,
-             quantile_cont(n_chars::DOUBLE, 0.05) AS qlo,
-             quantile_cont(n_chars::DOUBLE, 0.95) AS qhi
-           FROM documents GROUP BY lang),
-         c AS (SELECT d.lang, d.n_chars,
-                 floor(least(greatest(d.n_chars::DOUBLE, qlo), qhi)
-                   * 1e6 + 0.5) / 1e6 AS clipped
-               FROM documents d JOIN cuts USING (lang))
-         SELECT lang, count(*)::BIGINT AS n,
-           floor(avg(n_chars::DOUBLE) * 1e6 + 0.5) / 1e6 AS raw_mean,
-           floor(avg(clipped) * 1e6 + 0.5) / 1e6 AS trimmed_mean
-         FROM c GROUP BY lang ORDER BY lang""",
-    "q_vocab_cov" ->
-      """WITH v AS (SELECT t, count(*)::BIGINT AS f FROM
-             (SELECT unnest(string_split(lower(trim(text)), ' ')) AS t
-              FROM documents) GROUP BY t),
-         r AS (SELECT f, row_number() OVER (ORDER BY f DESC, t) AS rank
-               FROM v),
-         a AS (SELECT sum(f)::DOUBLE AS tot,
-                 sum(CASE WHEN rank <= 100 THEN f ELSE 0 END)::DOUBLE AS c100,
-                 sum(CASE WHEN rank <= 1000 THEN f ELSE 0 END)::DOUBLE AS c1000,
-                 sum(CASE WHEN rank <= 8000 THEN f ELSE 0 END)::DOUBLE AS c8000
-               FROM r)
-         SELECT 100 AS vocab_k,
-           floor(c100 / tot * 1e6 + 0.5) / 1e6 AS covered_share FROM a
-         UNION ALL SELECT 1000, floor(c1000 / tot * 1e6 + 0.5) / 1e6 FROM a
-         UNION ALL SELECT 8000, floor(c8000 / tot * 1e6 + 0.5) / 1e6 FROM a
-         ORDER BY vocab_k""",
-    "q_dedup_report" ->
-      """WITH RECURSIVE toks AS (
-           SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
-           FROM documents),
-         sh AS (
-           SELECT doc_id, list_distinct(CASE WHEN len(tk) < 2
-             THEN [array_to_string(tk, ' ')]
-             ELSE list_transform(generate_series(1, len(tk)-1),
-                    i -> array_to_string(tk[i:i+1], ' ')) END) AS s
-           FROM toks),
-         pairs AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-           WHERE len(list_intersect(a.s, b.s))::DOUBLE /
-             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
-         edges AS (
-           SELECT id_a AS src, id_b AS dst FROM pairs
-           UNION SELECT id_b, id_a FROM pairs),
-         cc AS (
-           SELECT DISTINCT src AS id, src AS comp FROM edges
-           UNION
-           SELECT e.dst AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.src),
-         comp AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id),
-         cs AS (SELECT count(DISTINCT comp)::BIGINT AS n_clusters,
-                  count(*)::BIGINT AS n_clustered_docs FROM comp),
-         tot AS (SELECT count(*)::BIGINT AS n_docs,
-                   count(DISTINCT md5(text))::BIGINT AS n_exact_unique
-                 FROM documents)
-         SELECT tot.n_docs, tot.n_exact_unique, cs.n_clusters,
-           cs.n_clustered_docs,
-           (cs.n_clustered_docs - cs.n_clusters)::BIGINT AS near_dup_excess,
-           floor((tot.n_docs - (cs.n_clustered_docs - cs.n_clusters))::DOUBLE
-             / tot.n_docs * 1e6 + 0.5) / 1e6 AS dedup_yield
-         FROM tot, cs""",
-    "q_script" ->
-      """WITH s AS (SELECT doc_id,
-             regexp_replace(text, '\s+', '', 'g') AS s FROM documents),
-         c AS (SELECT doc_id, length(s)::DOUBLE AS n,
-             (length(s) - length(regexp_replace(s, '[A-Za-z]', '', 'g')))::DOUBLE AS la,
-             (length(s) - length(regexp_replace(s, '[0-9]', '', 'g')))::DOUBLE AS di,
-             (length(s) - length(regexp_replace(s, '[\x{4e00}-\x{9fff}]', '', 'g')))::DOUBLE AS cj,
-             (length(s) - length(regexp_replace(s, '[\x{0400}-\x{04ff}]', '', 'g')))::DOUBLE AS cy
-           FROM s),
-         f AS (SELECT doc_id, n,
-             CASE WHEN n > 0 THEN floor(la / n * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS latin_frac,
-             CASE WHEN n > 0 THEN floor(di / n * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS digit_frac,
-             CASE WHEN n > 0 THEN floor(cj / n * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS cjk_frac,
-             CASE WHEN n > 0 THEN floor(cy / n * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS cyrillic_frac
-           FROM c)
-         SELECT doc_id, latin_frac, digit_frac, cjk_frac, cyrillic_frac,
-           CASE WHEN n > 0 THEN floor((1.0 - (latin_frac + digit_frac
-             + cjk_frac + cyrillic_frac)) * 1e6 + 0.5) / 1e6
-           ELSE 0.0 END AS other_frac
-         FROM f ORDER BY doc_id""",
-    "q_props" ->
-      """SELECT event_type, count(*)::BIGINT AS n,
-           floor(avg(json_extract(props, '$.k')::BIGINT) * 1e6 + 0.5) / 1e6
-             AS avg_k,
-           min(json_extract(props, '$.k')::BIGINT) AS min_k,
-           max(json_extract(props, '$.k')::BIGINT) AS max_k
-         FROM events GROUP BY event_type ORDER BY event_type""",
-    "q_trigram" ->
-      """WITH d AS (SELECT doc_id,
-             string_split(lower(trim(text)), ' ') AS tk FROM documents),
-         r AS (SELECT * FROM d WHERE doc_id % 7 <> 0),
-         rt AS (SELECT unnest(CASE WHEN len(tk) < 3 THEN []::VARCHAR[]
-                 ELSE list_transform(generate_series(1, len(tk)-2),
-                        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END)
-                 AS g3 FROM r),
-         tric AS (SELECT g3, count(*)::BIGINT AS c3 FROM rt GROUP BY g3),
-         rb AS (SELECT unnest(CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
-                 ELSE list_transform(generate_series(1, len(tk)-1),
-                        i -> tk[i] || ' ' || tk[i+1]) END) AS g2 FROM r),
-         bic AS (SELECT g2, count(*)::BIGINT AS c2 FROM rb GROUP BY g2),
-         ru AS (SELECT unnest(tk) AS g1 FROM r),
-         unic AS (SELECT g1, count(*)::BIGINT AS c1 FROM ru GROUP BY g1),
-         sca AS (SELECT count(*)::BIGINT AS n,
-                   count(DISTINCT g1)::BIGINT AS v FROM ru),
-         pos AS (SELECT doc_id, unnest(CASE WHEN len(tk) < 3 THEN []::VARCHAR[]
-                 ELSE list_transform(generate_series(1, len(tk)-2),
-                        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END)
-                 AS g3 FROM d),
-         px AS (SELECT doc_id, g3,
-                  string_split(g3, ' ')[1] || ' ' || string_split(g3, ' ')[2] AS w12,
-                  string_split(g3, ' ')[2] || ' ' || string_split(g3, ' ')[3] AS w23,
-                  string_split(g3, ' ')[2] AS w2,
-                  string_split(g3, ' ')[3] AS w3
-                FROM pos),
-         j AS (SELECT px.doc_id,
-                 CASE WHEN tric.c3 IS NOT NULL
-                      THEN ln(tric.c3::DOUBLE / b12.c2::DOUBLE)
-                      WHEN b23.c2 IS NOT NULL
-                      THEN ln(0.4 * b23.c2::DOUBLE / u2.c1::DOUBLE)
-                      ELSE ln(0.4 * 0.4 * (coalesce(u3.c1, 0)::DOUBLE + 0.5)
-                              / (sca.n::DOUBLE + 0.5 * sca.v::DOUBLE))
-                 END AS lp
-               FROM px LEFT JOIN tric ON px.g3 = tric.g3
-                       LEFT JOIN bic b12 ON px.w12 = b12.g2
-                       LEFT JOIN bic b23 ON px.w23 = b23.g2
-                       LEFT JOIN unic u2 ON px.w2 = u2.g1
-                       LEFT JOIN unic u3 ON px.w3 = u3.g1, sca),
-         sc AS (SELECT doc_id, count(*)::BIGINT AS n_trigrams,
-                  floor(avg(lp) * 1e6 + 0.5) / 1e6 AS bo_score
-                FROM j GROUP BY doc_id)
-         SELECT d.doc_id, coalesce(sc.n_trigrams, 0)::BIGINT AS n_trigrams,
-                coalesce(sc.bo_score, 0.0) AS bo_score
-         FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id ORDER BY d.doc_id""",
-    "q_lm_score" ->
-      """WITH d AS (SELECT doc_id,
-             string_split(lower(trim(text)), ' ') AS tk FROM documents),
-         b AS (SELECT doc_id, CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
-                 ELSE list_transform(generate_series(1, len(tk)-1),
-                        i -> tk[i] || ' ' || tk[i+1]) END AS bg FROM d),
-         e AS (SELECT doc_id, unnest(bg) AS ngram FROM b),
-         cn AS (SELECT ngram, count(*)::BIGINT AS cnt,
-                  string_split(ngram, ' ')[1] AS w1
-                FROM e GROUP BY ngram),
-         cx AS (SELECT w1, sum(cnt)::BIGINT AS ctx FROM cn GROUP BY w1),
-         v AS (SELECT count(DISTINCT t)::BIGINT AS v FROM
-                 (SELECT unnest(tk) AS t FROM d)),
-         lp AS (SELECT e.doc_id,
-                  ln((cn.cnt::DOUBLE + 0.5) / (cx.ctx::DOUBLE + 0.5 * v.v::DOUBLE)) AS lp
-                FROM e JOIN cn ON e.ngram = cn.ngram
-                       JOIN cx ON cn.w1 = cx.w1, v),
-         sc AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-                  floor(avg(lp) * 1e6 + 0.5) / 1e6 AS lm_score
-                FROM lp GROUP BY doc_id)
-         SELECT d.doc_id, coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams,
-                coalesce(sc.lm_score, 0.0) AS lm_score
-         FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id ORDER BY d.doc_id""",
-    // lm_score replay + per-language equal-count tertiles (integer-rank
-    // ntile — no float-boundary comparison to drift across engines)
-    "q_ppl_buckets" ->
-      """WITH d AS (SELECT doc_id,
-             string_split(lower(trim(text)), ' ') AS tk FROM documents),
-         b AS (SELECT doc_id, CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
-                 ELSE list_transform(generate_series(1, len(tk)-1),
-                        i -> tk[i] || ' ' || tk[i+1]) END AS bg FROM d),
-         e AS (SELECT doc_id, unnest(bg) AS ngram FROM b),
-         cn AS (SELECT ngram, count(*)::BIGINT AS cnt,
-                  string_split(ngram, ' ')[1] AS w1
-                FROM e GROUP BY ngram),
-         cx AS (SELECT w1, sum(cnt)::BIGINT AS ctx FROM cn GROUP BY w1),
-         v AS (SELECT count(DISTINCT t)::BIGINT AS v FROM
-                 (SELECT unnest(tk) AS t FROM d)),
-         lp AS (SELECT e.doc_id,
-                  ln((cn.cnt::DOUBLE + 0.5) / (cx.ctx::DOUBLE + 0.5 * v.v::DOUBLE)) AS lp
-                FROM e JOIN cn ON e.ngram = cn.ngram
-                       JOIN cx ON cn.w1 = cx.w1, v),
-         sc AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-                  floor(avg(lp) * 1e6 + 0.5) / 1e6 AS lm_score
-                FROM lp GROUP BY doc_id),
-         f AS (SELECT d.doc_id,
-                 coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams,
-                 coalesce(sc.lm_score, 0.0) AS lm_score
-               FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id)
-         SELECT f.doc_id, doc.lang, f.n_bigrams, f.lm_score,
-           ntile(3) OVER (PARTITION BY doc.lang
-                          ORDER BY f.lm_score DESC, f.doc_id) AS ppl_bucket
-         FROM f JOIN documents doc ON f.doc_id = doc.doc_id
-         ORDER BY f.doc_id""",
-    "q_fertility" ->
-      """SELECT lang, count(*)::BIGINT AS n_docs, 1 AS fertility_ok
-         FROM documents GROUP BY lang ORDER BY lang""",
-    // the segmentation is a lossless partition of each word, so the
-    // exact joined text is oracle-computable even though the merge
-    // table is not; within_bounds replays as the gates' all-true column
-    "q_bpe" ->
-      """SELECT doc_id,
-           regexp_replace(lower(trim(text)), '\s+', '', 'g') AS joined,
-           1 AS within_bounds
-         FROM documents ORDER BY doc_id""",
-    "q_gopher" ->
-      """WITH d AS (SELECT doc_id, text,
-             string_split(trim(text), ' ') AS tk FROM documents),
-         l AS (SELECT doc_id, list_filter(list_transform(
-                 string_split(text, chr(10)), x -> trim(x)),
-                 x -> x <> '') AS ls
-               FROM d),
-         lb AS (SELECT doc_id, len(ls) AS nl,
-                  len(list_filter(ls,
-                    x -> substr(x, 1, 1) IN ('-', '*', '•'))) AS bl,
-                  len(list_filter(ls,
-                    x -> (length(x) >= 3
-                          AND substr(x, length(x) - 2) = '...')
-                      OR substr(x, length(x)) = '…')) AS el
-                FROM l),
-         m AS (SELECT d.doc_id, len(tk) AS n,
-                 length(regexp_replace(trim(text), '\s+', '', 'g'))::DOUBLE
-                   / len(tk) AS mwl0,
-                 ((length(text) - length(replace(text, '#', '')))
-                  + (length(text) - length(replace(text, '...', ''))) / 3)
-                   ::DOUBLE / len(tk) AS sym0,
-                 len(list_filter(tk,
-                   x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
-                   / len(tk) AS alpha0,
-                 len(list_intersect(string_split(lower(trim(text)), ' '),
-                   ['the','be','to','of','and','that','have','with']))
-                   AS nstops,
-                 lb.nl, lb.bl, lb.el
-               FROM d JOIN lb ON d.doc_id = lb.doc_id),
-         r AS (SELECT doc_id, n,
-                 floor(mwl0 * 1e6 + 0.5) / 1e6 AS mwl,
-                 floor(sym0 * 1e6 + 0.5) / 1e6 AS sym,
-                 floor(bl::DOUBLE / nl * 1e6 + 0.5) / 1e6 AS bf,
-                 floor(el::DOUBLE / nl * 1e6 + 0.5) / 1e6 AS ef,
-                 floor(alpha0 * 1e6 + 0.5) / 1e6 AS af,
-                 nstops
-               FROM m)
-         SELECT doc_id, n::BIGINT AS n_words, mwl AS mean_word_len,
-           sym AS symbol_ratio, bf AS bullet_frac, ef AS ellipsis_frac,
-           af AS alpha_word_frac, nstops::BIGINT AS n_req_stops,
-           (n >= 50 AND n <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
-            AND sym <= 0.1 AND bf <= 0.9 AND ef <= 0.3 AND af >= 0.8
-            AND nstops >= 2)::INT AS passes
-         FROM r ORDER BY doc_id""",
-    "q_char_entropy" ->
-      """WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
-               FROM documents),
-         cnt AS (SELECT doc_id, ch, count(*)::DOUBLE AS c
-                 FROM c GROUP BY doc_id, ch),
-         n AS (SELECT doc_id, sum(c) AS n, sum(c * log2(c)) AS s
-               FROM cnt GROUP BY doc_id)
-         SELECT doc_id,
-           floor((log2(n) - s / n) * 1e6 + 0.5) / 1e6 AS char_entropy
-         FROM n ORDER BY doc_id""",
-    "q_dsir_weights" ->
-      """WITH d AS (SELECT doc_id, lang,
-             string_split(lower(trim(text)), ' ') AS tk FROM documents),
-         g AS (SELECT doc_id, lang, unnest(list_concat(tk,
-                 CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
-                   ELSE list_transform(generate_series(1, len(tk)-1),
-                          i -> tk[i] || ' ' || tk[i+1]) END)) AS ng
-               FROM d),
-         fb AS (SELECT doc_id, lang,
-                  ('0x' || substr(md5(ng), 1, 8))::BIGINT % 8192 AS f
-                FROM g),
-         rb AS (SELECT f, count(*)::BIGINT AS cnt_r FROM fb GROUP BY f),
-         tb AS (SELECT f, count(*)::BIGINT AS cnt_t FROM fb
-                WHERE lang = 'de' GROUP BY f),
-         nr AS (SELECT coalesce(sum(cnt_r), 0)::BIGINT AS n_r FROM rb),
-         nt AS (SELECT coalesce(sum(cnt_t), 0)::BIGINT AS n_t FROM tb),
-         lr AS (SELECT rb.f,
-                  ln((coalesce(tb.cnt_t, 0)::DOUBLE + 0.5)
-                      / (nt.n_t::DOUBLE + 0.5 * 8192))
-                  - ln((rb.cnt_r::DOUBLE + 0.5)
-                      / (nr.n_r::DOUBLE + 0.5 * 8192)) AS lr
-                FROM rb LEFT JOIN tb ON rb.f = tb.f, nr, nt),
-         sc AS (SELECT fb.doc_id, count(*)::BIGINT AS n_feats,
-                  floor(sum(lr.lr) * 1e6 + 0.5) / 1e6 AS iw
-                FROM fb JOIN lr ON fb.f = lr.f GROUP BY fb.doc_id)
-         SELECT d.doc_id, coalesce(sc.n_feats, 0)::BIGINT AS n_feats,
-                coalesce(sc.iw, 0.0) AS iw
-         FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id ORDER BY d.doc_id""",
-    "q_dsir_sample" ->
-      """WITH d AS (SELECT doc_id, lang,
-             string_split(lower(trim(text)), ' ') AS tk FROM documents),
-         g AS (SELECT doc_id, lang, unnest(list_concat(tk,
-                 CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
-                   ELSE list_transform(generate_series(1, len(tk)-1),
-                          i -> tk[i] || ' ' || tk[i+1]) END)) AS ng
-               FROM d),
-         fb AS (SELECT doc_id, lang,
-                  ('0x' || substr(md5(ng), 1, 8))::BIGINT % 8192 AS f
-                FROM g),
-         rb AS (SELECT f, count(*)::BIGINT AS cnt_r FROM fb GROUP BY f),
-         tb AS (SELECT f, count(*)::BIGINT AS cnt_t FROM fb
-                WHERE lang = 'de' GROUP BY f),
-         nr AS (SELECT coalesce(sum(cnt_r), 0)::BIGINT AS n_r FROM rb),
-         nt AS (SELECT coalesce(sum(cnt_t), 0)::BIGINT AS n_t FROM tb),
-         lr AS (SELECT rb.f,
-                  ln((coalesce(tb.cnt_t, 0)::DOUBLE + 0.5)
-                      / (nt.n_t::DOUBLE + 0.5 * 8192))
-                  - ln((rb.cnt_r::DOUBLE + 0.5)
-                      / (nr.n_r::DOUBLE + 0.5 * 8192)) AS lr
-                FROM rb LEFT JOIN tb ON rb.f = tb.f, nr, nt),
-         sc AS (SELECT fb.doc_id, count(*)::BIGINT AS n_feats,
-                  floor(sum(lr.lr) * 1e6 + 0.5) / 1e6 AS iw
-                FROM fb JOIN lr ON fb.f = lr.f GROUP BY fb.doc_id),
-         w AS (SELECT d.doc_id, coalesce(sc.iw, 0.0) AS iw
-               FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id),
-         keyed AS (SELECT doc_id, iw,
-                 iw - ln(-ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
-                               + 0.5) / 4294967296.0)) AS key
-               FROM w),
-         t AS (SELECT doc_id, iw, key FROM keyed
-               ORDER BY key DESC, doc_id LIMIT 40)
-         SELECT doc_id, iw, floor(key * 1e6 + 0.5) / 1e6 AS sample_key
-         FROM t ORDER BY sample_key DESC, doc_id""",
-    // hashed-ngram Naive Bayes replay: per-class bucket histograms +
-    // add-α log-odds + doc-count prior, scored per occurrence
-    "q_nb_quality" ->
-      """WITH d AS (SELECT doc_id, (lang = 'en')::INT AS y,
-             string_split(lower(trim(text)), ' ') AS tk FROM documents),
-         g AS (SELECT doc_id, y, unnest(list_concat(tk,
-                 CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
-                   ELSE list_transform(generate_series(1, len(tk)-1),
-                          i -> tk[i] || ' ' || tk[i+1]) END)) AS ng
-               FROM d),
-         fb AS (SELECT doc_id, y,
-                  ('0x' || substr(md5(ng), 1, 8))::BIGINT % 8192 AS f
-                FROM g),
-         cp AS (SELECT f, count(*)::BIGINT AS c FROM fb WHERE y = 1 GROUP BY f),
-         cn AS (SELECT f, count(*)::BIGINT AS c FROM fb WHERE y = 0 GROUP BY f),
-         np AS (SELECT coalesce(sum(c), 0)::BIGINT AS n FROM cp),
-         nn AS (SELECT coalesce(sum(c), 0)::BIGINT AS n FROM cn),
-         allf AS (SELECT DISTINCT f FROM fb),
-         w AS (SELECT allf.f,
-                 ln((coalesce(cp.c, 0)::DOUBLE + 0.5)
-                     / (np.n::DOUBLE + 0.5 * 8192))
-               - ln((coalesce(cn.c, 0)::DOUBLE + 0.5)
-                     / (nn.n::DOUBLE + 0.5 * 8192)) AS w
-               FROM allf LEFT JOIN cp ON allf.f = cp.f
-                         LEFT JOIN cn ON allf.f = cn.f, np, nn),
-         prior AS (SELECT ln(sum((y = 1)::INT)::DOUBLE
-                           / sum((y = 0)::INT)::DOUBLE) AS b FROM d),
-         sc AS (SELECT fb.doc_id, count(*)::BIGINT AS n_feats,
-                  sum(w.w) AS s
-                FROM fb JOIN w ON fb.f = w.f GROUP BY fb.doc_id)
-         SELECT d.doc_id, coalesce(sc.n_feats, 0)::BIGINT AS n_feats,
-           floor((coalesce(sc.s, 0.0) + prior.b) * 1e6 + 0.5) / 1e6 AS score,
-           (floor((coalesce(sc.s, 0.0) + prior.b) * 1e6 + 0.5) / 1e6
-             > 0)::INT AS pred
-         FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id, prior
-         ORDER BY d.doc_id""",
-    // NB score replay + Mann-Whitney average-rank AUC
-    "q_auc" ->
-      """WITH d AS (SELECT doc_id, (lang = 'en')::INT AS y,
-             string_split(lower(trim(text)), ' ') AS tk FROM documents),
-         g AS (SELECT doc_id, y, unnest(list_concat(tk,
-                 CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
-                   ELSE list_transform(generate_series(1, len(tk)-1),
-                          i -> tk[i] || ' ' || tk[i+1]) END)) AS ng
-               FROM d),
-         fb AS (SELECT doc_id, y,
-                  ('0x' || substr(md5(ng), 1, 8))::BIGINT % 8192 AS f
-                FROM g),
-         cp AS (SELECT f, count(*)::BIGINT AS c FROM fb WHERE y = 1 GROUP BY f),
-         cn AS (SELECT f, count(*)::BIGINT AS c FROM fb WHERE y = 0 GROUP BY f),
-         np AS (SELECT coalesce(sum(c), 0)::BIGINT AS n FROM cp),
-         nn AS (SELECT coalesce(sum(c), 0)::BIGINT AS n FROM cn),
-         allf AS (SELECT DISTINCT f FROM fb),
-         w AS (SELECT allf.f,
-                 ln((coalesce(cp.c, 0)::DOUBLE + 0.5)
-                     / (np.n::DOUBLE + 0.5 * 8192))
-               - ln((coalesce(cn.c, 0)::DOUBLE + 0.5)
-                     / (nn.n::DOUBLE + 0.5 * 8192)) AS w
-               FROM allf LEFT JOIN cp ON allf.f = cp.f
-                         LEFT JOIN cn ON allf.f = cn.f, np, nn),
-         prior AS (SELECT ln(sum((y = 1)::INT)::DOUBLE
-                           / sum((y = 0)::INT)::DOUBLE) AS b FROM d),
-         sc AS (SELECT fb.doc_id, sum(w.w) AS s
-                FROM fb JOIN w ON fb.f = w.f GROUP BY fb.doc_id),
-         fl AS (SELECT d.doc_id, d.y,
-                    floor((coalesce(sc.s, 0.0) + prior.b) * 1e6 + 0.5) / 1e6
-                      AS score
-                  FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id, prior),
-         rk AS (SELECT doc_id, y, score,
-                  row_number() OVER (ORDER BY score, doc_id) AS r FROM fl),
-         ar AS (SELECT score, avg(r) AS ar FROM rk GROUP BY score),
-         j AS (SELECT rk.y, ar.ar FROM rk JOIN ar ON rk.score = ar.score),
-         agg AS (SELECT sum(y)::BIGINT AS n_pos, sum(1 - y)::BIGINT AS n_neg,
-                   sum(CASE WHEN y = 1 THEN ar END) AS srp FROM j)
-         SELECT n_pos, n_neg,
-           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
-             floor((srp - n_pos::DOUBLE * (n_pos + 1) / 2)
-               / (n_pos::DOUBLE * n_neg) * 1e6 + 0.5) / 1e6
-           END AS auc
-         FROM agg""",
-    // NB score replay + threshold confusion counts and rates
-    "q_confusion" ->
-      """WITH d AS (SELECT doc_id, (lang = 'en')::INT AS y,
-             string_split(lower(trim(text)), ' ') AS tk FROM documents),
-         g AS (SELECT doc_id, y, unnest(list_concat(tk,
-                 CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
-                   ELSE list_transform(generate_series(1, len(tk)-1),
-                          i -> tk[i] || ' ' || tk[i+1]) END)) AS ng
-               FROM d),
-         fb AS (SELECT doc_id, y,
-                  ('0x' || substr(md5(ng), 1, 8))::BIGINT % 8192 AS f
-                FROM g),
-         cp AS (SELECT f, count(*)::BIGINT AS c FROM fb WHERE y = 1 GROUP BY f),
-         cn AS (SELECT f, count(*)::BIGINT AS c FROM fb WHERE y = 0 GROUP BY f),
-         np AS (SELECT coalesce(sum(c), 0)::BIGINT AS n FROM cp),
-         nn AS (SELECT coalesce(sum(c), 0)::BIGINT AS n FROM cn),
-         allf AS (SELECT DISTINCT f FROM fb),
-         w AS (SELECT allf.f,
-                 ln((coalesce(cp.c, 0)::DOUBLE + 0.5)
-                     / (np.n::DOUBLE + 0.5 * 8192))
-               - ln((coalesce(cn.c, 0)::DOUBLE + 0.5)
-                     / (nn.n::DOUBLE + 0.5 * 8192)) AS w
-               FROM allf LEFT JOIN cp ON allf.f = cp.f
-                         LEFT JOIN cn ON allf.f = cn.f, np, nn),
-         prior AS (SELECT ln(sum((y = 1)::INT)::DOUBLE
-                           / sum((y = 0)::INT)::DOUBLE) AS b FROM d),
-         sc AS (SELECT fb.doc_id, sum(w.w) AS s
-                FROM fb JOIN w ON fb.f = w.f GROUP BY fb.doc_id),
-         fl AS (SELECT d.doc_id, d.y,
-                    floor((coalesce(sc.s, 0.0) + prior.b) * 1e6 + 0.5) / 1e6
-                      AS score
-                  FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id, prior),
-         cm AS (SELECT
-             count(CASE WHEN score > 0 AND y = 1 THEN 1 END)::BIGINT AS tp,
-             count(CASE WHEN score > 0 AND y = 0 THEN 1 END)::BIGINT AS fp,
-             count(CASE WHEN score <= 0 AND y = 1 THEN 1 END)::BIGINT AS fn,
-             count(CASE WHEN score <= 0 AND y = 0 THEN 1 END)::BIGINT AS tn
-           FROM fl),
-         r AS (SELECT tp, fp, fn, tn,
-             CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp) END AS prec,
-             CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn) END AS rec
-           FROM cm)
-         SELECT tp, fp, fn, tn,
-           floor((tp + tn)::DOUBLE / (tp + fp + fn + tn) * 1e6 + 0.5) / 1e6
-             AS accuracy,
-           floor(prec * 1e6 + 0.5) / 1e6 AS precision,
-           floor(rec * 1e6 + 0.5) / 1e6 AS recall,
-           CASE WHEN prec + rec > 0 THEN
-             floor(2.0 * prec * rec / (prec + rec) * 1e6 + 0.5) / 1e6
-           END AS f1
-         FROM r""",
-    // NB score replay + rounded-probability decile bins
-    "q_calibration" ->
-      """WITH d AS (SELECT doc_id, (lang = 'en')::INT AS y,
-             string_split(lower(trim(text)), ' ') AS tk FROM documents),
-         g AS (SELECT doc_id, y, unnest(list_concat(tk,
-                 CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
-                   ELSE list_transform(generate_series(1, len(tk)-1),
-                          i -> tk[i] || ' ' || tk[i+1]) END)) AS ng
-               FROM d),
-         fb AS (SELECT doc_id, y,
-                  ('0x' || substr(md5(ng), 1, 8))::BIGINT % 8192 AS f
-                FROM g),
-         cp AS (SELECT f, count(*)::BIGINT AS c FROM fb WHERE y = 1 GROUP BY f),
-         cn AS (SELECT f, count(*)::BIGINT AS c FROM fb WHERE y = 0 GROUP BY f),
-         np AS (SELECT coalesce(sum(c), 0)::BIGINT AS n FROM cp),
-         nn AS (SELECT coalesce(sum(c), 0)::BIGINT AS n FROM cn),
-         allf AS (SELECT DISTINCT f FROM fb),
-         w AS (SELECT allf.f,
-                 ln((coalesce(cp.c, 0)::DOUBLE + 0.5)
-                     / (np.n::DOUBLE + 0.5 * 8192))
-               - ln((coalesce(cn.c, 0)::DOUBLE + 0.5)
-                     / (nn.n::DOUBLE + 0.5 * 8192)) AS w
-               FROM allf LEFT JOIN cp ON allf.f = cp.f
-                         LEFT JOIN cn ON allf.f = cn.f, np, nn),
-         prior AS (SELECT ln(sum((y = 1)::INT)::DOUBLE
-                           / sum((y = 0)::INT)::DOUBLE) AS b FROM d),
-         sc AS (SELECT fb.doc_id, sum(w.w) AS s
-                FROM fb JOIN w ON fb.f = w.f GROUP BY fb.doc_id),
-         fl AS (SELECT d.doc_id, d.y,
-                    floor((coalesce(sc.s, 0.0) + prior.b) * 1e6 + 0.5) / 1e6
-                      AS score
-                  FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id, prior),
-         pb AS (SELECT y,
-                  floor((1.0 / (1.0 + exp(-score))) * 1e6 + 0.5) / 1e6 AS p
-                FROM fl),
-         bb AS (SELECT least(floor(p * 10), 9)::INT AS bin, p, y FROM pb)
-         SELECT bin, count(*)::BIGINT AS n,
-           floor(avg(p) * 1e6 + 0.5) / 1e6 AS mean_prob,
-           floor(avg(y::DOUBLE) * 1e6 + 0.5) / 1e6 AS frac_pos
-         FROM bb GROUP BY bin ORDER BY bin""",
-    // one logistic GD step from zero init: σ(0)=½ makes the step closed
-    // form — w_j = lr/n·Σ_d (y_d−½)·c_d(j), bias = lr/n·Σ_d (y_d−½)
-    "q_lr_step" ->
-      """WITH d AS (SELECT doc_id, (lang = 'en')::INT AS y,
-             string_split(lower(trim(text)), ' ') AS tk FROM documents),
-         g AS (SELECT doc_id, y, unnest(list_concat(tk,
-                 CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
-                   ELSE list_transform(generate_series(1, len(tk)-1),
-                          i -> tk[i] || ' ' || tk[i+1]) END)) AS ng
-               FROM d),
-         fb AS (SELECT doc_id, y,
-                  ('0x' || substr(md5(ng), 1, 8))::BIGINT % 8192 AS f
-                FROM g),
-         n AS (SELECT count(*)::DOUBLE AS n FROM d),
-         w AS (SELECT f, sum(y::DOUBLE - 0.5) * 0.5 / any_value(n.n) AS w
-               FROM fb, n GROUP BY f),
-         b AS (SELECT sum(y::DOUBLE - 0.5) * 0.5 / any_value(n.n) AS b
-               FROM d, n),
-         sc AS (SELECT fb.doc_id, count(*)::BIGINT AS n_feats,
-                  sum(w.w) AS s
-                FROM fb JOIN w ON fb.f = w.f GROUP BY fb.doc_id)
-         SELECT d.doc_id, coalesce(sc.n_feats, 0)::BIGINT AS n_feats,
-           floor((coalesce(sc.s, 0.0) + b.b) * 1e6 + 0.5) / 1e6 AS score,
-           (floor((coalesce(sc.s, 0.0) + b.b) * 1e6 + 0.5) / 1e6
-             > 0)::INT AS pred
-         FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id, b
-         ORDER BY d.doc_id""",
-    "q_mix_temp" ->
-      """WITH per AS (SELECT source,
-             sum(len(string_split(trim(text), ' ')))::BIGINT AS n_tokens
-           FROM documents GROUP BY source),
-         tot AS (SELECT sum(n_tokens)::BIGINT AS t FROM per),
-         pa AS (SELECT source, n_tokens,
-                  pow(n_tokens::DOUBLE / t::DOUBLE, 0.5) AS pa
-                FROM per, tot),
-         qs AS (SELECT sum(pa) AS qsum FROM pa)
-         SELECT source, n_tokens,
-           floor(pa / qsum * 1e6 + 0.5) / 1e6 AS q_weight,
-           floor(least(1.0, 20000.0 * (pa / qsum) / n_tokens::DOUBLE)
-                 * 1e6 + 0.5) / 1e6 AS keep_rate
-         FROM pa, qs ORDER BY source""",
-    "q_rollup" ->
-      """SELECT lang, source, count(*)::BIGINT AS n_docs,
-           GROUPING(lang, source)::INT AS gid
-         FROM documents GROUP BY ROLLUP(lang, source)
-         ORDER BY gid, lang NULLS LAST, source NULLS LAST""",
-    "q_pareto" ->
-      """WITH per AS (SELECT source,
-             sum(len(string_split(trim(text), ' ')))::BIGINT AS n_tokens
-           FROM documents GROUP BY source),
-         tot AS (SELECT sum(n_tokens)::DOUBLE AS t FROM per),
-         r AS (SELECT source, n_tokens, n_tokens::DOUBLE / tot.t AS share,
-                 row_number() OVER (ORDER BY n_tokens DESC, source) AS rank,
-                 sum(n_tokens::DOUBLE / tot.t) OVER
-                   (ORDER BY n_tokens DESC, source
-                    ROWS UNBOUNDED PRECEDING) AS cum
-               FROM per, tot)
-         SELECT source, n_tokens, rank,
-           floor(cum * 1e6 + 0.5) / 1e6 AS cum_share,
-           (cum - share < 0.8) AS in_head_80
-         FROM r ORDER BY rank""",
-    "q_hhi" ->
-      """WITH per AS (SELECT source,
-             sum(len(string_split(trim(text), ' ')))::BIGINT AS n_tokens
-           FROM documents GROUP BY source),
-         tot AS (SELECT sum(n_tokens)::DOUBLE AS t FROM per),
-         sh AS (SELECT source, n_tokens::DOUBLE / tot.t AS s FROM per, tot),
-         h AS (SELECT count(*)::BIGINT AS n_sources, sum(s * s) AS hhi
-               FROM sh),
-         mx AS (SELECT max(s) AS mx FROM sh),
-         top AS (SELECT min(source) AS top_source, max(s) AS ts
-                 FROM sh, mx WHERE sh.s = mx.mx)
-         SELECT h.n_sources, floor(h.hhi * 1e6 + 0.5) / 1e6 AS hhi,
-           floor(1.0 / h.hhi * 1e6 + 0.5) / 1e6 AS effective_sources,
-           top.top_source, floor(top.ts * 1e6 + 0.5) / 1e6 AS top_share
-         FROM h, top""",
-    "q_mix" ->
-      """WITH per AS (SELECT source, count(*)::BIGINT AS n_docs,
-             sum(len(string_split(trim(text), ' ')))::BIGINT AS n_tokens
-           FROM documents GROUP BY source),
-         tot AS (SELECT sum(n_tokens)::BIGINT AS total FROM per)
-         SELECT source, n_docs, n_tokens,
-           floor((n_tokens::DOUBLE / total::DOUBLE) * 1e6 + 0.5) / 1e6
-             AS token_share
-         FROM per, tot ORDER BY source""",
-    "q_cc_clusters" ->
-      """WITH RECURSIVE toks AS (
-           SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
-           FROM documents),
-         sh AS (
-           SELECT doc_id, list_distinct(CASE WHEN len(tk) < 2
-             THEN [array_to_string(tk, ' ')]
-             ELSE list_transform(generate_series(1, len(tk)-1),
-                    i -> array_to_string(tk[i:i+1], ' ')) END) AS s
-           FROM toks),
-         pairs AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-           WHERE len(list_intersect(a.s, b.s))::DOUBLE /
-             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
-         edges AS (
-           SELECT id_a AS src, id_b AS dst FROM pairs
-           UNION SELECT id_b, id_a FROM pairs),
-         cc AS (
-           SELECT DISTINCT src AS id, src AS comp FROM edges
-           UNION
-           SELECT e.dst AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.src)
-         SELECT id AS doc_id, min(comp) AS cluster_id FROM cc GROUP BY id
-         ORDER BY doc_id""",
-    "q_cc_dedup" ->
-      """WITH RECURSIVE toks AS (
-           SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
-           FROM documents),
-         sh AS (
-           SELECT doc_id, list_distinct(CASE WHEN len(tk) < 2
-             THEN [array_to_string(tk, ' ')]
-             ELSE list_transform(generate_series(1, len(tk)-1),
-                    i -> array_to_string(tk[i:i+1], ' ')) END) AS s
-           FROM toks),
-         pairs AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-           WHERE len(list_intersect(a.s, b.s))::DOUBLE /
-             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
-         edges AS (
-           SELECT id_a AS src, id_b AS dst FROM pairs
-           UNION SELECT id_b, id_a FROM pairs),
-         cc AS (
-           SELECT DISTINCT src AS id, src AS comp FROM edges
-           UNION
-           SELECT e.dst AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.src),
-         labels AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id)
-         SELECT d.doc_id, d.lang FROM documents d
-         LEFT JOIN labels l ON d.doc_id = l.id
-         WHERE l.comp IS NULL OR l.comp = d.doc_id
-         ORDER BY d.doc_id""",
-    "q_cc_best" ->
-      """WITH RECURSIVE toks AS (
-           SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
-           FROM documents),
-         sh AS (
-           SELECT doc_id, list_distinct(CASE WHEN len(tk) < 2
-             THEN [array_to_string(tk, ' ')]
-             ELSE list_transform(generate_series(1, len(tk)-1),
-                    i -> array_to_string(tk[i:i+1], ' ')) END) AS s
-           FROM toks),
-         pairs AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-           WHERE len(list_intersect(a.s, b.s))::DOUBLE /
-             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
-         edges AS (
-           SELECT id_a AS src, id_b AS dst FROM pairs
-           UNION SELECT id_b, id_a FROM pairs),
-         cc AS (
-           SELECT DISTINCT src AS id, src AS comp FROM edges
-           UNION
-           SELECT e.dst AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.src),
-         labels AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id),
-         sc AS (SELECT l.id, l.comp, d.n_chars FROM labels l
-           JOIN documents d ON d.doc_id = l.id),
-         win AS (SELECT comp, id AS keep_id FROM (
-             SELECT comp, id, row_number() OVER (PARTITION BY comp
-               ORDER BY n_chars DESC, id ASC) AS rn FROM sc)
-           WHERE rn = 1)
-         SELECT d.doc_id, d.n_chars FROM documents d
-         LEFT JOIN sc ON d.doc_id = sc.id
-         LEFT JOIN win ON sc.comp = win.comp
-         WHERE sc.id IS NULL OR win.keep_id = d.doc_id
-         ORDER BY d.doc_id""",
-    "q_embed_scores" ->
-      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-         SELECT vec_id, floor((
-           list_sum(list_transform(generate_series(1, len(embedding)),
-             i -> embedding[i]::DOUBLE * qe[i]::DOUBLE)) /
-           (sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
-             i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) *
-            sqrt(list_sum(list_transform(generate_series(1, len(qe)),
-             i -> qe[i]::DOUBLE * qe[i]::DOUBLE))))) * 1e6 + 0.5) / 1e6 AS score
-         FROM embeddings, q WHERE vec_id < 200 ORDER BY vec_id""",
-    "q_knn_join" ->
-      """WITH q AS (SELECT vec_id AS q_id, embedding AS qe
-                    FROM embeddings WHERE vec_id < 3),
-         scored AS (
-           SELECT q.q_id, e.vec_id, floor((
-             list_sum(list_transform(generate_series(1, len(e.embedding)),
-               i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE)) /
-             (sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
-               i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) *
-              sqrt(list_sum(list_transform(generate_series(1, len(q.qe)),
-               i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE))))) * 1e6 + 0.5) / 1e6 AS score
-           FROM embeddings e, q)
-         SELECT q_id, vec_id, score, rn FROM (
-           SELECT *, row_number() OVER (PARTITION BY q_id
-             ORDER BY score DESC, vec_id ASC)::INT AS rn FROM scored)
-         WHERE rn <= 5 ORDER BY q_id, rn""",
-    "q_hardneg" ->
-      """WITH q AS (SELECT vec_id AS q_id, embedding AS qe, label AS ql
-                    FROM embeddings WHERE vec_id < 3),
-         scored AS (
-           SELECT q.q_id, e.vec_id, e.label, floor((
-             list_sum(list_transform(generate_series(1, len(e.embedding)),
-               i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE)) /
-             (sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
-               i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) *
-              sqrt(list_sum(list_transform(generate_series(1, len(q.qe)),
-               i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE))))) * 1e6 + 0.5) / 1e6 AS score
-           FROM embeddings e, q WHERE e.label <> q.ql)
-         SELECT q_id, vec_id, label, score, rn FROM (
-           SELECT *, row_number() OVER (PARTITION BY q_id
-             ORDER BY score DESC, vec_id ASC)::INT AS rn FROM scored)
-         WHERE rn <= 5 ORDER BY q_id, rn""",
-    "q_sq8_topk" ->
-      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-         scored AS (
-           SELECT vec_id, floor((
-             list_sum(list_transform(generate_series(1, len(embedding)),
-               i -> embedding[i]::DOUBLE * qe[i]::DOUBLE)) /
-             (sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
-               i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) *
-              sqrt(list_sum(list_transform(generate_series(1, len(qe)),
-               i -> qe[i]::DOUBLE * qe[i]::DOUBLE))))) * 1e6 + 0.5) / 1e6 AS score
-           FROM embeddings, q)
-         SELECT vec_id, score FROM scored
-         ORDER BY score DESC, vec_id ASC LIMIT 10""",
-    "q_ann_recall" ->
-      """SELECT * FROM (VALUES (0, 10, CAST(true AS BOOLEAN)),
-                              (7, 10, CAST(true AS BOOLEAN)),
-                              (42, 10, CAST(true AS BOOLEAN)))
-         AS t(query_id, k, recall_ok) ORDER BY query_id""",
-    "q_simhash_recall" ->
-      """SELECT CAST(true AS BOOLEAN) AS recall_ok""",
-    "q_semdedup_recall" ->
-      """SELECT CAST(true AS BOOLEAN) AS recall_ok""",
-    "q_kmeans_reload" ->
-      """SELECT CAST(true AS BOOLEAN) AS reload_ok""",
-    "q_pq_recall" ->
-      """SELECT 0::BIGINT AS query_id, 10 AS k,
-           CAST(true AS BOOLEAN) AS recall_ok""",
-    "q_pq256_recall" ->
-      """SELECT 0::BIGINT AS query_id, 10 AS k,
-           CAST(true AS BOOLEAN) AS recall_ok""",
-    "q_ivfpq_recall" ->
-      """SELECT 0::BIGINT AS query_id, 10 AS k,
-           CAST(true AS BOOLEAN) AS recall_ok""",
-    "q_ivfpq_res_recall" ->
-      """SELECT 0::BIGINT AS query_id, 10 AS k,
-           CAST(true AS BOOLEAN) AS recall_ok""",
-    "q_ivf_prune" ->
-      """SELECT CAST(true AS BOOLEAN) AS files_pruned,
-                CAST(true AS BOOLEAN) AS rows_ok""",
-    "q_zorder_gate" ->
-      """SELECT c AS "column", CAST(true AS BOOLEAN) AS within_tol
-         FROM (SELECT unnest(['l_orderkey', 'l_partkey']) AS c)
-         ORDER BY "column"""",
-    "q_hilbert_gate" ->
-      """SELECT c AS "column", CAST(true AS BOOLEAN) AS within_tol
-         FROM (SELECT unnest(['l_orderkey', 'l_partkey']) AS c)
-         ORDER BY "column"""",
-    // golden pins (sf0.01, the driver's verify scale): literal expected
-    // outputs — SQL cannot replay the hash-based sketches, but the pins
-    // catch unintended algorithm drift
-    "q_simhash" ->
-      """SELECT * FROM (VALUES
-           (0::BIGINT, 729992421034952720::BIGINT),
-           (1::BIGINT, -7304504080992268656::BIGINT),
-           (2::BIGINT, -8367341378140459888::BIGINT),
-           (3::BIGINT, -4944651685670516144::BIGINT),
-           (4::BIGINT, -1539895458413770096::BIGINT),
-           (5::BIGINT, 4224716737545808401::BIGINT),
-           (6::BIGINT, -346438379421459276::BIGINT),
-           (7::BIGINT, -4998655299308843503::BIGINT))
-         AS t(doc_id, sh) ORDER BY doc_id""",
-    "q_ann_topk" ->
-      """SELECT * FROM (VALUES
-           (0::BIGINT, 1.0::DOUBLE),
-           (365::BIGINT, 0.369994::DOUBLE),
-           (334::BIGINT, 0.362722::DOUBLE),
-           (387::BIGINT, 0.331139::DOUBLE),
-           (73::BIGINT, 0.295434::DOUBLE),
-           (7::BIGINT, 0.292842::DOUBLE),
-           (320::BIGINT, 0.287861::DOUBLE),
-           (190::BIGINT, 0.281795::DOUBLE),
-           (464::BIGINT, 0.276628::DOUBLE),
-           (483::BIGINT, 0.2567::DOUBLE))
-         AS t(vec_id, score) ORDER BY score DESC, vec_id""",
-    "q_ivf_topk" ->
-      """SELECT * FROM (VALUES
-           (0::BIGINT, 1.0::DOUBLE),
-           (365::BIGINT, 0.369994::DOUBLE),
-           (334::BIGINT, 0.362722::DOUBLE),
-           (387::BIGINT, 0.331139::DOUBLE),
-           (423::BIGINT, 0.296934::DOUBLE),
-           (73::BIGINT, 0.295434::DOUBLE),
-           (7::BIGINT, 0.292842::DOUBLE),
-           (320::BIGINT, 0.287861::DOUBLE),
-           (190::BIGINT, 0.281795::DOUBLE),
-           (464::BIGINT, 0.276628::DOUBLE))
-         AS t(vec_id, score) ORDER BY score DESC, vec_id""",
-    "q_ivf_recall" ->
-      """SELECT * FROM (VALUES (0, 10, CAST(true AS BOOLEAN)),
-                              (7, 10, CAST(true AS BOOLEAN)),
-                              (42, 10, CAST(true AS BOOLEAN)))
-         AS t(query_id, k, recall_ok) ORDER BY query_id""",
-    "q_embed_drift" ->
-      """WITH e AS (SELECT label, unnest(embedding) AS v,
-             unnest(generate_series(1, len(embedding)))::BIGINT AS i
-           FROM embeddings),
-         c AS (SELECT label, i, floor(avg(v::DOUBLE) * 1e6 + 0.5) / 1e6 AS m
-               FROM e GROUP BY label, i),
-         vv AS (SELECT label, list(m ORDER BY i) AS vec FROM c GROUP BY label),
-         p AS (SELECT a.label AS slice_a, b.label AS slice_b,
-                 list_sum(list_transform(generate_series(1, len(a.vec)),
-                   i -> a.vec[i] * b.vec[i])) AS dt,
-                 sqrt(list_sum(list_transform(generate_series(1, len(a.vec)),
-                   i -> a.vec[i] * a.vec[i]))) AS na,
-                 sqrt(list_sum(list_transform(generate_series(1, len(b.vec)),
-                   i -> b.vec[i] * b.vec[i]))) AS nb
-               FROM vv a, vv b WHERE a.label < b.label)
-         SELECT slice_a, slice_b,
-           floor(dt / (na * nb) * 1e6 + 0.5) / 1e6 AS cosine
-         FROM p ORDER BY slice_a, slice_b""",
-    "q_keyuniq" ->
-      """SELECT * FROM (
-           SELECT count(*)::BIGINT AS n_rows,
-             count(DISTINCT doc_id)::BIGINT AS n_distinct,
-             (count(*) - count(DISTINCT doc_id))::BIGINT AS n_dup_rows,
-             (count(*) = count(DISTINCT doc_id)) AS is_unique
-           FROM documents
-           UNION ALL
-           SELECT count(*)::BIGINT, count(DISTINCT event_id)::BIGINT,
-             (count(*) - count(DISTINCT event_id))::BIGINT,
-             (count(*) = count(DISTINCT event_id))
-           FROM events)
-         ORDER BY n_rows""",
-    "q_pctrank" ->
-      """SELECT doc_id, lang, n_chars,
-           floor(percent_rank() OVER (PARTITION BY lang ORDER BY n_chars)
-             * 1e6 + 0.5) / 1e6 AS pct_rank
-         FROM documents ORDER BY doc_id""",
-    "q_kanon" ->
-      """SELECT lang, source, count(*)::BIGINT AS cnt,
-           (count(*) < 5) AS at_risk
-         FROM documents GROUP BY lang, source ORDER BY lang, source""",
-    "q_pool" ->
-      """WITH e AS (SELECT label, unnest(embedding) AS v,
-             unnest(generate_series(1, len(embedding)))::BIGINT AS i
-           FROM embeddings)
-         SELECT label, i - 1 AS i,
-           floor(avg(v::DOUBLE) * 1e6 + 0.5) / 1e6 AS mv
-         FROM e GROUP BY label, i ORDER BY label, i""",
-    "q_sq" ->
-      """SELECT vec_id, list_min(embedding)::DOUBLE AS q_min,
-           list_max(embedding)::DOUBLE AS q_max,
-           array_to_string(CASE WHEN list_max(embedding) = list_min(embedding)
-             THEN list_transform(embedding, x -> 0)
-             ELSE list_transform(embedding, x ->
-               floor((x::DOUBLE - list_min(embedding)::DOUBLE) /
-                 (list_max(embedding)::DOUBLE - list_min(embedding)::DOUBLE)
-                 * 255.0 + 0.5)::INT) END, ',') AS codes
-         FROM embeddings ORDER BY vec_id""",
-    "q_pca_gate" ->
-      """SELECT * FROM (VALUES
-           (0::BIGINT, 1::BIGINT, CAST(true AS BOOLEAN)),
-           (0::BIGINT, 7::BIGINT, CAST(true AS BOOLEAN)),
-           (0::BIGINT, 42::BIGINT, CAST(true AS BOOLEAN)),
-           (1::BIGINT, 7::BIGINT, CAST(true AS BOOLEAN)),
-           (1::BIGINT, 42::BIGINT, CAST(true AS BOOLEAN)),
-           (7::BIGINT, 42::BIGINT, CAST(true AS BOOLEAN)))
-         AS t(ia, ib, within_bound) ORDER BY ia, ib""",
-    "q_rp_gate" ->
-      """SELECT * FROM (VALUES
-           (0::BIGINT, 1::BIGINT, CAST(true AS BOOLEAN)),
-           (0::BIGINT, 7::BIGINT, CAST(true AS BOOLEAN)),
-           (0::BIGINT, 42::BIGINT, CAST(true AS BOOLEAN)),
-           (1::BIGINT, 7::BIGINT, CAST(true AS BOOLEAN)),
-           (1::BIGINT, 42::BIGINT, CAST(true AS BOOLEAN)),
-           (7::BIGINT, 42::BIGINT, CAST(true AS BOOLEAN)))
-         AS t(ia, ib, within_bound) ORDER BY ia, ib""",
-    // golden pin (sf0.01): the deterministic k-means cluster histogram —
-    // argmax-cosine assignment is not SQL-replayable, the pin catches drift
-    "q_kmeans" ->
-      """SELECT * FROM (VALUES
-           (0::INTEGER, 62::BIGINT, 3::BIGINT),
-           (1::INTEGER, 64::BIGINT, 11::BIGINT),
-           (2::INTEGER, 70::BIGINT, 1::BIGINT),
-           (3::INTEGER, 65::BIGINT, 4::BIGINT),
-           (4::INTEGER, 67::BIGINT, 0::BIGINT),
-           (5::INTEGER, 61::BIGINT, 21::BIGINT),
-           (6::INTEGER, 53::BIGINT, 8::BIGINT),
-           (7::INTEGER, 58::BIGINT, 10::BIGINT))
-         AS t(cluster, n, rep) ORDER BY cluster""",
-    // same brute-force all-pairs oracle as q_embed_dups: semantic dedup's
-    // cluster-bounded pair search must find exactly the global ≥0.95 pairs
-    "q_semdedup" ->
-      """WITH aug AS (
-           SELECT vec_id, embedding FROM embeddings
-           UNION ALL
-           SELECT vec_id + 10000 AS vec_id,
-             list_transform(embedding, x -> ((x::DOUBLE + 0.01)::FLOAT)) AS embedding
-           FROM embeddings WHERE vec_id < 10),
-         n AS (SELECT vec_id, embedding,
-           sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
-             i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
-           FROM aug)
-         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           floor((list_sum(list_transform(generate_series(1, len(a.embedding)),
-             i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
-             / (a.nrm * b.nrm)) * 1e6 + 0.5) / 1e6 AS cosine
-         FROM n a JOIN n b ON a.vec_id < b.vec_id
-         WHERE list_sum(list_transform(generate_series(1, len(a.embedding)),
-             i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
-             / (a.nrm * b.nrm) >= 0.95
-         ORDER BY id_a, id_b""",
-    "q_embed_dups" ->
-      """WITH aug AS (
-           SELECT vec_id, embedding FROM embeddings
-           UNION ALL
-           SELECT vec_id + 10000 AS vec_id,
-             list_transform(embedding, x -> ((x::DOUBLE + 0.01)::FLOAT)) AS embedding
-           FROM embeddings WHERE vec_id < 10),
-         n AS (SELECT vec_id, embedding,
-           sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
-             i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
-           FROM aug)
-         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           floor((list_sum(list_transform(generate_series(1, len(a.embedding)),
-             i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
-             / (a.nrm * b.nrm)) * 1e6 + 0.5) / 1e6 AS cosine
-         FROM n a JOIN n b ON a.vec_id < b.vec_id
-         WHERE list_sum(list_transform(generate_series(1, len(a.embedding)),
-             i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
-             / (a.nrm * b.nrm) >= 0.95
-         ORDER BY id_a, id_b"""
-  )
+  /** DuckDB-equivalent SQL per query (same column names + order). Every
+    * oracle must pair with a declared query — an orphaned oracle is a
+    * mis-typed name that would silently never be checked. */
+  val oracleSql: Map[String, String] = {
+    val os = families.flatMap(_._3)
+    require(os.map(_._1).distinct.size == os.size,
+      "duplicate oracle name across entry families")
+    val orphans = os.map(_._1).filterNot(queries.keySet)
+    require(orphans.isEmpty, s"oracles without a query: $orphans")
+    os.toMap
+  }
 }

@@ -1,0 +1,850 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import EntryHelpers._
+
+/** Deduplication / similarity / decontamination contract queries + their DuckDB oracles, kept ADJACENT per
+  * family (split from the former 5k-line SparkEntry maps — round-9
+  * verdict #7: a mis-paired oracle edit was a 5k-line scroll).
+  * [[SparkEntry]] aggregates every family and asserts name uniqueness. */
+private[graft] object DedupEntries {
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // eval n-gram coverage: fraction of the bench slice's distinct
+    // 2-grams seen anywhere in train (diffuse-leak intensity); train
+    // pays one broadcast-probed scan
+    "q_coverage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      pipeline.Dedup.crossNgramCoverage(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0), "text", k = 2)
+    }),
+    // fuzzy key linkage: char-3-gram Jaccard over supplier names via
+    // the AllPairs prefix filter — no all-pairs compare, grams hashed
+    "q_fuzzy" -> ((s, dir) =>
+      pipeline.Dedup.fuzzyKeyPairs(
+        t(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
+        "s_name", "s_suppkey", k = 3, threshold = 0.85)
+        .orderBy("id_a", "id_b")),
+    // SNM blocking closed with its verifier: Levenshtein <= 2 over
+    // rank-adjacent supplier-name candidates
+    "q_editdist" -> ((s, dir) =>
+      pipeline.Dedup.editDistancePairs(
+        t(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
+        "s_name", "s_suppkey", maxDist = 2, window = 5)
+        .orderBy("id_a", "id_b")),
+    // sorted-neighborhood blocking: rank-adjacent candidate pairs in the
+    // global (s_name, key) sort order (two-pass distributed rank + band
+    // join on rank buckets — never a single-partition window)
+    "q_snm" -> ((s, dir) =>
+      pipeline.Dedup.sortedNeighborhoodPairs(
+        t(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
+        "s_name", "s_suppkey", window = 5)
+        .orderBy("id_a", "id_b")),
+    // entity resolution: fuzzy pairs → connected components → one row
+    // per entity (canonical = min member id, n_members) — the classic
+    // record-linkage chain, every stage its own certified operator
+    "q_entities" -> ((s, dir) => {
+      val pairs = pipeline.Dedup.fuzzyKeyPairs(
+        t(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
+        "s_name", "s_suppkey", k = 3, threshold = 0.85)
+      pipeline.Graphs.connectedComponents(pairs, "id_a", "id_b")
+        .groupBy(col("comp").alias("entity_id"))
+        .agg(count(lit(1)).alias("n_members"))
+        .orderBy("entity_id")
+    }),
+    // digit-template exact dedup (C4-style normalization before fuzzy
+    // dedup): template-equal docs collapse to the smallest id
+    "q_template_dedup" -> ((s, dir) =>
+      pipeline.Dedup.templateDedup(t(s, dir, "documents"), "text", "doc_id")
+        .agg(count(lit(1)).alias("n_kept"))),
+    // triangle census of the exact near-dup pair graph: transitivity is
+    // the LSH-threshold diagnostic (a similarity relation should be
+    // near-transitive)
+    "q_triangles" -> ((s, dir) => {
+      val pairs = pipeline.Dedup.ngramJaccardPairs(
+        t(s, dir, "documents"), "text", "doc_id", k = 2, threshold = 0.8)
+      pipeline.Graphs.triangleStats(pairs, "id_a", "id_b")
+    }),
+    // ---- LLM-pipeline operators (graft.pipeline) ---------------------
+    // exact dedup groups (hash-groupBy, keep lowest id)
+    "q_dedup_exact" -> ((s, dir) =>
+      pipeline.Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("h")),
+    // token-set-normalized dedup key (near-dup grouping key)
+    "q_dedup_tokenset" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(pipeline.TextAnalysis.tokenSetKey(col("text")).alias("h"))
+        .agg(count(lit(1)).alias("cnt"), min(col("doc_id")).alias("keep_id"))
+        .orderBy("h")),
+    // MinHash-LSH near-dup pairs, exact-Jaccard verified (k=3 shingles)
+    "q_minhash_pairs" -> ((s, dir) =>
+      pipeline.Dedup.minhashDupPairs(t(s, dir, "documents"), "text", "doc_id",
+        k = 3, bands = 16, rows = 4, jaccardThreshold = 0.7)
+        .orderBy("id_a", "id_b")),
+    // prefix-filtered n-gram Jaccard pairs (k=2; exact — oracle replicates
+    // with a brute-force pairwise join)
+    "q_ngram_pairs" -> ((s, dir) =>
+      pipeline.Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+        k = 2, threshold = 0.8)
+        .orderBy("id_a", "id_b")),
+    // tf-idf weighted cosine near-dup pairs over the informative-term
+    // subspace (df-capped inverted-index join; 60-bit hashed terms)
+    "q_tfidf_pairs" -> ((s, dir) =>
+      pipeline.Dedup.tfidfCosinePairs(t(s, dir, "documents"), "text",
+        "doc_id", threshold = 0.9, maxDf = 1000)
+        .orderBy("id_a", "id_b")),
+    // benchmark decontamination: bench-shingle containment in train docs
+    // (bench = every 7th doc, train = the rest)
+    "q_contain" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      pipeline.Dedup.crossContainment(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0),
+        "text", "doc_id", k = 2, threshold = 0.8)
+        .orderBy("bench_id", "train_id")
+    }),
+    // Bloom-gated decontamination: same result as q_contain, but the
+    // train corpus is prefiltered map-side by a broadcast Bloom filter
+    // over the bench shingle union — the postings explode runs only on
+    // gated survivors
+    "q_contain_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      pipeline.Dedup.crossContainmentBloom(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0),
+        "text", "doc_id", k = 2, threshold = 0.8)
+        .orderBy("bench_id", "train_id")
+    }),
+    // decontamination REMOVAL: the train corpus minus every doc a bench
+    // doc is contained in (detection feeds a broadcast anti-join)
+    "q_decon" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      pipeline.Dedup.decontaminate(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0),
+        "text", "doc_id", k = 2, threshold = 0.8)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    }),
+    // cross-document boilerplate line removal (CCNet recipe): planted
+    // chrome ('subscribe…' on every doc, a footer on every 5th) vanishes
+    // at minDocs=3; per-doc-unique lines and whitespace survive in order.
+    // Frequency pass aggregates 8-byte line hashes; the flagged set rides
+    // an explicit broadcast probe
+    "q_boilerplate" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          col("text"),
+          lit("subscribe to our newsletter"),
+          when(col("doc_id") % 5 === 0, lit("copyright footer 2026"))
+            .otherwise(concat(lit("tail "), col("doc_id").cast("string"))),
+          lit("  "),
+          lit("back to top")).alias("txt"))
+      pipeline.Dedup.dropBoilerplateLines(aug, "doc_id", "txt", minDocs = 3)
+        .select(col("doc_id"), md5(col("txt")).alias("clean_fp"),
+          col("n_kept"), col("n_dropped"))
+        .orderBy("doc_id")
+    }),
+    // incremental near-dup: standing MinHash-LSH index of the corpus
+    // (doc_id % 11 != 0), probed by a new batch (doc_id % 11 == 0); the
+    // corpus is never re-sketched. Oracle: brute-force exact Jaccard over
+    // the same split.
+    "q_incr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val index = pipeline.Dedup.minhashIndex(
+        docs.filter(col("doc_id") % 11 =!= 0), "text", "doc_id")
+      pipeline.Dedup.minhashProbe(index,
+        docs.filter(col("doc_id") % 11 === 0), "text", "doc_id",
+        jaccardThreshold = 0.7)
+        .orderBy("new_id", "corpus_id")
+    }),
+    // span-level exact-substring duplication (Lee et al. 2022 shape):
+    // rolling 8-token window hashes; every window occurring >= 2 times
+    // marks its positions; overlapping windows merge to spans. A fixed
+    // 13-token boilerplate is planted on doc_id % 5 == 0 (the synthetic
+    // corpus has no natural 8-gram repeats) — the classic boilerplate-
+    // removal scenario.
+    "q_spans" -> ((s, dir) =>
+      pipeline.Dedup.duplicatedSpans(boilerplated(s, dir), "txt", "doc_id",
+        w = 8).orderBy("doc_id", "span_start")),
+    // span removal: surviving tokens + fingerprint of the cleaned text
+    "q_clean" -> ((s, dir) =>
+      pipeline.Dedup.removeDuplicatedSpans(boilerplated(s, dir), "txt",
+        "doc_id", w = 8)
+        .select(col("doc_id"), md5(col("txt")).alias("clean_fp"),
+          col("n_kept"))
+        .orderBy("doc_id")),
+    // one-row dedup yield report: exact uniques + near-dup cluster
+    // collapse economics before GPU-hours are committed
+    "q_dedup_report" -> ((s, dir) =>
+      pipeline.Dedup.dedupReport(t(s, dir, "documents"), "text", "doc_id",
+        k = 2, threshold = 0.8)),
+    // the same economics per source: which crawl is redundant
+    "q_dedup_by_source" -> ((s, dir) =>
+      pipeline.Dedup.dedupReportBy(t(s, dir, "documents"), "text",
+        "doc_id", "source", k = 2, threshold = 0.8)
+        .orderBy("source")),
+    // near-dup cluster resolution: connected components (alternating
+    // large-star/small-star) over the exact ngram-Jaccard pair graph —
+    // cluster_id = minimum doc_id in the component
+    "q_cc_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = pipeline.Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        k = 2, threshold = 0.8)
+      pipeline.Graphs.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").alias("doc_id"), col("comp").alias("cluster_id"))
+        .orderBy("doc_id")
+    }),
+    // cluster-resolved dedup: survivors after dropping every non-representative
+    // member of each near-dup cluster (transitive closure of the pair graph)
+    "q_cc_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = pipeline.Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        k = 2, threshold = 0.8)
+      pipeline.Graphs.dedupByCluster(docs, "doc_id", pairs, "id_a", "id_b")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+    // quality keep-policy cluster dedup: same clusters as q_cc_dedup but
+    // each cluster keeps its LONGEST doc (n_chars desc, id asc), not its
+    // min id — one max_by hash aggregate per cluster, ids+score only
+    "q_cc_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = pipeline.Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        k = 2, threshold = 0.8)
+      pipeline.Graphs.dedupByClusterBest(docs, "doc_id", col("n_chars"),
+        pairs, "id_a", "id_b")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+    // SimHash fingerprints over a pinned 8-doc input, golden-pinned as
+    // literal oracle VALUES (SQL cannot recompute xxhash64 bit-votes, but
+    // the pinned fingerprints catch any unintended algorithm drift; the
+    // 500-doc recall gate below covers corpus-level behavior)
+    "q_simhash" -> ((s, dir) =>
+      t(s, dir, "documents").filter(col("doc_id") < 8)
+        .select(col("doc_id"),
+          pipeline.Dedup.simhash64(col("text")).alias("sh"))
+        .orderBy("doc_id")),
+    // SimHash quality gate: ≥ 70% of the exact Jaccard ≥ 0.9 near-dup
+    // pairs must land within Hamming distance 7 of each other — pins the
+    // fingerprint's core promise (near-dup text ⇒ close simhash) to an
+    // oracle-checkable bound. Checked per exact pair (one fingerprint
+    // lookup join), not via the banded pairing pipeline, whose pigeonhole
+    // candidate blowup at H≤7 is bench-hostile; the pairing pipeline
+    // itself is spec-covered (PipelineSpec).
+    "q_simhash_recall" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val fp = docs.select(col("doc_id"), pipeline.Dedup.simhash64(col("text")).alias("sh"))
+      val exact = pipeline.Dedup.ngramJaccardPairs(docs, "text", "doc_id", k = 3, threshold = 0.9)
+        .select("id_a", "id_b")
+      exact
+        .join(fp.select(col("doc_id").alias("id_a"), col("sh").alias("sh_a")), "id_a")
+        .join(fp.select(col("doc_id").alias("id_b"), col("sh").alias("sh_b")), "id_b")
+        .agg((sum(when(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= 7, 1L)
+          .otherwise(0L)) >= count(lit(1)) * 0.7).alias("recall_ok"))
+    }),
+    // embedding near-dup pairs via multi-table hyperplane LSH + exact
+    // cosine ≥ 0.95. The raw corpus has no near-dups (max pairwise cosine
+    // ≈0.51), so 10 deterministic near-duplicate vectors are planted —
+    // identically on the oracle side — to exercise the LSH recall path.
+    "q_embed_dups" -> ((s, dir) =>
+      pipeline.Dedup.embeddingDupPairs(plantedEmbeddings(s, dir),
+        "embedding", "vec_id", threshold = 0.95)
+        .orderBy("id_a", "id_b")),
+    // semantic dedup (SemDeDup shape): cluster then exact-cosine pairs
+    // within cells, over the same planted near-dups as q_embed_dups. The
+    // oracle is the brute-force all-pairs join — parity holds because the
+    // planted ≥0.95-cosine pairs share an argmax cell (near-identical
+    // vectors split cells only when straddling a boundary; data-dependent,
+    // like q_incr's banded recall)
+    "q_semdedup" -> ((s, dir) =>
+      pipeline.Clustering.semanticDupPairs(plantedEmbeddings(s, dir),
+        "embedding", "vec_id", k = 8, threshold = 0.95)
+        .orderBy("id_a", "id_b")),
+    // SemDeDup recall gate: the within-cell pair search must recover
+    // ≥90% of the GLOBAL exact ≥0.95-cosine pairs on the planted corpus
+    // (at k=8) — quantifies and pins the cluster-split miss probability,
+    // so a k or init change can't silently degrade recall while
+    // q_semdedup stays green on whatever pairs it does find
+    "q_semdedup_recall" -> ((s, dir) => {
+      val emb = certGuard(plantedEmbeddings(s, dir), "q_semdedup_recall")
+      val sem = pipeline.Clustering.semanticDupPairs(emb, "embedding",
+        "vec_id", k = 8, threshold = 0.95).select("id_a", "id_b")
+      // exact baseline: brute-force all-pairs at the same threshold
+      val a = emb.select(col("vec_id").alias("id_a"),
+        col("embedding").alias("__va"))
+      val b = emb.select(col("vec_id").alias("id_b"),
+        col("embedding").alias("__vb"))
+      val exact = a.join(b, col("id_a") < col("id_b"))
+        .where(pipeline.Similarity.cosine(col("__va"), col("__vb")) >= 0.95)
+        .select("id_a", "id_b")
+      exact.join(sem.withColumn("__found", lit(1L)), Seq("id_a", "id_b"), "left")
+        .agg((count(lit(1)) > 0 &&
+          sum(coalesce(col("__found"), lit(0L))) >= count(lit(1)) * 0.9)
+          .alias("recall_ok"))
+    }),
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q_coverage" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(tk) < 2
+             THEN [array_to_string(tk, ' ')]
+             ELSE list_transform(generate_series(1, len(tk)-1),
+                    i -> array_to_string(tk[i:i+1], ' ')) END) AS s
+           FROM toks),
+         ev AS (SELECT DISTINCT unnest(s) AS g FROM sh
+                WHERE doc_id % 7 = 0),
+         tr AS (SELECT DISTINCT unnest(s) AS g FROM sh
+                WHERE doc_id % 7 <> 0),
+         ne AS (SELECT count(*) AS n_eval FROM ev),
+         nh AS (SELECT count(*) AS n_hit FROM ev
+                WHERE EXISTS (SELECT 1 FROM tr WHERE tr.g = ev.g))
+         SELECT ne.n_eval::BIGINT AS n_eval, nh.n_hit::BIGINT AS n_hit,
+           floor(nh.n_hit::DOUBLE /
+             greatest(ne.n_eval, 1) * 1e6 + 0.5) / 1e6 AS coverage
+         FROM ne, nh""",
+    "q_editdist" ->
+      """WITH r AS (SELECT s_suppkey AS id, s_name AS k,
+             row_number() OVER (ORDER BY s_name, s_suppkey) AS rank
+           FROM supplier),
+         c AS (SELECT a.id AS id_a, b.id AS id_b, a.k AS ka, b.k AS kb
+               FROM r a JOIN r b
+                 ON b.rank > a.rank AND b.rank - a.rank <= 4)
+         SELECT id_a, id_b, levenshtein(ka, kb)::INT AS edit_dist
+         FROM c WHERE levenshtein(ka, kb) <= 2 ORDER BY id_a, id_b""",
+    // rank-adjacency replays with one global row_number — fine for the
+    // oracle's DuckDB scale; the engine computes the same rank
+    // distributed (range partition + two-pass offsets)
+    "q_snm" ->
+      """WITH r AS (SELECT s_suppkey AS id, s_name AS k,
+             row_number() OVER (ORDER BY s_name, s_suppkey) AS rank
+           FROM supplier)
+         SELECT a.id AS id_a, b.id AS id_b,
+           (b.rank - a.rank)::BIGINT AS dist
+         FROM r a JOIN r b
+           ON b.rank > a.rank AND b.rank - a.rank <= 4
+         ORDER BY id_a, id_b""",
+    "q_fuzzy" ->
+      """WITH g AS (
+           SELECT s_suppkey AS id,
+             list_distinct(CASE WHEN len(lower(s_name)) < 3
+               THEN [lower(s_name)]
+               ELSE list_transform(
+                 generate_series(1, len(lower(s_name)) - 2),
+                 i -> substr(lower(s_name), i, 3)) END) AS gs
+           FROM supplier),
+         p AS (
+           SELECT a.id AS id_a, b.id AS id_b,
+             len(list_intersect(a.gs, b.gs))::DOUBLE /
+               (len(a.gs) + len(b.gs)
+                 - len(list_intersect(a.gs, b.gs))) AS j
+           FROM g a JOIN g b ON a.id < b.id)
+         SELECT id_a, id_b, floor(j * 1e6 + 0.5) / 1e6 AS jaccard
+         FROM p WHERE j >= 0.85 ORDER BY id_a, id_b""",
+    "q_entities" ->
+      """WITH RECURSIVE g AS (
+           SELECT s_suppkey AS id,
+             list_distinct(CASE WHEN len(lower(s_name)) < 3
+               THEN [lower(s_name)]
+               ELSE list_transform(
+                 generate_series(1, len(lower(s_name)) - 2),
+                 i -> substr(lower(s_name), i, 3)) END) AS gs
+           FROM supplier),
+         pairs AS (
+           SELECT a.id AS id_a, b.id AS id_b
+           FROM g a JOIN g b ON a.id < b.id
+           WHERE len(list_intersect(a.gs, b.gs))::DOUBLE /
+             (len(a.gs) + len(b.gs)
+               - len(list_intersect(a.gs, b.gs))) >= 0.85),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         cc AS (
+           SELECT DISTINCT src AS id, src AS comp FROM edges
+           UNION
+           SELECT e.dst AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.src),
+         m AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id)
+         SELECT comp AS entity_id, count(*)::BIGINT AS n_members
+         FROM m GROUP BY comp ORDER BY entity_id""",
+    "q_template_dedup" ->
+      """SELECT count(*)::BIGINT AS n_kept FROM (
+           SELECT row_number() OVER (
+               PARTITION BY trim(regexp_replace(
+                 regexp_replace(text, '[0-9]+', '0', 'g'),
+                 '\s+', ' ', 'g'))
+               ORDER BY doc_id) AS rn
+           FROM documents) WHERE rn = 1""",
+    "q_triangles" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(tk) < 2
+             THEN [array_to_string(tk, ' ')]
+             ELSE list_transform(generate_series(1, len(tk)-1),
+                    i -> array_to_string(tk[i:i+1], ' ')) END) AS s
+           FROM toks),
+         e AS (SELECT a.doc_id AS a, b.doc_id AS b
+               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+               WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                 >= 0.8),
+         wed AS (SELECT e1.a, e1.b AS m, e2.b AS c
+                 FROM e e1 JOIN e e2 ON e1.b = e2.a),
+         tri AS (SELECT count(*)::BIGINT AS n_triangles FROM wed
+                 WHERE EXISTS (SELECT 1 FROM e
+                               WHERE e.a = wed.a AND e.b = wed.c)),
+         deg AS (SELECT n, count(*)::BIGINT AS d FROM
+                   (SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+                 GROUP BY n),
+         st AS (SELECT count(*)::BIGINT AS n_nodes,
+                  (sum(d) / 2)::BIGINT AS n_edges,
+                  sum(d * (d - 1) / 2)::BIGINT AS n_triples FROM deg)
+         SELECT n_nodes, n_edges, n_triangles,
+           floor((CASE WHEN n_triples > 0
+                  THEN 3.0 * n_triangles / n_triples ELSE 0.0 END)
+                 * 1e6 + 0.5) / 1e6 AS transitivity
+         FROM st, tri""",
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keep_id
+         FROM documents GROUP BY md5(text) ORDER BY h""",
+    "q_dedup_tokenset" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(
+           string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS h,
+         count(*) AS cnt, min(doc_id) AS keep_id
+         FROM documents GROUP BY 1 ORDER BY h""",
+    "q_minhash_pairs" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(tk) < 3
+             THEN [array_to_string(tk, ' ')]
+             ELSE list_transform(generate_series(1, len(tk)-2),
+                    i -> array_to_string(tk[i:i+2], ' ')) END) AS s
+           FROM toks)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           floor((len(list_intersect(a.s, b.s))::DOUBLE /
+             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))) * 1e6 + 0.5) / 1e6 AS jaccard
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+           (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
+         ORDER BY id_a, id_b""",
+    "q_ngram_pairs" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(tk) < 2
+             THEN [array_to_string(tk, ' ')]
+             ELSE list_transform(generate_series(1, len(tk)-1),
+                    i -> array_to_string(tk[i:i+1], ' ')) END) AS s
+           FROM toks)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           floor((len(list_intersect(a.s, b.s))::DOUBLE /
+             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))) * 1e6 + 0.5) / 1e6 AS jaccard
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+           (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+         ORDER BY id_a, id_b""",
+    // tf-idf cosine replay: hashed terms, df-capped subspace, L2
+    // normalize, shared-term partial dot products
+    "q_tfidf_pairs" ->
+      """WITH d AS (SELECT doc_id,
+             string_split(lower(trim(text)), ' ') AS tk FROM documents),
+         tf AS (SELECT doc_id,
+                  ('0x' || substr(md5(t), 1, 15))::BIGINT AS h,
+                  count(*)::DOUBLE AS tf
+                FROM (SELECT doc_id, unnest(tk) AS t FROM d)
+                GROUP BY doc_id, h),
+         dfq AS (SELECT h, count(*)::BIGINT AS df FROM tf GROUP BY h
+                 HAVING count(*) <= 1000),
+         n AS (SELECT count(*)::DOUBLE AS n FROM d),
+         w AS (SELECT tf.doc_id, tf.h,
+                 tf.tf * ln(n.n / dfq.df::DOUBLE) AS w
+               FROM tf JOIN dfq ON tf.h = dfq.h, n),
+         nm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w
+                GROUP BY doc_id HAVING sqrt(sum(w * w)) > 0),
+         p AS (SELECT w.doc_id, w.h, w.w / nm.nrm AS wn
+               FROM w JOIN nm ON w.doc_id = nm.doc_id),
+         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  sum(a.wn * b.wn) AS c
+                FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+         SELECT id_a, id_b, floor(c * 1e6 + 0.5) / 1e6 AS cosine
+         FROM pr WHERE c >= 0.9 ORDER BY id_a, id_b""",
+    // removal = train minus the exact containment join's train side
+    "q_decon" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(tk) < 2
+             THEN [array_to_string(tk, ' ')]
+             ELSE list_transform(generate_series(1, len(tk)-1),
+                    i -> array_to_string(tk[i:i+1], ' ')) END) AS s
+           FROM toks),
+         bad AS (
+           SELECT DISTINCT a.doc_id
+           FROM sh b JOIN sh a ON b.doc_id % 7 = 0 AND a.doc_id % 7 <> 0
+           WHERE len(list_intersect(b.s, a.s))::DOUBLE / len(b.s) >= 0.8)
+         SELECT doc_id, lang, source FROM documents
+         WHERE doc_id % 7 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+         ORDER BY doc_id""",
+    "q_boilerplate" ->
+      """WITH aug AS (SELECT doc_id,
+             text || chr(10) || 'subscribe to our newsletter' || chr(10) ||
+             CASE WHEN doc_id % 5 = 0 THEN 'copyright footer 2026'
+                  ELSE 'tail ' || doc_id END || chr(10) ||
+             '  ' || chr(10) || 'back to top' AS txt
+           FROM documents),
+         l AS (SELECT doc_id, string_split(txt, chr(10)) AS ls FROM aug),
+         e AS (SELECT doc_id, unnest(list_filter(
+             list_transform(ls, x -> trim(x, ' ' || chr(9))),
+             x -> x <> '')) AS tl
+           FROM l),
+         bad AS (SELECT tl FROM e
+           GROUP BY tl HAVING count(DISTINCT doc_id) >= 3),
+         bl AS (SELECT coalesce(list(tl), []::VARCHAR[]) AS b FROM bad),
+         k AS (SELECT doc_id,
+             list_filter(ls, x -> trim(x, ' ' || chr(9)) = ''
+               OR NOT list_contains(b, trim(x, ' ' || chr(9)))) AS kept,
+             len(ls) AS n0
+           FROM l, bl)
+         SELECT doc_id, md5(array_to_string(kept, chr(10))) AS clean_fp,
+           len(kept)::BIGINT AS n_kept, (n0 - len(kept))::BIGINT AS n_dropped
+         FROM k ORDER BY doc_id""",
+    "q_contain" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(tk) < 2
+             THEN [array_to_string(tk, ' ')]
+             ELSE list_transform(generate_series(1, len(tk)-1),
+                    i -> array_to_string(tk[i:i+1], ' ')) END) AS s
+           FROM toks)
+         SELECT b.doc_id AS bench_id, a.doc_id AS train_id,
+           floor((len(list_intersect(b.s, a.s))::DOUBLE / len(b.s)) * 1e6 + 0.5) / 1e6
+             AS containment
+         FROM sh b JOIN sh a ON b.doc_id % 7 = 0 AND a.doc_id % 7 <> 0
+         WHERE len(list_intersect(b.s, a.s))::DOUBLE / len(b.s) >= 0.8
+         ORDER BY bench_id, train_id""",
+    // Bloom gating is exact-equivalent (no false negatives + exact
+    // verify), so the oracle is q_contain's brute-force containment
+    "q_contain_bloom" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(tk) < 2
+             THEN [array_to_string(tk, ' ')]
+             ELSE list_transform(generate_series(1, len(tk)-1),
+                    i -> array_to_string(tk[i:i+1], ' ')) END) AS s
+           FROM toks)
+         SELECT b.doc_id AS bench_id, a.doc_id AS train_id,
+           floor((len(list_intersect(b.s, a.s))::DOUBLE / len(b.s)) * 1e6 + 0.5) / 1e6
+             AS containment
+         FROM sh b JOIN sh a ON b.doc_id % 7 = 0 AND a.doc_id % 7 <> 0
+         WHERE len(list_intersect(b.s, a.s))::DOUBLE / len(b.s) >= 0.8
+         ORDER BY bench_id, train_id""",
+    "q_incr" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(tk) < 3
+             THEN [array_to_string(tk, ' ')]
+             ELSE list_transform(generate_series(1, len(tk)-2),
+                    i -> array_to_string(tk[i:i+2], ' ')) END) AS s
+           FROM toks)
+         SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
+           floor((len(list_intersect(n.s, c.s))::DOUBLE /
+             (len(n.s) + len(c.s) - len(list_intersect(n.s, c.s)))) * 1e6 + 0.5) / 1e6 AS jaccard
+         FROM sh n JOIN sh c ON n.doc_id % 11 = 0 AND c.doc_id % 11 <> 0
+         WHERE len(list_intersect(n.s, c.s))::DOUBLE /
+           (len(n.s) + len(c.s) - len(list_intersect(n.s, c.s))) >= 0.7
+         ORDER BY new_id, corpus_id""",
+    "q_spans" ->
+      """WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+             THEN text || ' legal notice all rights reserved unauthorized reproduction of this document is strictly prohibited'
+             ELSE text END AS txt FROM documents),
+         d AS (SELECT doc_id, string_split(lower(trim(txt)), ' ') AS tk FROM aug),
+         wi AS (SELECT doc_id, tk,
+                  unnest(generate_series(1, greatest(len(tk) - 7, 0)))::BIGINT AS i
+                FROM d),
+         w AS (SELECT doc_id, i - 1 AS pos,
+                 array_to_string(tk[i:i+7], ' ') AS win FROM wi),
+         dup AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+         dw AS (SELECT doc_id, pos FROM w JOIN dup USING (win)),
+         m AS (SELECT doc_id, pos,
+                 max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+               FROM dw),
+         g AS (SELECT doc_id, pos,
+                 sum(CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS island
+               FROM m)
+         SELECT doc_id, min(pos)::BIGINT AS span_start,
+                (max(pos) + 8)::BIGINT AS span_end
+         FROM g GROUP BY doc_id, island ORDER BY doc_id, span_start""",
+    "q_clean" ->
+      """WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+             THEN text || ' legal notice all rights reserved unauthorized reproduction of this document is strictly prohibited'
+             ELSE text END AS txt FROM documents),
+         d AS (SELECT doc_id, txt,
+                 string_split(lower(trim(txt)), ' ') AS tk FROM aug),
+         wi AS (SELECT doc_id, tk,
+                  unnest(generate_series(1, greatest(len(tk) - 7, 0)))::BIGINT AS i
+                FROM d),
+         w AS (SELECT doc_id, i - 1 AS pos,
+                 array_to_string(tk[i:i+7], ' ') AS win FROM wi),
+         dup AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+         dw AS (SELECT doc_id, pos FROM w JOIN dup USING (win)),
+         m AS (SELECT doc_id, pos,
+                 max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+               FROM dw),
+         g AS (SELECT doc_id, pos,
+                 sum(CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS island
+               FROM m),
+         sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+                FROM g GROUP BY doc_id, island),
+         tokpos AS (SELECT doc_id,
+                      unnest(string_split(trim(txt), ' ')) AS t,
+                      unnest(generate_series(1, len(string_split(trim(txt), ' '))))::BIGINT AS i
+                    FROM d),
+         kept AS (SELECT tp.doc_id, tp.i, tp.t FROM tokpos tp
+                  WHERE NOT EXISTS (SELECT 1 FROM sp
+                    WHERE sp.doc_id = tp.doc_id
+                      AND tp.i - 1 >= sp.s AND tp.i - 1 < sp.e)),
+         agg AS (SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS ct,
+                   count(*) AS n FROM kept GROUP BY doc_id)
+         SELECT d.doc_id, md5(coalesce(a.ct, '')) AS clean_fp,
+                coalesce(a.n, 0)::BIGINT AS n_kept
+         FROM d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""",
+    "q_dedup_by_source" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(tk) < 2
+             THEN [array_to_string(tk, ' ')]
+             ELSE list_transform(generate_series(1, len(tk)-1),
+                    i -> array_to_string(tk[i:i+1], ' ')) END) AS s
+           FROM toks),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         cc AS (
+           SELECT DISTINCT src AS id, src AS comp FROM edges
+           UNION
+           SELECT e.dst AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.src),
+         comp AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id),
+         j AS (SELECT d.source, d.doc_id, c.comp
+               FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+         g AS (SELECT source, count(*)::BIGINT AS n_docs,
+                 count(comp)::BIGINT AS n_clustered_docs,
+                 count(CASE WHEN comp IS NOT NULL AND doc_id <> comp
+                       THEN 1 END)::BIGINT AS near_dup_excess
+               FROM j GROUP BY source)
+         SELECT source, n_docs, n_clustered_docs, near_dup_excess,
+           floor((n_docs - near_dup_excess)::DOUBLE / n_docs * 1e6 + 0.5)
+             / 1e6 AS dedup_yield
+         FROM g ORDER BY source""",
+    "q_dedup_report" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(tk) < 2
+             THEN [array_to_string(tk, ' ')]
+             ELSE list_transform(generate_series(1, len(tk)-1),
+                    i -> array_to_string(tk[i:i+1], ' ')) END) AS s
+           FROM toks),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         cc AS (
+           SELECT DISTINCT src AS id, src AS comp FROM edges
+           UNION
+           SELECT e.dst AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.src),
+         comp AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id),
+         cs AS (SELECT count(DISTINCT comp)::BIGINT AS n_clusters,
+                  count(*)::BIGINT AS n_clustered_docs FROM comp),
+         tot AS (SELECT count(*)::BIGINT AS n_docs,
+                   count(DISTINCT md5(text))::BIGINT AS n_exact_unique
+                 FROM documents)
+         SELECT tot.n_docs, tot.n_exact_unique, cs.n_clusters,
+           cs.n_clustered_docs,
+           (cs.n_clustered_docs - cs.n_clusters)::BIGINT AS near_dup_excess,
+           floor((tot.n_docs - (cs.n_clustered_docs - cs.n_clusters))::DOUBLE
+             / tot.n_docs * 1e6 + 0.5) / 1e6 AS dedup_yield
+         FROM tot, cs""",
+    "q_cc_clusters" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(tk) < 2
+             THEN [array_to_string(tk, ' ')]
+             ELSE list_transform(generate_series(1, len(tk)-1),
+                    i -> array_to_string(tk[i:i+1], ' ')) END) AS s
+           FROM toks),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         cc AS (
+           SELECT DISTINCT src AS id, src AS comp FROM edges
+           UNION
+           SELECT e.dst AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.src)
+         SELECT id AS doc_id, min(comp) AS cluster_id FROM cc GROUP BY id
+         ORDER BY doc_id""",
+    "q_cc_dedup" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(tk) < 2
+             THEN [array_to_string(tk, ' ')]
+             ELSE list_transform(generate_series(1, len(tk)-1),
+                    i -> array_to_string(tk[i:i+1], ' ')) END) AS s
+           FROM toks),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         cc AS (
+           SELECT DISTINCT src AS id, src AS comp FROM edges
+           UNION
+           SELECT e.dst AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.src),
+         labels AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id)
+         SELECT d.doc_id, d.lang FROM documents d
+         LEFT JOIN labels l ON d.doc_id = l.id
+         WHERE l.comp IS NULL OR l.comp = d.doc_id
+         ORDER BY d.doc_id""",
+    "q_cc_best" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(tk) < 2
+             THEN [array_to_string(tk, ' ')]
+             ELSE list_transform(generate_series(1, len(tk)-1),
+                    i -> array_to_string(tk[i:i+1], ' ')) END) AS s
+           FROM toks),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         cc AS (
+           SELECT DISTINCT src AS id, src AS comp FROM edges
+           UNION
+           SELECT e.dst AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.src),
+         labels AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id),
+         sc AS (SELECT l.id, l.comp, d.n_chars FROM labels l
+           JOIN documents d ON d.doc_id = l.id),
+         win AS (SELECT comp, id AS keep_id FROM (
+             SELECT comp, id, row_number() OVER (PARTITION BY comp
+               ORDER BY n_chars DESC, id ASC) AS rn FROM sc)
+           WHERE rn = 1)
+         SELECT d.doc_id, d.n_chars FROM documents d
+         LEFT JOIN sc ON d.doc_id = sc.id
+         LEFT JOIN win ON sc.comp = win.comp
+         WHERE sc.id IS NULL OR win.keep_id = d.doc_id
+         ORDER BY d.doc_id""",
+    "q_simhash_recall" ->
+      """SELECT CAST(true AS BOOLEAN) AS recall_ok""",
+    "q_semdedup_recall" ->
+      """SELECT CAST(true AS BOOLEAN) AS recall_ok""",
+    // golden pins (sf0.01, the driver's verify scale): literal expected
+    // outputs — SQL cannot replay the hash-based sketches, but the pins
+    // catch unintended algorithm drift
+    "q_simhash" ->
+      """SELECT * FROM (VALUES
+           (0::BIGINT, 729992421034952720::BIGINT),
+           (1::BIGINT, -7304504080992268656::BIGINT),
+           (2::BIGINT, -8367341378140459888::BIGINT),
+           (3::BIGINT, -4944651685670516144::BIGINT),
+           (4::BIGINT, -1539895458413770096::BIGINT),
+           (5::BIGINT, 4224716737545808401::BIGINT),
+           (6::BIGINT, -346438379421459276::BIGINT),
+           (7::BIGINT, -4998655299308843503::BIGINT))
+         AS t(doc_id, sh) ORDER BY doc_id""",
+    // same brute-force all-pairs oracle as q_embed_dups: semantic dedup's
+    // cluster-bounded pair search must find exactly the global ≥0.95 pairs
+    "q_semdedup" ->
+      """WITH aug AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 10000 AS vec_id,
+             list_transform(embedding, x -> ((x::DOUBLE + 0.01)::FLOAT)) AS embedding
+           FROM embeddings WHERE vec_id < 10),
+         n AS (SELECT vec_id, embedding,
+           sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+             i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+           FROM aug)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           floor((list_sum(list_transform(generate_series(1, len(a.embedding)),
+             i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+             / (a.nrm * b.nrm)) * 1e6 + 0.5) / 1e6 AS cosine
+         FROM n a JOIN n b ON a.vec_id < b.vec_id
+         WHERE list_sum(list_transform(generate_series(1, len(a.embedding)),
+             i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+             / (a.nrm * b.nrm) >= 0.95
+         ORDER BY id_a, id_b""",
+    "q_embed_dups" ->
+      """WITH aug AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 10000 AS vec_id,
+             list_transform(embedding, x -> ((x::DOUBLE + 0.01)::FLOAT)) AS embedding
+           FROM embeddings WHERE vec_id < 10),
+         n AS (SELECT vec_id, embedding,
+           sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+             i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+           FROM aug)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           floor((list_sum(list_transform(generate_series(1, len(a.embedding)),
+             i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+             / (a.nrm * b.nrm)) * 1e6 + 0.5) / 1e6 AS cosine
+         FROM n a JOIN n b ON a.vec_id < b.vec_id
+         WHERE list_sum(list_transform(generate_series(1, len(a.embedding)),
+             i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+             / (a.nrm * b.nrm) >= 0.95
+         ORDER BY id_a, id_b""",
+  )
+}
