@@ -151,17 +151,16 @@ object CsvSource {
     val out = policy match {
       // comment-regex has no native reader support: route line-based
       // policies through the text-split path (the reference applies the
-      // regex per physical line before parsing, rbql_main.py:81). The split
-      // itself is the exact reference splitter (RfcSplit) as a UDF — a
-      // lookahead-regex split would mis-handle a stray quote inside an
-      // unquoted field and go quadratic on heavily-quoted lines; this path
-      // is comment-regex-only (parity surface), so the UDF is off any hot
-      // path.
+      // regex per physical line before parsing, rbql_main.py:81). The
+      // split is the exact reference splitter (RfcSplit) as a native
+      // codegen'd expression — a lookahead-regex split would mis-handle a
+      // stray quote inside an unquoted field and go quadratic on
+      // heavily-quoted lines.
       case "quoted" if commentRegex.isDefined =>
         val d = delim
-        val exactSplit = udf((line: String) => RfcSplit.splitQuoted(line, d))
         splitText(spark, path, encoding, commentPrefix, hasHeader,
-          line => exactSplit(line), commentRegex, stripWhitespaces)
+          line => org.apache.spark.sql.graft.csvtext.rfc_split(line, d),
+          commentRegex, stripWhitespaces)
       case "simple" if commentRegex.isDefined =>
         splitText(spark, path, encoding, commentPrefix, hasHeader,
           line => split(line, java.util.regex.Pattern.quote(delim), -1),
@@ -443,14 +442,11 @@ object CsvSource {
       case "monocolumn" => lit(1)
       case "whitespace" => size(split(trim(col("value")), "\\s+"))
       case "quoted" | "quoted_rfc" =>
-        // the exact reference splitter (RfcSplit) as a UDF: the former
-        // lookahead-regex split mis-counted a stray quote inside an
-        // unquoted field and went quadratic on heavily-quoted lines
-        // (round-3 verdict #1); this scan is the warnings/parity path,
-        // off any hot loop
-        val d = delim
-        val exactNf = udf((line: String) => RfcSplit.splitQuoted(line, d).length)
-        exactNf(col("value"))
+        // the exact reference splitter (RfcSplit) as a native codegen'd
+        // expression: the former lookahead-regex split mis-counted a
+        // stray quote inside an unquoted field and went quadratic on
+        // heavily-quoted lines (round-3 verdict #1)
+        size(org.apache.spark.sql.graft.csvtext.rfc_split(col("value"), delim))
       case _ => size(split(col("value"), java.util.regex.Pattern.quote(delim), -1))
     }
     // unbalanced (odd-count) double quotes on a line ⇒ defective escaping
