@@ -235,16 +235,29 @@ object Graphs {
     * (Σ d·(d−1)/2), one aggregate over the edge list. */
   def triangleStats(pairs: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
+    val spark = pairs.sparkSession
     val e = pairs.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .filter(col("a") < col("b")).distinct()
-    val wedges = e.select(col("a"), col("b").as("m"))
-      .join(e.select(col("a").as("m"), col("b").as("c")), "m")
-    val tri = wedges.join(
+    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // Skew probe — one 1-row aggregate over the degree table the census
+    // needs anyway: wedges through a middle vertex grow with d², so on a
+    // power-law dup graph ONE hub key can dominate the wedge exchange (a
+    // straggler task doing maxDeg² of the work). The probe compares the
+    // hub's wedge load against the average partition's and picks the salt
+    // factor that brings the hub back to ~average; the common non-skewed
+    // census pays nothing. Doubles on purpose: the probe is a planning
+    // heuristic, and Σd² on a 100 TB edge set overflows a long under
+    // ANSI.
+    val probeRow = deg.agg(
+      coalesce(max(col("d")), lit(0L)).cast("double"),
+      coalesce(sum(col("d") * col("d").cast("double")), lit(0.0))).head()
+    val p = spark.sessionState.conf.numShufflePartitions
+    val saltFactor = wedgeSalt(probeRow.getDouble(0), probeRow.getDouble(1), p)
+    val tri = wedgeJoin(e, saltFactor).join(
       e.select(col("a"), col("b").as("c")).hint("shuffle_hash"),
       Seq("a", "c"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
-    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("d"))
     val stats = deg.agg(
       count(lit(1)).as("n_nodes"),
       (sum(col("d")) / 2).cast("long").as("n_edges"),
@@ -255,5 +268,37 @@ object Graphs {
           when(col("n_triples") > 0,
             lit(3.0) * col("n_triangles") / col("n_triples"))
             .otherwise(lit(0.0)), 6).as("transitivity"))
+  }
+
+  /** Salt factor for the wedge self-join: 1 (plain hash join) unless the
+    * heaviest middle vertex alone produces more than 2× an average
+    * partition's wedge load (maxDeg² > 2·Σd²/p), in which case the hub
+    * scatters across ⌈maxDeg²·p/Σd²⌉ partitions (capped at p). */
+  private[graft] def wedgeSalt(maxDeg: Double, sumD2: Double, p: Int): Int =
+    if (sumD2 <= 0 || maxDeg * maxDeg <= 2.0 * sumD2 / p) 1
+    else math.min(p.toDouble, math.ceil(maxDeg * maxDeg * p / sumD2)).toInt
+
+  /** Ordered-wedge self-join e(a,m) ⋈ e(m,c): enumerates each a<m<c
+    * exactly once. `saltFactor` > 1 scatters hot middle vertices: the
+    * left side salts by a hash of the full (a,m) row — deterministic
+    * row-content salt, the same retry-safe discipline as
+    * [[Skew.saltedJoin]] (partition-id salts move rows under stage
+    * retry, the SPARK-23207 silent-duplication class); since `e` is
+    * distinct, every (a,m) row scatters independently — and the right
+    * side replicates ×saltFactor. Shuffle volume is ids-only either
+    * way. */
+  private[graft] def wedgeJoin(e: DataFrame, saltFactor: Int): DataFrame = {
+    val left = e.select(col("a"), col("b").as("m"))
+    val right = e.select(col("a").as("m2"), col("b").as("c"))
+    if (saltFactor <= 1)
+      left.join(right, col("m") === col("m2")).select(col("a"), col("c"))
+    else {
+      val sl = left.withColumn("__sl",
+        pmod(hash(col("a"), col("m")), lit(saltFactor)))
+      val sr = right.withColumn("__sr",
+        explode(sequence(lit(0), lit(saltFactor - 1))))
+      sl.join(sr, col("m") === col("m2") && col("__sl") === col("__sr"))
+        .select(col("a"), col("c"))
+    }
   }
 }

@@ -194,4 +194,50 @@ class GraphsSpec extends SparkSpec {
     val got = Graphs.triangleStats(path, "id_a", "id_b").collect().head
     assert(got.getLong(2) == 0L && got.getDouble(3) == 0.0)
   }
+
+  test("triangleStats: hub middle vertex salts the wedge join, no straggler") {
+    import spark.implicits._
+    // hub 1000 with 200 neighbors below and 200 above (degree 400, ~√n
+    // for the 40k-wedge graph): every one of the 200·200 wedges shares
+    // the single middle key m=1000 — the power-law shape where an
+    // unsalted wedge exchange does all the work in one task. Plus three
+    // closing edges among below-neighbors (3 triangles through the hub)
+    // and a 50-edge chain as non-skewed background.
+    val below = (0 until 200).map(i => (i.toLong * 5, 1000L))
+    val above = (0 until 200).map(i => (1000L, 1001L + i))
+    val chain = (2000 until 2050).map(i => (i.toLong, i + 1L))
+    val closing = Seq((0L, 5L), (10L, 15L), (20L, 25L))
+    val edges = (below ++ above ++ chain ++ closing).toDF("id_a", "id_b")
+    val p = spark.sessionState.conf.numShufflePartitions
+    // decision rule: a degree-400 hub over this edge set must salt to p
+    assert(Graphs.wedgeSalt(400.0, 161000.0, p) == p)
+    assert(Graphs.wedgeSalt(4.0, 161000.0, p) == 1, "no salt without a hub")
+    val e = edges.select(col("id_a").as("a"), col("id_b").as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val plain = Graphs.wedgeJoin(e, 1)
+    val salted = Graphs.wedgeJoin(e, p)
+    // same wedge multiset either way (closing edges add wedges via
+    // their endpoints' degree-2 middles)
+    assert(salted.count() == plain.count())
+    // the hub's wedges scatter: no output partition may hold a
+    // straggler share (unsalted, one partition holds ~all 40k). AQE's
+    // partition COALESCING is pinned off for the observation only — at
+    // this toy scale it folds the kilobyte-sized shuffle back into one
+    // partition, hiding exactly the key-level scatter under test (at
+    // real scale those partitions are gigabytes and stay separate).
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    spark.conf.set(coalesceKey, "false")
+    try {
+      val counts = Graphs.wedgeJoin(e, p).rdd
+        .mapPartitions(it => Iterator(it.size)).collect()
+      val total = counts.sum
+      assert(total > 40000, s"wedge volume sanity: $total")
+      assert(counts.max <= total / 2,
+        s"straggler partition: ${counts.toSeq.sorted.reverse.take(4)} of $total")
+    } finally spark.conf.set(coalesceKey, "true")
+    // census correctness through the salted path: exactly the 3 planted
+    // triangles close
+    val got = Graphs.triangleStats(edges, "id_a", "id_b").collect().head
+    assert(got.getLong(2) == 3L, "n_triangles")
+  }
 }
