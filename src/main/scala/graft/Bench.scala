@@ -119,21 +119,31 @@ object Bench {
     // GRAFT_BENCH_VERBOSE=1 prints every rep to stderr (regression triage)
     val only = sys.env.get("GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val verbose = sys.env.get("GRAFT_BENCH_VERBOSE").contains("1")
+    // GRAFT_BENCH_X10_ONLY=q_a,q_b: iteration path for the ×10 block —
+    // skips the 1× suite and runs only the named scale10x entries
+    val x10only = sys.env.get("GRAFT_BENCH_X10_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+      .filter(_ => x10only.isEmpty)
     val results = selected.map { case (name, fn) =>
       // one unmeasured warmup per query (JIT + page cache), then timed reps
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      val times = timedReps(reps, () => { fn(spark, sfDir).count(); () })
+      // result row count rides along from the last rep: output volume is
+      // the denominator every per-query ratio needs (a pair op whose time
+      // doubled because its OUTPUT doubled is not a regression)
+      var rows = -1L
+      val times = timedReps(reps, () => { rows = fn(spark, sfDir).count(); () })
       if (verbose) System.err.println(
         s"[bench] $name reps=${times.map(t => f"$t%.3f").mkString(",")}")
-      name -> medianOrErr(times)
+      (name, medianOrErr(times), rows)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val rowsOut = results.map { case (k, _, r) => "\"" + k + "\":" + r }
       .mkString("{", ",", "}")
     // errored queries (-1 marker) are excluded from the total and listed
     // explicitly — a time-to-fail must not masquerade as throughput
-    val errored = results.collect { case (k, v) if v < 0 => k }
+    val errored = results.collect { case (k, v, _) if v < 0 => k }
     val total = results.map(_._2).filter(_ >= 0).sum
     // Standing 10×-volume block (full runs only): the text operators
     // re-run against a materialized ×10 documents table so sublinearity
@@ -143,7 +153,7 @@ object Bench {
     // so pair volume scales ~linearly with the corpus — the ratio
     // measures sketch+join cost, not a planted-duplicate explosion.
     val scale10x = if (only.isEmpty) {
-      import org.apache.spark.sql.functions.{col, lit, max, translate}
+      import org.apache.spark.sql.functions.{col, lit, max, translate, upper, when}
       // queries re-run verbatim against the ×10 replicas (their 1×
       // medians are already in `results`)
       val scaleQs = Seq("q_top_ngrams", "q_bm25", "q_lm_score", "q_spans",
@@ -155,12 +165,22 @@ object Bench {
         // round-9 widening (cipher-perturbed replicas keep per-term df
         // flat, so tfidf postings scale linearly, not df²)
         "q_nb_quality", "q_tfidf_pairs", "q_keywords", "q_trigram",
-        "q_script", // documents replica
+        "q_script",
+        // round-10 widening: the suite's top cost centers — iterative /
+        // rank / graph shapes where a 100× scale-up dies first (r9
+        // verdict: these carried no scaling evidence at all). Replica
+        // text is cipher-perturbed, so the similarity graph's pair/edge
+        // volume stays ~linear and the ratios measure the operators.
+        "q_triangles", "q_cc_best", "q_cc_dedup", "q_safe_split",
+        "q_auc", "q_lr_step", "q_search_idx", // documents replica
         "q_interval", "q_overlap", "q_rolling", "q_session_window",
         "q_merge_intervals", "q_paths", "q_anomaly",
         "q_changepoint",
         "q_markov", "q_ewma", "q_dau", "q_trend", // events replica
-        "q_knn_join", "q_sq8_topk", "q_hardneg") // embeddings replica
+        "q_knn_join", "q_sq8_topk", "q_hardneg", // embeddings replica
+        "q_skyline", // lineitem replica
+        "q_skyline3") // part replica
+        .filter(n => x10only.forall(_.contains(n)))
       /** ×10 a table by disjoint-id replication: each replica offsets the
         * id columns by max(id)+1 — NOT the row count; ids are only
         * disjoint across replicas if the stride clears the real max.
@@ -211,11 +231,34 @@ object Bench {
         // of widening — q_overlap's input row count really grows ×10
         replicate10("events", x10path, Seq("event_id", "user_id"))
         replicate10("embeddings", x10path, Seq("vec_id"))
+        replicate10("lineitem", x10path, Seq("l_orderkey"))
+        replicate10("part", x10path, Seq("p_partkey"))
         val qRows = scaleQs.map { name =>
           val fn = SparkEntry.queries(name)
-          name -> timed(name, () => { fn(spark, x10path.toString).count(); () })
+          // output row count rides along from the final rep — for the
+          // pair/edge-producing entries a ×10 time ratio is only
+          // readable next to the ×10 output ratio (r9 verdict: the 8.36×
+          // q_minhash_pairs number needed exactly this denominator)
+          var rows10 = -1L
+          val t = timed(name,
+            () => { rows10 = fn(spark, x10path.toString).count(); () })
+          (name, t, rows10)
         }
-        // ops without a 1×-bench twin in `results`: time BOTH sides here.
+        // ops whose contract-query shape doesn't scale meaningfully (or
+        // that have no 1×-bench twin in `results`): time BOTH sides here.
+        // full-corpus snapshot diff: q_snapshot_diff's contract query
+        // pins a < 400-id slice (correctness fixture, doesn't grow with
+        // the replica), so its scaling twin diffs the WHOLE ×10 corpus
+        // against a perturbed copy of itself — the real nightly shape
+        def snapdiff(dir: String): Long = {
+          val d = spark.read.parquet(s"$dir/documents.parquet")
+          val a = d.select("doc_id", "text")
+          val b = d.select(col("doc_id"),
+            when(col("doc_id") % 7 === 0, upper(col("text")))
+              .otherwise(col("text")).alias("text"))
+          pipeline.Dedup.snapshotDiffSummary(a, b, "doc_id", Seq("text"))
+            .count()
+        }
         // z-order write: the one-range-exchange layout claim, measured on
         // the replicated events table (curve = user_id × time)
         def zwrite(dir: String): Unit = {
@@ -230,20 +273,26 @@ object Bench {
         // state), both corpora pre-encoded OUTSIDE the timer — the timed
         // op is the search itself (probe filter + ADC scan + re-rank),
         // the per-query cost that must stay sublinear at 100 TB
-        val emb1x = spark.read.parquet(s"$sfDir/embeddings.parquet")
-        val coarse = pipeline.Clustering.fitKMeans(
-          emb1x, "embedding", "vec_id", k = 8, maxIter = 4)
-        val pqm = pipeline.Clustering.fitPQ(
-          emb1x, "embedding", "vec_id", m = 16, k = 16, maxIter = 4)
-        val qv = emb1x.filter(col("vec_id") === 0)
-          .select("embedding").head().getSeq[Float](0)
-        pipeline.Clustering.buildIvfPq(emb1x, "embedding", coarse, pqm)
-          .write.mode("overwrite").parquet(s"$x10path/codes_1x.parquet")
-        pipeline.Clustering.buildIvfPq(
-            spark.read.parquet(s"$x10path/embeddings.parquet"),
-            "embedding", coarse, pqm)
-          .write.mode("overwrite").parquet(s"$x10path/codes_10x.parquet")
+        // lazy: fit + encode only run if the ivfpq_search entry is
+        // actually selected (GRAFT_BENCH_X10_ONLY iteration runs skip it)
+        lazy val ivfModels = {
+          val emb1x = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          val coarse = pipeline.Clustering.fitKMeans(
+            emb1x, "embedding", "vec_id", k = 8, maxIter = 4)
+          val pqm = pipeline.Clustering.fitPQ(
+            emb1x, "embedding", "vec_id", m = 16, k = 16, maxIter = 4)
+          val qv = emb1x.filter(col("vec_id") === 0)
+            .select("embedding").head().getSeq[Float](0)
+          pipeline.Clustering.buildIvfPq(emb1x, "embedding", coarse, pqm)
+            .write.mode("overwrite").parquet(s"$x10path/codes_1x.parquet")
+          pipeline.Clustering.buildIvfPq(
+              spark.read.parquet(s"$x10path/embeddings.parquet"),
+              "embedding", coarse, pqm)
+            .write.mode("overwrite").parquet(s"$x10path/codes_10x.parquet")
+          (coarse, pqm, qv)
+        }
         def search(codes: String): Unit = {
+          val (coarse, pqm, qv) = ivfModels
           pipeline.Clustering.ivfPqTopK(
             spark.read.parquet(s"$x10path/$codes"), "embedding", "vec_id",
             coarse, pqm, qv, k = 10, nProbe = 4, shortlist = 100).count()
@@ -256,38 +305,47 @@ object Bench {
         // carry identical text every true pair appears replica² times —
         // a 100× OUTPUT blowup that swamps the ratio (measured 20×)
         // without saying anything about the operator's scan cost.
-        def containBloom(trainDir: String): Unit = {
+        def containBloom(trainDir: String): Long = {
           val tr = spark.read.parquet(s"$trainDir/documents.parquet")
             .filter(col("doc_id") % 7 =!= 0)
           val be = spark.read.parquet(s"$sfDir/documents.parquet")
             .filter(col("doc_id") % 7 === 0)
           pipeline.Dedup.crossContainmentBloom(tr, be, "text", "doc_id",
             k = 2, threshold = 0.8).count()
-          ()
         }
-        val ownRows = Seq[(String, () => Unit, () => Unit)](
-          ("zorder_write_events", () => zwrite(sfDir), () => zwrite(x10path.toString)),
-          ("ivfpq_search", () => search("codes_1x.parquet"), () => search("codes_10x.parquet")),
+        val ownRows = Seq[(String, () => Long, () => Long)](
+          ("snapshot_diff_full",
+            () => snapdiff(sfDir), () => snapdiff(x10path.toString)),
+          ("zorder_write_events",
+            () => { zwrite(sfDir); -1L },
+            () => { zwrite(x10path.toString); -1L }),
+          ("ivfpq_search",
+            () => { search("codes_1x.parquet"); -1L },
+            () => { search("codes_10x.parquet"); -1L }),
           ("contain_bloom_fixed_bench",
             () => containBloom(sfDir), () => containBloom(x10path.toString))
-        ).map { case (name, run1, run10) =>
-          val t1 = timed(s"$name(1x)", run1)
-          val t10 = timed(name, run10)
-          (name, t10, if (t1 > 0 && t10 > 0) t10 / t1 else -1.0)
+        ).filter { case (name, _, _) => x10only.forall(_.contains(name)) }
+          .map { case (name, run1, run10) =>
+          var r10 = -1L
+          val t1 = timed(s"$name(1x)", () => { run1(); () })
+          val t10 = timed(name, () => { r10 = run10(); () })
+          (name, t10, if (t1 > 0 && t10 > 0) t10 / t1 else -1.0, r10)
         }
-        (n, (qRows.map { case (k, v) => (k, v, -2.0) } ++ ownRows))
+        (n, (qRows.map { case (k, v, r) => (k, v, -2.0, r) } ++ ownRows))
       } finally deleteRecursively(x10path)
-      val base1x = results.toMap
-      val sq = rows.map { case (k, v, _) => "\"" + k + "\":" + v }
+      val base1x = results.map { case (k, v, _) => k -> v }.toMap
+      val sq = rows.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val srows = rows.map { case (k, _, _, r) => "\"" + k + "\":" + r }
         .mkString("{", ",", "}")
       // ratio is an error marker unless BOTH sides timed cleanly; -2.0
       // sentinel = "1× median lives in the main results map"
-      val ratios = rows.map { case (k, v, own) =>
+      val ratios = rows.map { case (k, v, own, _) =>
         "\"" + k + "\":" + (if (v < 0) -1.0
           else if (own != -2.0) own
           else base1x.get(k).filter(_ > 0).map(b => v / b).getOrElse(-1.0))
       }.mkString("{", ",", "}")
-      s""","scale10x":{"rows":$n,"queries":$sq,"ratio_vs_1x":$ratios}"""
+      s""","scale10x":{"rows":$n,"queries":$sq,"rows_out":$srows,"ratio_vs_1x":$ratios}"""
     } else ""
     // ANN probe/recall frontier (full runs only): recall@10 and median
     // latency of the k-means IVF search as nProbe sweeps 1→8 — the
@@ -295,7 +353,7 @@ object Bench {
     // asserted from the plan. Model fit, index build and the brute-force
     // ground truth sit OUTSIDE the timers: index construction amortizes
     // across queries in production; the timed op is the per-query search.
-    val annFrontier = if (only.isEmpty) {
+    val annFrontier = if (only.isEmpty && x10only.isEmpty) {
       import org.apache.spark.sql.functions.col
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val model = pipeline.Clustering.fitKMeans(
@@ -353,21 +411,52 @@ object Bench {
     val loadFactor =
       if (prevLoad > 0) (((loadBefore + loadAfter) / 2) / prevLoad).max(1.0)
       else 1.0
-    val moved = results.flatMap { case (k, v) =>
+    val moved = results.flatMap { case (k, v, _) =>
       prev.get(k).collect { case p if p > 0 && v > 0 && {
         val r = v / p / loadFactor; r > 2.0 || r < 0.5
-      } => k -> v / p / loadFactor }
+      } => (k, v, v / p / loadFactor) }
     }
     if (moved.nonEmpty) System.err.println(
       s"[bench] WARNING: ${moved.size} queries moved >2x vs baseline " +
       s"$basePath at load_factor $loadFactor " +
       "(loaded machine? real regression?): " +
-      moved.map { case (k, r) => f"$k x$r%.2f" }.mkString(", "))
-    val movedJson = moved.map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }
+      moved.map { case (k, _, r) => f"$k x$r%.2f" }.mkString(", "))
+    val movedJson = moved.map { case (k, _, r) => "\"" + k + "\":" + f"$r%.2f" }
       .mkString(""","deltas_gt_2x":{""", ",", "}")
+    // Self-ADJUDICATION of every flag (round-9 verdict: a >2× number
+    // alone cannot tell a real plan regression from suite-context decay
+    // — GC / block-manager state accumulated over ~190 queries — and
+    // settling that took driver-side archaeology). Each flagged query
+    // re-runs HERE, post-suite, after dropping cached plan state: if its
+    // isolated median is back inside the guard band the artifact itself
+    // proves the flag was suite-context noise; if it reproduces, it is a
+    // real regression and says so. Speed-up flags (<0.5×) adjudicate the
+    // same way — "reproduced" there means the committed baseline is
+    // stale, not that the code regressed.
+    val adjudication = if (moved.isEmpty) "" else {
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
+      val entries = moved.map { case (k, suiteSec, suiteRatio) =>
+        val fn = SparkEntry.queries(k)
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        val iso = medianOrErr(
+          timedReps(reps, () => { fn(spark, sfDir).count(); () }))
+        val isoRatio = prev.get(k).filter(_ > 0)
+          .map(p => iso / p / loadFactor).getOrElse(-1.0)
+        val verdict =
+          if (isoRatio < 0) "no_baseline"
+          else if (isoRatio <= 2.0 && isoRatio >= 0.5) "suite_context_noise"
+          else "reproduced"
+        System.err.println(f"[bench] adjudicate $k: suite=$suiteSec%.3fs " +
+          f"(x$suiteRatio%.2f) isolated=$iso%.3fs (x$isoRatio%.2f) -> $verdict")
+        "\"" + k + "\":" + f"""{"suite_sec":$suiteSec%.3f,"suite_ratio":$suiteRatio%.2f,""" +
+          f""""isolated_sec":$iso%.3f,"isolated_ratio":$isoRatio%.2f,"verdict":"$verdict"}"""
+      }
+      entries.mkString(""","adjudication":{""", ",", "}")
+    }
     val loadJson = f""","load_ref":{"before":$loadBefore%.3f,"after":$loadAfter%.3f},"load_factor":$loadFactor%.2f"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps$loadJson$errJson$movedJson$scale10x$annFrontier}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows_out":$rowsOut,"sf":"$sfDir","reps":$reps$loadJson$errJson$movedJson$adjudication$scale10x$annFrontier}"""
     println(line)
     // the committed artifact must be self-contained: stdout capture can
     // truncate (BENCH_r06 lost its tail) — always also write the full
