@@ -103,8 +103,16 @@ object Graphs {
     // the signature aggregate is also the action that materializes the
     // (lazy) checkpoint blocks — one job per round, not two
     var sig: (Long, BigDecimal) = signature(edges)
-    if (sig._1 > 0L && sig._1 <= localThreshold)
-      return localComponents(edges)
+    if (sig._1 > 0L && sig._1 <= localThreshold) {
+      // localComponents collects the edges eagerly, so the truncated
+      // edge set's storage (blocks / durable files) is dead the moment
+      // it returns — release it, or every fast-path call leaks its
+      // checkpointed edge set for the session's lifetime (the round-9
+      // skyline-decay class)
+      val out = localComponents(edges)
+      Checkpoints.release(edges, checkpointDir)
+      return out
+    }
     var converged = sig._1 == 0L
     var round = 0
     while (!converged && round < maxRounds) {

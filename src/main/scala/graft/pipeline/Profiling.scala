@@ -792,73 +792,87 @@ object Profiling {
     * (`d` 6dp, `n_a`, `n_b`).
     *
     * Scale shape (the skyline prefix pattern): per-value side counts
-    * collapse to the DISTINCT value set, which range-partitions on the
-    * value; pass 1 collects one (partition, Σa, Σb) row per partition
-    * (bounded by the partition count, never the data), its exclusive
-    * prefix seeds each partition's running CDFs via broadcast; pass 2
-    * streams each partition once tracking the local max gap. No global
-    * window, no single-partition cumsum bottleneck — both passes are
-    * partition-parallel. */
+    * collapse to the DISTINCT value set, bucketed by approxQuantile
+    * split points collected once on the driver (deterministic literals —
+    * the passes agree without pinned lineage); per-bucket totals reduce
+    * through one partial-aggregated exchange (≤ #buckets rows, a bounded
+    * driver collect), their exclusive prefix seeds each bucket's running
+    * CDFs via broadcast, and one hash exchange + per-bucket sorted scan
+    * tracks the max gap. No global window, no single-partition cumsum
+    * bottleneck — every stage is partition-parallel. */
   def ksStatistic(df: DataFrame, valueCol: String, sideCol: String,
       sideA: String, sideB: String): DataFrame = {
     val spark = df.sparkSession
-    val counts = df
+    val vals = df
       .filter(col(sideCol).isin(sideA, sideB) && col(valueCol).isNotNull)
       .select(col(valueCol).cast("double").alias("v"),
         (col(sideCol) === sideA).alias("ia"))
       .where(!isnan(col("v")))
-      .groupBy(col("v"))
+    // deterministic v-range boundaries collected ONCE: the totals
+    // aggregate and the gap pass bucket rows by the same literal splits,
+    // so both see identical ranges by construction. (The previous
+    // formulation pinned a lazy localCheckpoint between the passes;
+    // those blocks stayed in the block manager for the caller's
+    // lifetime — the same leak class as the round-9 skyline decay.)
+    val p = spark.sessionState.conf.numShufflePartitions
+    val splits = vals.stat.approxQuantile(
+      "v", (1 until p).map(_.toDouble / p).toArray, 0.01).distinct.sorted
+    val bucket =
+      if (splits.isEmpty) lit(0)
+      else org.apache.spark.sql.graft.sketch.bucket_index(
+        col("v"), splits.toIndexedSeq)
+    val counts = vals.withColumn("pid", bucket)
+      .groupBy(col("pid"), col("v"))
       .agg(sum(when(col("ia"), 1L).otherwise(0L)).alias("na"),
         sum(when(!col("ia"), 1L).otherwise(0L)).alias("nb"))
-      .repartitionByRange(col("v"))
-      .sortWithinPartitions(col("v"))
-      // lazy checkpoint: pass 1 materializes it, so pass 2 sees the
-      // identical range boundaries without a second sampling job
-      .localCheckpoint(eager = false)
-    import org.apache.spark.sql.Encoders
-    val triple = Encoders.tuple(Encoders.scalaInt,
-      Encoders.scalaLong, Encoders.scalaLong)
-    val partTotals = counts.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var (sa, sb) = (0L, 0L)
-      var any = false
-      while (it.hasNext) {
-        val r = it.next(); any = true
-        sa += r.getLong(1); sb += r.getLong(2)
-      }
-      if (any) Iterator((pid, sa, sb)) else Iterator.empty
-    }(triple).collect()
+    // per-bucket side totals: partial-aggregated exchange, ≤ #buckets
+    // rows survive — a bounded driver collect
+    val partTotals = counts.groupBy(col("pid"))
+      .agg(sum(col("na")).alias("sa"), sum(col("nb")).alias("sb"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     val ta = partTotals.map(_._2).sum
     val tb = partTotals.map(_._3).sum
     require(ta > 0 && tb > 0,
       s"both slices need rows: |$sideA|=$ta |$sideB|=$tb")
-    val maxPid = if (partTotals.isEmpty) -1 else partTotals.map(_._1).max
-    val offA = new Array[Long](maxPid + 2)
-    val offB = new Array[Long](maxPid + 2)
+    // exclusive prefix sums over bucket index seed each bucket's CDFs
+    val nb = splits.length + 1
+    val offA = new Array[Long](nb)
+    val offB = new Array[Long](nb)
+    val byPid = partTotals.map(t => t._1 -> t).toMap
     var (accA, accB) = (0L, 0L)
-    for (pid <- 0 to maxPid) {
+    for (pid <- 0 until nb) {
       offA(pid) = accA; offB(pid) = accB
-      partTotals.find(_._1 == pid).foreach { t =>
-        accA += t._2; accB += t._3
-      }
+      byPid.get(pid).foreach { t => accA += t._2; accB += t._3 }
     }
     val bOff = spark.sparkContext.broadcast((offA, offB))
+    import org.apache.spark.sql.Encoders
     val dEnc = Encoders.scalaDouble
-    val partMax = counts.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      val (oa, ob) = bOff.value
-      var ca = if (pid < oa.length) oa(pid) else 0L
-      var cb = if (pid < ob.length) ob(pid) else 0L
-      var best = 0.0
-      var any = false
-      while (it.hasNext) {
-        val r = it.next(); any = true
-        ca += r.getLong(1); cb += r.getLong(2)
-        val gap = math.abs(ca.toDouble / ta - cb.toDouble / tb)
-        if (gap > best) best = gap
-      }
-      if (any) Iterator(best) else Iterator.empty
-    }(dEnc)
+    // one hash exchange on the bucket id; (pid, v) sort means each
+    // bucket streams in value order with its running CDFs seeded from
+    // the prefix offsets (pid-change reset — several buckets may hash
+    // into one partition)
+    val partMax = counts.repartition(p, col("pid"))
+      .sortWithinPartitions(col("pid"), col("v"))
+      .mapPartitions { it =>
+        val (oa, ob) = bOff.value
+        var cur = -1
+        var (ca, cb) = (0L, 0L)
+        var best = 0.0
+        var any = false
+        while (it.hasNext) {
+          val r = it.next(); any = true
+          val pid = r.getInt(0)
+          if (pid != cur) {
+            cur = pid
+            ca = if (pid < oa.length) oa(pid) else 0L
+            cb = if (pid < ob.length) ob(pid) else 0L
+          }
+          ca += r.getLong(2); cb += r.getLong(3)
+          val gap = math.abs(ca.toDouble / ta - cb.toDouble / tb)
+          if (gap > best) best = gap
+        }
+        if (any) Iterator(best) else Iterator.empty
+      }(dEnc)
     partMax.toDF("__d")
       .agg(Rounding.halfUp(max(col("__d")), 6).alias("d"),
         lit(ta).alias("n_a"), lit(tb).alias("n_b"))

@@ -159,14 +159,12 @@ object Skyline {
     // points, so the passes agree by construction — no pinned lineage
     val splits = pts.stat.approxQuantile(
       "x", (1 until p).map(_.toDouble / p).toArray, 0.01).distinct.sorted
-    // CASE-chain bucket index (codegen'd; a higher-order array filter
-    // would fall out of whole-stage codegen): count of splits < x
-    def bucket(c: Column): Column =
+    // bucket = count of splits strictly below x (native binary-search
+    // expression, codegen'd) — monotone in x, so bucket order IS x order
+    val withPid = pts.withColumn("pid",
       if (splits.isEmpty) lit(0)
-      else splits.indices.tail.foldLeft(when(c <= splits(0), 0)) {
-        (w, i) => w.when(c <= splits(i), i)
-      }.otherwise(splits.length)
-    val withPid = pts.withColumn("pid", bucket(col("x")))
+      else org.apache.spark.sql.graft.sketch.bucket_index(
+        col("x"), splits.toIndexedSeq))
     // per-bucket max y: partial-aggregated exchange, ≤ #buckets rows
     // survive the shuffle — a bounded driver collect
     val partMax = withPid.groupBy("pid").agg(max("y").as("my"))
