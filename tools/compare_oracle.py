@@ -6,6 +6,7 @@ value hash against the Spark result parquet. Validation tooling only —
 NOT part of the library (the engine itself is pure Scala/Spark).
 
 Usage: python3 tools/compare_oracle.py <sfDir> <verifyOutDir> [query ...]
+       [--json <artifact.json>]  # also write a CORRECTNESS-style artifact
 """
 import sys, json, glob, hashlib
 import duckdb
@@ -28,14 +29,21 @@ def canon(df: pd.DataFrame) -> str:
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir, out_dir = args[0], args[1]
+    only = set(args[2:])
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     n_pass = n_fail = 0
+    report = {}
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
@@ -43,6 +51,8 @@ def main():
         if not files:
             print(f"MISSING  {name}")
             n_fail += 1
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "err": "missing spark output"}
             continue
         got = pd.concat([pd.read_parquet(f) for f in sorted(files)])
         try:
@@ -50,10 +60,15 @@ def main():
         except Exception as e:
             print(f"ORACLE_ERR {name}: {e}")
             n_fail += 1
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "err": str(e)[:200]}
             continue
         ok_rows = len(got) == len(want)
         ok_cols = sorted(got.columns) == sorted(want.columns)
         ok_hash = ok_rows and ok_cols and canon(got) == canon(want)
+        report[name] = {"rows_match": ok_rows, "schema_match": ok_cols,
+                        "hash_match": ok_hash, "spark_rows": len(got),
+                        "oracle_rows": len(want), "err": None}
         if ok_rows and ok_cols and ok_hash:
             n_pass += 1
         else:
@@ -66,6 +81,10 @@ def main():
                 print("  got:", m.to_dict("records"))
                 print("  want:", w.to_dict("records"))
     print(f"== {n_pass} pass / {n_fail} fail")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+                       "queries": report}, f, indent=1)
 
 
 if __name__ == "__main__":
