@@ -47,18 +47,28 @@ private[pipeline] object Checkpoints {
     * call once the successor round is fully materialized (the durable
     * path is eager, so the successor never re-reads these files). File
     * deletion is best-effort — a failed delete costs disk, not
-    * correctness. */
-  def release(df: DataFrame, dir: Option[String]): Unit = {
-    df.unpersist(blocking = false)
-    if (dir.isDefined) df.queryExecution.analyzed match {
+    * correctness.
+    *
+    * The unpersist must target the RDD UNDER the checkpointed Dataset's
+    * `LogicalRDD`, not the Dataset: `Dataset.unpersist` routes through
+    * `CacheManager.uncacheQuery`, which only drops `.cache()`d plan
+    * entries — on a checkpointed Dataset it is a silent no-op and the
+    * localCheckpoint blocks stay registered for the session's lifetime
+    * (they only vanish when the ContextCleaner's GC-driven weak-ref pass
+    * happens to run, which a large-heap driver may not do for hours —
+    * the round-9 bench-decay class in its original form).
+    * `RDD.unpersist` removes the `persistentRdds` registration
+    * synchronously; block deletion is async under `blocking = false`. */
+  def release(df: DataFrame, dir: Option[String]): Unit =
+    df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.getCheckpointFile.foreach { f =>
+        lr.rdd.unpersist(blocking = false)
+        if (dir.isDefined) lr.rdd.getCheckpointFile.foreach { f =>
           val conf = df.sparkSession.sparkContext.hadoopConfiguration
           val p = new org.apache.hadoop.fs.Path(f)
           try p.getFileSystem(conf).delete(p, true)
           catch { case _: java.io.IOException => () }
         }
-      case _ => ()
+      case _ => df.unpersist(blocking = false)
     }
-  }
 }
