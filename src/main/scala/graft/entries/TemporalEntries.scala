@@ -340,23 +340,38 @@ private[graft] object TemporalEntries {
            floor(quantile_cont(lat, 0.9) * 1e6 + 0.5) / 1e6 AS p90,
            floor(quantile_cont(lat, 0.99) * 1e6 + 0.5) / 1e6 AS p99
          FROM l""",
+    // exact integer moment sums in HUGEINT (mirrors the Spark side's
+    // DECIMAL(38,0) — see Temporal.trendSlopes: streaming covar_pop
+    // moments are merge-order-dependent in their last ulps and flip
+    // 6-dp rounding boundaries across engines at scale); intercept is
+    // rounded in integer arithmetic ((2a+b)//(2b), truncation toward
+    // zero in both engines) before any conversion to double
     "q_trend" ->
       """WITH t AS (SELECT user_id,
-             epoch_ns(ts)::DOUBLE / 86400000000000 AS x, value AS y
+             CAST(floor(CAST(epoch_ns(ts) AS DOUBLE) / 1000000000)
+               AS HUGEINT) AS xs,
+             CAST(floor(value * 1000000 + 0.5) AS HUGEINT) AS y6
            FROM events),
-         a AS (SELECT user_id, count(*)::BIGINT AS n, covar_pop(x, y) AS cov,
-                 var_pop(x) AS vx, var_pop(y) AS vy, avg(y) AS my,
-                 avg(x) AS mx
-               FROM t GROUP BY user_id)
-         SELECT user_id, n,
-           CASE WHEN vx > 0
-             THEN floor(cov / vx * 1e6 + 0.5) / 1e6 END AS slope,
-           CASE WHEN vx > 0
-             THEN floor((my - cov / vx * mx) * 1e6 + 0.5) / 1e6
+         a AS (SELECT user_id, count(*)::HUGEINT AS n,
+                 sum(xs) AS sx, sum(y6) AS sy, sum(xs*xs) AS sxx,
+                 sum(xs*y6) AS sxy, sum(y6*y6) AS syy
+               FROM t GROUP BY user_id),
+         d AS (SELECT user_id, n, n*sxy - sx*sy AS covn,
+                 n*sxx - sx*sx AS vxn, n*syy - sy*sy AS vyn,
+                 sy*sxx - sx*sxy AS intn
+               FROM a)
+         SELECT user_id, n::BIGINT AS n,
+           CASE WHEN vxn > 0 THEN
+             floor(CAST(covn AS DOUBLE) / CAST(vxn AS DOUBLE)
+               * 86400.0 / 1000000.0 * 1e6 + 0.5) / 1e6 END AS slope,
+           CASE WHEN vxn > 0 THEN
+             CAST((2 * intn + vxn) // (2 * vxn) AS DOUBLE) / 1000000.0
            END AS intercept,
-           CASE WHEN vx > 0 AND vy > 0
-             THEN floor(cov * cov / (vx * vy) * 1e6 + 0.5) / 1e6 END AS r2
-         FROM a ORDER BY user_id""",
+           CASE WHEN vxn > 0 AND vyn > 0 THEN
+             floor(CAST(covn AS DOUBLE) * CAST(covn AS DOUBLE)
+               / (CAST(vxn AS DOUBLE) * CAST(vyn AS DOUBLE))
+               * 1e6 + 0.5) / 1e6 END AS r2
+         FROM d ORDER BY user_id""",
     "q_dau" ->
       """WITH du AS (SELECT DISTINCT
              floor(epoch_ns(ts) / 86400000000000)::BIGINT AS day, user_id

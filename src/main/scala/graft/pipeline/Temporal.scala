@@ -475,41 +475,77 @@ object Temporal {
         Rounding.halfUp(stddev_pop(col(valueCol)), 6).as("sd"))
   }
 
-  /** Per-key OLS trend: regress `valueCol` on time (in DAYS — epoch
-    * nanos overflow the stable range of x² sums and make slopes
-    * unreadably tiny) with the one-pass moment aggregates
-    * (`covar_pop`/`var_pop`/`corr` — numerically stable streaming
-    * moments, present with matching definitions in any SQL engine):
+  /** Per-key OLS trend: regress `valueCol` on time with EXACT integer
+    * moment sums — time quantized to whole epoch-seconds, value to 1e-6
+    * units, every sum and cancellation (n·Σxy − Σx·Σy) carried in
+    * DECIMAL(38,0):
     *
     *   slope = cov(x,y)/var(x),  intercept = ȳ − slope·x̄,  r² = corr²
+    *
+    * Exact sums, not streaming `covar_pop`/`var_pop` moments, because
+    * the streaming accumulators are merge-order-dependent in their last
+    * ulps: across engines (or even across partitionings) the rounded
+    * 6-dp outputs flip whenever a value lands within float noise of a
+    * rounding boundary — observed for `intercept`, where x̄ ≈ 2·10⁴
+    * epoch-days amplifies the cov ulp error ~10⁴× (two q_trend rows
+    * flipped at sf0.1 while sf0.01 was green). Exact decimals make the
+    * per-key sums associative — partition- and engine-independent by
+    * construction, at any scale. Decimal38 envelope: per-key
+    * n·(Σ|x·y₆|)² needs n·x²·y₆² ≲ 10³⁸, i.e. ~10¹⁰ rows/key at
+    * second-resolution epochs and |value| ≤ 10⁹ — far beyond any
+    * per-key group a trend screen meets.
+    *
+    * `slope`/`r²` divide the exact sums as doubles (ratio ulp error
+    * ~3·10⁻¹⁶ against a 6-dp grid — no boundary risk at their unit
+    * scales); `intercept`, whose 1e6-scaled magnitude reaches ~10⁹, is
+    * rounded in INTEGER arithmetic ((2a+b) quot (2b), truncation
+    * toward zero in both Spark's `div` and DuckDB's `//`) so no
+    * decimal→double conversion precedes the rounding.
     *
     * The metric-trend screen: which keys are drifting up/down, how
     * fast, and how linear. One hash aggregate on the key — constant
     * per-key state, no window, no sort. Keys with a degenerate time
     * axis (single timestamp) yield null slope/intercept/r2. `tsCol`
     * normalizes through [[epochNanos]]. Output: (`keyCol`, `n`,
-    * `slope` per day, `intercept`, `r2`), half-up 6. */
+    * `slope` per day, `intercept` at epoch, `r2`), half-up 6. */
   def trendSlopes(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: String): DataFrame = {
-    val x = epochNanos(df, tsCol).cast("double") / 86400e9
-    val y = col(valueCol).cast("double")
-    val agg = df.withColumn("__x", x)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    // ns → whole seconds through DOUBLE division then floor: ns exceeds
+    // 2^53, so exact integer division would differ from the double
+    // path — but both engines cast the same int64 to the same nearest
+    // double and floor the same quotient, which is what hash-parity
+    // needs (same 1-second quantization contract as the day bucketing
+    // in activeUsers)
+    val xs = floor(epochNanos(df, tsCol).cast("double") / lit(1e9)).cast(dec)
+    val y6 = floor(col(valueCol).cast("double") * lit(1e6) + lit(0.5)).cast(dec)
+    val agg = df.withColumn("__xs", xs).withColumn("__y6", y6)
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"),
-        covar_pop(col("__x"), y).as("__cov"),
-        var_pop(col("__x")).as("__vx"), var_pop(y).as("__vy"),
-        avg(y).as("__my"), avg(col("__x")).as("__mx"))
-    val slope = when(col("__vx") > 0, col("__cov") / col("__vx"))
+        sum(col("__xs")).as("sx"), sum(col("__y6")).as("sy"),
+        sum(col("__xs") * col("__xs")).as("sxx"),
+        sum(col("__xs") * col("__y6")).as("sxy"),
+        sum(col("__y6") * col("__y6")).as("syy"))
+      .select(col(keyCol), col("n"),
+        (col("n").cast(dec) * col("sxy") - col("sx") * col("sy")).as("covn"),
+        (col("n").cast(dec) * col("sxx") - col("sx") * col("sx")).as("vxn"),
+        (col("n").cast(dec) * col("syy") - col("sy") * col("sy")).as("vyn"),
+        (col("sy") * col("sxx") - col("sx") * col("sxy")).as("intn"))
+    val covD = col("covn").cast("double")
+    val vxD = col("vxn").cast("double")
+    val vyD = col("vyn").cast("double")
     // r² = cov²/(vx·vy), guarded on BOTH variances — a built-in corr()
     // divides by zero inside the aggregate under ANSI on degenerate
     // keys, and engines disagree (NaN vs NULL); the explicit form is
     // portable and null on any degenerate axis
     agg.select(col(keyCol), col("n"),
-      Rounding.halfUp(slope, 6).as("slope"),
-      Rounding.halfUp(col("__my") - slope * col("__mx"), 6).as("intercept"),
-      Rounding.halfUp(when(col("__vx") > 0 && col("__vy") > 0,
-        col("__cov") * col("__cov") / (col("__vx") * col("__vy"))), 6)
-        .as("r2"))
+      when(col("vxn") > 0,
+        Rounding.halfUp(covD / vxD * lit(86400.0) / lit(1e6), 6)).as("slope"),
+      when(col("vxn") > 0,
+        expr("(2 * intn + vxn) div (2 * vxn)").cast("double") / lit(1e6))
+        .as("intercept"),
+      when(col("vxn") > 0 && col("vyn") > 0,
+        Rounding.halfUp(covD * covD / (vxD * vyD), 6)).as("r2"))
   }
 
   /** Daily/trailing-window active users with the stickiness ratio:
