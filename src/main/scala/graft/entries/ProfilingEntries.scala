@@ -309,20 +309,24 @@ private[graft] object ProfilingEntries {
     // count (the union answers with the composite estimator — the HIP
     // estimator doesn't survive a merge — so it's gated against the
     // exact count, not against the direct sketch); the direct
-    // single-pass sketch stays within 1%. The incremental profiling
-    // shape: per-partition sketches persist as a few KB of binary each
+    // single-pass sketch at lgK 14 is gated at its 3σ bound
+    // 3·1.04/√2¹⁴ ≈ 2.5% (a 1% gate on lgK 12, RSE 1.6%, is a coin
+    // flip once the cardinality leaves sparse mode — it failed at
+    // sf0.1's 5000 ids with a 1.12% error while sf0.01's 500 ids were
+    // sparse-exact). The incremental profiling shape: per-partition
+    // sketches persist as a few KB of binary each
     "q_hll_gate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val merged = pipeline.Profiling.unionSketchEstimate(
           pipeline.Profiling.distinctSketches(docs, Seq("lang"), "doc_id"))
         .select(col("estimate").alias("__m"))
       val direct = docs.agg(hll_sketch_estimate(
-        hll_sketch_agg(col("doc_id"), lit(12))).alias("__d"))
+        hll_sketch_agg(col("doc_id"), lit(14))).alias("__d"))
       docs.agg(countDistinct(col("doc_id")).alias("n_exact"))
         .crossJoin(merged).crossJoin(direct)
         .select(col("n_exact"),
-          (abs(col("__d") - col("n_exact")) <= col("n_exact") * lit(0.01))
-            .alias("direct_within_1pct"),
+          (abs(col("__d") - col("n_exact")) <= col("n_exact") * lit(0.025))
+            .alias("direct_within_3sigma"),
           (abs(col("__m") - col("n_exact")) <= col("n_exact") * lit(0.05))
             .alias("merged_within_5pct"))
     }),
@@ -862,7 +866,7 @@ private[graft] object ProfilingEntries {
          GROUP BY user_id ORDER BY user_id""",
     "q_hll_gate" ->
       """SELECT count(DISTINCT doc_id)::BIGINT AS n_exact,
-           true AS direct_within_1pct, true AS merged_within_5pct
+           true AS direct_within_3sigma, true AS merged_within_5pct
          FROM documents""",
     "q_cms_gate" ->
       """SELECT source AS value, count(*)::BIGINT AS n_true,
