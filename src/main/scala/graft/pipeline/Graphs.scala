@@ -244,38 +244,54 @@ object Graphs {
   def triangleStats(pairs: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
     val spark = pairs.sparkSession
+    // The canonical edge list is read by FOUR consumers (skew probe,
+    // wedge-join left, semi-join right, degree stats) across TWO actions
+    // (the probe below plus the census). Pair generation upstream is the
+    // expensive part (an LSH/n-gram pass over the corpus), so cache the
+    // ids-only distinct edges — 16 B/row, MEMORY_AND_DISK spills rather
+    // than evicts at 100 TB — and, since the census is always exactly one
+    // row, materialize eagerly and release the cache synchronously before
+    // returning (the [[Checkpoints]] leak-class discipline: no storage
+    // outlives the call).
     val e = pairs.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .filter(col("a") < col("b")).distinct()
-    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("d"))
-    // Skew probe — one 1-row aggregate over the degree table the census
-    // needs anyway: wedges through a middle vertex grow with d², so on a
-    // power-law dup graph ONE hub key can dominate the wedge exchange (a
-    // straggler task doing maxDeg² of the work). The probe compares the
-    // hub's wedge load against the average partition's and picks the salt
-    // factor that brings the hub back to ~average; the common non-skewed
-    // census pays nothing. Doubles on purpose: the probe is a planning
-    // heuristic, and Σd² on a 100 TB edge set overflows a long under
-    // ANSI.
-    val probeRow = deg.agg(
-      coalesce(max(col("d")), lit(0L)).cast("double"),
-      coalesce(sum(col("d") * col("d").cast("double")), lit(0.0))).head()
-    val p = spark.sessionState.conf.numShufflePartitions
-    val saltFactor = wedgeSalt(probeRow.getDouble(0), probeRow.getDouble(1), p)
-    val tri = wedgeJoin(e, saltFactor).join(
-      e.select(col("a"), col("b").as("c")).hint("shuffle_hash"),
-      Seq("a", "c"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
-    val stats = deg.agg(
-      count(lit(1)).as("n_nodes"),
-      (sum(col("d")) / 2).cast("long").as("n_edges"),
-      sum(col("d") * (col("d") - 1) / 2).cast("long").as("n_triples"))
-    stats.crossJoin(tri)
-      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
-        Rounding.halfUp(
-          when(col("n_triples") > 0,
-            lit(3.0) * col("n_triangles") / col("n_triples"))
-            .otherwise(lit(0.0)), 6).as("transitivity"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      // Skew probe — one 1-row aggregate over the degree table the census
+      // needs anyway: wedges through a middle vertex grow with d², so on a
+      // power-law dup graph ONE hub key can dominate the wedge exchange (a
+      // straggler task doing maxDeg² of the work). The probe compares the
+      // hub's wedge load against the average partition's and picks the salt
+      // factor that brings the hub back to ~average; the common non-skewed
+      // census pays nothing beyond this aggregate over the cached edges.
+      // Doubles on purpose: the probe is a planning heuristic, and Σd² on
+      // a 100 TB edge set overflows a long under ANSI.
+      val probeRow = deg.agg(
+        coalesce(max(col("d")), lit(0L)).cast("double"),
+        coalesce(sum(col("d") * col("d").cast("double")), lit(0.0))).head()
+      val p = spark.sessionState.conf.numShufflePartitions
+      val saltFactor = wedgeSalt(probeRow.getDouble(0), probeRow.getDouble(1), p)
+      val tri = wedgeJoin(e, saltFactor).join(
+        e.select(col("a"), col("b").as("c")).hint("shuffle_hash"),
+        Seq("a", "c"), "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+      val stats = deg.agg(
+        count(lit(1)).as("n_nodes"),
+        (sum(col("d")) / 2).cast("long").as("n_edges"),
+        sum(col("d") * (col("d") - 1) / 2).cast("long").as("n_triples"))
+      val census = stats.crossJoin(tri)
+        .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+          Rounding.halfUp(
+            when(col("n_triples") > 0,
+              lit(3.0) * col("n_triangles") / col("n_triples"))
+              .otherwise(lit(0.0)), 6).as("transitivity"))
+      val row = census.collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(row.toSeq, 1),
+        census.schema)
+    } finally e.unpersist(blocking = false)
   }
 
   /** Salt factor for the wedge self-join: 1 (plain hash join) unless the

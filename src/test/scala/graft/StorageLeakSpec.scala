@@ -134,4 +134,16 @@ class StorageLeakSpec extends SparkSpec {
     }
     assert(leaked.isEmpty, s"pinned RDDs leaked: $leaked")
   }
+
+  test("triangleStats caches its edge list across actions and releases it") {
+    // triangle {1,2,3} plus a short chain — enough to exercise the
+    // probe action + census action against the shared cached edge list
+    val edges = (Seq((1L, 2L), (2L, 3L), (1L, 3L)) ++
+      (10 until 40).map(i => (i.toLong, i + 1L))).toDF("id_a", "id_b")
+    val leaked = newPins {
+      val got = Graphs.triangleStats(edges, "id_a", "id_b").collect().head
+      assert(got.getLong(2) == 1L, "n_triangles")
+    }
+    assert(leaked.isEmpty, s"pinned RDDs leaked: $leaked")
+  }
 }
