@@ -240,4 +240,33 @@ class GraphsSpec extends SparkSpec {
     val got = Graphs.triangleStats(edges, "id_a", "id_b").collect().head
     assert(got.getLong(2) == 3L, "n_triangles")
   }
+
+  test("triangleStats: randomized census matches local brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xC3A5)
+    for (trial <- 1 to 3) {
+      val n = 25 + trial * 5
+      val edges = (for {
+        a <- 0 until n; b <- (a + 1) until n if rnd.nextDouble() < 0.15
+      } yield (a.toLong, b.toLong)).toVector
+      val es = edges.toSet
+      val wantTri = (for {
+        a <- 0L until n; b <- (a + 1) until n if es((a, b))
+        c <- (b + 1) until n if es((a, c)) && es((b, c))
+      } yield 1).size.toLong
+      val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val wantTriples = deg.values.map(d => d * (d - 1) / 2).sum
+      val got = Graphs.triangleStats(
+        edges.toDF("id_a", "id_b"), "id_a", "id_b").collect().head
+      assert(got.getLong(0) == deg.size.toLong, s"trial $trial n_nodes")
+      assert(got.getLong(1) == edges.size.toLong, s"trial $trial n_edges")
+      assert(got.getLong(2) == wantTri, s"trial $trial n_triangles")
+      val wantTrans = if (wantTriples > 0)
+        BigDecimal(3.0 * wantTri / wantTriples)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else 0.0
+      assert(got.getDouble(3) == wantTrans, s"trial $trial transitivity")
+    }
+  }
 }
