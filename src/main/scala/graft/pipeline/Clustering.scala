@@ -293,7 +293,12 @@ object Clustering {
   def fitPQ(df: DataFrame, vecCol: String, idCol: String, m: Int,
       k: Int, maxIter: Int = 4, seed: Long = 42L): PQModel = {
     require(m > 0 && k > 0, "m and k must be positive")
-    val d = df.select(size(col(vecCol))).head().getInt(0)
+    // dimensionality probe on the first NON-NULL vector — a corrupt
+    // leading row must not NPE the fit
+    val dRow = df.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).take(1)
+    require(dRow.nonEmpty, "no non-null vectors to quantize")
+    val d = dRow.head.getInt(0)
     require(d % m == 0, s"vector dims $d not divisible by m=$m subspaces")
     val dSub = d / m
     val initRows = df

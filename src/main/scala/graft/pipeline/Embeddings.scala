@@ -128,12 +128,20 @@ object Embeddings {
     * without a d²-way explode of every row. */
   def fitPca(df: DataFrame, vecCol: String, k: Int): PcaModel = {
     require(k > 0, "k must be positive")
-    val d = df.select(size(col(vecCol))).head().getInt(0)
+    // dimensionality probe on the first NON-NULL vector — a corrupt
+    // leading row must not NPE the fit; rows that are null or
+    // wrong-dimension are skipped by the moment pass below
+    val dRow = df.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).take(1)
+    require(dRow.nonEmpty, "cannot fit PCA on an empty corpus")
+    val d = dRow.head.getInt(0)
     require(k <= d, s"k=$k exceeds dimensionality $d")
     import org.apache.spark.sql.Encoders
     val enc = Encoders.tuple(Encoders.scalaLong,
       Encoders.BINARY, Encoders.BINARY)
-    val partials = df.select(col(vecCol)).mapPartitions { it =>
+    val partials = df
+      .where(col(vecCol).isNotNull && size(col(vecCol)) === d)
+      .select(col(vecCol)).mapPartitions { it =>
       var n = 0L
       val s = new Array[Double](d)
       val g = new Array[Double](d * d)

@@ -24,9 +24,16 @@ object Similarity {
 
   /** Native expression (graft CosineSimilarity): double accumulation in
     * array order — bit-identical to the composable dot/norm formulation
-    * but one primitive loop per row. Inputs must be array<float>. */
+    * but one primitive loop per row. Inputs must be array<float>.
+    *
+    * Zero-norm or NaN-poisoned vectors yield NULL, not NaN: Spark sorts
+    * NaN GREATER than every double, so a single corrupt embedding would
+    * otherwise outrank every real neighbor in the `.desc` top-k paths —
+    * null sinks (desc default is NULLS LAST), which is the correct
+    * dirty-corpus behavior at any scale. */
   def cosine(a: Column, b: Column): Column =
-    org.apache.spark.sql.graft.sketch.cosine(a, b)
+    nanvl(org.apache.spark.sql.graft.sketch.cosine(a, b),
+      lit(null).cast("double"))
 
   // Plane components are murmur3(hash(plane, dim, seed)) / Int.MaxValue in
   // [-1, 1) — the formula lives in the native expression
@@ -76,9 +83,12 @@ object Similarity {
       maxCol: String = "q_max"): DataFrame = {
     require(shortlist >= k, "shortlist must be at least k")
     val sumQ = query.foldLeft(0.0)(_ + _.toDouble)
-    val approx = col(minCol) * lit(sumQ) +
+    // nanvl: NaN-poisoned rows carry NaN q_min/q_max through the affine
+    // correction; as NULL they sink instead of flooding the shortlist
+    val approx = nanvl(col(minCol) * lit(sumQ) +
       (col(maxCol) - col(minCol)) / lit(255.0) *
-        org.apache.spark.sql.graft.sketch.sq8_dot(col(codesCol), query)
+        org.apache.spark.sql.graft.sketch.sq8_dot(col(codesCol), query),
+      lit(null).cast("double"))
     val cand = quantized
       .withColumn("__approx", approx)
       .orderBy(col("__approx").desc, col(idCol).asc)
@@ -107,8 +117,12 @@ object Similarity {
     // the centroid table is tiny by construction — fetch it driver-side
     // (one nCentroids-row job) and ship it inside a native argmax
     // expression: assignment becomes a single map-side pass over the
-    // corpus, with no ×nCentroids expansion, no shuffle, no window
-    val cRows = df.orderBy(col(idCol).asc).limit(nCentroids)
+    // corpus, with no ×nCentroids expansion, no shuffle, no window.
+    // Null/empty vectors are never centroids (a low-id corrupt row would
+    // poison the codebook); corpus-side they assign a null cell and drop
+    // out of every probe join.
+    val cRows = df.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .orderBy(col(idCol).asc).limit(nCentroids)
       .select(col(idCol), col(vecCol)).collect()
     val cids = cRows.map(_.get(0))
     val cvecs: Seq[Seq[Float]] = cRows.map(_.getSeq[Float](1)).toSeq
