@@ -117,7 +117,10 @@ object Dsir {
     require(k > 0, "k must be positive")
     val u = (hash32(col(idCol).cast("string")).cast("double") + 0.5) /
       4294967296.0
-    weighted.withColumn("__key", col(iwCol) - log(-log(u)))
+    // guard caller-supplied weights: a null/NaN iw row would otherwise
+    // outrank every real key in the desc sort (NaN sorts greatest)
+    weighted.filter(col(iwCol).isNotNull && !isnan(col(iwCol)))
+      .withColumn("__key", col(iwCol) - log(-log(u)))
       .orderBy(col("__key").desc, col(idCol).asc)
       .limit(k)
       .withColumn("sample_key", Rounding.halfUp(col("__key"), 6))
