@@ -8,8 +8,17 @@ import org.apache.spark.sql.functions._
   * test corpora, and the recall-gate scale guard. */
 private[graft] object EntryHelpers {
 
-  def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  /** Determinism-harness lever (test-only; never set in production
+    * paths): when set, every table load round-robin-repartitions to
+    * this many partitions, so a sweep can assert that contract-query
+    * RESULTS are invariant to input partitioning — the property that
+    * makes answers stable across cluster sizes and stage retries. */
+  @volatile private[graft] var perturbPartitions: Option[Int] = None
+
+  def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    perturbPartitions.fold(df)(df.repartition(_))
+  }
 
   def all(s: SparkSession, dir: String): Map[String, DataFrame] =
     Seq("region", "nation", "customer", "supplier", "part", "orders",
