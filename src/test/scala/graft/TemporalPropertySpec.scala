@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Classify, Ranks, Temporal}
+
+/** Randomized brute-force equivalence for the distributed rank and
+  * temporal-join formulations whose scalable plans (two-pass offsets,
+  * bucketed equi-joins, per-step join chains) are farthest from their
+  * specification — each checked against a sequential local oracle that
+  * implements the documented semantics directly. */
+class TemporalPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(0x9E3779B9L)
+
+  test("property: withGlobalRank equals the local sorted index") {
+    for (_ <- 1 to 3) {
+      val data = Seq.fill(500)((rnd.nextInt(40).toDouble, rnd.nextLong()))
+        .zipWithIndex.map { case ((v, _), i) => (i.toLong, v) }
+      val df = data.toDF("id", "v").repartition(7)
+      val got = Ranks.withGlobalRank(df, "r", col("v").asc, col("id").asc)
+        .select(col("id"), col("r")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = data.sortBy { case (id, v) => (v, id) }
+        .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+      assert(got == want)
+    }
+  }
+
+  test("property: aucScore equals local tie-corrected Mann-Whitney") {
+    for (_ <- 1 to 3) {
+      // coarse scores force heavy ties — the average-rank correction path
+      val data = (0 until 400).map(i =>
+        (i.toLong, rnd.nextInt(12).toDouble, rnd.nextInt(2)))
+      val df = data.toDF("id", "score", "y").repartition(5)
+      val got = Classify.aucScore(df, "score", "y", "id").collect().head
+      // local: average rank per tied score group over ascending order
+      val sorted = data.sortBy(d => (d._2, d._1))
+      val ranks = sorted.zipWithIndex.map { case (d, i) => (d, i + 1.0) }
+      val avgRank = ranks.groupBy(_._1._2).map { case (s, g) =>
+        s -> g.map(_._2).sum / g.size
+      }
+      val nPos = data.count(_._3 == 1).toLong
+      val nNeg = data.size - nPos
+      val sumRPos = data.filter(_._3 == 1).map(d => avgRank(d._2)).sum
+      val want = (sumRPos - nPos.toDouble * (nPos + 1) / 2) / (nPos.toDouble * nNeg)
+      assert(got.getLong(0) == nPos && got.getLong(1) == nNeg)
+      assert(math.abs(got.getDouble(2) - want) < 1e-6,
+        s"auc ${got.getDouble(2)} vs $want")
+    }
+  }
+
+  test("property: rollingAgg equals a brute-force trailing window") {
+    for (_ <- 1 to 3) {
+      val data = (0 until 300).map(i =>
+        (s"k${rnd.nextInt(5)}", rnd.nextLong().abs % 1000L, i.toLong))
+      val df = data.toDF("k", "ts", "id")
+      val got = Temporal.rollingAgg(df, "k", "ts", windowNs = 100L,
+        Seq("s" -> sum(col("id")), "c" -> count(lit(1))))
+        .select(col("k"), col("ts"), col("id"), col("s"), col("c"))
+        .collect()
+      got.foreach { r =>
+        val (k, ts, id) = (r.getString(0), r.getLong(1), r.getLong(2))
+        val in = data.filter(d => d._1 == k && d._2 <= ts && d._2 >= ts - 100L)
+        assert(r.getLong(3) == in.map(_._3).sum, s"sum at ($k,$ts,$id)")
+        assert(r.getLong(4) == in.size.toLong, s"count at ($k,$ts,$id)")
+      }
+    }
+  }
+
+  test("property: intervalJoin equals a nested-loop reference") {
+    for (grain <- Seq(7L, 100L, 1000L)) {
+      val pts = (0 until 200).map(i => (i.toLong, rnd.nextLong().abs % 500L))
+      val ivs = (0 until 40).map { i =>
+        val s = rnd.nextLong().abs % 500L
+        (i.toLong, s, s + rnd.nextLong().abs % 80L)
+      }
+      val got = Temporal.intervalJoin(
+        pts.toDF("pid", "pt"), ivs.toDF("iid", "s", "e"),
+        "pt", "s", "e", grain)
+        .select(col("pid"), col("iid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val want = (for {
+        (pid, pt) <- pts; (iid, s, e) <- ivs if pt >= s && pt <= e
+      } yield (pid, iid)).sorted
+      assert(got == want, s"grain=$grain: ${got.size} vs ${want.size}")
+    }
+  }
+
+  test("property: overlapJoin emits each overlapping pair exactly once") {
+    for (grain <- Seq(7L, 100L, 1000L)) {
+      def mk(n: Int) = (0 until n).map { i =>
+        val s = rnd.nextLong().abs % 400L
+        (i.toLong, s, s + rnd.nextLong().abs % 60L)
+      }
+      val l = mk(60); val r = mk(60)
+      val got = Temporal.overlapJoin(
+        l.toDF("lid", "ls", "le"), r.toDF("rid", "rs", "re"),
+        "ls", "le", "rs", "re", grain)
+        .select(col("lid"), col("rid")).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      val want = (for {
+        (lid, ls, le) <- l; (rid, rs, re) <- r
+        if ls <= re && rs <= le
+      } yield (lid, rid)).sorted
+      assert(got == want, s"grain=$grain: ${got.size} vs ${want.size}")
+    }
+  }
+
+  test("property: funnelWithin equals the sequential greedy fold") {
+    val types = Seq("a", "b", "c")
+    for (deadline <- Seq(-1L, 50L, 5L)) {
+      val data = (0 until 600).map { i =>
+        (s"u${rnd.nextInt(40)}", rnd.nextLong().abs % 300L, i.toLong,
+          types(rnd.nextInt(3)))
+      }
+      val df = data.toDF("u", "ts", "id", "et")
+      val steps = Seq("a", "b", "b") // repeated step: strict-after rule
+      val got = Temporal.funnelWithin(df, "u", "ts", "et", steps, deadline)
+        .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+      // sequential greedy: reach(0) = min ts of step-0; reach(i) = min ts
+      // of qualifying step-i events (strictly after when the type
+      // repeats, within the deadline of the previous reach)
+      val byUser = data.groupBy(_._1)
+      val reachCounts = Array.fill(steps.size)(0L)
+      byUser.values.foreach { evs =>
+        var prev = Option.empty[Long]
+        var alive = true
+        steps.zipWithIndex.foreach { case (st, i) =>
+          if (alive) {
+            val cand = evs.filter(_._4 == st).map(_._2).filter { t =>
+              prev match {
+                case None => true
+                case Some(p) =>
+                  val after = if (i > 0 && steps(i - 1) == st) t > p else t >= p
+                  after && (deadline < 0 || t - p <= deadline)
+              }
+            }
+            if (cand.isEmpty) alive = false
+            else { prev = Some(cand.min); reachCounts(i) += 1 }
+          }
+        }
+      }
+      steps.indices.foreach { i =>
+        assert(got.getOrElse(i + 1, 0L) == reachCounts(i),
+          s"deadline=$deadline step ${i + 1}: " +
+            s"${got.getOrElse(i + 1, 0L)} vs ${reachCounts(i)}")
+      }
+    }
+  }
+}
