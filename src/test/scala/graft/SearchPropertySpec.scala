@@ -89,4 +89,44 @@ class SearchPropertySpec extends SparkSpec {
       assert(got == want)
     }
   }
+
+  test("property: basketRules equals the local support/confidence/lift") {
+    for (_ <- 1 to 3) {
+      val data = (0 until 500).map { i =>
+        (s"u${rnd.nextInt(20)}", rnd.nextInt(400).toLong, i.toLong,
+          vocab(rnd.nextInt(4)))
+      }
+      val gap = 50L
+      val got = Temporal.basketRules(data.toDF("u", "ts", "id", "et"),
+        "u", "ts", "id", "et", gap).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+        .toMap
+      // local: sessionize per user, distinct item sets per session
+      val baskets = data.groupBy(_._1).values.flatMap { evs =>
+        val s = evs.sortBy(e => (e._2, e._3))
+        val sessions = s.tail.foldLeft(Vector(Vector(s.head))) { (acc, e) =>
+          if (e._2 - acc.last.last._2 > gap) acc :+ Vector(e)
+          else acc.init :+ (acc.last :+ e)
+        }
+        sessions.map(_.map(_._4).toSet)
+      }.toSeq
+      val n = baskets.size.toDouble
+      val c1 = baskets.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      val pairs = for {
+        b <- baskets; a <- b; c <- b if a != c
+      } yield (a, c)
+      val c2 = pairs.groupBy(identity).view.mapValues(_.size).toMap
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got.keySet == c2.keySet)
+      c2.foreach { case ((a, c), cnt) =>
+        val (gn, gs, gc, gl) = got((a, c))
+        assert(gn == cnt.toLong)
+        assert(gs == r6(cnt / n), s"support $a->$c")
+        assert(gc == r6(cnt.toDouble / c1(a)), s"confidence $a->$c")
+        assert(gl == r6(cnt.toDouble / c1(a) / (c1(c) / n)), s"lift $a->$c")
+      }
+    }
+  }
 }
