@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Dedup
+
+/** Randomized exactness properties for the banded dedup engines. The
+  * pigeonhole (hamming) and AllPairs prefix-filter (n-gram Jaccard)
+  * formulations are EXACT by theory — banding only prunes candidates
+  * that cannot qualify — so both must equal a brute-force all-pairs
+  * reference on random corpora. MinHash banding is probabilistic in
+  * RECALL but its verify stage is exact, so its output must be a
+  * SUBSET of the brute-force truth and must always contain identical
+  * documents (identical signatures always collide). */
+class DedupPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(0xB5297A4DL)
+  private val vocab = Vector("red", "blue", "green", "amber", "teal",
+    "coral", "olive", "ivory", "slate", "umber", "pearl", "onyx")
+
+  private def randomDoc(len: Int): String =
+    Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+
+  /** Distinct word-bigram sets — the collision-free mirror of
+    * shingle_hashes(k=2); docs shorter than k yield one whole-doc
+    * shingle. */
+  private def shingles(text: String, k: Int): Set[Seq[String]] = {
+    val toks = text.toLowerCase.trim.split("\\s+").toSeq
+    if (toks.length < k) Set(toks) else toks.sliding(k).map(_.toSeq).toSet
+  }
+
+  private def jaccard(a: Set[Seq[String]], b: Set[Seq[String]]): Double =
+    (a & b).size.toDouble / (a | b).size
+
+  test("property: hammingDupPairs equals brute force at several budgets") {
+    for (maxH <- Seq(1, 3, 7)) {
+      // clusters: base hashes plus variants with <= 9 flipped bits, so
+      // pairs straddle the budget boundary
+      val hashes = (0 until 30).flatMap { i =>
+        val base = rnd.nextLong()
+        val variants = (0 until 3).map { _ =>
+          (0 until rnd.nextInt(10)).foldLeft(base)((h, _) =>
+            h ^ (1L << rnd.nextInt(64)))
+        }
+        base +: variants
+      }.zipWithIndex.map { case (h, id) => (id.toLong, h) }
+      val got = Dedup.hammingDupPairs(hashes.toDF("id", "h"), "h", "id",
+        maxHamming = maxH)
+        .select(col("id_a"), col("id_b"), col("hamming")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).sorted.toSeq
+      val want = (for {
+        (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+        d = java.lang.Long.bitCount(ha ^ hb) if d <= maxH
+      } yield (ia, ib, d.toLong)).sorted
+      assert(got == want, s"maxH=$maxH: ${got.size} vs ${want.size}")
+    }
+  }
+
+  test("property: ngramJaccardPairs equals brute-force exact Jaccard") {
+    for (threshold <- Seq(0.5, 0.7, 0.9)) {
+      // near-dup pressure: half the docs are mutations of earlier docs
+      val docs = (0 until 50).foldLeft(Vector.empty[(Long, String)]) {
+        case (acc, i) =>
+          val text =
+            if (acc.nonEmpty && rnd.nextBoolean()) {
+              val base = acc(rnd.nextInt(acc.size))._2.split(" ").toVector
+              val mut = base.updated(rnd.nextInt(base.size),
+                vocab(rnd.nextInt(vocab.size)))
+              mut.mkString(" ")
+            } else randomDoc(6 + rnd.nextInt(10))
+          acc :+ (i.toLong, text)
+      }
+      val got = Dedup.ngramJaccardPairs(docs.toDF("doc_id", "text"),
+        "text", "doc_id", k = 2, threshold = threshold)
+        .select(col("id_a"), col("id_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val want = (for {
+        (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+        if jaccard(shingles(ta, 2), shingles(tb, 2)) >= threshold
+      } yield (ia, ib)).sorted
+      assert(got == want, s"t=$threshold: ${got.size} vs ${want.size}; " +
+        s"missing=${want.diff(got).take(3)} extra=${got.diff(want).take(3)}")
+    }
+  }
+
+  test("property: minhash pairs are a sound subset and catch exact dups") {
+    val docs = (0 until 40).map { i =>
+      (i.toLong, randomDoc(8 + rnd.nextInt(8)))
+    } ++ Seq((100L, "one two three four five six seven eight"),
+      (101L, "one two three four five six seven eight")) // planted exact dup
+    val threshold = 0.7
+    val got = Dedup.minhashDupPairsAuto(docs.toDF("doc_id", "text"),
+      "text", "doc_id", k = 2, jaccardThreshold = threshold)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      if jaccard(shingles(ta, 2), shingles(tb, 2)) >= threshold
+    } yield (ia, ib)).toSet
+    assert(got.subsetOf(truth), s"false positives: ${got.diff(truth)}")
+    assert(got.contains((100L, 101L)), "identical docs must collide")
+  }
+}
