@@ -148,4 +148,78 @@ class TemporalPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: ewma equals the local truncated normalized recursion") {
+    for (alpha <- Seq(0.3, 0.5, 0.9)) {
+      val k = 8
+      val data = (0 until 250).map(i =>
+        (s"k${rnd.nextInt(6)}", rnd.nextInt(100).toLong, i.toLong,
+          rnd.nextInt(50).toDouble))
+      val got = Temporal.ewma(data.toDF("key", "ts", "id", "v"),
+        "key", "ts", "id", "v", alpha = alpha, k = k)
+        .select(col("id"), col("ewma")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      data.groupBy(_._1).values.foreach { evs =>
+        val s = evs.sortBy(e => (e._2, e._3))
+        s.indices.foreach { i =>
+          val terms = (0 until math.min(k, i + 1)).map { j =>
+            (s(i - j)._4 * math.pow(1 - alpha, j), math.pow(1 - alpha, j))
+          }
+          val want = BigDecimal(terms.map(_._1).sum / terms.map(_._2).sum)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          assert(math.abs(got(s(i)._3) - want) < 1e-6,
+            s"id ${s(i)._3}: ${got(s(i)._3)} vs $want")
+        }
+      }
+    }
+  }
+
+  test("property: gapQuantiles equals local interpolating percentiles") {
+    for (_ <- 1 to 3) {
+      val data = (0 until 300).map(i =>
+        (s"k${rnd.nextInt(8)}", rnd.nextInt(2000).toLong, i.toLong))
+      val ps = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+      val got = Temporal.gapQuantiles(data.toDF("key", "ts", "id"),
+        "key", "ts", "id", ps).collect()
+        .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      val gaps = data.groupBy(_._1).values.flatMap { evs =>
+        val s = evs.sortBy(e => (e._2, e._3)).map(_._2)
+        s.zip(s.tail).map { case (a, b) => (b - a).toDouble }
+      }.toSeq.sorted
+      ps.foreach { p =>
+        // SQL percentile: linear interpolation at 0-based rank p*(n-1)
+        val r = p * (gaps.size - 1)
+        val lo = gaps(r.toInt)
+        val hi = gaps(math.min(gaps.size - 1, r.toInt + 1))
+        val want = lo + (r - r.toInt) * (hi - lo)
+        assert(math.abs(got(p) - want) < 1e-9, s"p=$p: ${got(p)} vs $want")
+      }
+    }
+  }
+
+  test("property: transitionMatrix equals local consecutive-pair counts") {
+    for (_ <- 1 to 3) {
+      val states = Seq("s0", "s1", "s2")
+      val data = (0 until 400).map(i =>
+        (s"u${rnd.nextInt(15)}", rnd.nextInt(300).toLong, i.toLong,
+          states(rnd.nextInt(3))))
+      val got = Temporal.transitionMatrix(data.toDF("u", "ts", "id", "st"),
+        "u", "ts", "id", "st").collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+      val pairs = data.groupBy(_._1).values.flatMap { evs =>
+        val s = evs.sortBy(e => (e._2, e._3)).map(_._4)
+        s.zip(s.tail)
+      }.toSeq
+      val cnt = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val rowTot = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      assert(got.keySet == cnt.keySet)
+      cnt.foreach { case (k, c) =>
+        assert(got(k)._1 == c, s"$k cnt")
+        val want = BigDecimal(c.toDouble / rowTot(k._1))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(got(k)._2 - want) < 1e-9, s"$k prob")
+      }
+    }
+  }
 }
