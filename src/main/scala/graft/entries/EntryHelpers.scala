@@ -12,7 +12,10 @@ private[graft] object EntryHelpers {
     * paths): when set, every table load round-robin-repartitions to
     * this many partitions, so a sweep can assert that contract-query
     * RESULTS are invariant to input partitioning — the property that
-    * makes answers stable across cluster sizes and stage retries. */
+    * makes answers stable across cluster sizes and stage retries.
+    * Global by design and safe only because ScalaTest suites here run
+    * sequentially per forked JVM; a test must set it in try/finally
+    * around its own reads and never across an async boundary. */
   @volatile private[graft] var perturbPartitions: Option[Int] = None
 
   def t(s: SparkSession, dir: String, name: String): DataFrame = {

@@ -293,17 +293,23 @@ object Clustering {
   def fitPQ(df: DataFrame, vecCol: String, idCol: String, m: Int,
       k: Int, maxIter: Int = 4, seed: Long = 42L): PQModel = {
     require(m > 0 && k > 0, "m and k must be positive")
-    // dimensionality probe on the first NON-NULL vector — a corrupt
-    // leading row must not NPE the fit
+    // dimensionality = the MODAL size among non-null vectors (one tiny
+    // aggregate): probing an arbitrary first row would let a truncated
+    // leading vector silently refit the codebooks on the corrupt minority
     val dRow = df.where(col(vecCol).isNotNull)
-      .select(size(col(vecCol))).take(1)
+      .groupBy(size(col(vecCol)).as("__d")).count()
+      .orderBy(col("count").desc, col("__d").asc).take(1)
     require(dRow.nonEmpty, "no non-null vectors to quantize")
     val d = dRow.head.getInt(0)
     require(d % m == 0, s"vector dims $d not divisible by m=$m subspaces")
     val dSub = d / m
+    // NaN-poisoned rows excluded everywhere: one NaN component would
+    // otherwise NaN the mean of its assigned cell and garbage every code
+    val clean = col(vecCol).isNotNull && size(col(vecCol)) === d &&
+      !exists(col(vecCol), x => isnan(x))
     val initRows = df
       .select(col(vecCol), xxhash64(col(idCol), lit(seed)).alias("__h"))
-      .where(col(vecCol).isNotNull && size(col(vecCol)) === d)
+      .where(clean)
       .orderBy(col("__h").asc)
       .limit(k)
       .collect()
@@ -319,7 +325,7 @@ object Clustering {
     var iter = 0
     while (iter < maxIter) {
       val coded = df
-        .where(col(vecCol).isNotNull && size(col(vecCol)) === d)
+        .where(clean)
         .withColumn("__codes", array((0 until m).map { s =>
           org.apache.spark.sql.graft.sketch.nearest_centroid_l2(
             slice(col(vecCol), s * dSub + 1, dSub), books(s))

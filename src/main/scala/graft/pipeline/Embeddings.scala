@@ -128,19 +128,24 @@ object Embeddings {
     * without a d²-way explode of every row. */
   def fitPca(df: DataFrame, vecCol: String, k: Int): PcaModel = {
     require(k > 0, "k must be positive")
-    // dimensionality probe on the first NON-NULL vector — a corrupt
-    // leading row must not NPE the fit; rows that are null or
-    // wrong-dimension are skipped by the moment pass below
+    // dimensionality = the MODAL size among non-null vectors (one tiny
+    // aggregate): probing an arbitrary first row would let a truncated
+    // leading vector silently refit the model on the corrupt minority
     val dRow = df.where(col(vecCol).isNotNull)
-      .select(size(col(vecCol))).take(1)
+      .groupBy(size(col(vecCol)).as("__d")).count()
+      .orderBy(col("count").desc, col("__d").asc).take(1)
     require(dRow.nonEmpty, "cannot fit PCA on an empty corpus")
     val d = dRow.head.getInt(0)
     require(k <= d, s"k=$k exceeds dimensionality $d")
     import org.apache.spark.sql.Encoders
     val enc = Encoders.tuple(Encoders.scalaLong,
       Encoders.BINARY, Encoders.BINARY)
+    // null / wrong-dimension / NaN-poisoned rows are excluded from the
+    // moment pass — one NaN component would otherwise spread through the
+    // covariance into every eigenvector
     val partials = df
-      .where(col(vecCol).isNotNull && size(col(vecCol)) === d)
+      .where(col(vecCol).isNotNull && size(col(vecCol)) === d &&
+        !exists(col(vecCol), x => isnan(x)))
       .select(col(vecCol)).mapPartitions { it =>
       var n = 0L
       val s = new Array[Double](d)

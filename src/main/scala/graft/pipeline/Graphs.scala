@@ -288,9 +288,11 @@ object Graphs {
               lit(3.0) * col("n_triangles") / col("n_triples"))
               .otherwise(lit(0.0)), 6).as("transitivity"))
       val row = census.collect()
+      // LocalRelation, not parallelize: free to read (no 1-task job per
+      // downstream action) and broadcastable — same shape as the Search
+      // index stats row
       spark.createDataFrame(
-        spark.sparkContext.parallelize(row.toSeq, 1),
-        census.schema)
+        java.util.Arrays.asList(row: _*), census.schema)
     } finally e.unpersist(blocking = false)
   }
 

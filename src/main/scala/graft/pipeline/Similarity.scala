@@ -118,10 +118,12 @@ object Similarity {
     // (one nCentroids-row job) and ship it inside a native argmax
     // expression: assignment becomes a single map-side pass over the
     // corpus, with no ×nCentroids expansion, no shuffle, no window.
-    // Null/empty vectors are never centroids (a low-id corrupt row would
-    // poison the codebook); corpus-side they assign a null cell and drop
-    // out of every probe join.
-    val cRows = df.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+    // Null/empty/NaN-poisoned vectors are never centroids (a low-id
+    // corrupt row would otherwise occupy a codebook slot whose cell can
+    // never self-assign or be probed); corpus-side they assign a null
+    // cell and drop out of every probe join.
+    val cRows = df.where(col(vecCol).isNotNull && size(col(vecCol)) > 0 &&
+        !exists(col(vecCol), x => isnan(x)))
       .orderBy(col(idCol).asc).limit(nCentroids)
       .select(col(idCol), col(vecCol)).collect()
     val cids = cRows.map(_.get(0))

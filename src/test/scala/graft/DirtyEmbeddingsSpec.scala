@@ -62,15 +62,32 @@ class DirtyEmbeddingsSpec extends SparkSpec {
   }
 
   test("PQ and PCA fits probe dimensionality past corrupt leading rows") {
-    // null vector FIRST: the d-probe must skip it
+    // null vector FIRST: the d-probe must skip it; the NaN row (id 6)
+    // and the truncated row (id 7) must not poison either model
     val nullFirst = Seq((0L, null.asInstanceOf[Seq[Float]]))
       .toDF("vec_id", "vec").unionAll(dirty)
     val pq = Clustering.fitPQ(nullFirst, "vec", "vec_id", m = 2, k = 2)
     assert(pq.codebooks.nonEmpty)
+    assert(!pq.codebooks.flatten.flatten.exists(_.isNaN),
+      "NaN row must not reach a codebook cell")
     val pca = Embeddings.fitPca(nullFirst, "vec", k = 1)
+    assert(!pca.mean.exists(_.isNaN), "NaN row must not reach the moments")
     val proj = dirty.where(col("vec_id") === 1L)
       .select(Embeddings.applyPca(col("vec"), pca).as("p")).collect().head
-    assert(proj.getSeq[Double](0).length == 1)
+    val p = proj.getSeq[Float](0)
+    assert(p.length == 1 && !p.head.isNaN,
+      "clean rows project to finite values")
+  }
+
+  test("a truncated LEADING vector must not redefine the corpus dimension") {
+    // corrupt dim-2 row first in id order; the modal-dimension probe
+    // must still fit on the dim-4 majority
+    val truncFirst = Seq((0L, Seq(0.1f, 0.2f)))
+      .toDF("vec_id", "vec").unionAll(dirty)
+    val pca = Embeddings.fitPca(truncFirst, "vec", k = 1)
+    assert(pca.mean.length == 4, "dimension comes from the majority")
+    val pq = Clustering.fitPQ(truncFirst, "vec", "vec_id", m = 2, k = 2)
+    assert(pq.dSub == 2, "4 dims / 2 subspaces")
   }
 
   test("meanPool and centroidDrift drop null vectors, keep clean groups") {

@@ -10,11 +10,15 @@ import scala.util.{Failure, Success, Try}
   * are permitted; CartesianProductExec (both sides non-broadcast,
   * partition-pair enumeration) is not, anywhere, ever.
   *
-  * The sweep plans every query against the sf0.001 parquet (a handful
-  * of eager operators also execute — tiny at this scale) and fails
+  * The sweep plans every query against the sf0.001 parquet and fails
   * with the offending plan on any hit, so an accidental cross join
-  * introduced in ANY operator fails CI instead of surfacing as a
-  * 100 TB incident. */
+  * introduced in an operator's returned plan fails CI instead of
+  * surfacing as a 100 TB incident. Scope caveat: EAGER operators
+  * (triangleStats and the fit/gate queries that execute inside the
+  * builder) run their internal jobs before this spec sees a plan — the
+  * returned relation is their materialized result, so their internal
+  * join shapes are covered by their own plan-audit/property specs, not
+  * by this sweep. */
 class PlanSweepSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
