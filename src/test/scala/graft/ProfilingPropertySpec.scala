@@ -92,4 +92,64 @@ class ProfilingPropertySpec extends SparkSpec {
         s"${got.toSeq.sorted.take(5)} vs ${wantUnits.toSeq.sorted.take(5)}")
     }
   }
+
+  test("property: benford equals local first-digit shares and KL terms") {
+    for (_ <- 1 to 3) {
+      val data = (0 until 400).map(i =>
+        (i.toLong, math.exp(rnd.nextDouble() * 9) * (if (rnd.nextBoolean()) 1 else -1)))
+      val got = Profiling.benford(data.toDF("id", "v"), "v").collect()
+        .map(r => r.getString(0) ->
+          ((r.getDouble(1), r.getDouble(3)))).toMap
+      val mags = data.map(d => math.abs(d._2).toLong).filter(_ > 0)
+      val t = mags.size.toDouble
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (1 to 9).foreach { d =>
+        val obs = mags.count(_.toString.head == d.toString.head) / t
+        val share = math.log10(1.0 + 1.0 / d)
+        val pObs = math.max(obs, 1e-6)
+        val term = (pObs - share) * math.log(pObs / share)
+        assert(got(d.toString)._1 == r6(obs), s"digit $d observed")
+        assert(math.abs(got(d.toString)._2 - r6(term)) < 1e-9, s"digit $d term")
+      }
+    }
+  }
+
+  test("property: mutualInformation equals the local plug-in estimator") {
+    for (_ <- 1 to 3) {
+      // correlated categoricals: b follows a 70% of the time
+      val data = (0 until 500).map { i =>
+        val a = rnd.nextInt(4)
+        val b = if (rnd.nextDouble() < 0.7) a else rnd.nextInt(4)
+        (s"a$a", s"b$b")
+      }
+      val got = Profiling.mutualInformation(data.toDF("x", "y"), "x", "y")
+        .collect().head
+      val n = data.size.toDouble
+      val joint = data.groupBy(identity).view.mapValues(_.size / n).toMap
+      val pa = data.groupBy(_._1).view.mapValues(_.size / n).toMap
+      val pb = data.groupBy(_._2).view.mapValues(_.size / n).toMap
+      val mi = joint.map { case ((a, b), p) =>
+        p * math.log(p / (pa(a) * pb(b))) }.sum
+      val ha = -pa.values.map(p => p * math.log(p)).sum
+      val hb = -pb.values.map(p => p * math.log(p)).sum
+      assert(math.abs(got.getDouble(0) - mi) < 1e-6, "mi")
+      assert(math.abs(got.getDouble(1) - ha) < 1e-6, "h_a")
+      assert(math.abs(got.getDouble(2) - hb) < 1e-6, "h_b")
+      assert(math.abs(got.getDouble(3) - mi / math.sqrt(ha * hb)) < 1e-6,
+        "nmi")
+    }
+  }
+
+  test("property: kAnonymity equals local quasi-identifier group sizes") {
+    val data = (0 until 300).map(i =>
+      (s"zip${rnd.nextInt(12)}", 20 + rnd.nextInt(4), i.toLong))
+    val got = Profiling.kAnonymity(data.toDF("zip", "age", "id"),
+      Seq("zip", "age"), k = 5).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    val want = data.groupBy(d => (d._1, d._2)).view
+      .mapValues(g => (g.size.toLong, g.size < 5)).toMap
+    assert(got == want)
+  }
 }
