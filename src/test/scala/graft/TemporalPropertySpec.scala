@@ -222,4 +222,33 @@ class TemporalPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: seasonalProfile equals local day-of-week statistics") {
+    for (_ <- 1 to 3) {
+      val day = 86400L * 1000000000L
+      val data = (0 until 400).map { i =>
+        (s"g${rnd.nextInt(3)}",
+          (rnd.nextLong().abs % (60L * day)) - 10L * day, // spans pre-epoch
+          rnd.nextInt(100).toDouble)
+      }
+      val got = Temporal.seasonalProfile(data.toDF("g", "ts", "v"),
+        "g", "ts", "v").collect()
+        .map(r => (r.getString(0), r.getInt(1)) ->
+          ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val want = data.groupBy { d =>
+        (d._1, ((Math.floorDiv(d._2, day) + 3) % 7).toInt)
+      }
+      assert(got.keySet == want.keySet)
+      want.foreach { case (k, rows) =>
+        val vs = rows.map(_._3)
+        val mean = vs.sum / vs.size
+        val sd = math.sqrt(vs.map(v => (v - mean) * (v - mean)).sum / vs.size)
+        assert(got(k)._1 == vs.size.toLong, s"$k n")
+        assert(math.abs(got(k)._2 - r6(mean)) < 1e-6, s"$k mean")
+        assert(math.abs(got(k)._3 - r6(sd)) < 1e-6, s"$k sd")
+      }
+    }
+  }
 }
