@@ -83,6 +83,94 @@ object Bench {
         .getOrElse(-1.0)
     }
 
+  /** One-off two-decade scaling evidence (GRAFT_BENCH_X100_ONLY=q_a,q_b —
+    * opt-in, never part of the default/driver run): each named query is
+    * timed at 1× and against ×100 replica tables, and the block emits a
+    * self-contained JSON line (`metric: "scale100x"`) with both medians,
+    * the ratio, and both output row counts. Together with the standing
+    * ×10 block this measures two decades of the scaling curve the brief
+    * asks about ("would this survive 100×?") instead of extrapolating
+    * from one.
+    *
+    * Replica text uses a cipher COMPOSED from two disjoint 10-letter
+    * rotation alphabets (rotations i%10 and i/10) so all 100 replicas
+    * carry distinct text — reusing the ×10 block's single alphabet would
+    * make replicas i and i+10 identical, planting 10 exact copies of
+    * every document and measuring a replica² pair-volume explosion
+    * instead of the operators (the round-8 q_minhash_pairs artifact
+    * flaw, one decade up). */
+  private def runScale100(spark: SparkSession, sfDir: String, reps: Int,
+      names: Set[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, max, translate}
+    val factor = 100
+    def rot(s: String, r: Int): String = s.drop(r) + s.take(r)
+    // both alphabets drawn from the synthetic vocabulary's letter set —
+    // a rotation over absent letters would be a no-op cipher
+    val a1 = "aeiounstrl"
+    val a2 = "mcgwhdbpyk"
+    val out = java.nio.file.Files.createTempDirectory("graft_x100")
+    def replicate(table: String, idCols: Seq[String],
+        textCol: Option[String] = None): Long = {
+      val base = spark.read.parquet(s"$sfDir/$table.parquet")
+      val strides = idCols.map(c =>
+        c -> (base.agg(max(col(c))).head().getLong(0) + 1))
+      (0 until factor).map { i =>
+        val idShifted = strides.foldLeft(base) { case (d, (c, st)) =>
+          d.withColumn(c, col(c) + lit(i.toLong * st))
+        }
+        textCol match {
+          case Some(tc) if i > 0 =>
+            idShifted.withColumn(tc, translate(col(tc),
+              a1 + a2, rot(a1, i % 10) + rot(a2, i / 10)))
+          case _ => idShifted
+        }
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$out/$table.parquet")
+      base.count() * factor
+    }
+    try {
+      val rows = Seq(
+        "documents" -> replicate("documents", Seq("doc_id"),
+          textCol = Some("text")),
+        "events" -> replicate("events", Seq("event_id", "user_id")),
+        "embeddings" -> replicate("embeddings", Seq("vec_id")),
+        "lineitem" -> replicate("lineitem", Seq("l_orderkey")),
+        "part" -> replicate("part", Seq("p_partkey")))
+      val picked = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => names.contains(n) }
+      val measured = picked.map { case (name, fn) =>
+        def side(dir: String): (Double, Long) = {
+          try { fn(spark, dir).count() } catch { case _: Throwable => () }
+          var r = -1L
+          val t = medianOrErr(
+            timedReps(reps, () => { r = fn(spark, dir).count(); () }))
+          (t, r)
+        }
+        val (t1, r1) = side(sfDir)
+        val (t100, r100) = side(out.toString)
+        System.err.println(f"[bench] scale100x $name 1x=$t1%.3fs " +
+          f"100x=$t100%.3fs ratio=${if (t1 > 0) t100 / t1 else -1.0}%.2f " +
+          s"rows_out=$r1->$r100")
+        (name, t1, t100, r1, r100)
+      }
+      def obj(f: ((String, Double, Double, Long, Long)) => String) =
+        measured.map(m => "\"" + m._1 + "\":" + f(m)).mkString("{", ",", "}")
+      val line = s"""{"metric":"scale100x","factor":$factor,"reps":$reps""" +
+        s""","rows":${rows.map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString("{", ",", "}")}""" +
+        s""","queries":${obj(_._3.toString)}""" +
+        s""","sec_1x":${obj(_._2.toString)}""" +
+        s""","ratio_vs_1x":${obj(m =>
+          (if (m._2 > 0 && m._3 > 0) m._3 / m._2 else -1.0).toString)}""" +
+        s""","rows_out":${obj(_._5.toString)}""" +
+        s""","rows_out_1x":${obj(_._4.toString)}}"""
+      println(line)
+      val outFile = sys.env.getOrElse("GRAFT_BENCH_OUT", "SCALE100X.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally deleteRecursively(out)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to every core: the contract's bench environment is local[32];
@@ -122,6 +210,15 @@ object Bench {
     // GRAFT_BENCH_X10_ONLY=q_a,q_b: iteration path for the ×10 block —
     // skips the 1× suite and runs only the named scale10x entries
     val x10only = sys.env.get("GRAFT_BENCH_X10_ONLY").map(_.split(",").toSet)
+    // GRAFT_BENCH_X100_ONLY: one-off ×100 evidence mode — runs ONLY the
+    // named queries (1× and ×100), writes its own artifact, and exits
+    sys.env.get("GRAFT_BENCH_X100_ONLY").map(_.split(",").toSet) match {
+      case Some(names) =>
+        runScale100(spark, sfDir, reps, names)
+        spark.stop()
+        return
+      case None => ()
+    }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .filter(_ => x10only.isEmpty)
