@@ -146,8 +146,14 @@ object Bench {
             timedReps(reps, () => { r = fn(spark, dir).count(); () }))
           (t, r)
         }
+        // GC between sides: shuffle files of dead reps are reclaimed only
+        // by the ContextCleaner's GC-driven pass, and two back-to-back
+        // ×100 pair-kernel queries (~15 GB of shuffle/spill per run) can
+        // otherwise exhaust /tmp before the cleaner happens to run
         val (t1, r1) = side(sfDir)
+        System.gc()
         val (t100, r100) = side(out.toString)
+        System.gc()
         System.err.println(f"[bench] scale100x $name 1x=$t1%.3fs " +
           f"100x=$t100%.3fs ratio=${if (t1 > 0) t100 / t1 else -1.0}%.2f " +
           s"rows_out=$r1->$r100")
@@ -179,9 +185,14 @@ object Bench {
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString)
     val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // shuffle partitions default to the core count (the contract setting);
+    // GRAFT_BENCH_SHUFFLE overrides for scale experiments — a ×100 corpus
+    // on 32 fixed partitions measures per-partition hash/sort pressure a
+    // real cluster (whose partition count scales with the data) never sees
+    val shufflePartitions = sys.env.getOrElse("GRAFT_BENCH_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

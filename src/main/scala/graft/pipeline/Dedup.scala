@@ -680,7 +680,31 @@ object Dedup {
 
   /** The AllPairs/PPJoin core over any ("id", "sh" hashed-distinct
     * shingle array) frame — shared by the word-gram and char-gram
-    * faces. */
+    * faces.
+    *
+    * Scale profile (measured, ×100-corpus one-off — SCALE100X.json):
+    * cost is linear in CANDIDATE volume (output and candidates both
+    * scaled exactly ×100; ratio ≈ 107× once 1× fixed overhead is
+    * amortized), and the dominant shuffle is the verify stage's second
+    * join, whose intermediate carries one side's shingle array per
+    * candidate row (~360 B × |candidates|). Two measured notes for a
+    * real cluster: (1) that exchange compresses extremely well at FEW,
+    * LARGE blocks (a doc's array repeats across its clustered
+    * candidates within a block) — raising reduce partitions 32→256 on
+    * one node inflated the on-disk footprint past a 79 GB /tmp
+    * (ENOSPC, reproduced) while the 32-partition contract config
+    * completed comfortably; partition counts at scale should grow with
+    * EXECUTORS, not beyond block-compression locality. (2) If a corpus
+    * ever combines petabyte scale WITH hot-prefix degeneracy (every
+    * shingle frequent, candidates/doc in the hundreds — this synthetic
+    * corpus's shape), the known next step is a block-bundled verify
+    * (1-Bucket-style doc-bucket × doc-bucket cells, arrays replicated
+    * per bucket rather than per candidate: ~B× array traffic instead
+    * of candidates×). Not built: prefix filtering keeps real-corpus
+    * candidate volume near-linear, and the tested alternatives
+    * (positional filter: −8%; Deng 2015 partition signatures: empty-
+    * part collisions dominate at these set sizes) measured no better
+    * on this corpus. */
   private def jaccardPairsOn(shingled: DataFrame,
       threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
