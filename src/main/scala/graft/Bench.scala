@@ -177,6 +177,112 @@ object Bench {
     } finally deleteRecursively(out)
   }
 
+  /** Streaming throughput evidence (GRAFT_BENCH_STREAM=1 — opt-in, never
+    * part of the default/driver run): replays the events table — ×10
+    * user/id-strided replicas, fed in EVENT-TIME order across 20
+    * micro-batches so watermarks advance and state evicts the way a live
+    * source drives them — through the stateful streaming operators, and
+    * records per-operator throughput, output size, and FINAL STATE ROWS.
+    * The suite's streaming specs certify semantics on small batches;
+    * this measures the other half of the claim: sustained rows/s and
+    * state bounded by watermark/keys, not by stream length. */
+  private def runStreamBench(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.EventStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the testdata's ts is TIMESTAMP_NTZ — cast to TIMESTAMP (UTC session)
+    // so the collected rows carry java.sql.Timestamp for the MemoryStream
+    val baseRows = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("ts").cast("timestamp").as("ts"),
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("value"))
+      .orderBy("ts", "event_id").collect()
+    val base = baseRows.map(r => (r.getLong(0), r.getTimestamp(1),
+      r.getLong(2), r.getString(3), r.getDouble(4)))
+    val strideE = base.map(_._1).max + 1
+    val strideU = base.map(_._3).max + 1
+    val replicas = 10
+    val nBatches = 20
+    val chunk = (base.length + nBatches - 1) / nBatches
+    // each micro-batch = one time-slice of the base table × 10 disjoint
+    // user universes — ts stays globally non-decreasing across batches,
+    // so watermarks move forward and closed windows/sessions flush
+    val batches = base.grouped(chunk).map { slice =>
+      (0 until replicas).flatMap(i => slice.map(e =>
+        (e._1 + i * strideE, e._2, e._3 + i * strideU, e._4, e._5)))
+    }.toSeq
+    val rowsIn = batches.map(_.size.toLong).sum
+    def report(name: String, sec: Double, out: Long, state: Long): String = {
+      val rps = (rowsIn / sec).toLong
+      System.err.println(f"[bench] stream $name%-16s $sec%6.2f s  " +
+        f"$rps%9d rows/s  out=$out state_rows=$state")
+      f""""$name":{"sec":$sec%.3f,"rows_per_sec":$rps,"rows_out":$out,"state_rows":$state}"""
+    }
+    def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      Option(q.lastProgress).toSeq.flatMap(_.stateOperators.toSeq)
+        .map(_.numRowsTotal).sum
+    def runDf(name: String, mode: OutputMode)(
+        mk: DataFrame => DataFrame): String = {
+      val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+      val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+      val q = EventStream.startToMemory(mk(df), s"sb_$name", mode)
+      val t0 = System.nanoTime()
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val out = spark.table(s"sb_$name").count()
+      val st = stateRows(q)
+      q.stop()
+      report(name, sec, out, st)
+    }
+    def runTyped(name: String, mode: String)(
+        mk: org.apache.spark.sql.Dataset[EventStream.Event] =>
+          DataFrame): String = {
+      val mem = MemoryStream[EventStream.Event]
+      val q = mk(mem.toDS()).writeStream.format("memory")
+        .queryName(s"sb_$name").outputMode(mode).start()
+      val t0 = System.nanoTime()
+      batches.foreach { b =>
+        mem.addData(b.map(e => EventStream.Event(e._1, e._2, e._3, e._4, e._5)): _*)
+        q.processAllAvailable()
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val out = spark.table(s"sb_$name").count()
+      val st = stateRows(q)
+      q.stop()
+      report(name, sec, out, st)
+    }
+    val ops = Seq(
+      // tumbling watermark aggregate: state = open windows × event types
+      runDf("windowed_counts", OutputMode.Update())(df =>
+        EventStream.windowedCounts(df, "1 minute", "5 minutes")),
+      // exact first-arrival dedup: state bounded by the watermark horizon
+      runDf("dedup", OutputMode.Append())(df =>
+        EventStream.dedupStream(df, Seq("event_id"), "10 minutes")),
+      // native session windows: state = ACTIVE sessions only
+      runDf("session_windows", OutputMode.Append())(df =>
+        EventStream.sessionWindows(df, gap = "30 minutes",
+          watermark = "30 minutes")),
+      // mapGroupsWithState running sessions: state = one row per user
+      runTyped("sessionize", "update")(ds => EventStream.sessionize(ds,
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+        .toDF()),
+      // flatMapGroupsWithState prequential anomaly: 3 doubles per user
+      // flatMapGroupsWithState is declared Append inside the operator
+      runTyped("anomaly", "append")(ds =>
+        EventStream.anomalyStream(ds, minN = 5, zThresh = 3.0).toDF()))
+    val line = s"""{"metric":"stream_bench","rows_in":$rowsIn""" +
+      s""","batches":$nBatches,"ops":{${ops.mkString(",")}}}"""
+    println(line)
+    val outFile = sys.env.getOrElse("GRAFT_BENCH_OUT", "STREAMBENCH.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to every core: the contract's bench environment is local[32];
@@ -229,6 +335,12 @@ object Bench {
         spark.stop()
         return
       case None => ()
+    }
+    // GRAFT_BENCH_STREAM=1: one-off streaming-throughput evidence mode
+    if (sys.env.get("GRAFT_BENCH_STREAM").contains("1")) {
+      runStreamBench(spark, sfDir)
+      spark.stop()
+      return
     }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
