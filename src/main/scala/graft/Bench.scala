@@ -14,8 +14,18 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
-    s(s.length / 2)
+    // true median for even counts too — with reps=2, s(n/2) silently
+    // reported the WORSE of the two samples as the "median"
+    if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
   }
+
+  /** Locale-pinned fixed-point formatting for JSON emission: the f""
+    * interpolator formats in the JVM default locale, which writes
+    * "0,5" under comma-decimal locales and corrupts the artifact
+    * (stderr log lines may stay locale-default; artifacts must not). */
+  private def jd(x: Double, digits: Int): String =
+    String.format(java.util.Locale.ROOT, "%." + digits + "f", Double.box(x))
 
   /** Median of timed reps, or the -1 error marker when ANY rep failed —
     * timing a query's time-to-fail is not a valid sample (round-6 advice:
@@ -108,7 +118,19 @@ object Bench {
     // a rotation over absent letters would be a no-op cipher
     val a1 = "aeiounstrl"
     val a2 = "mcgwhdbpyk"
+    // fail fast on typos BEFORE spending minutes replicating 60M-row
+    // tables: every requested name must be a SparkEntry query or the
+    // ann_frontier pseudo-entry
+    val unknown = names -- SparkEntry.queries.keySet - "ann_frontier"
+    require(unknown.isEmpty,
+      s"GRAFT_BENCH_X100_ONLY: unknown entries ${unknown.mkString(", ")}")
     val out = java.nio.file.Files.createTempDirectory("graft_x100")
+    // all five tables replicate regardless of the selection (accepted
+    // trade: mapping arbitrary query names to the tables they read is
+    // not worth the bookkeeping for an opt-in one-off mode; the
+    // replication is ~1-2 min of the run). Deliberately NOT unified
+    // with the x10 block's replicate10: that twin is driver-contract
+    // path and the two differ in the cipher composition.
     def replicate(table: String, idCols: Seq[String],
         textCol: Option[String] = None): Long = {
       val base = spark.read.parquet(s"$sfDir/$table.parquet")
@@ -226,7 +248,7 @@ object Bench {
             val rec = timed.map(_._2).sum / timed.size
             System.err.println(f"[bench] scale100x ann_frontier($tag) " +
               f"nprobe=$p lat=$lat%.3fs recall=$rec%.2f")
-            f""""nprobe_$p":{"sec":$lat%.3f,"recall":$rec%.2f}"""
+            s""""nprobe_$p":{"sec":${jd(lat, 3)},"recall":${jd(rec, 2)}}"""
           }
           s""""$tag":{${pts.mkString(",")}}"""
         }
@@ -245,7 +267,7 @@ object Bench {
         s""","rows_out":${obj(_._5.toString)}""" +
         s""","rows_out_1x":${obj(_._4.toString)}$annJson}"""
       println(line)
-      val outFile = sys.env.getOrElse("GRAFT_BENCH_OUT", "SCALE100X.json")
+      val outFile = sys.env.getOrElse("GRAFT_BENCH_OUT_X100", "SCALE100X.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } finally deleteRecursively(out)
@@ -295,7 +317,8 @@ object Bench {
       val rps = (rowsIn / sec).toLong
       System.err.println(f"[bench] stream $name%-16s $sec%6.2f s  " +
         f"$rps%9d rows/s  out=$out state_rows=$state")
-      f""""$name":{"sec":$sec%.3f,"rows_per_sec":$rps,"rows_out":$out,"state_rows":$state}"""
+      s""""$name":{"sec":${jd(sec, 3)},"rows_per_sec":$rps""" +
+        s""","rows_out":$out,"state_rows":$state}"""
     }
     def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
       Option(q.lastProgress).toSeq.flatMap(_.stateOperators.toSeq)
@@ -311,6 +334,9 @@ object Bench {
       val out = spark.table(s"sb_$name").count()
       val st = stateRows(q)
       q.stop()
+      // release the memory sink: sb_dedup alone pins 1M output rows in
+      // driver memory for the rest of the run otherwise
+      spark.catalog.dropTempView(s"sb_$name")
       report(name, sec, out, st)
     }
     def runTyped(name: String, mode: String)(
@@ -328,6 +354,7 @@ object Bench {
       val out = spark.table(s"sb_$name").count()
       val st = stateRows(q)
       q.stop()
+      spark.catalog.dropTempView(s"sb_$name")
       report(name, sec, out, st)
     }
     val ops = Seq(
@@ -350,9 +377,12 @@ object Bench {
       runTyped("anomaly", "append")(ds =>
         EventStream.anomalyStream(ds, minN = 5, zThresh = 3.0).toDF()))
     val line = s"""{"metric":"stream_bench","rows_in":$rowsIn""" +
-      s""","batches":$nBatches,"ops":{${ops.mkString(",")}}}"""
+      s""","batches":${batches.size},"ops":{${ops.mkString(",")}}}"""
     println(line)
-    val outFile = sys.env.getOrElse("GRAFT_BENCH_OUT", "STREAMBENCH.json")
+    // mode-specific artifact variable: sharing GRAFT_BENCH_OUT with the
+    // contract bench would let a wrapper that exports it clobber
+    // BENCH_LAST.json with a different-schema line
+    val outFile = sys.env.getOrElse("GRAFT_BENCH_OUT_STREAM", "STREAMBENCH.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
@@ -393,16 +423,10 @@ object Bench {
       spark.range(100000000L).selectExpr("sum(id % 7)").collect()
       (System.nanoTime() - t0) / 1e9
     })
-    val loadBefore = loadProbe()
-    // GRAFT_BENCH_ONLY=q_a,q_b restricts the run (local iteration);
-    // GRAFT_BENCH_VERBOSE=1 prints every rep to stderr (regression triage)
-    val only = sys.env.get("GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    val verbose = sys.env.get("GRAFT_BENCH_VERBOSE").contains("1")
-    // GRAFT_BENCH_X10_ONLY=q_a,q_b: iteration path for the ×10 block —
-    // skips the 1× suite and runs only the named scale10x entries
-    val x10only = sys.env.get("GRAFT_BENCH_X10_ONLY").map(_.split(",").toSet)
     // GRAFT_BENCH_X100_ONLY: one-off ×100 evidence mode — runs ONLY the
-    // named queries (1× and ×100), writes its own artifact, and exits
+    // named queries (1× and ×100), writes its own artifact, and exits.
+    // Dispatched BEFORE the load probe: the probe's result feeds the
+    // suite-vs-baseline guard, which the opt-in modes don't use.
     sys.env.get("GRAFT_BENCH_X100_ONLY").map(_.split(",").toSet) match {
       case Some(names) =>
         runScale100(spark, sfDir, reps, names)
@@ -416,6 +440,14 @@ object Bench {
       spark.stop()
       return
     }
+    val loadBefore = loadProbe()
+    // GRAFT_BENCH_ONLY=q_a,q_b restricts the run (local iteration);
+    // GRAFT_BENCH_VERBOSE=1 prints every rep to stderr (regression triage)
+    val only = sys.env.get("GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val verbose = sys.env.get("GRAFT_BENCH_VERBOSE").contains("1")
+    // GRAFT_BENCH_X10_ONLY=q_a,q_b: iteration path for the ×10 block —
+    // skips the 1× suite and runs only the named scale10x entries
+    val x10only = sys.env.get("GRAFT_BENCH_X10_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .filter(_ => x10only.isEmpty)
@@ -715,7 +747,7 @@ object Bench {
       s"$basePath at load_factor $loadFactor " +
       "(loaded machine? real regression?): " +
       moved.map { case (k, _, r) => f"$k x$r%.2f" }.mkString(", "))
-    val movedJson = moved.map { case (k, _, r) => "\"" + k + "\":" + f"$r%.2f" }
+    val movedJson = moved.map { case (k, _, r) => "\"" + k + "\":" + jd(r, 2) }
       .mkString(""","deltas_gt_2x":{""", ",", "}")
     // Self-ADJUDICATION of every flag (round-9 verdict: a >2× number
     // alone cannot tell a real plan regression from suite-context decay
@@ -743,12 +775,12 @@ object Bench {
           else "reproduced"
         System.err.println(f"[bench] adjudicate $k: suite=$suiteSec%.3fs " +
           f"(x$suiteRatio%.2f) isolated=$iso%.3fs (x$isoRatio%.2f) -> $verdict")
-        "\"" + k + "\":" + f"""{"suite_sec":$suiteSec%.3f,"suite_ratio":$suiteRatio%.2f,""" +
-          f""""isolated_sec":$iso%.3f,"isolated_ratio":$isoRatio%.2f,"verdict":"$verdict"}"""
+        "\"" + k + "\":" + s"""{"suite_sec":${jd(suiteSec, 3)},"suite_ratio":${jd(suiteRatio, 2)},""" +
+          s""""isolated_sec":${jd(iso, 3)},"isolated_ratio":${jd(isoRatio, 2)},"verdict":"$verdict"}"""
       }
       entries.mkString(""","adjudication":{""", ",", "}")
     }
-    val loadJson = f""","load_ref":{"before":$loadBefore%.3f,"after":$loadAfter%.3f},"load_factor":$loadFactor%.2f"""
+    val loadJson = s""","load_ref":{"before":${jd(loadBefore, 3)},"after":${jd(loadAfter, 3)}},"load_factor":${jd(loadFactor, 2)}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows_out":$rowsOut,"sf":"$sfDir","reps":$reps$loadJson$errJson$movedJson$adjudication$scale10x$annFrontier}"""
     println(line)
