@@ -694,17 +694,22 @@ object Dedup {
     * one node inflated the on-disk footprint past a 79 GB /tmp
     * (ENOSPC, reproduced) while the 32-partition contract config
     * completed comfortably; partition counts at scale should grow with
-    * EXECUTORS, not beyond block-compression locality. (2) If a corpus
-    * ever combines petabyte scale WITH hot-prefix degeneracy (every
-    * shingle frequent, candidates/doc in the hundreds — this synthetic
-    * corpus's shape), the known next step is a block-bundled verify
-    * (1-Bucket-style doc-bucket × doc-bucket cells, arrays replicated
-    * per bucket rather than per candidate: ~B× array traffic instead
-    * of candidates×). Not built: prefix filtering keeps real-corpus
-    * candidate volume near-linear, and the tested alternatives
-    * (positional filter: −8%; Deng 2015 partition signatures: empty-
-    * part collisions dominate at these set sizes) measured no better
-    * on this corpus. */
+    * EXECUTORS, not beyond block-compression locality. (2) For corpora
+    * that combine petabyte scale WITH hot-prefix degeneracy (every
+    * shingle frequent, candidates/doc in the hundreds — the synthetic
+    * ×100 corpus's shape), the opt-in BUNDLED verify
+    * (`spark.graft.dedup.bundledVerify=true`, [[bundledVerify]])
+    * replaces the per-candidate array joins with 1-Bucket-style
+    * doc-bucket × doc-bucket cells: each doc's array ships once per
+    * DISTINCT partner bucket (≤ B copies) instead of once per
+    * candidate, and verification runs as a sorted-merge intersect
+    * against per-cell hash maps. Exactness is property-pinned
+    * (DedupPropertySpec: bundled ≡ per-candidate ≡ brute force). Off
+    * by default: prefix filtering keeps real-corpus candidate volume
+    * near-linear and the per-candidate join is the simpler plan there;
+    * the earlier alternatives (positional filter: −8%; Deng 2015
+    * partition signatures: empty-part collisions dominate at these set
+    * sizes) measured no better on this corpus. */
   private def jaccardPairsOn(shingled: DataFrame,
       threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -737,6 +742,20 @@ object Dedup {
           least(col("nsh_p"), col("nsh_f")))
       .select(col("id_p").alias("id_a"), col("id_f").alias("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // opt-in bundled verify for the hot-vocab regime; integral ids only
+    // (the bundling key is a long) — anything else stays on the
+    // per-candidate path regardless of the flag
+    val idIsIntegral = shingled.schema("id").dataType match {
+      case org.apache.spark.sql.types.LongType |
+        org.apache.spark.sql.types.IntegerType |
+        org.apache.spark.sql.types.ShortType |
+        org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    val bundled = idIsIntegral && shingled.sparkSession.conf
+      .getOption("spark.graft.dedup.bundledVerify").exists(_.toBoolean)
+    if (bundled) return bundledVerify(candidates, shDf, threshold,
+      shingled.schema("id").dataType)
     // verify: shuffle-hash joins so both probes reuse the materialized
     // shingle exchange (see minhashDupPairs)
     val shA = shDf.select(col("id").alias("id_a"), col("sh").alias("sh_a"))
@@ -746,6 +765,106 @@ object Dedup {
       .withColumn("jaccard", jaccardPreDistinct(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), Rounding.halfUp(col("jaccard"), 6).alias("jaccard"))
+  }
+
+  /** 1-Bucket-style bundled verification for [[jaccardPairsOn]]'s
+    * candidate set (Okcan & Riedewald 2011's bucket-cell idea applied to
+    * the verify join; opt-in via `spark.graft.dedup.bundledVerify`).
+    *
+    * The per-candidate verify ships one side's full shingle array per
+    * candidate row — linear in CANDIDATES, which is the term that blows
+    * up on hot-vocabulary corpora (measured ×107 at the ×100 decade,
+    * ~54 GB logical). Here both ids hash into `B` buckets
+    * (`spark.graft.dedup.verifyBuckets`, default 16) and a candidate
+    * (a, b) lands in cell (bucket(a), bucket(b)); each doc's array is
+    * shipped once per DISTINCT partner bucket it meets — at most B
+    * copies, however many candidates it has — so array traffic is
+    * bounded by 2·n·B rows instead of |candidates|. Within a cell
+    * (one `cogroup` group) arrays are sorted ONCE per doc and every
+    * candidate verifies by a sorted-merge intersect with a
+    * remaining-elements infeasibility exit (partial intersection plus
+    * the shorter remainder cannot reach ⌈t·(n_a+n_b)/(1+t)⌉ ⇒ the true
+    * Jaccard is < t — exact, never drops a qualifying pair). The merge
+    * replaces [[jaccardPreDistinct]]'s per-pair hash-set intersect AND
+    * the join's per-candidate row assembly, which is where the
+    * per-candidate path's ~460k verifies/s went.
+    *
+    * Exactness: output ≡ the per-candidate path row-for-row (same
+    * double arithmetic — count/(n_a+n_b−count) then
+    * floor(j·10⁶+0.5)/10⁶ — and same candidate set; the cell key is a
+    * pure partition of candidates). Pinned by DedupPropertySpec.
+    *
+    * Scale shape: two exchanges — candidates by cell (16-byte id pairs)
+    * and the bundled arrays by cell (≤ 2·n·B array rows); per-cell
+    * state is the cell's two id→array maps, ~(n/B)·|sh| bytes a side,
+    * tuned by B. Partition count follows executors; cells (B²) should
+    * comfortably exceed the executor count for balance. */
+  private def bundledVerify(candidates: DataFrame, shDf: DataFrame,
+      threshold: Double,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val b = spark.conf.getOption("spark.graft.dedup.verifyBuckets")
+      .map(_.toInt).getOrElse(16)
+    require(b > 0 && b <= 4096, "verifyBuckets must be in [1, 4096]")
+    def bkt(c: Column): Column = pmod(xxhash64(c), lit(b)).cast("int")
+    val cands = candidates.select(
+      (bkt(col("id_a")) * b + bkt(col("id_b"))).alias("_1"),
+      col("id_a").cast("long").alias("_2"),
+      col("id_b").cast("long").alias("_3"))
+      .as[(Int, Long, Long)]
+    // ship lists: one row per (doc, distinct partner bucket, side)
+    val needA = candidates
+      .select(col("id_a").alias("id"), bkt(col("id_b")).alias("ob")).distinct()
+    val needB = candidates
+      .select(col("id_b").alias("id"), bkt(col("id_a")).alias("ob")).distinct()
+    val ships = needA.join(shDf, "id")
+      .select((bkt(col("id")) * b + col("ob")).alias("_1"),
+        lit(0).alias("_2"), col("id").cast("long").alias("_3"),
+        col("sh").alias("_4"))
+      .unionAll(needB.join(shDf, "id")
+        .select((col("ob") * b + bkt(col("id"))).alias("_1"),
+          lit(1).alias("_2"), col("id").cast("long").alias("_3"),
+          col("sh").alias("_4")))
+      .as[(Int, Int, Long, Array[Long])]
+    val verified = cands.groupByKey(_._1).cogroup(ships.groupByKey(_._1)) {
+      (_, cs, ss) =>
+        val left = new java.util.HashMap[Long, Array[Long]]()
+        val right = new java.util.HashMap[Long, Array[Long]]()
+        ss.foreach { case (_, side, id, sh) =>
+          val sorted = sh.clone()
+          java.util.Arrays.sort(sorted)
+          (if (side == 0) left else right).put(id, sorted)
+        }
+        cs.flatMap { case (_, a, bId) =>
+          val sa = left.get(a)
+          val sb = right.get(bId)
+          val na = sa.length
+          val nb = sb.length
+          // J ≥ t ⟺ |∩| ≥ t(na+nb)/(1+t); the epsilon guards the
+          // double ceil from over-rounding an exact boundary (same
+          // hazard class as crossContainment's prefix length)
+          val req = math.ceil(
+            threshold * (na + nb) / (1.0 + threshold) - 1e-9).toInt
+          var i = 0
+          var j = 0
+          var inter = 0
+          var feasible = true
+          while (feasible && i < na && j < nb) {
+            if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
+            else if (sa(i) < sb(j)) i += 1
+            else j += 1
+            if (inter + math.min(na - i, nb - j) < req) feasible = false
+          }
+          val jac = inter.toDouble / (na + nb - inter)
+          if (feasible && jac >= threshold)
+            Some((a, bId, math.floor(jac * 1e6 + 0.5) / 1e6))
+          else None
+        }
+    }
+    verified.toDF("id_a", "id_b", "jaccard")
+      .select(col("id_a").cast(idType), col("id_b").cast(idType),
+        col("jaccard"))
   }
 
   /** Embedding near-dup pairs: cosine ≥ threshold, LSH-bucketed by random

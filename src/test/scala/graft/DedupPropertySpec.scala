@@ -83,6 +83,52 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: bundled verify equals per-candidate path and brute force") {
+    // the bundled path must be row-for-row identical to the default
+    // verify (ids AND rounded jaccard values) at every bucket count,
+    // including B=1 (one cell holds everything) — and both must equal
+    // the brute-force truth
+    for (threshold <- Seq(0.5, 0.7, 0.9); buckets <- Seq(1, 4, 16)) {
+      val docs = (0 until 50).foldLeft(Vector.empty[(Long, String)]) {
+        case (acc, i) =>
+          val text =
+            if (acc.nonEmpty && rnd.nextBoolean()) {
+              val base = acc(rnd.nextInt(acc.size))._2.split(" ").toVector
+              val mut = base.updated(rnd.nextInt(base.size),
+                vocab(rnd.nextInt(vocab.size)))
+              mut.mkString(" ")
+            } else randomDoc(6 + rnd.nextInt(10))
+          acc :+ (i.toLong, text)
+      }
+      def run(): Seq[(Long, Long, Double)] =
+        Dedup.ngramJaccardPairs(docs.toDF("doc_id", "text"),
+          "text", "doc_id", k = 2, threshold = threshold)
+          .select(col("id_a"), col("id_b"), col("jaccard")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      val plain = run()
+      val bundled =
+        try {
+          spark.conf.set("spark.graft.dedup.bundledVerify", "true")
+          spark.conf.set("spark.graft.dedup.verifyBuckets", buckets.toString)
+          run()
+        } finally {
+          spark.conf.unset("spark.graft.dedup.bundledVerify")
+          spark.conf.unset("spark.graft.dedup.verifyBuckets")
+        }
+      assert(bundled == plain,
+        s"t=$threshold B=$buckets: ${bundled.size} vs ${plain.size}; " +
+          s"missing=${plain.diff(bundled).take(3)} " +
+          s"extra=${bundled.diff(plain).take(3)}")
+      val want = (for {
+        (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+        if jaccard(shingles(ta, 2), shingles(tb, 2)) >= threshold
+      } yield (ia, ib)).sorted
+      assert(bundled.map(p => (p._1, p._2)) == want,
+        s"t=$threshold B=$buckets vs brute force: " +
+          s"${bundled.size} vs ${want.size}")
+    }
+  }
+
   test("property: minhash pairs are a sound subset and catch exact dups") {
     val docs = (0 until 40).map { i =>
       (i.toLong, randomDoc(8 + rnd.nextInt(8)))
