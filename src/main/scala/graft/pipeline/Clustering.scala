@@ -190,7 +190,19 @@ object Clustering {
   /** IVF index from a fitted k-means model: `ivf_cell` is the centroid
     * INDEX (map-side argmax assignment — no shuffle). Trained centroids
     * beat [[Similarity.buildIvf]]'s lowest-id sampling on cell balance,
-    * which is what bounds the per-probe scan cost. */
+    * which is what bounds the per-probe scan cost.
+    *
+    * Centroid-scaling rule: k should GROW with the corpus, k ≈ ⌈√n⌉ —
+    * per-probe scan cost is ~n/k rows and probe selection is k
+    * centroid distances, so √n balances the two and keeps BOTH
+    * sublinear as the corpus scales (fixed k degrades to n/k-linear
+    * scans). Measured on clustered 200k-vector geometry
+    * (SCALE100X_ANN.json `ann_clustered_200k`): k=⌈√n⌉=448 reaches
+    * cross-query recall@10 = 1.00 at nProbe=1 (~n/448 ≈ 450 rows
+    * scanned), while a fixed k=64 needs nProbe=8 (~n/8 = 25k rows —
+    * 56× the scan) for the same recall. On the structureless isotropic
+    * testdata no k helps — recall ≈ probed fraction is that geometry's
+    * honest ceiling. */
   def buildIvf(df: DataFrame, vecCol: String, model: KMeansModel): DataFrame =
     assign(df, vecCol, model, "ivf_cell")
 
