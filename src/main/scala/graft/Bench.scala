@@ -40,6 +40,18 @@ object Bench {
   private def medianOrErr(times: Seq[Double]): Double =
     if (times.exists(_ < 0)) -1.0 else median(times)
 
+  /** Print the artifact line and also persist it whole to the file named
+    * by `envVar` (default `defaultFile`): stdout capture can truncate
+    * (BENCH_r06 lost its tail) — the committed artifact must be
+    * self-contained. */
+  private def emitArtifact(envVar: String, defaultFile: String,
+      line: String): Unit = {
+    println(line)
+    val outFile = sys.env.getOrElse(envVar, defaultFile)
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   private def deleteRecursively(root: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     val walk = java.nio.file.Files.walk(root)
@@ -357,10 +369,7 @@ object Bench {
           (if (m._2 > 0 && m._3 > 0) m._3 / m._2 else -1.0).toString)}""" +
         s""","rows_out":${obj(_._5.toString)}""" +
         s""","rows_out_1x":${obj(_._4.toString)}$annJson$annClusteredJson}"""
-      println(line)
-      val outFile = sys.env.getOrElse("GRAFT_BENCH_OUT_X100", "SCALE100X.json")
-      java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      emitArtifact("GRAFT_BENCH_OUT_X100", "SCALE100X.json", line)
     } finally deleteRecursively(out)
   }
 
@@ -399,16 +408,22 @@ object Bench {
     // planning-bound at 50k rows, so throughput must be read at the
     // batch size a real ingest would run
     val replicas = sys.env.getOrElse("GRAFT_BENCH_STREAM_REPLICAS", "10").toInt
+    require(replicas > 0, s"GRAFT_BENCH_STREAM_REPLICAS must be > 0, got $replicas")
     val nBatches = 20
     val chunk = (base.length + nBatches - 1) / nBatches
-    // each micro-batch = one time-slice of the base table × 10 disjoint
-    // user universes — ts stays globally non-decreasing across batches,
-    // so watermarks move forward and closed windows/sessions flush
-    val batches = base.grouped(chunk).map { slice =>
+    // each micro-batch = one time-slice of the base table × `replicas`
+    // disjoint user universes — ts stays globally non-decreasing across
+    // batches, so watermarks move forward and closed windows/sessions
+    // flush. Slices are kept un-expanded and replicated LAZILY per batch
+    // feed: at 100 replicas an eager Seq of expanded batches is ~10M
+    // tuples of driver heap held for the whole 5-operator run, on top of
+    // the copy each op's MemoryStream already retains for its lifetime.
+    val slices = base.grouped(chunk).toSeq
+    def expand(slice: Array[(Long, java.sql.Timestamp, Long, String, Double)])
+        : Seq[(Long, java.sql.Timestamp, Long, String, Double)] =
       (0 until replicas).flatMap(i => slice.map(e =>
         (e._1 + i * strideE, e._2, e._3 + i * strideU, e._4, e._5)))
-    }.toSeq
-    val rowsIn = batches.map(_.size.toLong).sum
+    val rowsIn = base.length.toLong * replicas
     def report(name: String, sec: Double, out: Long, state: Long): String = {
       val rps = (rowsIn / sec).toLong
       System.err.println(f"[bench] stream $name%-16s $sec%6.2f s  " +
@@ -419,21 +434,28 @@ object Bench {
     def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
       Option(q.lastProgress).toSeq.flatMap(_.stateOperators.toSeq)
         .map(_.numRowsTotal).sum
+    // shared feed-and-measure tail: expand each slice lazily, push it
+    // through the op's MemoryStream, then read output/state and release
+    // the memory sink (sb_dedup alone pins 1M output rows in driver
+    // memory for the rest of the run otherwise)
+    def drain(name: String, q: org.apache.spark.sql.streaming.StreamingQuery,
+        feed: Seq[(Long, java.sql.Timestamp, Long, String, Double)] => Unit)
+        : String = {
+      val t0 = System.nanoTime()
+      slices.foreach { s => feed(expand(s)); q.processAllAvailable() }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val out = spark.table(s"sb_$name").count()
+      val st = stateRows(q)
+      q.stop()
+      spark.catalog.dropTempView(s"sb_$name")
+      report(name, sec, out, st)
+    }
     def runDf(name: String, mode: OutputMode)(
         mk: DataFrame => DataFrame): String = {
       val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
       val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
       val q = EventStream.startToMemory(mk(df), s"sb_$name", mode)
-      val t0 = System.nanoTime()
-      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
-      val sec = (System.nanoTime() - t0) / 1e9
-      val out = spark.table(s"sb_$name").count()
-      val st = stateRows(q)
-      q.stop()
-      // release the memory sink: sb_dedup alone pins 1M output rows in
-      // driver memory for the rest of the run otherwise
-      spark.catalog.dropTempView(s"sb_$name")
-      report(name, sec, out, st)
+      drain(name, q, b => mem.addData(b: _*))
     }
     def runTyped(name: String, mode: String)(
         mk: org.apache.spark.sql.Dataset[EventStream.Event] =>
@@ -441,17 +463,8 @@ object Bench {
       val mem = MemoryStream[EventStream.Event]
       val q = mk(mem.toDS()).writeStream.format("memory")
         .queryName(s"sb_$name").outputMode(mode).start()
-      val t0 = System.nanoTime()
-      batches.foreach { b =>
-        mem.addData(b.map(e => EventStream.Event(e._1, e._2, e._3, e._4, e._5)): _*)
-        q.processAllAvailable()
-      }
-      val sec = (System.nanoTime() - t0) / 1e9
-      val out = spark.table(s"sb_$name").count()
-      val st = stateRows(q)
-      q.stop()
-      spark.catalog.dropTempView(s"sb_$name")
-      report(name, sec, out, st)
+      drain(name, q, b => mem.addData(
+        b.map(e => EventStream.Event(e._1, e._2, e._3, e._4, e._5)): _*))
     }
     val ops = Seq(
       // tumbling watermark aggregate: state = open windows × event types
@@ -473,16 +486,13 @@ object Bench {
       runTyped("anomaly", "append")(ds =>
         EventStream.anomalyStream(ds, minN = 5, zThresh = 3.0).toDF()))
     val line = s"""{"metric":"stream_bench","rows_in":$rowsIn""" +
-      s""","batches":${batches.size}""" +
-      s""","rows_per_batch":${rowsIn / batches.size.max(1)}""" +
+      s""","batches":${slices.size}""" +
+      s""","rows_per_batch":${rowsIn / slices.size.max(1)}""" +
       s""","ops":{${ops.mkString(",")}}}"""
-    println(line)
     // mode-specific artifact variable: sharing GRAFT_BENCH_OUT with the
     // contract bench would let a wrapper that exports it clobber
     // BENCH_LAST.json with a different-schema line
-    val outFile = sys.env.getOrElse("GRAFT_BENCH_OUT_STREAM", "STREAMBENCH.json")
-    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    emitArtifact("GRAFT_BENCH_OUT_STREAM", "STREAMBENCH.json", line)
   }
 
   def main(args: Array[String]): Unit = {
@@ -834,7 +844,6 @@ object Bench {
     // guard): a uniformly 3×-slower box stops flagging every query while
     // a genuinely regressed one still trips.
     val loadAfter = loadProbe()
-    val outFile = sys.env.getOrElse("GRAFT_BENCH_OUT", "BENCH_LAST.json")
     val basePath = java.nio.file.Paths.get(sys.env.getOrElse(
       "GRAFT_BENCH_BASELINE", "BENCH_BASELINE_MEDIANS.json"))
     val prev = previousMedians(basePath)
@@ -892,8 +901,12 @@ object Bench {
       val entries = moved.map { case (k, suiteSec, suiteRatio) =>
         val fn = SparkEntry.queries(k)
         val (iso, isoRatio) = isolated(k, fn)
+        // iso < 0 = the re-run itself errored (timedReps' -1 marker) —
+        // distinct from a missing baseline; a failed adjudication must
+        // not masquerade as either verdict
         val v0 =
-          if (isoRatio < 0) "no_baseline"
+          if (iso < 0) "isolated_run_error"
+          else if (isoRatio < 0) "no_baseline"
           else if (dirOf(isoRatio) == 0) "suite_context_noise"
           else if (dirOf(isoRatio) == dirOf(suiteRatio)) named(dirOf(isoRatio))
           else "inconsistent"
@@ -901,11 +914,18 @@ object Bench {
           System.gc()
           val (iso2, iso2Ratio) = isolated(k, fn)
           // two isolated runs agreeing (same out-of-band direction) settle
-          // it — the suite-side flag was the anomaly; anything else stays
-          // "inconsistent" with all three samples in the record
+          // it — but they CONTRADICT the suite flag's direction (that is
+          // what made v0 "inconsistent"), so the verdict words must not
+          // claim the flag "reproduced": *_isolated_consensus = "the two
+          // isolated runs agree with each other, against the suite
+          // sample". Anything else stays "inconsistent" with all three
+          // samples in the record.
           val v1 =
-            if (iso2Ratio >= 0 && dirOf(iso2Ratio) != 0 &&
-              dirOf(iso2Ratio) == dirOf(isoRatio)) named(dirOf(iso2Ratio))
+            if (iso2 < 0) "isolated_run_error"
+            else if (iso2Ratio >= 0 && dirOf(iso2Ratio) != 0 &&
+              dirOf(iso2Ratio) == dirOf(isoRatio))
+              (if (dirOf(iso2Ratio) > 0) "slowdown_isolated_consensus"
+               else "speedup_isolated_consensus")
             else "inconsistent"
           (s""","isolated2_sec":${jd(iso2, 3)},"isolated2_ratio":${jd(iso2Ratio, 2)}""",
             v1)
@@ -920,12 +940,7 @@ object Bench {
     val loadJson = s""","load_ref":{"before":${jd(loadBefore, 3)},"after":${jd(loadAfter, 3)}},"load_factor":${jd(loadFactor, 2)}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows_out":$rowsOut,"sf":"$sfDir","reps":$reps$loadJson$errJson$movedJson$adjudication$scale10x$annFrontier}"""
-    println(line)
-    // the committed artifact must be self-contained: stdout capture can
-    // truncate (BENCH_r06 lost its tail) — always also write the full
-    // line to a file in the repo
-    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    emitArtifact("GRAFT_BENCH_OUT", "BENCH_LAST.json", line)
     spark.stop()
   }
 }
