@@ -40,6 +40,46 @@ object Bench {
   private def medianOrErr(times: Seq[Double]): Double =
     if (times.exists(_ < 0)) -1.0 else median(times)
 
+  /** Guard-band direction of a load-normalized ratio: -1 = faster than
+    * the band, 0 = inside it, 1 = slower. The band matches the flag
+    * condition (>2× or <0.5×). */
+  private[graft] def dirOf(r: Double): Int =
+    if (r > 2.0) 1 else if (r < 0.5) -1 else 0
+
+  /** Verdict on a flagged query's FIRST isolated re-run (pure — the
+    * decision table is spec-pinned). iso < 0 = the re-run itself errored
+    * (timedReps' -1 marker) — distinct from a missing baseline; a failed
+    * adjudication must not masquerade as either verdict. A flag and its
+    * isolated re-run must agree in DIRECTION before a "confirmed"/
+    * "reproduced" word applies; disagreement is "inconsistent" and
+    * triggers exactly one more isolated round. */
+  private[graft] def firstVerdict(suiteRatio: Double, iso: Double,
+      isoRatio: Double): String =
+    if (iso < 0) "isolated_run_error"
+    else if (isoRatio < 0) "no_baseline"
+    else if (dirOf(isoRatio) == 0) "suite_context_noise"
+    else if (dirOf(isoRatio) == dirOf(suiteRatio))
+      (if (dirOf(isoRatio) > 0) "slowdown_reproduced"
+       else "speedup_confirmed")
+    else "inconsistent"
+
+  /** Verdict after the SECOND isolated run (only reached when the first
+    * was "inconsistent"). Two isolated runs agreeing (same out-of-band
+    * direction) settle it — but they CONTRADICT the suite flag's
+    * direction (that is what made round one "inconsistent"), so the
+    * verdict words must not claim the flag "reproduced":
+    * *_isolated_consensus = "the two isolated runs agree with each
+    * other, against the suite sample". Anything else stays
+    * "inconsistent" with all three samples in the record. */
+  private[graft] def secondVerdict(isoRatio: Double, iso2: Double,
+      iso2Ratio: Double): String =
+    if (iso2 < 0) "isolated_run_error"
+    else if (iso2Ratio >= 0 && dirOf(iso2Ratio) != 0 &&
+      dirOf(iso2Ratio) == dirOf(isoRatio))
+      (if (dirOf(iso2Ratio) > 0) "slowdown_isolated_consensus"
+       else "speedup_isolated_consensus")
+    else "inconsistent"
+
   /** Print the artifact line and also persist it whole to the file named
     * by `envVar` (default `defaultFile`): stdout capture can truncate
     * (BENCH_r06 lost its tail) — the committed artifact must be
@@ -894,39 +934,14 @@ object Bench {
           .map(p => iso / p / loadFactor).getOrElse(-1.0)
         (iso, isoRatio)
       }
-      // -1 = faster than the guard band, 0 = inside it, 1 = slower
-      def dirOf(r: Double): Int = if (r > 2.0) 1 else if (r < 0.5) -1 else 0
-      def named(d: Int): String =
-        if (d > 0) "slowdown_reproduced" else "speedup_confirmed"
       val entries = moved.map { case (k, suiteSec, suiteRatio) =>
         val fn = SparkEntry.queries(k)
         val (iso, isoRatio) = isolated(k, fn)
-        // iso < 0 = the re-run itself errored (timedReps' -1 marker) —
-        // distinct from a missing baseline; a failed adjudication must
-        // not masquerade as either verdict
-        val v0 =
-          if (iso < 0) "isolated_run_error"
-          else if (isoRatio < 0) "no_baseline"
-          else if (dirOf(isoRatio) == 0) "suite_context_noise"
-          else if (dirOf(isoRatio) == dirOf(suiteRatio)) named(dirOf(isoRatio))
-          else "inconsistent"
+        val v0 = firstVerdict(suiteRatio, iso, isoRatio)
         val (secondJson, verdict) = if (v0 != "inconsistent") ("", v0) else {
           System.gc()
           val (iso2, iso2Ratio) = isolated(k, fn)
-          // two isolated runs agreeing (same out-of-band direction) settle
-          // it — but they CONTRADICT the suite flag's direction (that is
-          // what made v0 "inconsistent"), so the verdict words must not
-          // claim the flag "reproduced": *_isolated_consensus = "the two
-          // isolated runs agree with each other, against the suite
-          // sample". Anything else stays "inconsistent" with all three
-          // samples in the record.
-          val v1 =
-            if (iso2 < 0) "isolated_run_error"
-            else if (iso2Ratio >= 0 && dirOf(iso2Ratio) != 0 &&
-              dirOf(iso2Ratio) == dirOf(isoRatio))
-              (if (dirOf(iso2Ratio) > 0) "slowdown_isolated_consensus"
-               else "speedup_isolated_consensus")
-            else "inconsistent"
+          val v1 = secondVerdict(isoRatio, iso2, iso2Ratio)
           (s""","isolated2_sec":${jd(iso2, 3)},"isolated2_ratio":${jd(iso2Ratio, 2)}""",
             v1)
         }
