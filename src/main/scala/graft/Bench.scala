@@ -213,12 +213,14 @@ object Bench {
         "part" -> replicate("part", Seq("p_partkey")))
       val picked = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => names.contains(n) }
-      // pseudo-entry: the q_ngram_pairs contract query with the opt-in
-      // 1-Bucket bundled verify enabled — next to a plain q_ngram_pairs
-      // entry in the same artifact the pair (identical rows_out, the
-      // bundled ratio) IS the hot-vocab mitigation evidence. The conf is
-      // read at plan-construction time, so set → construct → unset keeps
-      // the flag from leaking into the other measured queries.
+      // pseudo-entry: the q_ngram_pairs contract query with the
+      // 1-Bucket bundled verify FORCED — next to a plain (auto-mode)
+      // q_ngram_pairs entry in the same artifact the pair shows both
+      // that the bundled kernel holds its ratio and that auto agrees
+      // with the forced choice on the degenerate corpus (identical
+      // rows_out, verify_paths records each side's decision). The conf
+      // is read at plan-construction time, so set → construct → unset
+      // keeps the flag from leaking into the other measured queries.
       val bundledEntry: Seq[(String, (SparkSession, String) =>
           org.apache.spark.sql.DataFrame)] =
         if (!names.contains("ngram_pairs_bundled")) Seq.empty
@@ -228,25 +230,38 @@ object Bench {
           finally s.conf.unset("spark.graft.dedup.bundledVerify")
         })
       val measured = (picked ++ bundledEntry).map { case (name, fn) =>
-        def side(dir: String): (Double, Long) = {
+        // capture the AllPairs verify-path decision the kernel takes on
+        // each side (auto mode picks from the df-histogram estimate —
+        // the artifact must show WHICH path ran at each scale). The
+        // sentinel reset keeps a previous query's decision from leaking
+        // into queries that never plan a jaccard kernel.
+        def side(dir: String): (Double, Long, String) = {
+          pipeline.Dedup.lastVerifyDecision =
+            pipeline.Dedup.VerifyDecision("", forced = false, -1.0)
           try { fn(spark, dir).count() } catch { case _: Throwable => () }
           var r = -1L
           val t = medianOrErr(
             timedReps(reps, () => { r = fn(spark, dir).count(); () }))
-          (t, r)
+          val d = pipeline.Dedup.lastVerifyDecision
+          val ds = if (d.path.isEmpty) ""
+            else if (d.forced) s"${d.path}(forced)"
+            else f"${d.path}(auto,est=${d.estCandPerDoc}%.1f)"
+          (t, r, ds)
         }
         // GC between sides: shuffle files of dead reps are reclaimed only
         // by the ContextCleaner's GC-driven pass, and two back-to-back
         // ×100 pair-kernel queries (~15 GB of shuffle/spill per run) can
         // otherwise exhaust /tmp before the cleaner happens to run
-        val (t1, r1) = side(sfDir)
+        val (t1, r1, d1) = side(sfDir)
         System.gc()
-        val (t100, r100) = side(out.toString)
+        val (t100, r100, d100) = side(out.toString)
         System.gc()
         System.err.println(f"[bench] scale100x $name 1x=$t1%.3fs " +
           f"100x=$t100%.3fs ratio=${if (t1 > 0) t100 / t1 else -1.0}%.2f " +
-          s"rows_out=$r1->$r100")
-        (name, t1, t100, r1, r100)
+          s"rows_out=$r1->$r100" +
+          (if (d1.nonEmpty || d100.nonEmpty)
+            s" verify=$d1->$d100" else ""))
+        (name, t1, t100, r1, r100, d1, d100)
       }
       // "ann_frontier" (not a SparkEntry query): the recall/latency dial
       // measured at ×100 corpus size — 200k vectors, k=64 coarse
@@ -398,8 +413,14 @@ object Bench {
           s""""n_clusters":$nClusters,"dim":$dim,"noise":0.3,""" +
           s""""queries":$nq,${modelCurve(kRoot)},${modelCurve(64)}}"""
       }
-      def obj(f: ((String, Double, Double, Long, Long)) => String) =
+      def obj(f: ((String, Double, Double, Long, Long, String, String))
+          => String) =
         measured.map(m => "\"" + m._1 + "\":" + f(m)).mkString("{", ",", "}")
+      val verifyPaths = measured
+        .filter(m => m._6.nonEmpty || m._7.nonEmpty)
+        .map(m => "\"" + m._1 + "\":{\"at_1x\":\"" + m._6 +
+          "\",\"at_100x\":\"" + m._7 + "\"}")
+        .mkString("{", ",", "}")
       val line = s"""{"metric":"scale100x","factor":$factor,"reps":$reps""" +
         s""","rows":${rows.map { case (k, v) => "\"" + k + "\":" + v }
           .mkString("{", ",", "}")}""" +
@@ -408,7 +429,8 @@ object Bench {
         s""","ratio_vs_1x":${obj(m =>
           (if (m._2 > 0 && m._3 > 0) m._3 / m._2 else -1.0).toString)}""" +
         s""","rows_out":${obj(_._5.toString)}""" +
-        s""","rows_out_1x":${obj(_._4.toString)}$annJson$annClusteredJson}"""
+        s""","rows_out_1x":${obj(_._4.toString)}""" +
+        s""","verify_paths":$verifyPaths$annJson$annClusteredJson}"""
       emitArtifact("GRAFT_BENCH_OUT_X100", "SCALE100X.json", line)
     } finally deleteRecursively(out)
   }

@@ -129,6 +129,87 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: forced-bundled equals auto on string ids (hashed-id path)") {
+    // non-integral ids exercise the xxhash64 bundling key + dictionary
+    // join-back; output must be identical to the per-candidate path on
+    // the ORIGINAL string ids
+    val docs = (0 until 40).map { i =>
+      val text =
+        if (i % 2 == 1) randomDoc(6 + rnd.nextInt(8))
+        else randomDoc(8)
+      (f"doc-$i%03d", text)
+    }
+    def run(): Seq[(String, String, Double)] =
+      Dedup.ngramJaccardPairs(docs.toDF("doc_id", "text"),
+        "text", "doc_id", k = 2, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), col("jaccard")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+        .sorted.toSeq
+    val plain =
+      try {
+        spark.conf.set("spark.graft.dedup.bundledVerify", "false")
+        run()
+      } finally spark.conf.unset("spark.graft.dedup.bundledVerify")
+    assert(Dedup.lastVerifyDecision ==
+      Dedup.VerifyDecision("per-candidate", forced = true, -1.0))
+    val bundled =
+      try {
+        spark.conf.set("spark.graft.dedup.bundledVerify", "true")
+        run()
+      } finally spark.conf.unset("spark.graft.dedup.bundledVerify")
+    assert(Dedup.lastVerifyDecision ==
+      Dedup.VerifyDecision("bundled", forced = true, -1.0))
+    assert(bundled == plain,
+      s"${bundled.size} vs ${plain.size}; " +
+        s"missing=${plain.diff(bundled).take(3)} " +
+        s"extra=${bundled.diff(plain).take(3)}")
+    // auto mode must pick one of the two paths, record its estimate,
+    // and produce the same rows either way
+    val auto = run()
+    val d = Dedup.lastVerifyDecision
+    assert(!d.forced && d.estCandPerDoc >= 0.0, d.toString)
+    assert(auto == plain)
+  }
+
+  test("auto verify-path estimator separates degenerate from diverse corpora") {
+    // degenerate: every doc is the same sentence → one hot shingle set,
+    // candidates/doc ≈ n → must pick bundled. Diverse: long random docs
+    // over a large synthetic vocab → sparse prefixes → per-candidate.
+    val hot = (0 until 900).map(i => (i.toLong, "alpha beta gamma delta"))
+    Dedup.ngramJaccardPairs(hot.toDF("doc_id", "text"),
+      "text", "doc_id", k = 2, threshold = 0.8).count()
+    val dHot = Dedup.lastVerifyDecision
+    assert(dHot.path == "bundled" && !dHot.forced &&
+      dHot.estCandPerDoc > 256.0, dHot.toString)
+    val wide = (0 until 300).map { i =>
+      val words = Seq.fill(20)(s"w${rnd.nextInt(5000)}")
+      (i.toLong, words.mkString(" "))
+    }
+    Dedup.ngramJaccardPairs(wide.toDF("doc_id", "text"),
+      "text", "doc_id", k = 2, threshold = 0.8).count()
+    val dWide = Dedup.lastVerifyDecision
+    assert(dWide.path == "per-candidate" && !dWide.forced &&
+      dWide.estCandPerDoc < 256.0, dWide.toString)
+  }
+
+  test("auto decisions are memoized per canonicalized plan + threshold") {
+    val docs = (0 until 60).map(i => (i.toLong, randomDoc(10)))
+    def build() = Dedup.ngramJaccardPairs(docs.toDF("doc_id", "text"),
+      "text", "doc_id", k = 2, threshold = 0.6)
+    val before = Dedup.estimatorRuns
+    build()
+    val afterFirst = Dedup.estimatorRuns
+    assert(afterFirst == before + 1,
+      s"first construction must run the estimator ($before -> $afterFirst)")
+    build(); build()
+    assert(Dedup.estimatorRuns == afterFirst,
+      "re-constructions of the same query must hit the decision cache")
+    // a different threshold is a different decision
+    Dedup.ngramJaccardPairs(docs.toDF("doc_id", "text"),
+      "text", "doc_id", k = 2, threshold = 0.9)
+    assert(Dedup.estimatorRuns == afterFirst + 1)
+  }
+
   test("property: minhash pairs are a sound subset and catch exact dups") {
     val docs = (0 until 40).map { i =>
       (i.toLong, randomDoc(8 + rnd.nextInt(8)))
