@@ -49,7 +49,11 @@ object Bench {
   /** Verdict on a flagged query's FIRST isolated re-run (pure — the
     * decision table is spec-pinned). iso < 0 = the re-run itself errored
     * (timedReps' -1 marker) — distinct from a missing baseline; a failed
-    * adjudication must not masquerade as either verdict. A flag and its
+    * adjudication must not masquerade as either verdict. The
+    * "no_baseline" branch is DEFENSIVE: the only current call site
+    * builds its flag set from positive baselines, so isoRatio is never
+    * -1 there — the branch exists so the spec-pinned table covers the
+    * full input domain, not just today's reachable states. A flag and its
     * isolated re-run must agree in DIRECTION before a "confirmed"/
     * "reproduced" word applies; disagreement is "inconsistent" and
     * triggers exactly one more isolated round. */
@@ -79,6 +83,92 @@ object Bench {
       (if (dirOf(iso2Ratio) > 0) "slowdown_isolated_consensus"
        else "speedup_isolated_consensus")
     else "inconsistent"
+
+  /** Accumulates shuffle traffic across all tasks (local mode: one
+    * process, so a plain listener + atomics see every task). Snapshots
+    * around each query attribute its shuffle volume — the field the
+    * adjudicator needs to tell "this query moved 2× because it shuffled
+    * 30 GB while the suite's disk was full" from bare noise. */
+  private final class ShuffleListener
+      extends org.apache.spark.scheduler.SparkListener {
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val write = new java.util.concurrent.atomic.AtomicLong
+    val spilled = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spilled.addAndGet(m.diskBytesSpilled)
+      }
+    }
+  }
+
+  /** Daemon poller tracking the MINIMUM free space of the scratch
+    * filesystem (= peak usage) since the last reset — the r10/r11 ×100
+    * failures were /tmp exhaustion that `du` after the fact could not
+    * see (deleted-but-open spill files). 100 ms polling bounds the blind
+    * spot; a query's peak-tmp attribution is startFree − minFree. */
+  private final class TmpPeakPoller(dir: java.nio.file.Path)
+      extends Thread("graft-tmp-peak") {
+    setDaemon(true)
+    @volatile private var minFree = Long.MaxValue
+    @volatile private var stopped = false
+    def free(): Long =
+      try java.nio.file.Files.getFileStore(dir).getUsableSpace
+      catch { case _: Throwable => -1L }
+    def reset(): Long = { val f = free(); minFree = f; f }
+    def minFreeSinceReset(): Long = minFree
+    def shutdown(): Unit = stopped = true
+    override def run(): Unit =
+      while (!stopped) {
+        val f = free()
+        if (f >= 0 && f < minFree) minFree = f
+        Thread.sleep(100)
+      }
+  }
+
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
+  private def cachedStorage(spark: SparkSession): (Int, Long) =
+    try {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      (infos.map(_.numCachedPartitions).sum,
+        infos.map(i => i.memSize + i.diskSize).sum)
+    } catch { case _: Throwable => (-1, -1L) }
+
+  /** Attribution snapshot taken around a query's measured window. */
+  private final case class Attribution(gcMs: Long, shufReadMb: Double,
+      shufWriteMb: Double, spillMb: Double, tmpPeakMb: Double,
+      storageParts: Int, storageMb: Double) {
+    def json: String =
+      s"""{"gc_ms":$gcMs,"shuf_rd_mb":${jd(shufReadMb, 1)},""" +
+        s""""shuf_wr_mb":${jd(shufWriteMb, 1)},"spill_mb":${jd(spillMb, 1)},""" +
+        s""""tmp_peak_mb":${jd(tmpPeakMb, 1)},"cached_parts":$storageParts,""" +
+        s""""cached_mb":${jd(storageMb, 1)}}"""
+  }
+
+  private def attributed[A](spark: SparkSession, sl: ShuffleListener,
+      poller: TmpPeakPoller)(body: => A): (A, Attribution) = {
+    val gc0 = gcMillis()
+    val rd0 = sl.read.get(); val wr0 = sl.write.get()
+    val sp0 = sl.spilled.get()
+    val free0 = poller.reset()
+    val out = body
+    val (parts, bytes) = cachedStorage(spark)
+    val mb = 1.0 / (1024 * 1024)
+    val peak =
+      if (free0 < 0) -1.0
+      else math.max(0L, free0 - poller.minFreeSinceReset()) * mb
+    (out, Attribution(gcMillis() - gc0,
+      (sl.read.get() - rd0) * mb, (sl.write.get() - wr0) * mb,
+      (sl.spilled.get() - sp0) * mb, peak, parts, bytes * mb))
+  }
 
   /** Print the artifact line and also persist it whole to the file named
     * by `envVar` (default `defaultFile`): stdout capture can truncate
@@ -502,16 +592,22 @@ object Bench {
     // memory for the rest of the run otherwise)
     def drain(name: String, q: org.apache.spark.sql.streaming.StreamingQuery,
         feed: Seq[(Long, java.sql.Timestamp, Long, String, Double)] => Unit)
-        : String = {
-      val t0 = System.nanoTime()
-      slices.foreach { s => feed(expand(s)); q.processAllAvailable() }
-      val sec = (System.nanoTime() - t0) / 1e9
-      val out = spark.table(s"sb_$name").count()
-      val st = stateRows(q)
-      q.stop()
-      spark.catalog.dropTempView(s"sb_$name")
-      report(name, sec, out, st)
-    }
+        : String =
+      // stop + drop in finally: a failing op must not leak its running
+      // query and memory sink into the remaining ops' measurements
+      try {
+        val t0 = System.nanoTime()
+        slices.foreach { s => feed(expand(s)); q.processAllAvailable() }
+        val sec = (System.nanoTime() - t0) / 1e9
+        val out = spark.table(s"sb_$name").count()
+        val st = stateRows(q)
+        report(name, sec, out, st)
+      } finally {
+        try q.stop() finally {
+          try spark.catalog.dropTempView(s"sb_$name")
+          catch { case _: Throwable => () }
+        }
+      }
     def runDf(name: String, mode: OutputMode)(
         mk: DataFrame => DataFrame): String = {
       val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
@@ -621,25 +717,41 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .filter(_ => x10only.isEmpty)
+    // per-query attribution plumbing (r11 verdict: a 25× in-suite
+    // excursion adjudicated to "noise" with no attribution fields is
+    // not an explanation — every flag must carry gc/shuffle/disk/storage
+    // evidence for OR against suite-context pressure)
+    val shuffleListener = new ShuffleListener
+    spark.sparkContext.addSparkListener(shuffleListener)
+    val tmpPoller = new TmpPeakPoller(java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp")))
+    tmpPoller.start()
     val results = selected.map { case (name, fn) =>
-      // one unmeasured warmup per query (JIT + page cache), then timed reps
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      // result row count rides along from the last rep: output volume is
-      // the denominator every per-query ratio needs (a pair op whose time
-      // doubled because its OUTPUT doubled is not a regression)
-      var rows = -1L
-      val times = timedReps(reps, () => { rows = fn(spark, sfDir).count(); () })
-      if (verbose) System.err.println(
-        s"[bench] $name reps=${times.map(t => f"$t%.3f").mkString(",")}")
-      (name, medianOrErr(times), rows)
+      val ((med, rows), attr) =
+        attributed(spark, shuffleListener, tmpPoller) {
+          // one unmeasured warmup per query (JIT + page cache), then
+          // timed reps
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+          // result row count rides along from the last rep: output
+          // volume is the denominator every per-query ratio needs (a
+          // pair op whose time doubled because its OUTPUT doubled is
+          // not a regression)
+          var rows = -1L
+          val times =
+            timedReps(reps, () => { rows = fn(spark, sfDir).count(); () })
+          if (verbose) System.err.println(
+            s"[bench] $name reps=${times.map(t => f"$t%.3f").mkString(",")}")
+          (medianOrErr(times), rows)
+        }
+      (name, med, rows, attr)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val rowsOut = results.map { case (k, _, r) => "\"" + k + "\":" + r }
+    val rowsOut = results.map { case (k, _, r, _) => "\"" + k + "\":" + r }
       .mkString("{", ",", "}")
     // errored queries (-1 marker) are excluded from the total and listed
     // explicitly — a time-to-fail must not masquerade as throughput
-    val errored = results.collect { case (k, v, _) if v < 0 => k }
+    val errored = results.collect { case (k, v, _, _) if v < 0 => k }
     val total = results.map(_._2).filter(_ >= 0).sum
     // Standing 10×-volume block (full runs only): the text operators
     // re-run against a materialized ×10 documents table so sublinearity
@@ -732,7 +844,7 @@ object Bench {
         // 1× output rows come from the main suite's results map — the
         // ×10 entries re-run the same fns verbatim, so the pair is the
         // self-explaining denominator the ×100 artifacts already carry
-        val rows1x = results.map { case (k, _, r) => k -> r }.toMap
+        val rows1x = results.map { case (k, _, r, _) => k -> r }.toMap
         val qRows = scaleQs.map { name =>
           val fn = SparkEntry.queries(name)
           // output row count rides along from the final rep — for the
@@ -834,7 +946,7 @@ object Bench {
         }
         (n, (qRows.map { case (k, v, r, r1) => (k, v, -2.0, r, r1) } ++ ownRows))
       } finally deleteRecursively(x10path)
-      val base1x = results.map { case (k, v, _) => k -> v }.toMap
+      val base1x = results.map { case (k, v, _, _) => k -> v }.toMap
       val sq = rows.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val srows = rows.map { case (k, _, _, r, _) => "\"" + k + "\":" + r }
@@ -851,44 +963,73 @@ object Bench {
       s""","scale10x":{"rows":$n,"queries":$sq,"rows_out":$srows,"rows_out_1x":$srows1,"ratio_vs_1x":$ratios}"""
     } else ""
     // ANN probe/recall frontier (full runs only): recall@10 and median
-    // latency of the k-means IVF search as nProbe sweeps 1→8 — the
-    // accuracy/latency dial measured on the real corpus rather than
-    // asserted from the plan. Model fit, index build and the brute-force
-    // ground truth sit OUTSIDE the timers: index construction amortizes
-    // across queries in production; the timed op is the per-query search.
+    // latency of the DEFAULT-dial IVF search (Similarity.buildIvf —
+    // k-means centroids, k = ⌈√n⌉) as nProbe sweeps 1→8. Model fit,
+    // index build and the brute-force ground truth sit OUTSIDE the
+    // timers: index construction amortizes across queries in production;
+    // the timed op is the per-query search. TWO geometries: the real
+    // testdata corpus (isotropic random vectors — recall there is
+    // fraction-bound, the honest ceiling that geometry allows, recorded
+    // as such) and a same-size CLUSTERED synthetic corpus (the structure
+    // real embedding corpora have), where the √n dial must deliver
+    // high recall at nProbe=1 — the positive evidence the isotropic
+    // corpus cannot provide. Cluster/noise recipe matches the x100
+    // ann_clustered block.
     val annFrontier = if (only.isEmpty && x10only.isEmpty) {
-      import org.apache.spark.sql.functions.col
-      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      val model = pipeline.Clustering.fitKMeans(
-        emb, "embedding", "vec_id", k = 16, maxIter = 4)
+      import org.apache.spark.sql.functions.{col, lit, expr}
       val ivfPath = java.nio.file.Files.createTempDirectory("graft_ivf")
-      try {
-        pipeline.Clustering.buildIvf(emb, "embedding", model)
-          .write.mode("overwrite").parquet(s"$ivfPath/ivf.parquet")
-        val ivf = spark.read.parquet(s"$ivfPath/ivf.parquet")
-        val qv = emb.filter(col("vec_id") === 0)
+      def sweep(tag: String, corpus: org.apache.spark.sql.DataFrame)
+          : String = {
+        val index = pipeline.Similarity.buildIvf(corpus, "embedding", "vec_id")
+        index.cells
+          .write.mode("overwrite").parquet(s"$ivfPath/ivf_$tag.parquet")
+        val ivf = spark.read.parquet(s"$ivfPath/ivf_$tag.parquet")
+        val k = index.model.centroids.size
+        val qv = corpus.filter(col("vec_id") === 0)
           .select("embedding").head().getSeq[Float](0)
         val truth = pipeline.Similarity
-          .bruteForceTopK(emb, "embedding", "vec_id", qv, 10)
+          .bruteForceTopK(corpus, "embedding", "vec_id", qv, 10)
           .select("vec_id").collect().map(_.getLong(0)).toSet
         val pts = Seq(1, 2, 4, 8).map { p =>
           def run(): Unit = {
             pipeline.Clustering.ivfTopK(
-              ivf, "embedding", "vec_id", qv, model, k = 10, nProbe = p)
+              ivf, "embedding", "vec_id", qv, index.model, k = 10, nProbe = p)
               .count()
             ()
           }
           run() // unmeasured warmup
           val t = medianOrErr(timedReps(reps, () => run()))
           val got = pipeline.Clustering.ivfTopK(
-            ivf, "embedding", "vec_id", qv, model, k = 10, nProbe = p)
+            ivf, "embedding", "vec_id", qv, index.model, k = 10, nProbe = p)
             .select("vec_id").collect().map(_.getLong(0)).toSet
           val rec = truth.intersect(got).size.toDouble / truth.size
           if (verbose) System.err.println(
-            f"[bench] ann_frontier nprobe=$p sec=$t%.3f recall=$rec%.2f")
+            f"[bench] ann_frontier($tag) k=$k nprobe=$p sec=$t%.3f recall=$rec%.2f")
           s""""nprobe_$p":{"sec":$t,"recall":$rec}"""
         }
-        s""","ann_frontier":{${pts.mkString(",")}}"""
+        s""""$tag":{"k_centroids":$k,${pts.mkString(",")}}"""
+      }
+      try {
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val nVec = emb.count()
+        val dim = emb.select(org.apache.spark.sql.functions
+          .size(col("embedding"))).head().getInt(0)
+        val nClusters = math.max(2, (nVec / 100).toInt)
+        // clustered synthetic twin: hash-derived cluster centers +
+        // 0.3-scale per-component noise (same recipe as the ×100
+        // ann_clustered evidence)
+        val clustered = spark.range(nVec).select(col("id").alias("vec_id"))
+          .withColumn("cl", org.apache.spark.sql.functions
+            .pmod(org.apache.spark.sql.functions
+              .xxhash64(col("vec_id"), lit(7)), lit(nClusters)))
+          .withColumn("embedding", expr(
+            s"transform(sequence(0, ${dim - 1}), j -> cast(" +
+              "(pmod(xxhash64(cl, j, 11), 2001) - 1000) / 1000.0 + " +
+              "0.3 * (pmod(xxhash64(vec_id, j, 13), 2001) - 1000) / 1000.0" +
+              " as float))"))
+          .select("vec_id", "embedding")
+        s""","ann_frontier":{"note":"isotropic = real testdata (no cluster structure; recall is probed-fraction-bound there), clustered = same-size synthetic with real-corpus structure",""" +
+          s"${sweep("isotropic", emb)},${sweep("clustered", clustered)}}"
       } finally deleteRecursively(ivfPath)
     } else ""
     val errJson = if (errored.nonEmpty)
@@ -913,7 +1054,7 @@ object Bench {
     val loadFactor =
       if (prevLoad > 0) (((loadBefore + loadAfter) / 2) / prevLoad).max(1.0)
       else 1.0
-    val moved = results.flatMap { case (k, v, _) =>
+    val moved = results.flatMap { case (k, v, _, _) =>
       prev.get(k).collect { case p if p > 0 && v > 0 && {
         val r = v / p / loadFactor; r > 2.0 || r < 0.5
       } => (k, v, v / p / loadFactor) }
@@ -948,35 +1089,52 @@ object Bench {
       // evidence either way.
       def isolated(k: String,
           fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-          : (Double, Double) = {
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        val iso = medianOrErr(
-          timedReps(reps, () => { fn(spark, sfDir).count(); () }))
+          : (Double, Double, Attribution) = {
+        val (iso, attr) = attributed(spark, shuffleListener, tmpPoller) {
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+          medianOrErr(
+            timedReps(reps, () => { fn(spark, sfDir).count(); () }))
+        }
         val isoRatio = prev.get(k).filter(_ > 0)
           .map(p => iso / p / loadFactor).getOrElse(-1.0)
-        (iso, isoRatio)
+        (iso, isoRatio, attr)
       }
+      val suiteAttr = results.map { case (k, _, _, a) => k -> a }.toMap
       val entries = moved.map { case (k, suiteSec, suiteRatio) =>
         val fn = SparkEntry.queries(k)
-        val (iso, isoRatio) = isolated(k, fn)
+        val (iso, isoRatio, isoAttr) = isolated(k, fn)
         val v0 = firstVerdict(suiteRatio, iso, isoRatio)
         val (secondJson, verdict) = if (v0 != "inconsistent") ("", v0) else {
           System.gc()
-          val (iso2, iso2Ratio) = isolated(k, fn)
+          val (iso2, iso2Ratio, _) = isolated(k, fn)
           val v1 = secondVerdict(isoRatio, iso2, iso2Ratio)
           (s""","isolated2_sec":${jd(iso2, 3)},"isolated2_ratio":${jd(iso2Ratio, 2)}""",
             v1)
         }
         System.err.println(f"[bench] adjudicate $k: suite=$suiteSec%.3fs " +
           f"(x$suiteRatio%.2f) isolated=$iso%.3fs (x$isoRatio%.2f) -> $verdict")
+        // every verdict — suite_context_noise especially — carries the
+        // suite-window vs isolated-window attribution so a flag is
+        // explainable from the artifact alone (gc pressure? a 30 GB
+        // shuffle? /tmp at peak? leaked cached partitions?)
         "\"" + k + "\":" + s"""{"suite_sec":${jd(suiteSec, 3)},"suite_ratio":${jd(suiteRatio, 2)},""" +
-          s""""isolated_sec":${jd(iso, 3)},"isolated_ratio":${jd(isoRatio, 2)}$secondJson,"verdict":"$verdict"}"""
+          s""""isolated_sec":${jd(iso, 3)},"isolated_ratio":${jd(isoRatio, 2)}$secondJson,"verdict":"$verdict",""" +
+          s""""suite_attr":${suiteAttr.get(k).map(_.json).getOrElse("null")},""" +
+          s""""isolated_attr":${isoAttr.json}}"""
       }
       entries.mkString(""","adjudication":{""", ",", "}")
     }
     val loadJson = s""","load_ref":{"before":${jd(loadBefore, 3)},"after":${jd(loadAfter, 3)}},"load_factor":${jd(loadFactor, 2)}"""
+    // full per-query attribution (suite window = warmup + reps): the
+    // adjudicator's raw material, and the record that lets a LATER
+    // reader attribute a flag that only shows up against next round's
+    // baseline. ~191 compact objects, a few tens of KB.
+    val attrJson = results
+      .map { case (k, _, _, a) => "\"" + k + "\":" + a.json }
+      .mkString(""","suite_attr":{""", ",", "}")
+    tmpPoller.shutdown()
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows_out":$rowsOut,"sf":"$sfDir","reps":$reps$loadJson$errJson$movedJson$adjudication$scale10x$annFrontier}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows_out":$rowsOut,"sf":"$sfDir","reps":$reps$loadJson$errJson$movedJson$adjudication$attrJson$scale10x$annFrontier}"""
     emitArtifact("GRAFT_BENCH_OUT", "BENCH_LAST.json", line)
     spark.stop()
   }

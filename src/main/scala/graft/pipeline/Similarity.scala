@@ -103,53 +103,57 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF-style ANN: coarse quantization by nearest sampled centroid.
+  /** IVF index handle: the cell-assigned corpus plus the coarse model
+    * that maps a query to its probe cells driver-side (zero jobs at
+    * search time). Persist `cells` partitioned by `ivf_cell`
+    * ([[Clustering.writeIvfPartitioned]]) and probes prune at file
+    * level. */
+  final case class IvfIndex(cells: DataFrame, model: Clustering.KMeansModel)
+
+  /** IVF-style ANN: coarse quantization by nearest centroid.
     *
-    * `buildIvf` samples `nCentroids` corpus vectors deterministically (by
-    * lowest id — a stand-in for k-means; centroid quality affects recall,
-    * not correctness) and assigns every vector to its nearest centroid via
-    * a broadcast of the tiny centroid table. The assignment column
-    * partitions the corpus; `ivfTopK` scores only the `nProbe` centroids
-    * closest to the query — the classic inverted-file search shape, where
-    * scan cost drops from O(corpus) to O(corpus · nProbe / nCentroids). */
+    * Default dial (nCentroids = 0 → auto): spherical-k-means centroids
+    * ([[Clustering.fitKMeans]], iterations capped at `maxIter`) with
+    * k = ⌈√n⌉ — the centroid-scaling rule PROVEN on clustered 200k-vector
+    * geometry (SCALE100X_ANN.json: recall@10 = 1.00 at nProbe=1 vs 0.3
+    * for fixed small k): per-probe scan cost is ~n/k rows and probe
+    * selection is k centroid distances, so √n keeps both sublinear as
+    * the corpus grows. Tiny corpora (n ≤ 256) skip the fit — centroids
+    * are the lowest-id valid vectors (k-means on a handful of rows buys
+    * nothing; determinism is what matters there). Explicit `nCentroids`
+    * overrides k but keeps the k-means fit.
+    *
+    * Assignment is one map-side pass (broadcast centroid table inside a
+    * native argmax expression) — no shuffle. Null/empty/NaN-poisoned
+    * vectors are never centroids and assign a null cell, dropping out of
+    * every probe. Build cost: one count (auto-k), the capped fit, one
+    * assignment pass — amortized across every query served. */
   def buildIvf(df: DataFrame, vecCol: String, idCol: String,
-      nCentroids: Int = 16): DataFrame = {
-    // the centroid table is tiny by construction — fetch it driver-side
-    // (one nCentroids-row job) and ship it inside a native argmax
-    // expression: assignment becomes a single map-side pass over the
-    // corpus, with no ×nCentroids expansion, no shuffle, no window.
-    // Null/empty/NaN-poisoned vectors are never centroids (a low-id
-    // corrupt row would otherwise occupy a codebook slot whose cell can
-    // never self-assign or be probed); corpus-side they assign a null
-    // cell and drop out of every probe join.
-    val cRows = df.where(col(vecCol).isNotNull && size(col(vecCol)) > 0 &&
-        !exists(col(vecCol), x => isnan(x)))
-      .orderBy(col(idCol).asc).limit(nCentroids)
-      .select(col(idCol), col(vecCol)).collect()
-    val cids = cRows.map(_.get(0))
-    val cvecs: Seq[Seq[Float]] = cRows.map(_.getSeq[Float](1)).toSeq
-    val idx = org.apache.spark.sql.graft.sketch.nearest_centroid(col(vecCol), cvecs)
-    df.withColumn("ivf_cell",
-      element_at(array(cids.map(c => lit(c)).toIndexedSeq: _*), idx + 1))
+      nCentroids: Int = 0, maxIter: Int = 4, seed: Long = 42L): IvfIndex = {
+    val valid = df.where(col(vecCol).isNotNull && size(col(vecCol)) > 0 &&
+      !exists(col(vecCol), x => isnan(x)))
+    val n = valid.count()
+    val k = math.max(1L, math.min(
+      if (nCentroids > 0) nCentroids.toLong
+      else math.ceil(math.sqrt(n.toDouble)).toLong, n)).toInt
+    val model =
+      if (n <= 256 && nCentroids <= 0) {
+        val cvecs = valid.orderBy(col(idCol).asc).limit(k)
+          .select(col(vecCol)).collect()
+          .map(_.getSeq[Float](0)).toIndexedSeq
+        Clustering.KMeansModel(cvecs, iterations = 0, shift = 0.0)
+      } else Clustering.fitKMeans(df, vecCol, idCol, k, maxIter, seed = seed)
+    IvfIndex(Clustering.buildIvf(df, vecCol, model), model)
   }
 
-  /** Search an IVF-assigned corpus: probe the nProbe nearest cells.
-    * Centroid rows are self-assigned (their nearest centroid is
-    * themselves), so the probe-cell choice is a map-side filter + top-n —
-    * no distinct/self-join shuffle of the corpus. */
-  def ivfTopK(ivf: DataFrame, vecCol: String, idCol: String,
-      query: Seq[Float], k: Int, nProbe: Int = 4): DataFrame = {
-    val q = array(query.map(v => lit(v)): _*)
-    val cells = ivf.filter(col(idCol) === col("ivf_cell"))
-      .withColumn("__csim", cosine(col(vecCol), q))
-      .orderBy(col("__csim").desc).limit(nProbe)
-      .select(col("ivf_cell"))
-    ivf.join(broadcast(cells), "ivf_cell")
-      .withColumn("score", cosine(col(vecCol), q))
-      .select(col(idCol), Rounding.halfUp(col("score"), 6).alias("score"))
-      .orderBy(col("score").desc, col(idCol).asc)
-      .limit(k)
-  }
+  /** Search an IVF index: probe cells are the `nProbe` centroids closest
+    * to the query, chosen DRIVER-SIDE from the model — the plan is
+    * scan → map-side cell filter → TakeOrdered, no join, no shuffle
+    * (delegates to [[Clustering.ivfTopK]]). */
+  def ivfTopK(index: IvfIndex, vecCol: String, idCol: String,
+      query: Seq[Float], k: Int, nProbe: Int = 4): DataFrame =
+    Clustering.ivfTopK(index.cells, vecCol, idCol, query, index.model,
+      k, nProbe)
 
   /** LSH-bucketed ANN top-k over `tables` independent hyperplane tables:
     * per table, probe the query's bucket plus all 1-bit (Hamming-1) flips;

@@ -617,14 +617,32 @@ class PipelineSpec extends SparkSpec {
   test("ivf build + probe finds the query vector") {
     val emb = sf("embeddings")
     val ivf = Similarity.buildIvf(emb, "embedding", "vec_id", nCentroids = 8)
-    assert(ivf.columns.contains("ivf_cell"))
-    assert(ivf.count() == emb.count())
-    assert(ivf.select("ivf_cell").distinct().count() <= 8)
+    assert(ivf.cells.columns.contains("ivf_cell"))
+    assert(ivf.cells.count() == emb.count())
+    assert(ivf.model.centroids.size == 8)
+    assert(ivf.cells.select("ivf_cell").distinct().count() <= 8)
     val q = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
     val top = Similarity.ivfTopK(ivf, "embedding", "vec_id", q, k = 5, nProbe = 3)
       .collect()
     assert(top.nonEmpty)
-    assert(top.head.getLong(0) == 0L) // self-match lives in its own probed cell
+    assert(top.head.getLong(0) == 0L) // self-match lives in a probed cell
+  }
+
+  test("ivf default dial is k-means with k = ceil(sqrt(n))") {
+    val emb = sf("embeddings")
+    val n = emb.count()
+    val ivf = Similarity.buildIvf(emb, "embedding", "vec_id")
+    assert(ivf.model.centroids.size ==
+      math.ceil(math.sqrt(n.toDouble)).toInt)
+    assert(ivf.model.iterations >= 1, "auto dial must run the k-means fit")
+    // every centroid is finite (model health, not just shape)
+    assert(ivf.model.centroids.forall(c =>
+      c.nonEmpty && c.forall(v => !v.isNaN && !v.isInfinite)))
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0)
+    val top = Similarity.ivfTopK(ivf, "embedding", "vec_id", q, k = 5,
+      nProbe = 2).collect()
+    assert(top.nonEmpty && top.head.getLong(0) == 0L)
   }
 
   test("end-to-end corpus REFRESH: diff -> canary -> template dedup -> index probe -> drift gates") {

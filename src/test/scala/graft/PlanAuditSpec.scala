@@ -91,9 +91,11 @@ class PlanAuditSpec extends SparkSpec {
 
   test("ivf build is map-side only (no exchange, no window)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // the assignment PASS must stay a pure map-side projection over the
+    // corpus (the fit runs its own bounded jobs before it)
     val p = graft.pipeline.Similarity
       .buildIvf(emb, "embedding", "vec_id", nCentroids = 8)
-      .queryExecution.executedPlan.toString
+      .cells.queryExecution.executedPlan.toString
     assert(exchanges(p) == 0 && !p.contains("Window"), s"ivf not map-side:\n$p")
   }
 
