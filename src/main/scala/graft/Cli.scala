@@ -104,9 +104,10 @@ object Cli {
     * rbql_main.py:487-536: positional database, --input table name,
     * --out-format csv→(',', quoted_rfc) / tsv, --output, --color). JOIN
     * tables resolve against the same database, like the reference's
-    * SqliteDbRegistry (rbql_sqlite.py:59-65). The sqlite shorthand maps a
-    * db path to jdbc:sqlite: and needs a SQLite JDBC driver on the
-    * classpath. */
+    * SqliteDbRegistry (rbql_sqlite.py:59-65). The sqlite subcommand
+    * reads the file NATIVELY ([[sources.SqliteFile]] — pure-JVM
+    * file-format decode; no driver exists in the offline cache); `jdbc`
+    * takes any URL with a driver on the classpath. */
   private def jdbcMain(args: Array[String], sqliteShorthand: Boolean,
       stopSpark: Boolean): Unit = {
     val (positional, flagArgs) = args.toList match {
@@ -119,7 +120,7 @@ object Cli {
       fail("generic", "Database is required (positional argument)"))
     if (sqliteShorthand && !new java.io.File(target).isFile)
       fail("generic", s"The database does not exist: $target")
-    val url = if (sqliteShorthand) s"jdbc:sqlite:$target" else target
+    val url = target
     if (opts.contains("output") && opts.contains("color"))
       fail("generic", "\"--output\" is not compatible with \"--color\" option")
     val (outDelim, outPolicy) = opts.getOrElse("out-format", "csv") match {
@@ -132,18 +133,25 @@ object Cli {
       fail("query parsing", "--query is required for the jdbc subcommand"))
     val spark = buildSession()
     try {
+      // native file decode for sqlite, generic JDBC otherwise
+      def readTable(t: String): org.apache.spark.sql.DataFrame =
+        if (sqliteShorthand) sources.SqliteFile.read(spark, url, t)
+        else sources.JdbcSource.read(spark, url, t)
       val table = opts.get("input").getOrElse {
-        sources.JdbcSource.tableNames(url) match {
+        val names =
+          if (sqliteShorthand) sources.SqliteFile.tableNames(url)
+          else sources.JdbcSource.tableNames(url)
+        names match {
           case Seq(only) => only
           case _ => fail("generic",
             "Please provide input table name with --input parameter: source database has more than one table")
         }
       }
       runInitSource(spark, opts.get("init-source-file"))
-      val input = sources.JdbcSource.read(spark, url, table)
+      val input = readTable(table)
       // JOIN tables come from the same database (SqliteDbRegistry model)
       val fallback: String => Option[org.apache.spark.sql.DataFrame] = id =>
-        try Some(sources.JdbcSource.read(spark, url, id))
+        try Some(readTable(id))
         catch { case _: Exception => None }
       val result = Graft.query(spark, query, input,
         tableFallback = fallback, ordered = true)

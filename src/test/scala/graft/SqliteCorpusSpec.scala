@@ -12,14 +12,15 @@ import org.json4s.jackson.JsonMethods
   * out_delim=',', out_policy='quoted_rfc', output md5-compared to
   * expected_result_*.csv, warnings normalized).
   *
-  * No SQLite JDBC driver exists in the offline cache, so the corpus DATA
-  * (dumped verbatim to the sqlite_corpus jsonl test resources, nulls and
-  * int types preserved) is loaded into embedded Derby — the same generic
-  * JDBC scan path a SQLite URL would take (JdbcSource) — and each case
-  * drives the REAL CLI (`Cli.run("jdbc", url, ...)`): table scan with
-  * header from JDBC metadata, JOIN resolution against the same database
-  * (reference SqliteDbRegistry, rbql_sqlite.py:59-65), CSV output with the
-  * runner's dialect, stdout goldens, warning lines on stderr. */
+  * The corpus cases run against the REAL reference `.sqlite` files
+  * through the native file-format reader (SqliteFile — no JDBC driver
+  * exists in the offline cache, so graft decodes the public file format
+  * itself) via the real CLI (`Cli.run("sqlite", path, ...)`): table
+  * scan, header from the schema, JOIN resolution against the same
+  * database (reference SqliteDbRegistry, rbql_sqlite.py:59-65), CSV
+  * output with the runner's dialect, stdout goldens, warning lines on
+  * stderr. The Derby database (same data dumped to jsonl resources)
+  * keeps the generic `jdbc` subcommand covered too. */
 class SqliteCorpusSpec extends SparkSpec {
 
   private val testsDir = "/root/reference/test"
@@ -137,7 +138,7 @@ class SqliteCorpusSpec extends SparkSpec {
         skipped += ((name, "no dialect rewrite for this query"))
       case Some(graftQuery) =>
         ran += 1
-        test(s"sqlite-corpus[$idx]: $name") {
+        test(s"sqlite-corpus[$idx]: $name (native .sqlite file)") {
           val dbKey = strOpt(c \ "input_db_path").get
           val table = strOpt(c \ "input_table_name").get
           val expectedPath = s"$testsDir/${strOpt(c \ "expected_output_table_path").get}"
@@ -145,8 +146,10 @@ class SqliteCorpusSpec extends SparkSpec {
             case JArray(ws) => ws.flatMap(strOpt)
             case _          => Nil
           }
-          val url = databases(dbKey)
-          val (code, out, errTxt) = runCli(Seq("jdbc", url,
+          // the REAL reference .sqlite file through the native
+          // file-format reader (SqliteFile) — the `sqlite` subcommand,
+          // exactly the reference's sqlite_main entry
+          val (code, out, errTxt) = runCli(Seq("sqlite", s"$testsDir/$dbKey",
             "--input", table, "--query", graftQuery))
           assert(code == 0, s"CLI failed\nquery: $graftQuery\nstderr: $errTxt")
           val expected = new String(Files.readAllBytes(Paths.get(expectedPath)), "UTF-8")
@@ -170,5 +173,20 @@ class SqliteCorpusSpec extends SparkSpec {
     info(s"sqlite corpus: ${cases.size} cases, $ran executed, ${skipped.size} skipped")
     skipped.foreach { case (n, r) => info(s"  SKIP $n — $r") }
     assert(ran == 3, s"expected all 3 sqlite corpus cases executed, got $ran")
+  }
+
+  test("jdbc subcommand: test_1 equivalent through embedded Derby") {
+    // the generic-JDBC path (any URL with a driver) stays covered: the
+    // same corpus data dumped into Derby, same CLI surface minus the
+    // native file decode
+    val url = databases("sqlite_files/mental_health_single_table.sqlite")
+    val (code, out, _) = runCli(Seq("jdbc", url,
+      "--input", "Question", "--query", queryRewrites("test_1")))
+    assert(code == 0)
+    val expected = new String(Files.readAllBytes(
+      Paths.get(s"$testsDir/sqlite_files/expected_result_1.csv")), "UTF-8")
+    val expLines = expected.split("\n", -1).toSeq.reverse.dropWhile(_.isEmpty).reverse
+    val gotLines = out.split("\n", -1).toSeq.reverse.dropWhile(_.isEmpty).reverse
+    assert(gotLines == expLines)
   }
 }
