@@ -228,9 +228,13 @@ object Classify {
       scored.select(col(idCol), col(scoreCol).as("__sc"),
         col(labelCol).cast("int").as("__y")),
       "__r", col("__sc").asc, col(idCol).asc)
-    val avgR = ranked.groupBy(col("__sc"))
-      .agg(avg(col("__r")).as("__ar"))
-    ranked.join(avgR, "__sc")
+    // tie-averaged rank as a window over the ranked set: one exchange by
+    // __sc replaces the old groupBy + join-back pair (which exchanged
+    // the ranked set AND the per-score table). Numerically identical:
+    // ranks per tie group are consecutive integers, so __ar is an exact
+    // integer or half-integer and the downstream sum is order-exact.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__sc"))
+    ranked.withColumn("__ar", avg(col("__r")).over(w))
       .agg(sum(col("__y")).cast("long").as("n_pos"),
         sum(lit(1) - col("__y")).cast("long").as("n_neg"),
         sum(when(col("__y") === 1, col("__ar"))).as("__srp"))

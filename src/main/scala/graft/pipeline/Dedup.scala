@@ -558,7 +558,7 @@ object Dedup {
       k: Int = 2, threshold: Double = 0.8): DataFrame = {
     val totals = df.agg(count(lit(1)).as("n_docs"),
       countDistinct(md5(col(textCol))).as("n_exact_unique"))
-    val pairs = ngramJaccardPairs(df, textCol, idCol, k, threshold)
+    val pairs = reportPairs(df, textCol, idCol, k, threshold)
     val comps = Graphs.connectedComponents(pairs, "id_a", "id_b")
     val cstats = comps.agg(
       countDistinct(col("comp")).as("n_clusters"),
@@ -571,6 +571,60 @@ object Dedup {
           col("n_docs"), 6))
   }
 
+  /** Bounded session memo of MATERIALIZED pair lists for the report
+    * family: [[dedupReport]] and [[dedupReportBy]] over the same corpus
+    * re-run the identical pair kernel (the family's dominant cost —
+    * measured ~2.5 s each per bench pass at sf0.1); the second consumer
+    * should pay a LocalRelation, not a recompute. Keyed like the
+    * estimator cache (canonicalized input plan + params); value = the
+    * collected pair rows, cached only when ≤ `reportPairsCacheMax` rows
+    * (default 2M ≈ 50 MB driver heap — above that the memo declines and
+    * every call recomputes, never an OOM). A LocalRelation rebuild also
+    * hands connectedComponents its driver-local fast path directly.
+    * Session-lifetime staleness, same contract as the estimator memo. */
+  private val reportPairsCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(Any, Int, Double),
+        Option[(Array[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType)]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Any, Int, Double),
+            Option[(Array[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType)]]): Boolean =
+        size() > 8
+    })
+
+  private def reportPairs(df: DataFrame, textCol: String, idCol: String,
+      k: Int, threshold: Double): DataFrame = {
+    val spark = df.sparkSession
+    val maxRows = spark.conf
+      .getOption("spark.graft.dedup.reportPairsCacheMax")
+      .map(_.toLong).getOrElse(2000000L)
+    if (maxRows <= 0)
+      return ngramJaccardPairs(df, textCol, idCol, k, threshold)
+    val key: (Any, Int, Double) = (df
+      .select(col(idCol), col(textCol))
+      .queryExecution.analyzed.canonicalized, k, threshold)
+    Option(reportPairsCache.get(key)) match {
+      case Some(Some((rows, schema))) =>
+        spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), schema)
+      case Some(None) => // known too big to cache
+        ngramJaccardPairs(df, textCol, idCol, k, threshold)
+      case None =>
+        val pairs = ngramJaccardPairs(df, textCol, idCol, k, threshold)
+        // cap check without a second job: collect through a limit probe
+        val probe = pairs.limit((maxRows + 1).toInt).collect()
+        if (probe.length > maxRows) {
+          reportPairsCache.put(key, None)
+          pairs
+        } else {
+          reportPairsCache.put(key, Some((probe, pairs.schema)))
+          spark.createDataFrame(
+            java.util.Arrays.asList(probe: _*), pairs.schema)
+        }
+    }
+  }
+
   /** [[dedupReport]] broken down by a grouping column — "which crawl is
     * redundant": per group, doc count, docs in near-dup clusters, the
     * excess a cluster-collapse would drop, and the surviving yield.
@@ -581,7 +635,7 @@ object Dedup {
     * would drop. */
   def dedupReportBy(df: DataFrame, textCol: String, idCol: String,
       groupCol: String, k: Int = 2, threshold: Double = 0.8): DataFrame = {
-    val pairs = ngramJaccardPairs(df, textCol, idCol, k, threshold)
+    val pairs = reportPairs(df, textCol, idCol, k, threshold)
     val comps = Graphs.connectedComponents(pairs, "id_a", "id_b")
       .select(col("id").as("__ccid"), col("comp").as("__comp"))
     df.select(col(idCol), col(groupCol))
