@@ -781,6 +781,9 @@ object Bench {
         // volume stays ~linear and the ratios measure the operators.
         "q_triangles", "q_cc_best", "q_cc_dedup", "q_safe_split",
         "q_auc", "q_lr_step", "q_search_idx", // documents replica
+        // round-12: NR over a shuffle-fed pipe stage — measures whether
+        // the two-pass persist of the stage input dominates at volume
+        "q_pipe_nr", // lineitem replica
         "q_interval", "q_overlap", "q_rolling", "q_session_window",
         "q_merge_intervals", "q_paths", "q_anomaly",
         "q_changepoint",

@@ -113,6 +113,18 @@ private[graft] object RbqlEntries {
       "SELECT a.l_returnflag, a.l_quantity WHERE a.l_quantity > 30 " +
         "| SELECT a.l_returnflag, COUNT(*) AS cnt GROUP BY a.l_returnflag",
       t(s, dir, "lineitem"))),
+    // NR over a SHUFFLE-FED pipe stage (agg output): the engine persists
+    // the stage input so both NR passes read identical blocks
+    // (PlanBuilder.withNr). The stage's row ORDER is partition-layout
+    // defined, so the contract asserts the order-insensitive invariant:
+    // NR is exactly the permutation 1..n (sum, min, max) — which is what
+    // the persist exists to guarantee. Also the ×10 probe for "does the
+    // stage persist dominate at scale" (BENCH scale10x entry).
+    "q_pipe_nr" -> ((s, dir) => Graft.query(s,
+      "SELECT a.l_partkey, SUM(a.l_quantity) AS qty GROUP BY a.l_partkey " +
+        "| SELECT COUNT(*) AS n_rows, SUM(NR) AS nr_sum, " +
+        "MIN(NR) AS nr_min, MAX(NR) AS nr_max",
+      t(s, dir, "lineitem"))),
     // §2.4 LIKE (suffix wildcard; '%ARD' matches STANDARD — non-empty)
     "q_like" -> ((s, dir) => Graft.query(s,
       "SELECT a.p_partkey, a.p_type WHERE a.p_type LIKE '%ARD' " +
@@ -215,6 +227,14 @@ private[graft] object RbqlEntries {
       """SELECT l_returnflag, count(*) AS cnt FROM
          (SELECT l_returnflag, l_quantity FROM lineitem WHERE l_quantity > 30)
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_pipe_nr" ->
+      """WITH s AS (SELECT l_partkey, sum(l_quantity) AS qty
+                    FROM lineitem GROUP BY l_partkey)
+         SELECT count(*)::BIGINT AS n_rows,
+                (count(*) * (count(*) + 1) / 2)::BIGINT AS nr_sum,
+                1::BIGINT AS nr_min,
+                count(*)::BIGINT AS nr_max
+         FROM s""",
     "q_like" ->
       """SELECT p_partkey, p_type FROM part WHERE p_type LIKE '%ARD'
          ORDER BY p_partkey""",

@@ -135,6 +135,22 @@ class StorageLeakSpec extends SparkSpec {
     assert(leaked.isEmpty, s"pinned RDDs leaked: $leaked")
   }
 
+  test("piped NR over a shuffle-fed stage releases its two-pass persist") {
+    // an agg output feeding a pipe stage that uses NR takes withNr's
+    // persist path (a shuffle can legally reorder between the two NR
+    // passes); the terminal surface (queryTable) must release exactly
+    // what its own plan construction pinned
+    val rows = (1 to 500).map(i => Seq(s"g${i % 7}", i.toString))
+    val leaked = newPins {
+      val got = Graft.queryTable(spark,
+        "SELECT a1, COUNT(*) AS c GROUP BY a1 " +
+          "| SELECT COUNT(*) AS n, SUM(NR) AS s, MAX(NR) AS m",
+        rows)
+      assert(got == Seq(Seq(7L, 28L, 7L)), got.toString)
+    }
+    assert(leaked.isEmpty, s"pinned RDDs leaked: $leaked")
+  }
+
   test("triangleStats caches its edge list across actions and releases it") {
     // triangle {1,2,3} plus a short chain — enough to exercise the
     // probe action + census action against the shared cached edge list
