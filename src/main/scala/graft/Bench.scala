@@ -264,7 +264,8 @@ object Bench {
     // tables: every requested name must be a SparkEntry query or a
     // pseudo-entry (ann_frontier / ann_clustered / ngram_pairs_bundled)
     val unknown = names -- SparkEntry.queries.keySet -
-      "ann_frontier" - "ann_clustered" - "ngram_pairs_bundled"
+      "ann_frontier" - "ann_clustered" - "ann_clustered_2m" -
+      "ngram_pairs_bundled"
     require(unknown.isEmpty,
       s"GRAFT_BENCH_X100_ONLY: unknown entries ${unknown.mkString(", ")}")
     val out = java.nio.file.Files.createTempDirectory("graft_x100")
@@ -503,6 +504,92 @@ object Bench {
           s""""n_clusters":$nClusters,"dim":$dim,"noise":0.3,""" +
           s""""queries":$nq,${modelCurve(kRoot)},${modelCurve(64)}}"""
       }
+      // "ann_clustered_2m" (pseudo-entry): the SECOND decade of the
+      // clustered-geometry evidence — 2M vectors (×10 over the 200k
+      // block), same cluster/noise recipe at n/100 clusters. Validates
+      // the √n centroid rule one decade up (k = ⌈√2M⌉ = 1415: per-probe
+      // scan ~n/k ≈ 1.4k rows) and composes it with PQ — the
+      // billion-vector production layout (coarse cell prunes the scan,
+      // 8×256 codes replace floats for ADC scoring, shortlist re-ranks
+      // exactly). Build costs are first-class outputs here: at this
+      // size the fit is the investment the probe curve amortizes.
+      val annClustered2mJson =
+        if (!names.contains("ann_clustered_2m")) "" else {
+        import org.apache.spark.sql.functions.expr
+        val nVec = 2000000L
+        val nClusters = 20000
+        val dim = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(org.apache.spark.sql.functions.size(col("embedding")))
+          .head().getInt(0)
+        def gen(ids: org.apache.spark.sql.DataFrame) = ids
+          .withColumn("cl", org.apache.spark.sql.functions
+            .pmod(org.apache.spark.sql.functions
+              .xxhash64(col("vec_id"), lit(7)), lit(nClusters)))
+          .withColumn("embedding", expr(
+            s"transform(sequence(0, ${dim - 1}), j -> cast(" +
+              "(pmod(xxhash64(cl, j, 11), 2001) - 1000) / 1000.0 + " +
+              "0.3 * (pmod(xxhash64(vec_id, j, 13), 2001) - 1000) / 1000.0" +
+              " as float))"))
+          .select("vec_id", "embedding")
+        gen(spark.range(nVec).select(col("id").alias("vec_id")))
+          .write.mode("overwrite").parquet(s"$out/annc2m.parquet")
+        val corpus = spark.read.parquet(s"$out/annc2m.parquet")
+        def timed[A](body: => A): (A, Double) = {
+          val t0 = System.nanoTime()
+          val r = body
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        val kRoot = math.ceil(math.sqrt(nVec.toDouble)).toInt
+        val (coarse, coarseSec) = timed(pipeline.Clustering.fitKMeans(
+          corpus, "embedding", "vec_id", k = kRoot, maxIter = 4))
+        val (pq, pqSec) = timed(pipeline.Clustering.fitPQ(
+          corpus, "embedding", "vec_id", m = 8, k = 256, maxIter = 4))
+        val (_, buildSec) = timed(
+          pipeline.Clustering.buildIvfPq(corpus, "embedding", coarse, pq)
+            .write.mode("overwrite").parquet(s"$out/annc2m_ivfpq.parquet"))
+        System.err.println(f"[bench] ann_clustered_2m built: coarse(k=$kRoot)=" +
+          f"$coarseSec%.1fs pq=$pqSec%.1fs assign+write=$buildSec%.1fs")
+        val indexed = spark.read.parquet(s"$out/annc2m_ivfpq.parquet")
+        val nq = 8
+        val qRows = gen(spark.range(nVec, nVec + nq)
+          .select(col("id").alias("vec_id"))).collect()
+        val qvs = qRows.map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+        val qids = qvs.keys.toSeq.sorted
+        val truth = qids.map(id => id -> pipeline.Similarity
+          .bruteForceTopK(corpus, "embedding", "vec_id", qvs(id), 10)
+          .select("vec_id").collect().map(_.getLong(0)).toSet).toMap
+        def curve(tag: String,
+            got: (Long, Int) => Set[Long]): String = {
+          val pts = Seq(1, 2, 4, 8).map { p =>
+            got(qids.head, p) // unmeasured warmup
+            val timedPts = qids.map { id =>
+              val t0 = System.nanoTime()
+              val g = got(id, p)
+              ((System.nanoTime() - t0) / 1e9,
+                truth(id).intersect(g).size.toDouble / truth(id).size)
+            }
+            val lat = median(timedPts.map(_._1))
+            val rec = timedPts.map(_._2).sum / timedPts.size
+            System.err.println(f"[bench] ann_clustered_2m($tag) " +
+              f"nprobe=$p lat=$lat%.3fs recall=$rec%.2f")
+            s""""nprobe_$p":{"sec":${jd(lat, 3)},"recall":${jd(rec, 2)}}"""
+          }
+          s""""$tag":{${pts.mkString(",")}}"""
+        }
+        val ivfCurve = curve("ivf", (id, p) =>
+          pipeline.Clustering.ivfTopK(indexed, "embedding", "vec_id",
+            qvs(id), coarse, k = 10, nProbe = p)
+            .select("vec_id").collect().map(_.getLong(0)).toSet)
+        val ivfpqCurve = curve("ivfpq", (id, p) =>
+          pipeline.Clustering.ivfPqTopK(indexed, "embedding", "vec_id",
+            coarse, pq, qvs(id), k = 10, nProbe = p, shortlist = 100)
+            .select("vec_id").collect().map(_.getLong(0)).toSet)
+        s""","ann_clustered_2m":{"n_vectors":$nVec,""" +
+          s""""n_clusters":$nClusters,"dim":$dim,"noise":0.3,""" +
+          s""""k_coarse":$kRoot,"pq_m":8,"pq_k":256,"queries":$nq,""" +
+          s""""build_sec":{"coarse":${jd(coarseSec, 1)},"pq":${jd(pqSec, 1)},""" +
+          s""""assign_write":${jd(buildSec, 1)}},$ivfCurve,$ivfpqCurve}"""
+      }
       def obj(f: ((String, Double, Double, Long, Long, String, String))
           => String) =
         measured.map(m => "\"" + m._1 + "\":" + f(m)).mkString("{", ",", "}")
@@ -520,7 +607,7 @@ object Bench {
           (if (m._2 > 0 && m._3 > 0) m._3 / m._2 else -1.0).toString)}""" +
         s""","rows_out":${obj(_._5.toString)}""" +
         s""","rows_out_1x":${obj(_._4.toString)}""" +
-        s""","verify_paths":$verifyPaths$annJson$annClusteredJson}"""
+        s""","verify_paths":$verifyPaths$annJson$annClusteredJson$annClustered2mJson}"""
       emitArtifact("GRAFT_BENCH_OUT_X100", "SCALE100X.json", line)
     } finally deleteRecursively(out)
   }
