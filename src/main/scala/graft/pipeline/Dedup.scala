@@ -765,14 +765,16 @@ object Dedup {
     * prefix-join candidate volume and flips to the bundled verify above
     * `spark.graft.dedup.autoBundledCandidatesPerDoc` (default 256
     * candidates/doc). The cutoff brackets the measured crossover on the
-    * reference corpus family: at est≈80 (sf0.1 documents) the
-    * per-candidate path is ~1.3× FASTER (cogroup setup dominates), at
-    * est≈8000 (the ×100 degenerate corpus) the bundled path is ~3.8×
-    * faster and the per-candidate one ENOSPC-prone — and the estimate
-    * scales linearly with replication, so a corpus crosses the cutoff
-    * well before the per-candidate intermediate becomes dangerous. The
-    * ~2× estimator bias is immaterial at that separation. `true`/`false`
-    * force a path. On well-behaved corpora prefix filtering keeps candidate
+    * reference corpus family: at est≈80 (sf0.1 documents, k=3 word
+    * shingles) the per-candidate path is ~1.3× FASTER (cogroup setup
+    * dominates); at est≈2500 (same corpus, the k=2 contract face —
+    * genuinely hot vocabulary, the r10 ×94.8 scale-killer) the two paths
+    * measure at parity at 1× while bundled wins ×34-vs-×95 at ×100
+    * (SCALE100X_AUTOVERIFY.json, decisions recorded per side in
+    * `verify_paths`). The ~2× estimator bias is immaterial at that
+    * separation. `true`/`false` force a path. On well-behaved/Zipfian
+    * corpora (DedupPropertySpec's wide-vocab case) the estimate stays
+    * far under the cutoff and prefix filtering keeps candidate
     * volume near-linear and the per-candidate join is the simpler plan;
     * the earlier alternatives (positional filter: −8%; Deng 2015
     * partition signatures: empty-part collisions dominate at these set
