@@ -115,16 +115,21 @@ object Bench {
     setDaemon(true)
     @volatile private var minFree = Long.MaxValue
     @volatile private var stopped = false
+    // generation guard: a sample read BEFORE reset() must not be
+    // committed AFTER it (it would carry the previous query's low-water
+    // mark into the new window)
+    @volatile private var gen = 0L
     def free(): Long =
       try java.nio.file.Files.getFileStore(dir).getUsableSpace
       catch { case _: Throwable => -1L }
-    def reset(): Long = { val f = free(); minFree = f; f }
+    def reset(): Long = { gen += 1; val f = free(); minFree = f; f }
     def minFreeSinceReset(): Long = minFree
     def shutdown(): Unit = stopped = true
     override def run(): Unit =
       while (!stopped) {
+        val g = gen
         val f = free()
-        if (f >= 0 && f < minFree) minFree = f
+        if (g == gen && f >= 0 && f < minFree) minFree = f
         Thread.sleep(100)
       }
   }
@@ -155,11 +160,17 @@ object Bench {
 
   private def attributed[A](spark: SparkSession, sl: ShuffleListener,
       poller: TmpPeakPoller)(body: => A): (A, Attribution) = {
+    // drain the listener bus at BOTH window edges: task-end events are
+    // delivered asynchronously, and a previous query's queued tail
+    // would otherwise land in this window's counters (and this
+    // window's tail in the next one's)
+    org.apache.spark.graft.BusDrain.drain(spark.sparkContext)
     val gc0 = gcMillis()
     val rd0 = sl.read.get(); val wr0 = sl.write.get()
     val sp0 = sl.spilled.get()
     val free0 = poller.reset()
     val out = body
+    org.apache.spark.graft.BusDrain.drain(spark.sparkContext)
     val (parts, bytes) = cachedStorage(spark)
     val mb = 1.0 / (1024 * 1024)
     val peak =

@@ -120,8 +120,12 @@ private[graft] object RbqlEntries {
     // NR is exactly the permutation 1..n (sum, min, max) — which is what
     // the persist exists to guarantee. Also the ×10 probe for "does the
     // stage persist dominate at scale" (BENCH scale10x entry).
+    // groups by l_orderkey, NOT l_partkey: the ×10 replicas stride
+    // orderkey, so the persisted stage input actually grows ×10 with
+    // the data (partkey groups would stay constant and the probe would
+    // measure nothing)
     "q_pipe_nr" -> ((s, dir) => Graft.query(s,
-      "SELECT a.l_partkey, SUM(a.l_quantity) AS qty GROUP BY a.l_partkey " +
+      "SELECT a.l_orderkey, SUM(a.l_quantity) AS qty GROUP BY a.l_orderkey " +
         "| SELECT COUNT(*) AS n_rows, SUM(NR) AS nr_sum, " +
         "MIN(NR) AS nr_min, MAX(NR) AS nr_max",
       t(s, dir, "lineitem"))),
@@ -228,8 +232,8 @@ private[graft] object RbqlEntries {
          (SELECT l_returnflag, l_quantity FROM lineitem WHERE l_quantity > 30)
          GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_pipe_nr" ->
-      """WITH s AS (SELECT l_partkey, sum(l_quantity) AS qty
-                    FROM lineitem GROUP BY l_partkey)
+      """WITH s AS (SELECT l_orderkey, sum(l_quantity) AS qty
+                    FROM lineitem GROUP BY l_orderkey)
          SELECT count(*)::BIGINT AS n_rows,
                 (count(*) * (count(*) + 1) / 2)::BIGINT AS nr_sum,
                 1::BIGINT AS nr_min,

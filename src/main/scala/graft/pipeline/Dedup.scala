@@ -575,22 +575,27 @@ object Dedup {
     * family: [[dedupReport]] and [[dedupReportBy]] over the same corpus
     * re-run the identical pair kernel (the family's dominant cost —
     * measured ~2.5 s each per bench pass at sf0.1); the second consumer
-    * should pay a LocalRelation, not a recompute. Keyed like the
-    * estimator cache (canonicalized input plan + params); value = the
-    * collected pair rows, cached only when ≤ `reportPairsCacheMax` rows
-    * (default 2M ≈ 50 MB driver heap — above that the memo declines and
-    * every call recomputes, never an OOM). A LocalRelation rebuild also
-    * hands connectedComponents its driver-local fast path directly.
-    * Session-lifetime staleness, same contract as the estimator memo. */
+    * should pay a LocalRelation, not a recompute. Keyed by the
+    * canonicalized input plan + params PLUS a file fingerprint
+    * (path/length/mtime of every input file — one driver-side metadata
+    * pass, no job), so overwriting a parquet path in place invalidates
+    * the memo instead of serving a mixed-version report; purely local
+    * inputs are content-keyed by the plan itself. Value = the collected
+    * pair rows, cached only when ≤ `spark.graft.dedup.
+    * reportPairsCacheMax` rows (default 1M; boxed Rows run ~100+ B each,
+    * so the 4-entry LRU worst case pins ~0.5 GB driver heap — above the
+    * cap the memo declines and every call recomputes, never an OOM). A
+    * LocalRelation rebuild also hands connectedComponents its
+    * driver-local fast path directly. */
   private val reportPairsCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(Any, Int, Double),
+    new java.util.LinkedHashMap[(Any, Int, Int, Double),
         Option[(Array[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType)]](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(Any, Int, Double),
+          e: java.util.Map.Entry[(Any, Int, Int, Double),
             Option[(Array[org.apache.spark.sql.Row],
               org.apache.spark.sql.types.StructType)]]): Boolean =
-        size() > 8
+        size() > 4
     })
 
   private def reportPairs(df: DataFrame, textCol: String, idCol: String,
@@ -598,12 +603,24 @@ object Dedup {
     val spark = df.sparkSession
     val maxRows = spark.conf
       .getOption("spark.graft.dedup.reportPairsCacheMax")
-      .map(_.toLong).getOrElse(2000000L)
+      .map(_.toLong).getOrElse(1000000L)
     if (maxRows <= 0)
       return ngramJaccardPairs(df, textCol, idCol, k, threshold)
-    val key: (Any, Int, Double) = (df
+    val files = df.inputFiles
+    val fingerprint = scala.util.hashing.MurmurHash3.orderedHash(
+      files.sorted.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val st =
+          try {
+            val s = p.getFileSystem(
+              spark.sparkContext.hadoopConfiguration).getFileStatus(p)
+            (f, s.getLen, s.getModificationTime)
+          } catch { case _: Exception => (f, -1L, -1L) }
+        st
+      }.toSeq)
+    val key: (Any, Int, Int, Double) = (df
       .select(col(idCol), col(textCol))
-      .queryExecution.analyzed.canonicalized, k, threshold)
+      .queryExecution.analyzed.canonicalized, fingerprint, k, threshold)
     Option(reportPairsCache.get(key)) match {
       case Some(Some((rows, schema))) =>
         spark.createDataFrame(
@@ -613,7 +630,9 @@ object Dedup {
       case None =>
         val pairs = ngramJaccardPairs(df, textCol, idCol, k, threshold)
         // cap check without a second job: collect through a limit probe
-        val probe = pairs.limit((maxRows + 1).toInt).collect()
+        // (clamped — a user-raised cap must not overflow Dataset.limit)
+        val lim = math.min(maxRows + 1, Int.MaxValue.toLong - 1).toInt
+        val probe = pairs.limit(lim).collect()
         if (probe.length > maxRows) {
           reportPairsCache.put(key, None)
           pairs

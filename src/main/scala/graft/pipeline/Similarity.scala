@@ -142,7 +142,9 @@ object Similarity {
           .select(col(vecCol)).collect()
           .map(_.getSeq[Float](0)).toIndexedSeq
         Clustering.KMeansModel(cvecs, iterations = 0, shift = 0.0)
-      } else Clustering.fitKMeans(df, vecCol, idCol, k, maxIter, seed = seed)
+      } else Clustering.fitKMeans(valid, vecCol, idCol, k, maxIter,
+        seed = seed) // fit on the FILTERED set: a NaN-poisoned vector in
+        // the init sample would seed an unprobeable NaN centroid
     IvfIndex(Clustering.buildIvf(df, vecCol, model), model)
   }
 

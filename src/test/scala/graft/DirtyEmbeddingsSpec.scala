@@ -54,6 +54,22 @@ class DirtyEmbeddingsSpec extends SparkSpec {
     assert(top.map(_.getLong(0)).toSeq == Seq(1L, 2L), s"${top.toSeq}")
   }
 
+  test("IVF fit excludes corrupt vectors from the codebook (model health)") {
+    // many NaN-poisoned rows so hash-spread init would almost surely
+    // sample one if the fit saw the unfiltered corpus — the invariant is
+    // the MODEL's (every centroid finite), not any one hash ordering
+    val noisy = dirty.unionAll((100L to 140L).map(i =>
+      (i, Seq(Float.NaN, i.toFloat, 0f, 0f))).toDF("vec_id", "vec"))
+    val idx = Similarity.buildIvf(noisy, "vec", "vec_id", nCentroids = 4)
+    assert(idx.model.centroids.nonEmpty)
+    assert(idx.model.centroids.forall(c =>
+      c.nonEmpty && c.forall(v => !v.isNaN && !v.isInfinite)),
+      s"NaN centroid escaped the fit: ${idx.model.centroids}")
+    val top = Similarity.ivfTopK(idx, "vec", "vec_id", query, k = 2,
+      nProbe = 4).collect()
+    assert(top.map(_.getLong(0)).toSeq == Seq(1L, 2L), top.toSeq.toString)
+  }
+
   test("SQ8 quantize+search survive corrupt rows and keep exact ranking") {
     val q8 = Embeddings.scalarQuantize(dirty, "vec")
     val top = Similarity.sq8TopK(q8, "vec", "vec_id", query, k = 2,

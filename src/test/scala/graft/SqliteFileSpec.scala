@@ -85,6 +85,34 @@ class SqliteFileSpec extends SparkSpec {
     finally java.nio.file.Files.deleteIfExists(tmp)
   }
 
+  test("WAL-mode database with a non-empty sidecar fails loudly") {
+    // synthesize the hazard: copy the fixture, mark the header as WAL
+    // (read/write version bytes 18/19 = 2), plant a non-empty -wal —
+    // reading the stale main image silently would be wrong data
+    val dir = java.nio.file.Files.createTempDirectory("graft_wal")
+    try {
+      val db = dir.resolve("w.sqlite")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(fixture), db)
+      val bytes = java.nio.file.Files.readAllBytes(db)
+      bytes(18) = 2; bytes(19) = 2
+      java.nio.file.Files.write(db, bytes)
+      java.nio.file.Files.write(dir.resolve("w.sqlite-wal"),
+        Array.fill[Byte](64)(1))
+      val e = intercept[Exception](SqliteFile.tableNames(db.toString))
+      assert(e.getMessage.contains("WAL"), e.getMessage)
+      // checkpointed WAL db (empty sidecar) reads fine
+      java.nio.file.Files.write(dir.resolve("w.sqlite-wal"),
+        Array.empty[Byte])
+      assert(SqliteFile.tableNames(db.toString).nonEmpty)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   test("parseColumns handles quoting, constraints and comments-free DDL") {
     assert(SqliteFile.parseColumns(
       """CREATE TABLE "T" ("a b" TEXT, `c` INT, [d] REAL NOT NULL,
