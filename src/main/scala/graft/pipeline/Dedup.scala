@@ -906,7 +906,7 @@ object Dedup {
     // caller remembering a flag at 100 TB
     val mode = shingled.sparkSession.conf
       .getOption("spark.graft.dedup.bundledVerify")
-      .map(_.toLowerCase).getOrElse("auto")
+      .map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("auto")
     val bundled = mode match {
       case "true" =>
         lastVerifyDecision = VerifyDecision("bundled", forced = true, -1.0)

@@ -322,7 +322,9 @@ object SqliteFile extends Serializable {
 
   /** sqlite.org §3.1 type-affinity algorithm over the declared type. */
   private def affinity(decl: String): String = {
-    val d = decl.toUpperCase
+    // Locale.ROOT: under a Turkish-locale JVM "integer".toUpperCase is
+    // "İNTEGER" (dotted capital), which would miss the "INT" affinity
+    val d = decl.toUpperCase(java.util.Locale.ROOT)
     if (d.contains("INT")) "INTEGER"
     else if (d.contains("CHAR") || d.contains("CLOB") || d.contains("TEXT"))
       "TEXT"
