@@ -320,6 +320,39 @@ object SqliteFile extends Serializable {
       }
   }
 
+  /** Constant DEFAULT literal of a column declaration, decoded to the
+    * reader's native value kinds — the value SQLite materializes when a
+    * record predates the column (`ALTER TABLE … ADD COLUMN d T DEFAULT
+    * x` stores old rows short; reading back must produce x, not NULL).
+    * Supported: string ('…' with '' doubling), integer, real, NULL,
+    * TRUE/FALSE, X'hex' blobs — the constant forms ADD COLUMN allows.
+    * Anything unrecognized degrades to None (= NULL padding). */
+  private[graft] def defaultOf(decl: String): Option[Any] = {
+    val m = ("(?is)\\bDEFAULT\\s+(" +
+      "'(?:[^']|'')*'" + "|" +        // string literal
+      "[Xx]'[0-9A-Fa-f]*'" + "|" +    // blob literal
+      "\\(?[-+]?[0-9]+(?:\\.[0-9]+)?(?:[eE][-+]?[0-9]+)?\\)?" + "|" +
+      "NULL|TRUE|FALSE" +
+      ")").r.findFirstMatchIn(decl)
+    m.map(_.group(1)).flatMap { raw0 =>
+      val raw = raw0.stripPrefix("(").stripSuffix(")")
+      val up = raw.toUpperCase(java.util.Locale.ROOT)
+      if (up == "NULL") None
+      else if (up == "TRUE") Some(java.lang.Long.valueOf(1L))
+      else if (up == "FALSE") Some(java.lang.Long.valueOf(0L))
+      else if (raw.startsWith("'"))
+        Some(raw.substring(1, raw.length - 1).replace("''", "'"))
+      else if (up.startsWith("X'"))
+        Some(raw.substring(2, raw.length - 1).grouped(2)
+          .map(Integer.parseInt(_, 16).toByte).toArray)
+      else if (raw.contains('.') || up.contains('E'))
+        Some(java.lang.Double.valueOf(raw.toDouble))
+      else
+        try Some(java.lang.Long.valueOf(raw.toLong))
+        catch { case _: NumberFormatException => None }
+    }
+  }
+
   /** sqlite.org §3.1 type-affinity algorithm over the declared type. */
   private def affinity(decl: String): String = {
     // Locale.ROOT: under a Turkish-locale JVM "integer".toUpperCase is
@@ -431,6 +464,11 @@ object SqliteFile extends Serializable {
     val parts = math.max(1, math.min(leaves.size,
       spark.conf.getOption("spark.sql.shuffle.partitions")
         .map(_.toInt).getOrElse(sc.defaultParallelism)))
+    // records written before an ALTER TABLE ADD COLUMN are stored SHORT;
+    // the reader materializes the column's recorded DEFAULT for them
+    // (null when none), like the sqlite3 library does
+    val padDefaults: Array[Any] =
+      cols.map { case (_, decl) => defaultOf(decl).orNull }.toArray
     // rows of one leaf batch, decoded executor-side; each partition opens
     // its own channel (cheap; pages are read once)
     def partitionRows(batch: Iterator[Int]): Iterator[Array[Any]] = {
@@ -443,7 +481,7 @@ object SqliteFile extends Serializable {
             val out = new Array[Any](nCols)
             var i = 0
             while (i < nCols) {
-              out(i) = if (i < vals.length) vals(i) else null
+              out(i) = if (i < vals.length) vals(i) else padDefaults(i)
               i += 1
             }
             if (rowidAlias >= 0 && out(rowidAlias) == null)
