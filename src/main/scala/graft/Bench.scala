@@ -181,6 +181,26 @@ object Bench {
       (sl.spilled.get() - sp0) * mb, peak, parts, bytes * mb))
   }
 
+  /** Deterministic clustered synthetic embedding corpus — the geometry
+    * real embedding corpora have, which the isotropic testdata lacks.
+    * Hash-derived cluster centers (uniform[-1,1] components) + 0.3-scale
+    * per-component hash noise; within-cluster cosine ≈ 0.92,
+    * cross-cluster ≈ N(0, d^-1/2). Shared by the ann_frontier /
+    * ann_clustered / ann_clustered_2m evidence blocks (held-out queries
+    * = ids beyond the corpus range, fresh noise, same recipe). */
+  private def genClustered(ids: org.apache.spark.sql.DataFrame,
+      nClusters: Int, dim: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, expr, pmod, xxhash64}
+    ids
+      .withColumn("cl", pmod(xxhash64(col("vec_id"), lit(7)), lit(nClusters)))
+      .withColumn("embedding", expr(
+        s"transform(sequence(0, ${dim - 1}), j -> cast(" +
+          "(pmod(xxhash64(cl, j, 11), 2001) - 1000) / 1000.0 + " +
+          "0.3 * (pmod(xxhash64(vec_id, j, 13), 2001) - 1000) / 1000.0" +
+          " as float))"))
+      .select("vec_id", "embedding")
+  }
+
   /** Print the artifact line and also persist it whole to the file named
     * by `envVar` (default `defaultFile`): stdout capture can truncate
     * (BENCH_r06 lost its tail) — the committed artifact must be
@@ -456,22 +476,13 @@ object Bench {
       // per-probe scan stays ~n/√n = √n) vs k = 64 (the r10 frontier
       // choice, ~n/64-sized cells).
       val annClusteredJson = if (!names.contains("ann_clustered")) "" else {
-        import org.apache.spark.sql.functions.expr
         val nVec = 200000L
         val nClusters = 2000
         val dim = spark.read.parquet(s"$sfDir/embeddings.parquet")
           .select(org.apache.spark.sql.functions.size(col("embedding")))
           .head().getInt(0)
-        def gen(ids: org.apache.spark.sql.DataFrame) = ids
-          .withColumn("cl", org.apache.spark.sql.functions
-            .pmod(org.apache.spark.sql.functions
-              .xxhash64(col("vec_id"), lit(7)), lit(nClusters)))
-          .withColumn("embedding", expr(
-            s"transform(sequence(0, ${dim - 1}), j -> cast(" +
-              "(pmod(xxhash64(cl, j, 11), 2001) - 1000) / 1000.0 + " +
-              "0.3 * (pmod(xxhash64(vec_id, j, 13), 2001) - 1000) / 1000.0" +
-              " as float))"))
-          .select("vec_id", "cl", "embedding")
+        def gen(ids: org.apache.spark.sql.DataFrame) =
+          genClustered(ids, nClusters, dim)
         gen(spark.range(nVec).select(col("id").alias("vec_id")))
           .write.mode("overwrite").parquet(s"$out/annc.parquet")
         val corpus = spark.read.parquet(s"$out/annc.parquet")
@@ -479,7 +490,7 @@ object Bench {
         val qRows = gen(spark.range(nVec, nVec + nq)
           .select(col("id").alias("vec_id"))).collect()
         val qvs = qRows.map(r =>
-          r.getLong(0) -> r.getSeq[Float](2)).toMap
+          r.getLong(0) -> r.getSeq[Float](1)).toMap
         val qids = qvs.keys.toSeq.sorted
         val truth = qids.map(id => id -> pipeline.Similarity
           .bruteForceTopK(corpus, "embedding", "vec_id", qvs(id), 10)
@@ -526,22 +537,13 @@ object Bench {
       // size the fit is the investment the probe curve amortizes.
       val annClustered2mJson =
         if (!names.contains("ann_clustered_2m")) "" else {
-        import org.apache.spark.sql.functions.expr
         val nVec = 2000000L
         val nClusters = 20000
         val dim = spark.read.parquet(s"$sfDir/embeddings.parquet")
           .select(org.apache.spark.sql.functions.size(col("embedding")))
           .head().getInt(0)
-        def gen(ids: org.apache.spark.sql.DataFrame) = ids
-          .withColumn("cl", org.apache.spark.sql.functions
-            .pmod(org.apache.spark.sql.functions
-              .xxhash64(col("vec_id"), lit(7)), lit(nClusters)))
-          .withColumn("embedding", expr(
-            s"transform(sequence(0, ${dim - 1}), j -> cast(" +
-              "(pmod(xxhash64(cl, j, 11), 2001) - 1000) / 1000.0 + " +
-              "0.3 * (pmod(xxhash64(vec_id, j, 13), 2001) - 1000) / 1000.0" +
-              " as float))"))
-          .select("vec_id", "embedding")
+        def gen(ids: org.apache.spark.sql.DataFrame) =
+          genClustered(ids, nClusters, dim)
         gen(spark.range(nVec).select(col("id").alias("vec_id")))
           .write.mode("overwrite").parquet(s"$out/annc2m.parquet")
         val corpus = spark.read.parquet(s"$out/annc2m.parquet")
@@ -1116,19 +1118,11 @@ object Bench {
         val dim = emb.select(org.apache.spark.sql.functions
           .size(col("embedding"))).head().getInt(0)
         val nClusters = math.max(2, (nVec / 100).toInt)
-        // clustered synthetic twin: hash-derived cluster centers +
-        // 0.3-scale per-component noise (same recipe as the ×100
-        // ann_clustered evidence)
-        val clustered = spark.range(nVec).select(col("id").alias("vec_id"))
-          .withColumn("cl", org.apache.spark.sql.functions
-            .pmod(org.apache.spark.sql.functions
-              .xxhash64(col("vec_id"), lit(7)), lit(nClusters)))
-          .withColumn("embedding", expr(
-            s"transform(sequence(0, ${dim - 1}), j -> cast(" +
-              "(pmod(xxhash64(cl, j, 11), 2001) - 1000) / 1000.0 + " +
-              "0.3 * (pmod(xxhash64(vec_id, j, 13), 2001) - 1000) / 1000.0" +
-              " as float))"))
-          .select("vec_id", "embedding")
+        // clustered synthetic twin: same recipe as the ×100
+        // ann_clustered evidence blocks
+        val clustered = genClustered(
+          spark.range(nVec).select(col("id").alias("vec_id")),
+          nClusters, dim)
         s""","ann_frontier":{"note":"isotropic = real testdata (no cluster structure; recall is probed-fraction-bound there), clustered = same-size synthetic with real-corpus structure",""" +
           s"${sweep("isotropic", emb)},${sweep("clustered", clustered)}}"
       } finally deleteRecursively(ivfPath)

@@ -606,9 +606,15 @@ object Dedup {
       .map(_.toLong).getOrElse(1000000L)
     if (maxRows <= 0)
       return ngramJaccardPairs(df, textCol, idCol, k, threshold)
+    // freshness key: file names alone already change on a parquet
+    // overwrite (part-file UUIDs); len/mtime additionally catch an
+    // in-place rewrite of the SAME names. Stat calls are one driver RPC
+    // per file, so they are capped — beyond 64 files the name set is
+    // the signal and the per-file stats are skipped.
     val files = df.inputFiles
     val fingerprint = scala.util.hashing.MurmurHash3.orderedHash(
-      files.sorted.map { f =>
+      if (files.length > 64) files.sorted.toSeq
+      else files.sorted.map { f =>
         val p = new org.apache.hadoop.fs.Path(f)
         val st =
           try {
