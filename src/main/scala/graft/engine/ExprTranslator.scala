@@ -97,7 +97,14 @@ final class ExprTranslator(
   /** Translate one expression fragment (masked). Returns Spark SQL text with
     * literals restored. */
   def translate(fragment: String): String = {
-    var s = fragment
+    // Multi-arg min()/max() are the Python builtins (scalar least/greatest),
+    // valid in ANY expression position in the reference — WHERE, ORDER BY,
+    // UPDATE right-hand sides — not just select items (where
+    // Aggregates.classify already rewrites them). Idempotent: 1-arg calls
+    // are untouched, rewritten text has no min(/max( left. Safe on masked
+    // text: literals are placeholders, so the top-level comma split cannot
+    // hit a quoted comma.
+    var s = Aggregates.rewritePolymorphic(fragment)
     // a["literal name"] / b['literal name'] — placeholder inside brackets
     s = BracketNameRe.replaceAllIn(s, m => {
       val side = m.group(1).charAt(0)

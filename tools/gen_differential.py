@@ -74,69 +74,121 @@ def gen_join_table(rng, rows, key_col):
 
 # ---- expression AST: every node is {'py': str, 'sql': str} -------------
 
+# When set (header templates), a-side refs render as a.name / a["two words"]
+# 70% of the time; positional a{i} stays valid alongside a header in both
+# engines and keeps rendering otherwise.
+COLNAMES = None
+
+
+def aref(rng, i):
+    if COLNAMES is not None and rng.random() < 0.7:
+        nm = COLNAMES[i - 1]
+        if " " in nm:
+            return f"a['{nm}']", f'a["{nm}"]'
+        return f"a.{nm}", f"a.{nm}"
+    return f"a{i}", f"a{i}"
+
+
 def icol(rng, side="a"):
-    i = rng.choice(INT_COLS) if side == "a" else 3
-    v = f"{side}{i}"
-    return {"py": f"int({v})", "sql": f"cast({v} as int)"}
+    if side == "a":
+        p, s = aref(rng, rng.choice(INT_COLS))
+    else:
+        p = s = "b3"
+    return {"py": f"int({p})", "sql": f"cast({s} as int)"}
 
 
 def fcol(rng):
-    i = rng.choice(FLOAT_COLS)
-    return {"py": f"float(a{i})", "sql": f"cast(a{i} as double)"}
+    p, s = aref(rng, rng.choice(FLOAT_COLS))
+    return {"py": f"float({p})", "sql": f"cast({s} as double)"}
 
 
 def wcol(rng, side="a"):
-    i = rng.choice(WORD_COLS) if side == "a" else 2
-    v = f"{side}{i}"
-    return {"py": v, "sql": v}
+    if side == "a":
+        p, s = aref(rng, rng.choice(WORD_COLS))
+    else:
+        p = s = "b2"
+    return {"py": p, "sql": s}
 
 
 def int_expr(rng, depth=0):
     r = rng.random()
-    if depth >= 2 or r < 0.35:
+    if depth >= 2 or r < 0.3:
         return icol(rng)
-    if r < 0.45:
-        return {"py": "NR", "sql": "NR"}
-    if r < 0.55:
+    if r < 0.38:
+        v = rng.choice(["NR", "NF"])
+        return {"py": v, "sql": v}
+    if r < 0.46:
         c = wcol(rng)
         return {"py": f"len({c['py']})", "sql": f"length({c['sql']})"}
-    if r < 0.75:
+    if r < 0.58:
         a, k = int_expr(rng, depth + 1), rng.randint(0, 20)
         return {"py": f"({a['py']} + {k})", "sql": f"({a['sql']} + {k})"}
-    if r < 0.9:
+    if r < 0.68:
+        a, k = int_expr(rng, depth + 1), rng.randint(1, 30)
+        return {"py": f"({a['py']} - {k})", "sql": f"({a['sql']} - {k})"}
+    if r < 0.78:
         a, k = int_expr(rng, depth + 1), rng.randint(1, 3)
         return {"py": f"({a['py']} * {k})", "sql": f"({a['sql']} * {k})"}
-    # % on provably non-negative operands only (Python vs SQL differ on
-    # negatives); all int sources here are >= 0 and +/* preserve that
+    if r < 0.86:
+        # 2-arg scalar min/max: Python builtin <-> graft polymorphic min/max
+        a, k = int_expr(rng, depth + 1), rng.randint(0, 60)
+        m = rng.choice(["min", "max"])
+        return {"py": f"{m}({a['py']}, {k})", "sql": f"{m}({a['sql']}, {k})"}
+    if r < 0.93:
+        c, a, b = cond(rng, 2), int_expr(rng, depth + 1), rng.randint(0, 99)
+        return {"py": f"({a['py']} if {c['py']} else {b})",
+                "sql": f"if({c['sql']}, {a['sql']}, {b})"}
+    # % through abs() so Python and SQL never see a negative operand
+    # (they disagree on the sign of negative modulo)
     a, k = int_expr(rng, depth + 1), rng.randint(2, 7)
-    return {"py": f"({a['py']} % {k})", "sql": f"({a['sql']} % {k})"}
+    return {"py": f"(abs({a['py']}) % {k})", "sql": f"(abs({a['sql']}) % {k})"}
 
 
 def float_expr(rng, depth=0):
     r = rng.random()
-    if depth >= 2 or r < 0.5:
+    if depth >= 2 or r < 0.4:
         return fcol(rng)
-    if r < 0.7:
+    if r < 0.55:
         a, k = float_expr(rng, depth + 1), rng.randint(1, 50) / 10.0
         return {"py": f"({a['py']} + {k})", "sql": f"({a['sql']} + {k})"}
-    if r < 0.9:
+    if r < 0.65:
+        a, k = float_expr(rng, depth + 1), rng.randint(1, 40) / 10.0
+        return {"py": f"({a['py']} - {k})", "sql": f"({a['sql']} - {k})"}
+    if r < 0.78:
         a, k = float_expr(rng, depth + 1), rng.randint(1, 30) / 10.0
         return {"py": f"({a['py']} * {k})", "sql": f"({a['sql']} * {k})"}
+    if r < 0.9:
+        # `/` is float division in both dialects (Python 3 true division,
+        # Spark's `/` always returns double)
+        a = rng.choice([float_expr, int_expr])(rng, depth + 1)
+        k = rng.randint(2, 9)
+        return {"py": f"({a['py']} / {k})", "sql": f"({a['sql']} / {k})"}
     a, b = float_expr(rng, depth + 1), icol(rng)
     return {"py": f"({a['py']} + {b['py']})", "sql": f"({a['sql']} + {b['sql']})"}
 
 
 def str_expr(rng, depth=0):
     r = rng.random()
-    if depth >= 1 or r < 0.5:
+    if depth >= 1 or r < 0.4:
         return wcol(rng)
-    if r < 0.7:
+    if r < 0.55:
         c = wcol(rng)
         m = rng.choice(["upper", "lower"])
         return {"py": f"{c['py']}.{m}()", "sql": f"{m}({c['sql']})"}
-    if r < 0.9:
+    if r < 0.68:
         c, suf = wcol(rng), rng.choice(["_t", "-x", "Q"])
         return {"py": f"({c['py']} + '{suf}')", "sql": f"({c['sql']} || '{suf}')"}
+    if r < 0.78:
+        c = wcol(rng)
+        old = rng.choice(["a", "e", "t", "mu"])
+        new = rng.choice(["#", "ZZ", ""])
+        return {"py": f"{c['py']}.replace('{old}', '{new}')",
+                "sql": f"replace({c['sql']}, '{old}', '{new}')"}
+    if r < 0.9:
+        cd, a = cond(rng, 2), wcol(rng)
+        alt = rng.choice(VOCAB)
+        return {"py": f"({a['py']} if {cd['py']} else '{alt}')",
+                "sql": f"if({cd['sql']}, {a['sql']}, '{alt}')"}
     a = int_expr(rng, depth + 1)
     return {"py": f"str({a['py']})", "sql": f"cast({a['sql']} as string)"}
 
@@ -164,15 +216,35 @@ def cond(rng, depth=0):
         w = rng.choice(VOCAB + [""])
         op = rng.choice(["==", "!="])
         return {"py": f"{c['py']} {op} '{w}'", "sql": f"{c['sql']} {op} '{w}'"}
-    if r < 0.7:
+    if r < 0.66:
         c = wcol(rng)
         p = rng.choice(["al", "be", "g", "K", "mu", "x"])
-        return {"py": f"{c['py']}.startswith('{p}')",
-                "sql": f"startswith({c['sql']}, '{p}')"}
-    if r < 0.78:
+        m = rng.choice(["startswith", "endswith"])
+        return {"py": f"{c['py']}.{m}('{p}')",
+                "sql": f"{m}({c['sql']}, '{p}')"}
+    if r < 0.7:
+        c = wcol(rng)
+        n = rng.choice(["a", "t", "mu", "K", "-"])
+        return {"py": f"'{n}' in {c['py']}",
+                "sql": f"contains({c['sql']}, '{n}')"}
+    if r < 0.74:
+        c = wcol(rng)
+        if rng.random() < 0.5:
+            p = rng.choice(["al%", "%ta", "%m%", "K%A", "_eta"])
+            return {"py": f"like({c['py']}, '{p}')",
+                    "sql": f"{c['sql']} LIKE '{p}'"}
+        p = rng.choice(["[ae]l", "ta$", "^[gz]", "u.n"])
+        return {"py": f"re.search('{p}', {c['py']}) is not None",
+                "sql": f"regexp_like({c['sql']}, '{p}')"}
+    if r < 0.78 and depth == 0:
+        # bare truthiness: Python nonzero int / non-empty string. Top-level
+        # WHERE only — inside AND/OR/NOT the SQL side needs a boolean
+        a = rng.choice([int_expr(rng, 2), wcol(rng)])
+        return a
+    if r < 0.82:
         k, m = rng.randint(2, 5), rng.randint(0, 1)
         return {"py": f"NR % {k} == {m}", "sql": f"NR % {k} == {m}"}
-    if r < 0.88:
+    if r < 0.9:
         a, b = cond(rng, depth + 1), cond(rng, depth + 1)
         op = rng.choice([("and", "AND"), ("or", "OR")])
         return {"py": f"({a['py']} {op[0]} {b['py']})",
@@ -310,6 +382,57 @@ def t_except(rng):
     return py, sql, True, None
 
 
+def t_strict(rng):
+    """STRICT LEFT JOIN: B must hold exactly one row per A key value."""
+    key = rng.choice(WORD_COLS + INT_COLS)
+    es = [value_expr(rng) for _ in range(rng.randint(1, 2))]
+    bsel = rng.choice(["b2", "b3"])
+    py, sql = mk(
+        ["SELECT", ", ".join([e["py"] for e in es] + [bsel]),
+         f"STRICT LEFT JOIN B ON a{key} == b1"],
+        ["SELECT", ", ".join([e["sql"] for e in es] + [bsel]),
+         f"STRICT LEFT JOIN B ON a{key} == b1"])
+    return py, sql, True, -key  # negative marks "exact cover" join table
+
+
+HEADER = ["uid", "price", "word", "qty", "the tag"]
+
+
+def t_header(rng):
+    """Named-column access (a.name / a["two words"]) over a headered table."""
+    global COLNAMES
+    COLNAMES = HEADER
+    try:
+        fn = rng.choice([t_plain_select, t_select_order, t_groupby,
+                         t_update, t_distinct])
+        py, sql, ordered, _ = fn(rng)
+        return py, sql, ordered, None
+    finally:
+        COLNAMES = None
+
+
+def t_error(rng):
+    """Error parity: the reference must raise; graft must raise too."""
+    kind = rng.choice(["int_word", "agg_misuse", "single_eq", "agg_word"])
+    if kind == "int_word":
+        i = rng.choice(WORD_COLS)
+        if rng.random() < 0.5:
+            return f"SELECT int(a{i})", f"SELECT cast(a{i} as int)", True, None
+        return (f"SELECT a1 WHERE int(a{i}) > 3",
+                f"SELECT a1 WHERE cast(a{i} as int) > 3", True, None)
+    if kind == "agg_misuse":
+        a = agg_expr(rng)
+        return (f"SELECT a1, {a['py']}", f"SELECT a1, {a['sql']}", True, None)
+    if kind == "single_eq":
+        c = wcol(rng)
+        w = rng.choice(VOCAB)
+        return (f"SELECT a1 WHERE {c['py']} = '{w}'",
+                f"SELECT a1 WHERE {c['sql']} = '{w}'", True, None)
+    i = rng.choice(WORD_COLS)
+    ag = rng.choice(["MAX", "MIN", "SUM", "AVG", "MEDIAN"])
+    return f"SELECT {ag}(a{i})", f"SELECT {ag}(a{i})", True, None
+
+
 TEMPLATES = [
     ("plain", t_plain_select, 70),
     ("order", t_select_order, 70),
@@ -320,7 +443,23 @@ TEMPLATES = [
     ("update", t_update, 40),
     ("star", t_star, 25),
     ("except", t_except, 25),
+    ("strict", t_strict, 30),
+    ("header", t_header, 50),
+    ("error", t_error, 24),
 ]
+
+
+def gen_join_exact_cover(rng, rows, key_col):
+    """B with exactly one row per distinct A key (STRICT LEFT requirement),
+    plus a few rows under keys that cannot collide with A values."""
+    keys = list(dict.fromkeys(r[key_col - 1] for r in rows))
+    b = [[k, rng.choice(VOCAB), str(rng.randint(0, 50))] for k in keys]
+    for _ in range(rng.randint(0, 3)):
+        k = (str(rng.randint(200, 300)) if key_col in INT_COLS
+             else rng.choice(VOCAB) + "_XX")
+        b.append([k, rng.choice(VOCAB), str(rng.randint(0, 50))])
+    rng.shuffle(b)
+    return list(dict((r[0], r) for r in b).values())
 
 
 def main():
@@ -334,19 +473,32 @@ def main():
             attempts += 1
             table = gen_table(rng)
             py, sql, ordered, join_key = fn(rng)
-            join_table = (gen_join_table(rng, table, join_key)
-                          if join_key is not None else None)
+            names = HEADER if tname == "header" else None
+            if join_key is None:
+                join_table = None
+            elif join_key < 0:
+                join_table = gen_join_exact_cover(rng, table, -join_key)
+            else:
+                join_table = gen_join_table(rng, table, join_key)
             out, warnings = [], []
+            err = None
             try:
                 rbql.query_table(py, [list(r) for r in table], out, warnings,
-                                 join_table=join_table)
-            except Exception as e:  # reference rejects → record error parity
+                                 join_table=join_table,
+                                 input_column_names=(list(names) if names
+                                                     else None))
+            except Exception as e:
+                err = e
+            if tname == "error":
+                if err is None:
+                    continue  # didn't trip the reference — try another draw
+            elif err is not None:
                 n_err += 1
                 if n_err <= 10:
-                    print(f"  [ref error] {tname}: {py} -> {e}",
+                    print(f"  [ref error] {tname}: {py} -> {err}",
                           file=sys.stderr)
-                continue  # only success cases in v1; errors are corpus work
-            if warnings:
+                continue
+            elif warnings:
                 continue  # warning semantics are SourcesSpec territory
             cases.append({
                 "name": f"fuzz_{tname}_{made:03d}",
@@ -354,9 +506,11 @@ def main():
                 "query_py": py,
                 "query_sql": sql,
                 "input_table": table,
+                "input_column_names": names,
                 "join_table": join_table,
                 "ordered": ordered,
-                "expected_output_table": out,
+                "expected_error": err is not None,
+                "expected_output_table": None if err is not None else out,
             })
             made += 1
         if made < count:
