@@ -284,7 +284,11 @@ object Cli {
               s"Inconsistent number of columns in output header and the current record: $hdrLen != $w")
           }
         }
-        val result = result0.drop(owidName)
+        // the hidden width column rides along: the sinks route a headerless
+        // result through the variable-arity (ragged star) write path and
+        // drop it otherwise; Warnings.scan slices by it so padding nulls
+        // are not mistaken for None values
+        val result = result0
         try {
           opts.get("output") match {
             case Some(out) =>

@@ -33,13 +33,76 @@ object Sinks {
     case _ => coalesce(c.cast(StringType), lit(""))
   }
 
+  private val OwidCol = graft.engine.PlanBuilder.OwidCol
+
+  private def hasOwid(df: DataFrame): Boolean = df.columns.contains(OwidCol)
+
+  /** Like normalizeCol but PRESERVES null (for the ragged path, where a
+    * null beyond the record width is structural, not a None value). */
+  private def normalizeColNullable(c: Column, dt: DataType): Column = dt match {
+    case ArrayType(inner, _) =>
+      array_join(transform(c, e => normalizeCol(e, inner)), "|")
+    case StringType => c
+    case _ => c.cast(StringType)
+  }
+
+  /** Variable-arity output rows (reference ragged model: a star over a
+    * short record emits the record's TRUE field count, rbql_csv.py write —
+    * fields list, not a padded fixed width): one `__fields` array column
+    * per record, sliced to the hidden per-record width. Null elements
+    * inside the slice are genuine None values; the padding beyond it is
+    * gone. */
+  private[sinks] def raggedFields(df: DataFrame): DataFrame = {
+    val names = df.columns.toSeq
+    val uniq = names.indices.map(i => s"__graft_rg$i")
+    val renamed = df.toDF(uniq: _*)
+    val owidIdx = names.indexOf(OwidCol)
+    val elems = names.indices.filter(_ != owidIdx).map(i =>
+      normalizeColNullable(col(uniq(i)), df.schema.fields(i).dataType))
+    renamed.select(slice(array(elems: _*), lit(1),
+      col(uniq(owidIdx)).cast("int")).alias("__fields"))
+  }
+
+  /** Policy-aware field quoting as a codegen'd expression (csv_utils.py
+    * quote_field vs rfc_quote_field: only the rfc variant quotes on
+    * newlines). Unquoted policies pass fields through verbatim. */
+  private def quoteExpr(c0: Column, delim: String, policy: String): Column =
+    if (policy == "simple" || policy == "whitespace" || policy == "monocolumn")
+      c0
+    else {
+      val needNl =
+        if (policy == "quoted_rfc") c0.contains("\n") || c0.contains("\r")
+        else lit(false)
+      val need = c0.contains(delim) || c0.contains("\"") || needNl
+      when(need,
+        concat(lit("\""), replace(c0, lit("\""), lit("\"\"")), lit("\"")))
+        .otherwise(c0)
+    }
+
+  /** Ragged lines DataFrame (single `value` column) for the variable-arity
+    * write path. */
+  private def raggedLines(df: DataFrame, delim: String, policy: String): DataFrame =
+    raggedFields(df).select(
+      array_join(transform(col("__fields"),
+        e => quoteExpr(coalesce(e, lit("")), delim, policy)), delim)
+        .alias("value"))
+
   /** Distributed CSV write: header row, delimiter + policy-matched quoting
-    * via Spark's writer (univocity quotes only when needed — matching the
-    * reference's quote_field). `simple` policy writes raw fields without
+    * via Spark's writer. `simple` policy writes raw fields without
     * quoting, like the reference's simple writer (fields containing the
-    * delimiter surface through Warnings.scan). */
-  def writeCsv(df: DataFrame, path: String, delim: String = ",",
+    * delimiter surface through Warnings.scan). A headerless result carrying
+    * the hidden per-record width column writes variable-arity rows (the
+    * reference's ragged star model) via a text write of pre-quoted lines.
+    * Known file-sink divergence: univocity also quotes newline-containing
+    * fields under the plain `quoted` policy where the reference's
+    * quote_field does not (the stdout sink, collectCsvLines, is exact). */
+  def writeCsv(df0: DataFrame, path: String, delim: String = ",",
       header: Boolean = true, policy: String = "quoted"): Unit = {
+    if (!header && hasOwid(df0)) {
+      raggedLines(df0, delim, policy).write.mode("overwrite").text(path)
+      return
+    }
+    val df = if (hasOwid(df0)) df0.drop(OwidCol) else df0
     var w = normalizeForCsv(df).write
       .option("sep", if (policy == "monocolumn" && delim.isEmpty) "," else delim)
       .option("header", header)
@@ -78,24 +141,32 @@ object Sinks {
     jsonLinesDf(df).collect().toSeq.map(_.getString(0))
 
   /** Driver-side collect for stdout-style output (the reference's default
-    * CLI sink); only for interactive / small results. */
-  def collectCsvLines(df: DataFrame, delim: String = ",",
+    * CLI sink); only for interactive / small results. A headerless result
+    * carrying the hidden width column collects variable-arity lines. */
+  def collectCsvLines(df0: DataFrame, delim: String = ",",
       header: Boolean = true, policy: String = "quoted"): Seq[String] = {
+    if (!header && hasOwid(df0))
+      return raggedLines(df0, delim, policy).collect().toSeq.map(_.getString(0))
+    val df = if (hasOwid(df0)) df0.drop(OwidCol) else df0
     val norm = normalizeForCsv(df)
     val q: String => String =
       if (policy == "simple" || policy == "whitespace" || policy == "monocolumn")
         identity
-      else quoteField(_, delim)
+      else quoteField(_, delim, quoteNewlines = policy == "quoted_rfc")
     val rows = norm.collect().map(_.toSeq.map(v => q(String.valueOf(v)))
       .mkString(delim))
     if (header) norm.columns.map(q).mkString(delim) +: rows.toSeq
     else rows.toSeq
   }
 
-  /** quote_field semantics (csv_utils.py:93-107): quote only when the field
-    * contains the delimiter, a quote, or a newline. */
-  def quoteField(s: String, delim: String): String =
-    if (s.contains(delim) || s.contains("\"") || s.contains("\n") || s.contains("\r"))
+  /** quote_field semantics (csv_utils.py:93-107): quote when the field
+    * contains the delimiter or a quote; ONLY the rfc variant
+    * (rfc_quote_field, used by the quoted_rfc policy) also quotes on
+    * newlines — the plain quoted writer emits them raw, structure be
+    * damned, and graft matches (CSV differential fuzz pinned it). */
+  def quoteField(s: String, delim: String, quoteNewlines: Boolean = true): String =
+    if (s.contains(delim) || s.contains("\"") ||
+        (quoteNewlines && (s.contains("\n") || s.contains("\r"))))
       "\"" + s.replace("\"", "\"\"") + "\""
     else s
 }

@@ -18,6 +18,12 @@ object Warnings {
 
   def scan(df0: DataFrame, delim: String = ",",
       policy: String = "simple"): Seq[String] = {
+    // variable-arity results (hidden per-record width column, headerless
+    // ragged star): scan the SLICED field arrays — nulls padded beyond the
+    // record width are structural, not None values (the reference scans
+    // the true fields list)
+    if (df0.columns.contains(graft.engine.PlanBuilder.OwidCol))
+      return scanRagged(df0, delim, policy)
     // position-based access: output headers may contain duplicate names
     val df = df0.toDF(df0.columns.indices.map(i => s"__graft_w$i"): _*)
     val unquotedPolicy =
@@ -41,6 +47,26 @@ object Warnings {
     val nDelim = strCols.indices
       .map(i => if (row.isNullAt(offset + i)) 0L else row.getLong(offset + i)).sum
     if (nDelim > 0)
+      buf += "Some output fields contain separator"
+    buf.toSeq
+  }
+
+  private def scanRagged(df0: DataFrame, delim: String,
+      policy: String): Seq[String] = {
+    val unquotedPolicy =
+      policy == "simple" || policy == "whitespace" || policy == "monocolumn"
+    val arr = Sinks.raggedFields(df0)
+    val nullCount = sum(size(filter(col("__fields"), e => e.isNull)))
+    val delimCount =
+      if (unquotedPolicy && delim.nonEmpty)
+        sum(size(filter(col("__fields"),
+          e => coalesce(e, lit("")).contains(delim))))
+      else sum(lit(0))
+    val row = arr.agg(nullCount.alias("__n"), delimCount.alias("__d")).head()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (!row.isNullAt(0) && row.getLong(0) > 0)
+      buf += "None values in output were replaced by empty strings"
+    if (!row.isNullAt(1) && row.getLong(1) > 0)
       buf += "Some output fields contain separator"
     buf.toSeq
   }

@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   * (/root/reference/rbql-py/rbql/rbql_csv.py:318-504 + csv_utils.py:11-80;
   * policy list rbql_main.py:30).
   *
-  * The `quoted` policy maps onto Spark's native CSV reader (univocity,
-  * distributed, pushdown-friendly). `simple`, `whitespace`, `monocolumn`
-  * and multichar separators are a text scan + split projection — the
-  * reference's exact splitter semantics, still fully distributed and
-  * codegen'd. `quoted_rfc` is the faithful multiline assembly path.
+  * All line-based policies (`quoted`, `simple`, `whitespace`,
+  * `monocolumn`, multichar separators) are a distributed text scan + a
+  * codegen'd split projection with the reference's exact splitter
+  * semantics. `quoted` formerly used Spark's univocity reader, which
+  * cannot surface an unquoted empty field as "" (null at the parser
+  * level) — conflating empty with missing and breaking warning parity.
+  * `quoted_rfc` is the faithful multiline assembly path.
   *
   * Scale note: the split paths infer the table width with one extra
   * count-only scan (max field count over all rows — the reference's
@@ -29,9 +31,7 @@ object CsvSource {
     * fields read as "", never null. Lets the engine reproduce the
     * reference's missing-field errors (join-map build
     * rbql_engine.py:1362-1373, write width check rbql_csv.py:208-210)
-    * without a per-record fields list. The native quoted reader cannot
-    * make the distinction (univocity yields null for unquoted-empty
-    * fields) and is never marked. */
+    * without a per-record fields list. */
   val MissingNullKey = "graft_csv_missing_null"
 
   private def markMissing(df: DataFrame): DataFrame = {
@@ -79,8 +79,14 @@ object CsvSource {
         val bytes = pds.toArray()
         val charset = java.nio.charset.Charset.forName(cs)
         val out = scala.collection.mutable.ArrayBuffer.empty[String]
-        var start = 0
-        var i = 0
+        // a UTF-8 BOM is skipped even in latin-1/binary mode (the reference
+        // strips the three bytes before decoding, rbql_csv.py:309-315; the
+        // univocity reader used to absorb it on the old quoted path)
+        var start =
+          if (bytes.length >= 3 && bytes(0) == 0xEF.toByte &&
+            bytes(1) == 0xBB.toByte && bytes(2) == 0xBF.toByte) 3
+          else 0
+        var i = start
         while (i < bytes.length) {
           if (bytes(i) == '\n') {
             val end = if (i > start && bytes(i - 1) == '\r') i - 1 else i
@@ -143,20 +149,24 @@ object CsvSource {
     if (!Policies.contains(policy))
       graft.engine.Errors.io(s"Unknown CSV policy: '$policy'")
 
-    // Split/rfc paths distinguish missing (short record → null, via
-    // try_element_at past the array end) from empty ("" stays "") and are
-    // marked; the native quoted reader cannot (univocity yields null for
-    // unquoted-empty fields at the parser level), so it stays unmarked and
-    // the missing-field parity checks don't apply to it.
+    // Every path distinguishes missing (short record → null, via
+    // try_element_at past the array end) from empty ("" stays "") and is
+    // marked for the missing-field parity checks.
     val out = policy match {
-      // comment-regex has no native reader support: route line-based
-      // policies through the text-split path (the reference applies the
-      // regex per physical line before parsing, rbql_main.py:81). The
-      // split is the exact reference splitter (RfcSplit) as a native
-      // codegen'd expression — a lookahead-regex split would mis-handle a
-      // stray quote inside an unquoted field and go quadratic on
-      // heavily-quoted lines.
-      case "quoted" if commentRegex.isDefined =>
+      // line-based quoted policy: the exact reference splitter (RfcSplit)
+      // as a native codegen'd expression, over a distributed text scan.
+      // Formerly Spark's univocity reader — replaced because univocity
+      // CANNOT surface an unquoted empty field as "" (it is null at the
+      // parser level under every option combination), which conflated
+      // empty with MISSING: reference semantics are '' for present-but-
+      // empty and None only for fields past the record end (probed:
+      // rbql_csv get_row + safe_get). The CSV differential fuzz caught
+      // graft emitting the reference's "None values in output" warning on
+      // corpora with plain empty fields. The split path keeps
+      // empty-vs-missing faithful (try_element_at past the array end →
+      // null, markMissing), honors multi-char comment prefixes, and
+      // matches the reference's space-before-quote field tolerance.
+      case "quoted" =>
         val d = delim
         splitText(spark, path, encoding, commentPrefix, hasHeader,
           line => org.apache.spark.sql.graft.csvtext.rfc_split(line, d),
@@ -174,21 +184,6 @@ object CsvSource {
         // fields and cannot comment-filter physical lines
         rfcRead(spark, path, delim, hasHeader, encoding, commentPrefix,
           stripWhitespaces, commentRegex)
-
-      case "quoted" =>
-        var r = spark.read
-          .option("sep", delim)
-          .option("header", hasHeader)
-          .option("encoding", normEncoding(encoding))
-          // RFC-4180 doubled-quote escaping (Spark's default is backslash,
-          // which mis-parses `""` inside quoted fields)
-          .option("escape", "\"")
-          .option("inferSchema", value = false)
-        if (stripWhitespaces) r = r
-          .option("ignoreLeadingWhiteSpace", value = true)
-          .option("ignoreTrailingWhiteSpace", value = true)
-        commentPrefix.foreach(c => r = r.option("comment", c.take(1)))
-        positionalNames(r.csv(path), hasHeader)
 
       case "simple" => // no quote processing at all: a pure split IS the
         // reference's get_row_simple (csv_utils.py) — the native univocity
@@ -209,7 +204,7 @@ object CsvSource {
         commentRegex.foreach(re => txt = txt.filter(!col("value").rlike(re)))
         txt.select(col("value").alias("a1"))
     }
-    if (policy == "quoted" && commentRegex.isEmpty) out else markMissing(out)
+    markMissing(out)
   }
 
   /** RFC-4180 (quoted_rfc) scan with the reference's exact semantics
@@ -231,6 +226,22 @@ object CsvSource {
       path: String,
       delim: String,
       hasHeader: Boolean,
+      encoding: String,
+      commentPrefix: Option[String],
+      stripWhitespaces: Boolean,
+      commentRegex: Option[String]): DataFrame =
+    projectFields(rfcRecords(spark, path, delim, encoding, commentPrefix,
+      stripWhitespaces, commentRegex), hasHeader)
+
+  /** The quoted_rfc logical-record scan backing [[rfcRead]] and the
+    * [[inputWarnings]] record-level field count: one row per ASSEMBLED
+    * record — `__fields` (split field array) and `__pos` (0-based logical
+    * record index; comments excluded, header included, matching the
+    * reference's record numbering in warnings). */
+  private def rfcRecords(
+      spark: SparkSession,
+      path: String,
+      delim: String,
       encoding: String,
       commentPrefix: Option[String],
       stripWhitespaces: Boolean,
@@ -304,7 +315,7 @@ object CsvSource {
         override def next(): Row = { val r = nextRec; advance(); r }
       }
     }(Encoders.row(schema))
-    projectFields(assembled.toDF(), hasHeader)
+    assembled.toDF()
   }
 
   /** Ragged (faithful) model: every record is a variable-length fields
@@ -389,26 +400,15 @@ object CsvSource {
   private val syntheticMeta = new org.apache.spark.sql.types.MetadataBuilder()
     .putBoolean(graft.Graft.SyntheticNameKey, true).build()
 
-  /** Headerless tables are addressed positionally in the RBQL model —
-    * rename Spark's _c0.._cN to a1..aN. A UTF-8 BOM that survived into the
-    * first header name is stripped (reference rbql_csv.py:309-315). */
-  private def positionalNames(df: DataFrame, hasHeader: Boolean): DataFrame =
-    if (hasHeader) {
-      val h = df.columns
-      if (h.nonEmpty && h(0).startsWith(Bom))
-        df.withColumnRenamed(h(0), h(0).substring(1))
-      else df
-    } else df.select(df.columns.zipWithIndex.map { case (c, i) =>
-      col(s"`${c.replace("`", "``")}`").as(s"a${i + 1}", syntheticMeta)
-    }.toIndexedSeq: _*)
-
   /** Read-side warnings scan (reference CSVRecordIterator.get_warnings,
     * rbql_csv.py:496-504): UTF-8 BOM presence and inconsistent
     * number-of-fields across records — the single most common real-CSV
-    * hazard. One text-scan aggregate job; line-based field counting
-    * (quoted policies count via the exact reference splitter, applied
-    * per physical line — multiline quoted_rfc records are approximated
-    * line-by-line). */
+    * hazard. One text-scan aggregate job for line-based policies (quoted
+    * counts via the exact reference splitter per physical line);
+    * quoted_rfc counts per LOGICAL record through the same multiline
+    * assembly the reader uses — per-line counting false-positived on
+    * every record that spans lines (caught by the CSV differential
+    * fuzz). */
   def inputWarnings(
       spark: SparkSession,
       path: String,
@@ -428,6 +428,30 @@ object CsvSource {
     // session would silently de-AQE any query planned concurrently
     val scanSession = spark.newSession()
     scanSession.conf.set("spark.sql.adaptive.enabled", "false")
+    if (policy == "quoted_rfc") {
+      // quoted_rfc records legally span physical lines — field counts must
+      // come from the LOGICAL records (per-line counting false-positived
+      // on every multiline record; caught by the CSV differential fuzz).
+      // Same assembly pass as the reader; __pos is the 0-based logical
+      // record index (comments excluded, header included — the reference's
+      // numbering, probed on rbql_csv get_row_rfc). Defective-escaping on
+      // this policy is a read ERROR (rbql_csv.py:463-467), not a warning,
+      // so only the field-count check applies.
+      val stats = rfcRecords(scanSession, path, delim, encoding,
+        commentPrefix, stripWhitespaces = false, commentRegex = None)
+        .select(size(col("__fields")).alias("__nf"), col("__pos"))
+        .groupBy(col("__nf"))
+        .agg(min(col("__pos")).alias("__first"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1)))
+        .sortBy(_._2).take(2)
+      if (stats.length > 1) {
+        val Array((nf1, p1), (nf2, p2)) = stats
+        warnings += s"""Number of fields in "$tableName" table is not consistent: """ +
+          s"e.g. record ${p1 + 1} -> $nf1 fields, record ${p2 + 1} -> $nf2 fields"
+      }
+      return warnings.toSeq
+    }
     var txt = readTextLines(scanSession, path, encoding)
     commentPrefix.foreach(p => txt = txt.filter(!col("value").startsWith(p)))
     // ONE aggregate job computes every warning input: grouped by
@@ -441,7 +465,7 @@ object CsvSource {
     val nf: org.apache.spark.sql.Column = policy match {
       case "monocolumn" => lit(1)
       case "whitespace" => size(split(trim(col("value")), "\\s+"))
-      case "quoted" | "quoted_rfc" =>
+      case "quoted" => // (quoted_rfc returned above on the record path)
         // the exact reference splitter (RfcSplit) as a native codegen'd
         // expression: the former lookahead-regex split mis-counted a
         // stray quote inside an unquoted field and went quadratic on
@@ -528,6 +552,22 @@ object CsvSource {
       .withColumn("__pos", monotonically_increasing_id())
     commentPrefix.foreach(p => txt = txt.filter(!col("value").startsWith(p)))
     commentRegex.foreach(r => txt = txt.filter(!col("value").rlike(r)))
+    // A DIRECTORY of part-files carries one header line per file (Spark's
+    // own CSV writer emits that shape): drop each file's first surviving
+    // line except the global first, which projectFields consumes as THE
+    // header. Gated on an actual multi-file listing — the reference's
+    // single-file model pays no extra pass. (The non-UTF-8 byte path
+    // reports no file names and stays single-file, its parity scope.)
+    if (hasHeader && countFiles(spark, path) > 1) {
+      val firsts = txt
+        .groupBy(input_file_name().alias("__f"))
+        .agg(min(col("__pos")).alias("__p"))
+        .collect().map(_.getAs[Long]("__p"))
+      if (firsts.length > 1) {
+        val extras = firsts.filter(_ != firsts.min).toIndexedSeq
+        txt = txt.filter(!col("__pos").isInCollection(extras))
+      }
+    }
     val rawFields = splitter(col("value"))
     val fields =
       if (stripWhitespaces) transform(rawFields, f => trim(f)) else rawFields
@@ -570,6 +610,18 @@ object CsvSource {
 
   /** True if the file (or the first file of a directory) starts with the
     * UTF-8 BOM bytes EF BB BF. */
+  /** Number of data files behind `path` (1 for a plain file; hidden and
+    * zero-length entries excluded for directories — Spark writer metadata
+    * like _SUCCESS is not data). Driver-side listing, no Spark job. */
+  private def countFiles(spark: SparkSession, path: String): Int =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.getFileStatus(p).isDirectory) 1
+      else fs.listStatus(p).count(s => s.isFile && s.getLen > 0 &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    } catch { case _: java.io.IOException => 1 }
+
   private def hasUtf8Bom(spark: SparkSession, path: String): Boolean =
     try {
       val p = new org.apache.hadoop.fs.Path(path)

@@ -1,0 +1,293 @@
+#!/usr/bin/env python3
+"""CSV-path differential fuzz-corpus generator.
+
+Like gen_differential.py (which drives the in-memory table path) but
+end-to-end through the CSV surface: random CSV FILES — dialects (quoted /
+simple / whitespace / monocolumn / quoted_rfc multiline), quoting hazards
+(embedded delimiters, escaped double quotes, leading/trailing spaces),
+headers, comment lines, BOM, ragged rows — queried through the reference's
+`rbql.query_csv` to record the expected OUTPUT FILE BYTES and warning
+texts. CsvFuzzSpec replays each case through graft's CLI (`Cli.run`) and
+compares stdout byte-for-byte (line-set for unordered GROUP BY) and the
+stderr warning set.
+
+Queries are restricted to int/string-valued select expressions: float
+OUTPUT would compare Python repr against Java shortest-repr formatting —
+a model difference the hand-ported corpus covers — while int/string
+outputs must match byte-exactly. Floats still appear inside WHERE
+comparisons (both sides parse the same IEEE double deterministically).
+
+Deterministic under SEED; regenerate with:
+    python3 tools/gen_csv_differential.py
+"""
+import json
+import os
+import random
+import sys
+import tempfile
+
+sys.path.insert(0, "/root/reference/rbql-py")
+import rbql  # noqa: E402
+
+import gen_differential as gd  # noqa: E402  (shared expression grammar)
+
+SEED = 20260816
+OUT = os.path.join(os.path.dirname(__file__), "..",
+                   "src/test/resources/differential/csv_fuzz.json")
+
+WORDS = gd.VOCAB + ["naïve", "Ωmega", "数据", "über", "a b", 'say "hi"']
+HEADER = ["uid", "price", "word", "qty", "tag"]
+
+
+def int_agg(rng):
+    """Aggregates whose output is integral in both engines."""
+    kind = rng.choice(["COUNT", "SUM", "MIN", "MAX"])
+    if kind == "COUNT":
+        c = gd.wcol(rng)
+        return {"py": f"COUNT({c['py']})", "sql": f"COUNT({c['sql']})"}
+    inner = gd.int_expr(rng)
+    return {"py": f"{kind}({inner['py']})", "sql": f"{kind}({inner['sql']})"}
+
+
+def value_expr(rng):
+    return rng.choice([gd.int_expr, gd.str_expr])(rng)
+
+
+# ---- CSV content rendering ----------------------------------------------
+
+def cell_value(rng, typ, policy, delim):
+    if typ == "int":
+        return str(rng.randint(0, 99))
+    if typ == "float":
+        return "%.1f" % (rng.randint(0, 200) / 10.0)
+    w = rng.choice(WORDS) if rng.random() > 0.06 else ""
+    if policy == "whitespace":
+        # whitespace policy: fields split on space runs — no spaces, no empty
+        w = (w.replace(" ", "_").replace('"', "q") or "nil")
+    elif policy == "simple":
+        # simple split is literal on the delimiter; quotes are literal chars
+        w = w.replace(delim, "_")
+    elif policy in ("quoted", "quoted_rfc"):
+        r = rng.random()
+        if r < 0.10:
+            w = w + delim + "inner"   # forces quoting
+        elif r < 0.16:
+            w = ' spaced ' + w        # leading/trailing spaces
+        if policy == "quoted_rfc" and rng.random() < 0.06:
+            w = w + "\nsecond line"   # multiline field (rfc only)
+    return w
+
+
+def render_field(v, policy, delim):
+    if policy in ("quoted", "quoted_rfc"):
+        if delim in v or '"' in v or "\n" in v:
+            return '"' + v.replace('"', '""') + '"'
+        return v
+    return v
+
+
+def gen_csv(rng, policy, delim, with_headers, comment_prefix, ragged=False):
+    types = ["int", "float", "word", "int", "word"]
+    n = rng.randint(6, 22)
+    lines = []
+    if with_headers:
+        lines.append(delim.join(HEADER))
+    rows = 0
+    while rows < n:
+        if comment_prefix and rng.random() < 0.12:
+            lines.append(comment_prefix + " a comment " + str(rng.randint(0, 9)))
+            continue
+        vals = [cell_value(rng, t, policy, delim) for t in types]
+        if ragged and rng.random() < 0.3:
+            vals = vals[:rng.randint(1, 4)]
+        if policy == "whitespace":
+            sep = " " * rng.randint(1, 3)
+            lines.append(sep.join(vals))
+        else:
+            lines.append(delim.join(render_field(v, policy, delim)
+                                    for v in vals))
+        rows += 1
+    return "\n".join(lines) + "\n"
+
+
+# ---- query templates (int/string outputs only) ---------------------------
+
+def t_plain(rng):
+    es = [value_expr(rng) for _ in range(rng.randint(1, 3))]
+    w = gd.cond(rng) if rng.random() < 0.8 else None
+    return gd.mk(
+        ["SELECT", ", ".join(e["py"] for e in es),
+         f"WHERE {w['py']}" if w else ""],
+        ["SELECT", ", ".join(e["sql"] for e in es),
+         f"WHERE {w['sql']}" if w else ""]) + (True,)
+
+
+def t_order(rng):
+    es = [value_expr(rng) for _ in range(rng.randint(1, 2))]
+    key = rng.choice([gd.int_expr, gd.str_expr])(rng)
+    desc = rng.random() < 0.5
+    lim = rng.randint(2, 8) if rng.random() < 0.4 else None
+    return gd.mk(
+        ["SELECT", ", ".join(e["py"] for e in es),
+         f"ORDER BY {key['py']}", "DESC" if desc else "",
+         f"LIMIT {lim}" if lim else ""],
+        ["SELECT", ", ".join(e["sql"] for e in es),
+         f"ORDER BY {key['sql']}", "DESC" if desc else "",
+         f"LIMIT {lim}" if lim else ""]) + (True,)
+
+
+def t_group(rng):
+    keyi = rng.choice(gd.WORD_COLS)
+    aggs = [int_agg(rng) for _ in range(rng.randint(1, 2))]
+    w = gd.cond(rng) if rng.random() < 0.5 else None
+    return gd.mk(
+        ["SELECT", ", ".join([f"a{keyi}"] + [a["py"] for a in aggs]),
+         f"WHERE {w['py']}" if w else "", f"GROUP BY a{keyi}"],
+        ["SELECT", ", ".join([f"a{keyi}"] + [a["sql"] for a in aggs]),
+         f"WHERE {w['sql']}" if w else "", f"GROUP BY a{keyi}"]) + (False,)
+
+
+def t_update(rng):
+    tgt = rng.choice(gd.WORD_COLS)
+    e = gd.str_expr(rng)
+    w = gd.cond(rng) if rng.random() < 0.8 else None
+    return gd.mk(
+        [f"UPDATE a{tgt} = {e['py']}", f"WHERE {w['py']}" if w else ""],
+        [f"UPDATE a{tgt} = {e['sql']}", f"WHERE {w['sql']}" if w else ""]
+    ) + (True,)
+
+
+def t_star(rng):
+    w = gd.cond(rng)
+    shape = rng.choice(["*", "NR, *", "a3, *"])
+    return gd.mk([f"SELECT {shape}", f"WHERE {w['py']}"],
+                 [f"SELECT {shape}", f"WHERE {w['sql']}"]) + (True,)
+
+
+def t_distinct(rng):
+    es = [rng.choice([gd.str_expr, gd.int_expr])(rng)
+          for _ in range(rng.randint(1, 2))]
+    return gd.mk(["SELECT DISTINCT", ", ".join(e["py"] for e in es)],
+                 ["SELECT DISTINCT", ", ".join(e["sql"] for e in es)]
+                 ) + (True,)
+
+
+def t_except(rng):
+    cols = rng.sample([1, 2, 3, 4, 5], rng.randint(1, 2))
+    drop = ", ".join(f"a{i}" for i in sorted(cols))
+    w = gd.cond(rng) if rng.random() < 0.6 else None
+    return gd.mk([f"SELECT * EXCEPT {drop}", f"WHERE {w['py']}" if w else ""],
+                 [f"SELECT * EXCEPT {drop}", f"WHERE {w['sql']}" if w else ""]
+                 ) + (True,)
+
+
+# (template, count, dialect pool) — whitespace/monocolumn get the
+# star/plain templates only (their field model is narrower)
+DIALECTS = [
+    (",", "quoted"), (";", "quoted"), ("|", "quoted"), ("\t", "simple"),
+    (",", "simple"),
+]
+TEMPLATES = [
+    ("plain", t_plain, 45),
+    ("order", t_order, 35),
+    ("group", t_group, 30),
+    ("update", t_update, 25),
+    ("star", t_star, 20),
+    ("distinct", t_distinct, 20),
+    ("except", t_except, 15),
+]
+
+
+def run_reference(py, content, delim, policy, out_delim, out_policy,
+                  with_headers, comment_prefix, bom):
+    d = tempfile.mkdtemp()
+    ip, op = os.path.join(d, "in.csv"), os.path.join(d, "out.csv")
+    with open(ip, "wb") as f:
+        if bom:
+            f.write(b"\xef\xbb\xbf")
+        f.write(content.encode("utf-8"))
+    warnings = []
+    rbql.query_csv(py, ip, delim, policy, op, out_delim, out_policy,
+                   "utf-8", warnings, with_headers,
+                   comment_prefix=comment_prefix)
+    with open(op, "rb") as f:
+        out = f.read().decode("utf-8")
+    return out, warnings
+
+
+def main():
+    rng = random.Random(SEED)
+    cases = []
+    for tname, fn, count in TEMPLATES:
+        made, attempts = 0, 0
+        while made < count and attempts < count * 5:
+            attempts += 1
+            delim, policy = rng.choice(DIALECTS)
+            if tname in ("plain", "star") and rng.random() < 0.2:
+                delim, policy = rng.choice([(" ", "whitespace"),
+                                            ("", "monocolumn")])
+            if policy == "quoted" and rng.random() < 0.25:
+                policy = "quoted_rfc"
+            if policy == "monocolumn":
+                py, sql, ordered = ("SELECT a1 WHERE len(a1) > 3",
+                                    "SELECT a1 WHERE length(a1) > 3", True)
+                content = "\n".join(
+                    rng.choice(WORDS).replace("\n", " ") or "nil"
+                    for _ in range(rng.randint(5, 15))) + "\n"
+                with_headers, comment_prefix, bom, ragged = False, None, False, False
+            else:
+                with_headers = rng.random() < 0.4
+                if with_headers:
+                    gd.COLNAMES = HEADER
+                comment_prefix = "#" if (policy != "whitespace"
+                                         and rng.random() < 0.25) else None
+                bom = rng.random() < 0.12
+                ragged = (tname == "star" and policy == "simple"
+                          and rng.random() < 0.4)
+                try:
+                    py, sql, ordered = fn(rng)
+                finally:
+                    gd.COLNAMES = None
+                content = gen_csv(rng, policy, delim, with_headers,
+                                  comment_prefix, ragged)
+            out_delim, out_policy = rng.choice(
+                [(delim, policy), (delim, policy), ("\t", "simple"),
+                 (",", "quoted")])
+            if policy == "monocolumn":
+                out_delim, out_policy = "", "monocolumn"
+            try:
+                expected, warns = run_reference(
+                    py, content, delim, policy, out_delim, out_policy,
+                    with_headers, comment_prefix, bom)
+            except Exception as e:
+                if attempts <= 3:
+                    print(f"  [ref error] {tname}: {py} -> {e}", file=sys.stderr)
+                continue
+            cases.append({
+                "name": f"csvfuzz_{tname}_{made:03d}",
+                "template": tname,
+                "query_py": py,
+                "query_sql": sql,
+                "csv_content": content,
+                "bom": bom,
+                "delim": delim,
+                "policy": policy,
+                "out_delim": out_delim,
+                "out_policy": out_policy,
+                "with_headers": with_headers,
+                "comment_prefix": comment_prefix,
+                "ordered": ordered,
+                "expected_output": expected,
+                "expected_warnings": warns,
+            })
+            made += 1
+        if made < count:
+            print(f"WARN: only {made}/{count} for {tname}", file=sys.stderr)
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    with open(OUT, "w") as f:
+        json.dump(cases, f, indent=1, ensure_ascii=False)
+    print(f"wrote {len(cases)} cases to {OUT}")
+
+
+if __name__ == "__main__":
+    main()
