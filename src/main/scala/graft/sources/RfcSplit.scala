@@ -33,8 +33,10 @@ object RfcSplit {
     val result = scala.collection.mutable.ArrayBuffer.empty[String]
     var warning = false
     var cidx = 0
+    // one reusable matcher — region() resets it; allocating per field made
+    // the splitter the CSV scan's top allocation site
+    val m = rgx.matcher(src)
     while (cidx < src.length) {
-      val m = rgx.matcher(src)
       m.region(cidx, src.length)
       // Matcher.lookingAt anchors at the region start (Python re.match)
       if (m.lookingAt() &&
@@ -53,6 +55,44 @@ object RfcSplit {
     }
     if (src.nonEmpty && src.endsWith(dlm)) result += ""
     (result.toSeq, warning)
+  }
+
+  /** Field COUNT of one record — the same control flow as
+    * [[splitQuotedWithWarning]] with zero per-field allocation (no
+    * substring, no unescape, no buffer). Backs the width-inference pass
+    * and the NF warning scan, which only need counts: counting via the
+    * full splitter materialized and discarded every field array. */
+  def countFields(src: String, delim: String): Int = {
+    require(delim != "\"")
+    val dlm = if (delim.isEmpty) "," else delim
+    if (!src.contains('"')) return countPlain(src, dlm)
+    val allowWs = dlm != " "
+    val rgx = if (allowWs) FieldReWs else FieldRe
+    var n = 0
+    var cidx = 0
+    val m = rgx.matcher(src)
+    while (cidx < src.length) {
+      m.region(cidx, src.length)
+      if (m.lookingAt() &&
+        (m.end == src.length || src.startsWith(dlm, m.end))) {
+        n += 1
+        cidx = m.end + dlm.length
+      } else {
+        val uidx0 = src.indexOf(dlm, cidx)
+        val uidx = if (uidx0 == -1) src.length else uidx0
+        n += 1
+        cidx = uidx + dlm.length
+      }
+    }
+    if (src.nonEmpty && src.endsWith(dlm)) n += 1
+    n
+  }
+
+  private def countPlain(src: String, dlm: String): Int = {
+    var n = 1
+    var i = src.indexOf(dlm)
+    while (i >= 0) { n += 1; i = src.indexOf(dlm, i + dlm.length) }
+    n
   }
 
   private def split(src: String, dlm: String): Seq[String] = {

@@ -21,6 +21,9 @@ object GraftCsvOps {
     }
     new GenericArrayData(out)
   }
+
+  def rfcCount(line: UTF8String, delim: String): Int =
+    graft.sources.RfcSplit.countFields(line.toString, delim)
 }
 
 /** Quote-aware CSV record split (the reference's split_quoted_str
@@ -54,8 +57,35 @@ case class RfcSplitFields(child: Expression, delim: String)
     copy(child = newChild)
 }
 
+/** Field COUNT of one record ([[graft.sources.RfcSplit.countFields]]) —
+  * zero per-field allocation, for the width-inference pass and the NF
+  * warning scan where `size(rfc_split(...))` would materialize and discard
+  * every field array. */
+case class RfcFieldCount(child: Expression, delim: String)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = IntegerType
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_rfc_count"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftCsvOps.rfcCount(input.asInstanceOf[UTF8String], delim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val d = ctx.addReferenceObj("delim", delim, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.GraftCsvOps.rfcCount($c, $d);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RfcFieldCount =
+    copy(child = newChild)
+}
+
 object csvtext {
   import org.apache.spark.sql.classic.ExpressionUtils.{column, expression}
   def rfc_split(c: Column, delim: String): Column =
     column(RfcSplitFields(expression(c), delim))
+  def rfc_count(c: Column, delim: String): Column =
+    column(RfcFieldCount(expression(c), delim))
 }
