@@ -795,7 +795,16 @@ object PlanBuilder {
       outs.collectFirst { case (_, KeyOut(_)) => () }.foreach { _ =>
         Errors.parsing("Non-aggregate column in a global aggregate query")
       }
-      filtered.agg(aggList.head, aggList.tail.toIndexedSeq: _*)
+      // grouped on a CONSTANT key, not df.agg(): the reference emits ZERO
+      // rows for a global aggregate over no records (its global aggregate
+      // is a group map with a constant key — no records, no entries;
+      // rbql_engine.py AggregateWriter), where SQL's global aggregate
+      // yields one row of COUNT=0/NULLs. Caught by the differential fuzz
+      // on a fully-filtered WHERE. Same plan shape as the one-row path:
+      // map-side partial aggregation into a single merged group.
+      filtered.groupBy(lit(1).alias("__graft_gk0"))
+        .agg(aggList.head, aggList.tail.toIndexedSeq: _*)
+        .drop("__graft_gk0")
         .toDF(outs.map(_._1): _*)
     }
   }

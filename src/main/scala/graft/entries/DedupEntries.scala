@@ -191,7 +191,10 @@ private[graft] object DedupEntries {
     // cluster_id = minimum doc_id in the component
     "q_cc_clusters" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = pipeline.Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      // memoized kernel: the cc family reduces ONE pair graph three ways;
+      // later consumers pay a LocalRelation, not a recompute (same move as
+      // the report family, r11 verdict item 4) — results identical
+      val pairs = pipeline.Dedup.jaccardPairsMemo(docs, "text", "doc_id",
         k = 2, threshold = 0.8)
       pipeline.Graphs.connectedComponents(pairs, "id_a", "id_b")
         .select(col("id").alias("doc_id"), col("comp").alias("cluster_id"))
@@ -201,7 +204,7 @@ private[graft] object DedupEntries {
     // member of each near-dup cluster (transitive closure of the pair graph)
     "q_cc_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = pipeline.Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      val pairs = pipeline.Dedup.jaccardPairsMemo(docs, "text", "doc_id",
         k = 2, threshold = 0.8)
       pipeline.Graphs.dedupByCluster(docs, "doc_id", pairs, "id_a", "id_b")
         .select(col("doc_id"), col("lang"))
@@ -212,7 +215,7 @@ private[graft] object DedupEntries {
     // min id — one max_by hash aggregate per cluster, ids+score only
     "q_cc_best" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = pipeline.Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      val pairs = pipeline.Dedup.jaccardPairsMemo(docs, "text", "doc_id",
         k = 2, threshold = 0.8)
       pipeline.Graphs.dedupByClusterBest(docs, "doc_id", col("n_chars"),
         pairs, "id_a", "id_b")

@@ -598,6 +598,17 @@ object Dedup {
         size() > 4
     })
 
+  /** Memoized [[ngramJaccardPairs]] for consumers that feed the SAME pair
+    * graph to different downstream reductions (the report family, the
+    * connected-components cluster/dedup/keep-best contract queries):
+    * the second and later consumers pay a LocalRelation rebuild, not a
+    * pair-kernel recompute. Falls through to the direct kernel above the
+    * row cap or when caching is disabled — results are identical either
+    * way. */
+  def jaccardPairsMemo(df: DataFrame, textCol: String, idCol: String,
+      k: Int, threshold: Double): DataFrame =
+    reportPairs(df, textCol, idCol, k, threshold)
+
   private def reportPairs(df: DataFrame, textCol: String, idCol: String,
       k: Int, threshold: Double): DataFrame = {
     val spark = df.sparkSession

@@ -260,8 +260,11 @@ class GoldenSpec extends SparkSpec {
   test("golden: JS-style === and !== equality spellings") {
     val out = run("select NR where a3 === 'gamma'", t1)
     assert(out == Seq(Seq(2L)))
+    // ZERO rows, not one 0-row: the reference's global aggregate over no
+    // records emits nothing (no records → no group entries) — verified
+    // against rbql-py; the previous expectation here was SQL semantics
     val out2 = run("select count(*) where a2 !== 'alpha'", t1)
-    assert(out2 == Seq(Seq(0L)))
+    assert(out2 == Seq.empty)
   }
 
   test("golden: unpack operator *expr spreads the list into the record") {

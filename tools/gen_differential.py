@@ -255,10 +255,16 @@ def cond(rng, depth=0):
 
 def agg_expr(rng):
     kind = rng.choice(["COUNT", "SUM", "SUM", "MIN", "MAX", "AVG",
-                       "MEDIAN", "VARIANCE"])
+                       "MEDIAN", "VARIANCE", "ARRAY_AGG"])
     if kind == "COUNT":
         c = wcol(rng)
         return {"py": f"COUNT({c['py']})", "sql": f"COUNT({c['sql']})"}
+    if kind == "ARRAY_AGG":
+        c = wcol(rng)
+        if rng.random() < 0.4:  # sorted-callback form (one fixed mapping)
+            return {"py": f"ARRAY_AGG({c['py']}, lambda v: sorted(v))",
+                    "sql": f"ARRAY_AGG({c['sql']}, v -> sort_array(v))"}
+        return {"py": f"ARRAY_AGG({c['py']})", "sql": f"ARRAY_AGG({c['sql']})"}
     # MIN/MAX/SUM/AVG/MEDIAN/VARIANCE coerce string args to numeric in the
     # reference (error on words) — aggregate only over numeric expressions
     inner = rng.choice([int_expr, float_expr])(rng)
@@ -285,17 +291,22 @@ def t_plain_select(rng):
 def t_select_order(rng):
     es = [value_expr(rng) for _ in range(rng.randint(1, 3))]
     w = cond(rng) if rng.random() < 0.5 else None
-    key = rng.choice([int_expr, float_expr, str_expr])(rng)
+    # DESC reverses the WHOLE key tuple in the reference (sort(reverse=True)
+    # over the composite key), not the last key alone — probed
+    keys = [rng.choice([int_expr, float_expr, str_expr])(rng)
+            for _ in range(rng.randint(1, 2))]
     desc = rng.random() < 0.5
     lim = rng.randint(2, 8) if rng.random() < 0.4 else None
     py, sql = mk(
         ["SELECT", ", ".join(e["py"] for e in es),
          f"WHERE {w['py']}" if w else "",
-         f"ORDER BY {key['py']}", "DESC" if desc else "",
+         "ORDER BY " + ", ".join(k["py"] for k in keys),
+         "DESC" if desc else "",
          f"LIMIT {lim}" if lim else ""],
         ["SELECT", ", ".join(e["sql"] for e in es),
          f"WHERE {w['sql']}" if w else "",
-         f"ORDER BY {key['sql']}", "DESC" if desc else "",
+         "ORDER BY " + ", ".join(k["sql"] for k in keys),
+         "DESC" if desc else "",
          f"LIMIT {lim}" if lim else ""])
     return py, sql, True, None
 
@@ -354,12 +365,15 @@ def t_join(rng):
 
 
 def t_update(rng):
-    tgt = rng.choice([2, 3, 5])
-    e = str_expr(rng) if tgt in WORD_COLS else float_expr(rng)
+    tgts = rng.sample([2, 3, 5], rng.randint(1, 2))
+    assigns = [(t, str_expr(rng) if t in WORD_COLS else float_expr(rng))
+               for t in tgts]
     w = cond(rng) if rng.random() < 0.8 else None
     py, sql = mk(
-        [f"UPDATE a{tgt} = {e['py']}", f"WHERE {w['py']}" if w else ""],
-        [f"UPDATE a{tgt} = {e['sql']}", f"WHERE {w['sql']}" if w else ""])
+        ["UPDATE " + ", ".join(f"a{t} = {e['py']}" for t, e in assigns),
+         f"WHERE {w['py']}" if w else ""],
+        ["UPDATE " + ", ".join(f"a{t} = {e['sql']}" for t, e in assigns),
+         f"WHERE {w['sql']}" if w else ""])
     return py, sql, True, None
 
 
@@ -433,6 +447,52 @@ def t_error(rng):
     return f"SELECT {ag}(a{i})", f"SELECT {ag}(a{i})", True, None
 
 
+def t_join_comp(rng):
+    """Composite (AND) join keys; B carries both key columns."""
+    es = [value_expr(rng) for _ in range(rng.randint(1, 2))]
+    py, sql = mk(
+        ["SELECT", ", ".join([e["py"] for e in es] + ["b3"]),
+         "INNER JOIN B ON a3 == b1 and a5 == b2"],
+        ["SELECT", ", ".join([e["sql"] for e in es] + ["b3"]),
+         "INNER JOIN B ON a3 == b1 and a5 == b2"])
+    return py, sql, False, 0  # 0 marks the composite join-table shape
+
+
+def t_distinct_count(rng):
+    c = rng.choice(WORD_COLS + INT_COLS)
+    w = cond(rng) if rng.random() < 0.5 else None
+    py, sql = mk(
+        [f"SELECT DISTINCT COUNT a{c}", f"WHERE {w['py']}" if w else ""],
+        [f"SELECT DISTINCT COUNT a{c}", f"WHERE {w['sql']}" if w else ""])
+    return py, sql, True, None
+
+
+def t_global_agg(rng):
+    aggs = [agg_expr(rng) for _ in range(rng.randint(1, 3))]
+    if rng.random() < 0.3:
+        aggs.insert(0, {"py": "COUNT(*)", "sql": "COUNT(*)"})
+    w = cond(rng) if rng.random() < 0.5 else None
+    py, sql = mk(
+        ["SELECT", ", ".join(a["py"] for a in aggs),
+         f"WHERE {w['py']}" if w else ""],
+        ["SELECT", ", ".join(a["sql"] for a in aggs),
+         f"WHERE {w['sql']}" if w else ""])
+    return py, sql, True, None
+
+
+def gen_join_composite(rng, rows):
+    """B keyed by (a3, a5) pairs: b1, b2 key cols + b3 payload."""
+    pairs = []
+    for _ in range(rng.randint(3, 8)):
+        if rng.random() < 0.7 and rows:
+            r = rng.choice(rows)
+            pairs.append((r[2], r[4]))
+        else:
+            pairs.append((rng.choice(VOCAB), rng.choice(VOCAB)))
+    pairs = list(dict.fromkeys(pairs))
+    return [[k1, k2, rng.choice(VOCAB)] for k1, k2 in pairs]
+
+
 TEMPLATES = [
     ("plain", t_plain_select, 70),
     ("order", t_select_order, 70),
@@ -446,6 +506,9 @@ TEMPLATES = [
     ("strict", t_strict, 30),
     ("header", t_header, 50),
     ("error", t_error, 24),
+    ("joincomp", t_join_comp, 25),
+    ("dcount", t_distinct_count, 15),
+    ("gagg", t_global_agg, 30),
 ]
 
 
@@ -476,6 +539,8 @@ def main():
             names = HEADER if tname == "header" else None
             if join_key is None:
                 join_table = None
+            elif join_key == 0:
+                join_table = gen_join_composite(rng, table)
             elif join_key < 0:
                 join_table = gen_join_exact_cover(rng, table, -join_key)
             else:
