@@ -8,9 +8,10 @@ import org.json4s._
 import org.json4s.jackson.JsonMethods
 
 /** CSV-path differential corpus against the reference engine (see
-  * `tools/gen_csv_differential.py`): 190 random CSV files — dialects
+  * `tools/gen_csv_differential.py`): 225 random CSV files — dialects
   * (quoted / simple / whitespace / monocolumn / quoted_rfc multiline),
-  * quoting hazards, headers, comment lines, BOM, ragged rows — each with a
+  * quoting hazards, headers, comment lines, BOM, ragged rows,
+  * latin-1/binary encoding, strip_whitespaces — each with a
   * dual-dialect query executed there through the reference's `query_csv`
   * to record the expected output file and warning texts. Replayed here
   * end-to-end through `Cli.run`, comparing stdout byte-for-byte (ordered
@@ -62,8 +63,12 @@ class CsvFuzzSpec extends SparkSpec {
   private def runCase(c: JObject, idx: Int): Unit = {
     val name = str(c, "name").get
     val content = str(c, "csv_content").get
+    val encoding = str(c, "encoding").getOrElse("utf-8")
+    val charset =
+      if (encoding == "latin-1") StandardCharsets.ISO_8859_1
+      else StandardCharsets.UTF_8
     val path = s"$dir/case_$idx.csv"
-    val bytes = content.getBytes(StandardCharsets.UTF_8)
+    val bytes = content.getBytes(charset)
     val withBom =
       if (bool(c, "bom")) Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++ bytes
       else bytes
@@ -75,8 +80,9 @@ class CsvFuzzSpec extends SparkSpec {
       "--policy", str(c, "policy").get,
       "--output-delim", esc(str(c, "out_delim").get),
       "--output-policy", str(c, "out_policy").get,
-      "--encoding", "UTF-8")
+      "--encoding", encoding)
     if (bool(c, "with_headers")) args += "--with-headers"
+    if (bool(c, "strip")) args += "--strip-whitespaces"
     str(c, "comment_prefix").foreach(p => args ++= Seq("--comment-prefix", p))
 
     val (code, out, err) = runCli(args.result())
@@ -121,6 +127,6 @@ class CsvFuzzSpec extends SparkSpec {
   }
 
   test("csv differential corpus present and complete") {
-    assert(cases.length >= 180, s"expected >=180 cases, got ${cases.length}")
+    assert(cases.length >= 220, s"expected >=180 cases, got ${cases.length}")
   }
 }

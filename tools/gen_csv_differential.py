@@ -36,6 +36,8 @@ OUT = os.path.join(os.path.dirname(__file__), "..",
                    "src/test/resources/differential/csv_fuzz.json")
 
 WORDS = gd.VOCAB + ["naïve", "Ωmega", "数据", "über", "a b", 'say "hi"']
+# latin-1-encodable vocabulary for the binary-encoding byte path
+LATIN_WORDS = gd.VOCAB + ["café", "nïce", "über", "søren", "a b"]
 HEADER = ["uid", "price", "word", "qty", "tag"]
 
 
@@ -55,12 +57,19 @@ def value_expr(rng):
 
 # ---- CSV content rendering ----------------------------------------------
 
-def cell_value(rng, typ, policy, delim):
+def cell_value(rng, typ, policy, delim, words=WORDS, pad=False):
     if typ == "int":
-        return str(rng.randint(0, 99))
-    if typ == "float":
-        return "%.1f" % (rng.randint(0, 200) / 10.0)
-    w = rng.choice(WORDS) if rng.random() > 0.06 else ""
+        v = str(rng.randint(0, 99))
+    elif typ == "float":
+        v = "%.1f" % (rng.randint(0, 200) / 10.0)
+    else:
+        v = rng.choice(words) if rng.random() > 0.06 else ""
+    if pad and rng.random() < 0.4:  # strip_whitespaces cases (spaces only —
+        # Python strip() and Spark trim() agree on the space char)
+        return " " * rng.randint(1, 2) + v + " " * rng.randint(0, 2)
+    if typ in ("int", "float"):
+        return v
+    w = v
     if policy == "whitespace":
         # whitespace policy: fields split on space runs — no spaces, no empty
         w = (w.replace(" ", "_").replace('"', "q") or "nil")
@@ -86,7 +95,8 @@ def render_field(v, policy, delim):
     return v
 
 
-def gen_csv(rng, policy, delim, with_headers, comment_prefix, ragged=False):
+def gen_csv(rng, policy, delim, with_headers, comment_prefix, ragged=False,
+            words=WORDS, pad=False):
     types = ["int", "float", "word", "int", "word"]
     n = rng.randint(6, 22)
     lines = []
@@ -97,7 +107,7 @@ def gen_csv(rng, policy, delim, with_headers, comment_prefix, ragged=False):
         if comment_prefix and rng.random() < 0.12:
             lines.append(comment_prefix + " a comment " + str(rng.randint(0, 9)))
             continue
-        vals = [cell_value(rng, t, policy, delim) for t in types]
+        vals = [cell_value(rng, t, policy, delim, words, pad) for t in types]
         if ragged and rng.random() < 0.3:
             vals = vals[:rng.randint(1, 4)]
         if policy == "whitespace":
@@ -195,23 +205,31 @@ TEMPLATES = [
     ("star", t_star, 20),
     ("distinct", t_distinct, 20),
     ("except", t_except, 15),
+    # latin-1/binary encoding: exercises the byte-decode line scan and the
+    # BOM-in-latin-1 strip; queries stay ascii (non-ascii queries are an
+    # IO error under latin-1 in both engines)
+    ("latin1", t_plain, 20),
+    # strip_whitespaces=True: space-padded fields trimmed after split
+    ("strip", t_plain, 15),
 ]
 
 
 def run_reference(py, content, delim, policy, out_delim, out_policy,
-                  with_headers, comment_prefix, bom):
+                  with_headers, comment_prefix, bom, encoding="utf-8",
+                  strip=False):
     d = tempfile.mkdtemp()
     ip, op = os.path.join(d, "in.csv"), os.path.join(d, "out.csv")
+    enc = "latin-1" if encoding == "latin-1" else "utf-8"
     with open(ip, "wb") as f:
         if bom:
             f.write(b"\xef\xbb\xbf")
-        f.write(content.encode("utf-8"))
+        f.write(content.encode(enc))
     warnings = []
     rbql.query_csv(py, ip, delim, policy, op, out_delim, out_policy,
-                   "utf-8", warnings, with_headers,
-                   comment_prefix=comment_prefix)
+                   encoding, warnings, with_headers,
+                   comment_prefix=comment_prefix, strip_whitespaces=strip)
     with open(op, "rb") as f:
-        out = f.read().decode("utf-8")
+        out = f.read().decode(enc)
     return out, warnings
 
 
@@ -226,8 +244,14 @@ def main():
             if tname in ("plain", "star") and rng.random() < 0.2:
                 delim, policy = rng.choice([(" ", "whitespace"),
                                             ("", "monocolumn")])
-            if policy == "quoted" and rng.random() < 0.25:
+            if policy == "quoted" and tname not in ("latin1", "strip")                     and rng.random() < 0.25:
                 policy = "quoted_rfc"
+            encoding = "latin-1" if tname == "latin1" else "utf-8"
+            strip = tname == "strip"
+            words = LATIN_WORDS if tname == "latin1" else WORDS
+            if tname == "latin1":
+                delim, policy = rng.choice([(",", "quoted"), (";", "quoted"),
+                                            (",", "simple")])
             if policy == "monocolumn":
                 py, sql, ordered = ("SELECT a1 WHERE len(a1) > 3",
                                     "SELECT a1 WHERE length(a1) > 3", True)
@@ -249,7 +273,8 @@ def main():
                 finally:
                     gd.COLNAMES = None
                 content = gen_csv(rng, policy, delim, with_headers,
-                                  comment_prefix, ragged)
+                                  comment_prefix, ragged, words=words,
+                                  pad=strip)
             out_delim, out_policy = rng.choice(
                 [(delim, policy), (delim, policy), ("\t", "simple"),
                  (",", "quoted")])
@@ -258,7 +283,7 @@ def main():
             try:
                 expected, warns = run_reference(
                     py, content, delim, policy, out_delim, out_policy,
-                    with_headers, comment_prefix, bom)
+                    with_headers, comment_prefix, bom, encoding, strip)
             except Exception as e:
                 if attempts <= 3:
                     print(f"  [ref error] {tname}: {py} -> {e}", file=sys.stderr)
@@ -276,6 +301,8 @@ def main():
                 "out_policy": out_policy,
                 "with_headers": with_headers,
                 "comment_prefix": comment_prefix,
+                "encoding": encoding,
+                "strip": strip,
                 "ordered": ordered,
                 "expected_output": expected,
                 "expected_warnings": warns,
