@@ -65,6 +65,23 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: countFields agrees with the full splitter on arbitrary records") {
+    // the allocation-free width/NF kernel must mirror splitQuoted exactly —
+    // including malformed quoting, trailing delimiters, empty records, and
+    // multi-char delimiters
+    val rnd = new scala.util.Random(7)
+    val alphabet = "ab,\"\n '\t;x|".toCharArray
+    def randRecord(): String =
+      (0 until rnd.nextInt(24)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    for (delim <- Seq(",", ";", "|", " ", "||"); _ <- 1 to 400) {
+      val rec = randRecord()
+      val expected = sources.RfcSplit.splitQuoted(rec, delim).length
+      val actual = sources.RfcSplit.countFields(rec, delim)
+      assert(actual == expected,
+        s"countFields mismatch on [$rec] delim [$delim]: $actual != $expected")
+    }
+  }
+
   test("property: RfcSplit round-trips quoted joins, including multiline fields") {
     // reference invariant (test_csv_utils.py random round-trip): fields →
     // quote_field-join → split_quoted_str → the same fields
