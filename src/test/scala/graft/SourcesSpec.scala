@@ -24,6 +24,25 @@ class SourcesSpec extends SparkSpec {
     assert(out.count() == 3)
   }
 
+  test("quoted csv plan shape: one codegen'd scan, no shuffle") {
+    // the quoted policy rides the text-split path (exact reference
+    // splitter); a filter+projection over it must stay a single
+    // WholeStageCodegen span over one scan — no Exchange, no extra scan
+    // in the QUERY plan (width inference is a separate read-time job)
+    val df = CsvSource.read(spark, s"$fixtures/countries.csv",
+      delim = ",", policy = "quoted", hasHeader = true)
+    val q = df.filter(org.apache.spark.sql.functions.col("Region")
+        .startsWith("EASTERN")).select("country")
+    val plan = q.queryExecution.executedPlan.toString
+    // `*(1)` prefixes = every operator in whole-stage-codegen stage 1
+    assert(plan.contains("*(1) Project") && plan.contains("*(1) Filter"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    assert("FileScan".r.findAllIn(plan).size == 1, plan)
+    // column pruning: each referenced column is one element_at over the
+    // split — the full field array is never materialized for pruned reads
+    assert("graft_rfc_split".r.findAllIn(plan).size <= 2, plan)
+  }
+
   test("tab simple: movies.tsv positional access") {
     val df = CsvSource.read(spark, s"$fixtures/movies.tsv",
       delim = "\t", policy = "simple", hasHeader = false)
