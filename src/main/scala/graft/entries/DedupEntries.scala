@@ -63,7 +63,10 @@ private[graft] object DedupEntries {
     // the LSH-threshold diagnostic (a similarity relation should be
     // near-transitive)
     "q_triangles" -> ((s, dir) => {
-      val pairs = pipeline.Dedup.ngramJaccardPairs(
+      // memoized kernel (one pair graph, many reductions — see the cc
+      // family); q_ngram_pairs keeps the direct call as the honest
+      // kernel measurement
+      val pairs = pipeline.Dedup.jaccardPairsMemo(
         t(s, dir, "documents"), "text", "doc_id", k = 2, threshold = 0.8)
       pipeline.Graphs.triangleStats(pairs, "id_a", "id_b")
     }),

@@ -78,7 +78,7 @@ private[graft] object SamplingEntries {
     // unit — a doc and all its near-duplicates land on one side
     "q_safe_split" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = pipeline.Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      val pairs = pipeline.Dedup.jaccardPairsMemo(docs, "text", "doc_id",
         k = 2, threshold = 0.8)
       pipeline.Sampling.clusterSafeSplit(
         docs.select(col("doc_id")), "doc_id", pairs, "id_a", "id_b",
