@@ -16,9 +16,11 @@ import org.apache.spark.sql.functions._
   * `quoted_rfc` is the faithful multiline assembly path.
   *
   * Scale note: the split paths infer the table width with one extra
-  * count-only scan (max field count over all rows — the reference's
-  * no-truncation ragged model needs the true max, unlike the native
-  * reader's first-row sample). That is the CSV parity surface; columnar
+  * count-only scan (allocation-free `rfc_count` / length arithmetic —
+  * the reference's no-truncation ragged model needs the true max).
+  * `spark.graft.csv.declaredWidth=N` skips that pass for corpora the
+  * user knows are uniform-width (half the read cost; wider rows would
+  * truncate — opt-in only). That is the CSV parity surface; columnar
   * formats are the scale path.
   */
 object CsvSource {
@@ -588,10 +590,17 @@ object CsvSource {
       if (stripWhitespaces) transform(rawFields, f => trim(f)) else rawFields
     val withFields =
       txt.select(fields.alias("__fields"), col("__pos"))
-    val widthHint = counter.flatMap { cn =>
+    // 100 TB lever: a DECLARED table width skips the width-inference pass
+    // entirely (half the read cost on a uniform-width corpus). Exactness
+    // contract: rows wider than the declared width would silently truncate,
+    // so this is opt-in for corpora the user knows are uniform; the default
+    // stays the reference-faithful true-max inference.
+    val declared = spark.conf.getOption("spark.graft.csv.declaredWidth")
+      .map(_.toInt)
+    val widthHint = declared.orElse(counter.flatMap { cn =>
       val r = txt.agg(max(cn(col("value")))).head()
       if (r.isNullAt(0)) None else Some(r.getInt(0))
-    }
+    })
     projectFields(withFields, hasHeader, widthHint)
   }
 

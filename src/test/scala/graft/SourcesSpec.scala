@@ -43,6 +43,20 @@ class SourcesSpec extends SparkSpec {
     assert("graft_rfc_split".r.findAllIn(plan).size <= 2, plan)
   }
 
+  test("declaredWidth skips the width-inference pass and reads correctly") {
+    val dir = java.nio.file.Files.createTempDirectory("graftdw").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/u.csv"),
+      "1,a,x\n2,b,y\n3,c,z\n")
+    spark.conf.set("spark.graft.csv.declaredWidth", "3")
+    try {
+      val df = CsvSource.read(spark, s"$dir/u.csv", ",", "quoted",
+        hasHeader = false)
+      assert(df.columns.toSeq == Seq("a1", "a2", "a3"))
+      assert(df.collect().map(_.toSeq).toSeq ==
+        Seq(Seq("1", "a", "x"), Seq("2", "b", "y"), Seq("3", "c", "z")))
+    } finally spark.conf.unset("spark.graft.csv.declaredWidth")
+  }
+
   test("tab simple: movies.tsv positional access") {
     val df = CsvSource.read(spark, s"$fixtures/movies.tsv",
       delim = "\t", policy = "simple", hasHeader = false)
