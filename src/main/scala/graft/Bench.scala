@@ -221,50 +221,103 @@ object Bench {
     finally walk.close()
   }
 
-  /** Per-query medians of the regression BASELINE artifact, parsed from
-    * its flat top-level `"queries"` object. The baseline is the
-    * builder-committed quiet-machine file (BENCH_BASELINE_MEDIANS.json),
-    * NOT the output file: the driver re-runs this bench on a possibly
-    * contended machine and overwrites BENCH_LAST.json — diffing against
-    * that would seed the >2× guard with inflated numbers and let real
-    * regressions pass silently (round-8 advice). Empty when
-    * absent/unreadable — the guard then has no baseline and stays
-    * silent. */
-  private def previousMedians(path: java.nio.file.Path): Map[String, Double] =
-    if (!java.nio.file.Files.exists(path)) Map.empty
-    else {
-      val txt = new String(java.nio.file.Files.readAllBytes(path),
-        java.nio.charset.StandardCharsets.UTF_8)
-      val tag = "\"queries\":{"
-      val at = txt.indexOf(tag)
-      if (at < 0) Map.empty
+  /** Per-query medians of the regression BASELINE artifact, read from
+    * its top-level `"queries"` object with a REAL JSON parser (Jackson,
+    * shipped with Spark) — whitespace, key order and separator style
+    * must not matter. The r12 guard death was exactly this: a
+    * hand-refreshed baseline serialized with `": "` separators defeated
+    * the old string-tag match and the >2× guard ran baseline-less for
+    * half a round (r12 verdict item 1, the r9 failure class recurring).
+    * The baseline is the builder-committed quiet-machine file
+    * (BENCH_BASELINE_MEDIANS.json), NOT the output file: the driver
+    * re-runs this bench on a possibly contended machine and overwrites
+    * BENCH_LAST.json — diffing against that would seed the guard with
+    * inflated numbers. Empty when absent/unparseable — and the run
+    * artifact now RECORDS the loaded-median count (`baseline_medians`),
+    * so a silently disarmed guard confesses in its own output. */
+  private[graft] def previousMedians(path: java.nio.file.Path): Map[String, Double] =
+    baselineRoot(path).map { root =>
+      val qs = root.path("queries")
+      if (!qs.isObject) Map.empty[String, Double]
       else {
-        val start = at + tag.length
-        val end = txt.indexOf('}', start)
-        if (end < 0) Map.empty
-        else txt.substring(start, end).split(",").iterator.flatMap { kv =>
-          kv.split(":") match {
-            case Array(k, v) =>
-              try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.toDouble)
-              catch { case _: NumberFormatException => None }
-            case _ => None
-          }
-        }.toMap
+        import scala.jdk.CollectionConverters._
+        qs.properties().asScala.iterator
+          .filter(_.getValue.isNumber)
+          .map(e => e.getKey -> e.getValue.asDouble())
+          .toMap
       }
-    }
+    }.getOrElse(Map.empty)
 
   /** The baseline's `load_ref` median (machine-speed fingerprint), or
-    * -1 when the file/field is absent. */
-  private def previousLoadRef(path: java.nio.file.Path): Double =
-    if (!java.nio.file.Files.exists(path)) -1.0
-    else {
-      val txt = new String(java.nio.file.Files.readAllBytes(path),
-        java.nio.charset.StandardCharsets.UTF_8)
-      val m = """"load_ref":\{"before":([0-9.eE+-]+),"after":([0-9.eE+-]+)\}"""
-        .r.findFirstMatchIn(txt)
-      m.map(g => (g.group(1).toDouble + g.group(2).toDouble) / 2)
-        .getOrElse(-1.0)
+    * -1 when the file/field is absent or unparseable. */
+  private[graft] def previousLoadRef(path: java.nio.file.Path): Double =
+    baselineRoot(path).map { root =>
+      val lr = root.path("load_ref")
+      if (lr.path("before").isNumber && lr.path("after").isNumber)
+        (lr.path("before").asDouble() + lr.path("after").asDouble()) / 2
+      else -1.0
+    }.getOrElse(-1.0)
+
+  private def baselineRoot(path: java.nio.file.Path)
+      : Option[com.fasterxml.jackson.databind.JsonNode] =
+    if (!java.nio.file.Files.exists(path)) None
+    else
+      try Some(new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readAllBytes(path)))
+      catch { case _: Exception => None }
+
+  /** The >2× guard's flag set, pure and spec-pinned: queries whose
+    * load-normalized median moved out of the [0.5×, 2×] band vs the
+    * baseline. Both directions flag — a >2× "win" is equally likely to
+    * mean the BASELINE run was the loaded one. Queries without a
+    * positive baseline or with an errored median (-1) never flag. */
+  private[graft] def flaggedMoves(medians: Seq[(String, Double)],
+      prev: Map[String, Double], loadFactor: Double)
+      : Seq[(String, Double, Double)] =
+    medians.flatMap { case (k, v) =>
+      prev.get(k).collect { case p if p > 0 && v > 0 && {
+        val r = v / p / loadFactor; r > 2.0 || r < 0.5
+      } => (k, v, v / p / loadFactor) }
     }
+
+  /** Driver-facing summary line, printed LAST: the driver extracts its
+    * per-round bench record from the final ~2000 chars of stdout, and
+    * the full artifact line outgrew that window at round 6 (42 KB by
+    * r12) — every BENCH_r{06..12}.json carries `parsed: null`. The
+    * summary keeps the contract fields (metric/value/unit/sf/queries)
+    * but bounds the queries object: the BASELINE.md headline queries
+    * first, then the slowest remaining queries until the length budget
+    * is spent. The FULL per-query map lives in BENCH_LAST.json (`full`
+    * points there). */
+  private[graft] def compactSummary(total: Double, sfDir: String,
+      reps: Int, medians: Seq[(String, Double)], nErrors: Int, nFlags: Int,
+      baselineMedians: Int, maxLen: Int = 1700): String = {
+    val headline = Seq("q_select_where", "q_like", "q_top", "q_update",
+      "q_agg_group", "q_agg_global", "q_distinct", "q_distinct_count",
+      "q_join_inner", "q_join_left", "q_strict_left", "q_nr", "q_except",
+      "q_median_var", "q_array_agg", "q_any_value", "q_unnest", "q_pipe",
+      "q_sum_int", "q_scalar_case")
+    val byName = medians.toMap
+    val ordered = headline.filter(byName.contains) ++
+      medians.filter { case (k, _) => !headline.contains(k) }
+        .sortBy(-_._2).map(_._1)
+    def render(qs: Seq[String]): String = {
+      val obj = qs.map(k => "\"" + k + "\":" + jd(byName(k), 3))
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${jd(total, 3)},"unit":"sec",""" +
+        s""""sf":"$sfDir","reps":$reps,"n_queries":${medians.size},""" +
+        s""""errors":$nErrors,"flags_gt_2x":$nFlags,""" +
+        s""""baseline_medians":$baselineMedians,""" +
+        s""""full":"BENCH_LAST.json","queries":$obj}"""
+    }
+    var keep = ordered
+    var out = render(keep)
+    while (out.length > maxLen && keep.nonEmpty) {
+      keep = keep.dropRight(1)
+      out = render(keep)
+    }
+    out
+  }
 
   /** One-off two-decade scaling evidence (GRAFT_BENCH_X100_ONLY=q_a,q_b —
     * opt-in, never part of the default/driver run): each named query is
@@ -1149,11 +1202,17 @@ object Bench {
     val loadFactor =
       if (prevLoad > 0) (((loadBefore + loadAfter) / 2) / prevLoad).max(1.0)
       else 1.0
-    val moved = results.flatMap { case (k, v, _, _) =>
-      prev.get(k).collect { case p if p > 0 && v > 0 && {
-        val r = v / p / loadFactor; r > 2.0 || r < 0.5
-      } => (k, v, v / p / loadFactor) }
-    }
+    // guard-armed confession (r12 verdict item 1): a committed baseline
+    // that loads suspiciously few medians means the guard is effectively
+    // disarmed — say so loudly at run time, and record the count in the
+    // artifact below so the "zero flags" claim is auditable from the
+    // artifact alone.
+    if (java.nio.file.Files.exists(basePath) && prev.size < 180)
+      System.err.println(s"[bench] WARNING: baseline $basePath parsed to " +
+        s"only ${prev.size} medians — the >2x guard is " +
+        (if (prev.isEmpty) "DISARMED" else "weakened"))
+    val moved = flaggedMoves(
+      results.map { case (k, v, _, _) => (k, v) }, prev, loadFactor)
     if (moved.nonEmpty) System.err.println(
       s"[bench] WARNING: ${moved.size} queries moved >2x vs baseline " +
       s"$basePath at load_factor $loadFactor " +
@@ -1219,7 +1278,8 @@ object Bench {
       }
       entries.mkString(""","adjudication":{""", ",", "}")
     }
-    val loadJson = s""","load_ref":{"before":${jd(loadBefore, 3)},"after":${jd(loadAfter, 3)}},"load_factor":${jd(loadFactor, 2)}"""
+    val loadJson = s""","load_ref":{"before":${jd(loadBefore, 3)},"after":${jd(loadAfter, 3)}},"load_factor":${jd(loadFactor, 2)}""" +
+      s""","baseline_medians":${prev.size},"baseline_load_ref":${jd(prevLoad, 3)}"""
     // full per-query attribution (suite window = warmup + reps): the
     // adjudicator's raw material, and the record that lets a LATER
     // reader attribute a flag that only shows up against next round's
@@ -1231,6 +1291,30 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows_out":$rowsOut,"sf":"$sfDir","reps":$reps$loadJson$errJson$movedJson$adjudication$attrJson$scale10x$annFrontier}"""
     emitArtifact("GRAFT_BENCH_OUT", "BENCH_LAST.json", line)
+    // Opt-in baseline refresh emitted by Bench ITSELF through the same
+    // serializer as the artifact (r12 verdict item 1: a hand-refresh in
+    // a foreign serialization killed the guard for half a round).
+    // Refused while >2x flags are unresolved — a loaded-machine run must
+    // not silently become the new normal; "force" overrides after an
+    // explicit adjudication.
+    sys.env.get("GRAFT_BENCH_REFRESH_BASELINE") match {
+      case Some(v) if v == "1" || v == "force" =>
+        if (moved.nonEmpty && v != "force")
+          System.err.println("[bench] baseline refresh REFUSED: " +
+            s"${moved.size} unresolved >2x flags (use force to override)")
+        else {
+          java.nio.file.Files.write(basePath, (line + "\n").getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+          System.err.println(
+            s"[bench] baseline refreshed at $basePath (${results.size} medians)")
+        }
+      case _ => ()
+    }
+    // the compact driver-facing summary MUST be the final stdout line —
+    // anything printed after it eats the driver's tail window
+    println(compactSummary(total, sfDir, reps,
+      results.map { case (k, v, _, _) => (k, v) },
+      errored.size, moved.size, prev.size))
     spark.stop()
   }
 }

@@ -1,0 +1,125 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the >2× bench-regression guard's LIFE SUPPORT — the machinery
+  * that died silently twice (r9 and r12 verdicts: both times the
+  * committed baseline stopped parsing and `deltas_gt_2x` went
+  * structurally empty while real >2× movers sailed through). Three
+  * contracts:
+  *
+  *  1. the COMMITTED baseline file must load ≥180 medians and a
+  *     positive load_ref through the exact production parser — this
+  *     test fails the moment any future refresh lands a serialization
+  *     the parser cannot read (the r12 death mode);
+  *  2. the parser must tolerate whitespace / key order / separator
+  *     style (real JSON semantics, not a string-tag match);
+  *  3. the flag computation must fire on a doctored 3× median and stay
+  *     quiet inside the band (pure function, spec-pinned).
+  *
+  * Plus the driver-tail contract: the compact summary line must fit the
+  * driver's ~2000-char stdout window (BENCH_r06..r12 all carry
+  * `parsed: null` because the full artifact line outgrew it). */
+class BenchGuardSpec extends AnyFunSuite {
+
+  private val committed = java.nio.file.Paths.get("BENCH_BASELINE_MEDIANS.json")
+
+  test("committed baseline loads >=180 medians through the production parser") {
+    assert(java.nio.file.Files.exists(committed),
+      s"baseline file missing at ${committed.toAbsolutePath}")
+    val medians = Bench.previousMedians(committed)
+    assert(medians.size >= 180,
+      s"guard effectively disarmed: only ${medians.size} medians parsed " +
+        "from the committed baseline (expected >=180)")
+    assert(medians.values.forall(_ > 0),
+      "baseline contains non-positive medians")
+  }
+
+  test("committed baseline loads a positive load_ref") {
+    val lr = Bench.previousLoadRef(committed)
+    assert(lr > 0, s"load_ref parsed to $lr — load normalization disarmed")
+  }
+
+  private def tmpJson(content: String): java.nio.file.Path = {
+    val f = java.nio.file.Files.createTempFile("graft_baseline", ".json")
+    f.toFile.deleteOnExit()
+    java.nio.file.Files.write(f,
+      content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    f
+  }
+
+  test("parser tolerates whitespace, key order and separator style") {
+    // the r12 killer: `": "` separators + queries key moved last
+    val spaced = tmpJson(
+      """{ "metric": "total", "load_ref": { "before": 0.2, "after": 0.1 },
+        |  "queries": { "q_a": 1.5, "q_b": 0.25 } }""".stripMargin)
+    val compact = tmpJson(
+      """{"queries":{"q_a":1.5,"q_b":0.25},"load_ref":{"before":0.2,"after":0.1}}""")
+    for (p <- Seq(spaced, compact)) {
+      assert(Bench.previousMedians(p) == Map("q_a" -> 1.5, "q_b" -> 0.25))
+      assert(math.abs(Bench.previousLoadRef(p) - 0.15) < 1e-12)
+    }
+  }
+
+  test("absent / unparseable / field-less baselines degrade to disarmed, not crash") {
+    val gone = java.nio.file.Paths.get("/nonexistent/graft_baseline.json")
+    assert(Bench.previousMedians(gone).isEmpty)
+    assert(Bench.previousLoadRef(gone) == -1.0)
+    val garbage = tmpJson("not json at all {")
+    assert(Bench.previousMedians(garbage).isEmpty)
+    assert(Bench.previousLoadRef(garbage) == -1.0)
+    val empty = tmpJson("""{"metric":"total"}""")
+    assert(Bench.previousMedians(empty).isEmpty)
+    assert(Bench.previousLoadRef(empty) == -1.0)
+  }
+
+  test("a doctored 3x median flags; in-band medians stay quiet") {
+    val prev = Map("q_a" -> 1.0, "q_b" -> 1.0, "q_c" -> 1.0)
+    val run = Seq("q_a" -> 3.0, "q_b" -> 1.5, "q_c" -> 0.4,
+      "q_new" -> 9.0, "q_err" -> -1.0)
+    val flags = Bench.flaggedMoves(run, prev, loadFactor = 1.0)
+    assert(flags.map(f => (f._1, f._3)) ==
+      Seq(("q_a", 3.0), ("q_c", 0.4))) // >2x and <0.5x flag; 1.5x doesn't;
+    // un-baselined and errored queries never flag
+  }
+
+  test("load normalization absorbs a uniformly slow machine but not a regression") {
+    val prev = Map("q_a" -> 1.0, "q_b" -> 1.0)
+    // machine 3x slower across the board: load factor 3 → no flags
+    assert(Bench.flaggedMoves(Seq("q_a" -> 3.0, "q_b" -> 3.0), prev, 3.0).isEmpty)
+    // same load factor, one genuine 9x mover still trips
+    val f = Bench.flaggedMoves(Seq("q_a" -> 9.0, "q_b" -> 3.0), prev, 3.0)
+    assert(f.map(_._1) == Seq("q_a"))
+  }
+
+  test("compact summary fits the driver tail window and parses as JSON") {
+    // 192 queries with realistic names/values — the shape of a real run
+    val medians = (1 to 192).map(i => (f"q_synthetic_name_$i%03d", i * 0.037))
+    val line = Bench.compactSummary(total = 108.4, sfDir = "/root/testdata/sf0.1",
+      reps = 3, medians = medians, nErrors = 0, nFlags = 2,
+      baselineMedians = 192)
+    assert(line.length <= 1700, s"summary too long: ${line.length}")
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert(root.path("metric").asText() == "total")
+    assert(math.abs(root.path("value").asDouble() - 108.4) < 1e-9)
+    assert(root.path("n_queries").asInt() == 192)
+    assert(root.path("flags_gt_2x").asInt() == 2)
+    assert(root.path("baseline_medians").asInt() == 192)
+    assert(root.path("queries").isObject)
+    assert(root.path("queries").size() > 20,
+      "summary should carry a meaningful query subset")
+    // the slowest non-headline query must survive the length cut —
+    // the summary's job is to surface where the time went
+    assert(root.path("queries").has("q_synthetic_name_192"))
+  }
+
+  test("compact summary prioritizes the BASELINE.md headline queries") {
+    val medians = Seq("q_select_where" -> 0.1, "q_like" -> 0.14,
+      "q_agg_group" -> 0.4) ++
+      (1 to 250).map(i => (f"q_slow_$i%03d", 5.0))
+    val line = Bench.compactSummary(50.0, "sf", 3, medians, 0, 0, 192)
+    val qs = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(line).path("queries")
+    assert(qs.has("q_select_where") && qs.has("q_like") && qs.has("q_agg_group"))
+  }
+}
