@@ -147,15 +147,22 @@ object Bench {
         infos.map(i => i.memSize + i.diskSize).sum)
     } catch { case _: Throwable => (-1, -1L) }
 
-  /** Attribution snapshot taken around a query's measured window. */
+  /** Attribution snapshot taken around a query's measured window.
+    * `memoHits`/`memoMisses` count the report-family pair-kernel memo's
+    * behavior inside the window — the field that turns "q_dedup_report
+    * ran 10× its baseline" from archaeology into a one-line read (r12:
+    * the memo missed in the driver run, hit in the quiet run, and
+    * nothing recorded which). */
   private final case class Attribution(gcMs: Long, shufReadMb: Double,
       shufWriteMb: Double, spillMb: Double, tmpPeakMb: Double,
-      storageParts: Int, storageMb: Double) {
+      storageParts: Int, storageMb: Double,
+      memoHits: Long, memoMisses: Long) {
     def json: String =
       s"""{"gc_ms":$gcMs,"shuf_rd_mb":${jd(shufReadMb, 1)},""" +
         s""""shuf_wr_mb":${jd(shufWriteMb, 1)},"spill_mb":${jd(spillMb, 1)},""" +
         s""""tmp_peak_mb":${jd(tmpPeakMb, 1)},"cached_parts":$storageParts,""" +
-        s""""cached_mb":${jd(storageMb, 1)}}"""
+        s""""cached_mb":${jd(storageMb, 1)},"memo_hits":$memoHits,""" +
+        s""""memo_misses":$memoMisses}"""
   }
 
   private def attributed[A](spark: SparkSession, sl: ShuffleListener,
@@ -168,6 +175,8 @@ object Bench {
     val gc0 = gcMillis()
     val rd0 = sl.read.get(); val wr0 = sl.write.get()
     val sp0 = sl.spilled.get()
+    val mh0 = pipeline.Dedup.reportPairsCacheHits.get()
+    val mm0 = pipeline.Dedup.reportPairsCacheMisses.get()
     val free0 = poller.reset()
     val out = body
     org.apache.spark.graft.BusDrain.drain(spark.sparkContext)
@@ -178,7 +187,9 @@ object Bench {
       else math.max(0L, free0 - poller.minFreeSinceReset()) * mb
     (out, Attribution(gcMillis() - gc0,
       (sl.read.get() - rd0) * mb, (sl.write.get() - wr0) * mb,
-      (sl.spilled.get() - sp0) * mb, peak, parts, bytes * mb))
+      (sl.spilled.get() - sp0) * mb, peak, parts, bytes * mb,
+      pipeline.Dedup.reportPairsCacheHits.get() - mh0,
+      pipeline.Dedup.reportPairsCacheMisses.get() - mm0))
   }
 
   /** Deterministic clustered synthetic embedding corpus — the geometry

@@ -449,4 +449,58 @@ class ClusteringSpec extends SparkSpec {
       assert(mine == brute, s"q$qid: $mine vs $brute")
     }
   }
+  test("buildIvf fit memo: unchanged corpus reuses the fitted model; " +
+      "results identical; opt-out bypasses (r12 q_ivf_topk amortization)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfmemo")
+    try {
+      val emb = (0 until 600).map { i =>
+        (i.toLong, (0 until 8).map(j =>
+          ((i * 31 + j * 17) % 97 / 97.0f) - 0.5f))
+      }
+      emb.toDF("vec_id", "embedding").write.mode("overwrite")
+        .parquet(s"$dir/emb.parquet")
+      def read() = spark.read.parquet(s"$dir/emb.parquet")
+      val q = emb.head._2
+      val m0 = Similarity.ivfFitCacheMisses.get()
+      val i1 = Similarity.buildIvf(read(), "embedding", "vec_id")
+      assert(Similarity.ivfFitCacheMisses.get() == m0 + 1)
+      val h0 = Similarity.ivfFitCacheHits.get()
+      val i2 = Similarity.buildIvf(read(), "embedding", "vec_id")
+      assert(Similarity.ivfFitCacheHits.get() == h0 + 1,
+        "second build over an unchanged corpus must reuse the fit")
+      assert(i2.model eq i1.model, "cached model should be the same instance")
+      def top(ix: Similarity.IvfIndex) =
+        Similarity.ivfTopK(ix, "embedding", "vec_id", q, k = 5, nProbe = 2)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(top(i2) == top(i1))
+      // a different dial is a different key, not a stale hit
+      val mA = Similarity.ivfFitCacheMisses.get()
+      Similarity.buildIvf(read(), "embedding", "vec_id", nCentroids = 4)
+      assert(Similarity.ivfFitCacheMisses.get() == mA + 1)
+      // rewriting the file invalidates the memo (fingerprint changes)
+      emb.map { case (id, v) => (id, v.map(_ + 1.0f)) }.toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$dir/emb.parquet")
+      val mB = Similarity.ivfFitCacheMisses.get()
+      Similarity.buildIvf(read(), "embedding", "vec_id")
+      assert(Similarity.ivfFitCacheMisses.get() == mB + 1,
+        "overwritten corpus must refit, not serve the stale model")
+      // opt-out: no counter movement, fresh fit every call
+      spark.conf.set("spark.graft.ann.fitCache", "false")
+      try {
+        val h1 = Similarity.ivfFitCacheHits.get()
+        val m1 = Similarity.ivfFitCacheMisses.get()
+        val i3 = Similarity.buildIvf(read(), "embedding", "vec_id")
+        assert(Similarity.ivfFitCacheHits.get() == h1)
+        assert(Similarity.ivfFitCacheMisses.get() == m1)
+        assert(top(i3).map(_._1) == top(i3).map(_._1)) // sane output
+      } finally spark.conf.unset("spark.graft.ann.fitCache")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
 }

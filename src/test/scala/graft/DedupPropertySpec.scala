@@ -227,4 +227,45 @@ class DedupPropertySpec extends SparkSpec {
     assert(got.subsetOf(truth), s"false positives: ${got.diff(truth)}")
     assert(got.contains((100L, 101L)), "identical docs must collide")
   }
+
+  test("pair-kernel memo: hits across the client family, no eviction " +
+      "under the row budget (r12 q_dedup_report determinism)") {
+    // file-backed input — the memo key includes the file fingerprint,
+    // so this exercises the exact contract-query path
+    val dir = java.nio.file.Files.createTempDirectory("graft_memo")
+    try {
+      val docs = (0 until 60).map(i => (i.toLong, randomDoc(6 + i % 5)))
+      docs.toDF("doc_id", "text").write.mode("overwrite")
+        .parquet(s"$dir/docs.parquet")
+      def read() = spark.read.parquet(s"$dir/docs.parquet")
+      val expected = Dedup.ngramJaccardPairs(read(), "text", "doc_id",
+        k = 2, threshold = 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val m0 = Dedup.reportPairsCacheMisses.get()
+      val h0 = Dedup.reportPairsCacheHits.get()
+      val first = Dedup.jaccardPairsMemo(read(), "text", "doc_id", 2, 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(Dedup.reportPairsCacheMisses.get() == m0 + 1)
+      // the r12 failure shape: several sibling keys (other thresholds)
+      // land in the cache between the first consumer and the next —
+      // with the old 4-entry LRU this evicted the family's hot entry
+      for (th <- Seq(0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.85, 0.9))
+        Dedup.jaccardPairsMemo(read(), "text", "doc_id", 2, th).count()
+      // a FRESH equal-plan DataFrame must still hit the original entry
+      val hBefore = Dedup.reportPairsCacheHits.get()
+      val second = Dedup.jaccardPairsMemo(read(), "text", "doc_id", 2, 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(Dedup.reportPairsCacheHits.get() == hBefore + 1,
+        "hot family entry was evicted or the key was unstable")
+      assert(first == expected && second == expected,
+        "memoized results must equal the direct kernel")
+      assert(Dedup.reportPairsCacheHits.get() >= h0 + 1)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
 }
