@@ -867,18 +867,33 @@ object PlanBuilder {
     // Structural output width per record (reference record-as-list len,
     // consumed by the CLI's write-side width check, rbql_csv.py:208-210):
     // fixed select items contribute 1 each; a star contributes the record's
-    // own width — the last non-null position among its columns, since a
-    // CSV-marked table pads only missing trailing fields with null.
+    // own width — the last position PRESENT in the source record. Only
+    // columns still carrying the reader's missing-as-null marker shorten
+    // the width on null: a null in an UNMARKED column (e.g. a prior
+    // UPDATE stage assigned None — the projection expression drops the
+    // reader metadata) is a genuine None VALUE occupying its slot, so it
+    // counts as present and writes as an empty field plus the reference's
+    // None-warning, exactly like the reference's fixed-length record
+    // list (r12 advice: last-non-null over output columns silently
+    // shortened UPDATE-then-star records).
     // Parity-surface only (ordered + CSV-marked input, no join).
     val owidCol: Option[Column] =
       if (ordered && ast.join.isEmpty && anyStar &&
           !sel.distinct && !sel.distinctCount &&
           graft.sources.CsvSource.isMissingMarked(filtered.schema)) {
+        // no-join: star columns align positionally with the input's
+        // non-internal fields, whose metadata says which are reader-marked
+        val starFields = filtered.schema.fields.toSeq
+          .filterNot(f => isInternalCol(f.name))
+        def marked(i: Int): Boolean = starFields.lift(i).exists(f =>
+          f.metadata.contains(graft.sources.CsvSource.MissingNullKey) &&
+            f.metadata.getBoolean(graft.sources.CsvSource.MissingNullKey))
         val parts = classified.map { case (item, _) =>
           isStar(item.rawExpr) match {
             case Some(cols) =>
               val whens = cols.zipWithIndex.map { case ((_, c), i) =>
-                when(c.isNotNull, lit(i + 1)).otherwise(lit(0))
+                if (marked(i)) when(c.isNotNull, lit(i + 1)).otherwise(lit(0))
+                else lit(i + 1)
               }
               greatest((whens :+ lit(0) :+ lit(0)): _*)
             case None => lit(1)

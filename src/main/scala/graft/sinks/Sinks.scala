@@ -87,15 +87,22 @@ object Sinks {
         e => quoteExpr(coalesce(e, lit("")), delim, policy)), delim)
         .alias("value"))
 
-  /** Distributed CSV write: header row, delimiter + policy-matched quoting
-    * via Spark's writer. `simple` policy writes raw fields without
-    * quoting, like the reference's simple writer (fields containing the
-    * delimiter surface through Warnings.scan). A headerless result carrying
-    * the hidden per-record width column writes variable-arity rows (the
-    * reference's ragged star model) via a text write of pre-quoted lines.
-    * Known file-sink divergence: univocity also quotes newline-containing
-    * fields under the plain `quoted` policy where the reference's
-    * quote_field does not (the stdout sink, collectCsvLines, is exact). */
+  /** Distributed CSV write: header row, delimiter + policy-matched
+    * quoting. A headerless result carrying the hidden per-record width
+    * column writes variable-arity rows (the reference's ragged star
+    * model) via a text write of pre-quoted lines.
+    *
+    * Quoting is OURS, not univocity's: fields are pre-quoted with the
+    * same codegen'd [[quoteExpr]] the stdout sink uses (the exact
+    * quote_field / rfc_quote_field semantics), and Spark's writer runs
+    * with its quote char disabled so it only joins fields with the
+    * delimiter. Univocity's own policy quotes newline-containing fields
+    * under the plain `quoted` policy where the reference's quote_field
+    * does not, and its writer defaults additionally TRIM leading/
+    * trailing whitespace — both made `--output` file bytes diverge from
+    * the (exact) stdout sink (r12 advice). Header fields quote through
+    * the same policy. Multi-part layout keeps Spark's convention
+    * (header line per part file) so dir-reading stays unchanged. */
   def writeCsv(df0: DataFrame, path: String, delim: String = ",",
       header: Boolean = true, policy: String = "quoted"): Unit = {
     if (!header && hasOwid(df0)) {
@@ -103,16 +110,25 @@ object Sinks {
       return
     }
     val df = if (hasOwid(df0)) df0.drop(OwidCol) else df0
-    var w = normalizeForCsv(df).write
-      .option("sep", if (policy == "monocolumn" && delim.isEmpty) "," else delim)
-      .option("header", header)
-      .option("quoteAll", value = false)
-      // RFC-4180 doubled-quote escaping (Spark's default is backslash)
-      .option("escape", "\"")
-      .option("emptyValue", "")
-    if (policy == "simple" || policy == "whitespace" || policy == "monocolumn")
-      w = w.option("quote", "")
-    w.mode("overwrite").csv(path)
+    val norm = normalizeForCsv(df)
+    val sep = if (policy == "monocolumn" && delim.isEmpty) "," else delim
+    val names = norm.columns.toSeq
+    val uniq = names.indices.map(i => s"__graft_w$i")
+    val lines = norm.toDF(uniq: _*).select(
+      array_join(array(uniq.map(u => quoteExpr(col(u), sep, policy)): _*),
+        sep).alias("value"))
+    val out = if (!header) lines else {
+      // header line per PARTITION file — Spark's own CSV-writer dir
+      // layout, which CsvSource.read's multi-file header-dropper expects
+      val hdrQ: String => String =
+        if (policy == "simple" || policy == "whitespace" ||
+          policy == "monocolumn") identity
+        else quoteField(_, sep, quoteNewlines = policy == "quoted_rfc")
+      val hdr = names.map(hdrQ).mkString(sep)
+      import lines.sparkSession.implicits._
+      lines.as[String].mapPartitions(it => Iterator(hdr) ++ it).toDF("value")
+    }
+    out.write.mode("overwrite").text(path)
   }
 
   /** One JSON text line per record, with the reference's single-column

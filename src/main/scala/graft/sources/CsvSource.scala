@@ -175,11 +175,6 @@ object CsvSource {
           commentRegex, stripWhitespaces,
           counter = Some(line =>
             org.apache.spark.sql.graft.csvtext.rfc_count(line, d)))
-      case "simple" if commentRegex.isDefined =>
-        splitText(spark, path, encoding, commentPrefix, hasHeader,
-          line => split(line, java.util.regex.Pattern.quote(delim), -1),
-          commentRegex, stripWhitespaces, counter = simpleCounter(delim))
-
       case "quoted_rfc" =>
         // faithful RFC-4180 path (reference get_row_rfc + split_quoted_str):
         // physical lines are comment-filtered, assembled into records by
@@ -594,9 +589,24 @@ object CsvSource {
     // entirely (half the read cost on a uniform-width corpus). Exactness
     // contract: rows wider than the declared width would silently truncate,
     // so this is opt-in for corpora the user knows are uniform; the default
-    // stays the reference-faithful true-max inference.
-    val declared = spark.conf.getOption("spark.graft.csv.declaredWidth")
-      .map(_.toInt)
+    // stays the reference-faithful true-max inference. Scoped per PATH
+    // (`spark.graft.csv.declaredWidth.<path>`) with the bare key as a
+    // deliberate all-tables fallback: the session-global alone silently
+    // applied table A's width to the JOIN table read inside the same
+    // query (r12 advice).
+    val declared = Seq(s"spark.graft.csv.declaredWidth.$path",
+        "spark.graft.csv.declaredWidth")
+      .flatMap(k => spark.conf.getOption(k).map(k -> _)).headOption
+      .map { case (k, v) =>
+        val n =
+          try v.trim.toInt
+          catch { case _: NumberFormatException =>
+            graft.engine.Errors.io(
+              s"$k must be a positive integer, got '$v'") }
+        if (n <= 0) graft.engine.Errors.io(
+          s"$k must be a positive integer, got '$v'")
+        n
+      }
     val widthHint = declared.orElse(counter.flatMap { cn =>
       val r = txt.agg(max(cn(col("value")))).head()
       if (r.isNullAt(0)) None else Some(r.getInt(0))

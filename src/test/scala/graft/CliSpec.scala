@@ -153,4 +153,21 @@ class CliSpec extends SparkSpec {
     assert(code == 0, err)
     assert(out == "ada,36\nbob,25\n")
   }
+
+  test("cli: UPDATE-assigned None then star keeps the record's width " +
+      "(empty field + None-warning, not a shortened record)") {
+    // reference pinned live: both queries emit '1,\n3,\n' plus the
+    // None-values warning — a None VALUE occupies its slot; only fields
+    // past the record end shorten a ragged record (r12 advice: the
+    // last-non-null star width silently shortened this shape)
+    val in = writeCsv("updnone.csv", "1,2\n3,4\n")
+    for (q <- Seq("update a2 = NULL", "update a2 = NULL | select *")) {
+      val (code, out, err) = runCli(Seq(
+        "--query", q, "--input", in, "--delim", ","))
+      assert(code == 0, err)
+      assert(out == "1,\n3,\n", s"query '$q' produced ${out.replace("\n", "\\n")}")
+      assert(err.contains("None values in output were replaced by empty strings"),
+        s"query '$q' stderr: $err")
+    }
+  }
 }

@@ -127,6 +127,6 @@ class CsvFuzzSpec extends SparkSpec {
   }
 
   test("csv differential corpus present and complete") {
-    assert(cases.length >= 220, s"expected >=180 cases, got ${cases.length}")
+    assert(cases.length >= 220, s"expected >=220 cases, got ${cases.length}")
   }
 }

@@ -57,6 +57,40 @@ class SourcesSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.csv.declaredWidth")
   }
 
+  test("declaredWidth scopes per path: table A's width never truncates " +
+      "the join table; bad values fail friendly") {
+    val dir = java.nio.file.Files.createTempDirectory("graftdw2").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a.csv"),
+      "1,x\n2,y\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/b.csv"),
+      "1,p,q,r\n2,s,t,u\n")
+    // per-path key applies only to its own table
+    spark.conf.set(s"spark.graft.csv.declaredWidth.$dir/a.csv", "2")
+    try {
+      val a = CsvSource.read(spark, s"$dir/a.csv", ",", "quoted",
+        hasHeader = false)
+      assert(a.columns.length == 2)
+      val b = CsvSource.read(spark, s"$dir/b.csv", ",", "quoted",
+        hasHeader = false)
+      assert(b.columns.length == 4,
+        "join table must keep its own inferred width")
+      assert(b.collect().map(_.toSeq).toSeq ==
+        Seq(Seq("1", "p", "q", "r"), Seq("2", "s", "t", "u")))
+    } finally spark.conf.unset(s"spark.graft.csv.declaredWidth.$dir/a.csv")
+    // non-integer and non-positive values produce a friendly IO error,
+    // not a raw NumberFormatException
+    for (bad <- Seq("three", "0", "-2")) {
+      spark.conf.set("spark.graft.csv.declaredWidth", bad)
+      try {
+        val e = intercept[graft.engine.IoError] {
+          CsvSource.read(spark, s"$dir/b.csv", ",", "quoted",
+            hasHeader = false).collect()
+        }
+        assert(e.getMessage.contains("positive integer"), e.getMessage)
+      } finally spark.conf.unset("spark.graft.csv.declaredWidth")
+    }
+  }
+
   test("tab simple: movies.tsv positional access") {
     val df = CsvSource.read(spark, s"$fixtures/movies.tsv",
       delim = "\t", policy = "simple", hasHeader = false)
@@ -203,6 +237,36 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() == 3)
     assert(back.filter(col("v") === "has,comma").count() == 1)
     assert(back.filter(col("v") === "has\"quote").count() == 1)
+  }
+
+  test("file sink bytes match the stdout sink field-for-field (quoted " +
+      "policy leaves newlines raw; whitespace preserved)") {
+    import spark.implicits._
+    val df = Seq((1L, "line1\nline2"), (2L, "a,b"), (3L, " padded "),
+      (4L, "q\"x"), (5L, "plain")).toDF("id", "v")
+    for (policy <- Seq("quoted", "quoted_rfc", "simple")) {
+      val stdout = Sinks.collectCsvLines(df, ",", header = false, policy)
+      val dir = java.nio.file.Files.createTempDirectory("graftparity")
+      Sinks.writeCsv(df, s"$dir/out", ",", header = false, policy)
+      val fileBytes = java.nio.file.Files.list(
+          java.nio.file.Paths.get(s"$dir/out")).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.startsWith("part-")).sortBy(_.toString)
+        .map(p => new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8))
+        .mkString
+      assert(fileBytes == stdout.map(_ + "\n").mkString,
+        s"policy $policy: file sink diverged from stdout sink")
+    }
+    // headered: every part file carries the header (Spark dir layout);
+    // each header line must be the policy-quoted header the stdout sink
+    // would print
+    val hdrDf = Seq((1L, "x")).toDF("id", "has,comma")
+    val dir = java.nio.file.Files.createTempDirectory("graftparityh")
+    Sinks.writeCsv(hdrDf, s"$dir/out", ",", header = true, "quoted")
+    val lines = spark.read.textFile(s"$dir/out").collect().toSeq
+    assert(lines.contains("id,\"has,comma\""),
+      s"header must quote through the policy, got: $lines")
   }
 
   test("csv null and array normalization") {
