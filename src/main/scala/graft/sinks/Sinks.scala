@@ -26,11 +26,23 @@ object Sinks {
     renamed.select(cols.toIndexedSeq: _*).toDF(names: _*)
   }
 
+  /** Python-rendering of one column (reference normalize_fields =
+    * `str(value)`, rbql_csv.py:258-277): doubles through the exact
+    * Python float repr ([[PyFloat]] — Spark's cast writes `7.5E15`
+    * where Python writes `7500000000000000.0`), booleans as
+    * `True`/`False` (Spark casts to `true`/`false`). */
+  private def pyStr(c: Column, dt: DataType): Column = dt match {
+    case DoubleType =>
+      org.apache.spark.sql.graft.csvtext.py_float_repr(c)
+    case BooleanType => when(c, "True").otherwise("False")
+    case _ => c.cast(StringType)
+  }
+
   private def normalizeCol(c: Column, dt: DataType): Column = dt match {
     case ArrayType(inner, _) =>
       coalesce(array_join(transform(c, e => normalizeCol(e, inner)), "|"), lit(""))
     case StringType => coalesce(c, lit(""))
-    case _ => coalesce(c.cast(StringType), lit(""))
+    case _ => coalesce(pyStr(c, dt), lit(""))
   }
 
   private val OwidCol = graft.engine.PlanBuilder.OwidCol
@@ -43,7 +55,7 @@ object Sinks {
     case ArrayType(inner, _) =>
       array_join(transform(c, e => normalizeCol(e, inner)), "|")
     case StringType => c
-    case _ => c.cast(StringType)
+    case _ => pyStr(c, dt)
   }
 
   /** Variable-arity output rows (reference ragged model: a star over a

@@ -24,6 +24,9 @@ object GraftCsvOps {
 
   def rfcCount(line: UTF8String, delim: String): Int =
     graft.sources.RfcSplit.countFields(line.toString, delim)
+
+  def pyFloatRepr(x: Double): UTF8String =
+    UTF8String.fromString(graft.sinks.PyFloat.repr(x))
 }
 
 /** Quote-aware CSV record split (the reference's split_quoted_str
@@ -82,10 +85,34 @@ case class RfcFieldCount(child: Expression, delim: String)
     copy(child = newChild)
 }
 
+/** Python `str(float)` rendering ([[graft.sinks.PyFloat]]) as a native
+  * codegen'd expression — the CSV sink's float-output normalization
+  * (reference normalize_fields is `str(value)`, rbql_csv.py:258-277). */
+case class PyFloatRepr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = StringType
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_py_float_repr"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftCsvOps.pyFloatRepr(input.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.GraftCsvOps.pyFloatRepr($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): PyFloatRepr =
+    copy(child = newChild)
+}
+
 object csvtext {
   import org.apache.spark.sql.classic.ExpressionUtils.{column, expression}
   def rfc_split(c: Column, delim: String): Column =
     column(RfcSplitFields(expression(c), delim))
   def rfc_count(c: Column, delim: String): Column =
     column(RfcFieldCount(expression(c), delim))
+  def py_float_repr(c: Column): Column =
+    column(PyFloatRepr(expression(c)))
 }

@@ -11,11 +11,13 @@ texts. CsvFuzzSpec replays each case through graft's CLI (`Cli.run`) and
 compares stdout byte-for-byte (line-set for unordered GROUP BY) and the
 stderr warning set.
 
-Queries are restricted to int/string-valued select expressions: float
-OUTPUT would compare Python repr against Java shortest-repr formatting —
-a model difference the hand-ported corpus covers — while int/string
-outputs must match byte-exactly. Floats still appear inside WHERE
-comparisons (both sides parse the same IEEE double deterministically).
+Float-valued select expressions are first-class since round 13: graft's
+sink renders doubles through PyFloat.repr (exact CPython repr — verified
+against live CPython over 500k doubles), so float outputs compare
+byte-exactly like int/string. Float AGGREGATES other than MIN/MAX stay
+excluded: Python sums sequentially while Spark sums in partition order,
+and FP addition is not associative — the last-ulp disagreement would be
+a summation-order artifact, not an engine bug.
 
 Deterministic under SEED; regenerate with:
     python3 tools/gen_csv_differential.py
@@ -42,17 +44,22 @@ HEADER = ["uid", "price", "word", "qty", "tag"]
 
 
 def int_agg(rng):
-    """Aggregates whose output is integral in both engines."""
+    """Aggregates with order-independent, byte-comparable output: COUNT,
+    integral SUM, and MIN/MAX (which are exact for floats too — only
+    float SUM/AVG are summation-order-sensitive)."""
     kind = rng.choice(["COUNT", "SUM", "MIN", "MAX"])
     if kind == "COUNT":
         c = gd.wcol(rng)
         return {"py": f"COUNT({c['py']})", "sql": f"COUNT({c['sql']})"}
+    if kind in ("MIN", "MAX") and rng.random() < 0.4:
+        inner = gd.float_expr(rng)
+        return {"py": f"{kind}({inner['py']})", "sql": f"{kind}({inner['sql']})"}
     inner = gd.int_expr(rng)
     return {"py": f"{kind}({inner['py']})", "sql": f"{kind}({inner['sql']})"}
 
 
 def value_expr(rng):
-    return rng.choice([gd.int_expr, gd.str_expr])(rng)
+    return rng.choice([gd.int_expr, gd.str_expr, gd.float_expr])(rng)
 
 
 # ---- CSV content rendering ----------------------------------------------
@@ -132,9 +139,26 @@ def t_plain(rng):
          f"WHERE {w['sql']}" if w else ""]) + (True,)
 
 
+def t_float(rng):
+    """Concentrated float-output coverage: division chains, mixed
+    arithmetic, conditional floats — the Python-repr rendering surface
+    (exponent switchovers, shortest-digit selection)."""
+    es = [gd.float_expr(rng) for _ in range(rng.randint(1, 3))]
+    scaled = gd.float_expr(rng)
+    mag = rng.choice(["1e12", "1e16", "1e-5", "1e-3", "100000.0"])
+    es.append({"py": f"({scaled['py']} * {mag})",
+               "sql": f"({scaled['sql']} * cast({mag} as double))"})
+    w = gd.cond(rng) if rng.random() < 0.5 else None
+    return gd.mk(
+        ["SELECT", ", ".join(e["py"] for e in es),
+         f"WHERE {w['py']}" if w else ""],
+        ["SELECT", ", ".join(e["sql"] for e in es),
+         f"WHERE {w['sql']}" if w else ""]) + (True,)
+
+
 def t_order(rng):
     es = [value_expr(rng) for _ in range(rng.randint(1, 2))]
-    key = rng.choice([gd.int_expr, gd.str_expr])(rng)
+    key = rng.choice([gd.int_expr, gd.str_expr, gd.float_expr])(rng)
     desc = rng.random() < 0.5
     lim = rng.randint(2, 8) if rng.random() < 0.4 else None
     return gd.mk(
@@ -199,6 +223,7 @@ DIALECTS = [
 ]
 TEMPLATES = [
     ("plain", t_plain, 45),
+    ("float", t_float, 30),
     ("order", t_order, 35),
     ("group", t_group, 30),
     ("update", t_update, 25),
