@@ -11,11 +11,13 @@ import scala.util.Try
   * queries from one expression AST, rendered in BOTH dialects — the
   * reference's Python-expression dialect (executed there against rbql-py to
   * record the expected output) and graft's Spark-SQL dialect (replayed
-  * here). 604 committed cases over 15 templates (plain select / order+limit /
+  * here). 834 committed cases over 18 templates (plain select / order+limit /
   * TOP / DISTINCT / GROUP BY aggregates / INNER+LEFT JOIN / STRICT LEFT
   * JOIN / composite-key join / UPDATE incl. multi-assignment / star /
   * EXCEPT / DISTINCT COUNT / global + grouped aggregates incl. ARRAY_AGG /
-  * named-column header access / error parity) widen engine-semantics coverage far past the 104 hand-written
+  * named-column header access / error parity / UNNEST-of-split /
+  * star-unpack ragged output / pipe chaining with per-stage NR) widen
+  * engine-semantics coverage far past the 104 hand-written
   * reference corpus cases in [[CorpusSpec]]. Expression grammar: int/float
   * arithmetic (+,-,*,/,abs-guarded %), 2-arg polymorphic min/max, ternary,
   * NR/NF, len/upper/lower/replace/concat/str, LIKE, regexp, substring-in,
@@ -200,6 +202,6 @@ class EngineFuzzSpec extends SparkSpec {
   }
 
   test("differential corpus present and complete") {
-    assert(cases.length >= 600, s"expected >=500 fuzz cases, got ${cases.length}")
+    assert(cases.length >= 800, s"expected >=800 fuzz cases, got ${cases.length}")
   }
 }

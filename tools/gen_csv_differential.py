@@ -156,6 +156,22 @@ def t_float(rng):
          f"WHERE {w['sql']}" if w else ""]) + (True,)
 
 
+def t_withflip(rng):
+    """Query-level WITH (header/noheader) override of the CLI header
+    flag: the content is generated per the FLAG, so a flip makes the
+    header line data (or the first data line a header). Positional
+    variables only — name refs are invalid under a noheader override in
+    both engines."""
+    es = [value_expr(rng) for _ in range(rng.randint(1, 2))]
+    w = gd.cond(rng) if rng.random() < 0.4 else None
+    mode = rng.choice(["header", "noheader"])
+    return gd.mk(
+        ["SELECT", ", ".join(e["py"] for e in es),
+         f"WHERE {w['py']}" if w else "", f"WITH ({mode})"],
+        ["SELECT", ", ".join(e["sql"] for e in es),
+         f"WHERE {w['sql']}" if w else "", f"WITH ({mode})"]) + (True,)
+
+
 def t_order(rng):
     es = [value_expr(rng) for _ in range(rng.randint(1, 2))]
     key = rng.choice([gd.int_expr, gd.str_expr, gd.float_expr])(rng)
@@ -224,6 +240,7 @@ DIALECTS = [
 TEMPLATES = [
     ("plain", t_plain, 45),
     ("float", t_float, 30),
+    ("withflip", t_withflip, 20),
     ("order", t_order, 35),
     ("group", t_group, 30),
     ("update", t_update, 25),
@@ -286,7 +303,7 @@ def main():
                 with_headers, comment_prefix, bom, ragged = False, None, False, False
             else:
                 with_headers = rng.random() < 0.4
-                if with_headers:
+                if with_headers and tname != "withflip":
                     gd.COLNAMES = HEADER
                 comment_prefix = "#" if (policy != "whitespace"
                                          and rng.random() < 0.25) else None

@@ -493,22 +493,94 @@ def gen_join_composite(rng, rows):
     return [[k1, k2, rng.choice(VOCAB)] for k1, k2 in pairs]
 
 
+def t_unnest(rng):
+    """UNNEST over a split of a word column — one output record per
+    element, composed with ordinary select items and WHERE. Splitters
+    are plain letters/underscore: Python str.split and Spark split
+    (limit -1) agree on consecutive separators and trailing empties."""
+    ch = rng.choice(["a", "e", "t", "_", "m"])
+    c = wcol(rng)
+    other = value_expr(rng)
+    w = cond(rng) if rng.random() < 0.5 else None
+    un_py = f'UNNEST({c["py"]}.split("{ch}"))'
+    un_sql = f"UNNEST(split({c['sql']}, '{ch}'))"
+    first = rng.random() < 0.5
+    items_py = [un_py, other["py"]] if first else [other["py"], un_py]
+    items_sql = [un_sql, other["sql"]] if first else [other["sql"], un_sql]
+    py, sql = mk(
+        ["SELECT", ", ".join(items_py), f"WHERE {w['py']}" if w else ""],
+        ["SELECT", ", ".join(items_sql), f"WHERE {w['sql']}" if w else ""])
+    return py, sql, True, None
+
+
+def t_unpack(rng):
+    """Star-unpack `*expr` — spreads a list INTO the output record,
+    producing ragged (variable-width) output rows."""
+    ch = rng.choice(["a", "e", "t", "_", "m"])
+    c = wcol(rng)
+    up_py = f'*{c["py"]}.split("{ch}")'
+    up_sql = f"*split({c['sql']}, '{ch}')"
+    w = cond(rng) if rng.random() < 0.4 else None
+    if rng.random() < 0.7:
+        other = value_expr(rng)
+        first = rng.random() < 0.5
+        items_py = [up_py, other["py"]] if first else [other["py"], up_py]
+        items_sql = [up_sql, other["sql"]] if first else [other["sql"], up_sql]
+    else:
+        items_py, items_sql = [up_py], [up_sql]
+    py, sql = mk(
+        ["SELECT", ", ".join(items_py), f"WHERE {w['py']}" if w else ""],
+        ["SELECT", ", ".join(items_sql), f"WHERE {w['sql']}" if w else ""])
+    return py, sql, True, None
+
+
+def t_pipe(rng):
+    """Pipe-chained stages: a width-preserving UPDATE (so stage-2
+    variables keep their meaning) into a SELECT — including NR in
+    stage 2, which must be the PIPED stage's record number (per-stage
+    NR reset), and stage-2 WHERE over stage-1's updated values."""
+    tgt = rng.choice(WORD_COLS)
+    e = str_expr(rng)
+    w1 = cond(rng) if rng.random() < 0.5 else None
+    es = [value_expr(rng) for _ in range(rng.randint(1, 2))]
+    if rng.random() < 0.5:
+        es = es + [{"py": "NR", "sql": "NR"}]
+    w2 = cond(rng) if rng.random() < 0.4 else None
+    py, sql = mk(
+        [f"UPDATE a{tgt} = {e['py']}", f"WHERE {w1['py']}" if w1 else "",
+         "|", "SELECT", ", ".join(x["py"] for x in es),
+         f"WHERE {w2['py']}" if w2 else ""],
+        [f"UPDATE a{tgt} = {e['sql']}", f"WHERE {w1['sql']}" if w1 else "",
+         "|", "SELECT", ", ".join(x["sql"] for x in es),
+         f"WHERE {w2['sql']}" if w2 else ""])
+    return py, sql, True, None
+
+
 TEMPLATES = [
-    ("plain", t_plain_select, 70),
-    ("order", t_select_order, 70),
-    ("top", t_top, 40),
-    ("distinct", t_distinct, 40),
-    ("group", t_groupby, 60),
-    ("join", t_join, 60),
-    ("update", t_update, 40),
+    ("plain", t_plain_select, 85),
+    ("order", t_select_order, 85),
+    ("top", t_top, 55),
+    ("distinct", t_distinct, 55),
+    ("group", t_groupby, 75),
+    ("join", t_join, 75),
+    ("update", t_update, 50),
     ("star", t_star, 25),
-    ("except", t_except, 25),
-    ("strict", t_strict, 30),
-    ("header", t_header, 50),
+    ("except", t_except, 30),
+    ("strict", t_strict, 40),
+    ("header", t_header, 60),
     ("error", t_error, 24),
-    ("joincomp", t_join_comp, 25),
+    ("joincomp", t_join_comp, 35),
     ("dcount", t_distinct_count, 15),
-    ("gagg", t_global_agg, 30),
+    ("gagg", t_global_agg, 40),
+    # round-13 widening (r12 verdict item 6): surfaces the templates
+    # didn't draw — UNNEST, *unpack ragged output, pipe chaining with
+    # per-stage NR. (Computed a[expr] indices are NOT in the reference's
+    # variable model — probed: `a[NR % 2 + 1]` raises a field-miss — and
+    # WITH (header/noheader) only acts on the CSV surface, covered by
+    # gen_csv_differential's with-flip cases.)
+    ("unnest", t_unnest, 30),
+    ("unpack", t_unpack, 25),
+    ("pipe", t_pipe, 30),
 ]
 
 
