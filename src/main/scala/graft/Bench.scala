@@ -817,6 +817,71 @@ object Bench {
     emitArtifact("GRAFT_BENCH_OUT_STREAM", "STREAMBENCH.json", line)
   }
 
+  /** CSV text-path throughput probe (GRAFT_BENCH_CSV=1 — opt-in, never
+    * part of the default/driver run): 2M-row / 5-col / ~10%-quoted file
+    * generated deterministically in tmp, measured against Spark's
+    * univocity reader as the baseline. The graft split path pays for
+    * exact reference parity (ragged width model, empty-vs-missing); the
+    * probe records exactly what that costs and what the two levers give
+    * back: the automatic query-derived width hint
+    * ([[graft.engine.QueryWidth]] — skips the width-inference scan on
+    * star/NF-free positional queries) and the explicit
+    * `spark.graft.csv.declaredWidth`. */
+  private def runCsvBench(spark: SparkSession, reps: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_csvbench")
+    try {
+      val f = s"$dir/big.csv"
+      val sb = new java.lang.StringBuilder(120 << 20)
+      val rnd = new java.util.Random(42)
+      var i = 0
+      while (i < 2000000) {
+        sb.append(i).append(',')
+        sb.append(rnd.nextInt(200) / 10.0).append(',')
+        val w = "word" + rnd.nextInt(1000)
+        if (rnd.nextInt(10) == 0) sb.append('"').append(w).append(",x\"")
+        else sb.append(w)
+        sb.append(',').append(rnd.nextInt(99)).append(',')
+        sb.append("tag").append(rnd.nextInt(50)).append('\n')
+        i += 1
+      }
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(f), sb.toString)
+      val bytes = java.nio.file.Files.size(java.nio.file.Paths.get(f))
+      var rows = -1L
+      def t(body: => Long): Double = {
+        val m = medianOrErr(timedReps(reps, () => { rows = body; () }))
+        m
+      }
+      def entry(name: String, sec: Double): String = {
+        System.err.println(f"[bench] csv $name%-24s $sec%6.3f s rows=$rows")
+        s""""$name":{"sec":${jd(sec, 3)},"rows":$rows}"""
+      }
+      val q = "select a1, a3 where cast(a4 as int) > 50"
+      val entries = Seq(
+        entry("univocity_full", t {
+          spark.read.option("header", "false").csv(f).count() }),
+        entry("univocity_filtered", t {
+          spark.read.option("header", "false").csv(f)
+            .select(col("_c0"), col("_c2")).filter(col("_c3") > 50).count() }),
+        entry("graft_full_star", t {
+          Graft.queryCsv(spark, "select * where cast(a4 as int) > 50", f,
+            ",", "quoted", hasHeader = false).count() }),
+        entry("graft_filtered_hinted", t {
+          Graft.queryCsv(spark, q, f, ",", "quoted", hasHeader = false)
+            .count() }),
+        entry("graft_filtered_declared", {
+          spark.conf.set(s"spark.graft.csv.declaredWidth.$f", "5")
+          try t {
+            Graft.queryCsv(spark, q, f, ",", "quoted", hasHeader = false)
+              .count() }
+          finally spark.conf.unset(s"spark.graft.csv.declaredWidth.$f")
+        }))
+      emitArtifact("GRAFT_BENCH_OUT_CSV", "CSVBENCH.json",
+        s"""{"metric":"csv_bench","rows_in":2000000,"bytes":$bytes""" +
+          s""","reps":$reps,"probes":{${entries.mkString(",")}}}""")
+    } finally deleteRecursively(dir)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to every core: the contract's bench environment is local[32];
@@ -867,6 +932,12 @@ object Bench {
     // GRAFT_BENCH_STREAM=1: one-off streaming-throughput evidence mode
     if (sys.env.get("GRAFT_BENCH_STREAM").contains("1")) {
       runStreamBench(spark, sfDir)
+      spark.stop()
+      return
+    }
+    // GRAFT_BENCH_CSV=1: one-off CSV text-path throughput probe
+    if (sys.env.get("GRAFT_BENCH_CSV").contains("1")) {
+      runCsvBench(spark, reps)
       spark.stop()
       return
     }

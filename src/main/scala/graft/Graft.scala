@@ -190,8 +190,15 @@ object Graft {
       if (mods.contains("header")) true
       else if (mods.contains("noheader")) false
       else hasHeader
+    // query-derived width: when stage 1 provably touches the input only
+    // through literal positional vars, the reader projects just that many
+    // columns and SKIPS the width-inference scan — one full pass saved on
+    // the hot simple-query path (engine.QueryWidth documents why this is
+    // output-identical and which constructs disable it)
+    val qw = engine.QueryWidth.inputWidthHint(masked)
     val input = sources.CsvSource.read(spark, path, delim, policy, header,
-      encoding, commentPrefix, stripWhitespaces, commentRegex)
+      encoding, commentPrefix, stripWhitespaces, commentRegex,
+      queryWidth = qw)
     // JOIN tables resolve like the reference's FileSystemCSVRegistry
     // (rbql_csv.py:508-540): same dialect as the input, paths relative to
     // the input file, name aliases from the table-names index

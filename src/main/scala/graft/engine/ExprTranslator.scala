@@ -53,13 +53,29 @@ final class ExprTranslator(
     // reference's loop — any reference resolves to null and the query
     // returns empty rather than erroring
     if (user.isEmpty) return "cast(null as string)"
-    if (n < 1 || n > user.length)
+    if (n < 1)
       Errors.parsing(s"Variable ${side}$n is out of range: table ${side.toUpper} has ${user.length} columns")
+    // PAST-the-width positional reads bind None, they do not error
+    // (reference safe_get pads: `select a4` over a 2-column table emits
+    // None values plus the sink's None-warning — probed live; only
+    // sub-1 indices and UPDATE targets error). The null is typed string
+    // so downstream Python-truthiness/equality behave like None.
+    if (n > user.length) return "cast(null as string)"
     qualify(side, user(n - 1).name)
   }
 
   private def userFields(side: Char): Array[org.apache.spark.sql.types.StructField] =
     sideSchema(side).fields.filterNot(f => f.name == nrCol || f.name == bNrCol)
+
+  /** JOIN-key strictness (reference resolve_join_variables): an
+    * out-of-range positional KEY errors, unlike plain expression reads
+    * which pad None. Empty tables bind null and never error. */
+  private[engine] def checkJoinKeyRange(side: Char, n: Int): Unit = {
+    val user = userFields(side)
+    if (user.nonEmpty && (n < 1 || n > user.length))
+      Errors.parsing(
+        s"Variable $side$n is out of range: table ${side.toUpper} has ${user.length} columns")
+  }
 
   private def sideSchema(side: Char): StructType = side match {
     case 'a' => aSchema

@@ -401,11 +401,18 @@ object PlanBuilder {
         val bVar = r == "bNR" || r == "b.NR" ||
           r.matches("""b\d+""") || r.matches("""b\[.*\]""") ||
           r.matches("""b\.[A-Za-z_][A-Za-z0-9_]*""")
-        // syntactically-valid vars translate strictly: out-of-range or
-        // missing-name errors surface from the translator (an empty join
-        // table is NOT an error — positional vars resolve to null there)
-        if (aVar) ('a', tr.translate(r))
-        else if (bVar) ('b', tr.translate(r))
+        // JOIN keys are STRICT about positional range (reference
+        // resolve_join_variables: 'No field with index N ... in "B"
+        // table') — unlike plain expression reads, which pad None
+        // (safe_get). An empty join table is NOT an error — positional
+        // vars resolve to null there and simply never match.
+        def strictRange(raw0: String): Unit =
+          """^([ab])(\d+)$""".r.findFirstMatchIn(raw0)
+            .orElse("""^([ab])\[(\d+)\]$""".r.findFirstMatchIn(raw0))
+            .foreach(m => tr.checkJoinKeyRange(m.group(1).charAt(0),
+              m.group(2).toInt))
+        if (aVar) { strictRange(r); ('a', tr.translate(r)) }
+        else if (bVar) { strictRange(r); ('b', tr.translate(r)) }
         else {
           val t = (try tr.translate(raw) catch { case _: GraftError => "" }).trim
           if (t.startsWith("graft_a.`")) ('a', t)

@@ -146,7 +146,12 @@ object CsvSource {
       encoding: String = "UTF-8",
       commentPrefix: Option[String] = None,
       stripWhitespaces: Boolean = false,
-      commentRegex: Option[String] = None): DataFrame = {
+      commentRegex: Option[String] = None,
+      // query-derived width (engine.QueryWidth): provably sufficient for
+      // the query that requested the read — skips the width-inference
+      // scan on the split policies; never set for star/NF/name/join/
+      // UPDATE queries, whose semantics need the true width
+      queryWidth: Option[Int] = None): DataFrame = {
 
     if (!Policies.contains(policy))
       graft.engine.Errors.io(s"Unknown CSV policy: '$policy'")
@@ -174,7 +179,8 @@ object CsvSource {
           line => org.apache.spark.sql.graft.csvtext.rfc_split(line, d),
           commentRegex, stripWhitespaces,
           counter = Some(line =>
-            org.apache.spark.sql.graft.csvtext.rfc_count(line, d)))
+            org.apache.spark.sql.graft.csvtext.rfc_count(line, d)),
+          queryWidth = queryWidth)
       case "quoted_rfc" =>
         // faithful RFC-4180 path (reference get_row_rfc + split_quoted_str):
         // physical lines are comment-filtered, assembled into records by
@@ -192,11 +198,13 @@ object CsvSource {
         // empty fields are real fields, like the reference's split)
         splitText(spark, path, encoding, commentPrefix, hasHeader,
           line => split(line, java.util.regex.Pattern.quote(delim), -1),
-          commentRegex, stripWhitespaces, counter = simpleCounter(delim))
+          commentRegex, stripWhitespaces, counter = simpleCounter(delim),
+          queryWidth = queryWidth)
 
       case "whitespace" =>
         splitText(spark, path, encoding, commentPrefix, hasHeader,
-          line => split(trim(line), "\\s+"), commentRegex, stripWhitespaces)
+          line => split(trim(line), "\\s+"), commentRegex, stripWhitespaces,
+          queryWidth = queryWidth)
 
       case "monocolumn" =>
         var txt = readTextLines(spark, path, encoding)
@@ -559,7 +567,8 @@ object CsvSource {
       // allocation-free field counter for the width-inference pass; when
       // absent, the pass falls back to size(splitter) — materializing and
       // discarding every field array (measured ~40% of the quoted scan)
-      counter: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None): DataFrame = {
+      counter: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None,
+      queryWidth: Option[Int] = None): DataFrame = {
     var txt = readTextLines(spark, path, encoding)
       .withColumn("__pos", monotonically_increasing_id())
     commentPrefix.foreach(p => txt = txt.filter(!col("value").startsWith(p)))
@@ -607,7 +616,7 @@ object CsvSource {
           s"$k must be a positive integer, got '$v'")
         n
       }
-    val widthHint = declared.orElse(counter.flatMap { cn =>
+    val widthHint = declared.orElse(queryWidth).orElse(counter.flatMap { cn =>
       val r = txt.agg(max(cn(col("value")))).head()
       if (r.isNullAt(0)) None else Some(r.getInt(0))
     })

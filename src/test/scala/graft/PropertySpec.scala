@@ -150,10 +150,15 @@ class PropertySpec extends SparkSpec {
     assert(out == Seq(Seq("0.1.0-graft", "x")))
   }
 
-  test("bracket positional access out of range errors") {
-    intercept[graft.engine.ParsingError] {
-      Graft.queryTable(spark, "select a[9]", Seq(Seq("x")))
-    }
+  test("positional access past the width binds None, not an error " +
+      "(reference safe_get pads; join KEYS stay strict)") {
+    // probed live: `select a[4], a1` / `select a4` over a narrow table
+    // emit None values; only sub-1 indices and join keys error
+    val rows = Graft.queryTable(spark, "select a[9], a1", Seq(Seq("x")))
+    assert(rows == Seq(Seq(null, "x")))
+    val rows2 = Graft.queryTable(spark, "select a7 where a9 is null",
+      Seq(Seq("x"), Seq("y")))
+    assert(rows2 == Seq(Seq(null), Seq(null)))
   }
 
   // ---- temporal operators vs driver-side brute force -------------------
