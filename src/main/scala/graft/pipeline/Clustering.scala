@@ -99,7 +99,15 @@ object Clustering {
     * centroid. */
   def fitKMeans(df: DataFrame, vecCol: String, idCol: String, k: Int,
       maxIter: Int = 8, tol: Double = 1e-6, seed: Long = 42L,
-      metric: String = "cosine"): KMeansModel = {
+      metric: String = "cosine"): KMeansModel =
+    FitMemo.cached(df, Seq(idCol, vecCol),
+      ("kmeans", k, maxIter, tol, seed, metric)) {
+      fitKMeansImpl(df, vecCol, idCol, k, maxIter, tol, seed, metric)
+    }
+
+  private def fitKMeansImpl(df: DataFrame, vecCol: String, idCol: String,
+      k: Int, maxIter: Int, tol: Double, seed: Long,
+      metric: String): KMeansModel = {
     require(k > 0, "k must be positive")
     // hash-spread init: the k corpus vectors with smallest seeded hash —
     // deterministic, order-insensitive, and spread across the data
@@ -303,7 +311,13 @@ object Clustering {
     * hash-spread init (shared row sample, sliced per subspace),
     * half-up-rounded means, empty cells keep their previous centroid. */
   def fitPQ(df: DataFrame, vecCol: String, idCol: String, m: Int,
-      k: Int, maxIter: Int = 4, seed: Long = 42L): PQModel = {
+      k: Int, maxIter: Int = 4, seed: Long = 42L): PQModel =
+    FitMemo.cached(df, Seq(idCol, vecCol), ("pq", m, k, maxIter, seed)) {
+      fitPQImpl(df, vecCol, idCol, m, k, maxIter, seed)
+    }
+
+  private def fitPQImpl(df: DataFrame, vecCol: String, idCol: String,
+      m: Int, k: Int, maxIter: Int, seed: Long): PQModel = {
     require(m > 0 && k > 0, "m and k must be positive")
     // dimensionality = the MODAL size among non-null vectors (one tiny
     // aggregate): probing an arbitrary first row would let a truncated

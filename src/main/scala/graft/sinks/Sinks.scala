@@ -143,22 +143,70 @@ object Sinks {
     out.write.mode("overwrite").text(path)
   }
 
+  /** Marks a pre-rendered JSON number riding through to_json as a
+    * string; stripped (with its quotes) afterwards. U+0001 never
+    * occurs in data — it is a control char the JSON writer escapes to
+    * a 6-char `\\u0001` sequence, which the strip regex matches. */
+  private val NumSentinel = "\u0001G\u0001"
+  private val NumSentinelRe = "\"\\\\u0001G\\\\u0001([^\"]*)\""
+
+  /** Python json.dumps float rendering: repr digits ([[PyFloat]]), and
+    * the non-standard NaN / Infinity / -Infinity tokens for specials
+    * (json.dumps default allow_nan, rbql_json.py writes through it). */
+  private def jsonNum(c: Column): Column =
+    when(isnan(c), lit(NumSentinel + "NaN"))
+      .when(c === lit(Double.PositiveInfinity), lit(NumSentinel + "Infinity"))
+      .when(c === lit(Double.NegativeInfinity), lit(NumSentinel + "-Infinity"))
+      .otherwise(concat(lit(NumSentinel),
+        org.apache.spark.sql.graft.csvtext.py_float_repr(c)))
+
+  /** Doubles re-rendered for json.dumps parity: the sentinel makes
+    * to_json emit them as strings, and the writer strips the quotes
+    * back off — `7500000000000000.0` instead of Jackson's `7.5E15`
+    * (byte parity; both parse to the same double). Scalar doubles and
+    * arrays of doubles; deeper nesting (variant passthrough) keeps the
+    * engine rendering. */
+  private def pyJsonCols(df: DataFrame): DataFrame = {
+    val needs = df.schema.fields.exists(f => f.dataType == DoubleType ||
+      f.dataType == ArrayType(DoubleType, true) ||
+      f.dataType == ArrayType(DoubleType, false))
+    if (!needs) return df
+    val names = df.columns.toSeq
+    val uniq = names.indices.map(i => s"__graft_j$i")
+    df.toDF(uniq: _*).select(df.schema.fields.zipWithIndex.map {
+      case (f, i) =>
+        val c = col(uniq(i))
+        (f.dataType match {
+          case DoubleType => jsonNum(c)
+          case ArrayType(DoubleType, _) => transform(c, e => jsonNum(e))
+          case _ => c
+        }).alias(uniq(i))
+    }.toIndexedSeq: _*).toDF(names: _*)
+  }
+
+  private def stripNumSentinels(j: Column): Column =
+    regexp_replace(j, NumSentinelRe, "$1")
+
   /** One JSON text line per record, with the reference's single-column
     * unwrap rule: one output column → bare value per line; N columns →
     * object keyed by the output header, nulls kept (the reference's
     * json.dumps writes null values, rbql_json.py:17-70). */
-  private def jsonLinesDf(df: DataFrame): DataFrame =
+  private def jsonLinesDf(df0: DataFrame): DataFrame = {
+    val df = pyJsonCols(df0)
     if (df.schema.length == 1) {
       df.select(to_json(struct(df.columns.map(c => col(s"`$c`")).toIndexedSeq: _*),
         java.util.Map.of("ignoreNullFields", "false")).alias("j"))
         .select(
           // strip the single-key object wrapper → bare value per line
-          expr(s"substring(j, ${df.columns.head.length + 5}, length(j) - ${df.columns.head.length + 5})")
+          stripNumSentinels(expr(
+            s"substring(j, ${df.columns.head.length + 5}, length(j) - ${df.columns.head.length + 5})"))
             .alias("value"))
     } else {
-      df.select(to_json(struct(df.columns.map(c => col(s"`$c`")).toIndexedSeq: _*),
-        java.util.Map.of("ignoreNullFields", "false")).alias("value"))
+      df.select(stripNumSentinels(
+        to_json(struct(df.columns.map(c => col(s"`$c`")).toIndexedSeq: _*),
+          java.util.Map.of("ignoreNullFields", "false"))).alias("value"))
     }
+  }
 
   /** JSON-lines write (distributed). */
   def writeJsonLines(df: DataFrame, path: String): Unit =

@@ -427,4 +427,32 @@ class SourcesSpec extends SparkSpec {
     val l2 = spark.read.text(s"$dir/out2").collect().map(_.getString(0))
     assert(l2.head.startsWith("{") && l2.head.contains("\"v\":\"x\""))
   }
+
+  test("jsonl sink renders doubles like json.dumps (python repr digits, " +
+      "NaN/Infinity tokens)") {
+    import spark.implicits._
+    // reference probed live (rbql_json.query_json over {'a':3e16,'b':4}):
+    // json.dumps writes 0.5 / 7500000000000000.0 — not Jackson's 7.5E15
+    val df = Seq((0.5, 7.5e15), (1.0 / 3.0, 1e16)).toDF("col0", "col1")
+    val got = Sinks.collectJsonLines(df)
+    assert(got == Seq(
+      """{"col0":0.5,"col1":7500000000000000.0}""",
+      """{"col0":0.3333333333333333,"col1":1e+16}"""), got)
+    // specials: json.dumps default allow_nan emits bare tokens
+    val sp = Seq((Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, Option.empty[Double]))
+      .toDF("a", "b", "c", "d")
+    assert(Sinks.collectJsonLines(sp) ==
+      Seq("""{"a":NaN,"b":Infinity,"c":-Infinity,"d":null}"""))
+    // single-column bare unwrap keeps the number raw
+    assert(Sinks.collectJsonLines(Seq(7.5e15).toDF("v")) ==
+      Seq("7500000000000000.0"))
+    // array-of-doubles elements render through the same rule; strings
+    // containing a fake sentinel-escape sequence are untouched
+    assert(Sinks.collectJsonLines(Seq(Seq(0.5, 7.5e15)).toDF("v")) ==
+      Seq("[0.5,7500000000000000.0]"))
+    assert(Sinks.collectJsonLines(
+      Seq("\\u0001G\\u0001zz").toDF("v")) ==
+      Seq("\"\\\\u0001G\\\\u0001zz\""))
+  }
 }

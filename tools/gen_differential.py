@@ -556,6 +556,34 @@ def t_pipe(rng):
     return py, sql, True, None
 
 
+def t_oor(rng):
+    """Out-of-range positional reads bind None (reference safe_get
+    padding, probed live: `select a9` over a 5-column table emits None
+    values; only sub-1 indices and JOIN keys error) — round-13 parity
+    fix, pinned here so it cannot regress."""
+    hi = rng.randint(6, 9)
+    ref = (f"a{hi}", f"a{hi}") if rng.random() < 0.6 else \
+        (f"a[{hi}]", f"a[{hi}]")
+    es = [value_expr(rng), {"py": ref[0], "sql": ref[1]}]
+    if rng.random() < 0.5:
+        es.reverse()
+    hi2 = rng.randint(6, 9)
+    r = rng.random()
+    if r < 0.35:
+        w = {"py": f"a{hi2} == None", "sql": f"a{hi2} is null"}
+    elif r < 0.6:
+        # `not a9` in Python is truthiness-of-None = True; the SQL dialect
+        # renders the same predicate as `is null` (bare truthiness under
+        # NOT is a documented dialect boundary — SQL NOT null-propagates)
+        w = {"py": f"not a{hi2}", "sql": f"a{hi2} is null"}
+    else:
+        w = cond(rng)
+    py, sql = mk(
+        ["SELECT", ", ".join(e["py"] for e in es), f"WHERE {w['py']}"],
+        ["SELECT", ", ".join(e["sql"] for e in es), f"WHERE {w['sql']}"])
+    return py, sql, True, None
+
+
 TEMPLATES = [
     ("plain", t_plain_select, 85),
     ("order", t_select_order, 85),
@@ -581,6 +609,7 @@ TEMPLATES = [
     ("unnest", t_unnest, 30),
     ("unpack", t_unpack, 25),
     ("pipe", t_pipe, 30),
+    ("oor", t_oor, 25),
 ]
 
 
