@@ -159,6 +159,17 @@ class PropertySpec extends SparkSpec {
     val rows2 = Graft.queryTable(spark, "select a7 where a9 is null",
       Seq(Seq("x"), Seq("y")))
     assert(rows2 == Seq(Seq(null), Seq(null)))
+    // b-side reads past the JOIN table's width pad too (probed live);
+    // only JOIN KEYS are strict
+    val rows3 = Graft.queryTable(spark, "select a1, b7 JOIN B on a1 == b1",
+      Seq(Seq("1", "2"), Seq("3", "4")),
+      joinRows = Some((Seq(Seq("1", "x"), Seq("3", "y")), None)))
+    assert(rows3 == Seq(Seq("1", null), Seq("3", null)))
+    // UPDATE right-hand sides read through the same padding
+    // (reference: `update a2 = a9` assigns None)
+    val rows4 = Graft.queryTable(spark, "update a2 = a9",
+      Seq(Seq("1", "2"), Seq("3", "4")))
+    assert(rows4 == Seq(Seq("1", null), Seq("3", null)))
   }
 
   // ---- temporal operators vs driver-side brute force -------------------
