@@ -207,9 +207,21 @@ object PlanBuilder {
       if (usesBNr) bDfRaw0.map(b => withNr(b).withColumnRenamed(NrCol, BNrCol))
       else bDfRaw0
 
-    val aDf0 = if (usesNr) withNr(fromDf) else fromDf
+    // A-side join keys read per record with an ERROR on missing fields
+    // (reference safe_join_get, rbql_engine.py:253-257 → 'No "aN" field
+    // at record NR', :758-759) — unlike plain reads, which pad None.
+    // Only CSV-marked columns can be record-missing, and the guard's
+    // message needs NR, so a marked A table under a JOIN materializes it.
+    val aKeyGuard = ast.join.isDefined &&
+      graft.sources.CsvSource.isMissingMarked(fromDf.schema)
+    val aDf0 = if (usesNr || aKeyGuard) withNr(fromDf) else fromDf
     val tr = new ExprTranslator(aDf0.schema, bDfRaw.map(_.schema), masked)
-    val aDf = aDf0.alias("graft_a")
+    val aDf = {
+      val base =
+        if (aKeyGuard) guardAJoinKeys(aDf0, ast.join.get.onRaw, tr)
+        else aDf0
+      base.alias("graft_a")
+    }
 
     // reference HashJoinMap.build (rbql_engine.py:1362-1373): a join key
     // index past a B record's own width is a build-time error, not a null
@@ -470,6 +482,46 @@ object PlanBuilder {
       Errors.runtime(
         s"""No field with index ${r.get(1)} at record ${r.getLong(0)} in "B" table""")
     }
+  }
+
+  /** A-side counterpart of [[verifyCsvJoinKeys]] (reference safe_join_get,
+    * rbql_engine.py:253-257: reading a join key from an A record shorter
+    * than the key index raises 'No "aN" field at record NR',
+    * rbql_engine.py:758-759 — plain expression reads pad None instead).
+    * The guard is an IN-JOB assert on the pre-join A side — no extra scan
+    * over the potentially-large input table — and applies only to join-key
+    * columns carrying the CSV reader's missing-as-null marker (a marked
+    * null is structurally missing; CSV fields are never null otherwise).
+    * Across partitions the reported record is the first failure the
+    * scheduler surfaces, not necessarily the global minimum NR (the
+    * reference processes sequentially); single-file parity inputs read as
+    * one partition, where the two agree. */
+  private def guardAJoinKeys(aDf: DataFrame, onRaw: String,
+      tr: ExprTranslator): DataFrame = {
+    val QualRe = """graft_a\.`((?:[^`]|``)*)`""".r
+    val userNames = aDf.columns.filterNot(n => n == NrCol || n == BNrCol)
+    val marked = joinPairs(onRaw, tr).flatMap { case (a, _) =>
+      a.trim match {
+        case QualRe(esc) =>
+          val name = esc.replace("``", "`")
+          aDf.schema.fields.find(_.name == name).collect {
+            case f if f.metadata.contains(graft.sources.CsvSource.MissingNullKey) &&
+                f.metadata.getBoolean(graft.sources.CsvSource.MissingNullKey) &&
+                userNames.indexOf(name) >= 0 =>
+              (name, userNames.indexOf(name) + 1)
+          }
+        case _ => None
+      }
+    }
+    if (marked.isEmpty) return aDf
+    def ref(n: String) = col(s"`${n.replace("`", "``")}`")
+    // first missing key in ON-clause order, like the reference's
+    // sequential lhs evaluation
+    val firstBad = coalesce(marked.map { case (n, i) =>
+      when(ref(n).isNull, lit(i)) }: _*)
+    aDf.where(assert_true(firstBad.isNull,
+      concat(lit("No \"a"), firstBad.cast("string"),
+        lit("\" field at record "), col(NrCol).cast("string"))).isNull)
   }
 
   /** Join keys compare null-safely (`<=>`): the reference's join map is a

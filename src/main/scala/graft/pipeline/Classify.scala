@@ -70,6 +70,19 @@ object Classify {
       alpha: Double = 0.5): LinearTextModel = {
     require(buckets > 0, "buckets must be positive")
     require(alpha > 0, "alpha must be positive (zero counts divide by zero)")
+    // closed-form and deterministic over an unchanged labeled sample —
+    // the same fit-once-serve-many discipline as k-means/PQ (FitMemo):
+    // the report family (q_nb_quality/q_auc/q_confusion/q_calibration)
+    // refit the identical model otherwise
+    FitMemo.cached(labeled, Seq(textCol, idCol, labelCol),
+      ("nb", buckets, alpha)) {
+      fitNaiveBayesUncached(labeled, textCol, idCol, labelCol, buckets, alpha)
+    }
+  }
+
+  private def fitNaiveBayesUncached(labeled: DataFrame, textCol: String,
+      idCol: String, labelCol: String, buckets: Int,
+      alpha: Double): LinearTextModel = {
     val y = col(labelCol).cast("int")
     // one pass builds BOTH class histograms: tag each occurrence with its
     // doc's label, aggregate (f, y) — ≤ 2·buckets result rows
@@ -120,6 +133,17 @@ object Classify {
       iters: Int = 50): LinearTextModel = {
     require(buckets > 0, "buckets must be positive")
     require(iters > 0, "iters must be positive")
+    // deterministic end to end (zero init, order-independent per-bucket
+    // sums) — memoized like the other deterministic fits (FitMemo)
+    FitMemo.cached(labeled, Seq(textCol, idCol, labelCol),
+      ("logreg", buckets, lr, iters)) {
+      fitLogRegUncached(labeled, textCol, idCol, labelCol, buckets, lr, iters)
+    }
+  }
+
+  private def fitLogRegUncached(labeled: DataFrame, textCol: String,
+      idCol: String, labelCol: String, buckets: Int, lr: Double,
+      iters: Int): LinearTextModel = {
     val spark = labeled.sparkSession
     // (y, sparse histogram) per doc: explode + per-doc count map. The
     // groupBy is keyed by the LABELED SAMPLE's ids — bounded by the

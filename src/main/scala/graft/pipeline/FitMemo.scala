@@ -15,7 +15,7 @@ import org.apache.spark.sql.DataFrame
   * Overwriting the backing files invalidates ([[PlanKey]] carries
   * name/len/mtime). Opt out with `spark.graft.ann.fitCache=false` —
   * results are identical either way. */
-private[pipeline] object FitMemo {
+private[graft] object FitMemo {
 
   private val cache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[Any, Any](16, 0.75f, true) {

@@ -34,7 +34,13 @@ object Sinks {
   private def pyStr(c: Column, dt: DataType): Column = dt match {
     case DoubleType =>
       org.apache.spark.sql.graft.csvtext.py_float_repr(c)
-    case BooleanType => when(c, "True").otherwise("False")
+    case BooleanType =>
+      // null must stay null here (NOT fall into the otherwise branch):
+      // normalizeCol's coalesce renders it as '' and normalizeColNullable
+      // keeps it structural, matching the reference's str(None) → warning
+      // path rather than printing a phantom "False"
+      when(c.isNull, lit(null).cast(StringType))
+        .when(c, "True").otherwise("False")
     case _ => c.cast(StringType)
   }
 
@@ -131,24 +137,53 @@ object Sinks {
         sep).alias("value"))
     val out = if (!header) lines else {
       // header line per PARTITION file — Spark's own CSV-writer dir
-      // layout, which CsvSource.read's multi-file header-dropper expects
+      // layout, which CsvSource.read's multi-file header-dropper expects.
+      // EMPTY partitions skip it (Spark's csv writer leaves empty files
+      // headerless too; a header-only part file reads as a phantom row to
+      // naive line consumers) — except partition 0, so a fully-empty
+      // result still carries its header.
       val hdrQ: String => String =
         if (policy == "simple" || policy == "whitespace" ||
           policy == "monocolumn") identity
         else quoteField(_, sep, quoteNewlines = policy == "quoted_rfc")
       val hdr = names.map(hdrQ).mkString(sep)
       import lines.sparkSession.implicits._
-      lines.as[String].mapPartitions(it => Iterator(hdr) ++ it).toDF("value")
+      lines.as[String].mapPartitions { it =>
+        if (org.apache.spark.TaskContext.getPartitionId() == 0 || it.hasNext)
+          Iterator(hdr) ++ it
+        else Iterator.empty
+      }.toDF("value")
     }
     out.write.mode("overwrite").text(path)
   }
 
   /** Marks a pre-rendered JSON number riding through to_json as a
-    * string; stripped (with its quotes) afterwards. U+0001 never
-    * occurs in data — it is a control char the JSON writer escapes to
-    * a 6-char `\\u0001` sequence, which the strip regex matches. */
+    * string; stripped (with its quotes) afterwards. A DATA string could
+    * in principle contain raw U+0001 (the writer escapes it to the same
+    * 6-char `\\u0001` the strip regex matches), so while this path is
+    * active string columns are pre-escaped U+0001 → U+0001 'E'
+    * ([[escSentinel]]) and un-escaped on the rendered text after the
+    * strip — a data string can then never produce the
+    * `\\u0001G\\u0001` sequence. The payload shape is additionally
+    * pinned to number tokens as defense in depth (variant-nested
+    * strings, which the escape can't reach, would also have to render
+    * as a number token). */
   private val NumSentinel = "\u0001G\u0001"
-  private val NumSentinelRe = "\"\\\\u0001G\\\\u0001([^\"]*)\""
+  private val NumSentinelRe =
+    "\"\\\\u0001G\\\\u0001(NaN|-?Infinity|-?\\d+(?:\\.\\d+)?(?:e[+-]\\d+)?)\""
+
+  /** Pre-escape of raw U+0001 in data strings while the number-sentinel
+    * path is active (see the NumSentinel scaladoc). Undone by
+    * [[unescSentinel]] on the rendered JSON text. */
+  private def escSentinel(c: Column, dt: DataType): Column = dt match {
+    case StringType => replace(c, lit("\u0001"), lit("\u0001E"))
+    case ArrayType(StringType, _) =>
+      transform(c, e => replace(e, lit("\u0001"), lit("\u0001E")))
+    case _ => c
+  }
+
+  private def unescSentinel(j: Column): Column =
+    regexp_replace(j, "\\\\u0001E", "\\\\u0001")
 
   /** Python json.dumps float rendering: repr digits ([[PyFloat]]), and
     * the non-standard NaN / Infinity / -Infinity tokens for specials
@@ -166,11 +201,13 @@ object Sinks {
     * (byte parity; both parse to the same double). Scalar doubles and
     * arrays of doubles; deeper nesting (variant passthrough) keeps the
     * engine rendering. */
-  private def pyJsonCols(df: DataFrame): DataFrame = {
-    val needs = df.schema.fields.exists(f => f.dataType == DoubleType ||
+  private[sinks] def needsPyNum(df: DataFrame): Boolean =
+    df.schema.fields.exists(f => f.dataType == DoubleType ||
       f.dataType == ArrayType(DoubleType, true) ||
       f.dataType == ArrayType(DoubleType, false))
-    if (!needs) return df
+
+  private def pyJsonCols(df: DataFrame): DataFrame = {
+    if (!needsPyNum(df)) return df
     val names = df.columns.toSeq
     val uniq = names.indices.map(i => s"__graft_j$i")
     df.toDF(uniq: _*).select(df.schema.fields.zipWithIndex.map {
@@ -179,7 +216,7 @@ object Sinks {
         (f.dataType match {
           case DoubleType => jsonNum(c)
           case ArrayType(DoubleType, _) => transform(c, e => jsonNum(e))
-          case _ => c
+          case other => escSentinel(c, other)
         }).alias(uniq(i))
     }.toIndexedSeq: _*).toDF(names: _*)
   }
@@ -192,17 +229,23 @@ object Sinks {
     * object keyed by the output header, nulls kept (the reference's
     * json.dumps writes null values, rbql_json.py:17-70). */
   private def jsonLinesDf(df0: DataFrame): DataFrame = {
+    // the strip + unescape pair runs ONLY when pyJsonCols was active:
+    // unescaping without the matching pre-escape would corrupt genuine
+    // data occurrences of U+0001 followed by 'E'
+    val post: Column => Column =
+      if (needsPyNum(df0)) j => unescSentinel(stripNumSentinels(j))
+      else identity
     val df = pyJsonCols(df0)
     if (df.schema.length == 1) {
       df.select(to_json(struct(df.columns.map(c => col(s"`$c`")).toIndexedSeq: _*),
         java.util.Map.of("ignoreNullFields", "false")).alias("j"))
         .select(
           // strip the single-key object wrapper → bare value per line
-          stripNumSentinels(expr(
+          post(expr(
             s"substring(j, ${df.columns.head.length + 5}, length(j) - ${df.columns.head.length + 5})"))
             .alias("value"))
     } else {
-      df.select(stripNumSentinels(
+      df.select(post(
         to_json(struct(df.columns.map(c => col(s"`$c`")).toIndexedSeq: _*),
           java.util.Map.of("ignoreNullFields", "false"))).alias("value"))
     }

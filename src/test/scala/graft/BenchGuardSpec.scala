@@ -122,4 +122,73 @@ class BenchGuardSpec extends AnyFunSuite {
       .readTree(line).path("queries")
     assert(qs.has("q_select_where") && qs.has("q_like") && qs.has("q_agg_group"))
   }
+
+  test("r13 driver-shape replay: asymmetric probes + uniform 1.13x medians " +
+      "+ one planted 3x regression -> exactly the planted flag") {
+    // the r13 driver run: load probes 0.656 before / 0.098 after over a
+    // baseline load_ref 0.137 gave probe factor 2.75, while the actual
+    // median query inflation was ~1.13x. The old suite-global divisor
+    // flagged 162 unchanged queries (154 wrongly speedup_confirmed); the
+    // fixed guard caps the divisor at the cross-query median ratio.
+    val prev = (1 to 191).map(i => f"q_u$i%03d" -> 1.0).toMap + ("q_bad" -> 1.0)
+    val run = (1 to 191).map(i => f"q_u$i%03d" -> 1.13) :+ ("q_bad" -> 3.0)
+    val probeFactor = ((0.656 + 0.098) / 2) / 0.137 // = 2.75
+    val medianRatio = Bench.crossQueryMedianRatio(run, prev)
+    assert(math.abs(medianRatio - 1.13) < 1e-9)
+    val lf = Bench.effectiveLoadFactor(probeFactor, medianRatio)
+    assert(math.abs(lf - 1.13) < 1e-9,
+      s"divisor must be capped at the median ratio, got $lf")
+    val flags = Bench.flaggedMoves(run, prev, lf)
+    assert(flags.map(_._1) == Seq("q_bad"), flags)
+    // and the same shape flags NOTHING as a speedup: every unchanged
+    // query's normalized ratio is 1.0, inside the band
+    assert(flags.forall(_._3 > 2.0))
+  }
+
+  test("capped divisor cannot mask a real regression on a loaded-START machine") {
+    // symmetric failure the r13 verdict called out: machine loaded at
+    // probe time but quiet during the queries — the raw probe factor
+    // (2.75) would divide a genuine 2.6x regression below the flag line
+    val prev = (1 to 50).map(i => f"q_u$i%03d" -> 1.0).toMap + ("q_bad" -> 1.0)
+    val run = (1 to 50).map(i => f"q_u$i%03d" -> 1.0) :+ ("q_bad" -> 2.6)
+    val lf = Bench.effectiveLoadFactor(2.75, Bench.crossQueryMedianRatio(run, prev))
+    assert(math.abs(lf - 1.0) < 1e-9)
+    assert(Bench.flaggedMoves(run, prev, lf).map(_._1) == Seq("q_bad"))
+  }
+
+  test("genuinely loaded machine: median ratio tracks the load, no spurious flags") {
+    val prev = (1 to 50).map(i => f"q_u$i%03d" -> 1.0).toMap
+    val run = (1 to 50).map(i => f"q_u$i%03d" -> 2.7)
+    val lf = Bench.effectiveLoadFactor(2.75, Bench.crossQueryMedianRatio(run, prev))
+    assert(math.abs(lf - 2.7) < 1e-9)
+    assert(Bench.flaggedMoves(run, prev, lf).isEmpty)
+    // fast machine (ratios < 1): floor at 1, never loosen the guard
+    assert(Bench.effectiveLoadFactor(0.5, 0.8) == 1.0)
+    // no baselined queries: probe factor stands alone
+    assert(Bench.effectiveLoadFactor(2.0, -1.0) == 2.0)
+    assert(Bench.crossQueryMedianRatio(Seq("q_x" -> 1.0), Map.empty) == -1.0)
+  }
+
+  test("compact summary carries per-flag verdicts (self-adjudicating driver artifact)") {
+    val medians = (1 to 192).map(i => (f"q_synthetic_name_$i%03d", i * 0.037))
+    val line = Bench.compactSummary(100.0, "/root/testdata/sf0.1", 3, medians,
+      nErrors = 0, nFlags = 2, baselineMedians = 192,
+      flagVerdicts = Map("q_synthetic_name_007" -> "suite_context_noise",
+        "q_synthetic_name_101" -> "slowdown_reproduced"))
+    assert(line.length <= 1700, s"summary too long: ${line.length}")
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert(root.path("flags").path("q_synthetic_name_007").asText() ==
+      "suite_context_noise")
+    assert(root.path("flags").path("q_synthetic_name_101").asText() ==
+      "slowdown_reproduced")
+    assert(!root.has("flags_truncated"))
+    // pathological flag count: truncate to 12, confess the rest
+    val many = (1 to 30).map(i => f"q_f$i%03d" -> "suite_context_noise").toMap
+    val line2 = Bench.compactSummary(100.0, "sf", 3, medians, 0, 30, 192,
+      flagVerdicts = many)
+    assert(line2.length <= 1700)
+    val r2 = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line2)
+    assert(r2.path("flags").size() == 12)
+    assert(r2.path("flags_truncated").asInt() == 18)
+  }
 }

@@ -150,4 +150,33 @@ class ClassifySpec extends SparkSpec {
         "doc_id", "y", buckets = 512, alpha = 0.5)
     }
   }
+
+  test("classifier fits are memoized: repeat fit serves the identical " +
+      "model, opt-out fits fresh and bit-identically (r13 verdict)") {
+    import graft.pipeline.FitMemo
+    val m0 = FitMemo.misses.get()
+    val a = Classify.fitNaiveBayes(labeled, "text", "doc_id", "y")
+    val h1 = FitMemo.hits.get()
+    val b = Classify.fitNaiveBayes(labeled, "text", "doc_id", "y")
+    assert(FitMemo.misses.get() >= m0 + 1, "first fit must miss")
+    assert(FitMemo.hits.get() >= h1 + 1, "second fit must hit the memo")
+    assert(a.weights.sameElements(b.weights) && a.bias == b.bias)
+    // memoized ≡ direct (the DedupPropertySpec discipline): the opt-out
+    // path fits from scratch and must reproduce the memoized model bit
+    // for bit — seeded/closed-form determinism is the memo's license
+    spark.conf.set("spark.graft.ann.fitCache", "false")
+    try {
+      val c = Classify.fitNaiveBayes(labeled, "text", "doc_id", "y")
+      assert(c.weights.sameElements(a.weights) && c.bias == a.bias)
+      val l1 = Classify.fitLogReg(labeled, "text", "doc_id", "y", iters = 3)
+      spark.conf.unset("spark.graft.ann.fitCache")
+      val l2 = Classify.fitLogReg(labeled, "text", "doc_id", "y", iters = 3)
+      val l3 = Classify.fitLogReg(labeled, "text", "doc_id", "y", iters = 3)
+      assert(l2.weights.sameElements(l1.weights) && l2.bias == l1.bias)
+      assert(l3.weights.sameElements(l2.weights), "memo hit must be stable")
+      // different hyper-parameters key separately — never served stale
+      val l4 = Classify.fitLogReg(labeled, "text", "doc_id", "y", iters = 4)
+      assert(!l4.weights.sameElements(l2.weights))
+    } finally spark.conf.unset("spark.graft.ann.fitCache")
+  }
 }

@@ -455,4 +455,93 @@ class SourcesSpec extends SparkSpec {
       Seq("\\u0001G\\u0001zz").toDF("v")) ==
       Seq("\"\\\\u0001G\\\\u0001zz\""))
   }
+
+  test("csv sink: null boolean renders empty, not False (r13 advice)") {
+    import spark.implicits._
+    val df = Seq((1, Some(true)), (2, Some(false)), (3, Option.empty[Boolean]))
+      .toDF("id", "flag")
+    // reference normalize_fields: str(None) never runs — a None value
+    // renders '' plus the null-in-output warning; True/False like Python
+    val lines = Sinks.collectCsvLines(df, ",", header = false)
+    assert(lines == Seq("1,True", "2,False", "3,"), lines)
+  }
+
+  test("jsonl sink: data string carrying the raw number-sentinel bytes " +
+      "round-trips while the double-rendering path is active (r13 advice)") {
+    import spark.implicits._
+    // the double column activates the sentinel path; the first string IS
+    // the exact U+0001 'G' U+0001 marker followed by number-shaped text —
+    // without the pre-escape it would lose its quotes and prefix
+    val df = Seq(("\u0001G\u00011.5", 0.5), ("\u0001Eq", 1.0)).toDF("s", "d")
+    val got = Sinks.collectJsonLines(df)
+    assert(got == Seq(
+      "{\"s\":\"\\u0001G\\u00011.5\",\"d\":0.5}",
+      "{\"s\":\"\\u0001Eq\",\"d\":1.0}"), got)
+    // same bytes with NO double column: sentinel path inactive, plain
+    // Jackson escaping, nothing stripped or unescaped
+    assert(Sinks.collectJsonLines(Seq("\u0001G\u00011.5").toDF("s")) ==
+      Seq("\"\\u0001G\\u00011.5\""))
+  }
+
+  test("csv write: empty partitions emit no phantom header-only part " +
+      "files; partition 0 keeps the header for empty results (r13 advice)") {
+    import spark.implicits._
+    def partContents(dir: String): Seq[String] =
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.startsWith("part-")).sortBy(_.toString)
+        .map(p => new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)).toSeq
+    // parallelize keeps the 8 slices (a repartition would be AQE-coalesced
+    // down to the non-empty count, hiding the empty-partition case)
+    val df = spark.sparkContext.parallelize(Seq((1, "a"), (2, "b")), 8)
+      .toDF("id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graftehdr").toString
+    Sinks.writeCsv(df, s"$dir/out", ",", header = true, "quoted")
+    val parts = partContents(s"$dir/out")
+    // empty partitions emit nothing (the text writer then skips the file
+    // entirely); only partition 0 may surface as a header-only part
+    assert(parts.count(_ == "id,v\n") <= 1, parts)
+    assert(parts.size <= 3 && parts.count(_.linesIterator.size > 1) == 2,
+      parts)
+    val back = CsvSource.read(spark, s"$dir/out", hasHeader = true)
+    assert(back.count() == 2 && back.columns.toSeq == Seq("id", "v"))
+    // fully-empty result: exactly one header line total (partition 0)
+    val empty = df.filter(col("id") > 99)
+    Sinks.writeCsv(empty, s"$dir/out2", ",", header = true, "quoted")
+    val parts2 = partContents(s"$dir/out2")
+    assert(parts2.count(_ == "id,v\n") == 1 && parts2.count(_.nonEmpty) == 1,
+      parts2)
+    val back2 = CsvSource.read(spark, s"$dir/out2", hasHeader = true)
+    assert(back2.count() == 0 && back2.columns.toSeq == Seq("id", "v"))
+  }
+
+  test("A-side join key over a record shorter than the key index errors " +
+      "per record like the reference (safe_join_get, r13 advice)") {
+    // reference probed live: rbql_csv.query_csv over a ragged A table with
+    // `on a2 == b1` raises RbqlRuntimeError 'No "a2" field at record 2'
+    // for inner/left/update alike, even when a WHERE would skip the record
+    val dir = java.nio.file.Files.createTempDirectory("graftrj").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.csv"),
+      "x,1\ny\nz,3\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.csv"),
+      "1,one\n3,three\n".getBytes("UTF-8"))
+    for (q <- Seq(s"select a1, b2 inner join $dir/b.csv on a2 == b1",
+        s"select a1 left join $dir/b.csv on a2 == b1 where a1 == 'x'",
+        s"update a1 = b2 inner join $dir/b.csv on a2 == b1")) {
+      val e = intercept[Exception] {
+        Graft.queryCsv(spark, q, s"$dir/a.csv").collect()
+      }
+      val (cat, msg) = Graft.exceptionToErrorInfo(e)
+      assert(cat == "query execution", s"$q -> $cat: $msg")
+      assert(msg.contains("No \"a2\" field at record 2"), s"$q -> $msg")
+    }
+    // records wide enough everywhere: the guard stays silent
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a2.csv"),
+      "x,1\ny,9\nz,3\n".getBytes("UTF-8"))
+    val ok = Graft.queryCsv(spark,
+      s"select a1, b2 inner join $dir/b.csv on a2 == b1", s"$dir/a2.csv")
+      .collect().map(_.toSeq).toSet
+    assert(ok == Set(Seq("x", "one"), Seq("z", "three")), ok)
+  }
 }

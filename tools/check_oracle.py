@@ -8,7 +8,7 @@ corresponding SQL from <outdir>/oracle_sql.json in DuckDB over the same
 parquet tables; compares row count, column names (sorted), and a
 value-normalized hash. This is test tooling only, never shipped code.
 """
-import sys, json, glob, os, math
+import sys, json, glob, os, math, decimal
 
 import duckdb
 import pyarrow.parquet as pq
@@ -22,6 +22,11 @@ def norm(v):
         return "NULL"
     if isinstance(v, bool):
         return str(int(v))
+    # DuckDB returns decimal literals (e.g. `0.5 AS p` widened by a UNION
+    # to DECIMAL(3,2)) as decimal.Decimal, whose str keeps trailing zeros
+    # ("0.50") — normalize through float like the driver's compare does
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
