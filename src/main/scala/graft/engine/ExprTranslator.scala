@@ -22,7 +22,11 @@ import scala.util.matching.Regex
 final class ExprTranslator(
     aSchema: StructType,
     bSchema: Option[StructType],
-    masked: Lexer.Masked) {
+    masked: Lexer.Masked,
+    /** Opt-in reference parity for JSON object access
+      * (`spark.graft.json.strictKeys`): a missing key raises the
+      * reference's per-record error instead of binding null. */
+    strictJsonKeys: Boolean = false) {
 
   /** Ragged mode: the A table is a single `__graft_fields` array<string>
     * column (faithful model of the reference's list-of-fields records,
@@ -42,6 +46,9 @@ final class ExprTranslator(
   /** Set true by translate() when the expression referenced NR. */
   private var _usedNr = false
   def usedNr: Boolean = _usedNr
+
+  /** Sides whose strict-JSON-key guards referenced a record number. */
+  private var _usedStrictNr = Set.empty[Char]
 
   private def colByPos(side: Char, n: Int): String = {
     if (side == 'a' && raggedA)
@@ -135,13 +142,40 @@ final class ExprTranslator(
     // reference rbql_json.py record = parsed object): chained keys become
     // one variant_get path
     s = VarSubscriptRe.replaceAllIn(s, m => {
-      val base = colByPos(m.group(1).charAt(0), m.group(2).toInt)
+      val side = m.group(1).charAt(0)
+      val base = colByPos(side, m.group(2).toInt)
       val keys = """###GRAFT_S(\d+)E###""".r.findAllMatchIn(m.group(3))
         .map(mm => unquote(masked.literals(mm.group(1).toInt))).toList
       val rawPath = "$" + keys.map(k => s"['$k']").mkString
       // escape for embedding in a SQL string literal
-      val sqlLit = "'" + rawPath.replace("\\", "\\\\").replace("'", "\\'") + "'"
-      Regex.quoteReplacement(s"variant_get($base, $sqlLit)")
+      def pathLit(p: String) =
+        "'" + p.replace("\\", "\\\\").replace("'", "\\'") + "'"
+      val sqlLit = pathLit(rawPath)
+      if (!strictJsonKeys)
+        Regex.quoteReplacement(s"variant_get($base, $sqlLit)")
+      else {
+        // reference dict-access parity (rbql_engine.py:767 wraps the
+        // KeyError: "At record NR, Details: 'key'"): each key-prefix is
+        // existence-probed — variant_get-to-VARIANT returns SQL NULL only
+        // for an ABSENT path (an explicit JSON null comes back as a
+        // non-null variant encoding null, probed on Spark 4.1) — and the
+        // first missing prefix raises with ITS key name, like Python's
+        // left-to-right subscript evaluation. Known corner: subscripting
+        // THROUGH a scalar/null also probes as absent and names the key,
+        // where Python raises a TypeError with a different message.
+        _usedStrictNr = _usedStrictNr + side
+        val nrRef =
+          if (side == 'a') s"graft_a.`$nrCol`" else s"graft_b.`$bNrCol`"
+        val whens = keys.inits.toList.reverse.drop(1).map { prefix =>
+          val pLit = pathLit("$" + prefix.map(k => s"['$k']").mkString)
+          val keyMsg = prefix.last.replace("'", "''")
+          s"WHEN variant_get($base, $pLit, 'variant') IS NULL THEN " +
+            s"raise_error(CONCAT('At record ', CAST($nrRef AS STRING), " +
+            "', Details: ''" + keyMsg + "''')) "
+        }.mkString
+        Regex.quoteReplacement(
+          s"(CASE ${whens}ELSE variant_get($base, $sqlLit) END)")
+      }
     })
     // b.NR / bNR — record number of the JOIN table (reference
     // rbql_engine.py:1030-1031 allows NR as a join key on either side)
@@ -224,6 +258,12 @@ object ExprTranslator {
   val BracketPosRe: Regex = (Pre + """([ab])\[(\d+)\]""").r
   /** a1['k'] / a1['k']['k2'] — variant path access on a positional var. */
   val VarSubscriptRe: Regex = (Pre + """([ab])(\d+)((?:\[###GRAFT_S\d+E###\])+)""").r
+
+  /** Sides with variant-subscript accesses in the masked stage text —
+    * decides NR materialization before planning when strict JSON keys
+    * are on (the guard's error message carries the record number). */
+  def stageStrictJsonSides(stageText: String): Set[Char] =
+    VarSubscriptRe.findAllMatchIn(stageText).map(_.group(1).charAt(0)).toSet
   val PosRe: Regex = (Pre + """([ab])(\d+)(?![A-Za-z0-9_])""").r
   val DotNameRe: Regex = (Pre + """([ab])\.([A-Za-z_][A-Za-z0-9_]*)""").r
   val BNrRe: Regex = (Pre + """b(?:\.NR|NR)(?![A-Za-z0-9_])""").r

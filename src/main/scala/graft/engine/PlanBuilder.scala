@@ -192,12 +192,22 @@ object PlanBuilder {
     val orderPin = ordered &&
       (ast.join.isDefined || ast.orderBy.isDefined || distinctMode)
     val usesNuEarly = ExprTranslator.NuRe.findFirstIn(stageMaskedText).isDefined
+    // opt-in strict JSON key access (r13 verdict item 3): missing-key
+    // reads raise the reference's per-record error instead of binding
+    // null — the guard's message needs the record number, so sides with
+    // variant subscripts materialize NR up front
+    val strictJson = spark.conf
+      .getOption("spark.graft.json.strictKeys").exists(_.toBoolean)
+    val strictSides =
+      if (strictJson) ExprTranslator.stageStrictJsonSides(stageMaskedText)
+      else Set.empty[Char]
     val usesNr = ExprTranslator.NrRe.findFirstIn(stageMaskedText).isDefined ||
       ExprTranslator.DotNrRe.findFirstIn(stageMaskedText).isDefined ||
-      usesOrderedAgg || orderPin ||
+      usesOrderedAgg || orderPin || strictSides.contains('a') ||
       // NU over a join needs the record-order sort key
       (usesNuEarly && ast.join.isDefined)
     val usesBNr = ExprTranslator.BNrRe.findFirstIn(stageMaskedText).isDefined ||
+      strictSides.contains('b') ||
       (ordered && ast.join.isDefined)
 
     // B-side record number (join key `bNR`/`b.NR`, and the within-A-record
@@ -215,7 +225,8 @@ object PlanBuilder {
     val aKeyGuard = ast.join.isDefined &&
       graft.sources.CsvSource.isMissingMarked(fromDf.schema)
     val aDf0 = if (usesNr || aKeyGuard) withNr(fromDf) else fromDf
-    val tr = new ExprTranslator(aDf0.schema, bDfRaw.map(_.schema), masked)
+    val tr = new ExprTranslator(aDf0.schema, bDfRaw.map(_.schema), masked,
+      strictJsonKeys = strictJson)
     val aDf = {
       val base =
         if (aKeyGuard) guardAJoinKeys(aDf0, ast.join.get.onRaw, tr)

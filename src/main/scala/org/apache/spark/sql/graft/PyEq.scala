@@ -34,6 +34,11 @@ object PyEq {
   private def isVariantGet(e: Expression): Boolean = e match {
     case f: UnresolvedFunction =>
       f.nameParts.last.equalsIgnoreCase("variant_get") && f.arguments.length == 2
+    // strict-JSON-keys mode wraps the access in a CASE whose ELSE is the
+    // variant_get (the WHEN branches raise the missing-key error) — the
+    // value type is still the variant access, so compare the same way
+    case cw: org.apache.spark.sql.catalyst.expressions.CaseWhen =>
+      cw.elseValue.exists(isVariantGet)
     case _ => false
   }
 
