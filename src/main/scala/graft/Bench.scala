@@ -910,10 +910,19 @@ object Bench {
           spark.read.option("header", "false").csv(f)
             .select(col("_c0"), col("_c2")).filter(col("_c3") > 50).count() }),
         entry("graft_full_star", t {
-          Graft.queryCsv(spark, "select * where cast(a4 as int) > 50", f,
+          // the CLI-shaped path (queryCsvImpl): headerless positional-only
+          // queries read via the single-scan ragged model — no
+          // width-inference pass (the library wrapper keeps the projected
+          // shape, so it is not the surface this probe measures)
+          Graft.queryCsvImpl(spark, "select * where cast(a4 as int) > 50", f,
             ",", "quoted", hasHeader = false).count() }),
         entry("graft_filtered_hinted", t {
           Graft.queryCsv(spark, q, f, ",", "quoted", hasHeader = false)
+            .count() }),
+        entry("graft_filtered_cli", t {
+          // CLI surface: positional-only headerless queries route through
+          // the single-scan ragged model (no __pos/header machinery at all)
+          Graft.queryCsvImpl(spark, q, f, ",", "quoted", hasHeader = false)
             .count() }),
         entry("graft_filtered_declared", {
           spark.conf.set(s"spark.graft.csv.declaredWidth.$f", "5")

@@ -159,9 +159,11 @@ object Graft {
         * rbql_csv.py:552-557) */
       onJoinFileRead: String => Unit = _ => ()): DataFrame =
     // the hidden structural-width column is CLI-internal: the library
-    // surface returns only user-visible output columns
+    // surface returns only user-visible output columns (and keeps the
+    // projected fixed-width shape — allowRaggedFast=false)
     queryCsvImpl(spark, queryStr, path, delim, policy, hasHeader, encoding,
-      commentPrefix, tables, stripWhitespaces, commentRegex, onJoinFileRead)
+      commentPrefix, tables, stripWhitespaces, commentRegex, onJoinFileRead,
+      allowRaggedFast = false)
       .drop(engine.PlanBuilder.OwidCol)
 
   /** Like queryCsv but keeps the hidden per-record structural-width column
@@ -179,7 +181,13 @@ object Graft {
       tables: Map[String, DataFrame] = Map.empty,
       stripWhitespaces: Boolean = false,
       commentRegex: Option[String] = None,
-      onJoinFileRead: String => Unit = _ => ()): DataFrame = {
+      onJoinFileRead: String => Unit = _ => (),
+      /** CLI surface only: headerless positional-only queries read via
+        * the single-scan RAGGED fields model (no width-inference pass;
+        * variable-arity star output rides to the sinks as the bare
+        * fields column). The library wrapper [[queryCsv]] keeps the
+        * projected fixed-width result shape its callers expect. */
+      allowRaggedFast: Boolean = true): DataFrame = {
     // invalid delim/policy/encoding combinations are rejected up front
     // with the reference's messages (rbql_csv.py:551-560)
     sources.CsvSource.validateDialect(delim, policy, encoding, queryStr)
@@ -196,9 +204,16 @@ object Graft {
     // the hot simple-query path (engine.QueryWidth documents why this is
     // output-identical and which constructs disable it)
     val qw = engine.QueryWidth.inputWidthHint(masked)
-    val input = sources.CsvSource.read(spark, path, delim, policy, header,
-      encoding, commentPrefix, stripWhitespaces, commentRegex,
-      queryWidth = qw)
+    val raggedFast = allowRaggedFast && !header &&
+      Set("quoted", "simple", "whitespace")(policy) &&
+      engine.QueryWidth.raggedEligible(masked)
+    val input =
+      if (raggedFast)
+        sources.CsvSource.readRaggedPolicy(spark, path, delim, policy,
+          encoding, commentPrefix, stripWhitespaces, commentRegex)
+      else sources.CsvSource.read(spark, path, delim, policy, header,
+        encoding, commentPrefix, stripWhitespaces, commentRegex,
+        queryWidth = qw)
     // JOIN tables resolve like the reference's FileSystemCSVRegistry
     // (rbql_csv.py:508-540): same dialect as the input, paths relative to
     // the input file, name aliases from the table-names index

@@ -75,4 +75,86 @@ object SparkEntry {
     require(orphans.isEmpty, s"oracles without a query: $orphans")
     os.toMap
   }
+
+  /** sf0.1 certification for the [[goldenPinnedSf001]] family (r13
+    * verdict item 4 — previously these 12 degraded to rows-only checks
+    * off sf0.01, leaving the sf0.1 contract at 180/192). Three tiers,
+    * each verified against the 2000-vector sf0.1 corpus:
+    *
+    *  - q_ann_topk: the LSH multiprobe result IS the exact cosine top-10
+    *    at sf0.1 (cross-checked against DuckDB brute force), so it gets
+    *    the REAL recomputable cosine oracle (the q_sq8_topk shape) —
+    *    strictly stronger than a golden.
+    *  - all-true recall gates (q_ann_recall, q_pq/q_pq256/q_ivfpq/
+    *    q_ivfpq_res, q_semdedup_recall, q_simhash_recall): the in-Spark
+    *    brute-force comparison clears its bar at sf0.1 too, so the same
+    *    scale-independent VALUES oracles apply unchanged.
+    *  - q_ivf_recall / q_ivf_topk / q_kmeans / q_simhash: deterministic
+    *    outputs golden-pinned AT sf0.1 (same epistemic status as their
+    *    sf0.01 pins — seeded fits, exact overlap counts, md5-derived
+    *    hashes; any drift in fit/assignment/probe selection flips a
+    *    row). q_ivf_topk/q_ivf_recall differ from exact at sf0.1 because
+    *    nProbe=4 of ceil(sqrt(2000))=45 cells probes a smaller fraction
+    *    than at sf0.01 — the absolute overlap (7/2/2) is fraction-bound
+    *    on this isotropic corpus by design (see the entry's scaladoc).
+    */
+  val oracleSqlSf01: Map[String, String] = {
+    val reusedGates = Set("q_ann_recall", "q_pq_recall", "q_pq256_recall",
+      "q_ivfpq_recall", "q_ivfpq_res_recall", "q_semdedup_recall",
+      "q_simhash_recall")
+    val annTopkReal =
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         scored AS (
+           SELECT vec_id, floor((
+             list_sum(list_transform(generate_series(1, len(embedding)),
+               i -> embedding[i]::DOUBLE * qe[i]::DOUBLE)) /
+             (sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+               i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) *
+              sqrt(list_sum(list_transform(generate_series(1, len(qe)),
+               i -> qe[i]::DOUBLE * qe[i]::DOUBLE))))) * 1e6 + 0.5) / 1e6 AS score
+           FROM embeddings, q)
+         SELECT vec_id, score FROM scored
+         ORDER BY score DESC, vec_id ASC LIMIT 10"""
+    val sf01Goldens = Map(
+      "q_ivf_recall" ->
+        """SELECT * FROM (VALUES (0, 10, 7), (7, 10, 2), (42, 10, 2))
+           AS t(query_id, k, overlap10) ORDER BY query_id""",
+      "q_ivf_topk" ->
+        """SELECT * FROM (VALUES
+             (0::BIGINT, 1.0::DOUBLE),
+             (1204::BIGINT, 0.406472::DOUBLE),
+             (291::BIGINT, 0.391932::DOUBLE),
+             (1020::BIGINT, 0.375988::DOUBLE),
+             (510::BIGINT, 0.344458::DOUBLE),
+             (1407::BIGINT, 0.319136::DOUBLE),
+             (142::BIGINT, 0.311258::DOUBLE),
+             (794::BIGINT, 0.310833::DOUBLE),
+             (633::BIGINT, 0.309559::DOUBLE),
+             (1186::BIGINT, 0.307257::DOUBLE))
+           AS t(vec_id, score) ORDER BY score DESC, vec_id""",
+      "q_kmeans" ->
+        """SELECT * FROM (VALUES
+             (0::INTEGER, 256::BIGINT, 1::BIGINT),
+             (1::INTEGER, 255::BIGINT, 4::BIGINT),
+             (2::INTEGER, 250::BIGINT, 13::BIGINT),
+             (3::INTEGER, 229::BIGINT, 5::BIGINT),
+             (4::INTEGER, 252::BIGINT, 7::BIGINT),
+             (5::INTEGER, 245::BIGINT, 2::BIGINT),
+             (6::INTEGER, 270::BIGINT, 10::BIGINT),
+             (7::INTEGER, 243::BIGINT, 0::BIGINT))
+           AS t(cluster, n, rep) ORDER BY cluster""",
+      "q_simhash" ->
+        """SELECT * FROM (VALUES
+             (0::BIGINT, -1539896557925463936::BIGINT),
+             (1::BIGINT, 5633226952728119376::BIGINT),
+             (2::BIGINT, -1521870064779614064::BIGINT),
+             (3::BIGINT, -4926602103251367919::BIGINT),
+             (4::BIGINT, 7701494550926362800::BIGINT),
+             (5::BIGINT, -4980632104714655600::BIGINT),
+             (6::BIGINT, -6133558076113901040::BIGINT),
+             (7::BIGINT, -7286472914905167856::BIGINT))
+           AS t(doc_id, sh) ORDER BY doc_id""")
+    reusedGates.map(q => q -> oracleSql(q)).toMap ++
+      sf01Goldens + ("q_ann_topk" -> annTopkReal)
+  }
 }

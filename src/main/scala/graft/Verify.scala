@@ -11,12 +11,20 @@ object Verify {
   private[graft] def isSf001(sfDir: String): Boolean =
     Paths.get(sfDir.replaceAll("/+$", "")).getFileName.toString == "sf0.01"
 
+  private[graft] def isSf01(sfDir: String): Boolean =
+    Paths.get(sfDir.replaceAll("/+$", "")).getFileName.toString == "sf0.1"
+
   /** Oracles applicable at `sfDir`: golden-pinned oracles carry literal
     * values computed at sf0.01 — at any other scale they'd hard-fail
     * spuriously, so they're dropped (degrading those queries to the
-    * driver's rows-only check). */
+    * driver's rows-only check) — EXCEPT at sf0.1, which carries its own
+    * certification set for the pinned family (SparkEntry.oracleSqlSf01,
+    * r13 verdict item 4: the sf0.1 contract is the full 192). */
   private[graft] def oraclesFor(sfDir: String): Map[String, String] =
     if (isSf001(sfDir)) SparkEntry.oracleSql
+    else if (isSf01(sfDir))
+      SparkEntry.oracleSql -- SparkEntry.goldenPinnedSf001 ++
+        SparkEntry.oracleSqlSf01
     else SparkEntry.oracleSql -- SparkEntry.goldenPinnedSf001
 
   def main(args: Array[String]): Unit = {

@@ -205,12 +205,45 @@ final class ExprTranslator(
   }
 
   /** SQL text for the field count of one side: per-record for a ragged A,
-    * a constant for fixed schemas (internal NR columns excluded). */
+    * per-record for CSV-marked projected schemas (reference NF/bNF bind
+    * the RECORD's length, rbql_engine.py get_row → len(record); the r14
+    * probe showed the old constant-width NF diverging on ragged CSVs:
+    * reference 2,1,3 vs constant 3), a constant for fixed schemas.
+    *
+    * Marked projected model: a null in a marked column is structurally
+    * missing (never a value — CSV fields are strings), so the record's
+    * width is the highest non-null marked position; unmarked columns
+    * (can't be missing) count unconditionally. For the B side the
+    * per-record form only applies on MATCHED rows — the reference binds
+    * the join map's max_record_len on unmatched LEFT JOIN rows
+    * (JoinMap null_record, rbql_engine.py:586) — so it gates on bNR
+    * (null exactly when unmatched; PlanBuilder materializes bNR whenever
+    * bNF is used over a marked B). */
   private def nfText(side: Char): String = {
     if (side == 'a' && raggedA) s"size(graft_a.`${ExprTranslator.FieldsCol}`)"
     else {
       val internal = Set(nrCol, bNrCol)
-      sideSchema(side).count(f => !internal.contains(f.name)).toString
+      val user = sideSchema(side).fields.filter(f => !internal.contains(f.name))
+      val constWidth = user.length.toString
+      def markedF(f: org.apache.spark.sql.types.StructField): Boolean =
+        f.metadata.contains(graft.sources.CsvSource.MissingNullKey) &&
+          f.metadata.getBoolean(graft.sources.CsvSource.MissingNullKey)
+      if (user.isEmpty || !user.exists(markedF)) constWidth
+      else {
+        val alias = if (side == 'a') "graft_a" else "graft_b"
+        val terms = user.zipWithIndex.map { case (f, i) =>
+          val ref = s"$alias.`${f.name.replace("`", "``")}`"
+          if (markedF(f))
+            s"(CASE WHEN $ref IS NOT NULL THEN ${i + 1} ELSE 0 END)"
+          else (i + 1).toString
+        }
+        val perRecord = s"greatest(${terms.mkString(", ")}, 0)"
+        if (side == 'b' && bSchema.exists(_.fieldNames.contains(bNrCol)))
+          s"(CASE WHEN graft_b.`$bNrCol` IS NOT NULL THEN $perRecord " +
+            s"ELSE $constWidth END)"
+        else if (side == 'b') constWidth // bNR absent: stay constant
+        else perRecord
+      }
     }
   }
 

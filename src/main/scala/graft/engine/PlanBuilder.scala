@@ -208,6 +208,11 @@ object PlanBuilder {
       (usesNuEarly && ast.join.isDefined)
     val usesBNr = ExprTranslator.BNrRe.findFirstIn(stageMaskedText).isDefined ||
       strictSides.contains('b') ||
+      // bNF over a CSV-marked B table is per-record on matched rows but
+      // the table max width on unmatched LEFT JOIN rows (reference
+      // null_record, rbql_engine.py:586) — bNR is the match indicator
+      (ExprTranslator.BNfRe.findFirstIn(stageMaskedText).isDefined &&
+        bDfRaw0.exists(b => graft.sources.CsvSource.isMissingMarked(b.schema))) ||
       (ordered && ast.join.isDefined)
 
     // B-side record number (join key `bNR`/`b.NR`, and the within-A-record

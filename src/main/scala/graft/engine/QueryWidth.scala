@@ -31,7 +31,9 @@ package graft.engine
 object QueryWidth {
 
   private val NfRe = """(^|[^A-Za-z0-9_.])(a\.|b\.)?(NF|aNF|bNF)\b""".r
-  private val NameDotRe = """(^|[^A-Za-z0-9_])[ab]\.(?!NR\b)[A-Za-z_]""".r
+  // a.NF is harmless for BOTH callers: inputWidthHint rejects it via NfRe
+  // anyway, and the ragged model computes per-record NF natively
+  private val NameDotRe = """(^|[^A-Za-z0-9_])[ab]\.(?!NR\b|NF\b)[A-Za-z_]""".r
   private val NameBracketRe = """(^|[^A-Za-z0-9_])[ab]\[(?!\d+\])""".r
   private val PosRe = """(^|[^A-Za-z0-9_])a(?:\[)?(\d+)(?:\])?""".r
 
@@ -61,4 +63,26 @@ object QueryWidth {
     // needs ≥1 column so the table exists
     Some(math.max(1, if (refs.isEmpty) 1 else refs.max))
   }
+
+  /** Whether EVERY stage addresses the input only through positional /
+    * NR / NF forms — a headerless CSV read can then use the single-scan
+    * RAGGED fields-array model (no width-inference pass; star output
+    * arity, per-record NF and safe_get padding are inherent — the
+    * engine's primary parity surface, the in-memory queryTable model).
+    * Name refs need a header; JOIN/FROM keep the projected model (the
+    * join-key machinery addresses projected columns). Unparseable stages
+    * return false and let the real build report the error. */
+  def raggedEligible(masked: Lexer.Masked): Boolean =
+    Lexer.splitStages(masked.text).forall { st =>
+      val ast =
+        try ClauseParser.parse(masked.copy(text = st))
+        catch { case _: GraftError => return false }
+      ast.from.isEmpty && ast.join.isEmpty &&
+        // EXCEPT resolves entries to PROJECTED column names (a ragged
+        // table has none — 'UPDATE/EXCEPT entries must be input-column
+        // variables'); keep it on the projected model
+        ast.select.forall(_.exceptCols.isEmpty) &&
+        NameDotRe.findFirstIn(st).isEmpty &&
+        NameBracketRe.findFirstIn(st).isEmpty
+    }
 }

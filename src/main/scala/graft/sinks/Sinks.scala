@@ -52,8 +52,16 @@ object Sinks {
   }
 
   private val OwidCol = graft.engine.PlanBuilder.OwidCol
+  private val FieldsColName = graft.engine.ExprTranslator.FieldsCol
 
   private def hasOwid(df: DataFrame): Boolean = df.columns.contains(OwidCol)
+
+  /** Bare ragged result: a single fields-array column (the engine's
+    * ragged projection for star/unpack output over a fields-model
+    * table). Variable arity is the array length itself — no hidden
+    * width column needed. */
+  private def isBareFields(df: DataFrame): Boolean =
+    df.columns.toSeq == Seq(FieldsColName)
 
   /** Like normalizeCol but PRESERVES null (for the ragged path, where a
     * null beyond the record width is structural, not a None value). */
@@ -71,6 +79,10 @@ object Sinks {
     * inside the slice are genuine None values; the padding beyond it is
     * gone. */
   private[sinks] def raggedFields(df: DataFrame): DataFrame = {
+    // bare fields-array results ARE the record: elements are strings
+    // (nulls inside are genuine None values — safe_get pads)
+    if (isBareFields(df))
+      return df.select(col(s"`$FieldsColName`").alias("__fields"))
     val names = df.columns.toSeq
     val uniq = names.indices.map(i => s"__graft_rg$i")
     val renamed = df.toDF(uniq: _*)
@@ -123,7 +135,7 @@ object Sinks {
     * (header line per part file) so dir-reading stays unchanged. */
   def writeCsv(df0: DataFrame, path: String, delim: String = ",",
       header: Boolean = true, policy: String = "quoted"): Unit = {
-    if (!header && hasOwid(df0)) {
+    if (!header && (hasOwid(df0) || isBareFields(df0))) {
       raggedLines(df0, delim, policy).write.mode("overwrite").text(path)
       return
     }
@@ -264,7 +276,7 @@ object Sinks {
     * carrying the hidden width column collects variable-arity lines. */
   def collectCsvLines(df0: DataFrame, delim: String = ",",
       header: Boolean = true, policy: String = "quoted"): Seq[String] = {
-    if (!header && hasOwid(df0))
+    if (!header && (hasOwid(df0) || isBareFields(df0)))
       return raggedLines(df0, delim, policy).collect().toSeq.map(_.getString(0))
     val df = if (hasOwid(df0)) df0.drop(OwidCol) else df0
     val norm = normalizeForCsv(df)

@@ -22,7 +22,8 @@ object Warnings {
     // ragged star): scan the SLICED field arrays — nulls padded beyond the
     // record width are structural, not None values (the reference scans
     // the true fields list)
-    if (df0.columns.contains(graft.engine.PlanBuilder.OwidCol))
+    if (df0.columns.contains(graft.engine.PlanBuilder.OwidCol) ||
+        df0.columns.toSeq == Seq(graft.engine.ExprTranslator.FieldsCol))
       return scanRagged(df0, delim, policy)
     // position-based access: output headers may contain duplicate names
     val df = df0.toDF(df0.columns.indices.map(i => s"__graft_w$i"): _*)

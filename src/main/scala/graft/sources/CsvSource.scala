@@ -325,6 +325,41 @@ object CsvSource {
     assembled.toDF()
   }
 
+  /** Single-scan ragged read for the SPLIT policies — no width-inference
+    * pass at all (r13 verdict item 7's full-star gap: the projected model
+    * must pre-scan for the max width before it can build a fixed-width
+    * projection; the ragged fields-array model is the reference's own
+    * record shape, so star output arity, per-record NF and safe_get
+    * padding are inherent). Headerless queries only (positional
+    * addressing); [[graft.engine.QueryWidth.raggedEligible]] gates the
+    * routing and [[graft.Graft.queryCsvImpl]] applies it on the CLI
+    * surface. quoted_rfc keeps its sequential record-assembly path and
+    * monocolumn needs no width pass to begin with. */
+  def readRaggedPolicy(
+      spark: SparkSession,
+      path: String,
+      delim: String,
+      policy: String,
+      encoding: String = "UTF-8",
+      commentPrefix: Option[String] = None,
+      stripWhitespaces: Boolean = false,
+      commentRegex: Option[String] = None): DataFrame = {
+    require(Set("quoted", "simple", "whitespace")(policy),
+      s"ragged fast path does not cover policy '$policy'")
+    var txt = readTextLines(spark, path, encoding)
+    commentPrefix.foreach(p => txt = txt.filter(!col("value").startsWith(p)))
+    commentRegex.foreach(r => txt = txt.filter(!col("value").rlike(r)))
+    val raw = policy match {
+      case "quoted" =>
+        org.apache.spark.sql.graft.csvtext.rfc_split(col("value"), delim)
+      case "simple" =>
+        split(col("value"), java.util.regex.Pattern.quote(delim), -1)
+      case "whitespace" => split(trim(col("value")), "\\s+")
+    }
+    val fields = if (stripWhitespaces) transform(raw, f => trim(f)) else raw
+    txt.select(fields.as(graft.engine.ExprTranslator.FieldsCol, syntheticMeta))
+  }
+
   /** Ragged (faithful) model: every record is a variable-length fields
     * array — the reference's list-of-fields records (SURVEY §1.1). NF is
     * per-record; positional vars past a short row's end read null. Header

@@ -222,6 +222,20 @@ def t_distinct(rng):
                  ) + (True,)
 
 
+def t_nf(rng):
+    """Per-record NF over RAGGED rows (r14: the projected model's constant
+    table-width NF diverged from the reference's len(record) — probed
+    2,1,3 vs constant 3). Drawn with ragged inputs in main()."""
+    py, sql = rng.choice([
+        ("SELECT NR, NF", "SELECT NR, NF"),
+        ("SELECT NF, a1", "SELECT NF, a1"),
+        ("SELECT a1 WHERE NF > 2", "SELECT a1 WHERE NF > 2"),
+        ("SELECT NF, *", "SELECT NF, *"),
+        ("SELECT a.NF", "SELECT a.NF"),
+    ])
+    return py, sql, True
+
+
 def t_except(rng):
     cols = rng.sample([1, 2, 3, 4, 5], rng.randint(1, 2))
     drop = ", ".join(f"a{i}" for i in sorted(cols))
@@ -253,6 +267,10 @@ TEMPLATES = [
     ("latin1", t_plain, 20),
     # strip_whitespaces=True: space-padded fields trimmed after split
     ("strip", t_plain, 15),
+    # per-record NF over ragged rows (headerless draws exercise the
+    # single-scan ragged fast path; headered draws the projected
+    # greatest-non-null NF)
+    ("nf", t_nf, 25),
 ]
 
 
@@ -308,8 +326,10 @@ def main():
                 comment_prefix = "#" if (policy != "whitespace"
                                          and rng.random() < 0.25) else None
                 bom = rng.random() < 0.12
-                ragged = (tname == "star" and policy == "simple"
-                          and rng.random() < 0.4)
+                ragged = ((tname == "star" and policy == "simple"
+                           and rng.random() < 0.4) or
+                          (tname == "nf" and policy in ("simple", "quoted")
+                           and rng.random() < 0.7))
                 try:
                     py, sql, ordered = fn(rng)
                 finally:
