@@ -33,7 +33,7 @@ import rbql  # noqa: E402
 
 import gen_differential as gd  # noqa: E402  (shared expression grammar)
 
-SEED = 20260816
+SEED = int(os.environ.get("GRAFT_FUZZ_SEED", "20260816"))  # fresh-seed convergence sweeps override
 OUT = os.path.join(os.path.dirname(__file__), "..",
                    "src/test/resources/differential/csv_fuzz.json")
 

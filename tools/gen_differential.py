@@ -29,7 +29,7 @@ import sys
 sys.path.insert(0, "/root/reference/rbql-py")
 import rbql  # noqa: E402
 
-SEED = 20260815
+SEED = int(os.environ.get("GRAFT_FUZZ_SEED", "20260815"))  # fresh-seed convergence sweeps override
 OUT = os.path.join(os.path.dirname(__file__), "..",
                    "src/test/resources/differential/engine_fuzz.json")
 

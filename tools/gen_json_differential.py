@@ -29,7 +29,7 @@ import sys
 sys.path.insert(0, "/root/reference/rbql-py")
 from rbql import rbql_json  # noqa: E402
 
-SEED = 20260816
+SEED = int(os.environ.get("GRAFT_FUZZ_SEED", "20260816"))  # fresh-seed convergence sweeps override
 OUT = os.path.join(os.path.dirname(__file__), "..",
                    "src/test/resources/differential/json_fuzz.json")
 
