@@ -170,4 +170,26 @@ class CliSpec extends SparkSpec {
         s"query '$q' stderr: $err")
     }
   }
+
+  test("cli: ragged star output emits variable-arity records (both the " +
+      "--ragged flag and the default headerless fast path)") {
+    // reference probed live (quoted read of the same bytes):
+    // 'select NF, *' -> '2,x,1\n1,y\n3,z,3,9\n' + inconsistent-width
+    // warning. Both graft read models must produce those bytes: the
+    // --ragged flag (explicit fields-array model) and the default path,
+    // which routes headerless positional-only queries through the
+    // single-scan ragged model.
+    val in = writeCsv("ragstar.csv", "x,1\ny\nz,3,9\n")
+    for (flags <- Seq(Seq("--ragged"), Seq.empty)) {
+      val (code, out, err) = runCli(Seq(
+        "--query", "select NF, *", "--input", in, "--delim", ",") ++ flags)
+      assert(code == 0, err)
+      assert(out == "2,x,1\n1,y\n3,z,3,9\n",
+        s"flags=$flags produced ${out.replace("\n", "\\n")}")
+    }
+    // plain star keeps each record's own arity
+    val (c2, out2, _) = runCli(Seq(
+      "--query", "select *", "--input", in, "--delim", ","))
+    assert(c2 == 0 && out2 == "x,1\ny\nz,3,9\n", out2)
+  }
 }

@@ -57,6 +57,14 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    # targeted runs: GRAFT_CHECK_ONLY=q_a,q_b restricts, GRAFT_CHECK_SKIP
+    # drops named queries (e.g. the hours-long sf0.1 all-pairs oracles
+    # when they are checked in a separate background pass)
+    only = os.environ.get("GRAFT_CHECK_ONLY")
+    skip = set(os.environ.get("GRAFT_CHECK_SKIP", "").split(",")) - {""}
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only.split(",")}
+    oracle = {k: v for k, v in oracle.items() if k not in skip}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         qdir = f"{outdir}/{name}"
