@@ -76,8 +76,17 @@ final class ExprTranslator(
 
   /** JOIN-key strictness (reference resolve_join_variables): an
     * out-of-range positional KEY errors, unlike plain expression reads
-    * which pad None. Empty tables bind null and never error. */
+    * which pad None. Empty tables bind null and never error. A ragged
+    * (fields-array) A side has NO static width at all — the reference
+    * errors per record at runtime ('No "aN" field at record NR', probed:
+    * `a7 == b1` over 2-field records is a RUNTIME error at record 1, not
+    * a parse error), which [[PlanBuilder.guardAJoinKeys]] reproduces. */
   private[engine] def checkJoinKeyRange(side: Char, n: Int): Unit = {
+    if (side == 'a' && raggedA) {
+      if (n < 1) Errors.parsing(
+        s"""Unable to parse JOIN expression: Input table does not have field "$side$n"""")
+      return
+    }
     val user = userFields(side)
     if (user.nonEmpty && (n < 1 || n > user.length))
       Errors.parsing(

@@ -228,7 +228,8 @@ object PlanBuilder {
     // Only CSV-marked columns can be record-missing, and the guard's
     // message needs NR, so a marked A table under a JOIN materializes it.
     val aKeyGuard = ast.join.isDefined &&
-      graft.sources.CsvSource.isMissingMarked(fromDf.schema)
+      (graft.sources.CsvSource.isMissingMarked(fromDf.schema) ||
+        fromDf.columns.contains(ExprTranslator.FieldsCol))
     val aDf0 = if (usesNr || aKeyGuard) withNr(fromDf) else fromDf
     val tr = new ExprTranslator(aDf0.schema, bDfRaw.map(_.schema), masked,
       strictJsonKeys = strictJson)
@@ -515,8 +516,17 @@ object PlanBuilder {
   private def guardAJoinKeys(aDf: DataFrame, onRaw: String,
       tr: ExprTranslator): DataFrame = {
     val QualRe = """graft_a\.`((?:[^`]|``)*)`""".r
+    // ragged (fields-array) model: a positional key translates to
+    // try_element_at over the fields column — missing ⟺ the record is
+    // shorter than the index (probed: the reference raises at the first
+    // record whose width misses the key, even when every OTHER record
+    // joins fine)
+    val RaggedRe =
+      ("""try_element_at\(graft_a\.`""" + ExprTranslator.FieldsCol +
+        """`, (\d+)\)""").r
     val userNames = aDf.columns.filterNot(n => n == NrCol || n == BNrCol)
-    val marked = joinPairs(onRaw, tr).flatMap { case (a, _) =>
+    val pairs = joinPairs(onRaw, tr)
+    val marked = pairs.flatMap { case (a, _) =>
       a.trim match {
         case QualRe(esc) =>
           val name = esc.replace("``", "`")
@@ -524,21 +534,25 @@ object PlanBuilder {
             case f if f.metadata.contains(graft.sources.CsvSource.MissingNullKey) &&
                 f.metadata.getBoolean(graft.sources.CsvSource.MissingNullKey) &&
                 userNames.indexOf(name) >= 0 =>
-              (name, userNames.indexOf(name) + 1)
+              (ref(name).isNull, userNames.indexOf(name) + 1)
           }
+        case RaggedRe(n) =>
+          Some((size(col(s"`${ExprTranslator.FieldsCol}`")) < n.toInt,
+            n.toInt))
         case _ => None
       }
     }
     if (marked.isEmpty) return aDf
-    def ref(n: String) = col(s"`${n.replace("`", "``")}`")
     // first missing key in ON-clause order, like the reference's
     // sequential lhs evaluation
-    val firstBad = coalesce(marked.map { case (n, i) =>
-      when(ref(n).isNull, lit(i)) }: _*)
+    val firstBad = coalesce(marked.map { case (miss, i) =>
+      when(miss, lit(i)) }: _*)
     aDf.where(assert_true(firstBad.isNull,
       concat(lit("No \"a"), firstBad.cast("string"),
         lit("\" field at record "), col(NrCol).cast("string"))).isNull)
   }
+
+  private def ref(n: String) = col(s"`${n.replace("`", "``")}`")
 
   /** Join keys compare null-safely (`<=>`): the reference's join map is a
     * Python dict, where a None key matches a None key (rbql_engine.py:

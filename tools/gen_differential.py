@@ -59,7 +59,7 @@ def gen_table(rng):
 
 def gen_join_table(rng, rows, key_col):
     """B table: b1 keys overlapping the A-side key column, b2 word, b3 int."""
-    a_keys = [r[key_col - 1] for r in rows]
+    a_keys = [r[key_col - 1] for r in rows if len(r) >= key_col]
     keys = []
     for _ in range(rng.randint(3, 8)):
         if rng.random() < 0.7 and a_keys:
@@ -364,6 +364,22 @@ def t_join(rng):
     return py, sql, False, key
 
 
+def t_joinragged(rng):
+    """Ragged A + positional join keys (r14 parity fix: the reference's
+    safe_join_get errors per record when a record is shorter than the
+    key index — 'No "aN" field at record NR' — while in-range ragged
+    keys must join normally; graft previously rejected ragged-table
+    positional keys statically or bound null). Select list sticks to a1
+    (always present) + b-side so the error surface is the KEY."""
+    key = rng.choice([1, 2, 3])
+    kind = rng.choice(["INNER JOIN", "LEFT JOIN"])
+    bsel = rng.choice(["b2", "b3"])
+    py, sql = mk(
+        ["SELECT", ", ".join(["a1", bsel]), f"{kind} B ON a{key} == b1"],
+        ["SELECT", ", ".join(["a1", bsel]), f"{kind} B ON a{key} == b1"])
+    return py, sql, False, key
+
+
 def t_update(rng):
     tgts = rng.sample([2, 3, 5], rng.randint(1, 2))
     assigns = [(t, str_expr(rng) if t in WORD_COLS else float_expr(rng))
@@ -610,6 +626,10 @@ TEMPLATES = [
     ("unpack", t_unpack, 25),
     ("pipe", t_pipe, 30),
     ("oor", t_oor, 25),
+    # ragged A tables under JOIN: in-range keys join (warning tolerated),
+    # short-record keys become expected_error cases (reference
+    # safe_join_get per-record error)
+    ("joinragged", t_joinragged, 30),
 ]
 
 
@@ -637,6 +657,9 @@ def main():
             attempts += 1
             table = gen_table(rng)
             py, sql, ordered, join_key = fn(rng)
+            if tname == "joinragged":
+                table = [list(r)[:rng.randint(1, 5)]
+                         if rng.random() < 0.35 else list(r) for r in table]
             names = HEADER if tname == "header" else None
             if join_key is None:
                 join_table = None
@@ -658,6 +681,11 @@ def main():
             if tname == "error":
                 if err is None:
                     continue  # didn't trip the reference — try another draw
+            elif tname == "joinragged" and err is not None:
+                # keep ONLY the per-record missing-key class as an
+                # expected_error case; anything else is a generator bug
+                if "field at record" not in str(err):
+                    continue
             elif err is not None:
                 n_err += 1
                 if n_err <= 10:
@@ -665,7 +693,11 @@ def main():
                           file=sys.stderr)
                 continue
             elif warnings:
-                continue  # warning semantics are SourcesSpec territory
+                # ragged tables legitimately warn about inconsistent
+                # widths; the engine corpus doesn't compare warnings
+                if not (tname == "joinragged" and
+                        all("is not consistent" in w for w in warnings)):
+                    continue  # warning semantics are SourcesSpec territory
             cases.append({
                 "name": f"fuzz_{tname}_{made:03d}",
                 "template": tname,
