@@ -182,4 +182,28 @@ class PlanAuditSpec extends SparkSpec {
       assert(exchanges(p) <= bound, s"$q exchange shape:\n$p")
     }
   }
+
+  test("the A-side ragged-join guard keeps the join broadcastable and " +
+      "stays an equi-join (r14: in-job assert, no extra scan)") {
+    // a CSV-marked A table under JOIN carries the per-record key guard
+    // (safe_join_get parity) — the guard is a Filter on the pre-join A
+    // side, so the join must still plan as a broadcast equi-join with no
+    // extra scan of the input and no cartesian product
+    val dir = java.nio.file.Files.createTempDirectory("graftpa").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.csv"),
+      (1 to 50).map(i => s"k$i,$i").mkString("", "\n", "\n")
+        .getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.csv"),
+      (1 to 5).map(i => s"$i,v$i").mkString("", "\n", "\n")
+        .getBytes("UTF-8"))
+    val df = Graft.queryCsv(spark,
+      s"select a1, b2 inner join $dir/b.csv on a2 == b1", s"$dir/a.csv")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"guard broke the equi-join:\n$p")
+    assert(p.contains("raise_error") || p.contains("assert_true"),
+      s"guard missing from the plan:\n$p")
+    assert(df.collect().length == 5)
+  }
 }
