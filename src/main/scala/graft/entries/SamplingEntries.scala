@@ -177,8 +177,10 @@ private[graft] object SamplingEntries {
       val labeled = docs.withColumn("y", (col("lang") === "en").cast("int"))
       val model = pipeline.Classify.fitNaiveBayes(labeled, "text", "doc_id",
         "y", buckets = 8192, alpha = 0.5)
-      val scored = pipeline.Classify.score(docs, "text", "doc_id", model)
-        .join(labeled.select(col("doc_id"), col("y")), Seq("doc_id"))
+      // withScore appends to the LABELED frame — score and label ride one
+      // corpus scan instead of a corpus self-join on doc_id (r14: the
+      // join was the report family's residual cost after the fit memo)
+      val scored = pipeline.Classify.withScore(labeled, "text", model)
       pipeline.Classify.aucScore(scored, "score", "y", "doc_id")
     }),
     // confusion matrix + precision/recall/F1 at the zero threshold
@@ -187,8 +189,7 @@ private[graft] object SamplingEntries {
       val labeled = docs.withColumn("y", (col("lang") === "en").cast("int"))
       val model = pipeline.Classify.fitNaiveBayes(labeled, "text", "doc_id",
         "y", buckets = 8192, alpha = 0.5)
-      val scored = pipeline.Classify.score(docs, "text", "doc_id", model)
-        .join(labeled.select(col("doc_id"), col("y")), Seq("doc_id"))
+      val scored = pipeline.Classify.withScore(labeled, "text", model)
       pipeline.Classify.confusionReport(scored, "score", "y", threshold = 0.0)
     }),
     // reliability diagram: decile bins of σ(score) vs empirical
@@ -199,8 +200,7 @@ private[graft] object SamplingEntries {
       val labeled = docs.withColumn("y", (col("lang") === "en").cast("int"))
       val model = pipeline.Classify.fitNaiveBayes(labeled, "text", "doc_id",
         "y", buckets = 8192, alpha = 0.5)
-      val scored = pipeline.Classify.score(docs, "text", "doc_id", model)
-        .join(labeled.select(col("doc_id"), col("y")), Seq("doc_id"))
+      val scored = pipeline.Classify.withScore(labeled, "text", model)
       pipeline.Classify.calibrationReport(scored, "score", "y", bins = 10)
         .orderBy("bin")
     }),
