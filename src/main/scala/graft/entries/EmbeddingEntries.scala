@@ -130,7 +130,11 @@ private[graft] object EmbeddingEntries {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           pipeline.Layout.zvalue(Seq(col("l_orderkey"), col("l_partkey")))
             .alias("z"))
-        .orderBy("l_orderkey", "l_linenumber")
+        // full-row tiebreaker: (l_orderkey, l_linenumber) is NOT unique in
+        // the synthetic lineitem at sf0.1 (118k duplicate pairs), so the
+        // bare two-key ORDER BY made the LIMIT nondeterministic between
+        // engines (caught by the r14 fresh sf0.1 oracle pass)
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey")
         .limit(100)),
     // small-file compaction gate: 64 shards of the documents table
     // rewritten at a 4 MB target must come back as fewer files with the
@@ -489,7 +493,7 @@ private[graft] object EmbeddingEntries {
              (((l_orderkey >> i) & 1) << (2*i))
              + (((l_partkey >> i) & 1) << (2*i + 1))))::BIGINT AS z
          FROM lineitem
-         ORDER BY l_orderkey, l_linenumber LIMIT 100""",
+         ORDER BY l_orderkey, l_linenumber, l_partkey LIMIT 100""",
     "q_compact_gate" ->
       """SELECT count(*)::BIGINT AS n_rows, true AS content_ok,
            true AS compacted
