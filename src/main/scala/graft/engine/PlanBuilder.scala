@@ -899,6 +899,37 @@ object PlanBuilder {
   }
 
   // ---- plain projection ----------------------------------------------
+  /** Pipe parity (r15 advice): clear the CSV reader's missing-as-null
+    * marker on non-star output slots. A SELECTed expression or bare
+    * variable fills a fixed SLOT in the stage-output record — the value
+    * may be None, but the slot exists (the reference builds stage output
+    * as a literal list `[e1, e2, …]`, rbql_engine.py:1203-1219) — so a
+    * later pipe stage must treat a null there as a VALUE: NF counts the
+    * slot, the A-side join-key guard stays quiet, and the owid width
+    * channel uses the constant stage width. Star-spliced columns keep the
+    * marker: `select *` passes the ragged record itself, and the
+    * reference's per-record NF / missing-key errors propagate through it
+    * (probed live — see PipeStageMarkerSpec). */
+  private def scrubMissingMarks(
+      df: DataFrame, slotNames: Seq[String], fromStar: Seq[Boolean]): DataFrame = {
+    def marked(f: org.apache.spark.sql.types.StructField): Boolean =
+      f.metadata.contains(graft.sources.CsvSource.MissingNullKey) &&
+        f.metadata.getBoolean(graft.sources.CsvSource.MissingNullKey)
+    val starSlot = slotNames.zip(fromStar).toMap
+    val fields = df.schema.fields
+    if (!fields.exists(f => marked(f) && !starSlot.getOrElse(f.name, true)))
+      return df
+    df.select(fields.map { f =>
+      val c = ref(f.name)
+      if (marked(f) && !starSlot.getOrElse(f.name, true)) {
+        val meta = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putBoolean(graft.sources.CsvSource.MissingNullKey, false).build()
+        c.as(f.name, meta)
+      } else c
+    }.toIndexedSeq: _*)
+  }
+
   private def buildProjection(
       filtered: DataFrame,
       ast: StageAst,
@@ -932,9 +963,18 @@ object PlanBuilder {
     var unnestIdx: Option[Int] = None
 
     val outPairs = scala.collection.mutable.ArrayBuffer.empty[(String, Column)]
+    // which output slots came from star expansion: star splices the ragged
+    // record itself (rbql_engine.py:665-668), so those columns keep the
+    // reader's missing-as-null marker; every other slot is a fixed value
+    // position in the stage-output list (rbql_engine.py:1203-1219) and the
+    // marker is scrubbed below (r15 advice — leaked marks corrupted NF and
+    // the join-key guard in later pipe stages)
+    val slotFromStar = scala.collection.mutable.ArrayBuffer.empty[Boolean]
     classified.foreach { case (item, cls) =>
       isStar(item.rawExpr) match {
-        case Some(cols) => outPairs ++= cols
+        case Some(cols) =>
+          outPairs ++= cols
+          slotFromStar ++= Seq.fill(cols.size)(true)
         case None =>
           // use the polymorphic-rewritten text (min/max 2+args → least/
           // greatest) from classification, not the original raw
@@ -946,6 +986,7 @@ object PlanBuilder {
             unnestIdx = Some(outPairs.length)
           }
           outPairs += ((headerName(item, outPairs.length + 1, headerCtx), colExpr))
+          slotFromStar += false
       }
     }
 
@@ -1021,6 +1062,7 @@ object PlanBuilder {
 
     var out = filtered.select(
       (internal ++ owidCol.toSeq ++ hiddenCols ++ nrTie).toIndexedSeq: _*)
+    out = scrubMissingMarks(out, internalNames, slotFromStar.toSeq)
 
     if (distinctMode) {
       val singleDirection = sortKeys.map(_.asc).distinct.size <= 1
