@@ -265,6 +265,41 @@ object Bench {
       }
     }.getOrElse(Map.empty)
 
+  /** Per-query medians of the baseline artifact's `scale10x.queries`
+    * object — the ×10 block's own guard reference (r14 verdict item 1:
+    * the driver's 64×/65× q_spans / q_minhash_pairs excursion rode into
+    * BENCH_r14.json unflagged because the 10× stage had no baseline to
+    * diff against). Empty when the baseline predates the block. */
+  private[graft] def previousScale10xMedians(path: java.nio.file.Path)
+      : Map[String, Double] =
+    baselineRoot(path).map { root =>
+      val qs = root.path("scale10x").path("queries")
+      if (!qs.isObject) Map.empty[String, Double]
+      else {
+        import scala.jdk.CollectionConverters._
+        qs.properties().asScala.iterator
+          .filter(_.getValue.isNumber)
+          .map(e => e.getKey -> e.getValue.asDouble())
+          .toMap
+      }
+    }.getOrElse(Map.empty)
+
+  /** Structural baseline-refresh gate (r14 verdict item 2: "refresh only
+    * from a flag-clean or all-speedup run" was practice, not a check).
+    * Pure and spec-pinned: returns the refusal reason, or None when the
+    * refresh may proceed. `force` overrides only after an explicit
+    * human adjudication — the verdict map is still consulted first so
+    * the refusal reason names the offending queries either way. */
+  private[graft] def refreshRefusal(mode: String,
+      flagVerdicts: Map[String, String]): Option[String] = {
+    val bad = flagVerdicts.filter(_._2 != "speedup_confirmed")
+    if (bad.isEmpty) None
+    else if (mode == "force") None
+    else Some(s"${bad.size} non-speedup flags unresolved: " +
+      bad.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+        .mkString(", ") + " (use force to override)")
+  }
+
   /** The baseline's `load_ref` median (machine-speed fingerprint), or
     * -1 when the file/field is absent or unparseable. */
   private[graft] def previousLoadRef(path: java.nio.file.Path): Double =
@@ -334,7 +369,8 @@ object Bench {
   private[graft] def compactSummary(total: Double, sfDir: String,
       reps: Int, medians: Seq[(String, Double)], nErrors: Int, nFlags: Int,
       baselineMedians: Int, maxLen: Int = 1700,
-      flagVerdicts: Map[String, String] = Map.empty): String = {
+      flagVerdicts: Map[String, String] = Map.empty,
+      x10Flags: Int = -1): String = {
     val headline = Seq("q_select_where", "q_like", "q_top", "q_update",
       "q_agg_group", "q_agg_global", "q_distinct", "q_distinct_count",
       "q_join_inner", "q_join_left", "q_strict_left", "q_nr", "q_except",
@@ -363,7 +399,9 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${jd(total, 3)},"unit":"sec",""" +
         s""""sf":"$sfDir","reps":$reps,"n_queries":${medians.size},""" +
-        s""""errors":$nErrors,"flags_gt_2x":$nFlags,$flagsJson""" +
+        s""""errors":$nErrors,"flags_gt_2x":$nFlags,""" +
+        (if (x10Flags >= 0) s""""x10_flags_gt_2x":$x10Flags,""" else "") +
+        flagsJson +
         s""""baseline_medians":$baselineMedians,""" +
         s""""full":"BENCH_LAST.json","queries":$obj}"""
     }
@@ -1124,8 +1162,16 @@ object Bench {
           s"[bench] scale10x $name reps=${times.map(t => f"$t%.3f").mkString(",")}")
         medianOrErr(times)
       }
+      // attributed twin — the measured window (warmup + reps) carries the
+      // same gc/shuffle/spill/tmp evidence as the 1× suite (r14 verdict
+      // item 1a: two 40× excursions rode through this block with zero
+      // attribution fields, so nothing in the artifact could distinguish
+      // a candidate-volume explosion from a plan flip from memory
+      // pressure)
+      def timedA(name: String, run: () => Unit): (Double, Attribution) =
+        attributed(spark, shuffleListener, tmpPoller)(timed(name, run))
       val x10path = java.nio.file.Files.createTempDirectory("graft_x10")
-      val (n, rows) = try {
+      val (n, rows, guard10Json, verdicts10) = try {
         val n = replicate10("documents", x10path, Seq("doc_id"),
           textCol = Some("text"))
         // events: stride user_id too, so per-user spans multiply instead
@@ -1145,9 +1191,9 @@ object Bench {
           // readable next to the ×10 output ratio (r9 verdict: the 8.36×
           // q_minhash_pairs number needed exactly this denominator)
           var rows10 = -1L
-          val t = timed(name,
+          val (t, attr) = timedA(name,
             () => { rows10 = fn(spark, x10path.toString).count(); () })
-          (name, t, rows10, rows1x.getOrElse(name, -1L))
+          (name, t, rows10, rows1x.getOrElse(name, -1L), attr)
         }
         // ops whose contract-query shape doesn't scale meaningfully (or
         // that have no 1×-bench twin in `results`): time BOTH sides here.
@@ -1234,27 +1280,99 @@ object Bench {
           var r1 = -1L
           var r10 = -1L
           val t1 = timed(s"$name(1x)", () => { r1 = run1(); () })
-          val t10 = timed(name, () => { r10 = run10(); () })
-          (name, t10, if (t1 > 0 && t10 > 0) t10 / t1 else -1.0, r10, r1)
+          val (t10, attr) = timedA(name, () => { r10 = run10(); () })
+          (name, t10, if (t1 > 0 && t10 > 0) t10 / t1 else -1.0, r10, r1,
+            attr, () => { run10(); () })
         }
-        (n, (qRows.map { case (k, v, r, r1) => (k, v, -2.0, r, r1) } ++ ownRows))
+        val all = qRows.map { case (k, v, r, r1, a) =>
+          val fn = SparkEntry.queries(k)
+          (k, v, -2.0, r, r1, a,
+            () => { fn(spark, x10path.toString).count(); () })
+        } ++ ownRows
+        // ---- ×10 guard + self-adjudication (r14 verdict item 1a) ----
+        // Same discipline as the 1× suite: diff each ×10 median against
+        // the committed quiet-machine baseline's scale10x.queries,
+        // normalize by the block's OWN cross-query median ratio (the ~50
+        // ×10 entries are their own robust load estimator — a uniformly
+        // contended machine moves all of them together, a real excursion
+        // moves one), flag outside [0.5×, 2×], and adjudicate every flag
+        // with an isolated re-run INSIDE this block while the replica
+        // tables still exist. The r14 driver artifact is exactly the
+        // input this closes: q_spans 64×, q_minhash_pairs 65× with no
+        // flag, no attribution, and no isolated sample to adjudicate.
+        val basePath10 = java.nio.file.Paths.get(sys.env.getOrElse(
+          "GRAFT_BENCH_BASELINE", "BENCH_BASELINE_MEDIANS.json"))
+        val prev10 = previousScale10xMedians(basePath10)
+        val med10 = all.map { case (k, v, _, _, _, _, _) => (k, v) }
+        val medianRatio10 = crossQueryMedianRatio(med10, prev10)
+        val lf10 =
+          if (medianRatio10 > 0) medianRatio10.max(1.0) else 1.0
+        val moved10 = flaggedMoves(med10, prev10, lf10)
+        if (moved10.nonEmpty) System.err.println(
+          s"[bench] WARNING: ${moved10.size} scale10x entries moved >2x " +
+          s"vs baseline at load_factor $lf10: " +
+          moved10.map { case (k, _, r) => f"$k x$r%.2f" }.mkString(", "))
+        val rerun = all.map { case (k, _, _, _, _, _, f) => k -> f }.toMap
+        val (adjJson10, verdicts10) =
+          if (moved10.isEmpty) ("", Map.empty[String, String]) else {
+            spark.sharedState.cacheManager.clearCache()
+            System.gc()
+            val entries10 = moved10.map { case (k, suiteSec, suiteRatio) =>
+              val (iso, isoAttr) = timedA(s"$k(iso)", rerun(k))
+              val isoRatio = prev10.get(k).filter(_ > 0)
+                .map(p => iso / p / lf10).getOrElse(-1.0)
+              val v0 = firstVerdict(suiteRatio, iso, isoRatio)
+              val (secondJson, verdict) =
+                if (v0 != "inconsistent") ("", v0) else {
+                  System.gc()
+                  val (iso2, _) = timedA(s"$k(iso2)", rerun(k))
+                  val iso2Ratio = prev10.get(k).filter(_ > 0)
+                    .map(p => iso2 / p / lf10).getOrElse(-1.0)
+                  (s""","isolated2_sec":${jd(iso2, 3)},"isolated2_ratio":${jd(iso2Ratio, 2)}""",
+                    secondVerdict(isoRatio, iso2, iso2Ratio))
+                }
+              System.err.println(
+                f"[bench] adjudicate scale10x $k: suite=$suiteSec%.3fs " +
+                f"(x$suiteRatio%.2f) isolated=$iso%.3fs (x$isoRatio%.2f) " +
+                s"-> $verdict")
+              ("\"" + k + "\":" +
+                s"""{"suite_sec":${jd(suiteSec, 3)},"suite_ratio":${jd(suiteRatio, 2)},""" +
+                s""""isolated_sec":${jd(iso, 3)},"isolated_ratio":${jd(isoRatio, 2)}$secondJson,""" +
+                s""""verdict":"$verdict","isolated_attr":${isoAttr.json}}""",
+                k -> verdict)
+            }
+            (entries10.map(_._1).mkString(""","adjudication":{""", ",", "}"),
+              entries10.map(_._2).toMap)
+          }
+        val movedJson10 = moved10
+          .map { case (k, _, r) => "\"" + k + "\":" + jd(r, 2) }
+          .mkString(""","deltas_gt_2x":{""", ",", "}")
+        val guard10 =
+          s""","load_factor":${jd(lf10, 2)},"median_ratio":${jd(medianRatio10, 2)}""" +
+          s""","baseline_medians":${prev10.size},"flags_gt_2x":${moved10.size}""" +
+          movedJson10 + adjJson10
+        (n, all.map { case (k, v, own, r, r1, a, _) => (k, v, own, r, r1, a) },
+          guard10, verdicts10)
       } finally deleteRecursively(x10path)
       val base1x = results.map { case (k, v, _, _) => k -> v }.toMap
-      val sq = rows.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
+      val sq = rows.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      val srows = rows.map { case (k, _, _, r, _) => "\"" + k + "\":" + r }
+      val srows = rows.map { case (k, _, _, r, _, _) => "\"" + k + "\":" + r }
         .mkString("{", ",", "}")
-      val srows1 = rows.map { case (k, _, _, _, r1) => "\"" + k + "\":" + r1 }
+      val srows1 = rows.map { case (k, _, _, _, r1, _) => "\"" + k + "\":" + r1 }
+        .mkString("{", ",", "}")
+      val sattr = rows.map { case (k, _, _, _, _, a) => "\"" + k + "\":" + a.json }
         .mkString("{", ",", "}")
       // ratio is an error marker unless BOTH sides timed cleanly; -2.0
       // sentinel = "1× median lives in the main results map"
-      val ratios = rows.map { case (k, v, own, _, _) =>
+      val ratios = rows.map { case (k, v, own, _, _, _) =>
         "\"" + k + "\":" + (if (v < 0) -1.0
           else if (own != -2.0) own
           else base1x.get(k).filter(_ > 0).map(b => v / b).getOrElse(-1.0))
       }.mkString("{", ",", "}")
-      s""","scale10x":{"rows":$n,"queries":$sq,"rows_out":$srows,"rows_out_1x":$srows1,"ratio_vs_1x":$ratios}"""
-    } else ""
+      (s""","scale10x":{"rows":$n,"queries":$sq,"rows_out":$srows,"rows_out_1x":$srows1,"ratio_vs_1x":$ratios,"suite_attr":$sattr$guard10Json}""",
+        verdicts10)
+    } else ("", Map.empty[String, String])
     // ANN probe/recall frontier (full runs only): recall@10 and median
     // latency of the DEFAULT-dial IVF search (Similarity.buildIvf —
     // k-means centroids, k = ⌈√n⌉) as nProbe sweeps 1→8. Model fit,
@@ -1446,25 +1564,32 @@ object Bench {
       .map { case (k, _, _, a) => "\"" + k + "\":" + a.json }
       .mkString(""","suite_attr":{""", ",", "}")
     tmpPoller.shutdown()
+    val (scale10xJson, x10Verdicts) = scale10x
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows_out":$rowsOut,"sf":"$sfDir","reps":$reps$loadJson$errJson$movedJson$adjudication$attrJson$scale10x$annFrontier}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows_out":$rowsOut,"sf":"$sfDir","reps":$reps$loadJson$errJson$movedJson$adjudication$attrJson$scale10xJson$annFrontier}"""
     emitArtifact("GRAFT_BENCH_OUT", "BENCH_LAST.json", line)
     // Opt-in baseline refresh emitted by Bench ITSELF through the same
     // serializer as the artifact (r12 verdict item 1: a hand-refresh in
     // a foreign serialization killed the guard for half a round).
-    // Refused while >2x flags are unresolved — a loaded-machine run must
-    // not silently become the new normal; "force" overrides after an
-    // explicit adjudication.
+    // STRUCTURAL gate (r14 verdict item 2): a run may only become the
+    // new normal when every live flag — 1× suite AND ×10 block —
+    // adjudicated to speedup_confirmed; anything else (regression,
+    // noise, inconsistent, error) refuses, and "force" must name what
+    // it overrode. The written line carries this run's load probes
+    // (`load_ref`), so the baseline records the machine state it was
+    // taken under.
     sys.env.get("GRAFT_BENCH_REFRESH_BASELINE") match {
       case Some(v) if v == "1" || v == "force" =>
-        if (moved.nonEmpty && v != "force")
-          System.err.println("[bench] baseline refresh REFUSED: " +
-            s"${moved.size} unresolved >2x flags (use force to override)")
-        else {
-          java.nio.file.Files.write(basePath, (line + "\n").getBytes(
-            java.nio.charset.StandardCharsets.UTF_8))
-          System.err.println(
-            s"[bench] baseline refreshed at $basePath (${results.size} medians)")
+        val allVerdicts = flagVerdicts ++
+          x10Verdicts.map { case (k, r) => s"x10:$k" -> r }
+        refreshRefusal(v, allVerdicts) match {
+          case Some(reason) =>
+            System.err.println(s"[bench] baseline refresh REFUSED: $reason")
+          case None =>
+            java.nio.file.Files.write(basePath, (line + "\n").getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+            System.err.println(
+              s"[bench] baseline refreshed at $basePath (${results.size} medians)")
         }
       case _ => ()
     }
@@ -1472,7 +1597,10 @@ object Bench {
     // anything printed after it eats the driver's tail window
     println(compactSummary(total, sfDir, reps,
       results.map { case (k, v, _, _) => (k, v) },
-      errored.size, moved.size, prev.size, flagVerdicts = flagVerdicts))
+      errored.size, moved.size, prev.size,
+      flagVerdicts = flagVerdicts ++
+        x10Verdicts.map { case (k, r) => s"x10:$k" -> r },
+      x10Flags = if (only.isEmpty) x10Verdicts.size else -1))
     spark.stop()
   }
 }

@@ -169,6 +169,81 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.crossQueryMedianRatio(Seq("q_x" -> 1.0), Map.empty) == -1.0)
   }
 
+  test("committed baseline loads >=50 scale10x medians (x10 guard armed)") {
+    // r14 verdict item 1: the driver's 64x/65x q_spans / q_minhash_pairs
+    // 10x excursion rode through unflagged because the scale10x block had
+    // no baseline diff. The committed baseline must arm it.
+    val m10 = Bench.previousScale10xMedians(committed)
+    assert(m10.size >= 50,
+      s"x10 guard disarmed: only ${m10.size} scale10x medians parsed")
+    assert(m10.contains("q_spans") && m10.contains("q_minhash_pairs"),
+      "the two r14-weak queries must be baselined")
+    assert(m10.values.forall(_ > 0))
+    // absent block degrades to disarmed, not crash
+    assert(Bench.previousScale10xMedians(
+      tmpJson("""{"queries":{"q_a":1.0}}""")).isEmpty)
+  }
+
+  test("r14 driver-shape replay: the 64x/65x scale10x excursion now flags") {
+    // exact r14 artifact numbers: baseline q_spans 2.28 / q_minhash_pairs
+    // 3.40; driver 10x block measured 55.99 / 137.39 while the other ~50
+    // entries sat within ~1.2-3.7x. The block's own cross-query median
+    // ratio is the divisor, so the two excursions flag and the rest stay
+    // quiet.
+    val prev = Map("q_spans" -> 2.28, "q_minhash_pairs" -> 3.40) ++
+      (1 to 50).map(i => f"q_u$i%03d" -> 1.0)
+    val run = Seq("q_spans" -> 55.99, "q_minhash_pairs" -> 137.39) ++
+      (1 to 50).map(i => f"q_u$i%03d" -> 1.3)
+    // the block's divisor: the cross-query median ratio floored at 1
+    // (no probe pair exists inside the block — the ~50 entries ARE the
+    // load estimator)
+    val mr = Bench.crossQueryMedianRatio(run, prev)
+    val lf = if (mr > 0) mr.max(1.0) else 1.0
+    assert(math.abs(lf - 1.3) < 1e-9)
+    val flags = Bench.flaggedMoves(run, prev, lf)
+    assert(flags.map(_._1).toSet == Set("q_spans", "q_minhash_pairs"), flags)
+  }
+
+  test("baseline refresh is refused while any flag is not speedup_confirmed") {
+    // r14 verdict item 2: "refresh only from a flag-clean or all-speedup
+    // run" must be structural. A run with one unadjudicated regression
+    // flag cannot emit a baseline.
+    assert(Bench.refreshRefusal("1", Map.empty).isEmpty) // flag-clean: ok
+    assert(Bench.refreshRefusal("1",
+      Map("q_a" -> "speedup_confirmed", "q_b" -> "speedup_confirmed")).isEmpty)
+    for (bad <- Seq("slowdown_reproduced", "suite_context_noise",
+        "inconsistent", "isolated_run_error", "no_baseline",
+        "slowdown_isolated_consensus")) {
+      val r = Bench.refreshRefusal("1", Map("q_x" -> bad))
+      assert(r.isDefined, s"verdict $bad must refuse")
+      assert(r.get.contains("q_x") && r.get.contains(bad),
+        "refusal must name the offending query and verdict")
+    }
+    // x10-block flags gate the refresh exactly like 1x flags
+    assert(Bench.refreshRefusal("1",
+      Map("x10:q_spans" -> "slowdown_reproduced")).isDefined)
+    // force overrides — after an explicit human adjudication
+    assert(Bench.refreshRefusal("force",
+      Map("q_x" -> "slowdown_reproduced")).isEmpty)
+  }
+
+  test("compact summary carries the x10 flag count and x10 verdicts") {
+    val medians = (1 to 192).map(i => (f"q_synthetic_name_$i%03d", i * 0.037))
+    val line = Bench.compactSummary(100.0, "/root/testdata/sf0.1", 3, medians,
+      nErrors = 0, nFlags = 0, baselineMedians = 192,
+      flagVerdicts = Map("x10:q_spans" -> "suite_context_noise"),
+      x10Flags = 1)
+    assert(line.length <= 1700)
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert(root.path("x10_flags_gt_2x").asInt() == 1)
+    assert(root.path("flags").path("x10:q_spans").asText() ==
+      "suite_context_noise")
+    // default (-1) = block absent: field omitted, old shape preserved
+    val line2 = Bench.compactSummary(100.0, "sf", 3, medians, 0, 0, 192)
+    assert(!new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(line2).has("x10_flags_gt_2x"))
+  }
+
   test("compact summary carries per-flag verdicts (self-adjudicating driver artifact)") {
     val medians = (1 to 192).map(i => (f"q_synthetic_name_$i%03d", i * 0.037))
     val line = Bench.compactSummary(100.0, "/root/testdata/sf0.1", 3, medians,
