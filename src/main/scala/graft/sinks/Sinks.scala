@@ -186,11 +186,39 @@ object Sinks {
 
   /** Pre-escape of raw U+0001 in data strings while the number-sentinel
     * path is active (see the NumSentinel scaladoc). Undone by
-    * [[unescSentinel]] on the rendered JSON text. */
+    * [[unescSentinel]] on the rendered JSON text. Recursive over
+    * array/map/struct shapes so a sentinel-shaped byte sequence inside a
+    * nested string (or a map key) cannot be mistaken for a jsonNum
+    * payload and have its quotes stripped (r15 advice: the old
+    * top-level-only escape left map/struct string fields unprotected).
+    * Variant stays out of reach (the engine renders it opaquely) and
+    * remains covered by the number-token pin in NumSentinelRe. */
+  private def hasStringLeaf(dt: DataType): Boolean = dt match {
+    case StringType => true
+    case ArrayType(et, _) => hasStringLeaf(et)
+    case MapType(kt, vt, _) => hasStringLeaf(kt) || hasStringLeaf(vt)
+    case st: StructType => st.fields.exists(f => hasStringLeaf(f.dataType))
+    case _ => false
+  }
+
   private def escSentinel(c: Column, dt: DataType): Column = dt match {
     case StringType => replace(c, lit("\u0001"), lit("\u0001E"))
-    case ArrayType(StringType, _) =>
-      transform(c, e => replace(e, lit("\u0001"), lit("\u0001E")))
+    case ArrayType(et, _) if hasStringLeaf(et) =>
+      transform(c, e => escSentinel(e, et))
+    case MapType(kt, vt, _) if hasStringLeaf(kt) || hasStringLeaf(vt) =>
+      val keyed =
+        if (hasStringLeaf(kt)) transform_keys(c, (k, _) => escSentinel(k, kt))
+        else c
+      if (hasStringLeaf(vt))
+        transform_values(keyed, (_, v) => escSentinel(v, vt))
+      else keyed
+    case st: StructType if st.fields.exists(f => hasStringLeaf(f.dataType)) =>
+      // rebuild field-wise; a null struct must stay null (struct() of
+      // escaped fields would render {} instead of null)
+      when(c.isNull, lit(null).cast(st)).otherwise(
+        struct(st.fields.map(f =>
+          escSentinel(c.getField(f.name), f.dataType).alias(f.name))
+          .toIndexedSeq: _*))
     case _ => c
   }
 

@@ -483,6 +483,28 @@ class SourcesSpec extends SparkSpec {
       Seq("\"\\u0001G\\u00011.5\""))
   }
 
+  test("jsonl sink: sentinel bytes inside map/struct/nested-array strings " +
+      "survive the double-rendering path (r15 advice)") {
+    import spark.implicits._
+    // the double column activates the sentinel path; every nested string
+    // position carries the exact marker + number-shaped text that the
+    // old top-level-only pre-escape left exposed to the quote-strip
+    val raw = "\u0001G\u00011.5"
+    val df = Seq((Map("k" -> raw), (raw, 2L), Seq(Seq(raw)), 0.5))
+      .toDF("m", "st", "aa", "d")
+    assert(Sinks.collectJsonLines(df) == Seq(
+      "{\"m\":{\"k\":\"\\u0001G\\u00011.5\"},\"st\":{\"_1\":\"\\u0001G\\u00011.5\",\"_2\":2}," +
+        "\"aa\":[[\"\\u0001G\\u00011.5\"]],\"d\":0.5}"))
+    // sentinel-shaped MAP KEY
+    assert(Sinks.collectJsonLines(Seq((Map(raw -> 1L), 0.5)).toDF("m", "d")) ==
+      Seq("{\"m\":{\"\\u0001G\\u00011.5\":1},\"d\":0.5}"))
+    // a null struct stays null through the field-wise rebuild
+    assert(Sinks.collectJsonLines(
+      Seq((Some(("x", 1L)), 0.5), (None, 1.5)).toDF("st", "d")) == Seq(
+      "{\"st\":{\"_1\":\"x\",\"_2\":1},\"d\":0.5}",
+      "{\"st\":null,\"d\":1.5}"))
+  }
+
   test("csv write: empty partitions emit no phantom header-only part " +
       "files; partition 0 keeps the header for empty results (r13 advice)") {
     import spark.implicits._
