@@ -499,38 +499,54 @@ object Bench {
           try SparkEntry.queries("q_ngram_pairs")(s, dir)
           finally s.conf.unset("spark.graft.dedup.bundledVerify")
         })
+      // per-side attribution (r14 verdict item 5: the mem-pressure
+      // evidence for the pair kernels needs spill_mb + gc next to the
+      // wall time — a halved-heap run that spills gracefully and one
+      // that thrashes look identical on wall time alone)
+      val sl100 = new ShuffleListener
+      spark.sparkContext.addSparkListener(sl100)
+      val poller100 = new TmpPeakPoller(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")))
+      poller100.start()
+      val attrs100 =
+        scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
       val measured = (picked ++ bundledEntry).map { case (name, fn) =>
         // capture the AllPairs verify-path decision the kernel takes on
         // each side (auto mode picks from the df-histogram estimate —
         // the artifact must show WHICH path ran at each scale). The
         // sentinel reset keeps a previous query's decision from leaking
         // into queries that never plan a jaccard kernel.
-        def side(dir: String): (Double, Long, String) = {
+        def side(dir: String): (Double, Long, String, Attribution) = {
           pipeline.Dedup.lastVerifyDecision =
             pipeline.Dedup.VerifyDecision("", forced = false, -1.0)
-          try { fn(spark, dir).count() } catch { case _: Throwable => () }
-          var r = -1L
-          val t = medianOrErr(
-            timedReps(reps, () => { r = fn(spark, dir).count(); () }))
+          val ((t, r), attr) = attributed(spark, sl100, poller100) {
+            try { fn(spark, dir).count() } catch { case _: Throwable => () }
+            var r0 = -1L
+            val t0 = medianOrErr(
+              timedReps(reps, () => { r0 = fn(spark, dir).count(); () }))
+            (t0, r0)
+          }
           val d = pipeline.Dedup.lastVerifyDecision
           val ds = if (d.path.isEmpty) ""
             else if (d.forced) s"${d.path}(forced)"
             else f"${d.path}(auto,est=${d.estCandPerDoc}%.1f)"
-          (t, r, ds)
+          (t, r, ds, attr)
         }
         // GC between sides: shuffle files of dead reps are reclaimed only
         // by the ContextCleaner's GC-driven pass, and two back-to-back
         // ×100 pair-kernel queries (~15 GB of shuffle/spill per run) can
         // otherwise exhaust /tmp before the cleaner happens to run
-        val (t1, r1, d1) = side(sfDir)
+        val (t1, r1, d1, a1x) = side(sfDir)
         System.gc()
-        val (t100, r100, d100) = side(out.toString)
+        val (t100, r100, d100, a100) = side(out.toString)
         System.gc()
+        attrs100 += ((name, a1x.json, a100.json))
         System.err.println(f"[bench] scale100x $name 1x=$t1%.3fs " +
           f"100x=$t100%.3fs ratio=${if (t1 > 0) t100 / t1 else -1.0}%.2f " +
           s"rows_out=$r1->$r100" +
           (if (d1.nonEmpty || d100.nonEmpty)
-            s" verify=$d1->$d100" else ""))
+            s" verify=$d1->$d100" else "") +
+          f" spill_100x=${a100.spillMb}%.1fMB gc_100x=${a100.gcMs}ms")
         (name, t1, t100, r1, r100, d1, d100)
       }
       // "ann_frontier" (not a SparkEntry query): the recall/latency dial
@@ -768,7 +784,15 @@ object Bench {
           (if (m._2 > 0 && m._3 > 0) m._3 / m._2 else -1.0).toString)}""" +
         s""","rows_out":${obj(_._5.toString)}""" +
         s""","rows_out_1x":${obj(_._4.toString)}""" +
+        s""","heap_mx_mb":${Runtime.getRuntime.maxMemory() / (1024 * 1024)}""" +
+        s""","suite_attr_1x":${attrs100
+          .map { case (k, a, _) => "\"" + k + "\":" + a }
+          .mkString("{", ",", "}")}""" +
+        s""","suite_attr_100x":${attrs100
+          .map { case (k, _, a) => "\"" + k + "\":" + a }
+          .mkString("{", ",", "}")}""" +
         s""","verify_paths":$verifyPaths$annJson$annClusteredJson$annClustered2mJson}"""
+      poller100.shutdown()
       emitArtifact("GRAFT_BENCH_OUT_X100", "SCALE100X.json", line)
     } finally deleteRecursively(out)
   }

@@ -992,12 +992,16 @@ object Dedup {
     // length filter: J ≥ t forces t·max(na,nb) ≤ min(na,nb)
     val pl = prefix.select(col("id").alias("id_p"), col("nsh").alias("nsh_p"), col("s"))
     val pr = prefix.select(col("id").alias("id_f"), col("nsh").alias("nsh_f"), col("s"))
-    val candidates = pl.join(pr, "s")
+    val candPre = pl.join(pr, "s")
       .filter(col("id_p") < col("id_f") &&
         greatest(col("nsh_p"), col("nsh_f")) * threshold <=
           least(col("nsh_p"), col("nsh_f")))
       .select(col("id_p").alias("id_a"), col("id_f").alias("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    // hot regime: sort-based dedup (spill-graceful, see sortDistinctPair);
+    // cold regime: hash dropDuplicates keeps the map-side combine
+    val candidates =
+      if (bundled) sortDistinctPair(candPre)
+      else candPre.dropDuplicates("id_a", "id_b")
     // bundled verify for the hot-vocab regime. The bundling key is a
     // long: integral ids cast losslessly; anything else is keyed by
     // xxhash64(id) and the original ids restored from the (hash → id)
@@ -1051,6 +1055,39 @@ object Dedup {
       .select(col("id_a"), col("id_b"), Rounding.halfUp(col("jaccard"), 6).alias("jaccard"))
   }
 
+  /** Exact two-column distinct with O(1) task memory: hash exchange on
+    * the pair + in-partition sort + narrow in-order dedup. Used for the
+    * bundled regime's candidate dedup instead of dropDuplicates: the
+    * hash-agg's per-task map grows with the distinct keys it sees, and
+    * at the hot-corpus ×100 decade under a halved heap its spill
+    * TRANSITION (destructAndCreateExternalSorter needs fresh pool pages
+    * while 32 peer tasks hold theirs) died with UNABLE_TO_ACQUIRE_MEMORY
+    * (r15 mem-pressure probe). The sort path spills through
+    * UnsafeExternalSorter page-by-page — memory pressure degrades to
+    * disk, never to OOM. Costs the map-side pre-reduction (the full
+    * pre-dedup candidate volume shuffles, 16-byte pairs), which the
+    * hot regime accepts; the cold regime keeps dropDuplicates and its
+    * map-side combine. */
+  private def sortDistinctPair(df: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(df.schema)
+    df.repartition(col(df.columns(0)), col(df.columns(1)))
+      .sortWithinPartitions(col(df.columns(0)), col(df.columns(1)))
+      .mapPartitions { it =>
+        var p1: Any = null
+        var p2: Any = null
+        var first = true
+        it.filter { r =>
+          val v1 = r.get(0)
+          val v2 = r.get(1)
+          val keep = first || v1 != p1 || v2 != p2
+          first = false
+          p1 = v1
+          p2 = v2
+          keep
+        }
+      }(enc)
+  }
+
   /** 1-Bucket-style bundled verification for [[jaccardPairsOn]]'s
     * candidate set (Okcan & Riedewald 2011's bucket-cell idea applied to
     * the verify join; auto-selected by candidate-volume estimate, or
@@ -1080,10 +1117,20 @@ object Dedup {
     * pure partition of candidates). Pinned by DedupPropertySpec.
     *
     * Scale shape: two exchanges — candidates by cell (16-byte id pairs)
-    * and the bundled arrays by cell (≤ 2·n·B array rows); per-cell
-    * state is the cell's two id→array maps, ~(n/B)·|sh| bytes a side,
-    * tuned by B. Partition count follows executors; cells (B²) should
-    * comfortably exceed the executor count for balance.
+    * and the bundled arrays by cell (≤ 2·n·B array rows). Per-cell
+    * STATE is the right side's id→array map only, ~(n/B)·|sh| bytes:
+    * the cogroup is SORTED (candidates by id_a, ships right-before-left
+    * then by id), so the left side streams one array at a time through
+    * a merge walk instead of materializing a second map (r15: at the
+    * ×100 decade with a halved heap the two-map version OOMed — 32
+    * concurrent cells × 2 maps × ~160 MB). B itself scales with the
+    * corpus: unless `spark.graft.dedup.verifyBuckets` pins it, B =
+    * clamp(16, ceil(Σ|sh|·8B / verifyCellBytes), 4096) with
+    * `spark.graft.dedup.verifyCellBytes` defaulting to 32 MB — per-cell
+    * state stays budget-bounded at any corpus size while ship traffic
+    * grows only with the DISTINCT partner buckets a doc actually meets.
+    * Partition count follows executors; cells (B²) should comfortably
+    * exceed the executor count for balance.
     *
     * Plan-shape dependency: `candidates` is consumed three times here
     * (the cells, needA, needB) and each consumer re-plans the prefix
@@ -1098,8 +1145,22 @@ object Dedup {
       threshold: Double): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
+    // bucket count: explicit conf pin, else budget-derived from the
+    // corpus's total shingle bytes so one cell's right-side map never
+    // outgrows verifyCellBytes no matter the corpus size (the one
+    // cheap aggregate reuses shDf's materialized exchange)
     val b = spark.conf.getOption("spark.graft.dedup.verifyBuckets")
-      .map(_.toInt).getOrElse(16)
+      .map(_.toInt).getOrElse {
+        val budget = spark.conf
+          .getOption("spark.graft.dedup.verifyCellBytes")
+          .map(_.toLong).getOrElse(32L << 20)
+        require(budget > 0, "verifyCellBytes must be positive")
+        val st = shDf.agg(
+          sum(size(col("sh")).cast("long")).alias("tot")).head()
+        val totBytes =
+          (if (st.isNullAt(0)) 0L else st.getLong(0)) * 8.0
+        math.max(16, math.min(4096, math.ceil(totBytes / budget).toInt))
+      }
     require(b > 0 && b <= 4096, "verifyBuckets must be in [1, 4096]")
     def bkt(c: Column): Column = pmod(xxhash64(c), lit(b)).cast("int")
     val cands = candidates.select(
@@ -1107,31 +1168,64 @@ object Dedup {
       col("id_a").alias("_2"),
       col("id_b").alias("_3"))
       .as[(Int, Long, Long)]
-    // ship lists: one row per (doc, distinct partner bucket, side)
+    // ship lists: one row per (doc, distinct partner bucket, side).
+    // side flag 0 = RIGHT (id_b), 1 = LEFT (id_a): the sorted cogroup
+    // below drains rights into the cell map first, then streams lefts.
     val needA = candidates
       .select(col("id_a").alias("id"), bkt(col("id_b")).alias("ob")).distinct()
     val needB = candidates
       .select(col("id_b").alias("id"), bkt(col("id_a")).alias("ob")).distinct()
-    val ships = needA.join(shDf, "id")
-      .select((bkt(col("id")) * b + col("ob")).alias("_1"),
+    val ships = needB.join(shDf, "id")
+      .select((col("ob") * b + bkt(col("id"))).alias("_1"),
         lit(0).alias("_2"), col("id").alias("_3"),
         col("sh").alias("_4"))
-      .unionAll(needB.join(shDf, "id")
-        .select((col("ob") * b + bkt(col("id"))).alias("_1"),
+      .unionAll(needA.join(shDf, "id")
+        .select((bkt(col("id")) * b + col("ob")).alias("_1"),
           lit(1).alias("_2"), col("id").alias("_3"),
           col("sh").alias("_4")))
       .as[(Int, Int, Long, Array[Long])]
-    val verified = cands.groupByKey(_._1).cogroup(ships.groupByKey(_._1)) {
-      (_, cs, ss) =>
-        val left = new java.util.HashMap[Long, Array[Long]]()
+    // sorted cogroup: candidates by id_a; ships rights-first, each side
+    // by id. Only the RIGHT map materializes — candidates of one left
+    // doc are contiguous, so the left side streams one (cloned, sorted)
+    // array at a time through a merge walk. Halves per-cell state and
+    // removes the left map's allocation churn entirely.
+    val verified = cands.groupByKey(_._1)
+      .cogroupSorted(ships.groupByKey(_._1))(col("_2"))(
+        col("_2"), col("_3")) { (_, cs, ss) =>
         val right = new java.util.HashMap[Long, Array[Long]]()
-        ss.foreach { case (_, side, id, sh) =>
+        val bs = ss.buffered
+        while (bs.hasNext && bs.head._2 == 0) {
+          val (_, _, id, sh) = bs.next()
           val sorted = sh.clone()
           java.util.Arrays.sort(sorted)
-          (if (side == 0) left else right).put(id, sorted)
+          right.put(id, sorted)
         }
+        var leftId = Long.MinValue
+        var leftSh: Array[Long] = null
+        def leftFor(id: Long): Array[Long] = {
+          while (leftId < id && bs.hasNext) {
+            val (_, _, lid, sh) = bs.next()
+            leftId = lid
+            leftSh = sh
+            // sort lazily below: a left ship skipped by the walk (its
+            // candidates fell in other cells' id_a ranges — impossible
+            // by construction, but harmless) never pays the sort
+          }
+          if (leftId == id) leftSh else null
+        }
+        var sortedForId = Long.MinValue
+        var sortedLeft: Array[Long] = null
         cs.flatMap { case (_, a, bId) =>
-          val sa = left.get(a)
+          val rawA = leftFor(a)
+          val sa = if (rawA == null) null
+            else if (sortedForId == a) sortedLeft
+            else {
+              val s = rawA.clone()
+              java.util.Arrays.sort(s)
+              sortedForId = a
+              sortedLeft = s
+              s
+            }
           val sb = right.get(bId)
           // candidates derive from shDf, so both lookups should always
           // hit; if the invariant ever breaks, degrade exactly like the
