@@ -36,6 +36,23 @@ private[graft] object SamplingEntries {
           length(col("media")).cast("long").alias("media_len"))
         .orderBy("doc_id")
     }),
+    // real video decode end-to-end: per-doc MJPEG-AVI payloads (real
+    // RIFF container, real JPEG frames) through the real parser — the
+    // structural outputs (frame count, dims, fps, duration) only come
+    // out right if the RIFF walk + per-frame imageio decode both
+    // succeed, and the oracle replays the generator arithmetic
+    "q_video" -> ((s, dir) => {
+      val media = pipeline.Multimodal.attachFakeVideo(
+        t(s, dir, "documents").select("doc_id", "text"), "text")
+      pipeline.Multimodal.extractFeatures(media)
+        .select(col("doc_id"),
+          col("media_feat")(0).cast("long").alias("n_frames"),
+          col("media_feat")(1).cast("long").alias("width"),
+          col("media_feat")(2).cast("long").alias("height"),
+          col("media_feat")(3).cast("long").alias("fps"),
+          round(col("media_feat")(4).cast("double"), 2).alias("duration_s"))
+        .orderBy("doc_id")
+    }),
     // deterministic stratified sampling: downsample the dominant
     // language, keep the tail — md5-threshold filter, no RNG, no shuffle
     "q_sample" -> ((s, dir) => pipeline.Sampling.stratifiedSample(
@@ -357,6 +374,14 @@ private[graft] object SamplingEntries {
                 greatest(1, (length(text)::BIGINT * 256) //
                   (((length(text) % 64) + 1) * ((length(text) % 48) + 1))
                 )::BIGINT AS media_len
+         FROM documents ORDER BY doc_id""",
+    "q_video" ->
+      """SELECT doc_id,
+                (length(text) % 5 + 2)::BIGINT AS n_frames,
+                (16 * (length(text) % 3 + 1))::BIGINT AS width,
+                16::BIGINT AS height,
+                10::BIGINT AS fps,
+                round((length(text) % 5 + 2) / 10.0, 2) AS duration_s
          FROM documents ORDER BY doc_id""",
     "q_repeat" ->
       """WITH per AS (

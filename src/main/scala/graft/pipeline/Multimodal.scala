@@ -9,12 +9,14 @@ import org.apache.spark.sql.types._
   * staged as partition-wise batch transforms.
   *
   * Image payloads (`format` = `image/...`) decode FOR REAL through the
-  * JDK's built-in `javax.imageio` (PNG/BMP/GIF/JPEG), and audio payloads
+  * JDK's built-in `javax.imageio` (PNG/BMP/GIF/JPEG), audio payloads
   * (`format` = `audio/...`) through `javax.sound.sampled`
-  * (WAV/AU/AIFF) — both zero external dependencies; everything else —
-  * video, unknown formats, or a payload no installed codec claims —
-  * falls back to the deterministic byte-level STUB so the pipeline
-  * never throws on undecodable media.
+  * (WAV/AU/AIFF), and video payloads (`format` = `video/...`) through
+  * the pure-JVM MJPEG-in-AVI path ([[decodeMjpegAvi]] — RIFF chunk walk
+  * + imageio per frame) — all zero external dependencies; everything
+  * else — compressed video codecs, unknown formats, or a payload no
+  * installed codec claims — falls back to the deterministic byte-level
+  * STUB so the pipeline never throws on undecodable media.
   * Either way the plan shape is identical: a narrow mapPartitions with
   * no shuffle, decoder init amortized per partition. Swapping in richer
   * codecs (JNI/FFI, `mapInPandas` on PySpark) changes no plan shape.
@@ -153,10 +155,13 @@ object Multimodal {
       fmt.getSampleRate, fmt.getChannels.toFloat, s.length.toFloat)
   }
 
-  /** STUB decoder for non-image/non-audio payloads: deterministic 8-dim
-    * "feature vector" from the raw bytes. ??? replace with real video
-    * codecs — the signature (bytes, meta) → Array[Float] and the
-    * partition-wise batch shape are the real contract. */
+  /** STUB decoder for payloads no installed codec claims: deterministic
+    * 8-dim "feature vector" from the raw bytes. Images (imageio), audio
+    * (sampled-sound) and MJPEG-in-AVI video ([[decodeMjpegAvi]]) decode
+    * for real; compressed video codecs (H.264/VP9/AV1) have no pure-JVM
+    * decoder and stay here — the signature (bytes, meta) → Array[Float]
+    * and the partition-wise batch shape are the contract a native
+    * decoder would slot into (waiver recorded in BASELINE.md). */
   private def stubDecode(bytes: Array[Byte], width: Int, height: Int): Array[Float] = {
     val feat = new Array[Float](8)
     var i = 0
@@ -188,12 +193,15 @@ object Multimodal {
         // null format is legal metadata — treat as non-media, stub path
         val fmt = Option(meta.getString(0)).getOrElse("")
         // image/* decodes for real via imageio, audio/* via the JDK
-        // sampled-sound stack; anything else (or a payload no codec
-        // claims) takes the deterministic stub
+        // sampled-sound stack, video/* via the MJPEG-in-AVI RIFF
+        // parser; anything else (or a payload no codec claims) takes
+        // the deterministic stub
         val feat = (if (fmt.startsWith("image/"))
           decodeImage(bytes).map(imageFeatures)
         else if (fmt.startsWith("audio/"))
           decodeAudio(bytes).map(audioFeatures)
+        else if (fmt.startsWith("video/"))
+          decodeMjpegAvi(bytes).map(videoFeatures)
         else None)
           .getOrElse(stubDecode(bytes, meta.getInt(1), meta.getInt(2)))
         Row.fromSeq(row.toSeq :+ feat.toSeq)
@@ -339,7 +347,11 @@ object Multimodal {
       rows.map { row =>
         val bytes = row.getAs[Array[Byte]](mediaIdx)
         val fmt = Option(row.getStruct(metaIdx).getString(0)).getOrElse("")
+        // video hashes its middle frame: stable under re-encode and
+        // head/tail trims, the frame a thumbnailer would pick
         val h = (if (fmt.startsWith("image/")) decodeImage(bytes).map(averageHash)
+          else if (fmt.startsWith("video/"))
+            decodeMjpegAvi(bytes).map { case (fs, _) => averageHash(fs(fs.size / 2)) }
           else None).getOrElse(stubHash(bytes))
         Row.fromSeq(row.toSeq :+ h)
       }
@@ -354,6 +366,178 @@ object Multimodal {
       mediaCol: String = "media", metaCol: String = "media_meta"): DataFrame =
     Dedup.hammingDupPairs(
       perceptualHash(df, mediaCol, metaCol), "phash", idCol, maxHamming)
+
+  // ---- video: MJPEG-in-AVI, pure JVM ----------------------------------
+  // The one open container a zero-dependency JVM can decode for real:
+  // AVI is RIFF chunk framing (12-byte header + fourcc/size chunks) and
+  // MJPEG frames are plain JPEGs, which imageio reads. Other codecs
+  // (H.264 etc.) need native decoders the container doesn't ship and
+  // remain on the deterministic stub path, documented in BASELINE.md.
+
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+      ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+
+  private def fourcc(b: Array[Byte], o: Int): String =
+    if (o + 4 > b.length) ""
+    else new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Decode an MJPEG-in-AVI payload: every `##dc`/`##db` chunk in the
+    * `movi` list is one JPEG frame; fps comes from the `avih` header's
+    * micro-seconds-per-frame. Lenient RIFF walk (no idx1 required, odd
+    * chunk sizes padded per spec); None when the bytes aren't RIFF-AVI
+    * or no frame decodes — the caller falls back to the stub, so a
+    * corrupt payload degrades instead of throwing. */
+  private[pipeline] def decodeMjpegAvi(bytes: Array[Byte])
+      : Option[(Vector[java.awt.image.BufferedImage], Double)] = {
+    if (bytes.length < 12 || fourcc(bytes, 0) != "RIFF" ||
+      fourcc(bytes, 8) != "AVI ") return None
+    val end = math.min(bytes.length.toLong, 8L + le32(bytes, 4)).toInt
+    var fps = 0.0
+    val frames = Vector.newBuilder[java.awt.image.BufferedImage]
+    def walk(from: Int, to: Int): Unit = {
+      var o = from
+      while (o + 8 <= to) {
+        val id = fourcc(bytes, o)
+        val sz = le32(bytes, o + 4)
+        if (sz < 0 || o + 8 + sz > to) return // malformed size: stop
+        if (id == "LIST" && sz >= 4) {
+          val lt = fourcc(bytes, o + 8)
+          if (lt == "hdrl" || lt == "strl" || lt == "movi")
+            walk(o + 12, o + 8 + sz)
+        } else if (id == "avih" && sz >= 4) {
+          val usPerFrame = le32(bytes, o + 8)
+          if (usPerFrame > 0) fps = 1e6 / usPerFrame
+        } else if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db"))
+            && sz > 0) {
+          decodeImage(java.util.Arrays.copyOfRange(bytes, o + 8, o + 8 + sz))
+            .foreach(frames += _)
+        }
+        o += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
+    }
+    walk(12, end)
+    val fs = frames.result()
+    if (fs.isEmpty) None else Some((fs, fps))
+  }
+
+  /** Real 8-dim video features from decoded frames: frame count, width,
+    * height, fps, duration (s), mean luminance across frames, mean
+    * absolute inter-frame luminance delta (motion proxy), aspect ratio.
+    * Layout parallels [[imageFeatures]]/[[audioFeatures]]. */
+  private def videoFeatures(
+      fs: (Vector[java.awt.image.BufferedImage], Double)): Array[Float] = {
+    val (frames, fps) = fs
+    val (w, h) = (frames.head.getWidth, frames.head.getHeight)
+    def meanLuma(img: java.awt.image.BufferedImage): Double = {
+      var s = 0.0
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          s += (0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+            0.114 * (rgb & 0xFF)) / 255.0
+          x += 1
+        }
+        y += 1
+      }
+      s / math.max(1, img.getWidth * img.getHeight)
+    }
+    val lumas = frames.map(meanLuma)
+    val motion = if (lumas.size < 2) 0.0
+      else lumas.sliding(2).map(p => math.abs(p(1) - p(0))).sum / (lumas.size - 1)
+    Array(frames.size.toFloat, w.toFloat, h.toFloat, fps.toFloat,
+      (if (fps > 0) frames.size / fps else 0.0).toFloat,
+      (lumas.sum / lumas.size).toFloat, motion.toFloat,
+      (w.toDouble / math.max(1, h)).toFloat)
+  }
+
+  /** Build a real MJPEG-in-AVI payload from frames (RIFF writer —
+    * fixture/test twin of [[decodeMjpegAvi]]; also the shape a media
+    * ingest job would hand the pipeline). */
+  def encodeMjpegAvi(frames: Seq[java.awt.image.BufferedImage],
+      fps: Int): Array[Byte] = {
+    require(frames.nonEmpty && fps > 0, "need >=1 frame and positive fps")
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit = {
+      out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+      out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF)
+    }
+    def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def cc(s: String): Unit = out.write(
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val jpegs = frames.map { f =>
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(f, "jpg", baos)
+      baos.toByteArray
+    }
+    val (w, h) = (frames.head.getWidth, frames.head.getHeight)
+    val moviBody = 4 + jpegs.map(j => 8 + j.length + (j.length & 1)).sum
+    val hdrlBody = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val riffBody = 4 + (8 + hdrlBody) + (8 + moviBody)
+    cc("RIFF"); w32(riffBody); cc("AVI ")
+    cc("LIST"); w32(hdrlBody); cc("hdrl")
+    cc("avih"); w32(56)
+    w32(1000000 / fps); w32(0); w32(0); w32(0)
+    w32(frames.size); w32(0); w32(1); w32(0)
+    w32(w); w32(h); w32(0); w32(0); w32(0); w32(0)
+    cc("LIST"); w32(4 + (8 + 56) + (8 + 40)); cc("strl")
+    cc("strh"); w32(56)
+    cc("vids"); cc("MJPG"); w32(0); w16(0); w16(0)
+    w32(0); w32(1); w32(fps); w32(0); w32(frames.size)
+    w32(0); w32(-1); w32(0)
+    w16(0); w16(0); w16(w); w16(h)
+    cc("strf"); w32(40)
+    w32(40); w32(w); w32(h); w16(1); w16(24)
+    cc("MJPG"); w32(w * h * 3); w32(0); w32(0); w32(0); w32(0)
+    cc("LIST"); w32(moviBody); cc("movi")
+    jpegs.foreach { j =>
+      cc("00dc"); w32(j.length); out.write(j)
+      if ((j.length & 1) == 1) out.write(0) // word alignment pad
+    }
+    out.toByteArray
+  }
+
+  /** Attach a synthetic-but-REAL video payload: per row, an MJPEG-AVI
+    * built from solid-gray JPEG frames whose count/size derive
+    * deterministically from the text length (n = len%5+2 frames of
+    * 16·(len%3+1) × 16 at 10 fps). The bytes go through the real
+    * encoder, so a downstream [[extractFeatures]] exercises the real
+    * RIFF parse + imageio JPEG decode — same narrow partition-wise
+    * plan as every media transform here. */
+  def attachFakeVideo(df: DataFrame, textCol: String): DataFrame = {
+    val textIdx = df.schema.fieldIndex(textCol)
+    val schema = df.schema
+      .add(StructField("media", BinaryType))
+      .add(StructField("media_meta", MediaMetaType, nullable = false))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { row =>
+        val len = Option(row.getString(textIdx)).map(_.length).getOrElse(0)
+        val n = len % 5 + 2
+        val w = 16 * (len % 3 + 1)
+        val h = 16
+        val frames = (0 until n).map { f =>
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = (len * 31 + f * 17) % 240
+          val rgb = (g << 16) | (g << 8) | g
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          img
+        }
+        val avi = encodeMjpegAvi(frames, fps = 10)
+        Row.fromSeq(row.toSeq :+ avi :+
+          Row("video/avi", w, h, avi.length.toLong))
+      }
+    }(enc)
+  }
 
   /** Deterministic frame-sampling plan for video-like payloads: emit one
     * row per sampled frame offset (explode — narrow, no shuffle). */

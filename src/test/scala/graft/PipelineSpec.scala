@@ -492,6 +492,76 @@ class PipelineSpec extends SparkSpec {
       s"in-phase stereo ZCR should match the mono signal's: ${f2(3)}")
   }
 
+  test("real MJPEG-AVI video payloads decode frame-wise through the RIFF parser") {
+    import spark.implicits._
+    def gray(w: Int, h: Int, level: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (level << 16) | (level << 8) | level
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      img
+    }
+    // 4 frames, brightening 40 -> 160: motion proxy must see the ramp
+    val frames = Seq(40, 80, 120, 160).map(gray(32, 16, _))
+    val avi = Multimodal.encodeMjpegAvi(frames, fps = 10)
+    // container sanity: RIFF/AVI magic
+    assert(new String(avi, 0, 4, "US-ASCII") == "RIFF")
+    assert(new String(avi, 8, 4, "US-ASCII") == "AVI ")
+    val media = Seq((1L, avi)).toDF("doc_id", "media")
+      .withColumn("media_meta", struct(
+        lit("video/avi").alias("format"), lit(32).alias("width"),
+        lit(16).alias("height"), lit(avi.length.toLong).alias("n_bytes")))
+    val feats = Multimodal.extractFeatures(media)
+    val f = feats.head().getSeq[Float](feats.schema.fieldIndex("media_feat"))
+    assert(f(0) == 4.0f, s"frame count: ${f(0)}")
+    assert(f(1) == 32.0f && f(2) == 16.0f, s"dims: ${f(1)}x${f(2)}")
+    assert(f(3) == 10.0f, s"fps from avih: ${f(3)}")
+    assert(math.abs(f(4) - 0.4f) < 1e-6, s"duration: ${f(4)}")
+    // mean luma ~ (40+80+120+160)/4/255 = 0.392; JPEG DC quantization
+    // keeps a solid frame within a few levels
+    assert(math.abs(f(5) - 0.392f) < 0.03, s"mean luma: ${f(5)}")
+    // motion: |delta| = 40/255 = 0.157 per step
+    assert(math.abs(f(6) - 0.157f) < 0.03, s"motion: ${f(6)}")
+    // corrupt payload degrades to the stub instead of throwing
+    val junk = Seq((2L, Array[Byte](82, 73, 70, 70, 9, 9))).toDF("doc_id", "media")
+      .withColumn("media_meta", struct(
+        lit("video/avi").alias("format"), lit(1).alias("width"),
+        lit(1).alias("height"), lit(6L).alias("n_bytes")))
+    assert(Multimodal.extractFeatures(junk).head()
+      .getSeq[Float](feats.schema.fieldIndex("media_feat")).length == 8)
+    // perceptual hash: two clips sharing the same middle frame are
+    // near-dups; a checkerboard clip is not
+    def checker(w: Int, h: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if ((x / 4 + y / 4) % 2 == 0) 0xFFFFFF else 0)
+      img
+    }
+    def grad(w: Int, h: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = 255 * x / math.max(1, w - 1)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      img
+    }
+    val clipA = Multimodal.encodeMjpegAvi(Seq.fill(3)(grad(32, 32)), 10)
+    val clipB = Multimodal.encodeMjpegAvi(Seq.fill(5)(grad(64, 64)), 10)
+    val clipC = Multimodal.encodeMjpegAvi(Seq.fill(3)(checker(32, 32)), 10)
+    val clips = Seq((1L, clipA), (2L, clipB), (3L, clipC))
+      .toDF("doc_id", "media")
+      .withColumn("media_meta", struct(
+        lit("video/avi").alias("format"), lit(0).alias("width"),
+        lit(0).alias("height"), length(col("media")).cast("long").alias("n_bytes")))
+    val pairs = Multimodal.nearDupMedia(clips, "doc_id", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"same-content clips must pair: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"checkerboard clip must not pair with gradients: $pairs")
+  }
+
   test("null media format takes the stub path instead of NPE") {
     import spark.implicits._
     val media = Seq((1L, Array[Byte](1, 2, 3, 4))).toDF("doc_id", "media")
