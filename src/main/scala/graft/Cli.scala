@@ -230,6 +230,25 @@ object Cli {
       }
       runInitSource(spark, opts.get("init-source-file"))
 
+      // interactive mode always writes to a file: --output, or the
+      // reference's default path input+{.csv|.tsv|.txt} by the INPUT
+      // delim (get_default_output_path, rbql_main.py:201-205; the
+      // not-provided warning prints after the input preview, colored)
+      val outputPath: Option[String] =
+        if (!interactive) opts.get("output")
+        else Some(opts.getOrElse("output", input + (delim match {
+          case "," => ".csv"
+          case "\t" => ".tsv"
+          case _ => ".txt"
+        })))
+
+      // interactive warnings/errors go to STDOUT with ANSI color
+      // (reference show_warning/show_error, rbql_main.py:43-60);
+      // non-interactive to stderr, plain
+      def warn(msg: String): Unit =
+        if (interactive) println(s"\u001b[33;1mWarning:\u001b[0m $msg")
+        else System.err.println(s"Warning: $msg")
+
       def runOne(query: String): Unit = {
         // NR's two-pass persist (PlanBuilder.withNr) is released after this
         // query's terminal action — the interactive loop must not leak one
@@ -264,9 +283,14 @@ object Cli {
             commentRegex = opts.get("comment-regex"),
             onJoinFileRead = joinFiles += _)
         // reference FileSystemCSVRegistry.get_warnings (rbql_csv.py:552-557)
-        if (headerMode)
-          joinFiles.foreach(p => System.err.println(
-            s"Warning: The first record in JOIN file ${new java.io.File(p).getName} was also treated as header (and skipped)"))
+        // join-header warnings are emitted LAST (reference order:
+        // input-iterator, writer, then join-registry —
+        // rbql_engine.py:1588-1591 + rbql_csv.py:580); buffered here
+        // because the join files are discovered at plan-build time
+        val joinHeaderWarns =
+          if (!headerMode) Seq.empty
+          else joinFiles.toSeq.map(p =>
+            s"The first record in JOIN file ${new java.io.File(p).getName} was also treated as header (and skipped)")
         // persist: the sink write and the warnings scan share one
         // execution instead of running the query twice
         result0.persist()
@@ -290,7 +314,7 @@ object Cli {
         // are not mistaken for None values
         val result = result0
         try {
-          opts.get("output") match {
+          outputPath match {
             case Some(out) =>
               // the reference fails on a nonexistent output directory
               // (open() ENOENT); Spark would silently create it
@@ -299,14 +323,6 @@ object Cli {
                 fail("IO handling", s"No such file or directory: '$out'")
               sinks.Sinks.writeCsv(result, out, outDelim,
                 header = headerMode, policy = outPolicy)
-            case None if interactive =>
-              println("\nOutput table preview:")
-              println("====================================")
-              sinks.Sinks.collectCsvLines(result.limit(10), outDelim,
-                header = false, policy = "simple")
-                .map(colorizeLine(_, outDelim))
-                .foreach(println)
-              println("====================================")
             case None =>
               val lines = sinks.Sinks.collectCsvLines(result, outDelim,
                 header = headerMode, policy = outPolicy)
@@ -318,18 +334,21 @@ object Cli {
                   println(colorizeLine(l, outDelim, labels = !headerMode)))
               else lines.foreach(println)
           }
-          sinks.Warnings.scan(result, outDelim, outPolicy)
-            .foreach(w => System.err.println(s"Warning: $w"))
+          // read-side warnings (BOM, inconsistent field counts —
+          // CSVRecordIterator.get_warnings, rbql_csv.py:496-504) first,
+          // then writer warnings, then join-header: the reference's
+          // emission order, byte-pinned by CliInteractiveSpec
+          val inputWarns = sources.CsvSource.inputWarnings(spark, input, delim,
+            if (opts.contains("ragged")) "simple" else policy,
+            opts.getOrElse("encoding", "UTF-8"), opts.get("comment-prefix"))
+          val writerWarns = sinks.Warnings.scan(result, outDelim, outPolicy)
+          (inputWarns ++ writerWarns ++ joinHeaderWarns).foreach(warn)
         } finally result0.unpersist()
-        // read-side warnings (BOM, inconsistent field counts) — reference
-        // CSVRecordIterator.get_warnings, rbql_csv.py:496-504
-        sources.CsvSource.inputWarnings(spark, input, delim,
-          if (opts.contains("ragged")) "simple" else policy,
-          opts.getOrElse("encoding", "UTF-8"), opts.get("comment-prefix"))
-          .foreach(w => System.err.println(s"Warning: $w"))
       }
 
-      if (interactive) interactiveLoop(spark, input, delim, policy, opts, runOne)
+      if (interactive) interactiveLoop(spark, input, delim, policy, opts,
+        outputPath.get, outProvided = opts.contains("output"),
+        outDelim, outPolicy, runOne)
       else runOne(opts("query"))
     } catch {
       case e: CliExit => throw e
@@ -349,6 +368,59 @@ object Cli {
   private val ColorCodes = Seq("0m", "31m", "32m", "33m", "34m", "35m",
     "36m", "31;1m", "32;1m", "33;1m").map(c => s"\u001b[$c")
 
+  /** Cycle a color per FIELD list (the reference's print_colorized,
+    * rbql_main.py:177-198): each field prefixed with its cycle color
+    * (and `aN:` label when `labels`), joined by the delim, reset at the
+    * line end. Field-list-based so ragged records render their own
+    * width and quoted delims never split. */
+  private def colorizeFields(fields: Seq[String], delim: String,
+      labels: Boolean): String =
+    fields.zipWithIndex.map { case (f, i) =>
+      val c = ColorCodes(i % ColorCodes.length)
+      if (labels) s"$c" + "a" + (i + 1) + s":$f" else s"$c$f"
+    }.mkString(delim) + "\u001b[0m"
+
+  /** First 10 records of a written CSV output, in file order, parsed
+    * with the output dialect. Handles both sink layouts: a plain file
+    * and a Spark part-file directory (parts in name order; when the
+    * write was headered every non-empty part repeats the header, so
+    * parts after the first drop a first line equal to part 0's). */
+  private def outputPreviewFields(outPath: String, delim: String,
+      policy: String, encoding: String): Seq[Seq[String]] = {
+    val root = new java.io.File(outPath)
+    val files =
+      if (root.isDirectory)
+        root.listFiles().filter(_.getName.startsWith("part-"))
+          .sortBy(_.getName).toSeq
+      else Seq(root)
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    var firstLineOfFirstPart: Option[String] = None
+    for ((f, fi) <- files.zipWithIndex if lines.size < 10) {
+      val src = scala.io.Source.fromFile(f, encoding)
+      try {
+        var ln = src.getLines()
+        if (fi == 0) {
+          ln = ln.buffered
+          firstLineOfFirstPart =
+            if (ln.hasNext) Some(ln.asInstanceOf[BufferedIterator[String]].head)
+            else None
+        } else if (ln.hasNext && firstLineOfFirstPart.isDefined) {
+          // repeated per-part header from the headered dir layout
+          val b = ln.buffered
+          if (b.head == firstLineOfFirstPart.get) b.next()
+          ln = b
+        }
+        while (ln.hasNext && lines.size < 10) lines += ln.next()
+      } finally src.close()
+    }
+    lines.toSeq.map { l =>
+      if (policy == "simple" || policy == "whitespace")
+        l.split(java.util.regex.Pattern.quote(delim), -1).toSeq
+      else if (policy == "monocolumn") Seq(l)
+      else sources.CsvSource.splitQuoted(l, delim.head)
+    }
+  }
+
   /** Cycle a color per field of an already-joined CSV line. */
   private def colorizeLine(line: String, delim: String,
       labels: Boolean = false): String = {
@@ -359,36 +431,91 @@ object Cli {
     }.mkString(delim) + "\u001b[0m"
   }
 
-  /** Interactive query loop (reference run_interactive_loop,
-    * rbql_main.py:207-238): show a colorized input preview with aN column
-    * labels, then read-run-preview until an empty line or EOF. */
+  /** Interactive query loop (reference run_interactive_loop +
+    * start_preview_mode_csv, rbql_main.py:207-238, 306-338; every
+    * behavior below byte-pinned against the live reference CLI in
+    * CliSpec): colorized input preview with aN column labels, a colored
+    * output-path warning when --output was absent, then read-run until
+    * the FIRST success — which previews the written output file (no
+    * labels), prints the Success line, and breaks. Errors print to
+    * STDOUT in red and the loop continues; an empty line breaks
+    * silently; EOF prints one newline and breaks. */
   private def interactiveLoop(spark: SparkSession, input: String,
       delim: String, policy: String, opts: Map[String, String],
+      outPath: String, outProvided: Boolean,
+      outDelim: String, outPolicy: String,
       runOne: String => Unit): Unit = {
     println("Input table preview:")
     println("====================================")
-    val preview = sources.CsvSource.read(spark, input, delim, policy,
-      hasHeader = false, // preview shows raw records, header included
-      encoding = opts.getOrElse("encoding", "UTF-8"),
-      commentPrefix = opts.get("comment-prefix")).limit(10)
+    // raw RAGGED records (the reference's sample_records parses each
+    // record into its own field list — a 1-field row previews as one
+    // labeled field, never padded to the table's max width)
+    val enc = opts.getOrElse("encoding", "UTF-8")
+    val preview: Seq[Seq[String]] =
+      if (Set("quoted", "simple", "whitespace")(policy))
+        sources.CsvSource.readRaggedPolicy(spark, input, delim, policy,
+          encoding = enc, commentPrefix = opts.get("comment-prefix"),
+          stripWhitespaces = opts.contains("strip-whitespaces"))
+          .limit(10).collect().toSeq.map(_.getSeq[String](0))
+      else {
+        // quoted_rfc / monocolumn: padded read (fixed-width fallback)
+        val df = sources.CsvSource.read(spark, input, delim, policy,
+          hasHeader = false, encoding = enc,
+          commentPrefix = opts.get("comment-prefix")).limit(10)
+        sinks.Sinks.collectCsvLines(df, delim, header = false,
+          policy = "simple")
+          .map(l => l.split(java.util.regex.Pattern.quote(delim), -1).toSeq)
+      }
     val withHeaders = opts.contains("with-headers")
-    sinks.Sinks.collectCsvLines(preview, delim, header = false, policy = "simple")
-      .zipWithIndex
-      .map { case (l, i) => colorizeLine(l, delim, labels = !(withHeaders && i == 0)) }
+    preview.zipWithIndex
+      .map { case (f, i) => colorizeFields(f, delim, labels = !(withHeaders && i == 0)) }
       .foreach(println)
-    println("====================================")
+    println("====================================\n")
+    // preview-stage warnings (reference start_preview_mode_csv shows
+    // sample_records' warnings here, colored). The reference scopes them
+    // to the 10-row sample; graft scans the whole file -- for a file
+    // whose first inconsistency lies past row 10 graft warns one query
+    // earlier than the reference (cosmetic; recorded here).
+    sources.CsvSource.inputWarnings(spark, input, delim,
+      if (opts.contains("ragged")) "simple" else policy,
+      opts.getOrElse("encoding", "UTF-8"), opts.get("comment-prefix"))
+      .foreach(w => println(s"\u001b[33;1mWarning:\u001b[0m $w"))
+    if (!outProvided)
+      println("\u001b[33;1mWarning:\u001b[0m Output path was not provided. " +
+        s"Result set will be saved as: $outPath")
     var done = false
     while (!done) {
       print("Input SQL-like RBQL query and press Enter:\n> ")
       Console.flush()
       val line = scala.io.StdIn.readLine()
-      if (line == null || line.trim.isEmpty) { println(); done = true }
+      if (line == null) { println(); done = true }
+      else if (line.trim.isEmpty) done = true
       else {
-        try runOne(line.trim)
-        catch {
-          case e: Throwable =>
-            val (cat, msg) = Graft.exceptionToErrorInfo(e)
-            System.err.println(s"Error [$cat]: $msg")
+        val ok =
+          try { runOne(line.trim); true }
+          catch {
+            case e: Throwable =>
+              val (cat, msg) = Graft.exceptionToErrorInfo(e)
+              println(s"\u001b[31;1mError [$cat]:\u001b[0m $msg")
+              false
+          }
+        if (ok) {
+          // success: preview the OUTPUT FILE (read back with the output
+          // dialect, never whitespace-stripped), then break
+          println("\nOutput table preview:")
+          println("====================================")
+          // driver-side read-back in FILE ORDER: a Spark scan packs
+          // splits by size, which scrambles small multi-part outputs
+          // (probed: the join session previewed rows reordered); the
+          // preview is <=10 records, so sequential part-file reads in
+          // name order are both exact and cheap
+          outputPreviewFields(outPath, outDelim, outPolicy,
+            opts.getOrElse("encoding", "UTF-8"))
+            .map(f => colorizeFields(f, outDelim, labels = false))
+            .foreach(println)
+          println("====================================")
+          println(s"Success! Result table was saved to: $outPath")
+          done = true
         }
       }
     }

@@ -260,6 +260,17 @@ object Graft {
       (g.category, g.getMessage)
     case p: org.apache.spark.sql.catalyst.parser.ParseException =>
       ("query parsing", p.getMessage)
+    case a: org.apache.spark.sql.AnalysisException
+        if a.getCondition == "UNRESOLVED_ROUTINE" =>
+      // a bare unknown function: the reference evaluates expressions
+      // per record, so it surfaces as a Python NameError at record 1
+      // ('query execution', probed live). Spark resolves at analysis
+      // time; the one shape this mapping can't reproduce is an unknown
+      // function over an EMPTY input (reference: no error) or first
+      // reached past record 1 via short-circuit — accepted corner.
+      val fn = "`([^`]+)`".r.findFirstMatchIn(a.getMessage)
+        .map(_.group(1)).getOrElse("?")
+      ("query execution", s"At record 1, Details: name '$fn' is not defined")
     case a: org.apache.spark.sql.AnalysisException =>
       val cat =
         if (a.getMessage.contains("PATH_NOT_FOUND") ||

@@ -79,11 +79,16 @@ object ClauseParser {
     if (hits.head.start != 0 && text.substring(0, hits.head.start).trim.nonEmpty)
       Errors.parsing(s"Unexpected text before ${hits.head.keyword.toUpperCase}: '${text.substring(0, hits.head.start).trim}'")
 
-    // duplicate-clause guard (reference errors on repeated keywords)
-    val counts = hits.groupBy(h => if (h.keyword.endsWith("join")) "join" else h.keyword)
-    counts.collect { case (k, hs) if hs.size > 1 => k }.headOption.foreach { k =>
-      Errors.parsing(s"Duplicate $k clause")
-    }
+    // duplicate-clause guard: per exact SPELLING, with the reference's
+    // message (locate_statements, rbql_engine.py:1250 — probed live:
+    // 'select a1 inner join .. inner join ..' -> More than one "INNER
+    // JOIN", while MIXED join spellings fall through to the join-syntax
+    // error instead)
+    hits.groupBy(_.keyword).collect { case (k, hs) if hs.size > 1 => k }
+      .toSeq.sorted.headOption.foreach { k =>
+        Errors.parsing(
+          s"""More than one "${k.toUpperCase(java.util.Locale.ROOT)}" statements found""")
+      }
 
     var select: Option[SelectSpec] = None
     var update: Option[UpdateSpec] = None

@@ -406,8 +406,9 @@ object CsvSource {
     }
   }
 
-  /** Driver-side RFC-ish quoted split (autodetect sampling only). */
-  private def splitQuoted(line: String, delim: Char): Seq[String] = {
+  /** Driver-side RFC-ish quoted split (autodetect sampling + the
+    * interactive CLI's 10-row output-preview read-back). */
+  private[graft] def splitQuoted(line: String, delim: Char): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var inQ = false

@@ -47,9 +47,13 @@ class ApiSpec extends SparkSpec {
     val (c1, _) = Graft.exceptionToErrorInfo(
       intercept[Throwable](Graft.query(spark, "SELEKT a1", sf("region"))))
     assert(c1 == "query parsing")
-    val (c2, _) = Graft.exceptionToErrorInfo(
+    // unknown bare function: the reference evaluates per record, so it
+    // surfaces as a NameError at record 1 under 'query execution'
+    // (probed live, r15; byte-pinned in CliInteractiveSpec)
+    val (c2, m2) = Graft.exceptionToErrorInfo(
       intercept[Throwable](Graft.query(spark, "SELECT nosuchfn(a1)", sf("region")).collect()))
-    assert(c2 == "query parsing")
+    assert(c2 == "query execution")
+    assert(m2 == "At record 1, Details: name 'nosuchfn' is not defined")
     val (c3, m3) = Graft.exceptionToErrorInfo(new RuntimeException("boom"))
     assert(c3 == "query execution" && m3 == "boom")
   }
