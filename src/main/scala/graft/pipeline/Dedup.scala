@@ -997,10 +997,16 @@ object Dedup {
         greatest(col("nsh_p"), col("nsh_f")) * threshold <=
           least(col("nsh_p"), col("nsh_f")))
       .select(col("id_p").alias("id_a"), col("id_f").alias("id_b"))
-    // hot regime: sort-based dedup (spill-graceful, see sortDistinctPair);
-    // cold regime: hash dropDuplicates keeps the map-side combine
+    // candidate-dedup strategy: the sort-based path (spill-graceful,
+    // see sortDistinctPair) only pays off when the candidate volume can
+    // actually threaten the hash-agg's memory — gated on the memoized
+    // corpus size (8× the per-cell budget ≈ 256 MB of shingles at the
+    // default; the sf0.1 bench corpus is ~12 MB and keeps the hash
+    // dedup's map-side combine, the ×100 corpus is ~1.2 GB and sorts)
     val candidates =
-      if (bundled) sortDistinctPair(candPre)
+      if (bundled && totalShingleBytes(shDf) >
+          8.0 * verifyCellBudget(shingled.sparkSession))
+        sortDistinctPair(candPre)
       else candPre.dropDuplicates("id_a", "id_b")
     // bundled verify for the hot-vocab regime. The bundling key is a
     // long: integral ids cast losslessly; anything else is keyed by
@@ -1053,6 +1059,30 @@ object Dedup {
       .withColumn("jaccard", jaccardPreDistinct(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), Rounding.halfUp(col("jaccard"), 6).alias("jaccard"))
+  }
+
+  private def verifyCellBudget(spark: org.apache.spark.sql.SparkSession): Long = {
+    val budget = spark.conf.getOption("spark.graft.dedup.verifyCellBytes")
+      .map(_.toLong).getOrElse(32L << 20)
+    require(budget > 0, "verifyCellBytes must be positive")
+    budget
+  }
+
+  /** Total shingle bytes of a shingled corpus, memoized per input plan
+    * (same discipline as autoDecisionCache): repeated runs of one query
+    * pay the stats job once, and the corpus size a plan denotes doesn't
+    * change within a session. Drives both the verify bucket count and
+    * the candidate-dedup strategy choice. */
+  private def totalShingleBytes(shDf: DataFrame): Double = {
+    val key: (Any, Double) =
+      (shDf.queryExecution.analyzed.canonicalized, -1.0)
+    Option(autoDecisionCache.get(key)).map(_.toDouble).getOrElse {
+      val st = shDf.agg(
+        sum(size(col("sh")).cast("long")).alias("tot")).head()
+      val t = (if (st.isNullAt(0)) 0L else st.getLong(0)) * 8.0
+      autoDecisionCache.put(key, t)
+      t
+    }
   }
 
   /** Exact two-column distinct with O(1) task memory: hash exchange on
@@ -1151,25 +1181,9 @@ object Dedup {
     // cheap aggregate reuses shDf's materialized exchange)
     val b = spark.conf.getOption("spark.graft.dedup.verifyBuckets")
       .map(_.toInt).getOrElse {
-        val budget = spark.conf
-          .getOption("spark.graft.dedup.verifyCellBytes")
-          .map(_.toLong).getOrElse(32L << 20)
-        require(budget > 0, "verifyCellBytes must be positive")
-        // memoized per input plan (same discipline as autoDecisionCache):
-        // repeated runs of the same query must not pay the stats job
-        // again, and the corpus size a plan denotes doesn't change
-        // within a session's bench reps
-        val key: (Any, Double) =
-          (shDf.queryExecution.analyzed.canonicalized, -1.0)
-        val totBytes = Option(autoDecisionCache.get(key))
-          .map(_.toDouble).getOrElse {
-            val st = shDf.agg(
-              sum(size(col("sh")).cast("long")).alias("tot")).head()
-            val t = (if (st.isNullAt(0)) 0L else st.getLong(0)) * 8.0
-            autoDecisionCache.put(key, t)
-            t
-          }
-        math.max(16, math.min(4096, math.ceil(totBytes / budget).toInt))
+        val budget = verifyCellBudget(spark)
+        math.max(16, math.min(4096,
+          math.ceil(totalShingleBytes(shDf) / budget).toInt))
       }
     require(b > 0 && b <= 4096, "verifyBuckets must be in [1, 4096]")
     def bkt(c: Column): Column = pmod(xxhash64(c), lit(b)).cast("int")
