@@ -1003,11 +1003,16 @@ object Dedup {
     // corpus size (8× the per-cell budget ≈ 256 MB of shingles at the
     // default; the sf0.1 bench corpus is ~12 MB and keeps the hash
     // dedup's map-side combine, the ×100 corpus is ~1.2 GB and sorts)
+    val sortedDedup = bundled && totalShingleBytes(shDf) >
+      8.0 * verifyCellBudget(shingled.sparkSession)
     val candidates =
-      if (bundled && totalShingleBytes(shDf) >
-          8.0 * verifyCellBudget(shingled.sparkSession))
-        sortDistinctPair(candPre)
+      if (sortedDedup) sortDistinctPair(candPre)
       else candPre.dropDuplicates("id_a", "id_b")
+    // ship-list source: on the sort-dedup path the ship aggregates read
+    // the RAW candidate stream (identical distinct (id, bucket) set;
+    // avoids re-running the full pair sort per consumer), on the cheap
+    // path the deduped candidates (smaller agg input)
+    val shipSource = if (sortedDedup) candPre else candidates
     // bundled verify for the hot-vocab regime. The bundling key is a
     // long: integral ids cast losslessly; anything else is keyed by
     // xxhash64(id) and the original ids restored from the (hash → id)
@@ -1023,18 +1028,22 @@ object Dedup {
         org.apache.spark.sql.types.ByteType => true
       case _ => false
     }
+    def castPair(df: DataFrame): DataFrame =
+      df.select(col("id_a").cast("long").alias("id_a"),
+        col("id_b").cast("long").alias("id_b"))
+    def hashPair(df: DataFrame): DataFrame =
+      df.select(xxhash64(col("id_a")).alias("id_a"),
+        xxhash64(col("id_b")).alias("id_b"))
     if (bundled && idIsIntegral)
       return bundledVerify(
-        candidates.select(col("id_a").cast("long").alias("id_a"),
-          col("id_b").cast("long").alias("id_b")),
+        castPair(candidates), castPair(shipSource),
         shDf.select(col("id").cast("long").alias("id"), col("sh")),
         threshold)
         .select(col("id_a").cast(idType).alias("id_a"),
           col("id_b").cast(idType).alias("id_b"), col("jaccard"))
     if (bundled) {
       val pairsH = bundledVerify(
-        candidates.select(xxhash64(col("id_a")).alias("id_a"),
-          xxhash64(col("id_b")).alias("id_b")),
+        hashPair(candidates), hashPair(shipSource),
         shDf.select(xxhash64(col("id")).alias("id"), col("sh")),
         threshold)
       // restore original ids: the dictionary shares shDf's lineage and
@@ -1171,8 +1180,8 @@ object Dedup {
     * of `candidates` before the fan-out, at the cost of the
     * pinned-lineage release discipline. Ids must arrive as longs —
     * [[jaccardPairsOn]] casts integral ids and hashes the rest. */
-  private def bundledVerify(candidates: DataFrame, shDf: DataFrame,
-      threshold: Double): DataFrame = {
+  private def bundledVerify(candidates: DataFrame, shipCands: DataFrame,
+      shDf: DataFrame, threshold: Double): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
     // bucket count: explicit conf pin, else budget-derived from the
@@ -1195,9 +1204,15 @@ object Dedup {
     // ship lists: one row per (doc, distinct partner bucket, side).
     // side flag 0 = RIGHT (id_b), 1 = LEFT (id_a): the sorted cogroup
     // below drains rights into the cell map first, then streams lefts.
-    val needA = candidates
+    // Derived from `shipCands` — the PRE-dedup candidate stream on the
+    // sort-distinct path (duplicate pairs add no new (id, bucket), so
+    // the distinct ship set is identical, and one bounded-output agg
+    // beats re-running the full 16-byte-pair sort per consumer; the
+    // r15 8 GB ×100 measurement of the per-consumer-sort shape was
+    // 113 s / 21.8 GB spill vs this shape's single cells-side sort).
+    val needA = shipCands
       .select(col("id_a").alias("id"), bkt(col("id_b")).alias("ob")).distinct()
-    val needB = candidates
+    val needB = shipCands
       .select(col("id_b").alias("id"), bkt(col("id_a")).alias("ob")).distinct()
     val ships = needB.join(shDf, "id")
       .select((col("ob") * b + bkt(col("id"))).alias("_1"),
