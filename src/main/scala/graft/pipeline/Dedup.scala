@@ -998,13 +998,20 @@ object Dedup {
           least(col("nsh_p"), col("nsh_f")))
       .select(col("id_p").alias("id_a"), col("id_f").alias("id_b"))
     // candidate-dedup strategy: the sort-based path (spill-graceful,
-    // see sortDistinctPair) only pays off when the candidate volume can
-    // actually threaten the hash-agg's memory — gated on the memoized
-    // corpus size (8× the per-cell budget ≈ 256 MB of shingles at the
-    // default; the sf0.1 bench corpus is ~12 MB and keeps the hash
-    // dedup's map-side combine, the ×100 corpus is ~1.2 GB and sorts)
-    val sortedDedup = bundled && totalShingleBytes(shDf) >
-      8.0 * verifyCellBudget(shingled.sparkSession)
+    // see sortDistinctPair) costs the hash-agg's map-side combine
+    // (~25% on the quiet 8 GB ×100: 79.7 s → 99.7 s measured), so it
+    // engages only when the corpus is large RELATIVE TO THIS JVM's
+    // memory — above a quarter of the max heap (the regime where the
+    // r15 mem-pressure probe showed the hash-agg's spill transition
+    // dying under pool contention), overridable via
+    // spark.graft.dedup.sortDistinctMinBytes. Local-mode-first signal:
+    // in local[n] the planning JVM IS the executor; on a cluster with
+    // smaller executors than the driver, set the conf explicitly.
+    val sortCut = shingled.sparkSession.conf
+      .getOption("spark.graft.dedup.sortDistinctMinBytes")
+      .map(_.toDouble)
+      .getOrElse(Runtime.getRuntime.maxMemory().toDouble / 4)
+    val sortedDedup = bundled && totalShingleBytes(shDf) > sortCut
     val candidates =
       if (sortedDedup) sortDistinctPair(candPre)
       else candPre.dropDuplicates("id_a", "id_b")
