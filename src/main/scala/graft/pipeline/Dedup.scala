@@ -68,9 +68,14 @@ object Dedup {
     * 8-byte hashes throughout. */
   def crossNgramCoverage(train: DataFrame, evalDf: DataFrame,
       textCol: String, k: Int = 2): DataFrame = {
-    val g = (d: DataFrame) => d.select(explode(
+    // explode_outer + null-filter, not explode: InferFiltersFromGenerate
+    // would re-evaluate the shingle kernel in a pushed-down guard at the
+    // scan (see crossContainment); hash elements are never null, so
+    // this is row-identical
+    val g = (d: DataFrame) => d.select(explode_outer(
       org.apache.spark.sql.graft.sketch.shingle_hashes(col(textCol), k))
       .alias("s"))
+      .filter(col("s").isNotNull)
     val evalG = g(evalDf).distinct()
     val hit = g(train).join(broadcast(evalG), "s")
       .agg(count_distinct(col("s")).alias("n_hit"))
@@ -98,8 +103,11 @@ object Dedup {
       new org.apache.spark.sql.graft.AcAutomaton(patterns))
     val pArr = patterns.toArray
     df.select(col(idCol),
-        explode(org.apache.spark.sql.graft.sketch
+        // outer + null-filter: the non-outer form's inferred guard would
+        // run the Aho-Corasick scan twice per row (match ids never null)
+        explode_outer(org.apache.spark.sql.graft.sketch
           .ac_matches(col(textCol), bc)).alias("__pid"))
+      .filter(col("__pid").isNotNull)
       .select(col(idCol),
         element_at(array(pArr.map(lit).toIndexedSeq: _*),
           col("__pid") + 1).alias("pattern"))
@@ -247,14 +255,25 @@ object Dedup {
     // shingles once measured faster than three source re-scans, and it
     // stops CollapseProject from inlining expensive expressions into join
     // projections (re-evaluation per candidate pair).
-    val shDf = df.select(col(idCol).alias("id"),
-      org.apache.spark.sql.graft.sketch.shingle_hashes(col(textCol), k).alias("shh"))
+    // Scans.spread before the kernel (no-op at scale): a single-split
+    // scan would otherwise run the whole shingle pass serially; the
+    // repartition barrier AFTER the kernel still materializes the arrays
+    // once for the three consumers (signature chain + both verify sides)
+    val shDf = Scans.spread(
+        df.select(col(idCol).alias("id"), col(textCol).alias("__mt")),
+        col("id"))
+      .select(col("id"),
+        org.apache.spark.sql.graft.sketch.shingle_hashes(col("__mt"), k).alias("shh"))
       .repartition(col("id"))
     val buckets = shDf
       .select(col("id"),
-        explode(bandHashes(
+        // outer + null-filter: the inferred guard of a non-outer explode
+        // is predicate-pushed below the exchange and re-evaluates the
+        // FULL signature chain at the scan (band structs are never null)
+        explode_outer(bandHashes(
           org.apache.spark.sql.graft.sketch.minhash_signature_longs(col("shh"), n),
           bands, rows)).alias("b"))
+      .filter(col("b").isNotNull)
       .select(col("id"), col("b.band").alias("band"), col("b.bh").alias("bh"))
       .repartition(col("band"), col("bh"))
     // candidate pairs carry ids only — the heavy shingle arrays are joined
@@ -298,14 +317,27 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       k: Int = 3, bands: Int = 16, rows: Int = 4): MinhashIndex = {
     val n = bands * rows
-    val sk = df.select(col(idCol).alias("id"),
-      org.apache.spark.sql.graft.sketch.shingle_hashes(col(textCol), k).alias("shh"))
-      .repartition(col("id"))
+    // no repartition barrier (r15 optimization round): the old id-keyed
+    // exchange shuffled every corpus shingle array so a probe's verify
+    // join could reuse it — but the verify only ever touches the
+    // candidate rows ([[minhashProbe]] now streams the sketches map-side
+    // against a broadcast candidate set), and the persisted-index path
+    // (writeMinhashIndex → readMinhashIndex) never benefited: each write
+    // executed its own exchange. The corpus pays one extra scan per
+    // consumer instead of a full-corpus array shuffle (guide §2.4).
+    val sk = Scans.spread(
+        df.select(col(idCol).alias("id"), col(textCol).alias("__mt")),
+        col("id"))
+      .select(col("id"),
+        org.apache.spark.sql.graft.sketch.shingle_hashes(col("__mt"), k).alias("shh"))
     val buckets = sk
       .select(col("id"),
-        explode(bandHashes(
+        // outer + null-filter: see minhashDupPairs — avoids the inferred
+        // guard re-running the signature chain at the scan
+        explode_outer(bandHashes(
           org.apache.spark.sql.graft.sketch.minhash_signature_longs(col("shh"), n),
           bands, rows)).alias("b"))
+      .filter(col("b").isNotNull)
       .select(col("b.band").alias("band"), col("b.bh").alias("bh"), col("id"))
     MinhashIndex(buckets, sk, k, bands, rows)
   }
@@ -379,21 +411,32 @@ object Dedup {
     // banding than the build would silently return no matches
     val (k, bands, rows) = (index.k, index.bands, index.rows)
     val n = bands * rows
-    val newSk = newDf.select(col(idCol).alias("new_id"),
-      org.apache.spark.sql.graft.sketch.shingle_hashes(col(textCol), k).alias("shn"))
+    val newSk = Scans.spread(
+        newDf.select(col(idCol).alias("new_id"), col(textCol).alias("__mt")),
+        col("new_id"))
+      .select(col("new_id"),
+        org.apache.spark.sql.graft.sketch.shingle_hashes(col("__mt"), k).alias("shn"))
       .repartition(col("new_id"))
     val newBuckets = newSk
       .select(col("new_id"),
-        explode(bandHashes(
+        // outer + null-filter: see minhashDupPairs
+        explode_outer(bandHashes(
           org.apache.spark.sql.graft.sketch.minhash_signature_longs(col("shn"), n),
           bands, rows)).alias("b"))
+      .filter(col("b").isNotNull)
       .select(col("b.band").alias("band"), col("b.bh").alias("bh"), col("new_id"))
     val candidates = newBuckets.join(index.buckets, Seq("band", "bh"))
       .select(col("new_id"), col("id").alias("corpus_id"))
       .dropDuplicates("new_id", "corpus_id")
-    candidates
-      .join(newSk, "new_id")
-      .join(index.sketches.withColumnRenamed("id", "corpus_id"), "corpus_id")
+    // verify (r15 optimization round): candidates + the batch's own
+    // sketches are batch-bounded — broadcast them and stream the corpus
+    // sketches map-side, instead of shuffling the 100 TB sketch table by
+    // id for a join that only ever touches the candidate rows (guide
+    // §2.4/§3.1; same move as crossContainment's counting join). Results identical:
+    // same candidate set, same jaccard arithmetic.
+    val candN = candidates.join(newSk, "new_id")
+    index.sketches.withColumnRenamed("id", "corpus_id")
+      .join(broadcast(candN), "corpus_id")
       .withColumn("jaccard", jaccardPreDistinct(col("shn"), col("shh")))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("new_id"), col("corpus_id"),
@@ -485,9 +528,14 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
       k: Int = 3, threshold: Double = 0.8): DataFrame =
-    jaccardPairsOn(df.select(col(idCol).alias("id"),
-      org.apache.spark.sql.graft.sketch.shingle_hashes(col(textCol), k)
-        .alias("sh")), threshold)
+    // Scans.spread before the kernel (no-op at scale): a single-split
+    // scan would otherwise shingle the whole corpus serially
+    jaccardPairsOn(Scans.spread(
+        df.select(col(idCol).alias("id"), col(textCol).alias("__jt")),
+        col("id"))
+      .select(col("id"),
+        org.apache.spark.sql.graft.sketch.shingle_hashes(col("__jt"), k)
+          .alias("sh")), threshold)
 
   /** Fuzzy key matching (record linkage): pairs of rows whose SHORT
     * string key (name, address line, title) has character-k-gram
@@ -500,9 +548,12 @@ object Dedup {
   def fuzzyKeyPairs(
       df: DataFrame, keyCol: String, idCol: String,
       k: Int = 3, threshold: Double = 0.7): DataFrame =
-    jaccardPairsOn(df.select(col(idCol).alias("id"),
-      org.apache.spark.sql.graft.sketch.char_shingle_hashes(col(keyCol), k)
-        .alias("sh")), threshold)
+    jaccardPairsOn(Scans.spread(
+        df.select(col(idCol).alias("id"), col(keyCol).alias("__jt")),
+        col("id"))
+      .select(col("id"),
+        org.apache.spark.sql.graft.sketch.char_shingle_hashes(col("__jt"), k)
+          .alias("sh")), threshold)
 
   /** Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD 1995):
     * candidate pairs = records within `window` positions of each other in
@@ -756,7 +807,10 @@ object Dedup {
     // aggregate; map-side combine collapses within-doc repeats
     val tf = df
       .select(col(idCol).as("id"),
-        explode(TextAnalysis.tokens(lower(col(textCol)))).as("__t"))
+        // outer + null-filter: avoids the inferred guard re-tokenizing
+        // at the scan (tokens are never null)
+        explode_outer(TextAnalysis.tokens(lower(col(textCol)))).as("__t"))
+      .filter(col("__t").isNotNull)
       .select(col("id"), h.as("h"))
       .groupBy(col("id"), col("h"))
       .agg(count(lit(1)).cast("double").as("tf"))
@@ -903,7 +957,8 @@ object Dedup {
       threshold: Double): (Double, Double) = {
     val postings = shingled.filter(col("sh").isNotNull)
       .select(size(col("sh")).cast("double").alias("nsh"),
-        explode(col("sh")).alias("s"))
+        explode_outer(col("sh")).alias("s"))
+      .filter(col("s").isNotNull)
       .select(col("s"), (lit(1.0) / col("nsh")).alias("wd"),
         ((col("nsh") - ceil(lit(threshold) * col("nsh")) + 1) / col("nsh"))
           .alias("wp"))
@@ -975,8 +1030,13 @@ object Dedup {
     // sides) — one ReusedExchange instead of re-shingling the corpus per
     // branch
     val shDf = shingled.repartition(col("id"))
+    // outer + null-filter: the non-outer form's inferred size/isnotnull
+    // guard is pushed below the repartition barrier, substituting the
+    // alias back to the shingle kernel — which then re-runs per row at
+    // the scan (hash elements are never null, so this is row-identical)
     val inv = shDf.select(col("id"), size(col("sh")).alias("nsh"),
-      explode(col("sh")).alias("s"))
+      explode_outer(col("sh")).alias("s"))
+      .filter(col("s").isNotNull)
     // global shingle frequency as a count window over s: one exchange,
     // no aggregate table and no join-back (a groupBy(s) + join would
     // shuffle the same postings AND build + probe a frequency table)
@@ -1343,42 +1403,61 @@ object Dedup {
     * where the BENCH document's shingle set is contained in a TRAIN
     * document at `threshold` — containment = |S_b ∩ S_t| / |S_b|.
     *
-    * Exact pigeonhole prefix on the bench side only: if containment ≥ t,
-    * at most ⌊(1−t)·n_b⌋ of b's shingles miss S_t, so ANY
-    * ⌊(1−t)·n_b⌋+1 of them (we take the smallest hashes) must include a
-    * shared one. The candidate join is bench-prefix ⋈ train-postings:
-    * the bench set (benchmarks) is tiny next to a 100 TB train corpus,
-    * so the join broadcasts the bench side and the train corpus is
-    * streamed once — never self-joined, never collected. Verification
-    * joins shingle arrays back by id (candidates carry ids only). */
+    * COUNTING-JOIN shape (r15 optimization round, guide §1.2/§2.3/§2.4):
+    * shingle sets are hashed-distinct, so |S_b ∩ S_t| is exactly the
+    * match count of train-postings ⋈ bench-postings on the shingle hash
+    * — one map-side broadcast probe of the streamed train corpus (the
+    * bench posting set is benchmark-sized by contract; explicit
+    * `broadcast()`, guide §3.1) feeding one (bench_id, train_id) count
+    * aggregate with map-side partial combine. Containment = cnt / n_b
+    * directly.
+    *
+    * This replaces the former prefix-candidate architecture (pigeonhole
+    * prefix join → pair dedup exchange → two array joins → per-pair
+    * array_intersect), which on the hot-bigram contract face generated
+    * 1.31M candidate pairs and then intersected ~50-element arrays for
+    * every one of them — the measured dominant cost. The counting join
+    * never materializes candidates, never shuffles a shingle array, and
+    * drops every non-matching train shingle at the map-side probe; at a
+    * 100 TB / low-contamination scale the train corpus is streamed once
+    * and only matched postings reach the (pair-bounded) aggregate. Rows
+    * with null ids are filtered explicitly — the old equi-join verify
+    * dropped them implicitly. Results are row-identical: same pairs,
+    * and cnt/n_b is the same one IEEE division on the same exact
+    * integers as size(array_intersect)/size. */
   def crossContainment(
       train: DataFrame, bench: DataFrame, textCol: String, idCol: String,
       k: Int = 2, threshold: Double = 0.8): DataFrame = {
-    val trSh = train.select(col(idCol).alias("train_id"),
-      org.apache.spark.sql.graft.sketch.shingle_hashes(col(textCol), k).alias("sh_t"))
-      .repartition(col("train_id"))
-    val beSh = bench.select(col(idCol).alias("bench_id"),
-      org.apache.spark.sql.graft.sketch.shingle_hashes(col(textCol), k).alias("sh_b"))
-      .repartition(col("bench_id"))
-    val post = trSh.select(col("train_id"), explode(col("sh_t")).alias("s"))
-    // epsilon before floor: (1-t)·n floors one short when it lands an ulp
-    // below an exact integer (1.0-0.8 = 0.19999…96, ×10 → floor 1 not 2),
-    // silently dropping a candidate at containment exactly t. A longer
-    // prefix is always safe (more candidates, still exact).
-    val prefLen = greatest(
-      (floor(lit(1.0 - threshold) * size(col("sh_b")) + lit(1e-9)) + 1)
-        .cast("int"), lit(1))
-    val bePref = beSh.select(col("bench_id"),
-      explode(slice(sort_array(col("sh_b")), lit(1), prefLen)).alias("s"))
-    val candidates = bePref.join(post, "s")
-      .select(col("bench_id"), col("train_id"))
-      .dropDuplicates("bench_id", "train_id")
-    candidates
-      .join(beSh, "bench_id")
-      .join(trSh.hint("shuffle_hash"), "train_id")
+    def sh(c: Column) = org.apache.spark.sql.graft.sketch.shingle_hashes(c, k)
+    // spread BEFORE the shingle kernel (Scans.spread — no-op at scale):
+    // what gets exchanged, if anything, is the raw (id, text) row
+    val beSh = Scans.spread(
+        bench.select(col(idCol).alias("bench_id"), col(textCol).alias("__bt"))
+          .filter(col("bench_id").isNotNull),
+        col("bench_id"))
+      .select(col("bench_id"), sh(col("__bt")).alias("sh_b"))
+    // explode_outer + element null-filter, NOT explode: a non-outer
+    // Generate triggers InferFiltersFromGenerate, whose size/isnotnull
+    // guard on the generator child is predicate-pushed below the
+    // exchange and re-evaluates the whole shingle expression a second
+    // time per row in the (often single-split) scan stage — see
+    // plans/r15/q_contain_before.txt node (7). Hash arrays never hold
+    // null elements, so the outer form + isNotNull(s) is row-identical.
+    val bePost = beSh.select(col("bench_id"), size(col("sh_b")).alias("nb"),
+        explode_outer(col("sh_b")).alias("s"))
+      .filter(col("s").isNotNull)
+    val post = Scans.spread(
+        train.select(col(idCol).alias("train_id"),
+            col(textCol).alias("__tt"))
+          .filter(col("train_id").isNotNull),
+        col("train_id"))
+      .select(col("train_id"), explode_outer(sh(col("__tt"))).alias("s"))
+      .filter(col("s").isNotNull)
+    post.join(broadcast(bePost), "s")
+      .groupBy(col("bench_id"), col("nb"), col("train_id"))
+      .agg(count(lit(1)).alias("__cnt"))
       .withColumn("containment",
-        size(array_intersect(col("sh_b"), col("sh_t"))).cast("double") /
-          size(col("sh_b")))
+        col("__cnt").cast("double") / col("nb"))
       .filter(col("containment") >= threshold)
       .select(col("bench_id"), col("train_id"),
         Rounding.halfUp(col("containment"), 6).alias("containment"))
@@ -1524,8 +1603,12 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     require(w > 0 && minOccurrences >= 2, "w > 0 and minOccurrences >= 2")
     val hashed = df.select(col(idCol).alias("doc_id"),
-      posexplode(org.apache.spark.sql.graft.sketch.window_hashes(col(textCol), w))
+      // outer + null-filter: the non-outer form's inferred guard would
+      // run the window-hash kernel twice per row at the scan
+      posexplode_outer(
+        org.apache.spark.sql.graft.sketch.window_hashes(col(textCol), w))
         .as(Seq("pos", "whash")))
+      .filter(col("whash").isNotNull)
     val dupHashes = hashed.groupBy(col("whash"))
       .agg(count(lit(1)).alias("__occ"))
       .filter(col("__occ") >= minOccurrences)

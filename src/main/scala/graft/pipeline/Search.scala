@@ -109,11 +109,26 @@ object Search {
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("bkt", termBucketCol(col("term"), buckets))
-    postings.write.partitionBy("bkt").mode("overwrite")
-      .parquet(s"$path/postings")
-    postings.groupBy(col("term"), col("bkt"))
+    // cluster each bucket's rows before the partitioned write (r15
+    // optimization round, guide §6): an unclustered partitionBy fans
+    // every shuffle partition across every bucket directory — up to
+    // (shuffle partitions × buckets) tiny files, paid again by every
+    // probe's listing/open. After the bkt repartition a bucket is one
+    // task → one file per bucket (a real deployment additionally caps
+    // file size via spark.sql.files.maxRecordsPerFile; the layout stays
+    // correct either way — the probe prunes on the directory key).
+    postings.repartition(col("bkt")).write.partitionBy("bkt")
+      .mode("overwrite").parquet(s"$path/postings")
+    // derive per-term df from the JUST-WRITTEN postings instead of
+    // re-running the corpus scan + explode + (doc, dl, term) aggregate a
+    // second time (guide §1.2 — don't recompute what is already on
+    // disk): the read-back prunes to (term, bkt) and arrives already
+    // clustered by bucket.
+    df.sparkSession.read.parquet(s"$path/postings")
+      .groupBy(col("term"), col("bkt"))
       .agg(count(lit(1)).as("df"))
-      .write.partitionBy("bkt").mode("overwrite").parquet(s"$path/df")
+      .repartition(col("bkt")).write.partitionBy("bkt")
+      .mode("overwrite").parquet(s"$path/df")
     toks.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"),
         lit(buckets).as("buckets"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
@@ -140,11 +155,17 @@ object Search {
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("bkt", termBucketCol(col("term"), buckets))
-    postings.write.partitionBy("bkt").mode("append")
-      .parquet(s"$path/postings")
+    // cluster by bucket before the partitioned append (one new file per
+    // bucket per batch, not one per task per bucket — guide §6). The df
+    // delta re-aggregates the batch subtree (batch-sized, cheap): unlike
+    // buildTextIndex it must NOT read back the postings dir, which after
+    // the append also holds every previous batch's rows.
+    postings.repartition(col("bkt")).write.partitionBy("bkt")
+      .mode("append").parquet(s"$path/postings")
     postings.groupBy(col("term"), col("bkt"))
       .agg(count(lit(1)).as("df"))
-      .write.partitionBy("bkt").mode("append").parquet(s"$path/df")
+      .repartition(col("bkt")).write.partitionBy("bkt")
+      .mode("append").parquet(s"$path/df")
     val batch = toks.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
       .head()
     val statsOut = s"$path/stats"
