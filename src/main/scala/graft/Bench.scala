@@ -1012,9 +1012,23 @@ object Bench {
     // on 32 fixed partitions measures per-partition hash/sort pressure a
     // real cluster (whose partition count scales with the data) never sees
     val shufflePartitions = sys.env.getOrElse("GRAFT_BENCH_SHUFFLE", cpus)
+    // AQE's coalescing floor (default 1 MB) assumes stage cost is
+    // byte-proportional; the pair-verify / candidate-dedup stages here
+    // are CPU-dense over FEW compressed bytes (8-byte hash pairs, array
+    // intersects), and a 1 MB floor coalesced them to 1-2 tasks on a
+    // 32-core session (measured: q_ngram_pairs' verify stage ran 2 tasks
+    // over 2 MB of shuffle for seconds of CPU). 64 KB keeps those stages
+    // at cluster parallelism while leaving real-volume runs untouched —
+    // at the ×10/×100 decades the size-derived target (total/parallelism,
+    // hundreds of MB) dominates and the floor never binds. Env-overridable
+    // so scale experiments can restore the default.
+    val aqeMinPartition = sys.env.getOrElse(
+      "GRAFT_BENCH_AQE_MIN_PARTITION", "64k")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        aqeMinPartition)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

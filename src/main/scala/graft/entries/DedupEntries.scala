@@ -279,9 +279,12 @@ private[graft] object DedupEntries {
       val emb = certGuard(plantedEmbeddings(s, dir), "q_semdedup_recall")
       val sem = pipeline.Clustering.semanticDupPairs(emb, "embedding",
         "vec_id", k = 8, threshold = 0.95).select("id_a", "id_b")
-      // exact baseline: brute-force all-pairs at the same threshold
-      val a = emb.select(col("vec_id").alias("id_a"),
-        col("embedding").alias("__va"))
+      // exact baseline: brute-force all-pairs at the same threshold.
+      // Scans.spread (no-op at scale) parallelizes the streamed side of
+      // the nested-loop pair scan on single-split local inputs.
+      val a = pipeline.Scans.spread(emb, col("vec_id"))
+        .select(col("vec_id").alias("id_a"),
+          col("embedding").alias("__va"))
       val b = emb.select(col("vec_id").alias("id_b"),
         col("embedding").alias("__vb"))
       val exact = a.join(b, col("id_a") < col("id_b"))

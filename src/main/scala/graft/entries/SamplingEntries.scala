@@ -42,8 +42,13 @@ private[graft] object SamplingEntries {
     // out right if the RIFF walk + per-frame imageio decode both
     // succeed, and the oracle replays the generator arithmetic
     "q_video" -> ((s, dir) => {
+      // Scans.spread (no-op at scale): the AVI encode+decode kernel is
+      // the whole query cost and would otherwise run on the scan's
+      // single local split
       val media = pipeline.Multimodal.attachFakeVideo(
-        t(s, dir, "documents").select("doc_id", "text"), "text")
+        pipeline.Scans.spread(
+          t(s, dir, "documents").select("doc_id", "text"), col("doc_id")),
+        "text")
       pipeline.Multimodal.extractFeatures(media)
         .select(col("doc_id"),
           col("media_feat")(0).cast("long").alias("n_frames"),
@@ -196,8 +201,11 @@ private[graft] object SamplingEntries {
         "y", buckets = 8192, alpha = 0.5)
       // withScore appends to the LABELED frame — score and label ride one
       // corpus scan instead of a corpus self-join on doc_id (r14: the
-      // join was the report family's residual cost after the fit memo)
-      val scored = pipeline.Classify.withScore(labeled, "text", model)
+      // join was the report family's residual cost after the fit memo).
+      // Scans.spread (no-op at scale) parallelizes the scoring kernel
+      // feeding the rank exchange on single-split local inputs.
+      val scored = pipeline.Classify.withScore(
+        pipeline.Scans.spread(labeled, col("doc_id")), "text", model)
       pipeline.Classify.aucScore(scored, "score", "y", "doc_id")
     }),
     // confusion matrix + precision/recall/F1 at the zero threshold

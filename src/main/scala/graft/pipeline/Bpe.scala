@@ -44,8 +44,8 @@ object Bpe {
     require(numMerges > 0, "numMerges must be positive")
     require(maxWords > 0, "maxWords must be positive")
     val wordCounts = df
-      .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("w"))
-      .filter(col("w") =!= "")
+      .select(explode_outer(TextAnalysis.tokens(lower(col(textCol)))).as("w"))
+      .filter(col("w").isNotNull && col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w").asc)
       .limit(maxWords)

@@ -52,7 +52,8 @@ object Classify {
   /** Per-occurrence hashed feature stream: (`idCol`, `f`). */
   private def features(df: DataFrame, textCol: String, idCol: String,
       buckets: Int): DataFrame =
-    df.select(col(idCol), explode(grams(textCol)).as("__g"))
+    df.select(col(idCol), explode_outer(grams(textCol)).as("__g"))
+      .filter(col("__g").isNotNull)
       .select(col(idCol), (hash32(col("__g")) % buckets).as("f"))
 
   /** Multinomial Naive Bayes over hashed n-grams, closed-form:
@@ -87,7 +88,8 @@ object Classify {
     // one pass builds BOTH class histograms: tag each occurrence with its
     // doc's label, aggregate (f, y) — ≤ 2·buckets result rows
     val tagged = labeled.select(col(idCol), y.as("__y"),
-        explode(grams(textCol)).as("__g"))
+        explode_outer(grams(textCol)).as("__g"))
+      .filter(col("__g").isNotNull)
       .select(col("__y"), (hash32(col("__g")) % buckets).as("f"))
       .groupBy(col("__y"), col("f")).agg(count(lit(1)).as("cnt"))
       .collect()
@@ -150,7 +152,8 @@ object Classify {
     // sample, not the corpus.
     val docFeats = labeled
       .select(col(idCol).as("__id"), col(labelCol).cast("double").as("__y"),
-        explode(grams(textCol)).as("__g"))
+        explode_outer(grams(textCol)).as("__g"))
+      .filter(col("__g").isNotNull)
       .select(col("__id"), col("__y"), (hash32(col("__g")) % buckets).as("f"))
       .groupBy(col("__id"), col("__y"), col("f"))
       .agg(count(lit(1)).cast("double").as("c"))
@@ -248,25 +251,83 @@ object Classify {
     * aggregate joined back, and the final reduction is one row. */
   def aucScore(scored: DataFrame, scoreCol: String, labelCol: String,
       idCol: String): DataFrame = {
-    val ranked = Ranks.withGlobalRank(
-      scored.select(col(idCol), col(scoreCol).as("__sc"),
-        col(labelCol).cast("int").as("__y")),
-      "__r", col("__sc").asc, col(idCol).asc)
-    // tie-averaged rank as a window over the ranked set: one exchange by
-    // __sc replaces the old groupBy + join-back pair (which exchanged
-    // the ranked set AND the per-score table). Numerically identical:
-    // ranks per tie group are consecutive integers, so __ar is an exact
-    // integer or half-integer and the downstream sum is order-exact.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__sc"))
-    ranked.withColumn("__ar", avg(col("__r")).over(w))
-      .agg(sum(col("__y")).cast("long").as("n_pos"),
-        sum(lit(1) - col("__y")).cast("long").as("n_neg"),
-        sum(when(col("__y") === 1, col("__ar"))).as("__srp"))
-      .select(col("n_pos"), col("n_neg"),
-        Rounding.halfUp(when(col("n_pos") > 0 && col("n_neg") > 0,
-          (col("__srp") -
-            col("n_pos").cast("double") * (col("n_pos") + 1) / 2) /
-            (col("n_pos").cast("double") * col("n_neg"))), 6).as("auc"))
+    // One range exchange, one pass (r15 optimization round, guide
+    // §1.2/§2.4): the former global-rank + tie-window shape executed the
+    // scored subtree FOUR times per run (the two-pass rank's counts job
+    // and main job, each with its own range-sampling pass) through two
+    // exchanges. The Mann–Whitney statistic only needs, per tied score
+    // group, the group size m, its positive count g, and the count of
+    // rows below it: tie-averaged rank = below + (m+1)/2. Range-partition
+    // by score (equal scores land in one partition by the partitioner's
+    // binary search), sort within, and fold each partition to four
+    // numbers — (rows, positives, negatives, Σ g·(localBelow+(m+1)/2)) —
+    // then combine on the driver with per-partition rank offsets:
+    // offset_p multiplies every positive in p, so Σ R̄_pos =
+    // Σ_p (localSum_p + offset_p·npos_p). Every intermediate is an exact
+    // integer or half-integer (≤ 2⁵³), so the result is bit-identical to
+    // the old window/aggregate arithmetic, including the final single
+    // IEEE division and the halfUp(6). Nulls: a null score is its own
+    // tie group (sorts first, as before); a null label occupies a rank
+    // but joins neither class (sum semantics of the old aggregate).
+    val spark = scored.sparkSession
+    val sorted = scored
+      .select(col(scoreCol).cast("double").as("__sc"),
+        col(labelCol).cast("int").as("__y"))
+      .repartitionByRange(col("__sc"))
+      .sortWithinPartitions(col("__sc"))
+    implicit val enc = org.apache.spark.sql.Encoders
+      .tuple(org.apache.spark.sql.Encoders.scalaInt,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaDouble)
+    val parts = sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var cnt = 0L; var npos = 0L; var nneg = 0L; var lsum = 0.0
+      var base = 0L; var gm = 0L; var gp = 0L
+      var has = false; var prevNull = false; var prev = 0.0
+      def flush(): Unit = if (gm > 0) {
+        lsum += gp * (base + (gm + 1) / 2.0)
+        base += gm; gm = 0L; gp = 0L
+      }
+      it.foreach { r =>
+        val isN = r.isNullAt(0)
+        val v = if (isN) 0.0 else r.getDouble(0)
+        if (!has || isN != prevNull ||
+          (!isN && java.lang.Double.compare(prev, v) != 0)) flush()
+        has = true; prevNull = isN; prev = v
+        gm += 1; cnt += 1
+        if (!r.isNullAt(1)) {
+          val y = r.getInt(1)
+          if (y == 1) { npos += 1; gp += 1 } else nneg += 1
+        }
+      }
+      flush()
+      Iterator.single((pid, cnt, npos, nneg, lsum))
+    }.collect()
+    val ordered = parts.sortBy(_._1)
+    var offset = 0L; var srp = 0.0
+    var nP = 0L; var nN = 0L; var anyLabel = false
+    ordered.foreach { case (_, cnt, npos, nneg, lsum) =>
+      srp += lsum + offset.toDouble * npos
+      offset += cnt
+      nP += npos; nN += nneg
+      if (npos > 0 || nneg > 0) anyLabel = true
+    }
+    // replay the old aggregate's null shape: sum() over zero (non-null)
+    // inputs is null, and the auc guard is n_pos > 0 && n_neg > 0
+    val auc: java.lang.Double =
+      if (nP > 0 && nN > 0) {
+        val raw = (srp - nP.toDouble * (nP + 1) / 2) / (nP.toDouble * nN)
+        java.lang.Double.valueOf(math.floor(raw * 1e6 + 0.5) / 1e6)
+      } else null
+    val nPosOut: java.lang.Long = if (anyLabel) java.lang.Long.valueOf(nP) else null
+    val nNegOut: java.lang.Long = if (anyLabel) java.lang.Long.valueOf(nN) else null
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(nPosOut, nNegOut, auc)),
+      StructType(Seq(StructField("n_pos", LongType), StructField("n_neg", LongType),
+        StructField("auc", DoubleType))))
   }
 
   /** Confusion matrix + the derived rates at a decision threshold on

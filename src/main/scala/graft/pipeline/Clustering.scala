@@ -257,7 +257,9 @@ object Clustering {
       k: Int, threshold: Double, maxIter: Int = 8,
       seed: Long = 42L): DataFrame = {
     val model = fitKMeans(df, vecCol, idCol, k, maxIter, seed = seed)
-    val assigned = assign(df, vecCol, model, "__cell")
+    // Scans.spread (no-op at scale): the assignment kernel and the
+    // within-cell cosine pairing are CPU-dense over few bytes
+    val assigned = assign(Scans.spread(df, col(idCol)), vecCol, model, "__cell")
       .select(col("__cell"), col(idCol), col(vecCol))
     val a = assigned.select(col("__cell"), col(idCol).alias("id_a"),
       col(vecCol).alias("__va"))

@@ -54,7 +54,8 @@ object Dsir {
   /** Per-document feature stream: [[grams]] hashed into `buckets`. */
   private def features(df: DataFrame, textCol: String, idCol: String,
       buckets: Int): DataFrame =
-    df.select(col(idCol), explode(grams(textCol)).as("__g"))
+    df.select(col(idCol), explode_outer(grams(textCol)).as("__g"))
+      .filter(col("__g").isNotNull)
       .select(col(idCol), (hash32(col("__g")) % buckets).as("f"))
 
   /** Importance weight per raw document: (`idCol`, `n_feats`, `iw`).
@@ -104,7 +105,10 @@ object Dsir {
     val lut = Array.tabulate(buckets)(i =>
       math.log((cntT(i) + alpha) / (nT + aB)) -
         math.log((cntR(i) + alpha) / (nR + aB)))
-    raw.select(col(idCol),
+    // Scans.spread before the scoring kernel (no-op at scale): the
+    // md5-per-gram scoring pass otherwise runs serially on a
+    // single-split local input
+    Scans.spread(raw, col(idCol)).select(col(idCol),
       org.apache.spark.sql.graft.sketch
         .dsir_score(grams(textCol), lut, buckets).as("__s"))
       .select(col(idCol),

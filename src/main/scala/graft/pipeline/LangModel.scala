@@ -32,7 +32,11 @@ object LangModel {
 
   /** Corpus bigram counts: (`ngram`, `w1`, `cnt`). */
   def bigramCounts(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(TextAnalysis.bigrams(col(textCol))).as("ngram"))
+    // Scans.spread before the bigram kernel (no-op at scale and when the
+    // caller already spread the input)
+    Scans.spread(df, col(textCol))
+      .select(explode_outer(TextAnalysis.bigrams(col(textCol))).as("ngram"))
+      .filter(col("ngram").isNotNull)
       .groupBy(col("ngram"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("w1", split(col("ngram"), " ").getItem(0))
@@ -50,13 +54,19 @@ object LangModel {
       df: DataFrame, textCol: String, idCol: String,
       alpha: Double = 0.5): DataFrame = {
     require(alpha > 0, "alpha must be positive (unsmoothed zero counts divide by zero)")
-    val bg = bigramCounts(df, textCol)
+    // one spread barrier shared by all three corpus consumers (counts,
+    // vocabulary, scoring explode) — ReusedExchange serves them from one
+    // materialization; no-op at scale
+    val sprd = Scans.spread(df, col(idCol))
+    val bg = bigramCounts(sprd, textCol)
     val ctx = contextCounts(bg)
-    val vocab = df
-      .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("__t"))
+    val vocab = sprd
+      .select(explode_outer(TextAnalysis.tokens(lower(col(textCol)))).as("__t"))
+      .filter(col("__t").isNotNull)
       .agg(countDistinct(col("__t")).as("__v"))
-    val exploded = df.select(col(idCol),
-      explode(TextAnalysis.bigrams(col(textCol))).as("ngram"))
+    val exploded = sprd.select(col(idCol),
+        explode_outer(TextAnalysis.bigrams(col(textCol))).as("ngram"))
+      .filter(col("ngram").isNotNull)
     val scored = exploded
       .join(bg.select(col("ngram"), col("cnt"), col("w1")), Seq("ngram"))
       .join(ctx, Seq("w1"))
@@ -113,17 +123,24 @@ object LangModel {
       alpha: Double = 0.5): DataFrame = {
     require(lambda > 0 && lambda <= 1, "lambda must be in (0, 1]")
     require(alpha > 0, "alpha must be positive")
-    val tri = ref.select(explode(trigrams(col(textCol))).as("g3"))
+    val refS = Scans.spread(ref, col(textCol))
+    val tri = refS.select(explode_outer(trigrams(col(textCol))).as("g3"))
+      .filter(col("g3").isNotNull)
       .groupBy("g3").agg(count(lit(1)).as("c3"))
-    val bi = ref.select(explode(TextAnalysis.bigrams(col(textCol))).as("g2"))
+    val bi = refS.select(explode_outer(TextAnalysis.bigrams(col(textCol))).as("g2"))
+      .filter(col("g2").isNotNull)
       .groupBy("g2").agg(count(lit(1)).as("c2"))
-    val uni = ref
-      .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("g1"))
+    val uni = refS
+      .select(explode_outer(TextAnalysis.tokens(lower(col(textCol)))).as("g1"))
+      .filter(col("g1").isNotNull)
       .groupBy("g1").agg(count(lit(1)).as("c1"))
-    val scalars = ref
-      .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("__t"))
+    val scalars = refS
+      .select(explode_outer(TextAnalysis.tokens(lower(col(textCol)))).as("__t"))
+      .filter(col("__t").isNotNull)
       .agg(count(lit(1)).as("__n"), countDistinct(col("__t")).as("__v"))
-    val pos = df.select(col(idCol), explode(trigrams(col(textCol))).as("g3"))
+    val pos = df.select(col(idCol),
+        explode_outer(trigrams(col(textCol))).as("g3"))
+      .filter(col("g3").isNotNull)
       .withColumn("__p", split(col("g3"), " "))
       .withColumn("w12", concat_ws(" ",
         col("__p").getItem(0), col("__p").getItem(1)))

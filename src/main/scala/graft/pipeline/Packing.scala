@@ -61,7 +61,9 @@ object Packing {
       seqLen: Int, shards: Int): DataFrame = {
     val packed = packDocs(df, idCol, textCol, seqLen, shards)
     packed.select(col("shard"), col("start_off"),
-        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("__i", "__tok")))
+        posexplode_outer(TextAnalysis.tokens(col(textCol)))
+          .as(Seq("__i", "__tok")))
+      .filter(col("__tok").isNotNull)
       .select(col("shard"),
         (col("start_off") + col("__i")).alias("__off"), col("__tok"))
       .select(col("shard"), expr(s"__off div $seqLen").alias("seq_id"),

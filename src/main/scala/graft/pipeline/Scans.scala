@@ -28,11 +28,37 @@ object Scans {
   def spread(df: DataFrame, key: Column): DataFrame = {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
+    // idempotence: composed operators may each ask for a spread over the
+    // same input — one barrier is enough, a second would re-exchange
+    if (hasRootBarrier(df.queryExecution.analyzed)) return df
     val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    // floor: below this the kernel finishes in milliseconds serially and
+    // the exchange + full-parallelism task scheduling cost MORE than
+    // they save (measured: q_fuzzy's 22 KB supplier input regressed
+    // 0.52 s → 1.2 s when spread unconditionally, while the 255 KB
+    // projected documents corpus gains 3-5x from spreading). 64k
+    // brackets that crossover; conf-overridable for experiments.
+    val minBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.getOption("spark.graft.scan.spreadMinBytes")
+        .getOrElse("64k"))
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     // BigInt compare: a petabyte-scale sizeInBytes must not overflow
-    val small = df.queryExecution.optimizedPlan.stats.sizeInBytes <
-      BigInt(target) * BigInt(maxSplit)
-    if (small) df.repartition(target, key) else df
+    val small = bytes < BigInt(target) * BigInt(maxSplit)
+    if (small && bytes >= BigInt(minBytes)) df.repartition(target, key)
+    else df
   }
+
+  @annotation.tailrec
+  private def hasRootBarrier(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+    p match {
+      case proj: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        hasRootBarrier(proj.child)
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        hasRootBarrier(f.child)
+      case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation =>
+        true
+      case _ => false
+    }
 }

@@ -101,11 +101,19 @@ object Search {
   def buildTextIndex(df: DataFrame, textCol: String, idCol: String,
       path: String, buckets: Int = 64): Unit = {
     require(buckets > 0, "buckets must be positive")
-    val toks = df.select(col(idCol).as("doc_id"),
-        TextAnalysis.tokens(lower(col(textCol))).as("__tk"))
+    // Scans.spread before the tokenize kernel (no-op at scale); outer
+    // explode + null-filter avoids the inferred Generate guard
+    // re-tokenizing at the scan (see Dedup)
+    val toks = Scans.spread(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("__ti")),
+        col("doc_id"))
+      .select(col("doc_id"),
+        TextAnalysis.tokens(lower(col("__ti"))).as("__tk"))
       .withColumn("dl", size(col("__tk")).cast("long"))
     val postings = toks
-      .select(col("doc_id"), col("dl"), explode(col("__tk")).as("term"))
+      .select(col("doc_id"), col("dl"),
+        explode_outer(col("__tk")).as("term"))
+      .filter(col("term").isNotNull)
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("bkt", termBucketCol(col("term"), buckets))
@@ -147,11 +155,16 @@ object Search {
     val spark = df.sparkSession
     val st = spark.read.parquet(s"$path/stats").head()
     val buckets = st.getAs[Int]("buckets")
-    val toks = df.select(col(idCol).as("doc_id"),
-        TextAnalysis.tokens(lower(col(textCol))).as("__tk"))
+    val toks = Scans.spread(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("__ti")),
+        col("doc_id"))
+      .select(col("doc_id"),
+        TextAnalysis.tokens(lower(col("__ti"))).as("__tk"))
       .withColumn("dl", size(col("__tk")).cast("long"))
     val postings = toks
-      .select(col("doc_id"), col("dl"), explode(col("__tk")).as("term"))
+      .select(col("doc_id"), col("dl"),
+        explode_outer(col("__tk")).as("term"))
+      .filter(col("term").isNotNull)
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("bkt", termBucketCol(col("term"), buckets))
@@ -300,7 +313,8 @@ object Search {
     require(k > 0, "k must be positive")
     import org.apache.spark.sql.expressions.Window
     val tf = df.select(col(idCol),
-        explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+        explode_outer(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+      .filter(col("term").isNotNull)
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))

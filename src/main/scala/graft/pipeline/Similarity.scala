@@ -59,7 +59,9 @@ object Similarity {
   def bruteForceTopK(
       df: DataFrame, vecCol: String, idCol: String,
       query: Seq[Float], k: Int): DataFrame =
-    scoreAll(df, vecCol, query)
+    // Scans.spread (no-op at scale): the exact cosine scan is pure CPU
+    // and would otherwise run on the scan's single local split
+    scoreAll(Scans.spread(df, col(idCol)), vecCol, query)
       .select(col(idCol), Rounding.halfUp(col("score"), 6).alias("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)

@@ -121,16 +121,25 @@ object TextAnalysis {
       k: Int): DataFrame = {
     require(minPairCount >= 1, "minPairCount must be >= 1")
     require(k > 0, "k must be positive")
-    val toks = df.select(
-      array_sort(array_distinct(tokens(lower(col(textCol)))))
-        .alias("__ts"))
+    // Scans.spread before the tokenize/pair kernels (no-op at scale):
+    // three consumers (doc count, unigram counts, pair explode) all
+    // re-derive from __ts — a single-split scan would run each serially
+    val toks = Scans.spread(
+        df.select(col(textCol).alias("__pt")), col("__pt"))
+      .select(
+        array_sort(array_distinct(tokens(lower(col("__pt")))))
+          .alias("__ts"))
     val nDocs = toks.agg(count(lit(1)).alias("__n"))
-    val uni = toks.select(explode(col("__ts")).alias("t"))
+    // outer explode + null-filter on both postings passes: the
+    // non-outer form's inferred guard re-tokenizes at the scan
+    val uni = toks.select(explode_outer(col("__ts")).alias("t"))
+      .filter(col("t").isNotNull)
       .groupBy("t").agg(count(lit(1)).alias("n"))
-    val pairs = toks.select(explode(flatten(transform(col("__ts"),
+    val pairs = toks.select(explode_outer(flatten(transform(col("__ts"),
         (x, i) => transform(
           slice(col("__ts"), i + lit(2), size(col("__ts"))),
           y => struct(x.alias("a"), y.alias("b")))))).alias("p"))
+      .filter(col("p").isNotNull)
       .groupBy(col("p.a").alias("tok_a"), col("p.b").alias("tok_b"))
       .agg(count(lit(1)).alias("n_ab"))
       .filter(col("n_ab") >= minPairCount)
@@ -381,7 +390,8 @@ object TextAnalysis {
     * is corpus-scale-bounded but NOT small, so no single-partition
     * window; the fit itself is one moment aggregate. */
   def zipfFit(df: DataFrame, textCol: String): DataFrame = {
-    val vocab = df.select(explode(tokens(lower(col(textCol)))).as("t"))
+    val vocab = df.select(explode_outer(tokens(lower(col(textCol)))).as("t"))
+      .filter(col("t").isNotNull)
       .groupBy(col("t")).agg(count(lit(1)).as("f"))
     val ranked = Ranks.withGlobalRank(vocab, "rank",
       col("f").desc, col("t").asc)
@@ -408,7 +418,8 @@ object TextAnalysis {
   def vocabCoverage(df: DataFrame, textCol: String,
       ks: Seq[Int]): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ > 0), "ks must be positive")
-    val vocab = df.select(explode(tokens(lower(col(textCol)))).as("t"))
+    val vocab = df.select(explode_outer(tokens(lower(col(textCol)))).as("t"))
+      .filter(col("t").isNotNull)
       .groupBy(col("t")).agg(count(lit(1)).as("f"))
     val ranked = Ranks.withGlobalRank(vocab, "rank",
       col("f").desc, col("t").asc)

@@ -87,9 +87,16 @@ class DsirSpec extends SparkSpec {
       buckets = 1024, alpha = 0.5)
     val wPlan = w.queryExecution.executedPlan.toString
     // scoring is a per-row kernel over the n-gram array: no join of any
-    // kind, no exchange — ONE corpus scan
+    // kind, ONE corpus pass. The only exchange permitted is the
+    // scale-adaptive Scans.spread barrier (r15: parallelizes the
+    // md5-per-gram kernel when the scan has fewer splits than cores;
+    // a no-op on real multi-row-group tables) — a join- or
+    // aggregate-keyed exchange would mean the corpus self-join came back
     assert(!wPlan.contains("Join"), s"scoring should be join-free:\n$wPlan")
-    assert(!wPlan.contains("Exchange"), s"scoring should not shuffle:\n$wPlan")
+    assert(
+      "Exchange".r.findAllIn(wPlan).length <= 1 &&
+        !wPlan.contains("ENSURE_REQUIREMENTS"),
+      s"scoring grew a non-spread shuffle:\n$wPlan")
     assert(wPlan.contains("graft_dsir_score"),
       s"no DSIR kernel in plan:\n$wPlan")
     val rPlan = Dsir.resample(w, "doc_id", "iw", k = 5)
