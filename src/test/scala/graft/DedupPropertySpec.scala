@@ -268,4 +268,40 @@ class DedupPropertySpec extends SparkSpec {
       finally walk.close()
     }
   }
+
+  test("property: counting-join crossContainment equals brute-force intersect") {
+    // the r15 counting-join shape (match count of the postings join ==
+    // |S_b ∩ S_t| because shingle sets are hashed-distinct) must equal
+    // the definitional brute force — every pair, every threshold face,
+    // including exact-boundary containments and short docs
+    def containment(b: Set[Seq[String]], t: Set[Seq[String]]): Double =
+      (b & t).size.toDouble / b.size
+    val train = (1L to 60L).map(i => (i, randomDoc(3 + rnd.nextInt(12))))
+    val bench = (100L to 130L).map { i =>
+      // half the bench docs are subsets/near-subsets of a train doc so
+      // true containments exist at and above the threshold
+      val base = train((i % 60).toInt)._2.split(" ").toSeq
+      val kept = base.take(math.max(2, base.length - rnd.nextInt(3)))
+      (i, if (i % 2 == 0) kept.mkString(" ") else randomDoc(2 + rnd.nextInt(8)))
+    }
+    val trainDf = train.toDF("doc_id", "text")
+    val benchDf = bench.toDF("doc_id", "text")
+    for (th <- Seq(0.6, 0.8, 1.0)) {
+      val expected = (for {
+        (bid, btxt) <- bench
+        (tid, ttxt) <- train
+        c = containment(shingles(btxt, 2), shingles(ttxt, 2))
+        if c >= th
+      } yield (bid, tid, math.floor(c * 1e6 + 0.5) / 1e6)).toSet
+      val got = Dedup.crossContainment(trainDf, benchDf, "text", "doc_id",
+        k = 2, threshold = th).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expected,
+        s"t=$th missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+      val bloom = Dedup.crossContainmentBloom(trainDf, benchDf, "text",
+        "doc_id", k = 2, threshold = th).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(bloom == expected, s"bloom t=$th diverged from exact")
+    }
+  }
 }
