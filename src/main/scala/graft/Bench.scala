@@ -366,26 +366,55 @@ object Bench {
     * first, then the slowest remaining queries until the length budget
     * is spent. The FULL per-query map lives in BENCH_LAST.json (`full`
     * points there). */
+  /** Every query the r15 driver summary printed, headline first (the
+    * BASELINE.md set), then the r15 slowest-remaining set. The r15 PERF
+    * near-false-regression: 21 flag verdicts rode the line and squeezed
+    * the printed query map from 76 to 54 names, and the driver recorded
+    * the 23 omissions as `dropped_from_bench`. The driver diffs each
+    * round's summary against the previous round's PRINTED set, so the
+    * printed set must be monotone: these names never leave the line
+    * while they exist in the bench. */
+  private[graft] val summaryPinned: Seq[String] = Seq(
+    "q_select_where", "q_like", "q_top", "q_update",
+    "q_agg_group", "q_agg_global", "q_distinct", "q_distinct_count",
+    "q_join_inner", "q_join_left", "q_strict_left", "q_nr", "q_except",
+    "q_median_var", "q_array_agg", "q_any_value", "q_unnest", "q_pipe",
+    "q_sum_int", "q_scalar_case",
+    "q_basket", "q_compact_gate", "q_bm25", "q_zorder_gate",
+    "q_hilbert_gate", "q_ngram_pairs", "q_ann_recall", "q_benford",
+    "q_search_idx", "q_tfidf_pairs", "q_rrf", "q_simhash_recall",
+    "q_quantiles_gate", "q_semdedup_recall", "q_spans", "q_skyline",
+    "q_auc", "q_minhash_pairs", "q_quantiles_by_gate", "q_calibration",
+    "q_keywords", "q_triangles", "q_embed_dups", "q_ivf_recall",
+    "q_dsir_sample", "q_pmi", "q_incr", "q_entities", "q_dau_sketch",
+    "q_contain_bloom", "q_top_ngrams", "q_ivf_prune", "q_cc_best",
+    "q_decon")
+
   private[graft] def compactSummary(total: Double, sfDir: String,
       reps: Int, medians: Seq[(String, Double)], nErrors: Int, nFlags: Int,
       baselineMedians: Int, maxLen: Int = 1700,
       flagVerdicts: Map[String, String] = Map.empty,
       x10Flags: Int = -1): String = {
-    val headline = Seq("q_select_where", "q_like", "q_top", "q_update",
-      "q_agg_group", "q_agg_global", "q_distinct", "q_distinct_count",
-      "q_join_inner", "q_join_left", "q_strict_left", "q_nr", "q_except",
-      "q_median_var", "q_array_agg", "q_any_value", "q_unnest", "q_pipe",
-      "q_sum_int", "q_scalar_case")
     val byName = medians.toMap
-    val ordered = headline.filter(byName.contains) ++
-      medians.filter { case (k, _) => !headline.contains(k) }
-        .sortBy(-_._2).map(_._1)
+    val pinnedPresent = summaryPinned.filter(byName.contains)
+    val pinnedSet = pinnedPresent.toSet
+    val rest = medians.filter { case (k, _) => !pinnedSet.contains(k) }
+      .sortBy(-_._2).map(_._1)
     // flagged-query verdicts ride the summary so the driver artifact is
-    // self-adjudicating (r13 verdict item 7) — after the load-factor fix
-    // the flag count should be small; a pathological run still fits by
-    // truncating to the first 12 names (and confessing the truncation)
-    val flagsJson = {
-      val kept = flagVerdicts.toSeq.sortBy(_._1).take(12)
+    // self-adjudicating (r13 verdict item 7); non-speedup verdicts (the
+    // informative ones) survive truncation first, and the truncated
+    // count is confessed
+    def flagsJson(cap: Int): String = {
+      // severity order: unexplained verdicts (slowdown_reproduced,
+      // inconsistent, errors) > self-cleared noise > confirmed speedups
+      def rank(v: String): Int = v match {
+        case "speedup_confirmed"   => 2
+        case "suite_context_noise" => 1
+        case _                     => 0
+      }
+      val kept = flagVerdicts.toSeq
+        .sortBy { case (k, v) => (rank(v), k) }
+        .take(cap)
       val obj = kept.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
         .mkString("{", ",", "}")
       val trunc =
@@ -394,22 +423,35 @@ object Bench {
         else ""
       s""""flags":$obj$trunc,"""
     }
-    def render(qs: Seq[String]): String = {
+    def render(qs: Seq[String], flagCap: Int): String = {
       val obj = qs.map(k => "\"" + k + "\":" + jd(byName(k), 3))
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${jd(total, 3)},"unit":"sec",""" +
         s""""sf":"$sfDir","reps":$reps,"n_queries":${medians.size},""" +
         s""""errors":$nErrors,"flags_gt_2x":$nFlags,""" +
         (if (x10Flags >= 0) s""""x10_flags_gt_2x":$x10Flags,""" else "") +
-        flagsJson +
+        flagsJson(flagCap) +
         s""""baseline_medians":$baselineMedians,""" +
         s""""full":"BENCH_LAST.json","queries":$obj}"""
     }
-    var keep = ordered
-    var out = render(keep)
+    // budget priority (r15 verdict item 2): pinned queries > flag
+    // verdicts > slowest-remaining queries. Extras are dropped first,
+    // then the flag object shrinks, and only a degenerate maxLen may
+    // touch the pinned set itself.
+    var keep = pinnedPresent ++ rest
+    var flagCap = 12
+    var out = render(keep, flagCap)
+    while (out.length > maxLen && keep.size > pinnedPresent.size) {
+      keep = keep.dropRight(1)
+      out = render(keep, flagCap)
+    }
+    while (out.length > maxLen && flagCap > 0) {
+      flagCap -= 1
+      out = render(keep, flagCap)
+    }
     while (out.length > maxLen && keep.nonEmpty) {
       keep = keep.dropRight(1)
-      out = render(keep)
+      out = render(keep, flagCap)
     }
     out
   }

@@ -266,4 +266,26 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(r2.path("flags").size() == 12)
     assert(r2.path("flags_truncated").asInt() == 18)
   }
+
+  test("r15 squeeze replay: every previously-printed query outranks flag verdicts") {
+    // r15: 21 flag verdicts rode the line and squeezed the printed query
+    // map from 76 to 54 names; the driver's PERF diff recorded the 23
+    // omissions as dropped_from_bench. The pinned set (everything the
+    // r15 summary printed) must now survive ANY flag load — the flag
+    // object shrinks instead.
+    val medians = Bench.summaryPinned.map(k => k -> 0.5) ++
+      (1 to 139).map(i => (f"q_other_$i%03d", 2.0 + i * 0.01))
+    val many = (1 to 25).map(i => f"q_f$i%03d" -> "suite_context_noise").toMap +
+      ("q_real" -> "slowdown_reproduced")
+    val line = Bench.compactSummary(100.0, "/root/testdata/sf0.1", 3, medians,
+      nErrors = 0, nFlags = 26, baselineMedians = 193, flagVerdicts = many,
+      x10Flags = 0)
+    assert(line.length <= 1700, s"summary too long: ${line.length}")
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    val qs = root.path("queries")
+    for (k <- Bench.summaryPinned)
+      assert(qs.has(k), s"pinned query $k missing from the summary line")
+    // the informative verdict survives flag truncation ahead of noise
+    assert(root.path("flags").path("q_real").asText() == "slowdown_reproduced")
+  }
 }
