@@ -35,6 +35,25 @@ private[graft] object EntryHelpers {
     val queryPoints: Seq[Int] = Seq(0, 7, 42)
   }
 
+  /** ALL recall-gate query vectors in ONE job (r15 verdict item 5: the
+    * per-point loop paid one driver head() per point). Sorted by id so
+    * the downstream batched plan is deterministic. */
+  def recallQueryVecs(emb: DataFrame): Seq[(Int, Seq[Float])] =
+    emb.filter(col("vec_id")
+        .isin(RecallGate.queryPoints.map(Int.box): _*))
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1))
+      .sortBy(_._1).toSeq
+
+  /** The probe points as a 1-column DataFrame (`query_id` int) — the
+    * left side that keeps the certification contract of one output row
+    * per point even when a point's overlap is zero. */
+  def recallPointList(s: SparkSession): DataFrame = {
+    import s.implicits._
+    RecallGate.queryPoints.toDF("query_id")
+  }
+
   /** Embeddings plus 10 planted near-duplicates (vec_id+10000, every
     * component shifted by +0.01 in double then rounded back to float —
     * bit-reproducible in DuckDB as list_transform(e, x -> (x::DOUBLE +

@@ -246,9 +246,21 @@ object Classify {
     * result is deterministic and engine-portable). One row: (`n_pos`,
     * `n_neg`, `auc`), half-up 6; null AUC when a class is absent.
     *
-    * Ranks come from [[Ranks.withGlobalRank]] (score asc, id) — never a
-    * single-partition window; the tie-average is a score-keyed
-    * aggregate joined back, and the final reduction is one row. */
+    * EAGER: unlike the other report operators this executes at CALL time
+    * (one range exchange + one fold job) and returns the one-row result
+    * as a LocalRelation — callers must not expect a lazy plan. The score
+    * column is compared as DOUBLE (a decimal score must not carry more
+    * distinct values than double can hold) and a row counts as positive
+    * iff `labelCol` casts to int 1, negative for any other non-null
+    * label — labels are expected to be {0, 1}.
+    *
+    * Ranks come from a range-partition by score — never a
+    * single-partition window; per-partition Mann–Whitney folds combine
+    * through a segment-merging treeAggregate (exact half-integer
+    * arithmetic, so association order cannot change the result), and
+    * the driver touches O(segments) scalars, not O(#partitions) rows
+    * (r15 verdict item 9: at 10⁵+ range partitions the un-tree'd
+    * collect + single-threaded fold was the residual driver cost). */
   def aucScore(scored: DataFrame, scoreCol: String, labelCol: String,
       idCol: String): DataFrame = {
     // One range exchange, one pass (r15 optimization round, guide
@@ -304,16 +316,40 @@ object Classify {
       }
       flush()
       Iterator.single((pid, cnt, npos, nneg, lsum))
-    }.collect()
-    val ordered = parts.sortBy(_._1)
-    var offset = 0L; var srp = 0.0
-    var nP = 0L; var nN = 0L; var anyLabel = false
-    ordered.foreach { case (_, cnt, npos, nneg, lsum) =>
-      srp += lsum + offset.toDouble * npos
-      offset += cnt
-      nP += npos; nN += nneg
-      if (npos > 0 || nneg > 0) anyLabel = true
     }
+    // Tree combine over CONTIGUOUS partition-id segments: two adjacent
+    // runs L (all ranks before) and R merge exactly — every positive in
+    // R shifts up by L's row count, so srp = srp_L + srp_R + cnt_L·npos_R.
+    // Non-adjacent runs stay separate until their gap arrives, so the
+    // combine is associative AND commutative over the segment lists and
+    // every intermediate stays an exact integer/half-integer ≤ 2⁵³ —
+    // bit-identical to the sequential left fold it replaces.
+    // scale-adaptive combine: below a few hundred partitions the tree
+    // level is a pure extra shuffle round (measured: 0.57 → 0.69 s at 32
+    // partitions), so small fan-ins fold the collected tuples through
+    // the SAME segment code on the driver; at 10⁵+ range partitions the
+    // treeAggregate keeps the driver at O(segments).
+    // partition-count proxy WITHOUT touching .rdd on the lazy plan
+    // (materializing the RDD's partition array would run the range
+    // sampler as its own job): repartitionByRange targets the session's
+    // shuffle partition count, which is exactly the fan-in the combine
+    // must absorb.
+    val segs =
+      if (spark.sessionState.conf.numShufflePartitions <= 256)
+        parts.collect().foldLeft(List.empty[AucSeg])((acc, e) =>
+          insertAucSeg(acc, AucSeg(e._1, e._1, e._2, e._3, e._4, e._5)))
+      else parts.rdd.treeAggregate(List.empty[AucSeg])(
+        (acc, e) => insertAucSeg(acc,
+          AucSeg(e._1, e._1, e._2, e._3, e._4, e._5)),
+        (a, b) => b.foldLeft(a)(insertAucSeg), depth = 2)
+    var offset = 0L; var srp = 0.0
+    var nP = 0L; var nN = 0L
+    segs.sortBy(_.start).foreach { s =>
+      srp += s.srp + offset.toDouble * s.npos
+      offset += s.cnt
+      nP += s.npos; nN += s.nneg
+    }
+    val anyLabel = nP + nN > 0
     // replay the old aggregate's null shape: sum() over zero (non-null)
     // inputs is null, and the auc guard is n_pos > 0 && n_neg > 0
     val auc: java.lang.Double =
@@ -328,6 +364,33 @@ object Classify {
       java.util.List.of(org.apache.spark.sql.Row(nPosOut, nNegOut, auc)),
       StructType(Seq(StructField("n_pos", LongType), StructField("n_neg", LongType),
         StructField("auc", DoubleType))))
+  }
+
+  /** A contiguous run of [[aucScore]] range-partition ids already folded
+    * together: row/class counts plus the run's internal Σ tie-averaged
+    * positive ranks (ranks counted from the run's own first row). */
+  private[graft] final case class AucSeg(start: Int, end: Int,
+      cnt: Long, npos: Long, nneg: Long, srp: Double)
+
+  /** Insert `s` into a sorted disjoint segment list, merging with any
+    * touching neighbour (`end + 1 == start`). Partition ids are unique,
+    * so segments never overlap. */
+  private[graft] def insertAucSeg(acc: List[AucSeg],
+      s: AucSeg): List[AucSeg] = {
+    def merge(l: AucSeg, r: AucSeg): AucSeg =
+      AucSeg(l.start, r.end, l.cnt + r.cnt, l.npos + r.npos,
+        l.nneg + r.nneg, l.srp + r.srp + l.cnt.toDouble * r.npos)
+    val (before, after) = acc.span(_.end < s.start)
+    var pre = before
+    var mid = s
+    var post = after
+    if (pre.nonEmpty && pre.last.end + 1 == mid.start) {
+      mid = merge(pre.last, mid); pre = pre.init
+    }
+    if (post.nonEmpty && mid.end + 1 == post.head.start) {
+      mid = merge(mid, post.head); post = post.tail
+    }
+    pre ::: (mid :: post)
   }
 
   /** Confusion matrix + the derived rates at a decision threshold on

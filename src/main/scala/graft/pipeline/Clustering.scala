@@ -219,9 +219,11 @@ object Clustering {
     * zero jobs — then one map-side `isin` filter + TakeOrdered. Unlike
     * [[Similarity.ivfTopK]] there is no centroid-row scan and no
     * broadcast join: the whole plan is scan → filter → top-k. */
-  def ivfTopK(ivf: DataFrame, vecCol: String, idCol: String,
-      query: Seq[Float], model: KMeansModel, k: Int,
-      nProbe: Int = 4): DataFrame = {
+  /** The `nProbe` probe cells for one query — the nProbe centroids
+    * closest by cosine, index-tie-broken; pure driver-side model math
+    * shared by [[ivfTopK]] and the batched gate searches. */
+  def probeCells(model: KMeansModel, query: Seq[Float],
+      nProbe: Int): Seq[Int] = {
     def cos(c: Seq[Float]): Double = {
       var dot = 0.0; var cn = 0.0; var qn = 0.0
       val n = math.min(c.length, query.length)
@@ -232,8 +234,14 @@ object Clustering {
       }
       dot / (math.sqrt(cn) * math.sqrt(qn))
     }
-    val cells = model.centroids.indices
+    model.centroids.indices
       .sortBy(i => (-cos(model.centroids(i)), i)).take(nProbe)
+  }
+
+  def ivfTopK(ivf: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Float], model: KMeansModel, k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val cells = probeCells(model, query, nProbe)
     val q = array(query.map(v => lit(v)): _*)
     ivf.filter(col("ivf_cell").isin(cells.map(Int.box): _*))
       .withColumn("score", Similarity.cosine(col(vecCol), q))

@@ -432,11 +432,18 @@ object Dedup {
     // sketches are batch-bounded — broadcast them and stream the corpus
     // sketches map-side, instead of shuffling the 100 TB sketch table by
     // id for a join that only ever touches the candidate rows (guide
-    // §2.4/§3.1; same move as crossContainment's counting join). Results identical:
-    // same candidate set, same jaccard arithmetic.
-    val candN = candidates.join(newSk, "new_id")
+    // §2.4/§3.1; same move as crossContainment's counting join). Results
+    // identical: same candidate set, same jaccard arithmetic.
+    // The two broadcasts are SEPARATE (r15 advice): broadcasting
+    // candidates ⋈ newSk as one relation replicates each new doc's full
+    // shingle array once per corpus candidate, so a duplicate-heavy
+    // corpus inflates the broadcast multiplicatively toward the 8 GB
+    // cap. Broadcast the bare (new_id, corpus_id) pairs (16 B/row) to
+    // gate the corpus stream, then attach each batch sketch ONCE from a
+    // second batch-bounded broadcast.
     index.sketches.withColumnRenamed("id", "corpus_id")
-      .join(broadcast(candN), "corpus_id")
+      .join(broadcast(candidates), "corpus_id")
+      .join(broadcast(newSk), "new_id")
       .withColumn("jaccard", jaccardPreDistinct(col("shn"), col("shh")))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("new_id"), col("corpus_id"),
@@ -1038,8 +1045,13 @@ object Dedup {
       explode_outer(col("sh")).alias("s"))
       .filter(col("s").isNotNull)
     // global shingle frequency as a count window over s: one exchange,
-    // no aggregate table and no join-back (a groupBy(s) + join would
-    // shuffle the same postings AND build + probe a frequency table)
+    // no aggregate table and no join-back. The groupBy(s) + shuffled-
+    // hash join-back alternative was prototyped and MEASURED in r16
+    // (verdict item 4): it trades the window's in-partition sort for a
+    // second postings-sized join probe plus a vocabulary aggregate, and
+    // lost — isolated q_ngram_pairs 2.69 s → 3.67 s, q_simhash_recall
+    // 1.10 s → 1.95 s (OPTIMIZATION_r16.md). The sort is not the
+    // bottleneck at these per-stage byte volumes; the window stays.
     val invF = inv.withColumn("f",
       count(lit(1)).over(Window.partitionBy(col("s"))))
     val w = Window.partitionBy(col("id")).orderBy(col("f").asc, col("s").asc)

@@ -229,4 +229,92 @@ object Similarity {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Shared engine of the BATCHED top-k searches (r15 verdict item 5 —
+    * the recall gates ran one corpus scan and one driver round-trip PER
+    * probe point; at scale the probe set is data, not a loop): `prepared`
+    * carries `idCol`, `vecCol` and whatever probe columns `keep` needs;
+    * each row explodes to its surviving (query, row) pairs, scores with
+    * a per-query literal-vector case chain, and a per-query row_number
+    * window (WindowGroupLimit prunes to ≤ k per group map-side before
+    * the one small exchange) keeps the top k. Per query the ordering,
+    * rounding and tie-break are EXACTLY the single-query drivers'
+    * (score desc, id asc, halfUp 6) — row-identical to looping
+    * [[bruteForceTopK]] / [[lshTopK]] / [[Clustering.ivfTopK]] over the
+    * points. explode_outer + null-filter per the
+    * InferFiltersFromGenerate discipline (the struct array is never
+    * empty, so this is row-identical). */
+  private def probedTopKBatch(prepared: DataFrame, vecCol: String,
+      idCol: String, queries: Seq[(Int, Seq[Float])], keep: Int => Column,
+      k: Int): DataFrame = {
+    require(queries.nonEmpty, "queries must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    val pairs = prepared.select(col(idCol), col(vecCol),
+        explode_outer(array(queries.zipWithIndex.map { case ((qid, _), qi) =>
+          struct(lit(qid).as("query_id"), keep(qi).as("keep")) }: _*))
+          .as("__q"))
+      .filter(col("__q").isNotNull && col("__q.keep"))
+    val scoreArms = queries.map { case (qid, qv) =>
+      (col("__q.query_id") === qid,
+        cosine(col(vecCol), array(qv.map(v => lit(v)): _*)))
+    }
+    val scoreExpr = scoreArms.tail.foldLeft(
+      when(scoreArms.head._1, scoreArms.head._2)) {
+      case (acc, (c, e)) => acc.when(c, e)
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol).asc)
+    pairs.select(col("__q.query_id").as("query_id"), col(idCol),
+        Rounding.halfUp(scoreExpr, 6).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("query_id"), col(idCol), col("score"), col("rn"))
+  }
+
+  /** Batched [[bruteForceTopK]]: exact top-k for EVERY query vector in
+    * one corpus scan — (`query_id`, idCol, `score`, `rn`). Per-query
+    * rows identical to the single-query driver. */
+  def bruteForceTopKBatch(df: DataFrame, vecCol: String, idCol: String,
+      queries: Seq[(Int, Seq[Float])], k: Int): DataFrame =
+    probedTopKBatch(
+      Scans.spread(df.select(col(idCol), col(vecCol)), col(idCol)),
+      vecCol, idCol, queries, _ => lit(true), k)
+
+  /** Batched [[lshTopK]]: every query's multiprobe search in one corpus
+    * scan. The per-row hyperplane signatures are computed ONCE per table
+    * and shared across queries (the per-query loop recomputed them per
+    * point), and all query signatures come from a single 1-row job. */
+  def lshTopKBatch(df: DataFrame, vecCol: String, idCol: String,
+      queries: Seq[(Int, Seq[Float])], k: Int,
+      planes: Int = 6, tables: Int = 8, seed: Long = 42): DataFrame = {
+    val spark = df.sparkSession
+    val sigRow = spark.range(1).select(queries.flatMap { case (qid, qv) =>
+      val q = array(qv.map(v => lit(v)): _*)
+      (0 until tables).map(t =>
+        org.apache.spark.sql.graft.sketch.hyperplane_signature(q, planes, seed, t)
+          .alias(s"s_${qid}_$t"))
+    }: _*).head()
+    val sigCols = (0 until tables).map(t =>
+      org.apache.spark.sql.graft.sketch
+        .hyperplane_signature(col(vecCol), planes, seed, t).as(s"__sig$t"))
+    val prepared = Scans.spread(df.select(col(idCol), col(vecCol)), col(idCol))
+      .select(Seq(col(idCol), col(vecCol)) ++ sigCols: _*)
+    def keep(qi: Int): Column = (0 until tables).map { t =>
+      val s = sigRow.getInt(qi * tables + t)
+      val probes = s +: (0 until planes).map(p => s ^ (1 << p))
+      col(s"__sig$t").isin(probes.map(Int.box): _*)
+    }.reduce(_ || _)
+    probedTopKBatch(prepared, vecCol, idCol, queries, keep, k)
+  }
+
+  /** Batched [[ivfTopK]]: every query's nProbe-cell search in one scan
+    * of the assigned corpus. Probe cells are chosen driver-side per
+    * query from the model, exactly like the single-query driver. */
+  def ivfTopKBatch(index: IvfIndex, vecCol: String, idCol: String,
+      queries: Seq[(Int, Seq[Float])], k: Int, nProbe: Int = 4): DataFrame = {
+    val cells = queries.map { case (_, qv) =>
+      Clustering.probeCells(index.model, qv, nProbe) }
+    probedTopKBatch(index.cells, vecCol, idCol, queries,
+      qi => col("ivf_cell").isin(cells(qi).map(Int.box): _*), k)
+  }
 }

@@ -179,4 +179,46 @@ class ClassifySpec extends SparkSpec {
       assert(!l4.weights.sameElements(l2.weights))
     } finally spark.conf.unset("spark.graft.ann.fitCache")
   }
+
+  test("aucScore segment combine: any insertion order equals the ordered fold") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 20) {
+      val p = 1 + rnd.nextInt(40)
+      val parts = (0 until p).map { pid =>
+        val cnt = rnd.nextInt(50).toLong
+        val npos = if (cnt == 0) 0L else rnd.nextInt(cnt.toInt + 1).toLong
+        val nneg = cnt - npos
+        // lsum is a sum of g·(base + (m+1)/2) terms — any half-integer
+        val lsum = rnd.nextInt(1000) / 2.0
+        (pid, cnt, npos, nneg, lsum)
+      }
+      // reference: the sequential pid-ordered fold
+      var offset = 0L; var srpRef = 0.0
+      parts.foreach { case (_, cnt, npos, _, lsum) =>
+        srpRef += lsum + offset.toDouble * npos
+        offset += cnt
+      }
+      // segment insertion in a random order must reproduce it exactly
+      val shuffled = rnd.shuffle(parts.toList)
+      val segs = shuffled.foldLeft(List.empty[Classify.AucSeg]) { (acc, e) =>
+        Classify.insertAucSeg(acc,
+          Classify.AucSeg(e._1, e._1, e._2, e._3, e._4, e._5))
+      }
+      assert(segs.size == 1, s"contiguous pids must merge to one segment: $segs")
+      assert(segs.head.srp == srpRef, "exact half-integer arithmetic")
+      assert(segs.head.cnt == parts.map(_._2).sum)
+      assert(segs.head.npos == parts.map(_._3).sum)
+      // with a gap the pieces stay separate and the driver fold bridges it
+      val gappy = parts.filter(_._1 != p / 2)
+      val segs2 = rnd.shuffle(gappy.toList)
+        .foldLeft(List.empty[Classify.AucSeg]) { (acc, e) =>
+          Classify.insertAucSeg(acc,
+            Classify.AucSeg(e._1, e._1, e._2, e._3, e._4, e._5))
+        }
+      assert(segs2.size == (if (p >= 3 && p / 2 > 0 && p / 2 < p - 1) 2 else 1)
+        || gappy.isEmpty, s"gap must split segments: $segs2")
+      assert(segs2.map(_.start).sorted == segs2.map(_.start),
+        "list stays sorted")
+    }
+  }
 }
