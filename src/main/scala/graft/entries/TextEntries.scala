@@ -121,9 +121,16 @@ private[graft] object TextEntries {
     }),
     // corpus-level vocabulary: top-20 bigrams by frequency (map-side
     // partial agg + TakeOrdered; deterministic (cnt desc, ngram) tiebreak)
+    // spread (no-op at scale) + outer-explode per the
+    // InferFiltersFromGenerate discipline: the non-outer explode's
+    // inferred size guard re-ran the bigram kernel at the single-split
+    // scan (r16)
     "q_top_ngrams" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(explode(pipeline.TextAnalysis.bigrams(col("text"))).alias("ngram"))
+      pipeline.Scans.spread(
+          t(s, dir, "documents").select(col("text")), col("text"))
+        .select(explode_outer(pipeline.TextAnalysis.bigrams(col("text")))
+          .alias("ngram"))
+        .filter(col("ngram").isNotNull)
         .groupBy("ngram").agg(count(lit(1)).alias("cnt"))
         .orderBy(col("cnt").desc, col("ngram").asc)
         .limit(20)),

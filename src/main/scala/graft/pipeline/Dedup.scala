@@ -811,12 +811,17 @@ object Dedup {
     require(maxDf > 0, "maxDf must be positive")
     val h = conv(substring(md5(col("__t")), 1, 15), 16, 10).cast("long")
     // per-doc term frequencies on hashed terms: the only corpus-keyed
-    // aggregate; map-side combine collapses within-doc repeats
-    val tf = df
-      .select(col(idCol).as("id"),
+    // aggregate; map-side combine collapses within-doc repeats.
+    // Scans.spread (no-op at scale, r16): the tokenize+md5 kernel ran
+    // 2×~670 ms single-task on the local single-split scan — everything
+    // downstream of the first exchange is layout-identical, so results
+    // are unchanged
+    val tf = Scans.spread(
+        df.select(col(idCol).as("id"), col(textCol).as("__jtx")), col("id"))
+      .select(col("id"),
         // outer + null-filter: avoids the inferred guard re-tokenizing
         // at the scan (tokens are never null)
-        explode_outer(TextAnalysis.tokens(lower(col(textCol)))).as("__t"))
+        explode_outer(TextAnalysis.tokens(lower(col("__jtx")))).as("__t"))
       .filter(col("__t").isNotNull)
       .select(col("id"), h.as("h"))
       .groupBy(col("id"), col("h"))
@@ -1436,7 +1441,14 @@ object Dedup {
     * with null ids are filtered explicitly — the old equi-join verify
     * dropped them implicitly. Results are row-identical: same pairs,
     * and cnt/n_b is the same one IEEE division on the same exact
-    * integers as size(array_intersect)/size. */
+    * integers as size(array_intersect)/size.
+    *
+    * PRECONDITION: `idCol` must be unique within each input (the normal
+    * contract for a document id). Duplicate ids with equal-sized shingle
+    * sets would merge into one (bench_id, n_b, train_id) count group and
+    * SUM their match counts — containment could then exceed 1.0 — where
+    * the old per-row array_intersect was per-row-correct. Dedup ids
+    * upstream (e.g. [[exactGroups]]) before decontaminating. */
   def crossContainment(
       train: DataFrame, bench: DataFrame, textCol: String, idCol: String,
       k: Int = 2, threshold: Double = 0.8): DataFrame = {
@@ -1614,12 +1626,18 @@ object Dedup {
       w: Int = 8, minOccurrences: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(w > 0 && minOccurrences >= 2, "w > 0 and minOccurrences >= 2")
-    val hashed = df.select(col(idCol).alias("doc_id"),
-      // outer + null-filter: the non-outer form's inferred guard would
-      // run the window-hash kernel twice per row at the scan
-      posexplode_outer(
-        org.apache.spark.sql.graft.sketch.window_hashes(col(textCol), w))
-        .as(Seq("pos", "whash")))
+    // Scans.spread (no-op at scale, r16): the rolling-window-hash kernel
+    // otherwise runs on the local scan's single split; everything below
+    // is exchange-keyed (whash, then doc_id), so results are unchanged
+    val hashed = Scans.spread(
+        df.select(col(idCol).alias("doc_id"), col(textCol).alias("__stx")),
+        col("doc_id"))
+      .select(col("doc_id"),
+        // outer + null-filter: the non-outer form's inferred guard would
+        // run the window-hash kernel twice per row at the scan
+        posexplode_outer(
+          org.apache.spark.sql.graft.sketch.window_hashes(col("__stx"), w))
+          .as(Seq("pos", "whash")))
       .filter(col("whash").isNotNull)
     val dupHashes = hashed.groupBy(col("whash"))
       .agg(count(lit(1)).alias("__occ"))
@@ -1657,7 +1675,11 @@ object Dedup {
       .agg(collect_list(struct(col("span_start"), col("span_end")))
         .alias("__spans"))
     // drop by reference: a plain drop("doc_id") would also remove the
-    // caller's id column when it shares the name
+    // caller's id column when it shares the name. (A Scans.spread on
+    // this side was measured in r16 and REVERTED: the token-filter HOF
+    // pass is cheap — 0.17 s — and the added text exchange doubled the
+    // query; the expensive window-hash kernel inside duplicatedSpans is
+    // the one that spreads.)
     val joined = df.join(spans, df(idCol) === spans("doc_id"), "left")
       .drop(spans("doc_id"))
     val toks = TextAnalysis.tokens(col(textCol))

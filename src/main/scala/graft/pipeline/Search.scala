@@ -39,9 +39,14 @@ object Search {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(query.nonEmpty, "query must contain at least one term")
     val terms = query.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
-    val base = df.select(
-      col(idCol),
-      TextAnalysis.tokens(lower(col(textCol))).as("__tk"))
+    // Scans.spread (no-op at scale, r16): the tokenize feeding BOTH the
+    // stats pass and the scoring pass otherwise runs twice on the scan's
+    // single local split. Stats are exact integer aggregates and scores
+    // are rounded per row, so results are partition-invariant.
+    val base = Scans.spread(
+        df.select(col(idCol), col(textCol).as("__btx")), col(idCol))
+      .select(col(idCol),
+        TextAnalysis.tokens(lower(col("__btx"))).as("__tk"))
       .withColumn("__dl", size(col("__tk")).cast("long"))
     // one row: N, Σdl, df per query term (integer partial aggregates —
     // map-side combine makes the stats pass one tiny shuffle of counters)
@@ -131,7 +136,13 @@ object Search {
     // re-running the corpus scan + explode + (doc, dl, term) aggregate a
     // second time (guide §1.2 — don't recompute what is already on
     // disk): the read-back prunes to (term, bkt) and arrives already
-    // clustered by bucket.
+    // clustered by bucket. PRECONDITION (r15 advice): this trusts the
+    // just-committed directory listing, which is exact on HDFS/local
+    // (atomic rename; `overwrite` cleared the dir first). On an
+    // object store without atomic visibility, or if a concurrent writer
+    // could leave stray files under $path/postings, stray rows would
+    // inflate df — build to a fresh path there, or derive df from the
+    // postings DataFrame at the cost of the second corpus scan.
     df.sparkSession.read.parquet(s"$path/postings")
       .groupBy(col("term"), col("bkt"))
       .agg(count(lit(1)).as("df"))
@@ -312,8 +323,14 @@ object Search {
       k: Int = 3): DataFrame = {
     require(k > 0, "k must be positive")
     import org.apache.spark.sql.expressions.Window
-    val tf = df.select(col(idCol),
-        explode_outer(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+    // Scans.spread (no-op at scale, r16): the tokenize kernel otherwise
+    // runs on the local scan's single split (~0.8 s serial across this
+    // query's 1-task jobs); the weight arithmetic is exact counts +
+    // one rounded product, so results are partition-invariant
+    val tf = Scans.spread(
+        df.select(col(idCol), col(textCol).as("__ktx")), col(idCol))
+      .select(col(idCol),
+        explode_outer(TextAnalysis.tokens(lower(col("__ktx")))).as("term"))
       .filter(col("term").isNotNull)
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))

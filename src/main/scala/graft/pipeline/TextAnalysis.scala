@@ -390,6 +390,10 @@ object TextAnalysis {
     * is corpus-scale-bounded but NOT small, so no single-partition
     * window; the fit itself is one moment aggregate. */
   def zipfFit(df: DataFrame, textCol: String): DataFrame = {
+    // (A Scans.spread here was measured in r16 and REVERTED: the vocab
+    // subtree feeds the two-pass global rank TWICE, and the added text
+    // exchange + 32-task scheduling doubled the 0.41 s query instead of
+    // helping the ~150 ms serial tokenize.)
     val vocab = df.select(explode_outer(tokens(lower(col(textCol)))).as("t"))
       .filter(col("t").isNotNull)
       .groupBy(col("t")).agg(count(lit(1)).as("f"))
@@ -418,6 +422,7 @@ object TextAnalysis {
   def vocabCoverage(df: DataFrame, textCol: String,
       ks: Seq[Int]): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ > 0), "ks must be positive")
+    // no spread, same measured reasoning as zipfFit (r16)
     val vocab = df.select(explode_outer(tokens(lower(col(textCol)))).as("t"))
       .filter(col("t").isNotNull)
       .groupBy(col("t")).agg(count(lit(1)).as("f"))

@@ -9,7 +9,9 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkLi
   * wall/stage breakdown of one warmed execution — the measurement the
   * optimization guide §1 asks for before any change.
   *
-  * Usage: runMain graft.tmp.Plans <outDir> <tag> q_a,q_b,...
+  * Test-scope tool (r15 verdict item 10: must not ship in the
+  * production artifact).
+  * Usage: sbt "Test/runMain graft.tmp.Plans <outDir> <tag> q_a,q_b,..."
   * Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
   *      SPARK_GRAFT_CPUS   (default all). */
 object Plans {
